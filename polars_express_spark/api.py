@@ -1,0 +1,120 @@
+"""The three reference endpoints, re-expressed Spark-first.
+
+Reference routes (src/main.rs:309-319):
+  GET  /data/:id/preview     → get_data_preview   (src/main.rs:106-121)
+  GET  /data/:id/delays      → get_sorted_delays  (src/main.rs:260-306)
+  POST /data/:id/regression  → run_regression     (src/main.rs:124-203)
+
+These are transport-agnostic functions (the HTTP layer is trivial and
+orthogonal); error semantics mirror the reference's 400 responses as
+typed exceptions. Each call is a stateless, request-scoped computation
+against the shared session, exactly like the reference's AppState model
+(src/main.rs:60-73) — but loads are lazy scans, not eager whole-file
+parses.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import functions as F
+
+from polars_express_spark.catalog import DataLake
+from polars_express_spark.sinks import to_json_rows
+
+
+class BadRequest(ValueError):
+    """Maps to the reference's StatusCode::BAD_REQUEST responses."""
+
+
+class NotFound(KeyError):
+    """Maps to the reference's 404 on unknown dataset ids."""
+
+
+def _load(lake: DataLake, data_id: str):
+    if not lake.dataset_exists(data_id):
+        raise NotFound(data_id)
+    return lake.load(data_id)
+
+
+def get_data_preview(lake: DataLake, data_id: str, limit: int = 100) -> list[dict]:
+    """First-N preview, default 100 (src/main.rs:116-117).
+
+    The reference's head() is file-order positional; Spark's limit()
+    without an order is whichever rows arrive first. For single-file CSV
+    inputs (the reference's only case) this is file order in practice;
+    callers needing a guaranteed order pass an explicit sort key via the
+    delays/queries APIs (SURVEY.md §7.5.1).
+    """
+    return to_json_rows(_load(lake, data_id), limit=limit)
+
+
+def get_sorted_delays(
+    lake: DataLake,
+    data_id: str,
+    descending: bool = True,
+    limit: int | None = None,
+) -> list[dict]:
+    """Sort by every column whose name contains 'delay' (schema predicate,
+    src/main.rs:272-283), uniform direction, optional limit
+    (src/main.rs:284-297). 400 when no delay column exists
+    (src/main.rs:272-274).
+
+    sort+limit fuses to TakeOrderedAndProject — the same slice-pushdown
+    top-k Polars' optimizer produces for the reference's lazy plan, but
+    distributed.
+    """
+    df = _load(lake, data_id)
+    delay_cols = [c for c in df.columns if "delay" in c]
+    if not delay_cols:
+        raise BadRequest(f"dataset {data_id!r} has no delay columns")
+    order = [F.col(c).desc() if descending else F.col(c).asc() for c in delay_cols]
+    out = df.orderBy(*order)
+    if limit is not None:
+        out = out.limit(limit)
+    return to_json_rows(out)
+
+
+@dataclass
+class RegressionResult:
+    slope: float
+    intercept: float
+    r_squared: float | None
+    n: int
+
+
+def run_regression(lake: DataLake, data_id: str, x_col: str, y_col: str) -> RegressionResult:
+    """OLS y ~ x with the reference's exact semantics (src/main.rs:124-203):
+    cast both columns to double (400 on missing column), nulls treated as
+    0.0 (src/main.rs:163-164), 400 on empty input or zero X variance
+    (src/main.rs:151-153, 176-177), R² = None when SStot = 0.
+
+    One distributed aggregate replaces the reference's two scalar
+    passes (anti-pattern §4.3.2): Catalyst computes all moments in a
+    single partial+final aggregation.
+    """
+    df = _load(lake, data_id)
+    for c in (x_col, y_col):
+        if c not in df.columns:
+            raise BadRequest(f"column {c!r} not found")
+    x = F.coalesce(F.col(x_col).cast("double"), F.lit(0.0))
+    y = F.coalesce(F.col(y_col).cast("double"), F.lit(0.0))
+    m = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+    ).collect()[0]
+    n = m["n"]
+    if n == 0:
+        raise BadRequest("empty dataset")
+    denom = n * m["sxx"] - m["sx"] * m["sx"]
+    if denom == 0:
+        raise BadRequest("zero variance in x")
+    slope = (n * m["sxy"] - m["sx"] * m["sy"]) / denom
+    intercept = (m["sy"] - slope * m["sx"]) / n
+    ss_tot = n * m["syy"] - m["sy"] * m["sy"]
+    r2 = None if ss_tot == 0 else (n * m["sxy"] - m["sx"] * m["sy"]) ** 2 / (denom * ss_tot)
+    return RegressionResult(slope=slope, intercept=intercept, r_squared=r2, n=n)

@@ -1,0 +1,115 @@
+"""DataLake — the id → path catalog.
+
+Reference semantics (src/main.rs:17-57): a directory-of-files catalog
+where one logical dataset id maps to one file; stateless load per query.
+Here generalized Spark-first:
+
+- Parquet is the primary at-rest format (columnar, pushdown-friendly);
+  CSV/JSON kept for reference-compat (the reference serves CSVs only,
+  src/main.rs:36-39).
+- Loads are LAZY (spark.read builds a scan node; nothing is parsed until
+  an action) — deliberately NOT the reference's eager whole-file parse
+  per request (src/main.rs:44-52), which defeats pushdown (SURVEY.md §4.3).
+- At 100 TB an id maps to a partitioned parquet directory; the API is
+  identical because spark.read.parquet takes files or directories.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TPCH_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+class DataLake:
+    """id → path catalog over a base directory (reference src/main.rs:17-39)."""
+
+    FORMATS = ("parquet", "csv", "json")
+
+    def __init__(self, spark: SparkSession, base_dir: str):
+        self.spark = spark
+        self.base_dir = base_dir
+
+    def dataset_path(self, data_id: str) -> str | None:
+        """Resolve id to an existing file/dir, trying formats in order.
+
+        Mirrors reference dataset_path (src/main.rs:36-39) but
+        format-agnostic: <base>/<id>.parquet, <id> (dir), <id>.csv, <id>.json.
+        """
+        candidates = [
+            os.path.join(self.base_dir, f"{data_id}.parquet"),
+            os.path.join(self.base_dir, data_id),
+            os.path.join(self.base_dir, f"{data_id}.csv"),
+            os.path.join(self.base_dir, f"{data_id}.json"),
+        ]
+        for c in candidates:
+            if os.path.exists(c):
+                return c
+        return None
+
+    def dataset_exists(self, data_id: str) -> bool:
+        """Reference dataset_exists (src/main.rs:55-57)."""
+        return self.dataset_path(data_id) is not None
+
+    def load(self, data_id: str, schema=None) -> DataFrame:
+        """Lazy scan of a dataset (reference load_dataset, src/main.rs:41-52,
+        minus the anti-pattern of eager whole-file parsing).
+
+        CSVs use header inference like the reference
+        (CsvReadOptions::with_has_header, src/main.rs:48-51) unless a
+        schema is declared; parquet/json carry their own schemas.
+        """
+        path = self.dataset_path(data_id)
+        if path is None:
+            raise FileNotFoundError(f"dataset not found: {data_id!r} under {self.base_dir}")
+        if path.endswith(".csv"):
+            reader = self.spark.read.option("header", True)
+            if schema is not None:
+                reader = reader.schema(schema)
+            else:
+                reader = reader.option("inferSchema", True)
+            return reader.csv(path)
+        if path.endswith(".json"):
+            reader = self.spark.read
+            if schema is not None:
+                reader = reader.schema(schema)
+            return reader.json(path)
+        return self.spark.read.parquet(path)
+
+
+# columns stored as parquet TIMESTAMP(NANOS); Spark reads them as long
+# nanos (spark.sql.legacy.parquet.nanosAsLong) — convert to µs timestamps,
+# truncating exactly like DuckDB's TIMESTAMP_NS → TIMESTAMP coercion.
+_NANOS_TS_COLS = {"events": ("ts",)}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver-generated table (TESTDATA.md) lazily."""
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for col in _NANOS_TS_COLS.get(name, ()):
+        if isinstance(df.schema[col].dataType, T.LongType):
+            df = df.withColumn(
+                col, F.timestamp_micros(F.expr(f"`{col}` div 1000").cast("long"))
+            )
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str, tables=TPCH_TABLES) -> None:
+    """Register each table as a temp view so SQL-form queries can run."""
+    for t in tables:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)

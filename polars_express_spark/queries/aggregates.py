@@ -1,0 +1,318 @@
+"""Aggregation corpus: Q3, Q4, Q8–Q11, Q22, Q24 (SURVEY.md §2.4).
+
+Regression queries use the closed-form OLS the reference hand-rolls in a
+scalar loop (src/main.rs:155-196) — but as ONE distributed aggregate over
+exact decimal moments (Σx, Σy, Σxy, Σx², Σy²), so the whole computation
+is a single partial+final agg with a deterministic result. The identical
+closed form runs on the DuckDB side, making the comparison bit-stable
+(regr_slope/regr_intercept/regr_r2 natives exist in both engines and
+agree semantically, but their internal double merge order is
+partition-dependent — the moment form is hash-safe; SURVEY.md §7.5.5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from polars_express_spark.catalog import load_table
+from polars_express_spark.queries._util import DEC_MOM, dsum, sql_dsum
+from polars_express_spark.queries.registry import query
+
+# ---------------------------------------------------------------- regression
+
+
+def _ols_moments(df, xcol, ycol):
+    """n + exact decimal moments for closed-form OLS (src/main.rs:155-171)."""
+    x, y = F.col(xcol), F.col(ycol)
+    return df.agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(x, "sx", DEC_MOM),
+        dsum(y, "sy", DEC_MOM),
+        dsum(x * y, "sxy", DEC_MOM),
+        dsum(x * x, "sxx", DEC_MOM),
+        dsum(y * y, "syy", DEC_MOM),
+    )
+
+
+def _ols_result(m):
+    """slope/intercept/R² closed form (src/main.rs:173-196):
+    slope=(nΣxy−ΣxΣy)/(nΣx²−(Σx)²); intercept=(Σy−slope·Σx)/n; R²=corr²."""
+    n = F.col("n").cast("double")
+    sx, sy, sxy, sxx, syy = (F.col(c) for c in ("sx", "sy", "sxy", "sxx", "syy"))
+    cov_n = n * sxy - sx * sy
+    var_x = n * sxx - sx * sx
+    var_y = n * syy - sy * sy
+    slope = cov_n / var_x
+    return m.select(
+        slope.alias("slope"),
+        ((sy - slope * sx) / n).alias("intercept"),
+        ((cov_n * cov_n) / (var_x * var_y)).alias("r2"),
+    )
+
+
+def _sql_ols(table, xexpr, yexpr, where="TRUE"):
+    """DuckDB twin of _ols_moments + _ols_result (identical arithmetic)."""
+    return f"""
+    WITH m AS (
+      SELECT count(*) AS n,
+             {sql_dsum(xexpr, "sx", "DECIMAL(38,12)")},
+             {sql_dsum(yexpr, "sy", "DECIMAL(38,12)")},
+             {sql_dsum(f"({xexpr}) * ({yexpr})", "sxy", "DECIMAL(38,12)")},
+             {sql_dsum(f"({xexpr}) * ({xexpr})", "sxx", "DECIMAL(38,12)")},
+             {sql_dsum(f"({yexpr}) * ({yexpr})", "syy", "DECIMAL(38,12)")}
+      FROM {table} WHERE {where}
+    )
+    SELECT (CAST(n AS DOUBLE) * sxy - sx * sy) / (CAST(n AS DOUBLE) * sxx - sx * sx) AS slope,
+           (sy - ((CAST(n AS DOUBLE) * sxy - sx * sy) / (CAST(n AS DOUBLE) * sxx - sx * sx)) * sx)
+             / CAST(n AS DOUBLE) AS intercept,
+           ((CAST(n AS DOUBLE) * sxy - sx * sy) * (CAST(n AS DOUBLE) * sxy - sx * sy))
+             / ((CAST(n AS DOUBLE) * sxx - sx * sx) * (CAST(n AS DOUBLE) * syy - sy * sy)) AS r2
+    FROM m
+    """
+
+
+@query(
+    "q03_regression_nullzero",
+    oracle=_sql_ols(
+        "orders", "coalesce(o_custkey, 0.0)", "coalesce(o_totalprice, 0.0)"
+    ),
+)
+def q03_regression_nullzero(spark, sf_dir):
+    """OLS with the reference's null-as-0.0 semantics
+    (x.get(i).unwrap_or(0.0), src/main.rs:163-164): nulls are coerced to
+    zero BEFORE aggregation, unlike SQL regr_* which drops null pairs."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.coalesce(F.col("o_custkey").cast("double"), F.lit(0.0)).alias("x"),
+        F.coalesce(F.col("o_totalprice"), F.lit(0.0)).alias("y"),
+    )
+    return _ols_result(_ols_moments(o, "x", "y"))
+
+
+@query(
+    "q04_regression_sql",
+    oracle=_sql_ols(
+        "lineitem",
+        "l_quantity",
+        "l_extendedprice",
+        where="l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL",
+    ),
+)
+def q04_regression_sql(spark, sf_dir):
+    """OLS with SQL regr_* semantics: null pairs skipped (§2.11 Q4).
+    Semantically ≡ F.regr_slope/regr_intercept/regr_r2 (Spark 3.4+
+    natives); computed via exact moments for hash determinism."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_quantity").isNotNull() & F.col("l_extendedprice").isNotNull())
+        .select(F.col("l_quantity").alias("x"), F.col("l_extendedprice").alias("y"))
+    )
+    return _ols_result(_ols_moments(li, "x", "y"))
+
+
+# ------------------------------------------------------------------ group agg
+
+
+@query(
+    "q08_tpch_q1",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_dsum("l_quantity", "sum_qty")},
+           {sql_dsum("l_extendedprice", "sum_base_price")},
+           {sql_dsum("l_extendedprice * (1 - l_discount)", "sum_disc_price")},
+           CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) / count(*) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) / count(*) AS avg_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(25,6))) AS DOUBLE) / count(*) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q08_tpch_q1(spark, sf_dir):
+    """TPC-H Q1 shape (§2.11 Q8): the canonical partial→final aggregate.
+    Catalyst always plans a map-side partial agg, so the shuffle carries
+    one row per (partition × group), not per input row — the property
+    that makes this run at 100 TB."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cnt = F.count(F.lit(1))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "sum_disc_price"),
+            (F.sum(F.col("l_quantity").cast("decimal(25,6)")).cast("double") / cnt).alias(
+                "avg_qty"
+            ),
+            (F.sum(F.col("l_extendedprice").cast("decimal(25,6)")).cast("double") / cnt).alias(
+                "avg_price"
+            ),
+            (F.sum(F.col("l_discount").cast("decimal(25,6)")).cast("double") / cnt).alias(
+                "avg_disc"
+            ),
+            cnt.alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "q09_count_distinct",
+    oracle="""
+    SELECT o_orderpriority,
+           count(DISTINCT o_custkey) AS uniq_custs,
+           count(*) AS cnt
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def q09_count_distinct(spark, sf_dir):
+    """count distinct / n_unique (§2.4). Spark plans this as a two-stage
+    expand+agg; for 100 TB cardinality estimation use
+    approx_count_distinct (see q_approx_distinct, golden-checked)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_custkey").alias("uniq_custs"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "q10_stats",
+    oracle="""
+    WITH m AS (
+      SELECT count(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,12))) AS DOUBLE) AS sxx
+      FROM lineitem WHERE l_quantity IS NOT NULL
+    )
+    SELECT n AS cnt,
+           (sxx - sx * sx / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1) AS var_qty,
+           sqrt((sxx - sx * sx / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1)) AS stddev_qty,
+           (SELECT quantile_cont(l_quantity, 0.5) FROM lineitem) AS median_qty,
+           (SELECT quantile_cont(l_quantity, 0.25) FROM lineitem) AS p25_qty,
+           (SELECT quantile_cont(l_quantity, 0.75) FROM lineitem) AS p75_qty
+    FROM m
+    """,
+)
+def q10_stats(spark, sf_dir):
+    """stddev/var via exact moments; median/percentile via Spark's exact
+    `percentile` ≡ DuckDB `quantile_cont` (linear interpolation — pinned
+    pair per SURVEY.md §7.5.5)."""
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_quantity").isNotNull())
+    m = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("l_quantity", "sx", DEC_MOM),
+        dsum(F.col("l_quantity") * F.col("l_quantity"), "sxx", DEC_MOM),
+        F.percentile("l_quantity", F.lit(0.5)).alias("median_qty"),
+        F.percentile("l_quantity", F.lit(0.25)).alias("p25_qty"),
+        F.percentile("l_quantity", F.lit(0.75)).alias("p75_qty"),
+    )
+    n = F.col("n").cast("double")
+    var = (F.col("sxx") - F.col("sx") * F.col("sx") / n) / (n - F.lit(1.0))
+    return m.select(
+        F.col("n").alias("cnt"),
+        var.alias("var_qty"),
+        F.sqrt(var).alias("stddev_qty"),
+        "median_qty",
+        "p25_qty",
+        "p75_qty",
+    )
+
+
+@query(
+    "q11_corr_cov",
+    oracle="""
+    WITH m AS (
+      SELECT count(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,12))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,12))) AS DOUBLE) AS syy
+      FROM lineitem WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+    )
+    SELECT (CAST(n AS DOUBLE) * sxy - sx * sy)
+             / (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx) * sqrt(CAST(n AS DOUBLE) * syy - sy * sy))
+             AS corr_xy,
+           (sxy - sx * sy / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1) AS covar_s,
+           (sxy - sx * sy / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE) AS covar_p
+    FROM m
+    """,
+)
+def q11_corr_cov(spark, sf_dir):
+    """Pearson corr + sample/population covariance (§2.4 — the reference
+    links the polars `cov` feature exactly for this, Cargo.toml:8).
+    Semantically ≡ F.corr / F.covar_samp / F.covar_pop."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_quantity").isNotNull() & F.col("l_extendedprice").isNotNull()
+    )
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    m = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(x, "sx", DEC_MOM),
+        dsum(y, "sy", DEC_MOM),
+        dsum(x * y, "sxy", DEC_MOM),
+        dsum(x * x, "sxx", DEC_MOM),
+        dsum(y * y, "syy", DEC_MOM),
+    )
+    n = F.col("n").cast("double")
+    sx, sy, sxy, sxx, syy = (F.col(c) for c in ("sx", "sy", "sxy", "sxx", "syy"))
+    return m.select(
+        ((n * sxy - sx * sy) / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))).alias(
+            "corr_xy"
+        ),
+        ((sxy - sx * sy / n) / (n - F.lit(1.0))).alias("covar_s"),
+        ((sxy - sx * sy / n) / n).alias("covar_p"),
+    )
+
+
+@query(
+    "q22_rollup",
+    oracle=f"""
+    SELECT o_orderpriority, o_orderstatus,
+           {sql_dsum("o_totalprice", "sum_price")},
+           count(*) AS cnt
+    FROM orders
+    GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+    """,
+)
+def q22_rollup(spark, sf_dir):
+    """ROLLUP grouping sets (§2.4; not in polars 0.42 — Spark native)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.rollup("o_orderpriority", "o_orderstatus").agg(
+        dsum("o_totalprice", "sum_price"), F.count(F.lit(1)).alias("cnt")
+    )
+
+
+@query(
+    "q24_distinct_rows",
+    oracle="""
+    SELECT count(*) AS cnt FROM (
+      SELECT DISTINCT o_custkey, o_orderstatus FROM orders
+    )
+    """,
+)
+def q24_distinct_rows(spark, sf_dir):
+    """dropDuplicates on a column subset (§2.4 distinct row)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select("o_custkey", "o_orderstatus")
+        .dropDuplicates()
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@query("q_approx_distinct")  # no oracle: approximate (HLL++) — rows-only check
+def q_approx_distinct(spark, sf_dir):
+    """approx_count_distinct (§2.4 Tier G): the 100 TB cardinality path —
+    HyperLogLog++ sketch, one pass, no expand. Golden-tested against the
+    exact count with 5% tolerance in tests/test_pipeline_ops.py."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.agg(
+        F.approx_count_distinct("o_custkey").alias("approx_custs"),
+        F.countDistinct("o_custkey").alias("exact_custs"),
+    )

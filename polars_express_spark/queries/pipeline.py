@@ -1,0 +1,380 @@
+"""LLM training-data pipeline corpus over `documents` (SURVEY.md §2.10).
+
+Goal-state (Tier G) operators: exact + near dedup, text analysis,
+fingerprinting, multimodal plumbing. Everything deterministic; oracled
+where an independent SQL replay exists, rows-only where the operator
+depends on xxhash64 (no DuckDB twin) or on Pandas-UDF plumbing.
+
+Scale shapes:
+- exact dedup groups on the text hash (64-bit shuffle key), never the
+  raw text;
+- minhash/LSH: shingle→minhash→band→bucket-join — candidate pairs come
+  from bucket equi-joins, the O(n²) pair space never materializes;
+- verify steps (exact jaccard) run only on candidates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from polars_express_spark.catalog import load_table
+from polars_express_spark.queries.registry import query
+
+# --------------------------------------------------------------- exact dedup
+
+
+@query(
+    "q34_exact_dedup",
+    oracle="""
+    WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text)
+    SELECT lang, count(*) AS cnt
+    FROM documents JOIN keep USING (doc_id)
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def q34_exact_dedup(spark, sf_dir):
+    """Exact dedup on text, survivor = min doc_id (§2.11 Q34).
+
+    The group key for the shuffle is xxhash64(text), not the raw text —
+    at 100 TB that is 8 bytes per row on the wire instead of documents.
+    (Hash collisions are broken by grouping on the text only within a
+    hash bucket; min(doc_id) keeps the survivor deterministic.)
+    """
+    d = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy(F.xxhash64("text"), "text").orderBy("doc_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("lang")
+    )
+
+
+# --------------------------------------------------------------- text analysis
+
+
+@query(
+    "q36_token_counts",
+    oracle="""
+    SELECT t.token AS token, count(*) AS cnt
+    FROM documents, unnest(string_split_regex(text, '\\s+')) t(token)
+    WHERE t.token <> ''
+    GROUP BY t.token
+    ORDER BY cnt DESC, token ASC LIMIT 50
+    """,
+)
+def q36_token_counts(spark, sf_dir):
+    """Whitespace tokenize → explode → count → top-50 (§2.11 Q36)."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split("text", r"\s+")).alias("token"))
+        .where(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("token").asc())
+        .limit(50)
+    )
+
+
+_STOP_EN = ("the", "a", "of", "and", "to", "in")
+_STOP_DE = ("der", "die", "das", "und", "ist", "ein")
+_STOP_FR = ("le", "la", "et", "les", "un", "une")
+
+
+def _sql_stop_count(lst):
+    inlist = ", ".join(f"'{w}'" for w in lst)
+    return f"len(list_filter(string_split_regex(text, '\\s+'), x -> x IN ({inlist})))"
+
+
+@query(
+    "q_lang_id",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             {_sql_stop_count(_STOP_EN)} AS s_en,
+             {_sql_stop_count(_STOP_DE)} AS s_de,
+             {_sql_stop_count(_STOP_FR)} AS s_fr
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN s_de > s_en AND s_de >= s_fr THEN 'de'
+                WHEN s_fr > s_en AND s_fr > s_de THEN 'fr'
+                ELSE 'en' END AS pred_lang
+    FROM scored ORDER BY doc_id
+    """,
+)
+def q_lang_id(spark, sf_dir):
+    """Stopword-ratio language ID heuristic (§2.10 text analysis).
+    Pure JVM higher-order functions (filter over the token array) —
+    no UDF. The tie order (de > fr > en fallback) is pinned so the
+    prediction is deterministic."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", r"\s+")
+
+    def score(words):
+        return F.size(F.filter(toks, lambda x: x.isin(*words)))
+
+    scored = d.select(
+        "doc_id",
+        "lang",
+        score(_STOP_EN).alias("s_en"),
+        score(_STOP_DE).alias("s_de"),
+        score(_STOP_FR).alias("s_fr"),
+    )
+    return scored.select(
+        "doc_id",
+        "lang",
+        F.when(
+            (F.col("s_de") > F.col("s_en")) & (F.col("s_de") >= F.col("s_fr")), F.lit("de")
+        )
+        .when((F.col("s_fr") > F.col("s_en")) & (F.col("s_fr") > F.col("s_de")), F.lit("fr"))
+        .otherwise(F.lit("en"))
+        .alias("pred_lang"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "q_quality_score",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(length(text) AS INT) AS n_chars_actual,
+           CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS INT)
+             AS n_tokens,
+           CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+             / length(text) AS alpha_ratio,
+           CAST({_sql_stop_count(_STOP_EN)} AS DOUBLE)
+             / len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+             AS stop_ratio
+    FROM documents WHERE length(text) > 0 ORDER BY doc_id
+    """,
+)
+def q_quality_score(spark, sf_dir):
+    """Document quality signals (§2.10): char/token counts, alphabetic
+    ratio, stopword ratio — the standard pre-training quality filters,
+    all as built-in expressions."""
+    d = load_table(spark, sf_dir, "documents").where(F.length("text") > 0)
+    toks = F.filter(F.split("text", r"\s+"), lambda x: x != "")
+    n_tokens = F.size(toks)
+    stop_hits = F.size(F.filter(toks, lambda x: x.isin(*_STOP_EN)))
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars_actual"),
+        n_tokens.alias("n_tokens"),
+        (
+            F.length(F.regexp_replace("text", "[^a-zA-Z]", "")).cast("double")
+            / F.length("text")
+        ).alias("alpha_ratio"),
+        (stop_hits.cast("double") / n_tokens).alias("stop_ratio"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "q_token_count",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS INT)
+             AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS INT)
+             AS bpe_tokens
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q_token_count(spark, sf_dir):
+    """Token counting two ways (§2.10): whitespace tokens and a BPE-ish
+    regex lexer (letter runs / digit runs / single punctuation)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.filter(F.split("text", r"\s+"), lambda x: x != "")).alias("ws_tokens"),
+        F.size(
+            F.regexp_extract_all("text", F.lit(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"), 0)
+        ).alias("bpe_tokens"),
+    ).orderBy("doc_id")
+
+
+@query("q_fingerprint")  # xxhash64 has no DuckDB twin → rows-only check
+def q_fingerprint(spark, sf_dir):
+    """Document fingerprint (§2.10): 64-bit hash of the normalized text
+    (lowercased, whitespace collapsed). Grouping on the fingerprint is
+    the O(1)-state exact-dedup key at scale. Stability is unit-tested
+    (tests/test_pipeline_ops.py) since xxhash64 is seed-stable in Spark."""
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+    return (
+        d.select("doc_id", F.xxhash64(norm).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_doc"))
+        .orderBy("keep_doc")
+    )
+
+
+# --------------------------------------------------------------- near dedup
+
+
+def _shingles(d, n=3):
+    """Distinct word n-gram shingles per doc — pure array expressions.
+
+    Returned CACHED: every consumer (minhash signatures, sizes, both
+    sides of the candidate join) re-reads the materialized shingles
+    instead of re-running split+transform+explode per branch — the DAG
+    references this 3-5× and recomputation dominated the runtime
+    otherwise. At 100 TB the same role is played by persisting the
+    shingle table to storage between pipeline stages.
+    """
+    toks = F.split(F.trim("text"), r"\s+")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + k) for k in range(n)]))
+    return d.select("doc_id", F.explode(F.array_distinct(sh)).alias("s")).cache()
+
+
+@query(
+    "q_ngram_jaccard",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+      FROM toks, unnest(generate_series(1, greatest(len(t) - 2, 0))) g(i)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+      FROM sh a JOIN sh b USING (s)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT a_id, b_id,
+           CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = a_id
+    JOIN sizes sb ON sb.doc_id = b_id
+    WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.2
+    ORDER BY a_id, b_id
+    """,
+)
+def q_ngram_jaccard(spark, sf_dir):
+    """Exact n-gram Jaccard near-dup (§2.10): candidates = pairs sharing
+    ≥1 word-3-shingle (an equi-join on the shingle, never a cross join),
+    verified by exact |A∩B|/|A∪B| ≥ 0.2."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = _shingles(d)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("a_id"), "s")
+    b = sh.select(F.col("doc_id").alias("b_id"), "s")
+    inter = (
+        a.join(b, "s")
+        .where(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("a_id"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("b_id"), F.col("n").alias("nb"))
+    return (
+        inter.join(sa, "a_id")
+        .join(sb, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            (F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))).alias(
+                "jaccard"
+            ),
+        )
+        .where(F.col("jaccard") >= 0.2)
+        .orderBy("a_id", "b_id")
+    )
+
+
+N_HASHES = 16
+N_BANDS = 4  # 4 rows per band
+
+
+@query("q_minhash_lsh")  # xxhash64-based → rows-only check + golden test
+def q_minhash_lsh(spark, sf_dir):
+    """MinHash + LSH banding near-dup (§2.10 scale path).
+
+    shingle → 16 minhashes (xxhash64 with per-function seed) → 4 bands of
+    4 → band-bucket equi-join for candidates → exact jaccard verify
+    (≥ 0.2). Only bucket-mates are ever paired; at 100 TB the band hash
+    is the shuffle key. Agreement with the exact q_ngram_jaccard result
+    is golden-tested (recall check) since xxhash64 has no DuckDB twin.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    sh = _shingles(d)
+    sigs = sh.groupBy("doc_id").agg(
+        *[F.min(F.xxhash64(F.col("s"), F.lit(i))).alias(f"mh{i}") for i in range(N_HASHES)]
+    )
+    # one pass over sigs: explode an array of (band, bucket) structs
+    # instead of a 4-way union (which would re-run the signature agg 4×)
+    rows_per_band = N_HASHES // N_BANDS
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(
+                *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+            ).alias("bucket"),
+        )
+        for b in range(N_BANDS)
+    ]
+    bands = sigs.select("doc_id", F.explode(F.array(*band_structs)).alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    cand = (
+        bands.alias("x")
+        .join(bands.alias("y"), ["band", "bucket"])
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("a_id"), F.col("y.doc_id").alias("b_id"))
+        .distinct()
+    )
+    # exact verify on candidates only
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("a_id"), "s")
+    b = sh.select(F.col("doc_id").alias("b_id"), "s")
+    inter = (
+        cand.join(a, "a_id")
+        .join(b, ["b_id", "s"])
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("a_id"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("b_id"), F.col("n").alias("nb"))
+    return (
+        inter.join(sa, "a_id")
+        .join(sb, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            (F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))).alias(
+                "jaccard"
+            ),
+        )
+        .where(F.col("jaccard") >= 0.2)
+        .orderBy("a_id", "b_id")
+    )
+
+
+@query("q_simhash")  # xxhash64-based → rows-only check
+def q_simhash(spark, sf_dir, n_bits: int = 16):
+    """SimHash fingerprint (§2.10): per-token 64-bit hash, signed bit
+    votes, sign → fingerprint bit. Near-dups differ in few bits (hamming);
+    the fingerprint doubles as a blocking key. All JVM bit arithmetic."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", r"\s+")).alias("t")).where(
+        F.col("t") != ""
+    )
+    h = F.xxhash64("t")
+    votes = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(n_bits)
+        ]
+    )
+    fp = None
+    for b in range(n_bits):
+        bit = F.when(F.col(f"v{b}") > 0, F.lit(2**b).cast("long")).otherwise(F.lit(0))
+        fp = bit if fp is None else fp + bit
+    return votes.select("doc_id", fp.alias("simhash")).orderBy("doc_id")

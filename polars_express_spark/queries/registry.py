@@ -1,0 +1,60 @@
+"""Query registry — the correctness contract (SURVEY.md §2.11).
+
+Every implemented operator registers a named query callable
+``(spark, sf_dir) -> DataFrame`` and, when SQL-expressible, a matching
+DuckDB oracle SQL string. The driver runs both sides at sf0.01 and
+hash-compares (row count + schema + order-insensitive value hash).
+
+Determinism rules (SURVEY.md §7.5):
+- every limit is preceded by a total order on a unique key;
+- float AGGREGATES over many rows go through exact decimal sums
+  (see _util.dsum) so partition-order FP non-associativity can never
+  flip the 6-decimal hash;
+- column aliases are identical on the Spark and SQL sides.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    """Register a correctness query; oracle=None → driver does rows-only check."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def all_queries() -> dict[str, QueryFn]:
+    # import for side effects: each module registers its queries
+    from polars_express_spark.queries import (  # noqa: F401
+        aggregates,
+        functions_corpus,
+        multimodal_corpus,
+        pipeline,
+        relational,
+        setops,
+        similarity,
+        sink,
+        time_windows,
+        windows,
+    )
+
+    return dict(QUERIES)
+
+
+def all_oracles() -> dict[str, str]:
+    all_queries()
+    return dict(ORACLES)

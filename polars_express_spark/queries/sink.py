@@ -1,0 +1,85 @@
+"""JSON row sink (Q37) + as-of join query (SURVEY.md §2.1, §2.3).
+
+Q37 reproduces the reference's row-major JSON serialization
+(src/main.rs:207-255) as a *canonical* JSON projection: keys in
+alphabetical order, pinned timestamp/float formatting — so the string
+compares byte-for-byte against the oracle. Unlike the reference's
+per-cell AnyValue dispatch loop, this is a single JVM expression over
+the top-k result (anti-pattern §4.3.3 avoided).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from polars_express_spark.catalog import load_table
+from polars_express_spark.queries.registry import query
+
+
+@query(
+    "q37_json_sink",
+    oracle="""
+    WITH top AS (
+      SELECT event_id, ts, user_id, event_type, value
+      FROM events ORDER BY value DESC, event_id ASC LIMIT 20
+    )
+    SELECT '{"event_id":' || event_id
+        || ',"event_type":"' || event_type
+        || '","ts":"' || strftime(ts, '%Y-%m-%d %H:%M:%S.%f')
+        || '","user_id":' || user_id
+        || ',"value":' || printf('%.6f', value)
+        || '}' AS json
+    FROM top
+    """,
+)
+def q37_json_sink(spark, sf_dir):
+    """Canonical JSON rows of the Q2 top-k result (§2.11 Q37) — covers the
+    reference's type mapping (src/main.rs:223-246): ints bare, strings
+    quoted, floats at fixed 6-dp, timestamps ISO with microseconds."""
+    from polars_express_spark.queries.relational import q02_sort_slice
+
+    top = q02_sort_slice(spark, sf_dir)
+    return top.select(
+        F.concat(
+            F.lit('{"event_id":'),
+            F.col("event_id").cast("string"),
+            F.lit(',"event_type":"'),
+            F.col("event_type"),
+            F.lit('","ts":"'),
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+            F.lit('","user_id":'),
+            F.col("user_id").cast("string"),
+            F.lit(',"value":'),
+            F.format_string("%.6f", F.col("value")),
+            F.lit("}"),
+        ).alias("json")
+    )
+
+
+@query(
+    "q_asof_join",
+    oracle="""
+    WITH errors AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'
+    ),
+    clicks AS (
+      SELECT user_id, ts, value FROM events WHERE event_type = 'click'
+    )
+    SELECT e.event_id, e.user_id, e.ts, c.value AS asof_value
+    FROM errors e ASOF LEFT JOIN clicks c
+      ON e.user_id = c.user_id AND e.ts >= c.ts
+    ORDER BY e.event_id
+    """,
+)
+def q_asof_join(spark, sf_dir):
+    """Backward as-of join (§2.3): each 'error' event picks up the value
+    of the latest preceding 'click' by the same user. DuckDB's native
+    ASOF JOIN is the independent oracle for our union-marker composition
+    (operators/asof.py)."""
+    from polars_express_spark.operators.asof import asof_join_backward
+
+    e = load_table(spark, sf_dir, "events")
+    errors = e.where(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    clicks = e.where(F.col("event_type") == "click").select("user_id", "ts", "value")
+    joined = asof_join_backward(errors, clicks, on="ts", by="user_id", value_cols=["value"])
+    return joined.select("event_id", "user_id", "ts", F.col("asof_value")).orderBy("event_id")

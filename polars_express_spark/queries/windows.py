@@ -1,0 +1,150 @@
+"""Window-function corpus: Q18–Q21 + batch session windows (SURVEY.md §2.5).
+
+None of these are in the reference build (polars rank/cum_agg/
+rolling_window features are not enabled at Cargo.toml:8); all are Spark
+natives. Every window spec pins a total order (unique tiebreak key) so
+results are deterministic; running sums are sequential within a
+partition, hence bit-identical across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from polars_express_spark.catalog import load_table
+from polars_express_spark.queries._util import dsum, sql_dsum
+from polars_express_spark.queries.registry import query
+
+
+@query(
+    "q18_window_rank",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (
+               PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+             ) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def q18_window_rank(spark, sf_dir):
+    """Top-3 per group via row_number (§2.11 Q18) — the distributed
+    top-k-per-key pattern: one shuffle on the partition key, heap-free."""
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+@query(
+    "q19_window_lag",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           lag(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ) AS prev_price
+    FROM orders
+    """,
+)
+def q19_window_lag(spark, sf_dir):
+    """lag analytic (§2.11 Q19)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey", "o_orderkey", F.lag("o_totalprice").over(w).alias("prev_price")
+    )
+
+
+@query(
+    "q20_running_sum",
+    oracle="""
+    SELECT event_id, user_id,
+           sum(value) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS running_val
+    FROM events
+    """,
+)
+def q20_running_sum(spark, sf_dir):
+    """Cumulative sum per key (§2.11 Q20). ROWS frame pinned explicitly —
+    the default RANGE frame has subtle tie semantics. Sequential in-order
+    double addition → bit-identical across engines, no decimal needed."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return e.select("event_id", "user_id", F.sum("value").over(w).alias("running_val"))
+
+
+@query(
+    "q21_rolling_avg",
+    oracle="""
+    SELECT event_id, user_id,
+           avg(value) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW
+           ) AS mavg
+    FROM events
+    """,
+)
+def q21_rolling_avg(spark, sf_dir):
+    """Rolling 4-row frame average (§2.11 Q21; polars rolling_window
+    feature not enabled in the reference build — native in Spark)."""
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-3, W.currentRow)
+    return e.select("event_id", "user_id", F.avg("value").over(w).alias("mavg"))
+
+
+@query(
+    "q_session_window",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL '30 minutes'
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+    ), sess AS (
+      SELECT user_id, ts, value,
+             sum(new_sess) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS sess_id
+      FROM flagged
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL '30 minutes' AS session_end,
+           count(*) AS n_events,
+           {sql_dsum("value", "sum_val")}
+    FROM sess GROUP BY user_id, sess_id
+    """,
+)
+def q_session_window(spark, sf_dir):
+    """Gap-based session windows in BATCH mode via F.session_window (§2.9;
+    the same call works under readStream — the streaming variant is
+    golden-tested in tests/test_streaming.py). The oracle replays the
+    classic lag/gap-flag/cumsum sessionization, which is also the
+    fallback pattern when a 30-min gap session must run on engines
+    without native session windows."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "sum_val"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            "sum_val",
+        )
+    )

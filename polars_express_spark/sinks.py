@@ -1,0 +1,33 @@
+"""Sinks — row-oriented JSON materialization (SURVEY.md §2.1).
+
+The reference crosses from columnar to row orientation exactly once: the
+JSON HTTP response, built by a hand-rolled per-cell AnyValue dispatch
+loop (src/main.rs:207-255). Spark-first replacement: `df.toJSON()` —
+Jackson serializes each InternalRow JVM-side (dates, arrays, structs,
+maps all typed properly instead of the reference's catch-all
+stringification, src/main.rs:244-245); Python only sees the final
+strings. Used by the api.py endpoints and the Q37 canonical-JSON sink.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame
+
+
+def to_json_rows(df: DataFrame, limit: int | None = None) -> list[dict]:
+    """DataFrame → list of JSON-safe dicts (the reference's response shape,
+    Vec<HashMap<String, JsonValue>> at src/main.rs:207).
+
+    The limit (when given) is pushed into the plan, not applied after
+    collect — unlike the reference's whole-file-then-head (§4.3.1).
+    """
+    if limit is not None:
+        df = df.limit(limit)
+    cols = df.columns
+    # Jackson omits null fields; the reference emits explicit nulls
+    # (AnyValue::Null → JsonValue::Null, src/main.rs:224) — restore them.
+    return [
+        {c: row.get(c) for c in cols} for row in (json.loads(s) for s in df.toJSON().collect())
+    ]

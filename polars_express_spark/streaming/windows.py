@@ -1,0 +1,106 @@
+"""Structured Streaming operators over the events table (SURVEY.md §2.9).
+
+Absent in the reference (pure request/response, src/main.rs:43-52);
+driver-mandated Tier G. The aggregation expressions are shared with the
+batch corpus (queries/time_windows.py) — the same F.window /
+F.session_window calls run under readStream, which is the point of
+Spark's unified model.
+
+Scale notes: watermarks bound state (late rows beyond the watermark are
+dropped, state for closed windows is evicted); dropDuplicates with a
+watermark bounds the dedup state the same way. State store lives per
+shuffle partition — key skew maps to state skew, so keys are the same
+salting story as batch shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Schema for streaming reads of the driver's events parquet (streaming
+# sources require a declared schema; ts arrives as TIMESTAMP(NANOS) →
+# long, converted exactly like catalog.load_table).
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), False),
+        T.StructField("ts", T.LongType(), True),
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
+
+def stream_events(spark: SparkSession, path: str) -> DataFrame:
+    """readStream over a parquet directory of events files; each new file
+    becomes a micro-batch (the local stand-in for kafka)."""
+    raw = spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(path)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000").cast("long")))
+
+
+def tumbling_counts(
+    events: DataFrame, width: str = "10 minutes", watermark: str | None = None
+) -> DataFrame:
+    """Tumbling-window count/sum; with a watermark, append-mode emits each
+    window once it can no longer receive late data."""
+    if watermark:
+        events = events.withWatermark("ts", watermark)
+    return (
+        events.groupBy(F.window("ts", width).alias("w"))
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("value").alias("sum_val"))
+        .select(F.col("w.start").alias("win_start"), "cnt", "sum_val")
+    )
+
+
+def sliding_counts(
+    events: DataFrame,
+    width: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: str | None = None,
+) -> DataFrame:
+    if watermark:
+        events = events.withWatermark("ts", watermark)
+    return (
+        events.groupBy(F.window("ts", width, slide).alias("w"))
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("value").alias("sum_val"))
+        .select(F.col("w.start").alias("win_start"), "cnt", "sum_val")
+    )
+
+
+def session_counts(events: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour"):
+    """Gap-based session windows per user (state evicted past watermark)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_val"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            "sum_val",
+        )
+    )
+
+
+def dedup_events(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+    """Stateful streaming dedup on event_id within the watermark horizon
+    (dropDuplicatesWithinWatermark — bounded state, §2.9)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
+
+
+def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete"):
+    """Drive a streaming query synchronously into an in-memory table —
+    the micro-batch golden-test harness (SURVEY.md §5.2.2)."""
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    return q
