@@ -177,20 +177,25 @@ def q_embed_neardup(spark, sf_dir):
 
 
 @query("q_ann_lsh")  # approximate → rows-only check; recall golden-tested
-def q_ann_lsh(spark, sf_dir, n_planes: int = 8):
-    """Random-hyperplane LSH ANN (§2.10 scale path).
+def q_ann_lsh(spark, sf_dir, n_tables: int = 8, planes_per_table: int = 6):
+    """Random-hyperplane LSH ANN, multi-table (§2.10 scale path).
 
-    Plane weights are deterministic pseudo-randoms derived from
-    xxhash64(plane, position) — reproducible with no driver-side RNG
-    state, and computed JVM-side. Each vector gets an n_planes-bit sign
-    bucket; candidates are bucket-mates; exact cosine then ranks them.
-    At 100 TB: buckets are the shuffle key — no cross join ever exists.
-    Recall vs q35_cosine_topk is golden-tested (tests/test_pipeline_ops).
+    Standard sign-LSH: L independent hash tables of k hyperplanes each.
+    One table of k bits has P(match) = (1-θ/π)^k per neighbor — too
+    sparse alone — so candidates are the union over L tables
+    (recall ≈ 1-(1-p^k)^L). Plane weights are deterministic
+    pseudo-randoms from xxhash64(plane, position): reproducible with no
+    driver-side RNG, computed JVM-side. Candidates come from (table,
+    bucket) equi-joins — the full cross join never exists; at 100 TB
+    (table, bucket) is the shuffle key. Exact cosine then ranks the
+    candidate union. Recall vs brute-force q35_cosine_topk is
+    golden-tested (tests/test_pipeline_ops.py).
     """
     emb = load_table(spark, sf_dir, "embeddings")
     ex = _exploded(emb)
+    n_planes = n_tables * planes_per_table
 
-    # plane weight in [-1, 1): hash(plane, pos) scaled — deterministic
+    # plane weight ~uniform in (-2, 2): deterministic hash of (plane, pos)
     planes = (
         spark.range(n_planes)
         .withColumnRenamed("id", "plane")
@@ -207,16 +212,28 @@ def q_ann_lsh(spark, sf_dir, n_planes: int = 8):
         ex.join(F.broadcast(planes), "pos")
         .groupBy("vec_id", "plane")
         .agg(F.sum(F.col("v").cast("double") * F.col("w")).alias("proj"))
-        .withColumn("bit", F.when(F.col("proj") >= 0, F.lit(1)).otherwise(F.lit(0)))
-        .groupBy("vec_id")
+        .select(
+            "vec_id",
+            (F.col("plane") % n_tables).alias("table"),
+            F.floor(F.col("plane") / n_tables).alias("table_bit"),
+            F.when(F.col("proj") >= 0, F.lit(1)).otherwise(F.lit(0)).alias("bit"),
+        )
+        .groupBy("vec_id", "table")
         .agg(
-            F.sum(F.col("bit") * F.pow(F.lit(2.0), F.col("plane")).cast("long")).alias("bucket")
+            F.sum(
+                F.col("bit") * F.pow(F.lit(2.0), F.col("table_bit")).cast("long")
+            ).alias("bucket")
         )
     )
     probes = projected.where(F.col("vec_id") < N_PROBES).select(
-        F.col("vec_id").alias("probe_id"), "bucket"
+        F.col("vec_id").alias("probe_id"), "table", "bucket"
     )
-    cands = probes.join(projected, "bucket").where(F.col("vec_id") != F.col("probe_id"))
+    cands = (
+        probes.join(projected, ["table", "bucket"])
+        .where(F.col("vec_id") != F.col("probe_id"))
+        .select("probe_id", "vec_id")
+        .distinct()
+    )
 
     pex = ex.select(F.col("vec_id").alias("probe_id"), "pos", F.col("v").alias("pv"))
     dots = (

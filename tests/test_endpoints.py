@@ -1,0 +1,94 @@
+"""Endpoint-level e2e reproducing the reference's three routes
+(SURVEY.md §5.2.4) on reference-shaped fixtures (FIXTURES.md §11-12):
+preview default limit, delays sort + 400-on-no-delay-column
+(src/main.rs:272-274), regression incl. null-as-0.0 semantics and the
+400 error paths (src/main.rs:151-153, 176-177).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from polars_express_spark import api
+from polars_express_spark.catalog import DataLake
+
+TRAINS_CSV = """train_id,scheduled_departure_time,departure_delay,arrival_delay,station
+ICE1,480.0,5.0,7.5,Berlin
+ICE2,490.0,,3.0,Hamburg
+RE3,500.0,12.0,15.0,Berlin
+RB4,510.0,1.0,,Bonn
+ICE5,520.0,30.0,28.0,Munich
+"""
+
+
+@pytest.fixture(scope="module")
+def lake(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("lake")
+    (d / "trains.csv").write_text(TRAINS_CSV)
+    (d / "no_delay_cols.csv").write_text("a,b\n1,2\n3,4\n")
+    (d / "trains_empty.csv").write_text(
+        "train_id,scheduled_departure_time,departure_delay\n"
+    )
+    (d / "const_x.csv").write_text("x,y\n1.0,2.0\n1.0,3.0\n1.0,4.0\n")
+    return DataLake(spark, str(d))
+
+
+def test_preview_default_limit(lake):
+    rows = api.get_data_preview(lake, "trains")
+    assert len(rows) == 5
+    assert set(rows[0]) == {
+        "train_id",
+        "scheduled_departure_time",
+        "departure_delay",
+        "arrival_delay",
+        "station",
+    }
+
+
+def test_preview_limit_pushdown(lake):
+    assert len(api.get_data_preview(lake, "trains", limit=2)) == 2
+
+
+def test_preview_preserves_nulls(lake):
+    """Reference emits explicit nulls (src/main.rs:224); so do we."""
+    rows = api.get_data_preview(lake, "trains")
+    ice2 = next(r for r in rows if r["train_id"] == "ICE2")
+    assert ice2["departure_delay"] is None
+
+
+def test_delays_multi_column_sort(lake):
+    rows = api.get_sorted_delays(lake, "trains", descending=True)
+    assert [r["train_id"] for r in rows] == ["ICE5", "RE3", "ICE1", "RB4", "ICE2"]
+    asc = api.get_sorted_delays(lake, "trains", descending=False, limit=2)
+    assert len(asc) == 2
+
+
+def test_delays_400_on_no_delay_column(lake):
+    with pytest.raises(api.BadRequest):
+        api.get_sorted_delays(lake, "no_delay_cols")
+
+
+def test_delays_404_on_unknown_dataset(lake):
+    with pytest.raises(api.NotFound):
+        api.get_sorted_delays(lake, "ghost")
+
+
+def test_regression_null_as_zero(lake):
+    """ICE2's null delay counts as 0.0 (src/main.rs:163-164)."""
+    r = api.run_regression(lake, "trains", "scheduled_departure_time", "departure_delay")
+    assert r.n == 5
+    # hand-computed on (480,5) (490,0) (500,12) (510,1) (520,30):
+    # Σ(x-x̄)(y-ȳ)=510, Σ(x-x̄)²=1000 → slope 0.51; ȳ=9.6 → intercept -245.4
+    assert r.slope == pytest.approx(0.51, abs=1e-9)
+    assert r.intercept == pytest.approx(-245.4, abs=1e-9)
+
+
+def test_regression_400_paths(lake):
+    with pytest.raises(api.BadRequest):
+        api.run_regression(lake, "trains", "nope", "departure_delay")
+    with pytest.raises(api.BadRequest):
+        api.run_regression(lake, "trains_empty", "scheduled_departure_time", "departure_delay")
+    with pytest.raises(api.BadRequest):
+        api.run_regression(lake, "const_x", "x", "y")

@@ -1,0 +1,75 @@
+"""Golden tests for the non-oracle pipeline operators (SURVEY.md §5.2.2):
+approximate / hash-based ops that no external oracle can replay —
+checked against their exact counterparts (recall) or for determinism.
+"""
+
+from __future__ import annotations
+
+from polars_express_spark.queries.registry import all_queries
+
+from tests.conftest import SF_DIR
+
+QS = all_queries()
+
+
+def _pairs(df, a="a_id", b="b_id"):
+    return {(r[a], r[b]) for r in df.collect()}
+
+
+def test_minhash_lsh_recall_vs_exact(spark):
+    """LSH candidates + verify must recover a solid share of the exact
+    n-gram jaccard pairs (same ≥0.2 threshold) and introduce nothing
+    below the verification threshold (precision = 1 by construction)."""
+    exact = _pairs(QS["q_ngram_jaccard"](spark, SF_DIR))
+    lsh = _pairs(QS["q_minhash_lsh"](spark, SF_DIR))
+    assert lsh <= exact, "verify step must eliminate sub-threshold pairs"
+    if exact:
+        recall = len(lsh & exact) / len(exact)
+        assert recall >= 0.5, f"LSH recall too low: {recall:.2f} over {len(exact)} pairs"
+
+
+def test_ann_lsh_recall_vs_exact(spark):
+    """Bucketed ANN must agree with brute force on a reasonable share of
+    (probe, neighbor) hits. 8 hyperplanes on 500 docs is coarse — the
+    bound is deliberately loose; exactness lives in q35."""
+    exact = {
+        (r["probe_id"], r["neighbor_id"]) for r in QS["q35_cosine_topk"](spark, SF_DIR).collect()
+    }
+    ann = {
+        (r["probe_id"], r["neighbor_id"]) for r in QS["q_ann_lsh"](spark, SF_DIR).collect()
+    }
+    assert len(ann & exact) / len(exact) >= 0.1
+    spark.catalog.clearCache()
+
+
+def test_approx_count_distinct_tolerance(spark):
+    row = QS["q_approx_distinct"](spark, SF_DIR).collect()[0]
+    assert abs(row["approx_custs"] - row["exact_custs"]) / row["exact_custs"] < 0.05
+
+
+def test_fingerprint_deterministic(spark):
+    a = {(r["fingerprint"], r["keep_doc"]) for r in QS["q_fingerprint"](spark, SF_DIR).collect()}
+    b = {(r["fingerprint"], r["keep_doc"]) for r in QS["q_fingerprint"](spark, SF_DIR).collect()}
+    assert a == b and len(a) > 0
+
+
+def test_simhash_close_docs_share_prefix(spark):
+    """Sanity: simhash is 16 bits here; identical texts → identical hash."""
+    rows = QS["q_simhash"](spark, SF_DIR).collect()
+    assert all(0 <= r["simhash"] < 2**16 for r in rows)
+
+
+def test_multimodal_real_decode_is_stubbed(spark):
+    """The real decode path must be a clearly-marked stub (no codecs in
+    this environment) while the fake path works end-to-end."""
+    import pytest
+
+    from polars_express_spark.catalog import load_table
+    from polars_express_spark.functions.multimodal import attach_payload, decode_media
+
+    d = attach_payload(load_table(spark, SF_DIR, "documents")).limit(2)
+    with pytest.raises(Exception) as ei:
+        decode_media(d, real_decode=True).collect()
+    assert "NotImplementedError" in str(ei.value) or isinstance(
+        ei.value, NotImplementedError
+    )

@@ -1,0 +1,179 @@
+"""Structured Streaming golden suite (SURVEY.md §2.9, §5.2.2).
+
+No external oracle can replay streaming semantics, so the contract is:
+(a) streaming window aggregates over a static directory must equal the
+batch corpus results (Spark's unified-model guarantee), and (b) the
+watermark/late-data and stateful-dedup behaviors are checked against
+hand-built micro-batch fixtures (files appended between triggers become
+separate micro-batches).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from polars_express_spark.catalog import load_table
+from polars_express_spark.queries.registry import all_queries
+from polars_express_spark.streaming.windows import (
+    dedup_events,
+    run_to_memory,
+    session_counts,
+    sliding_counts,
+    stream_events,
+    tumbling_counts,
+)
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def events_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("events_stream")
+    shutil.copy(os.path.join(SF_DIR, "events.parquet"), d / "events.parquet")
+    return str(d)
+
+
+def _rows(spark, name):
+    return {tuple(r) for r in spark.sql(f"SELECT * FROM {name}").collect()}
+
+
+def test_streaming_tumbling_equals_batch(spark, events_dir):
+    q = run_to_memory(tumbling_counts(stream_events(spark, events_dir)), "t_tumble")
+    try:
+        got = _rows(spark, "t_tumble")
+        want = {
+            (r["win_start"], r["cnt"], float(r["sum_val"]))
+            for r in all_queries()["q32_tumbling_window"](spark, SF_DIR).collect()
+        }
+        got_rounded = {(a, b, round(c, 6)) for a, b, c in got}
+        want_rounded = {(a, b, round(c, 6)) for a, b, c in want}
+        assert got_rounded == want_rounded
+    finally:
+        q.stop()
+
+
+def test_streaming_sliding_equals_batch(spark, events_dir):
+    q = run_to_memory(sliding_counts(stream_events(spark, events_dir)), "t_slide")
+    try:
+        got = {(a, b) for a, b, _ in _rows(spark, "t_slide")}
+        want = {
+            (r["win_start"], r["cnt"])
+            for r in all_queries()["q33_sliding_window"](spark, SF_DIR).collect()
+        }
+        assert got == want
+    finally:
+        q.stop()
+
+
+def test_streaming_session_equals_batch(spark, events_dir):
+    q = run_to_memory(
+        session_counts(stream_events(spark, events_dir)), "t_sess", output_mode="complete"
+    )
+    try:
+        got = {
+            (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+            for r in spark.sql("SELECT * FROM t_sess").collect()
+        }
+        want = {
+            (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+            for r in all_queries()["q_session_window"](spark, SF_DIR).collect()
+        }
+        assert got == want
+    finally:
+        q.stop()
+
+
+def _write_events(spark, rows, path):
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    # match the driver's physical layout: ts as nanos-long
+    df.select(
+        "event_id",
+        (F.unix_micros("ts") * 1000).alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    ).coalesce(1).write.mode("append").parquet(path)
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Append-mode tumbling agg with a 10-min watermark: an event arriving
+    after the watermark passed its window must be dropped (§2.9
+    late-data row). Golden micro-batch fixture, hand-computed."""
+    import datetime as dt
+
+    path = str(tmp_path / "late_events")
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ts(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    _write_events(
+        spark,
+        [(1, ts(1), 1, "click", 1.0, "{}"), (2, ts(2), 1, "click", 1.0, "{}")],
+        path,
+    )
+    agg = tumbling_counts(stream_events(spark, path), width="5 minutes", watermark="10 minutes")
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_late")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: event far in the future advances the watermark past
+        # the [0,5) window; batch 3's late event for [0,5) must be dropped
+        _write_events(spark, [(3, ts(60), 1, "click", 1.0, "{}")], path)
+        q.processAllAvailable()
+        _write_events(spark, [(4, ts(3), 1, "late", 9.0, "{}")], path)
+        q.processAllAvailable()
+        _write_events(spark, [(5, ts(120), 1, "click", 1.0, "{}")], path)
+        q.processAllAvailable()
+        rows = {
+            (r["win_start"], r["cnt"], r["sum_val"])
+            for r in spark.sql("SELECT * FROM t_late").collect()
+        }
+        first_window = [r for r in rows if r[0] == t0]
+        # the [00:00,00:05) window emitted with ONLY the 2 on-time events;
+        # the late value=9.0 event never appears
+        assert first_window == [(t0, 2, 2.0)]
+    finally:
+        q.stop()
+
+
+def test_stateful_dedup_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: a replay of the same event_id within
+    the watermark horizon is suppressed (§2.9 stateful dedup row)."""
+    import datetime as dt
+
+    path = str(tmp_path / "dup_events")
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    _write_events(
+        spark,
+        [
+            (1, t0, 1, "click", 1.0, "{}"),
+            (1, t0 + dt.timedelta(seconds=30), 1, "click", 1.0, "{}"),  # dup id
+            (2, t0 + dt.timedelta(minutes=1), 1, "view", 2.0, "{}"),
+        ],
+        path,
+    )
+    dedup = dedup_events(stream_events(spark, path), watermark="30 minutes")
+    q = (
+        dedup.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_dedup")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        ids = sorted(r["event_id"] for r in spark.sql("SELECT * FROM t_dedup").collect())
+        assert ids == [1, 2]
+    finally:
+        q.stop()
