@@ -41,6 +41,7 @@ def all_queries() -> dict[str, QueryFn]:
     # import for side effects: each module registers its queries
     from polars_express_spark.queries import (  # noqa: F401
         aggregates,
+        extras,
         functions_corpus,
         multimodal_corpus,
         pipeline,
