@@ -99,7 +99,14 @@ _NANOS_TS_COLS = {"events": ("ts",)}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one driver-generated table (TESTDATA.md) lazily."""
+    """Load one driver-generated table (TESTDATA.md) lazily.
+
+    Session-independent: the events table is written with parquet
+    TIMESTAMP(NANOS), which vanilla Spark rejects (PARQUET_TYPE_ILLEGAL).
+    ``spark.sql.legacy.parquet.nanosAsLong`` is runtime-settable, so set it
+    here rather than relying on how the session was built.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for col in _NANOS_TS_COLS.get(name, ()):
         if isinstance(df.schema[col].dataType, T.LongType):

@@ -36,10 +36,12 @@ from polars_express_spark.queries.registry import query
 def q34_exact_dedup(spark, sf_dir):
     """Exact dedup on text, survivor = min doc_id (§2.11 Q34).
 
-    The group key for the shuffle is xxhash64(text), not the raw text —
-    at 100 TB that is 8 bytes per row on the wire instead of documents.
-    (Hash collisions are broken by grouping on the text only within a
-    hash bucket; min(doc_id) keeps the survivor deterministic.)
+    Partitioning on xxhash64(text) first makes the shuffle key compact
+    and uniformly distributed; the raw text rides along in the row (it
+    must — collisions are broken by grouping on the text itself within a
+    hash bucket), so the shuffle still carries full rows. min(doc_id)
+    keeps the survivor deterministic. At 100 TB the win over grouping on
+    raw text directly is the fixed-width, skew-free partitioner key.
     """
     d = load_table(spark, sf_dir, "documents")
     w = W.partitionBy(F.xxhash64("text"), "text").orderBy("doc_id")
@@ -224,9 +226,19 @@ def _shingles(d, n=3):
     shingle table to storage between pipeline stages.
     """
     toks = F.split(F.trim("text"), r"\s+")
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    # Guard short docs: sequence(1, size-2) with size<3 would produce a
+    # DESCENDING [1, 0] (Spark infers step -1) and element_at(toks, 0)
+    # then throws INVALID_ARRAY_INDEX. Docs with < n tokens have no
+    # n-shingles — emit an empty array, matching the oracle's
+    # generate_series(1, greatest(len-2, 0)) which yields an empty list.
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
     sh = F.transform(idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + k) for k in range(n)]))
     return d.select("doc_id", F.explode(F.array_distinct(sh)).alias("s")).cache()
+
+
+HOT_SHINGLE_DF_CAP = 64  # max docs a shingle may appear in to generate candidates
 
 
 @query(
@@ -256,17 +268,43 @@ def _shingles(d, n=3):
     """,
 )
 def q_ngram_jaccard(spark, sf_dir):
-    """Exact n-gram Jaccard near-dup (§2.10): candidates = pairs sharing
-    ≥1 word-3-shingle (an equi-join on the shingle, never a cross join),
-    verified by exact |A∩B|/|A∪B| ≥ 0.2."""
+    """Exact n-gram Jaccard near-dup (§2.10).
+
+    Two phases, so hot shingles can't blow up the candidate space:
+
+    1. CANDIDATES from shingles with document frequency ≤
+       HOT_SHINGLE_DF_CAP only. A stop-shingle ("of the and") in k docs
+       would otherwise emit k² candidate rows — quadratic on exactly the
+       skewed shuffle keys. Near-dup pairs (jaccard ≥ 0.2 on 3-shingles)
+       share many shingles, almost all of them rare, so the cap costs no
+       recall in practice (verified vs the uncapped DuckDB oracle at
+       sf0.01 and sf0.1); a pair ALL of whose shared shingles are hot
+       would be missed — that is the documented trade.
+    2. VERIFY exactly on the full (uncapped) shingle sets: intersection
+       counted over every shared shingle, so reported jaccard values are
+       exact, not an approximation.
+    """
     d = load_table(spark, sf_dir, "documents")
     sh = _shingles(d)
+    rare = sh.join(
+        sh.groupBy("s").agg(F.count(F.lit(1)).alias("df")).where(
+            F.col("df") <= HOT_SHINGLE_DF_CAP
+        ).select("s"),
+        "s",
+    )
+    cand = (
+        rare.select(F.col("doc_id").alias("a_id"), "s")
+        .join(rare.select(F.col("doc_id").alias("b_id"), "s"), "s")
+        .where(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col("doc_id").alias("a_id"), "s")
     b = sh.select(F.col("doc_id").alias("b_id"), "s")
     inter = (
-        a.join(b, "s")
-        .where(F.col("a_id") < F.col("b_id"))
+        cand.join(a, "a_id")
+        .join(b, ["b_id", "s"])
         .groupBy("a_id", "b_id")
         .agg(F.count(F.lit(1)).alias("i"))
     )

@@ -38,19 +38,24 @@ def query(name: str, oracle: str | None = None):
 
 
 def all_queries() -> dict[str, QueryFn]:
-    # import for side effects: each module registers its queries
+    # import for side effects: each module registers its queries.
+    # Ordered CHEAP-FIRST deliberately: the driver's correctness harness
+    # walks registration order with a global budget, so inexpensive
+    # relational/agg/window/sink queries must all get entries before the
+    # heavy pipeline/similarity queries run (round-1 harness truncated
+    # mid-similarity and 11 queries got no entry at all).
     from polars_express_spark.queries import (  # noqa: F401
+        relational,
         aggregates,
-        extras,
+        windows,
+        time_windows,
+        setops,
         functions_corpus,
+        sink,
+        extras,
         multimodal_corpus,
         pipeline,
-        relational,
-        setops,
         similarity,
-        sink,
-        time_windows,
-        windows,
     )
 
     return dict(QUERIES)

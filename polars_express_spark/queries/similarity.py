@@ -117,6 +117,31 @@ def q35_cosine_topk(spark, sf_dir):
     )
 
 
+NEARDUP_TILES = 8  # sub-partitions per label block (skew bound for hot labels)
+
+
+def _dec_vec(col):
+    """Embedding cast onto the exact decimal grid (matches the oracle)."""
+    return F.transform(col, lambda x: x.cast("double").cast(DEC))
+
+
+def _dec_dot(x, y):
+    """Exact sequential-fold dot product of two decimal vectors.
+
+    products are decimal(37,18); the fold accumulator is pinned to
+    decimal(38,18) each step so the type never drifts. Sums here are tiny
+    (≤ dim · 4) so the cast is always exact — bit-identical to DuckDB's
+    SUM over the same decimals, with no partition-order dependence at all
+    (it is a per-row fold, not a distributed agg).
+    """
+    prods = F.zip_with(x, y, lambda a, b: a * b)
+    return F.aggregate(
+        prods,
+        F.lit(0).cast("decimal(38,18)"),
+        lambda acc, p: (acc + p).cast("decimal(38,18)"),
+    )
+
+
 @query(
     "q_embed_neardup",
     oracle="""
@@ -141,35 +166,53 @@ def q35_cosine_topk(spark, sf_dir):
 )
 def q_embed_neardup(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs, blocked by `label` (§2.10).
-    Block-then-verify: candidate pairs only within a block (here the given
-    label; at scale an LSH bucket), then exact cosine ≥ 0.5. The pair
-    space never exceeds Σ block²."""
+
+    Block-then-verify with two scale bounds the exploded formulation lacked:
+
+    - Pair generation joins the NARROW (vec_id, label) projection — the
+      shuffle for the quadratic step carries id pairs, not pairs ×
+      dimensions. Dot products run per-pair afterwards as an exact
+      decimal zip_with/aggregate fold on the two arrays (JVM-side
+      higher-order functions, no UDF, no posexplode).
+    - The label join is TILED: the b-side is bucketed by vec_id %
+      NEARDUP_TILES and the a-side replicated once per tile, so a hot
+      label's pair space splits across NEARDUP_TILES shuffle keys instead
+      of landing on one reducer. Results are identical (each pair is
+      produced exactly once); only the key distribution changes. The
+      Σ block² pair count is inherent to exact within-label all-pairs —
+      the approximate path for bigger blocks is q_ann_lsh.
+    """
     emb = load_table(spark, sf_dir, "embeddings")
-    ex = (
-        emb.select("vec_id", "label", F.posexplode("embedding").alias("pos", "val"))
-        .select("vec_id", "label", "pos", F.col("val").cast("double").cast(DEC).alias("v"))
-        .cache()
+    vec = emb.select(
+        "vec_id", "label", _dec_vec("embedding").alias("e")
+    ).withColumn("n2", _dec_dot("e", "e").cast("double"))
+
+    ids = vec.select("vec_id", "label")
+    a_ids = (
+        ids.select(F.col("vec_id").alias("a_id"), F.col("label").alias("lbl"))
+        .withColumn("tile", F.explode(F.sequence(F.lit(0), F.lit(NEARDUP_TILES - 1))))
     )
-    norms = _norms(ex.select("vec_id", "v"))
-    a = ex.select(
-        F.col("vec_id").alias("a_id"), F.col("label").alias("lbl"), "pos", F.col("v").alias("av")
+    b_ids = ids.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("label").alias("lbl"),
+        (F.col("vec_id") % NEARDUP_TILES).cast("int").alias("tile"),
     )
-    b = ex.select(
-        F.col("vec_id").alias("b_id"), F.col("label").alias("lbl"), "pos", F.col("v").alias("bv")
-    )
-    dots = (
-        a.join(b, ["lbl", "pos"])
+    pairs = (
+        a_ids.join(b_ids, ["lbl", "tile"])
         .where(F.col("a_id") < F.col("b_id"))
-        .groupBy("a_id", "b_id")
-        .agg(F.sum(F.col("av") * F.col("bv")).cast("double").alias("dot"))
+        .select("a_id", "b_id")
     )
-    na = norms.select(F.col("vec_id").alias("a_id"), F.col("n2").alias("na2"))
-    nb = norms.select(F.col("vec_id").alias("b_id"), F.col("n2").alias("nb2"))
+    va = vec.select(F.col("vec_id").alias("a_id"), F.col("e").alias("ea"), F.col("n2").alias("na2"))
+    vb = vec.select(F.col("vec_id").alias("b_id"), F.col("e").alias("eb"), F.col("n2").alias("nb2"))
     return (
-        dots.join(na, "a_id")
-        .join(nb, "b_id")
+        pairs.join(va, "a_id")
+        .join(vb, "b_id")
         .select(
-            "a_id", "b_id", (F.col("dot") / (F.sqrt("na2") * F.sqrt("nb2"))).alias("cosine")
+            "a_id",
+            "b_id",
+            (
+                _dec_dot("ea", "eb").cast("double") / (F.sqrt("na2") * F.sqrt("nb2"))
+            ).alias("cosine"),
         )
         .where(F.col("cosine") >= 0.5)
         .orderBy("a_id", "b_id")
@@ -195,11 +238,17 @@ def q_ann_lsh(spark, sf_dir, n_tables: int = 8, planes_per_table: int = 6):
     ex = _exploded(emb)
     n_planes = n_tables * planes_per_table
 
+    # Embedding dimension DERIVED from the data (a 1-row lookup), never
+    # hardcoded: a plane table narrower than the vectors would silently
+    # drop positions from every projection (wrong buckets, no error).
+    first = emb.select(F.size("embedding").alias("d")).first()
+    dim = int(first["d"]) if first is not None else 0
+
     # plane weight ~uniform in (-2, 2): deterministic hash of (plane, pos)
     planes = (
         spark.range(n_planes)
         .withColumnRenamed("id", "plane")
-        .crossJoin(spark.range(64).withColumnRenamed("id", "pos"))
+        .crossJoin(spark.range(dim).withColumnRenamed("id", "pos"))
         .select(
             "plane",
             "pos",
