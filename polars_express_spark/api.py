@@ -52,13 +52,15 @@ def get_data_preview(lake: DataLake, data_id: str, limit: int = 100) -> list[dic
 def get_sorted_delays(
     lake: DataLake,
     data_id: str,
-    descending: bool = True,
+    descending: bool = False,
     limit: int | None = None,
 ) -> list[dict]:
     """Sort by every column whose name contains 'delay' (schema predicate,
     src/main.rs:272-283), uniform direction, optional limit
     (src/main.rs:284-297). 400 when no delay column exists
-    (src/main.rs:272-274).
+    (src/main.rs:272-274). Default direction is ASCENDING like the
+    reference — descending only on explicit request
+    (matches!(opts.sorting, Some(Desc)) in src/main.rs:277).
 
     sort+limit fuses to TakeOrderedAndProject — the same slice-pushdown
     top-k Polars' optimizer produces for the reference's lazy plan, but

@@ -15,16 +15,26 @@ import json
 
 from pyspark.sql import DataFrame
 
+# Hard ceiling on rows a JSON sink may materialize on the driver. The
+# reference returns whole tables at CSV scale; at 100 TB an unbounded
+# collect is a driver OOM, so every sink call goes through this cap —
+# limit=None means "the cap", never "everything".
+MAX_SINK_ROWS = 10_000
 
-def to_json_rows(df: DataFrame, limit: int | None = None) -> list[dict]:
+
+def to_json_rows(
+    df: DataFrame, limit: int | None = None, max_rows: int = MAX_SINK_ROWS
+) -> list[dict]:
     """DataFrame → list of JSON-safe dicts (the reference's response shape,
     Vec<HashMap<String, JsonValue>> at src/main.rs:207).
 
-    The limit (when given) is pushed into the plan, not applied after
-    collect — unlike the reference's whole-file-then-head (§4.3.1).
+    The effective limit — min(limit, max_rows), or max_rows when no limit
+    is given — is pushed into the plan, not applied after collect, unlike
+    the reference's whole-file-then-head (§4.3.1). So the driver never
+    materializes more than max_rows rows regardless of caller input.
     """
-    if limit is not None:
-        df = df.limit(limit)
+    effective = max_rows if limit is None else min(limit, max_rows)
+    df = df.limit(effective)
     cols = df.columns
     # Jackson omits null fields; the reference emits explicit nulls
     # (AnyValue::Null → JsonValue::Null, src/main.rs:224) — restore them.

@@ -65,6 +65,24 @@ def test_delays_multi_column_sort(lake):
     assert len(asc) == 2
 
 
+def test_delays_default_direction_ascending(lake):
+    """Reference default is ascending; desc only when explicitly asked
+    (matches!(opts.sorting, Some(Desc)), src/main.rs:277)."""
+    rows = api.get_sorted_delays(lake, "trains")
+    assert [r["train_id"] for r in rows] == ["ICE2", "RB4", "ICE1", "RE3", "ICE5"]
+
+
+def test_sink_row_cap(lake, spark):
+    """limit=None must never materialize more than MAX_SINK_ROWS on the
+    driver (100 TB design bound); explicit limits are clamped to the cap."""
+    from polars_express_spark import sinks
+
+    big = spark.range(25_000).withColumnRenamed("id", "some_delay")
+    assert len(sinks.to_json_rows(big, limit=None, max_rows=100)) == 100
+    assert len(sinks.to_json_rows(big, limit=500, max_rows=100)) == 100
+    assert len(sinks.to_json_rows(big, limit=50, max_rows=100)) == 50
+
+
 def test_delays_400_on_no_delay_column(lake):
     with pytest.raises(api.BadRequest):
         api.get_sorted_delays(lake, "no_delay_cols")
