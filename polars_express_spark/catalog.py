@@ -91,6 +91,34 @@ class DataLake:
             return reader.json(path)
         return self.spark.read.parquet(path)
 
+    def save(
+        self,
+        df: DataFrame,
+        data_id: str,
+        fmt: str = "parquet",
+        mode: str = "overwrite",
+        partition_by: list[str] | None = None,
+    ) -> str:
+        """Write a DataFrame into the lake as <base>/<id>.<fmt> (SURVEY §2.1:
+        the reference links polars' parquet + json writers, Cargo.toml:8).
+
+        Spark-first: the writer emits a DIRECTORY of part files — one per
+        partition, written executor-side in parallel — which `load` reads
+        back transparently (spark.read takes files or directories). At
+        100 TB pass partition_by to lay out Hive-style partition pruning
+        keys; no driver-side materialization ever happens here.
+        """
+        if fmt not in self.FORMATS:
+            raise ValueError(f"unsupported format {fmt!r}; one of {self.FORMATS}")
+        path = os.path.join(self.base_dir, f"{data_id}.{fmt}")
+        writer = df.write.mode(mode)
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        if fmt == "csv":
+            writer = writer.option("header", True)
+        getattr(writer, fmt)(path)
+        return path
+
 
 # columns stored as parquet TIMESTAMP(NANOS); Spark reads them as long
 # nanos (spark.sql.legacy.parquet.nanosAsLong) — convert to µs timestamps,

@@ -212,6 +212,62 @@ def q14_left_join(spark, sf_dir):
 
 
 @query(
+    "q14b_right_join",
+    oracle="""
+    SELECT c_custkey, count(o_orderkey) AS order_cnt
+    FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_custkey ORDER BY c_custkey
+    """,
+)
+def q14b_right_join(spark, sf_dir):
+    """Right outer join (§2.3): orders RIGHT JOIN customer preserves every
+    customer — the mirror of q14's left join, exercising the 'right' join
+    type explicitly."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "right")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("order_cnt"))
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "q14c_full_join",
+    oracle="""
+    SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey,
+           count(DISTINCT c.c_name) AS n_cust,
+           count(o.o_orderkey) AS n_orders
+    FROM (SELECT * FROM customer WHERE c_custkey <= 500) c
+    FULL JOIN (SELECT * FROM orders WHERE o_custkey >= 300) o
+      ON c.c_custkey = o.o_custkey
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q14c_full_join(spark, sf_dir):
+    """Full outer join (§2.3): disjoint-edged filters on both sides so
+    each side contributes unmatched rows (customers ≤ 500 vs orders with
+    custkey ≥ 300), proving null-extension in both directions."""
+    c = load_table(spark, sf_dir, "customer").where(F.col("c_custkey") <= 500)
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_custkey") >= 300)
+    j = c.join(o, c.c_custkey == o.o_custkey, "full")
+    return (
+        j.select(
+            F.coalesce(c.c_custkey, o.o_custkey).alias("custkey"),
+            c.c_name.alias("c_name"),
+            o.o_orderkey.alias("o_orderkey"),
+        )
+        .groupBy("custkey")
+        .agg(
+            F.countDistinct("c_name").alias("n_cust"),
+            F.count("o_orderkey").alias("n_orders"),
+        )
+        .orderBy("custkey")
+    )
+
+
+@query(
     "q15_semi_join",
     oracle="""
     SELECT c_custkey FROM customer

@@ -57,6 +57,38 @@ def q37_json_sink(spark, sf_dir):
 
 
 @query(
+    "q38_write_roundtrip",
+    oracle="""
+    SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+           CAST(n_regionkey AS BIGINT) AS n_regionkey
+    FROM nation ORDER BY n_nationkey
+    """,
+)
+def q38_write_roundtrip(spark, sf_dir):
+    """Parquet + JSON write sinks (§2.1), verified by round-trip: write
+    `nation` through DataLake.save in BOTH formats, re-read both, and
+    return their intersection — equal to the source iff each sink
+    preserved every row and value. Keys are cast to bigint because JSON
+    carries no integer width (Spark reads them back as long)."""
+    import tempfile
+
+    from polars_express_spark.catalog import DataLake
+
+    n = load_table(spark, sf_dir, "nation")
+    lake = DataLake(spark, tempfile.mkdtemp(prefix="pxs_lake_"))
+    lake.save(n, "nation_rt", fmt="parquet")
+    lake.save(n, "nation_rt_json", fmt="json")
+    cols = [
+        F.col("n_nationkey").cast("long").alias("n_nationkey"),
+        F.col("n_name"),
+        F.col("n_regionkey").cast("long").alias("n_regionkey"),
+    ]
+    pq = lake.load("nation_rt").select(*cols)
+    js = lake.load("nation_rt_json").select(*cols)
+    return pq.intersect(js).orderBy("n_nationkey")
+
+
+@query(
     "q_asof_join",
     oracle="""
     WITH errors AS (
