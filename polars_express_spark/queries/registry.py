@@ -53,6 +53,7 @@ def all_queries() -> dict[str, QueryFn]:
         functions_corpus,
         sink,
         extras,
+        udtf_corpus,
         multimodal_corpus,
         pipeline,
         similarity,
