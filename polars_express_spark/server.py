@@ -1,0 +1,142 @@
+"""Minimal HTTP layer over api.py — the reference's serving surface.
+
+Reference: axum router with three data routes + index page
+(src/main.rs:309-319), bound on 0.0.0.0:3000 (src/main.rs:321-335).
+Re-expressed over the stdlib ThreadingHTTPServer — no extra
+dependencies, and handlers run on worker threads so a long Spark action
+can't block the accept loop (the reference knowingly blocks its async
+runtime instead, comment at src/main.rs:265).
+
+Routes and semantics:
+  GET  /                          → tiny index page (stand-in for the
+                                    embedded HTML UI, src/main.rs:337-520)
+  GET  /data/<id>/preview?limit=N → first-N JSON rows (default 100,
+                                    src/main.rs:116)
+  GET  /data/<id>/delays?sorting=Desc|Asc&limit=N
+                                  → sort by *delay* columns; 400 when none
+                                    (src/main.rs:272-274); ascending default
+                                    (src/main.rs:277)
+  POST /data/<id>/regression      → body {"x_col","y_col"}; response
+                                    {"slope","intercept","r2"} with r2
+                                    null when SStot=0 (src/main.rs:198-202)
+
+Error mapping: BadRequest → 400 like the reference; unknown dataset →
+404 (the reference surfaces its load failure as a 500, src/main.rs:114 —
+404 is the deliberate, documented improvement since DataLake can check
+existence cheaply); malformed JSON → 400.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+from polars_express_spark import api
+from polars_express_spark.catalog import DataLake
+
+_DATA_ROUTE = re.compile(r"^/data/([^/]+)/(preview|delays|regression)$")
+
+INDEX_HTML = (
+    "<html><body><h1>polars_express_spark</h1>"
+    "<p>GET /data/&lt;id&gt;/preview · GET /data/&lt;id&gt;/delays · "
+    "POST /data/&lt;id&gt;/regression</p></body></html>"
+)
+
+
+def _make_handler(lake: DataLake):
+    class Handler(BaseHTTPRequestHandler):
+        # quiet the default per-request stderr logging
+        def log_message(self, fmt, *args):  # noqa: D102
+            pass
+
+        def _send(self, code: int, payload, content_type="application/json"):
+            body = (
+                payload.encode()
+                if isinstance(payload, str)
+                else json.dumps(payload).encode()
+            )
+            self.send_response(code)
+            self.send_header("Content-Type", content_type)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _dispatch(self, data_id: str, endpoint: str, params: dict, body: dict | None):
+            if endpoint == "preview":
+                limit = int(params.get("limit", ["100"])[0])
+                return api.get_data_preview(lake, data_id, limit=limit)
+            if endpoint == "delays":
+                sorting = params.get("sorting", [""])[0]
+                limit = params.get("limit", [None])[0]
+                return api.get_sorted_delays(
+                    lake,
+                    data_id,
+                    descending=sorting.lower() == "desc",
+                    limit=int(limit) if limit is not None else None,
+                )
+            # regression
+            if not body or "x_col" not in body or "y_col" not in body:
+                raise api.BadRequest("x_col and y_col required")
+            r = api.run_regression(lake, data_id, body["x_col"], body["y_col"])
+            return {"slope": r.slope, "intercept": r.intercept, "r2": r.r_squared}
+
+        def _handle(self, method: str):
+            url = urlparse(self.path)
+            if method == "GET" and url.path == "/":
+                return self._send(200, INDEX_HTML, content_type="text/html")
+            m = _DATA_ROUTE.match(url.path)
+            if not m:
+                return self._send(404, {"error": "not found"})
+            data_id, endpoint = m.group(1), m.group(2)
+            expected = "POST" if endpoint == "regression" else "GET"
+            if method != expected:
+                return self._send(405, {"error": "method not allowed"})
+            body = None
+            if method == "POST":
+                n = int(self.headers.get("Content-Length") or 0)
+                try:
+                    body = json.loads(self.rfile.read(n) or b"{}")
+                except json.JSONDecodeError:
+                    return self._send(400, {"error": "malformed JSON body"})
+            try:
+                result = self._dispatch(data_id, endpoint, parse_qs(url.query), body)
+            except api.BadRequest as e:
+                return self._send(400, {"error": str(e)})
+            except api.NotFound:
+                return self._send(404, {"error": f"dataset {data_id!r} not found"})
+            except ValueError as e:
+                return self._send(400, {"error": str(e)})
+            return self._send(200, result)
+
+        def do_GET(self):  # noqa: N802
+            self._handle("GET")
+
+        def do_POST(self):  # noqa: N802
+            self._handle("POST")
+
+    return Handler
+
+
+def make_server(lake: DataLake, host: str = "0.0.0.0", port: int = 3000) -> ThreadingHTTPServer:
+    """Build (but don't start) the HTTP server; port 0 picks an ephemeral
+    port (used by the e2e tests)."""
+    return ThreadingHTTPServer((host, port), _make_handler(lake))
+
+
+def serve(base_dir: str = "./data", host: str = "0.0.0.0", port: int = 3000) -> None:
+    """Boot a SparkSession-backed lake and serve forever (reference
+    main(), src/main.rs:321-335)."""
+    from polars_express_spark.session import get_spark
+
+    lake = DataLake(get_spark(), base_dir)
+    srv = make_server(lake, host, port)
+    print(f"Listening on http://{host}:{srv.server_address[1]}")
+    srv.serve_forever()
+
+
+if __name__ == "__main__":
+    import sys
+
+    serve(*sys.argv[1:2])

@@ -1,0 +1,105 @@
+"""e2e over real HTTP: the three reference routes with their status-code
+semantics (SURVEY.md §5.2.4; reference src/main.rs:309-335)."""
+
+from __future__ import annotations
+
+import json
+import threading
+import urllib.error
+import urllib.request
+
+import pytest
+
+from polars_express_spark.catalog import DataLake
+from polars_express_spark.server import make_server
+
+TRAINS_CSV = """train_id,departure_delay,arrival_delay
+ICE1,5.0,7.5
+ICE2,1.0,3.0
+RE3,12.0,15.0
+"""
+
+
+@pytest.fixture(scope="module")
+def base_url(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("http_lake")
+    (d / "trains.csv").write_text(TRAINS_CSV)
+    (d / "plain.csv").write_text("a,b\n1,2\n")
+    srv = make_server(DataLake(spark, str(d)), host="127.0.0.1", port=0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def _get(url):
+    with urllib.request.urlopen(url) as r:
+        return r.status, json.loads(r.read())
+
+
+def _post(url, payload):
+    req = urllib.request.Request(
+        url, data=json.dumps(payload).encode(), headers={"Content-Type": "application/json"}
+    )
+    with urllib.request.urlopen(req) as r:
+        return r.status, json.loads(r.read())
+
+
+def _code(fn, *args):
+    try:
+        fn(*args)
+    except urllib.error.HTTPError as e:
+        return e.code
+    raise AssertionError("expected HTTP error")
+
+
+def test_index(base_url):
+    with urllib.request.urlopen(base_url + "/") as r:
+        assert r.status == 200 and b"polars_express_spark" in r.read()
+
+
+def test_preview(base_url):
+    status, rows = _get(base_url + "/data/trains/preview?limit=2")
+    assert status == 200 and len(rows) == 2
+    assert set(rows[0]) == {"train_id", "departure_delay", "arrival_delay"}
+
+
+def test_delays_asc_default_and_desc(base_url):
+    _, rows = _get(base_url + "/data/trains/delays")
+    assert [r["train_id"] for r in rows] == ["ICE2", "ICE1", "RE3"]
+    _, rows = _get(base_url + "/data/trains/delays?sorting=Desc&limit=1")
+    assert [r["train_id"] for r in rows] == ["RE3"]
+
+
+def test_delays_400_no_delay_columns(base_url):
+    assert _code(_get, base_url + "/data/plain/delays") == 400
+
+
+def test_404_unknown_dataset(base_url):
+    assert _code(_get, base_url + "/data/ghost/preview") == 404
+
+
+def test_regression(base_url):
+    status, r = _post(
+        base_url + "/data/trains/regression",
+        {"x_col": "departure_delay", "y_col": "arrival_delay"},
+    )
+    assert status == 200 and set(r) == {"slope", "intercept", "r2"}
+    # hand-computed on (5,7.5) (1,3) (12,15): slope = 202.5/186
+    assert r["slope"] == pytest.approx(202.5 / 186, abs=1e-9)
+
+
+def test_regression_400_missing_column(base_url):
+    req = urllib.request.Request(
+        base_url + "/data/trains/regression",
+        data=json.dumps({"x_col": "nope", "y_col": "arrival_delay"}).encode(),
+    )
+    try:
+        urllib.request.urlopen(req)
+        raise AssertionError("expected 400")
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+
+
+def test_405_wrong_method(base_url):
+    assert _code(_get, base_url + "/data/trains/regression") == 405
