@@ -215,17 +215,20 @@ def q_fingerprint(spark, sf_dir):
 # --------------------------------------------------------------- near dedup
 
 
-def _shingles(d, n=3):
-    """Distinct word n-gram shingles per doc — pure array expressions.
+def _shingle_arrays(d, n=3):
+    """(doc_id, sh: array<string>) — distinct word n-gram shingles per doc,
+    pure array expressions, one row per doc (no explode).
 
-    Returned CACHED: every consumer (minhash signatures, sizes, both
-    sides of the candidate join) re-reads the materialized shingles
-    instead of re-running split+transform+explode per branch — the DAG
-    references this 3-5× and recomputation dominated the runtime
-    otherwise. At 100 TB the same role is played by persisting the
+    Returned CACHED: candidate generation and the array-intersect verify
+    both read it; at 100 TB the same role is played by persisting the
     shingle table to storage between pipeline stages.
     """
-    toks = F.split(F.trim("text"), r"\s+")
+    # Materialize the token array as a COLUMN first: referencing the raw
+    # split(...) expression inside the transform lambda makes Spark
+    # re-evaluate the regex split for every element_at call (no common
+    # subexpression elimination inside HOF lambdas) — measured 4× slower.
+    tokd = d.select("doc_id", F.split(F.trim("text"), r"\s+").alias("toks"))
+    toks = F.col("toks")
     # Guard short docs: sequence(1, size-2) with size<3 would produce a
     # DESCENDING [1, 0] (Spark infers step -1) and element_at(toks, 0)
     # then throws INVALID_ARRAY_INDEX. Docs with < n tokens have no
@@ -235,7 +238,36 @@ def _shingles(d, n=3):
         F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
     ).otherwise(F.array().cast("array<int>"))
     sh = F.transform(idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + k) for k in range(n)]))
-    return d.select("doc_id", F.explode(F.array_distinct(sh)).alias("s")).cache()
+    return tokd.select("doc_id", F.array_distinct(sh).alias("sh")).cache()
+
+
+def _shingles(d, n=3):
+    """Exploded (doc_id, s) view of _shingle_arrays — candidate-join side."""
+    return _shingle_arrays(d, n).select("doc_id", F.explode("sh").alias("s"))
+
+
+def _verify_jaccard(cand, sh_arr, threshold=0.2):
+    """Exact jaccard on candidate pairs via per-pair array intersection.
+
+    JVM-side O(|A|+|B|) hash intersection per pair — replaces the
+    relational (pair × shingle) verify join whose row count was
+    candidates × shingles-per-doc. The exactness is unchanged: the
+    intersection runs on the FULL shingle arrays.
+    """
+    a = sh_arr.select(F.col("doc_id").alias("a_id"), F.col("sh").alias("sa"))
+    b = sh_arr.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("sb"))
+    i = F.size(F.array_intersect("sa", "sb"))
+    return (
+        cand.join(a, "a_id")
+        .join(b, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            (i.cast("double") / (F.size("sa") + F.size("sb") - i)).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .orderBy("a_id", "b_id")
+    )
 
 
 HOT_SHINGLE_DF_CAP = 64  # max docs a shingle may appear in to generate candidates
@@ -284,7 +316,9 @@ def q_ngram_jaccard(spark, sf_dir):
        counted over every shared shingle, so reported jaccard values are
        exact, not an approximation.
     """
+    t = 0.2
     d = load_table(spark, sf_dir, "documents")
+    sh_arr = _shingle_arrays(d)
     sh = _shingles(d)
     rare = sh.join(
         sh.groupBy("s").agg(F.count(F.lit(1)).alias("df")).where(
@@ -292,37 +326,44 @@ def q_ngram_jaccard(spark, sf_dir):
         ).select("s"),
         "s",
     )
-    cand = (
+    # Per-doc totals: n = |shingles|, n_rare = |rare shingles|, so
+    # hot = n - n_rare bounds how much of any intersection the capped
+    # (hot) shingles can contribute.
+    stats = sh_arr.select(
+        "doc_id", F.size("sh").alias("n")
+    ).join(
+        rare.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_rare")), "doc_id", "left"
+    ).select("doc_id", "n", F.coalesce("n_rare", F.lit(0)).alias("n_rare"))
+    # COUNT-PRUNED candidates (exact, no false negatives): jaccard ≥ t
+    # requires |A∩B| ≥ t(na+nb)/(1+t); at most min(hot_a, hot_b) of that
+    # intersection can come from hot shingles, so the rare-shingle
+    # co-occurrence count must reach the remainder. Random pairs share
+    # 1-2 rare shingles and are dropped here instead of flooding the
+    # verify stage (1.1M → thousands of pairs at sf0.1).
+    rare_cnt = (
         rare.select(F.col("doc_id").alias("a_id"), "s")
         .join(rare.select(F.col("doc_id").alias("b_id"), "s"), "s")
         .where(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id")
-        .distinct()
-    )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.select(F.col("doc_id").alias("a_id"), "s")
-    b = sh.select(F.col("doc_id").alias("b_id"), "s")
-    inter = (
-        cand.join(a, "a_id")
-        .join(b, ["b_id", "s"])
         .groupBy("a_id", "b_id")
-        .agg(F.count(F.lit(1)).alias("i"))
+        .agg(F.count(F.lit(1)).alias("c"))
     )
-    sa = sizes.select(F.col("doc_id").alias("a_id"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("b_id"), F.col("n").alias("nb"))
-    return (
-        inter.join(sa, "a_id")
+    sa = stats.select(
+        F.col("doc_id").alias("a_id"), F.col("n").alias("na"), (F.col("n") - F.col("n_rare")).alias("hot_a")
+    )
+    sb = stats.select(
+        F.col("doc_id").alias("b_id"), F.col("n").alias("nb"), (F.col("n") - F.col("n_rare")).alias("hot_b")
+    )
+    cand = (
+        rare_cnt.join(sa, "a_id")
         .join(sb, "b_id")
-        .select(
-            "a_id",
-            "b_id",
-            (F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))).alias(
-                "jaccard"
-            ),
+        .where(
+            F.col("c")
+            >= (F.lit(t) * (F.col("na") + F.col("nb")) / F.lit(1 + t))
+            - F.least("hot_a", "hot_b")
         )
-        .where(F.col("jaccard") >= 0.2)
-        .orderBy("a_id", "b_id")
+        .select("a_id", "b_id")
     )
+    return _verify_jaccard(cand, sh_arr, threshold=t)
 
 
 N_HASHES = 16
@@ -338,14 +379,27 @@ def q_minhash_lsh(spark, sf_dir):
     (≥ 0.2). Only bucket-mates are ever paired; at 100 TB the band hash
     is the shuffle key. Agreement with the exact q_ngram_jaccard result
     is golden-tested (recall check) since xxhash64 has no DuckDB twin.
+
+    Signatures are computed PER ROW — each minhash is
+    array_min(transform(sh, s → xxhash64(s, seed))) over the doc's
+    shingle array — so the whole signature+banding stage is shuffle-free
+    codegen; the only shuffles are the (band, bucket) candidate join and
+    the final sort. (The old formulation shuffled every exploded shingle
+    through a 16-aggregate groupBy first.)
     """
     d = load_table(spark, sf_dir, "documents")
-    sh = _shingles(d)
-    sigs = sh.groupBy("doc_id").agg(
-        *[F.min(F.xxhash64(F.col("s"), F.lit(i))).alias(f"mh{i}") for i in range(N_HASHES)]
+    sh_arr = _shingle_arrays(d)
+    sigs = sh_arr.where(F.size("sh") > 0).select(
+        "doc_id",
+        *[
+            F.array_min(
+                F.transform("sh", lambda s, i=i: F.xxhash64(s, F.lit(i)))
+            ).alias(f"mh{i}")
+            for i in range(N_HASHES)
+        ],
     )
     # one pass over sigs: explode an array of (band, bucket) structs
-    # instead of a 4-way union (which would re-run the signature agg 4×)
+    # instead of a 4-way union (which would re-run the signatures 4×)
     rows_per_band = N_HASHES // N_BANDS
     band_structs = [
         F.struct(
@@ -366,31 +420,7 @@ def q_minhash_lsh(spark, sf_dir):
         .select(F.col("x.doc_id").alias("a_id"), F.col("y.doc_id").alias("b_id"))
         .distinct()
     )
-    # exact verify on candidates only
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.select(F.col("doc_id").alias("a_id"), "s")
-    b = sh.select(F.col("doc_id").alias("b_id"), "s")
-    inter = (
-        cand.join(a, "a_id")
-        .join(b, ["b_id", "s"])
-        .groupBy("a_id", "b_id")
-        .agg(F.count(F.lit(1)).alias("i"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("a_id"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("b_id"), F.col("n").alias("nb"))
-    return (
-        inter.join(sa, "a_id")
-        .join(sb, "b_id")
-        .select(
-            "a_id",
-            "b_id",
-            (F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))).alias(
-                "jaccard"
-            ),
-        )
-        .where(F.col("jaccard") >= 0.2)
-        .orderBy("a_id", "b_id")
-    )
+    return _verify_jaccard(cand, sh_arr)
 
 
 @query("q_simhash")  # xxhash64-based → rows-only check

@@ -4,8 +4,8 @@ Goal-state (Tier G) capability: approximate-nearest-neighbor over an
 `array<float>` column. Three tiers:
 
 - q35_cosine_topk — exact brute-force cosine top-k for a probe set: the
-  correctness baseline, DuckDB-oracled. Dot products are exact decimal
-  sums so Spark and the oracle agree bit-for-bit (see _util).
+  correctness baseline, DuckDB-oracled. Dot products are exact int64
+  fixed-point folds so Spark and the oracle agree bit-for-bit (see GRID).
 - q_embed_neardup — blocked near-duplicate detection (block key + exact
   verify): the scalable block-then-verify shape, also oracled.
 - q_ann_lsh — random-hyperplane LSH bucketing (sign bits from
@@ -27,26 +27,25 @@ from pyspark.sql import functions as F
 from polars_express_spark.catalog import load_table
 from polars_express_spark.queries.registry import query
 
-DEC = "decimal(18,9)"  # exact element grid; products are decimal(37,18)
 N_PROBES = 10
 TOP_K = 5
 
-
-def _exploded(emb):
-    """(vec_id, pos, v) with v on the exact decimal grid.
-
-    Cached: norms, probe side, and candidate side all re-read this —
-    without the cache the posexplode re-runs once per consumer.
-    """
-    return (
-        emb.select("vec_id", F.posexplode("embedding").alias("pos", "val"))
-        .select("vec_id", "pos", F.col("val").cast("double").cast(DEC).alias("v"))
-        .cache()
-    )
+# Fixed-point grid for exact dot products: floor(x · 10⁶) as int64.
+# Exactness argument: every grid value is an integer ≤ ~10⁷, so products
+# (≤ 10¹⁴) and dim-length sums stay far inside int64 AND inside double's
+# 2⁵³ exact-integer range — Spark's per-row long fold and DuckDB's
+# SUM(BIGINT) therefore agree bit-for-bit, and the final
+# int→double→sqrt→divide chain is IEEE-deterministic in both engines.
+# Primitive long math is ~10× faster than the decimal(38,18) BigDecimal
+# fold it replaced.
+GRID = 1_000_000
 
 
-def _norms(ex):
-    return ex.groupBy("vec_id").agg(F.sum(F.col("v") * F.col("v")).cast("double").alias("n2"))
+def _embedding_dim(emb) -> int:
+    """Embedding dimension derived from the data (1-row lookup) — never
+    hardcoded: a mismatch would silently truncate every projection."""
+    first = emb.select(F.size("embedding").alias("d")).first()
+    return int(first["d"]) if first is not None else 0
 
 
 @query(
@@ -54,7 +53,7 @@ def _norms(ex):
     oracle=f"""
     WITH ex AS (
       SELECT vec_id, gs.pos AS pos,
-             CAST(CAST(embedding[gs.pos] AS DOUBLE) AS DECIMAL(18,9)) AS v
+             CAST(floor(CAST(embedding[gs.pos] AS DOUBLE) * {GRID}) AS BIGINT) AS v
       FROM embeddings, unnest(generate_series(1, len(embedding))) gs(pos)
     ),
     norms AS (SELECT vec_id, CAST(SUM(v*v) AS DOUBLE) AS n2 FROM ex GROUP BY vec_id),
@@ -84,28 +83,32 @@ def _norms(ex):
 def q35_cosine_topk(spark, sf_dir):
     """Exact cosine top-k (§2.11 Q35): 10 probe vectors × top-5 neighbors,
     ties broken by neighbor id. Brute force = the correctness baseline the
-    ANN variants are measured against."""
+    ANN variants are measured against.
+
+    Array-native plan: the bounded probe side (N_PROBES rows, full
+    vectors) is BROADCAST against the candidate scan, and every dot
+    product is a per-row exact int64-grid zip_with/aggregate fold — whole
+    row stays in codegen, no posexplode, no (pos)-keyed shuffle of
+    n_vecs × dim rows. The only shuffle left is the per-probe top-k
+    window over n_vecs × N_PROBES scored rows.
+    """
     emb = load_table(spark, sf_dir, "embeddings")
-    ex = _exploded(emb)
-    norms = _norms(ex)
-    probes = ex.where(F.col("vec_id") < N_PROBES).select(
-        F.col("vec_id").alias("probe_id"), "pos", F.col("v").alias("pv")
+    vec = emb.select("vec_id", _ivec("embedding").alias("e")).withColumn(
+        "n2", _idot("e", "e").cast("double")
     )
-    dots = (
-        probes.join(ex.withColumnRenamed("vec_id", "neighbor_id"), "pos")
-        .where(F.col("neighbor_id") != F.col("probe_id"))
-        .groupBy("probe_id", "neighbor_id")
-        .agg(F.sum(F.col("pv") * F.col("v")).cast("double").alias("dot"))
+    probes = vec.where(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"), F.col("e").alias("pe"), F.col("n2").alias("na2")
     )
-    na = norms.select(F.col("vec_id").alias("probe_id"), F.col("n2").alias("na2"))
-    nb = norms.select(F.col("vec_id").alias("neighbor_id"), F.col("n2").alias("nb2"))
     scored = (
-        dots.join(F.broadcast(na), "probe_id")
-        .join(nb, "neighbor_id")
+        vec.withColumnRenamed("vec_id", "neighbor_id")
+        .crossJoin(F.broadcast(probes))
+        .where(F.col("neighbor_id") != F.col("probe_id"))
         .select(
             "probe_id",
             "neighbor_id",
-            (F.col("dot") / (F.sqrt("na2") * F.sqrt("nb2"))).alias("cosine"),
+            (
+                _idot("pe", "e").cast("double") / (F.sqrt("na2") * F.sqrt("n2"))
+            ).alias("cosine"),
         )
     )
     w = W.partitionBy("probe_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
@@ -120,34 +123,29 @@ def q35_cosine_topk(spark, sf_dir):
 NEARDUP_TILES = 8  # sub-partitions per label block (skew bound for hot labels)
 
 
-def _dec_vec(col):
-    """Embedding cast onto the exact decimal grid (matches the oracle)."""
-    return F.transform(col, lambda x: x.cast("double").cast(DEC))
+def _ivec(col):
+    """Embedding quantized onto the exact int64 grid (matches the oracle).
 
-
-def _dec_dot(x, y):
-    """Exact sequential-fold dot product of two decimal vectors.
-
-    products are decimal(37,18); the fold accumulator is pinned to
-    decimal(38,18) each step so the type never drifts. Sums here are tiny
-    (≤ dim · 4) so the cast is always exact — bit-identical to DuckDB's
-    SUM over the same decimals, with no partition-order dependence at all
-    (it is a per-row fold, not a distributed agg).
+    floor (not round) because floor of a double is unambiguous and
+    identical in Spark and DuckDB; round's half-way tie rules differ.
     """
+    return F.transform(col, lambda x: F.floor(x.cast("double") * GRID).cast("long"))
+
+
+def _idot(x, y):
+    """Exact dot product of two int64-grid vectors: a per-row long fold —
+    no shuffle, no partition-order dependence, primitive codegen math
+    (see the GRID exactness argument above)."""
     prods = F.zip_with(x, y, lambda a, b: a * b)
-    return F.aggregate(
-        prods,
-        F.lit(0).cast("decimal(38,18)"),
-        lambda acc, p: (acc + p).cast("decimal(38,18)"),
-    )
+    return F.aggregate(prods, F.lit(0).cast("long"), lambda acc, p: acc + p)
 
 
 @query(
     "q_embed_neardup",
-    oracle="""
+    oracle=f"""
     WITH ex AS (
       SELECT vec_id, label, gs.pos AS pos,
-             CAST(CAST(embedding[gs.pos] AS DOUBLE) AS DECIMAL(18,9)) AS v
+             CAST(floor(CAST(embedding[gs.pos] AS DOUBLE) * {GRID}) AS BIGINT) AS v
       FROM embeddings, unnest(generate_series(1, len(embedding))) gs(pos)
     ),
     norms AS (SELECT vec_id, CAST(SUM(v*v) AS DOUBLE) AS n2 FROM ex GROUP BY vec_id),
@@ -172,7 +170,7 @@ def q_embed_neardup(spark, sf_dir):
     - Pair generation joins the NARROW (vec_id, label) projection — the
       shuffle for the quadratic step carries id pairs, not pairs ×
       dimensions. Dot products run per-pair afterwards as an exact
-      decimal zip_with/aggregate fold on the two arrays (JVM-side
+      int64-grid zip_with/aggregate fold on the two arrays (JVM-side
       higher-order functions, no UDF, no posexplode).
     - The label join is TILED: the b-side is bucketed by vec_id %
       NEARDUP_TILES and the a-side replicated once per tile, so a hot
@@ -184,8 +182,8 @@ def q_embed_neardup(spark, sf_dir):
     """
     emb = load_table(spark, sf_dir, "embeddings")
     vec = emb.select(
-        "vec_id", "label", _dec_vec("embedding").alias("e")
-    ).withColumn("n2", _dec_dot("e", "e").cast("double"))
+        "vec_id", "label", _ivec("embedding").alias("e")
+    ).withColumn("n2", _idot("e", "e").cast("double"))
 
     ids = vec.select("vec_id", "label")
     a_ids = (
@@ -211,7 +209,7 @@ def q_embed_neardup(spark, sf_dir):
             "a_id",
             "b_id",
             (
-                _dec_dot("ea", "eb").cast("double") / (F.sqrt("na2") * F.sqrt("nb2"))
+                _idot("ea", "eb").cast("double") / (F.sqrt("na2") * F.sqrt("nb2"))
             ).alias("cosine"),
         )
         .where(F.col("cosine") >= 0.5)
@@ -226,81 +224,88 @@ def q_ann_lsh(spark, sf_dir, n_tables: int = 8, planes_per_table: int = 6):
     Standard sign-LSH: L independent hash tables of k hyperplanes each.
     One table of k bits has P(match) = (1-θ/π)^k per neighbor — too
     sparse alone — so candidates are the union over L tables
-    (recall ≈ 1-(1-p^k)^L). Plane weights are deterministic
-    pseudo-randoms from xxhash64(plane, position): reproducible with no
-    driver-side RNG, computed JVM-side. Candidates come from (table,
+    (recall ≈ 1-(1-p^k)^L).
+
+    Array-native plan: plane weights are deterministic crc32-derived
+    literals baked into the expression tree (48 planes × dim constants —
+    kilobytes), so every projection is a per-row zip_with/aggregate fold
+    inside codegen. Bucketing therefore needs ZERO shuffle — the old
+    formulation shuffled n_vecs × dim × n_planes exploded rows (154M at
+    sf0.1) through two groupBys. Candidates still come from (table,
     bucket) equi-joins — the full cross join never exists; at 100 TB
     (table, bucket) is the shuffle key. Exact cosine then ranks the
     candidate union. Recall vs brute-force q35_cosine_topk is
     golden-tested (tests/test_pipeline_ops.py).
     """
+    import zlib
+
     emb = load_table(spark, sf_dir, "embeddings")
-    ex = _exploded(emb)
-    n_planes = n_tables * planes_per_table
+    dim = _embedding_dim(emb)
 
-    # Embedding dimension DERIVED from the data (a 1-row lookup), never
-    # hardcoded: a plane table narrower than the vectors would silently
-    # drop positions from every projection (wrong buckets, no error).
-    first = emb.select(F.size("embedding").alias("d")).first()
-    dim = int(first["d"]) if first is not None else 0
+    def weight(p: int, i: int) -> float:
+        # deterministic ~uniform in (-2, 2), reproducible with no RNG state
+        return (zlib.crc32(f"{p},{i}".encode()) % 200001 - 100000) / 50000.0
 
-    # plane weight ~uniform in (-2, 2): deterministic hash of (plane, pos)
-    planes = (
-        spark.range(n_planes)
-        .withColumnRenamed("id", "plane")
-        .crossJoin(spark.range(dim).withColumnRenamed("id", "pos"))
-        .select(
-            "plane",
-            "pos",
-            (
-                (F.xxhash64(F.col("plane"), F.col("pos")) % 100000).cast("double") / 50000.0
-            ).alias("w"),
-        )
+    vec = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    ).withColumn(
+        "n2",
+        F.aggregate(
+            F.zip_with("e", "e", lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+        ),
     )
-    projected = (
-        ex.join(F.broadcast(planes), "pos")
-        .groupBy("vec_id", "plane")
-        .agg(F.sum(F.col("v").cast("double") * F.col("w")).alias("proj"))
-        .select(
-            "vec_id",
-            (F.col("plane") % n_tables).alias("table"),
-            F.floor(F.col("plane") / n_tables).alias("table_bit"),
-            F.when(F.col("proj") >= 0, F.lit(1)).otherwise(F.lit(0)).alias("bit"),
+
+    def proj(p: int):
+        plane = F.array(*[F.lit(weight(p, i)) for i in range(dim)])
+        return F.aggregate(
+            F.zip_with("e", plane, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
         )
-        .groupBy("vec_id", "table")
-        .agg(
-            F.sum(
-                F.col("bit") * F.pow(F.lit(2.0), F.col("table_bit")).cast("long")
-            ).alias("bucket")
+
+    bucket_structs = []
+    for t in range(n_tables):
+        bucket = F.lit(0).cast("long")
+        for b in range(planes_per_table):
+            bucket = bucket + F.when(
+                proj(t * planes_per_table + b) >= 0, F.lit(2**b).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+        bucket_structs.append(
+            F.struct(F.lit(t).alias("table"), bucket.alias("bucket"))
         )
+    # one narrow row per (vec, table); cached because probes and the
+    # candidate join both read it and the 48-fold projection is the
+    # expensive part worth computing once
+    buckets = (
+        vec.select("vec_id", F.explode(F.array(*bucket_structs)).alias("tb"))
+        .select("vec_id", F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket"))
+        .cache()
     )
-    probes = projected.where(F.col("vec_id") < N_PROBES).select(
+    probes = buckets.where(F.col("vec_id") < N_PROBES).select(
         F.col("vec_id").alias("probe_id"), "table", "bucket"
     )
     cands = (
-        probes.join(projected, ["table", "bucket"])
+        F.broadcast(probes)
+        .join(buckets, ["table", "bucket"])
         .where(F.col("vec_id") != F.col("probe_id"))
         .select("probe_id", "vec_id")
         .distinct()
     )
-
-    pex = ex.select(F.col("vec_id").alias("probe_id"), "pos", F.col("v").alias("pv"))
-    dots = (
-        cands.select("probe_id", "vec_id")
-        .join(pex, "probe_id")
-        .join(ex, ["vec_id", "pos"])
-        .groupBy("probe_id", "vec_id")
-        .agg(F.sum(F.col("pv") * F.col("v")).cast("double").alias("dot"))
+    pvec = vec.where(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"), F.col("e").alias("pe"), F.col("n2").alias("na2")
     )
-    norms = _norms(ex)
-    na = norms.select(F.col("vec_id").alias("probe_id"), F.col("n2").alias("na2"))
     scored = (
-        dots.join(F.broadcast(na), "probe_id")
-        .join(norms, "vec_id")
+        cands.join(F.broadcast(pvec), "probe_id")
+        .join(vec, "vec_id")
         .select(
             "probe_id",
             F.col("vec_id").alias("neighbor_id"),
-            (F.col("dot") / (F.sqrt("na2") * F.sqrt("n2"))).alias("cosine"),
+            (
+                F.aggregate(
+                    F.zip_with("pe", "e", lambda a, b: a * b),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                / (F.sqrt("na2") * F.sqrt("n2"))
+            ).alias("cosine"),
         )
     )
     w = W.partitionBy("probe_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
