@@ -217,6 +217,104 @@ def q_embed_neardup(spark, sf_dir):
     )
 
 
+@query("q_ann_ivf")  # approximate → rows-only check; recall golden-tested
+def q_ann_ivf(spark, sf_dir, n_cells: int = 32, probe_cells: int = 4):
+    """IVF (inverted-file) ANN (§2.10 scale path, the LSH alternative).
+
+    Classic two-level index: (1) pick n_cells coarse centroids, (2)
+    assign every vector to its max-cosine centroid — the inverted lists,
+    (3) a probe searches only its probe_cells nearest lists, exact cosine
+    ranks the candidates. Centroids here are the first n_cells vectors by
+    vec_id — deterministic, no k-means iterations; at 100 TB you'd train
+    real centroids offline and broadcast them exactly the same way.
+
+    Plan shape: centroids are COLLECTED to the driver (n_cells × dim
+    doubles — kilobytes) and baked into the expression tree as literal
+    arrays, so assignment is a per-row argmax over n_cells
+    zip_with/aggregate folds — zero shuffle, no join. Candidates come
+    from the (cell) equi-join of probe lists against inverted lists; at
+    100 TB `cell` is the shuffle/partition key of the stored index.
+    Recall vs brute-force q35 is golden-tested.
+    """
+    import math
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.orderBy("vec_id").limit(n_cells).select("embedding").collect()
+    C = [[float(x) for x in r["embedding"]] for r in cents]
+    cnorm = [math.sqrt(sum(x * x for x in c)) or 1.0 for c in C]
+    n_cells = len(C)  # table may be smaller than requested
+    probe_cells = min(probe_cells, n_cells)
+
+    vec = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    ).withColumn(
+        "n2",
+        F.aggregate(
+            F.zip_with("e", "e", lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+        ),
+    )
+
+    def cell_score(k: int):
+        # cosine up to the row-constant 1/||v|| factor — enough for argmax
+        arr = F.array(*[F.lit(x) for x in C[k]])
+        dot = F.aggregate(
+            F.zip_with("e", arr, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+        )
+        return dot / F.lit(cnorm[k])
+
+    score_structs = F.array(
+        *[
+            F.struct(cell_score(k).alias("s"), F.lit(k).alias("cell"))
+            for k in range(n_cells)
+        ]
+    )
+    # array_sort orders struct fields lexicographically (score, then cell);
+    # reverse → best-first, ties broken deterministically
+    ranked_cells = F.reverse(F.array_sort(score_structs))
+    assigned = vec.select(
+        "vec_id", "e", "n2", F.element_at(ranked_cells, 1)["cell"].alias("cell")
+    )
+    probes_cells = (
+        vec.where(F.col("vec_id") < N_PROBES)
+        .select(
+            F.col("vec_id").alias("probe_id"),
+            F.explode(F.slice(ranked_cells, 1, probe_cells)).alias("pc"),
+        )
+        .select("probe_id", F.col("pc.cell").alias("cell"))
+    )
+    cands = (
+        F.broadcast(probes_cells)
+        .join(assigned.select("vec_id", "cell"), "cell")
+        .where(F.col("vec_id") != F.col("probe_id"))
+        .select("probe_id", "vec_id")
+    )
+    pvec = vec.where(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"), F.col("e").alias("pe"), F.col("n2").alias("na2")
+    )
+    scored = (
+        cands.join(F.broadcast(pvec), "probe_id")
+        .join(vec.select("vec_id", "e", "n2"), "vec_id")
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (
+                F.aggregate(
+                    F.zip_with("pe", "e", lambda a, b: a * b),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                / (F.sqrt("na2") * F.sqrt("n2"))
+            ).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("probe_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= TOP_K)
+        .orderBy("probe_id", "rnk")
+    )
+
+
 @query("q_ann_lsh")  # approximate → rows-only check; recall golden-tested
 def q_ann_lsh(spark, sf_dir, n_tables: int = 8, planes_per_table: int = 6):
     """Random-hyperplane LSH ANN, multi-table (§2.10 scale path).

@@ -42,6 +42,20 @@ def test_ann_lsh_recall_vs_exact(spark):
     spark.catalog.clearCache()
 
 
+def test_ann_ivf_recall_vs_exact(spark):
+    """IVF with 4/32 probed cells must recover a solid share of the exact
+    top-k — the inverted lists are cosine-coherent, so recall is far
+    above the 12.5% of the space actually scanned."""
+    exact = {
+        (r["probe_id"], r["neighbor_id"]) for r in QS["q35_cosine_topk"](spark, SF_DIR).collect()
+    }
+    ivf = {
+        (r["probe_id"], r["neighbor_id"]) for r in QS["q_ann_ivf"](spark, SF_DIR).collect()
+    }
+    assert len(ivf & exact) / len(exact) >= 0.3
+    spark.catalog.clearCache()
+
+
 def test_approx_count_distinct_tolerance(spark):
     row = QS["q_approx_distinct"](spark, SF_DIR).collect()[0]
     assert abs(row["approx_custs"] - row["exact_custs"]) / row["exact_custs"] < 0.05

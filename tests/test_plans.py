@@ -1,0 +1,91 @@
+"""Physical-plan guards (SURVEY.md §4, 100 TB design review).
+
+These assert the plan SHAPES that matter at scale — filter/column
+pushdown into the parquet scan, broadcast of small dims, sort+limit
+fusing to TakeOrderedAndProject, no CartesianProduct where a broadcast
+NLJ is intended — so a refactor can't silently regress them. The
+correctness suite can't catch these: a plan that shuffles everything
+still returns the right rows.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from polars_express_spark.queries.registry import all_queries
+from tests.conftest import SF_DIR
+
+QS = all_queries()
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+def plan_of(name: str, spark):
+    return _plan(QS[name](spark, SF_DIR))
+
+
+def test_q05_filter_pushdown_reaches_scan(spark):
+    """l_shipdate/l_discount predicates must reach the parquet reader."""
+    p = plan_of("q05_filter_project", spark)
+    assert "PushedFilters:" in p
+    assert "l_shipdate" in p.split("PushedFilters:")[1].split("\n")[0]
+
+
+def test_q05_column_pruning(spark):
+    """A 4-column projection must not read the full 16-column lineitem."""
+    p = plan_of("q05_filter_project", spark)
+    read_schema = p.split("ReadSchema:")[1].split("\n")[0]
+    assert "l_extendedprice" in read_schema
+    assert "l_comment" not in read_schema and "l_shipmode" not in read_schema
+
+
+def test_q13_broadcasts_filtered_dims(spark):
+    """TPC-H Q3 shape: the filtered customer side must broadcast, and the
+    final top-10 must be TakeOrderedAndProject, not a global sort."""
+    p = plan_of("q13_multi_join", spark)
+    assert "BroadcastHashJoin" in p
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p
+
+
+def test_q01_preview_is_limit_not_sort_all(spark):
+    p = plan_of("q01_preview", spark)
+    assert "TakeOrderedAndProject" in p or "CollectLimit" in p
+
+
+def test_q02_topk_fuses(spark):
+    """sort+limit 20 must fuse to distributed top-k."""
+    p = plan_of("q02_sort_slice", spark)
+    assert "TakeOrderedAndProject" in p
+
+
+def test_q35_probe_side_broadcast(spark):
+    """The bounded probe side must broadcast; the candidate scan must not
+    shuffle for the join."""
+    p = plan_of("q35_cosine_topk", spark)
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_q16_cross_join_is_broadcast_nlj(spark):
+    """region × nation: tiny dims → broadcast NLJ, never a shuffled
+    cartesian."""
+    p = plan_of("q16_cross_join", spark)
+    assert "BroadcastNestedLoopJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_q34_dedup_partial_aggregation(spark):
+    """The lang rollup must plan partial (map-side) + final HashAggregate."""
+    p = plan_of("q34_exact_dedup", spark)
+    assert p.count("HashAggregate") >= 2
+
+
+@pytest.mark.parametrize("name", ["q_ngram_jaccard", "q_minhash_lsh", "q_embed_neardup"])
+def test_neardup_queries_never_cartesian(spark, name):
+    """Candidate generation must come from equi-joins (shingle / band
+    bucket / label+tile), never a materialized cross join."""
+    p = plan_of(name, spark)
+    assert "CartesianProduct" not in p
