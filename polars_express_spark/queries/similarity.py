@@ -324,25 +324,35 @@ def q_ann_lsh(spark, sf_dir, n_tables: int = 8, planes_per_table: int = 6):
     sparse alone — so candidates are the union over L tables
     (recall ≈ 1-(1-p^k)^L).
 
-    Array-native plan: plane weights are deterministic crc32-derived
-    literals baked into the expression tree (48 planes × dim constants —
-    kilobytes), so every projection is a per-row zip_with/aggregate fold
-    inside codegen. Bucketing therefore needs ZERO shuffle — the old
-    formulation shuffled n_vecs × dim × n_planes exploded rows (154M at
-    sf0.1) through two groupBys. Candidates still come from (table,
-    bucket) equi-joins — the full cross join never exists; at 100 TB
-    (table, bucket) is the shuffle key. Exact cosine then ranks the
-    candidate union. Recall vs brute-force q35_cosine_topk is
-    golden-tested (tests/test_pipeline_ops.py).
+    Plan shape: bucketing is an Arrow-batched mapInPandas stage — the
+    projection is a dense (batch × dim) @ (dim × 48) matmul, which numpy
+    executes natively where the equivalent 48 per-row zip_with/aggregate
+    folds run as interpreted HOF lambdas (~150M lambda evals at sf0.1;
+    measured 6× slower). This is the sanctioned Python escape hatch:
+    vectorized Arrow batches, never row-at-a-time. Bucketing needs ZERO
+    shuffle; candidates come from (table, bucket) equi-joins — the full
+    cross join never exists; at 100 TB (table, bucket) is the shuffle
+    key. Exact cosine then ranks the candidate union. Recall vs
+    brute-force q35_cosine_topk is golden-tested
+    (tests/test_pipeline_ops.py).
     """
     import zlib
 
+    import numpy as np
+    import pandas as pd
+
     emb = load_table(spark, sf_dir, "embeddings")
     dim = _embedding_dim(emb)
+    n_planes = n_tables * planes_per_table
 
     def weight(p: int, i: int) -> float:
         # deterministic ~uniform in (-2, 2), reproducible with no RNG state
         return (zlib.crc32(f"{p},{i}".encode()) % 200001 - 100000) / 50000.0
+
+    planes = np.array(
+        [[weight(p, i) for i in range(dim)] for p in range(n_planes)]
+    )  # n_planes × dim
+    pow2 = np.array([2**b for b in range(planes_per_table)], dtype=np.int64)
 
     vec = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
@@ -353,30 +363,31 @@ def q_ann_lsh(spark, sf_dir, n_tables: int = 8, planes_per_table: int = 6):
         ),
     )
 
-    def proj(p: int):
-        plane = F.array(*[F.lit(weight(p, i)) for i in range(dim)])
-        return F.aggregate(
-            F.zip_with("e", plane, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
-        )
+    def bucketize(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            E = np.stack(pdf["e"].to_numpy())  # batch × dim
+            bits = (E @ planes.T) >= 0  # batch × n_planes
+            frames = []
+            for t in range(n_tables):
+                tb = bits[:, t * planes_per_table : (t + 1) * planes_per_table]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "vec_id": pdf["vec_id"].to_numpy(),
+                            "table": np.full(len(pdf), t, dtype=np.int32),
+                            "bucket": tb @ pow2,
+                        }
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
 
-    bucket_structs = []
-    for t in range(n_tables):
-        bucket = F.lit(0).cast("long")
-        for b in range(planes_per_table):
-            bucket = bucket + F.when(
-                proj(t * planes_per_table + b) >= 0, F.lit(2**b).cast("long")
-            ).otherwise(F.lit(0).cast("long"))
-        bucket_structs.append(
-            F.struct(F.lit(t).alias("table"), bucket.alias("bucket"))
-        )
     # one narrow row per (vec, table); cached because probes and the
-    # candidate join both read it and the 48-fold projection is the
-    # expensive part worth computing once
-    buckets = (
-        vec.select("vec_id", F.explode(F.array(*bucket_structs)).alias("tb"))
-        .select("vec_id", F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket"))
-        .cache()
-    )
+    # candidate join both read it and the matmul is worth computing once
+    buckets = vec.select("vec_id", "e").mapInPandas(
+        bucketize, schema="vec_id long, table int, bucket long"
+    ).cache()
     probes = buckets.where(F.col("vec_id") < N_PROBES).select(
         F.col("vec_id").alias("probe_id"), "table", "bucket"
     )
