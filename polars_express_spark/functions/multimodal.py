@@ -59,3 +59,118 @@ def decode_media(df: DataFrame, real_decode: bool = False) -> DataFrame:
             )
 
     return df.select("doc_id", "payload").mapInPandas(decode, schema=MEDIA_META_SCHEMA)
+
+
+FEATURES_SCHEMA = "doc_id bigint, features array<float>"
+
+
+def extract_features(df: DataFrame, dim: int = 16, real_extract: bool = False) -> DataFrame:
+    """mapInPandas feature extraction: binary payload → fixed-dim
+    `array<float>` embedding column (feeds the §2.10 similarity ops).
+
+    Real extraction (a vision/audio encoder) is stubbed like decode; the
+    deterministic fake is a byte-histogram folded to `dim` buckets and
+    L1-normalized — computed with numpy over whole Arrow batches, so the
+    plumbing (batch shape, array column output, schema) is exactly what
+    a real encoder would use.
+    """
+    import numpy as np
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if real_extract:
+                raise NotImplementedError(
+                    "real feature extraction requires a media encoder not "
+                    "present in this environment; plug one in here"
+                )
+            feats = []
+            for payload in pdf["payload"]:
+                arr = np.frombuffer(payload, dtype=np.uint8)
+                hist = np.bincount(arr % dim, minlength=dim).astype("float32")
+                total = hist.sum()
+                feats.append(hist / total if total else hist)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "features": feats})
+
+    return df.select("doc_id", "payload").mapInPandas(extract, schema=FEATURES_SCHEMA)
+
+
+RESIZED_SCHEMA = "doc_id bigint, payload binary, width int, height int"
+
+
+def resize_media(
+    df: DataFrame, width: int = 64, height: int = 48, real_resize: bool = False
+) -> DataFrame:
+    """mapInPandas resize: payload → payload' at the target dimensions.
+
+    The real pixel resample is stubbed; the fake keeps the byte budget
+    honest (output payload is width·height bytes, sampled evenly from the
+    input — a real nearest-neighbor downsample over a 1-channel buffer),
+    so downstream operators see realistic shrunken binaries.
+    """
+    import numpy as np
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        target = width * height
+        for pdf in batches:
+            if real_resize:
+                raise NotImplementedError(
+                    "real media resize requires image codecs not present in "
+                    "this environment; plug one in here"
+                )
+            out = []
+            for payload in pdf["payload"]:
+                arr = np.frombuffer(payload, dtype=np.uint8)
+                if len(arr) == 0:
+                    out.append(b"\x00" * target)
+                    continue
+                idx = np.linspace(0, len(arr) - 1, target).astype(np.int64)
+                out.append(arr[idx].tobytes())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": out,
+                    "width": pd.Series([width] * len(pdf)).astype("int32"),
+                    "height": pd.Series([height] * len(pdf)).astype("int32"),
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(resize, schema=RESIZED_SCHEMA)
+
+
+FRAMES_SCHEMA = "doc_id bigint, frame_no int, frame binary"
+
+
+def sample_frames(df: DataFrame, n_frames: int = 4, real_decode: bool = False) -> DataFrame:
+    """mapInPandas frame sampling: one 'video' payload row → n_frames
+    frame rows (the generator/UDTF shape: output cardinality ≠ input).
+
+    Real container demuxing is stubbed; the fake slices the payload into
+    n_frames even chunks, which preserves the real operator's row
+    explosion, ordering column, and binary output schema.
+    """
+    import numpy as np
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if real_decode:
+                raise NotImplementedError(
+                    "real frame sampling requires video codecs not present in "
+                    "this environment; plug ffmpeg in here"
+                )
+            doc_ids, frame_nos, frames = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                arr = np.frombuffer(payload, dtype=np.uint8)
+                chunks = np.array_split(arr, n_frames)
+                for i, ch in enumerate(chunks):
+                    doc_ids.append(doc_id)
+                    frame_nos.append(i)
+                    frames.append(ch.tobytes())
+            yield pd.DataFrame(
+                {
+                    "doc_id": doc_ids,
+                    "frame_no": pd.Series(frame_nos, dtype="int32"),
+                    "frame": frames,
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(sample, schema=FRAMES_SCHEMA)

@@ -60,3 +60,59 @@ def q33_sliding_window(spark, sf_dir):
         .select(F.col("w.start").alias("win_start"), "cnt", "sum_val")
         .orderBy("win_start")
     )
+
+
+@query(
+    "q_session_stats",
+    oracle=f"""
+    WITH lagd AS (
+      SELECT user_id, ts, value,
+             CASE WHEN epoch(ts) - lag(epoch(ts))
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+    ),
+    sess AS (
+      SELECT user_id, ts, value,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM lagd
+    )
+    SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events,
+           {sql_dsum("value", "total_value")}
+    FROM sess GROUP BY user_id, sess_id
+    ORDER BY user_id, session_start
+    """,
+)
+def q_session_stats(spark, sf_dir):
+    """Batch twin of the applyInPandasWithState sessionizer
+    (streaming/stateful.py): gap-sessionization (30 min) via
+    lag + running-sum windows, with per-session event counts and exact
+    value totals. The streaming operator is golden-tested against this
+    same shape (tests/test_stateful.py); here the window formulation is
+    DuckDB-oracled. Ties in ts are session-stable (gap 0 ≤ gap), so the
+    event_id tiebreak only pins the lag order, not the result."""
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    new_sess = (
+        (F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w) > 1800)
+        .cast("int")
+    )
+    sess_id = F.sum(F.coalesce(new_sess, F.lit(0))).over(
+        w.rowsBetween(W.unboundedPreceding, 0)
+    )
+    return (
+        e.withColumn("sess_id", sess_id)
+        .groupBy("user_id", "sess_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", "total_value"),
+        )
+        .select("user_id", "session_start", "session_end", "n_events", "total_value")
+        .orderBy("user_id", "session_start")
+    )

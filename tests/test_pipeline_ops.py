@@ -73,6 +73,45 @@ def test_simhash_close_docs_share_prefix(spark):
     assert all(0 <= r["simhash"] < 2**16 for r in rows)
 
 
+def test_multimodal_feature_extract(spark):
+    """Byte-histogram features: fixed dim, L1-normalized, deterministic."""
+    from polars_express_spark.catalog import load_table
+    from polars_express_spark.functions.multimodal import attach_payload, extract_features
+
+    d = attach_payload(load_table(spark, SF_DIR, "documents")).limit(20)
+    rows = extract_features(d, dim=16).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert len(r["features"]) == 16
+        assert abs(sum(r["features"]) - 1.0) < 1e-5
+
+
+def test_multimodal_resize_byte_budget(spark):
+    from polars_express_spark.catalog import load_table
+    from polars_express_spark.functions.multimodal import attach_payload, resize_media
+
+    d = attach_payload(load_table(spark, SF_DIR, "documents")).limit(10)
+    rows = resize_media(d, width=8, height=4).collect()
+    assert all(len(r["payload"]) == 32 and r["width"] == 8 and r["height"] == 4 for r in rows)
+
+
+def test_multimodal_frame_sampling_cardinality(spark):
+    """One payload row must explode to exactly n_frames ordered rows that
+    reassemble to the original payload."""
+    from polars_express_spark.catalog import load_table
+    from polars_express_spark.functions.multimodal import attach_payload, sample_frames
+
+    d = attach_payload(load_table(spark, SF_DIR, "documents")).limit(5)
+    originals = {r["doc_id"]: bytes(r["payload"]) for r in d.collect()}
+    rows = sample_frames(d, n_frames=4).collect()
+    assert len(rows) == 20
+    by_doc: dict[int, list] = {}
+    for r in sorted(rows, key=lambda r: (r["doc_id"], r["frame_no"])):
+        by_doc.setdefault(r["doc_id"], []).append(bytes(r["frame"]))
+    for doc_id, frames in by_doc.items():
+        assert b"".join(frames) == originals[doc_id]
+
+
 def test_multimodal_real_decode_is_stubbed(spark):
     """The real decode path must be a clearly-marked stub (no codecs in
     this environment) while the fake path works end-to-end."""
