@@ -229,21 +229,28 @@ def q_ann_ivf(spark, sf_dir, n_cells: int = 32, probe_cells: int = 4):
     real centroids offline and broadcast them exactly the same way.
 
     Plan shape: centroids are COLLECTED to the driver (n_cells × dim
-    doubles — kilobytes) and baked into the expression tree as literal
-    arrays, so assignment is a per-row argmax over n_cells
-    zip_with/aggregate folds — zero shuffle, no join. Candidates come
-    from the (cell) equi-join of probe lists against inverted lists; at
-    100 TB `cell` is the shuffle/partition key of the stored index.
-    Recall vs brute-force q35 is golden-tested.
+    doubles — kilobytes) and broadcast into an Arrow-batched mapInPandas
+    stage: assignment is one (batch × dim) @ (dim × n_cells) numpy
+    matmul + argsort per batch — zero shuffle, no join (same rationale
+    as the LSH bucketizer: HOF lambdas are interpreted, matmuls are
+    native). The stage emits (vec_id, cell, rank) for the top
+    probe_cells cells; rank 0 is the inverted-list assignment, probes
+    use all ranks. Candidates come from the (cell) equi-join of probe
+    lists against inverted lists; at 100 TB `cell` is the
+    shuffle/partition key of the stored index. Recall vs brute-force q35
+    is golden-tested.
     """
-    import math
+    import numpy as np
+    import pandas as pd
 
     emb = load_table(spark, sf_dir, "embeddings")
     cents = emb.orderBy("vec_id").limit(n_cells).select("embedding").collect()
-    C = [[float(x) for x in r["embedding"]] for r in cents]
-    cnorm = [math.sqrt(sum(x * x for x in c)) or 1.0 for c in C]
+    C = np.array([[float(x) for x in r["embedding"]] for r in cents])
     n_cells = len(C)  # table may be smaller than requested
     probe_cells = min(probe_cells, n_cells)
+    cnorm = np.sqrt((C * C).sum(axis=1))
+    cnorm[cnorm == 0] = 1.0
+    Cn = (C / cnorm[:, None]).T  # dim × n_cells, pre-normalized
 
     vec = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
@@ -254,37 +261,35 @@ def q_ann_ivf(spark, sf_dir, n_cells: int = 32, probe_cells: int = 4):
         ),
     )
 
-    def cell_score(k: int):
-        # cosine up to the row-constant 1/||v|| factor — enough for argmax
-        arr = F.array(*[F.lit(x) for x in C[k]])
-        dot = F.aggregate(
-            F.zip_with("e", arr, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
-        )
-        return dot / F.lit(cnorm[k])
+    def assign(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            E = np.stack(pdf["e"].to_numpy())  # batch × dim
+            scores = E @ Cn  # batch × n_cells (cosine up to row-constant)
+            # argsort desc by score with ascending-cell tie break
+            order = np.lexsort((np.tile(np.arange(n_cells), (len(E), 1)), -scores), axis=1)
+            top = order[:, :probe_cells]
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), probe_cells),
+                    "cell": top.ravel().astype(np.int32),
+                    "rank": np.tile(np.arange(probe_cells, dtype=np.int32), len(E)),
+                }
+            )
 
-    score_structs = F.array(
-        *[
-            F.struct(cell_score(k).alias("s"), F.lit(k).alias("cell"))
-            for k in range(n_cells)
-        ]
+    cells = vec.select("vec_id", "e").mapInPandas(
+        assign, schema="vec_id long, cell int, rank int"
+    ).cache()
+    assigned = cells.where(F.col("rank") == 0).select("vec_id", "cell")
+    probes_cells = cells.where(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"), "cell"
     )
-    # array_sort orders struct fields lexicographically (score, then cell);
-    # reverse → best-first, ties broken deterministically
-    ranked_cells = F.reverse(F.array_sort(score_structs))
-    assigned = vec.select(
-        "vec_id", "e", "n2", F.element_at(ranked_cells, 1)["cell"].alias("cell")
-    )
-    probes_cells = (
-        vec.where(F.col("vec_id") < N_PROBES)
-        .select(
-            F.col("vec_id").alias("probe_id"),
-            F.explode(F.slice(ranked_cells, 1, probe_cells)).alias("pc"),
-        )
-        .select("probe_id", F.col("pc.cell").alias("cell"))
-    )
+    # no distinct needed: each vec has exactly one rank-0 cell and a
+    # probe's top cells are distinct, so a (probe, vec) pair joins once
     cands = (
         F.broadcast(probes_cells)
-        .join(assigned.select("vec_id", "cell"), "cell")
+        .join(assigned, "cell")
         .where(F.col("vec_id") != F.col("probe_id"))
         .select("probe_id", "vec_id")
     )
