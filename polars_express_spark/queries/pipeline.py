@@ -19,7 +19,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from polars_express_spark.catalog import load_table
-from polars_express_spark.queries.registry import query
+from polars_express_spark.queries.registry import ORACLES, query
 
 # --------------------------------------------------------------- exact dedup
 
@@ -446,3 +446,70 @@ def q_simhash(spark, sf_dir, n_bits: int = 16):
         bit = F.when(F.col(f"v{b}") > 0, F.lit(2**b).cast("long")).otherwise(F.lit(0))
         fp = bit if fp is None else fp + bit
     return votes.select("doc_id", fp.alias("simhash")).orderBy("doc_id")
+
+
+# --------------------------------------------------------------- scrubbing
+
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"
+_URL_RE = r"https?://[^ ]+"
+
+
+@query(
+    "q_redact_pii",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_EMAIL_RE}')) AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '{_URL_RE}')) AS INT) AS n_urls,
+           regexp_replace(regexp_replace(text, '{_URL_RE}', '<URL>', 'g'),
+                          '{_EMAIL_RE}', '<EMAIL>', 'g') AS redacted
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q_redact_pii(spark, sf_dir):
+    """PII scrubbing (§2.10 text pipeline): count and redact emails/URLs
+    with pure JVM regex — the standard pre-training scrub pass. Patterns
+    avoid backreferences/lookarounds so Java regex and DuckDB's RE2
+    agree; URL replaced before EMAIL in both engines (order matters when
+    a URL contains an @)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(_EMAIL_RE), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all("text", F.lit(_URL_RE), 0)).alias("n_urls"),
+        F.regexp_replace(
+            F.regexp_replace("text", _URL_RE, "<URL>"), _EMAIL_RE, "<EMAIL>"
+        ).alias("redacted"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "q_lev_verify",
+    oracle=f"""
+    WITH pairs AS ({ORACLES["q_ngram_jaccard"]})
+    SELECT p.a_id, p.b_id, p.jaccard,
+           CAST(levenshtein(substr(da.text, 1, 100), substr(db.text, 1, 100)) AS INT)
+             AS lev100
+    FROM pairs p
+    JOIN documents da ON da.doc_id = p.a_id
+    JOIN documents db ON db.doc_id = p.b_id
+    ORDER BY p.a_id, p.b_id
+    """,
+)
+def q_lev_verify(spark, sf_dir):
+    """Edit-distance verification of near-dup pairs (§2.10): the
+    shingle-jaccard candidates re-scored with levenshtein on bounded
+    100-char prefixes. The truncation bounds the O(m·n) DP per pair —
+    the discipline that keeps edit distance usable as a verify step at
+    scale (never run unbounded levenshtein over a shuffle)."""
+    pairs = q_ngram_jaccard(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, 100).alias("prefix")
+    )
+    a = docs.select(F.col("doc_id").alias("a_id"), F.col("prefix").alias("pa"))
+    b = docs.select(F.col("doc_id").alias("b_id"), F.col("prefix").alias("pb"))
+    return (
+        pairs.join(a, "a_id")
+        .join(b, "b_id")
+        .select("a_id", "b_id", "jaccard", F.levenshtein("pa", "pb").alias("lev100"))
+        .orderBy("a_id", "b_id")
+    )

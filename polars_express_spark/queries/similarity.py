@@ -185,18 +185,13 @@ def q_embed_neardup(spark, sf_dir):
         "vec_id", "label", _ivec("embedding").alias("e")
     ).withColumn("n2", _idot("e", "e").cast("double"))
 
+    from polars_express_spark.operators.salt import salted_join
+
     ids = vec.select("vec_id", "label")
-    a_ids = (
-        ids.select(F.col("vec_id").alias("a_id"), F.col("label").alias("lbl"))
-        .withColumn("tile", F.explode(F.sequence(F.lit(0), F.lit(NEARDUP_TILES - 1))))
-    )
-    b_ids = ids.select(
-        F.col("vec_id").alias("b_id"),
-        F.col("label").alias("lbl"),
-        (F.col("vec_id") % NEARDUP_TILES).cast("int").alias("tile"),
-    )
+    a_ids = ids.select(F.col("vec_id").alias("a_id"), F.col("label").alias("lbl"))
+    b_ids = ids.select(F.col("vec_id").alias("b_id"), F.col("label").alias("lbl"))
     pairs = (
-        a_ids.join(b_ids, ["lbl", "tile"])
+        salted_join(a_ids, b_ids, on=["lbl"], salt_from="b_id", tiles=NEARDUP_TILES)
         .where(F.col("a_id") < F.col("b_id"))
         .select("a_id", "b_id")
     )
