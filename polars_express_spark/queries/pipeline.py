@@ -513,3 +513,49 @@ def q_lev_verify(spark, sf_dir):
         .select("a_id", "b_id", "jaccard", F.levenshtein("pa", "pb").alias("lev100"))
         .orderBy("a_id", "b_id")
     )
+
+
+@query(
+    "q_repetition",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, t[i] || ' ' || t[i+1] AS s
+      FROM toks, unnest(generate_series(1, greatest(len(t) - 1, 0))) g(i)
+    ),
+    cnt AS (SELECT doc_id, s, count(*) AS c FROM sh GROUP BY 1, 2)
+    SELECT doc_id, CAST(max(c) AS BIGINT) AS top_cnt,
+           CAST(sum(c) AS BIGINT) AS total,
+           CAST(max(c) AS DOUBLE) / sum(c) AS rep_ratio
+    FROM cnt GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q_repetition(spark, sf_dir):
+    """Repetition-ratio quality filter (§2.10): fraction of a document's
+    word 2-grams taken by its single most frequent 2-gram — the standard
+    boilerplate/looping-text detector in pre-training pipelines (high
+    ratio → templated or repetitive junk). Counts need duplicate
+    shingles, so this builds its own non-distinct 2-gram stream rather
+    than reusing _shingle_arrays."""
+    d = load_table(spark, sf_dir, "documents")
+    tokd = d.select("doc_id", F.split(F.trim("text"), r"\s+").alias("toks"))
+    toks = F.col("toks")
+    idx = F.when(
+        F.size(toks) >= 2, F.sequence(F.lit(1), F.size(toks) - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    sh = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1))
+    )
+    ex = tokd.select("doc_id", F.explode(sh).alias("s"))
+    cnt = ex.groupBy("doc_id", "s").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        cnt.groupBy("doc_id")
+        .agg(
+            F.max("c").alias("top_cnt"),
+            F.sum("c").alias("total"),
+            (F.max("c").cast("double") / F.sum("c")).alias("rep_ratio"),
+        )
+        .orderBy("doc_id")
+    )
