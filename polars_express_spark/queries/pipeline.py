@@ -559,3 +559,20 @@ def q_repetition(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@query("q_stratified_sample")  # xxhash64-keyed → rows-only check + property tests
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic stratified downsampling rollup (§2.10): halve 'en',
+    keep everything else, count survivors per lang. The kept-set is a
+    pure function of (doc_id, seed) — identical on any partitioning or
+    cluster size (tests/test_sampling.py proves the properties)."""
+    from polars_express_spark.operators.sampling import stratified_sample
+
+    d = load_table(spark, sf_dir, "documents")
+    out = stratified_sample(
+        d, "lang", {"en": 0.5}, key_cols=["doc_id"], default_fraction=1.0
+    )
+    return (
+        out.groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept")).orderBy("lang")
+    )

@@ -1,0 +1,48 @@
+"""Deterministic-sampler properties (SURVEY.md §2.10): reproducibility
+under repartitioning, per-stratum fractions, and nested-split subset
+structure — the guarantees df.sample cannot give."""
+
+from __future__ import annotations
+
+from polars_express_spark.catalog import load_table
+from polars_express_spark.operators.sampling import deterministic_sample, stratified_sample
+from tests.conftest import SF_DIR
+
+
+def _ids(df):
+    return {r["doc_id"] for r in df.select("doc_id").collect()}
+
+
+def test_sample_stable_under_repartition(spark):
+    d = load_table(spark, SF_DIR, "documents")
+    a = _ids(deterministic_sample(d, 0.3, ["doc_id"]))
+    b = _ids(deterministic_sample(d.repartition(17), 0.3, ["doc_id"]))
+    assert a == b and a
+
+
+def test_sample_fraction_tolerance(spark):
+    d = load_table(spark, SF_DIR, "documents")
+    n = d.count()
+    kept = len(_ids(deterministic_sample(d, 0.3, ["doc_id"])))
+    assert abs(kept / n - 0.3) < 0.08
+
+
+def test_nested_samples_are_subsets(spark):
+    """Same seed, growing fraction → strictly nested kept-sets (the
+    hash-threshold cut property)."""
+    d = load_table(spark, SF_DIR, "documents")
+    s10 = _ids(deterministic_sample(d, 0.1, ["doc_id"]))
+    s30 = _ids(deterministic_sample(d, 0.3, ["doc_id"]))
+    assert s10 <= s30
+
+
+def test_stratified_fractions(spark):
+    d = load_table(spark, SF_DIR, "documents")
+    langs = {r["lang"] for r in d.select("lang").distinct().collect()}
+    some_lang = sorted(langs)[0]
+    out = stratified_sample(
+        d, "lang", {some_lang: 1.0}, key_cols=["doc_id"], default_fraction=0.0
+    )
+    got = {r["lang"] for r in out.select("lang").distinct().collect()}
+    assert got == {some_lang}
+    assert out.count() == d.where(d.lang == some_lang).count()
