@@ -119,6 +119,37 @@ class DataLake:
         getattr(writer, fmt)(path)
         return path
 
+    def save_bucketed(
+        self,
+        df: DataFrame,
+        table: str,
+        bucket_by: str,
+        n_buckets: int = 8,
+        mode: str = "overwrite",
+    ) -> str:
+        """Write a BUCKETED parquet table (hash-partitioned into
+        n_buckets files per partition by bucket_by, sorted within).
+
+        This is the co-located join layout: two tables bucketed the same
+        way join WITHOUT a shuffle on either side — at 100 TB that turns
+        the repeated fact⋈fact join from the pipeline's dominant shuffle
+        into a local merge (verified by plan assertion in
+        tests/test_bucketing.py). Bucketed tables must live in the
+        session catalog (bucket metadata has no place in a bare
+        directory), so this registers `table` backed by an external path
+        under the lake.
+        """
+        path = os.path.join(self.base_dir, f"{table}.bucketed.parquet")
+        (
+            df.write.mode(mode)
+            .option("path", path)
+            .bucketBy(n_buckets, bucket_by)
+            .sortBy(bucket_by)
+            .format("parquet")
+            .saveAsTable(table)
+        )
+        return path
+
 
 # columns stored as parquet TIMESTAMP(NANOS); Spark reads them as long
 # nanos (spark.sql.legacy.parquet.nanosAsLong) — convert to µs timestamps,
