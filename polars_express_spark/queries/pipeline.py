@@ -316,8 +316,13 @@ def q_ngram_jaccard(spark, sf_dir):
        counted over every shared shingle, so reported jaccard values are
        exact, not an approximation.
     """
-    t = 0.2
-    d = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def ngram_jaccard_pairs(d, t: float = 0.2):
+    """Core of q_ngram_jaccard over any (doc_id, text) DataFrame —
+    exposed separately so property tests can drive it with arbitrary
+    fixtures (tests/test_property.py)."""
     sh_arr = _shingle_arrays(d)
     sh = _shingles(d)
     rare = sh.join(

@@ -1,0 +1,121 @@
+"""Property-based tests (hypothesis) against pure-Python references —
+randomized inputs for the operators with the trickiest edge cases:
+shingling/jaccard (empty docs, short docs, repeated words) and the
+as-of join (ties, no-match rows, per-key isolation).
+
+Example counts are deliberately small: each example runs real Spark
+jobs; the value is the randomized edge-case coverage, not volume.
+"""
+
+from __future__ import annotations
+
+import re
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from polars_express_spark.operators.asof import asof_join_backward
+from polars_express_spark.queries.pipeline import ngram_jaccard_pairs
+
+WORDS = ["a", "bb", "ccc", "dog", "cat", "xy"]
+
+doc_strategy = st.lists(
+    st.lists(st.sampled_from(WORDS), min_size=0, max_size=12).map(" ".join),
+    min_size=1,
+    max_size=8,
+)
+
+
+def _py_shingles(text: str, n: int = 3) -> set[str]:
+    toks = re.split(r"\s+", text.strip())
+    if len(toks) < n:
+        return set()
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+def _py_jaccard_pairs(texts: list[str], t: float = 0.2) -> set[tuple[int, int, float]]:
+    sh = {i: _py_shingles(x) for i, x in enumerate(texts)}
+    out = set()
+    for a in range(len(texts)):
+        for b in range(a + 1, len(texts)):
+            if not sh[a] or not sh[b]:
+                continue
+            i = len(sh[a] & sh[b])
+            if i == 0:
+                continue
+            j = i / (len(sh[a]) + len(sh[b]) - i)
+            if j >= t:
+                out.add((a, b, round(j, 6)))
+    return out
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(doc_strategy)
+def test_ngram_jaccard_matches_python_reference(spark, texts):
+    d = spark.createDataFrame(
+        [(i, x) for i, x in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        (r["a_id"], r["b_id"], round(r["jaccard"], 6))
+        for r in ngram_jaccard_pairs(d).collect()
+    }
+    assert got == _py_jaccard_pairs(texts)
+    spark.catalog.clearCache()
+
+
+event_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),  # user
+        st.integers(min_value=0, max_value=20),  # ts (seconds)
+        st.integers(min_value=0, max_value=9),  # value
+    ),
+    min_size=0,
+    max_size=12,
+)
+
+# right side: unique (user, ts) — the operator resolves equal-ts right
+# rows arbitrarily (last() with no further tiebreak), so a reference
+# comparison needs collision-free keys
+right_strategy = st.dictionaries(
+    keys=st.tuples(st.integers(1, 3), st.integers(0, 20)),
+    values=st.integers(0, 9),
+    max_size=12,
+).map(lambda d: [(u, ts, v) for (u, ts), v in d.items()])
+
+
+def _py_asof(lefts, rights):
+    out = []
+    for i, (u, ts) in enumerate(lefts):
+        best = None
+        for ru, rts, rv in rights:
+            if ru == u and rts <= ts and (best is None or rts > best[0]):
+                best = (rts, rv)
+        out.append((i, best[1] if best else None))
+    return out
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(event_strategy, right_strategy)
+def test_asof_backward_matches_python_reference(spark, lefts, rights):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    lrows = [
+        (i, u, t0 + dt.timedelta(seconds=ts)) for i, (u, ts, _) in enumerate(lefts)
+    ]
+    rrows = [
+        (u, t0 + dt.timedelta(seconds=ts), float(v)) for (u, ts, v) in rights
+    ]
+    left = spark.createDataFrame(
+        lrows or [(None, None, None)], "event_id long, user_id long, ts timestamp"
+    ).where("event_id IS NOT NULL")
+    right = spark.createDataFrame(
+        rrows or [(None, None, None)], "user_id long, ts timestamp, value double"
+    ).where("user_id IS NOT NULL")
+    joined = asof_join_backward(left, right, on="ts", by="user_id", value_cols=["value"])
+    got = {(r["event_id"], r["asof_value"]) for r in joined.collect()}
+    want = {
+        (i, v)
+        for i, v in _py_asof([(u, ts) for (u, ts, _) in lefts], rights)
+    }
+    assert got == want
