@@ -306,13 +306,24 @@ def q24_distinct_rows(spark, sf_dir):
     )
 
 
-@query("q_approx_distinct")  # no oracle: approximate (HLL++) — rows-only check
+@query(
+    "q_approx_distinct",
+    oracle="""
+    SELECT count(DISTINCT o_custkey) AS exact_custs, TRUE AS within_tol
+    FROM orders
+    """,
+)
 def q_approx_distinct(spark, sf_dir):
     """approx_count_distinct (§2.4 Tier G): the 100 TB cardinality path —
-    HyperLogLog++ sketch, one pass, no expand. Golden-tested against the
-    exact count with 5% tolerance in tests/test_pipeline_ops.py."""
+    HyperLogLog++ sketch (rsd=0.01), one pass, no expand. The sketch
+    estimate has no DuckDB twin, so the query returns the exact count
+    plus a bounded-error check (|approx − exact| ≤ 2%·exact) that the
+    oracle asserts as a constant — converting the approximate operator
+    into a hash-checkable row instead of a rows-only entry."""
     o = load_table(spark, sf_dir, "orders")
+    approx = F.approx_count_distinct("o_custkey", rsd=0.01)
+    exact = F.countDistinct("o_custkey")
     return o.agg(
-        F.approx_count_distinct("o_custkey").alias("approx_custs"),
-        F.countDistinct("o_custkey").alias("exact_custs"),
+        exact.alias("exact_custs"),
+        (F.abs(approx - exact) <= F.lit(0.02) * exact).alias("within_tol"),
     )

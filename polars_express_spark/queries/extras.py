@@ -173,13 +173,24 @@ def q_map_fns(spark, sf_dir):
     ).orderBy("event_id")
 
 
-@query("q_percentile_approx")  # approximate (GK sketch) → rows-only check
+@query(
+    "q_percentile_approx",
+    oracle="""
+    SELECT median(l_extendedprice) AS exact_median, TRUE AS within_tol
+    FROM lineitem
+    """,
+)
 def q_percentile_approx(spark, sf_dir):
-    """approx percentile (§2.4 Tier G): the one-pass sketch used instead
-    of exact percentile at 100 TB. Compared against the exact value with
-    tolerance in tests (accuracy 10000 → well under 1% here)."""
+    """approx percentile (§2.4 Tier G): the one-pass GK sketch used
+    instead of exact percentile at 100 TB. The sketch value has no DuckDB
+    twin, so the query returns the exact median plus a bounded-error
+    check (accuracy 10000 → well under the 1% tolerance asserted here)
+    that the oracle replays as a constant — a hash-checkable row instead
+    of a rows-only entry."""
     li = load_table(spark, sf_dir, "lineitem")
+    approx = F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000))
+    exact = F.percentile("l_extendedprice", F.lit(0.5))
     return li.agg(
-        F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000)).alias("approx_median"),
-        F.percentile("l_extendedprice", F.lit(0.5)).alias("exact_median"),
+        exact.alias("exact_median"),
+        (F.abs(approx - exact) <= F.lit(0.01) * exact).alias("within_tol"),
     )
