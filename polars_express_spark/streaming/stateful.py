@@ -99,14 +99,18 @@ def session_stats(
 
 def batch_session_stats(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Batch twin of session_stats (same output schema) — the golden
-    reference: sessionize with a lag/cumsum window instead of state."""
+    reference: sessionize with a lag/cumsum window instead of state.
+
+    Gap compare runs in MICROSECONDS (unix_micros), the same precision
+    the streaming operator uses — a seconds-cast here would sessionize
+    events separated by gap ± sub-second amounts differently between the
+    two formulations."""
     from pyspark.sql import Window as W
 
-    gap_s = gap_minutes * 60
+    gap_us = gap_minutes * 60 * US
     w = W.partitionBy("user_id").orderBy("ts")
-    new_sess = (
-        F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w) > gap_s
-    ).cast("int")
+    ts_us = F.unix_micros(F.col("ts"))
+    new_sess = (ts_us - F.lag(ts_us).over(w) > gap_us).cast("int")
     sess_id = F.sum(F.coalesce(new_sess, F.lit(0))).over(
         W.partitionBy("user_id").orderBy("ts").rowsBetween(W.unboundedPreceding, 0)
     )
