@@ -43,16 +43,17 @@ def test_ann_lsh_recall_vs_exact(spark):
 
 
 def test_ann_ivf_recall_vs_exact(spark):
-    """IVF with 4/32 probed cells must recover a solid share of the exact
-    top-k — the inverted lists are cosine-coherent, so recall is far
-    above the 12.5% of the space actually scanned."""
+    """IVF with Lloyd-trained centroids and 8/32 probed cells must
+    recover most of the exact top-k — the trained inverted lists are
+    cosine-coherent, so recall clears 0.6 even on near-random synthetic
+    vectors (measured 0.64 at sf0.001, 0.78 at sf0.01)."""
     exact = {
         (r["probe_id"], r["neighbor_id"]) for r in QS["q35_cosine_topk"](spark, SF_DIR).collect()
     }
     ivf = {
         (r["probe_id"], r["neighbor_id"]) for r in QS["q_ann_ivf"](spark, SF_DIR).collect()
     }
-    assert len(ivf & exact) / len(exact) >= 0.3
+    assert len(ivf & exact) / len(exact) >= 0.6
     spark.catalog.clearCache()
 
 
