@@ -20,7 +20,7 @@ from dataclasses import dataclass
 from pyspark.sql import functions as F
 
 from polars_express_spark.catalog import DataLake
-from polars_express_spark.sinks import to_json_rows
+from polars_express_spark.sinks import to_json_rows_flagged
 
 
 class BadRequest(ValueError):
@@ -46,7 +46,16 @@ def get_data_preview(lake: DataLake, data_id: str, limit: int = 100) -> list[dic
     callers needing a guaranteed order pass an explicit sort key via the
     delays/queries APIs (SURVEY.md §7.5.1).
     """
-    return to_json_rows(_load(lake, data_id), limit=limit)
+    return get_data_preview_flagged(lake, data_id, limit=limit)[0]
+
+
+def get_data_preview_flagged(
+    lake: DataLake, data_id: str, limit: int = 100
+) -> tuple[list[dict], bool]:
+    """get_data_preview plus the sink's truncation flag (True iff the
+    MAX_SINK_ROWS cap, not the caller's limit, clamped the result) —
+    the HTTP layer's variant, surfaced as the X-Truncated header."""
+    return to_json_rows_flagged(_load(lake, data_id), limit=limit)
 
 
 def get_sorted_delays(
@@ -66,6 +75,17 @@ def get_sorted_delays(
     top-k Polars' optimizer produces for the reference's lazy plan, but
     distributed.
     """
+    return get_sorted_delays_flagged(lake, data_id, descending, limit)[0]
+
+
+def get_sorted_delays_flagged(
+    lake: DataLake,
+    data_id: str,
+    descending: bool = False,
+    limit: int | None = None,
+) -> tuple[list[dict], bool]:
+    """get_sorted_delays plus the sink's truncation flag (see
+    get_data_preview_flagged)."""
     df = _load(lake, data_id)
     delay_cols = [c for c in df.columns if "delay" in c]
     if not delay_cols:
@@ -74,7 +94,7 @@ def get_sorted_delays(
     out = df.orderBy(*order)
     if limit is not None:
         out = out.limit(limit)
-    return to_json_rows(out)
+    return to_json_rows_flagged(out, limit=limit)
 
 
 @dataclass

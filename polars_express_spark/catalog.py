@@ -66,6 +66,23 @@ class DataLake:
         """Reference dataset_exists (src/main.rs:55-57)."""
         return self.dataset_path(data_id) is not None
 
+    def list_datasets(self) -> list[str]:
+        """Sorted ids of every loadable dataset under base_dir — feeds the
+        UI's dataset picker. The reference has no listing route (its page
+        asks users to type ids blind, src/main.rs:374-376); the lake can
+        enumerate with one directory scan, so /datasets is a documented
+        improvement, not a parity gap."""
+        if not os.path.isdir(self.base_dir):
+            return []
+        ids = set()
+        for entry in os.listdir(self.base_dir):
+            stem, dot, ext = entry.rpartition(".")
+            if dot and ext in self.FORMATS and stem:
+                ids.add(stem)
+            elif os.path.isdir(os.path.join(self.base_dir, entry)):
+                ids.add(entry)
+        return sorted(ids)
+
     def load(self, data_id: str, schema=None) -> DataFrame:
         """Lazy scan of a dataset (reference load_dataset, src/main.rs:41-52,
         minus the anti-pattern of eager whole-file parsing).

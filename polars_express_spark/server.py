@@ -8,8 +8,12 @@ can't block the accept loop (the reference knowingly blocks its async
 runtime instead, comment at src/main.rs:265).
 
 Routes and semantics:
-  GET  /                          → tiny index page (stand-in for the
-                                    embedded HTML UI, src/main.rs:337-520)
+  GET  /                          → embedded HTML explorer (ui.py; the
+                                    reference serves its own single-page
+                                    UI the same way, src/main.rs:337-520)
+  GET  /datasets                  → sorted dataset ids in the lake (feeds
+                                    the UI picker; no reference analog —
+                                    its page asks for ids by free text)
   GET  /data/<id>/preview?limit=N → first-N JSON rows (default 100,
                                     src/main.rs:116)
   GET  /data/<id>/delays?sorting=Desc|Asc&limit=N
@@ -19,6 +23,11 @@ Routes and semantics:
   POST /data/<id>/regression      → body {"x_col","y_col"}; response
                                     {"slope","intercept","r2"} with r2
                                     null when SStot=0 (src/main.rs:198-202)
+
+Preview and delays responses carry an X-Truncated header: "true" when
+the MAX_SINK_ROWS cap (sinks.py) clamped the result, "false" when the
+rows are complete — the signal a reference client (which always gets
+whole tables) needs to detect the cap.
 
 Error mapping: BadRequest → 400 like the reference; unknown dataset →
 404 (the reference surfaces its load failure as a 500, src/main.rs:114 —
@@ -35,14 +44,9 @@ from urllib.parse import parse_qs, urlparse
 
 from polars_express_spark import api
 from polars_express_spark.catalog import DataLake
+from polars_express_spark.ui import INDEX_HTML
 
 _DATA_ROUTE = re.compile(r"^/data/([^/]+)/(preview|delays|regression)$")
-
-INDEX_HTML = (
-    "<html><body><h1>polars_express_spark</h1>"
-    "<p>GET /data/&lt;id&gt;/preview · GET /data/&lt;id&gt;/delays · "
-    "POST /data/&lt;id&gt;/regression</p></body></html>"
-)
 
 
 def _make_handler(lake: DataLake):
@@ -51,7 +55,7 @@ def _make_handler(lake: DataLake):
         def log_message(self, fmt, *args):  # noqa: D102
             pass
 
-        def _send(self, code: int, payload, content_type="application/json"):
+        def _send(self, code: int, payload, content_type="application/json", headers=None):
             body = (
                 payload.encode()
                 if isinstance(payload, str)
@@ -60,32 +64,39 @@ def _make_handler(lake: DataLake):
             self.send_response(code)
             self.send_header("Content-Type", content_type)
             self.send_header("Content-Length", str(len(body)))
+            for k, v in (headers or {}).items():
+                self.send_header(k, v)
             self.end_headers()
             self.wfile.write(body)
 
         def _dispatch(self, data_id: str, endpoint: str, params: dict, body: dict | None):
+            """Returns (payload, extra-headers)."""
             if endpoint == "preview":
                 limit = int(params.get("limit", ["100"])[0])
-                return api.get_data_preview(lake, data_id, limit=limit)
+                rows, truncated = api.get_data_preview_flagged(lake, data_id, limit=limit)
+                return rows, {"X-Truncated": "true" if truncated else "false"}
             if endpoint == "delays":
                 sorting = params.get("sorting", [""])[0]
                 limit = params.get("limit", [None])[0]
-                return api.get_sorted_delays(
+                rows, truncated = api.get_sorted_delays_flagged(
                     lake,
                     data_id,
                     descending=sorting.lower() == "desc",
                     limit=int(limit) if limit is not None else None,
                 )
+                return rows, {"X-Truncated": "true" if truncated else "false"}
             # regression
             if not body or "x_col" not in body or "y_col" not in body:
                 raise api.BadRequest("x_col and y_col required")
             r = api.run_regression(lake, data_id, body["x_col"], body["y_col"])
-            return {"slope": r.slope, "intercept": r.intercept, "r2": r.r_squared}
+            return {"slope": r.slope, "intercept": r.intercept, "r2": r.r_squared}, {}
 
         def _handle(self, method: str):
             url = urlparse(self.path)
             if method == "GET" and url.path == "/":
                 return self._send(200, INDEX_HTML, content_type="text/html")
+            if method == "GET" and url.path == "/datasets":
+                return self._send(200, lake.list_datasets())
             m = _DATA_ROUTE.match(url.path)
             if not m:
                 return self._send(404, {"error": "not found"})
@@ -101,14 +112,14 @@ def _make_handler(lake: DataLake):
                 except json.JSONDecodeError:
                     return self._send(400, {"error": "malformed JSON body"})
             try:
-                result = self._dispatch(data_id, endpoint, parse_qs(url.query), body)
+                result, headers = self._dispatch(data_id, endpoint, parse_qs(url.query), body)
             except api.BadRequest as e:
                 return self._send(400, {"error": str(e)})
             except api.NotFound:
                 return self._send(404, {"error": f"dataset {data_id!r} not found"})
             except ValueError as e:
                 return self._send(400, {"error": str(e)})
-            return self._send(200, result)
+            return self._send(200, result, headers=headers)
 
         def do_GET(self):  # noqa: N802
             self._handle("GET")

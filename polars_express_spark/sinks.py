@@ -33,11 +33,27 @@ def to_json_rows(
     the reference's whole-file-then-head (§4.3.1). So the driver never
     materializes more than max_rows rows regardless of caller input.
     """
+    return to_json_rows_flagged(df, limit=limit, max_rows=max_rows)[0]
+
+
+def to_json_rows_flagged(
+    df: DataFrame, limit: int | None = None, max_rows: int = MAX_SINK_ROWS
+) -> tuple[list[dict], bool]:
+    """to_json_rows plus a truncation flag: True iff the cap (not the
+    caller's own limit) cut the result short — i.e. the plan had at least
+    one more row past max_rows that a reference client, which always gets
+    whole tables, would have received. Probed by fetching effective+1
+    rows, so the flag costs one extra row, never a count of the full
+    input. The HTTP layer surfaces it as an X-Truncated response header
+    so clients can tell a complete result from a clamped one.
+    """
     effective = max_rows if limit is None else min(limit, max_rows)
-    df = df.limit(effective)
+    capped = limit is None or limit > max_rows
+    df = df.limit(effective + 1 if capped else effective)
     cols = df.columns
     # Jackson omits null fields; the reference emits explicit nulls
     # (AnyValue::Null → JsonValue::Null, src/main.rs:224) — restore them.
-    return [
+    rows = [
         {c: row.get(c) for c in cols} for row in (json.loads(s) for s in df.toJSON().collect())
     ]
+    return rows[:effective], capped and len(rows) > effective

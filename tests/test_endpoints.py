@@ -83,6 +83,23 @@ def test_sink_row_cap(lake, spark):
     assert len(sinks.to_json_rows(big, limit=50, max_rows=100)) == 50
 
 
+def test_sink_truncation_flag(lake, spark):
+    """The flag fires ONLY when the cap (not the caller's own limit) cut
+    rows off — a caller asking for 50 and getting 50 was not truncated,
+    a caller asking for everything and getting max_rows was."""
+    from polars_express_spark import sinks
+
+    big = spark.range(25_000).withColumnRenamed("id", "some_delay")
+    small = spark.range(40).withColumnRenamed("id", "some_delay")
+    assert sinks.to_json_rows_flagged(big, limit=None, max_rows=100)[1] is True
+    assert sinks.to_json_rows_flagged(big, limit=500, max_rows=100)[1] is True
+    assert sinks.to_json_rows_flagged(big, limit=50, max_rows=100)[1] is False
+    assert sinks.to_json_rows_flagged(small, limit=None, max_rows=100)[1] is False
+    # exactly max_rows rows available: complete, not truncated
+    exact = spark.range(100).withColumnRenamed("id", "some_delay")
+    assert sinks.to_json_rows_flagged(exact, limit=None, max_rows=100)[1] is False
+
+
 def test_delays_400_on_no_delay_column(lake):
     with pytest.raises(api.BadRequest):
         api.get_sorted_delays(lake, "no_delay_cols")

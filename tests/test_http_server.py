@@ -58,6 +58,43 @@ def test_index(base_url):
         assert r.status == 200 and b"polars_express_spark" in r.read()
 
 
+def test_ui_round_trip(base_url):
+    """Drive the explorer page's own fetch paths end-to-end: the served
+    HTML must reference exactly the routes it calls, the /datasets feed
+    must list the fixture lake, and each fetch the page issues (picker
+    load → preview → delays with sort toggle → regression POST) must
+    succeed with the shape the page renders."""
+    with urllib.request.urlopen(base_url + "/") as r:
+        page = r.read().decode()
+    assert r.headers["Content-Type"].startswith("text/html")
+    for path in ("/datasets", "/preview?", "/delays?", "/regression"):
+        assert path in page, f"page lost its {path} fetch path"
+    # 1. picker load
+    status, ids = _get(base_url + "/datasets")
+    assert status == 200 and ids == ["plain", "trains"]
+    # 2. preview (page default limit 20)
+    status, rows = _get(base_url + "/data/trains/preview?limit=20")
+    assert status == 200 and len(rows) == 3
+    # 3. delays with the sort toggle on Desc
+    status, rows = _get(base_url + "/data/trains/delays?sorting=Desc&limit=20")
+    assert status == 200 and [r["train_id"] for r in rows] == ["RE3", "ICE1", "ICE2"]
+    # 4. regression form POST
+    status, reg = _post(
+        base_url + "/data/trains/regression",
+        {"x_col": "departure_delay", "y_col": "arrival_delay"},
+    )
+    assert status == 200 and set(reg) == {"slope", "intercept", "r2"}
+
+
+def test_truncation_header(base_url):
+    """X-Truncated distinguishes a complete result from a capped one:
+    false for the 3-row fixture, and absent on regression (scalar)."""
+    with urllib.request.urlopen(base_url + "/data/trains/preview") as r:
+        assert r.headers["X-Truncated"] == "false"
+    with urllib.request.urlopen(base_url + "/data/trains/delays") as r:
+        assert r.headers["X-Truncated"] == "false"
+
+
 def test_preview(base_url):
     status, rows = _get(base_url + "/data/trains/preview?limit=2")
     assert status == 200 and len(rows) == 2
