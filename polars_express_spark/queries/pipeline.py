@@ -273,10 +273,11 @@ def _verify_jaccard(cand, sh_arr, threshold=0.2):
 HOT_SHINGLE_DF_CAP = 64  # max docs a shingle may appear in to generate candidates
 
 
-@query(
-    "q_ngram_jaccard",
-    oracle="""
-    WITH toks AS (
+# Shared oracle CTE chain producing the exact near-dup pair set
+# (a_id, b_id, jaccard ≥ 0.2) — the q_ngram_jaccard oracle, and the edge
+# input to the clustering/dedup oracles below.
+_JACCARD_PAIRS_CTES = """
+    toks AS (
       SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
     ),
     sh AS (
@@ -289,13 +290,22 @@ HOT_SHINGLE_DF_CAP = 64  # max docs a shingle may appear in to generate candidat
       FROM sh a JOIN sh b USING (s)
       WHERE a.doc_id < b.doc_id
       GROUP BY 1, 2
-    )
-    SELECT a_id, b_id,
-           CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
-    FROM inter
-    JOIN sizes sa ON sa.doc_id = a_id
-    JOIN sizes sb ON sb.doc_id = b_id
-    WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.2
+    ),
+    pairs AS (
+      SELECT a_id, b_id,
+             CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = a_id
+      JOIN sizes sb ON sb.doc_id = b_id
+      WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.2
+    )"""
+
+
+@query(
+    "q_ngram_jaccard",
+    oracle=f"""
+    WITH {_JACCARD_PAIRS_CTES}
+    SELECT a_id, b_id, jaccard FROM pairs
     ORDER BY a_id, b_id
     """,
 )
@@ -641,3 +651,115 @@ def q_stratified_sample(spark, sf_dir):
     return (
         out.groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept")).orderBy("lang")
     )
+
+
+def connected_components(edges, a: str = "a_id", b: str = "b_id", max_iters: int = 25):
+    """Connected components over an undirected edge list by iterative
+    min-label propagation: every node's label converges to the smallest
+    doc_id reachable from it — the canonical cluster id.
+
+    Scale shape: one round = an edge⋈label equi-join plus a
+    groupBy-min (partial→final combine), both on the node key; rounds =
+    graph diameter. Near-dup components are quasi-cliques (a pair at
+    jaccard ≥ t shares most shingles with every other member), so
+    diameters are 1-3 and convergence takes a handful of rounds. Lineage
+    is truncated each round with localCheckpoint — without it the
+    iterated plan grows superlinearly and re-optimizes from scratch every
+    round. The per-round convergence probe is a scalar count (a
+    legitimate iterative-algorithm driver boundary, like the centroid
+    collect in similarity.py). For adversarial long-chain graphs at
+    100 TB the same join machinery runs the large-star/small-star
+    contraction (O(log n) rounds); the dedup graphs this serves never
+    need it.
+    """
+    sym = edges.select(F.col(a).alias("src"), F.col(b).alias("dst")).union(
+        edges.select(F.col(b).alias("src"), F.col(a).alias("dst"))
+    )
+    labels = (
+        sym.select("src")
+        .distinct()
+        .select(F.col("src").alias("node"), F.col("src").alias("label"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        msgs = sym.join(
+            labels.withColumnRenamed("node", "src"), "src"
+        ).select(F.col("dst").alias("node"), "label")
+        new_labels = (
+            labels.union(msgs)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.withColumnRenamed("label", "new_label")
+            .join(labels, "node")
+            .where(F.col("new_label") != F.col("label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+@query(
+    "q_neardup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_JACCARD_PAIRS_CTES},
+    edges AS (
+      SELECT a_id AS src, b_id AS dst FROM pairs
+      UNION ALL
+      SELECT b_id, a_id FROM pairs
+    ),
+    reach(node, root) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node
+    )
+    SELECT node AS doc_id, MIN(root) AS cluster_id
+    FROM reach GROUP BY node ORDER BY doc_id
+    """,
+)
+def q_neardup_clusters(spark, sf_dir):
+    """Near-dup CLUSTERS (§2.10, the stage after pair generation): the
+    q_ngram_jaccard pair graph collapsed to connected components, so a
+    chain a~b~c dedups as ONE group even when (a, c) never met the
+    pairwise threshold. Reuses the memoized pair frame (one candidate
+    pipeline run serves jaccard, lev-verify, clustering, and canonical
+    dedup). Oracle: DuckDB recursive-CTE reachability — min reachable
+    node = component id, the same fixpoint the propagation computes."""
+    return connected_components(_jaccard_pairs_shared(spark, sf_dir)).orderBy("doc_id")
+
+
+@query(
+    "q_dedup_canonical",
+    oracle=f"""
+    WITH RECURSIVE {_JACCARD_PAIRS_CTES},
+    edges AS (
+      SELECT a_id AS src, b_id AS dst FROM pairs
+      UNION ALL
+      SELECT b_id, a_id FROM pairs
+    ),
+    reach(node, root) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    comp AS (SELECT node, MIN(root) AS cluster_id FROM reach GROUP BY node)
+    SELECT d.doc_id FROM documents d
+    WHERE d.doc_id NOT IN (SELECT node FROM comp WHERE node != cluster_id)
+    ORDER BY d.doc_id
+    """,
+)
+def q_dedup_canonical(spark, sf_dir):
+    """Canonical-survivor dedup (§2.10 end-to-end): keep every document
+    that is either untouched by the near-dup graph or the minimum-id
+    member of its cluster — the keep-list a training-data pipeline feeds
+    downstream. Anti-join of the corpus against non-canonical cluster
+    members; at scale the survivor list is exactly the broadcast-able
+    side."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    cc = connected_components(_jaccard_pairs_shared(spark, sf_dir))
+    dropped = cc.where(F.col("cluster_id") != F.col("doc_id")).select("doc_id")
+    return docs.join(dropped, "doc_id", "left_anti").orderBy("doc_id")

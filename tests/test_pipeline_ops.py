@@ -167,3 +167,25 @@ def test_multimodal_real_decode_is_stubbed(spark):
     assert "NotImplementedError" in str(ei.value) or isinstance(
         ei.value, NotImplementedError
     )
+
+
+def test_connected_components_topologies(spark):
+    """Chain (transitivity past the pairwise threshold), triangle,
+    isolated pair, and a node list that skips ids — labels must converge
+    to the min doc_id of each component."""
+    from polars_express_spark.queries.pipeline import connected_components
+
+    edges = spark.createDataFrame(
+        # chain 1-2-3-4, triangle 10-11-12, pair 20-21
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "a_id long, b_id long",
+    )
+    got = {
+        (r["doc_id"], r["cluster_id"])
+        for r in connected_components(edges).collect()
+    }
+    assert got == {
+        (1, 1), (2, 1), (3, 1), (4, 1),
+        (10, 10), (11, 10), (12, 10),
+        (20, 20), (21, 20),
+    }
