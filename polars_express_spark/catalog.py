@@ -39,7 +39,7 @@ TPCH_TABLES = (
 class DataLake:
     """id → path catalog over a base directory (reference src/main.rs:17-39)."""
 
-    FORMATS = ("parquet", "csv", "json")
+    FORMATS = ("parquet", "csv", "json", "orc")
 
     def __init__(self, spark: SparkSession, base_dir: str):
         self.spark = spark
@@ -56,6 +56,7 @@ class DataLake:
             os.path.join(self.base_dir, data_id),
             os.path.join(self.base_dir, f"{data_id}.csv"),
             os.path.join(self.base_dir, f"{data_id}.json"),
+            os.path.join(self.base_dir, f"{data_id}.orc"),
         ]
         for c in candidates:
             if os.path.exists(c):
@@ -106,6 +107,8 @@ class DataLake:
             if schema is not None:
                 reader = reader.schema(schema)
             return reader.json(path)
+        if path.endswith(".orc"):
+            return self.spark.read.orc(path)
         return self.spark.read.parquet(path)
 
     def save(

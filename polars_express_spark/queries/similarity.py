@@ -212,20 +212,21 @@ def q_embed_neardup(spark, sf_dir):
     )
 
 
-# One cached intermediate per (session, sf_dir, params): the ANN
-# bucket/assignment frames are cache()d because two consumers (probe
-# side and candidate join) read them — but a FRESH cache per invocation
-# would stack executor-storage copies over a bench loop or server
-# lifetime. The memo reuses one copy per key (and skips re-training the
-# IVF centroids, which are deterministic per key), mirroring the
-# _PAIR_MEMO pattern in pipeline.py.
+# One materialized intermediate per (session, sf_dir, params): the ANN
+# bucket/assignment frames have two consumers (probe side and candidate
+# join), and a fresh cache per invocation would stack executor-storage
+# copies over a bench loop or server lifetime. localCheckpoint (lazy)
+# instead of cache(): truncates lineage, survives an external
+# spark.catalog.clearCache(), and stands in for the persisted index
+# table of the 100 TB design; it also skips re-training the IVF
+# centroids on repeat calls. Mirrors _PAIR_MEMO in pipeline.py.
 _ANN_MEMO: dict[tuple, object] = {}
 
 
 def _memoized_cached(spark, key: tuple, build):
     full = (spark.sparkContext.applicationId, *key)
     if full not in _ANN_MEMO:
-        _ANN_MEMO[full] = build().cache()
+        _ANN_MEMO[full] = build().localCheckpoint(eager=False)
     return _ANN_MEMO[full]
 
 

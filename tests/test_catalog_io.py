@@ -22,7 +22,7 @@ def _nation(spark):
     return load_table(spark, SF_DIR, "nation")
 
 
-@pytest.mark.parametrize("fmt", ["parquet", "json", "csv"])
+@pytest.mark.parametrize("fmt", ["parquet", "json", "csv", "orc"])
 def test_save_load_roundtrip(spark, lake, fmt):
     n = _nation(spark)
     path = lake.save(n, f"nation_{fmt}", fmt=fmt)
@@ -45,4 +45,4 @@ def test_save_partition_by(spark, lake):
 
 def test_save_rejects_unknown_format(spark, lake):
     with pytest.raises(ValueError):
-        lake.save(_nation(spark), "x", fmt="orc2")
+        lake.save(_nation(spark), "x", fmt="avro")

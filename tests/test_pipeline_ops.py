@@ -172,7 +172,8 @@ def test_multimodal_real_decode_is_stubbed(spark):
 def test_connected_components_topologies(spark):
     """Chain (transitivity past the pairwise threshold), triangle,
     isolated pair, and a node list that skips ids — labels must converge
-    to the min doc_id of each component."""
+    to the min doc_id of each component, and the driver union-find and
+    distributed label-propagation regimes must agree exactly."""
     from polars_express_spark.queries.pipeline import connected_components
 
     edges = spark.createDataFrame(
@@ -180,12 +181,17 @@ def test_connected_components_topologies(spark):
         [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
         "a_id long, b_id long",
     )
-    got = {
-        (r["doc_id"], r["cluster_id"])
-        for r in connected_components(edges).collect()
-    }
-    assert got == {
+    want = {
         (1, 1), (2, 1), (3, 1), (4, 1),
         (10, 10), (11, 10), (12, 10),
         (20, 20), (21, 20),
     }
+    driver = {
+        (r["doc_id"], r["cluster_id"])
+        for r in connected_components(edges).collect()
+    }
+    distributed = {
+        (r["doc_id"], r["cluster_id"])
+        for r in connected_components(edges, driver_threshold=0).collect()
+    }
+    assert driver == want and distributed == want
