@@ -472,24 +472,53 @@ def q_simhash(spark, sf_dir, n_bits: int = 16):
     votes, sign → fingerprint bit. Near-dups differ in few bits (hamming);
     the fingerprint doubles as a blocking key.
 
-    ARRAY-NATIVE, shuffle-free: token hashes are materialized as a
-    per-row array column, and the n_bits bit votes accumulate in ONE
-    aggregate fold with an array<int> accumulator — the whole
-    fingerprint computes per row in codegen'd project stages, the same
-    pattern the minhash signatures use. The old formulation exploded
-    every token and shuffled the full token stream through a 16-aggregate
-    groupBy — at 100 TB that shuffle IS the corpus. Only the final
-    orderBy shuffles now. Equivalence with the exploded formulation is
-    unit-compared in tests/test_pipeline_ops.py.
+    Formulation: explode tokens → hash aggregate of n_bits signed sums
+    per doc. This stays entirely in whole-stage codegen, and the
+    "shuffles the whole token stream" worry is wrong: Spark's hash
+    aggregate COMBINES MAP-SIDE, so the shuffle carries one partial-sum
+    row per (doc × input partition), the same volume as any per-doc
+    groupBy — the explode itself is map-local. The tempting
+    "shuffle-free" alternative (a per-row aggregate fold with an
+    array<int> accumulator, kept as simhash_fingerprints_fold) runs as
+    INTERPRETED HOF lambdas — n_bits expression evals per token outside
+    codegen — and benches 9× slower at sf0.1; the two are
+    equivalence-tested in tests/test_pipeline_ops.py.
     """
     return simhash_fingerprints(load_table(spark, sf_dir, "documents"), n_bits)
 
 
 def simhash_fingerprints(d, n_bits: int = 16):
     """(doc_id, simhash) for docs with ≥1 non-empty token — exposed so
-    tests can drive it with arbitrary fixtures."""
-    # Materialize token + hash arrays as columns before the fold: HOF
-    # lambdas get no common-subexpression elimination (see _shingle_arrays).
+    tests can drive it with arbitrary fixtures. Codegen shape: explode +
+    16-sum hash aggregate (map-side partial combine)."""
+    tok = d.select("doc_id", F.explode(F.split("text", r"\s+")).alias("t")).where(
+        F.col("t") != ""
+    )
+    h = F.xxhash64("t")
+    votes = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(n_bits)
+        ]
+    )
+    fp = None
+    for b in range(n_bits):
+        bit = F.when(F.col(f"v{b}") > 0, F.lit(2**b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        fp = bit if fp is None else fp + bit
+    return votes.select("doc_id", fp.alias("simhash")).orderBy("doc_id")
+
+
+def simhash_fingerprints_fold(d, n_bits: int = 16):
+    """Shuffle-free per-row formulation (array fold over materialized
+    token hashes) — kept as the equivalence-test twin and as
+    documentation of the trade: zero shuffle, but the fold runs as
+    interpreted HOF lambdas (no codegen), measured 9× slower than the
+    exploded hash aggregate at sf0.1. Use only where a shuffle is
+    genuinely unaffordable and CPU is not the bottleneck."""
     tokd = d.select(
         "doc_id", F.filter(F.split("text", r"\s+"), lambda x: x != "").alias("toks")
     ).where(F.size("toks") > 0)
@@ -691,7 +720,11 @@ def connected_components(
     Both regimes produce identical output (unit-compared in
     tests/test_pipeline_ops.py).
     """
-    if edges.limit(driver_threshold + 1).count() <= driver_threshold:
+    # ONE action decides the regime AND fetches the edges when small:
+    # collect at most threshold+1 narrow (a, b) rows — if the limit was
+    # not hit, these are exactly the edge list.
+    rows = edges.select(a, b).limit(driver_threshold + 1).collect()
+    if len(rows) <= driver_threshold:
         id_type = dict(edges.dtypes)[a]
         parent: dict = {}
 
@@ -703,17 +736,18 @@ def connected_components(
                 parent[x], x = root, parent[x]
             return root
 
-        rows = edges.select(a, b).collect()
         for r in rows:
             ra, rb = find(r[a]), find(r[b])
             if ra != rb:
                 parent[max(ra, rb)] = min(ra, rb)
         nodes = {r[a] for r in rows} | {r[b] for r in rows}
         spark = edges.sparkSession
+        # The label table is at most 2·|E| rows of two ids — one
+        # partition, not defaultParallelism's 32 near-empty tasks.
         return spark.createDataFrame(
             [(n, find(n)) for n in sorted(nodes)],
             f"doc_id {id_type}, cluster_id {id_type}",
-        )
+        ).coalesce(1)
     sym = edges.select(F.col(a).alias("src"), F.col(b).alias("dst")).union(
         edges.select(F.col(b).alias("src"), F.col(a).alias("dst"))
     )

@@ -79,39 +79,21 @@ def test_simhash_close_docs_share_prefix(spark):
     assert all(0 <= r["simhash"] < 2**16 for r in rows)
 
 
-def test_simhash_matches_exploded_formulation(spark):
-    """The shuffle-free array fold must produce bit-identical fingerprints
-    to the straightforward explode + 16-aggregate groupBy formulation it
-    replaced (same hashes, same vote signs)."""
-    from pyspark.sql import functions as F
-
+def test_simhash_matches_fold_formulation(spark):
+    """The production exploded hash aggregate and the shuffle-free
+    per-row array fold must produce bit-identical fingerprints (same
+    hashes, same vote signs) — they are the two sides of the
+    codegen-vs-shuffle trade documented in q_simhash."""
     from polars_express_spark.catalog import load_table
-    from polars_express_spark.queries.pipeline import simhash_fingerprints
+    from polars_express_spark.queries.pipeline import (
+        simhash_fingerprints,
+        simhash_fingerprints_fold,
+    )
 
-    n_bits = 16
     d = load_table(spark, SF_DIR, "documents")
-    tok = d.select("doc_id", F.explode(F.split("text", r"\s+")).alias("t")).where(
-        F.col("t") != ""
-    )
-    h = F.xxhash64("t")
-    votes = tok.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"v{b}")
-            for b in range(n_bits)
-        ]
-    )
-    fp = None
-    for b in range(n_bits):
-        bit = F.when(F.col(f"v{b}") > 0, F.lit(2**b).cast("long")).otherwise(F.lit(0))
-        fp = bit if fp is None else fp + bit
-    old = {
-        (r["doc_id"], r["simhash"])
-        for r in votes.select("doc_id", fp.alias("simhash")).collect()
-    }
-    new = {(r["doc_id"], r["simhash"]) for r in simhash_fingerprints(d).collect()}
-    assert new == old and len(new) > 0
+    agg = {(r["doc_id"], r["simhash"]) for r in simhash_fingerprints(d).collect()}
+    fold = {(r["doc_id"], r["simhash"]) for r in simhash_fingerprints_fold(d).collect()}
+    assert agg == fold and len(agg) > 0
 
 
 def test_multimodal_feature_extract(spark):
