@@ -9,12 +9,14 @@ materialization.
 
 The round-3 version was a pair of module-level dicts with no eviction:
 harmless over a bench run, an executor-storage leak over a long server
-lifetime with many datasets (ADVICE r3). This replaces them with one
-LRU-bounded store:
+lifetime with many datasets (ADVICE r3). This is the one LRU-bounded
+store both query families now use:
 
-- keys are scoped to the live ``applicationId``; entries from dead
-  applications are dropped on first access from a new one (test suites
-  and repeated server runs create fresh sessions in one process);
+- each entry remembers the SparkSession that built it; entries whose
+  SparkContext has been STOPPED are dropped on the next access (test
+  suites and repeated server runs create fresh sessions in one
+  process). Entries of other live sessions are left alone, so two
+  concurrent sessions never thrash each other's memos;
 - at most ``capacity`` frames are held; overflow evicts the least
   recently used entry and best-effort ``unpersist()``s it. For
   ``cache()``d frames that frees the storage immediately; for
@@ -23,7 +25,9 @@ LRU-bounded store:
   either way storage is bounded by ``capacity``, not by the number of
   (dataset, params) combinations ever seen;
 - ``release(sf_dir)`` drops every entry for one dataset explicitly
-  (server hook for dataset deletion / reload).
+  (server hook for dataset deletion / reload);
+- all mutation happens under one lock — the stated use case includes a
+  threaded HTTP server, and the eviction loops iterate the store.
 
 persist='checkpoint' → lazy ``localCheckpoint``: truncates lineage and
 survives an external ``spark.catalog.clearCache()`` (the bench issues
@@ -33,32 +37,55 @@ whose lineage is cheap but recompute is not.
 
 from __future__ import annotations
 
+import threading
 from collections import OrderedDict
 from collections.abc import Callable
+
+
+def _is_stopped(spark) -> bool:
+    """True iff the session's SparkContext has been stopped.
+
+    ``SparkContext.stop()`` nulls ``_jsc``; a probe that only reads the
+    attribute never launches jobs and cannot raise on a live context.
+    """
+    try:
+        return spark.sparkContext._jsc is None
+    except Exception:
+        return True
 
 
 class FrameMemo:
     def __init__(self, capacity: int = 24):
         self.capacity = capacity
-        self._entries: OrderedDict[tuple, object] = OrderedDict()
+        self._lock = threading.Lock()
+        #: key -> (DataFrame, owning SparkSession)
+        self._entries: OrderedDict[tuple, tuple] = OrderedDict()
 
     def get(self, spark, key: tuple, build: Callable, persist: str = "checkpoint"):
         app = spark.sparkContext.applicationId
-        for k in [k for k in self._entries if k[0] != app]:
-            self._evict(k)
         full = (app, *key)
-        if full in self._entries:
-            self._entries.move_to_end(full)
-            return self._entries[full]
-        while len(self._entries) >= self.capacity:
-            self._evict(next(iter(self._entries)))
+        with self._lock:
+            # drop only entries whose owning session is actually dead —
+            # concurrent live sessions keep their memos (ADVICE r4)
+            for k, (_, owner) in [(k, v) for k, v in self._entries.items()]:
+                if _is_stopped(owner):
+                    self._evict(k)
+            if full in self._entries:
+                self._entries.move_to_end(full)
+                return self._entries[full][0]
+            while len(self._entries) >= self.capacity:
+                self._evict(next(iter(self._entries)))
+        # build OUTSIDE the lock: plan construction can be slow and may
+        # itself consult the memo (shingle frame feeding the pair frame)
         df = build()
         df = df.localCheckpoint(eager=False) if persist == "checkpoint" else df.cache()
-        self._entries[full] = df
-        return df
+        with self._lock:
+            if full not in self._entries:  # lost a race: keep the first build
+                self._entries[full] = (df, spark)
+            return self._entries[full][0]
 
-    def _evict(self, key: tuple) -> None:
-        df = self._entries.pop(key)
+    def _evict(self, key: tuple) -> None:  # caller holds the lock
+        df, _ = self._entries.pop(key)
         try:
             df.unpersist()
         except Exception:  # session already stopped — nothing to free
@@ -66,9 +93,10 @@ class FrameMemo:
 
     def release(self, token=None) -> None:
         """Drop entries whose key mentions `token` (e.g. an sf_dir); all if None."""
-        for k in list(self._entries):
-            if token is None or token in k:
-                self._evict(k)
+        with self._lock:
+            for k in list(self._entries):
+                if token is None or token in k:
+                    self._evict(k)
 
     def __len__(self) -> int:
         return len(self._entries)

@@ -219,15 +219,14 @@ def q_embed_neardup(spark, sf_dir):
 # instead of cache(): truncates lineage, survives an external
 # spark.catalog.clearCache(), and stands in for the persisted index
 # table of the 100 TB design; it also skips re-training the IVF
-# centroids on repeat calls. Mirrors _PAIR_MEMO in pipeline.py.
-_ANN_MEMO: dict[tuple, object] = {}
+# centroids on repeat calls. Backed by the bounded process-wide LRU in
+# _memo.py (same store as the pipeline pair/shingle frames).
 
 
 def _memoized_cached(spark, key: tuple, build):
-    full = (spark.sparkContext.applicationId, *key)
-    if full not in _ANN_MEMO:
-        _ANN_MEMO[full] = build().localCheckpoint(eager=False)
-    return _ANN_MEMO[full]
+    from polars_express_spark.queries._memo import FRAMES
+
+    return FRAMES.get(spark, key, build, persist="checkpoint")
 
 
 def train_ivf_centroids(emb, n_cells: int, n_iters: int = 3):

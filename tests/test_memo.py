@@ -1,0 +1,71 @@
+"""FrameMemo (queries/_memo.py): the bounded LRU behind the pipeline
+pair/shingle frames and the ANN index frames. The properties under test
+are exactly the ADVICE r3/r4 defects: storage must not grow
+monotonically over many (dataset, params) keys, dead-session entries
+must be swept, and live sessions must never evict each other.
+"""
+
+from __future__ import annotations
+
+from types import SimpleNamespace
+
+from polars_express_spark.queries._memo import FrameMemo
+
+
+def test_memo_is_bounded_and_lru(spark):
+    memo = FrameMemo(capacity=3)
+    built = []
+
+    def make(i):
+        def build():
+            built.append(i)
+            return spark.range(i + 1)
+
+        return build
+
+    frames = {}
+    for i in range(10):  # cycle many keys: storage must stay ≤ capacity
+        frames[i] = memo.get(spark, ("ds", i), make(i), persist="cache")
+    assert len(memo) == 3
+    assert built == list(range(10))
+    # evicted frames are unpersisted; survivors keep their storage plan
+    assert frames[0].storageLevel.useMemory is False
+    assert frames[9].storageLevel.useMemory is True
+    # hit does not rebuild and refreshes recency
+    memo.get(spark, ("ds", 7), make(7), persist="cache")
+    assert built == list(range(10))
+    memo.get(spark, ("ds", 10), make(10), persist="cache")  # evicts LRU (8)
+    assert frames[8].storageLevel.useMemory is False
+    assert frames[7].storageLevel.useMemory is True
+    memo.release()
+
+
+def test_memo_release_by_token(spark):
+    memo = FrameMemo(capacity=8)
+    a = memo.get(spark, ("sf_a", 1), lambda: spark.range(1), persist="cache")
+    b = memo.get(spark, ("sf_b", 1), lambda: spark.range(2), persist="cache")
+    memo.release("sf_a")
+    assert len(memo) == 1 and a.storageLevel.useMemory is False
+    assert b.storageLevel.useMemory is True
+    memo.release()
+    assert len(memo) == 0
+
+
+def test_memo_sweeps_dead_sessions_only(spark):
+    """Entries owned by a STOPPED context are dropped on the next access;
+    entries owned by a different LIVE session are left alone (the r4
+    advice: no cross-session memo thrash)."""
+    memo = FrameMemo(capacity=8)
+    live = memo.get(spark, ("mine", 1), lambda: spark.range(3), persist="cache")
+
+    dead_owner = SimpleNamespace(sparkContext=SimpleNamespace(_jsc=None))
+    other_live = SimpleNamespace(sparkContext=SimpleNamespace(_jsc=object()))
+    memo._entries[("appDead", "theirs", 1)] = (spark.range(4), dead_owner)
+    memo._entries[("appLive", "theirs", 2)] = (spark.range(5), other_live)
+
+    got = memo.get(spark, ("mine", 1), lambda: spark.range(99), persist="cache")
+    assert got is live  # cached hit, not rebuilt
+    keys = set(memo._entries)
+    assert ("appDead", "theirs", 1) not in keys  # dead swept
+    assert ("appLive", "theirs", 2) in keys  # live peer kept
+    memo.release()
