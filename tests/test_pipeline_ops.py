@@ -19,26 +19,38 @@ def _pairs(df, a="a_id", b="b_id"):
 def test_minhash_lsh_recall_vs_exact(spark):
     """LSH candidates + verify must recover a solid share of the exact
     n-gram jaccard pairs (same ≥0.2 threshold) and introduce nothing
-    below the verification threshold (precision = 1 by construction)."""
+    below the verification threshold (precision = 1 by construction).
+    The registered q_minhash_lsh reports the same bounds as a 1-row
+    driver invariant — it must agree."""
+    from polars_express_spark.queries.pipeline import minhash_lsh_pairs
+
     exact = _pairs(QS["q_ngram_jaccard"](spark, SF_DIR))
-    lsh = _pairs(QS["q_minhash_lsh"](spark, SF_DIR))
+    lsh = _pairs(minhash_lsh_pairs(spark, SF_DIR))
     assert lsh <= exact, "verify step must eliminate sub-threshold pairs"
     if exact:
         recall = len(lsh & exact) / len(exact)
         assert recall >= 0.5, f"LSH recall too low: {recall:.2f} over {len(exact)} pairs"
+    row = QS["q_minhash_lsh"](spark, SF_DIR).collect()[0]
+    assert row["n_exact_pairs"] == len(exact)
+    assert row["subset_ok"] is True and row["recall_ok"] is True
 
 
 def test_ann_lsh_recall_vs_exact(spark):
     """Bucketed ANN must agree with brute force on a reasonable share of
     (probe, neighbor) hits. 8 hyperplanes on 500 docs is coarse — the
-    bound is deliberately loose; exactness lives in q35."""
+    bound is deliberately loose; exactness lives in q35. The registered
+    q_ann_lsh reports the same bound as a 1-row driver invariant."""
+    from polars_express_spark.queries.similarity import ann_lsh_topk
+
     exact = {
         (r["probe_id"], r["neighbor_id"]) for r in QS["q35_cosine_topk"](spark, SF_DIR).collect()
     }
     ann = {
-        (r["probe_id"], r["neighbor_id"]) for r in QS["q_ann_lsh"](spark, SF_DIR).collect()
+        (r["probe_id"], r["neighbor_id"]) for r in ann_lsh_topk(spark, SF_DIR).collect()
     }
-    assert len(ann & exact) / len(exact) >= 0.1
+    assert len(ann & exact) / len(exact) >= 0.2
+    row = QS["q_ann_lsh"](spark, SF_DIR).collect()[0]
+    assert row["n_exact_topk"] == len(exact) and row["recall_ok"] is True
     spark.catalog.clearCache()
 
 
@@ -46,14 +58,19 @@ def test_ann_ivf_recall_vs_exact(spark):
     """IVF with Lloyd-trained centroids and 8/32 probed cells must
     recover most of the exact top-k — the trained inverted lists are
     cosine-coherent, so recall clears 0.6 even on near-random synthetic
-    vectors (measured 0.64 at sf0.001, 0.78 at sf0.01)."""
+    vectors (measured 0.64 at sf0.001, 0.78 at sf0.01). The registered
+    q_ann_ivf reports the same bound as a 1-row driver invariant."""
+    from polars_express_spark.queries.similarity import ann_ivf_topk
+
     exact = {
         (r["probe_id"], r["neighbor_id"]) for r in QS["q35_cosine_topk"](spark, SF_DIR).collect()
     }
     ivf = {
-        (r["probe_id"], r["neighbor_id"]) for r in QS["q_ann_ivf"](spark, SF_DIR).collect()
+        (r["probe_id"], r["neighbor_id"]) for r in ann_ivf_topk(spark, SF_DIR).collect()
     }
     assert len(ivf & exact) / len(exact) >= 0.6
+    row = QS["q_ann_ivf"](spark, SF_DIR).collect()[0]
+    assert row["n_exact_topk"] == len(exact) and row["recall_ok"] is True
     spark.catalog.clearCache()
 
 
@@ -68,15 +85,29 @@ def test_percentile_approx_tolerance(spark):
 
 
 def test_fingerprint_deterministic(spark):
-    a = {(r["fingerprint"], r["keep_doc"]) for r in QS["q_fingerprint"](spark, SF_DIR).collect()}
-    b = {(r["fingerprint"], r["keep_doc"]) for r in QS["q_fingerprint"](spark, SF_DIR).collect()}
+    a = {(r["keep_doc"], r["n_docs"]) for r in QS["q_fingerprint"](spark, SF_DIR).collect()}
+    b = {(r["keep_doc"], r["n_docs"]) for r in QS["q_fingerprint"](spark, SF_DIR).collect()}
     assert a == b and len(a) > 0
 
 
-def test_simhash_close_docs_share_prefix(spark):
-    """Sanity: simhash is 16 bits here; identical texts → identical hash."""
-    rows = QS["q_simhash"](spark, SF_DIR).collect()
-    assert all(0 <= r["simhash"] < 2**16 for r in rows)
+def test_simhash_invariants(spark):
+    """16-bit fingerprints in range, and near-dup pairs' fingerprints
+    differ in at most half the bits (similarity preservation) — the same
+    bounds the registered 1-row q_simhash invariant reports."""
+    from polars_express_spark.catalog import load_table
+    from polars_express_spark.queries.pipeline import simhash_fingerprints
+
+    d = load_table(spark, SF_DIR, "documents")
+    rows = simhash_fingerprints(d).collect()
+    assert len(rows) > 0 and all(0 <= r["simhash"] < 2**16 for r in rows)
+    inv = QS["q_simhash"](spark, SF_DIR).collect()[0]
+    assert inv["n_docs"] == len(rows)
+    assert inv["ham_ok"] is True and inv["range_ok"] is True
+
+
+def test_stratified_sample_invariant_row(spark):
+    rows = QS["q_stratified_sample"](spark, SF_DIR).collect()
+    assert len(rows) > 0 and all(r["kept_ok"] is True for r in rows)
 
 
 def test_simhash_matches_fold_formulation(spark):
