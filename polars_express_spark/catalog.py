@@ -171,27 +171,35 @@ class DataLake:
         return path
 
 
-# columns stored as parquet TIMESTAMP(NANOS); Spark reads them as long
-# nanos (spark.sql.legacy.parquet.nanosAsLong) — convert to µs timestamps,
-# truncating exactly like DuckDB's TIMESTAMP_NS → TIMESTAMP coercion.
-_NANOS_TS_COLS = {"events": ("ts",)}
+# Timestamp columns that must be normalized to session-tz TIMESTAMP.
+# Generations of the driver testdata have carried two physical forms:
+# parquet TIMESTAMP(NANOS) (readable only as long nanos via
+# spark.sql.legacy.parquet.nanosAsLong → convert ts div 1000 to µs,
+# truncating exactly like DuckDB's TIMESTAMP_NS → TIMESTAMP coercion)
+# and plain TIMESTAMP(MICROS) isAdjustedToUTC=false (read as
+# TIMESTAMP_NTZ → cast; lossless under the UTC session timezone, and
+# required because downstream epoch math casts ts to long, which Spark
+# forbids on NTZ).
+_NORMALIZE_TS_COLS = {"events": ("ts",)}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver-generated table (TESTDATA.md) lazily.
 
-    Session-independent: the events table is written with parquet
-    TIMESTAMP(NANOS), which vanilla Spark rejects (PARQUET_TYPE_ILLEGAL).
-    ``spark.sql.legacy.parquet.nanosAsLong`` is runtime-settable, so set it
-    here rather than relying on how the session was built.
+    Session-independent: ``nanosAsLong`` is runtime-settable, so set it
+    here rather than relying on how the session was built; the ts
+    normalization dispatches on the type the scan actually produced.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    for col in _NANOS_TS_COLS.get(name, ()):
-        if isinstance(df.schema[col].dataType, T.LongType):
+    for col in _NORMALIZE_TS_COLS.get(name, ()):
+        dt = df.schema[col].dataType
+        if isinstance(dt, T.LongType):
             df = df.withColumn(
                 col, F.timestamp_micros(F.expr(f"`{col}` div 1000").cast("long"))
             )
+        elif isinstance(dt, T.TimestampNTZType):
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 

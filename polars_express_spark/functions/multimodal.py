@@ -7,10 +7,14 @@ mapInPandas operators; partitioning/shuffles move only the bytes they
 must).
 
 The decode step (real JPEG/audio decoding) needs native libraries that
-are NOT in this environment, so it is stubbed: `decode_media(...,
-real_decode=True)` raises NotImplementedError where libjpeg/ffmpeg would
-be called, and the default deterministic fake derives metadata purely
-from the payload bytes. Everything around the stub — schema, Arrow batch
+are NOT in this environment: probed in round 5 — PIL/Pillow, av, cv2,
+imageio, soundfile, librosa are ALL absent (`import` fails for each).
+`decode_media(..., real_decode=True)` therefore probes for Pillow at
+call time: if a future environment provides it, payloads decode through
+`PIL.Image` inside the same Arrow-batched operator; in this sandbox the
+probe fails and the call raises NotImplementedError where libjpeg would
+be invoked. The default deterministic fake derives metadata purely from
+the payload bytes. Everything around the stub — schema, Arrow batch
 iteration, column plumbing — is real and oracle-tested (q_multimodal_meta
 replays the fake's arithmetic in DuckDB SQL over the same bytes).
 """
@@ -43,10 +47,28 @@ def decode_media(df: DataFrame, real_decode: bool = False) -> DataFrame:
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if real_decode:
-                raise NotImplementedError(
-                    "real media decode requires image/audio codecs not present "
-                    "in this environment; plug a decoder in here"
+                try:
+                    import io
+
+                    from PIL import Image  # probed: absent in this sandbox
+                except ImportError as e:
+                    raise NotImplementedError(
+                        "real media decode requires image codecs (Pillow) not "
+                        f"present in this environment ({e}); the fake-decode "
+                        "path exercises identical plumbing"
+                    ) from e
+                metas = []
+                for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                    img = Image.open(io.BytesIO(payload))
+                    metas.append(
+                        (doc_id, len(payload), img.width, img.height, len(img.getbands()))
+                    )
+                yield pd.DataFrame(
+                    metas, columns=["doc_id", "byte_len", "width", "height", "channels"]
+                ).astype(
+                    {"byte_len": "int32", "width": "int32", "height": "int32", "channels": "int32"}
                 )
+                continue
             byte_len = pdf["payload"].map(len)
             yield pd.DataFrame(
                 {

@@ -19,26 +19,27 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# Schema for streaming reads of the driver's events parquet (streaming
-# sources require a declared schema; ts arrives as TIMESTAMP(NANOS) →
-# long, converted exactly like catalog.load_table).
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType(), False),
-        T.StructField("ts", T.LongType(), True),
-        T.StructField("user_id", T.LongType(), True),
-        T.StructField("event_type", T.StringType(), True),
-        T.StructField("value", T.DoubleType(), True),
-        T.StructField("props", T.StringType(), True),
-    ]
-)
-
-
 def stream_events(spark: SparkSession, path: str) -> DataFrame:
     """readStream over a parquet directory of events files; each new file
-    becomes a micro-batch (the local stand-in for kafka)."""
-    raw = spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(path)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000").cast("long")))
+    becomes a micro-batch (the local stand-in for kafka).
+
+    Streaming sources require a declared schema; take it from a static
+    footer read of the same path (one metadata-only job, no data scan)
+    so the ts physical form — TIMESTAMP(NANOS)-as-long in older driver
+    testdata, TIMESTAMP_NTZ(µs) in current — is normalized to session-tz
+    TIMESTAMP exactly like catalog.load_table, keeping the streaming and
+    batch sides of the golden equality tests on identical inputs."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(path).schema
+    raw = spark.readStream.schema(schema).parquet(path)
+    ts_type = schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):
+        return raw.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000").cast("long"))
+        )
+    if isinstance(ts_type, T.TimestampNTZType):
+        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def tumbling_counts(

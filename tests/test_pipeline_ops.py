@@ -55,11 +55,12 @@ def test_ann_lsh_recall_vs_exact(spark):
 
 
 def test_ann_ivf_recall_vs_exact(spark):
-    """IVF with Lloyd-trained centroids and 8/32 probed cells must
+    """IVF with Lloyd-trained centroids and 16/64 probed cells must
     recover most of the exact top-k — the trained inverted lists are
-    cosine-coherent, so recall clears 0.6 even on near-random synthetic
-    vectors (measured 0.64 at sf0.001, 0.78 at sf0.01). The registered
-    q_ann_ivf reports the same bound as a 1-row driver invariant."""
+    cosine-coherent, so recall clears 0.75 even on near-random synthetic
+    vectors (measured 0.80 at sf0.001, 0.84 at sf0.01; deterministic per
+    dataset). The registered q_ann_ivf reports the ≥0.6 driver bound as
+    a 1-row invariant."""
     from polars_express_spark.queries.similarity import ann_ivf_topk
 
     exact = {
@@ -68,9 +69,32 @@ def test_ann_ivf_recall_vs_exact(spark):
     ivf = {
         (r["probe_id"], r["neighbor_id"]) for r in ann_ivf_topk(spark, SF_DIR).collect()
     }
-    assert len(ivf & exact) / len(exact) >= 0.6
+    assert len(ivf & exact) / len(exact) >= 0.75
     row = QS["q_ann_ivf"](spark, SF_DIR).collect()[0]
     assert row["n_exact_topk"] == len(exact) and row["recall_ok"] is True
+    spark.catalog.clearCache()
+
+
+def test_ann_ivf_recall_monotone_in_probe_cells(spark):
+    """More probed lists → nested candidate sets → recall can only rise
+    (a global top-k vector, once a candidate, is outranked by at most
+    k-1 others). Pins the recall-vs-probe_cells curve at 64 cells:
+    measured 0.58/0.80/0.86 at sf0.001, 0.70/0.84/0.90 at sf0.01 for
+    probe_cells 8/16/24."""
+    from polars_express_spark.queries.similarity import ann_ivf_topk
+
+    exact = {
+        (r["probe_id"], r["neighbor_id"]) for r in QS["q35_cosine_topk"](spark, SF_DIR).collect()
+    }
+    recalls = []
+    for pc in (8, 16, 24):
+        found = {
+            (r["probe_id"], r["neighbor_id"])
+            for r in ann_ivf_topk(spark, SF_DIR, n_cells=64, probe_cells=pc).collect()
+        }
+        recalls.append(len(found & exact) / len(exact))
+    assert recalls == sorted(recalls), f"recall not monotone: {recalls}"
+    assert recalls[0] >= 0.5 and recalls[-1] >= 0.8
     spark.catalog.clearCache()
 
 
