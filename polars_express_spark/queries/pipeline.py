@@ -257,16 +257,21 @@ def _shingle_arrays(d, n=3):
 
 
 def _shingle_arrays_shared(spark, sf_dir, n=3):
-    """ONE cached shingle-array frame per (session, dataset): candidate
-    generation, the array-intersect verify, and minhash signatures all
-    read the same InMemoryRelation (the round-3 code built three). At
+    """ONE materialized shingle-array frame per (session, dataset):
+    candidate generation, the array-intersect verify, and minhash
+    signatures all read the same materialization (the round-3 code built
+    three). persist='checkpoint', NOT 'cache': the bench clears the
+    cache between queries, and a clearCache()d InMemoryRelation held by
+    a memo recomputes its child on EVERY reference without re-caching —
+    the minhash plan references this frame four times, so 'cache' turned
+    a 1.5s query into 16s. localCheckpoint blocks survive clearCache. At
     100 TB the same role is played by persisting the shingle table to
     storage between pipeline stages."""
     return FRAMES.get(
         spark,
         ("shingles", sf_dir, n),
         lambda: _shingle_arrays(load_table(spark, sf_dir, "documents"), n),
-        persist="cache",
+        persist="checkpoint",
     )
 
 
