@@ -302,17 +302,21 @@ def _verify_jaccard(cand, sh_arr, threshold=0.2):
 HOT_SHINGLE_DF_CAP = 64  # max docs a shingle may appear in to generate candidates
 
 
-# Shared oracle CTE chain producing the exact near-dup pair set
-# (a_id, b_id, jaccard ≥ 0.2) — the q_ngram_jaccard oracle, and the edge
-# input to the clustering/dedup oracles below.
-_JACCARD_PAIRS_CTES = """
+# Shared oracle CTEs: the distinct 3-shingle relation (doc_id, s) —
+# used by the near-dup pair chain below and by the decontamination
+# oracle — and the chain producing the exact near-dup pair set
+# (a_id, b_id, jaccard ≥ 0.2): the q_ngram_jaccard oracle and the edge
+# input to the clustering/dedup oracles.
+_SHINGLE_CTES = """
     toks AS (
       SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
     ),
     sh AS (
       SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
       FROM toks, unnest(generate_series(1, greatest(len(t) - 2, 0))) g(i)
-    ),
+    )"""
+
+_JACCARD_PAIRS_CTES = f"""{_SHINGLE_CTES},
     sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
     inter AS (
       SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
@@ -834,17 +838,21 @@ def connected_components(
       path-compressed union-find is O(|E| α) and avoids paying a
       multi-job Spark round per propagation step for a graph that fits
       in one hand.
-    - |E| > driver_threshold → distributed min-label propagation: one
-      round = an edge⋈label equi-join plus a groupBy-min
-      (partial→final combine), both on the node key; rounds = graph
-      diameter. Near-dup components are quasi-cliques, so diameters are
-      1-3. Lineage is truncated each round with localCheckpoint —
-      without it the iterated plan grows superlinearly and re-optimizes
-      from scratch every round. If the loop hits max_iters with labels
-      still changing it RAISES rather than returning unconverged labels
-      (an adversarial long-chain graph would otherwise get silently
-      wrong clusters); such graphs want a bigger max_iters or an
-      alternating large-star/small-star pre-contraction.
+    - |E| > driver_threshold → distributed min-label propagation WITH
+      POINTER JUMPING: one round = (1) neighbor-min — an edge⋈label
+      equi-join plus a groupBy-min (partial→final combine), both on the
+      node key — and (2) label ← min(label, label[label]) — one more
+      node-keyed self-join. The jump doubles the distance a minimum has
+      travelled each round, so rounds = O(log diameter), not diameter:
+      a 10⁶-long adversarial chain converges in ~20 rounds where plain
+      propagation needs 10⁶ (near-dup quasi-cliques still finish in
+      2-3). Labels only ever decrease and always name a reachable node,
+      so the fixpoint is exactly the per-component minimum. Lineage is
+      truncated each round with localCheckpoint — without it the
+      iterated plan grows superlinearly and re-optimizes from scratch
+      every round. If the loop still hits max_iters with labels
+      changing (needs diameter > 2^max_iters) it RAISES rather than
+      returning silently wrong clusters.
 
     Both regimes produce identical output (unit-compared in
     tests/test_pipeline_ops.py).
@@ -898,10 +906,24 @@ def connected_components(
         msgs = sym.join(
             labels.withColumnRenamed("node", "src"), "src"
         ).select(F.col("dst").alias("node"), "label")
-        new_labels = (
+        prop = (
             labels.union(msgs)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
+        )
+        # pointer jump: a node's label is always the id of a node in its
+        # own component, so label-of-label is too — taking the min keeps
+        # labels in-component and monotone decreasing while doubling how
+        # far the component minimum has propagated.
+        parents = prop.select(
+            F.col("node").alias("label"), F.col("label").alias("plabel")
+        )
+        new_labels = (
+            prop.join(parents, "label", "left")
+            .select(
+                "node",
+                F.least("label", F.coalesce("plabel", "label")).alias("label"),
+            )
             .localCheckpoint()
         )
         changed = (
@@ -989,3 +1011,61 @@ def q_dedup_canonical(spark, sf_dir):
     cc = connected_components(_jaccard_pairs_shared(spark, sf_dir))
     dropped = cc.where(F.col("cluster_id") != F.col("doc_id")).select("doc_id")
     return docs.join(dropped, "doc_id", "left_anti").orderBy("doc_id")
+
+
+@query(
+    "q_decontaminate",
+    oracle=f"""
+    WITH {_SHINGLE_CTES},
+    bench AS (SELECT doc_id FROM documents WHERE doc_id % 20 = 0),
+    bsh AS (SELECT DISTINCT s FROM sh JOIN bench USING (doc_id)),
+    contaminated AS (
+      SELECT DISTINCT sh.doc_id FROM sh JOIN bsh USING (s)
+      WHERE sh.doc_id NOT IN (SELECT doc_id FROM bench)
+    )
+    SELECT d.lang AS lang, CAST(count(*) AS BIGINT) AS n_total,
+           CAST(sum(CASE WHEN d.doc_id % 20 = 0 THEN 0
+                         WHEN c.doc_id IS NOT NULL THEN 0
+                         ELSE 1 END) AS BIGINT) AS n_clean
+    FROM documents d LEFT JOIN contaminated c ON c.doc_id = d.doc_id
+    GROUP BY d.lang ORDER BY d.lang
+    """,
+)
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (§2.10, training-data hygiene): drop
+    every corpus document sharing ANY word 3-shingle with a held-out
+    benchmark set (here: doc_id % 20 == 0 stands in for the eval set),
+    the standard n-gram-overlap test-set-leakage filter run before
+    pre-training. Output: per-lang corpus totals and clean-survivor
+    counts (benchmark members themselves are not corpus survivors).
+
+    Scale shape: the benchmark side is TINY relative to the corpus, so
+    its distinct shingle set is the BROADCAST side of the contamination
+    probe — the corpus-side exploded shingles stream past it map-side
+    with no shuffle of the corpus; survivors come from one anti-join on
+    doc_id. Shingles reuse the session-shared materialized frame (one
+    InMemoryRelation serves jaccard, minhash, and decontamination).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    sh_arr = _shingle_arrays_shared(spark, sf_dir)
+    sh = sh_arr.select("doc_id", F.explode("sh").alias("s"))
+    is_bench = F.col("doc_id") % 20 == 0
+    bench_sh = sh.where(is_bench).select("s").distinct()
+    contaminated = (
+        sh.where(~is_bench)
+        .join(F.broadcast(bench_sh), "s", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    clean = (
+        d.where(~is_bench)
+        .join(contaminated, "doc_id", "left_anti")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_clean"))
+    )
+    totals = d.groupBy("lang").agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+    return (
+        totals.join(clean, "lang", "left")
+        .select("lang", "n_total", F.coalesce("n_clean", F.lit(0)).alias("n_clean"))
+        .orderBy("lang")
+    )

@@ -234,21 +234,23 @@ def test_connected_components_topologies(spark):
     assert driver == want and distributed == want
 
 
-def test_connected_components_raises_instead_of_wrong_labels(spark):
-    """A chain whose diameter exceeds max_iters must RAISE on the
-    distributed path, never silently return unconverged labels
-    (VERDICT r3 defect #1); with enough rounds the same graph converges."""
+def test_connected_components_chain_converges_logarithmically(spark):
+    """Adversarial long chain on the distributed path: pointer jumping
+    must converge a 41-node chain (diameter 40) in O(log n) rounds —
+    8 suffice where plain propagation would need 40 — and a max_iters too
+    small to converge must RAISE, never silently return unconverged
+    labels (VERDICT r3 defect #1)."""
     import pytest
 
     from polars_express_spark.queries.pipeline import connected_components
 
     chain = spark.createDataFrame(
-        [(i, i + 1) for i in range(12)], "a_id long, b_id long"
+        [(i, i + 1) for i in range(40)], "a_id long, b_id long"
     )
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(chain, driver_threshold=0, max_iters=3).collect()
+        connected_components(chain, driver_threshold=0, max_iters=2).collect()
     ok = {
         (r["doc_id"], r["cluster_id"])
-        for r in connected_components(chain, driver_threshold=0, max_iters=20).collect()
+        for r in connected_components(chain, driver_threshold=0, max_iters=8).collect()
     }
-    assert ok == {(i, 0) for i in range(13)}
+    assert ok == {(i, 0) for i in range(41)}
