@@ -266,13 +266,21 @@ def _shingle_arrays_shared(spark, sf_dir, n=3):
     the minhash plan references this frame four times, so 'cache' turned
     a 1.5s query into 16s. localCheckpoint blocks survive clearCache. At
     100 TB the same role is played by persisting the shingle table to
-    storage between pipeline stages."""
-    return FRAMES.get(
-        spark,
-        ("shingles", sf_dir, n),
-        lambda: _shingle_arrays(load_table(spark, sf_dir, "documents"), n),
-        persist="checkpoint",
-    )
+    storage between pipeline stages.
+
+    The build repartitions the scan first: the local documents table is
+    ONE parquet file → a 1-partition scan that would otherwise run the
+    whole tokenize/shingle pipeline serially (measured 2.6s → 0.8s at
+    sf0.1 with 32 slots), and the materialized partitioning carries over
+    to every consumer. At 100 TB the scan is naturally thousands of
+    partitions and the exchange is a no-op to remove."""
+
+    def build():
+        d = load_table(spark, sf_dir, "documents")
+        width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        return _shingle_arrays(d.repartition(width, "doc_id"), n)
+
+    return FRAMES.get(spark, ("shingles", sf_dir, n), build, persist="checkpoint")
 
 
 def _verify_jaccard(cand, sh_arr, threshold=0.2):
@@ -576,7 +584,14 @@ def q_simhash(spark, sf_dir, n_bits: int = 16):
     at sf0.1; the two are equivalence-tested in
     tests/test_pipeline_ops.py.
     """
-    fps = simhash_fingerprints(load_table(spark, sf_dir, "documents"), n_bits)
+    width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # repartition: the 1-file local scan would run the token explode
+    # serially (at scale the scan is already wide); localCheckpoint: the
+    # invariant plan references fps three times (doc stats + both pair
+    # sides) and would recompute the aggregate per reference.
+    fps = simhash_fingerprints(
+        load_table(spark, sf_dir, "documents").repartition(width, "doc_id"), n_bits
+    ).localCheckpoint(eager=False)
     doc_stats = fps.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         ((F.min("simhash") >= 0) & (F.max("simhash") < 2**n_bits)).alias("range_ok"),
@@ -758,7 +773,9 @@ def q_repetition(spark, sf_dir):
     ratio → templated or repetitive junk). Counts need duplicate
     shingles, so this builds its own non-distinct 2-gram stream rather
     than reusing _shingle_arrays."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents").repartition(
+        int(spark.conf.get("spark.sql.shuffle.partitions")), "doc_id"
+    )
     tokd = d.select("doc_id", F.split(F.trim("text"), r"\s+").alias("toks"))
     toks = F.col("toks")
     idx = F.when(
