@@ -179,7 +179,19 @@ def q_embed_neardup(spark, sf_dir):
       produced exactly once); only the key distribution changes. The
       Σ block² pair count is inherent to exact within-label all-pairs —
       the approximate path for bigger blocks is q_ann_lsh.
+    - The per-pair dot products run as an Arrow-batched einsum, not a
+      zip_with/aggregate fold: HOF lambdas are interpreted, and Σ block²
+      pairs × dim lambda evals dominated the query (~13M at sf0.1, the
+      whole corpus's worst CPU hot spot). The batch einsum is EXACT and
+      bit-identical to the JVM fold: grid values ≤ 10⁶ ⇒ products
+      ≤ 10¹², dim-64 sums ≤ 6.4×10¹³ — every intermediate is an integer
+      below 2⁵³, so float64 accumulation never rounds regardless of
+      order, and the final sqrt/divide chain is the same IEEE ops in
+      the same order as the oracle's.
     """
+    import numpy as np
+    import pandas as pd
+
     emb = load_table(spark, sf_dir, "embeddings")
     vec = emb.select(
         "vec_id", "label", _ivec("embedding").alias("e")
@@ -197,16 +209,22 @@ def q_embed_neardup(spark, sf_dir):
     )
     va = vec.select(F.col("vec_id").alias("a_id"), F.col("e").alias("ea"), F.col("n2").alias("na2"))
     vb = vec.select(F.col("vec_id").alias("b_id"), F.col("e").alias("eb"), F.col("n2").alias("nb2"))
+    joined = pairs.join(va, "a_id").join(vb, "b_id")
+
+    def batch_cosine(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            A = np.stack(pdf["ea"].to_numpy()).astype(np.float64)
+            B = np.stack(pdf["eb"].to_numpy()).astype(np.float64)
+            dot = np.einsum("ij,ij->i", A, B)
+            cos = dot / (np.sqrt(pdf["na2"].to_numpy()) * np.sqrt(pdf["nb2"].to_numpy()))
+            yield pd.DataFrame(
+                {"a_id": pdf["a_id"], "b_id": pdf["b_id"], "cosine": cos}
+            )
+
     return (
-        pairs.join(va, "a_id")
-        .join(vb, "b_id")
-        .select(
-            "a_id",
-            "b_id",
-            (
-                _idot("ea", "eb").cast("double") / (F.sqrt("na2") * F.sqrt("nb2"))
-            ).alias("cosine"),
-        )
+        joined.mapInPandas(batch_cosine, schema="a_id long, b_id long, cosine double")
         .where(F.col("cosine") >= 0.5)
         .orderBy("a_id", "b_id")
     )
