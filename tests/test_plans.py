@@ -89,3 +89,12 @@ def test_neardup_queries_never_cartesian(spark, name):
     bucket / label+tile), never a materialized cross join."""
     p = plan_of(name, spark)
     assert "CartesianProduct" not in p
+
+
+def test_decontaminate_benchmark_side_broadcasts(spark):
+    """The contamination probe must be a broadcast semi-join of corpus
+    shingles against the (tiny) benchmark shingle set — never a shuffled
+    join of the corpus on shingle strings."""
+    p = plan_of("q_decontaminate", spark)
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
