@@ -1086,3 +1086,56 @@ def q_decontaminate(spark, sf_dir):
         .select("lang", "n_total", F.coalesce("n_clean", F.lit(0)).alias("n_clean"))
         .orderBy("lang")
     )
+
+
+@query(
+    "q_heavy_hitters",
+    oracle="""
+    WITH tok AS (
+      SELECT t.token AS t FROM documents,
+             unnest(string_split_regex(text, '\\s+')) t(token)
+      WHERE t.token <> ''
+    ),
+    cnt AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+    tot AS (SELECT count(*) AS n FROM tok)
+    SELECT CAST((SELECT n FROM tot) AS BIGINT) AS total_tokens,
+           CAST(count(*) AS BIGINT) AS n_true_heavy,
+           TRUE AS all_found
+    FROM cnt WHERE c * 50 > (SELECT n FROM tot)
+    """,
+)
+def q_heavy_hitters(spark, sf_dir):
+    """Token heavy hitters via freqItems (§2.10 sketch family, beside
+    approx_count_distinct and percentile_approx): the single-pass
+    misra-gries-style sketch that finds frequent vocabulary without a
+    full token groupBy — at 100 TB the sketch is a fixed-size map per
+    partition merged partial→final, vs a shuffle of the whole token
+    vocabulary.
+
+    Driver invariant (the sketch is approximate, but one side of it is
+    guaranteed): freqItems admits false POSITIVES yet never false
+    negatives, so every true heavy hitter — tokens with count·50 >
+    total, exact integer comparison so Spark and DuckDB agree on
+    boundaries — must appear in the sketch output. The oracle recomputes
+    the exact truth-set size and total token count; all_found reports
+    the containment. The sketch runs at support 0.018 < 1/50 so its
+    guarantee strictly covers the truth threshold. 30 true heavy
+    hitters at every tested SF — the invariant is not vacuous.
+    """
+    d = load_table(spark, sf_dir, "documents").repartition(
+        int(spark.conf.get("spark.sql.shuffle.partitions")), "doc_id"
+    )
+    tok = d.select(F.explode(F.split("text", r"\s+")).alias("t")).where(
+        F.col("t") != ""
+    )
+    cnt = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    tot = tok.agg(F.count(F.lit(1)).alias("total"))
+    truth = cnt.crossJoin(tot).where(F.col("c") * 50 > F.col("total"))
+    sketch = tok.freqItems(["t"], 0.018).select(F.col("t_freqItems").alias("items"))
+    return truth.crossJoin(F.broadcast(sketch)).agg(
+        F.max("total").cast("bigint").alias("total_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_true_heavy"),
+        F.coalesce(F.min(F.array_contains("items", F.col("t"))), F.lit(True)).alias(
+            "all_found"
+        ),
+    )
