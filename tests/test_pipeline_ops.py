@@ -234,6 +234,46 @@ def test_connected_components_topologies(spark):
     assert driver == want and distributed == want
 
 
+def test_connected_components_regimes_agree_on_random_graphs(spark):
+    """Driver union-find and distributed propagation+jump must produce
+    identical labels on arbitrary topologies — three seeded random
+    graphs with mixed component sizes, including isolated pairs and
+    hubs. (A reference union-find in pure Python is the ground truth.)"""
+    import random
+
+    from polars_express_spark.queries.pipeline import connected_components
+
+    for seed in (7, 23, 99):
+        rng = random.Random(seed)
+        n = 60
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(45)]
+        edges = [(a, b) for a, b in edges if a != b]
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        nodes = {a for a, _ in edges} | {b for _, b in edges}
+        want = {(x, find(x)) for x in nodes}
+
+        df = spark.createDataFrame(edges, "a_id long, b_id long")
+        got_driver = {
+            (r["doc_id"], r["cluster_id"]) for r in connected_components(df).collect()
+        }
+        got_dist = {
+            (r["doc_id"], r["cluster_id"])
+            for r in connected_components(df, driver_threshold=0).collect()
+        }
+        assert got_driver == want and got_dist == want, f"seed {seed}"
+
+
 def test_connected_components_chain_converges_logarithmically(spark):
     """Adversarial long chain on the distributed path: pointer jumping
     must converge a 41-node chain (diameter 40) in O(log n) rounds —
