@@ -54,3 +54,35 @@ def stratified_sample(
     for value, f in sorted(fractions.items()):
         frac = F.when(F.col(strata_col) == value, F.lit(float(f))).otherwise(frac)
     return df.where(_keep(key_cols, frac, seed))
+
+
+def mixture_sample(
+    df: DataFrame,
+    strata_col: str,
+    target_shares: dict[str, float],
+    key_cols: list[str],
+    seed: int = 42,
+) -> DataFrame:
+    """Resample toward a TARGET MIXTURE (domain/language mixing): the
+    keep fraction per stratum is computed FROM THE DATA as
+    min(1, share·N_total / n_stratum), so over-represented strata are
+    downsampled toward their target share and under-represented ones are
+    kept whole (this operator never upsamples — use it to cap dominant
+    domains, not to duplicate rare ones).
+
+    Scale shape: one small aggregate (per-stratum counts + grand total)
+    broadcast-joined back onto the corpus, then the same deterministic
+    hash filter as every sampler here — no corpus shuffle, reproducible
+    on any partitioning, and nested-split composable at fixed seed.
+    """
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("__n_stratum"))
+    total = df.agg(F.count(F.lit(1)).alias("__n_corpus"))
+    share = F.lit(0.0)
+    for value, s in sorted(target_shares.items()):
+        share = F.when(F.col(strata_col) == value, F.lit(float(s))).otherwise(share)
+    frac_tbl = counts.crossJoin(total).select(
+        strata_col,
+        F.least(F.lit(1.0), share * F.col("__n_corpus") / F.col("__n_stratum")).alias("__frac"),
+    )
+    out = df.join(F.broadcast(frac_tbl), strata_col)
+    return out.where(_keep(key_cols, F.col("__frac"), seed)).drop("__frac")

@@ -1139,3 +1139,42 @@ def q_heavy_hitters(spark, sf_dir):
             "all_found"
         ),
     )
+
+
+@query(
+    "q_domain_mix",
+    oracle="""
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_total, TRUE AS kept_ok
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+)
+def q_domain_mix(spark, sf_dir):
+    """Domain-mixture resampling (§2.10, the stage after per-stratum
+    sampling): cap every language at a TARGET SHARE of the corpus —
+    en at 25%, the rest at 18.75% each — with keep fractions computed
+    from the data (min(1, share·N/n_lang)), the standard dominant-domain
+    cap in pre-training mixes. Hash-keyed like every sampler here, so no
+    SQL oracle can replay WHICH rows survive; the driver row reports
+    per-lang totals (oracle-recomputed) plus a binomial bound: kept
+    within 4σ of frac·n (σ² = frac(1-frac)n), exact equality where
+    frac = 1 (under-represented langs are never upsampled)."""
+    from polars_express_spark.operators.sampling import mixture_sample
+
+    d = load_table(spark, sf_dir, "documents")
+    shares = {"en": 0.25, "de": 0.1875, "es": 0.1875, "fr": 0.1875, "zh": 0.1875}
+    out = mixture_sample(d, "lang", shares, key_cols=["doc_id"])
+    kept = out.groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept"))
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+    total = d.agg(F.count(F.lit(1)).alias("n_corpus"))
+    share = F.lit(0.0)
+    for value, s in sorted(shares.items()):
+        share = F.when(F.col("lang") == value, F.lit(float(s))).otherwise(share)
+    frac = F.least(F.lit(1.0), share * F.col("n_corpus") / F.col("n_total"))
+    tol = F.lit(4) * F.sqrt(frac * (F.lit(1.0) - frac) * F.col("n_total")) + F.lit(2)
+    kept_ok = F.abs(F.col("n_kept") - frac * F.col("n_total")) <= tol
+    return (
+        counts.crossJoin(total)
+        .join(kept, "lang", "left")
+        .select("lang", "n_total", F.coalesce(kept_ok, F.lit(False)).alias("kept_ok"))
+        .orderBy("lang")
+    )

@@ -5,6 +5,7 @@ structure — the guarantees df.sample cannot give."""
 from __future__ import annotations
 
 from polars_express_spark.catalog import load_table
+from pyspark.sql import functions as F
 from polars_express_spark.operators.sampling import deterministic_sample, stratified_sample
 from tests.conftest import SF_DIR
 
@@ -46,3 +47,31 @@ def test_stratified_fractions(spark):
     got = {r["lang"] for r in out.select("lang").distinct().collect()}
     assert got == {some_lang}
     assert out.count() == d.where(d.lang == some_lang).count()
+
+
+def test_mixture_sample_caps_dominant_keeps_rare(spark):
+    """Domain mixing: over-represented strata shrink toward their target
+    share; strata already under target are kept WHOLE (never upsampled);
+    the kept-set is partition-independent."""
+    from polars_express_spark.operators.sampling import mixture_sample
+
+    d = load_table(spark, SF_DIR, "documents")
+    shares = {"en": 0.25, "de": 0.1875, "es": 0.1875, "fr": 0.1875, "zh": 0.1875}
+    out = mixture_sample(d, "lang", shares, key_cols=["doc_id"])
+    tot = {r["lang"]: r["n"] for r in d.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    kept = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    n_corpus = sum(tot.values())
+    for lang, n in tot.items():
+        if n <= shares[lang] * n_corpus:  # under target → untouched
+            assert kept.get(lang) == n, lang
+        else:  # over target → capped near share·N
+            expect = shares[lang] * n_corpus
+            assert abs(kept[lang] - expect) <= 4 * (expect * (1 - expect / n)) ** 0.5 + 2, lang
+    a = {r["doc_id"] for r in out.select("doc_id").collect()}
+    b = {
+        r["doc_id"]
+        for r in mixture_sample(
+            d.repartition(17), "lang", shares, key_cols=["doc_id"]
+        ).select("doc_id").collect()
+    }
+    assert a == b
