@@ -62,6 +62,7 @@ def mixture_sample(
     target_shares: dict[str, float],
     key_cols: list[str],
     seed: int = 42,
+    default_share: float | None = None,
 ) -> DataFrame:
     """Resample toward a TARGET MIXTURE (domain/language mixing): the
     keep fraction per stratum is computed FROM THE DATA as
@@ -70,19 +71,52 @@ def mixture_sample(
     kept whole (this operator never upsamples — use it to cap dominant
     domains, not to duplicate rare ones).
 
+    Strata NOT listed in target_shares (including a NULL stratum) are
+    kept whole unless default_share is given, in which case they are
+    capped at that share like a listed stratum — absence from the target
+    mix never silently deletes a domain.
+
     Scale shape: one small aggregate (per-stratum counts + grand total)
-    broadcast-joined back onto the corpus, then the same deterministic
-    hash filter as every sampler here — no corpus shuffle, reproducible
-    on any partitioning, and nested-split composable at fixed seed.
+    broadcast-joined back onto the corpus (NULL-safe, so NULL strata
+    rows keep their fraction too), then the same deterministic hash
+    filter as every sampler here — no corpus shuffle, reproducible on
+    any partitioning, and nested-split composable at fixed seed.
     """
+    ft = mixture_keep_fractions(df, strata_col, target_shares, default_share)
+    ft = ft.select(F.col(strata_col).alias("__stratum"), "__frac")
+    out = df.join(
+        F.broadcast(ft), F.col(strata_col).eqNullSafe(F.col("__stratum")), "left"
+    )
+    frac = F.coalesce("__frac", F.lit(1.0))
+    return out.where(_keep(key_cols, frac, seed)).drop("__stratum", "__frac")
+
+
+def mixture_keep_fractions(
+    df: DataFrame,
+    strata_col: str,
+    target_shares: dict[str, float],
+    default_share: float | None = None,
+) -> DataFrame:
+    """The per-stratum keep-fraction table mixture_sample filters with:
+    (strata_col, __n_stratum, __frac) where __frac = min(1,
+    share·N_total / n_stratum) for listed strata, and 1.0 (or the
+    default_share formula) for unlisted ones. Exposed so invariant
+    checks (q_domain_mix) evaluate the SAME fraction expression the
+    sampler applied — no copy-paste drift."""
     counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("__n_stratum"))
     total = df.agg(F.count(F.lit(1)).alias("__n_corpus"))
-    share = F.lit(0.0)
+    share = F.lit(-1.0)  # sentinel: stratum not listed
     for value, s in sorted(target_shares.items()):
         share = F.when(F.col(strata_col) == value, F.lit(float(s))).otherwise(share)
-    frac_tbl = counts.crossJoin(total).select(
-        strata_col,
-        F.least(F.lit(1.0), share * F.col("__n_corpus") / F.col("__n_stratum")).alias("__frac"),
+
+    def capped(s: Column) -> Column:
+        return F.least(F.lit(1.0), s * F.col("__n_corpus") / F.col("__n_stratum"))
+
+    unlisted = (
+        F.lit(1.0) if default_share is None else capped(F.lit(float(default_share)))
     )
-    out = df.join(F.broadcast(frac_tbl), strata_col)
-    return out.where(_keep(key_cols, F.col("__frac"), seed)).drop("__frac")
+    return counts.crossJoin(total).select(
+        strata_col,
+        "__n_stratum",
+        F.when(share >= 0, capped(share)).otherwise(unlisted).alias("__frac"),
+    )

@@ -81,6 +81,11 @@ class FrameMemo:
         df = df.localCheckpoint(eager=False) if persist == "checkpoint" else df.cache()
         with self._lock:
             if full not in self._entries:  # lost a race: keep the first build
+                # re-check capacity at insert: concurrent misses all pass
+                # the pre-build eviction loop, so without this the store
+                # could exceed its bound by the number of racing threads
+                while len(self._entries) >= self.capacity:
+                    self._evict(next(iter(self._entries)))
                 self._entries[full] = (df, spark)
             return self._entries[full][0]
 

@@ -544,7 +544,7 @@ def q_minhash_lsh(spark, sf_dir):
     extras = F.sum(F.when(F.col("in_e").isNull(), 1).otherwise(0))
     return exact.join(found, ["a_id", "b_id"], "full").agg(
         F.coalesce(F.sum("in_e"), F.lit(0)).cast("bigint").alias("n_exact_pairs"),
-        (extras == 0).alias("subset_ok"),
+        F.coalesce(extras == 0, F.lit(True)).alias("subset_ok"),
         F.coalesce(
             (hits.cast("double") / F.sum("in_e")) >= F.lit(0.5), F.lit(True)
         ).alias("recall_ok"),
@@ -822,13 +822,16 @@ def q_stratified_sample(spark, sf_dir):
     kept = out.groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept"))
     totals = d.groupBy("lang").agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
     tol = F.lit(4) * F.sqrt(F.lit(0.25) * F.col("n_total")) + F.lit(2)
+    # a stratum whose rows were ALL dropped has no kept row — that is
+    # n_kept = 0, not a failure (the bound itself decides)
+    n_kept = F.coalesce("n_kept", F.lit(0))
     kept_ok = F.when(
         F.col("lang") == "en",
-        F.abs(F.col("n_kept") - F.lit(0.5) * F.col("n_total")) <= tol,
-    ).otherwise(F.col("n_kept") == F.col("n_total"))
+        F.abs(n_kept - F.lit(0.5) * F.col("n_total")) <= tol,
+    ).otherwise(n_kept == F.col("n_total"))
     return (
         totals.join(kept, "lang", "left")
-        .select("lang", "n_total", F.coalesce(kept_ok, F.lit(False)).alias("kept_ok"))
+        .select("lang", "n_total", kept_ok.alias("kept_ok"))
         .orderBy("lang")
     )
 
@@ -1132,12 +1135,18 @@ def q_heavy_hitters(spark, sf_dir):
     tot = tok.agg(F.count(F.lit(1)).alias("total"))
     truth = cnt.crossJoin(tot).where(F.col("c") * 50 > F.col("total"))
     sketch = tok.freqItems(["t"], 0.018).select(F.col("t_freqItems").alias("items"))
-    return truth.crossJoin(F.broadcast(sketch)).agg(
-        F.max("total").cast("bigint").alias("total_tokens"),
+    # total_tokens comes from tot (always defined), not from an aggregate
+    # over truth — on a flat vocabulary with zero true heavy hitters the
+    # truth-side max would be NULL while the oracle still reports the
+    # real token count.
+    truth_stats = truth.crossJoin(F.broadcast(sketch)).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_true_heavy"),
         F.coalesce(F.min(F.array_contains("items", F.col("t"))), F.lit(True)).alias(
             "all_found"
         ),
+    )
+    return tot.crossJoin(truth_stats).select(
+        F.col("total").cast("bigint").alias("total_tokens"), "n_true_heavy", "all_found"
     )
 
 
@@ -1158,23 +1167,30 @@ def q_domain_mix(spark, sf_dir):
     per-lang totals (oracle-recomputed) plus a binomial bound: kept
     within 4σ of frac·n (σ² = frac(1-frac)n), exact equality where
     frac = 1 (under-represented langs are never upsampled)."""
-    from polars_express_spark.operators.sampling import mixture_sample
+    from polars_express_spark.operators.sampling import (
+        mixture_keep_fractions,
+        mixture_sample,
+    )
 
     d = load_table(spark, sf_dir, "documents")
     shares = {"en": 0.25, "de": 0.1875, "es": 0.1875, "fr": 0.1875, "zh": 0.1875}
     out = mixture_sample(d, "lang", shares, key_cols=["doc_id"])
     kept = out.groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept"))
-    counts = d.groupBy("lang").agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
-    total = d.agg(F.count(F.lit(1)).alias("n_corpus"))
-    share = F.lit(0.0)
-    for value, s in sorted(shares.items()):
-        share = F.when(F.col("lang") == value, F.lit(float(s))).otherwise(share)
-    frac = F.least(F.lit(1.0), share * F.col("n_corpus") / F.col("n_total"))
+    # the bound evaluates the SAME fraction table the sampler filtered
+    # with (mixture_keep_fractions) — no copy-pasted formula to drift
+    fr = mixture_keep_fractions(d, "lang", shares).select(
+        "lang",
+        F.col("__n_stratum").cast("bigint").alias("n_total"),
+        F.col("__frac").alias("frac"),
+    )
+    # a stratum whose rows were ALL dropped has no kept row — that is
+    # n_kept = 0, not a failure (the bound itself decides)
+    n_kept = F.coalesce("n_kept", F.lit(0))
+    frac = F.col("frac")
     tol = F.lit(4) * F.sqrt(frac * (F.lit(1.0) - frac) * F.col("n_total")) + F.lit(2)
-    kept_ok = F.abs(F.col("n_kept") - frac * F.col("n_total")) <= tol
+    kept_ok = F.abs(n_kept - frac * F.col("n_total")) <= tol
     return (
-        counts.crossJoin(total)
-        .join(kept, "lang", "left")
-        .select("lang", "n_total", F.coalesce(kept_ok, F.lit(False)).alias("kept_ok"))
+        fr.join(kept, "lang", "left")
+        .select("lang", "n_total", kept_ok.alias("kept_ok"))
         .orderBy("lang")
     )

@@ -19,6 +19,22 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+# Declared fallback schema for streaming reads when the source directory
+# is still empty at stream start (start-stream-first-then-drop-files is
+# the documented kafka-stand-in usage): the current driver testdata's
+# physical form, ts as TIMESTAMP_NTZ(µs).
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), False),
+        T.StructField("ts", T.TimestampNTZType(), True),
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
+
 def stream_events(spark: SparkSession, path: str) -> DataFrame:
     """readStream over a parquet directory of events files; each new file
     becomes a micro-batch (the local stand-in for kafka).
@@ -28,9 +44,14 @@ def stream_events(spark: SparkSession, path: str) -> DataFrame:
     so the ts physical form — TIMESTAMP(NANOS)-as-long in older driver
     testdata, TIMESTAMP_NTZ(µs) in current — is normalized to session-tz
     TIMESTAMP exactly like catalog.load_table, keeping the streaming and
-    batch sides of the golden equality tests on identical inputs."""
+    batch sides of the golden equality tests on identical inputs. An
+    empty/not-yet-created source falls back to the declared
+    EVENTS_RAW_SCHEMA so the stream can start before data arrives."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(path).schema
+    try:
+        schema = spark.read.parquet(path).schema
+    except Exception:  # no files yet — start on the declared schema
+        schema = EVENTS_RAW_SCHEMA
     raw = spark.readStream.schema(schema).parquet(path)
     ts_type = schema["ts"].dataType
     if isinstance(ts_type, T.LongType):

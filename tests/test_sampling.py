@@ -75,3 +75,25 @@ def test_mixture_sample_caps_dominant_keeps_rare(spark):
         ).select("doc_id").collect()
     }
     assert a == b
+
+
+def test_mixture_sample_keeps_unlisted_strata_whole(spark):
+    """A stratum absent from target_shares must survive untouched (no
+    silent domain deletion); with default_share it is capped instead."""
+    from polars_express_spark.operators.sampling import mixture_sample
+
+    d = load_table(spark, SF_DIR, "documents")
+    out = mixture_sample(d, "lang", {"en": 0.25}, key_cols=["doc_id"])
+    tot = {r["lang"]: r["n"] for r in d.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    kept = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    for lang, n in tot.items():
+        if lang != "en":
+            assert kept.get(lang) == n, lang
+    assert kept["en"] < tot["en"]
+    capped = mixture_sample(d, "lang", {"en": 0.25}, key_cols=["doc_id"], default_share=0.05)
+    ck = {r["lang"]: r["n"] for r in capped.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    n_corpus = sum(tot.values())
+    for lang, n in tot.items():
+        if lang != "en":
+            assert ck.get(lang, 0) < n, lang  # now capped below full size
+            assert ck.get(lang, 0) > 0.05 * n_corpus * 0.4  # but near target

@@ -177,3 +177,15 @@ def test_stateful_dedup_within_watermark(spark, tmp_path):
         assert ids == [1, 2]
     finally:
         q.stop()
+
+
+def test_stream_starts_on_empty_source_dir(spark, tmp_path):
+    """The kafka-stand-in usage is start-stream-first, drop-files-later:
+    an empty (or not yet created) source directory must not crash the
+    schema probe — the declared fallback schema takes over."""
+    from polars_express_spark.streaming.windows import stream_events
+
+    empty = tmp_path / "events_dir"
+    empty.mkdir()
+    s = stream_events(spark, str(empty))
+    assert s.isStreaming and "ts" in s.columns
