@@ -63,8 +63,12 @@ def test_q02_topk_fuses(spark):
 
 def test_q35_probe_side_broadcast(spark):
     """The bounded probe side must broadcast; the candidate scan must not
-    shuffle for the join."""
-    p = plan_of("q35_cosine_topk", spark)
+    shuffle for the join. (Inspect the underlying brute-force plan — the
+    registered q35 serves the per-session materialization of it, whose
+    own plan is just a checkpoint scan.)"""
+    from polars_express_spark.queries.similarity import _cosine_topk_plan
+
+    p = _plan(_cosine_topk_plan(spark, SF_DIR))
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p
 
