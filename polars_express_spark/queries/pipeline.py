@@ -1068,8 +1068,32 @@ def q_decontaminate(spark, sf_dir):
     """
     d = load_table(spark, sf_dir, "documents")
     sh_arr = _shingle_arrays_shared(spark, sf_dir)
-    sh = sh_arr.select("doc_id", F.explode("sh").alias("s"))
     is_bench = F.col("doc_id") % 20 == 0
+    clean, _ = contamination_split(d, is_bench, sh_arr=sh_arr)
+    clean_counts = clean.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clean")
+    )
+    totals = d.groupBy("lang").agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+    return (
+        totals.join(clean_counts, "lang", "left")
+        .select("lang", "n_total", F.coalesce("n_clean", F.lit(0)).alias("n_clean"))
+        .orderBy("lang")
+    )
+
+
+def contamination_split(d, is_bench, n: int = 3, sh_arr=None):
+    """(clean, contaminated) split of the NON-benchmark corpus: a doc is
+    contaminated iff it shares ≥1 word n-shingle with any benchmark doc
+    (`is_bench` is a boolean Column over d's rows). Exposed for reuse
+    and for the property test against a pure-Python reference
+    (tests/test_property.py); q_decontaminate is the oracled rollup.
+
+    clean keeps all of d's columns; contaminated is a (doc_id) frame.
+    The benchmark shingle set is the broadcast side — the corpus never
+    shuffles for the probe."""
+    if sh_arr is None:
+        sh_arr = _shingle_arrays(d, n)
+    sh = sh_arr.select("doc_id", F.explode("sh").alias("s"))
     bench_sh = sh.where(is_bench).select("s").distinct()
     contaminated = (
         sh.where(~is_bench)
@@ -1077,18 +1101,8 @@ def q_decontaminate(spark, sf_dir):
         .select("doc_id")
         .distinct()
     )
-    clean = (
-        d.where(~is_bench)
-        .join(contaminated, "doc_id", "left_anti")
-        .groupBy("lang")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_clean"))
-    )
-    totals = d.groupBy("lang").agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
-    return (
-        totals.join(clean, "lang", "left")
-        .select("lang", "n_total", F.coalesce("n_clean", F.lit(0)).alias("n_clean"))
-        .orderBy("lang")
-    )
+    clean = d.where(~is_bench).join(contaminated, "doc_id", "left_anti")
+    return clean, contaminated
 
 
 @query(

@@ -119,3 +119,30 @@ def test_asof_backward_matches_python_reference(spark, lefts, rights):
         for i, v in _py_asof([(u, ts) for (u, ts, _) in lefts], rights)
     }
     assert got == want
+
+def _py_contaminated(texts: list[str], bench: set[int], n: int = 3) -> set[int]:
+    sh = {i: _py_shingles(x, n) for i, x in enumerate(texts)}
+    bsh: set[str] = set()
+    for i in bench:
+        bsh |= sh[i]
+    return {i for i in sh if i not in bench and sh[i] & bsh}
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(doc_strategy)
+def test_contamination_split_matches_python_reference(spark, texts):
+    from pyspark.sql import functions as F
+
+    from polars_express_spark.queries.pipeline import contamination_split
+
+    d = spark.createDataFrame(
+        [(i, x) for i, x in enumerate(texts)], "doc_id long, text string"
+    )
+    bench = {i for i in range(len(texts)) if i % 3 == 0}
+    clean, contaminated = contamination_split(d, F.col("doc_id") % 3 == 0)
+    got_cont = {r["doc_id"] for r in contaminated.collect()}
+    want_cont = _py_contaminated(texts, bench)
+    assert got_cont == want_cont
+    got_clean = {r["doc_id"] for r in clean.collect()}
+    assert got_clean == set(range(len(texts))) - bench - want_cont
+    spark.catalog.clearCache()
