@@ -69,3 +69,33 @@ def test_memo_sweeps_dead_sessions_only(spark):
     assert ("appDead", "theirs", 1) not in keys  # dead swept
     assert ("appLive", "theirs", 2) in keys  # live peer kept
     memo.release()
+
+
+def test_memo_concurrent_access_stays_bounded(spark):
+    """Thread hammer (the documented server use case): concurrent misses
+    on distinct keys must neither raise (dict-mutation races) nor
+    overshoot the capacity bound — capacity is re-checked at insert."""
+    import random
+    import threading
+
+    memo = FrameMemo(capacity=4)
+    errors = []
+
+    def worker(wid):
+        rng = random.Random(wid)
+        try:
+            for _ in range(30):
+                k = rng.randrange(12)
+                memo.get(spark, ("ds", k), lambda k=k: spark.range(k + 1), persist="cache")
+                assert len(memo) <= 4
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    assert len(memo) <= 4
+    memo.release()
