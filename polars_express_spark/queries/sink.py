@@ -115,3 +115,64 @@ def q_asof_join(spark, sf_dir):
     clicks = e.where(F.col("event_type") == "click").select("user_id", "ts", "value")
     joined = asof_join_backward(errors, clicks, on="ts", by="user_id", value_cols=["value"])
     return joined.select("event_id", "user_id", "ts", F.col("asof_value")).orderBy("event_id")
+
+
+@query(
+    "q_asof_forward",
+    oracle="""
+    WITH errors AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'
+    ),
+    clicks AS (
+      SELECT user_id, ts, value FROM events WHERE event_type = 'click'
+    )
+    SELECT e.event_id, e.user_id, e.ts, c.value AS asof_value
+    FROM errors e ASOF LEFT JOIN clicks c
+      ON e.user_id = c.user_id AND e.ts <= c.ts
+    ORDER BY e.event_id
+    """,
+)
+def q_asof_forward(spark, sf_dir):
+    """Forward as-of join (§2.3): each 'error' event picks up the value
+    of the EARLIEST following 'click' by the same user — the mirror
+    direction of q_asof_join, oracled by DuckDB's ASOF JOIN with the
+    inequality flipped (operators/asof.py)."""
+    from polars_express_spark.operators.asof import asof_join_forward
+
+    e = load_table(spark, sf_dir, "events")
+    errors = e.where(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    clicks = e.where(F.col("event_type") == "click").select("user_id", "ts", "value")
+    joined = asof_join_forward(errors, clicks, on="ts", by="user_id", value_cols=["value"])
+    return joined.select("event_id", "user_id", "ts", F.col("asof_value")).orderBy("event_id")
+
+
+@query(
+    "q_asof_nearest",
+    oracle="""
+    WITH errors AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'
+    ),
+    clicks AS (
+      SELECT user_id, ts, value FROM events WHERE event_type = 'click'
+    )
+    SELECT e.event_id, e.user_id, e.ts,
+           (SELECT c.value FROM clicks c WHERE c.user_id = e.user_id
+            ORDER BY abs(epoch_us(c.ts) - epoch_us(e.ts)) ASC, (c.ts > e.ts) ASC
+            LIMIT 1) AS asof_value
+    FROM errors e ORDER BY e.event_id
+    """,
+)
+def q_asof_nearest(spark, sf_dir):
+    """Nearest as-of join (§2.3, pandas direction='nearest'): each
+    'error' event takes the closest 'click' by |ts gap|, equidistant →
+    the earlier one. Oracle: DuckDB correlated min-|gap| subquery with
+    the same backward tie preference (exact integer microseconds on both
+    sides). (user_id, ts) click keys are unique at every tested SF, so
+    the pick is deterministic."""
+    from polars_express_spark.operators.asof import asof_join_nearest
+
+    e = load_table(spark, sf_dir, "events")
+    errors = e.where(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    clicks = e.where(F.col("event_type") == "click").select("user_id", "ts", "value")
+    joined = asof_join_nearest(errors, clicks, on="ts", by="user_id", value_cols=["value"])
+    return joined.select("event_id", "user_id", "ts", F.col("asof_value")).orderBy("event_id")

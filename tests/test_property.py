@@ -146,3 +146,72 @@ def test_contamination_split_matches_python_reference(spark, texts):
     got_clean = {r["doc_id"] for r in clean.collect()}
     assert got_clean == set(range(len(texts))) - bench - want_cont
     spark.catalog.clearCache()
+
+
+def _py_asof_forward(lefts, rights):
+    out = []
+    for i, (u, ts) in enumerate(lefts):
+        best = None
+        for ru, rts, rv in rights:
+            if ru == u and rts >= ts and (best is None or rts < best[0]):
+                best = (rts, rv)
+        out.append((i, best[1] if best else None))
+    return out
+
+
+def _py_asof_nearest(lefts, rights):
+    out = []
+    for i, (u, ts) in enumerate(lefts):
+        best = None  # (abs_gap, is_forward, rts, rv) — backward wins ties
+        for ru, rts, rv in rights:
+            if ru != u:
+                continue
+            key = (abs(rts - ts), rts > ts)
+            if best is None or key < best[0]:
+                best = (key, rv)
+        out.append((i, best[1] if best else None))
+    return out
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(event_strategy, right_strategy)
+def test_asof_forward_matches_python_reference(spark, lefts, rights):
+    import datetime as dt
+
+    from polars_express_spark.operators.asof import asof_join_forward
+
+    t0 = dt.datetime(2024, 1, 1)
+    lrows = [(i, u, t0 + dt.timedelta(seconds=ts)) for i, (u, ts, _) in enumerate(lefts)]
+    rrows = [(u, t0 + dt.timedelta(seconds=ts), float(v)) for (u, ts, v) in rights]
+    left = spark.createDataFrame(
+        lrows or [(None, None, None)], "event_id long, user_id long, ts timestamp"
+    ).where("event_id IS NOT NULL")
+    right = spark.createDataFrame(
+        rrows or [(None, None, None)], "user_id long, ts timestamp, value double"
+    ).where("user_id IS NOT NULL")
+    joined = asof_join_forward(left, right, on="ts", by="user_id", value_cols=["value"])
+    got = {(r["event_id"], r["asof_value"]) for r in joined.collect()}
+    want = {(i, v) for i, v in _py_asof_forward([(u, ts) for (u, ts, _) in lefts], rights)}
+    assert got == want
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(event_strategy, right_strategy)
+def test_asof_nearest_matches_python_reference(spark, lefts, rights):
+    import datetime as dt
+
+    from polars_express_spark.operators.asof import asof_join_nearest
+
+    t0 = dt.datetime(2024, 1, 1)
+    lrows = [(i, u, t0 + dt.timedelta(seconds=ts)) for i, (u, ts, _) in enumerate(lefts)]
+    rrows = [(u, t0 + dt.timedelta(seconds=ts), float(v)) for (u, ts, v) in rights]
+    left = spark.createDataFrame(
+        lrows or [(None, None, None)], "event_id long, user_id long, ts timestamp"
+    ).where("event_id IS NOT NULL")
+    right = spark.createDataFrame(
+        rrows or [(None, None, None)], "user_id long, ts timestamp, value double"
+    ).where("user_id IS NOT NULL")
+    joined = asof_join_nearest(left, right, on="ts", by="user_id", value_cols=["value"])
+    got = {(r["event_id"], r["asof_value"]) for r in joined.collect()}
+    want = {(i, v) for i, v in _py_asof_nearest([(u, ts) for (u, ts, _) in lefts], rights)}
+    assert got == want
