@@ -4,9 +4,12 @@ entry(spark)    — flagship query (Q13, TPC-H Q3 shape: 3-way join +
                   filtered agg + distributed top-k) at sf0.001.
 queries()       — every implemented operator from SURVEY.md §2 as a
                   named (spark, sf_dir) -> DataFrame callable.
-oracle_sql()    — DuckDB twin for each SQL-expressible query; entries
-                  without a twin (xxhash64-based dedup/LSH, Pandas-UDF
-                  multimodal plumbing) get the driver's rows-only check.
+oracle_sql()    — DuckDB twin for EVERY registered query (79/79 as of
+                  round 5): hash/approximate operators (fingerprint,
+                  simhash, minhash/LSH, ANN, sampling) register
+                  bounded-invariant forms whose exact part the oracle
+                  recomputes, so nothing falls back to the rows-only
+                  check.
 """
 
 from __future__ import annotations
