@@ -584,14 +584,18 @@ def q_simhash(spark, sf_dir, n_bits: int = 16):
     at sf0.1; the two are equivalence-tested in
     tests/test_pipeline_ops.py.
     """
-    width = int(spark.conf.get("spark.sql.shuffle.partitions"))
     # repartition: the 1-file local scan would run the token explode
-    # serially (at scale the scan is already wide); localCheckpoint: the
+    # serially (at scale the scan is already wide); FRAMES memo: the
     # invariant plan references fps three times (doc stats + both pair
-    # sides) and would recompute the aggregate per reference.
-    fps = simhash_fingerprints(
-        load_table(spark, sf_dir, "documents").repartition(width, "doc_id"), n_bits
-    ).localCheckpoint(eager=False)
+    # sides) and would recompute the aggregate per reference — and the
+    # fingerprint table is a persisted pipeline stage at 100 TB anyway.
+    def build_fps():
+        width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        return simhash_fingerprints(
+            load_table(spark, sf_dir, "documents").repartition(width, "doc_id"), n_bits
+        )
+
+    fps = FRAMES.get(spark, ("simhash_fps", sf_dir, n_bits), build_fps, persist="checkpoint")
     doc_stats = fps.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         ((F.min("simhash") >= 0) & (F.max("simhash") < 2**n_bits)).alias("range_ok"),

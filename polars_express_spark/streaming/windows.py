@@ -126,3 +126,24 @@ def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete"
     )
     q.processAllAvailable()
     return q
+
+
+def run_to_parquet(
+    stream_df: DataFrame, path: str, checkpoint: str, output_mode: str = "append"
+):
+    """Drive a streaming query synchronously into a parquet sink — the
+    durable-output twin of run_to_memory. Append mode + a checkpoint
+    directory is the production shape: exactly-once file commits via the
+    write-ahead log, restartable from the checkpoint. With watermarked
+    aggregations upstream, append emits each window once it is final."""
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return q

@@ -189,3 +189,58 @@ def test_stream_starts_on_empty_source_dir(spark, tmp_path):
     empty.mkdir()
     s = stream_events(spark, str(empty))
     assert s.isStreaming and "ts" in s.columns
+
+
+def test_streaming_parquet_sink_roundtrip(spark, tmp_path):
+    """Watermarked tumbling counts written through the parquet sink
+    (append mode, checkpointed) must read back equal to the same
+    aggregation computed in batch — the durable-sink twin of the memory
+    sink goldens. Two runs against ONE checkpoint: the first drains the
+    source (append emits only windows older than the watermark), then a
+    far-future flush file arrives and the RESTARTED query advances the
+    watermark past every original window and emits the remainder —
+    exactly-once file commits plus checkpoint recovery in one test."""
+    import shutil
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from polars_express_spark.catalog import load_table
+    from polars_express_spark.streaming.windows import (
+        run_to_parquet,
+        stream_events,
+        tumbling_counts,
+    )
+
+    src = tmp_path / "events_src"
+    src.mkdir()
+    shutil.copy(f"{SF_DIR}/events.parquet", src / "events.parquet")
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+
+    def run_once():
+        stream = tumbling_counts(stream_events(spark, str(src)), watermark="1 hour")
+        run_to_parquet(stream, str(out), str(ckpt))
+
+    run_once()
+    # flush: one event 10h past the end, written in the source's exact
+    # physical schema, advances the watermark beyond all real windows
+    orig = pq.read_table(str(src / "events.parquet"))
+    pdf = orig.slice(0, 1).to_pandas()
+    pdf["ts"] = orig.to_pandas()["ts"].max() + pd.Timedelta(hours=10)
+    pq.write_table(
+        pa.Table.from_pandas(pdf, preserve_index=False).cast(orig.schema),
+        str(src / "zz_flush.parquet"),
+    )
+    run_once()
+
+    batch = tumbling_counts(load_table(spark, SF_DIR, "events")).collect()
+    want = {(r["win_start"], r["cnt"], round(r["sum_val"], 6)) for r in batch}
+    max_start = max(w[0] for w in want)
+    got = {
+        (r["win_start"], r["cnt"], round(r["sum_val"], 6))
+        for r in spark.read.parquet(str(out)).collect()
+        if r["win_start"] <= max_start  # exclude the flush row's window
+    }
+    assert got == want and got
