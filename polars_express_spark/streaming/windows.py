@@ -147,3 +147,29 @@ def run_to_parquet(
     q.processAllAvailable()
     q.stop()
     return q
+
+
+def stream_append_to_lake(
+    stream_df: DataFrame, lake, data_id: str, checkpoint: str, fmt: str = "parquet"
+):
+    """foreachBatch sink: append each micro-batch into the DataLake as
+    <base>/<id>.<fmt> — the escape hatch for sinks the streaming engine
+    has no native writer for (JDBC upserts, REST posts, multi-table
+    fan-out). foreachBatch hands the micro-batch over as a BATCH frame,
+    so the full batch writer surface applies; delivery is at-least-once
+    (the batch may re-run on failure before the checkpoint commits), so
+    downstream consumers dedup on a key — exactly the q34/fingerprint
+    machinery — or the sink write is made idempotent per batch_id."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        lake.save(batch_df, data_id, fmt=fmt, mode="append")
+
+    q = (
+        stream_df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return q

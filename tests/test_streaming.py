@@ -244,3 +244,35 @@ def test_streaming_parquet_sink_roundtrip(spark, tmp_path):
         if r["win_start"] <= max_start  # exclude the flush row's window
     }
     assert got == want and got
+
+
+def test_stream_foreach_batch_appends_to_lake(spark, tmp_path):
+    """foreachBatch → DataLake.save(append): the streamed click rows
+    must read back from the lake equal to the batch filter."""
+    import shutil
+
+    from polars_express_spark.catalog import DataLake, load_table
+    from polars_express_spark.streaming.windows import (
+        stream_append_to_lake,
+        stream_events,
+    )
+
+    src = tmp_path / "events_src"
+    src.mkdir()
+    shutil.copy(f"{SF_DIR}/events.parquet", src / "events.parquet")
+    lake = DataLake(spark, str(tmp_path / "lake"))
+    clicks = stream_events(spark, str(src)).where("event_type = 'click'").select(
+        "event_id", "user_id", "value"
+    )
+    stream_append_to_lake(clicks, lake, "clicks", str(tmp_path / "ckpt"))
+    got = {
+        (r["event_id"], r["user_id"], r["value"])
+        for r in lake.load("clicks").collect()
+    }
+    want = {
+        (r["event_id"], r["user_id"], r["value"])
+        for r in load_table(spark, SF_DIR, "events")
+        .where("event_type = 'click'")
+        .collect()
+    }
+    assert got == want and got
