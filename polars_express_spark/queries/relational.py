@@ -83,21 +83,28 @@ def q05_filter_project(spark, sf_dir):
     "q06_cast_arith",
     oracle="""
     SELECT l_orderkey, l_linenumber,
-           round(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DOUBLE), 2) AS net_price
+           floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100 + 0.5) / 100
+             AS net_price
     FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 1000
     """,
 )
 def q06_cast_arith(spark, sf_dir):
     """Cast + arithmetic projection (§2.2) — per-row IEEE double ops are
-    bit-deterministic across engines; round(…,2) applied identically."""
+    bit-deterministic across engines. The 2-dp rounding is spelled
+    floor(v·100 + 0.5)/100 on BOTH sides: engine round() builtins differ
+    on ties-in-decimal-print (Spark rounds the shortest decimal repr of
+    the double, DuckDB the exact binary value — a real sf0.1 row landed
+    on the …005 boundary and split them), while floor of the same IEEE
+    double is identical everywhere."""
     li = load_table(spark, sf_dir, "lineitem")
+    net = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+    )
     return (
         li.select(
             "l_orderkey",
             "l_linenumber",
-            F.round(
-                F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")), 2
-            ).alias("net_price"),
+            (F.floor(net * 100 + 0.5) / 100).alias("net_price"),
         )
         .orderBy("l_orderkey", "l_linenumber")
         .limit(1000)
