@@ -113,7 +113,7 @@ def q27_dates(spark, sf_dir):
     oracle="""
     SELECT l_orderkey, l_linenumber,
            abs(l_quantity - 25.0) AS dev_qty,
-           round(CAST(l_extendedprice AS DOUBLE), 1) AS price_r1,
+           floor(l_extendedprice * 10 + 0.5) / 10 AS price_r1,
            CAST(floor(l_discount * 100) AS BIGINT) AS disc_pct_floor,
            CAST(ceil(l_tax * 100) AS BIGINT) AS tax_pct_ceil,
            sqrt(l_quantity) AS sqrt_qty,
@@ -125,14 +125,17 @@ def q27_dates(spark, sf_dir):
 )
 def q28_math(spark, sf_dir):
     """Math family (§2.8). sqrt/abs are IEEE-exact; ln/exp/pow agree to
-    well under the 6-dp hash tolerance on these value ranges."""
+    well under the 6-dp hash tolerance on these value ranges. The 1-dp
+    rounding is floor(v·10 + 0.5)/10 on both sides — engine round()
+    builtins disagree on decimal-print ties (see q06), floor of the same
+    IEEE double never does."""
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.select(
             "l_orderkey",
             "l_linenumber",
             F.abs(F.col("l_quantity") - 25.0).alias("dev_qty"),
-            F.round(F.col("l_extendedprice"), 1).alias("price_r1"),
+            (F.floor(F.col("l_extendedprice") * 10 + 0.5) / 10).alias("price_r1"),
             F.floor(F.col("l_discount") * 100).alias("disc_pct_floor"),
             F.ceil(F.col("l_tax") * 100).alias("tax_pct_ceil"),
             F.sqrt("l_quantity").alias("sqrt_qty"),
