@@ -1088,19 +1088,24 @@ def q_decontaminate(spark, sf_dir):
 def contamination_split(d, is_bench, n: int = 3, sh_arr=None):
     """(clean, contaminated) split of the NON-benchmark corpus: a doc is
     contaminated iff it shares ≥1 word n-shingle with any benchmark doc
-    (`is_bench` is a boolean Column over d's rows). Exposed for reuse
-    and for the property test against a pure-Python reference
+    (`is_bench` is a boolean Column over d's rows — ANY of d's columns,
+    not just doc_id: it is resolved against d and carried to the
+    shingle frame as a doc_id set). Exposed for reuse and for the
+    property test against a pure-Python reference
     (tests/test_property.py); q_decontaminate is the oracled rollup.
 
     clean keeps all of d's columns; contaminated is a (doc_id) frame.
-    The benchmark shingle set is the broadcast side — the corpus never
-    shuffles for the probe."""
+    The benchmark id set and its shingle set are the broadcast sides —
+    the corpus never shuffles for the probe."""
     if sh_arr is None:
         sh_arr = _shingle_arrays(d, n)
     sh = sh_arr.select("doc_id", F.explode("sh").alias("s"))
-    bench_sh = sh.where(is_bench).select("s").distinct()
+    bench_ids = d.where(is_bench).select("doc_id")
+    bench_sh = (
+        sh.join(F.broadcast(bench_ids), "doc_id", "left_semi").select("s").distinct()
+    )
     contaminated = (
-        sh.where(~is_bench)
+        sh.join(F.broadcast(bench_ids), "doc_id", "left_anti")
         .join(F.broadcast(bench_sh), "s", "left_semi")
         .select("doc_id")
         .distinct()

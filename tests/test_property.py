@@ -215,3 +215,43 @@ def test_asof_nearest_matches_python_reference(spark, lefts, rights):
     got = {(r["event_id"], r["asof_value"]) for r in joined.collect()}
     want = {(i, v) for i, v in _py_asof_nearest([(u, ts) for (u, ts, _) in lefts], rights)}
     assert got == want
+
+
+def test_asof_null_right_values_stay_null(spark):
+    """Regression (round-5 review): a MATCHED right row whose value is
+    NULL must yield NULL — the carry must not skip onward to an
+    older/newer non-null row. Exact live-repro scenarios for all three
+    directions."""
+    import datetime as dt
+
+    from polars_express_spark.operators.asof import (
+        asof_join_backward,
+        asof_join_forward,
+        asof_join_nearest,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    right = spark.createDataFrame(
+        [(1, ts(0), 5.0), (1, ts(10), None)], "user_id long, ts timestamp, value double"
+    )
+    left = spark.createDataFrame(
+        [(100, 1, ts(11))], "event_id long, user_id long, ts timestamp"
+    )
+    for fn in (asof_join_backward, asof_join_nearest):
+        got = fn(left, right, on="ts", by="user_id", value_cols=["value"]).collect()
+        assert got[0]["asof_value"] is None, fn.__name__
+
+    right_f = spark.createDataFrame(
+        [(1, ts(2), None), (1, ts(5), 7.0)], "user_id long, ts timestamp, value double"
+    )
+    left_f = spark.createDataFrame(
+        [(200, 1, ts(1))], "event_id long, user_id long, ts timestamp"
+    )
+    got = asof_join_forward(
+        left_f, right_f, on="ts", by="user_id", value_cols=["value"]
+    ).collect()
+    assert got[0]["asof_value"] is None
