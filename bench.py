@@ -43,7 +43,8 @@ def main() -> int:
     spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet")).count()
 
     timings: dict[str, float] = {}
-    for _ in range(PASSES):
+    cold: dict[str, float] = {}  # pass-1 numbers, memo builds included
+    for pass_no in range(PASSES):
         for name in sorted(queries):
             fn = queries[name]
             t0 = time.perf_counter()
@@ -51,10 +52,14 @@ def main() -> int:
                 df = fn(spark, SF_DIR)
                 df.write.format("noop").mode("overwrite").save()
                 took = round(time.perf_counter() - t0, 4)
+                if pass_no == 0:
+                    cold[name] = took
                 prev = timings.get(name)
                 timings[name] = took if prev is None or prev < 0 else min(prev, took)
             except Exception as e:  # noqa: BLE001 — bench must report, not die
                 timings.setdefault(name, -1.0)
+                if pass_no == 0:
+                    cold[name] = -1.0
                 print(f"BENCH ERROR {name}: {e}", file=sys.stderr)
             finally:
                 # queries may cache reused intermediates; drop them so one
@@ -67,9 +72,15 @@ def main() -> int:
     except ValueError:
         sf_val = sf
     ok = {k: v for k, v in timings.items() if v >= 0}
+    cold_ok = {k: v for k, v in cold.items() if v >= 0}
+    # `value` = steady-state (per-query min over passes); `cold_total` =
+    # pass-1 sum, which still pays every one-time memo materialization
+    # (shingle table, pair frame, ANN index) — report both so
+    # round-over-round comparisons stay honest (VERDICT r5 next-step #2).
     result = {
         "metric": "total_query_sec",
         "value": round(sum(ok.values()), 4),
+        "cold_total": round(sum(cold_ok.values()), 4),
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,

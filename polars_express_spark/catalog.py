@@ -137,7 +137,21 @@ class DataLake:
         if fmt == "csv":
             writer = writer.option("header", True)
         getattr(writer, fmt)(path)
+        self._invalidate_memos()
         return path
+
+    def _invalidate_memos(self) -> None:
+        """Drop memoized intermediate frames derived from this lake dir.
+
+        A dataset overwrite changes the data under every memo keyed on
+        this directory (shingle tables, pair frames, ANN indexes); in a
+        long-lived server, serving those frames after a mutation is a
+        stale-read wrong-answer, not just a storage leak — so release
+        eagerly rather than waiting for LRU pressure (VERDICT r5 #3).
+        """
+        from polars_express_spark.queries._memo import FRAMES
+
+        FRAMES.release(self.base_dir)
 
     def save_bucketed(
         self,
@@ -168,6 +182,7 @@ class DataLake:
             .format("parquet")
             .saveAsTable(table)
         )
+        self._invalidate_memos()
         return path
 
 

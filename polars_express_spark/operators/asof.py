@@ -67,8 +67,14 @@ def _asof_join(
         F.col(by).alias(by),
         F.col(on).alias(on),
         F.lit(0).alias("__side"),
-        F.struct(
-            F.col(on).alias("__on"), *[F.col(c) for c in value_cols]
+        # NULL-keyed right rows must never match: a struct with a null
+        # field is itself non-null, so without this guard last/first
+        # (ignorenulls) could pick a NULL-`on` right row — diverging from
+        # pandas.merge_asof / DuckDB ASOF, which exclude NULL keys
+        # (ADVICE r5). when() without otherwise yields NULL → skipped.
+        F.when(
+            F.col(on).isNotNull(),
+            F.struct(F.col(on).alias("__on"), *[F.col(c) for c in value_cols]),
         ).alias("__m"),
         *[F.lit(None).alias(f"__l_{c}") for c in lcols if c not in (by, on)],
     )
@@ -114,6 +120,9 @@ def _asof_join(
         )
     else:  # pragma: no cover - programming error
         raise ValueError(f"unknown as-of direction {direction!r}")
+    # a NULL-keyed LEFT row likewise matches nothing (DuckDB ASOF drops
+    # NULL probes; pandas.merge_asof rejects them outright)
+    match = F.when(F.col(on).isNotNull(), match)
     carried = unioned.select(
         by,
         on,

@@ -62,6 +62,17 @@ class FrameMemo:
         self._entries: OrderedDict[tuple, tuple] = OrderedDict()
 
     def get(self, spark, key: tuple, build: Callable, persist: str = "checkpoint"):
+        """Return the memoized frame for `key`, building it on first use.
+
+        LIFETIME CONTRACT (ADVICE r5): a returned handle is guaranteed
+        valid only until the entry is evicted — eviction unpersists, and
+        for localCheckpoint'd frames lineage is truncated, so a held
+        handle may fail with missing checkpoint blocks rather than
+        recompute. Consumers must either use the frame within the query
+        that fetched it (every current caller does) or size `capacity`
+        above the working set; long-lived pins should copy via
+        .localCheckpoint() of their own.
+        """
         app = spark.sparkContext.applicationId
         full = (app, *key)
         with self._lock:
@@ -97,10 +108,18 @@ class FrameMemo:
             pass
 
     def release(self, token=None) -> None:
-        """Drop entries whose key mentions `token` (e.g. an sf_dir); all if None."""
+        """Drop entries whose key mentions `token` (e.g. an sf_dir); all if None.
+
+        String tokens match by substring against string key elements, so
+        releasing a lake base_dir also drops memos keyed on dataset paths
+        under it (and trailing-slash variants) — the DataLake mutation
+        hook relies on this (catalog.py:_invalidate_memos)."""
         with self._lock:
             for k in list(self._entries):
-                if token is None or token in k:
+                if token is None or token in k or (
+                    isinstance(token, str)
+                    and any(isinstance(e, str) and token.rstrip("/") in e for e in k)
+                ):
                     self._evict(k)
 
     def __len__(self) -> int:

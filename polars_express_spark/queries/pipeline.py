@@ -833,8 +833,12 @@ def q_stratified_sample(spark, sf_dir):
         F.col("lang") == "en",
         F.abs(n_kept - F.lit(0.5) * F.col("n_total")) <= tol,
     ).otherwise(n_kept == F.col("n_total"))
+    # eqNullSafe: the sampler keeps NULL strata whole via null-safe
+    # semantics, so the invariant join must match them too — a plain
+    # equi-join would report kept_ok=false for a NULL lang (ADVICE r5)
+    kept = kept.withColumnRenamed("lang", "__k_lang")
     return (
-        totals.join(kept, "lang", "left")
+        totals.join(kept, F.col("lang").eqNullSafe(F.col("__k_lang")), "left")
         .select("lang", "n_total", kept_ok.alias("kept_ok"))
         .orderBy("lang")
     )
@@ -926,6 +930,7 @@ def connected_components(
         .localCheckpoint()
     )
     converged = False
+    changed: int | None = None  # stays None iff max_iters < 1 (ADVICE r5)
     for _ in range(max_iters):
         msgs = sym.join(
             labels.withColumnRenamed("node", "src"), "src"
@@ -969,8 +974,8 @@ def connected_components(
         # (alternating large-star/small-star, O(log n) rounds).
         raise RuntimeError(
             f"connected_components did not converge in {max_iters} rounds "
-            f"({changed} labels still changing); raise max_iters for "
-            "long-chain graphs"
+            f"({'no rounds ran' if changed is None else f'{changed} labels still changing'}); "
+            "raise max_iters for long-chain graphs"
         )
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
 
@@ -1114,9 +1119,16 @@ def contamination_split(d, is_bench, n: int = 3, sh_arr=None):
     return clean, contaminated
 
 
+# heavy-hitter truth threshold: tokens with count·K > total. The sketch
+# support is DERIVED (0.9/K, strictly below 1/K) so freqItems' no-false-
+# negative guarantee always covers the truth set even if K changes.
+_HH_K = 50
+_HH_SUPPORT = 0.9 / _HH_K
+
+
 @query(
     "q_heavy_hitters",
-    oracle="""
+    oracle=f"""
     WITH tok AS (
       SELECT t.token AS t FROM documents,
              unnest(string_split_regex(text, '\\s+')) t(token)
@@ -1127,7 +1139,7 @@ def contamination_split(d, is_bench, n: int = 3, sh_arr=None):
     SELECT CAST((SELECT n FROM tot) AS BIGINT) AS total_tokens,
            CAST(count(*) AS BIGINT) AS n_true_heavy,
            TRUE AS all_found
-    FROM cnt WHERE c * 50 > (SELECT n FROM tot)
+    FROM cnt WHERE c * {_HH_K} > (SELECT n FROM tot)
     """,
 )
 def q_heavy_hitters(spark, sf_dir):
@@ -1156,8 +1168,14 @@ def q_heavy_hitters(spark, sf_dir):
     )
     cnt = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
     tot = tok.agg(F.count(F.lit(1)).alias("total"))
-    truth = cnt.crossJoin(tot).where(F.col("c") * 50 > F.col("total"))
-    sketch = tok.freqItems(["t"], 0.018).select(F.col("t_freqItems").alias("items"))
+    truth = cnt.crossJoin(tot).where(F.col("c") * _HH_K > F.col("total"))
+    # the no-false-negative guarantee requires support strictly below the
+    # truth threshold; derived, not hardcoded, so an edit to _HH_K can't
+    # silently break the containment invariant (VERDICT r5 #3)
+    assert _HH_SUPPORT < 1.0 / _HH_K
+    sketch = tok.freqItems(["t"], _HH_SUPPORT).select(
+        F.col("t_freqItems").alias("items")
+    )
     # total_tokens comes from tot (always defined), not from an aggregate
     # over truth — on a flat vocabulary with zero true heavy hitters the
     # truth-side max would be NULL while the oracle still reports the
@@ -1212,8 +1230,11 @@ def q_domain_mix(spark, sf_dir):
     frac = F.col("frac")
     tol = F.lit(4) * F.sqrt(frac * (F.lit(1.0) - frac) * F.col("n_total")) + F.lit(2)
     kept_ok = F.abs(n_kept - frac * F.col("n_total")) <= tol
+    # eqNullSafe for the same reason as q_stratified_sample: NULL strata
+    # are kept whole by mixture_sample and must match here (ADVICE r5)
+    kept = kept.withColumnRenamed("lang", "__k_lang")
     return (
-        fr.join(kept, "lang", "left")
+        fr.join(kept, F.col("lang").eqNullSafe(F.col("__k_lang")), "left")
         .select("lang", "n_total", kept_ok.alias("kept_ok"))
         .orderBy("lang")
     )
