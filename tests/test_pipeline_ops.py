@@ -191,8 +191,9 @@ def test_multimodal_frame_sampling_cardinality(spark):
 
 
 def test_multimodal_real_decode_is_stubbed(spark):
-    """The real decode path must be a clearly-marked stub (no codecs in
-    this environment) while the fake path works end-to-end."""
+    """The codec-needing real decode path (non-header-parsable payloads,
+    e.g. text bytes standing in for JPEG) must be a clearly-marked stub
+    in this codec-less environment while the fake path works end-to-end."""
     import pytest
 
     from polars_express_spark.catalog import load_table
@@ -204,6 +205,72 @@ def test_multimodal_real_decode_is_stubbed(spark):
     assert "NotImplementedError" in str(ei.value) or isinstance(
         ei.value, NotImplementedError
     )
+
+
+def _make_png(w, h, color_type=2):
+    """A fully valid (checksummed, decodable) RGB PNG built with stdlib
+    only — zlib for the raster, binascii.crc32 for chunk CRCs."""
+    import binascii
+    import struct
+    import zlib
+
+    def chunk(tag, data):
+        body = tag + data
+        return struct.pack(">I", len(data)) + body + struct.pack(
+            ">I", binascii.crc32(body) & 0xFFFFFFFF
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    nch = {0: 1, 2: 3, 6: 4}[color_type]
+    raster = b"".join(b"\x00" + b"\x7f" * (w * nch) for _ in range(h))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raster))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _make_bmp(w, h, bits=24):
+    """A valid bottom-up BITMAPINFOHEADER BMP, stdlib struct only."""
+    import struct
+
+    row = ((w * bits // 8 + 3) // 4) * 4  # rows pad to 4 bytes
+    pixel_bytes = row * h
+    header = struct.pack("<2sIHHI", b"BM", 54 + pixel_bytes, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, bits, 0, pixel_bytes, 2835, 2835, 0, 0)
+    return header + info + b"\x7f" * pixel_bytes
+
+
+def _make_gif(w, h):
+    import struct
+
+    # header + logical screen descriptor + trailer — enough for any
+    # header parser, dimensions at the spec'd offsets
+    return b"GIF89a" + struct.pack("<HHBBB", w, h, 0, 0, 0) + b"\x3b"
+
+
+def test_multimodal_real_decode_header_formats(spark):
+    """REAL (not fake) metadata decode for PNG/BMP/GIF: valid files
+    generated with the stdlib, dimensions recovered from header bytes by
+    the codec-less parse — the round-5 'env-blocked' gap closed for
+    header-parsable formats."""
+    from polars_express_spark.functions.multimodal import decode_media
+
+    fixtures = [
+        (1, _make_png(37, 23), 37, 23, 3),
+        (2, _make_png(5, 9, color_type=6), 5, 9, 4),
+        (3, _make_bmp(64, 48), 64, 48, 3),
+        (4, _make_gif(12, 9), 12, 9, 3),
+    ]
+    d = spark.createDataFrame(
+        [(i, bytearray(p)) for i, p, *_ in fixtures], "doc_id long, payload binary"
+    )
+    got = {r["doc_id"]: r for r in decode_media(d, real_decode=True).collect()}
+    for doc_id, payload, w, h, ch in fixtures:
+        r = got[doc_id]
+        assert (r["width"], r["height"], r["channels"]) == (w, h, ch), doc_id
+        assert r["byte_len"] == len(payload)
 
 
 def test_connected_components_topologies(spark):

@@ -255,3 +255,80 @@ def test_asof_null_right_values_stay_null(spark):
         left_f, right_f, on="ts", by="user_id", value_cols=["value"]
     ).collect()
     assert got[0]["asof_value"] is None
+
+
+# --- as-of vs pandas.merge_asof: NULL keys, NULL values, duplicate ts ---
+#
+# Right rows may repeat a (user, ts) pair; the carried value is a pure
+# function of (user, ts) (None for every 4th key) so duplicates agree
+# and the expected output is deterministic. Left/right `on` keys may be
+# NULL: NULL-keyed right rows must match nothing, NULL-keyed left rows
+# must survive with a NULL match (pandas rejects NaT keys outright, so
+# the reference drops them before merge_asof and re-adds the left rows).
+
+asof_nullable_left = st.lists(
+    st.tuples(st.integers(1, 3), st.one_of(st.none(), st.integers(0, 20))),
+    min_size=0,
+    max_size=12,
+)
+asof_nullable_right = st.lists(
+    st.tuples(st.integers(1, 3), st.one_of(st.none(), st.integers(0, 20))),
+    min_size=0,
+    max_size=14,
+)
+
+
+def _rv(u, s):
+    return None if (u + s) % 4 == 0 else float(s * 10 + u)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    asof_nullable_left,
+    asof_nullable_right,
+    st.sampled_from(["backward", "forward", "nearest"]),
+)
+def test_asof_matches_pandas_merge_asof(spark, lefts, rights, direction):
+    import datetime as dt
+
+    import pandas as pd
+
+    from polars_express_spark.operators import asof as A
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(s):
+        return None if s is None else t0 + dt.timedelta(seconds=s)
+
+    lrows = [(i, u, ts(s)) for i, (u, s) in enumerate(lefts)]
+    rrows = [(u, ts(s), _rv(u, s) if s is not None else 99.0) for (u, s) in rights]
+    lschema = "event_id long, user_id long, ts timestamp"
+    rschema = "user_id long, ts timestamp, value double"
+    left = spark.createDataFrame(lrows, lschema) if lrows else spark.createDataFrame([], lschema)
+    right = spark.createDataFrame(rrows, rschema) if rrows else spark.createDataFrame([], rschema)
+    fn = {
+        "backward": A.asof_join_backward,
+        "forward": A.asof_join_forward,
+        "nearest": A.asof_join_nearest,
+    }[direction]
+    out = fn(left, right, on="ts", by="user_id", value_cols=["value"]).collect()
+    got = {(r["event_id"], r["asof_value"]) for r in out}
+
+    lp = pd.DataFrame(
+        [(i, u, ts(s)) for i, (u, s) in enumerate(lefts) if s is not None],
+        columns=["event_id", "user_id", "ts"],
+    ).sort_values("ts", kind="stable")
+    rp = pd.DataFrame(
+        [(u, ts(s), _rv(u, s)) for (u, s) in rights if s is not None],
+        columns=["user_id", "ts", "value"],
+    ).sort_values("ts", kind="stable")
+    if lp.empty or rp.empty:
+        want = {(i, None) for i, _ in enumerate(lefts)}
+    else:
+        m = pd.merge_asof(lp, rp, on="ts", by="user_id", direction=direction)
+        want = {
+            (int(r.event_id), None if pd.isna(r.value) else float(r.value))
+            for r in m.itertuples()
+        }
+        want |= {(i, None) for i, (u, s) in enumerate(lefts) if s is None}
+    assert got == want
