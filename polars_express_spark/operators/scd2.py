@@ -1,0 +1,53 @@
+"""SCD2 merge — slowly-changing-dimension type-2 snapshot upsert.
+
+The CDC/upsert primitive a lakehouse pipeline runs per batch: given the
+current dimension snapshot and an update batch, emit the next snapshot
+where updated keys get a NEW current row and their previous row is kept
+as closed history; inserts appear as version-1 current rows; untouched
+rows pass through.
+
+Spark-first shape: ONE full outer equi-join on the key, then a
+union of the two projections. No window functions, no driver state.
+At scale the update batch is typically tiny relative to the base —
+Spark's AQE/broadcast machinery turns the outer join into a broadcast
+join automatically; when both sides are huge, bucketing the base table
+on the key (catalog.save_bucketed) makes the merge shuffle-free on the
+base side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def scd2_merge(
+    base: DataFrame,
+    updates: DataFrame,
+    key: str,
+    old_val: str,
+    new_val: str,
+) -> DataFrame:
+    """Merge `updates(key, new_val)` into `base(key, old_val)`.
+
+    Returns (key, val, version, is_current):
+    - untouched base rows   → (key, old_val, 1, true)
+    - updated keys          → (key, old_val, 1, false) AND
+                              (key, new_val, 2, true)
+    - inserted keys         → (key, new_val, 1, true)
+    """
+    j = base.join(updates, key, "full")
+    both = F.col(new_val).isNotNull() & F.col(old_val).isNotNull()
+    current = j.select(
+        F.col(key),
+        F.coalesce(new_val, old_val).alias("val"),
+        F.when(both, F.lit(2)).otherwise(F.lit(1)).alias("version"),
+        F.lit(True).alias("is_current"),
+    )
+    history = j.where(both).select(
+        F.col(key),
+        F.col(old_val).alias("val"),
+        F.lit(1).alias("version"),
+        F.lit(False).alias("is_current"),
+    )
+    return current.unionByName(history)

@@ -1,0 +1,244 @@
+"""Advanced corpus: range join, TF-IDF, overlapping chunking, SCD2
+merge — the round-6 widening of the training-data-pipeline surface
+(SURVEY.md §2.3/§2.10 extensions).
+
+All four are oracle-backed (DuckDB twins) and 100 TB-shaped:
+
+- q_range_join: point-in-interval via bucket equi-join, never a
+  nested-loop/cartesian plan (plan-guarded in tests/test_plans.py);
+- q_tfidf: two hash aggregations + one per-doc window — the canonical
+  map-side-combining shape; corpus size joins in as a broadcast 1-row
+  frame, no driver constant;
+- q_chunk_overlap: sequence+posexplode — pure JVM row generation, the
+  standard long-document → training-window split (stride < width gives
+  overlap); output cardinality ≈ tokens/stride, no Python in the path;
+- q_scd2_merge: slowly-changing-dimension type-2 snapshot merge as ONE
+  key-partitioned full outer join + union (broadcast-able when the
+  update batch is small — the common CDC shape).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from polars_express_spark.catalog import load_table
+from polars_express_spark.queries._util import dsum, sql_dsum
+from polars_express_spark.queries.registry import query
+
+# chunking parameters: width > stride → overlapping windows
+_CHUNK_W = 40
+_CHUNK_S = 25
+
+
+@query(
+    "q_range_join",
+    oracle=f"""
+    WITH iv AS (
+      SELECT d AS iv_id,
+             TIMESTAMP '2024-01-01' + d * INTERVAL '1 day' + INTERVAL '6 hours' AS w_start,
+             TIMESTAMP '2024-01-01' + d * INTERVAL '1 day' + INTERVAL '18 hours' AS w_end
+      FROM generate_series(0, 29) s(d)
+    )
+    SELECT iv.iv_id, CAST(count(*) AS BIGINT) AS n_events,
+           {sql_dsum("e.value", "sum_val")}
+    FROM iv JOIN events e ON e.ts >= iv.w_start AND e.ts < iv.w_end
+    GROUP BY iv.iv_id ORDER BY iv.iv_id
+    """,
+)
+def q_range_join(spark, sf_dir):
+    """Point-in-interval range join (§2.3 non-equi family, the polars
+    join_where shape): events against 30 half-open daytime windows
+    [06:00, 18:00). Runs through bucketed_range_join — bucket equi-join
+    + exact residual, NOT a nested loop; bucket width 12h ≈ interval
+    length, so each interval explodes to ≤2 buckets."""
+    from polars_express_spark.operators.range_join import bucketed_range_join
+
+    e = load_table(spark, sf_dir, "events").select("event_id", "ts", "value")
+    iv = spark.range(30).select(
+        F.col("id").alias("iv_id"),
+        (
+            F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+            + F.make_dt_interval(F.col("id"), F.lit(6), F.lit(0), F.lit(0))
+        ).alias("w_start"),
+        (
+            F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+            + F.make_dt_interval(F.col("id"), F.lit(18), F.lit(0), F.lit(0))
+        ).alias("w_end"),
+    )
+    joined = bucketed_range_join(e, iv, "ts", "w_start", "w_end", bucket_seconds=43200)
+    return (
+        joined.groupBy("iv_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"), dsum("value", "sum_val"))
+        .orderBy("iv_id")
+    )
+
+
+@query(
+    "q_tfidf",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, t.token AS t FROM documents,
+             unnest(string_split_regex(text, '\\s+')) t(token)
+      WHERE t.token <> ''
+    ),
+    tf AS (SELECT doc_id, t, count(*) AS tf FROM tok GROUP BY doc_id, t),
+    dfq AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+    nd AS (SELECT count(*) AS n FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.t, tf.tf, dfq.df,
+             tf.tf * ln(CAST((SELECT n FROM nd) AS DOUBLE) / dfq.df) AS score
+      FROM tf JOIN dfq USING (t)
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY score DESC, t ASC) AS rn
+      FROM scored
+    )
+    SELECT doc_id, t AS term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df
+    FROM ranked WHERE rn = 1 ORDER BY doc_id
+    """,
+)
+def q_tfidf(spark, sf_dir):
+    """Per-document top TF-IDF term (§2.10 text analysis): the standard
+    quality/topicality signal a training pipeline computes corpus-wide.
+    Two partial→final hash aggregations (term frequency per doc,
+    document frequency per term), corpus size N attached as a broadcast
+    1-row frame, winner per doc via row_number. The score itself (an
+    irrational log product) is kept INTERNAL to the ordering — the
+    emitted columns (term, tf, df) are integers/strings, so the
+    cross-engine hash can't be flipped by last-ulp log differences;
+    ties break on term ASC in both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", r"\s+")).alias("t")).where(
+        F.col("t") != ""
+    )
+    tf = tok.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("tf"))
+    dfq = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    nd = d.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    scored = tf.join(dfq, "t").crossJoin(F.broadcast(nd)).withColumn(
+        "score", F.col("tf") * F.log(F.col("n") / F.col("df"))
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("t").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("t").alias("term"),
+            F.col("tf").cast("bigint").alias("tf"),
+            F.col("df").cast("bigint").alias("df"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "q_chunk_overlap",
+    oracle=f"""
+    WITH t2 AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+      FROM documents
+    ),
+    t3 AS (SELECT doc_id, toks, len(toks) AS n_tok FROM t2 WHERE len(toks) > 0)
+    SELECT doc_id,
+           CAST(s.start_tok // {_CHUNK_S} AS BIGINT) AS chunk_id,
+           CAST(s.start_tok AS BIGINT) AS start_tok,
+           CAST(LEAST({_CHUNK_W}, n_tok - s.start_tok) AS BIGINT) AS chunk_len,
+           toks[s.start_tok + 1] AS first_tok
+    FROM t3, unnest(generate_series(0, n_tok - 1, {_CHUNK_S})) s(start_tok)
+    ORDER BY doc_id, chunk_id
+    """,
+)
+def q_chunk_overlap(spark, sf_dir):
+    """Overlapping document chunking (§2.10): split every document into
+    {_CHUNK_W}-token training windows at stride {_CHUNK_S} (overlap =
+    width − stride), the standard long-document → context-window step
+    before tokenizer packing. sequence() + posexplode — JVM-side row
+    generation, output rows ≈ tokens/stride; emits (start, length,
+    first token) per chunk so the oracle can replay alignment exactly
+    without hashing megabytes of chunk text."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", r"\s+"), lambda x: x != "")
+    t2 = (
+        d.select("doc_id", toks.alias("toks"))
+        .withColumn("n_tok", F.size("toks"))
+        .where(F.col("n_tok") > 0)
+    )
+    starts = F.sequence(F.lit(0), F.col("n_tok") - 1, F.lit(_CHUNK_S))
+    ch = t2.select(
+        "doc_id",
+        "toks",
+        "n_tok",
+        F.explode(starts).alias("start_tok"),
+    )
+    return ch.select(
+        "doc_id",
+        (F.col("start_tok") / F.lit(_CHUNK_S)).cast("bigint").alias("chunk_id"),
+        F.col("start_tok").cast("bigint").alias("start_tok"),
+        F.least(F.lit(_CHUNK_W), F.col("n_tok") - F.col("start_tok"))
+        .cast("bigint")
+        .alias("chunk_len"),
+        F.element_at("toks", F.col("start_tok") + 1).alias("first_tok"),
+    ).orderBy("doc_id", "chunk_id")
+
+
+@query(
+    "q_scd2_merge",
+    oracle="""
+    WITH upd AS (
+      SELECT c_custkey AS k, c_acctbal + 100 AS new_bal
+      FROM customer WHERE c_custkey % 7 = 0
+      UNION ALL
+      SELECT c_custkey + 1000000, 500.0
+      FROM customer WHERE c_custkey % 97 = 0
+    ),
+    j AS (
+      SELECT COALESCE(b.c_custkey, u.k) AS k, b.c_acctbal AS old_bal, u.new_bal
+      FROM customer b FULL JOIN upd u ON b.c_custkey = u.k
+    )
+    SELECT k AS c_custkey, COALESCE(new_bal, old_bal) AS acctbal,
+           CASE WHEN new_bal IS NOT NULL AND old_bal IS NOT NULL
+                THEN 2 ELSE 1 END AS version,
+           TRUE AS is_current
+    FROM j
+    UNION ALL
+    SELECT k, old_bal, 1, FALSE FROM j
+    WHERE new_bal IS NOT NULL AND old_bal IS NOT NULL
+    ORDER BY c_custkey, version
+    """,
+)
+def q_scd2_merge(spark, sf_dir):
+    """SCD2 (slowly-changing-dimension type 2) snapshot merge (§2.1
+    lake family): apply a CDC batch — updates to every 7th customer's
+    balance plus inserts of net-new keys — producing current rows
+    (latest version) AND closed history rows for updated keys. One
+    key-partitioned full outer join + union; at 100 TB the update batch
+    is the broadcast side and the base never reshuffles beyond its
+    bucketing. Values pass through unaggregated, so the cross-engine
+    hash is exact."""
+    from polars_express_spark.operators.scd2 import scd2_merge
+
+    c = load_table(spark, sf_dir, "customer")
+    updates = (
+        c.where(F.col("c_custkey") % 7 == 0)
+        .select(F.col("c_custkey").alias("k"), (F.col("c_acctbal") + 100).alias("new_bal"))
+        .unionByName(
+            c.where(F.col("c_custkey") % 97 == 0).select(
+                (F.col("c_custkey") + 1000000).alias("k"),
+                F.lit(500.0).alias("new_bal"),
+            )
+        )
+    )
+    base = c.select(F.col("c_custkey").alias("k"), F.col("c_acctbal").alias("old_bal"))
+    return (
+        scd2_merge(base, updates, key="k", old_val="old_bal", new_val="new_bal")
+        .select(
+            F.col("k").alias("c_custkey"),
+            F.col("val").alias("acctbal"),
+            "version",
+            "is_current",
+        )
+        .orderBy("c_custkey", "version")
+    )

@@ -58,6 +58,7 @@ def all_queries() -> dict[str, QueryFn]:
         extras,
         multimodal_corpus,
         udtf_corpus,
+        advanced,  # new in r6 — inside the window for a first-round check
         relational,
         functions_corpus,
         sink,

@@ -1,0 +1,82 @@
+"""Unit tests for the round-6 advanced operators: bucketed range join
+(boundary semantics, multi-bucket spans, overlapping intervals), SCD2
+merge (update/insert/untouched row classes), and chunking edge shapes.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+
+T0 = dt.datetime(2024, 1, 1)
+
+
+def _ts(seconds):
+    return T0 + dt.timedelta(seconds=seconds)
+
+
+def test_range_join_boundaries_and_spans(spark):
+    """start inclusive, end exclusive; an interval spanning many buckets
+    still matches; a point in two overlapping intervals matches both."""
+    from polars_express_spark.operators.range_join import bucketed_range_join
+
+    left = spark.createDataFrame(
+        [(1, _ts(0)), (2, _ts(59)), (3, _ts(60)), (4, _ts(1000)), (5, _ts(250))],
+        "pid long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, _ts(0), _ts(60)),  # [0, 60): pids 1, 2 — not 3 (end excl)
+            (11, _ts(30), _ts(2000)),  # spans many 60s buckets: 2,3,4,5
+            (12, _ts(240), _ts(260)),  # overlaps 11: pid 5 matches both
+        ],
+        "iv long, s timestamp, e timestamp",
+    )
+    out = bucketed_range_join(left, right, "ts", "s", "e", bucket_seconds=60)
+    got = {(r["pid"], r["iv"]) for r in out.collect()}
+    assert got == {(1, 10), (2, 10), (2, 11), (3, 11), (4, 11), (5, 11), (5, 12)}
+
+
+def test_range_join_empty_right(spark):
+    from polars_express_spark.operators.range_join import bucketed_range_join
+
+    left = spark.createDataFrame([(1, _ts(5))], "pid long, ts timestamp")
+    right = spark.createDataFrame([], "iv long, s timestamp, e timestamp")
+    assert bucketed_range_join(left, right, "ts", "s", "e", 60).count() == 0
+
+
+def test_scd2_merge_row_classes(spark):
+    """Untouched → 1 current row; updated → closed history + v2 current;
+    inserted → v1 current."""
+    from polars_express_spark.operators.scd2 import scd2_merge
+
+    base = spark.createDataFrame([(1, 10.0), (2, 20.0)], "k long, old double")
+    updates = spark.createDataFrame([(2, 25.0), (3, 30.0)], "k long, new double")
+    rows = scd2_merge(base, updates, key="k", old_val="old", new_val="new").collect()
+    got = {(r["k"], r["val"], r["version"], r["is_current"]) for r in rows}
+    assert got == {
+        (1, 10.0, 1, True),  # untouched
+        (2, 20.0, 1, False),  # closed history
+        (2, 25.0, 2, True),  # new current
+        (3, 30.0, 1, True),  # insert
+    }
+
+
+def test_chunk_overlap_short_doc_single_chunk(spark):
+    """A doc shorter than the stride yields exactly one chunk covering
+    all its tokens."""
+    import pandas as pd
+
+    from polars_express_spark.queries.advanced import q_chunk_overlap
+
+    # run the registered query at the test SF and check invariants
+    out = q_chunk_overlap(spark, "/root/testdata/sf0.001").toPandas()
+    assert (out["chunk_len"] >= 1).all()
+    assert (out["chunk_len"] <= 40).all()
+    # chunk 0 always starts at token 0
+    first = out[out["chunk_id"] == 0]
+    assert (first["start_tok"] == 0).all()
+    # per-doc: starts are an arithmetic sequence at the stride
+    g = out.groupby("doc_id")["start_tok"]
+    assert ((g.max() % 25) == 0).all()
+    assert isinstance(out, pd.DataFrame)

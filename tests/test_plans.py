@@ -95,6 +95,34 @@ def test_neardup_queries_never_cartesian(spark, name):
     assert "CartesianProduct" not in p
 
 
+def test_range_join_is_bucketed_equi_join(spark):
+    """The point-in-interval join must plan as a hash equi-join on the
+    bucket key (broadcast here — the interval side is tiny) with the
+    exact range check as a residual condition — NEVER a nested-loop or
+    cartesian over the raw range predicate, which is O(|L|·|R|) at
+    100 TB."""
+    p = plan_of("q_range_join", spark)
+    assert "BroadcastHashJoin" in p or "SortMergeJoin" in p or "ShuffledHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_tfidf_partial_aggregation_and_broadcast_count(spark):
+    """Both tf and df aggregations must combine map-side; the 1-row
+    corpus count must broadcast, not shuffle."""
+    p = plan_of("q_tfidf", spark)
+    assert p.count("HashAggregate") >= 4  # partial+final for tf and df
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_scd2_merge_no_cartesian(spark):
+    """The SCD2 snapshot merge is one key equi-join (broadcast or
+    shuffled) plus a union — no nested loop anywhere."""
+    p = plan_of("q_scd2_merge", spark)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
 def test_decontaminate_benchmark_side_broadcasts(spark):
     """The contamination probe must be a broadcast semi-join of corpus
     shingles against the (tiny) benchmark shingle set — never a shuffled
