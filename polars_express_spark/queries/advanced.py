@@ -30,6 +30,10 @@ from polars_express_spark.queries.registry import query
 _CHUNK_W = 40
 _CHUNK_S = 25
 
+# packing parameters: context-window token budget, ids per block
+_PACK_C = 128
+_PACK_B = 100
+
 
 @query(
     "q_range_join",
@@ -182,6 +186,54 @@ def q_chunk_overlap(spark, sf_dir):
         .alias("chunk_len"),
         F.element_at("toks", F.col("start_tok") + 1).alias("first_tok"),
     ).orderBy("doc_id", "chunk_id")
+
+
+@query(
+    "q_pack_bins",
+    oracle=f"""
+    WITH RECURSIVE docs AS (
+      SELECT doc_id, (doc_id // {_PACK_B}) * {_PACK_B} AS block, n_tok,
+             row_number() OVER (PARTITION BY (doc_id // {_PACK_B})
+                                ORDER BY doc_id) AS rn
+      FROM (
+        SELECT doc_id,
+               len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS n_tok
+        FROM documents
+      )
+    ),
+    pack(block, rn, doc_id, n_tok, bin_id, fill) AS (
+      SELECT block, rn, doc_id, n_tok, 0, n_tok FROM docs WHERE rn = 1
+      UNION ALL
+      SELECT d.block, d.rn, d.doc_id, d.n_tok,
+             CASE WHEN p.fill + d.n_tok <= {_PACK_C}
+                  THEN p.bin_id ELSE p.bin_id + 1 END,
+             CASE WHEN p.fill + d.n_tok <= {_PACK_C}
+                  THEN p.fill + d.n_tok ELSE d.n_tok END
+      FROM docs d JOIN pack p ON d.block = p.block AND d.rn = p.rn + 1
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(block AS BIGINT) AS block,
+           CAST(bin_id AS BIGINT) AS bin_id, CAST(n_tok AS BIGINT) AS n_tok
+    FROM pack ORDER BY doc_id
+    """,
+)
+def q_pack_bins(spark, sf_dir):
+    """Greedy sequence packing (§2.10, the pre-tokenizer step an LLM
+    pipeline runs after chunking): next-fit documents into
+    {_PACK_C}-token context windows within deterministic
+    {_PACK_B}-id blocks. The sequential bin-state scan runs per block
+    in an Arrow-batched applyInPandas (grouped-map UDF surface) —
+    blocks are embarrassingly parallel, so the shape holds at 100 TB
+    where a single global pack order could not. Oracle: DuckDB
+    recursive CTE replaying the same next-fit recurrence per block."""
+    from polars_express_spark.operators.packing import pack_next_fit
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", r"\s+"), lambda x: x != "")
+    with_counts = d.select("doc_id", F.size(toks).alias("n_tok"))
+    return pack_next_fit(
+        with_counts, id_col="doc_id", tok_col="n_tok",
+        capacity=_PACK_C, block_size=_PACK_B,
+    ).orderBy("doc_id")
 
 
 @query(

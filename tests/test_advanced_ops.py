@@ -62,6 +62,30 @@ def test_scd2_merge_row_classes(spark):
     }
 
 
+def test_pack_next_fit_semantics_and_partition_invariance(spark):
+    """Next-fit: fill until overflow, oversize docs get their own bin;
+    output must be identical regardless of input partitioning (block
+    membership and order are pure functions of the id)."""
+    from polars_express_spark.operators.packing import pack_next_fit
+
+    rows = [(0, 50), (1, 60), (2, 30), (3, 200), (4, 10), (100, 90), (101, 40)]
+    d = spark.createDataFrame(rows, "doc_id long, n_tok long")
+    out = {
+        r["doc_id"]: (r["block"], r["bin_id"])
+        for r in pack_next_fit(d, capacity=128, block_size=100).collect()
+    }
+    # block 0: 50 | +60=110 | +30>128 → bin1: 30 | +200>128 → bin2 (oversize alone)
+    # | 10 doesn't fit after 200 → bin3; block 100: 90 | +40=130>128 → bin1
+    assert out == {
+        0: (0, 0), 1: (0, 0), 2: (0, 1), 3: (0, 2), 4: (0, 3),
+        100: (100, 0), 101: (100, 1),
+    }
+    shuffled = pack_next_fit(d.repartition(7), capacity=128, block_size=100)
+    assert {(r["doc_id"], r["block"], r["bin_id"]) for r in shuffled.collect()} == {
+        (k, b, bi) for k, (b, bi) in out.items()
+    }
+
+
 def test_chunk_overlap_short_doc_single_chunk(spark):
     """A doc shorter than the stride yields exactly one chunk covering
     all its tokens."""
