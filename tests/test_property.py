@@ -332,3 +332,48 @@ def test_asof_matches_pandas_merge_asof(spark, lefts, rights, direction):
         }
         want |= {(i, None) for i, (u, s) in enumerate(lefts) if s is None}
     assert got == want
+
+
+# --- bucketed range join vs brute-force reference ---
+
+range_points = st.lists(
+    st.tuples(st.integers(0, 9), st.integers(0, 500)), min_size=0, max_size=12
+)
+range_intervals = st.lists(
+    st.tuples(st.integers(0, 9), st.integers(0, 500), st.integers(0, 120)),
+    min_size=0,
+    max_size=10,
+)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(range_points, range_intervals, st.sampled_from([7, 60, 300]))
+def test_bucketed_range_join_matches_brute_force(spark, points, intervals, width):
+    """Bucketing must be invisible: for ANY bucket width the result is
+    exactly the brute-force point-in-[start, end) match set — including
+    zero-length intervals, points on bucket boundaries, and intervals
+    spanning many buckets."""
+    import datetime as dt
+
+    from polars_express_spark.operators.range_join import bucketed_range_join
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    lschema = "pid long, ts timestamp"
+    rschema = "iv long, s timestamp, e timestamp"
+    lrows = [(i, ts(s)) for i, (_, s) in enumerate(points)]
+    rrows = [(j, ts(s), ts(s + d)) for j, (_, s, d) in enumerate(intervals)]
+    left = spark.createDataFrame(lrows, lschema) if lrows else spark.createDataFrame([], lschema)
+    right = spark.createDataFrame(rrows, rschema) if rrows else spark.createDataFrame([], rschema)
+    out = bucketed_range_join(left, right, "ts", "s", "e", bucket_seconds=width)
+    got = {(r["pid"], r["iv"]) for r in out.collect()}
+    want = {
+        (i, j)
+        for i, (_, p) in enumerate(points)
+        for j, (_, s, d) in enumerate(intervals)
+        if s <= p < s + d
+    }
+    assert got == want
