@@ -35,6 +35,22 @@ _PACK_C = 128
 _PACK_B = 100
 
 
+def daytime_intervals(spark, n_days: int = 30):
+    """The 30 half-open daytime maintenance windows [06:00, 18:00) used
+    by q_range_join and the streaming range-join golden."""
+    return spark.range(n_days).select(
+        F.col("id").alias("iv_id"),
+        (
+            F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+            + F.make_dt_interval(F.col("id"), F.lit(6), F.lit(0), F.lit(0))
+        ).alias("w_start"),
+        (
+            F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+            + F.make_dt_interval(F.col("id"), F.lit(18), F.lit(0), F.lit(0))
+        ).alias("w_end"),
+    )
+
+
 @query(
     "q_range_join",
     oracle=f"""
@@ -59,17 +75,7 @@ def q_range_join(spark, sf_dir):
     from polars_express_spark.operators.range_join import bucketed_range_join
 
     e = load_table(spark, sf_dir, "events").select("event_id", "ts", "value")
-    iv = spark.range(30).select(
-        F.col("id").alias("iv_id"),
-        (
-            F.to_timestamp(F.lit("2024-01-01 00:00:00"))
-            + F.make_dt_interval(F.col("id"), F.lit(6), F.lit(0), F.lit(0))
-        ).alias("w_start"),
-        (
-            F.to_timestamp(F.lit("2024-01-01 00:00:00"))
-            + F.make_dt_interval(F.col("id"), F.lit(18), F.lit(0), F.lit(0))
-        ).alias("w_end"),
-    )
+    iv = daytime_intervals(spark)
     joined = bucketed_range_join(e, iv, "ts", "w_start", "w_end", bucket_seconds=43200)
     return (
         joined.groupBy("iv_id")

@@ -98,3 +98,32 @@ def test_stream_stream_interval_join(spark, tmp_path):
         assert got == {(4, 1, 1.0), (4, 1, 2.0)}
     finally:
         q.stop()
+
+
+def test_stream_static_range_join_equals_batch(spark, events_dir):
+    """The bucketed range join is STATELESS (explode + equi-join +
+    filter), so it runs unchanged on a streaming left side — the
+    stream-static temporal-enrichment shape. Golden: streaming result ≡
+    batch result on the same events."""
+    from polars_express_spark.operators.range_join import bucketed_range_join
+    from polars_express_spark.queries.advanced import daytime_intervals
+
+    iv = daytime_intervals(spark)
+    streamed = bucketed_range_join(
+        stream_events(spark, events_dir).select("event_id", "ts"),
+        iv, "ts", "w_start", "w_end", bucket_seconds=43200,
+    ).select("event_id", "iv_id")
+    q = run_to_memory(streamed, "t_range_join", output_mode="append")
+    try:
+        got = {
+            (r["event_id"], r["iv_id"])
+            for r in spark.sql("SELECT * FROM t_range_join").collect()
+        }
+        batch = bucketed_range_join(
+            load_table(spark, SF_DIR, "events").select("event_id", "ts"),
+            iv, "ts", "w_start", "w_end", bucket_seconds=43200,
+        )
+        want = {(r["event_id"], r["iv_id"]) for r in batch.collect()}
+        assert got == want and got
+    finally:
+        q.stop()
