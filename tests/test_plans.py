@@ -123,6 +123,18 @@ def test_scd2_merge_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in p
 
 
+def test_pack_bins_is_one_grouped_map_shuffle(spark):
+    """Sequence packing must be ONE hash shuffle on the block key into
+    an Arrow grouped-map (FlatMapGroupsInPandas) — the per-block scan
+    never widens beyond its block, and no second aggregation pass
+    exists. (The only other Exchange is the final presentation sort.)"""
+    p = plan_of("q_pack_bins", spark)
+    assert "FlatMapGroupsInPandas" in p
+    # count tree nodes, not the per-node detail sections that repeat
+    # the operator name below the tree
+    assert p.count("+- Exchange") <= 2
+
+
 def test_decontaminate_benchmark_side_broadcasts(spark):
     """The contamination probe must be a broadcast semi-join of corpus
     shingles against the (tiny) benchmark shingle set — never a shuffled
