@@ -30,21 +30,30 @@ def scd2_merge(
 ) -> DataFrame:
     """Merge `updates(key, new_val)` into `base(key, old_val)`.
 
-    Returns (key, val, version, is_current):
+    A NULL `new_val` on a PRESENT update row is a DELETE tombstone (the
+    standard CDC encoding): the key's row is closed into history and no
+    current row is emitted. Returns (key, val, version, is_current):
     - untouched base rows   → (key, old_val, 1, true)
     - updated keys          → (key, old_val, 1, false) AND
                               (key, new_val, 2, true)
     - inserted keys         → (key, new_val, 1, true)
+    - deleted keys          → (key, old_val, 1, false) only
+    - delete of an absent key → nothing
     """
-    j = base.join(updates, key, "full")
-    both = F.col(new_val).isNotNull() & F.col(old_val).isNotNull()
-    current = j.select(
+    # presence marker: a full-outer miss and a NULL tombstone value are
+    # otherwise indistinguishable on the update side
+    upd = updates.withColumn("__upd", F.lit(True))
+    j = base.join(upd, key, "full")
+    present = F.col("__upd").isNotNull()
+    updated = present & F.col(old_val).isNotNull() & F.col(new_val).isNotNull()
+    deleted = present & F.col(new_val).isNull()
+    current = j.where(~deleted).select(
         F.col(key),
         F.coalesce(new_val, old_val).alias("val"),
-        F.when(both, F.lit(2)).otherwise(F.lit(1)).alias("version"),
+        F.when(updated, F.lit(2)).otherwise(F.lit(1)).alias("version"),
         F.lit(True).alias("is_current"),
     )
-    history = j.where(both).select(
+    history = j.where(present & F.col(old_val).isNotNull()).select(
         F.col(key),
         F.col(old_val).alias("val"),
         F.lit(1).alias("version"),

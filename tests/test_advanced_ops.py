@@ -62,6 +62,23 @@ def test_scd2_merge_row_classes(spark):
     }
 
 
+def test_scd2_merge_delete_tombstones(spark):
+    """A NULL new_val on a present update row is a DELETE: history row
+    only, no current row; deleting an absent key emits nothing."""
+    from polars_express_spark.operators.scd2 import scd2_merge
+
+    base = spark.createDataFrame([(1, 10.0), (2, 20.0)], "k long, old double")
+    updates = spark.createDataFrame(
+        [(2, None), (9, None)], "k long, new double"
+    )
+    rows = scd2_merge(base, updates, key="k", old_val="old", new_val="new").collect()
+    got = {(r["k"], r["val"], r["version"], r["is_current"]) for r in rows}
+    assert got == {
+        (1, 10.0, 1, True),  # untouched
+        (2, 20.0, 1, False),  # deleted: closed history, no current
+    }
+
+
 def test_pack_next_fit_semantics_and_partition_invariance(spark):
     """Next-fit: fill until overflow, oversize docs get their own bin;
     output must be identical regardless of input partitioning (block
