@@ -23,7 +23,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from polars_express_spark.catalog import load_table
-from polars_express_spark.queries._util import dsum, sql_dsum
+from polars_express_spark.queries._util import DEC_MOM, dsum, sql_dsum
 from polars_express_spark.queries.registry import query
 
 # chunking parameters: width > stride → overlapping windows
@@ -299,4 +299,84 @@ def q_scd2_merge(spark, sf_dir):
             "is_current",
         )
         .orderBy("c_custkey", "version")
+    )
+
+
+@query(
+    "q_embed_pca",
+    oracle=f"""
+    WITH el AS (
+      SELECT s.i AS i, CAST(embedding[s.i] AS DOUBLE) AS x
+      FROM embeddings, unnest(generate_series(1, len(embedding))) s(i)
+    ),
+    mom AS (
+      SELECT i, {sql_dsum("x", "sx", "DECIMAL(38,12)")},
+             {sql_dsum("x*x", "sxx", "DECIMAL(38,12)")},
+             count(*) AS cn
+      FROM el GROUP BY i
+    ),
+    vars AS (SELECT sxx/cn - (sx/cn)*(sx/cn) AS v FROM mom),
+    tot AS ( SELECT {sql_dsum("v", "total_var", "DECIMAL(38,12)")} FROM vars )
+    SELECT CAST((SELECT count(*) FROM embeddings) AS BIGINT) AS n_vectors,
+           CAST((SELECT max(len(embedding)) FROM embeddings) AS BIGINT) AS dim,
+           (SELECT total_var FROM tot) AS total_var,
+           TRUE AS trace_ok,
+           TRUE AS proj_ok
+    """,
+)
+def q_embed_pca(spark, sf_dir):
+    """Distributed PCA over the embedding column (§2.10 similarity
+    family): Gram-matrix partials per partition (Arrow-batched numpy),
+    a 64×64 driver eigensolve (kilobyte boundary collect, same class as
+    the IVF centroids), and row-parallel projection.
+
+    Driver-checkable invariant form — the eigenvectors themselves are
+    solver-dependent floats, so the registered row pins the two defining
+    PCA identities instead, each tying the DRIVER eigensolve back to
+    DISTRIBUTED decimal-exact statistics the oracle can recompute:
+    - trace_ok: Σ eigenvalues = total variance (trace preservation),
+      vs the decimal-exact per-dimension variance sum (rel. 1e-9);
+    - proj_ok: the decimal-exact variance of the data projected on the
+      first component equals eigenvalue 1 (rel. 1e-6) — wrong mean,
+      covariance, sign handling, or projection all break it.
+    total_var itself is emitted and hash-compared (decimal-exact on
+    both engines)."""
+    from polars_express_spark.operators.pca import pca_fit, pca_project
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    mean, comps, eigvals, n = pca_fit(emb, "embedding", k=2)
+    el = emb.select(F.posexplode("embedding").alias("i", "xf")).select(
+        "i", F.col("xf").cast("double").alias("x")
+    )
+    mom = el.groupBy("i").agg(
+        dsum("x", "sx", DEC_MOM),
+        dsum(F.col("x") * F.col("x"), "sxx", DEC_MOM),
+        F.count(F.lit(1)).alias("cn"),
+    )
+    mean_i = F.col("sx") / F.col("cn")
+    vars_ = mom.select(
+        (F.col("sxx") / F.col("cn") - mean_i * mean_i).alias("v")
+    )
+    tot = vars_.agg(dsum("v", "total_var", DEC_MOM))
+    p = pca_project(emb, mean, comps).select(F.col("pc")[0].alias("p"))
+    pv = p.agg(
+        dsum("p", "sp", DEC_MOM),
+        dsum(F.col("p") * F.col("p"), "spp", DEC_MOM),
+        F.count(F.lit(1)).alias("cn"),
+    )
+    pmean = F.col("sp") / F.col("cn")
+    pv = pv.select((F.col("spp") / F.col("cn") - pmean * pmean).alias("proj_var"))
+    lam1 = float(eigvals[0])
+    trace = float(eigvals.sum())
+    return tot.crossJoin(pv).select(
+        F.lit(n).cast("bigint").alias("n_vectors"),
+        F.lit(int(len(mean))).cast("bigint").alias("dim"),
+        F.col("total_var"),
+        (
+            F.abs(F.lit(trace) - F.col("total_var"))
+            <= F.lit(1e-9) * F.col("total_var")
+        ).alias("trace_ok"),
+        (F.abs(F.lit(lam1) - F.col("proj_var")) <= F.lit(1e-6) * F.lit(lam1)).alias(
+            "proj_ok"
+        ),
     )

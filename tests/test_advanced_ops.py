@@ -121,3 +121,23 @@ def test_chunk_overlap_short_doc_single_chunk(spark):
     g = out.groupby("doc_id")["start_tok"]
     assert ((g.max() % 25) == 0).all()
     assert isinstance(out, pd.DataFrame)
+
+
+def test_pca_fit_orthonormal_and_deterministic(spark):
+    """Components must be orthonormal with deterministic sign; two fits
+    on the same data must agree exactly; projection preserves row
+    count and k."""
+    import numpy as np
+
+    from polars_express_spark.catalog import load_table
+    from polars_express_spark.operators.pca import pca_fit, pca_project
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    mean, comps, eigvals, n = pca_fit(emb, "embedding", k=3)
+    assert comps.shape == (3, 64) and n == emb.count()
+    np.testing.assert_allclose(comps @ comps.T, np.eye(3), atol=1e-10)
+    assert (eigvals[:-1] >= eigvals[1:]).all()  # descending
+    mean2, comps2, eigvals2, _ = pca_fit(emb, "embedding", k=3)
+    np.testing.assert_array_equal(comps, comps2)
+    rows = pca_project(emb, mean, comps).collect()
+    assert len(rows) == n and all(len(r["pc"]) == 3 for r in rows)
