@@ -59,3 +59,25 @@ def test_bucketed_join_matches_plain_join(bucketed):
         .collect()[0]
     )
     assert (got["n"], got["s"]) == (want["n"], want["s"])
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    """Hive-style partition_by layout must turn an equality filter on
+    the partition key into PartitionFilters at the scan — at 100 TB
+    that is the difference between reading one directory and reading
+    the corpus. Row counts must match the unpartitioned filter."""
+    from pyspark.sql import functions as F
+
+    from polars_express_spark.catalog import DataLake, load_table
+    from tests.conftest import SF_DIR
+
+    lake = DataLake(spark, str(tmp_path))
+    docs = load_table(spark, SF_DIR, "documents")
+    lake.save(docs, "docs_part", partition_by=["lang"])
+    filtered = lake.load("docs_part").where(F.col("lang") == "en")
+    plan = filtered._sc._jvm.PythonSQLUtils.explainString(
+        filtered._jdf.queryExecution(), "formatted"
+    )
+    pf = plan.split("PartitionFilters:")[1].split("\n")[0]
+    assert "lang" in pf  # filter reached the partition pruner
+    assert filtered.count() == docs.where(F.col("lang") == "en").count()
