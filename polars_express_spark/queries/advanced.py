@@ -380,3 +380,39 @@ def q_embed_pca(spark, sf_dir):
             "proj_ok"
         ),
     )
+
+
+@query(
+    "q_histogram",
+    oracle="""
+    WITH b AS (
+      SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi FROM lineitem
+    )
+    SELECT LEAST(CAST(FLOOR((l_extendedprice - (SELECT lo FROM b))
+                             / (((SELECT hi FROM b) - (SELECT lo FROM b)) / 20.0))
+                      AS BIGINT), 19) AS bin,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM lineitem GROUP BY bin ORDER BY bin
+    """,
+)
+def q_histogram(spark, sf_dir):
+    """Equal-width 20-bin histogram of l_extendedprice with DATA-DERIVED
+    bounds (§2.4 family): the profiling primitive behind every
+    distribution dashboard. Two tiny passes — an exact min/max aggregate
+    broadcast into the binning scan, then a partial→final count per bin.
+    Bin arithmetic is the same IEEE double expression on both engines
+    (min/max are exact, no sums), so edges can't drift cross-engine; the
+    max value folds into the last bin."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_extendedprice")
+    b = li.agg(
+        F.min("l_extendedprice").alias("lo"), F.max("l_extendedprice").alias("hi")
+    )
+    x = F.col("l_extendedprice")
+    w = (F.col("hi") - F.col("lo")) / F.lit(20.0)
+    bin_ = F.least(F.floor((x - F.col("lo")) / w), F.lit(19).cast("bigint"))
+    return (
+        li.crossJoin(F.broadcast(b))
+        .groupBy(bin_.alias("bin"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .orderBy("bin")
+    )
