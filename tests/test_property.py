@@ -377,3 +377,76 @@ def test_bucketed_range_join_matches_brute_force(spark, points, intervals, width
         if s <= p < s + d
     }
     assert got == want
+
+
+# --- next-fit packing vs pure-Python reference ---
+
+pack_rows = st.dictionaries(
+    keys=st.integers(0, 250), values=st.integers(1, 200), max_size=15
+).map(lambda d: sorted(d.items()))
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(pack_rows, st.sampled_from([64, 128]))
+def test_pack_next_fit_matches_python(spark, rows, capacity):
+    from polars_express_spark.operators.packing import pack_next_fit
+
+    if not rows:
+        return
+    d = spark.createDataFrame(rows, "doc_id long, n_tok long")
+    got = {
+        r["doc_id"]: (r["block"], r["bin_id"])
+        for r in pack_next_fit(d, capacity=capacity, block_size=100).collect()
+    }
+    want = {}
+    by_block: dict[int, list] = {}
+    for doc_id, n in rows:  # already sorted by doc_id
+        by_block.setdefault(doc_id - doc_id % 100, []).append((doc_id, n))
+    for block, docs in by_block.items():
+        bin_id, fill = 0, 0
+        for i, (doc_id, n) in enumerate(docs):
+            if i == 0:
+                fill = n
+            elif fill + n <= capacity:
+                fill += n
+            else:
+                bin_id += 1
+                fill = n
+            want[doc_id] = (block, bin_id)
+    assert got == want
+
+
+# --- SCD2 merge vs pure-Python reference (incl. delete tombstones) ---
+
+scd2_base = st.dictionaries(keys=st.integers(1, 12), values=st.integers(0, 9), max_size=8)
+scd2_upd = st.dictionaries(
+    keys=st.integers(1, 15), values=st.one_of(st.none(), st.integers(10, 19)), max_size=8
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(scd2_base, scd2_upd)
+def test_scd2_merge_matches_python(spark, base_d, upd_d):
+    from polars_express_spark.operators.scd2 import scd2_merge
+
+    bschema = "k long, old double"
+    uschema = "k long, new double"
+    brows = [(k, float(v)) for k, v in base_d.items()]
+    urows = [(k, None if v is None else float(v)) for k, v in upd_d.items()]
+    base = spark.createDataFrame(brows, bschema) if brows else spark.createDataFrame([], bschema)
+    upd = spark.createDataFrame(urows, uschema) if urows else spark.createDataFrame([], uschema)
+    rows = scd2_merge(base, upd, key="k", old_val="old", new_val="new").collect()
+    got = {(r["k"], r["val"], r["version"], r["is_current"]) for r in rows}
+    want = set()
+    for k, v in base_d.items():
+        if k not in upd_d:
+            want.add((k, float(v), 1, True))  # untouched
+        elif upd_d[k] is None:
+            want.add((k, float(v), 1, False))  # deleted
+        else:
+            want.add((k, float(v), 1, False))  # closed history
+            want.add((k, float(upd_d[k]), 2, True))  # new current
+    for k, v in upd_d.items():
+        if k not in base_d and v is not None:
+            want.add((k, float(v), 1, True))  # insert
+    assert got == want
