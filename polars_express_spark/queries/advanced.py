@@ -416,3 +416,50 @@ def q_histogram(spark, sf_dir):
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
         .orderBy("bin")
     )
+
+
+@query(
+    "q_rare_tokens",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, t.token AS t FROM documents,
+             unnest(string_split_regex(text, '\\s+')) t(token)
+      WHERE t.token <> ''
+    ),
+    cnt AS (SELECT t, count(*) AS c FROM tok GROUP BY t)
+    SELECT tok.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tok,
+           CAST(count(*) FILTER (WHERE cnt.c < 3) AS BIGINT) AS n_rare,
+           CAST(min(cnt.c) AS BIGINT) AS min_c,
+           CAST(count(*) FILTER (WHERE cnt.c < 3) AS DOUBLE) / count(*) AS rare_frac
+    FROM tok JOIN cnt USING (t)
+    GROUP BY tok.doc_id ORDER BY tok.doc_id
+    """,
+)
+def q_rare_tokens(spark, sf_dir):
+    """Rare-token density (§2.10 text analysis, corpus-statistics
+    flavor): per-document count and fraction of tokens whose GLOBAL
+    corpus frequency is < 3, plus the rarest token's count — the
+    OOV/garbage-density signal a pre-training filter thresholds on.
+    Unlike q_quality_score (per-row ratios), this needs a corpus-wide
+    vocabulary aggregate joined back to the token stream: one hash agg
+    for counts, a broadcast-able vocab join, one partial→final per-doc
+    agg — every emitted value is integer-exact (the fraction divides
+    two exact ints identically in both engines)."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", r"\s+")).alias("t")).where(
+        F.col("t") != ""
+    )
+    cnt = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    rare = F.when(F.col("c") < 3, 1).otherwise(0)
+    return (
+        tok.join(cnt, "t")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tok"),
+            F.sum(rare).cast("bigint").alias("n_rare"),
+            F.min("c").cast("bigint").alias("min_c"),
+            (F.sum(rare).cast("double") / F.count(F.lit(1))).alias("rare_frac"),
+        )
+        .orderBy("doc_id")
+    )
