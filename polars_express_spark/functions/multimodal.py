@@ -50,10 +50,17 @@ def parse_image_header(payload: bytes):
         w, h = struct.unpack_from(">II", payload, 16)
         return w, h, _PNG_CHANNELS.get(payload[25], 3)
     if len(payload) >= 30 and payload[:2] == b"BM":
-        # BITMAPINFOHEADER: signed LE width/height at 18/22 (height may
-        # be negative = top-down), bits-per-pixel at 28
-        w, h = struct.unpack_from("<ii", payload, 18)
-        bits = struct.unpack_from("<H", payload, 28)[0]
+        # DIB header size at 14 distinguishes the ancient 12-byte
+        # BITMAPCOREHEADER (u16 dims at 18/20, bpp at 24) from
+        # BITMAPINFOHEADER and its extensions (signed i32 dims at 18/22
+        # — height may be negative = top-down — bpp at 28)
+        hsize = struct.unpack_from("<I", payload, 14)[0]
+        if hsize < 40:
+            w, h = struct.unpack_from("<HH", payload, 18)
+            bits = struct.unpack_from("<H", payload, 24)[0]
+        else:
+            w, h = struct.unpack_from("<ii", payload, 18)
+            bits = struct.unpack_from("<H", payload, 28)[0]
         return w, abs(h), max(1, bits // 8)
     if len(payload) >= 10 and payload[:6] in (b"GIF87a", b"GIF89a"):
         w, h = struct.unpack_from("<HH", payload, 6)

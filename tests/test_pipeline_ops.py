@@ -242,6 +242,17 @@ def _make_bmp(w, h, bits=24):
     return header + info + b"\x7f" * pixel_bytes
 
 
+def _make_bmp_core(w, h):
+    """Ancient BITMAPCOREHEADER variant (12-byte DIB header, u16 dims)."""
+    import struct
+
+    row = ((w * 3 + 3) // 4) * 4
+    pixel_bytes = row * h
+    header = struct.pack("<2sIHHI", b"BM", 26 + pixel_bytes, 0, 0, 26)
+    core = struct.pack("<IHHHH", 12, w, h, 1, 24)
+    return header + core + b"\x7f" * pixel_bytes
+
+
 def _make_gif(w, h):
     import struct
 
@@ -262,6 +273,7 @@ def test_multimodal_real_decode_header_formats(spark):
         (2, _make_png(5, 9, color_type=6), 5, 9, 4),
         (3, _make_bmp(64, 48), 64, 48, 3),
         (4, _make_gif(12, 9), 12, 9, 3),
+        (5, _make_bmp_core(7, 11), 7, 11, 3),
     ]
     d = spark.createDataFrame(
         [(i, bytearray(p)) for i, p, *_ in fixtures], "doc_id long, payload binary"
