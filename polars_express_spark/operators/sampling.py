@@ -120,3 +120,45 @@ def mixture_keep_fractions(
         "__n_stratum",
         F.when(share >= 0, capped(share)).otherwise(unlisted).alias("__frac"),
     )
+
+
+def hash_split(
+    df: DataFrame,
+    weights: dict[str, float],
+    key_cols: list[str],
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic train/val/test split: adds a `split` column chosen
+    by cumulative hash thresholds — every row lands in EXACTLY one split
+    (disjoint + covering by construction), stable under any
+    partitioning/retry/scale, and rows never migrate between splits
+    when weights are nudged (a row moves only across the boundary that
+    moved — the property that keeps eval sets stable across dataset
+    versions). Weights must sum to 1; the last split takes the
+    remainder so float rounding can't leave rows unassigned."""
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    h = F.pmod(F.xxhash64(*[F.col(c) for c in key_cols], F.lit(seed)), F.lit(DENOM))
+    names = list(weights)
+    expr = F.lit(names[-1])  # remainder bucket
+    cum = 0.0
+    conds = []
+    for name in names[:-1]:
+        cum += weights[name]
+        conds.append((name, int(round(cum * DENOM))))
+    for name, thresh in reversed(conds):
+        expr = F.when(h < thresh, F.lit(name)).otherwise(expr)
+    return df.withColumn("split", expr)
+
+
+def weighted_sample(
+    df: DataFrame, weight_col: str, key_cols: list[str], seed: int = 42
+) -> DataFrame:
+    """Per-row probability sampling: keep each row with probability
+    equal to its own weight column (clamped to [0, 1]) — the
+    quality-weighted resampling step of a curation pipeline (keep good
+    documents surely, junk rarely). Same deterministic hash decision as
+    every sampler here: a narrow filter, no shuffle, reproducible."""
+    w = F.least(F.lit(1.0), F.greatest(F.lit(0.0), F.col(weight_col)))
+    return df.where(_keep(key_cols, w, seed))

@@ -463,3 +463,90 @@ def q_rare_tokens(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "q_train_split",
+    oracle="""
+    SELECT s.split,
+           (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_corpus,
+           TRUE AS bound_ok, TRUE AS cover_ok
+    FROM (VALUES ('test'), ('train'), ('val')) s(split)
+    ORDER BY s.split
+    """,
+)
+def q_train_split(spark, sf_dir):
+    """Deterministic 80/10/10 train/val/test split (§2.10, THE
+    reproducibility primitive): cumulative hash thresholds put every
+    document in exactly one split on any cluster size. Hash-dependent
+    membership can't be replayed in SQL, so the registered row reports,
+    per split: the corpus total (oracle-recomputed), a 4σ binomial
+    bound on the split size, and cover_ok — the exact check that the
+    three split counts sum to the corpus (disjointness + coverage)."""
+    from polars_express_spark.operators.sampling import hash_split
+
+    d = load_table(spark, sf_dir, "documents")
+    weights = {"train": 0.8, "val": 0.1, "test": 0.1}
+    sp = hash_split(d, weights, key_cols=["doc_id"])
+    counts = sp.groupBy("split").agg(F.count(F.lit(1)).alias("n"))
+    total = d.agg(F.count(F.lit(1)).cast("bigint").alias("n_corpus"))
+    w = F.create_map(
+        *[x for k, v in weights.items() for x in (F.lit(k), F.lit(float(v)))]
+    )[F.col("split")]
+    tol = F.lit(4) * F.sqrt(w * (F.lit(1.0) - w) * F.col("n_corpus")) + F.lit(2)
+    bound_ok = F.abs(F.col("n") - w * F.col("n_corpus")) <= tol
+    cover = counts.agg(F.sum("n").cast("bigint").alias("n_all"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .crossJoin(F.broadcast(cover))
+        .select(
+            "split",
+            "n_corpus",
+            bound_ok.alias("bound_ok"),
+            (F.col("n_all") == F.col("n_corpus")).alias("cover_ok"),
+        )
+        .orderBy("split")
+    )
+
+
+@query(
+    "q_weighted_sample",
+    oracle=f"""
+    WITH w AS (SELECT lang, LEAST(1.0, n_chars / 200.0) AS w FROM documents)
+    SELECT lang, {sql_dsum("w", "exp_kept")}, TRUE AS kept_ok
+    FROM w GROUP BY lang ORDER BY lang
+    """,
+)
+def q_weighted_sample(spark, sf_dir):
+    """Quality-weighted resampling (§2.10): each document survives with
+    probability equal to its own quality weight (here min(1,
+    n_chars/200) — longer docs kept surely, short ones rarely), the
+    standard curation step between scoring and training. The oracle
+    RECOMPUTES the exact expected kept count per language (decimal-exact
+    Σw, identical IEEE weight expression on both engines); the driver
+    row adds a 4σ Poisson-binomial bound (σ² = Σw(1−w)) on the actual
+    kept count — so a broken hash, clamp, or weight expression all
+    hash-mismatch."""
+    from polars_express_spark.operators.sampling import weighted_sample
+
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "__w", F.least(F.lit(1.0), F.col("n_chars") / F.lit(200.0))
+    )
+    kept = (
+        weighted_sample(d, "__w", key_cols=["doc_id"])
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+        .withColumnRenamed("lang", "__k_lang")
+    )
+    wexp = d.groupBy("lang").agg(
+        dsum("__w", "exp_kept"),
+        dsum(F.col("__w") * (F.lit(1.0) - F.col("__w")), "wvar", DEC_MOM),
+    )
+    n_kept = F.coalesce("n_kept", F.lit(0))
+    tol = F.lit(4) * F.sqrt(F.col("wvar")) + F.lit(2)
+    kept_ok = F.abs(n_kept - F.col("exp_kept")) <= tol
+    return (
+        wexp.join(kept, F.col("lang").eqNullSafe(F.col("__k_lang")), "left")
+        .select("lang", "exp_kept", kept_ok.alias("kept_ok"))
+        .orderBy("lang")
+    )

@@ -97,3 +97,48 @@ def test_mixture_sample_keeps_unlisted_strata_whole(spark):
         if lang != "en":
             assert ck.get(lang, 0) < n, lang  # now capped below full size
             assert ck.get(lang, 0) > 0.05 * n_corpus * 0.4  # but near target
+
+
+def test_hash_split_disjoint_cover_and_boundary_stability(spark):
+    """Every row in exactly one split; nudging a weight boundary only
+    moves rows across that boundary (train shrink → rows move to val,
+    test membership untouched); invalid weights raise."""
+    import pytest
+
+    from polars_express_spark.operators.sampling import hash_split
+
+    d = spark.range(2000).withColumnRenamed("id", "doc_id")
+    a = {r["doc_id"]: r["split"] for r in hash_split(
+        d, {"train": 0.8, "val": 0.1, "test": 0.1}, ["doc_id"]).collect()}
+    assert len(a) == 2000  # one split per row, no row lost
+    b = {r["doc_id"]: r["split"] for r in hash_split(
+        d, {"train": 0.7, "val": 0.2, "test": 0.1}, ["doc_id"]).collect()}
+    for k in a:
+        if a[k] != b[k]:
+            assert (a[k], b[k]) == ("train", "val")  # only the moved boundary
+    assert {k for k in a if a[k] == "test"} == {k for k in b if b[k] == "test"}
+    with pytest.raises(ValueError):
+        hash_split(d, {"train": 0.8, "val": 0.1}, ["doc_id"])
+
+
+def test_weighted_sample_extremes_and_determinism(spark):
+    """Weight 1 keeps surely, weight 0 drops surely; clamping handles
+    out-of-range weights; repartitioning never changes the kept set."""
+    from pyspark.sql import functions as F
+
+    from polars_express_spark.operators.sampling import weighted_sample
+
+    d = spark.range(500).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 3 == 0, F.lit(1.5))   # clamps to 1 → kept
+        .when(F.col("id") % 3 == 1, F.lit(-0.2))   # clamps to 0 → dropped
+        .otherwise(F.lit(0.5))
+        .alias("w"),
+    )
+    kept = {r["doc_id"] for r in weighted_sample(d, "w", ["doc_id"]).collect()}
+    assert all(k in kept for k in range(0, 500, 3))
+    assert all(k not in kept for k in range(1, 500, 3))
+    half = [k for k in kept if k % 3 == 2]
+    assert 0 < len(half) < len(range(2, 500, 3))  # genuinely probabilistic
+    kept2 = {r["doc_id"] for r in weighted_sample(d.repartition(13), "w", ["doc_id"]).collect()}
+    assert kept == kept2
