@@ -84,13 +84,17 @@ class DataLake:
                 ids.add(entry)
         return sorted(ids)
 
-    def load(self, data_id: str, schema=None) -> DataFrame:
+    def load(self, data_id: str, schema=None, merge_schema: bool = False) -> DataFrame:
         """Lazy scan of a dataset (reference load_dataset, src/main.rs:41-52,
         minus the anti-pattern of eager whole-file parsing).
 
         CSVs use header inference like the reference
         (CsvReadOptions::with_has_header, src/main.rs:48-51) unless a
         schema is declared; parquet/json carry their own schemas.
+        merge_schema=True unions the footers of every part file (schema
+        EVOLUTION: parts appended after a column was added still read as
+        one frame, old parts null-extended) — off by default because it
+        reads every footer up front, which matters at 100 TB file counts.
         """
         path = self.dataset_path(data_id)
         if path is None:
@@ -109,7 +113,35 @@ class DataLake:
             return reader.json(path)
         if path.endswith(".orc"):
             return self.spark.read.orc(path)
-        return self.spark.read.parquet(path)
+        reader = self.spark.read
+        if merge_schema:
+            reader = reader.option("mergeSchema", True)
+        return reader.parquet(path)
+
+    def compact(self, data_id: str, target_rows_per_file: int = 1_000_000) -> int:
+        """Small-file compaction (lake maintenance): rewrite a parquet
+        dataset into ⌈rows / target⌉ part files. Streaming/incremental
+        writers leave thousands of tiny parts; at 100 TB the per-file
+        open/footer cost dominates scans long before data volume does.
+
+        Row count comes from parquet METADATA (a footer-only job, no
+        data scan), then one repartition-write; the write goes to a
+        temp id and swaps in only after success, so a failed compaction
+        never corrupts the dataset. Returns the new file count."""
+        import shutil
+
+        path = self.dataset_path(data_id)
+        if path is None or not (path.endswith(".parquet") or os.path.isdir(path)):
+            raise FileNotFoundError(f"no parquet dataset {data_id!r} to compact")
+        df = self.spark.read.parquet(path)
+        n_rows = df.count()  # parquet count() is metadata-only
+        n_files = max(1, -(-n_rows // target_rows_per_file))
+        tmp_id = f"{data_id}.__compact_tmp"
+        tmp_path = self.save(df.repartition(n_files), tmp_id, fmt="parquet")
+        shutil.rmtree(path)
+        os.replace(tmp_path, path)
+        self._invalidate_memos()
+        return n_files
 
     def save(
         self,

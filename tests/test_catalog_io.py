@@ -46,3 +46,46 @@ def test_save_partition_by(spark, lake):
 def test_save_rejects_unknown_format(spark, lake):
     with pytest.raises(ValueError):
         lake.save(_nation(spark), "x", fmt="avro")
+
+
+def test_compact_reduces_files_preserves_rows(spark, tmp_path):
+    """Compaction must collapse a many-part dataset to the computed
+    file count without changing content, via a temp-and-swap rewrite."""
+    import glob
+
+    from polars_express_spark.catalog import DataLake
+
+    lake = DataLake(spark, str(tmp_path))
+    df = spark.range(10_000).withColumnRenamed("id", "v")
+    lake.save(df.repartition(40), "many")
+    path = lake.dataset_path("many")
+    assert len(glob.glob(f"{path}/part-*")) == 40
+    n_files = lake.compact("many", target_rows_per_file=5_000)
+    assert n_files == 2
+    assert len(glob.glob(f"{path}/part-*")) == 2
+    out = lake.load("many")
+    assert out.count() == 10_000
+    assert out.agg({"v": "sum"}).collect()[0][0] == sum(range(10_000))
+    assert not lake.dataset_exists("many.__compact_tmp")  # temp swapped away
+
+
+def test_load_merge_schema_unions_evolved_parts(spark, tmp_path):
+    """Parts appended after a column was added must read as one frame
+    with merge_schema=True: old parts null-extend the new column."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from polars_express_spark.catalog import DataLake
+
+    lake = DataLake(spark, str(tmp_path))
+    v1 = spark.range(5).select(F.col("id").alias("a"))
+    lake.save(v1, "evolve")
+    v2 = spark.range(5, 8).select(F.col("id").alias("a"), (F.col("id") * 2).alias("b"))
+    v2.write.mode("append").parquet(os.path.join(str(tmp_path), "evolve.parquet"))
+    merged = lake.load("evolve", merge_schema=True)
+    assert set(merged.columns) == {"a", "b"}
+    rows = {r["a"]: r["b"] for r in merged.collect()}
+    assert len(rows) == 8
+    assert all(rows[a] is None for a in range(5))  # old parts null-extended
+    assert rows[7] == 14
