@@ -114,6 +114,31 @@ def dedup_events(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
 
 
+def incremental_dedup(
+    stream: DataFrame,
+    history_keys: DataFrame,
+    key: str,
+    ts_col: str = "ts",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Incremental dedup of an arriving stream against BOTH a static
+    history (everything already ingested into the lake) and itself —
+    the per-batch dedup step of a continuously-ingesting training
+    pipeline: a document whose fingerprint was ever seen before, in
+    history or earlier in the stream, never reaches the sink.
+
+    Shape: broadcast-able left-anti join on the key (stateless, the
+    stream side never shuffles when history fits a broadcast; at 100 TB
+    history the anti join becomes a shuffled join exactly like batch),
+    then watermark-bounded dropDuplicatesWithinWatermark for in-stream
+    repeats. State is only the in-horizon key set — history contributes
+    ZERO state because the anti join is stateless per micro-batch."""
+    fresh = stream.join(
+        F.broadcast(history_keys.select(key).distinct()), key, "left_anti"
+    )
+    return fresh.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark([key])
+
+
 def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete"):
     """Drive a streaming query synchronously into an in-memory table —
     the micro-batch golden-test harness (SURVEY.md §5.2.2)."""

@@ -276,3 +276,29 @@ def test_stream_foreach_batch_appends_to_lake(spark, tmp_path):
         .collect()
     }
     assert got == want and got
+
+
+def test_incremental_dedup_against_history_equals_batch(spark, events_dir):
+    """Streamed events deduped against a static history key set (every
+    3rd event_id) AND against in-stream repeats must equal the batch
+    anti-join + distinct on the same inputs."""
+    from polars_express_spark.streaming.windows import incremental_dedup
+
+    batch_events = load_table(spark, SF_DIR, "events")
+    history = batch_events.where(F.col("event_id") % 3 == 0).select("event_id")
+    streamed = incremental_dedup(
+        stream_events(spark, events_dir), history, key="event_id"
+    ).select("event_id")
+    q = run_to_memory(streamed, "t_incdedup", output_mode="append")
+    try:
+        got = {r["event_id"] for r in spark.sql("SELECT event_id FROM t_incdedup").collect()}
+        want = {
+            r["event_id"]
+            for r in batch_events.join(history, "event_id", "left_anti")
+            .select("event_id")
+            .distinct()
+            .collect()
+        }
+        assert got == want and got
+    finally:
+        q.stop()
