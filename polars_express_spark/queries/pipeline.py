@@ -1262,3 +1262,59 @@ def q_domain_mix(spark, sf_dir):
         .select("lang", "n_total", kept_ok.alias("kept_ok"))
         .orderBy("lang")
     )
+
+
+_PAGERANK_ITERS = 5
+_PAGERANK_DAMPING = 0.85
+
+
+def _pagerank_oracle() -> str:
+    """Unrolled k-iteration PageRank replay over the shared jaccard pair
+    graph. Constants are emitted via repr() so both engines parse the
+    EXACT same doubles (1.0-0.85 is not the double 0.15); contributions
+    go through decimal(38,12) sums on both sides, so per-node ranks
+    match to the bit and the driver hash-compares raw rank values."""
+    b = repr(1.0 - _PAGERANK_DAMPING)
+    d = repr(_PAGERANK_DAMPING)
+    parts = [
+        f"WITH RECURSIVE {_JACCARD_PAIRS_CTES},",
+        "sym AS (SELECT a_id AS src, b_id AS dst FROM pairs",
+        "        UNION ALL SELECT b_id, a_id FROM pairs),",
+        "deg AS (SELECT src, count(*) AS d FROM sym GROUP BY src),",
+        "pr0 AS (SELECT src AS node, CAST(1.0 AS DOUBLE) AS rank FROM deg)",
+    ]
+    for k in range(1, _PAGERANK_ITERS + 1):
+        parts.append(
+            f""", pr{k} AS (
+      SELECT e.dst AS node,
+             CAST({b} AS DOUBLE) + CAST({d} AS DOUBLE) *
+               CAST(SUM(CAST(p.rank / dd.d AS DECIMAL(38,12))) AS DOUBLE) AS rank
+      FROM sym e
+      JOIN pr{k - 1} p ON p.node = e.src
+      JOIN deg dd ON dd.src = e.src
+      GROUP BY e.dst)"""
+        )
+    parts.append(
+        f" SELECT node AS doc_id, rank FROM pr{_PAGERANK_ITERS} ORDER BY doc_id"
+    )
+    return "\n".join(parts)
+
+
+@query("q_pagerank", oracle=_pagerank_oracle())
+def q_pagerank(spark, sf_dir):
+    """PageRank centrality over the near-dup pair graph (§2.10 iterative
+    family beside connected components): the document-quality prior a
+    web-scale curation pipeline computes over link graphs. Fixed
+    5-round synchronous iteration; decimal-exact neighbor sums make
+    per-node ranks bit-identical to the oracle's unrolled-CTE replay —
+    a full value hash-match, not just a convergence invariant. Reuses
+    the memoized pair frame (one candidate pipeline run serves jaccard,
+    clustering, canonical dedup, and centrality)."""
+    from polars_express_spark.operators.graph import pagerank
+
+    ranks = pagerank(
+        _jaccard_pairs_shared(spark, sf_dir),
+        iters=_PAGERANK_ITERS,
+        damping=_PAGERANK_DAMPING,
+    )
+    return ranks.select(F.col("node").alias("doc_id"), "rank").orderBy("doc_id")

@@ -66,7 +66,7 @@ _PRIORITY = [
     # tier 2 — new in round 6
     "q_range_join", "q_tfidf", "q_chunk_overlap", "q_pack_bins",
     "q_scd2_merge", "q_embed_pca", "q_histogram", "q_rare_tokens",
-    "q_train_split", "q_weighted_sample",
+    "q_train_split", "q_weighted_sample", "q_pagerank",
     # tier 3 — implementation changed in round 6
     "q_asof_join", "q_asof_forward", "q_asof_nearest", "q_repetition",
     "q_stratified_sample", "q_domain_mix", "q_heavy_hitters",

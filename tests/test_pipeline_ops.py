@@ -373,3 +373,20 @@ def test_connected_components_chain_converges_logarithmically(spark):
         for r in connected_components(chain, driver_threshold=0, max_iters=8).collect()
     }
     assert ok == {(i, 0) for i in range(41)}
+
+
+def test_pagerank_star_and_mass(spark):
+    """On a star graph the hub must out-rank every leaf; total rank mass
+    stays near n (symmetric graph, no dangling nodes); determinism
+    across repartitioning."""
+    from polars_express_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)] + [(10, 11)], "a_id long, b_id long"
+    )
+    r = {row["node"]: row["rank"] for row in pagerank(edges, iters=8).collect()}
+    assert len(r) == 8
+    assert all(r[0] > r[i] for i in range(1, 6))  # hub beats leaves
+    assert abs(sum(r.values()) - len(r)) < 0.3  # mass ≈ n at damping 0.85
+    r2 = {row["node"]: row["rank"] for row in pagerank(edges.repartition(5), iters=8).collect()}
+    assert r == r2  # decimal-exact sums → bit-identical on any partitioning
