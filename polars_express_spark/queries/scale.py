@@ -1,0 +1,210 @@
+"""Scale corpus: runtime-filter join pruning, count-min sketch,
+time-series gap fill, Z-order layout — round-6 additions to the
+100 TB-shaped operator surface (SURVEY.md §2 extensions; the temporal
+shapes mirror the linked polars upsample/group_by_dynamic surface of
+the reference, Cargo.toml:8).
+
+Determinism notes per query live on the query; the corpus-wide rules
+(total orders before limits, decimal-exact float sums, identical
+aliases both engines) are registry.py's.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from polars_express_spark.catalog import load_table
+from polars_express_spark.queries._util import dsum, sql_dsum
+from polars_express_spark.queries.registry import query
+
+_GAP_STEP_S = 21600  # 6-hour slots over the 30-day events table
+_GAP_STEP_US = _GAP_STEP_S * 1_000_000
+_Z_SHIFT = 12  # z-cells per layout bucket = 2^12
+_CMS_D, _CMS_W = 4, 2048
+_CMS_TOPK = 20
+
+
+@query(
+    "q_bloom_prune",
+    oracle=f"""
+    SELECT l.l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           {sql_dsum("l.l_extendedprice", "sum_price")},
+           {sql_dsum("o.o_totalprice", "sum_order_total")}
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderpriority = '1-URGENT'
+    GROUP BY l.l_returnflag ORDER BY l.l_returnflag
+    """,
+)
+def q_bloom_prune(spark, sf_dir):
+    """Fact⋈dim join behind a Bloom runtime filter (§2.3 scale family):
+    urgent orders build a kilobyte bitmap that drops non-matching
+    lineitem rows AT THE SCAN, before the join shuffle — the row-level
+    runtime filter production Spark injects only for large shuffle
+    joins, here explicit. No false negatives + exact join after, so the
+    result is IDENTICAL to the plain join and the oracle is the plain
+    join — a full value hash, not an invariant."""
+    from polars_express_spark.operators.bloom import bloom_pruned_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice"
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey", "o_totalprice")
+    )
+    j = bloom_pruned_join(li, orders, "l_orderkey", "o_orderkey")
+    return (
+        j.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            dsum("l_extendedprice", "sum_price"),
+            dsum("o_totalprice", "sum_order_total"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "q_cms_tokens",
+    oracle=f"""
+    WITH tok AS (
+      SELECT t.token AS t FROM documents,
+             unnest(string_split_regex(text, '\\s+')) t(token)
+      WHERE t.token <> ''
+    ),
+    cnt AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+    top AS (
+      SELECT t, c, row_number() OVER (ORDER BY c DESC, t ASC) AS rn FROM cnt
+    )
+    SELECT t AS token, CAST(c AS BIGINT) AS exact_count,
+           TRUE AS no_underestimate
+    FROM top WHERE rn <= {_CMS_TOPK} ORDER BY token
+    """,
+)
+def q_cms_tokens(spark, sf_dir):
+    """Count-min sketch point queries (§2.4 sketch family): fold the
+    token stream into a fixed d×w counter table (one partial→final
+    aggregate — ≤ d·w rows however large the corpus), then estimate the
+    exact top-{_CMS_TOPK} tokens' frequencies from it. The CM guarantee
+    estimate ≥ truth holds ALWAYS (collisions only over-count), so it
+    is hash-checked here; the ε-upper bound is probabilistic and lives
+    in tests/test_scale_ops.py at fixed SF. exact_count values are
+    oracle-recomputed, so the emitted row is mostly exact data, not
+    just a boolean."""
+    from polars_express_spark.operators.cms import cms_estimate, cms_update
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(F.explode(F.split("text", r"\s+")).alias("t")).where(
+        F.col("t") != ""
+    )
+    sketch = cms_update(tok, "t", depth=_CMS_D, width=_CMS_W)
+    top = (
+        tok.groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), F.col("t").asc())
+        .limit(_CMS_TOPK)
+    )
+    est = cms_estimate(sketch, top, "t", depth=_CMS_D, width=_CMS_W)
+    return est.select(
+        F.col("t").alias("token"),
+        F.col("c").cast("bigint").alias("exact_count"),
+        (F.col("est") >= F.col("c")).alias("no_underestimate"),
+    ).orderBy("token")
+
+
+@query(
+    "q_gapfill",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, ts, event_id, value,
+             CAST(floor(epoch_us(ts) / {float(_GAP_STEP_US)}) AS BIGINT) AS b
+      FROM events
+    ),
+    picks AS (
+      SELECT user_id, b, value FROM (
+        SELECT user_id, b, value,
+               row_number() OVER (PARTITION BY user_id, b
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM e
+      ) WHERE rn = 1
+    ),
+    bounds AS (SELECT user_id, min(b) AS lo, max(b) AS hi FROM e GROUP BY user_id),
+    grid AS (
+      SELECT user_id, s.b FROM bounds, unnest(generate_series(lo, hi)) s(b)
+    )
+    SELECT g.user_id AS user_id,
+           make_timestamp(g.b * {_GAP_STEP_US}) AS slot_ts,
+           last_value(p.value IGNORE NULLS) OVER (
+             PARTITION BY g.user_id ORDER BY g.b
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
+    FROM grid g LEFT JOIN picks p ON p.user_id = g.user_id AND p.b = g.b
+    ORDER BY user_id, slot_ts
+    """,
+)
+def q_gapfill(spark, sf_dir):
+    """Regular-grid resample + forward fill (§2.5 temporal family, the
+    polars upsample shape): per user, 6-hour slots spanning that user's
+    [first, last] event, each slot taking its LAST event's value
+    (ties broken on event_id) and empty slots carrying the previous
+    slot forward. Values pass through unaggregated — exact doubles on
+    both engines — and every stage partitions on user_id."""
+    from polars_express_spark.operators.resample import resample_ffill
+
+    e = load_table(spark, sf_dir, "events")
+    out = resample_ffill(
+        e, key="user_id", ts="ts", value="value",
+        step_seconds=_GAP_STEP_S, tie_col="event_id",
+    )
+    return out.orderBy("user_id", "slot_ts")
+
+
+def _sql_zkey() -> str:
+    from polars_express_spark.operators.zorder import sql_morton2
+
+    return sql_morton2("l_partkey", "l_suppkey")
+
+
+@query(
+    "q_zorder",
+    oracle=f"""
+    WITH z AS (
+      SELECT l_partkey, l_suppkey,
+             ({_sql_zkey()} >> {_Z_SHIFT}) AS bucket
+      FROM lineitem
+    )
+    SELECT bucket, CAST(count(*) AS BIGINT) AS cnt,
+           CAST(min(l_partkey) AS BIGINT) AS min_part,
+           CAST(max(l_partkey) AS BIGINT) AS max_part,
+           CAST(min(l_suppkey) AS BIGINT) AS min_supp,
+           CAST(max(l_suppkey) AS BIGINT) AS max_supp
+    FROM z GROUP BY bucket ORDER BY bucket LIMIT 40
+    """,
+)
+def q_zorder(spark, sf_dir):
+    """Z-order layout buckets (§2.1 lake family): Morton-interleave
+    (l_partkey, l_suppkey), group rows into z-curve segments of 2^{_Z_SHIFT}
+    cells, and emit each segment's (partkey, suppkey) min/max envelope —
+    exactly the footer stats a z-ordered file would carry, and visibly
+    RECTANGULAR (both spans small), which is what makes two-column
+    min/max skipping work. Pure integer bit arithmetic, bit-identical
+    in the SQL replay; bucket is unique per group so ORDER BY + LIMIT
+    is total. The write-side pass itself (repartitionByRange on the
+    Morton key) is zorder_layout(), span-tested in tests/test_scale_ops."""
+    from polars_express_spark.operators.zorder import morton2
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    bucket = F.shiftright(morton2("l_partkey", "l_suppkey"), _Z_SHIFT).alias("bucket")
+    return (
+        li.groupBy(bucket)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt"),
+            F.min("l_partkey").cast("bigint").alias("min_part"),
+            F.max("l_partkey").cast("bigint").alias("max_part"),
+            F.min("l_suppkey").cast("bigint").alias("min_supp"),
+            F.max("l_suppkey").cast("bigint").alias("max_supp"),
+        )
+        .orderBy("bucket")
+        .limit(40)
+    )
