@@ -93,7 +93,9 @@ def bloom_might_contain(bf: BloomFilter, col: Column | str) -> Column:
     return false (a NULL never equi-joins anyway).
     """
     c = F.col(col) if isinstance(col, str) else col
-    wl = F.lit(list(bf.words))
+    # ONE parsed SQL array literal: F.lit(list) would round-trip every
+    # word through py4j individually (~seconds for a 10^4-word bitmap)
+    wl = F.expr("array(" + ",".join(f"{w}L" for w in bf.words) + ")")
     test = F.lit(True)
     for p in _positions(c, bf.num_bits, bf.num_hashes):
         word = F.element_at(wl, ((p / F.lit(64)).cast("bigint") + F.lit(1)).cast("int"))

@@ -89,6 +89,7 @@ def all_queries() -> dict[str, QueryFn]:
         udtf_corpus,
         advanced,
         scale,
+        analytics,
         relational,
         functions_corpus,
         sink,

@@ -302,3 +302,30 @@ def test_incremental_dedup_against_history_equals_batch(spark, events_dir):
         assert got == want and got
     finally:
         q.stop()
+
+
+def test_streaming_cms_merge_equals_batch(spark, tmp_path):
+    """Monoid law under micro-batching: folding the stream through
+    foreachBatch cms_update + merge must equal ONE batch sketch over
+    the same rows, counter-for-counter (exact integers), regardless of
+    how the files split into micro-batches."""
+    from polars_express_spark.operators.cms import cms_update
+    from polars_express_spark.streaming.sketch import stream_cms
+
+    src = str(tmp_path / "etypes")
+    batch_events = load_table(spark, SF_DIR, "events").select("event_type", "ts")
+    # three files → availableNow consumes them as separate micro-batches
+    batch_events.repartition(3).write.mode("overwrite").parquet(src)
+    acc, q = stream_cms(
+        stream_events(spark, src), "event_type", depth=4, width=64
+    )
+    try:
+        want = {
+            (r["i"], r["b"]): r["cnt"]
+            for r in cms_update(
+                spark.read.parquet(src), "event_type", depth=4, width=64
+            ).collect()
+        }
+        assert acc.counters == want and want
+    finally:
+        q.stop()
