@@ -639,3 +639,107 @@ def q_ann_lsh(spark, sf_dir):
     return _recall_invariant(
         _exact_topk_shared(spark, sf_dir), ann_lsh_topk(spark, sf_dir), 0.2, "n_exact_topk"
     )
+
+
+# PQ codebooks are kilobyte numpy arrays; cached per (sf_dir, m, k) the
+# same way the frames store caches plans — retraining on every call
+# would re-run the Lloyd jobs the memoized codes frame already paid for.
+_PQ_CB: dict[tuple, "object"] = {}
+
+
+def ann_pq_topk(spark, sf_dir, m: int = 8, k_codes: int = 16, shortlist: int = 60):
+    """Product-quantization ANN (§2.10 scale path, third index beside
+    IVF and sign-LSH — the COMPRESSION one: ~64 bytes/vector instead of
+    512, the form a 100 TB corpus actually keeps hot).
+
+    Pipeline: per-subspace codebooks trained distributed (operators/
+    pq.py — Lloyd via mapInPandas partial sums), corpus encoded once to
+    a narrow codes frame (memoized, the persisted-index stand-in), then
+    per-probe ADC lookup-table scans emit batch-local top-`shortlist`
+    (bounded output, corpus never materializes a score matrix), a
+    window recovers the global shortlist, and exact cosine re-ranks
+    only shortlist × probes rows. Recall vs brute force is
+    golden-tested; the driver row is the q_ann_pq recall invariant."""
+    import numpy as np
+
+    from polars_express_spark.operators.pq import (
+        pq_adc_shortlist,
+        pq_encode,
+        pq_train,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb_key = (sf_dir, m, k_codes)
+    if cb_key not in _PQ_CB:
+        _PQ_CB[cb_key] = pq_train(emb, m=m, k=k_codes)
+    cb = _PQ_CB[cb_key]
+    codes = _memoized_cached(
+        spark,
+        ("pq_codes", sf_dir, m, k_codes),
+        lambda: pq_encode(emb, cb),
+    )
+    probe_rows = (
+        emb.where(F.col("vec_id") < N_PROBES)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+        .collect()
+    )
+    pvecs = {r["vec_id"]: np.array(r["e"]) for r in probe_rows}
+    sl = pq_adc_shortlist(codes, pvecs, cb, shortlist=shortlist)
+    w_sl = W.partitionBy("probe_id").orderBy(F.col("est").desc(), F.col("vec_id"))
+    cands = (
+        sl.where(F.col("vec_id") != F.col("probe_id"))
+        .withColumn("r", F.row_number().over(w_sl))
+        .where(F.col("r") <= shortlist)
+        .select("probe_id", "vec_id")
+    )
+    vec = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    ).withColumn(
+        "n2",
+        F.aggregate(
+            F.zip_with("e", "e", lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+        ),
+    )
+    pvec = vec.where(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"), F.col("e").alias("pe"), F.col("n2").alias("na2")
+    )
+    scored = (
+        cands.join(F.broadcast(pvec), "probe_id")
+        .join(vec, "vec_id")
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (
+                F.aggregate(
+                    F.zip_with("pe", "e", lambda a, b: a * b),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                / (F.sqrt("na2") * F.sqrt("n2"))
+            ).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("probe_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= TOP_K)
+        .orderBy("probe_id", "rnk")
+    )
+
+
+@query(
+    "q_ann_pq",
+    oracle=f"""
+    WITH exact AS ({ORACLES["q35_cosine_topk"]})
+    SELECT CAST(count(*) AS BIGINT) AS n_exact_topk, TRUE AS recall_ok FROM exact
+    """,
+)
+def q_ann_pq(spark, sf_dir):
+    """PQ ANN driver check: |exact top-k| (oracle-replayed) + recall
+    ≥ 0.4 vs brute-force q35 after exact re-rank of the ADC shortlist
+    (8 subspaces × 16 codes on 64-dim synthetic vectors; compression is
+    the point — exactness lives in q35, the index shape in
+    ann_pq_topk)."""
+    return _recall_invariant(
+        _exact_topk_shared(spark, sf_dir), ann_pq_topk(spark, sf_dir), 0.4, "n_exact_topk"
+    )

@@ -142,3 +142,35 @@ def test_decontaminate_benchmark_side_broadcasts(spark):
     p = plan_of("q_decontaminate", spark)
     assert "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p
+
+
+def test_bloom_probe_filters_at_scan_and_broadcasts(spark):
+    """The Bloom probe must be a scalar filter on the fact side (bit_get
+    over the bitmap literal — BEFORE any exchange) and the dim side must
+    broadcast; no nested loop anywhere."""
+    p = plan_of("q_bloom_prune", spark)
+    assert "bit_get" in p
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_cms_probe_broadcasts_sketch(spark):
+    """Point queries join the ≤ d·w-row sketch as the broadcast side —
+    the probe stream itself must never shuffle on the sketch key."""
+    p = plan_of("q_cms_tokens", spark)
+    assert "BroadcastHashJoin" in p
+    assert p.count("HashAggregate") >= 2  # partial+final sketch build
+
+
+def test_gapfill_all_joins_keyed(spark):
+    """Grid join and forward-fill window must be keyed operations —
+    no nested loop / cartesian from the sequence explode."""
+    p = plan_of("q_gapfill", spark)
+    assert "Window" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_zorder_partial_agg_and_topk_fusion(spark):
+    p = plan_of("q_zorder", spark)
+    assert p.count("HashAggregate") >= 2
+    assert "TakeOrderedAndProject" in p

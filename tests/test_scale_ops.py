@@ -198,3 +198,50 @@ def test_triangle_stats_empty_and_duplicate_edges(spark):
     )
     row = triangle_stats(dup).collect()[0]
     assert (row["n_edges"], row["n_triangles"]) == (3, 1)
+
+
+# --- product quantization ------------------------------------------------
+
+
+def test_pq_train_encode_shapes_and_determinism(spark):
+    import numpy as np
+
+    from polars_express_spark.catalog import load_table
+    from polars_express_spark.operators.pq import pq_encode, pq_train
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cb = pq_train(emb, m=8, k=16, n_iters=2)
+    assert cb.shape == (8, 16, 8)
+    cb2 = pq_train(emb, m=8, k=16, n_iters=2)
+    np.testing.assert_array_equal(cb, cb2)  # hash-seeded init → exact repeat
+    codes = pq_encode(emb, cb).collect()
+    assert len(codes) == emb.count()
+    for r in codes[:20]:
+        assert len(r["codes"]) == 8
+        assert all(0 <= c < 16 for c in r["codes"])
+
+
+def test_pq_ann_recall_and_shortlist_monotonicity(spark):
+    """Re-ranked PQ top-k must recover most of the exact top-k, and a
+    larger ADC shortlist can only help (candidate set is a superset)."""
+    from polars_express_spark.queries.similarity import (
+        _exact_topk_shared,
+        ann_pq_topk,
+    )
+    from tests.conftest import SF_DIR
+
+    exact = {
+        (r["probe_id"], r["neighbor_id"])
+        for r in _exact_topk_shared(spark, SF_DIR).collect()
+    }
+
+    def recall(sl):
+        got = {
+            (r["probe_id"], r["neighbor_id"])
+            for r in ann_pq_topk(spark, SF_DIR, shortlist=sl).collect()
+        }
+        return len(exact & got) / len(exact)
+
+    r60 = recall(60)
+    assert r60 >= 0.6, r60
+    assert recall(120) >= recall(20) - 1e-9
