@@ -66,3 +66,44 @@ def bucketed_range_join(
     )
     exact = (F.col(left_on) >= F.col(start_col)) & (F.col(left_on) < F.col(end_col))
     return lb.join(rb, "__bucket", how).where(exact).drop("__bucket")
+
+
+def bucketed_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    bucket_seconds: int,
+) -> DataFrame:
+    """Interval×interval OVERLAP join (half-open: overlap iff
+    ls < re AND rs < le), bucketed like the point variant.
+
+    Both sides explode to their covered buckets, join on bucket
+    equality, and re-check the exact predicate. Because an overlapping
+    pair now shares potentially MANY buckets, the pair would duplicate;
+    instead of a distinct (a full extra shuffle on the pair key), each
+    pair is emitted only in ONE canonical bucket — the bucket of
+    max(ls, rs), the overlap's left edge, which both rows always cover
+    when they overlap. Zero-dedup, same linear-scaling equi-join shape.
+    """
+    width_us = F.lit(int(bucket_seconds) * 1_000_000)
+
+    def buckets(s: str, e: str):
+        return F.explode(
+            F.sequence(
+                F.floor(F.unix_micros(F.col(s)) / width_us),
+                F.floor(F.unix_micros(F.col(e)) / width_us),
+            )
+        )
+
+    lb = left.withColumn("__bucket", buckets(left_start, left_end))
+    rb = right.withColumn("__bucket", buckets(right_start, right_end))
+    overlap = (F.col(left_start) < F.col(right_end)) & (
+        F.col(right_start) < F.col(left_end)
+    )
+    canonical = F.col("__bucket") == F.floor(
+        F.unix_micros(F.greatest(F.col(left_start), F.col(right_start))) / width_us
+    )
+    return lb.join(rb, "__bucket", "inner").where(overlap & canonical).drop("__bucket")

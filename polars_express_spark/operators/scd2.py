@@ -17,7 +17,7 @@ base side.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -60,3 +60,46 @@ def scd2_merge(
         F.lit(False).alias("is_current"),
     )
     return current.unionByName(history)
+
+
+def merge_on_read(
+    base: DataFrame,
+    log: DataFrame,
+    key: str,
+    seq: str,
+    val: str,
+    op: str = "op",
+) -> DataFrame:
+    """Read-side CDC merge (the Iceberg/Delta merge-on-read shape):
+    resolve the CURRENT view of `base` plus an unapplied change log
+    WITHOUT rewriting the base files.
+
+    `log` rows are (key, seq, val, op) with op ∈ {'upsert','delete'}
+    and seq strictly increasing per key batch (base rows rank as
+    seq = −∞). Latest-wins: one union + one per-key window pick —
+    at 100 TB the log is a sliver of the base, and the single
+    row_number window shuffles only on the key (the same partitioning
+    a bucketed base already has), which is exactly why readers prefer
+    this over rewriting until compaction.
+
+    Returns (key, val) for keys whose latest operation is not a delete.
+    """
+    b = base.select(
+        F.col(key),
+        F.lit(None).cast("long").alias("__seq"),
+        F.col(val).alias("__val"),
+        F.lit("upsert").alias("__op"),
+    )
+    l = log.select(
+        F.col(key),
+        F.col(seq).cast("long").alias("__seq"),
+        F.col(val).alias("__val"),
+        F.col(op).alias("__op"),
+    )
+    w = Window.partitionBy(key).orderBy(F.col("__seq").desc_nulls_last())
+    return (
+        b.unionByName(l)
+        .withColumn("__rn", F.row_number().over(w))
+        .where((F.col("__rn") == 1) & (F.col("__op") != "delete"))
+        .select(F.col(key), F.col("__val").alias(val))
+    )

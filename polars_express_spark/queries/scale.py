@@ -208,3 +208,119 @@ def q_zorder(spark, sf_dir):
         .orderBy("bucket")
         .limit(40)
     )
+
+
+@query(
+    "q_merge_on_read",
+    oracle="""
+    WITH log AS (
+      SELECT c_custkey AS k, 1 AS seq, c_acctbal + 100 AS v, 'upsert' AS op
+      FROM customer WHERE c_custkey % 7 = 0
+      UNION ALL
+      SELECT c_custkey + 1000000, 1, 500.0, 'upsert'
+      FROM customer WHERE c_custkey % 97 = 0
+      UNION ALL
+      SELECT c_custkey, 2, NULL, 'delete'
+      FROM customer WHERE c_custkey % 13 = 0
+    ),
+    all_rows AS (
+      SELECT c_custkey AS k, CAST(NULL AS BIGINT) AS seq, c_acctbal AS v,
+             'upsert' AS op
+      FROM customer
+      UNION ALL SELECT * FROM log
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY k ORDER BY seq DESC NULLS LAST) AS rn
+      FROM all_rows
+    )
+    SELECT k AS c_custkey, v AS acctbal
+    FROM ranked WHERE rn = 1 AND op <> 'delete' ORDER BY c_custkey
+    """,
+)
+def q_merge_on_read(spark, sf_dir):
+    """Merge-on-read CDC view (§2.1 lake family, the READ-side twin of
+    q_scd2_merge's write-side upsert): the current snapshot of customer
+    plus two unapplied change batches (seq-1 upserts + inserts, seq-2
+    deletes) resolved at read time — union + ONE per-key latest-wins
+    window, no base rewrite, the Iceberg/Delta MOR shape. Values pass
+    through unaggregated, exact hash."""
+    from polars_express_spark.operators.scd2 import merge_on_read
+
+    c = load_table(spark, sf_dir, "customer")
+    base = c.select(F.col("c_custkey").alias("k"), F.col("c_acctbal").alias("v"))
+    log = (
+        c.where(F.col("c_custkey") % 7 == 0)
+        .select(
+            F.col("c_custkey").alias("k"),
+            F.lit(1).alias("seq"),
+            (F.col("c_acctbal") + 100).alias("v"),
+            F.lit("upsert").alias("op"),
+        )
+        .unionByName(
+            c.where(F.col("c_custkey") % 97 == 0).select(
+                (F.col("c_custkey") + 1000000).alias("k"),
+                F.lit(1).alias("seq"),
+                F.lit(500.0).alias("v"),
+                F.lit("upsert").alias("op"),
+            )
+        )
+        .unionByName(
+            c.where(F.col("c_custkey") % 13 == 0).select(
+                F.col("c_custkey").alias("k"),
+                F.lit(2).alias("seq"),
+                F.lit(None).cast("double").alias("v"),
+                F.lit("delete").alias("op"),
+            )
+        )
+    )
+    return (
+        merge_on_read(base, log, key="k", seq="seq", val="v")
+        .select(F.col("k").alias("c_custkey"), F.col("v").alias("acctbal"))
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "q_interval_overlap",
+    oracle=f"""
+    WITH iv AS (
+      SELECT d AS iv_id,
+             TIMESTAMP '2024-01-01' + d * INTERVAL '1 day' + INTERVAL '6 hours' AS w_start,
+             TIMESTAMP '2024-01-01' + d * INTERVAL '1 day' + INTERVAL '18 hours' AS w_end
+      FROM generate_series(0, 29) s(d)
+    ),
+    spans AS (
+      SELECT user_id, min(ts) AS u_start,
+             max(ts) + INTERVAL 1 MICROSECOND AS u_end
+      FROM events GROUP BY user_id
+    )
+    SELECT iv.iv_id, CAST(count(*) AS BIGINT) AS n_users
+    FROM iv JOIN spans s ON s.u_start < iv.w_end AND iv.w_start < s.u_end
+    GROUP BY iv.iv_id ORDER BY iv.iv_id
+    """,
+)
+def q_interval_overlap(spark, sf_dir):
+    """Interval×interval overlap join (§2.3 non-equi family, the second
+    range shape beside point-in-interval): per-user activity spans
+    against the 30 daytime maintenance windows. Bucketed equi-join with
+    each overlapping pair emitted in exactly ONE canonical bucket (the
+    overlap's left edge) — no dedup shuffle, no nested loop
+    (operators/range_join.py:bucketed_interval_join)."""
+    from polars_express_spark.operators.range_join import bucketed_interval_join
+    from polars_express_spark.queries.advanced import daytime_intervals
+
+    e = load_table(spark, sf_dir, "events")
+    spans = e.groupBy("user_id").agg(
+        F.min("ts").alias("u_start"),
+        F.timestamp_micros(F.unix_micros(F.max("ts")) + 1).alias("u_end"),
+    )
+    iv = daytime_intervals(spark)
+    j = bucketed_interval_join(
+        spans, iv, "u_start", "u_end", "w_start", "w_end", bucket_seconds=43200
+    )
+    return (
+        j.groupBy("iv_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+        .orderBy("iv_id")
+    )

@@ -141,3 +141,53 @@ def test_pca_fit_orthonormal_and_deterministic(spark):
     np.testing.assert_array_equal(comps, comps2)
     rows = pca_project(emb, mean, comps).collect()
     assert len(rows) == n and all(len(r["pc"]) == 3 for r in rows)
+
+
+def test_merge_on_read_latest_wins_and_deletes(spark):
+    """Base rows rank lowest; highest seq wins; a latest delete removes
+    the key; an insert (log-only key) appears."""
+    from polars_express_spark.operators.scd2 import merge_on_read
+
+    base = spark.createDataFrame([(1, 10.0), (2, 20.0), (3, 30.0)], "k long, v double")
+    log = spark.createDataFrame(
+        [
+            (2, 1, 25.0, "upsert"),  # update
+            (2, 2, 26.0, "upsert"),  # later update wins
+            (3, 1, None, "delete"),  # delete
+            (4, 1, 40.0, "upsert"),  # insert
+            (5, 1, 50.0, "upsert"),  # insert then delete → absent
+            (5, 2, None, "delete"),
+        ],
+        "k long, seq long, v double, op string",
+    )
+    got = {(r["k"], r["v"]) for r in merge_on_read(base, log, "k", "seq", "v").collect()}
+    assert got == {(1, 10.0), (2, 26.0), (4, 40.0)}
+
+
+def test_interval_join_overlap_classes_no_duplicates(spark):
+    """Touching endpoints (half-open) don't overlap; containment,
+    partial overlap, and multi-bucket spans each yield EXACTLY one
+    pair row (canonical-bucket emission, no dedup pass)."""
+    from polars_express_spark.operators.range_join import bucketed_interval_join
+
+    left = spark.createDataFrame(
+        [
+            (1, _ts(0), _ts(100)),  # overlaps A (partial), B (contains B)
+            (2, _ts(100), _ts(200)),  # touches A's end: NO overlap with [50,100)
+            (3, _ts(0), _ts(1000)),  # spans many buckets; overlaps A, B, C
+        ],
+        "lid long, ls timestamp, le timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, _ts(50), _ts(100)),  # A
+            (11, _ts(20), _ts(30)),  # B
+            (12, _ts(900), _ts(950)),  # C
+        ],
+        "rid long, rs timestamp, re timestamp",
+    )
+    out = bucketed_interval_join(left, right, "ls", "le", "rs", "re", 60)
+    pairs = [(r["lid"], r["rid"]) for r in out.collect()]
+    assert sorted(pairs) == sorted(
+        [(1, 10), (1, 11), (3, 10), (3, 11), (3, 12)]
+    )  # exactly once each — no bucket-collision duplicates
