@@ -129,3 +129,100 @@ def q_retention(spark, sf_dir):
         .agg(F.countDistinct("user_id").cast("bigint").alias("n_active"))
         .orderBy("cohort_week", "week_offset")
     )
+
+
+@query(
+    "q_text_search",
+    oracle="""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, t.token AS t FROM documents,
+             unnest(string_split_regex(text, '\\s+')) t(token)
+      WHERE t.token <> ''
+    ),
+    dfq AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+    chosen AS (
+      SELECT t FROM (
+        SELECT t, row_number() OVER (ORDER BY c DESC, t ASC) AS rn FROM dfq
+      ) WHERE rn IN (2, 3)
+    )
+    SELECT doc_id FROM tok
+    WHERE t IN (SELECT t FROM chosen)
+    GROUP BY doc_id HAVING count(DISTINCT t) = 2
+    ORDER BY doc_id
+    """,
+)
+def q_text_search(spark, sf_dir):
+    """Boolean AND retrieval over an inverted-index token frame (§2.10
+    text family): find every document containing BOTH query terms —
+    here the corpus's 2nd and 3rd most-common tokens, derived from the
+    data so the query is self-contained and deterministic. The
+    distinct (doc, token) frame IS the inverted index (token-keyed,
+    memoizable/bucketable at 100 TB); retrieval is a 2-row broadcast
+    semi-join + per-doc distinct-term count — posting-list intersection
+    in its join form, which scales where driver-side array intersection
+    of hot-term postings would not."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = (
+        d.select("doc_id", F.explode(F.split("text", r"\s+")).alias("t"))
+        .where(F.col("t") != "")
+        .distinct()
+    )
+    dfq = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    from pyspark.sql import Window as W
+
+    chosen = (
+        dfq.withColumn(
+            "rn", F.row_number().over(W.orderBy(F.col("c").desc(), F.col("t").asc()))
+        )
+        .where(F.col("rn").isin(2, 3))
+        .select("t")
+    )
+    return (
+        tok.join(F.broadcast(chosen), "t")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("t").alias("__hits"))
+        .where(F.col("__hits") == 2)
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "q_fk_audit",
+    oracle="""
+    SELECT
+      (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n_lineitem,
+      (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+       WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+        AS orphan_order_fk,
+      (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+       WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
+        AS orphan_part_fk,
+      (SELECT CAST(count(*) AS BIGINT) FROM orders o
+       WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+        AS orphan_cust_fk
+    """,
+)
+def q_fk_audit(spark, sf_dir):
+    """Referential-integrity audit (§2.1 lake governance): orphan
+    foreign-key counts across the star schema via left-anti joins —
+    the data-quality gate a lakehouse runs after every ingest batch.
+    Anti joins broadcast the (smaller) key side; counts are exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part")
+    cust = load_table(spark, sf_dir, "customer")
+    n = li.agg(F.count(F.lit(1)).cast("bigint").alias("n_lineitem"))
+    a1 = (
+        li.join(orders.select("o_orderkey"), li.l_orderkey == F.col("o_orderkey"), "left_anti")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("orphan_order_fk"))
+    )
+    a2 = (
+        li.join(part.select("p_partkey"), li.l_partkey == F.col("p_partkey"), "left_anti")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("orphan_part_fk"))
+    )
+    a3 = (
+        orders.join(cust.select("c_custkey"), orders.o_custkey == F.col("c_custkey"), "left_anti")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("orphan_cust_fk"))
+    )
+    return n.crossJoin(a1).crossJoin(a2).crossJoin(a3)
