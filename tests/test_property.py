@@ -450,3 +450,162 @@ def test_scd2_merge_matches_python(spark, base_d, upd_d):
         if k not in base_d and v is not None:
             want.add((k, float(v), 1, True))  # insert
     assert got == want
+
+
+# --- round-6 operators vs pure-Python references -------------------------
+
+
+interval_strategy = st.lists(
+    st.tuples(st.integers(0, 500), st.integers(1, 300)),  # (start_s, len_s)
+    min_size=0,
+    max_size=8,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(interval_strategy, interval_strategy, st.sampled_from([30, 60, 200]))
+def test_interval_join_matches_brute_force(spark, ls, rs, bucket):
+    """Bucketed overlap join ≡ the O(n·m) predicate, for any bucket
+    width — and emits each pair exactly once."""
+    import datetime as dt
+
+    from polars_express_spark.operators.range_join import bucketed_interval_join
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def iv(rows):
+        return [
+            (i, t0 + dt.timedelta(seconds=s), t0 + dt.timedelta(seconds=s + ln))
+            for i, (s, ln) in enumerate(rows)
+        ]
+
+    left = spark.createDataFrame(iv(ls) or [], "lid long, a timestamp, b timestamp")
+    right = spark.createDataFrame(iv(rs) or [], "rid long, c timestamp, d timestamp")
+    got = sorted(
+        (r["lid"], r["rid"])
+        for r in bucketed_interval_join(left, right, "a", "b", "c", "d", bucket).collect()
+    )
+    want = sorted(
+        (i, j)
+        for i, (s1, l1) in enumerate(ls)
+        for j, (s2, l2) in enumerate(rs)
+        if s1 < s2 + l2 and s2 < s1 + l1
+    )
+    assert got == want
+
+
+mor_log_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 5),  # key
+        st.integers(1, 4),  # seq
+        st.booleans(),  # is_delete
+    ),
+    min_size=0,
+    max_size=12,
+    unique_by=lambda t: (t[0], t[1]),  # one op per (key, seq) batch slot
+)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.sets(st.integers(0, 5), max_size=4), mor_log_strategy)
+def test_merge_on_read_matches_dict_replay(spark, base_keys, log):
+    from polars_express_spark.operators.scd2 import merge_on_read
+
+    base = spark.createDataFrame(
+        [(k, float(k * 10)) for k in sorted(base_keys)] or [], "k long, v double"
+    )
+    log_rows = [
+        (k, s, None if d else float(k * 100 + s), "delete" if d else "upsert")
+        for k, s, d in log
+    ]
+    ldf = spark.createDataFrame(log_rows or [], "k long, seq long, v double, op string")
+    got = {(r["k"], r["v"]) for r in merge_on_read(base, ldf, "k", "seq", "v").collect()}
+    # replay: base at seq -inf, then log in seq order, last op wins
+    state = {k: float(k * 10) for k in base_keys}
+    for k, s, d in sorted(log, key=lambda t: t[1]):
+        if d:
+            state.pop(k, None)
+            state[k] = None  # tombstone shadows base too
+        else:
+            state[k] = float(k * 100 + s)
+    want = {(k, v) for k, v in state.items() if v is not None}
+    assert got == want
+
+
+edge_strategy = st.lists(
+    st.tuples(st.integers(0, 9), st.integers(0, 9)), min_size=0, max_size=20
+)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(edge_strategy)
+def test_triangle_stats_matches_brute_force(spark, raw):
+    from itertools import combinations
+
+    from polars_express_spark.operators.graph import triangle_stats
+
+    edges = {(min(a, b), max(a, b)) for a, b in raw if a != b}
+    df = spark.createDataFrame(sorted(edges) or [], "a_id long, b_id long")
+    row = triangle_stats(df).collect()[0]
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    tri = sum(
+        1
+        for x, y, z in combinations(sorted(adj), 3)
+        if y in adj[x] and z in adj[x] and z in adj[y]
+    )
+    wedges = sum(len(v) * (len(v) - 1) // 2 for v in adj.values())
+    assert row["n_edges"] == len(edges)
+    assert row["n_triangles"] == tri
+    assert row["n_wedges"] == wedges
+
+
+resample_strategy = st.lists(
+    st.tuples(
+        st.integers(1, 3),  # key
+        st.integers(0, 5000),  # ts seconds
+        st.integers(0, 100),  # value
+    ),
+    min_size=1,
+    max_size=15,
+)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(resample_strategy, st.sampled_from([60, 600, 1800]))
+def test_resample_ffill_matches_python_replay(spark, rows, step):
+    import datetime as dt
+
+    from polars_express_spark.operators.resample import resample_ffill
+
+    t0 = dt.datetime(2024, 1, 1)
+    data = [
+        (k, t0 + dt.timedelta(seconds=s), i, float(v))
+        for i, (k, s, v) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data, "user_id long, ts timestamp, event_id long, value double"
+    )
+    got = {
+        (r["user_id"], r["slot_ts"], r["value"])
+        for r in resample_ffill(df, "user_id", "ts", "value", step, "event_id").collect()
+    }
+    # python replay: bucket, per-bucket last by (ts, event_id), ffill
+    epoch = dt.datetime(1970, 1, 1)
+    want = set()
+    bykey: dict[int, dict[int, tuple]] = {}
+    for k, ts, eid, v in data:
+        b = int((ts - epoch).total_seconds()) // step
+        cur = bykey.setdefault(k, {}).get(b)
+        if cur is None or (ts, eid) > (cur[0], cur[1]):
+            bykey[k][b] = (ts, eid, v)
+    for k, picks in bykey.items():
+        lo, hi = min(picks), max(picks)
+        last = None
+        for b in range(lo, hi + 1):
+            if b in picks:
+                last = picks[b][2]
+            want.add((k, epoch + dt.timedelta(seconds=b * step), last))
+    assert got == want
