@@ -62,6 +62,45 @@ def scd2_merge(
     return current.unionByName(history)
 
 
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key: str,
+    val: str,
+) -> DataFrame:
+    """Change-data-feed generation — diff two snapshots into the CDC
+    batch that transforms one into the other (the third leg of the CDC
+    triptych: scd2_merge applies a batch write-side, merge_on_read
+    resolves one read-side, snapshot_diff DERIVES one).
+
+    ONE full outer equi-join on the key; rows classify as:
+    - insert: key only in `new`  → (key, 'insert', NULL, new_val)
+    - delete: key only in `old`  → (key, 'delete', old_val, NULL)
+    - update: both, val differs (NULL-safe) → (key, 'update', old, new)
+    Unchanged keys are dropped — output size scales with the CHANGE
+    volume, not the table, which is what makes diff-based replication
+    cheap at 100 TB.
+    """
+    o = old.select(F.col(key).alias("__ok"), F.col(val).alias("old_val"))
+    n = new.select(F.col(key).alias("__nk"), F.col(val).alias("new_val"))
+    j = o.join(n, F.col("__ok") == F.col("__nk"), "full")
+    change = (
+        F.when(F.col("__ok").isNull(), F.lit("insert"))
+        .when(F.col("__nk").isNull(), F.lit("delete"))
+        .when(~F.col("old_val").eqNullSafe(F.col("new_val")), F.lit("update"))
+    )
+    return (
+        j.withColumn("change", change)
+        .where(F.col("change").isNotNull())
+        .select(
+            F.coalesce("__ok", "__nk").alias(key),
+            "change",
+            "old_val",
+            "new_val",
+        )
+    )
+
+
 def merge_on_read(
     base: DataFrame,
     log: DataFrame,

@@ -324,3 +324,150 @@ def q_interval_overlap(spark, sf_dir):
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
         .orderBy("iv_id")
     )
+
+
+@query(
+    "q_snapshot_diff",
+    oracle="""
+    WITH newsnap AS (
+      SELECT c_custkey AS k,
+             CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100
+                  ELSE c_acctbal END AS v
+      FROM customer WHERE c_custkey % 13 <> 0
+      UNION ALL
+      SELECT c_custkey + 1000000, 500.0
+      FROM customer WHERE c_custkey % 97 = 0
+    ),
+    oldsnap AS (SELECT c_custkey AS k, c_acctbal AS v FROM customer),
+    j AS (
+      SELECT o.k AS ok, n.k AS nk, o.v AS old_val, n.v AS new_val
+      FROM oldsnap o FULL JOIN newsnap n ON o.k = n.k
+    )
+    SELECT COALESCE(ok, nk) AS c_custkey,
+           CASE WHEN ok IS NULL THEN 'insert'
+                WHEN nk IS NULL THEN 'delete'
+                WHEN old_val IS DISTINCT FROM new_val THEN 'update'
+           END AS change,
+           old_val, new_val
+    FROM j
+    WHERE ok IS NULL OR nk IS NULL OR old_val IS DISTINCT FROM new_val
+    ORDER BY c_custkey
+    """,
+)
+def q_snapshot_diff(spark, sf_dir):
+    """Change-data-feed derivation (§2.1 lake family, third leg of the
+    CDC triptych): diff the customer snapshot against a modified twin
+    (every 7th balance bumped, every 13th row deleted, net-new keys
+    inserted) into the exact (insert/update/delete) batch that
+    transforms one into the other — output scales with change volume,
+    not table size. One full outer key join; exact value passthrough."""
+    from polars_express_spark.operators.scd2 import snapshot_diff
+
+    c = load_table(spark, sf_dir, "customer")
+    old = c.select(F.col("c_custkey").alias("k"), F.col("c_acctbal").alias("v"))
+    new = (
+        c.where(F.col("c_custkey") % 13 != 0)
+        .select(
+            F.col("c_custkey").alias("k"),
+            F.when(F.col("c_custkey") % 7 == 0, F.col("c_acctbal") + 100)
+            .otherwise(F.col("c_acctbal"))
+            .alias("v"),
+        )
+        .unionByName(
+            c.where(F.col("c_custkey") % 97 == 0).select(
+                (F.col("c_custkey") + 1000000).alias("k"),
+                F.lit(500.0).alias("v"),
+            )
+        )
+    )
+    return (
+        snapshot_diff(old, new, key="k", val="v")
+        .select(F.col("k").alias("c_custkey"), "change", "old_val", "new_val")
+        .orderBy("c_custkey")
+    )
+
+
+_PROFILE_COLS = (
+    ("c_custkey", "num"),
+    ("c_nationkey", "num"),
+    ("c_acctbal", "num"),
+    ("c_name", "str"),
+    ("c_mktsegment", "str"),
+)
+
+
+def _profile_oracle() -> str:
+    parts = []
+    for c, kind in _PROFILE_COLS:
+        if kind == "num":
+            mn = f"CAST(min({c}) AS DOUBLE)"
+            mx = f"CAST(max({c}) AS DOUBLE)"
+            ms = "CAST(NULL AS VARCHAR)"
+            xs = "CAST(NULL AS VARCHAR)"
+        else:
+            mn = "CAST(NULL AS DOUBLE)"
+            mx = "CAST(NULL AS DOUBLE)"
+            ms = f"min({c})"
+            xs = f"max({c})"
+        parts.append(
+            f"""SELECT '{c}' AS col_name,
+            CAST(count(*) FILTER (WHERE {c} IS NULL) AS BIGINT) AS n_nulls,
+            CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+            {mn} AS min_num, {mx} AS max_num, {ms} AS min_str, {xs} AS max_str
+            FROM customer"""
+        )
+    return " UNION ALL ".join(parts) + " ORDER BY col_name"
+
+
+@query("q_profile", oracle=_profile_oracle())
+def q_profile(spark, sf_dir):
+    """Column-profile summary (§2.4 profiling family beside
+    q_histogram): per-column null count, exact distinct count, and
+    min/max envelope for the customer dimension — the table-stats pass
+    every catalog/optimizer needs. ONE scan, one aggregate (Spark plans
+    the multi-distinct via Expand), then an explode-unpivot to one row
+    per column; no per-column rescans. All outputs are exact integers,
+    exact doubles (no sums), or strings."""
+    c = load_table(spark, sf_dir, "customer")
+    aggs = []
+    for col, kind in _PROFILE_COLS:
+        aggs.append(F.sum(F.col(col).isNull().cast("bigint")).alias(f"{col}__nn"))
+        aggs.append(F.countDistinct(col).alias(f"{col}__nd"))
+        aggs.append(F.min(col).alias(f"{col}__mn"))
+        aggs.append(F.max(col).alias(f"{col}__mx"))
+    prof = c.agg(*aggs)
+    rows = []
+    for col, kind in _PROFILE_COLS:
+        is_num = kind == "num"
+        rows.append(
+            F.struct(
+                F.lit(col).alias("col_name"),
+                F.col(f"{col}__nn").alias("n_nulls"),
+                F.col(f"{col}__nd").cast("bigint").alias("n_distinct"),
+                (
+                    F.col(f"{col}__mn").cast("double")
+                    if is_num
+                    else F.lit(None).cast("double")
+                ).alias("min_num"),
+                (
+                    F.col(f"{col}__mx").cast("double")
+                    if is_num
+                    else F.lit(None).cast("double")
+                ).alias("max_num"),
+                (
+                    F.col(f"{col}__mn")
+                    if not is_num
+                    else F.lit(None).cast("string")
+                ).alias("min_str"),
+                (
+                    F.col(f"{col}__mx")
+                    if not is_num
+                    else F.lit(None).cast("string")
+                ).alias("max_str"),
+            )
+        )
+    return (
+        prof.select(F.explode(F.array(*rows)).alias("m"))
+        .select("m.*")
+        .orderBy("col_name")
+    )

@@ -191,3 +191,28 @@ def test_interval_join_overlap_classes_no_duplicates(spark):
     assert sorted(pairs) == sorted(
         [(1, 10), (1, 11), (3, 10), (3, 11), (3, 12)]
     )  # exactly once each — no bucket-collision duplicates
+
+
+def test_snapshot_diff_row_classes(spark):
+    """insert / delete / update classified; unchanged rows (including
+    NULL == NULL) excluded; NULL→value and value→NULL are updates."""
+    from polars_express_spark.operators.scd2 import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0), (4, None), (5, None)],
+        "k long, v double",
+    )
+    new = spark.createDataFrame(
+        [(1, 10.0), (2, 25.0), (4, None), (5, 55.0), (6, 60.0)],
+        "k long, v double",
+    )
+    got = {
+        (r["k"], r["change"], r["old_val"], r["new_val"])
+        for r in snapshot_diff(old, new, "k", "v").collect()
+    }
+    assert got == {
+        (2, "update", 20.0, 25.0),
+        (3, "delete", 30.0, None),
+        (5, "update", None, 55.0),
+        (6, "insert", None, 60.0),
+    }  # 1 unchanged, 4 NULL==NULL unchanged — both absent
