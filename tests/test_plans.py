@@ -174,3 +174,21 @@ def test_zorder_partial_agg_and_topk_fusion(spark):
     p = plan_of("q_zorder", spark)
     assert p.count("HashAggregate") >= 2
     assert "TakeOrderedAndProject" in p
+
+
+def test_cdc_queries_keyed_joins_only(spark):
+    """Merge-on-read, snapshot diff, and the interval overlap all ride
+    key/bucket equi-joins — no nested loop, no cartesian."""
+    for name in ["q_merge_on_read", "q_snapshot_diff", "q_interval_overlap"]:
+        p = plan_of(name, spark)
+        assert "CartesianProduct" not in p, name
+        assert "BroadcastNestedLoopJoin" not in p, name
+
+
+def test_profile_is_single_scan(spark):
+    """The column profile must read customer ONCE — one scan node, the
+    multi-distinct planned via Expand, never per-column rescans."""
+    p = plan_of("q_profile", spark)
+    tree = p.split("\n\n")[0]  # the plan tree, not per-node details
+    assert tree.count("Scan parquet") == 1
+    assert "Expand" in p
