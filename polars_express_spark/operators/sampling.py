@@ -18,7 +18,7 @@ matter at 100 TB:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 DENOM = 1_000_000
@@ -162,3 +162,29 @@ def weighted_sample(
     every sampler here: a narrow filter, no shuffle, reproducible."""
     w = F.least(F.lit(1.0), F.greatest(F.lit(0.0), F.col(weight_col)))
     return df.where(_keep(key_cols, w, seed))
+
+
+def exact_k_sample(
+    df: DataFrame,
+    stratum: str,
+    k: int,
+    key_cols: list[str],
+) -> DataFrame:
+    """Exactly-k-per-stratum deterministic sample (the polars
+    group_by().head(k)-after-shuffle / reservoir-sample shape): keep
+    the k rows with the SMALLEST xxhash64(key) in each stratum — a
+    uniform without-replacement draw that is reproducible on any
+    cluster layout, and exact where fraction-based sampling is only
+    binomial (a stratum with n ≤ k rows is kept whole, never padded).
+
+    One hash-ordered row_number window per stratum — the same single
+    shuffle a distributed reservoir would need; ties broken by the key
+    itself so the pick is total even under hash collisions.
+    """
+    h = F.xxhash64(*[F.col(c) for c in key_cols])
+    w = Window.partitionBy(stratum).orderBy(h, *key_cols)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )

@@ -471,3 +471,39 @@ def q_profile(spark, sf_dir):
         .select("m.*")
         .orderBy("col_name")
     )
+
+
+@query(
+    "q_group_sample",
+    oracle="""
+    SELECT lang,
+           CAST(LEAST(5, count(*)) AS BIGINT) AS n_sampled,
+           CAST(count(*) AS BIGINT) AS n_total
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+)
+def q_group_sample(spark, sf_dir):
+    """Exactly-k-per-stratum sampling (§2.10 curation family beside the
+    fraction-based stratified sampler): keep the 5 smallest-hash docs
+    per language. Membership is hash-derived (not SQL-replayable), but
+    the CARDINALITY is exact — n_sampled ≡ LEAST(k, n_lang) — so unlike
+    the binomial-bound samplers this one gets a fully exact oracle.
+    One hash-ordered window per stratum, the distributed reservoir
+    shape."""
+    from polars_express_spark.operators.sampling import exact_k_sample
+
+    d = load_table(spark, sf_dir, "documents")
+    kept = (
+        exact_k_sample(d, "lang", k=5, key_cols=["doc_id"])
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_sampled"))
+        .withColumnRenamed("lang", "__k_lang")
+    )
+    totals = d.groupBy("lang").agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+    # eqNullSafe so a NULL-lang stratum still matches its kept count
+    # (same NULL-stratum contract as the fraction-based samplers)
+    return (
+        totals.join(kept, F.col("lang").eqNullSafe(F.col("__k_lang")), "left")
+        .select("lang", F.coalesce("n_sampled", F.lit(0)).alias("n_sampled"), "n_total")
+        .orderBy("lang")
+    )

@@ -142,3 +142,23 @@ def test_weighted_sample_extremes_and_determinism(spark):
     assert 0 < len(half) < len(range(2, 500, 3))  # genuinely probabilistic
     kept2 = {r["doc_id"] for r in weighted_sample(d.repartition(13), "w", ["doc_id"]).collect()}
     assert kept == kept2
+
+
+def test_exact_k_sample_cardinality_and_partition_invariance(spark):
+    """Exactly min(k, n) rows per stratum; membership is a pure
+    function of the key — identical under any input partitioning."""
+    from polars_express_spark.operators.sampling import exact_k_sample
+
+    rows = [(i, "a" if i < 20 else ("b" if i < 23 else None)) for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = exact_k_sample(df, "lang", k=5, key_cols=["doc_id"]).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r["lang"], set()).add(r["doc_id"])
+    assert len(by["a"]) == 5  # n=20 → exactly k
+    assert len(by["b"]) == 3  # n=3 ≤ k → whole stratum
+    assert len(by[None]) == 5  # NULL stratum sampled like any other
+    again = exact_k_sample(df.repartition(7), "lang", k=5, key_cols=["doc_id"]).collect()
+    assert {(r["doc_id"], r["lang"]) for r in again} == {
+        (d, l) for l, ds in by.items() for d in ds
+    }
