@@ -644,7 +644,10 @@ def q_ann_lsh(spark, sf_dir):
 # PQ codebooks are kilobyte numpy arrays; cached per (sf_dir, m, k) the
 # same way the frames store caches plans — retraining on every call
 # would re-run the Lloyd jobs the memoized codes frame already paid for.
+# FIFO-capped like the FRAMES store so a long-lived server cycling many
+# datasets can't accumulate unbounded entries.
 _PQ_CB: dict[tuple, "object"] = {}
+_PQ_CB_CAP = 8
 
 
 def ann_pq_topk(spark, sf_dir, m: int = 8, k_codes: int = 16, shortlist: int = 60):
@@ -671,6 +674,8 @@ def ann_pq_topk(spark, sf_dir, m: int = 8, k_codes: int = 16, shortlist: int = 6
     emb = load_table(spark, sf_dir, "embeddings")
     cb_key = (sf_dir, m, k_codes)
     if cb_key not in _PQ_CB:
+        while len(_PQ_CB) >= _PQ_CB_CAP:
+            _PQ_CB.pop(next(iter(_PQ_CB)))
         _PQ_CB[cb_key] = pq_train(emb, m=m, k=k_codes)
     cb = _PQ_CB[cb_key]
     codes = _memoized_cached(
