@@ -226,3 +226,55 @@ def q_fk_audit(spark, sf_dir):
         .agg(F.count(F.lit(1)).cast("bigint").alias("orphan_cust_fk"))
     )
     return n.crossJoin(a1).crossJoin(a2).crossJoin(a3)
+
+
+@query(
+    "q_bpe_pairs",
+    oracle="""
+    WITH tok AS (
+      SELECT t.token AS w FROM documents,
+             unnest(string_split_regex(text, '\\s+')) t(token)
+      WHERE len(t.token) >= 2
+    ),
+    pairs AS (
+      SELECT substr(w, s.i, 2) AS pair FROM tok,
+             unnest(generate_series(1, len(w) - 1)) s(i)
+    ),
+    cnt AS (SELECT pair, count(*) AS c FROM pairs GROUP BY pair)
+    SELECT pair, CAST(c AS BIGINT) AS cnt FROM (
+      SELECT pair, c, row_number() OVER (ORDER BY c DESC, pair ASC) AS rn
+      FROM cnt
+    ) WHERE rn <= 10 ORDER BY pair
+    """,
+)
+def q_bpe_pairs(spark, sf_dir):
+    """First BPE merge-step statistics (§2.10 tokenizer-training
+    primitive): count every adjacent character pair inside every
+    corpus token and rank the top 10 — exactly the argmax the byte-pair
+    encoding trainer takes per merge round, here as one
+    sequence+transform row generation (JVM-side, no Python) and one
+    partial→final count. At 100 TB this per-round aggregate IS the
+    BPE training loop's cost model; pair/count outputs are
+    integer-exact."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(F.explode(F.split("text", r"\s+")).alias("w")).where(
+        F.length("w") >= 2
+    )
+    pair = F.explode(
+        F.transform(
+            F.sequence(F.lit(1), F.length("w") - 1),
+            lambda i: F.col("w").substr(i, F.lit(2)),
+        )
+    )
+    pairs = tok.select(pair.alias("pair"))
+    cnt = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("c"))
+    from pyspark.sql import Window as W
+
+    top = (
+        cnt.withColumn(
+            "rn", F.row_number().over(W.orderBy(F.col("c").desc(), F.col("pair").asc()))
+        )
+        .where(F.col("rn") <= 10)
+        .select("pair", F.col("c").cast("bigint").alias("cnt"))
+    )
+    return top.orderBy("pair")
