@@ -1,8 +1,8 @@
-"""Bloom-filter runtime join pruning (§2.3/§2.10 scale family; the
-reference's linked polars ships the same semi-join-reduction idea as its
-join key coalescing, main.rs query path — here built as Spark's
-row-level runtime filter, which local mode's planner never injects on
-its own).
+"""Bloom-filter runtime join pruning (§2.3/§2.10 scale family — Tier G,
+beyond the reference surface: the reference app performs no joins at
+all (src/main.rs), so this is north-star scale capability, built as
+Spark's row-level runtime filter, which local mode's planner never
+injects on its own).
 
 The 100 TB problem: a fact⋈dim join where the dim side is filtered
 ("urgent orders only") still shuffles EVERY fact row, because the fact
@@ -118,7 +118,16 @@ def bloom_pruned_join(
     shuffle volume by the dim filter's selectivity. The dim side is
     counted once to size the bitmap (it is the SMALL side by contract,
     as in every runtime-filter plan).
+
+    Only inner and left_semi are accepted: pruning the fact side is
+    semantics-preserving exactly when unmatched fact rows would be
+    dropped anyway; a left/full outer join must KEEP them, so a
+    scan-side filter would silently lose rows.
     """
+    if how not in ("inner", "left_semi", "semi", "leftsemi"):
+        raise ValueError(
+            f"bloom pruning only preserves inner/left_semi semantics, got {how!r}"
+        )
     n = dim.select(dim_key).where(F.col(dim_key).isNotNull()).count()
     bf = bloom_build(dim, dim_key, num_bits=bloom_size_for(max(n, 1)), num_hashes=num_hashes)
     pruned = fact.where(bloom_might_contain(bf, fact_key))

@@ -59,7 +59,9 @@ def cms_estimate(
 
     `depth`/`width` must match cms_update. Items whose (i, b) hits an
     absent sketch row have true bucket count 0 → estimate 0 (coalesce).
-    Returns `items` columns plus `est`.
+    Returns `items` columns plus `est`. Duplicate item rows collapse to
+    one output row (the grouped estimate); `items` must not already
+    carry columns named i/b/cnt/est (the sketch's public schema).
     """
     c = F.col(col)
     probes = F.array(

@@ -245,3 +245,16 @@ def test_pq_ann_recall_and_shortlist_monotonicity(spark):
     r60 = recall(60)
     assert r60 >= 0.6, r60
     assert recall(120) >= recall(20) - 1e-9
+
+
+def test_bloom_pruned_join_rejects_outer_joins(spark):
+    """Pruning the fact side loses rows an outer join must keep — the
+    operator must refuse rather than silently corrupt."""
+    import pytest
+
+    from polars_express_spark.operators.bloom import bloom_pruned_join
+
+    fact = spark.range(3).select(F.col("id").alias("fk"))
+    dim = spark.range(2).select(F.col("id").alias("dk"))
+    with pytest.raises(ValueError, match="inner/left_semi"):
+        bloom_pruned_join(fact, dim, "fk", "dk", how="left")
