@@ -278,3 +278,125 @@ def q_bpe_pairs(spark, sf_dir):
         .select("pair", F.col("c").cast("bigint").alias("cnt"))
     )
     return top.orderBy("pair")
+
+
+@query(
+    "q_lang_centroid",
+    oracle="""
+    WITH el AS (
+      SELECT d.lang, s.i - 1 AS j, CAST(e.embedding[s.i] AS DOUBLE) AS x
+      FROM embeddings e
+      JOIN documents d ON d.doc_id = e.vec_id,
+      unnest(generate_series(1, 8)) s(i)
+    )
+    SELECT lang, CAST(j AS INTEGER) AS j,
+           CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) / count(*) AS mean_x
+    FROM el GROUP BY lang, j ORDER BY lang, j
+    """,
+)
+def q_lang_centroid(spark, sf_dir):
+    """Per-class embedding centroid (§2.10 embedding ops): the mean
+    vector per language over the first 8 dimensions — the prototype
+    computation behind nearest-class-mean classifiers and per-domain
+    drift monitors. One key join (embeddings⋈documents), one
+    posexplode, one partial→final aggregate with decimal-exact sums so
+    the per-dimension means hash-match the replay to the bit."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    from polars_express_spark.queries._util import DEC_MOM, dsum
+
+    el = (
+        emb.join(docs, emb.vec_id == docs.doc_id)
+        .select("lang", F.posexplode(F.col("embedding")).alias("j", "xf"))
+        .where(F.col("j") < 8)
+        .select("lang", F.col("j").cast("int").alias("j"), F.col("xf").cast("double").alias("x"))
+    )
+    return (
+        el.groupBy("lang", "j")
+        .agg(
+            (
+                F.sum(F.col("x").cast(DEC_MOM)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("mean_x")
+        )
+        .orderBy("lang", "j")
+    )
+
+
+@query(
+    "q_bigram_lm",
+    oracle="""
+    WITH toks AS (
+      SELECT list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS l
+      FROM documents
+    ),
+    bg AS (
+      SELECT l[s.i] AS w1, l[s.i + 1] AS w2
+      FROM toks, unnest(generate_series(1, len(l) - 1)) s(i)
+      WHERE len(l) >= 2
+    ),
+    pc AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY w1, w2),
+    uc AS (SELECT w1, sum(c) AS n FROM pc GROUP BY w1),
+    top1 AS (
+      SELECT w1, n, row_number() OVER (ORDER BY n DESC, w1 ASC) AS rw FROM uc
+    ),
+    best AS (
+      SELECT pc.w1, pc.w2, pc.c,
+             row_number() OVER (PARTITION BY pc.w1 ORDER BY pc.c DESC, pc.w2 ASC) AS rn
+      FROM pc
+    )
+    SELECT t.w1, b.w2 AS next_w, CAST(b.c AS BIGINT) AS pair_cnt,
+           CAST(t.n AS BIGINT) AS w1_cnt
+    FROM top1 t JOIN best b ON b.w1 = t.w1 AND b.rn = 1
+    WHERE t.rw <= 10 ORDER BY t.w1
+    """,
+)
+def q_bigram_lm(spark, sf_dir):
+    """Bigram language-model table (§2.10 text family): for the 10 most
+    frequent context tokens, the most likely next token with its pair
+    and context counts — the conditional-probability argmax an n-gram
+    LM trainer computes per context (used for perplexity-style quality
+    scoring and fast draft generation). Bigrams come from slicing the
+    token array against its own shift (arrays_zip, pure JVM row
+    generation); two partial→final counts + one per-context window.
+    All-integer outputs."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", r"\s+"), lambda x: x != "")
+    t2 = d.select(toks.alias("l")).where(F.size("l") >= 2)
+    pairs = t2.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice("l", 1, F.size("l") - 1).alias("w1"),
+                F.expr("slice(l, 2, size(l) - 1)").alias("w2"),
+            )
+        ).alias("p")
+    ).select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    pc = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    uc = pc.groupBy("w1").agg(F.sum("c").alias("n"))
+    from pyspark.sql import Window as W
+
+    top = (
+        uc.withColumn("rw", F.row_number().over(W.orderBy(F.col("n").desc(), F.col("w1").asc())))
+        .where(F.col("rw") <= 10)
+        .select("w1", "n")
+    )
+    best = (
+        pc.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("w1").orderBy(F.col("c").desc(), F.col("w2").asc())
+            ),
+        )
+        .where(F.col("rn") == 1)
+        .select("w1", F.col("w2").alias("next_w"), F.col("c").alias("pair_cnt"))
+    )
+    return (
+        top.join(best, "w1")
+        .select(
+            "w1",
+            "next_w",
+            F.col("pair_cnt").cast("bigint").alias("pair_cnt"),
+            F.col("n").cast("bigint").alias("w1_cnt"),
+        )
+        .orderBy("w1")
+    )
