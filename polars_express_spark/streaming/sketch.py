@@ -60,3 +60,70 @@ def stream_cms(
     q = w.start()
     q.processAllAvailable()
     return acc, q
+
+
+class StreamingBloomDedup:
+    """Approximate stream dedup in FIXED memory (the web-crawl /
+    trillion-token pattern: dedup URLs or fingerprints across an
+    unbounded stream where an exact key set cannot fit anywhere).
+
+    The accumulator is one m-bit Bloom bitmap (m/64 longs on the
+    driver, OR-merged per batch — blooms form the same commutative
+    monoid as the CMS counters). Per micro-batch, executor-side:
+    exact dropDuplicates WITHIN the batch, then the JVM bit-test
+    predicate drops keys probably seen in ANY earlier batch.
+
+    Contract (golden-tested): true duplicates NEVER survive (a key,
+    once inserted, always tests positive), so survivors ⊆ first
+    occurrences; a false positive can drop a genuinely new key with
+    probability ≈ the bloom fp rate — the documented trade for O(m)
+    state. Use exact incremental_dedup (streaming/windows.py) when the
+    key set fits; use this when it can't.
+    """
+
+    def __init__(self, key: str, num_bits: int = 1 << 16, num_hashes: int = 5):
+        from polars_express_spark.operators.bloom import BloomFilter
+
+        num_bits = max(64, (num_bits + 63) // 64 * 64)
+        self.key = key
+        self._bf = BloomFilter(tuple([0] * (num_bits // 64)), num_bits, num_hashes)
+        self.survivors: list = []  # rows; a real pipeline would sink them
+
+    def absorb(self, batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+
+        from polars_express_spark.operators.bloom import (
+            BloomFilter,
+            bloom_build,
+            bloom_might_contain,
+        )
+
+        batch = batch_df.dropDuplicates([self.key])
+        fresh = batch.where(
+            ~bloom_might_contain(self._bf, self.key)
+            | F.col(self.key).isNull()  # NULL keys pass through untracked
+        )
+        self.survivors.extend(fresh.collect())
+        add = bloom_build(
+            batch, self.key, num_bits=self._bf.num_bits, num_hashes=self._bf.num_hashes
+        )
+        merged = tuple(a | b for a, b in zip(self._bf.words, add.words))
+        self._bf = BloomFilter(merged, self._bf.num_bits, self._bf.num_hashes)
+
+
+def stream_bloom_dedup(
+    stream: DataFrame,
+    key: str,
+    num_bits: int = 1 << 16,
+    num_hashes: int = 5,
+    checkpoint: str | None = None,
+) -> tuple[StreamingBloomDedup, "object"]:
+    """Run a stream through the fixed-memory Bloom dedup to completion
+    (availableNow). Returns (accumulator, query)."""
+    acc = StreamingBloomDedup(key, num_bits=num_bits, num_hashes=num_hashes)
+    w = stream.writeStream.foreachBatch(acc.absorb).trigger(availableNow=True)
+    if checkpoint:
+        w = w.option("checkpointLocation", checkpoint)
+    q = w.start()
+    q.processAllAvailable()
+    return acc, q

@@ -329,3 +329,29 @@ def test_streaming_cms_merge_equals_batch(spark, tmp_path):
         assert acc.counters == want and want
     finally:
         q.stop()
+
+
+def test_streaming_bloom_dedup_fixed_memory(spark, tmp_path):
+    """Fixed-memory approximate stream dedup: with a generously-sized
+    bitmap, survivors over 3 micro-batches equal the exact distinct key
+    set (fp ≈ 0 at this load); true duplicates can never survive by
+    construction; driver state stays exactly m/64 longs."""
+    from polars_express_spark.streaming.sketch import stream_bloom_dedup
+
+    src = str(tmp_path / "dedup_src")
+    ev = load_table(spark, SF_DIR, "events").select(
+        (F.col("event_id") % 500).alias("k"), "value"
+    )
+    ev.repartition(3).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    acc, q = stream_bloom_dedup(stream, "k", num_bits=1 << 16)
+    try:
+        got = sorted(r["k"] for r in acc.survivors)
+        want = sorted(
+            r["k"] for r in spark.read.parquet(src).select("k").distinct().collect()
+        )
+        assert got == want
+        assert len(acc._bf.words) == (1 << 16) // 64  # state never grows
+    finally:
+        q.stop()
