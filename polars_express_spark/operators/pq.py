@@ -200,3 +200,49 @@ def pq_adc_shortlist(
             yield pd.concat(out, ignore_index=True)
 
     return codes.mapInPandas(scan, schema="probe_id long, vec_id long, est double")
+
+
+def pq_adc_score_pairs(
+    pairs_with_codes: DataFrame,
+    probe_vecs: dict[int, np.ndarray],
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ADC-score an explicit (probe_id, vec_id, codes) candidate frame —
+    the IVF+PQ composition path, where candidates come from the coarse
+    index and only they are ever scored. Arrow-batched LUT gather per
+    row; adds `est` to the pair frame."""
+    m, k, dsub = codebooks.shape
+    pids = sorted(probe_vecs)
+    pid_index = {p: i for i, p in enumerate(pids)}
+    luts = np.stack(
+        [
+            np.stack(
+                [
+                    codebooks[s]
+                    @ _unit_rows(probe_vecs[p][None, :])[0, s * dsub : (s + 1) * dsub]
+                    for s in range(m)
+                ]
+            )
+            for p in pids
+        ]
+    )  # n_probes × m × k
+
+    def score(batches, luts=luts, pid_index=pid_index):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            codes_arr = np.stack(pdf["codes"].to_numpy())  # batch × m
+            pidx = pdf["probe_id"].map(pid_index).to_numpy()
+            est = luts[pidx[:, None], np.arange(m)[None, :], codes_arr].sum(axis=1)
+            yield pd.DataFrame(
+                {
+                    "probe_id": pdf["probe_id"].to_numpy(),
+                    id_col: pdf[id_col].to_numpy(),
+                    "est": est,
+                }
+            )
+
+    return pairs_with_codes.mapInPandas(
+        score, schema=f"probe_id long, {id_col} long, est double"
+    )

@@ -333,6 +333,76 @@ def train_ivf_centroids(emb, n_cells: int, n_iters: int = 3):
     return C.T  # dim × n_cells
 
 
+def _vec_with_norm(emb):
+    """(vec_id, e array<double>, n2 = Σe²) — the shared scoring frame."""
+    return emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    ).withColumn(
+        "n2",
+        F.aggregate(
+            F.zip_with("e", "e", lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+        ),
+    )
+
+
+def _ivf_cells(spark, sf_dir, n_cells: int, probe_cells: int):
+    """Memoized IVF assignment frame (vec_id, cell, rank): rank 0 is
+    the inverted-list membership, ranks < probe_cells are the lists a
+    probe searches. Shared by the plain-IVF and IVF+PQ indexes — one
+    training + assignment serves both (at 100 TB this is the stored
+    coarse index)."""
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vec = _vec_with_norm(emb)
+
+    def build_cells():
+        Cn = train_ivf_centroids(emb, n_cells)  # dim × k, unit columns
+        k = Cn.shape[1] if Cn.size else 0  # table may be smaller than requested
+        pc = min(probe_cells, k)
+
+        def assign(batches):
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                E = np.stack(pdf["e"].to_numpy())  # batch × dim
+                scores = E @ Cn  # batch × k (cosine up to row-constant)
+                # argsort desc by score with ascending-cell tie break
+                order = np.lexsort((np.tile(np.arange(k), (len(E), 1)), -scores), axis=1)
+                top = order[:, :pc]
+                yield pd.DataFrame(
+                    {
+                        "vec_id": np.repeat(pdf["vec_id"].to_numpy(), pc),
+                        "cell": top.ravel().astype(np.int32),
+                        "rank": np.tile(np.arange(pc, dtype=np.int32), len(E)),
+                    }
+                )
+
+        return vec.select("vec_id", "e").mapInPandas(
+            assign, schema="vec_id long, cell int, rank int"
+        )
+
+    return _memoized_cached(spark, ("ivf", sf_dir, n_cells, probe_cells), build_cells)
+
+
+def _ivf_candidate_pairs(cells):
+    """(probe_id, vec_id) candidates from the cell equi-join of probe
+    lists against inverted lists. No distinct needed: each vec has
+    exactly one rank-0 cell and a probe's top cells are distinct, so a
+    (probe, vec) pair joins once."""
+    assigned = cells.where(F.col("rank") == 0).select("vec_id", "cell")
+    probes_cells = cells.where(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"), "cell"
+    )
+    return (
+        F.broadcast(probes_cells)
+        .join(assigned, "cell")
+        .where(F.col("vec_id") != F.col("probe_id"))
+        .select("probe_id", "vec_id")
+    )
+
+
 def ann_ivf_topk(spark, sf_dir, n_cells: int = 64, probe_cells: int = 16):
     """IVF (inverted-file) ANN (§2.10 scale path, the LSH alternative).
 
@@ -364,61 +434,10 @@ def ann_ivf_topk(spark, sf_dir, n_cells: int = 64, probe_cells: int = 16):
     global top-k vector can be outranked by at most k-1 others), pinned
     by the curve test in tests/test_pipeline_ops.py.
     """
-    import numpy as np
-    import pandas as pd
-
     emb = load_table(spark, sf_dir, "embeddings")
-
-    vec = emb.select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("e")
-    ).withColumn(
-        "n2",
-        F.aggregate(
-            F.zip_with("e", "e", lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
-        ),
-    )
-
-    def build_cells():
-        Cn = train_ivf_centroids(emb, n_cells)  # dim × k, unit columns
-        k = Cn.shape[1] if Cn.size else 0  # table may be smaller than requested
-        pc = min(probe_cells, k)
-
-        def assign(batches):
-            for pdf in batches:
-                if pdf.empty:
-                    continue
-                E = np.stack(pdf["e"].to_numpy())  # batch × dim
-                scores = E @ Cn  # batch × k (cosine up to row-constant)
-                # argsort desc by score with ascending-cell tie break
-                order = np.lexsort((np.tile(np.arange(k), (len(E), 1)), -scores), axis=1)
-                top = order[:, :pc]
-                yield pd.DataFrame(
-                    {
-                        "vec_id": np.repeat(pdf["vec_id"].to_numpy(), pc),
-                        "cell": top.ravel().astype(np.int32),
-                        "rank": np.tile(np.arange(pc, dtype=np.int32), len(E)),
-                    }
-                )
-
-        return vec.select("vec_id", "e").mapInPandas(
-            assign, schema="vec_id long, cell int, rank int"
-        )
-
-    cells = _memoized_cached(
-        spark, ("ivf", sf_dir, n_cells, probe_cells), build_cells
-    )
-    assigned = cells.where(F.col("rank") == 0).select("vec_id", "cell")
-    probes_cells = cells.where(F.col("vec_id") < N_PROBES).select(
-        F.col("vec_id").alias("probe_id"), "cell"
-    )
-    # no distinct needed: each vec has exactly one rank-0 cell and a
-    # probe's top cells are distinct, so a (probe, vec) pair joins once
-    cands = (
-        F.broadcast(probes_cells)
-        .join(assigned, "cell")
-        .where(F.col("vec_id") != F.col("probe_id"))
-        .select("probe_id", "vec_id")
-    )
+    vec = _vec_with_norm(emb)
+    cells = _ivf_cells(spark, sf_dir, n_cells, probe_cells)
+    cands = _ivf_candidate_pairs(cells)
     pvec = vec.where(F.col("vec_id") < N_PROBES).select(
         F.col("vec_id").alias("probe_id"), F.col("e").alias("pe"), F.col("n2").alias("na2")
     )
@@ -747,4 +766,105 @@ def q_ann_pq(spark, sf_dir):
     ann_pq_topk)."""
     return _recall_invariant(
         _exact_topk_shared(spark, sf_dir), ann_pq_topk(spark, sf_dir), 0.4, "n_exact_topk"
+    )
+
+
+def ann_ivfpq_topk(
+    spark,
+    sf_dir,
+    n_cells: int = 64,
+    probe_cells: int = 16,
+    m: int = 8,
+    k_codes: int = 16,
+    shortlist: int = 40,
+):
+    """IVF+PQ composed ANN (§2.10 — THE production two-level shape,
+    e.g. faiss IVFx,PQy): the coarse inverted-file index restricts the
+    search to the probed cells' members, and PQ codes stand in for raw
+    vectors when scoring those candidates — so the scan touches only
+    |probed lists| rows and reads ~m bytes per candidate instead of the
+    full vector. Both component indexes are the memoized frames the
+    standalone q_ann_ivf / q_ann_pq already maintain (one training each
+    serves all three queries); exact cosine re-ranks only the ADC
+    shortlist."""
+    import numpy as np
+
+    from polars_express_spark.operators.pq import (
+        pq_adc_score_pairs,
+        pq_encode,
+        pq_train,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cells = _ivf_cells(spark, sf_dir, n_cells, probe_cells)
+    cands = _ivf_candidate_pairs(cells)
+
+    cb_key = (sf_dir, m, k_codes)
+    if cb_key not in _PQ_CB:
+        while len(_PQ_CB) >= _PQ_CB_CAP:
+            _PQ_CB.pop(next(iter(_PQ_CB)))
+        _PQ_CB[cb_key] = pq_train(emb, m=m, k=k_codes)
+    cb = _PQ_CB[cb_key]
+    codes = _memoized_cached(
+        spark, ("pq_codes", sf_dir, m, k_codes), lambda: pq_encode(emb, cb)
+    )
+    probe_rows = (
+        emb.where(F.col("vec_id") < N_PROBES)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+        .collect()
+    )
+    pvecs = {r["vec_id"]: np.array(r["e"]) for r in probe_rows}
+    scored_pairs = pq_adc_score_pairs(cands.join(codes, "vec_id"), pvecs, cb)
+    w_sl = W.partitionBy("probe_id").orderBy(F.col("est").desc(), F.col("vec_id"))
+    sl = (
+        scored_pairs.withColumn("r", F.row_number().over(w_sl))
+        .where(F.col("r") <= shortlist)
+        .select("probe_id", "vec_id")
+    )
+    vec = _vec_with_norm(emb)
+    pvec = vec.where(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"), F.col("e").alias("pe"), F.col("n2").alias("na2")
+    )
+    scored = (
+        sl.join(F.broadcast(pvec), "probe_id")
+        .join(vec, "vec_id")
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (
+                F.aggregate(
+                    F.zip_with("pe", "e", lambda a, b: a * b),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                / (F.sqrt("na2") * F.sqrt("n2"))
+            ).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("probe_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= TOP_K)
+        .orderBy("probe_id", "rnk")
+    )
+
+
+@query(
+    "q_ann_ivfpq",
+    oracle=f"""
+    WITH exact AS ({ORACLES["q35_cosine_topk"]})
+    SELECT CAST(count(*) AS BIGINT) AS n_exact_topk, TRUE AS recall_ok FROM exact
+    """,
+)
+def q_ann_ivfpq(spark, sf_dir):
+    """IVF+PQ ANN driver check: |exact top-k| (oracle-replayed) +
+    recall ≥ 0.3 vs brute force — the composed index pays BOTH
+    approximations (coarse-cell pruning and code quantization), so its
+    floor sits below either component's; the measured value and the
+    monotone relationship to the components live in the golden test."""
+    return _recall_invariant(
+        _exact_topk_shared(spark, sf_dir),
+        ann_ivfpq_topk(spark, sf_dir),
+        0.3,
+        "n_exact_topk",
     )

@@ -258,3 +258,30 @@ def test_bloom_pruned_join_rejects_outer_joins(spark):
     dim = spark.range(2).select(F.col("id").alias("dk"))
     with pytest.raises(ValueError, match="inner/left_semi"):
         bloom_pruned_join(fact, dim, "fk", "dk", how="left")
+
+
+def test_ivfpq_recall_and_component_reuse(spark):
+    """The composed index must stay usefully close to exact (both
+    approximations stacked) and must reuse the SAME memoized component
+    frames as the standalone indexes (no duplicate training)."""
+    from polars_express_spark.queries.similarity import (
+        _exact_topk_shared,
+        ann_ivfpq_topk,
+    )
+    from tests.conftest import SF_DIR
+
+    exact = {
+        (r["probe_id"], r["neighbor_id"])
+        for r in _exact_topk_shared(spark, SF_DIR).collect()
+    }
+    got = {
+        (r["probe_id"], r["neighbor_id"])
+        for r in ann_ivfpq_topk(spark, SF_DIR).collect()
+    }
+    assert len(exact & got) / len(exact) >= 0.5
+    # component reuse: the codebook cache holds exactly one entry for
+    # this (sf, m, k) even after both PQ variants ran
+    from polars_express_spark.queries import similarity as sim
+
+    keys = [k for k in sim._PQ_CB if k[0] == SF_DIR]
+    assert len(keys) == 1
