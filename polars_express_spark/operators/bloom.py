@@ -85,17 +85,30 @@ def bloom_size_for(n_keys: int, bits_per_key: int = 16) -> int:
     return max(4096, ((n_keys * bits_per_key + 63) // 64) * 64)
 
 
-def bloom_might_contain(bf: BloomFilter, col: Column | str) -> Column:
+def bloom_might_contain(
+    bf: BloomFilter, col: Column | str, words: Column | None = None
+) -> Column:
     """Probe predicate: true iff all k bits for `col` are set.
 
-    Pure scalar expression over an array<bigint> literal — evaluates in
-    whole-stage codegen at the scan, before any shuffle. NULL keys
-    return false (a NULL never equi-joins anyway).
+    Pure scalar expression — evaluates in whole-stage codegen at the
+    scan, before any shuffle. NULL keys return false (a NULL never
+    equi-joins anyway).
+
+    `words` should be a column holding the bitmap (the broadcast 1-row
+    frame bloom_pruned_join attaches): an array read from DATA is a
+    per-partition constant. The default (an inline array literal built
+    from bf.words) is only suitable for SMALL bitmaps — Catalyst does
+    not constant-fold a 10^4-element CreateArray, so the per-row
+    rebuild costs ~µs/row (measured 3× on a 600k-row probe).
     """
     c = F.col(col) if isinstance(col, str) else col
     # ONE parsed SQL array literal: F.lit(list) would round-trip every
     # word through py4j individually (~seconds for a 10^4-word bitmap)
-    wl = F.expr("array(" + ",".join(f"{w}L" for w in bf.words) + ")")
+    wl = (
+        words
+        if words is not None
+        else F.expr("array(" + ",".join(f"{w}L" for w in bf.words) + ")")
+    )
     test = F.lit(True)
     for p in _positions(c, bf.num_bits, bf.num_hashes):
         word = F.element_at(wl, ((p / F.lit(64)).cast("bigint") + F.lit(1)).cast("int"))
@@ -130,5 +143,15 @@ def bloom_pruned_join(
         )
     n = dim.select(dim_key).where(F.col(dim_key).isNotNull()).count()
     bf = bloom_build(dim, dim_key, num_bits=bloom_size_for(max(n, 1)), num_hashes=num_hashes)
-    pruned = fact.where(bloom_might_contain(bf, fact_key))
+    # ship the bitmap as a broadcast 1-row FRAME, not an expression
+    # literal — read from data it is a per-partition constant, where a
+    # giant CreateArray would be rebuilt per row (see bloom_might_contain)
+    wdf = fact.sparkSession.createDataFrame(
+        [(list(bf.words),)], "__bloom_words array<bigint>"
+    )
+    pruned = (
+        fact.crossJoin(F.broadcast(wdf))
+        .where(bloom_might_contain(bf, fact_key, words=F.col("__bloom_words")))
+        .drop("__bloom_words")
+    )
     return pruned.join(dim, on=F.col(fact_key) == F.col(dim_key), how=how)

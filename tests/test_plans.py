@@ -146,12 +146,16 @@ def test_decontaminate_benchmark_side_broadcasts(spark):
 
 def test_bloom_probe_filters_at_scan_and_broadcasts(spark):
     """The Bloom probe must be a scalar filter on the fact side (bit_get
-    over the bitmap literal — BEFORE any exchange) and the dim side must
-    broadcast; no nested loop anywhere."""
+    over the broadcast 1-row bitmap frame — BEFORE any exchange) and the
+    dim side must broadcast-hash-join; the only nested loop allowed is
+    the intended 1-row bitmap attach."""
     p = plan_of("q_bloom_prune", spark)
     assert "bit_get" in p
     assert "BroadcastHashJoin" in p
-    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    # exactly ONE BNLJ: the 1-row bitmap broadcast, never a data join
+    tree = p.split("\n\n")[0]
+    assert tree.count("BroadcastNestedLoopJoin") == 1
 
 
 def test_cms_probe_broadcasts_sketch(spark):
