@@ -81,13 +81,19 @@ class StreamingBloomDedup:
     key set fits; use this when it can't.
     """
 
-    def __init__(self, key: str, num_bits: int = 1 << 16, num_hashes: int = 5):
+    def __init__(
+        self, key: str, num_bits: int = 1 << 16, num_hashes: int = 5, sink_fn=None
+    ):
         from polars_express_spark.operators.bloom import BloomFilter
 
         num_bits = max(64, (num_bits + 63) // 64 * 64)
         self.key = key
         self._bf = BloomFilter(tuple([0] * (num_bits // 64)), num_bits, num_hashes)
-        self.survivors: list = []  # rows; a real pipeline would sink them
+        # survivors flow to sink_fn(DataFrame, batch_id) when given (the
+        # production path — write to the lake, never the driver); the
+        # default driver list is the golden-test convenience only
+        self._sink_fn = sink_fn
+        self.survivors: list = []
 
     def absorb(self, batch_df: DataFrame, batch_id: int) -> None:
         from pyspark.sql import functions as F
@@ -103,7 +109,10 @@ class StreamingBloomDedup:
             ~bloom_might_contain(self._bf, self.key)
             | F.col(self.key).isNull()  # NULL keys pass through untracked
         )
-        self.survivors.extend(fresh.collect())
+        if self._sink_fn is not None:
+            self._sink_fn(fresh, batch_id)
+        else:
+            self.survivors.extend(fresh.collect())
         add = bloom_build(
             batch, self.key, num_bits=self._bf.num_bits, num_hashes=self._bf.num_hashes
         )
@@ -117,10 +126,13 @@ def stream_bloom_dedup(
     num_bits: int = 1 << 16,
     num_hashes: int = 5,
     checkpoint: str | None = None,
+    sink_fn=None,
 ) -> tuple[StreamingBloomDedup, "object"]:
     """Run a stream through the fixed-memory Bloom dedup to completion
     (availableNow). Returns (accumulator, query)."""
-    acc = StreamingBloomDedup(key, num_bits=num_bits, num_hashes=num_hashes)
+    acc = StreamingBloomDedup(
+        key, num_bits=num_bits, num_hashes=num_hashes, sink_fn=sink_fn
+    )
     w = stream.writeStream.foreachBatch(acc.absorb).trigger(availableNow=True)
     if checkpoint:
         w = w.option("checkpointLocation", checkpoint)

@@ -327,6 +327,16 @@ def test_streaming_cms_merge_equals_batch(spark, tmp_path):
             ).collect()
         }
         assert acc.counters == want and want
+        # point-query the accumulated sketch: never underestimates
+        probe = spark.range(1).select(
+            *[
+                F.pmod(F.xxhash64(F.lit("view"), F.lit(i)), F.lit(64)).alias(f"b{i}")
+                for i in range(4)
+            ]
+        ).collect()[0]
+        exact = spark.read.parquet(src).where(F.col("event_type") == "view").count()
+        est = acc.estimate([(i, probe[f"b{i}"]) for i in range(4)])
+        assert est >= exact
     finally:
         q.stop()
 
