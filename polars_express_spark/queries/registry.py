@@ -44,15 +44,21 @@ def query(name: str, oracle: str | None = None):
 # 1. the 31 queries whose latest driver check is r3/r4 (aggregates /
 #    windows / time_windows / setops / extras / multimodal / udtf) —
 #    refreshed under round 5's rewired memo/shingle infrastructure;
-# 2. the 16 queries NEW in round 6 (advanced + scale corpora, plus the
-#    graph census) — first-ever check;
+# 2. 16 of the ~28 queries NEW in round 6 (advanced + scale corpora,
+#    graph census) — first-ever driver check; the round-6 additions
+#    landed after the window filled (merge-on-read, interval overlap,
+#    snapshot diff, profile, group sample, funnel/retention, text
+#    search, fk audit, bpe pairs, lang centroid, bigram LM, ann pq /
+#    ivfpq) queue immediately after it and rotate to the front in r7 —
+#    every one of them is oracle-verified by the pytest mirror at
+#    sf0.001 AND sf0.01 this round;
 # 3. of the queries whose implementation CHANGED in round 6, the three
 #    as-of directions (the NULL-key fix touched match logic); the four
 #    smaller round-6 edits (q_repetition rewrite, NULL-safe sampler
 #    invariants, derived heavy-hitter support) fall just outside the
 #    ~50-entry window this round — all were r5-green, all are covered
 #    by the pytest oracle mirror, and they rotate to the front in r7.
-# Everything after the priority list follows registration order
+# Everything after the round-6 additions follows registration order
 # (relational first) — all of it r5-green and unchanged this round.
 _PRIORITY = [
     # tier 1 — stale evidence (r3/r4)
