@@ -507,3 +507,42 @@ def q_group_sample(spark, sf_dir):
         .select("lang", F.coalesce("n_sampled", F.lit(0)).alias("n_sampled"), "n_total")
         .orderBy("lang")
     )
+
+
+@query(
+    "q_incr_agg",
+    oracle=f"""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           {sql_dsum("l_quantity", "sum_qty")},
+           {sql_dsum("l_extendedprice", "sum_price")}
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def q_incr_agg(spark, sf_dir):
+    """Incremental materialized-view refresh (§2.4 warehouse family):
+    the stored per-returnflag aggregate state (built from shipments
+    before 1996) folded with one new batch (1996 onward) via the delta
+    rule — one batch-sized aggregate + one key-partitioned merge, no
+    base recompute. Counts and decimal-exact sums are associative, so
+    the maintained state equals the full recompute EXACTLY — which is
+    the oracle: a plain recompute over all of lineitem."""
+    from polars_express_spark.operators.incremental import merge_agg_states
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice", "l_shipdate"
+    )
+    cutoff = F.lit("1996-01-01").cast("timestamp")
+
+    def agg(df):
+        return df.groupBy("l_returnflag").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_price"),
+        )
+
+    state = agg(li.where(F.col("l_shipdate") < cutoff))
+    delta = agg(li.where(F.col("l_shipdate") >= cutoff))
+    return merge_agg_states(
+        state, delta, keys=["l_returnflag"], agg_cols=["n_rows", "sum_qty", "sum_price"]
+    ).orderBy("l_returnflag")

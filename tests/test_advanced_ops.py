@@ -216,3 +216,23 @@ def test_snapshot_diff_row_classes(spark):
         (5, "update", None, 55.0),
         (6, "insert", None, 60.0),
     }  # 1 unchanged, 4 NULL==NULL unchanged — both absent
+
+
+def test_merge_agg_states_key_classes(spark):
+    """Untouched keys pass through, shared keys add, delta-only keys
+    appear, and NULL group keys merge null-safely."""
+    from polars_express_spark.operators.incremental import merge_agg_states
+
+    state = spark.createDataFrame(
+        [("a", 10, 100.0), ("b", 5, 50.0), (None, 1, 1.0)],
+        "k string, n long, s double",
+    )
+    delta = spark.createDataFrame(
+        [("b", 2, 20.0), ("c", 7, 70.0), (None, 3, 3.0)],
+        "k string, n long, s double",
+    )
+    got = {
+        (r["k"], r["n"], r["s"])
+        for r in merge_agg_states(state, delta, ["k"], ["n", "s"]).collect()
+    }
+    assert got == {("a", 10, 100.0), ("b", 7, 70.0), ("c", 7, 70.0), (None, 4, 4.0)}
