@@ -335,3 +335,68 @@ def q_approx_distinct(spark, sf_dir):
         exact.alias("exact_custs"),
         (F.abs(approx - exact) <= F.lit(0.02) * exact).alias("within_tol"),
     )
+
+
+@query(
+    "q22c_grouping_sets",
+    oracle=f"""
+    SELECT GROUPING_ID(l_returnflag, l_linestatus) AS gid,
+           l_returnflag, l_linestatus,
+           CAST(count(*) AS BIGINT) AS cnt,
+           {sql_dsum("l_quantity", "sum_qty")}
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+)
+def q22c_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS (§2.4, completing the rollup/cube family
+    with the general form): detail, per-flag subtotal, and grand total
+    in one pass; grouping_id disambiguates subtotal NULLs from data
+    NULLs on both engines, so the hash is total under the explicit
+    NULLS FIRST order."""
+    li = load_table(spark, sf_dir, "lineitem")
+    li.select("l_returnflag", "l_linestatus", "l_quantity").createOrReplaceTempView(
+        "__gs_lineitem"
+    )
+    return spark.sql(
+        """
+        SELECT grouping_id(l_returnflag, l_linestatus) AS gid,
+               l_returnflag, l_linestatus,
+               CAST(count(*) AS BIGINT) AS cnt,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty
+        FROM __gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+        """
+    )
+
+
+@query(
+    "q10b_grouped_median",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS cnt,
+           median(l_quantity) AS median_qty,
+           quantile_cont(l_quantity, 0.25) AS p25_qty,
+           quantile_cont(l_quantity, 0.75) AS p75_qty
+    FROM lineitem WHERE l_quantity IS NOT NULL
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def q10b_grouped_median(spark, sf_dir):
+    """Per-group exact median/quartiles (§2.4; q10's global stats,
+    grouped): Spark `percentile` ≡ DuckDB `quantile_cont` per the
+    pinned interpolation pair (SURVEY.md §7.5.5), now under a group
+    key — the per-segment distribution profile."""
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_quantity").isNotNull())
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt"),
+            F.percentile("l_quantity", F.lit(0.5)).alias("median_qty"),
+            F.percentile("l_quantity", F.lit(0.25)).alias("p25_qty"),
+            F.percentile("l_quantity", F.lit(0.75)).alias("p75_qty"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -148,3 +148,39 @@ def q_session_window(spark, sf_dir):
             "sum_val",
         )
     )
+
+
+@query(
+    "q21b_range_frame",
+    oracle=f"""
+    SELECT event_id, user_id,
+           CAST(count(*) OVER w AS BIGINT) AS cnt_1h,
+           CAST(SUM(CAST(value AS DECIMAL(25,6))) OVER w AS DOUBLE) AS sum_1h
+    FROM events
+    WINDOW w AS (
+      PARTITION BY user_id ORDER BY epoch_us(ts)
+      RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+    )
+    ORDER BY event_id
+    """,
+)
+def q21b_range_frame(spark, sf_dir):
+    """Time-RANGE window frame (§2.5, the value-based frame beside
+    q21's row-count frame): per user, count and exact sum of events in
+    the trailing hour of EACH event — frames defined by timestamp
+    distance, not row position, so bursts widen the frame and quiet
+    periods shrink it. Ordering key is exact integer microseconds on
+    both engines; the frame sum is decimal-exact, so peers/ties can't
+    flip the hash."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3_600_000_000, W.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("cnt_1h"),
+        F.sum(F.col("value").cast("decimal(25,6)")).over(w).cast("double").alias("sum_1h"),
+    ).orderBy("event_id")
