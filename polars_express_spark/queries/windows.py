@@ -184,3 +184,38 @@ def q21b_range_frame(spark, sf_dir):
         F.count(F.lit(1)).over(w).cast("bigint").alias("cnt_1h"),
         F.sum(F.col("value").cast("decimal(25,6)")).over(w).cast("double").alias("sum_1h"),
     ).orderBy("event_id")
+
+
+@query(
+    "q18c_window_dist",
+    oracle="""
+    SELECT o_orderkey,
+           percent_rank() OVER w AS pr,
+           cume_dist() OVER w AS cd,
+           nth_value(o_orderkey, 2) OVER (
+             PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS second_key
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice DESC, o_orderkey)
+    ORDER BY o_orderkey
+    """,
+)
+def q18c_window_dist(spark, sf_dir):
+    """Distribution window functions (§2.5, completing the ranking
+    family): percent_rank and cume_dist — both exact ratios of integer
+    rank counts over a TOTAL order (price desc, key), so the doubles
+    are identical on both engines — plus nth_value over the full-frame
+    window (the 2nd-highest order per priority)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    wf = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return o.select(
+        "o_orderkey",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+        F.nth_value("o_orderkey", 2).over(wf).alias("second_key"),
+    ).orderBy("o_orderkey")
