@@ -546,3 +546,53 @@ def q_incr_agg(spark, sf_dir):
     return merge_agg_states(
         state, delta, keys=["l_returnflag"], agg_cols=["n_rows", "sum_qty", "sum_price"]
     ).orderBy("l_returnflag")
+
+
+@query(
+    "q_hll_union",
+    oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS est_ok, TRUE AS union_ok
+    FROM events GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q_hll_union(spark, sf_dir):
+    """Mergeable HLL sketches (§2.4 sketch family — the datasketches
+    twin of approx_count_distinct): one HLL per event_type, then the
+    corpus-wide distinct-user estimate from UNIONING the per-type
+    sketches — the partitioned-rollup pattern that lets a 100 TB
+    pipeline keep per-partition sketches and answer any grouping by
+    merge, never re-scanning. Registered row: exact per-type distincts
+    (oracle-recomputed) + est_ok (per-type estimate within 5% of exact,
+    lgK=12 ⇒ σ≈1.6%) + union_ok (the merged estimate is within 5% of
+    the exact GLOBAL distinct — a wrong merge or double-count breaks
+    it)."""
+    e = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    sk = e.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("hll"),
+        F.countDistinct("user_id").cast("bigint").alias("exact_users"),
+    )
+    merged = sk.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("hll")).alias("g_est")
+    )
+    g_exact = e.agg(F.countDistinct("user_id").cast("double").alias("g_exact"))
+    est_ok = (
+        F.abs(F.hll_sketch_estimate("hll") - F.col("exact_users"))
+        <= F.lit(0.05) * F.col("exact_users") + F.lit(2)
+    )
+    union_ok = F.abs(F.col("g_est") - F.col("g_exact")) <= F.lit(0.05) * F.col(
+        "g_exact"
+    ) + F.lit(2)
+    return (
+        sk.crossJoin(F.broadcast(merged))
+        .crossJoin(F.broadcast(g_exact))
+        .select(
+            "event_type",
+            "exact_users",
+            est_ok.alias("est_ok"),
+            union_ok.alias("union_ok"),
+        )
+        .orderBy("event_type")
+    )
