@@ -400,3 +400,61 @@ def q10b_grouped_median(spark, sf_dir):
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "q10c_higher_moments",
+    oracle="""
+    WITH m AS (
+      SELECT l_returnflag,
+             CAST(count(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(38,12))) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,12))) AS DOUBLE) AS s2,
+             CAST(SUM(CAST(l_quantity * l_quantity * l_quantity AS DECIMAL(38,12))) AS DOUBLE) AS s3,
+             CAST(SUM(CAST(l_quantity * l_quantity * l_quantity * l_quantity AS DECIMAL(38,12))) AS DOUBLE) AS s4
+      FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           CAST(n AS BIGINT) AS cnt,
+           ((s3 / n) - 3 * (s1 / n) * (s2 / n) + 2 * (s1 / n) * (s1 / n) * (s1 / n))
+             / pow((s2 / n) - (s1 / n) * (s1 / n), 1.5) AS skewness,
+           ((s4 / n) - 4 * (s1 / n) * (s3 / n) + 6 * (s1 / n) * (s1 / n) * (s2 / n)
+             - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n))
+             / pow((s2 / n) - (s1 / n) * (s1 / n), 2.0) - 3 AS excess_kurtosis
+    FROM m ORDER BY l_returnflag
+    """,
+)
+def q10c_higher_moments(spark, sf_dir):
+    """Per-group skewness + excess kurtosis (§2.4 profiling family):
+    computed from decimal-EXACT raw moments (Σx..Σx⁴) with the SAME
+    central-moment expression structure on both engines — Spark's
+    built-in skewness/kurtosis use different bias conventions than
+    DuckDB's, so the portable form is moments-first, which is also the
+    correct distributed shape (one partial→final aggregate; the
+    population-moment formulas are what a profiler wants at corpus
+    scale anyway)."""
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_quantity").isNotNull())
+    x = F.col("l_quantity")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dsum(x, "s1", DEC_MOM),
+        dsum(x * x, "s2", DEC_MOM),
+        dsum(x * x * x, "s3", DEC_MOM),
+        dsum(x * x * x * x, "s4", DEC_MOM),
+    )
+    n, s1, s2, s3, s4 = (F.col(c) for c in ("n", "s1", "s2", "s3", "s4"))
+    mu = s1 / n
+    m2 = (s2 / n) - mu * mu
+    m3 = (s3 / n) - F.lit(3) * mu * (s2 / n) + F.lit(2) * mu * mu * mu
+    m4 = (
+        (s4 / n)
+        - F.lit(4) * mu * (s3 / n)
+        + F.lit(6) * mu * mu * (s2 / n)
+        - F.lit(3) * mu * mu * mu * mu
+    )
+    return m.select(
+        "l_returnflag",
+        n.cast("bigint").alias("cnt"),
+        (m3 / F.pow(m2, F.lit(1.5))).alias("skewness"),
+        (m4 / F.pow(m2, F.lit(2.0)) - F.lit(3)).alias("excess_kurtosis"),
+    ).orderBy("l_returnflag")
