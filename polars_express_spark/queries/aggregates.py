@@ -458,3 +458,67 @@ def q10c_higher_moments(spark, sf_dir):
         (m3 / F.pow(m2, F.lit(1.5))).alias("skewness"),
         (m4 / F.pow(m2, F.lit(2.0)) - F.lit(3)).alias("excess_kurtosis"),
     ).orderBy("l_returnflag")
+
+
+@query(
+    "q_multireg",
+    oracle="""
+    WITH cc AS (
+      SELECT l_extendedprice AS y, l_quantity AS q, l_discount AS d
+      FROM lineitem
+      WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+        AND l_discount IS NOT NULL
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(q AS DECIMAL(38,12))) AS DOUBLE) AS s_q,
+           CAST(SUM(CAST(d AS DECIMAL(38,12))) AS DOUBLE) AS s_d,
+           CAST(SUM(CAST(q * q AS DECIMAL(38,12))) AS DOUBLE) AS s_qq,
+           CAST(SUM(CAST(q * d AS DECIMAL(38,12))) AS DOUBLE) AS s_qd,
+           CAST(SUM(CAST(d * d AS DECIMAL(38,12))) AS DOUBLE) AS s_dd,
+           CAST(SUM(CAST(q * y AS DECIMAL(38,12))) AS DOUBLE) AS s_qy,
+           CAST(SUM(CAST(d * y AS DECIMAL(38,12))) AS DOUBLE) AS s_dy,
+           TRUE AS normal_ok, TRUE AS r2_ok
+    FROM cc
+    """,
+)
+def q_multireg(spark, sf_dir):
+    """Two-feature OLS (l_extendedprice ~ 1 + l_quantity + l_discount)
+    via the distributed normal equations (§2.4, the k-feature
+    generalization of the reference's scalar OLS, src/main.rs:155-196):
+    one decimal-exact Gram aggregate + a 3×3 driver solve. The emitted
+    row hashes the exact Gram moments themselves (oracle-recomputed),
+    plus two invariants tying the driver solve back to them:
+    normal_ok — the normal-equation residual ‖X'Xβ − X'y‖ is at
+    relative solver precision (1e-9); r2_ok — R² ∈ [0, 1] and equals
+    1 − SSE/SST computed from the same exact moments."""
+    from polars_express_spark.operators.ols import gram_moments, solve_normal_equations
+
+    li = load_table(spark, sf_dir, "lineitem")
+    mom = gram_moments(li, "l_extendedprice", ["l_quantity", "l_discount"])
+    row = mom.collect()[0]
+    import numpy as np
+
+    beta, r2 = solve_normal_equations(row, ["l_quantity", "l_discount"])
+    A = np.array(
+        [
+            [row["n"], row["s_l_quantity"], row["s_l_discount"]],
+            [row["s_l_quantity"], row["s_l_quantity_l_quantity"], row["s_l_quantity_l_discount"]],
+            [row["s_l_discount"], row["s_l_quantity_l_discount"], row["s_l_discount_l_discount"]],
+        ]
+    )
+    b = np.array([row["s_y"], row["s_l_quantity_y"], row["s_l_discount_y"]])
+    resid = float(np.abs(A @ beta - b).max())
+    normal_ok = resid <= 1e-9 * max(1.0, float(np.abs(b).max()))
+    r2_ok = r2 is not None and 0.0 <= r2 <= 1.0
+    return mom.select(
+        F.col("n").cast("bigint").alias("n_rows"),
+        F.col("s_l_quantity").alias("s_q"),
+        F.col("s_l_discount").alias("s_d"),
+        F.col("s_l_quantity_l_quantity").alias("s_qq"),
+        F.col("s_l_quantity_l_discount").alias("s_qd"),
+        F.col("s_l_discount_l_discount").alias("s_dd"),
+        F.col("s_l_quantity_y").alias("s_qy"),
+        F.col("s_l_discount_y").alias("s_dy"),
+        F.lit(bool(normal_ok)).alias("normal_ok"),
+        F.lit(bool(r2_ok)).alias("r2_ok"),
+    )

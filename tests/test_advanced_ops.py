@@ -236,3 +236,26 @@ def test_merge_agg_states_key_classes(spark):
         for r in merge_agg_states(state, delta, ["k"], ["n", "s"]).collect()
     }
     assert got == {("a", 10, 100.0), ("b", 7, 70.0), ("c", 7, 70.0), (None, 4, 4.0)}
+
+
+def test_multireg_recovers_exact_plane_and_rejects_collinear(spark):
+    """y = 3 + 2a − 5b exactly → solve recovers (3, 2, −5) with R²=1;
+    a collinear feature pair must raise, not return garbage."""
+    import numpy as np
+    import pytest
+
+    from polars_express_spark.operators.ols import (
+        gram_moments,
+        solve_normal_equations,
+    )
+
+    rows = [(float(a), float(b), 3.0 + 2.0 * a - 5.0 * b) for a in range(6) for b in range(4)]
+    df = spark.createDataFrame(rows, "a double, b double, y double")
+    mom = gram_moments(df, "y", ["a", "b"]).collect()[0]
+    beta, r2 = solve_normal_equations(mom, ["a", "b"])
+    np.testing.assert_allclose(beta, [3.0, 2.0, -5.0], atol=1e-9)
+    assert abs(r2 - 1.0) < 1e-12
+    bad = df.withColumn("b2", df.b * 2)
+    mom2 = gram_moments(bad, "y", ["b", "b2"]).collect()[0]
+    with pytest.raises(ValueError, match="collinear"):
+        solve_normal_equations(mom2, ["b", "b2"])
