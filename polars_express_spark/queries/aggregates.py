@@ -522,3 +522,64 @@ def q_multireg(spark, sf_dir):
         F.lit(bool(normal_ok)).alias("normal_ok"),
         F.lit(bool(r2_ok)).alias("r2_ok"),
     )
+
+
+@query(
+    "q_outlier_mad",
+    oracle="""
+    WITH med AS (
+      SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS med
+      FROM lineitem GROUP BY l_returnflag
+    ),
+    mad AS (
+      SELECT l.l_returnflag, m.med,
+             quantile_cont(abs(l.l_extendedprice - m.med), 0.5) AS mad
+      FROM lineitem l JOIN med m USING (l_returnflag)
+      GROUP BY l.l_returnflag, m.med
+    )
+    SELECT l.l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) FILTER (
+             WHERE abs(l.l_extendedprice - a.med) > 3.0 * 1.4826 * a.mad
+           ) AS BIGINT) AS n_outliers
+    FROM lineitem l JOIN mad a USING (l_returnflag)
+    GROUP BY l.l_returnflag ORDER BY l.l_returnflag
+    """,
+)
+def q_outlier_mad(spark, sf_dir):
+    """Robust outlier detection via median/MAD (§2.4 data-quality
+    family): per group, flag rows whose |x − median| exceeds 3 scaled
+    MADs — the outlier rule that, unlike z-scores, is not itself
+    dragged by the outliers. Two exact-percentile passes (the pinned
+    percentile ≡ quantile_cont pair) joined back as broadcast per-group
+    thresholds; the counts are exact integers and every compared
+    quantity is the identical double expression on both engines."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    med = li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("med")
+    )
+    mad = (
+        li.join(F.broadcast(med), "l_returnflag")
+        .groupBy("l_returnflag", "med")
+        .agg(
+            F.percentile(F.abs(F.col("l_extendedprice") - F.col("med")), F.lit(0.5)).alias(
+                "mad"
+            )
+        )
+    )
+    out = F.when(
+        F.abs(F.col("l_extendedprice") - F.col("med"))
+        > F.lit(3.0) * F.lit(1.4826) * F.col("mad"),
+        1,
+    ).otherwise(0)
+    return (
+        li.join(F.broadcast(mad), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(out).cast("bigint").alias("n_outliers"),
+        )
+        .orderBy("l_returnflag")
+    )

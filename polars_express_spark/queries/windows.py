@@ -219,3 +219,28 @@ def q18c_window_dist(spark, sf_dir):
         F.cume_dist().over(w).alias("cd"),
         F.nth_value("o_orderkey", 2).over(wf).alias("second_key"),
     ).orderBy("o_orderkey")
+
+
+@query(
+    "q20b_share_of_total",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_totalprice AS DOUBLE)
+             / CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) OVER (
+                 PARTITION BY o_orderpriority) AS DOUBLE) AS share
+    FROM orders ORDER BY o_orderkey
+    """,
+)
+def q20b_share_of_total(spark, sf_dir):
+    """Percent-of-total (ratio_to_report) window (§2.5): each order's
+    share of its priority class's revenue — the contribution metric
+    behind every share-of-wallet report. The partition denominator is
+    a decimal-exact windowed sum, so the division inputs (and hence
+    the emitted doubles) are identical on both engines."""
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority")
+    denom = F.sum(F.col("o_totalprice").cast("decimal(25,6)")).over(w).cast("double")
+    return o.select(
+        "o_orderkey",
+        (F.col("o_totalprice").cast("double") / denom).alias("share"),
+    ).orderBy("o_orderkey")
