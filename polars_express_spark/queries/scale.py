@@ -596,3 +596,50 @@ def q_hll_union(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q_radius_join",
+    oracle="""
+    WITH pts AS (
+      SELECT DISTINCT user_id,
+             (CAST(user_id AS BIGINT) * 48271) % 10000 AS x,
+             (CAST(user_id AS BIGINT) * 69621) % 10000 AS y
+      FROM events
+    )
+    SELECT a.user_id AS a_user, b.user_id AS b_user,
+           (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS dist2
+    FROM pts a JOIN pts b
+      ON a.user_id < b.user_id
+     AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 400 * 400
+    ORDER BY a_user, b_user
+    """,
+)
+def q_radius_join(spark, sf_dir):
+    """Planar radius self-join (§2.3 spatial family): all user pairs
+    whose derived grid positions (a pure integer function of user_id,
+    replayable in SQL — no hash) lie within 400 units. Runs through
+    grid_radius_join — cell equi-join with a 3×3 neighbor explode on
+    one side, never a cartesian (plan-guarded); squared distances are
+    exact int64 arithmetic, so the emitted pairs hash bit-exactly
+    against the O(n²) predicate replay."""
+    from polars_express_spark.operators.geo import grid_radius_join
+
+    e = load_table(spark, sf_dir, "events")
+    pts = e.select("user_id").distinct().select(
+        "user_id",
+        ((F.col("user_id").cast("bigint") * 48271) % 10000).alias("x"),
+        ((F.col("user_id").cast("bigint") * 69621) % 10000).alias("y"),
+    )
+    a = pts.select(
+        F.col("user_id").alias("a_user"), F.col("x").alias("ax"), F.col("y").alias("ay")
+    )
+    b = pts.select(
+        F.col("user_id").alias("b_user"), F.col("x").alias("bx"), F.col("y").alias("by")
+    )
+    j = grid_radius_join(a, b, "ax", "ay", "bx", "by", radius=400)
+    return (
+        j.where(F.col("a_user") < F.col("b_user"))
+        .select("a_user", "b_user", "dist2")
+        .orderBy("a_user", "b_user")
+    )

@@ -196,3 +196,11 @@ def test_profile_is_single_scan(spark):
     tree = p.split("\n\n")[0]  # the plan tree, not per-node details
     assert tree.count("Scan parquet") == 1
     assert "Expand" in p
+
+
+def test_radius_join_is_bucketed_equi_join(spark):
+    """Proximity search must plan as a cell equi-join with the exact
+    distance as a residual — never a cartesian over the raw predicate."""
+    p = plan_of("q_radius_join", spark)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p

@@ -609,3 +609,36 @@ def test_resample_ffill_matches_python_replay(spark, rows, step):
                 last = picks[b][2]
             want.add((k, epoch + dt.timedelta(seconds=b * step), last))
     assert got == want
+
+
+point_strategy = st.lists(
+    st.tuples(st.integers(-500, 500), st.integers(-500, 500)),
+    min_size=0,
+    max_size=12,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(point_strategy, point_strategy, st.sampled_from([50, 120, 400]))
+def test_grid_radius_join_matches_brute_force(spark, lpts, rpts, r):
+    """Cell-bucketed proximity join ≡ the O(n·m) predicate, including
+    negative coordinates and boundary distances — each pair exactly once."""
+    from polars_express_spark.operators.geo import grid_radius_join
+
+    left = spark.createDataFrame(
+        [(i, x, y) for i, (x, y) in enumerate(lpts)] or [], "lid long, ax long, ay long"
+    )
+    right = spark.createDataFrame(
+        [(j, x, y) for j, (x, y) in enumerate(rpts)] or [], "rid long, bx long, by long"
+    )
+    got = sorted(
+        (row["lid"], row["rid"], row["dist2"])
+        for row in grid_radius_join(left, right, "ax", "ay", "bx", "by", r).collect()
+    )
+    want = sorted(
+        (i, j, (x1 - x2) ** 2 + (y1 - y2) ** 2)
+        for i, (x1, y1) in enumerate(lpts)
+        for j, (x2, y2) in enumerate(rpts)
+        if (x1 - x2) ** 2 + (y1 - y2) ** 2 <= r * r
+    )
+    assert got == want
