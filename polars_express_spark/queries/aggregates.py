@@ -583,3 +583,60 @@ def q_outlier_mad(spark, sf_dir):
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "q04b_grouped_regression",
+    oracle=f"""
+    WITH m AS (
+      SELECT l_returnflag, count(*) AS n,
+             {sql_dsum("l_quantity", "sx", "DECIMAL(38,12)")},
+             {sql_dsum("l_extendedprice", "sy", "DECIMAL(38,12)")},
+             {sql_dsum("l_quantity * l_extendedprice", "sxy", "DECIMAL(38,12)")},
+             {sql_dsum("l_quantity * l_quantity", "sxx", "DECIMAL(38,12)")},
+             {sql_dsum("l_extendedprice * l_extendedprice", "syy", "DECIMAL(38,12)")}
+      FROM lineitem
+      WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+      GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           CAST(n AS BIGINT) AS cnt,
+           (CAST(n AS DOUBLE) * sxy - sx * sy) / (CAST(n AS DOUBLE) * sxx - sx * sx) AS slope,
+           (sy - ((CAST(n AS DOUBLE) * sxy - sx * sy) / (CAST(n AS DOUBLE) * sxx - sx * sx)) * sx)
+             / CAST(n AS DOUBLE) AS intercept,
+           ((CAST(n AS DOUBLE) * sxy - sx * sy) * (CAST(n AS DOUBLE) * sxy - sx * sy))
+             / ((CAST(n AS DOUBLE) * sxx - sx * sx) * (CAST(n AS DOUBLE) * syy - sy * sy)) AS r2
+    FROM m ORDER BY l_returnflag
+    """,
+)
+def q04b_grouped_regression(spark, sf_dir):
+    """Per-segment OLS (§2.4 — q04 under a group key, the polars
+    group_by().agg(regression) shape): slope/intercept/R² of
+    price ~ quantity PER returnflag, from decimal-exact grouped
+    moments with the same closed-form expressions as q04 — one
+    partial→final aggregate yields every segment's fit in one pass."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_quantity").isNotNull() & F.col("l_extendedprice").isNotNull()
+    )
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(x, "sx", DEC_MOM),
+        dsum(y, "sy", DEC_MOM),
+        dsum(x * y, "sxy", DEC_MOM),
+        dsum(x * x, "sxx", DEC_MOM),
+        dsum(y * y, "syy", DEC_MOM),
+    )
+    n = F.col("n").cast("double")
+    sx, sy, sxy, sxx, syy = (F.col(c) for c in ("sx", "sy", "sxy", "sxx", "syy"))
+    cov_n = n * sxy - sx * sy
+    var_x = n * sxx - sx * sx
+    var_y = n * syy - sy * sy
+    slope = cov_n / var_x
+    return m.select(
+        "l_returnflag",
+        F.col("n").cast("bigint").alias("cnt"),
+        slope.alias("slope"),
+        ((sy - slope * sx) / n).alias("intercept"),
+        ((cov_n * cov_n) / (var_x * var_y)).alias("r2"),
+    ).orderBy("l_returnflag")
