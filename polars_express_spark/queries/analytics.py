@@ -400,3 +400,88 @@ def q_bigram_lm(spark, sf_dir):
         )
         .orderBy("w1")
     )
+
+
+@query(
+    "q_gap_detect",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id,
+             epoch_us(ts) - epoch_us(lag(ts) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+      FROM events
+    )
+    SELECT user_id,
+           CAST(count(*) FILTER (WHERE gap_us > 43200000000) AS BIGINT) AS n_long_gaps,
+           CAST(max(gap_us) AS BIGINT) AS max_gap_us
+    FROM gaps WHERE gap_us IS NOT NULL
+    GROUP BY user_id ORDER BY user_id
+    """,
+)
+def q_gap_detect(spark, sf_dir):
+    """Heartbeat gap detection (§2.5 temporal family): per user, how
+    many inter-event gaps exceeded 12 hours and the longest silence —
+    the liveness/outage signal monitoring pipelines compute per device.
+    One lag window over (ts, event_id) total order; gaps are exact
+    integer microsecond differences, so the whole row is
+    integer-exact."""
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    return (
+        e.select("user_id", gap.alias("gap_us"))
+        .where(F.col("gap_us").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("gap_us") > 43_200_000_000, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_long_gaps"),
+            F.max("gap_us").cast("bigint").alias("max_gap_us"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "q_skew_profile",
+    oracle="""
+    WITH k AS (
+      SELECT 'l_orderkey' AS key_col, l_orderkey AS v FROM lineitem
+      UNION ALL SELECT 'l_partkey', l_partkey FROM lineitem
+      UNION ALL SELECT 'l_suppkey', l_suppkey FROM lineitem
+    ),
+    cnt AS (SELECT key_col, v, count(*) AS c FROM k GROUP BY key_col, v),
+    prof AS (
+      SELECT key_col, count(*) AS n_distinct, max(c) AS max_c, sum(c) AS total
+      FROM cnt GROUP BY key_col
+    )
+    SELECT key_col, CAST(n_distinct AS BIGINT) AS n_distinct,
+           CAST(max_c AS BIGINT) AS hot_key_rows,
+           CAST(max_c AS DOUBLE) / total AS hot_key_share
+    FROM prof ORDER BY key_col
+    """,
+)
+def q_skew_profile(spark, sf_dir):
+    """Join-key skew profile (§2.4 profiling family, the planner-facing
+    one): for each candidate join key of lineitem — distinct count, the
+    hottest key's row count, and its share of the table. This is the
+    statistic that decides between plain shuffle, AQE skew split, and
+    salting (operators/salt.py); one unpivot + two partial→final
+    aggregates, integer-exact counts and an exact-ratio share."""
+    li = load_table(spark, sf_dir, "lineitem")
+    k = None
+    for c in ["l_orderkey", "l_partkey", "l_suppkey"]:
+        part = li.select(F.lit(c).alias("key_col"), F.col(c).alias("v"))
+        k = part if k is None else k.unionByName(part)
+    cnt = k.groupBy("key_col", "v").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        cnt.groupBy("key_col")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+            F.max("c").cast("bigint").alias("hot_key_rows"),
+            (F.max("c").cast("double") / F.sum("c")).alias("hot_key_share"),
+        )
+        .orderBy("key_col")
+    )
