@@ -143,6 +143,30 @@ class DataLake:
         self._invalidate_memos()
         return n_files
 
+    def vacuum(self) -> list[str]:
+        """Lake maintenance: remove orphaned write debris — temp-and-swap
+        leftovers from a compaction that died between write and swap
+        (`*.__compact_tmp.*`) and Spark `_temporary` staging dirs from a
+        killed job. Both are invisible to `load` (the catalog never
+        resolves them) but at 100 TB abandoned staging data is real
+        money; every production lake runs exactly this sweep. Never
+        touches a live dataset: only the two debris name patterns are
+        candidates. Returns the removed paths."""
+        import shutil
+
+        removed: list[str] = []
+        for entry in sorted(os.listdir(self.base_dir)):
+            full = os.path.join(self.base_dir, entry)
+            if ".__compact_tmp." in entry:
+                shutil.rmtree(full, ignore_errors=True)
+                removed.append(full)
+            elif os.path.isdir(full):
+                staging = os.path.join(full, "_temporary")
+                if os.path.isdir(staging):
+                    shutil.rmtree(staging, ignore_errors=True)
+                    removed.append(staging)
+        return removed
+
     def save(
         self,
         df: DataFrame,

@@ -89,3 +89,27 @@ def test_load_merge_schema_unions_evolved_parts(spark, tmp_path):
     assert len(rows) == 8
     assert all(rows[a] is None for a in range(5))  # old parts null-extended
     assert rows[7] == 14
+
+
+def test_vacuum_removes_debris_only(spark, tmp_path):
+    """Orphan compaction temps and _temporary staging dirs go; live
+    datasets (including ones with dots in content) stay readable."""
+    import os
+
+    from polars_express_spark.catalog import DataLake
+
+    lake = DataLake(spark, str(tmp_path))
+    df = spark.range(10).selectExpr("id", "id * 2 AS v")
+    lake.save(df, "alive", fmt="parquet")
+    # debris: a dead compaction temp + a killed job's staging dir
+    dead = tmp_path / "alive.__compact_tmp.parquet"
+    dead.mkdir()
+    (dead / "part-0.parquet").write_bytes(b"junk")
+    staging = tmp_path / "alive.parquet" / "_temporary"
+    staging.mkdir()
+    (staging / "attempt_0").mkdir()
+    removed = lake.vacuum()
+    assert len(removed) == 2
+    assert not dead.exists() and not staging.exists()
+    assert lake.load("alive").count() == 10
+    assert lake.vacuum() == []  # idempotent
