@@ -285,3 +285,13 @@ def test_ivfpq_recall_and_component_reuse(spark):
 
     keys = [k for k in sim._PQ_CB if k[0] == SF_DIR]
     assert len(keys) == 1
+
+
+def test_bloom_pruned_join_empty_dim(spark):
+    """An empty build side yields an all-zero bitmap → every fact row
+    prunes → empty result, exactly like the plain inner join."""
+    from polars_express_spark.operators.bloom import bloom_pruned_join
+
+    fact = spark.range(100).select(F.col("id").alias("fk"))
+    dim = spark.range(0).select(F.col("id").alias("dk"))
+    assert bloom_pruned_join(fact, dim, "fk", "dk").count() == 0
