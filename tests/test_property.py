@@ -642,3 +642,83 @@ def test_grid_radius_join_matches_brute_force(spark, lpts, rpts, r):
         if (x1 - x2) ** 2 + (y1 - y2) ** 2 <= r * r
     )
     assert got == want
+
+
+# --- sketches & sampling: algebraic laws under random inputs -------------
+
+
+token_stream = st.lists(st.sampled_from([f"w{i}" for i in range(12)]), max_size=40)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(token_stream, st.integers(1, 3))
+def test_cms_merge_law_random_splits(spark, toks, parts):
+    """Sketch-of-whole ≡ merge of sketches over ANY split of the stream
+    (the monoid law the streaming path depends on), and estimates never
+    underestimate exact counts."""
+    from pyspark.sql import functions as F
+
+    from polars_express_spark.operators.cms import cms_estimate, cms_merge, cms_update
+
+    df = spark.createDataFrame([(t,) for t in toks] or [], "t string")
+    whole = cms_update(df, "t", depth=3, width=32)
+    pieces = [
+        cms_update(
+            df.where(F.pmod(F.xxhash64("t"), F.lit(parts)) == i), "t", depth=3, width=32
+        )
+        for i in range(parts)
+    ]
+    merged = pieces[0]
+    for p in pieces[1:]:
+        merged = cms_merge(merged, p)
+    as_map = lambda sk: {(r["i"], r["b"]): r["cnt"] for r in sk.collect()}  # noqa: E731
+    assert as_map(merged) == as_map(whole)
+    if toks:
+        truth = df.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+        est = cms_estimate(whole, truth, "t", depth=3, width=32)
+        assert est.where(F.col("est") < F.col("c")).count() == 0
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.sets(st.integers(0, 10000), max_size=30), st.sets(st.integers(0, 10000), max_size=30))
+def test_bloom_never_false_negative_random_sets(spark, inserted, probes):
+    from polars_express_spark.operators.bloom import bloom_build, bloom_might_contain
+
+    df = spark.createDataFrame([(k,) for k in sorted(inserted)] or [], "k long")
+    bf = bloom_build(df, "k", num_bits=4096, num_hashes=4)
+    pdf = spark.createDataFrame([(k,) for k in sorted(probes)] or [], "k long")
+    passed = {r["k"] for r in pdf.where(bloom_might_contain(bf, "k")).collect()}
+    # every inserted key that is probed MUST pass — the oracle's guarantee
+    assert (probes & inserted) <= passed
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(st.tuples(st.integers(0, 50), st.sampled_from(["a", "b", None])), max_size=25),
+    st.integers(1, 6),
+)
+def test_exact_k_sample_cardinality_law(spark, rows, k):
+    """|sample per stratum| ≡ min(k, n_stratum) for any data and k."""
+    from collections import Counter
+
+    from polars_express_spark.operators.sampling import exact_k_sample
+
+    uniq = {(i, lang) for i, (_, lang) in enumerate(rows)}
+    df = spark.createDataFrame(sorted(uniq, key=lambda t: t[0]) or [], "doc_id long, lang string")
+    got = Counter(r["lang"] for r in exact_k_sample(df, "lang", k, ["doc_id"]).collect())
+    want = Counter()
+    for _, lang in uniq:
+        want[lang] += 1
+    assert got == {lang: min(k, n) for lang, n in want.items()}
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(st.tuples(st.integers(0, 65535), st.integers(0, 65535)), min_size=1, max_size=8))
+def test_morton_key_matches_python_random(spark, pts):
+    from polars_express_spark.operators.zorder import morton2
+    from tests.test_scale_ops import _py_morton2
+
+    df = spark.createDataFrame([(i, x, y) for i, (x, y) in enumerate(pts)], "i long, x long, y long")
+    got = {r["i"]: r["z"] for r in df.select("i", morton2("x", "y").alias("z")).collect()}
+    for i, (x, y) in enumerate(pts):
+        assert got[i] == _py_morton2(x, y)
