@@ -643,3 +643,43 @@ def q_radius_join(spark, sf_dir):
         .select("a_user", "b_user", "dist2")
         .orderBy("a_user", "b_user")
     )
+
+
+@query(
+    "q_weighted_median",
+    oracle="""
+    WITH d AS (
+      SELECT l_returnflag, l_extendedprice AS v, l_quantity AS w
+      FROM lineitem
+      WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+        AND l_quantity > 0
+    ),
+    c AS (
+      SELECT l_returnflag, v,
+             SUM(CAST(w AS DECIMAL(38,12))) OVER (
+               PARTITION BY l_returnflag ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             SUM(CAST(w AS DECIMAL(38,12))) OVER (
+               PARTITION BY l_returnflag) AS tot
+      FROM d
+    )
+    SELECT l_returnflag, min(v) AS wq_value,
+           CAST(max(tot) AS DOUBLE) AS total_weight
+    FROM c WHERE cum * 2 >= tot * 1
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def q_weighted_median(spark, sf_dir):
+    """Weighted median (§2.4 — the order statistic Spark's percentile
+    can't express): the median order line BY QUANTITY MASS per
+    returnflag, i.e. the price below which half the shipped units sit —
+    how a curation pipeline asks "the median document by token mass".
+    Decimal-exact cumulative weights make the crossing row exact; the
+    answer is an actual data value, no interpolation
+    (operators/weighted.py)."""
+    from polars_express_spark.operators.weighted import weighted_quantile
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return weighted_quantile(
+        li, group="l_returnflag", value="l_extendedprice", weight="l_quantity"
+    ).orderBy("l_returnflag")

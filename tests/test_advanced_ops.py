@@ -259,3 +259,28 @@ def test_multireg_recovers_exact_plane_and_rejects_collinear(spark):
     mom2 = gram_moments(bad, "y", ["b", "b2"]).collect()[0]
     with pytest.raises(ValueError, match="collinear"):
         solve_normal_equations(mom2, ["b", "b2"])
+
+
+def test_weighted_quantile_hand_cases(spark):
+    """Hand-checked crossings: a heavy row dominates; an exact 50%
+    boundary picks the crossing row (lower quantile); zero/negative
+    weights carry no mass; q=1/4 crosses earlier."""
+    from polars_express_spark.operators.weighted import weighted_quantile
+
+    rows = [
+        ("g1", 10.0, 1.0), ("g1", 20.0, 1.0), ("g1", 30.0, 8.0),  # mass at 30
+        ("g2", 1.0, 2.0), ("g2", 2.0, 2.0),  # cum at v=1 is exactly half → 1
+        ("g3", 5.0, 0.0), ("g3", 7.0, -3.0), ("g3", 9.0, 1.0),  # only 9 counts
+    ]
+    df = spark.createDataFrame(rows, "g string, v double, w double")
+    med = {
+        r["g"]: (r["wq_value"], r["total_weight"])
+        for r in weighted_quantile(df, "g", "v", "w").collect()
+    }
+    assert med == {"g1": (30.0, 10.0), "g2": (1.0, 4.0), "g3": (9.0, 1.0)}
+    q25 = {
+        r["g"]: r["wq_value"]
+        for r in weighted_quantile(df, "g", "v", "w", q_num=1, q_den=4).collect()
+    }
+    # g1 threshold is 10/4 = 2.5: cum is 1 at v=10, 2 at v=20, 10 at v=30
+    assert q25["g1"] == 30.0
