@@ -485,3 +485,56 @@ def q_skew_profile(spark, sf_dir):
         )
         .orderBy("key_col")
     )
+
+
+@query(
+    "q_funnel_timing",
+    oracle=f"""
+    WITH t1 AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = '{_FUNNEL[0]}' GROUP BY user_id
+    ),
+    t3 AS (
+      SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN t1 USING (user_id)
+      WHERE e.event_type = '{_FUNNEL[2]}' AND e.ts > t1.t1 GROUP BY e.user_id
+    ),
+    d AS (
+      SELECT epoch_us(t3.t3) - epoch_us(t1.t1) AS dt_us
+      FROM t3 JOIN t1 USING (user_id)
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_converted,
+           CAST(min(dt_us) AS BIGINT) AS min_us,
+           quantile_cont(dt_us, 0.5) AS median_us,
+           CAST(max(dt_us) AS BIGINT) AS max_us
+    FROM d
+    """,
+)
+def q_funnel_timing(spark, sf_dir):
+    """Time-to-convert distribution (§2.4/§2.5, the companion to
+    q_funnel's counts): for users whose first purchase follows their
+    first view, the min/median/max of that delay — what growth teams
+    actually act on. Delays are exact integer microseconds; the median
+    is the pinned percentile ≡ quantile_cont pair over those integers,
+    so its interpolated halves are engine-identical."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    t1 = (
+        ev.where(F.col("event_type") == _FUNNEL[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    t3 = (
+        ev.where(F.col("event_type") == _FUNNEL[2])
+        .join(t1, "user_id")
+        .where(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    d = t3.join(t1, "user_id").select(
+        (F.unix_micros("t3") - F.unix_micros("t1")).alias("dt_us")
+    )
+    return d.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_converted"),
+        F.min("dt_us").cast("bigint").alias("min_us"),
+        F.percentile("dt_us", F.lit(0.5)).alias("median_us"),
+        F.max("dt_us").cast("bigint").alias("max_us"),
+    )
