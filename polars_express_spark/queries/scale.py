@@ -683,3 +683,40 @@ def q_weighted_median(spark, sf_dir):
     return weighted_quantile(
         li, group="l_returnflag", value="l_extendedprice", weight="l_quantity"
     ).orderBy("l_returnflag")
+
+
+@query(
+    "q_skyline",
+    oracle="""
+    WITH pts AS (
+      SELECT CAST(o_totalprice AS DOUBLE) AS x,
+             CAST(epoch_us(o_orderdate) AS DOUBLE) AS y,
+             CAST(count(*) AS BIGINT) AS n_rows
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT x, y, n_rows FROM pts p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM pts q
+      WHERE q.x >= p.x AND q.y >= p.y AND (q.x > p.x OR q.y > p.y)
+    )
+    ORDER BY x
+    """,
+)
+def q_skyline(spark, sf_dir):
+    """Skyline / Pareto frontier (§2.6, the multi-criteria twin of
+    top-k): orders not dominated on (totalprice, recency) — no other
+    order is at least as expensive AND at least as recent with one
+    strictly better. Distributed local-then-global scan
+    (operators/skyline.py — skyline is a reduction, so per-partition
+    frontiers union into one bounded global pass); the oracle is the
+    O(n²) NOT EXISTS definition over distinct points. Coordinates are
+    exact doubles from exact integers, counts exact."""
+    from polars_express_spark.operators.skyline import skyline2d
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").alias("price"),
+        # o_orderdate is TIMESTAMP_NTZ; the UTC session makes the cast
+        # agree exactly with DuckDB's naive epoch_us
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("recency"),
+    )
+    return skyline2d(o, "price", "recency").orderBy("x")

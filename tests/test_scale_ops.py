@@ -295,3 +295,29 @@ def test_bloom_pruned_join_empty_dim(spark):
     fact = spark.range(100).select(F.col("id").alias("fk"))
     dim = spark.range(0).select(F.col("id").alias("dk"))
     assert bloom_pruned_join(fact, dim, "fk", "dk").count() == 0
+
+
+def test_skyline_hand_cases_and_partition_invariance(spark):
+    """Hand-checked frontier incl. ties on one axis and duplicate
+    points; result identical under any partitioning (the reduction
+    law the distributed form relies on)."""
+    from polars_express_spark.operators.skyline import skyline2d
+
+    pts = [
+        (1.0, 9.0), (1.0, 9.0),  # duplicate point on the frontier
+        (5.0, 5.0), (9.0, 1.0),  # frontier
+        (4.0, 5.0),  # dominated by (5,5)
+        (5.0, 4.0),  # dominated by (5,5)
+        (9.0, 0.5),  # dominated by (9,1)
+    ]
+    df = spark.createDataFrame(pts, "x double, y double")
+    want = {(1.0, 9.0, 2), (5.0, 5.0, 1), (9.0, 1.0, 1)}
+    got = {
+        (r["x"], r["y"], r["n_rows"]) for r in skyline2d(df, "x", "y").collect()
+    }
+    assert got == want
+    again = {
+        (r["x"], r["y"], r["n_rows"])
+        for r in skyline2d(df.repartition(5), "x", "y").collect()
+    }
+    assert again == want
