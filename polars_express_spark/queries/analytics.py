@@ -538,3 +538,42 @@ def q_funnel_timing(spark, sf_dir):
         F.percentile("dt_us", F.lit(0.5)).alias("median_us"),
         F.max("dt_us").cast("bigint").alias("max_us"),
     )
+
+
+@query(
+    "q_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      FROM events
+    )
+    SELECT prev_type, event_type AS next_type,
+           CAST(count(*) AS BIGINT) AS n_transitions
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, next_type
+    ORDER BY prev_type, next_type
+    """,
+)
+def q_transitions(spark, sf_dir):
+    """Event-type transition counts (§2.5/§2.10 sequence-statistics
+    family): the per-user (previous → next) event-type transition
+    matrix — the sufficient statistic of a first-order Markov model
+    over user behavior (and the bigram-LM shape applied to event
+    streams). One lag window over the (ts, event_id) total order, one
+    partial→final count; all-integer outputs."""
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.select(
+            F.lag("event_type").over(w).alias("prev_type"),
+            F.col("event_type").alias("next_type"),
+        )
+        .where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_transitions"))
+        .orderBy("prev_type", "next_type")
+    )

@@ -116,3 +116,30 @@ def q_session_stats(spark, sf_dir):
         .select("user_id", "session_start", "session_end", "n_events", "total_value")
         .orderBy("user_id", "session_start")
     )
+
+
+@query(
+    "q32b_tumbling_distinct",
+    oracle="""
+    SELECT time_bucket(INTERVAL '6 hours', ts) AS win_start,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+    FROM events GROUP BY 1 ORDER BY win_start
+    """,
+)
+def q32b_tumbling_distinct(spark, sf_dir):
+    """Distinct aggregation under tumbling windows (§2.9/§2.4 — the
+    active-users-per-window metric): exact per-window distinct users
+    and event types; the streaming-scale path is the mergeable HLL of
+    q_hll_union per window, this is its exact batch twin. All-integer
+    outputs."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "6 hours").alias("w"))
+        .agg(
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            F.countDistinct("event_type").cast("bigint").alias("n_types"),
+        )
+        .select(F.col("w.start").alias("win_start"), "n_users", "n_types")
+        .orderBy("win_start")
+    )
