@@ -577,3 +577,104 @@ def q_transitions(spark, sf_dir):
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_transitions"))
         .orderBy("prev_type", "next_type")
     )
+
+
+@query(
+    "q_rfm",
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey,
+             max(o_orderdate) AS last_order,
+             count(*) AS freq,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS monetary
+      FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+      SELECT o_custkey,
+             ntile(4) OVER (ORDER BY last_order DESC, o_custkey) AS r,
+             ntile(4) OVER (ORDER BY freq DESC, o_custkey) AS f,
+             ntile(4) OVER (ORDER BY monetary DESC, o_custkey) AS m
+      FROM per_cust
+    )
+    SELECT r, f, m, CAST(count(*) AS BIGINT) AS n_customers
+    FROM scored GROUP BY r, f, m ORDER BY r, f, m
+    """,
+)
+def q_rfm(spark, sf_dir):
+    """RFM segmentation (§2.4/§2.5 — THE classic customer-analytics
+    rollup): per customer, recency (last order), frequency (order
+    count), monetary (decimal-exact spend), each quartiled by ntile
+    over a TOTAL order (metric desc, custkey tiebreak — deterministic
+    on both engines), then segment sizes. Quartile boundaries are pure
+    row arithmetic, spend sums decimal-exact, outputs all-integer."""
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum(F.col("o_totalprice").cast("decimal(25,6)"))
+        .cast("double")
+        .alias("monetary"),
+    )
+    scored = per_cust.select(
+        F.ntile(4)
+        .over(W.orderBy(F.col("last_order").desc(), F.col("o_custkey")))
+        .alias("r"),
+        F.ntile(4).over(W.orderBy(F.col("freq").desc(), F.col("o_custkey"))).alias("f"),
+        F.ntile(4)
+        .over(W.orderBy(F.col("monetary").desc(), F.col("o_custkey")))
+        .alias("m"),
+    )
+    return (
+        scored.groupBy("r", "f", "m")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"))
+        .orderBy("r", "f", "m")
+    )
+
+
+@query(
+    "q_streaks",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    grp AS (
+      SELECT user_id, d,
+             CAST(d AS DATE) - CAST(row_number() OVER (
+               PARTITION BY user_id ORDER BY d) AS INTEGER) AS anchor
+      FROM days
+    ),
+    streaks AS (
+      SELECT user_id, anchor, count(*) AS len FROM grp GROUP BY user_id, anchor
+    )
+    SELECT user_id,
+           CAST(max(len) AS BIGINT) AS longest_streak,
+           CAST(count(*) AS BIGINT) AS n_streaks
+    FROM streaks GROUP BY user_id ORDER BY user_id
+    """,
+)
+def q_streaks(spark, sf_dir):
+    """Gaps-and-islands (§2.5 — longest consecutive-day activity streak
+    per user): distinct activity days; day minus its per-user row
+    number is CONSTANT within a consecutive run (the classic islands
+    anchor), so one window + two aggregates yield every user's longest
+    streak and streak count. Pure date/integer arithmetic, identical
+    on both engines."""
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    days = e.select("user_id", F.col("ts").cast("date").alias("d")).distinct()
+    w = W.partitionBy("user_id").orderBy("d")
+    grp = days.withColumn(
+        "anchor", F.date_sub(F.col("d"), F.row_number().over(w))
+    )
+    streaks = grp.groupBy("user_id", "anchor").agg(F.count(F.lit(1)).alias("len"))
+    return (
+        streaks.groupBy("user_id")
+        .agg(
+            F.max("len").cast("bigint").alias("longest_streak"),
+            F.count(F.lit(1)).cast("bigint").alias("n_streaks"),
+        )
+        .orderBy("user_id")
+    )
