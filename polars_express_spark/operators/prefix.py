@@ -1,0 +1,81 @@
+"""Distributed prefix sums (scan) without a single global window partition.
+
+A naive running total — ``SUM(x) OVER (ORDER BY k)`` with no PARTITION
+BY — collapses the whole input into ONE window partition: on a
+1000-executor cluster every row funnels through a single task, the
+canonical accidental-serialization trap. The classic fix (the scan step
+of parallel prefix-sum algorithms, Blelloch 1990) is two-level:
+
+1. range-bucket the rows on the ordering key (``n_buckets`` ≈ shuffle
+   parallelism), bounds derived from the data's own min/max so the
+   operator costs one tiny aggregate + one pass;
+2. per-bucket subtotals (partial→final agg, ``n_buckets`` rows) → each
+   bucket's running offset via a window over just those few rows;
+3. broadcast the offsets back and finish with an intra-bucket window
+   partitioned by bucket — every task sees ~1/``n_buckets`` of the data.
+
+The result equals ``SUM(v) OVER (ORDER BY order_col)`` exactly, but no
+partition is ever global. Determinism: bucket bounds are floats, but
+bucketing only *partitions* the work — each row's cumulative value is
+bucket offset + intra-bucket running sum, independent of bucket count.
+
+Caller contract: ``order_col`` is numeric and a TOTAL order (distinct
+values) — pre-aggregate to distinct keys first (as the ECDF/KS caller
+does), otherwise ties make any running sum order-dependent in every
+engine.
+
+Reference analog: Polars cum_sum is a single-threaded column kernel
+(linked surface, reference Cargo.toml:8); this is its shuffle-safe
+distributed form.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def bucketed_cumsum(
+    df: DataFrame,
+    order_col: str,
+    value_cols: list[str],
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Add ``cum_<c>`` = running sum of each value column over the total
+    order of ``order_col``, computed with bounded per-task state."""
+    bounds = df.agg(F.min(order_col).alias("__lo"), F.max(order_col).alias("__hi"))
+    width = (F.col("__hi") - F.col("__lo")) / F.lit(n_buckets)
+    b = (
+        df.crossJoin(F.broadcast(bounds))
+        .withColumn(
+            "__bkt",
+            F.when(F.col("__hi") == F.col("__lo"), F.lit(0)).otherwise(
+                F.least(
+                    F.lit(n_buckets - 1),
+                    F.floor((F.col(order_col) - F.col("__lo")) / width).cast("int"),
+                )
+            ),
+        )
+        .drop("__lo", "__hi")
+    )
+    subtot = b.groupBy("__bkt").agg(
+        *[F.sum(c).alias(f"__s_{c}") for c in value_cols]
+    )
+    # offset = sum of all STRICTLY EARLIER buckets' subtotals
+    prev = Window.orderBy("__bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = subtot.select(
+        "__bkt",
+        *[
+            F.coalesce(F.sum(f"__s_{c}").over(prev), F.lit(0)).alias(f"__off_{c}")
+            for c in value_cols
+        ],
+    )
+    intra = (
+        Window.partitionBy("__bkt")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = b.join(F.broadcast(offsets), "__bkt")
+    for c in value_cols:
+        out = out.withColumn(f"cum_{c}", F.col(f"__off_{c}") + F.sum(c).over(intra))
+    return out.drop("__bkt", *[f"__off_{c}" for c in value_cols])

@@ -96,6 +96,7 @@ def all_queries() -> dict[str, QueryFn]:
         advanced,
         scale,
         analytics,
+        stats_corpus,
         relational,
         functions_corpus,
         sink,

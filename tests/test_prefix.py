@@ -1,0 +1,58 @@
+"""bucketed_cumsum (operators/prefix.py): the two-level distributed
+prefix sum must equal the naive global-window running total exactly,
+independent of bucket count and input partitioning."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from polars_express_spark.operators.prefix import bucketed_cumsum
+
+
+def _naive(df, order_col, value_cols):
+    w = Window.orderBy(order_col).rowsBetween(Window.unboundedPreceding, 0)
+    out = df
+    for c in value_cols:
+        out = out.withColumn(f"cum_{c}", F.sum(c).over(w))
+    return out
+
+
+def test_bucketed_cumsum_matches_global_window(spark):
+    rng = random.Random(7)
+    keys = rng.sample(range(-(10**6), 10**6), 500)
+    rows = [(k, rng.randint(-50, 50), rng.randint(0, 9)) for k in keys]
+    df = spark.createDataFrame(rows, "k long, a long, b long").repartition(7)
+    for n_buckets in (1, 4, 64):
+        got = {
+            r["k"]: (r["cum_a"], r["cum_b"])
+            for r in bucketed_cumsum(df, "k", ["a", "b"], n_buckets).collect()
+        }
+        want = {
+            r["k"]: (r["cum_a"], r["cum_b"])
+            for r in _naive(df, "k", ["a", "b"]).collect()
+        }
+        assert got == want, f"n_buckets={n_buckets}"
+
+
+def test_bucketed_cumsum_single_key(spark):
+    df = spark.createDataFrame([(5, 3)], "k long, a long")
+    rows = bucketed_cumsum(df, "k", ["a"], 8).collect()
+    assert len(rows) == 1 and rows[0]["cum_a"] == 3
+
+
+def test_bucketed_cumsum_no_global_partition(spark):
+    """The physical plan must not contain a windowing over an
+    unpartitioned global sort of the full input — every Window's
+    partition spec is the bucket column (the offsets frame is B rows)."""
+    df = spark.range(0, 10_000).select(
+        F.col("id").alias("k"), (F.col("id") % 13).alias("a")
+    )
+    out = bucketed_cumsum(df, "k", ["a"], 32)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the intra-bucket window runs partitioned; the only unpartitioned
+    # window is over the 32-row offsets frame, whose input is the
+    # aggregated subtotals, never the base relation
+    assert "__bkt" in plan
