@@ -678,3 +678,105 @@ def q_streaks(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "q_attribution",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, ts, event_id, event_type,
+             last_value(CASE WHEN event_type IN ('view','click','signup')
+                             THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS channel
+      FROM events
+    )
+    SELECT channel, CAST(count(*) AS BIGINT) AS n_purchases
+    FROM e WHERE event_type = 'purchase'
+    GROUP BY channel ORDER BY channel
+    """,
+)
+def q_attribution(spark, sf_dir):
+    """Last-touch attribution: each purchase is credited to the user's
+    most recent STRICTLY-earlier touchpoint (view/click/signup) — the
+    marketing-analytics assignment every event warehouse runs. One
+    last_value(IGNORE NULLS) carry over a per-user window with a
+    1-PRECEDING frame (the same carry idiom as the as-of join), then a
+    partial→final count per channel; purchases with no prior touch
+    land in the NULL channel. All-integer outputs, one user-partitioned
+    shuffle."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    touch = F.when(
+        F.col("event_type").isin("view", "click", "signup"), F.col("event_type")
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    e = ev.withColumn("channel", F.last(touch, ignorenulls=True).over(w))
+    return (
+        e.where(F.col("event_type") == "purchase")
+        .groupBy("channel")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_purchases"))
+        .orderBy("channel")
+    )
+
+
+_PAA_SEGS = 4
+
+
+@query(
+    "q_paa",
+    oracle=f"""
+    WITH r AS (
+      SELECT user_id,
+             CAST(value AS DECIMAL(18,6)) AS vd,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+             count(*) OVER (PARTITION BY user_id) AS n
+      FROM events
+    )
+    SELECT user_id,
+           CAST(FLOOR((rn - 1) * {_PAA_SEGS} / n) AS BIGINT) AS seg,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(SUM(vd) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS seg_mean
+    FROM r
+    GROUP BY user_id, CAST(FLOOR((rn - 1) * {_PAA_SEGS} / n) AS BIGINT)
+    ORDER BY user_id, seg
+    """,
+)
+def q_paa(spark, sf_dir):
+    """Piecewise aggregate approximation (PAA): each user's ordered
+    value series downsampled to 4 equal-count segments of means — the
+    classic time-series compression/sketch step (and the front half of
+    SAX symbolization). Segment id is exact integer arithmetic
+    ⌊(rn−1)·S/n⌋ so boundaries are engine-independent; values go
+    through decimal casts so segment means are order-free with one
+    final division. One per-user window pass + one partial→final
+    aggregate."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    r = ev.select(
+        "user_id",
+        F.col("value").cast("decimal(18,6)").alias("vd"),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy("user_id")).alias("n"),
+    )
+    seg = F.floor((F.col("rn") - 1) * _PAA_SEGS / F.col("n")).cast("bigint")
+    return (
+        r.groupBy("user_id", seg.alias("seg"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            (F.sum("vd").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+                "seg_mean"
+            ),
+        )
+        .orderBy("user_id", "seg")
+    )

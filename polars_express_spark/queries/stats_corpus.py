@@ -528,3 +528,193 @@ def q_ewma(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "q_token_entropy",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'),
+                                        x -> x <> '')) AS tok
+      FROM documents
+    ),
+    tc AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+           FROM toks GROUP BY doc_id, tok),
+    agg AS (
+      SELECT doc_id,
+             CAST(SUM(c) AS BIGINT) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS n_distinct,
+             SUM(CAST(ROUND(CAST(c AS DOUBLE) * LN(CAST(c AS DOUBLE)), 8)
+                      AS DECIMAL(38,12))) AS s
+      FROM tc GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens, n_distinct,
+           LN(CAST(n_tokens AS DOUBLE))
+             - CAST(s AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS entropy
+    FROM agg ORDER BY doc_id
+    """,
+)
+def q_token_entropy(spark, sf_dir):
+    """Per-document Shannon entropy of the token distribution — the
+    gibberish/boilerplate screen beside repetition ratio and quality
+    score: near-zero entropy is one token repeated, high entropy is
+    natural text. H = ln(n) − Σ c·ln c / n. Each c·ln c term is rounded
+    to 8 dp and summed as DECIMAL, so the per-doc accumulation is
+    order-free (an unordered double sum over a hash aggregate would be
+    run-to-run nondeterministic); the remaining ops are single IEEE
+    expressions. Two partial→final hash aggregates keyed on doc_id —
+    no shuffle wider than the (doc, token) pairs."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", r"\s+"), lambda t: t != "")
+    tc = (
+        d.select("doc_id", F.explode(toks).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    term = F.round(F.col("c").cast("double") * F.log(F.col("c").cast("double")), 8)
+    agg = tc.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+        F.sum(term.cast("decimal(38,12)")).alias("s"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        (
+            F.log(F.col("n_tokens").cast("double"))
+            - F.col("s").cast("double") / F.col("n_tokens").cast("double")
+        ).alias("entropy"),
+    ).orderBy("doc_id")
+
+
+_ZIPF_TOP = 200
+
+
+@query(
+    "q_zipf_fit",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest(list_filter(string_split_regex(text, '\\s+'),
+                                x -> x <> '')) AS tok
+      FROM documents
+    ),
+    tf AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY tok),
+    top AS (SELECT tok, c FROM tf ORDER BY c DESC, tok LIMIT {_ZIPF_TOP}),
+    xy AS (
+      SELECT LN(CAST(row_number() OVER (ORDER BY c DESC, tok) AS DOUBLE)) AS x,
+             LN(CAST(c AS DOUBLE)) AS y
+      FROM top
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(ROUND(x, 10) AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(ROUND(y, 10) AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(ROUND(x * y, 10) AS DECIMAL(38,12))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(ROUND(x * x, 10) AS DECIMAL(38,12))) AS DOUBLE) AS sxx
+      FROM xy
+    )
+    SELECT n,
+           (CAST(n AS DOUBLE) * sxy - sx * sy)
+             / (CAST(n AS DOUBLE) * sxx - sx * sx) AS zipf_slope,
+           (sy - (CAST(n AS DOUBLE) * sxy - sx * sy)
+                   / (CAST(n AS DOUBLE) * sxx - sx * sx) * sx)
+             / CAST(n AS DOUBLE) AS intercept
+    FROM m
+    """,
+)
+def q_zipf_fit(spark, sf_dir):
+    """Zipf-law exponent of the corpus: OLS slope of ln(freq) on
+    ln(rank) over the top-200 tokens (natural text sits near −1;
+    strong deviation flags templated or synthetic corpora). Top-k
+    fuses to TakeOrderedAndProject before the 200-row rank window, so
+    the global window only ever sees the bounded frame; the moment
+    sums round each term to 10 dp and accumulate as DECIMAL (the same
+    order-free trick as the regression corpus), then the closed form
+    is a fixed tree of IEEE ops."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", r"\s+"), lambda t: t != "")
+    tf = (
+        d.select(F.explode(toks).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    top = tf.orderBy(F.col("c").desc(), "tok").limit(_ZIPF_TOP)
+    xy = top.select(
+        F.log(
+            F.row_number()
+            .over(Window.orderBy(F.col("c").desc(), "tok"))
+            .cast("double")
+        ).alias("x"),
+        F.log(F.col("c").cast("double")).alias("y"),
+    )
+
+    def dmom(e):
+        return F.sum(F.round(e, 10).cast("decimal(38,12)")).cast("double")
+
+    m = xy.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        dmom(F.col("x")).alias("sx"),
+        dmom(F.col("y")).alias("sy"),
+        dmom(F.col("x") * F.col("y")).alias("sxy"),
+        dmom(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    slope = (nd * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        nd * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return m.select(
+        "n",
+        slope.alias("zipf_slope"),
+        ((F.col("sy") - slope * F.col("sx")) / nd).alias("intercept"),
+    )
+
+
+@query(
+    "q_winsorize",
+    oracle="""
+    WITH th AS (
+      SELECT o_orderpriority,
+             quantile_cont(o_totalprice, 0.05) AS lo,
+             quantile_cont(o_totalprice, 0.95) AS hi
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o.o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           lo, hi,
+           CAST(SUM(CAST(ROUND(LEAST(GREATEST(o_totalprice, lo), hi), 6)
+                         AS DECIMAL(25,6))) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS win_mean
+    FROM orders o JOIN th USING (o_orderpriority)
+    GROUP BY o.o_orderpriority, lo, hi
+    ORDER BY o.o_orderpriority
+    """,
+)
+def q_winsorize(spark, sf_dir):
+    """Winsorized mean per order priority: clip at the exact per-group
+    5th/95th percentiles, then average — the robust-statistics
+    companion to the median/MAD outlier screen (tail-resistant KPIs).
+    Thresholds come from one exact-percentile aggregate broadcast back
+    onto the scan; clipped values are rounded to 6 dp and summed as
+    DECIMAL so the group means are order-free, with one final
+    division. Same pinned interpolation pair as the grouped-quantile
+    queries (Spark percentile ≡ DuckDB quantile_cont)."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderpriority", "o_totalprice")
+    th = o.groupBy("o_orderpriority").agg(
+        F.percentile("o_totalprice", F.lit(0.05)).alias("lo"),
+        F.percentile("o_totalprice", F.lit(0.95)).alias("hi"),
+    )
+    clipped = F.least(F.greatest(F.col("o_totalprice"), F.col("lo")), F.col("hi"))
+    return (
+        o.join(F.broadcast(th), "o_orderpriority")
+        .groupBy("o_orderpriority", "lo", "hi")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            (
+                F.sum(F.round(clipped, 6).cast("decimal(25,6)")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("win_mean"),
+        )
+        .select("o_orderpriority", "n", "lo", "hi", "win_mean")
+        .orderBy("o_orderpriority")
+    )

@@ -204,3 +204,42 @@ def test_radius_join_is_bucketed_equi_join(spark):
     p = plan_of("q_radius_join", spark)
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_market_basket_topk_fuses_before_lift_joins(spark):
+    """The top-20 pair selection must fuse to TakeOrderedAndProject and
+    the item-frequency joins must ride the broadcast of those 20 rows —
+    never a cartesian, and never a global sort of all pairs."""
+    p = plan_of("q_market_basket", spark)
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p
+
+
+def test_ks_test_no_global_window_over_base_data(spark):
+    """The ECDF running counts ride the two-level bucketed prefix sum:
+    the intra-bucket Window is partitioned by the bucket key, and the
+    only unpartitioned Window is over the 32-row offsets frame (input =
+    the aggregated subtotals, behind a partial+final HashAggregate) —
+    the raw per-value frame never funnels through one window task."""
+    p = plan_of("q_ks_test", spark)
+    tree = p.split("\n\n")[0]
+    assert tree.count("Window") == 2
+    det = p.split("\n\n", 1)[1] if "\n\n" in p else p
+    # intra-bucket window carries the bucket partition key
+    assert "__bkt" in det
+    assert p.count("HashAggregate") >= 4  # per-value agg + subtotals, partial+final
+
+
+def test_winsorize_thresholds_broadcast_back(spark):
+    """The per-group percentile thresholds (≤5 rows) must broadcast onto
+    the scan — the fact side must not shuffle for the threshold join."""
+    p = plan_of("q_winsorize", spark)
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_zipf_topk_fuses_before_rank_window(spark):
+    """The top-200 vocabulary cut must fuse to TakeOrderedAndProject so
+    the global rank window only ever sees the bounded 200-row frame."""
+    p = plan_of("q_zipf_fit", spark)
+    assert "TakeOrderedAndProject" in p
