@@ -130,3 +130,55 @@ def pagerank(
             .localCheckpoint()
         )
     return ranks
+
+
+def kcore(
+    edges: DataFrame,
+    k: int = 2,
+    max_rounds: int = 8,
+    a: str = "a_id",
+    b: str = "b_id",
+) -> DataFrame:
+    """k-core decomposition by iterative peeling: repeatedly drop nodes
+    of degree < k (and their edges) until a fixpoint — the standard
+    cohesion filter that separates dense duplicate cliques from pendant
+    chains the clustering coefficient alone can't isolate.
+
+    Returns (node, core_deg): the nodes surviving in the k-core with
+    their degree WITHIN the core. Each round is one partial→final
+    degree aggregate plus two key equi-joins (never a nested loop);
+    lineage is truncated per round with an eager localCheckpoint, the
+    same bulk-synchronous shape as connected components / pagerank.
+    Peeling is monotone (the survivor set only shrinks), so the edge
+    count is a convergence certificate; like connected components, a
+    graph that has not stabilized after ``max_rounds`` RAISES instead
+    of returning a superset of the core.
+    """
+    if max_rounds < 1:
+        raise ValueError(f"max_rounds must be >= 1, got {max_rounds}")
+    sym = edges.select(F.col(a).alias("src"), F.col(b).alias("dst")).union(
+        edges.select(F.col(b).alias("src"), F.col(a).alias("dst"))
+    )
+    cur = sym.localCheckpoint(eager=True)
+    n_cur = cur.count()
+    for _ in range(max_rounds):
+        deg = cur.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+        keep = deg.where(F.col("d") >= k).select("src")
+        nxt = cur.join(keep, "src", "left_semi").join(
+            keep.withColumnRenamed("src", "dst"), "dst", "left_semi"
+        )
+        nxt = nxt.localCheckpoint(eager=True)
+        n_nxt = nxt.count()
+        if n_nxt == n_cur:
+            break
+        cur, n_cur = nxt, n_nxt
+    else:
+        raise RuntimeError(
+            f"kcore did not stabilize in {max_rounds} rounds "
+            f"({n_cur} -> {n_nxt} edges); raise max_rounds"
+        )
+    return (
+        cur.groupBy("src")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("core_deg"))
+        .select(F.col("src").alias("node"), "core_deg")
+    )

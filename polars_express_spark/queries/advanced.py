@@ -550,3 +550,40 @@ def q_weighted_sample(spark, sf_dir):
         .select("lang", "exp_kept", kept_ok.alias("kept_ok"))
         .orderBy("lang")
     )
+
+
+@query(
+    "q_grouped_topk",
+    oracle="""
+    SELECT o_orderpriority, o_orderkey, o_totalprice
+    FROM (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey
+    """,
+)
+def q_grouped_topk(spark, sf_dir):
+    """Top-3 orders by total price per priority through the
+    bounded-memory two-phase top-k (operators/topk.py) instead of a
+    ranked window: the map side prunes each partition to ≤ k rows per
+    key BEFORE the shuffle, so the exchange moves k·partitions rows
+    per key rather than every row — the difference between shuffling
+    100 TB and shuffling kilobytes. Ties break on the order key in
+    both phases, which makes the result exactly the window-rank
+    answer the oracle replays."""
+    from polars_express_spark.operators.topk import grouped_topk
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_orderkey", "o_totalprice"
+    )
+    return grouped_topk(
+        o,
+        keys=["o_orderpriority"],
+        order_col="o_totalprice",
+        k=3,
+        tie_cols=["o_orderkey"],
+        descending=True,
+    ).orderBy("o_orderpriority", F.col("o_totalprice").desc(), "o_orderkey")

@@ -780,3 +780,96 @@ def q_paa(spark, sf_dir):
         )
         .orderBy("user_id", "seg")
     )
+
+
+@query(
+    "q_interpolate",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, ts, event_id,
+             event_type = 'error' AS masked,
+             epoch_us(ts) AS tu,
+             CAST(CAST(value AS DECIMAL(18,6)) AS DOUBLE) AS vd
+      FROM events
+    ),
+    w AS (
+      SELECT user_id, event_id, tu, masked,
+             last_value(CASE WHEN NOT masked THEN vd END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY tu, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv,
+             last_value(CASE WHEN NOT masked THEN tu END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY tu, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pt,
+             first_value(CASE WHEN NOT masked THEN vd END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY tu, event_id
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv,
+             first_value(CASE WHEN NOT masked THEN tu END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY tu, event_id
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nt
+      FROM e
+    )
+    SELECT user_id, event_id, pv AS prev_v, nv AS next_v,
+           pv + (nv - pv) * (CAST(tu - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE))
+             AS interp
+    FROM w WHERE masked
+    ORDER BY user_id, event_id
+    """,
+)
+def q_interpolate(spark, sf_dir):
+    """Linear (time-weighted) interpolation of masked readings: 'error'
+    events are treated as missing and rebuilt from the nearest valid
+    neighbors, weighted by exact integer-µs time fractions — the
+    gap-repair companion to the forward-fill resampler (ffill carries
+    stale values; interpolation respects the trend). Two IGNORE NULLS
+    carries over one per-user window pass; boundary gaps (no neighbor
+    on one side) stay NULL. The fraction divides exact integers and
+    the values are 6-dp-exact doubles, so the fixed IEEE tree is
+    engine-identical."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    e = ev.select(
+        "user_id",
+        "event_id",
+        (F.col("event_type") == "error").alias("masked"),
+        F.unix_micros("ts").alias("tu"),
+        F.col("value").cast("decimal(18,6)").cast("double").alias("vd"),
+    )
+    prev = (
+        W.partitionBy("user_id")
+        .orderBy("tu", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    nxt = (
+        W.partitionBy("user_id")
+        .orderBy("tu", "event_id")
+        .rowsBetween(1, W.unboundedFollowing)
+    )
+    good_v = F.when(~F.col("masked"), F.col("vd"))
+    good_t = F.when(~F.col("masked"), F.col("tu"))
+    w = e.select(
+        "user_id",
+        "event_id",
+        "tu",
+        "masked",
+        F.last(good_v, ignorenulls=True).over(prev).alias("pv"),
+        F.last(good_t, ignorenulls=True).over(prev).alias("pt"),
+        F.first(good_v, ignorenulls=True).over(nxt).alias("nv"),
+        F.first(good_t, ignorenulls=True).over(nxt).alias("nt"),
+    )
+    frac = (F.col("tu") - F.col("pt")).cast("double") / (
+        F.col("nt") - F.col("pt")
+    ).cast("double")
+    return (
+        w.where(F.col("masked"))
+        .select(
+            "user_id",
+            "event_id",
+            F.col("pv").alias("prev_v"),
+            F.col("nv").alias("next_v"),
+            (F.col("pv") + (F.col("nv") - F.col("pv")) * frac).alias("interp"),
+        )
+        .orderBy("user_id", "event_id")
+    )

@@ -1355,3 +1355,49 @@ def q_triangles(spark, sf_dir):
     from polars_express_spark.operators.graph import triangle_stats
 
     return triangle_stats(_jaccard_pairs_shared(spark, sf_dir))
+
+
+_KCORE_K = 2
+_KCORE_ROUNDS = 8
+
+
+def _kcore_oracle() -> str:
+    """Unrolled peel replay: _KCORE_ROUNDS rounds of drop-degree-<k.
+    Peeling is monotone, so once the Spark side reaches its fixpoint
+    (it RAISES otherwise) any extra oracle rounds are no-ops and both
+    sides name the same core."""
+    parts = [
+        f"WITH {_JACCARD_PAIRS_CTES},",
+        "e0 AS MATERIALIZED (SELECT a_id AS src, b_id AS dst FROM pairs"
+        " UNION ALL SELECT b_id, a_id FROM pairs)",
+    ]
+    for r in range(1, _KCORE_ROUNDS + 1):
+        parts.append(
+            f""", d{r} AS (SELECT src, count(*) AS d FROM e{r - 1} GROUP BY src),
+    k{r} AS MATERIALIZED (SELECT src FROM d{r} WHERE d >= {_KCORE_K}),
+    e{r} AS MATERIALIZED (SELECT e.src, e.dst FROM e{r - 1} e
+             JOIN k{r} x ON x.src = e.src JOIN k{r} y ON y.src = e.dst)"""
+        )
+    parts.append(
+        f""" SELECT src AS node, CAST(count(*) AS BIGINT) AS core_deg
+    FROM e{_KCORE_ROUNDS} GROUP BY src ORDER BY node"""
+    )
+    return "\n".join(parts)
+
+
+@query("q_kcore", oracle=_kcore_oracle())
+def q_kcore(spark, sf_dir):
+    """k-core (k=2) of the near-dup pair graph (§2.10 iterative family
+    beside connected components / pagerank / triangles): iterative
+    peeling keeps only nodes that stay in cycles of mutual similarity —
+    the cohesion filter that separates genuine duplicate cliques from
+    pendant chains, which propagation-based clustering happily glues
+    together. Each round is one degree aggregate + two semi-joins with
+    per-round lineage truncation; non-convergence raises. Reuses the
+    memoized pair frame (one candidate run serves six graph/dedup
+    queries); the oracle replays the peel as an unrolled CTE."""
+    from polars_express_spark.operators.graph import kcore
+
+    return kcore(
+        _jaccard_pairs_shared(spark, sf_dir), k=_KCORE_K, max_rounds=_KCORE_ROUNDS
+    ).orderBy("node")

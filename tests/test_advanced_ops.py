@@ -284,3 +284,68 @@ def test_weighted_quantile_hand_cases(spark):
     }
     # g1 threshold is 10/4 = 2.5: cum is 1 at v=10, 2 at v=20, 10 at v=30
     assert q25["g1"] == 30.0
+
+
+def test_kcore_keeps_cycles_drops_chains(spark):
+    """2-core of triangle{1,2,3} + chain 4-5-6 + pendant 3-7: only the
+    triangle survives, each member with core-degree 2."""
+    from polars_express_spark.operators.graph import kcore
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (3, 7)], "a_id long, b_id long"
+    )
+    got = {(r["node"], r["core_deg"]) for r in kcore(edges, k=2).collect()}
+    assert got == {(1, 2), (2, 2), (3, 2)}
+
+
+def test_kcore_raises_on_round_budget_and_bad_args(spark):
+    """A long chain peels only its two ends per round, so a tight round
+    budget must RAISE (never return a superset of the core); and a
+    non-positive budget is rejected up front instead of NameError-ing."""
+    import pytest
+
+    from polars_express_spark.operators.graph import kcore
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "a_id long, b_id long"
+    )
+    with pytest.raises(RuntimeError, match="stabilize"):
+        kcore(chain, k=2, max_rounds=3)
+    with pytest.raises(ValueError, match="max_rounds"):
+        kcore(chain, k=2, max_rounds=0)
+    # with budget, the chain fully peels away: empty 2-core
+    assert kcore(chain, k=2, max_rounds=20).count() == 0
+
+
+def test_grouped_topk_matches_window_rank_across_partitionings(spark):
+    """The two-phase bounded top-k must equal the window-rank answer for
+    every input partitioning, including keys split across partitions
+    and groups smaller than k."""
+    import random
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from polars_express_spark.operators.topk import grouped_topk
+
+    rng = random.Random(11)
+    rows = [
+        (f"g{rng.randint(0, 5)}", i, float(rng.randint(0, 40)))
+        for i in range(300)
+    ] + [("lonely", 9999, 1.0)]
+    df = spark.createDataFrame(rows, "key string, id long, score double")
+    w = W.partitionBy("key").orderBy(F.col("score").desc(), F.col("id"))
+    want = {
+        (r["key"], r["id"])
+        for r in df.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 4)
+        .collect()
+    }
+    for parts in (1, 3, 13):
+        got = {
+            (r["key"], r["id"])
+            for r in grouped_topk(
+                df.repartition(parts), ["key"], "score", 4, ["id"]
+            ).collect()
+        }
+        assert got == want, f"parts={parts}"
