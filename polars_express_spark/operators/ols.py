@@ -21,27 +21,45 @@ from pyspark.sql import functions as F
 from polars_express_spark.queries._util import DEC_MOM, dsum
 
 
-def gram_moments(df: DataFrame, y: str, xs: list[str]) -> DataFrame:
+def gram_moments(df: DataFrame, y: str, xs: list[str], fast4: bool = False) -> DataFrame:
     """1-row frame of every Gram/moment sum for y ~ 1 + xs.
 
     Columns: n, s_<xi>, s_<xi>_<xj> (i ≤ j), s_y, s_<xi>_y, s_y_y —
-    each an exact decimal sum cast to double. Rows with ANY null among
-    y/xs are dropped (the standard complete-case contract).
+    each an exact order-free sum cast to double. Rows with ANY null
+    among y/xs are dropped (the standard complete-case contract).
+
+    ``fast4=True`` switches the accumulation from decimal sums to the
+    split-long exact accumulator (_util.split4_aggs — ~20× faster,
+    same exact values) and is valid ONLY when the caller attests every
+    y/xs value is non-negative with ≤ 2 decimals, so all products are
+    exact at 4 dp. The default decimal path has no such restriction.
     """
     cols = [y, *xs]
     cc = df
     for c in cols:
         cc = cc.where(F.col(c).isNotNull())
-    aggs = [F.count(F.lit(1)).cast("double").alias("n")]
+    terms: list[tuple[str, object]] = []
     for i, xi in enumerate(xs):
-        aggs.append(dsum(F.col(xi), f"s_{xi}", DEC_MOM))
+        terms.append((f"s_{xi}", F.col(xi)))
         for xj in xs[i:]:
-            aggs.append(dsum(F.col(xi) * F.col(xj), f"s_{xi}_{xj}", DEC_MOM))
-    aggs.append(dsum(F.col(y), "s_y", DEC_MOM))
+            terms.append((f"s_{xi}_{xj}", F.col(xi) * F.col(xj)))
+    terms.append(("s_y", F.col(y)))
     for xi in xs:
-        aggs.append(dsum(F.col(xi) * F.col(y), f"s_{xi}_y", DEC_MOM))
-    aggs.append(dsum(F.col(y) * F.col(y), "s_y_y", DEC_MOM))
-    return cc.agg(*aggs)
+        terms.append((f"s_{xi}_y", F.col(xi) * F.col(y)))
+    terms.append(("s_y_y", F.col(y) * F.col(y)))
+    if not fast4:
+        aggs = [F.count(F.lit(1)).cast("double").alias("n")]
+        aggs += [dsum(expr, name, DEC_MOM) for name, expr in terms]
+        return cc.agg(*aggs)
+    from polars_express_spark.queries._util import combine4, scaled4, split4_aggs
+
+    pre = cc.select(*[scaled4(expr).alias(f"__v_{name}") for name, expr in terms])
+    aggs = [F.count(F.lit(1)).cast("double").alias("n")]
+    combs = [F.col("n")]
+    for name, _ in terms:
+        aggs += split4_aggs(F.col(f"__v_{name}"), name, scaled=True)
+        combs.append(combine4(name))
+    return pre.agg(*aggs).select(*combs)
 
 
 def solve_normal_equations(row, xs: list[str]):

@@ -30,3 +30,76 @@ def dsum(expr: Column | str, alias: str, dec: str = DEC_SUM) -> Column:
 def sql_dsum(expr: str, alias: str, dec: str = "DECIMAL(25,6)") -> str:
     """DuckDB twin of dsum()."""
     return f"CAST(SUM(CAST(({expr}) AS {dec})) AS DOUBLE) AS {alias}"
+
+
+# ---- split-long exact sums (the fast path for 4-dp product moments) ----
+#
+# Spark's decimal aggregate is exact and order-free but runs ~20x slower
+# than a long/double sum (non-vectorized BigDecimal buffer). For moment
+# sums of NON-NEGATIVE products that are exact at 4 decimals (products
+# of <=2-dp source values), the classic multi-word accumulation gets
+# decimal exactness at long-sum speed:
+#
+#   v  = round(x*y*1e4)          -- exact scaled product, < 2^53
+#   lo = v & 0xFFFFF, mid = (v>>20) & 0xFFFFF, hi = v >> 40
+#   sum each word as a plain long (associative, exact), then
+#   S = ((sum_hi<<40) + (sum_mid<<20) + sum_lo) / 1e4   -- one row
+#
+# Overflow margins (long max 9.2e18): lo/mid sums bound by n*2^20 ->
+# safe to ~8.8e12 rows; hi bound by n*(v_max>>40) -> for v_max ~ 2e13
+# safe to ~5e17 rows. ANSI mode raises loudly if ever exceeded.
+# The rounding recovers the EXACT 4-dp product because the double error
+# of x*y*1e4 is far below 0.5 for v < 2^53.
+
+_W = 20
+_MASK = (1 << _W) - 1
+
+
+def scaled4(expr: Column) -> Column:
+    """The exact scaled-long form of a non-negative 4-dp-exact value —
+    project this ONCE per moment before aggregating so the three word
+    sums share it instead of re-deriving it per word."""
+    return F.round(expr * F.lit(10000.0), 0).cast("bigint")
+
+
+def split4_aggs(expr: Column, name: str, scaled: bool = False) -> list[Column]:
+    """Three long-sum aggregate columns encoding the exact sum of a
+    non-negative, 4-dp-exact product expression. Pass ``scaled=True``
+    when ``expr`` is already the scaled4() long."""
+    v = expr if scaled else scaled4(expr)
+    return [
+        F.sum(F.shiftrightunsigned(v, 2 * _W)).alias(f"__{name}_h"),
+        F.sum(F.shiftrightunsigned(v, _W).bitwiseAND(F.lit(_MASK))).alias(
+            f"__{name}_m"
+        ),
+        F.sum(v.bitwiseAND(F.lit(_MASK))).alias(f"__{name}_l"),
+    ]
+
+
+def combine4(name: str) -> Column:
+    """Reconstruct the exact double sum from split4_aggs' three words
+    (per-group decimal math on one row — cheap)."""
+    total = (
+        F.col(f"__{name}_h").cast("decimal(38,0)") * F.lit(1 << (2 * _W))
+        + F.col(f"__{name}_m").cast("decimal(38,0)") * F.lit(1 << _W)
+        + F.col(f"__{name}_l").cast("decimal(38,0)")
+    )
+    return (total.cast("double") / F.lit(10000.0)).alias(name)
+
+
+def sql_split4(expr: str, name: str) -> tuple[str, str]:
+    """DuckDB twin: (aggregate SELECT-list fragment, reconstruction
+    fragment). The reconstruction divides the exact integer total by
+    1e4 as ONE double op, matching combine4's tree."""
+    v = f"CAST(ROUND(({expr}) * 10000.0, 0) AS BIGINT)"
+    aggs = (
+        f"SUM({v} >> {2 * _W}) AS __{name}_h, "
+        f"SUM(({v} >> {_W}) & {_MASK}) AS __{name}_m, "
+        f"SUM({v} & {_MASK}) AS __{name}_l"
+    )
+    comb = (
+        f"CAST(CAST(__{name}_h AS DECIMAL(38,0)) * {1 << (2 * _W)}"
+        f" + CAST(__{name}_m AS DECIMAL(38,0)) * {1 << _W}"
+        f" + CAST(__{name}_l AS DECIMAL(38,0)) AS DOUBLE) / 10000.0 AS {name}"
+    )
+    return aggs, comb

@@ -494,7 +494,7 @@ def q_multireg(spark, sf_dir):
     from polars_express_spark.operators.ols import gram_moments, solve_normal_equations
 
     li = load_table(spark, sf_dir, "lineitem")
-    mom = gram_moments(li, "l_extendedprice", ["l_quantity", "l_discount"])
+    mom = gram_moments(li, "l_extendedprice", ["l_quantity", "l_discount"], fast4=True)
     row = mom.collect()[0]
     import numpy as np
 
@@ -510,17 +510,28 @@ def q_multireg(spark, sf_dir):
     resid = float(np.abs(A @ beta - b).max())
     normal_ok = resid <= 1e-9 * max(1.0, float(np.abs(b).max()))
     r2_ok = r2 is not None and 0.0 <= r2 <= 1.0
-    return mom.select(
-        F.col("n").cast("bigint").alias("n_rows"),
-        F.col("s_l_quantity").alias("s_q"),
-        F.col("s_l_discount").alias("s_d"),
-        F.col("s_l_quantity_l_quantity").alias("s_qq"),
-        F.col("s_l_quantity_l_discount").alias("s_qd"),
-        F.col("s_l_discount_l_discount").alias("s_dd"),
-        F.col("s_l_quantity_y").alias("s_qy"),
-        F.col("s_l_discount_y").alias("s_dy"),
-        F.lit(bool(normal_ok)).alias("normal_ok"),
-        F.lit(bool(r2_ok)).alias("r2_ok"),
+    # The Gram aggregate already ran for the driver solve (the 1-row
+    # collect IS the distributed scan); emit the moments as a local
+    # relation instead of re-executing the whole aggregate a second
+    # time when the returned plan is consumed.
+    return spark.createDataFrame(
+        [
+            (
+                int(row["n"]),
+                row["s_l_quantity"],
+                row["s_l_discount"],
+                row["s_l_quantity_l_quantity"],
+                row["s_l_quantity_l_discount"],
+                row["s_l_discount_l_discount"],
+                row["s_l_quantity_y"],
+                row["s_l_discount_y"],
+                bool(normal_ok),
+                bool(r2_ok),
+            )
+        ],
+        "n_rows bigint, s_q double, s_d double, s_qq double, s_qd double,"
+        " s_dd double, s_qy double, s_dy double, normal_ok boolean,"
+        " r2_ok boolean",
     )
 
 

@@ -723,35 +723,38 @@ def q_winsorize(spark, sf_dir):
 _CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
 
 
-def _corr_sql() -> str:
+def _corr_pairs():
     cols = _CORR_COLS
-    sums = []
-    for c in cols:
-        sums.append(f"CAST(SUM(CAST({c} AS DECIMAL(18,6))) AS DOUBLE) AS s_{c}")
-        sums.append(
-            f"CAST(SUM(CAST(ROUND({c} * {c}, 4) AS DECIMAL(38,12))) AS DOUBLE)"
-            f" AS ss_{c}"
-        )
-    pairs = [
+    return [
         (cols[i], cols[j]) for i in range(len(cols)) for j in range(i + 1, len(cols))
     ]
-    for x, y in pairs:
-        sums.append(
-            f"CAST(SUM(CAST(ROUND({x} * {y}, 4) AS DECIMAL(38,12))) AS DOUBLE)"
-            f" AS sp_{x}_{y}"
-        )
+
+
+def _corr_sql() -> str:
+    from polars_express_spark.queries._util import sql_split4
+
+    aggs, combs = ["CAST(count(*) AS BIGINT) AS n"], ["n"]
+    for c in _CORR_COLS:
+        a, k = sql_split4(c, f"s_{c}")
+        aggs.append(a)
+        combs.append(k)
+        a, k = sql_split4(f"{c} * {c}", f"ss_{c}")
+        aggs.append(a)
+        combs.append(k)
+    for x, y in _corr_pairs():
+        a, k = sql_split4(f"{x} * {y}", f"sp_{x}_{y}")
+        aggs.append(a)
+        combs.append(k)
     corr = ", ".join(
         f"(nd * sp_{x}_{y} - s_{x} * s_{y})"
         f" / SQRT((nd * ss_{x} - s_{x} * s_{x}) * (nd * ss_{y} - s_{y} * s_{y}))"
         f" AS corr_{x}_{y}"
-        for x, y in pairs
+        for x, y in _corr_pairs()
     )
     return f"""
-    WITH m AS (
-      SELECT CAST(count(*) AS BIGINT) AS n, {", ".join(sums)}
-      FROM lineitem
-    )
-    SELECT n, {corr} FROM (SELECT *, CAST(n AS DOUBLE) AS nd FROM m)
+    WITH m AS (SELECT {", ".join(aggs)} FROM lineitem),
+    r AS (SELECT {", ".join(combs)} FROM m)
+    SELECT n, {corr} FROM (SELECT *, CAST(n AS DOUBLE) AS nd FROM r)
     """
 
 
@@ -760,41 +763,39 @@ def q_corr_matrix(spark, sf_dir):
     """Pairwise Pearson correlation matrix over four lineitem measures
     in ONE scan and ONE partial→final aggregate (the profiling rollup a
     feature-engineering pass runs before model training — 4 columns →
-    6 pairs, but still a single aggregate of 15 moment sums). Built-in
-    corr() accumulates floats in partition order and is run-to-run
-    nondeterministic distributed; here each product of the ≤2-dp source
-    values (exact at ≤4 dp) is rounded back to its exact 4-dp value and
-    summed as DECIMAL, so every Σx, Σx², Σxy is order-free, then the
-    closed form is a fixed IEEE tree — bit-identical to the replay."""
+    6 pairs, still a single aggregate). Built-in corr() accumulates
+    floats in partition order and is run-to-run nondeterministic
+    distributed; a decimal-sum version is exact but ~20× slower than a
+    long sum. Here every moment rides the split-long exact accumulator
+    (_util.split4_aggs): the exact 4-dp product becomes a scaled long,
+    its three 20-bit words are summed as plain longs (associative ⇒
+    order-free; ANSI raises loudly on overflow far beyond 100 TB row
+    counts), and one per-group reconstruction recovers the exact sum —
+    decimal exactness at long-sum speed. The closed form is then a
+    fixed IEEE tree, bit-identical to the replay."""
+    from polars_express_spark.queries._util import combine4, scaled4, split4_aggs
+
     li = load_table(spark, sf_dir, "lineitem").select(*_CORR_COLS)
-    cols = _CORR_COLS
+    moments = []
+    for c in _CORR_COLS:
+        moments.append((f"s_{c}", scaled4(F.col(c))))
+        moments.append((f"ss_{c}", scaled4(F.col(c) * F.col(c))))
+    for x, y in _corr_pairs():
+        moments.append((f"sp_{x}_{y}", scaled4(F.col(x) * F.col(y))))
+    pre = li.select(*[v.alias(f"__v_{n}") for n, v in moments])
     aggs = [F.count(F.lit(1)).cast("bigint").alias("n")]
-    for c in cols:
-        aggs.append(
-            F.sum(F.col(c).cast("decimal(18,6)")).cast("double").alias(f"s_{c}")
-        )
-        aggs.append(
-            F.sum(F.round(F.col(c) * F.col(c), 4).cast("decimal(38,12)"))
-            .cast("double")
-            .alias(f"ss_{c}")
-        )
-    pairs = [
-        (cols[i], cols[j]) for i in range(len(cols)) for j in range(i + 1, len(cols))
-    ]
-    for x, y in pairs:
-        aggs.append(
-            F.sum(F.round(F.col(x) * F.col(y), 4).cast("decimal(38,12)"))
-            .cast("double")
-            .alias(f"sp_{x}_{y}")
-        )
-    m = li.agg(*aggs)
+    combs = [F.col("n")]
+    for n, _ in moments:
+        aggs += split4_aggs(F.col(f"__v_{n}"), n, scaled=True)
+        combs.append(combine4(n))
+    r = pre.agg(*aggs).select(*combs)
     nd = F.col("n").cast("double")
     out = [F.col("n")]
-    for x, y in pairs:
+    for x, y in _corr_pairs():
         num = nd * F.col(f"sp_{x}_{y}") - F.col(f"s_{x}") * F.col(f"s_{y}")
         den = F.sqrt(
             (nd * F.col(f"ss_{x}") - F.col(f"s_{x}") * F.col(f"s_{x}"))
             * (nd * F.col(f"ss_{y}") - F.col(f"s_{y}") * F.col(f"s_{y}"))
         )
         out.append((num / den).alias(f"corr_{x}_{y}"))
-    return m.select(*out)
+    return r.select(*out)

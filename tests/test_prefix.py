@@ -56,3 +56,38 @@ def test_bucketed_cumsum_no_global_partition(spark):
     # window is over the 32-row offsets frame, whose input is the
     # aggregated subtotals, never the base relation
     assert "__bkt" in plan
+
+
+def test_split4_sums_match_decimal_reference(spark):
+    """The split-long accumulator must reproduce the decimal-exact sum
+    bit-for-bit on random ≤2-dp non-negative data, at any partitioning
+    (long sums are associative, so this is partition-invariant by
+    construction — the test pins it anyway)."""
+    import random
+    from decimal import Decimal
+
+    from pyspark.sql import functions as F
+
+    from polars_express_spark.queries._util import combine4, scaled4, split4_aggs
+
+    rng = random.Random(3)
+    rows = [
+        (round(rng.uniform(0, 99999), 2), round(rng.uniform(0, 99), 2))
+        for _ in range(5000)
+    ]
+    want = float(
+        sum(
+            (Decimal(str(a)) * Decimal(str(b)) for a, b in rows),
+            Decimal(0),
+        )
+    )
+    df = spark.createDataFrame(rows, "x double, y double")
+    for parts in (1, 7):
+        got = (
+            df.repartition(parts)
+            .select(scaled4(F.col("x") * F.col("y")).alias("__v_s"))
+            .agg(*split4_aggs(F.col("__v_s"), "s", scaled=True))
+            .select(combine4("s"))
+            .collect()[0]["s"]
+        )
+        assert got == want, f"parts={parts}: {got!r} != {want!r}"
