@@ -15,22 +15,33 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from polars_express_spark.catalog import load_table
-from polars_express_spark.queries._util import DEC_MOM, dsum, sql_dsum
+from polars_express_spark.queries._util import (
+    DEC_MOM,
+    dsum,
+    sql_dsum,
+    sql_moments_cte,
+)
 from polars_express_spark.queries.registry import query
 
 # ---------------------------------------------------------------- regression
 
 
-def _ols_moments(df, xcol, ycol):
-    """n + exact decimal moments for closed-form OLS (src/main.rs:155-171)."""
+def _ols_moments(df, xcol, ycol, fast4=False):
+    """n + exact order-free moments for closed-form OLS
+    (src/main.rs:155-171). fast4=True uses the split-long accumulator
+    (_util.fast_moments) — valid only for non-negative ≤2-dp columns
+    whose scaled products stay under 2^53 at ANY scale factor (qty ≤ 50
+    and price ≤ ~1.05e5 qualify; q03's custkey, which grows with SF,
+    does not and stays on the decimal path)."""
     x, y = F.col(xcol), F.col(ycol)
+    terms = [("sx", x), ("sy", y), ("sxy", x * y), ("sxx", x * x), ("syy", y * y)]
+    if fast4:
+        from polars_express_spark.queries._util import fast_moments
+
+        return fast_moments(df, [], terms)
     return df.agg(
         F.count(F.lit(1)).alias("n"),
-        dsum(x, "sx", DEC_MOM),
-        dsum(y, "sy", DEC_MOM),
-        dsum(x * y, "sxy", DEC_MOM),
-        dsum(x * x, "sxx", DEC_MOM),
-        dsum(y * y, "syy", DEC_MOM),
+        *[dsum(expr, name, DEC_MOM) for name, expr in terms],
     )
 
 
@@ -50,10 +61,20 @@ def _ols_result(m):
     )
 
 
-def _sql_ols(table, xexpr, yexpr, where="TRUE"):
-    """DuckDB twin of _ols_moments + _ols_result (identical arithmetic)."""
-    return f"""
-    WITH m AS (
+def _sql_ols(table, xexpr, yexpr, where="TRUE", fast4=False):
+    """DuckDB twin of _ols_moments + _ols_result (identical arithmetic;
+    fast4 mirrors the Spark side's split-long accumulator)."""
+    if fast4:
+        terms = [
+            ("sx", xexpr),
+            ("sy", yexpr),
+            ("sxy", f"({xexpr}) * ({yexpr})"),
+            ("sxx", f"({xexpr}) * ({xexpr})"),
+            ("syy", f"({yexpr}) * ({yexpr})"),
+        ]
+        cte = sql_moments_cte(table, [], terms, where)
+    else:
+        cte = f"""
       SELECT count(*) AS n,
              {sql_dsum(xexpr, "sx", "DECIMAL(38,12)")},
              {sql_dsum(yexpr, "sy", "DECIMAL(38,12)")},
@@ -61,7 +82,9 @@ def _sql_ols(table, xexpr, yexpr, where="TRUE"):
              {sql_dsum(f"({xexpr}) * ({xexpr})", "sxx", "DECIMAL(38,12)")},
              {sql_dsum(f"({yexpr}) * ({yexpr})", "syy", "DECIMAL(38,12)")}
       FROM {table} WHERE {where}
-    )
+    """
+    return f"""
+    WITH m AS ({cte})
     SELECT (CAST(n AS DOUBLE) * sxy - sx * sy) / (CAST(n AS DOUBLE) * sxx - sx * sx) AS slope,
            (sy - ((CAST(n AS DOUBLE) * sxy - sx * sy) / (CAST(n AS DOUBLE) * sxx - sx * sx)) * sx)
              / CAST(n AS DOUBLE) AS intercept,
@@ -95,6 +118,7 @@ def q03_regression_nullzero(spark, sf_dir):
         "l_quantity",
         "l_extendedprice",
         where="l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL",
+        fast4=True,
     ),
 )
 def q04_regression_sql(spark, sf_dir):
@@ -106,7 +130,7 @@ def q04_regression_sql(spark, sf_dir):
         .where(F.col("l_quantity").isNotNull() & F.col("l_extendedprice").isNotNull())
         .select(F.col("l_quantity").alias("x"), F.col("l_extendedprice").alias("y"))
     )
-    return _ols_result(_ols_moments(li, "x", "y"))
+    return _ols_result(_ols_moments(li, "x", "y", fast4=True))
 
 
 # ------------------------------------------------------------------ group agg
@@ -115,16 +139,23 @@ def q04_regression_sql(spark, sf_dir):
 @query(
     "q08_tpch_q1",
     oracle=f"""
+    WITH m AS ({sql_moments_cte(
+        "lineitem",
+        ["l_returnflag", "l_linestatus"],
+        [
+            ("sum_qty", "l_quantity"),
+            ("sum_base_price", "l_extendedprice"),
+            ("sum_disc_price", "l_extendedprice * (1 - l_discount)"),
+            ("sum_disc", "l_discount"),
+        ],
+    )})
     SELECT l_returnflag, l_linestatus,
-           {sql_dsum("l_quantity", "sum_qty")},
-           {sql_dsum("l_extendedprice", "sum_base_price")},
-           {sql_dsum("l_extendedprice * (1 - l_discount)", "sum_disc_price")},
-           CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) / count(*) AS avg_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) / count(*) AS avg_price,
-           CAST(SUM(CAST(l_discount AS DECIMAL(25,6))) AS DOUBLE) / count(*) AS avg_disc,
-           count(*) AS count_order
-    FROM lineitem
-    GROUP BY l_returnflag, l_linestatus
+           sum_qty, sum_base_price, sum_disc_price,
+           sum_qty / n AS avg_qty,
+           sum_base_price / n AS avg_price,
+           sum_disc / n AS avg_disc,
+           n AS count_order
+    FROM m
     ORDER BY l_returnflag, l_linestatus
     """,
 )
@@ -133,27 +164,30 @@ def q08_tpch_q1(spark, sf_dir):
     Catalyst always plans a map-side partial agg, so the shuffle carries
     one row per (partition × group), not per input row — the property
     that makes this run at 100 TB."""
+    from polars_express_spark.queries._util import fast_moments
+
     li = load_table(spark, sf_dir, "lineitem")
-    cnt = F.count(F.lit(1))
-    return (
-        li.groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            dsum("l_quantity", "sum_qty"),
-            dsum("l_extendedprice", "sum_base_price"),
-            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "sum_disc_price"),
-            (F.sum(F.col("l_quantity").cast("decimal(25,6)")).cast("double") / cnt).alias(
-                "avg_qty"
-            ),
-            (F.sum(F.col("l_extendedprice").cast("decimal(25,6)")).cast("double") / cnt).alias(
-                "avg_price"
-            ),
-            (F.sum(F.col("l_discount").cast("decimal(25,6)")).cast("double") / cnt).alias(
-                "avg_disc"
-            ),
-            cnt.alias("count_order"),
-        )
-        .orderBy("l_returnflag", "l_linestatus")
+    m = fast_moments(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        [
+            ("sum_qty", F.col("l_quantity")),
+            ("sum_base_price", F.col("l_extendedprice")),
+            ("sum_disc_price", F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+            ("sum_disc", F.col("l_discount")),
+        ],
     )
+    return m.select(
+        "l_returnflag",
+        "l_linestatus",
+        "sum_qty",
+        "sum_base_price",
+        "sum_disc_price",
+        (F.col("sum_qty") / F.col("n")).alias("avg_qty"),
+        (F.col("sum_base_price") / F.col("n")).alias("avg_price"),
+        (F.col("sum_disc") / F.col("n")).alias("avg_disc"),
+        F.col("n").alias("count_order"),
+    ).orderBy("l_returnflag", "l_linestatus")
 
 
 @query(
@@ -182,13 +216,13 @@ def q09_count_distinct(spark, sf_dir):
 
 @query(
     "q10_stats",
-    oracle="""
-    WITH m AS (
-      SELECT count(*) AS n,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(38,12))) AS DOUBLE) AS sx,
-             CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,12))) AS DOUBLE) AS sxx
-      FROM lineitem WHERE l_quantity IS NOT NULL
-    )
+    oracle=f"""
+    WITH m AS ({sql_moments_cte(
+        "lineitem",
+        [],
+        [("sx", "l_quantity"), ("sxx", "l_quantity * l_quantity")],
+        where="l_quantity IS NOT NULL",
+    )})
     SELECT n AS cnt,
            (sxx - sx * sx / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1) AS var_qty,
            sqrt((sxx - sx * sx / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1)) AS stddev_qty,
@@ -202,14 +236,23 @@ def q10_stats(spark, sf_dir):
     """stddev/var via exact moments; median/percentile via Spark's exact
     `percentile` ≡ DuckDB `quantile_cont` (linear interpolation — pinned
     pair per SURVEY.md §7.5.5)."""
+    from polars_express_spark.queries._util import combine4, scaled4, split4_aggs
+
     li = load_table(spark, sf_dir, "lineitem").where(F.col("l_quantity").isNotNull())
-    m = li.agg(
+    pre = li.select(
+        "l_quantity",
+        scaled4(F.col("l_quantity")).alias("__v_sx"),
+        scaled4(F.col("l_quantity") * F.col("l_quantity")).alias("__v_sxx"),
+    )
+    m = pre.agg(
         F.count(F.lit(1)).alias("n"),
-        dsum("l_quantity", "sx", DEC_MOM),
-        dsum(F.col("l_quantity") * F.col("l_quantity"), "sxx", DEC_MOM),
+        *split4_aggs(F.col("__v_sx"), "sx", scaled=True),
+        *split4_aggs(F.col("__v_sxx"), "sxx", scaled=True),
         F.percentile("l_quantity", F.lit(0.5)).alias("median_qty"),
         F.percentile("l_quantity", F.lit(0.25)).alias("p25_qty"),
         F.percentile("l_quantity", F.lit(0.75)).alias("p75_qty"),
+    ).select(
+        "n", combine4("sx"), combine4("sxx"), "median_qty", "p25_qty", "p75_qty"
     )
     n = F.col("n").cast("double")
     var = (F.col("sxx") - F.col("sx") * F.col("sx") / n) / (n - F.lit(1.0))
@@ -225,16 +268,19 @@ def q10_stats(spark, sf_dir):
 
 @query(
     "q11_corr_cov",
-    oracle="""
-    WITH m AS (
-      SELECT count(*) AS n,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(38,12))) AS DOUBLE) AS sx,
-             CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,12))) AS DOUBLE) AS sy,
-             CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,12))) AS DOUBLE) AS sxy,
-             CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
-             CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,12))) AS DOUBLE) AS syy
-      FROM lineitem WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
-    )
+    oracle=f"""
+    WITH m AS ({sql_moments_cte(
+        "lineitem",
+        [],
+        [
+            ("sx", "l_quantity"),
+            ("sy", "l_extendedprice"),
+            ("sxy", "l_quantity * l_extendedprice"),
+            ("sxx", "l_quantity * l_quantity"),
+            ("syy", "l_extendedprice * l_extendedprice"),
+        ],
+        where="l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL",
+    )})
     SELECT (CAST(n AS DOUBLE) * sxy - sx * sy)
              / (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx) * sqrt(CAST(n AS DOUBLE) * syy - sy * sy))
              AS corr_xy,
@@ -250,14 +296,13 @@ def q11_corr_cov(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem").where(
         F.col("l_quantity").isNotNull() & F.col("l_extendedprice").isNotNull()
     )
+    from polars_express_spark.queries._util import fast_moments
+
     x, y = F.col("l_quantity"), F.col("l_extendedprice")
-    m = li.agg(
-        F.count(F.lit(1)).alias("n"),
-        dsum(x, "sx", DEC_MOM),
-        dsum(y, "sy", DEC_MOM),
-        dsum(x * y, "sxy", DEC_MOM),
-        dsum(x * x, "sxx", DEC_MOM),
-        dsum(y * y, "syy", DEC_MOM),
+    m = fast_moments(
+        li,
+        [],
+        [("sx", x), ("sy", y), ("sxy", x * y), ("sxx", x * x), ("syy", y * y)],
     )
     n = F.col("n").cast("double")
     sx, sy, sxy, sxx, syy = (F.col(c) for c in ("sx", "sy", "sxy", "sxx", "syy"))
@@ -404,15 +449,20 @@ def q10b_grouped_median(spark, sf_dir):
 
 @query(
     "q10c_higher_moments",
-    oracle="""
-    WITH m AS (
-      SELECT l_returnflag,
-             CAST(count(*) AS DOUBLE) AS n,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(38,12))) AS DOUBLE) AS s1,
-             CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,12))) AS DOUBLE) AS s2,
-             CAST(SUM(CAST(l_quantity * l_quantity * l_quantity AS DECIMAL(38,12))) AS DOUBLE) AS s3,
-             CAST(SUM(CAST(l_quantity * l_quantity * l_quantity * l_quantity AS DECIMAL(38,12))) AS DOUBLE) AS s4
-      FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY l_returnflag
+    oracle=f"""
+    WITH m0 AS ({sql_moments_cte(
+        "lineitem",
+        ["l_returnflag"],
+        [
+            ("s1", "l_quantity"),
+            ("s2", "l_quantity * l_quantity"),
+            ("s3", "l_quantity * l_quantity * l_quantity"),
+            ("s4", "l_quantity * l_quantity * l_quantity * l_quantity"),
+        ],
+        where="l_quantity IS NOT NULL",
+    )}),
+    m AS (
+      SELECT l_returnflag, CAST(n AS DOUBLE) AS n, s1, s2, s3, s4 FROM m0
     )
     SELECT l_returnflag,
            CAST(n AS BIGINT) AS cnt,
@@ -433,15 +483,15 @@ def q10c_higher_moments(spark, sf_dir):
     correct distributed shape (one partial→final aggregate; the
     population-moment formulas are what a profiler wants at corpus
     scale anyway)."""
+    from polars_express_spark.queries._util import fast_moments
+
     li = load_table(spark, sf_dir, "lineitem").where(F.col("l_quantity").isNotNull())
     x = F.col("l_quantity")
-    m = li.groupBy("l_returnflag").agg(
-        F.count(F.lit(1)).cast("double").alias("n"),
-        dsum(x, "s1", DEC_MOM),
-        dsum(x * x, "s2", DEC_MOM),
-        dsum(x * x * x, "s3", DEC_MOM),
-        dsum(x * x * x * x, "s4", DEC_MOM),
-    )
+    m = fast_moments(
+        li,
+        ["l_returnflag"],
+        [("s1", x), ("s2", x * x), ("s3", x * x * x), ("s4", x * x * x * x)],
+    ).withColumn("n", F.col("n").cast("double"))
     n, s1, s2, s3, s4 = (F.col(c) for c in ("n", "s1", "s2", "s3", "s4"))
     mu = s1 / n
     m2 = (s2 / n) - mu * mu
@@ -599,17 +649,18 @@ def q_outlier_mad(spark, sf_dir):
 @query(
     "q04b_grouped_regression",
     oracle=f"""
-    WITH m AS (
-      SELECT l_returnflag, count(*) AS n,
-             {sql_dsum("l_quantity", "sx", "DECIMAL(38,12)")},
-             {sql_dsum("l_extendedprice", "sy", "DECIMAL(38,12)")},
-             {sql_dsum("l_quantity * l_extendedprice", "sxy", "DECIMAL(38,12)")},
-             {sql_dsum("l_quantity * l_quantity", "sxx", "DECIMAL(38,12)")},
-             {sql_dsum("l_extendedprice * l_extendedprice", "syy", "DECIMAL(38,12)")}
-      FROM lineitem
-      WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
-      GROUP BY l_returnflag
-    )
+    WITH m AS ({sql_moments_cte(
+        "lineitem",
+        ["l_returnflag"],
+        [
+            ("sx", "l_quantity"),
+            ("sy", "l_extendedprice"),
+            ("sxy", "l_quantity * l_extendedprice"),
+            ("sxx", "l_quantity * l_quantity"),
+            ("syy", "l_extendedprice * l_extendedprice"),
+        ],
+        where="l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL",
+    )})
     SELECT l_returnflag,
            CAST(n AS BIGINT) AS cnt,
            (CAST(n AS DOUBLE) * sxy - sx * sy) / (CAST(n AS DOUBLE) * sxx - sx * sx) AS slope,
@@ -629,14 +680,13 @@ def q04b_grouped_regression(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem").where(
         F.col("l_quantity").isNotNull() & F.col("l_extendedprice").isNotNull()
     )
+    from polars_express_spark.queries._util import fast_moments
+
     x, y = F.col("l_quantity"), F.col("l_extendedprice")
-    m = li.groupBy("l_returnflag").agg(
-        F.count(F.lit(1)).alias("n"),
-        dsum(x, "sx", DEC_MOM),
-        dsum(y, "sy", DEC_MOM),
-        dsum(x * y, "sxy", DEC_MOM),
-        dsum(x * x, "sxx", DEC_MOM),
-        dsum(y * y, "syy", DEC_MOM),
+    m = fast_moments(
+        li,
+        ["l_returnflag"],
+        [("sx", x), ("sy", y), ("sxy", x * y), ("sxx", x * x), ("syy", y * y)],
     )
     n = F.col("n").cast("double")
     sx, sy, sxy, sxx, syy = (F.col(c) for c in ("sx", "sy", "sxy", "sxx", "syy"))
