@@ -95,6 +95,7 @@ def all_queries() -> dict[str, QueryFn]:
         udtf_corpus,
         advanced,
         scale,
+        training,
         analytics,
         stats_corpus,
         relational,

@@ -1,0 +1,242 @@
+"""Training-encode corpus: vocab tokenize-to-ids, broadcast linear-model
+scoring, and hierarchy resolution via pointer doubling (SURVEY.md §2
+extensions — the encode/score stages a training-data pipeline runs after
+filtering/dedup, plus the recursive-lineage shape the reference's linked
+polars surface has no distributed answer for).
+
+Scale shapes: the vocab and model weights are kilobyte frames broadcast
+to every executor (the corpus never shuffles to meet them); hierarchy
+resolution is O(log depth) self-joins, never a driver-side walk.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from polars_express_spark.catalog import load_table
+from polars_express_spark.queries.registry import query
+
+_VOCAB_V = 64  # top-V tokens kept; everything else encodes to UNK=0
+_ENC_MAXLEN = 32  # encode the first N token positions per document
+
+# DuckDB twin of the shared tokenizer: non-empty whitespace tokens with
+# their 0-based positions (Spark side: posexplode of the filtered split).
+_SQL_TOK_CTE = """
+    tok AS (
+      SELECT doc_id, CAST(u[2] AS BIGINT) - 1 AS pos, u[1] AS tok
+      FROM (SELECT doc_id,
+                   list_filter(string_split_regex(trim(text), '\\s+'),
+                               x -> x <> '') AS ts
+            FROM documents),
+           UNNEST(list_zip(ts, range(1, len(ts) + 1))) AS z(u)
+    )
+"""
+
+
+def _tokens_with_pos(d):
+    """(doc_id, pos, tok): non-empty whitespace tokens, 0-based pos."""
+    return d.select(
+        "doc_id",
+        F.posexplode(
+            F.filter(F.split(F.trim("text"), r"\s+"), lambda x: x != "")
+        ).alias("pos", "tok"),
+    )
+
+
+@query(
+    "q_tokenize_ids",
+    oracle=f"""
+    WITH {_SQL_TOK_CTE},
+    vc AS (
+      SELECT tok, count(*) AS cnt FROM tok
+      GROUP BY tok ORDER BY cnt DESC, tok ASC LIMIT {_VOCAB_V}
+    ),
+    vocab AS (
+      SELECT tok, row_number() OVER (ORDER BY cnt DESC, tok ASC) AS vid
+      FROM vc
+    ),
+    enc AS (
+      SELECT t.doc_id, t.pos, COALESCE(v.vid, 0) AS vid
+      FROM tok t LEFT JOIN vocab v USING (tok)
+      WHERE t.pos < {_ENC_MAXLEN}
+    )
+    SELECT doc_id,
+           list(vid ORDER BY pos) AS ids,
+           CAST(len(list(vid)) AS BIGINT) AS n_enc,
+           CAST(len(list_filter(list(vid), x -> x = 0)) AS BIGINT) AS n_oov
+    FROM enc GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q_tokenize_ids(spark, sf_dir):
+    """Tokenize-to-ids (§2.10 training encode): build a frequency vocab
+    (top-{V} token types, id = dense rank by count DESC then token ASC,
+    OOV → 0), then encode each document's first {N} token positions as
+    an id array — the map-style encode every training pipeline runs
+    before packing. The vocab is an aggregate-then-limit kilobyte frame
+    BROADCAST to the token stream (the corpus shuffles once for the
+    vocab count and once for the per-doc reassembly; the encode join
+    itself is map-side), which is the 100 TB shape: the vocabulary is
+    always tiny relative to the corpus. The row_number window runs on
+    the {V}-row limited frame, not the corpus — single-partition by
+    construction and intentionally so."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = _tokens_with_pos(d)
+    vc = (
+        tok.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("tok").asc())
+        .limit(_VOCAB_V)
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col("tok").asc())
+    vocab = vc.select("tok", F.row_number().over(w).cast("long").alias("vid"))
+    enc = (
+        tok.where(F.col("pos") < _ENC_MAXLEN)
+        .join(F.broadcast(vocab), "tok", "left")
+        .select("doc_id", "pos", F.coalesce("vid", F.lit(0)).alias("vid"))
+    )
+    return (
+        enc.groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "vid"))),
+                lambda s: s.vid,
+            ).alias("ids")
+        )
+        .select(
+            "doc_id",
+            "ids",
+            F.size("ids").cast("bigint").alias("n_enc"),
+            F.size(F.filter("ids", lambda x: x == 0)).cast("bigint").alias("n_oov"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# Linear quality model: every weight is an exact multiple of 1/64, so
+# per-document weight sums are EXACT in double arithmetic regardless of
+# partition/add order (binary fractions; magnitudes far below 2^53) —
+# no decimal detour needed for cross-engine hash stability.
+_MODEL_BIAS = -0.75
+_MODEL_W = [
+    ("the", -0.265625), ("a", -0.21875), ("value", 0.15625),
+    ("table", 0.203125), ("key", 0.171875), ("hash", 0.234375),
+    ("scan", 0.140625), ("merge", 0.1875), ("sort", 0.125),
+    ("window", 0.109375), ("slow", -0.328125), ("fast", 0.296875),
+    ("batch", 0.078125), ("spark", 0.3125), ("line", -0.046875),
+    ("row", 0.0625), ("agg", 0.09375), ("part", -0.03125),
+]
+
+
+@query(
+    "q_classifier_score",
+    oracle=f"""
+    WITH {_SQL_TOK_CTE},
+    w(tok, wt) AS (
+      VALUES {", ".join(f"('{t}', {v})" for t, v in _MODEL_W)}
+    ),
+    hits AS (
+      SELECT t.doc_id, w.wt FROM tok t JOIN w USING (tok)
+    ),
+    scored AS (
+      SELECT d.doc_id,
+             {_MODEL_BIAS} + COALESCE(SUM(h.wt), 0.0) AS score,
+             CAST(count(h.wt) AS BIGINT) AS n_hits
+      FROM documents d LEFT JOIN hits h USING (doc_id)
+      GROUP BY d.doc_id
+    )
+    SELECT doc_id, score, n_hits, score > 0.0 AS keep
+    FROM scored ORDER BY doc_id
+    """,
+)
+def q_classifier_score(spark, sf_dir):
+    """Broadcast linear-model document scoring (§2.10 quality family):
+    the fastText-style keep/drop classifier of a training pipeline, run
+    as pure relational algebra — explode tokens, broadcast-join the
+    kilobyte weight table, one partial→final sum per document, keep =
+    score > 0. At 100 TB the model rides the broadcast and the corpus
+    shuffles once on doc_id (the same shuffle the pipeline's next
+    per-doc stage needs anyway). Every weight is an exact multiple of
+    1/64, so the double sums are order-free exact and the decision
+    boundary is engine-independent — by construction, not by luck."""
+    d = load_table(spark, sf_dir, "documents")
+    spark_w = F.broadcast(
+        spark.createDataFrame(_MODEL_W, "tok string, wt double")
+    )
+    hits = _tokens_with_pos(d).join(spark_w, "tok").select("doc_id", "wt")
+    scored = (
+        d.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .groupBy("doc_id")
+        .agg(
+            (F.lit(_MODEL_BIAS) + F.coalesce(F.sum("wt"), F.lit(0.0))).alias(
+                "score"
+            ),
+            F.count("wt").cast("bigint").alias("n_hits"),
+        )
+    )
+    return scored.select(
+        "doc_id", "score", "n_hits", (F.col("score") > 0.0).alias("keep")
+    ).orderBy("doc_id")
+
+
+_HIER_ROUNDS = 5  # 2^5 = 32 doubling steps ≥ max chain length of any
+# int64 key under parent(k) = k div 10 (19 decimal digits), so
+# convergence is a THEOREM about the key domain, not a runtime hope —
+# no convergence probe action needed, unlike general graphs
+# (pipeline.connected_components raises instead, where diameter is
+# data-dependent).
+
+
+@query(
+    "q_hierarchy",
+    oracle="""
+    WITH RECURSIVE walk AS (
+      SELECT p_partkey, p_partkey AS cur, CAST(0 AS BIGINT) AS depth
+      FROM part
+      UNION ALL
+      SELECT p_partkey, cur // 10, depth + 1 FROM walk WHERE cur >= 10
+    )
+    SELECT p_partkey, cur AS root_key, depth
+    FROM walk WHERE cur < 10 ORDER BY p_partkey
+    """,
+)
+def q_hierarchy(spark, sf_dir):
+    """Hierarchy resolution / transitive closure (§2.3 recursive-lineage
+    shape — BOM explosion, org charts, reply chains): every part's root
+    ancestor and depth under the derived edge parent(k) = k div 10
+    (roots are keys < 10). The reference's linked polars surface has no
+    recursive operator; the Spark-first answer is POINTER DOUBLING —
+    each round joins the ancestor table to itself so every node's known
+    ancestor jumps twice as far, reaching any depth ≤ 2^r in r rounds
+    (5 rounds cover every int64 key). That is O(log depth) shuffle
+    joins total vs the O(depth) sequential scans of the naive walk the
+    recursive-CTE oracle runs — the difference between 5 and 10^6
+    rounds on a chain at corpus scale. localCheckpoint per round keeps
+    the plan flat (without it round r references 2^r scans)."""
+    part = load_table(spark, sf_dir, "part").select("p_partkey")
+    k = F.col("p_partkey")
+    # parent(k) = k div 10; roots (k < 10) point at themselves with d=0
+    f = part.select(
+        k.alias("node"),
+        F.when(k < 10, k).otherwise(F.expr("p_partkey div 10")).alias("anc"),
+        F.when(k < 10, F.lit(0)).otherwise(F.lit(1)).cast("long").alias("d"),
+    )
+    for _ in range(_HIER_ROUNDS):
+        g = f.select(
+            F.col("node").alias("g_node"),
+            F.col("anc").alias("g_anc"),
+            F.col("d").alias("g_d"),
+        )
+        # every anc is itself a node (k div 10 of a live key, or a root
+        # pointing at itself), so this is an inner equi-join
+        f = (
+            f.join(g, f["anc"] == g["g_node"])
+            .select("node", F.col("g_anc").alias("anc"), (F.col("d") + F.col("g_d")).alias("d"))
+            .localCheckpoint(eager=False)
+        )
+    return f.select(
+        F.col("node").alias("p_partkey"),
+        F.col("anc").alias("root_key"),
+        F.col("d").alias("depth"),
+    ).orderBy("p_partkey")
