@@ -868,3 +868,175 @@ def q_ann_ivfpq(spark, sf_dir):
         0.3,
         "n_exact_topk",
     )
+
+
+# ------------------------------------------------------------------ SemDeDup
+
+_SEM_PLANES = 4  # bucket bits; 2^4 semantic shards per label —
+# sharding is a recall/cost dial: more planes = smaller blocks but more
+# missed cross-shard dups; 4 keeps blocks non-trivial at driver SFs
+_SEM_TAU = 0.35  # keep threshold, calibrated to the near-random synthetic
+# embeddings (max label-blocked cosine ≈ 0.47 at sf0.01) so the dedup is
+# non-vacuous; a production corpus with planted dups would use ~0.9
+
+
+def _sem_weights(dim: int) -> list[tuple[int, int, int]]:
+    """Deterministic integer hyperplanes (plane, pos, wt), wt ∈ [-100,
+    100] — crc32-seeded so there is no RNG state, and INTEGER so the
+    bucket sign bits are exact integer math both engines (a float dot's
+    summation order could flip a near-zero sign between Spark and
+    DuckDB; an int64 dot cannot)."""
+    import zlib
+
+    return [
+        (p, i + 1, zlib.crc32(f"sem:{p},{i}".encode()) % 201 - 100)
+        for p in range(_SEM_PLANES)
+        for i in range(dim)
+    ]
+
+
+@query(
+    "q_semdedup",
+    oracle=None,  # replaced below — needs the runtime dim; see _register
+)
+def q_semdedup(spark, sf_dir):
+    """SemDeDup (§2.10 — semantic dedup by embedding shard, after
+    Abbas et al. 2023): bucket every vector into a semantic shard by
+    the sign pattern of {P} deterministic integer hyperplanes, then
+    within each (label, shard) block drop any vector that has a
+    smaller-id neighbor at cosine ≥ τ; survivors are the per-block
+    greedy-min-id representatives. The whole output (vec_id, bucket,
+    kept) is deterministic and the oracle replays EVERY step in SQL —
+    exact int-grid cosines (the q_embed_neardup argument: grid values
+    ≤ 1e6, dim-64 dots ≤ 6.4e13 < 2^53, so float64 einsum accumulation
+    never rounds), exact integer bucket signs — a full value hash, not
+    a bounded invariant.
+
+    Scale shape: bucketing is a zero-shuffle Arrow-batched matmul
+    (batch × dim @ dim × P); the quadratic step is confined to
+    (label, bucket) blocks — 2^P × n_labels shuffle keys — and the
+    pair join carries only narrow id rows. At 100 TB: raise P so
+    blocks stay bounded; the einsum verify touches only in-block
+    pairs."""
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = _embedding_dim(emb)
+    W = np.zeros((_SEM_PLANES, dim), dtype=np.float64)
+    for p, pos, wt in _sem_weights(dim):
+        W[p, pos - 1] = wt
+    pow2 = np.array([1 << b for b in range(_SEM_PLANES)], dtype=np.int64)
+
+    vec = emb.select(
+        "vec_id", "label", _ivec("embedding").alias("v")
+    ).withColumn("n2", _idot("v", "v").cast("double"))
+
+    def bucketize(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            E = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            bits = (E @ W.T) >= 0  # exact: |v·w| ≤ 64·1e8 < 2^53
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "label": pdf["label"],
+                    "bucket": bits.astype(np.int64) @ pow2,
+                }
+            )
+
+    buck = vec.select("vec_id", "label", "v").mapInPandas(
+        bucketize, schema="vec_id long, label int, bucket long"
+    )
+    a = buck.select(
+        F.col("vec_id").alias("a_id"), "label", "bucket"
+    )
+    b = buck.select(
+        F.col("vec_id").alias("b_id"), "label", "bucket"
+    )
+    pairs = (
+        a.join(b, ["label", "bucket"])
+        .where(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+    )
+    va = vec.select(
+        F.col("vec_id").alias("a_id"), F.col("v").alias("va"), F.col("n2").alias("na2")
+    )
+    vb = vec.select(
+        F.col("vec_id").alias("b_id"), F.col("v").alias("vb"), F.col("n2").alias("nb2")
+    )
+    joined = pairs.join(va, "a_id").join(vb, "b_id")
+
+    def batch_cos(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            A = np.stack(pdf["va"].to_numpy()).astype(np.float64)
+            B = np.stack(pdf["vb"].to_numpy()).astype(np.float64)
+            dot = np.einsum("ij,ij->i", A, B)
+            cos = dot / (np.sqrt(pdf["na2"].to_numpy()) * np.sqrt(pdf["nb2"].to_numpy()))
+            yield pd.DataFrame({"b_id": pdf["b_id"], "cosine": cos})
+
+    dropped = (
+        joined.mapInPandas(batch_cos, schema="b_id long, cosine double")
+        .where(F.col("cosine") >= _SEM_TAU)
+        .select(F.col("b_id").alias("vec_id"))
+        .distinct()
+        .withColumn("__drop", F.lit(1))
+    )
+    return (
+        buck.join(dropped, "vec_id", "left")
+        .select(
+            "vec_id",
+            "bucket",
+            F.col("__drop").isNull().alias("kept"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def _register_semdedup_oracle() -> None:
+    """The oracle needs the embedding dim for the plane literals; 64 in
+    every driver dataset (TESTDATA.md). Registered post-hoc so the
+    VALUES table comes from the same _sem_weights the query uses."""
+    w_vals = ", ".join(f"({p}, {pos}, {wt})" for p, pos, wt in _sem_weights(64))
+    ORACLES["q_semdedup"] = f"""
+    WITH ex AS (
+      SELECT vec_id, label, gs.pos AS pos,
+             CAST(floor(CAST(embedding[gs.pos] AS DOUBLE) * {GRID}) AS BIGINT) AS v
+      FROM embeddings, unnest(generate_series(1, len(embedding))) gs(pos)
+    ),
+    w(p, pos, wt) AS (VALUES {w_vals}),
+    dots AS (
+      SELECT ex.vec_id, w.p, SUM(ex.v * w.wt) AS d
+      FROM ex JOIN w USING (pos) GROUP BY 1, 2
+    ),
+    buck AS (
+      SELECT vec_id, SUM(CASE WHEN d >= 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS bucket
+      FROM dots GROUP BY vec_id
+    ),
+    norms AS (SELECT vec_id, CAST(SUM(v*v) AS DOUBLE) AS n2 FROM ex GROUP BY vec_id),
+    pairdots AS (
+      SELECT a.vec_id AS a_id, b.vec_id AS b_id, CAST(SUM(a.v * b.v) AS DOUBLE) AS dot
+      FROM ex a JOIN ex b ON a.pos = b.pos AND a.label = b.label AND a.vec_id < b.vec_id
+      JOIN buck ba ON ba.vec_id = a.vec_id
+      JOIN buck bb ON bb.vec_id = b.vec_id AND ba.bucket = bb.bucket
+      GROUP BY 1, 2
+    ),
+    dropped AS (
+      SELECT DISTINCT pd.b_id AS vec_id
+      FROM pairdots pd
+      JOIN norms na ON na.vec_id = pd.a_id
+      JOIN norms nb ON nb.vec_id = pd.b_id
+      WHERE pd.dot / (sqrt(na.n2) * sqrt(nb.n2)) >= {_SEM_TAU}
+    )
+    SELECT e.vec_id, b.bucket, d.vec_id IS NULL AS kept
+    FROM (SELECT DISTINCT vec_id FROM ex) e
+    JOIN buck b USING (vec_id)
+    LEFT JOIN dropped d USING (vec_id)
+    ORDER BY e.vec_id
+    """
+
+
+_register_semdedup_oracle()
