@@ -240,3 +240,82 @@ def q_hierarchy(spark, sf_dir):
         F.col("anc").alias("root_key"),
         F.col("d").alias("depth"),
     ).orderBy("p_partkey")
+
+
+# Deterministic multilingual suffixes (the synthetic corpus is ASCII, so
+# NFC work is injected): decomposed e+combining-acute, i+combining-
+# diaeresis, the ANGSTROM SIGN (U+212B, which NFC maps to U+00C5), and a
+# plain-ASCII control. The SAME Python literals are embedded in the
+# oracle SQL string, so both engines normalize identical inputs.
+_NFC_CASES = ["café", "naïve", "Ångström", "plain"]
+
+
+@query(
+    "q_unicode_norm",
+    oracle=f"""
+    WITH raw AS (
+      SELECT doc_id,
+             substring(text, 1, 16) || ' ' ||
+             CASE CAST(doc_id % 4 AS INT)
+               WHEN 0 THEN '{_NFC_CASES[0]}' WHEN 1 THEN '{_NFC_CASES[1]}'
+               WHEN 2 THEN '{_NFC_CASES[2]}' ELSE '{_NFC_CASES[3]}'
+             END AS s
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(length(s) AS BIGINT) AS raw_len,
+           CAST(length(nfc_normalize(s)) AS BIGINT) AS norm_len,
+           nfc_normalize(s) <> s AS changed,
+           nfc_normalize(s) AS normalized
+    FROM raw ORDER BY doc_id
+    """,
+)
+def q_unicode_norm(spark, sf_dir):
+    """Unicode NFC normalization (§2.10 text-cleaning family): the
+    canonicalization every multilingual training pipeline runs before
+    dedup/fingerprinting (decomposed accents and compatibility
+    codepoints otherwise defeat exact-hash dedup). Spark has no builtin
+    normalizer, so this is the sanctioned Python escape hatch — an
+    Arrow-batched mapInPandas over stdlib `unicodedata` (zero external
+    deps, zero shuffle: a pure map stage that pipelines into whatever
+    follows). The oracle replays it with DuckDB's native nfc_normalize,
+    making the Python path value-hash-checked against an independent
+    implementation of UAX #15 — a stronger check than a golden file."""
+    import unicodedata
+
+    import pandas as pd
+
+    d = load_table(spark, sf_dir, "documents")
+    case = F.col("doc_id") % 4
+    raw = d.select(
+        "doc_id",
+        F.concat(
+            F.substring("text", 1, 16),
+            F.lit(" "),
+            F.when(case == 0, F.lit(_NFC_CASES[0]))
+            .when(case == 1, F.lit(_NFC_CASES[1]))
+            .when(case == 2, F.lit(_NFC_CASES[2]))
+            .otherwise(F.lit(_NFC_CASES[3])),
+        ).alias("s"),
+    )
+
+    def normalize(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            norm = pdf["s"].map(lambda x: unicodedata.normalize("NFC", x))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "raw_len": pdf["s"].str.len().astype("int64"),
+                    "norm_len": norm.str.len().astype("int64"),
+                    "changed": norm != pdf["s"],
+                    "normalized": norm,
+                }
+            )
+
+    return raw.mapInPandas(
+        normalize,
+        schema="doc_id long, raw_len long, norm_len long, changed boolean,"
+        " normalized string",
+    ).orderBy("doc_id")
