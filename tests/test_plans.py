@@ -243,3 +243,50 @@ def test_zipf_topk_fuses_before_rank_window(spark):
     the global rank window only ever sees the bounded 200-row frame."""
     p = plan_of("q_zipf_fit", spark)
     assert "TakeOrderedAndProject" in p
+
+
+def test_tokenize_vocab_broadcasts(spark):
+    """The top-V vocab must ride a broadcast onto the token stream — the
+    corpus must never shuffle on token strings for the encode join — and
+    the vocab count must combine map-side."""
+    p = plan_of("q_tokenize_ids", spark)
+    assert "BroadcastHashJoin" in p
+    assert p.count("HashAggregate") >= 2
+
+
+def test_classifier_weights_broadcast(spark):
+    """The kilobyte weight table must broadcast; the per-doc score is one
+    partial+final aggregate."""
+    p = plan_of("q_classifier_score", spark)
+    assert "BroadcastHashJoin" in p
+    assert p.count("HashAggregate") >= 2
+    assert "CartesianProduct" not in p
+
+
+def test_hierarchy_plan_stays_flat(spark):
+    """Pointer doubling with per-round localCheckpoint: the final plan
+    must NOT contain the 2^rounds-deep self-join tree — at most one join
+    is visible (the last round's), everything earlier truncated."""
+    p = plan_of("q_hierarchy", spark)
+    tree = p.split("\n\n")[0]
+    assert tree.count("Scan ExistingRDD") + tree.count("LocalTableScan") + tree.count("Scan parquet") <= 3
+    assert "CartesianProduct" not in p
+
+
+def test_semdedup_block_join_only(spark):
+    """The quadratic step must be an equi-join on (label, bucket) —
+    never a cartesian; both einsum stages are Arrow-batched
+    (ArrowEvalPython/MapInPandas), not row-at-a-time."""
+    p = plan_of("q_semdedup", spark)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "MapInPandas" in p
+
+
+def test_unicode_norm_single_map_stage(spark):
+    """NFC normalization is one zero-shuffle Arrow map over the scan —
+    the only exchange allowed is the presentation sort."""
+    p = plan_of("q_unicode_norm", spark)
+    tree = p.split("\n\n")[0]
+    assert "MapInPandas" in p
+    assert tree.count("+- Exchange") <= 1
