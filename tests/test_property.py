@@ -76,9 +76,12 @@ event_strategy = st.lists(
 # right side: unique (user, ts) — the operator resolves equal-ts right
 # rows arbitrarily (last() with no further tiebreak), so a reference
 # comparison needs collision-free keys
+# values may be NULL: a matched right row with a NULL value must yield
+# NULL (the struct-match carry, r5 fix) — randomized here across all
+# three directions, not just the fixed regression scenarios below
 right_strategy = st.dictionaries(
     keys=st.tuples(st.integers(1, 3), st.integers(0, 20)),
-    values=st.integers(0, 9),
+    values=st.one_of(st.none(), st.integers(0, 9)),
     max_size=12,
 ).map(lambda d: [(u, ts, v) for (u, ts), v in d.items()])
 
@@ -104,7 +107,8 @@ def test_asof_backward_matches_python_reference(spark, lefts, rights):
         (i, u, t0 + dt.timedelta(seconds=ts)) for i, (u, ts, _) in enumerate(lefts)
     ]
     rrows = [
-        (u, t0 + dt.timedelta(seconds=ts), float(v)) for (u, ts, v) in rights
+        (u, t0 + dt.timedelta(seconds=ts), None if v is None else float(v))
+        for (u, ts, v) in rights
     ]
     left = spark.createDataFrame(
         lrows or [(None, None, None)], "event_id long, user_id long, ts timestamp"
@@ -182,7 +186,8 @@ def test_asof_forward_matches_python_reference(spark, lefts, rights):
 
     t0 = dt.datetime(2024, 1, 1)
     lrows = [(i, u, t0 + dt.timedelta(seconds=ts)) for i, (u, ts, _) in enumerate(lefts)]
-    rrows = [(u, t0 + dt.timedelta(seconds=ts), float(v)) for (u, ts, v) in rights]
+    rrows = [(u, t0 + dt.timedelta(seconds=ts), None if v is None else float(v))
+        for (u, ts, v) in rights]
     left = spark.createDataFrame(
         lrows or [(None, None, None)], "event_id long, user_id long, ts timestamp"
     ).where("event_id IS NOT NULL")
@@ -204,7 +209,8 @@ def test_asof_nearest_matches_python_reference(spark, lefts, rights):
 
     t0 = dt.datetime(2024, 1, 1)
     lrows = [(i, u, t0 + dt.timedelta(seconds=ts)) for i, (u, ts, _) in enumerate(lefts)]
-    rrows = [(u, t0 + dt.timedelta(seconds=ts), float(v)) for (u, ts, v) in rights]
+    rrows = [(u, t0 + dt.timedelta(seconds=ts), None if v is None else float(v))
+        for (u, ts, v) in rights]
     left = spark.createDataFrame(
         lrows or [(None, None, None)], "event_id long, user_id long, ts timestamp"
     ).where("event_id IS NOT NULL")
