@@ -58,8 +58,19 @@ _MASK = (1 << _W) - 1
 def scaled4(expr: Column) -> Column:
     """The exact scaled-long form of a non-negative 4-dp-exact value —
     project this ONCE per moment before aggregating so the three word
-    sums share it instead of re-deriving it per word."""
-    return F.round(expr * F.lit(10000.0), 0).cast("bigint")
+    sums share it instead of re-deriving it per word.
+
+    floor(x + 0.5), not ROUND: Spark's ROUND(double) routes through a
+    BigDecimal allocation per value (measured 6× slower than the whole
+    rest of a 14-moment aggregate); floor stays in primitive codegen
+    math. Equal by the same margin argument as the contract above: the
+    double error of the scaled product is a few ulps (≪ 0.5), so
+    x + 0.5 lands strictly inside (N+0.45, N+0.55) and floor recovers
+    the exact integer N — any value close enough to the .5 boundary to
+    diverge would break ROUND too. Non-negative inputs only (floor of
+    x+0.5 is round-half-UP, which differs from half-away-from-zero on
+    negatives); the DuckDB twin keeps ROUND, equal for the same reason."""
+    return F.floor(expr * F.lit(10000.0) + F.lit(0.5)).cast("bigint")
 
 
 def split4_aggs(expr: Column, name: str, scaled: bool = False) -> list[Column]:
