@@ -5,11 +5,12 @@ document count).
 
 Definition (lower weighted quantile): for rows (v, w) in a group, the
 q-quantile is the smallest v whose cumulative weight — over rows
-ordered by (v, tiebreak) — reaches q · Σw. With decimal-exact weight
-sums the crossing point is exact, so the result is an ACTUAL DATA VALUE
-(no interpolation) and replays identically in SQL.
+ordered by (v, tiebreak) — reaches q · Σw. Weights ride the exact
+4-dp scaled-long accumulator, so the crossing point is exact, the
+result is an ACTUAL DATA VALUE (no interpolation), and it replays
+identically in SQL.
 
-Shape: one sort-window per group (cumulative decimal sum) + one
+Shape: one sort-window per group (cumulative long sum) + one
 min-aggregate over the crossing rows — the same single-shuffle cost as
 any per-group window; no driver state, no second pass.
 """
@@ -19,7 +20,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-DEC = "decimal(38,12)"
+# weights ride the 4-dp scaled-long contract (_util.scaled4): exact for
+# non-negative ≤4-dp weights, and the cumulative sums are primitive long
+# window adds — the decimal(38,12) cumsum this replaced paid a
+# BigDecimal allocation per row (measured ~3× the whole query)
+WEIGHT_SCALE = 10_000
 
 
 def weighted_quantile(
@@ -34,9 +39,9 @@ def weighted_quantile(
     """(group, wq_value, total_weight) — lower weighted q-quantile per
     group, q = q_num/q_den. Rows with null value or non-positive weight
     are ignored (they carry no mass). The crossing test is
-    cum · q_den ≥ tot · q_num — decimal×small-integer products, exact
-    and scale-stable on every engine (a decimal×decimal 0.5·tot would
-    hit engine-specific precision/scale rules). `tiebreak` makes the
+    cum · q_den ≥ tot · q_num — long×small-integer products, exact on
+    every engine (a decimal×decimal 0.5·tot would hit engine-specific
+    precision/scale rules; a double cumsum is partition-order noise). `tiebreak` makes the
     cum-sum order total when equal values repeat; the result is
     tiebreak-independent anyway (equal values cross together)."""
     d = df.where(
@@ -51,16 +56,24 @@ def weighted_quantile(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     w_tot = Window.partitionBy(group)
+    from polars_express_spark.queries._util import scaled4
+
     dd = d.select(
         group,
         value,
-        F.sum(F.col(weight).cast(DEC)).over(w_cum).alias("__cum"),
-        F.sum(F.col(weight).cast(DEC)).over(w_tot).alias("__tot"),
+        scaled4(F.col(weight)).alias("__w"),
+    ).select(
+        group,
+        value,
+        F.sum("__w").over(w_cum).alias("__cum"),
+        F.sum("__w").over(w_tot).alias("__tot"),
     )
     crossed = dd.where(
         F.col("__cum") * F.lit(int(q_den)) >= F.col("__tot") * F.lit(int(q_num))
     )
     return crossed.groupBy(group).agg(
         F.min(value).alias("wq_value"),
-        F.max(F.col("__tot").cast("double")).alias("total_weight"),
+        (F.max("__tot").cast("double") / F.lit(float(WEIGHT_SCALE))).alias(
+            "total_weight"
+        ),
     )

@@ -656,15 +656,15 @@ def q_radius_join(spark, sf_dir):
     ),
     c AS (
       SELECT l_returnflag, v,
-             SUM(CAST(w AS DECIMAL(38,12))) OVER (
+             SUM(CAST(floor(w * 10000.0 + 0.5) AS BIGINT)) OVER (
                PARTITION BY l_returnflag ORDER BY v
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
-             SUM(CAST(w AS DECIMAL(38,12))) OVER (
+             SUM(CAST(floor(w * 10000.0 + 0.5) AS BIGINT)) OVER (
                PARTITION BY l_returnflag) AS tot
       FROM d
     )
     SELECT l_returnflag, min(v) AS wq_value,
-           CAST(max(tot) AS DOUBLE) AS total_weight
+           CAST(max(tot) AS DOUBLE) / 10000.0 AS total_weight
     FROM c WHERE cum * 2 >= tot * 1
     GROUP BY l_returnflag ORDER BY l_returnflag
     """,
