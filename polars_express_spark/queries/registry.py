@@ -44,20 +44,17 @@ def query(name: str, oracle: str | None = None):
 # 1. the 31 queries whose latest driver check is r3/r4 (aggregates /
 #    windows / time_windows / setops / extras / multimodal / udtf) —
 #    refreshed under round 5's rewired memo/shingle infrastructure;
-# 2. 16 of the ~28 queries NEW in round 6 (advanced + scale corpora,
-#    graph census) — first-ever driver check; the round-6 additions
-#    landed after the window filled (merge-on-read, interval overlap,
-#    snapshot diff, profile, group sample, funnel/retention, text
-#    search, fk audit, bpe pairs, lang centroid, bigram LM, ann pq /
-#    ivfpq) queue immediately after it and rotate to the front in r7 —
-#    every one of them is oracle-verified by the pytest mirror at
-#    sf0.001 AND sf0.01 this round;
-# 3. of the queries whose implementation CHANGED in round 6, the three
-#    as-of directions (the NULL-key fix touched match logic); the four
-#    smaller round-6 edits (q_repetition rewrite, NULL-safe sampler
-#    invariants, derived heavy-hitter support) fall just outside the
-#    ~50-entry window this round — all were r5-green, all are covered
-#    by the pytest oracle mirror, and they rotate to the front in r7.
+# 2. queries whose implementation CHANGED in round 6: the three as-of
+#    directions (NULL-key match fix) and the five split-long
+#    accumulator rewires outside tier 1;
+# 3. 11 of the queries NEW in round 6 — first-ever driver check; the
+#    additions that no longer fit the window (histogram, rare tokens,
+#    train split, weighted sample, gapfill, merge-on-read, interval
+#    overlap, snapshot diff, profile, group sample, funnel/retention,
+#    text search, fk audit, bpe pairs, lang centroid, bigram LM,
+#    ann pq/ivfpq, the training-encode batch, semdedup, unicode norm)
+#    queue after it and rotate to the front in r7 — every one is
+#    oracle-verified by the pytest mirror at sf0.001 AND sf0.01.
 # Everything after the round-6 additions follows registration order
 # (relational first) — all of it r5-green and unchanged this round.
 _PRIORITY = [
@@ -72,14 +69,23 @@ _PRIORITY = [
     "q18b_window_family", "q22b_cube", "q_pivot", "q_unpivot",
     "q_from_json", "q_map_fns", "q_percentile_approx",
     "q_multimodal_meta", "q_multimodal_frames", "q_udtf_links",
-    # tier 2 — new in round 6
-    "q_range_join", "q_tfidf", "q_chunk_overlap", "q_pack_bins",
-    "q_scd2_merge", "q_embed_pca", "q_histogram", "q_rare_tokens",
-    "q_train_split", "q_weighted_sample", "q_pagerank",
-    "q_bloom_prune", "q_cms_tokens", "q_gapfill", "q_zorder",
-    "q_triangles",
-    # tier 3 — implementation changed in round 6 (as-of match logic)
+    # tier 2 — implementation changed in round 6: the as-of NULL-key
+    # match fix, and the late-r6 split-long accumulator rewires (the
+    # other moment queries it touched — q04/q08/q10/q11 — are already
+    # tier 1)
     "q_asof_join", "q_asof_forward", "q_asof_nearest",
+    "q04b_grouped_regression", "q10c_higher_moments", "q_corr_matrix",
+    "q_multireg", "q_weighted_median",
+    # tier 3 — new in round 6, first-ever driver check; the five that
+    # no longer fit the ~50 window (q_histogram, q_rare_tokens,
+    # q_train_split, q_weighted_sample, q_gapfill) plus the very late
+    # additions (training-encode batch, semdedup, unicode-norm) rotate
+    # to the front in r7 — all are oracle-verified by the pytest
+    # mirror at sf0.001/sf0.01 this round
+    "q_range_join", "q_tfidf", "q_chunk_overlap", "q_pack_bins",
+    "q_scd2_merge", "q_embed_pca", "q_pagerank",
+    "q_bloom_prune", "q_cms_tokens", "q_zorder",
+    "q_triangles",
 ]
 
 
