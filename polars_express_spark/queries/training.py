@@ -188,6 +188,46 @@ _HIER_ROUNDS = 5  # 2^5 = 32 doubling steps ≥ max chain length of any
 # data-dependent).
 
 
+def resolve_roots(nodes, key: str):
+    """(key, root_key, depth) for every node under the derived edge
+    parent(k) = k div 10, roots = keys < 10 — by POINTER DOUBLING: each
+    round joins the ancestor table to itself so every node's known
+    ancestor jumps twice as far, reaching any depth ≤ 2^r in r rounds
+    (5 rounds cover every int64 key). O(log depth) shuffle joins total
+    vs the O(depth) sequential scans of a naive walk — the difference
+    between 5 and 10^6 rounds on a chain at corpus scale.
+    localCheckpoint per round keeps the plan flat (without it round r
+    references 2^r scans).
+
+    CONTRACT: the key set must be closed under parent() (k div 10 of a
+    live key is live, as contiguous 1..N id ranges are) — the doubling
+    join is inner, so a missing ancestor would DROP its subtree rather
+    than resolve it."""
+    k = F.col(key)
+    # parent(k) = k div 10; roots (k < 10) point at themselves with d=0
+    f = nodes.select(
+        k.alias("node"),
+        F.when(k < 10, k).otherwise(F.expr(f"{key} div 10")).alias("anc"),
+        F.when(k < 10, F.lit(0)).otherwise(F.lit(1)).cast("long").alias("d"),
+    )
+    for _ in range(_HIER_ROUNDS):
+        g = f.select(
+            F.col("node").alias("g_node"),
+            F.col("anc").alias("g_anc"),
+            F.col("d").alias("g_d"),
+        )
+        f = (
+            f.join(g, f["anc"] == g["g_node"])
+            .select("node", F.col("g_anc").alias("anc"), (F.col("d") + F.col("g_d")).alias("d"))
+            .localCheckpoint(eager=False)
+        )
+    return f.select(
+        F.col("node").alias(key),
+        F.col("anc").alias("root_key"),
+        F.col("d").alias("depth"),
+    )
+
+
 @query(
     "q_hierarchy",
     oracle="""
@@ -206,40 +246,11 @@ def q_hierarchy(spark, sf_dir):
     shape — BOM explosion, org charts, reply chains): every part's root
     ancestor and depth under the derived edge parent(k) = k div 10
     (roots are keys < 10). The reference's linked polars surface has no
-    recursive operator; the Spark-first answer is POINTER DOUBLING —
-    each round joins the ancestor table to itself so every node's known
-    ancestor jumps twice as far, reaching any depth ≤ 2^r in r rounds
-    (5 rounds cover every int64 key). That is O(log depth) shuffle
-    joins total vs the O(depth) sequential scans of the naive walk the
-    recursive-CTE oracle runs — the difference between 5 and 10^6
-    rounds on a chain at corpus scale. localCheckpoint per round keeps
-    the plan flat (without it round r references 2^r scans)."""
+    recursive operator; resolve_roots above is the Spark-first answer
+    (pointer doubling, O(log depth) rounds) and the recursive-CTE
+    oracle is the O(depth) naive walk it beats."""
     part = load_table(spark, sf_dir, "part").select("p_partkey")
-    k = F.col("p_partkey")
-    # parent(k) = k div 10; roots (k < 10) point at themselves with d=0
-    f = part.select(
-        k.alias("node"),
-        F.when(k < 10, k).otherwise(F.expr("p_partkey div 10")).alias("anc"),
-        F.when(k < 10, F.lit(0)).otherwise(F.lit(1)).cast("long").alias("d"),
-    )
-    for _ in range(_HIER_ROUNDS):
-        g = f.select(
-            F.col("node").alias("g_node"),
-            F.col("anc").alias("g_anc"),
-            F.col("d").alias("g_d"),
-        )
-        # every anc is itself a node (k div 10 of a live key, or a root
-        # pointing at itself), so this is an inner equi-join
-        f = (
-            f.join(g, f["anc"] == g["g_node"])
-            .select("node", F.col("g_anc").alias("anc"), (F.col("d") + F.col("g_d")).alias("d"))
-            .localCheckpoint(eager=False)
-        )
-    return f.select(
-        F.col("node").alias("p_partkey"),
-        F.col("anc").alias("root_key"),
-        F.col("d").alias("depth"),
-    ).orderBy("p_partkey")
+    return resolve_roots(part, "p_partkey").orderBy("p_partkey")
 
 
 # Deterministic multilingual suffixes (the synthetic corpus is ASCII, so

@@ -1,0 +1,105 @@
+"""Training-encode corpus (queries/training.py): pure-Python reference
+properties beyond the DuckDB oracle mirror — randomized inputs the
+fixed parquet tables can't produce (gappy-but-closed key sets, skewed
+vocab ties, docs with zero model hits).
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+def _digit_root_depth(k: int) -> tuple[int, int]:
+    s = str(k)
+    return int(s[0]), len(s) - 1
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.sets(st.integers(min_value=1, max_value=10**7), min_size=1, max_size=40))
+def test_resolve_roots_matches_digit_formula(spark, keys):
+    """Under parent(k) = k div 10 the root is k's leading digit and the
+    depth is len(digits) - 1 — checked on random key sets CLOSED under
+    parent() (the operator's contract), which contiguous ranges satisfy
+    but these gappy sets only do after explicit closure."""
+    from polars_express_spark.queries.training import resolve_roots
+
+    closed = set()
+    for k in keys:
+        while k not in closed:
+            closed.add(k)
+            if k >= 10:
+                k //= 10
+    df = spark.createDataFrame([(k,) for k in sorted(closed)], "k long")
+    got = {r["k"]: (r["root_key"], r["depth"]) for r in resolve_roots(df, "k").collect()}
+    assert got == {k: _digit_root_depth(k) for k in closed}
+
+
+_word = st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh"])
+_doc = st.lists(_word, min_size=0, max_size=10).map(" ".join)
+
+
+def _py_vocab_encode(texts: list[str], v: int, maxlen: int):
+    from collections import Counter
+
+    toks = [t.split() for t in texts]
+    counts = Counter(tok for ts in toks for tok in ts)
+    ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:v]
+    vid = {tok: i + 1 for i, (tok, _) in enumerate(ranked)}
+    out = {}
+    for i, ts in enumerate(toks):
+        if not ts:  # no tokens → no row (both engines drop it)
+            continue
+        ids = [vid.get(t, 0) for t in ts[:maxlen]]
+        out[i] = (ids, len(ids), sum(1 for x in ids if x == 0))
+    return out
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(_doc, min_size=1, max_size=12))
+def test_tokenize_ids_python_reference(spark, texts):
+    """Vocab build (count-desc, token-asc ties) + positional encode vs a
+    pure-Python reference, with the vocab cut forced to split ties."""
+    import polars_express_spark.queries.training as tr
+
+    d = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    orig_load, orig_v = tr.load_table, tr._VOCAB_V
+    tr.load_table, tr._VOCAB_V = (lambda spark, sf_dir, name: d), 3
+    try:
+        got = {
+            r["doc_id"]: (list(r["ids"]), r["n_enc"], r["n_oov"])
+            for r in tr.q_tokenize_ids(spark, "ignored").collect()
+        }
+    finally:
+        tr.load_table, tr._VOCAB_V = orig_load, orig_v
+    assert got == _py_vocab_encode(texts, 3, tr._ENC_MAXLEN)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(st.lists(st.sampled_from(
+    ["the", "spark", "slow", "fast", "zzz", "hash"]), min_size=1, max_size=8
+).map(" ".join), min_size=1, max_size=10))
+def test_classifier_score_python_reference(spark, texts):
+    """Per-doc linear scores vs a pure-Python sum — exact equality, not
+    approx: the 1/64-multiple weights make double sums order-free."""
+    import polars_express_spark.queries.training as tr
+
+    d = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    orig_load = tr.load_table
+    tr.load_table = lambda spark, sf_dir, name: d
+    try:
+        got = {
+            r["doc_id"]: (r["score"], r["n_hits"], r["keep"])
+            for r in tr.q_classifier_score(spark, "ignored").collect()
+        }
+    finally:
+        tr.load_table = orig_load
+    w = dict(tr._MODEL_W)
+    for i, t in enumerate(texts):
+        hits = [w[tok] for tok in t.split() if tok in w]
+        score = tr._MODEL_BIAS + sum(hits)
+        assert got[i] == (score, len(hits), score > 0.0), (i, t)
