@@ -526,8 +526,15 @@ def q_incr_agg(spark, sf_dir):
     rule — one batch-sized aggregate + one key-partitioned merge, no
     base recompute. Counts and decimal-exact sums are associative, so
     the maintained state equals the full recompute EXACTLY — which is
-    the oracle: a plain recompute over all of lineitem."""
+    the oracle: a plain recompute over all of lineitem.
+
+    The sums stay DECIMAL through the merge and cast to double ONCE at
+    the end: casting each half first and adding doubles diverges from
+    the recompute in the last ulp (double(S1)+double(S2) ≠
+    double(S1+S2)) — invisible at sf0.01, caught by the sf0.1 oracle
+    sweep."""
     from polars_express_spark.operators.incremental import merge_agg_states
+    from polars_express_spark.queries._util import DEC_SUM
 
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_quantity", "l_extendedprice", "l_shipdate"
@@ -537,14 +544,20 @@ def q_incr_agg(spark, sf_dir):
     def agg(df):
         return df.groupBy("l_returnflag").agg(
             F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-            dsum("l_quantity", "sum_qty"),
-            dsum("l_extendedprice", "sum_price"),
+            F.sum(F.col("l_quantity").cast(DEC_SUM)).alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast(DEC_SUM)).alias("sum_price"),
         )
 
     state = agg(li.where(F.col("l_shipdate") < cutoff))
     delta = agg(li.where(F.col("l_shipdate") >= cutoff))
-    return merge_agg_states(
+    merged = merge_agg_states(
         state, delta, keys=["l_returnflag"], agg_cols=["n_rows", "sum_qty", "sum_price"]
+    )
+    return merged.select(
+        "l_returnflag",
+        "n_rows",
+        F.col("sum_qty").cast("double").alias("sum_qty"),
+        F.col("sum_price").cast("double").alias("sum_price"),
     ).orderBy("l_returnflag")
 
 

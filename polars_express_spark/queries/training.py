@@ -330,3 +330,146 @@ def q_unicode_norm(spark, sf_dir):
         schema="doc_id long, raw_len long, norm_len long, changed boolean,"
         " normalized string",
     ).orderBy("doc_id")
+
+
+_BPE_ROUNDS = 3
+
+
+def _bpe_oracle() -> str:
+    """Unrolled k-round replay: per round, pair counts → (count DESC,
+    pair ASC) argmax → a linear recursive-CTE walk applying the merge
+    greedy-left-to-right per word (the same lookbehind fold the Spark
+    side runs; see q_bpe_train for why lookbehind ≡ one-pass greedy)."""
+    parts = ["""
+    WITH RECURSIVE words AS (
+      SELECT t.tok AS word, CAST(count(*) AS BIGINT) AS cnt
+      FROM documents, unnest(string_split_regex(trim(text), '\\s+')) t(tok)
+      WHERE t.tok <> '' GROUP BY t.tok
+    ),
+    w0 AS (SELECT word, cnt, string_split(word, '') AS arr FROM words)"""]
+    for r in range(1, _BPE_ROUNDS + 1):
+        parts.append(f""",
+    p{r} AS (
+      SELECT arr[i] AS a, arr[i+1] AS b, SUM(cnt) AS pc
+      FROM w{r-1}, UNNEST(range(1, len(arr))) AS t(i)
+      GROUP BY 1, 2
+    ),
+    m{r} AS (SELECT a, b, pc FROM p{r} ORDER BY pc DESC, a, b LIMIT 1),
+    app{r} AS (
+      SELECT word, cnt, arr, 1 AS pos, CAST([] AS VARCHAR[]) AS out FROM w{r-1}
+      UNION ALL
+      SELECT app{r}.word, app{r}.cnt, app{r}.arr, pos + 1,
+             CASE WHEN len(out) > 0 AND out[-1] = m{r}.a AND arr[pos] = m{r}.b
+                  THEN list_append(out[1:len(out)-1], m{r}.a || m{r}.b)
+                  ELSE list_append(out, arr[pos]) END
+      FROM app{r}, m{r} WHERE pos <= len(arr)
+    ),
+    w{r} AS (SELECT word, cnt, out AS arr FROM app{r} WHERE pos = len(arr) + 1),
+    s{r} AS (
+      SELECT CAST(count(DISTINCT t.s) AS BIGINT) AS n_syms
+      FROM w{r}, unnest(arr) t(s)
+    )""")
+    rows = " UNION ALL ".join(
+        f"SELECT {r} AS round, a, b, CAST(pc AS BIGINT) AS pair_count,"
+        f" (SELECT n_syms FROM s{r}) AS vocab_symbols_after FROM m{r}"
+        for r in range(1, _BPE_ROUNDS + 1)
+    )
+    return "".join(parts) + f" {rows} ORDER BY round"
+
+
+@query("q_bpe_train", oracle=_bpe_oracle())
+def q_bpe_train(spark, sf_dir):
+    """BPE tokenizer TRAINING, k={k} real merge rounds (§2.10 — the
+    iterative argmax loop behind every production tokenizer, extending
+    q_bpe_pairs' single pair-count step): each round counts adjacent
+    symbol pairs weighted by word frequency (one partial→final hash
+    aggregate), picks the (count DESC, pair ASC) argmax — a 1-row
+    driver collect, same kilobyte boundary class as the IVF centroid
+    pulls — and applies the merge to every word with a JVM aggregate()
+    fold. The fold is LOOKBEHIND (merge x into out's tail when
+    (tail, x) = (a, b)), which equals one-pass greedy left-to-right
+    merging because a merged symbol a||b is strictly longer than a and
+    so can never itself match the pair's left side in the same pass.
+
+    Scale shape: the words frame is the token VOCABULARY (millions of
+    rows at 100 TB, never the corpus); pair counting and the merge map
+    are distributed; only k argmax rows and k scalar counts ever reach
+    the driver. The emitted merge table (round, pair, count, symbol
+    inventory after) is exactly what BPE training persists, and the
+    oracle replays every round including the greedy application."""
+    d = load_table(spark, sf_dir, "documents")
+    words = (
+        _tokens_with_pos(d)
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .select(F.split("tok", "").alias("arr"), "cnt")
+        .localCheckpoint(eager=False)  # rounds re-read it; keep plans flat
+    )
+    out_rows = []
+    merged_frames = []
+    cur = words
+    for rnd in range(1, _BPE_ROUNDS + 1):
+        n = F.size("arr")
+        pairs = (
+            cur.where(n >= 2)
+            .select(
+                F.explode(
+                    F.arrays_zip(
+                        F.slice("arr", 1, n - 1).alias("a"),
+                        F.slice("arr", 2, n - 1).alias("b"),
+                    )
+                ).alias("p"),
+                "cnt",
+            )
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("cnt").alias("pc"))
+        )
+        top = pairs.orderBy(F.col("pc").desc(), "a", "b").limit(1).collect()
+        if not top:
+            break
+        a, b, pc = top[0]["a"], top[0]["b"], int(top[0]["pc"])
+        ab = a + b
+        merged = cur.select(
+            F.aggregate(
+                "arr",
+                F.array().cast("array<string>"),
+                lambda acc, x: F.when(
+                    (F.size(acc) > 0)
+                    & (F.element_at(acc, -1) == F.lit(a))
+                    & (x == F.lit(b)),
+                    F.concat(
+                        F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(ab))
+                    ),
+                ).otherwise(F.concat(acc, F.array(x))),
+            ).alias("arr"),
+            "cnt",
+        ).localCheckpoint(eager=False)
+        out_rows.append((rnd, a, b, pc))
+        merged_frames.append((rnd, merged))
+        cur = merged
+    # one batched action for every round's post-merge symbol inventory
+    # (a per-round collect would pay a full job's fixed overhead 3x)
+    from functools import reduce
+
+    sym_union = reduce(
+        lambda x, y: x.union(y),
+        [
+            m.select(F.lit(rnd).alias("round"), F.explode("arr").alias("s"))
+            for rnd, m in merged_frames
+        ],
+    )
+    n_syms = {
+        r["round"]: r["n"]
+        for r in sym_union.groupBy("round")
+        .agg(F.countDistinct("s").alias("n"))
+        .collect()
+    }
+    import pandas as pd
+
+    return spark.createDataFrame(
+        pd.DataFrame(
+            [(rnd, a, b, pc, int(n_syms[rnd])) for rnd, a, b, pc in out_rows],
+            columns=["round", "a", "b", "pair_count", "vocab_symbols_after"],
+        ),
+        "round int, a string, b string, pair_count bigint, vocab_symbols_after bigint",
+    ).orderBy("round")
