@@ -239,3 +239,62 @@ def sample_frames(df: DataFrame, n_frames: int = 4, real_decode: bool = False) -
             )
 
     return df.select("doc_id", "payload").mapInPandas(sample, schema=FRAMES_SCHEMA)
+
+
+def parse_audio_header(payload: bytes):
+    """Codec-less WAV metadata: (channels, sample_rate, bits_per_sample,
+    n_samples) from the RIFF container with pure `struct` — the audio
+    twin of parse_image_header. Walks the chunk list (word-aligned, so
+    extra chunks like LIST/fact are skipped correctly) rather than
+    assuming the canonical 44-byte layout. Returns None for anything
+    that is not a parsable RIFF/WAVE."""
+    import struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    pos = 12
+    ch = sr = bits = data_size = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        csize = struct.unpack_from("<I", payload, pos + 4)[0]
+        body = pos + 8
+        if cid == b"fmt " and csize >= 16 and body + 16 <= len(payload):
+            ch, sr = struct.unpack_from("<HI", payload, body + 2)
+            bits = struct.unpack_from("<H", payload, body + 14)[0]
+        elif cid == b"data":
+            data_size = csize
+        pos = body + csize + (csize & 1)  # chunks are 2-byte aligned
+    if not ch or not bits or data_size is None:
+        return None
+    return ch, sr, bits, data_size // (ch * max(1, bits // 8))
+
+
+AUDIO_META_SCHEMA = (
+    "doc_id bigint, byte_len bigint, channels int, sample_rate int,"
+    " bits int, n_samples bigint"
+)
+
+
+def decode_audio(df: DataFrame) -> DataFrame:
+    """mapInPandas audio decode: WAV payload column → typed metadata via
+    parse_audio_header. Same Arrow-batched shape as decode_media; raises
+    on unparsable payloads (an audio pipeline wants loud failure, not
+    silent nulls, when a container is corrupt)."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                parsed = parse_audio_header(bytes(payload))
+                if parsed is None:
+                    raise ValueError(f"doc {doc_id}: payload is not RIFF/WAVE")
+                ch, sr, bits, n = parsed
+                metas.append((doc_id, len(payload), ch, sr, bits, n))
+            yield pd.DataFrame(
+                metas,
+                columns=[
+                    "doc_id", "byte_len", "channels", "sample_rate", "bits", "n_samples",
+                ],
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(decode, schema=AUDIO_META_SCHEMA)

@@ -67,3 +67,58 @@ def q_multimodal_frames(spark, sf_dir):
         )
         .orderBy("frame_no")
     )
+
+
+@query(
+    "q_multimodal_audio",
+    oracle="""
+    SELECT doc_id,
+           CAST(44 + (50 + n_chars % 100) * (1 + doc_id % 2) * 2 AS BIGINT)
+             AS byte_len,
+           CAST(1 + doc_id % 2 AS INT) AS channels,
+           CAST(8000 * (1 + doc_id % 3) AS INT) AS sample_rate,
+           CAST(16 AS INT) AS bits,
+           CAST(50 + n_chars % 100 AS BIGINT) AS n_samples
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q_multimodal_audio(spark, sf_dir):
+    """Audio container round trip (§2.10 multimodal): per document,
+    synthesize a REAL WAV file with the stdlib `wave` writer (channel
+    count / sample rate / length derived from doc fields), then recover
+    the metadata with the pure-struct RIFF parser (decode_audio). The
+    writer and the parser are independent implementations of the
+    container format, and the oracle replays the parameter arithmetic
+    from the documents table — so a hash match proves the parser
+    recovers EXACTLY what the canonical writer encoded, through the
+    full binary-column + Arrow-batch plumbing. 16-bit PCM silence
+    payloads; byte_len = the canonical 44-byte header + frames."""
+    import io
+    import wave
+
+    import pandas as pd
+
+    from polars_express_spark.functions.multimodal import decode_audio
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        (1 + F.col("doc_id") % 2).cast("int").alias("ch"),
+        (8000 * (1 + F.col("doc_id") % 3)).cast("int").alias("rate"),
+        (50 + F.col("n_chars") % 100).cast("int").alias("n"),
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = []
+            for ch, rate, n in zip(pdf["ch"], pdf["rate"], pdf["n"]):
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(int(ch))
+                    w.setsampwidth(2)
+                    w.setframerate(int(rate))
+                    w.writeframes(b"\x00" * (int(n) * int(ch) * 2))
+                payloads.append(buf.getvalue())
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    wav = d.mapInPandas(synth, schema="doc_id bigint, payload binary")
+    return decode_audio(wav).orderBy("doc_id")

@@ -390,3 +390,37 @@ def test_pagerank_star_and_mass(spark):
     assert abs(sum(r.values()) - len(r)) < 0.3  # mass ≈ n at damping 0.85
     r2 = {row["node"]: row["rank"] for row in pagerank(edges.repartition(5), iters=8).collect()}
     assert r == r2  # decimal-exact sums → bit-identical on any partitioning
+
+
+def test_parse_audio_header_formats():
+    """RIFF walker robustness: canonical wave-module output, extra
+    chunks before fmt/data, odd-size chunk padding, 8-bit mono, and
+    rejection of non-WAVE bytes — all pure struct, no codec."""
+    import io
+    import struct
+    import wave
+
+    from polars_express_spark.functions.multimodal import parse_audio_header
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(44100)
+        w.writeframes(b"\x00" * (123 * 2 * 2))
+    assert parse_audio_header(buf.getvalue()) == (2, 44100, 16, 123)
+
+    def chunk(cid, body):
+        pad = b"\x00" if len(body) % 2 else b""
+        return cid + struct.pack("<I", len(body)) + body + pad
+
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    data = b"\x00" * 77  # odd size → padded; 8-bit mono → 77 samples
+    extra = chunk(b"LIST", b"INFOjunk!")  # odd body, must be skipped
+    body = b"WAVE" + extra + chunk(b"fmt ", fmt) + chunk(b"data", data)
+    wav = b"RIFF" + struct.pack("<I", len(body)) + body
+    assert parse_audio_header(wav) == (1, 8000, 8, 77)
+
+    assert parse_audio_header(b"RIFF\x04\x00\x00\x00AVI ") is None
+    assert parse_audio_header(b"\x89PNG\r\n\x1a\n") is None
+    assert parse_audio_header(b"") is None
