@@ -140,3 +140,33 @@ def run_regression(lake: DataLake, data_id: str, x_col: str, y_col: str) -> Regr
     ss_tot = n * m["syy"] - m["sy"] * m["sy"]
     r2 = None if ss_tot == 0 else (n * m["sxy"] - m["sx"] * m["sy"]) ** 2 / (denom * ss_tot)
     return RegressionResult(slope=slope, intercept=intercept, r_squared=r2, n=n)
+
+
+_SQL_IDENT = __import__("re").compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+
+def run_sql(lake: DataLake, query: str, limit: int | None = None) -> list[dict]:
+    """Ad-hoc SQL over the lake (engine-native surface beyond the
+    reference's three routes): every dataset whose id is a valid SQL
+    identifier is registered as a temp view, the query runs through
+    Catalyst, and rows come back through the capped JSON sink (same
+    driver-materialization bound as every other endpoint).
+
+    Read-only by construction: a single SELECT/WITH statement only —
+    DDL/DML and multi-statement scripts are rejected BEFORE reaching the
+    parser, so the endpoint can never mutate the lake or session state.
+    Analysis errors (unknown table/column, bad syntax) map to 400."""
+    q = query.strip().rstrip(";").strip()
+    if ";" in q:
+        raise BadRequest("one statement per request")
+    if not q or q.split(None, 1)[0].upper() not in ("SELECT", "WITH"):
+        raise BadRequest("only SELECT/WITH queries are accepted")
+    spark = lake.spark
+    for data_id in lake.list_datasets():
+        if _SQL_IDENT.match(data_id):
+            lake.load(data_id).createOrReplaceTempView(data_id)
+    try:
+        df = spark.sql(q)
+    except Exception as e:  # AnalysisException / ParseException → 400
+        raise BadRequest(f"SQL error: {e}") from e
+    return to_json_rows_flagged(df, limit=limit)[0]

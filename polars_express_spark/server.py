@@ -97,6 +97,25 @@ def _make_handler(lake: DataLake):
                 return self._send(200, INDEX_HTML, content_type="text/html")
             if method == "GET" and url.path == "/datasets":
                 return self._send(200, lake.list_datasets())
+            if url.path == "/sql":
+                if method != "POST":
+                    return self._send(405, {"error": "method not allowed"})
+                n = int(self.headers.get("Content-Length") or 0)
+                try:
+                    body = json.loads(self.rfile.read(n) or b"{}")
+                except json.JSONDecodeError:
+                    return self._send(400, {"error": "malformed JSON body"})
+                if not isinstance(body, dict) or "query" not in body:
+                    return self._send(400, {"error": "query required"})
+                try:
+                    rows = api.run_sql(
+                        lake,
+                        str(body["query"]),
+                        limit=int(body["limit"]) if body.get("limit") is not None else None,
+                    )
+                except api.BadRequest as e:
+                    return self._send(400, {"error": str(e)})
+                return self._send(200, rows)
             m = _DATA_ROUTE.match(url.path)
             if not m:
                 return self._send(404, {"error": "not found"})

@@ -140,3 +140,46 @@ def test_regression_400_missing_column(base_url):
 
 def test_405_wrong_method(base_url):
     assert _code(_get, base_url + "/data/trains/regression") == 405
+
+
+def _post_any(url, payload):
+    """_post that returns (code, body) for error responses too."""
+    try:
+        return _post(url, payload)
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_sql_endpoint(base_url):
+    """POST /sql: datasets are queryable views; joins/aggs work; limit
+    caps rows; DDL/DML and multi-statements are rejected read-only."""
+    status, rows = _post_any(
+        f"{base_url}/sql",
+        {"query": "SELECT train_id, departure_delay FROM trains "
+                  "WHERE departure_delay > 2 ORDER BY departure_delay DESC"},
+    )
+    assert status == 200
+    assert [r["train_id"] for r in rows] == ["RE3", "ICE1"]
+
+    status, rows = _post_any(
+        f"{base_url}/sql",
+        {"query": "SELECT count(*) AS n FROM trains t JOIN plain p ON p.a = 1"},
+    )
+    assert status == 200 and rows == [{"n": 3}]
+
+    status, rows = _post_any(
+        f"{base_url}/sql", {"query": "SELECT * FROM trains ORDER BY train_id", "limit": 1}
+    )
+    assert status == 200 and len(rows) == 1
+
+    for bad in [
+        "DROP VIEW trains",
+        "SELECT 1; SELECT 2",
+        "INSERT INTO trains VALUES ('x', 0, 0)",
+        "SELECT nope FROM trains",
+        "SELECT * FROM no_such_table",
+        "",
+    ]:
+        status, err = _post_any(f"{base_url}/sql", {"query": bad})
+        assert status == 400, (bad, err)
+        assert "error" in err
