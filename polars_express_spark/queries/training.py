@@ -369,15 +369,19 @@ def _bpe_oracle() -> str:
       SELECT CAST(count(DISTINCT t.s) AS BIGINT) AS n_syms
       FROM w{r}, unnest(arr) t(s)
     )""")
+    return "".join(parts)
+
+
+def _bpe_train_oracle() -> str:
     rows = " UNION ALL ".join(
         f"SELECT {r} AS round, a, b, CAST(pc AS BIGINT) AS pair_count,"
         f" (SELECT n_syms FROM s{r}) AS vocab_symbols_after FROM m{r}"
         for r in range(1, _BPE_ROUNDS + 1)
     )
-    return "".join(parts) + f" {rows} ORDER BY round"
+    return _bpe_oracle() + f" {rows} ORDER BY round"
 
 
-@query("q_bpe_train", oracle=_bpe_oracle())
+@query("q_bpe_train", oracle=_bpe_train_oracle())
 def q_bpe_train(spark, sf_dir):
     """BPE tokenizer TRAINING, k={k} real merge rounds (§2.10 — the
     iterative argmax loop behind every production tokenizer, extending
@@ -397,12 +401,56 @@ def q_bpe_train(spark, sf_dir):
     the driver. The emitted merge table (round, pair, count, symbol
     inventory after) is exactly what BPE training persists, and the
     oracle replays every round including the greedy application."""
+    merges, merged_frames = _bpe_learn(spark, sf_dir)
+    # one batched action for every round's post-merge symbol inventory
+    # (a per-round collect would pay a full job's fixed overhead 3x)
+    from functools import reduce
+
+    sym_union = reduce(
+        lambda x, y: x.union(y),
+        [
+            m.select(F.lit(rnd).alias("round"), F.explode("arr").alias("s"))
+            for rnd, m in merged_frames
+        ],
+    )
+    n_syms = {
+        r["round"]: r["n"]
+        for r in sym_union.groupBy("round")
+        .agg(F.countDistinct("s").alias("n"))
+        .collect()
+    }
+    import pandas as pd
+
+    return spark.createDataFrame(
+        pd.DataFrame(
+            [(rnd, a, b, pc, int(n_syms[rnd])) for rnd, a, b, pc in merges],
+            columns=["round", "a", "b", "pair_count", "vocab_symbols_after"],
+        ),
+        "round int, a string, b string, pair_count bigint, vocab_symbols_after bigint",
+    ).orderBy("round")
+
+
+# learned state per (app, sf_dir): k merge rows + each round's merged
+# vocab frame (localCheckpointed). Capped like the PQ codebook cache so
+# a long-lived server cycling datasets stays bounded.
+_BPE_CACHE: dict[tuple, tuple] = {}
+_BPE_CACHE_CAP = 8
+
+
+def _bpe_learn(spark, sf_dir):
+    """Run the k-round merge loop once per (session, dataset); both BPE
+    queries (train emits the merge table, encode applies the final
+    vocab) reuse the result — at 100 TB this is the persisted tokenizer
+    artifact, not a per-query recompute."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _BPE_CACHE:
+        return _BPE_CACHE[key]
     d = load_table(spark, sf_dir, "documents")
     words = (
         _tokens_with_pos(d)
         .groupBy("tok")
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
-        .select(F.split("tok", "").alias("arr"), "cnt")
+        .select(F.col("tok").alias("word"), F.split("tok", "").alias("arr"), "cnt")
         .localCheckpoint(eager=False)  # rounds re-read it; keep plans flat
     )
     out_rows = []
@@ -430,6 +478,7 @@ def q_bpe_train(spark, sf_dir):
         a, b, pc = top[0]["a"], top[0]["b"], int(top[0]["pc"])
         ab = a + b
         merged = cur.select(
+            "word",
             F.aggregate(
                 "arr",
                 F.array().cast("array<string>"),
@@ -447,29 +496,51 @@ def q_bpe_train(spark, sf_dir):
         out_rows.append((rnd, a, b, pc))
         merged_frames.append((rnd, merged))
         cur = merged
-    # one batched action for every round's post-merge symbol inventory
-    # (a per-round collect would pay a full job's fixed overhead 3x)
-    from functools import reduce
+    while len(_BPE_CACHE) >= _BPE_CACHE_CAP:
+        _BPE_CACHE.pop(next(iter(_BPE_CACHE)))
+    _BPE_CACHE[key] = (out_rows, merged_frames)
+    return _BPE_CACHE[key]
 
-    sym_union = reduce(
-        lambda x, y: x.union(y),
-        [
-            m.select(F.lit(rnd).alias("round"), F.explode("arr").alias("s"))
-            for rnd, m in merged_frames
-        ],
+
+@query(
+    "q_bpe_encode",
+    oracle=_bpe_oracle() + """,
+    doc_tok AS (
+      SELECT doc_id, t.tok AS word
+      FROM documents, unnest(string_split_regex(trim(text), '\\s+')) t(tok)
+      WHERE t.tok <> ''
     )
-    n_syms = {
-        r["round"]: r["n"]
-        for r in sym_union.groupBy("round")
-        .agg(F.countDistinct("s").alias("n"))
-        .collect()
-    }
-    import pandas as pd
-
-    return spark.createDataFrame(
-        pd.DataFrame(
-            [(rnd, a, b, pc, int(n_syms[rnd])) for rnd, a, b, pc in out_rows],
-            columns=["round", "a", "b", "pair_count", "vocab_symbols_after"],
-        ),
-        "round int, a string, b string, pair_count bigint, vocab_symbols_after bigint",
-    ).orderBy("round")
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(length(word)) AS BIGINT) AS n_char_syms,
+           CAST(SUM(len(arr)) AS BIGINT) AS n_bpe_syms
+    FROM doc_tok JOIN w""" + str(_BPE_ROUNDS) + """ USING (word)
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q_bpe_encode(spark, sf_dir):
+    """BPE ENCODE at corpus scale (§2.10 — the apply side of
+    q_bpe_train, completing the train→encode loop): segment every token
+    occurrence with the learned merge table and report per-document
+    symbol counts before (chars) and after (BPE symbols). The trained
+    per-word segmentation is a VOCABULARY-sized frame broadcast onto
+    the token stream — the corpus never re-runs the merge fold, exactly
+    how a production pipeline applies a persisted tokenizer. Shares the
+    learned state with q_bpe_train via the per-session cache; the
+    oracle replays training AND the doc-level join."""
+    merges, merged_frames = _bpe_learn(spark, sf_dir)
+    final_words = merged_frames[-1][1].select(
+        "word", F.size("arr").alias("n_bpe"), F.length("word").alias("n_char")
+    )
+    d = load_table(spark, sf_dir, "documents")
+    toks = _tokens_with_pos(d).select("doc_id", F.col("tok").alias("word"))
+    return (
+        toks.join(F.broadcast(final_words), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum("n_char").cast("bigint").alias("n_char_syms"),
+            F.sum("n_bpe").cast("bigint").alias("n_bpe_syms"),
+        )
+        .orderBy("doc_id")
+    )
