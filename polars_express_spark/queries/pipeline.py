@@ -1401,3 +1401,105 @@ def q_kcore(spark, sf_dir):
     return kcore(
         _jaccard_pairs_shared(spark, sf_dir), k=_KCORE_K, max_rounds=_KCORE_ROUNDS
     ).orderBy("node")
+
+
+@query(
+    "q_e2e_curation",
+    oracle=f"""
+    WITH {_SHINGLE_CTES},
+    toked AS (
+      SELECT doc_id, lang,
+             list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS tk
+      FROM documents
+    ),
+    q AS (  -- stage 1: quality floor
+      SELECT doc_id, lang, len(tk) AS n_tokens,
+             array_to_string(list_sort(list_distinct(tk)), ' ') AS fp
+      FROM toked WHERE len(tk) >= 30
+    ),
+    dd AS (  -- stage 2: bag-of-words fingerprint dedup, min-id survivor
+      SELECT doc_id, lang, n_tokens,
+             row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+      FROM q
+    ),
+    bench AS (SELECT doc_id FROM documents WHERE doc_id % 20 = 0),
+    bsh AS (SELECT DISTINCT s FROM sh JOIN bench USING (doc_id)),
+    contaminated AS (
+      SELECT DISTINCT sh.doc_id FROM sh JOIN bsh USING (s)
+      WHERE sh.doc_id NOT IN (SELECT doc_id FROM bench)
+    ),
+    survivors AS (  -- stage 3: drop bench members + leaked docs
+      SELECT doc_id, lang, n_tokens FROM dd
+      WHERE rn = 1
+        AND doc_id NOT IN (SELECT doc_id FROM bench)
+        AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+    )
+    SELECT lang,  -- stage 4: deterministic split + rollup
+           CASE WHEN doc_id % 10 < 8 THEN 'train' ELSE 'val' END AS split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+    FROM survivors GROUP BY 1, 2 ORDER BY lang, split
+    """,
+)
+def q_e2e_curation(spark, sf_dir):
+    """END-TO-END curation pipeline (§2.10 capstone): quality floor →
+    bag-of-words fingerprint dedup → benchmark decontamination →
+    deterministic train/val split → per-(lang, split) rollup, composed
+    as ONE declarative DAG whose every stage the oracle replays — the
+    "a user runs their whole pipeline on this engine" demonstration,
+    not a new operator.
+
+    Stage shapes (each is the already-proven scale pattern): quality is
+    a scan-side filter; dedup is a window over the fingerprint hash key
+    (one shuffle, min-id survivor — at 100 TB group on xxhash64(fp),
+    not the string); decontamination broadcasts the benchmark shingle
+    set from the session-shared materialized frame (the corpus never
+    shuffles for the probe); the split is a pure row expression; the
+    rollup is one partial→final aggregate. Catalyst pipelines the
+    filter+split+rollup into the dedup shuffle's map side."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.trim("text"), r"\s+"), lambda x: x != "")
+    toked = d.select("doc_id", "lang", toks.alias("tk"))
+    q = toked.where(F.size("tk") >= 30).select(
+        "doc_id",
+        "lang",
+        F.size("tk").alias("n_tokens"),
+        F.concat_ws(" ", F.array_sort(F.array_distinct("tk"))).alias("fp"),
+    )
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    dd = q.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+
+    sh = _shingle_arrays_shared(spark, sf_dir).select(
+        "doc_id", F.explode("sh").alias("s")
+    )
+    bench_ids = d.where(F.col("doc_id") % 20 == 0).select("doc_id")
+    bench_sh = (
+        sh.join(F.broadcast(bench_ids), "doc_id", "left_semi").select("s").distinct()
+    )
+    contaminated = (
+        sh.join(F.broadcast(bench_ids), "doc_id", "left_anti")
+        .join(F.broadcast(bench_sh), "s", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    survivors = (
+        dd.join(F.broadcast(bench_ids), "doc_id", "left_anti")
+        .join(contaminated, "doc_id", "left_anti")
+    )
+    return (
+        survivors.select(
+            "lang",
+            F.when(F.col("doc_id") % 10 < 8, F.lit("train"))
+            .otherwise(F.lit("val"))
+            .alias("split"),
+            "n_tokens",
+        )
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        )
+        .orderBy("lang", "split")
+    )
