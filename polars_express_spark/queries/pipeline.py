@@ -1503,3 +1503,58 @@ def q_e2e_curation(spark, sf_dir):
         )
         .orderBy("lang", "split")
     )
+
+
+_PSEUDO_SALT = "salt-v1:"  # rotate the salt to rotate the token space
+
+
+@query(
+    "q_pseudonymize",
+    oracle=f"""
+    WITH tok AS (
+      SELECT sha256('{_PSEUDO_SALT}' || CAST(user_id AS VARCHAR)) AS token,
+             user_id
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    dim AS (
+      SELECT DISTINCT sha256('{_PSEUDO_SALT}' || CAST(user_id AS VARCHAR)) AS token,
+             user_id % 5 AS region
+      FROM events WHERE user_id IS NOT NULL
+    )
+    SELECT d.region,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT t.token) AS BIGINT) AS n_tokens
+    FROM tok t JOIN dim d USING (token)
+    GROUP BY d.region ORDER BY d.region
+    """,
+)
+def q_pseudonymize(spark, sf_dir):
+    """Deterministic PII pseudonymization (§2.10 privacy family, beside
+    q_redact_pii's destructive redaction): user ids become salted
+    SHA-256 tokens — irreversible without the salt, yet DETERMINISTIC,
+    so referential integrity survives: the tokenized fact stream still
+    joins the tokenized dimension on the token alone, which is the
+    property that lets a privacy-scrubbed 100 TB corpus keep its join
+    graph. The query proves it end-to-end: events and a derived user
+    dimension are tokenized independently, joined ONLY on the token,
+    and the per-region rollup hash-matches the oracle's replay (both
+    engines compute identical SHA-256 hex). Pure JVM expressions;
+    the join key is the 64-char token — at scale, group on
+    xxhash64(token) to keep shuffle keys narrow."""
+    e = load_table(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    token = F.sha2(
+        F.concat(F.lit(_PSEUDO_SALT), F.col("user_id").cast("string")), 256
+    )
+    tok = e.select(token.alias("token"))
+    dim = e.select(
+        token.alias("token"), (F.col("user_id") % 5).alias("region")
+    ).distinct()
+    return (
+        tok.join(F.broadcast(dim), "token")
+        .groupBy("region")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.countDistinct("token").cast("bigint").alias("n_tokens"),
+        )
+        .orderBy("region")
+    )
