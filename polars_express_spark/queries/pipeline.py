@@ -1558,3 +1558,86 @@ def q_pseudonymize(spark, sf_dir):
         )
         .orderBy("region")
     )
+
+
+_LPA_ROUNDS = 3
+
+
+def _lpa_oracle() -> str:
+    """Unrolled synchronous label propagation over the pair graph:
+    per round each node adopts the most frequent neighbor label, ties
+    broken by the smaller label — fully deterministic, so the per-
+    community rollup is a value hash, not an invariant."""
+    parts = [f"""
+    WITH {_JACCARD_PAIRS_CTES},
+    sym AS (SELECT a_id AS x, b_id AS y FROM pairs
+            UNION ALL SELECT b_id, a_id FROM pairs),
+    l0 AS (SELECT DISTINCT x AS node, x AS label FROM sym)"""]
+    for r in range(1, _LPA_ROUNDS + 1):
+        parts.append(f""",
+    c{r} AS (
+      SELECT s.y AS node, l.label, count(*) AS cnt
+      FROM sym s JOIN l{r-1} l ON l.node = s.x
+      GROUP BY 1, 2
+    ),
+    l{r} AS (
+      SELECT node, label FROM (
+        SELECT node, label,
+               row_number() OVER (PARTITION BY node ORDER BY cnt DESC, label) AS rn
+        FROM c{r}
+      ) WHERE rn = 1
+    )""")
+    parts.append(f"""
+    SELECT label AS community,
+           CAST(count(*) AS BIGINT) AS n_members,
+           min(node) AS min_member
+    FROM l{_LPA_ROUNDS} GROUP BY label ORDER BY community""")
+    return "".join(parts)
+
+
+@query("q_lpa_communities", oracle=_lpa_oracle())
+def q_lpa_communities(spark, sf_dir):
+    """Label-propagation community detection (§2.10 graph family —
+    the soft-clustering sibling of connected components: CC merges
+    everything reachable, LPA splits dense regions joined by thin
+    bridges): {k} fixed synchronous rounds, each one shuffle — edges
+    join the label table (messages), a (node, label) count aggregate,
+    and a per-node argmax window with (count DESC, label ASC)
+    tie-break, which makes the whole run DETERMINISTIC and therefore
+    full-value-hash oracle-able (randomized LPA variants are not).
+    Reuses the memoized near-dup pair frame. localCheckpoint per round
+    keeps plans flat; at 100 TB rounds are the same edge-partitioned
+    shuffles as PageRank's."""
+    from pyspark.sql import Window
+
+    pairs = _jaccard_pairs_shared(spark, sf_dir)
+    sym = pairs.select(F.col("a_id").alias("x"), F.col("b_id").alias("y")).union(
+        pairs.select(F.col("b_id").alias("x"), F.col("a_id").alias("y"))
+    )
+    labels = (
+        sym.select("x").distinct()
+        .select(F.col("x").alias("node"), F.col("x").alias("label"))
+        .localCheckpoint(eager=False)
+    )
+    w = Window.partitionBy("node").orderBy(F.col("cnt").desc(), F.col("label"))
+    for _ in range(_LPA_ROUNDS):
+        msgs = sym.join(
+            labels.withColumnRenamed("node", "x"), "x"
+        ).select(F.col("y").alias("node"), "label")
+        labels = (
+            msgs.groupBy("node", "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("node", "label")
+            .localCheckpoint(eager=False)
+        )
+    return (
+        labels.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            F.min("node").alias("min_member"),
+        )
+        .select(F.col("label").alias("community"), "n_members", "min_member")
+        .orderBy("community")
+    )
