@@ -290,3 +290,24 @@ def test_unicode_norm_single_map_stage(spark):
     tree = p.split("\n\n")[0]
     assert "MapInPandas" in p
     assert tree.count("+- Exchange") <= 1
+
+
+def test_e2e_curation_broadcasts_probe_sides(spark):
+    """The capstone pipeline: benchmark ids + shingle set must ride
+    broadcasts (the corpus never shuffles for the contamination probe);
+    dedup is the only corpus-keyed exchange besides the final rollup."""
+    p = plan_of("q_e2e_curation", spark)
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_pseudonymize_single_scan_rollup(spark):
+    p = plan_of("q_pseudonymize", spark)
+    assert "sha2" in p
+    assert "CartesianProduct" not in p
+
+
+def test_lpa_keyed_joins_only(spark):
+    p = plan_of("q_lpa_communities", spark)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
