@@ -544,3 +544,97 @@ def q_bpe_encode(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+_GD_ROUNDS = 3
+_GD_LR = 0.5
+
+
+def _gd_oracle() -> str:
+    """Unrolled k-round GD replay. Every arithmetic tree matches the
+    Spark/driver side token for token (left-associated, same
+    parenthesization), so the weight evolution is bit-identical — see
+    operators/gradient.py for the determinism contract."""
+    parts = ["""
+    WITH base AS (
+      SELECT CAST(l_quantity AS DOUBLE) / 50.0 AS x1,
+             CAST(l_discount AS DOUBLE) * 10.0 AS x2,
+             CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS y
+      FROM lineitem
+      WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+        AND l_returnflag IS NOT NULL
+    ),
+    nr AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM base),
+    w0 AS (SELECT 0.0 AS b, 0.0 AS u, 0.0 AS v)"""]
+    for r in range(1, _GD_ROUNDS + 1):
+        parts.append(f""",
+    s{r} AS (
+      SELECT y, x1, x2,
+             0.5 + z / (2.0 * (1.0 + abs(z))) AS p,
+             1.0 / (2.0 * (1.0 + abs(z)) * (1.0 + abs(z))) AS dp
+      FROM (SELECT y, x1, x2, w.b + w.u * x1 + w.v * x2 AS z
+            FROM base, w{r-1} w)
+    ),
+    g{r} AS (
+      SELECT
+        CAST(SUM(CAST(ROUND(2.0 * (p - y) * dp, 8) AS DECIMAL(38,12))) AS DOUBLE) AS gb,
+        CAST(SUM(CAST(ROUND(2.0 * (p - y) * dp * x1, 8) AS DECIMAL(38,12))) AS DOUBLE) AS gu,
+        CAST(SUM(CAST(ROUND(2.0 * (p - y) * dp * x2, 8) AS DECIMAL(38,12))) AS DOUBLE) AS gv
+      FROM s{r}
+    ),
+    w{r} AS (
+      SELECT w.b - {_GD_LR} * (g.gb / nr.n) AS b,
+             w.u - {_GD_LR} * (g.gu / nr.n) AS u,
+             w.v - {_GD_LR} * (g.gv / nr.n) AS v
+      FROM w{r-1} w, g{r} g, nr
+    )""")
+    parts.append(f"""
+    SELECT w.b AS w_bias, w.u AS w_qty, w.v AS w_disc,
+           CAST(nr.n AS BIGINT) AS n_rows,
+           (SELECT CAST(count(*) AS BIGINT) FROM base, w{_GD_ROUNDS} w2
+            WHERE w2.b + w2.u * x1 + w2.v * x2 > 0.0) AS n_pred_pos
+    FROM w{_GD_ROUNDS} w, nr""")
+    return "".join(parts)
+
+
+@query("q_logreg_gd", oracle=_gd_oracle())
+def q_logreg_gd(spark, sf_dir):
+    """Distributed ITERATIVE model training (§2.4 ML family): 3 rounds
+    of full-batch gradient descent fitting a logistic-style classifier
+    (is this line item a return?) on normalized (quantity, discount) —
+    the capability class beyond the closed-form OLS/normal-equation
+    solvers, which end in one aggregate where real training LOOPS.
+    Each round is one partial→final gradient aggregate over the corpus;
+    only the 3-double gradient reaches the driver, and updated weights
+    ride back as plan literals — parameter-server-free distributed GD.
+
+    Hash-exactness (no stochastic trainer can do this): rational
+    sigmoid surrogate instead of exp (bit-identical across engines),
+    per-row contributions rounded to 8 dp then decimal-summed
+    (order-free), weight updates in IEEE doubles with the identical
+    expression tree the oracle's CTE chain computes — the final
+    weights, row count, and positive-prediction count all value-hash
+    against a full 3-round SQL replay (operators/gradient.py)."""
+    from polars_express_spark.operators.gradient import gd_train
+
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_quantity").isNotNull()
+        & F.col("l_discount").isNotNull()
+        & F.col("l_returnflag").isNotNull()
+    )
+    base = li.select(
+        (F.col("l_quantity").cast("double") / F.lit(50.0)).alias("x1"),
+        (F.col("l_discount").cast("double") * F.lit(10.0)).alias("x2"),
+        F.when(F.col("l_returnflag") == "R", F.lit(1.0)).otherwise(F.lit(0.0)).alias("y"),
+    ).localCheckpoint(eager=False)  # 3 gradient passes re-read it
+    w, n = gd_train(base, ["x1", "x2"], "y", rounds=_GD_ROUNDS, lr=_GD_LR)
+    z = F.lit(w[0]) + F.lit(w[1]) * F.col("x1") + F.lit(w[2]) * F.col("x2")
+    return base.agg(
+        F.sum(F.when(z > 0.0, 1).otherwise(0)).cast("bigint").alias("n_pred_pos")
+    ).select(
+        F.lit(w[0]).alias("w_bias"),
+        F.lit(w[1]).alias("w_qty"),
+        F.lit(w[2]).alias("w_disc"),
+        F.lit(n).cast("bigint").alias("n_rows"),
+        "n_pred_pos",
+    )
