@@ -103,3 +103,49 @@ def test_classifier_score_python_reference(spark, texts):
         hits = [w[tok] for tok in t.split() if tok in w]
         score = tr._MODEL_BIAS + sum(hits)
         assert got[i] == (score, len(hits), score > 0.0), (i, t)
+
+
+def _py_gd(rows, rounds=3, lr=0.5):
+    """Pure-Python replica of operators/gradient.gd_train: same
+    surrogate, same left-associated IEEE trees, ROUND-half-up to 8 dp,
+    exact (Fraction-free) summation via sorted-independent Decimal."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def r8(x):
+        return float(
+            Decimal(repr(x)).quantize(Decimal("0.00000001"), rounding=ROUND_HALF_UP)
+        )
+
+    n = float(len(rows))
+    w = [0.0, 0.0, 0.0]
+    for _ in range(rounds):
+        g = [Decimal(0), Decimal(0), Decimal(0)]
+        for x1, x2, y in rows:
+            z = w[0] + w[1] * x1 + w[2] * x2
+            p = 0.5 + z / (2.0 * (1.0 + abs(z)))
+            dp = 1.0 / (2.0 * (1.0 + abs(z)) * (1.0 + abs(z)))
+            common = 2.0 * (p - y) * dp
+            for j, xj in enumerate((1.0, x1, x2)):
+                g[j] += Decimal(repr(r8(common * xj)))
+        w = [wj - lr * (float(g[j]) / n) for j, wj in enumerate(w)]
+    return w
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(st.tuples(
+    st.integers(0, 64), st.integers(0, 64), st.integers(0, 1)
+), min_size=2, max_size=30))
+def test_gd_train_bit_exact_vs_python(spark, raw):
+    """gd_train's weights must equal the pure-Python replica EXACTLY
+    (==, not approx): the determinism contract says every arithmetic
+    tree is IEEE-identical. Inputs on the 1/64 grid — binary fractions
+    can never land on a k·1e-8 + 5e-9 rounding tie (5e-9 has a factor
+    of 5^9 in its denominator), so the HALF_UP quantization is
+    unambiguous on both sides."""
+    from polars_express_spark.operators.gradient import gd_train
+
+    rows = [(a / 64.0, b / 64.0, float(y)) for a, b, y in raw]
+    df = spark.createDataFrame(rows, "x1 double, x2 double, y double")
+    w, n = gd_train(df, ["x1", "x2"], "y", rounds=3, lr=0.5)
+    assert n == len(rows)
+    assert w == _py_gd(rows)
