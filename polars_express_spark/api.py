@@ -142,29 +142,60 @@ def run_regression(lake: DataLake, data_id: str, x_col: str, y_col: str) -> Regr
     return RegressionResult(slope=slope, intercept=intercept, r_squared=r2, n=n)
 
 
-_SQL_IDENT = __import__("re").compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+import re as _re
+
+_SQL_IDENT = _re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+# mutating plan nodes a parsed tree must not contain: Spark's grammar
+# allows CTE-prefixed DML ("WITH t AS (...) INSERT ..."), so a
+# first-token SELECT/WITH check alone is bypassable — the parse-tree
+# scan below is the binding guard
+_SQL_FORBIDDEN = _re.compile(
+    r"Insert|Command|DeleteFrom|UpdateTable|MergeInto|CreateTable"
+    r"|DropTable|AlterTable|ReplaceTable|SetCatalog|CacheTable|WriteTo"
+)
+# single-quoted SQL strings ('' is the escaped quote) — blanked before
+# the one-statement check so a literal ';' in data can't false-positive
+_SQL_STR_LIT = _re.compile(r"'(?:[^']|'')*'")
 
 
 def run_sql(lake: DataLake, query: str, limit: int | None = None) -> list[dict]:
     """Ad-hoc SQL over the lake (engine-native surface beyond the
     reference's three routes): every dataset whose id is a valid SQL
-    identifier is registered as a temp view, the query runs through
-    Catalyst, and rows come back through the capped JSON sink (same
-    driver-materialization bound as every other endpoint).
+    identifier is registered as a temp view (once per lake instance),
+    the query runs through Catalyst, and rows come back through the
+    capped JSON sink (same driver-materialization bound as every other
+    endpoint).
 
-    Read-only by construction: a single SELECT/WITH statement only —
-    DDL/DML and multi-statement scripts are rejected BEFORE reaching the
-    parser, so the endpoint can never mutate the lake or session state.
+    Read-only by construction, enforced in TWO layers both applied
+    BEFORE execution: a first-token SELECT/WITH + single-statement
+    check (string literals blanked first), then a parse-only pass
+    whose tree must contain no mutating node — spark.sql() executes
+    commands EAGERLY, so the parse must happen without it.
     Analysis errors (unknown table/column, bad syntax) map to 400."""
     q = query.strip().rstrip(";").strip()
-    if ";" in q:
+    if ";" in _SQL_STR_LIT.sub("''", q):
         raise BadRequest("one statement per request")
     if not q or q.split(None, 1)[0].upper() not in ("SELECT", "WITH"):
         raise BadRequest("only SELECT/WITH queries are accepted")
     spark = lake.spark
+    try:
+        tree = (
+            spark._jsparkSession.sessionState().sqlParser().parsePlan(q).treeString()
+        )
+    except Exception as e:
+        raise BadRequest(f"SQL error: {e}") from e
+    if _SQL_FORBIDDEN.search(tree):
+        raise BadRequest("only read-only queries are accepted")
+    registered = getattr(lake, "_sql_registered", None)
+    if registered is None:
+        registered = lake._sql_registered = set()
     for data_id in lake.list_datasets():
-        if _SQL_IDENT.match(data_id):
+        # once per (lake, dataset): views are lazy plans over the path,
+        # so data overwrites are seen automatically; catalog.save()
+        # discards the entry so a schema change re-registers too
+        if data_id not in registered and _SQL_IDENT.match(data_id):
             lake.load(data_id).createOrReplaceTempView(data_id)
+            registered.add(data_id)
     try:
         df = spark.sql(q)
     except Exception as e:  # AnalysisException / ParseException → 400

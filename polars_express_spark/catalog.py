@@ -208,6 +208,9 @@ class DataLake:
         from polars_express_spark.queries._memo import FRAMES
 
         FRAMES.release(self.base_dir)
+        # the /sql temp-view registry caches one registration per
+        # dataset; a write may change the schema, so force re-register
+        getattr(self, "_sql_registered", set()).clear()
 
     def save_bucketed(
         self,

@@ -58,9 +58,9 @@ def weighted_quantile(
     w_tot = Window.partitionBy(group)
     from polars_express_spark.queries._util import scaled4
 
+    carry = [group, value] + ([tiebreak] if tiebreak is not None else [])
     dd = d.select(
-        group,
-        value,
+        *carry,
         scaled4(F.col(weight)).alias("__w"),
     ).select(
         group,

@@ -18,6 +18,7 @@ from polars_express_spark.catalog import load_table
 from polars_express_spark.queries._util import (
     DEC_MOM,
     dsum,
+    fast_moments,
     sql_dsum,
     sql_moments_cte,
 )
@@ -36,8 +37,6 @@ def _ols_moments(df, xcol, ycol, fast4=False):
     x, y = F.col(xcol), F.col(ycol)
     terms = [("sx", x), ("sy", y), ("sxy", x * y), ("sxx", x * x), ("syy", y * y)]
     if fast4:
-        from polars_express_spark.queries._util import fast_moments
-
         return fast_moments(df, [], terms)
     return df.agg(
         F.count(F.lit(1)).alias("n"),
@@ -164,8 +163,6 @@ def q08_tpch_q1(spark, sf_dir):
     Catalyst always plans a map-side partial agg, so the shuffle carries
     one row per (partition × group), not per input row — the property
     that makes this run at 100 TB."""
-    from polars_express_spark.queries._util import fast_moments
-
     li = load_table(spark, sf_dir, "lineitem")
     m = fast_moments(
         li,
@@ -296,8 +293,6 @@ def q11_corr_cov(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem").where(
         F.col("l_quantity").isNotNull() & F.col("l_extendedprice").isNotNull()
     )
-    from polars_express_spark.queries._util import fast_moments
-
     x, y = F.col("l_quantity"), F.col("l_extendedprice")
     m = fast_moments(
         li,
@@ -483,8 +478,6 @@ def q10c_higher_moments(spark, sf_dir):
     correct distributed shape (one partial→final aggregate; the
     population-moment formulas are what a profiler wants at corpus
     scale anyway)."""
-    from polars_express_spark.queries._util import fast_moments
-
     li = load_table(spark, sf_dir, "lineitem").where(F.col("l_quantity").isNotNull())
     x = F.col("l_quantity")
     m = fast_moments(
@@ -680,8 +673,6 @@ def q04b_grouped_regression(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem").where(
         F.col("l_quantity").isNotNull() & F.col("l_extendedprice").isNotNull()
     )
-    from polars_express_spark.queries._util import fast_moments
-
     x, y = F.col("l_quantity"), F.col("l_extendedprice")
     m = fast_moments(
         li,

@@ -474,7 +474,13 @@ def _bpe_learn(spark, sf_dir):
         )
         top = pairs.orderBy(F.col("pc").desc(), "a", "b").limit(1).collect()
         if not top:
-            break
+            # both BPE oracles unroll exactly _BPE_ROUNDS stages, and
+            # q_bpe_encode indexes the final round's frame — a short run
+            # would silently hash-mismatch (or IndexError), so fail loud
+            raise ValueError(
+                f"corpus exhausted adjacent pairs after {rnd - 1} of "
+                f"{_BPE_ROUNDS} BPE rounds; lower _BPE_ROUNDS for this corpus"
+            )
         a, b, pc = top[0]["a"], top[0]["b"], int(top[0]["pc"])
         ab = a + b
         merged = cur.select(

@@ -108,11 +108,13 @@ def _make_handler(lake: DataLake):
                 if not isinstance(body, dict) or "query" not in body:
                     return self._send(400, {"error": "query required"})
                 try:
-                    rows = api.run_sql(
-                        lake,
-                        str(body["query"]),
-                        limit=int(body["limit"]) if body.get("limit") is not None else None,
+                    limit = (
+                        int(body["limit"]) if body.get("limit") is not None else None
                     )
+                except (TypeError, ValueError):
+                    return self._send(400, {"error": "limit must be an integer"})
+                try:
+                    rows = api.run_sql(lake, str(body["query"]), limit=limit)
                 except api.BadRequest as e:
                     return self._send(400, {"error": str(e)})
                 return self._send(200, rows)

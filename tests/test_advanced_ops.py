@@ -284,6 +284,12 @@ def test_weighted_quantile_hand_cases(spark):
     }
     # g1 threshold is 10/4 = 2.5: cum is 1 at v=10, 2 at v=20, 10 at v=30
     assert q25["g1"] == 30.0
+    # tiebreak column must survive the scaled-weight projection
+    # (regression: the scaled-long rewrite dropped it — review r6)
+    rows_tb = [("g1", 1.0, 1.0, "b"), ("g1", 1.0, 1.0, "a"), ("g1", 2.0, 2.0, "c")]
+    df_tb = spark.createDataFrame(rows_tb, "g string, v double, w double, tb string")
+    got = weighted_quantile(df_tb, "g", "v", "w", tiebreak="tb").collect()
+    assert {(r["g"], r["wq_value"], r["total_weight"]) for r in got} == {("g1", 1.0, 4.0)}
 
 
 def test_kcore_keeps_cycles_drops_chains(spark):

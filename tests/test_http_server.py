@@ -172,10 +172,25 @@ def test_sql_endpoint(base_url):
     )
     assert status == 200 and len(rows) == 1
 
+    # a literal ';' inside a string must NOT trip the one-statement check
+    status, rows = _post_any(
+        f"{base_url}/sql",
+        {"query": "SELECT count(*) AS n FROM trains WHERE train_id LIKE '%;%'"},
+    )
+    assert status == 200 and rows == [{"n": 0}]
+
+    # malformed limit -> 400, not a crashed handler
+    status, err = _post_any(f"{base_url}/sql", {"query": "SELECT 1 AS x", "limit": "abc"})
+    assert status == 400 and "limit" in err["error"]
+
     for bad in [
         "DROP VIEW trains",
         "SELECT 1; SELECT 2",
         "INSERT INTO trains VALUES ('x', 0, 0)",
+        # CTE-prefixed DML: starts with WITH, passes a first-token
+        # check, but the parse-tree guard must reject it (review r6)
+        "WITH t AS (SELECT 1 AS x) INSERT OVERWRITE DIRECTORY '/tmp/pwn' USING parquet SELECT * FROM t",
+        "WITH t AS (SELECT 1 AS x) DELETE FROM trains",
         "SELECT nope FROM trains",
         "SELECT * FROM no_such_table",
         "",
