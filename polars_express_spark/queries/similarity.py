@@ -1040,3 +1040,71 @@ def _register_semdedup_oracle() -> None:
 
 
 _register_semdedup_oracle()
+
+
+# ------------------------------------------------------- int8 quantization
+
+
+@query(
+    "q_quantize_int8",
+    oracle="""
+    WITH ex AS (
+      SELECT vec_id, gs.pos AS pos, CAST(embedding[gs.pos] AS DOUBLE) AS v
+      FROM embeddings, unnest(generate_series(1, len(embedding))) gs(pos)
+    ),
+    rng AS (
+      SELECT pos, min(v) AS vmin, max(v) AS vmax FROM ex GROUP BY pos
+    ),
+    q AS (
+      SELECT ex.pos, ex.v, rng.vmin, rng.vmax,
+             CASE WHEN rng.vmax = rng.vmin THEN 0
+                  ELSE CAST(floor((ex.v - rng.vmin)
+                       / ((rng.vmax - rng.vmin) / 255.0) + 0.5) AS BIGINT)
+             END AS code
+      FROM ex JOIN rng USING (pos)
+    )
+    SELECT pos, vmin, vmax,
+           max(abs(v - (vmin + code * ((vmax - vmin) / 255.0)))) AS max_abs_err,
+           CAST(count(*) FILTER (WHERE code = 0 OR code = 255) AS BIGINT)
+             AS n_at_bounds
+    FROM q GROUP BY pos, vmin, vmax ORDER BY pos
+    """,
+)
+def q_quantize_int8(spark, sf_dir):
+    """Per-dimension int8 embedding quantization (§2.10 compression
+    family, the affine-scalar sibling of PQ's codebook route): each
+    dimension gets (min, max) → scale = range/255, codes =
+    floor((v−min)/scale + 0.5) — and the query reports the per-dim
+    DEQUANTIZATION error envelope (max |v − dequant(code)|, which must
+    sit near scale/2) plus saturation counts. max() is order-free on
+    identical doubles, so the whole audit value-hashes with no decimal
+    detour; every arithmetic tree is replayed token-for-token by the
+    oracle. Shape: one explode + two hash aggregates with the 64-row
+    range table broadcast back onto the stream — at 100 TB the range
+    pass is the same one-scan profile every quantizer needs."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos0", "v"),
+    ).select("vec_id", (F.col("pos0") + 1).alias("pos"), "v")
+    rng = ex.groupBy("pos").agg(F.min("v").alias("vmin"), F.max("v").alias("vmax"))
+    scale = (F.col("vmax") - F.col("vmin")) / F.lit(255.0)
+    code = F.when(F.col("vmax") == F.col("vmin"), F.lit(0).cast("bigint")).otherwise(
+        F.floor((F.col("v") - F.col("vmin")) / scale + F.lit(0.5)).cast("bigint")
+    )
+    q = ex.join(F.broadcast(rng), "pos").select(
+        "pos", "v", "vmin", "vmax", code.alias("code")
+    )
+    err = F.abs(
+        F.col("v") - (F.col("vmin") + F.col("code") * ((F.col("vmax") - F.col("vmin")) / F.lit(255.0)))
+    )
+    return (
+        q.groupBy("pos", "vmin", "vmax")
+        .agg(
+            F.max(err).alias("max_abs_err"),
+            F.sum(
+                F.when((F.col("code") == 0) | (F.col("code") == 255), 1).otherwise(0)
+            ).cast("bigint").alias("n_at_bounds"),
+        )
+        .orderBy("pos")
+    )
