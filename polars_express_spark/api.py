@@ -197,7 +197,12 @@ def run_sql(lake: DataLake, query: str, limit: int | None = None) -> list[dict]:
             lake.load(data_id).createOrReplaceTempView(data_id)
             registered.add(data_id)
     try:
+        # execution stays inside the guard too: a view over a since-
+        # deleted path fails at collect time, and the caller should see
+        # 400, not a crashed handler
         df = spark.sql(q)
-    except Exception as e:  # AnalysisException / ParseException → 400
+        return to_json_rows_flagged(df, limit=limit)[0]
+    except BadRequest:
+        raise
+    except Exception as e:  # parse / analysis / execution → 400
         raise BadRequest(f"SQL error: {e}") from e
-    return to_json_rows_flagged(df, limit=limit)[0]
