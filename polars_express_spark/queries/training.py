@@ -655,3 +655,86 @@ def q_logreg_gd(spark, sf_dir):
         F.lit(n).cast("bigint").alias("n_rows"),
         "n_pred_pos",
     )
+
+
+@query(
+    "q_lm_score",
+    oracle="""
+    WITH toked AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS tk
+      FROM documents
+    ),
+    big AS (
+      SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2
+      FROM toked, UNNEST(range(1, len(tk))) AS t(i)
+    ),
+    lm2 AS (
+      SELECT w1, w2, count(*) AS c2 FROM big WHERE doc_id % 2 = 0 GROUP BY 1, 2
+    ),
+    lm1 AS (
+      SELECT w1, count(*) AS c1 FROM big WHERE doc_id % 2 = 0 GROUP BY 1
+    ),
+    scored AS (
+      SELECT b.doc_id,
+             CAST(lm2.c2 AS DOUBLE) / CAST(lm1.c1 AS DOUBLE) AS p
+      FROM big b
+      LEFT JOIN lm2 USING (w1, w2)
+      LEFT JOIN lm1 USING (w1)
+      WHERE b.doc_id % 2 = 1
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(count(p) AS BIGINT) AS n_known,
+           coalesce(min(p), 0.0) AS min_known_prob
+    FROM scored GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q_lm_score(spark, sf_dir):
+    """LM-based quality filtering (§2.10 — the classic perplexity
+    filter, reformulated with EXACT statistics): train a bigram LM on
+    the even-id half of the corpus, score the held-out odd half. Log-
+    likelihood sums need ln(), whose last ulp is libm-dependent — so
+    the registered signals are the order-free exact ones a filter
+    actually thresholds on: per-doc bigram count, KNOWN-transition
+    count (unseen transitions = the strongest garbage signal), and the
+    MINIMUM known transition probability (an exact rational c2/c1 —
+    identical integer division on both engines; min is order-free).
+
+    Scale shape: the LM is vocabulary²-bounded — kilobytes here,
+    broadcast onto the held-out bigram stream; the corpus shuffles only
+    for the per-doc rollup. At 100 TB the LM table is still the small
+    side (token vocab, not corpus) — the standard model-broadcast
+    scoring join."""
+    d = load_table(spark, sf_dir, "documents")
+    toked = d.select(
+        "doc_id",
+        F.filter(F.split(F.trim("text"), r"\s+"), lambda x: x != "").alias("tk"),
+    )
+    n = F.size("tk")
+    big = toked.where(n >= 2).select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.slice("tk", 1, n - 1).alias("w1"),
+                F.slice("tk", 2, n - 1).alias("w2"),
+            )
+        ).alias("b"),
+    ).select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    train = big.where(F.col("doc_id") % 2 == 0)
+    lm2 = train.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    lm1 = train.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    lm = lm2.join(lm1, "w1").select(
+        "w1", "w2", (F.col("c2").cast("double") / F.col("c1").cast("double")).alias("p")
+    )
+    held = big.where(F.col("doc_id") % 2 == 1)
+    scored = held.join(F.broadcast(lm), ["w1", "w2"], "left")
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.count("p").cast("bigint").alias("n_known"),
+            F.coalesce(F.min("p"), F.lit(0.0)).alias("min_known_prob"),
+        )
+        .orderBy("doc_id")
+    )
