@@ -311,3 +311,11 @@ def test_lpa_keyed_joins_only(spark):
     p = plan_of("q_lpa_communities", spark)
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_lm_score_model_broadcasts(spark):
+    """The vocab²-bounded LM table must ride a broadcast onto the
+    held-out bigram stream — the corpus must not shuffle on bigrams."""
+    p = plan_of("q_lm_score", spark)
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
