@@ -1641,3 +1641,112 @@ def q_lpa_communities(spark, sf_dir):
         .select(F.col("label").alias("community"), "n_members", "min_member")
         .orderBy("community")
     )
+
+
+# URL canonicalization: the synthetic corpus has no URL column, so the
+# raw URLs are CONSTRUCTED deterministically from doc fields (same
+# literals both engines, like the NFC suffixes) — the canonicalization
+# chain itself is the demonstrated capability.
+_URL_CASES = [
+    "HTTPS://Example.COM:443/A//B{d}?utm_source=x&b=2&a=1#sec",
+    "http://WWW.Test.ORG:80/path{d}/?z=9&utm_campaign=c&y=1",
+    "https://cdn.Site.net/img//x{d}.png#frag",
+    "http://plain.io/a{d}",
+]
+
+
+@query(
+    "q_url_canonical",
+    oracle=f"""
+    WITH raw AS (
+      SELECT doc_id,
+             CASE CAST(doc_id % 4 AS INT)
+               WHEN 0 THEN 'HTTPS://Example.COM:443/A//B' || CAST(doc_id AS VARCHAR) || '?utm_source=x&b=2&a=1#sec'
+               WHEN 1 THEN 'http://WWW.Test.ORG:80/path' || CAST(doc_id AS VARCHAR) || '/?z=9&utm_campaign=c&y=1'
+               WHEN 2 THEN 'https://cdn.Site.net/img//x' || CAST(doc_id AS VARCHAR) || '.png#frag'
+               ELSE 'http://plain.io/a' || CAST(doc_id AS VARCHAR)
+             END AS url
+      FROM documents
+    ),
+    parts AS (
+      SELECT doc_id, url,
+             lower(regexp_extract(url, '(?i)^(https?)://', 1)) AS scheme,
+             regexp_replace(lower(regexp_extract(url, '(?i)^https?://([^/:?#]+)', 1)),
+                            '^www\\.', '') AS host,
+             regexp_extract(url, '(?i)^https?://[^/?#]*:([0-9]+)', 1) AS port,
+             regexp_extract(url, '(?i)^https?://[^/?#]*(?::[0-9]+)?([^?#]*)', 1) AS path0,
+             regexp_extract(url, '\\?([^#]*)', 1) AS query0
+      FROM raw
+    ),
+    norm AS (
+      SELECT doc_id, url, scheme, host,
+             CASE WHEN port IN ('', '80', '443') THEN '' ELSE ':' || port END AS portp,
+             CASE WHEN regexp_replace(regexp_replace(path0, '/{{2,}}', '/', 'g'),
+                                      '/$', '') = ''
+                  THEN '/'
+                  ELSE regexp_replace(regexp_replace(path0, '/{{2,}}', '/', 'g'),
+                                      '/$', '') END AS path,
+             COALESCE(array_to_string(
+               list_sort(list_filter(
+                 string_split(regexp_replace(query0, '(^|&)utm_[^&]*', '', 'g'), '&'),
+                 x -> x <> '')), '&'), '') AS q
+      FROM parts
+    )
+    SELECT doc_id, url,
+           scheme || '://' || host || portp || path ||
+           CASE WHEN q = '' THEN '' ELSE '?' || q END AS canonical
+    FROM norm ORDER BY doc_id
+    """,
+)
+def q_url_canonical(spark, sf_dir):
+    """URL canonicalization (§2.10 web-corpus family — the normalize
+    step before URL-keyed dedup of a crawled corpus, per the standard
+    rules: lowercase scheme+host, strip www. and default ports,
+    collapse duplicate slashes, drop trailing slash and fragment,
+    remove utm_* tracking params, SORT the remaining query params):
+    every rule is a regex/array expression evaluated identically by
+    Java regex and RE2 (case-insensitivity via inline (?i), explicit
+    'g' on the DuckDB side where Spark replaces all by default), so the
+    full canonical-URL column value-hashes. Zero shuffles — a pure map
+    over the scan; at 100 TB this pipelines into the URL-dedup groupBy
+    that follows it."""
+    d = load_table(spark, sf_dir, "documents")
+    case = (F.col("doc_id") % 4).cast("int")
+    did = F.col("doc_id").cast("string")
+    url = (
+        F.when(case == 0, F.concat(F.lit("HTTPS://Example.COM:443/A//B"), did,
+                                   F.lit("?utm_source=x&b=2&a=1#sec")))
+        .when(case == 1, F.concat(F.lit("http://WWW.Test.ORG:80/path"), did,
+                                  F.lit("/?z=9&utm_campaign=c&y=1")))
+        .when(case == 2, F.concat(F.lit("https://cdn.Site.net/img//x"), did,
+                                  F.lit(".png#frag")))
+        .otherwise(F.concat(F.lit("http://plain.io/a"), did))
+    )
+    raw = d.select("doc_id", url.alias("url"))
+    u = F.col("url")
+    scheme = F.lower(F.regexp_extract(u, r"(?i)^(https?)://", 1))
+    host = F.regexp_replace(
+        F.lower(F.regexp_extract(u, r"(?i)^https?://([^/:?#]+)", 1)), r"^www\.", ""
+    )
+    port = F.regexp_extract(u, r"(?i)^https?://[^/?#]*:([0-9]+)", 1)
+    portp = F.when(port.isin("", "80", "443"), F.lit("")).otherwise(
+        F.concat(F.lit(":"), port)
+    )
+    path0 = F.regexp_extract(u, r"(?i)^https?://[^/?#]*(?::[0-9]+)?([^?#]*)", 1)
+    path1 = F.regexp_replace(F.regexp_replace(path0, r"/{2,}", "/"), r"/$", "")
+    path = F.when(path1 == "", F.lit("/")).otherwise(path1)
+    query0 = F.regexp_extract(u, r"\?([^#]*)", 1)
+    q = F.concat_ws(
+        "&",
+        F.array_sort(
+            F.filter(
+                F.split(F.regexp_replace(query0, r"(^|&)utm_[^&]*", ""), "&"),
+                lambda x: x != "",
+            )
+        ),
+    )
+    canonical = F.concat(
+        scheme, F.lit("://"), host, portp, path,
+        F.when(q == "", F.lit("")).otherwise(F.concat(F.lit("?"), q)),
+    )
+    return raw.select("doc_id", "url", canonical.alias("canonical")).orderBy("doc_id")
