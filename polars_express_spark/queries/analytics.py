@@ -873,3 +873,138 @@ def q_interpolate(spark, sf_dir):
         )
         .orderBy("user_id", "event_id")
     )
+
+
+@query(
+    "q_data_contract",
+    oracle="""
+    WITH stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(count(*) - count(o_custkey) AS BIGINT) AS null_cust,
+             CAST(count(*) - count(o_totalprice) AS BIGINT) AS null_price,
+             CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
+             min(o_totalprice) AS min_price,
+             max(o_totalprice) AS max_price,
+             CAST(count(*) FILTER (
+               WHERE o_orderpriority NOT IN
+                 ('1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW')
+             ) AS BIGINT) AS bad_priority
+      FROM orders
+    )
+    SELECT n_rows,
+           n_keys = n_rows AS key_unique_ok,
+           CAST(null_cust AS DOUBLE) / n_rows <= 0.1 AS cust_null_ok,
+           null_price = 0 AS price_required_ok,
+           min_price > 0.0 AS price_positive_ok,
+           max_price < 1000000.0 AS price_bounded_ok,
+           bad_priority = 0 AS priority_domain_ok,
+           CAST(null_cust AS BIGINT) AS n_null_cust,
+           CAST(bad_priority AS BIGINT) AS n_bad_priority
+    FROM stats
+    """,
+)
+def q_data_contract(spark, sf_dir):
+    """Data-contract audit (§2.4 governance family, beside the FK audit
+    and column profile): the expectations a lake enforces at ingest —
+    key uniqueness, required / bounded-null-rate columns, value range,
+    and categorical domain membership — evaluated in ONE scan (one
+    partial→final aggregate; the distinct-key check is the only expand)
+    and emitted as a verdict row of exact counts + booleans. The 100 TB
+    shape of every data-quality framework: push ALL expectations into a
+    single aggregate rather than one scan per rule."""
+    o = load_table(spark, sf_dir, "orders")
+    prio_domain = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    cnt = F.count(F.lit(1))
+    stats = o.agg(
+        cnt.cast("bigint").alias("n_rows"),
+        (cnt - F.count("o_custkey")).cast("bigint").alias("null_cust"),
+        (cnt - F.count("o_totalprice")).cast("bigint").alias("null_price"),
+        F.countDistinct("o_orderkey").cast("bigint").alias("n_keys"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+        F.sum(
+            F.when(~F.col("o_orderpriority").isin(prio_domain), 1).otherwise(0)
+        ).cast("bigint").alias("bad_priority"),
+    )
+    return stats.select(
+        "n_rows",
+        (F.col("n_keys") == F.col("n_rows")).alias("key_unique_ok"),
+        (F.col("null_cust").cast("double") / F.col("n_rows") <= 0.1).alias(
+            "cust_null_ok"
+        ),
+        (F.col("null_price") == 0).alias("price_required_ok"),
+        (F.col("min_price") > 0.0).alias("price_positive_ok"),
+        (F.col("max_price") < 1000000.0).alias("price_bounded_ok"),
+        (F.col("bad_priority") == 0).alias("priority_domain_ok"),
+        F.col("null_cust").alias("n_null_cust"),
+        F.col("bad_priority").alias("n_bad_priority"),
+    )
+
+
+@query(
+    "q_control_chart",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day, CAST(count(*) AS BIGINT) AS n
+      FROM orders GROUP BY 1
+    ),
+    lim AS (
+      SELECT CAST(count(*) AS DOUBLE) AS k,
+             CAST(SUM(n) AS DOUBLE) AS s1,
+             CAST(SUM(n * n) AS DOUBLE) AS s2
+      FROM daily
+    ),
+    z AS (
+      SELECT d.day, d.n,
+             l.s1 / l.k AS mu,
+             sqrt((l.s2 - l.s1 * l.s1 / l.k) / (l.k - 1.0)) AS sigma
+      FROM daily d, lim l
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_days,
+           mu, sigma,
+           CAST(count(*) FILTER (WHERE CAST(n AS DOUBLE) > mu + 3.0 * sigma)
+                AS BIGINT) AS n_above_ucl,
+           CAST(count(*) FILTER (WHERE CAST(n AS DOUBLE) < mu - 3.0 * sigma)
+                AS BIGINT) AS n_below_lcl
+    FROM z GROUP BY mu, sigma
+    """,
+)
+def q_control_chart(spark, sf_dir):
+    """Shewhart control chart over daily order volume (§2.4 monitoring
+    family — the SPC view of pipeline health: flag days outside
+    μ ± 3σ control limits): daily counts are exact integers, their
+    first two moments are exact integer sums (n ≤ ~10⁵/day keeps n²
+    sums far inside int64 at any SF), so μ, σ, and every limit
+    comparison are the IDENTICAL double expressions on both engines —
+    the full verdict row value-hashes. Two partial→final aggregates
+    (days, then limits) with the 1-row limit frame joined back — the
+    monitoring rollup a 100 TB ingest pipeline runs per partition
+    load."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    lim = daily.agg(
+        F.count(F.lit(1)).cast("double").alias("k"),
+        F.sum("n").cast("double").alias("s1"),
+        F.sum(F.col("n") * F.col("n")).cast("double").alias("s2"),
+    )
+    mu = F.col("s1") / F.col("k")
+    sigma = F.sqrt(
+        (F.col("s2") - F.col("s1") * F.col("s1") / F.col("k")) / (F.col("k") - F.lit(1.0))
+    )
+    z = daily.crossJoin(F.broadcast(lim)).select(
+        "day", "n", mu.alias("mu"), sigma.alias("sigma")
+    )
+    nd = F.col("n").cast("double")
+    return (
+        z.groupBy("mu", "sigma")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            F.sum(F.when(nd > F.col("mu") + F.lit(3.0) * F.col("sigma"), 1).otherwise(0))
+            .cast("bigint").alias("n_above_ucl"),
+            F.sum(F.when(nd < F.col("mu") - F.lit(3.0) * F.col("sigma"), 1).otherwise(0))
+            .cast("bigint").alias("n_below_lcl"),
+        )
+        .select("n_days", "mu", "sigma", "n_above_ucl", "n_below_lcl")
+    )
