@@ -39,53 +39,44 @@ def query(name: str, oracle: str | None = None):
 
 # ORDERING = round-rotation for the external harness: it checks the
 # first ~50 entries per round in registration order (confirmed across
-# rounds 1-5), so with >50 registered queries some set is always outside
-# the window. Round-6 priority, three tiers (VERDICT r5 next-step #1):
-# 1. the 31 queries whose latest driver check is r3/r4 (aggregates /
-#    windows / time_windows / setops / extras / multimodal / udtf) —
-#    refreshed under round 5's rewired memo/shingle infrastructure;
-# 2. queries whose implementation CHANGED in round 6: the three as-of
-#    directions (NULL-key match fix) and the five split-long
-#    accumulator rewires outside tier 1;
-# 3. 11 of the queries NEW in round 6 — first-ever driver check; the
-#    additions that no longer fit the window (histogram, rare tokens,
-#    train split, weighted sample, gapfill, merge-on-read, interval
-#    overlap, snapshot diff, profile, group sample, funnel/retention,
-#    text search, fk audit, bpe pairs, lang centroid, bigram LM,
-#    ann pq/ivfpq, the training-encode batch, semdedup, unicode norm)
-#    queue after it and rotate to the front in r7 — every one is
-#    oracle-verified by the pytest mirror at sf0.001 AND sf0.01.
-# Everything after the round-6 additions follows registration order
-# (relational first) — all of it r5-green and unchanged this round.
+# rounds 1-6: CORRECTNESS_r06 has exactly 50 entries), so with >50
+# registered queries some set is always outside the window. Round-7
+# priority (VERDICT r6 next-step #1 — pay down evidence debt): after
+# round 6 grew the registry to 165, 70 queries had never appeared in a
+# driver CORRECTNESS window (all green in the pytest oracle mirror at
+# sf0.001/sf0.01/sf0.1, but never independently hash-checked by the
+# driver). Tier 1 below = the OLDEST-ADDED 50 of those 70, in their
+# original registration order (early-r6 aggregate/window/setops/
+# multimodal extensions first, then the scale/training/analytics
+# batches). Tier 2 = the remaining 20 (the late-r6 stats corpus +
+# similarity additions) — they queue immediately after, and together
+# with any round-7-changed implementations they lead the r8 window.
+# Everything else follows registration order; all of it carries green
+# r5/r6 driver hashes and is unchanged this round.
 _PRIORITY = [
-    # tier 1 — stale evidence (r3/r4)
-    "q03_regression_nullzero", "q04_regression_sql", "q08_tpch_q1",
-    "q09_count_distinct", "q10_stats", "q11_corr_cov", "q22_rollup",
-    "q24_distinct_rows", "q_approx_distinct",
-    "q18_window_rank", "q19_window_lag", "q20_running_sum",
-    "q21_rolling_avg", "q_session_window",
-    "q32_tumbling_window", "q33_sliding_window", "q_session_stats",
-    "q23_union_all", "q23_union_distinct", "q23_intersect", "q23_except",
-    "q18b_window_family", "q22b_cube", "q_pivot", "q_unpivot",
-    "q_from_json", "q_map_fns", "q_percentile_approx",
-    "q_multimodal_meta", "q_multimodal_frames", "q_udtf_links",
-    # tier 2 — implementation changed in round 6: the as-of NULL-key
-    # match fix, and the late-r6 split-long accumulator rewires (the
-    # other moment queries it touched — q04/q08/q10/q11 — are already
-    # tier 1)
-    "q_asof_join", "q_asof_forward", "q_asof_nearest",
-    "q04b_grouped_regression", "q10c_higher_moments", "q_corr_matrix",
-    "q_multireg", "q_weighted_median",
-    # tier 3 — new in round 6, first-ever driver check; the five that
-    # no longer fit the ~50 window (q_histogram, q_rare_tokens,
-    # q_train_split, q_weighted_sample, q_gapfill) plus the very late
-    # additions (training-encode batch, semdedup, unicode-norm) rotate
-    # to the front in r7 — all are oracle-verified by the pytest
-    # mirror at sf0.001/sf0.01 this round
-    "q_range_join", "q_tfidf", "q_chunk_overlap", "q_pack_bins",
-    "q_scd2_merge", "q_embed_pca", "q_pagerank",
-    "q_bloom_prune", "q_cms_tokens", "q_zorder",
-    "q_triangles",
+    # tier 1 — never driver-checked, oldest-added 50 (first driver check)
+    "q22c_grouping_sets", "q10b_grouped_median", "q_outlier_mad",
+    "q21b_range_frame", "q18c_window_dist", "q20b_share_of_total",
+    "q32b_tumbling_distinct", "q23b_except_all", "q23b_intersect_all",
+    "q_multimodal_audio", "q_histogram", "q_rare_tokens",
+    "q_train_split", "q_weighted_sample", "q_grouped_topk",
+    "q_gapfill", "q_merge_on_read", "q_interval_overlap",
+    "q_snapshot_diff", "q_profile", "q_group_sample", "q_incr_agg",
+    "q_hll_union", "q_radius_join", "q_skyline", "q_tokenize_ids",
+    "q_classifier_score", "q_hierarchy", "q_unicode_norm",
+    "q_bpe_train", "q_bpe_encode", "q_logreg_gd", "q_lm_score",
+    "q_funnel", "q_retention", "q_text_search", "q_fk_audit",
+    "q_bpe_pairs", "q_lang_centroid", "q_bigram_lm", "q_gap_detect",
+    "q_skew_profile", "q_funnel_timing", "q_transitions", "q_rfm",
+    "q_streaks", "q_attribution", "q_paa", "q_interpolate",
+    "q_data_contract",
+    # tier 2 — never driver-checked, remaining 20; lead the r8 window
+    "q_control_chart", "q_ks_test", "q_ab_ztest", "q_chi2",
+    "q_market_basket", "q_benford", "q_pmi", "q_ewma",
+    "q_token_entropy", "q_zipf_fit", "q_winsorize", "q_kcore",
+    "q_e2e_curation", "q_pseudonymize", "q_lpa_communities",
+    "q_url_canonical", "q_ann_pq", "q_ann_ivfpq", "q_semdedup",
+    "q_quantize_int8",
 ]
 
 
