@@ -145,17 +145,128 @@ def run_regression(lake: DataLake, data_id: str, x_col: str, y_col: str) -> Regr
 import re as _re
 
 _SQL_IDENT = _re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
-# mutating plan nodes a parsed tree must not contain: Spark's grammar
-# allows CTE-prefixed DML ("WITH t AS (...) INSERT ..."), so a
-# first-token SELECT/WITH check alone is bypassable — the parse-tree
-# scan below is the binding guard
-_SQL_FORBIDDEN = _re.compile(
-    r"Insert|Command|DeleteFrom|UpdateTable|MergeInto|CreateTable"
-    r"|DropTable|AlterTable|ReplaceTable|SetCatalog|CacheTable|WriteTo"
+# Mutating / side-effecting PLAN NODE CLASS names a parsed tree must not
+# contain. Spark's grammar allows CTE-prefixed DML ("WITH t AS (...)
+# INSERT ..."), so a first-token SELECT/WITH check alone is bypassable —
+# the parse-tree walk below is the binding guard. Matching happens
+# against getSimpleName() of each tree node (a closed vocabulary the
+# parser controls), NEVER against the rendered treeString — identifiers
+# a user picks (a column "InsertedAt", a CTE "CommandLog") can appear in
+# the tree string but can't change a node's class.
+_SQL_FORBIDDEN_NODE = _re.compile(
+    r"Insert|Command|Write|Create|Drop|Alter|Replace|Merge|Delete"
+    r"|Update|Cache|Refresh|Load|Analyze|Truncate|Repair|Namespace"
+    r"|Catalog|Identifier|Execute|Call|AddColumns|RenameColumn"
+)
+# Leaf plan nodes are the data sources; anything outside this set (a
+# path-provider relation wrapper, time travel, EXECUTE IMMEDIATE, a
+# future grammar addition) is rejected rather than trusted by default.
+_SQL_SAFE_LEAVES = frozenset(
+    {
+        "OneRowRelation",        # SELECT 1
+        "UnresolvedRelation",    # FROM t            (checked against views)
+        "UnresolvedTableValuedFunction",  # FROM range(...) (allowlisted)
+        "UnresolvedInlineTable", # FROM VALUES ...   (some Spark versions)
+        "LocalRelation",         # FROM VALUES ...   (Spark 4 parses direct)
+    }
+)
+# Table-valued functions that only generate/reshape rows already in the
+# query — no file or catalog access.
+_SQL_SAFE_TVFS = frozenset(
+    {"range", "explode", "explode_outer", "posexplode", "posexplode_outer",
+     "inline", "inline_outer", "stack"}
+)
+# Scalar functions that reach outside the query: JVM reflection executes
+# arbitrary static methods (java.lang.System.getenv, ...); input_file_*
+# leak server-local paths. Matched on the LAST name part so qualified
+# spellings (system.builtin.reflect) can't slip through.
+_SQL_FORBIDDEN_FNS = frozenset(
+    {"reflect", "java_method", "input_file_name",
+     "input_file_block_start", "input_file_block_length"}
 )
 # single-quoted SQL strings ('' is the escaped quote) — blanked before
 # the one-statement check so a literal ';' in data can't false-positive
 _SQL_STR_LIT = _re.compile(r"'(?:[^']|'')*'")
+
+
+def _jseq(s) -> list:
+    """Materialize a py4j-wrapped Scala Seq."""
+    return [s.apply(i) for i in range(s.size())]
+
+
+def _walk_parsed(node, plans: list, exprs: list) -> None:
+    """Collect every plan node and expression in a PARSED (unresolved)
+    logical plan, descending into subquery expressions (scalar / EXISTS /
+    IN / LATERAL all hold a nested plan behind Expression.plan()) and
+    into CTE definitions (Spark 4's UnresolvedWith keeps cteRelations
+    OUT of children(), so a naive child walk never sees what a CTE body
+    reads — the r7 red-team case "WITH t AS (SELECT * FROM
+    text.`/etc/passwd`) SELECT * FROM t")."""
+    plans.append(node)
+    if node.getClass().getSimpleName() == "UnresolvedWith":
+        cr = node.cteRelations()
+        for i in range(cr.size()):
+            _walk_parsed(cr.apply(i)._2(), plans, exprs)
+    for e in _jseq(node.expressions()):
+        _walk_parsed_expr(e, plans, exprs)
+    for c in _jseq(node.children()):
+        _walk_parsed(c, plans, exprs)
+
+
+def _walk_parsed_expr(e, plans: list, exprs: list) -> None:
+    exprs.append(e)
+    try:
+        _walk_parsed(e.plan(), plans, exprs)
+    except Exception:
+        pass  # not a SubqueryExpression — no nested plan
+    for c in _jseq(e.children()):
+        _walk_parsed_expr(c, plans, exprs)
+
+
+def _check_read_only(plan, allowed_views: set[str]) -> None:
+    """Reject any parsed plan that could mutate state, read outside the
+    registered temp views, or call out of the SQL sandbox.
+
+    Guard layers (review r6 — the treeString regex was bypassable by
+    direct-path relations and reflection functions, and false-positived
+    on user identifiers):
+    1. node CLASS names must not match the mutating-node vocabulary;
+    2. every LEAF plan node must be a known-safe source class —
+       unknown leaf = reject (default-deny for grammar we don't model);
+    3. every UnresolvedRelation must be a single-part name resolving to
+       a registered temp view or a CTE defined in this query — so
+       ``FROM parquet.`/path```` / ``FROM text.`/etc/passwd```` (a
+       2-part path-provider identifier) and any catalog escape die here;
+    4. table-valued functions must be on the generate-only allowlist;
+    5. function names (last part) must not be reflection/file escapes.
+    """
+    plans: list = []
+    exprs: list = []
+    _walk_parsed(plan, plans, exprs)
+    allowed = {v.lower() for v in allowed_views}
+    for p in plans:  # CTE names defined anywhere in the query are legal
+        if p.getClass().getSimpleName() == "UnresolvedWith":
+            cr = p.cteRelations()
+            allowed.update(str(cr.apply(i)._1()).lower() for i in range(cr.size()))
+    for p in plans:
+        cls = p.getClass().getSimpleName()
+        if _SQL_FORBIDDEN_NODE.search(cls):
+            raise BadRequest("only read-only queries are accepted")
+        if cls == "UnresolvedRelation":
+            parts = [str(x) for x in _jseq(p.multipartIdentifier())]
+            if len(parts) != 1 or parts[0].lower() not in allowed:
+                raise BadRequest(f"unknown table {'.'.join(parts)!r}")
+        elif cls == "UnresolvedTableValuedFunction":
+            parts = [str(x) for x in _jseq(p.name())]
+            if len(parts) != 1 or parts[0].lower() not in _SQL_SAFE_TVFS:
+                raise BadRequest(f"table function {'.'.join(parts)!r} is not allowed")
+        elif p.children().size() == 0 and cls not in _SQL_SAFE_LEAVES:
+            raise BadRequest("only read-only queries are accepted")
+    for e in exprs:
+        if e.getClass().getSimpleName() == "UnresolvedFunction":
+            parts = [str(x) for x in _jseq(e.nameParts())]
+            if parts and parts[-1].lower() in _SQL_FORBIDDEN_FNS:
+                raise BadRequest(f"function {parts[-1]!r} is not allowed")
 
 
 def run_sql(lake: DataLake, query: str, limit: int | None = None) -> list[dict]:
@@ -166,11 +277,14 @@ def run_sql(lake: DataLake, query: str, limit: int | None = None) -> list[dict]:
     capped JSON sink (same driver-materialization bound as every other
     endpoint).
 
-    Read-only by construction, enforced in TWO layers both applied
-    BEFORE execution: a first-token SELECT/WITH + single-statement
-    check (string literals blanked first), then a parse-only pass
-    whose tree must contain no mutating node — spark.sql() executes
-    commands EAGERLY, so the parse must happen without it.
+    Read-only AND lake-scoped by construction, enforced BEFORE
+    execution: a first-token SELECT/WITH + single-statement check
+    (string literals blanked first), then a parse-only pass whose tree
+    is walked node-by-node (_check_read_only) — spark.sql() executes
+    commands EAGERLY, so the parse must happen without it. Relations
+    are pinned to the lake's registered temp views, so server-local
+    file reads (``FROM text.`/etc/passwd```` and friends) and JVM
+    reflection calls are rejected with 400, not executed.
     Analysis errors (unknown table/column, bad syntax) map to 400."""
     q = query.strip().rstrip(";").strip()
     if ";" in _SQL_STR_LIT.sub("''", q):
@@ -178,14 +292,6 @@ def run_sql(lake: DataLake, query: str, limit: int | None = None) -> list[dict]:
     if not q or q.split(None, 1)[0].upper() not in ("SELECT", "WITH"):
         raise BadRequest("only SELECT/WITH queries are accepted")
     spark = lake.spark
-    try:
-        tree = (
-            spark._jsparkSession.sessionState().sqlParser().parsePlan(q).treeString()
-        )
-    except Exception as e:
-        raise BadRequest(f"SQL error: {e}") from e
-    if _SQL_FORBIDDEN.search(tree):
-        raise BadRequest("only read-only queries are accepted")
     registered = getattr(lake, "_sql_registered", None)
     if registered is None:
         registered = lake._sql_registered = set()
@@ -196,6 +302,11 @@ def run_sql(lake: DataLake, query: str, limit: int | None = None) -> list[dict]:
         if data_id not in registered and _SQL_IDENT.match(data_id):
             lake.load(data_id).createOrReplaceTempView(data_id)
             registered.add(data_id)
+    try:
+        plan = spark._jsparkSession.sessionState().sqlParser().parsePlan(q)
+    except Exception as e:
+        raise BadRequest(f"SQL error: {e}") from e
+    _check_read_only(plan, registered)
     try:
         # execution stays inside the guard too: a view over a since-
         # deleted path fails at collect time, and the caller should see

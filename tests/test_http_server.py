@@ -198,3 +198,67 @@ def test_sql_endpoint(base_url):
         status, err = _post_any(f"{base_url}/sql", {"query": bad})
         assert status == 400, (bad, err)
         assert "error" in err
+
+
+def test_sql_sandbox_escapes_rejected(base_url):
+    """The r6 review's bypasses (and their variants) must all die with
+    400 BEFORE execution: direct-path relations read server-local files,
+    reflection functions call arbitrary JVM statics, and the
+    IDENTIFIER / time-travel / EXECUTE IMMEDIATE grammar reaches
+    relations through leaf nodes the view check can't see inside."""
+    for bad in [
+        # direct-path relations: arbitrary local file reads
+        "SELECT * FROM text.`/etc/passwd`",
+        "SELECT * FROM parquet.`/root/testdata/sf0.001/region.parquet`",
+        "SELECT * FROM json.`/etc/hostname`",
+        "WITH t AS (SELECT * FROM text.`/etc/passwd`) SELECT * FROM t",
+        "SELECT a, (SELECT count(*) FROM text.`/etc/passwd`) AS n FROM plain",
+        # catalog / multipart escapes
+        "SELECT * FROM spark_catalog.default.anything",
+        # JVM reflection — arbitrary static method calls
+        "SELECT java_method('java.lang.System', 'getenv', 'HOME') AS v",
+        "SELECT reflect('java.lang.System', 'getProperty', 'user.dir') AS v",
+        "SELECT system.builtin.reflect('java.lang.System', 'lineSeparator') AS v",
+        # server-local path disclosure
+        "SELECT input_file_name() AS f FROM trains",
+        # leaf-node grammar the view check can't see inside
+        "SELECT * FROM IDENTIFIER('text.`/etc/passwd`')",
+        "SELECT * FROM trains VERSION AS OF 1",
+        "EXECUTE IMMEDIATE 'SELECT 1'",
+        # session / metadata statements
+        "EXPLAIN SELECT 1",
+        "SET spark.sql.ansi.enabled=true",
+        "SHOW TABLES",
+        # file-reading table functions are not on the TVF allowlist
+        "SELECT * FROM read_files('/etc')",
+    ]:
+        status, err = _post_any(f"{base_url}/sql", {"query": bad})
+        assert status == 400, (bad, err)
+        assert "error" in err
+
+
+def test_sql_guard_no_false_positives(base_url):
+    """The guard matches node CLASSES, not identifiers — user names that
+    merely look like forbidden node names (review r6: a CTE
+    'InsertIntoStatementLike', columns 'InsertedAt'/'WriteToken', an
+    alias 'CommandLog') must run fine, as must legitimate multi-CTE,
+    subquery, VALUES, and generate-TVF shapes."""
+    ok = [
+        ("WITH InsertIntoStatementLike AS (SELECT 1 AS x) "
+         "SELECT x FROM InsertIntoStatementLike", [{"x": 1}]),
+        ("SELECT train_id AS InsertedAt, departure_delay AS WriteToken "
+         "FROM trains CommandLog WHERE CommandLog.train_id = 'ICE1'",
+         [{"InsertedAt": "ICE1", "WriteToken": 5.0}]),
+        ("WITH a AS (SELECT 1 AS x), b AS (SELECT x + 1 AS y FROM a) "
+         "SELECT y FROM b", [{"y": 2}]),
+        ("SELECT count(*) AS n FROM trains "
+         "WHERE train_id <> 'DROP TABLE trains'", [{"n": 3}]),
+        ("SELECT count(*) AS n FROM trains t "
+         "WHERE EXISTS (SELECT 1 FROM plain p WHERE p.a = 1)", [{"n": 3}]),
+        ("SELECT a + b AS s FROM VALUES (1, 2) AS v(a, b)", [{"s": 3}]),
+        ("SELECT count(*) AS n FROM range(5)", [{"n": 5}]),
+    ]
+    for q, expect in ok:
+        status, rows = _post_any(f"{base_url}/sql", {"query": q})
+        assert status == 200, (q, rows)
+        assert rows == expect, (q, rows)
