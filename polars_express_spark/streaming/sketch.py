@@ -105,9 +105,20 @@ class StreamingBloomDedup:
         )
 
         batch = batch_df.dropDuplicates([self.key])
-        fresh = batch.where(
-            ~bloom_might_contain(self._bf, self.key)
-            | F.col(self.key).isNull()  # NULL keys pass through untracked
+        # ship the bitmap as a broadcast 1-row FRAME (same shape as
+        # bloom_pruned_join): read from data it's a per-partition
+        # constant, where the inline-array-literal default would rebuild
+        # the m/64-element CreateArray per row (bloom.py:97-102)
+        wdf = batch_df.sparkSession.createDataFrame(
+            [(list(self._bf.words),)], "__bloom_words array<bigint>"
+        )
+        fresh = (
+            batch.crossJoin(F.broadcast(wdf))
+            .where(
+                ~bloom_might_contain(self._bf, self.key, words=F.col("__bloom_words"))
+                | F.col(self.key).isNull()  # NULL keys pass through untracked
+            )
+            .drop("__bloom_words")
         )
         if self._sink_fn is not None:
             self._sink_fn(fresh, batch_id)
