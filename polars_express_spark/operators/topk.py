@@ -38,7 +38,17 @@ def grouped_topk(
     descending: bool = True,
 ) -> DataFrame:
     """Top ``k`` rows per ``keys`` group by ``order_col`` (ties broken by
-    ``tie_cols`` ascending), with bounded map-side state."""
+    ``tie_cols`` ascending), with bounded map-side state.
+
+    Rows with a NULL ``order_col`` are dropped up front: a null has no
+    rank, and leaving it in would make the two phases diverge — pandas
+    ``sort_values`` places NaN/None LAST regardless of the ascending
+    flag, while Spark's window rank (the oracle semantics) places nulls
+    first for ascending — so the map-side prune could keep or drop
+    different rows than the final select. The contract is therefore
+    "window rank over the non-null-ordered rows"; ``tie_cols`` must
+    still be a total order within each (keys, order_col) tie group."""
+    df = df.where(df[order_col].isNotNull())
     sort_cols = [order_col, *tie_cols]
     ascending = [not descending] + [True] * len(tie_cols)
 

@@ -35,15 +35,26 @@ def weighted_quantile(
     q_num: int = 1,
     q_den: int = 2,
     tiebreak: str | None = None,
+    fast4: bool = True,
 ) -> DataFrame:
     """(group, wq_value, total_weight) — lower weighted q-quantile per
     group, q = q_num/q_den. Rows with null value or non-positive weight
     are ignored (they carry no mass). The crossing test is
     cum · q_den ≥ tot · q_num — long×small-integer products, exact on
     every engine (a decimal×decimal 0.5·tot would hit engine-specific
-    precision/scale rules; a double cumsum is partition-order noise). `tiebreak` makes the
-    cum-sum order total when equal values repeat; the result is
-    tiebreak-independent anyway (equal values cross together)."""
+    precision/scale rules; a double cumsum is partition-order noise).
+    `tiebreak` makes the cum-sum order total when equal values repeat;
+    the result is tiebreak-independent anyway (equal values cross
+    together).
+
+    Weight contract: the default ``fast4=True`` path rides the 4-dp
+    scaled-long accumulator (_util.scaled4) — EXACT only for
+    non-negative weights with ≤4 decimal places (token counts, prices,
+    byte sizes). Weights with more precision are silently quantized to
+    4 dp, which can move the crossing point. For arbitrary-precision
+    weights pass ``fast4=False``: the cumulative sums run in
+    decimal(38,12) — exact to 12 dp and still order-free, at the cost
+    of a BigDecimal add per row (~3× on the window stage)."""
     d = df.where(
         F.col(value).isNotNull() & F.col(weight).isNotNull() & (F.col(weight) > 0)
     )
@@ -58,10 +69,15 @@ def weighted_quantile(
     w_tot = Window.partitionBy(group)
     from polars_express_spark.queries._util import scaled4
 
+    w_expr = (
+        scaled4(F.col(weight))
+        if fast4
+        else F.col(weight).cast("decimal(38,12)")
+    )
     carry = [group, value] + ([tiebreak] if tiebreak is not None else [])
     dd = d.select(
         *carry,
-        scaled4(F.col(weight)).alias("__w"),
+        w_expr.alias("__w"),
     ).select(
         group,
         value,
@@ -71,9 +87,12 @@ def weighted_quantile(
     crossed = dd.where(
         F.col("__cum") * F.lit(int(q_den)) >= F.col("__tot") * F.lit(int(q_num))
     )
+    tot = (
+        F.max("__tot").cast("double") / F.lit(float(WEIGHT_SCALE))
+        if fast4
+        else F.max("__tot").cast("double")
+    )
     return crossed.groupBy(group).agg(
         F.min(value).alias("wq_value"),
-        (F.max("__tot").cast("double") / F.lit(float(WEIGHT_SCALE))).alias(
-            "total_weight"
-        ),
+        tot.alias("total_weight"),
     )

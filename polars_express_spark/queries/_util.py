@@ -12,6 +12,8 @@ sums far beyond 100 TB row counts.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -67,10 +69,25 @@ def scaled4(expr: Column) -> Column:
     double error of the scaled product is a few ulps (≪ 0.5), so
     x + 0.5 lands strictly inside (N+0.45, N+0.55) and floor recovers
     the exact integer N — any value close enough to the .5 boundary to
-    diverge would break ROUND too. Non-negative inputs only (floor of
-    x+0.5 is round-half-UP, which differs from half-away-from-zero on
-    negatives); the DuckDB twin keeps ROUND, equal for the same reason."""
-    return F.floor(expr * F.lit(10000.0) + F.lit(0.5)).cast("bigint")
+    diverge would break ROUND too.
+
+    PRECONDITION — non-negative inputs only: floor(x+0.5) is
+    round-half-UP (differs from half-away-from-zero on negatives), and
+    shiftrightunsigned word-splitting of a negative long scrambles all
+    three words, so a signed caller would hash WRONG sums, not raise.
+    With SPARK_GRAFT_DEBUG_ASSERT=1 (set by tests/conftest.py, off in
+    production plans) every value is guarded by a raise_error branch so
+    a future signed caller fails loudly instead. The DuckDB twin keeps
+    ROUND, equal for the same reason. NULLs pass through as NULL either
+    way (they fall out of sums)."""
+    v = F.floor(expr * F.lit(10000.0) + F.lit(0.5)).cast("bigint")
+    if os.environ.get("SPARK_GRAFT_DEBUG_ASSERT") == "1":
+        return F.when((expr >= 0) | expr.isNull(), v).otherwise(
+            F.raise_error(
+                F.lit("scaled4: negative input breaks the split-long contract")
+            ).cast("bigint")
+        )
+    return v
 
 
 def split4_aggs(expr: Column, name: str, scaled: bool = False) -> list[Column]:

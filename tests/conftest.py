@@ -12,6 +12,13 @@ import os
 import duckdb
 import pytest
 
+# run the whole suite with scaled4's negative-input guard armed: any
+# query site feeding signed data to the split-long accumulator fails
+# loudly here instead of hashing wrong sums (production plans stay
+# guard-free / pure codegen — the env var is read at expression-build
+# time, see _util.scaled4)
+os.environ.setdefault("SPARK_GRAFT_DEBUG_ASSERT", "1")
+
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 TABLES = (
     "region",
