@@ -419,13 +419,8 @@ def q_bpe_train(spark, sf_dir):
         .agg(F.countDistinct("s").alias("n"))
         .collect()
     }
-    import pandas as pd
-
     return spark.createDataFrame(
-        pd.DataFrame(
-            [(rnd, a, b, pc, int(n_syms[rnd])) for rnd, a, b, pc in merges],
-            columns=["round", "a", "b", "pair_count", "vocab_symbols_after"],
-        ),
+        [(rnd, a, b, pc, int(n_syms[rnd])) for rnd, a, b, pc in merges],
         "round int, a string, b string, pair_count bigint, vocab_symbols_after bigint",
     ).orderBy("round")
 
