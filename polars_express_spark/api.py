@@ -300,7 +300,15 @@ def run_sql(lake: DataLake, query: str, limit: int | None = None) -> list[dict]:
         # so data overwrites are seen automatically; catalog.save()
         # discards the entry so a schema change re-registers too
         if data_id not in registered and _SQL_IDENT.match(data_id):
-            lake.load(data_id).createOrReplaceTempView(data_id)
+            try:
+                lake.load(data_id).createOrReplaceTempView(data_id)
+            except Exception:  # noqa: BLE001
+                # a dataset MID-OVERWRITE by a concurrent writer can be
+                # momentarily unloadable (schema inference over a
+                # half-written dir) — skip it; it re-registers on the
+                # next request, and a query naming it now gets a clean
+                # analysis-error 400 instead of a crashed handler
+                continue
             registered.add(data_id)
     try:
         plan = spark._jsparkSession.sessionState().sqlParser().parsePlan(q)

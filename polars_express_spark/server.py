@@ -142,11 +142,26 @@ def _make_handler(lake: DataLake):
                 return self._send(400, {"error": str(e)})
             return self._send(200, result, headers=headers)
 
+        def _handle_safely(self, method: str):
+            # last-resort guard: a handler that dies mid-request leaves
+            # the client with a connection reset, not a status code —
+            # under concurrent writes (r7 threaded e2e) transient races
+            # surface here as a clean 500 instead
+            try:
+                self._handle(method)
+            except BrokenPipeError:
+                pass  # client went away; nothing to send
+            except Exception as e:  # noqa: BLE001
+                try:
+                    self._send(500, {"error": f"internal error: {e}"})
+                except Exception:  # noqa: BLE001 — headers already sent
+                    pass
+
         def do_GET(self):  # noqa: N802
-            self._handle("GET")
+            self._handle_safely("GET")
 
         def do_POST(self):  # noqa: N802
-            self._handle("POST")
+            self._handle_safely("POST")
 
     return Handler
 

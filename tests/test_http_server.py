@@ -212,6 +212,9 @@ def test_sql_sandbox_escapes_rejected(base_url):
         "SELECT * FROM parquet.`/root/testdata/sf0.001/region.parquet`",
         "SELECT * FROM json.`/etc/hostname`",
         "WITH t AS (SELECT * FROM text.`/etc/passwd`) SELECT * FROM t",
+        # nested CTE: the inner WITH is an innerChild of the outer one
+        "WITH t AS (WITH u AS (SELECT * FROM text.`/etc/passwd`) "
+        "SELECT * FROM u) SELECT * FROM t",
         "SELECT a, (SELECT count(*) FROM text.`/etc/passwd`) AS n FROM plain",
         # catalog / multipart escapes
         "SELECT * FROM spark_catalog.default.anything",
@@ -262,3 +265,78 @@ def test_sql_guard_no_false_positives(base_url):
         status, rows = _post_any(f"{base_url}/sql", {"query": q})
         assert status == 200, (q, rows)
         assert rows == expect, (q, rows)
+
+
+def test_concurrent_requests_during_overwrite(spark, tmp_path):
+    """r7 hardening (VERDICT r6 #4): fire parallel /sql + /data/*
+    requests while a dataset is overwritten through the same lake.
+    ThreadingHTTPServer + the shared SparkSession + the memo/view
+    registries must never produce a hung handler, a 500, or a STALE
+    read — every response is either a good 200 or (only while the
+    parquet dir is mid-rewrite) a clean 400, and once writes stop the
+    very next /sql sees the final data."""
+    import queue
+
+    d = tmp_path / "conc_lake"
+    d.mkdir()
+    (d / "trains.csv").write_text(TRAINS_CSV)
+    lake = DataLake(spark, str(d))
+    lake.save(spark.range(10).toDF("id"), "metrics", fmt="parquet")
+    srv = make_server(lake, host="127.0.0.1", port=0)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+
+    sizes = [10, 25, 40, 55]  # n rows after each overwrite
+    failures: queue.Queue = queue.Queue()
+    stop = threading.Event()
+
+    def hit_sql():
+        while not stop.is_set():
+            try:
+                status, body = _post_any(
+                    f"{base}/sql", {"query": "SELECT count(*) AS n FROM metrics"}
+                )
+            except Exception as e:  # noqa: BLE001 — a reset = crashed handler
+                failures.put(f"/sql connection-level failure: {e!r}")
+                continue
+            if status == 200:
+                if body[0]["n"] not in sizes:
+                    failures.put(f"/sql saw impossible count {body[0]['n']}")
+            elif status != 400:  # mid-rewrite read → clean 400 is allowed
+                failures.put(f"/sql status {status}: {body}")
+
+    def hit_data():
+        while not stop.is_set():
+            try:
+                status, rows = _get(f"{base}/data/trains/preview?limit=2")
+                if status != 200 or len(rows) != 2:
+                    failures.put(f"/preview bad response {status} {rows}")
+                status, ids = _get(f"{base}/datasets")
+                if status != 200 or "trains" not in ids:
+                    failures.put(f"/datasets bad response {status} {ids}")
+            except Exception as e:  # noqa: BLE001 — collect, don't die mid-thread
+                failures.put(f"/data raised {e}")
+
+    workers = [threading.Thread(target=hit_sql) for _ in range(3)] + [
+        threading.Thread(target=hit_data) for _ in range(2)
+    ]
+    for w in workers:
+        w.start()
+    try:
+        for n in sizes[1:]:  # overwrite under live traffic
+            lake.save(spark.range(n).toDF("id"), "metrics", fmt="parquet")
+    finally:
+        stop.set()
+        for w in workers:
+            w.join(timeout=30)
+    assert all(not w.is_alive() for w in workers), "hung worker thread"
+    probs = []
+    while not failures.empty():
+        probs.append(failures.get())
+    assert not probs, probs
+    # no stale-view window: the first post-mutation query sees the final
+    # dataset (the overwrite cleared the one-registration-per-dataset
+    # cache, so the view re-registers over the new files)
+    status, body = _post_any(f"{base}/sql", {"query": "SELECT count(*) AS n FROM metrics"})
+    assert status == 200 and body == [{"n": sizes[-1]}]
+    srv.shutdown()
