@@ -102,7 +102,13 @@ def all_queries() -> dict[str, QueryFn]:
         similarity,
     )
 
-    ordered = {n: QUERIES[n] for n in _PRIORITY if n in QUERIES}
+    # a typo'd _PRIORITY name would silently demote a real query out of
+    # the driver's check window — fail loudly instead (the list is
+    # hand-rotated every round)
+    unknown = [n for n in _PRIORITY if n not in QUERIES]
+    assert not unknown, f"_PRIORITY names not in the registry: {unknown}"
+    assert len(set(_PRIORITY)) == len(_PRIORITY), "_PRIORITY has duplicates"
+    ordered = {n: QUERIES[n] for n in _PRIORITY}
     ordered.update({n: fn for n, fn in QUERIES.items() if n not in ordered})
     assert len(ordered) == len(QUERIES)
     return ordered

@@ -127,3 +127,52 @@ def test_regression_400_paths(lake):
         api.run_regression(lake, "trains_empty", "scheduled_departure_time", "departure_delay")
     with pytest.raises(api.BadRequest):
         api.run_regression(lake, "const_x", "x", "y")
+
+
+# ---- /sql guard fuzz (r7): class-name matching must never touch
+# user-chosen identifiers, and relation pinning must hold for ANY
+# multipart spelling ----
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+# fragments straight out of the forbidden node vocabulary — an
+# identifier BUILT from them is the worst case for a substring matcher
+_NODEY = [
+    "Insert", "Command", "Write", "Create", "Drop", "Alter", "Merge",
+    "Delete", "Update", "Cache", "Refresh", "Load", "Analyze",
+    "Truncate", "Namespace", "Catalog", "Identifier", "Execute",
+    "Call", "Replace",
+]
+_ident = (
+    st.lists(st.sampled_from(_NODEY), min_size=1, max_size=3)
+    .map("".join)
+    # suffix keeps single fragments from colliding with reserved words
+    # (ANSI mode refuses bare INSERT/DELETE/... as identifiers)
+    .map(lambda s: s + "edAt")
+)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_ident)
+def test_sql_guard_ignores_nodey_identifiers(lake, name):
+    """A CTE, column, and alias all named from forbidden-node fragments
+    must execute — the guard reads node classes, never identifiers."""
+    rows = api.run_sql(
+        lake,
+        f"WITH {name} AS (SELECT 1 AS {name}_c) "
+        f"SELECT {name}_c AS v FROM {name} {name}_alias",
+    )
+    assert rows == [{"v": 1}]
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.sampled_from(["trains", "text", "parquet", "json", "csv", "spark_catalog", "x"]),
+    st.sampled_from(["trains", "`/etc/passwd`", "`/tmp/x`", "y", "default"]),
+)
+def test_sql_guard_rejects_every_multipart_relation(lake, a, b):
+    """No 2-part relation resolves — whatever the parts spell (data
+    source providers, catalogs, quoted paths, even valid view names)."""
+    with pytest.raises(api.BadRequest):
+        api.run_sql(lake, f"SELECT * FROM {a}.{b}")

@@ -857,3 +857,49 @@ def test_grouped_topk_matches_window_rank_replay(spark, rows, k, descending):
     }
     assert got == _py_grouped_topk(rows, k, descending)
     spark.catalog.clearCache()
+
+
+# 8-dp weights: exact under the decimal(38,12) path, quantized (and so
+# potentially WRONG at the crossing) under the default fast path — this
+# suite locks the general path to an integer replay at 1e8 scale
+wq_fine_rows = st.lists(
+    st.tuples(
+        st.integers(0, 2),  # group
+        st.integers(0, 4),  # value (duplicate-heavy)
+        st.integers(1, 300_000_000),  # weight numerator: w = n / 1e8
+    ),
+    min_size=1,
+    max_size=14,
+)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(wq_fine_rows, st.sampled_from([(1, 2), (1, 4), (3, 4)]))
+def test_weighted_quantile_decimal_path_exact_at_8dp(spark, rows, q):
+    from polars_express_spark.operators.weighted import weighted_quantile
+
+    q_num, q_den = q
+    df = spark.createDataFrame(
+        [(g, v, n / 1e8) for g, v, n in rows], "g long, v long, w double"
+    )
+    got = {
+        r["g"]: (r["wq_value"], round(r["total_weight"], 6))
+        for r in weighted_quantile(
+            df.repartition(3), "g", "v", "w", q_num, q_den, fast4=False
+        ).collect()
+    }
+    by_g: dict = {}
+    for g, v, n in rows:
+        by_g.setdefault(g, []).append((v, n))
+    want = {}
+    for g, vw in by_g.items():
+        vw.sort(key=lambda t: t[0])
+        tot = sum(n for _, n in vw)
+        cum = 0
+        for v, n in vw:
+            cum += n
+            if cum * q_den >= tot * q_num:
+                want[g] = (v, round(tot / 1e8, 6))
+                break
+    assert got == want
+    spark.catalog.clearCache()

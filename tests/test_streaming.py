@@ -365,3 +365,28 @@ def test_streaming_bloom_dedup_fixed_memory(spark, tmp_path):
         assert len(acc._bf.words) == (1 << 16) // 64  # state never grows
     finally:
         q.stop()
+
+
+def test_streaming_bloom_probe_broadcasts_bitmap(spark):
+    """r7 plan guard for the broadcast-probe rewire: absorb()'s pruned
+    frame must attach the bitmap as a 1-row broadcast (exactly one BNLJ,
+    the attach) and probe it with bit_get over the frame column —
+    NOT rebuild an m/64-element CreateArray literal per row."""
+    from polars_express_spark.streaming.sketch import StreamingBloomDedup
+
+    plans: list[str] = []
+
+    def capture(fresh, batch_id):
+        plans.append(fresh._jdf.queryExecution().executedPlan().toString())
+        fresh.count()  # drive it so the next absorb's bitmap merge is real
+
+    acc = StreamingBloomDedup("k", num_bits=1 << 16, sink_fn=capture)
+    batch = spark.range(100).selectExpr("concat('u', id % 40) AS k")
+    acc.absorb(batch, 0)
+    acc.absorb(batch, 1)
+    for p in plans:
+        assert "bit_get" in p
+        assert p.count("BroadcastNestedLoopJoin") == 1
+        assert "CartesianProduct" not in p
+        # the 1024-word bitmap must not appear as an expression literal
+        assert p.count(",") < 5000, "bitmap inlined as a giant array literal"
