@@ -24,22 +24,54 @@ from polars_express_spark.operators.cms import cms_update
 class StreamingCms:
     """Driver-held accumulator: dict[(row, bucket)] -> count. Bounded at
     d·w entries by construction — the collect-safe sketch class (same
-    boundary argument as the IVF centroid and Bloom bitmap collects)."""
+    boundary argument as the IVF centroid and Bloom bitmap collects).
+
+    Exactly-once: foreachBatch is AT-LEAST-once — after a checkpoint
+    restart Spark re-delivers the last uncommitted batch — so absorb()
+    is idempotent per batch_id (the standard foreachBatch pattern:
+    batch ids are monotonically increasing and stable across restarts).
+    For restarts of the DRIVER PROCESS itself, snapshot()/restore()
+    round-trip the full accumulator state; persist the snapshot in the
+    same transaction as your sink writes and the sketch resumes exactly
+    (the golden suite proves snapshot → restore → continue ≡ one
+    uninterrupted run)."""
 
     def __init__(self, col: str, depth: int = 4, width: int = 2048):
         self.col, self.depth, self.width = col, depth, width
         self.counters: dict[tuple[int, int], int] = {}
+        self._last_batch: int = -1
 
     def absorb(self, batch_df: DataFrame, batch_id: int) -> None:
-        """foreachBatch hook: fold one micro-batch into the sketch."""
+        """foreachBatch hook: fold one micro-batch into the sketch.
+        A re-delivered batch_id (restart replay) is a no-op."""
+        if batch_id <= self._last_batch:
+            return
         sk = cms_update(batch_df, self.col, depth=self.depth, width=self.width)
         for r in sk.collect():
             k = (r["i"], r["b"])
             self.counters[k] = self.counters.get(k, 0) + r["cnt"]
+        self._last_batch = batch_id
 
     def estimate(self, item_hashes: list[tuple[int, int]]) -> int:
         """Point query over pre-computed (row, bucket) probe positions."""
         return min(self.counters.get(k, 0) for k in item_hashes)
+
+    def snapshot(self) -> dict:
+        """JSON-serializable full state (≤ d·w counter entries)."""
+        return {
+            "col": self.col,
+            "depth": self.depth,
+            "width": self.width,
+            "last_batch": self._last_batch,
+            "counters": [[i, b, c] for (i, b), c in sorted(self.counters.items())],
+        }
+
+    @classmethod
+    def restore(cls, state: dict) -> "StreamingCms":
+        acc = cls(state["col"], depth=state["depth"], width=state["width"])
+        acc.counters = {(i, b): c for i, b, c in state["counters"]}
+        acc._last_batch = state["last_batch"]
+        return acc
 
 
 def stream_cms(
@@ -79,6 +111,13 @@ class StreamingBloomDedup:
     probability ≈ the bloom fp rate — the documented trade for O(m)
     state. Use exact incremental_dedup (streaming/windows.py) when the
     key set fits; use this when it can't.
+
+    Exactly-once: absorb() is idempotent per batch_id (foreachBatch is
+    at-least-once; a restart-replayed batch must not re-emit survivors
+    or re-OR an already-merged bitmap — the merge is idempotent but the
+    SINK call is not). snapshot()/restore() round-trip the bitmap +
+    high-water mark for driver-process restarts; persist alongside the
+    sink transaction.
     """
 
     def __init__(
@@ -94,6 +133,33 @@ class StreamingBloomDedup:
         # default driver list is the golden-test convenience only
         self._sink_fn = sink_fn
         self.survivors: list = []
+        self._last_batch: int = -1
+
+    def snapshot(self) -> dict:
+        """JSON-serializable full state (m/64 longs + params)."""
+        return {
+            "key": self.key,
+            "num_bits": self._bf.num_bits,
+            "num_hashes": self._bf.num_hashes,
+            "last_batch": self._last_batch,
+            "words": list(self._bf.words),
+        }
+
+    @classmethod
+    def restore(cls, state: dict, sink_fn=None) -> "StreamingBloomDedup":
+        from polars_express_spark.operators.bloom import BloomFilter
+
+        acc = cls(
+            state["key"],
+            num_bits=state["num_bits"],
+            num_hashes=state["num_hashes"],
+            sink_fn=sink_fn,
+        )
+        acc._bf = BloomFilter(
+            tuple(state["words"]), state["num_bits"], state["num_hashes"]
+        )
+        acc._last_batch = state["last_batch"]
+        return acc
 
     def absorb(self, batch_df: DataFrame, batch_id: int) -> None:
         from pyspark.sql import functions as F
@@ -104,6 +170,8 @@ class StreamingBloomDedup:
             bloom_might_contain,
         )
 
+        if batch_id <= self._last_batch:  # restart replay — already folded
+            return
         batch = batch_df.dropDuplicates([self.key])
         # ship the bitmap as a broadcast 1-row FRAME (same shape as
         # bloom_pruned_join): read from data it's a per-partition
@@ -129,6 +197,7 @@ class StreamingBloomDedup:
         )
         merged = tuple(a | b for a, b in zip(self._bf.words, add.words))
         self._bf = BloomFilter(merged, self._bf.num_bits, self._bf.num_hashes)
+        self._last_batch = batch_id
 
 
 def stream_bloom_dedup(

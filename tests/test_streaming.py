@@ -390,3 +390,57 @@ def test_streaming_bloom_probe_broadcasts_bitmap(spark):
         assert "CartesianProduct" not in p
         # the 1024-word bitmap must not appear as an expression literal
         assert p.count(",") < 5000, "bitmap inlined as a giant array literal"
+
+
+def test_streaming_sketch_exactly_once_and_restart(spark):
+    """r7: foreachBatch is AT-LEAST-once (a restart re-delivers the last
+    uncommitted batch), so both accumulators must treat a replayed
+    batch_id as a no-op — same counters, same bitmap, NO duplicate sink
+    emission — and snapshot → JSON round-trip → restore → continue must
+    equal one uninterrupted run."""
+    import json
+
+    from polars_express_spark.streaming.sketch import (
+        StreamingBloomDedup,
+        StreamingCms,
+    )
+
+    b0 = spark.range(60).selectExpr("concat('u', id % 30) AS k")
+    b1 = spark.range(60).selectExpr("concat('u', (id % 30) + 20) AS k")
+
+    # --- CMS ---
+    cms = StreamingCms("k", depth=4, width=64)
+    cms.absorb(b0, 0)
+    once = dict(cms.counters)
+    cms.absorb(b0, 0)  # restart replay
+    assert cms.counters == once
+    cms.absorb(b1, 1)
+    cms2 = StreamingCms("k", depth=4, width=64)
+    cms2.absorb(b0, 0)
+    snap = json.loads(json.dumps(cms2.snapshot()))  # proves serializable
+    cms3 = StreamingCms.restore(snap)
+    cms3.absorb(b0, 0)  # replayed after the restore → no-op
+    cms3.absorb(b1, 1)
+    assert cms3.counters == cms.counters and cms3.counters
+
+    # --- Bloom dedup ---
+    def sink_to(log):
+        return lambda df, b: log.append((b, sorted(r["k"] for r in df.collect())))
+
+    seen: list = []
+    bd = StreamingBloomDedup("k", num_bits=1 << 14, sink_fn=sink_to(seen))
+    bd.absorb(b0, 0)
+    words_after0 = bd._bf.words
+    bd.absorb(b0, 0)  # restart replay: no re-emit, no state change
+    assert len(seen) == 1 and bd._bf.words == words_after0
+    bd.absorb(b1, 1)
+
+    seen2: list = []
+    bd2 = StreamingBloomDedup("k", num_bits=1 << 14, sink_fn=sink_to(seen2))
+    bd2.absorb(b0, 0)
+    snap = json.loads(json.dumps(bd2.snapshot()))
+    bd3 = StreamingBloomDedup.restore(snap, sink_fn=sink_to(seen2))
+    bd3.absorb(b0, 0)  # replay after restore
+    bd3.absorb(b1, 1)
+    assert bd3._bf.words == bd._bf.words
+    assert seen2 == seen
