@@ -23,6 +23,11 @@ Routes and semantics:
   POST /data/<id>/regression      → body {"x_col","y_col"}; response
                                     {"slope","intercept","r2"} with r2
                                     null when SStot=0 (src/main.rs:198-202)
+  POST /sql                       → body {"query","limit"?}; read-only
+                                    lake-scoped SQL (api.run_sql — parsed-
+                                    plan sandbox), rows as JSON (no
+                                    reference analog; fed by the UI's
+                                    SQL console panel)
 
 Preview and delays responses carry an X-Truncated header: "true" when
 the MAX_SINK_ROWS cap (sinks.py) clamped the result, "false" when the

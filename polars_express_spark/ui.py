@@ -19,6 +19,10 @@ rather than transcribed:
   surfaced as a visible notice, so a capped result is distinguishable
   from a complete one — the reference returns whole tables and has no
   such state.
+- A fourth panel (r7) drives the engine-native POST /sql route: a
+  read-only SQL console over the lake's temp views, rendering rows
+  through the same table renderer; guard rejections (api.py
+  _check_read_only) surface as the server's 400 error text.
 
 Kept deliberately dependency-free (vanilla JS, no framework) so the
 server stays a stdlib-only component, like the reference's const-string
@@ -95,6 +99,17 @@ INDEX_HTML = """<!DOCTYPE html>
   <label>y column <input id="rg-y" placeholder="e.g. arrival_delay"></label>
   <button id="rg-go">Fit</button>
   <div id="rg-out"></div>
+</fieldset>
+
+<fieldset>
+  <legend>SQL (read-only)</legend>
+  <label style="display:block; margin-bottom:0.4rem">query
+    <textarea id="sq-q" rows="3" style="width:100%; box-sizing:border-box"
+      placeholder="SELECT ... FROM <dataset id> ... — every lake dataset is a view"></textarea>
+  </label>
+  <label>row limit <input id="sq-limit" type="number" value="100" min="1"></label>
+  <button id="sq-go">Run</button>
+  <div id="sq-out"></div>
 </fieldset>
 
 <script>
@@ -179,6 +194,30 @@ $("rg-go").addEventListener("click", async () => {
   pre.textContent = Object.entries(r.body)
     .map(([k, v]) => k + " = " + (v === null ? "null" : v)).join("\\n");
   $("rg-out").replaceChildren(pre);
+});
+
+$("sq-go").addEventListener("click", async () => {
+  const q = $("sq-q").value.trim();
+  const out = $("sq-out");
+  if (!q) { note(out, "enter a SELECT query", "error"); return; }
+  note(out, "running…");
+  let res;
+  try {
+    res = await fetch("/sql", {
+      method: "POST",
+      headers: { "Content-Type": "application/json" },
+      body: JSON.stringify({ query: q, limit: Number($("sq-limit").value) || null }),
+    });
+  } catch (err) {
+    note(out, "request failed: " + err, "error");
+    return;
+  }
+  const body = await res.json().catch(() => ({}));
+  if (!res.ok) {
+    note(out, "HTTP " + res.status + (body.error ? " — " + body.error : ""), "error");
+    return;
+  }
+  renderRows(out, body, false);
 });
 
 (async () => {

@@ -67,7 +67,7 @@ def test_ui_round_trip(base_url):
     with urllib.request.urlopen(base_url + "/") as r:
         page = r.read().decode()
     assert r.headers["Content-Type"].startswith("text/html")
-    for path in ("/datasets", "/preview?", "/delays?", "/regression"):
+    for path in ("/datasets", "/preview?", "/delays?", "/regression", "/sql"):
         assert path in page, f"page lost its {path} fetch path"
     # 1. picker load
     status, ids = _get(base_url + "/datasets")
@@ -84,6 +84,12 @@ def test_ui_round_trip(base_url):
         {"x_col": "departure_delay", "y_col": "arrival_delay"},
     )
     assert status == 200 and set(reg) == {"slope", "intercept", "r2"}
+    # 5. the SQL console POST (r7 panel), exactly as the page sends it
+    status, rows = _post(
+        base_url + "/sql",
+        {"query": "SELECT train_id FROM trains ORDER BY train_id", "limit": 2},
+    )
+    assert status == 200 and [r["train_id"] for r in rows] == ["ICE1", "ICE2"]
 
 
 def test_truncation_header(base_url):
