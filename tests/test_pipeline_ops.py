@@ -261,6 +261,28 @@ def _make_gif(w, h):
     return b"GIF89a" + struct.pack("<HHBBB", w, h, 0, 0, 0) + b"\x3b"
 
 
+def _make_jpeg(w, h, components=3, sof=0xC0, app1_exif=False):
+    """A structurally valid JPEG header stream built with stdlib struct:
+    SOI, APP0/APP1, a DQT, the SOFn frame header carrying the
+    dimensions, then SOS + EOI. Entropy data is irrelevant to header
+    metadata (ITU T.81 §B.2.2), so the parser must find the dims without
+    any codec."""
+    import struct
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    out = b"\xff\xd8"  # SOI
+    if app1_exif:  # EXIF-first files (every phone camera)
+        out += seg(0xE1, b"Exif\x00\x00" + b"\x00" * 20)
+    out += seg(0xE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, b"\x00" + bytes(64))  # DQT
+    sof_body = struct.pack(">BHHB", 8, h, w, components) + bytes(3 * components)
+    out += seg(sof, sof_body)
+    out += seg(0xDA, b"\x01\x01\x00\x00\x3f\x00")  # SOS
+    return out + b"\xd2\xcf\x20" + b"\xff\xd9"  # entropy bytes + EOI
+
+
 def test_multimodal_real_decode_header_formats(spark):
     """REAL (not fake) metadata decode for PNG/BMP/GIF: valid files
     generated with the stdlib, dimensions recovered from header bytes by
@@ -274,6 +296,11 @@ def test_multimodal_real_decode_header_formats(spark):
         (3, _make_bmp(64, 48), 64, 48, 3),
         (4, _make_gif(12, 9), 12, 9, 3),
         (5, _make_bmp_core(7, 11), 7, 11, 3),
+        # r7: JPEG dims from the SOFn marker walk (no codec): baseline,
+        # progressive (SOF2) behind an EXIF APP1, and grayscale
+        (6, _make_jpeg(320, 240), 320, 240, 3),
+        (7, _make_jpeg(99, 66, sof=0xC2, app1_exif=True), 99, 66, 3),
+        (8, _make_jpeg(16, 8, components=1), 16, 8, 1),
     ]
     d = spark.createDataFrame(
         [(i, bytearray(p)) for i, p, *_ in fixtures], "doc_id long, payload binary"
@@ -283,6 +310,32 @@ def test_multimodal_real_decode_header_formats(spark):
         r = got[doc_id]
         assert (r["width"], r["height"], r["channels"]) == (w, h, ch), doc_id
         assert r["byte_len"] == len(payload)
+
+
+def test_multimodal_corrupt_jpeg_rejected(spark):
+    """A truncated / SOF-less JPEG must NOT yield garbage dimensions:
+    the marker walk returns None and (with no codec in this sandbox)
+    decode raises rather than inventing metadata."""
+    from polars_express_spark.functions.multimodal import (
+        decode_media,
+        parse_image_header,
+    )
+
+    sofless = b"\xff\xd8" + b"\xff\xe0\x00\x04\x00\x00" + b"\xff\xd9"  # no SOF
+    truncated = _make_jpeg(64, 64)[:12]
+    assert parse_image_header(sofless) is None
+    assert parse_image_header(truncated) is None
+    assert parse_image_header(b"\xff\xd8\x00\x00garbage") is None
+    import pytest
+
+    d = spark.createDataFrame(
+        [(1, bytearray(sofless))], "doc_id long, payload binary"
+    )
+    with pytest.raises(Exception) as ei:
+        decode_media(d, real_decode=True).collect()
+    assert "NotImplementedError" in str(ei.value) or isinstance(
+        ei.value, NotImplementedError
+    )
 
 
 def test_connected_components_topologies(spark):
