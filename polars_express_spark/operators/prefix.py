@@ -79,3 +79,78 @@ def bucketed_cumsum(
     for c in value_cols:
         out = out.withColumn(f"cum_{c}", F.col(f"__off_{c}") + F.sum(c).over(intra))
     return out.drop("__bkt", *[f"__off_{c}" for c in value_cols])
+
+
+def grouped_bucketed_cumsum(
+    df: DataFrame,
+    group: str,
+    order_col: str,
+    value_col: str,
+    n_buckets: int = 64,
+    bounds: DataFrame | None = None,
+) -> DataFrame:
+    """Per-group running sum — ``SUM(v) OVER (PARTITION BY group ORDER
+    BY order_col)`` — without ever sorting a whole group in one task.
+
+    ``Window.partitionBy(group)`` is the GROUPED twin of the global-
+    window trap above: with few distinct groups (returnflags, splits,
+    languages) the whole input funnels through that many reducer tasks,
+    however many executors exist. Same Blelloch cure, applied within
+    each group: per-(group, value-range-bucket) subtotals, a window
+    over the TINY (group × n_buckets)-row subtotal frame for each
+    bucket's starting offset, then an intra-(group, bucket) running sum
+    — every task sees ~1/n_buckets of its group.
+
+    Caller contract: same as bucketed_cumsum — ``order_col`` must be a
+    total order WITHIN each group (pre-aggregate duplicates first);
+    exactness requires ``value_col`` sums to be associative (longs or
+    decimals, not raw doubles). Bucket bounds derive from each group's
+    own min/max (one tiny aggregate, broadcast back), so skewed groups
+    still split evenly across their own value range. Output: input
+    columns + ``cum_<value_col>``.
+
+    ``bounds`` (optional): a (group, __lo, __hi) frame covering each
+    group's order_col range. When ``df`` sits behind an expensive
+    lineage (a pre-aggregation shuffle), pass bounds computed from the
+    cheap upstream frame — min/max are the same over raw rows as over
+    distinct values, and it saves re-deriving the shuffle for one tiny
+    aggregate. Bounds only steer PARTITIONING, so a covering superset
+    range is always correct.
+    """
+    if bounds is None:
+        bounds = df.groupBy(group).agg(
+            F.min(order_col).alias("__lo"), F.max(order_col).alias("__hi")
+        )
+    width = (F.col("__hi") - F.col("__lo")) / F.lit(n_buckets)
+    b = (
+        df.join(F.broadcast(bounds), group)
+        .withColumn(
+            "__bkt",
+            F.when(F.col("__hi") == F.col("__lo"), F.lit(0)).otherwise(
+                F.least(
+                    F.lit(n_buckets - 1),
+                    F.floor((F.col(order_col) - F.col("__lo")) / width).cast("int"),
+                )
+            ),
+        )
+        .drop("__lo", "__hi")
+    )
+    subtot = b.groupBy(group, "__bkt").agg(F.sum(value_col).alias("__s"))
+    prev = (
+        Window.partitionBy(group).orderBy("__bkt").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = subtot.select(
+        group,
+        "__bkt",
+        F.coalesce(F.sum("__s").over(prev), F.lit(0)).alias("__off"),
+    )
+    intra = (
+        Window.partitionBy(group, "__bkt")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        b.join(F.broadcast(offsets), [group, "__bkt"])
+        .withColumn(f"cum_{value_col}", F.col("__off") + F.sum(value_col).over(intra))
+        .drop("__bkt", "__off")
+    )

@@ -5,19 +5,23 @@ document count).
 
 Definition (lower weighted quantile): for rows (v, w) in a group, the
 q-quantile is the smallest v whose cumulative weight — over rows
-ordered by (v, tiebreak) — reaches q · Σw. Weights ride the exact
-4-dp scaled-long accumulator, so the crossing point is exact, the
-result is an ACTUAL DATA VALUE (no interpolation), and it replays
-identically in SQL.
+ordered by v — reaches q · Σw. Weights ride the exact 4-dp scaled-long
+accumulator, so the crossing point is exact, the result is an ACTUAL
+DATA VALUE (no interpolation), and it replays identically in SQL.
 
-Shape: one sort-window per group (cumulative long sum) + one
-min-aggregate over the crossing rows — the same single-shuffle cost as
-any per-group window; no driver state, no second pass.
+Shape (r7 rebuild): pre-aggregate to distinct (group, value) with
+map-side-combined weight sums — equal values cross together, so this
+loses nothing and removes ties — then the cumulative sum runs through
+the grouped Blelloch two-level prefix scan (operators/prefix.py). The
+previous shape, ``SUM(w) OVER (PARTITION BY group ORDER BY value)``,
+funnels each group through ONE reducer task: with a handful of groups
+(returnflags, languages, splits) a 1000-executor cluster does the sort
+on ~3 cores. Now no task ever sorts more than ~1/n_buckets of a group.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 # weights ride the 4-dp scaled-long contract (_util.scaled4): exact for
@@ -43,56 +47,52 @@ def weighted_quantile(
     cum · q_den ≥ tot · q_num — long×small-integer products, exact on
     every engine (a decimal×decimal 0.5·tot would hit engine-specific
     precision/scale rules; a double cumsum is partition-order noise).
-    `tiebreak` makes the cum-sum order total when equal values repeat;
-    the result is tiebreak-independent anyway (equal values cross
-    together).
+    ``tiebreak`` is accepted for API compatibility but has no effect:
+    the operator pre-aggregates equal values (they cross together), so
+    the internal order is total without it.
 
     Weight contract: the default ``fast4=True`` path rides the 4-dp
     scaled-long accumulator (_util.scaled4) — EXACT only for
     non-negative weights with ≤4 decimal places (token counts, prices,
     byte sizes). Weights with more precision are silently quantized to
     4 dp, which can move the crossing point. For arbitrary-precision
-    weights pass ``fast4=False``: the cumulative sums run in
-    decimal(38,12) — exact to 12 dp and still order-free, at the cost
-    of a BigDecimal add per row (~3× on the window stage)."""
+    weights pass ``fast4=False``: the sums run in decimal(38,12) —
+    exact to 12 dp and still order-free, at the cost of a BigDecimal
+    add per row (~3× on the scan stage)."""
+    from polars_express_spark.operators.prefix import grouped_bucketed_cumsum
+    from polars_express_spark.queries._util import scaled4
+
     d = df.where(
         F.col(value).isNotNull() & F.col(weight).isNotNull() & (F.col(weight) > 0)
     )
-    order = [F.col(value)]
-    if tiebreak is not None:
-        order.append(F.col(tiebreak))
-    w_cum = (
-        Window.partitionBy(group)
-        .orderBy(*order)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    w_tot = Window.partitionBy(group)
-    from polars_express_spark.queries._util import scaled4
-
     w_expr = (
         scaled4(F.col(weight))
         if fast4
         else F.col(weight).cast("decimal(38,12)")
     )
-    carry = [group, value] + ([tiebreak] if tiebreak is not None else [])
-    dd = d.select(
-        *carry,
-        w_expr.alias("__w"),
-    ).select(
-        group,
-        value,
-        F.sum("__w").over(w_cum).alias("__cum"),
-        F.sum("__w").over(w_tot).alias("__tot"),
+    # distinct (group, value) with combined mass: the partial→final agg
+    # is the map-side combine a naive window never gets, and it makes
+    # `value` a total order per group (the prefix-scan contract)
+    base = d.select(group, value, w_expr.alias("__w"))
+    dd = base.groupBy(group, value).agg(F.sum("__w").alias("__w"))
+    # bounds + totals come from the PRE-shuffle frame: min/max and Σw
+    # are identical over raw rows and distinct values (associativity),
+    # and computing them upstream avoids re-deriving dd's shuffle for
+    # two tiny aggregates — each is a map-side-combined scan instead
+    bounds = d.groupBy(group).agg(
+        F.min(value).alias("__lo"), F.max(value).alias("__hi")
     )
-    crossed = dd.where(
-        F.col("__cum") * F.lit(int(q_den)) >= F.col("__tot") * F.lit(int(q_num))
+    cum = grouped_bucketed_cumsum(dd, group, value, "__w", bounds=bounds)
+    tot = base.groupBy(group).agg(F.sum("__w").alias("__tot"))
+    crossed = cum.join(F.broadcast(tot), group).where(
+        F.col("cum___w") * F.lit(int(q_den)) >= F.col("__tot") * F.lit(int(q_num))
     )
-    tot = (
+    tot_out = (
         F.max("__tot").cast("double") / F.lit(float(WEIGHT_SCALE))
         if fast4
         else F.max("__tot").cast("double")
     )
     return crossed.groupBy(group).agg(
         F.min(value).alias("wq_value"),
-        tot.alias("total_weight"),
+        tot_out.alias("total_weight"),
     )

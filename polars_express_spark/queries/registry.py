@@ -71,6 +71,10 @@ _PRIORITY = [
     "q_streaks", "q_attribution", "q_paa", "q_interpolate",
     "q_data_contract",
     # tier 2 — never driver-checked, remaining 20; lead the r8 window
+    # TOGETHER WITH the r7-changed implementation whose driver evidence
+    # went stale: q_weighted_median (grouped-Blelloch rebuild — r6-green
+    # hash, plan changed). q_grouped_topk / q_bpe_train also changed in
+    # r7 but sit in tier 1, so this round's window re-verifies them.
     "q_control_chart", "q_ks_test", "q_ab_ztest", "q_chi2",
     "q_market_basket", "q_benford", "q_pmi", "q_ewma",
     "q_token_entropy", "q_zipf_fit", "q_winsorize", "q_kcore",

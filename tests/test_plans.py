@@ -319,3 +319,22 @@ def test_lm_score_model_broadcasts(spark):
     p = plan_of("q_lm_score", spark)
     assert "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p
+
+
+def test_weighted_median_no_per_group_window_over_base_data(spark):
+    """r7 rebuild: the cumulative weight rides the GROUPED two-level
+    prefix scan — both Windows carry the bucket key in their partition
+    spec (big frame: (group, __bkt); offsets: over the tiny subtotal
+    frame ordered by __bkt), so no task ever sorts a whole group. The
+    old shape, PARTITION BY l_returnflag alone, serialized the engine
+    to 3 reducer tasks however many executors exist."""
+    p = plan_of("q_weighted_median", spark)
+    tree = p.split("\n\n")[0]
+    assert tree.count("Window") == 2
+    import re
+
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", p):
+        assert "__bkt" in spec, f"window not bucket-partitioned: {spec}"
+    # the equal-value pre-aggregation (map-side combine) must exist:
+    # partial+final for (group, value) agg, subtotals, and the totals
+    assert p.count("HashAggregate") >= 6
