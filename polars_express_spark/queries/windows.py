@@ -207,7 +207,16 @@ def q18c_window_dist(spark, sf_dir):
     family): percent_rank and cume_dist — both exact ratios of integer
     rank counts over a TOTAL order (price desc, key), so the doubles
     are identical on both engines — plus nth_value over the full-frame
-    window (the 2nd-highest order per priority)."""
+    window (the 2nd-highest order per priority).
+
+    Scale note: PARTITION BY o_orderpriority has 5 distinct values, so
+    this window runs on 5 reducer tasks whatever the cluster size —
+    acceptable HERE because the query declares the built-in window
+    functions themselves (reference parity). When the per-group rank
+    is the goal rather than the operator demo, use the grouped
+    two-level prefix scan instead (operators/prefix.py:
+    grouped_bucketed_cumsum — rank = cumulative count), which bounds
+    every task at ~1/n_buckets of a group."""
     o = load_table(spark, sf_dir, "orders")
     w = W.partitionBy("o_orderpriority").orderBy(
         F.col("o_totalprice").desc(), F.col("o_orderkey")
@@ -236,7 +245,13 @@ def q20b_share_of_total(spark, sf_dir):
     share of its priority class's revenue — the contribution metric
     behind every share-of-wallet report. The partition denominator is
     a decimal-exact windowed sum, so the division inputs (and hence
-    the emitted doubles) are identical on both engines."""
+    the emitted doubles) are identical on both engines.
+
+    Scale note: at production scale compute the 5-row denominator with
+    groupBy(priority).sum() and broadcast-join it back (one partial→
+    final aggregate + a map-side join) instead of this 5-partition
+    window — kept as the window form here because the query declares
+    the windowed-denominator operator itself."""
     o = load_table(spark, sf_dir, "orders")
     w = W.partitionBy("o_orderpriority")
     denom = F.sum(F.col("o_totalprice").cast("decimal(25,6)")).over(w).cast("double")

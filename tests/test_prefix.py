@@ -91,3 +91,61 @@ def test_split4_sums_match_decimal_reference(spark):
             .collect()[0]["s"]
         )
         assert got == want, f"parts={parts}: {got!r} != {want!r}"
+
+
+def test_grouped_bucketed_cumsum_equals_window(spark):
+    """The grouped scan must equal SUM(v) OVER (PARTITION BY g ORDER BY
+    k) exactly — randomized longs across several groups, negative order
+    keys, a single-value group, and a group with fewer rows than
+    buckets; invariant under repartitioning and bucket count."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from polars_express_spark.operators.prefix import grouped_bucketed_cumsum
+
+    rng = random.Random(11)
+    rows = [
+        (g, k, rng.randrange(0, 10_000))
+        for g in ("a", "b", "c")
+        for k in rng.sample(range(-500, 500), {"a": 400, "b": 3, "c": 1}[g])
+    ]
+    df = spark.createDataFrame(rows, "g string, k long, v long")
+    w = (
+        Window.partitionBy("g")
+        .orderBy("k")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = {
+        (r["g"], r["k"]): r["c"]
+        for r in df.select("g", "k", F.sum("v").over(w).alias("c")).collect()
+    }
+    for parts, n_buckets in ((1, 64), (7, 5)):
+        got = {
+            (r["g"], r["k"]): r["cum_v"]
+            for r in grouped_bucketed_cumsum(
+                df.repartition(parts), "g", "k", "v", n_buckets=n_buckets
+            ).collect()
+        }
+        assert got == want, (parts, n_buckets)
+
+
+def test_grouped_bucketed_cumsum_external_bounds(spark):
+    """A covering bounds frame (computed from a superset range) only
+    changes partitioning, never values."""
+    from pyspark.sql import functions as F
+
+    from polars_express_spark.operators.prefix import grouped_bucketed_cumsum
+
+    df = spark.createDataFrame(
+        [("x", k, 1) for k in range(50)], "g string, k long, v long"
+    )
+    bounds = spark.createDataFrame(
+        [("x", -1000, 1000)], "g string, __lo long, __hi long"
+    )
+    got = {
+        r["k"]: r["cum_v"]
+        for r in grouped_bucketed_cumsum(df, "g", "k", "v", bounds=bounds).collect()
+    }
+    assert got == {k: k + 1 for k in range(50)}
