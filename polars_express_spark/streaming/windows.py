@@ -174,20 +174,61 @@ def run_to_parquet(
     return q
 
 
+def write_batch_idempotent(
+    lake, data_id: str, fmt: str, batch_df: DataFrame, batch_id: int
+) -> None:
+    """Idempotent-per-batch lake write: the batch lands under its own
+    ``__batch_id=<n>`` partition with DYNAMIC partition overwrite, so a
+    restart-replayed batch REPLACES its partition instead of appending
+    duplicates — the standard foreachBatch exactly-once sink pattern
+    (batch ids are monotonic and stable across restarts). The partition
+    column doubles as write lineage for readers."""
+    import os
+
+    from pyspark.sql import functions as F  # noqa: PLC0415 — sink-local
+
+    if fmt not in lake.FORMATS:
+        raise ValueError(f"unsupported format {fmt!r}; one of {lake.FORMATS}")
+    path = os.path.join(lake.base_dir, f"{data_id}.{fmt}")
+    writer = (
+        batch_df.withColumn("__batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__batch_id")
+    )
+    if fmt == "csv":
+        writer = writer.option("header", True)
+    getattr(writer, fmt)(path)
+    lake._invalidate_memos()
+
+
 def stream_append_to_lake(
-    stream_df: DataFrame, lake, data_id: str, checkpoint: str, fmt: str = "parquet"
+    stream_df: DataFrame,
+    lake,
+    data_id: str,
+    checkpoint: str,
+    fmt: str = "parquet",
+    idempotent: bool = True,
 ):
     """foreachBatch sink: append each micro-batch into the DataLake as
     <base>/<id>.<fmt> — the escape hatch for sinks the streaming engine
     has no native writer for (JDBC upserts, REST posts, multi-table
     fan-out). foreachBatch hands the micro-batch over as a BATCH frame,
-    so the full batch writer surface applies; delivery is at-least-once
-    (the batch may re-run on failure before the checkpoint commits), so
-    downstream consumers dedup on a key — exactly the q34/fingerprint
-    machinery — or the sink write is made idempotent per batch_id."""
+    so the full batch writer surface applies.
+
+    Delivery is at-least-once (a batch may re-run on failure before the
+    checkpoint commits). With ``idempotent=True`` (default, r7) each
+    batch writes through write_batch_idempotent — replay replaces the
+    batch's own ``__batch_id`` partition, so the lake never holds
+    duplicates and no reader-side dedup is needed. ``idempotent=False``
+    keeps the plain append; downstream consumers must then dedup on a
+    key — exactly the q34/fingerprint machinery."""
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        lake.save(batch_df, data_id, fmt=fmt, mode="append")
+        if idempotent:
+            write_batch_idempotent(lake, data_id, fmt, batch_df, batch_id)
+        else:
+            lake.save(batch_df, data_id, fmt=fmt, mode="append")
 
     q = (
         stream_df.writeStream.foreachBatch(sink)

@@ -444,3 +444,29 @@ def test_streaming_sketch_exactly_once_and_restart(spark):
     bd3.absorb(b1, 1)
     assert bd3._bf.words == bd._bf.words
     assert seen2 == seen
+
+
+def test_lake_append_sink_idempotent_per_batch(spark, tmp_path):
+    """r7: the foreachBatch lake sink must be replay-safe — re-writing
+    the SAME batch_id (at-least-once restart replay) replaces that
+    batch's partition instead of duplicating rows, while a NEW batch_id
+    appends. Readers see the union of batch partitions exactly once."""
+    from polars_express_spark.catalog import DataLake
+    from polars_express_spark.streaming.windows import write_batch_idempotent
+
+    lake = DataLake(spark, str(tmp_path / "lake"))
+    b0 = spark.range(10).selectExpr("id", "id * 2 AS v")
+    b1 = spark.range(10, 15).selectExpr("id", "id * 2 AS v")
+
+    write_batch_idempotent(lake, "clicks", "parquet", b0, 0)
+    write_batch_idempotent(lake, "clicks", "parquet", b0, 0)  # restart replay
+    got = sorted(r["id"] for r in lake.load("clicks").collect())
+    assert got == list(range(10)), "replayed batch duplicated rows"
+
+    write_batch_idempotent(lake, "clicks", "parquet", b1, 1)  # new batch appends
+    rows = lake.load("clicks").collect()
+    assert sorted(r["id"] for r in rows) == list(range(15))
+    # lineage column maps every row to the batch that wrote it
+    assert {(r["id"] < 10, int(r["__batch_id"])) for r in rows} == {
+        (True, 0), (False, 1)
+    }
