@@ -179,11 +179,27 @@ _SQL_SAFE_TVFS = frozenset(
 # Scalar functions that reach outside the query: JVM reflection executes
 # arbitrary static methods (java.lang.System.getenv, ...); input_file_*
 # leak server-local paths. Matched on the LAST name part so qualified
-# spellings (system.builtin.reflect) can't slip through.
+# spellings (system.builtin.reflect) can't slip through, AFTER stripping
+# one "try_" prefix — Spark 4 ships try_-aliased variants with identical
+# semantics (try_reflect invokes the same arbitrary static method;
+# verified bypass, ADVICE r7), and stripping covers future try_* aliases
+# wholesale. Belt-and-braces: any name CONTAINING "reflect" or starting
+# with "input_file" is also denied, so a renamed alias in a future Spark
+# minor can't reopen the hole without tripping the substring net.
 _SQL_FORBIDDEN_FNS = frozenset(
     {"reflect", "java_method", "input_file_name",
      "input_file_block_start", "input_file_block_length"}
 )
+
+
+def _fn_is_forbidden(name: str) -> bool:
+    base = name.lower()
+    base = base[4:] if base.startswith("try_") else base
+    return (
+        base in _SQL_FORBIDDEN_FNS
+        or "reflect" in base
+        or base.startswith("input_file")
+    )
 # single-quoted SQL strings ('' is the escaped quote) — blanked before
 # the one-statement check so a literal ';' in data can't false-positive
 _SQL_STR_LIT = _re.compile(r"'(?:[^']|'')*'")
@@ -265,7 +281,7 @@ def _check_read_only(plan, allowed_views: set[str]) -> None:
     for e in exprs:
         if e.getClass().getSimpleName() == "UnresolvedFunction":
             parts = [str(x) for x in _jseq(e.nameParts())]
-            if parts and parts[-1].lower() in _SQL_FORBIDDEN_FNS:
+            if parts and _fn_is_forbidden(parts[-1]):
                 raise BadRequest(f"function {parts[-1]!r} is not allowed")
 
 

@@ -39,48 +39,52 @@ def query(name: str, oracle: str | None = None):
 
 # ORDERING = round-rotation for the external harness: it checks the
 # first ~50 entries per round in registration order (confirmed across
-# rounds 1-6: CORRECTNESS_r06 has exactly 50 entries), so with >50
-# registered queries some set is always outside the window. Round-7
-# priority (VERDICT r6 next-step #1 — pay down evidence debt): after
-# round 6 grew the registry to 165, 70 queries had never appeared in a
-# driver CORRECTNESS window (all green in the pytest oracle mirror at
-# sf0.001/sf0.01/sf0.1, but never independently hash-checked by the
-# driver). Tier 1 below = the OLDEST-ADDED 50 of those 70, in their
-# original registration order (early-r6 aggregate/window/setops/
-# multimodal extensions first, then the scale/training/analytics
-# batches). Tier 2 = the remaining 20 (the late-r6 stats corpus +
-# similarity additions) — they queue immediately after, and together
-# with any round-7-changed implementations they lead the r8 window.
-# Everything else follows registration order; all of it carries green
-# r5/r6 driver hashes and is unchanged this round.
+# rounds 1-7: each CORRECTNESS_r* file has exactly 50 entries), so with
+# >50 registered queries some set is always outside the window.
+# Round-8 priority (VERDICT r7 next-steps #1/#2/#7 — clear the evidence
+# debt to zero): r7's window went 49/50 green (the one red,
+# q_tokenize_ids, was a harness-shape failure fixed this round by
+# stringifying its array column), leaving exactly 21 queries without a
+# current driver hash: the 20 tier-2 stats/similarity queries that have
+# never been windowed, plus q_weighted_median whose r6 hash predates the
+# r7 grouped-Blelloch rebuild. Window layout below:
+#   slots 1-3   — changed-this-round / new: q_tokenize_ids (r8 output
+#                 reshape), q_sql_surface (NEW r8 — the /sql endpoint
+#                 path under the hash contract), q_weighted_median
+#                 (r7 rebuild + r8 local-cost tuning);
+#   slots 4-23  — the 20 never-checked tier-2 queries;
+#   slots 24-50 — backfill with the longest-stale r5-hash queries
+#                 (preview/sort, the join block q12–q17, the scalar
+#                 block q25–q31, the dedup/sink/ANN heads) — all
+#                 unchanged code, refreshing three-round-old evidence.
+# Tier "next" = the 18 remaining r5-stale queries, queued to lead r9.
+# Everything else follows registration order with green r6/r7 hashes.
 _PRIORITY = [
-    # tier 1 — never driver-checked, oldest-added 50 (first driver check)
-    "q22c_grouping_sets", "q10b_grouped_median", "q_outlier_mad",
-    "q21b_range_frame", "q18c_window_dist", "q20b_share_of_total",
-    "q32b_tumbling_distinct", "q23b_except_all", "q23b_intersect_all",
-    "q_multimodal_audio", "q_histogram", "q_rare_tokens",
-    "q_train_split", "q_weighted_sample", "q_grouped_topk",
-    "q_gapfill", "q_merge_on_read", "q_interval_overlap",
-    "q_snapshot_diff", "q_profile", "q_group_sample", "q_incr_agg",
-    "q_hll_union", "q_radius_join", "q_skyline", "q_tokenize_ids",
-    "q_classifier_score", "q_hierarchy", "q_unicode_norm",
-    "q_bpe_train", "q_bpe_encode", "q_logreg_gd", "q_lm_score",
-    "q_funnel", "q_retention", "q_text_search", "q_fk_audit",
-    "q_bpe_pairs", "q_lang_centroid", "q_bigram_lm", "q_gap_detect",
-    "q_skew_profile", "q_funnel_timing", "q_transitions", "q_rfm",
-    "q_streaks", "q_attribution", "q_paa", "q_interpolate",
-    "q_data_contract",
-    # tier 2 — never driver-checked, remaining 20; lead the r8 window
-    # TOGETHER WITH the r7-changed implementation whose driver evidence
-    # went stale: q_weighted_median (grouped-Blelloch rebuild — r6-green
-    # hash, plan changed). q_grouped_topk / q_bpe_train also changed in
-    # r7 but sit in tier 1, so this round's window re-verifies them.
+    # slots 1-3 — changed or new this round
+    "q_tokenize_ids", "q_sql_surface", "q_weighted_median",
+    # slots 4-23 — never driver-checked (tier 2 of the r6 backlog)
     "q_control_chart", "q_ks_test", "q_ab_ztest", "q_chi2",
     "q_market_basket", "q_benford", "q_pmi", "q_ewma",
     "q_token_entropy", "q_zipf_fit", "q_winsorize", "q_kcore",
     "q_e2e_curation", "q_pseudonymize", "q_lpa_communities",
     "q_url_canonical", "q_ann_pq", "q_ann_ivfpq", "q_semdedup",
     "q_quantize_int8",
+    # slots 24-50 — oldest r5-hash refresh (unchanged code)
+    "q01_preview", "q02_sort_slice", "q05_filter_project",
+    "q06_cast_arith", "q07_conditional", "q12_inner_join",
+    "q13_multi_join", "q14_left_join", "q14b_right_join",
+    "q14c_full_join", "q15_anti_join", "q15_semi_join",
+    "q16_cross_join", "q17_non_equi_join", "q25_strings", "q26_regex",
+    "q27_dates", "q28_math", "q29_arrays", "q30_json", "q31_nulls",
+    "q34_exact_dedup", "q35_cosine_topk", "q36_token_counts",
+    "q37_json_sink", "q38_write_roundtrip", "q_ann_ivf",
+    # tier next — remaining r5-stale queries; lead the r9 window
+    "q_ann_lsh", "q_decontaminate", "q_dedup_canonical",
+    "q_domain_mix", "q_embed_neardup", "q_fingerprint",
+    "q_heavy_hitters", "q_lang_id", "q_lev_verify", "q_minhash_lsh",
+    "q_neardup_clusters", "q_ngram_jaccard", "q_quality_score",
+    "q_redact_pii", "q_repetition", "q_simhash", "q_stratified_sample",
+    "q_token_count",
 ]
 
 

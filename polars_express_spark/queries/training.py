@@ -62,7 +62,7 @@ def _tokens_with_pos(d):
       WHERE t.pos < {_ENC_MAXLEN}
     )
     SELECT doc_id,
-           list(vid ORDER BY pos) AS ids,
+           array_to_string(list(vid ORDER BY pos), ',') AS ids,
            CAST(len(list(vid)) AS BIGINT) AS n_enc,
            CAST(len(list_filter(list(vid), x -> x = 0)) AS BIGINT) AS n_oov
     FROM enc GROUP BY doc_id ORDER BY doc_id
@@ -105,7 +105,11 @@ def q_tokenize_ids(spark, sf_dir):
         )
         .select(
             "doc_id",
-            "ids",
+            # Stringified (comma-joined) rather than array<bigint>: the
+            # driver's pandas canonicalizer cannot sort/hash container
+            # cells (unhashable list), and this is the registry's only
+            # container-typed output — the CSV form is the contract.
+            F.array_join("ids", ",").alias("ids"),
             F.size("ids").cast("bigint").alias("n_enc"),
             F.size(F.filter("ids", lambda x: x == 0)).cast("bigint").alias("n_oov"),
         )

@@ -156,9 +156,18 @@ def _make_handler(lake: DataLake):
                 self._handle(method)
             except BrokenPipeError:
                 pass  # client went away; nothing to send
-            except Exception as e:  # noqa: BLE001
+            except Exception:  # noqa: BLE001
+                # log server-side only: exception text can carry paths /
+                # Spark internals a client has no business seeing
+                # (ADVICE r7) — the body stays generic
+                import logging
+                import traceback
+
+                logging.getLogger(__name__).error(
+                    "unhandled %s %s: %s", method, self.path, traceback.format_exc()
+                )
                 try:
-                    self._send(500, {"error": f"internal error: {e}"})
+                    self._send(500, {"error": "internal error"})
                 except Exception:  # noqa: BLE001 — headers already sent
                     pass
 

@@ -228,8 +228,13 @@ def test_sql_sandbox_escapes_rejected(base_url):
         "SELECT java_method('java.lang.System', 'getenv', 'HOME') AS v",
         "SELECT reflect('java.lang.System', 'getProperty', 'user.dir') AS v",
         "SELECT system.builtin.reflect('java.lang.System', 'lineSeparator') AS v",
+        # Spark 4 try_-aliased reflection (ADVICE r7: identical semantics,
+        # was NOT in the exact-match denylist) + future-alias substring net
+        "SELECT try_reflect('java.lang.System', 'getenv', 'HOME') AS v",
+        "SELECT try_java_method('java.lang.System', 'getenv', 'HOME') AS v",
         # server-local path disclosure
         "SELECT input_file_name() AS f FROM trains",
+        "SELECT try_input_file_name() AS f FROM trains",
         # leaf-node grammar the view check can't see inside
         "SELECT * FROM IDENTIFIER('text.`/etc/passwd`')",
         "SELECT * FROM trains VERSION AS OF 1",

@@ -1,0 +1,77 @@
+"""Registry-wide output-shape guard (VERDICT r7 next-step #3).
+
+The external driver canonicalizes every query result through pandas
+(``sort_values`` → ``factorize``), which throws ``unhashable type`` on
+container cells — a query can be VALUE-correct yet driver-red purely on
+output shape (r7's q_tokenize_ids: ``array<bigint>`` ids column). This
+guard fails the build before the driver does: every registered query
+must declare a schema of scalar-typed top-level columns only, and those
+scalars must sort under a driver-style pandas canonicalization.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql.types import ArrayType, MapType, StructType
+
+from tests.conftest import SF_DIR
+
+_CONTAINERS = (ArrayType, MapType, StructType)
+
+# one representative value pair per scalar Spark type family — enough to
+# prove the dtype pandas materializes it to is sortable
+_SAMPLES = {
+    "string": ["b", "a"],
+    "binary": [b"b", b"a"],
+    "boolean": [True, False],
+    "date": [pd.Timestamp("2020-01-02").date(), pd.Timestamp("2020-01-01").date()],
+    "timestamp": [pd.Timestamp("2020-01-02"), pd.Timestamp("2020-01-01")],
+    "timestamp_ntz": [pd.Timestamp("2020-01-02"), pd.Timestamp("2020-01-01")],
+    "double": [2.5, 1.5],
+    "float": [2.5, 1.5],
+    "decimal": [2.5, 1.5],
+    "tinyint": [2, 1],
+    "smallint": [2, 1],
+    "int": [2, 1],
+    "bigint": [2, 1],
+    "long": [2, 1],
+}
+
+
+def test_registry_output_shapes_are_driver_safe(spark):
+    """Two assertions per registered query, from ONE lazy plan build
+    (no collect, so the sweep is schema-only):
+
+    1. no top-level array/map/struct column — the driver's pandas
+       canonicalizer cannot sort or hash container cells; queries with
+       genuinely nested results must stringify (q_tokenize_ids:
+       F.array_join) — the string IS the contract;
+    2. every declared scalar type sorts under a driver-style
+       ``sort_values`` canonicalization, probed on a 2-row synthetic
+       frame built from the declared types (data-volume independent).
+    """
+    from polars_express_spark.queries.registry import all_queries
+
+    container_bad, unmodeled = [], []
+    for name, fn in all_queries().items():
+        df = fn(spark, SF_DIR)
+        data = {}
+        for f in df.schema.fields:
+            if isinstance(f.dataType, _CONTAINERS):
+                container_bad.append((name, f.name, f.dataType.simpleString()))
+                continue
+            vals = _SAMPLES.get(f.dataType.simpleString().split("(")[0])
+            if vals is None:
+                unmodeled.append((name, f.name, f.dataType.simpleString()))
+                continue
+            data[f.name] = list(vals)
+        if data:
+            try:
+                pd.DataFrame(data).sort_values(by=list(data))
+            except TypeError as e:  # pragma: no cover — the guard itself
+                pytest.fail(f"{name}: driver canonicalizer would fail: {e}")
+    assert not container_bad, (
+        f"container-typed outputs (driver-incompatible): {container_bad}"
+    )
+    assert not unmodeled, f"unmodeled scalar types (extend _SAMPLES): {unmodeled}"

@@ -69,7 +69,11 @@ def test_tokenize_ids_python_reference(spark, texts):
     tr.load_table, tr._VOCAB_V = (lambda spark, sf_dir, name: d), 3
     try:
         got = {
-            r["doc_id"]: (list(r["ids"]), r["n_enc"], r["n_oov"])
+            r["doc_id"]: (
+                [int(x) for x in r["ids"].split(",")],
+                r["n_enc"],
+                r["n_oov"],
+            )
             for r in tr.q_tokenize_ids(spark, "ignored").collect()
         }
     finally:
