@@ -77,6 +77,8 @@ class DataLake:
             return []
         ids = set()
         for entry in os.listdir(self.base_dir):
+            if entry.endswith(".state.json"):
+                continue  # streaming-accumulator sidecar, not a dataset
             stem, dot, ext = entry.rpartition(".")
             if dot and ext in self.FORMATS and stem:
                 ids.add(stem)

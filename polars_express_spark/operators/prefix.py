@@ -88,6 +88,7 @@ def grouped_bucketed_cumsum(
     value_col: str,
     n_buckets: int = 64,
     bounds: DataFrame | None = None,
+    with_total: bool = False,
 ) -> DataFrame:
     """Per-group running sum — ``SUM(v) OVER (PARTITION BY group ORDER
     BY order_col)`` — without ever sorting a whole group in one task.
@@ -116,6 +117,13 @@ def grouped_bucketed_cumsum(
     distinct values, and it saves re-deriving the shuffle for one tiny
     aggregate. Bounds only steer PARTITIONING, so a covering superset
     range is always correct.
+
+    ``with_total=True`` additionally attaches ``tot_<value_col>`` — each
+    group's grand total Σv — derived from the SAME per-(group, bucket)
+    subtotal frame the offsets come from (one more tiny aggregate +
+    broadcast join), so callers needing cum-vs-total predicates
+    (weighted quantiles, ECDF normalization) never pay a separate
+    full-input aggregation pass for the denominators.
     """
     if bounds is None:
         bounds = df.groupBy(group).agg(
@@ -149,8 +157,12 @@ def grouped_bucketed_cumsum(
         .orderBy(order_col)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    return (
+    out = (
         b.join(F.broadcast(offsets), [group, "__bkt"])
         .withColumn(f"cum_{value_col}", F.col("__off") + F.sum(value_col).over(intra))
         .drop("__bkt", "__off")
     )
+    if with_total:
+        tots = subtot.groupBy(group).agg(F.sum("__s").alias(f"tot_{value_col}"))
+        out = out.join(F.broadcast(tots), group)
+    return out

@@ -58,7 +58,13 @@ def weighted_quantile(
     4 dp, which can move the crossing point. For arbitrary-precision
     weights pass ``fast4=False``: the sums run in decimal(38,12) —
     exact to 12 dp and still order-free, at the cost of a BigDecimal
-    add per row (~3× on the scan stage)."""
+    add per row (~3× on the scan stage). Headroom bound (fast4=False
+    contract): the crossing test multiplies the decimal(38,12) sums by
+    q_den/q_num, so total group weight must stay below ~10^25 / q_den
+    — beyond that the product overflows decimal(38) and (non-ANSI)
+    nulls out the predicate, silently dropping the group. Weights that
+    large should be pre-scaled by the caller (they exceed any physical
+    token/byte mass by orders of magnitude)."""
     from polars_express_spark.operators.prefix import grouped_bucketed_cumsum
     from polars_express_spark.queries._util import scaled4
 
@@ -82,15 +88,20 @@ def weighted_quantile(
     bounds = d.groupBy(group).agg(
         F.min(value).alias("__lo"), F.max(value).alias("__hi")
     )
-    cum = grouped_bucketed_cumsum(dd, group, value, "__w", bounds=bounds)
-    tot = base.groupBy(group).agg(F.sum("__w").alias("__tot"))
-    crossed = cum.join(F.broadcast(tot), group).where(
-        F.col("cum___w") * F.lit(int(q_den)) >= F.col("__tot") * F.lit(int(q_num))
+    # with_total folds Σw into the scan's tiny per-(group, bucket)
+    # subtotal frame — the separate base.groupBy(group) denominator
+    # aggregate this replaced re-scanned the whole filtered input
+    # (r7 ADVICE local-cost item; identical value by associativity)
+    cum = grouped_bucketed_cumsum(
+        dd, group, value, "__w", bounds=bounds, with_total=True
+    )
+    crossed = cum.where(
+        F.col("cum___w") * F.lit(int(q_den)) >= F.col("tot___w") * F.lit(int(q_num))
     )
     tot_out = (
-        F.max("__tot").cast("double") / F.lit(float(WEIGHT_SCALE))
+        F.max("tot___w").cast("double") / F.lit(float(WEIGHT_SCALE))
         if fast4
-        else F.max("__tot").cast("double")
+        else F.max("tot___w").cast("double")
     )
     return crossed.groupBy(group).agg(
         F.min(value).alias("wq_value"),

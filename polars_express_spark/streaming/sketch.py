@@ -219,3 +219,103 @@ def stream_bloom_dedup(
     q = w.start()
     q.processAllAvailable()
     return acc, q
+
+
+# ---------------------------------------------------------------------------
+# Durable accumulator state (r8, VERDICT r7 next-step #6): snapshot()
+# landed in r7 with in-memory goldens only — the missing piece was
+# persisting the snapshot WITH the sink write so a driver-process crash
+# can restore from the lake and continue exactly. The transaction story
+# is ordering + idempotence, not atomicity: the snapshot lands AFTER the
+# batch's idempotent data write, so whichever side a crash falls on, the
+# replayed batch reconciles it —
+#   crash BEFORE the snapshot: restored state has last_batch = k-1, the
+#     replay re-folds batch k and rewrites its (dynamic-overwrite)
+#     partition with identical content;
+#   crash AFTER the snapshot: restored state has last_batch = k, the
+#     replay is an accumulator no-op and the partition rewrite is a
+#     no-op too.
+# Either way the lake and the sketch agree after the replay — the same
+# argument Structured Streaming's own sink/checkpoint pairing makes.
+# ---------------------------------------------------------------------------
+
+
+def _state_path(lake, data_id: str) -> str:
+    import os
+
+    return os.path.join(lake.base_dir, f"{data_id}.state.json")
+
+
+def persist_state(lake, data_id: str, state: dict) -> None:
+    """Atomically persist an accumulator snapshot next to its dataset
+    (<base>/<data_id>.state.json): write-temp + os.replace, so readers
+    never observe a torn file even if the process dies mid-write."""
+    import json
+    import os
+
+    os.makedirs(lake.base_dir, exist_ok=True)
+    path = _state_path(lake, data_id)
+    tmp = f"{path}.tmp"
+    with open(tmp, "w") as f:
+        json.dump(state, f)
+    os.replace(tmp, path)
+
+
+def load_state(lake, data_id: str) -> dict | None:
+    """Read a persisted snapshot, or None if the dataset has none yet."""
+    import json
+
+    try:
+        with open(_state_path(lake, data_id)) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        return None
+
+
+def durable_foreach_batch(lake, data_id: str, acc, fmt: str = "parquet",
+                          write_raw: bool = False):
+    """foreachBatch hook factory pairing an accumulator with the lake:
+    per micro-batch it (1) optionally writes the RAW batch through
+    write_batch_idempotent (for accumulators like StreamingCms that
+    only fold state — survivor-emitting accumulators instead write
+    through their own sink_fn), (2) runs ``acc.absorb``, then (3)
+    persists ``acc.snapshot()`` atomically. See the ordering/idempotence
+    argument above for why this is restart-exact."""
+    from polars_express_spark.streaming.windows import write_batch_idempotent
+
+    def hook(batch_df: DataFrame, batch_id: int) -> None:
+        if write_raw:
+            write_batch_idempotent(lake, data_id, fmt, batch_df, batch_id)
+        acc.absorb(batch_df, batch_id)
+        persist_state(lake, data_id, acc.snapshot())
+
+    return hook
+
+
+def durable_bloom_dedup(lake, data_id: str, key: str, fmt: str = "parquet",
+                        num_bits: int = 1 << 16, num_hashes: int = 5):
+    """(accumulator, hook) for a lake-durable streaming Bloom dedup:
+    survivors land idempotently in ``<data_id>.<fmt>`` partitions, the
+    bitmap snapshot rides ``<data_id>.state.json``, and CONSTRUCTION
+    RESTORES from an existing snapshot — so after a driver crash, simply
+    rebuilding this object over the same lake resumes the stream exactly
+    where the last completed batch left it (golden: crash-at-batch-k →
+    rebuild → replay ≡ one uninterrupted run)."""
+    from polars_express_spark.streaming.windows import write_batch_idempotent
+
+    def sink_fn(df: DataFrame, batch_id: int) -> None:
+        write_batch_idempotent(lake, data_id, fmt, df, batch_id)
+
+    state = load_state(lake, data_id)
+    if state is not None:
+        if state["key"] != key:
+            raise ValueError(
+                f"snapshot at {_state_path(lake, data_id)!r} tracks key "
+                f"{state['key']!r}, not {key!r}"
+            )
+        acc = StreamingBloomDedup.restore(state, sink_fn=sink_fn)
+    else:
+        acc = StreamingBloomDedup(
+            key, num_bits=num_bits, num_hashes=num_hashes, sink_fn=sink_fn
+        )
+    return acc, durable_foreach_batch(lake, data_id, acc, fmt=fmt)

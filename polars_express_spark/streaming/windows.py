@@ -182,7 +182,16 @@ def write_batch_idempotent(
     restart-replayed batch REPLACES its partition instead of appending
     duplicates — the standard foreachBatch exactly-once sink pattern
     (batch ids are monotonic and stable across restarts). The partition
-    column doubles as write lineage for readers."""
+    column doubles as write lineage for readers.
+
+    Layout contract (BREAKING vs the pre-r7 flat append): the dataset
+    becomes Hive-partitioned on ``__batch_id`` and readers see that
+    extra column in the schema. A target already holding FLAT part
+    files (an old flat-append stream, or lake.save appends) is REFUSED
+    — mixing flat files and partition dirs in one directory makes Spark
+    partition discovery reject or misread the dataset (ADVICE r7).
+    Migrate by writing to a fresh dataset id, or keep the legacy layout
+    with ``idempotent=False``."""
     import os
 
     from pyspark.sql import functions as F  # noqa: PLC0415 — sink-local
@@ -190,6 +199,20 @@ def write_batch_idempotent(
     if fmt not in lake.FORMATS:
         raise ValueError(f"unsupported format {fmt!r}; one of {lake.FORMATS}")
     path = os.path.join(lake.base_dir, f"{data_id}.{fmt}")
+    if os.path.isdir(path):
+        flat = [
+            e
+            for e in os.listdir(path)
+            if os.path.isfile(os.path.join(path, e)) and not e.startswith(("_", "."))
+        ]
+        if flat:
+            raise ValueError(
+                f"target {path!r} holds flat (non-partitioned) data files "
+                f"(e.g. {flat[0]!r}); refusing to mix layouts — the idempotent "
+                "sink writes __batch_id=N/ partitions, and Spark partition "
+                "discovery cannot read a directory with both. Use a fresh "
+                "dataset id, or idempotent=False to keep the flat layout."
+            )
     writer = (
         batch_df.withColumn("__batch_id", F.lit(batch_id))
         .write.mode("overwrite")

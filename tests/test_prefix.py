@@ -149,3 +149,34 @@ def test_grouped_bucketed_cumsum_external_bounds(spark):
         for r in grouped_bucketed_cumsum(df, "g", "k", "v", bounds=bounds).collect()
     }
     assert got == {k: k + 1 for k in range(50)}
+
+
+def test_grouped_bucketed_cumsum_with_total(spark):
+    """with_total=True attaches each group's grand total tot_v — equal to
+    the group's last cumulative value on every row — derived from the
+    scan's own subtotal frame (no extra full-input pass)."""
+    import random
+
+    from polars_express_spark.operators.prefix import grouped_bucketed_cumsum
+
+    rng = random.Random(7)
+    rows = [
+        (g, k, rng.randrange(0, 1000))
+        for g in ("a", "b")
+        for k in rng.sample(range(-50, 50), {"a": 40, "b": 2}[g])
+    ]
+    df = spark.createDataFrame(rows, "g string, k long, v long")
+    want_tot = {}
+    for g, _, v in rows:
+        want_tot[g] = want_tot.get(g, 0) + v
+    out = grouped_bucketed_cumsum(
+        df.repartition(5), "g", "k", "v", n_buckets=8, with_total=True
+    ).collect()
+    assert {r["g"] for r in out} == set(want_tot)
+    for r in out:
+        assert r["tot_v"] == want_tot[r["g"]], r
+    # the max cumulative value per group IS the total
+    by_g = {}
+    for r in out:
+        by_g[r["g"]] = max(by_g.get(r["g"], 0), r["cum_v"])
+    assert by_g == want_tot

@@ -470,3 +470,95 @@ def test_lake_append_sink_idempotent_per_batch(spark, tmp_path):
     assert {(r["id"] < 10, int(r["__batch_id"])) for r in rows} == {
         (True, 0), (False, 1)
     }
+
+
+def test_idempotent_sink_refuses_flat_layout(spark, tmp_path):
+    """r8 (ADVICE r7): a target populated by the legacy FLAT append
+    (lake.save / idempotent=False) must be REFUSED by the partitioned
+    idempotent sink — mixing flat part files and __batch_id=N/ dirs in
+    one directory breaks Spark partition discovery. A partitioned
+    target keeps accepting writes."""
+    import pytest
+
+    from polars_express_spark.catalog import DataLake
+    from polars_express_spark.streaming.windows import write_batch_idempotent
+
+    lake = DataLake(spark, str(tmp_path / "lake"))
+    b = spark.range(5).selectExpr("id", "id * 2 AS v")
+    lake.save(b, "legacy", fmt="parquet", mode="append")  # flat layout
+    with pytest.raises(ValueError, match="flat"):
+        write_batch_idempotent(lake, "legacy", "parquet", b, 0)
+    # flat data untouched by the refusal
+    assert sorted(r["id"] for r in lake.load("legacy").collect()) == list(range(5))
+    # partitioned targets continue to accept both replays and new batches
+    write_batch_idempotent(lake, "fresh", "parquet", b, 0)
+    write_batch_idempotent(lake, "fresh", "parquet", b, 1)
+    assert lake.load("fresh").count() == 10
+
+
+def test_durable_bloom_dedup_crash_restore_equals_uninterrupted(spark, tmp_path):
+    """r8 golden (VERDICT r7 next-step #6): the accumulator snapshot is
+    persisted to the lake INSIDE the foreachBatch hook, after the
+    batch's idempotent data write — so killing the driver at batch k and
+    rebuilding from the lake, then replaying batch k (at-least-once),
+    yields the SAME survivors dataset and the SAME bitmap as one
+    uninterrupted run. Both crash positions are exercised: after the
+    full hook (snapshot present) and between the data write and the
+    snapshot (snapshot one batch behind the data)."""
+    from polars_express_spark.catalog import DataLake
+    from polars_express_spark.streaming.sketch import (
+        durable_bloom_dedup,
+        load_state,
+    )
+    from polars_express_spark.streaming.windows import write_batch_idempotent
+
+    batches = [
+        spark.range(60).selectExpr("concat('u', id % 30) AS k"),
+        spark.range(60).selectExpr("concat('u', (id % 30) + 20) AS k"),
+        spark.range(60).selectExpr("concat('u', (id % 30) + 45) AS k"),
+    ]
+
+    def read_sorted(lake):
+        return sorted(
+            (r["k"], int(r["__batch_id"])) for r in lake.load("surv").collect()
+        )
+
+    # uninterrupted twin
+    lake_u = DataLake(spark, str(tmp_path / "lake_u"))
+    acc_u, hook_u = durable_bloom_dedup(lake_u, "surv", key="k", num_bits=1 << 14)
+    for i, b in enumerate(batches):
+        hook_u(b, i)
+
+    # crash AFTER batch 1's full hook (data + snapshot committed)
+    lake_c = DataLake(spark, str(tmp_path / "lake_c"))
+    acc1, hook1 = durable_bloom_dedup(lake_c, "surv", key="k", num_bits=1 << 14)
+    hook1(batches[0], 0)
+    hook1(batches[1], 1)
+    del acc1, hook1  # driver process dies
+    acc2, hook2 = durable_bloom_dedup(lake_c, "surv", key="k", num_bits=1 << 14)
+    assert acc2._last_batch == 1, "construction must restore from the lake"
+    hook2(batches[1], 1)  # at-least-once replay of the last batch
+    hook2(batches[2], 2)
+    assert acc2._bf.words == acc_u._bf.words
+    assert read_sorted(lake_c) == read_sorted(lake_u)
+    assert load_state(lake_c, "surv") == load_state(lake_u, "surv")
+
+    # crash BETWEEN batch 1's data write and its snapshot: simulate by
+    # writing batch 1's survivors directly (as the dead driver did),
+    # with the snapshot still at batch 0
+    lake_m = DataLake(spark, str(tmp_path / "lake_m"))
+    acc3, hook3 = durable_bloom_dedup(lake_m, "surv", key="k", num_bits=1 << 14)
+    hook3(batches[0], 0)
+    snap_b0 = load_state(lake_m, "surv")
+    # the doomed run gets through the data write of batch 1 only
+    surv_b1_frame = spark.createDataFrame(
+        [(k,) for k, b in read_sorted(lake_c) if b == 1], "k string"
+    )
+    write_batch_idempotent(lake_m, "surv", "parquet", surv_b1_frame, 1)
+    assert load_state(lake_m, "surv") == snap_b0  # snapshot lagging — as on crash
+    acc4, hook4 = durable_bloom_dedup(lake_m, "surv", key="k", num_bits=1 << 14)
+    assert acc4._last_batch == 0  # restored one batch behind the data
+    hook4(batches[1], 1)  # replay re-folds and REWRITES the partition
+    hook4(batches[2], 2)
+    assert acc4._bf.words == acc_u._bf.words
+    assert read_sorted(lake_m) == read_sorted(lake_u)
