@@ -562,3 +562,43 @@ def test_durable_bloom_dedup_crash_restore_equals_uninterrupted(spark, tmp_path)
     hook4(batches[2], 2)
     assert acc4._bf.words == acc_u._bf.words
     assert read_sorted(lake_m) == read_sorted(lake_u)
+
+
+def test_durable_cms_raw_write_crash_restore(spark, tmp_path):
+    """r8: the CMS twin of the durable-restore golden — raw batches land
+    idempotently via durable_foreach_batch(write_raw=True), the sketch
+    snapshot rides the same hook; crash after batch k, restore from the
+    lake, replay batch k → counters and lake rows equal an uninterrupted
+    run."""
+    from polars_express_spark.catalog import DataLake
+    from polars_express_spark.streaming.sketch import (
+        StreamingCms,
+        durable_foreach_batch,
+        load_state,
+    )
+
+    batches = [
+        spark.range(50).selectExpr("concat('u', id % 25) AS k"),
+        spark.range(50).selectExpr("concat('u', (id % 25) + 10) AS k"),
+    ]
+
+    lake_u = DataLake(spark, str(tmp_path / "lake_u"))
+    cms_u = StreamingCms("k", depth=4, width=64)
+    hook_u = durable_foreach_batch(lake_u, "raw", cms_u, write_raw=True)
+    for i, b in enumerate(batches):
+        hook_u(b, i)
+
+    lake_c = DataLake(spark, str(tmp_path / "lake_c"))
+    cms1 = StreamingCms("k", depth=4, width=64)
+    hook1 = durable_foreach_batch(lake_c, "raw", cms1, write_raw=True)
+    hook1(batches[0], 0)
+    del cms1, hook1  # crash
+    cms2 = StreamingCms.restore(load_state(lake_c, "raw"))
+    hook2 = durable_foreach_batch(lake_c, "raw", cms2, write_raw=True)
+    hook2(batches[0], 0)  # at-least-once replay — must be a no-op fold
+    hook2(batches[1], 1)
+    assert cms2.counters == cms_u.counters and cms2.counters
+    assert sorted(
+        (r["k"], int(r["__batch_id"])) for r in lake_c.load("raw").collect()
+    ) == sorted((r["k"], int(r["__batch_id"])) for r in lake_u.load("raw").collect())
+    assert load_state(lake_c, "raw") == load_state(lake_u, "raw")
