@@ -81,20 +81,14 @@ def weighted_quantile(
     # `value` a total order per group (the prefix-scan contract)
     base = d.select(group, value, w_expr.alias("__w"))
     dd = base.groupBy(group, value).agg(F.sum("__w").alias("__w"))
-    # bounds + totals come from the PRE-shuffle frame: min/max and Σw
-    # are identical over raw rows and distinct values (associativity),
-    # and computing them upstream avoids re-deriving dd's shuffle for
-    # two tiny aggregates — each is a map-side-combined scan instead
-    bounds = d.groupBy(group).agg(
-        F.min(value).alias("__lo"), F.max(value).alias("__hi")
-    )
-    # with_total folds Σw into the scan's tiny per-(group, bucket)
-    # subtotal frame — the separate base.groupBy(group) denominator
-    # aggregate this replaced re-scanned the whole filtered input
-    # (r7 ADVICE local-cost item; identical value by associativity)
-    cum = grouped_bucketed_cumsum(
-        dd, group, value, "__w", bounds=bounds, with_total=True
-    )
+    # bounds AND totals both derive from dd itself (the scan's defaults /
+    # with_total): AQE reuses dd's shuffle stage across the consumers, so
+    # neither denominator nor bucket bounds re-scan the raw input — one
+    # full-input pass total. (r8; the r7 shape computed bounds and Σw
+    # from the pre-shuffle frame, paying two extra full scans — measured
+    # slower locally and strictly worse at 100 TB, where a reused shuffle
+    # output is cheap and an input re-scan is not.)
+    cum = grouped_bucketed_cumsum(dd, group, value, "__w", with_total=True)
     crossed = cum.where(
         F.col("cum___w") * F.lit(int(q_den)) >= F.col("tot___w") * F.lit(int(q_num))
     )
