@@ -1013,7 +1013,11 @@ def _register_semdedup_oracle() -> None:
       FROM ex JOIN w USING (pos) GROUP BY 1, 2
     ),
     buck AS (
-      SELECT vec_id, SUM(CASE WHEN d >= 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS bucket
+      -- CAST: DuckDB SUM(BIGINT) yields HUGEINT, which pandas lifts to
+      -- float64 — an int64-vs-float64 dtype split against the Spark
+      -- side that survives value equality but flips a dtype-sensitive
+      -- canonicalizer hash (caught by the r8 driver-sim sweep)
+      SELECT vec_id, CAST(SUM(CASE WHEN d >= 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS bucket
       FROM dots GROUP BY vec_id
     ),
     norms AS (SELECT vec_id, CAST(SUM(v*v) AS DOUBLE) AS n2 FROM ex GROUP BY vec_id),

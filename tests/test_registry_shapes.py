@@ -75,3 +75,53 @@ def test_registry_output_shapes_are_driver_safe(spark):
         f"container-typed outputs (driver-incompatible): {container_bad}"
     )
     assert not unmodeled, f"unmodeled scalar types (extend _SAMPLES): {unmodeled}"
+
+
+_SPARK_FAMILY = {
+    "tinyint": "int", "smallint": "int", "int": "int", "bigint": "int",
+    "long": "int", "double": "float", "float": "float", "decimal": "float",
+    "boolean": "bool", "date": "time", "timestamp": "time",
+    "timestamp_ntz": "time", "string": "obj", "binary": "obj",
+}
+
+
+def _pd_family(dtype) -> str:
+    s = str(dtype)
+    if s.startswith(("int", "uint")):
+        return "int"
+    if s.startswith("float"):
+        return "float"
+    if s == "bool":
+        return "bool"
+    if s.startswith("datetime"):
+        return "time"
+    return "obj"
+
+
+def test_oracle_dtypes_match_spark_schema(spark, ddb):
+    """Driver-canonicalizer dtype parity (r8): the oracle result's pandas
+    dtype family must match the Spark schema's for every column — value
+    equality alone is not enough, because e.g. DuckDB SUM(BIGINT) yields
+    HUGEINT which pandas lifts to float64 while Spark emits int64; the
+    values compare equal (5.0 == 5) but a dtype-sensitive external hash
+    splits. Caught live on q_semdedup's bucket column before its first
+    driver check. Spark side is schema-only (lazy); oracles execute at
+    the suite SF. A nullable Spark int arriving as float64-with-NaN on
+    the ORACLE side is also flagged — both engines must agree on how the
+    column materializes."""
+    from polars_express_spark.queries.registry import all_oracles, all_queries
+
+    qs, osql = all_queries(), all_oracles()
+    bad = []
+    for name, sql in osql.items():
+        sfam = {
+            f.name: _SPARK_FAMILY.get(f.dataType.simpleString().split("(")[0], "obj")
+            for f in qs[name](spark, SF_DIR).schema.fields
+        }
+        opdf = ddb.execute(sql).df()
+        for c in opdf.columns:
+            got = _pd_family(opdf[c].dtype)
+            want = sfam.get(c)
+            if want is not None and got != want:
+                bad.append((name, c, f"spark={want}", f"oracle={opdf[c].dtype}"))
+    assert not bad, f"oracle/Spark dtype-family splits: {bad}"
