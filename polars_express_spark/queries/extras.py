@@ -9,6 +9,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from polars_express_spark.catalog import load_table
+from polars_express_spark.operators.quantile import exact_quantile
 from polars_express_spark.queries._util import dsum, sql_dsum
 from polars_express_spark.queries.registry import query
 
@@ -186,11 +187,26 @@ def q_percentile_approx(spark, sf_dir):
     twin, so the query returns the exact median plus a bounded-error
     check (accuracy 10000 → well under the 1% tolerance asserted here)
     that the oracle replays as a constant — a hash-checkable row instead
-    of a rows-only entry."""
+    of a rows-only entry.
+
+    r8: the exact anchor rides exact_quantile (operators/quantile.py,
+    bracketed rank refine — bit-equal to F.percentile) instead of the
+    buffering ``percentile`` aggregate, which materializes the WHOLE
+    ungrouped column in one final task: the global median of a 100 TB
+    column was one executor's heap. Now every pass is a bounded
+    partial→final aggregate and only the ~6n/accuracy bracket rows are
+    ever ranked."""
     li = load_table(spark, sf_dir, "lineitem")
-    approx = F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000))
-    exact = F.percentile("l_extendedprice", F.lit(0.5))
-    return li.agg(
-        exact.alias("exact_median"),
-        (F.abs(approx - exact) <= F.lit(0.01) * exact).alias("within_tol"),
+    approx = li.agg(
+        F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000)).alias(
+            "__approx"
+        )
+    )
+    exact = exact_quantile(li, "l_extendedprice", 0.5, result_col="exact_median")
+    return exact.crossJoin(F.broadcast(approx)).select(
+        "exact_median",
+        (
+            F.abs(F.col("__approx") - F.col("exact_median"))
+            <= F.lit(0.01) * F.col("exact_median")
+        ).alias("within_tol"),
     )

@@ -57,8 +57,11 @@ def query(name: str, oracle: str | None = None):
 #                 (preview/sort, the join block q12–q17, the scalar
 #                 block q25–q31, the dedup/sink/ANN heads) — all
 #                 unchanged code, refreshing three-round-old evidence.
-# Tier "next" = the 18 remaining r5-stale queries, queued to lead r9.
-# Everything else follows registration order with green r6/r7 hashes.
+# Tier "next" = the 18 remaining r5-stale queries PLUS
+# q_percentile_approx (r8 rebuild of its exact anchor on
+# operators/quantile.py — its r6 hash predates the change), queued to
+# lead r9. Everything else follows registration order with green r6/r7
+# hashes.
 _PRIORITY = [
     # slots 1-3 — changed or new this round
     "q_tokenize_ids", "q_sql_surface", "q_weighted_median",
@@ -84,7 +87,7 @@ _PRIORITY = [
     "q_heavy_hitters", "q_lang_id", "q_lev_verify", "q_minhash_lsh",
     "q_neardup_clusters", "q_ngram_jaccard", "q_quality_score",
     "q_redact_pii", "q_repetition", "q_simhash", "q_stratified_sample",
-    "q_token_count",
+    "q_token_count", "q_percentile_approx",
 ]
 
 

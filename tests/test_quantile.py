@@ -1,0 +1,133 @@
+"""exact_quantile (operators/quantile.py): the bracketed three-pass
+exact quantile must be BIT-EQUAL to Spark's buffering ``F.percentile``
+on every path — min/max fallback bracket (small n), GK bracket
+(n ≥ 2·accuracy), grouped and global, ties, NULL values, NULL group
+keys, integer inputs — and its bracket-miss guard must survive the
+optimizer (a prunable guard is no guard)."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from polars_express_spark.operators.quantile import exact_quantile
+
+QS = [0.0, 0.001, 0.25, 0.333, 0.5, 0.9, 0.999, 1.0]
+
+
+def _expected_grouped(df, q):
+    return {
+        r["g"]: r["e"]
+        for r in df.groupBy("g").agg(F.percentile("v", F.lit(q)).alias("e")).collect()
+    }
+
+
+def _got_grouped(df, q, **kw):
+    return {
+        r["g"]: r["quantile"]
+        for r in exact_quantile(df, "v", q, group=["g"], **kw).collect()
+    }
+
+
+def test_matches_percentile_small_n_fallback(spark):
+    """n < 2·accuracy → [min, max] bracket; values with ties, NULLs and
+    NULL group keys, across the q sweep. Bit-equality, no tolerance."""
+    rng = random.Random(7)
+    rows = [
+        (
+            rng.choice(["a", "b", "c", None]),
+            rng.choice([None, round(rng.gauss(0, 10), 2), float(rng.randint(-3, 3))]),
+        )
+        for _ in range(4000)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double").repartition(7)
+    for q in QS:
+        assert _expected_grouped(df, q) == _got_grouped(df, q), f"q={q}"
+        e = df.agg(F.percentile("v", F.lit(q)).alias("e")).collect()[0]["e"]
+        g = exact_quantile(df, "v", q).collect()[0]["quantile"]
+        assert e == g, f"global q={q}"
+
+
+def test_matches_percentile_gk_bracket_path(spark):
+    """accuracy=100 with 20k rows/group forces the GK bracket (the
+    production path); interpolated positions must still be bit-equal."""
+    df = (
+        spark.range(0, 60_000)
+        .select(
+            (F.col("id") % 3).cast("string").alias("g"),
+            (F.rand(seed=11) * 1000).alias("v"),
+        )
+        .localCheckpoint()
+    )
+    for q in (0.123, 0.5, 0.9, 0.999):
+        assert _expected_grouped(df, q, ) == _got_grouped(
+            df, q, accuracy=100
+        ), f"q={q}"
+
+
+def test_integer_values_and_heavy_ties(spark):
+    """Integer column (percentile promotes to double) and a distribution
+    that is almost all ties — the bracket must absorb boundary ties."""
+    df = spark.range(0, 5_000).select(
+        (F.col("id") % 4).alias("g"), (F.col("id") % 7).cast("int").alias("v")
+    )
+    for q in (0.37, 0.5, 0.75):
+        assert _expected_grouped(df, q) == _got_grouped(df, q), f"q={q}"
+
+
+def test_single_row_and_all_equal(spark):
+    one = spark.createDataFrame([("a", 5.0)], "g string, v double")
+    assert _got_grouped(one, 0.5) == {"a": 5.0}
+    same = spark.createDataFrame([("a", 2.0)] * 50, "g string, v double")
+    assert _got_grouped(same, 0.7) == {"a": 2.0}
+
+
+def test_all_null_group_absent(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("b", None)], "g string, v double"
+    )
+    got = _got_grouped(df, 0.5)
+    assert got == {"a": 2.0}  # b has no mass → absent, like groupBy-after-filter
+
+
+def test_q_out_of_range_raises(spark):
+    df = spark.createDataFrame([("a", 1.0)], "g string, v double")
+    with pytest.raises(ValueError):
+        exact_quantile(df, "v", 1.5)
+
+
+def test_guard_survives_the_optimizer(spark):
+    """The bracket-miss raise must still be in the OPTIMIZED plan — a
+    when(c, k).otherwise(k) formulation was simplified away (observed:
+    wrong silent results instead of a raise), so pin the fixed shape."""
+    df = spark.range(0, 1000).select(
+        (F.col("id") % 2).cast("string").alias("g"), F.col("id").cast("double").alias("v")
+    )
+    plan = (
+        exact_quantile(df, "v", 0.5, group=["g"])
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "raise_error" in plan
+
+
+def test_no_full_width_shuffle_of_values(spark):
+    """Scale shape: the only window in the plan runs over the bracket
+    rows (post-filter), and the base relation is aggregated with
+    partial→final aggregates — assert the plan carries the bracket
+    between-filter feeding the window stage."""
+    df = spark.range(0, 100_000).select(
+        (F.col("id") % 5).cast("string").alias("g"),
+        (F.col("id") * 37 % 9973).cast("double").alias("v"),
+    )
+    plan = (
+        exact_quantile(df, "v", 0.5, group=["g"], accuracy=1000)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "percentile_approx" in plan  # GK sketch pass present
+    assert "Window" in plan  # refine window present (bracket-only input)
