@@ -1,10 +1,12 @@
 """Exact quantiles with bounded task memory (bracketed rank refine).
 
-Spark's exact ``percentile`` buffers EVERY value of a group inside one
-aggregation buffer and sorts it in the final merge — a single task holds
-the whole group (OpenHashMap of counts → sorted array). For a global
-median over a 100 TB column, that is one executor materializing the
-column; the same accidental-serialization trap the grouped prefix scan
+Spark's exact ``percentile`` buffers a value→count map (OpenHashMap) of
+every DISTINCT value of a group inside one aggregation buffer and sorts
+it in the final merge. For low-cardinality columns (l_quantity's 50
+values) that is tiny and this operator is overkill; for near-unique
+columns — prices, timestamps, measures — the map IS the column, so a
+global median over 100 TB is one executor materializing it: the same
+accidental-serialization trap the grouped prefix scan
 (operators/prefix.py) removes from running totals.
 
 This operator computes the SAME value — linear-interpolated order
@@ -25,7 +27,7 @@ in three bounded passes:
    ``count(v < lo)`` and ``count(lo ≤ v ≤ hi)`` — plain partial→final
    counts, no buffering.
 3. **Refine** (one pass over bracket rows only): rows inside
-   ``[lo, hi]`` — at most ~6n/accuracy plus ties of the boundary
+   ``[lo, hi]`` — at most ~8n/accuracy plus ties of the boundary
    values — are pre-aggregated to distinct (group, value, count), then
    a per-group window over that tiny frame converts bracket-local
    cumulative counts to GLOBAL ranks via the pass-2 anchor. The two
@@ -34,7 +36,7 @@ in three bounded passes:
    computed in double exactly as Spark's Percentile does.
 
 Task memory is bounded by the bracket's distinct-value count
-(~6n/accuracy), tunable independently of data size — at 100 TB, raise
+(~8n/accuracy), tunable independently of data size — at 100 TB, raise
 ``accuracy`` so the bracket stays executor-sized; every other stage is
 a constant-state streaming aggregate.
 
@@ -80,8 +82,15 @@ def exact_quantile(
     group, as in groupBy.
 
     ``accuracy`` trades bracket size for sketch size: the refine stage
-    touches ~6n/accuracy rows (plus ties of the two boundary values),
+    touches ~8n/accuracy rows (plus ties of the two boundary values),
     so at larger n raise accuracy to keep the bracket executor-sized.
+
+    The input is scanned three times (bracket / anchor / refine) — fine
+    over a pruned columnar source, but CACHE OR CHECKPOINT a derived
+    frame first (joins, per-key aggregates) or the upstream pipeline
+    runs three times. Prefer plain grouped ``F.percentile`` when groups
+    are many-and-small or values low-cardinality: its per-group
+    distinct-value map is already bounded there, with one scan.
     """
     if not 0.0 <= q <= 1.0:
         raise ValueError(f"q must be in [0, 1], got {q}")

@@ -194,7 +194,7 @@ def q_percentile_approx(spark, sf_dir):
     buffering ``percentile`` aggregate, which materializes the WHOLE
     ungrouped column in one final task: the global median of a 100 TB
     column was one executor's heap. Now every pass is a bounded
-    partial→final aggregate and only the ~6n/accuracy bracket rows are
+    partial→final aggregate and only the ~8n/accuracy bracket rows are
     ever ranked."""
     li = load_table(spark, sf_dir, "lineitem")
     approx = li.agg(
