@@ -77,6 +77,26 @@ def test_integer_values_and_heavy_ties(spark):
         assert _expected_grouped(df, q) == _got_grouped(df, q), f"q={q}"
 
 
+def test_gk_path_with_heavy_boundary_ties(spark):
+    """A value holding ~40% of the mass sits exactly at the median, on
+    the GK-bracket path (n ≥ 2·accuracy): the bracket must absorb the
+    whole tie block and the rank math must stay exact through it."""
+    df = (
+        spark.range(0, 50_000)
+        .select(
+            (F.col("id") % 2).cast("string").alias("g"),
+            F.when(F.col("id") % 5 < 2, F.lit(100.0))
+            .otherwise((F.col("id") * 17 % 1000).cast("double"))
+            .alias("v"),
+        )
+        .localCheckpoint()
+    )
+    for q in (0.3, 0.5, 0.7):
+        assert _expected_grouped(df, q) == _got_grouped(
+            df, q, accuracy=100
+        ), f"q={q}"
+
+
 def test_single_row_and_all_equal(spark):
     one = spark.createDataFrame([("a", 5.0)], "g string, v double")
     assert _got_grouped(one, 0.5) == {"a": 5.0}
