@@ -104,6 +104,55 @@ def test_single_row_and_all_equal(spark):
     assert _got_grouped(same, 0.7) == {"a": 2.0}
 
 
+def test_non_finite_values_match_percentile(spark):
+    """±Inf and NaN ride Spark's total order (NaN sorts above +Inf) —
+    the GK bracket and the [min,max] fallback must both reproduce
+    ``F.percentile`` through them. NaN equality is compared by isnan
+    (nan != nan in Python)."""
+    import math
+
+    rows = []
+    for i in range(20_000):
+        if i % 100 == 0:
+            v = float("inf")
+        elif i % 101 == 0:
+            v = float("-inf")
+        elif i % 50 == 0:
+            v = float("nan")
+        else:
+            v = float(i % 37)
+        rows.append(("a", v))
+    df = spark.createDataFrame(rows, "g string, v double").repartition(9)
+
+    def same(a, b):
+        return (
+            a == b
+            or (a is not None and b is not None and math.isnan(a) and math.isnan(b))
+        )
+
+    for q in (0.001, 0.5, 0.97, 1.0):
+        for kw in ({"accuracy": 100}, {}):  # GK path, then fallback
+            exp, got = _expected_grouped(df, q), _got_grouped(df, q, **kw)
+            assert same(exp["a"], got["a"]), f"q={q} kw={kw}: {exp} vs {got}"
+
+
+def test_mixed_bracket_paths_in_one_query(spark):
+    """Group sizes straddling 2·accuracy exercise the [min,max]
+    fallback and the GK bracket inside the SAME query — the per-group
+    `big` switch must pick the right bracket for each."""
+    import random
+
+    rng = random.Random(42)
+    rows = []
+    for g, n in [("tiny", 5), ("small", 150), ("edge", 200), ("big", 5000)]:
+        rows.extend((g, rng.lognormvariate(0, 3)) for _ in range(n))
+    df = spark.createDataFrame(rows, "g string, v double").repartition(13)
+    for q in (0.0, 0.1, 0.5, 0.9, 1.0):
+        assert _expected_grouped(df, q) == _got_grouped(
+            df, q, accuracy=100
+        ), f"q={q}"
+
+
 def test_all_null_group_absent(spark):
     df = spark.createDataFrame(
         [("a", 1.0), ("a", 3.0), ("b", None)], "g string, v double"
