@@ -1090,7 +1090,14 @@ def q_quantize_int8(spark, sf_dir):
     ex = emb.select(
         "vec_id",
         F.posexplode(F.col("embedding").cast("array<double>")).alias("pos0", "v"),
-    ).select("vec_id", (F.col("pos0") + 1).alias("pos"), "v")
+    ).select(
+        # bigint: posexplode yields int32, the oracle's generate_series
+        # bigint — identical values, but the width split is the one
+        # driver-canonicalizer dtype risk this never-checked query has
+        "vec_id",
+        (F.col("pos0") + 1).cast("bigint").alias("pos"),
+        "v",
+    )
     rng = ex.groupBy("pos").agg(F.min("v").alias("vmin"), F.max("v").alias("vmax"))
     scale = (F.col("vmax") - F.col("vmin")) / F.lit(255.0)
     code = F.when(F.col("vmax") == F.col("vmin"), F.lit(0).cast("bigint")).otherwise(
