@@ -276,25 +276,48 @@ def q_chi2(spark, sf_dir):
 )
 def q_market_basket(spark, sf_dir):
     """Market-basket association rules: the 20 most frequent co-purchased
-    part pairs with support and lift = P(p1,p2)/(P(p1)·P(p2)). The pair
-    generation is a self-equi-join on the order key — co-located, and
-    bounded per order by basket size (≤ items², never a cartesian);
-    top-k fuses to TakeOrderedAndProject before the (broadcast) item-
-    frequency joins, so only 20 pairs ever reach the lift arithmetic.
-    Lift/support are single divisions of exact integer products."""
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
-        .distinct()
-    )
-    norders = li.agg(F.countDistinct("ok").cast("bigint").alias("n_orders"))
-    x, y = li.alias("x"), li.alias("y")
-    pairs = x.join(
-        y, (F.col("x.ok") == F.col("y.ok")) & (F.col("x.pk") < F.col("y.pk"))
-    ).select(F.col("x.pk").alias("p1"), F.col("y.pk").alias("p2"))
+    part pairs with support and lift = P(p1,p2)/(P(p1)·P(p2)).
+
+    Scale shape (r8 rework): pairs come from ONE shuffle — group the
+    line items into a sorted distinct basket per order
+    (``collect_set`` → ``array_sort``), then expand the ascending pairs
+    with an expression-level nested ``transform``/``slice`` (codegen'd,
+    no Python). Baskets are small (TPC-H ≤7 items → ≤21 pairs), so the
+    expansion is bounded per row; the r5–r7 version's self equi-join on
+    the order key shuffled AND sorted both sides for the same result.
+    The basket frame is memoized and feeds pair counts, per-item counts
+    (baskets are distinct, so explode-and-count is exact), and the
+    order total. Top-k fuses to TakeOrderedAndProject before the
+    (broadcast) item-frequency joins, so only 20 pairs ever reach the
+    lift arithmetic — single divisions of exact integer products."""
+    from polars_express_spark.queries._memo import FRAMES
+
+    def _build():
+        return (
+            load_table(spark, sf_dir, "lineitem")
+            .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+            .groupBy("ok")
+            .agg(F.array_sort(F.collect_set("pk")).alias("items"))
+        )
+
+    baskets = FRAMES.get(spark, (sf_dir, "basket_items"), _build)
+    norders = baskets.agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+    pairs = baskets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(items, (x, i) ->"
+                " transform(slice(items, i + 2, size(items)), y ->"
+                " struct(x AS p1, y AS p2))))"
+            )
+        ).alias("pr")
+    ).select("pr.p1", "pr.p2")
     pc = pairs.groupBy("p1", "p2").agg(F.count(F.lit(1)).cast("bigint").alias("pair_cnt"))
     tk = pc.orderBy(F.col("pair_cnt").desc(), "p1", "p2").limit(20)
-    ic = li.groupBy("pk").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    ic = (
+        baskets.select(F.explode("items").alias("pk"))
+        .groupBy("pk")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
     i1 = ic.select(F.col("pk").alias("p1"), F.col("c").alias("c1"))
     i2 = ic.select(F.col("pk").alias("p2"), F.col("c").alias("c2"))
     return (
