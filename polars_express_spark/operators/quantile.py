@@ -65,25 +65,36 @@ def _null_safe_join(left: DataFrame, right: DataFrame, cols: list[str], how: str
     return j.drop(*[f"__r_{c}" for c in cols])
 
 
-def exact_quantile(
+def exact_quantiles(
     df: DataFrame,
     value: str,
-    q: float,
+    qs: list[float],
     group: list[str] | None = None,
     accuracy: int = 10_000,
-    result_col: str = "quantile",
+    result_cols: list[str] | None = None,
 ) -> DataFrame:
-    """(group..., <result_col>) — exact linear-interpolated q-quantile
-    per group, equal to ``F.percentile(value, q)`` (and DuckDB
-    ``quantile_cont``), computed without ever buffering a whole group
-    in one task. NULL values are ignored (as percentile does); a group
-    with no non-null values is absent from the result (as groupBy over
-    the filtered rows naturally yields). NULL group keys form their own
-    group, as in groupBy.
+    """(group..., <result_cols...>) — exact linear-interpolated quantiles
+    per group, one output column per entry of ``qs``, each equal to
+    ``F.percentile(value, q)`` (and DuckDB ``quantile_cont``), computed
+    without ever buffering a whole group in one task.
+
+    All quantiles share the three passes: ONE GK sketch evaluated at
+    every bracket percentage, ONE counting pass carrying every
+    bracket's below/inside anchors, and ONE refine over the union of
+    bracket rows (each row tagged with the brackets it falls in via an
+    expression-level ``filter(sequence(...))`` — brackets are tiny and
+    rarely overlap, so the expansion factor is ~1). Asking for the
+    5th/50th/95th percentiles therefore costs the same three input
+    scans as asking for one.
+
+    NULL values are ignored (as percentile does); a group with no
+    non-null values is absent from the result. NULL group keys form
+    their own group, as in groupBy.
 
     ``accuracy`` trades bracket size for sketch size: the refine stage
-    touches ~8n/accuracy rows (plus ties of the two boundary values),
-    so at larger n raise accuracy to keep the bracket executor-sized.
+    touches ~8n/accuracy rows per quantile (plus ties of the boundary
+    values), so at larger n raise accuracy to keep brackets
+    executor-sized.
 
     The input is scanned three times (bracket / anchor / refine) — fine
     over a pruned columnar source, but CACHE OR CHECKPOINT a derived
@@ -92,94 +103,146 @@ def exact_quantile(
     are many-and-small or values low-cardinality: its per-group
     distinct-value map is already bounded there, with one scan.
     """
-    if not 0.0 <= q <= 1.0:
-        raise ValueError(f"q must be in [0, 1], got {q}")
+    if not qs:
+        raise ValueError("qs must be non-empty")
+    for q in qs:
+        if not 0.0 <= q <= 1.0:
+            raise ValueError(f"q must be in [0, 1], got {q}")
+    m = len(qs)
+    if result_cols is None:
+        result_cols = [f"quantile_{i}" for i in range(m)]
+    if len(result_cols) != m:
+        raise ValueError("result_cols must match qs in length")
     gcols = list(group) if group else []
     vals = df.select(*gcols, F.col(value).alias("__v")).where(F.col("__v").isNotNull())
 
-    # Rank-margin math (the bracket must contain order statistics k1 =
-    # ⌊q(n−1)⌋ and k2 = ⌈q(n−1)⌉): GK at percentage p returns a value
-    # whose rank is within εn of p·n (ε = 1/accuracy), and the p·n vs
-    # q·(n−1) definition offset is ≤ 1. With a 4ε percentage margin,
-    # rank(lo) ≤ (q−4ε)n + εn + 1 = qn − 3εn + 1 ≤ k1 whenever 3εn ≥ 6
-    # — i.e. n ≥ 2·accuracy (symmetrically for hi). Below that the
-    # margin cannot be guaranteed in ranks, so the bracket falls back to
-    # [min, max]: the "whole group" there is ≤ 2·accuracy rows, still
-    # bounded by construction.
+    # Rank-margin math (each bracket must contain its order statistics
+    # k1 = ⌊q(n−1)⌋ and k2 = ⌈q(n−1)⌉): GK at percentage p returns a
+    # value whose rank is within εn of p·n (ε = 1/accuracy), and the
+    # p·n vs q·(n−1) definition offset is ≤ 1. With a 4ε percentage
+    # margin, rank(lo) ≤ (q−4ε)n + εn + 1 = qn − 3εn + 1 ≤ k1 whenever
+    # 3εn ≥ 6 — i.e. n ≥ 2·accuracy (symmetrically for hi). Below that
+    # the margin cannot be guaranteed in ranks, so every bracket falls
+    # back to [min, max]: the "whole group" there is ≤ 2·accuracy rows,
+    # still bounded by construction.
     eps = 4.0 / accuracy
-    q_lo, q_hi = max(0.0, q - eps), min(1.0, q + eps)
+    pcts: list[float] = []
+    for q in qs:
+        pcts += [max(0.0, q - eps), min(1.0, q + eps)]
 
-    # Pass 1 — GK bracket + n + min/max per group (one scan, mergeable).
-    gb = vals.groupBy(*gcols)
+    # Pass 1 — ONE GK sketch per group, evaluated at all 2m bracket
+    # percentages, plus n and min/max (one scan, mergeable state).
     big = F.col("__n") >= F.lit(2 * accuracy)
-    br = gb.agg(
-        F.count("__v").alias("__n"),
-        F.min("__v").alias("__mn"),
-        F.max("__v").alias("__mx"),
-        F.percentile_approx(
-            "__v", F.array(F.lit(q_lo), F.lit(q_hi)), F.lit(accuracy)
-        ).alias("__b"),
-    ).select(
-        *gcols,
-        "__n",
-        F.when(big, F.col("__b")[0]).otherwise(F.col("__mn")).alias("__lo"),
-        F.when(big, F.col("__b")[1]).otherwise(F.col("__mx")).alias("__hi"),
+    br = (
+        vals.groupBy(*gcols)
+        .agg(
+            F.count("__v").alias("__n"),
+            F.min("__v").alias("__mn"),
+            F.max("__v").alias("__mx"),
+            F.percentile_approx(
+                "__v", F.array(*[F.lit(p) for p in pcts]), F.lit(accuracy)
+            ).alias("__b"),
+        )
+        .select(
+            *gcols,
+            "__n",
+            F.array(
+                *[
+                    F.when(big, F.col("__b")[2 * i]).otherwise(F.col("__mn"))
+                    for i in range(m)
+                ]
+            ).alias("__los"),
+            F.array(
+                *[
+                    F.when(big, F.col("__b")[2 * i + 1]).otherwise(F.col("__mx"))
+                    for i in range(m)
+                ]
+            ).alias("__his"),
+        )
     )
 
-    # Pass 2 — exact anchors: count below the bracket, count inside it.
+    # Pass 2 — exact anchors for every bracket in one counting
+    # aggregate: count below lo_i, count inside [lo_i, hi_i].
     if gcols:
         anchored = _null_safe_join(vals, br, gcols)
     else:
         anchored = vals.crossJoin(F.broadcast(br))
-    stats = anchored.groupBy(*gcols, "__n", "__lo", "__hi").agg(
-        F.count(F.when(F.col("__v") < F.col("__lo"), 1)).alias("__lt"),
-        F.count(
-            F.when(F.col("__v").between(F.col("__lo"), F.col("__hi")), 1)
-        ).alias("__m"),
+    stats = anchored.groupBy(*gcols, "__n").agg(
+        *[
+            F.count(F.when(F.col("__v") < F.element_at("__los", i + 1), 1)).alias(
+                f"__lt{i}"
+            )
+            for i in range(m)
+        ],
+        *[
+            F.count(
+                F.when(
+                    F.col("__v").between(
+                        F.element_at("__los", i + 1), F.element_at("__his", i + 1)
+                    ),
+                    1,
+                )
+            ).alias(f"__m{i}")
+            for i in range(m)
+        ],
     )
 
-    # Target order statistics — double pos exactly as Spark's Percentile:
+    # Per-quantile target order statistics, reshaped long (one row per
+    # (group, quantile)) — double pos exactly as Spark's Percentile:
     # pos = q·(n−1), lower = floor(pos), the fraction interpolates.
-    pos = F.lit(float(q)) * (F.col("__n") - F.lit(1)).cast("double")
-    k1 = F.floor(pos).cast("long")
-    frac = pos - F.floor(pos)
-    k2 = F.when(frac > 0, k1 + 1).otherwise(k1)
-    # The margin math above makes the bracket sound by construction; if
-    # it were ever violated the refine below would silently pick wrong
-    # values, so fail loudly instead. The raise is entangled INTO the
-    # rank the picks compare against (valid → +0, invalid → raise), an
-    # arithmetic dependency the optimizer cannot simplify away (a plain
+    # The bracket-soundness raise is entangled INTO the rank the picks
+    # compare against (valid → +0, invalid → raise), an arithmetic
+    # dependency the optimizer cannot simplify away (a plain
     # assert_true column, or when(c, k).otherwise(k), gets pruned).
-    valid = (F.col("__lt") <= k1) & ((F.col("__lt") + F.col("__m")) > k2)
-    guard0 = F.when(valid, F.lit(0)).otherwise(
-        F.expr("raise_error('exact_quantile: bracket missed the target rank')").cast(
-            "long"
+    per_q = []
+    for i, q in enumerate(qs):
+        pos = F.lit(float(q)) * (F.col("__n") - F.lit(1)).cast("double")
+        k1 = F.floor(pos).cast("long")
+        frac = pos - F.floor(pos)
+        k2 = F.when(frac > 0, k1 + 1).otherwise(k1)
+        lt_i, m_i = F.col(f"__lt{i}"), F.col(f"__m{i}")
+        valid = (lt_i <= k1) & ((lt_i + m_i) > k2)
+        guard0 = F.when(valid, F.lit(0)).otherwise(
+            F.expr(
+                "raise_error('exact_quantile: bracket missed the target rank')"
+            ).cast("long")
         )
-    )
-    stats = stats.select(
-        *gcols,
-        "__lo",
-        "__hi",
-        "__lt",
-        "__m",
-        (k1 + guard0).alias("__k1"),
-        k2.alias("__k2"),
-        frac.alias("__frac"),
+        per_q.append(
+            F.struct(
+                F.lit(i).alias("__qi"),
+                (k1 + guard0).alias("__k1"),
+                k2.alias("__k2"),
+                frac.alias("__frac"),
+                lt_i.alias("__lt"),
+            )
+        )
+    stats_long = stats.select(*gcols, F.explode(F.array(*per_q)).alias("__s")).select(
+        *gcols, "__s.*"
     )
 
-    # Pass 3 — refine inside the bracket only: distinct values + counts,
-    # tiny per-group window converts to global ranks via the anchor.
-    bracket = anchored.where(F.col("__v").between(F.col("__lo"), F.col("__hi")))
-    bv = bracket.groupBy(*gcols, "__v").agg(F.count(F.lit(1)).alias("__c"))
-    w = Window.partitionBy(*gcols).orderBy("__v") if gcols else Window.orderBy("__v")
+    # Pass 3 — refine inside the brackets only, all quantiles in one
+    # scan: each row explodes into the (usually 0 or 1) brackets it
+    # belongs to, then distinct (group, quantile, value) counts and a
+    # tiny per-(group, quantile) window convert bracket-local
+    # cumulative counts to GLOBAL ranks via the pass-2 anchor.
+    bracket = anchored.select(
+        *gcols,
+        "__v",
+        F.explode(
+            F.expr(
+                f"filter(sequence(0, {m - 1}),"
+                " i -> __v >= __los[i] AND __v <= __his[i])"
+            )
+        ).alias("__qi"),
+    )
+    bv = bracket.groupBy(*gcols, "__qi", "__v").agg(F.count(F.lit(1)).alias("__c"))
+    pcols = [*gcols, "__qi"]
+    w = Window.partitionBy(*pcols).orderBy("__v")
     bv = bv.withColumn("__cum", F.sum("__c").over(w))
-    if gcols:
-        picked = _null_safe_join(bv, stats, gcols)
-    else:
-        picked = bv.crossJoin(F.broadcast(stats))
+    picked = _null_safe_join(bv, stats_long, pcols)
     # Global rank range covered by value v: [lt + cum − c, lt + cum − 1].
     top_rank = F.col("__lt") + F.col("__cum") - F.lit(1)
-    res = picked.groupBy(*gcols, "__frac").agg(
+    res = picked.groupBy(*pcols, "__frac").agg(
         F.min(F.when(top_rank >= F.col("__k1"), F.col("__v"))).alias("__v1"),
         F.min(F.when(top_rank >= F.col("__k2"), F.col("__v"))).alias("__v2"),
     )
@@ -189,11 +252,32 @@ def exact_quantile(
     # algebraically-equal v1 + (v2−v1)·frac, which rounds differently
     # in the last ulp.
     frac = F.col("__frac")
-    out = (
-        F.when(frac == 0, F.col("__v1").cast("double"))
-        .otherwise(
-            (F.lit(1.0) - frac) * F.col("__v1") + frac * F.col("__v2")
-        )
-        .alias(result_col)
+    out = F.when(frac == 0, F.col("__v1").cast("double")).otherwise(
+        (F.lit(1.0) - frac) * F.col("__v1") + frac * F.col("__v2")
     )
-    return res.select(*gcols, out)
+    long_out = res.select(*pcols, out.alias("__out"))
+    # Back to one row per group: brackets are sound, so every group has
+    # exactly one row per quantile — conditional max (never NULL) is a
+    # deterministic pivot with statically-known quantile ids.
+    return long_out.groupBy(*gcols).agg(
+        *[
+            F.max(F.when(F.col("__qi") == i, F.col("__out"))).alias(result_cols[i])
+            for i in range(m)
+        ]
+    )
+
+
+def exact_quantile(
+    df: DataFrame,
+    value: str,
+    q: float,
+    group: list[str] | None = None,
+    accuracy: int = 10_000,
+    result_col: str = "quantile",
+) -> DataFrame:
+    """(group..., <result_col>) — exact linear-interpolated q-quantile
+    per group; the single-quantile form of :func:`exact_quantiles`
+    (same passes, same contracts)."""
+    return exact_quantiles(
+        df, value, [q], group=group, accuracy=accuracy, result_cols=[result_col]
+    )

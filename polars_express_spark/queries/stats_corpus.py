@@ -717,15 +717,26 @@ def q_winsorize(spark, sf_dir):
     """Winsorized mean per order priority: clip at the exact per-group
     5th/95th percentiles, then average — the robust-statistics
     companion to the median/MAD outlier screen (tail-resistant KPIs).
-    Thresholds come from one exact-percentile aggregate broadcast back
-    onto the scan; clipped values are rounded to 6 dp and summed as
+
+    Thresholds come from ONE ``exact_quantiles`` call (operators/
+    quantile.py): both bounds share the bracketed three-pass plan, so
+    no task ever buffers a group's distinct prices the way exact
+    ``F.percentile`` does — o_totalprice is near-unique, the shape the
+    operator's docstring names as the 100 TB hazard. Bit-equal to
+    ``F.percentile`` by the operator's contract (tests/test_quantile),
+    hence to DuckDB ``quantile_cont``. The broadcast threshold frame
+    clips the scan; clipped values are rounded to 6 dp and summed as
     DECIMAL so the group means are order-free, with one final
-    division. Same pinned interpolation pair as the grouped-quantile
-    queries (Spark percentile ≡ DuckDB quantile_cont)."""
+    division."""
+    from polars_express_spark.operators.quantile import exact_quantiles
+
     o = load_table(spark, sf_dir, "orders").select("o_orderpriority", "o_totalprice")
-    th = o.groupBy("o_orderpriority").agg(
-        F.percentile("o_totalprice", F.lit(0.05)).alias("lo"),
-        F.percentile("o_totalprice", F.lit(0.95)).alias("hi"),
+    th = exact_quantiles(
+        o,
+        "o_totalprice",
+        [0.05, 0.95],
+        group=["o_orderpriority"],
+        result_cols=["lo", "hi"],
     )
     clipped = F.least(F.greatest(F.col("o_totalprice"), F.col("lo")), F.col("hi"))
     return (

@@ -200,3 +200,78 @@ def test_no_full_width_shuffle_of_values(spark):
     )
     assert "percentile_approx" in plan  # GK sketch pass present
     assert "Window" in plan  # refine window present (bracket-only input)
+
+
+# --- multi-quantile (exact_quantiles) ------------------------------------
+
+
+def test_multi_matches_percentile_both_paths(spark):
+    """One exact_quantiles call for [0.05, 0.5, 0.95] must be bit-equal
+    to three grouped F.percentile aggregates — on the min/max fallback
+    bracket (default accuracy ≫ n) AND the GK bracket (accuracy=100,
+    20k rows/group), including disjoint far-apart brackets."""
+    from polars_express_spark.operators.quantile import exact_quantiles
+
+    df = (
+        spark.range(0, 60_000)
+        .select(
+            (F.col("id") % 3).cast("string").alias("g"),
+            (F.rand(seed=23) * 1000).alias("v"),
+        )
+        .localCheckpoint()
+    )
+    qs = [0.05, 0.5, 0.95]
+    exp = {
+        r["g"]: tuple(r[f"e{i}"] for i in range(3))
+        for r in df.groupBy("g")
+        .agg(*[F.percentile("v", F.lit(q)).alias(f"e{i}") for i, q in enumerate(qs)])
+        .collect()
+    }
+    for acc in (10_000, 100):  # fallback bracket / GK bracket
+        got = {
+            r["g"]: (r["lo"], r["mid"], r["hi"])
+            for r in exact_quantiles(
+                df, "v", qs, group=["g"], accuracy=acc,
+                result_cols=["lo", "mid", "hi"],
+            ).collect()
+        }
+        assert got == exp, f"accuracy={acc}"
+
+
+def test_multi_duplicate_and_overlapping_qs(spark):
+    """Duplicate quantiles and overlapping brackets (0.5 twice, 0.500001
+    beside it) must not cross-contaminate the per-quantile refine."""
+    from polars_express_spark.operators.quantile import exact_quantiles
+
+    df = spark.range(0, 5_000).select(
+        (F.col("id") % 2).cast("string").alias("g"),
+        (F.rand(seed=5) * 10).alias("v"),
+    )
+    qs = [0.5, 0.5, 0.500001]
+    got = exact_quantiles(
+        df, "v", qs, group=["g"], result_cols=["a", "b", "c"]
+    ).collect()
+    exp = {
+        r["g"]: (r["e0"], r["e2"])
+        for r in df.groupBy("g")
+        .agg(
+            F.percentile("v", F.lit(0.5)).alias("e0"),
+            F.percentile("v", F.lit(0.500001)).alias("e2"),
+        )
+        .collect()
+    }
+    for r in got:
+        assert r["a"] == r["b"] == exp[r["g"]][0]
+        assert r["c"] == exp[r["g"]][1]
+
+
+def test_multi_validation(spark):
+    from polars_express_spark.operators.quantile import exact_quantiles
+
+    df = spark.range(3).select(F.col("id").cast("double").alias("v"))
+    with pytest.raises(ValueError):
+        exact_quantiles(df, "v", [])
+    with pytest.raises(ValueError):
+        exact_quantiles(df, "v", [0.5, 1.5])
+    with pytest.raises(ValueError):
+        exact_quantiles(df, "v", [0.5], result_cols=["a", "b"])
