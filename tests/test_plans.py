@@ -338,3 +338,30 @@ def test_weighted_median_no_per_group_window_over_base_data(spark):
     # the equal-value pre-aggregation (map-side combine) must exist:
     # partial+final for (group, value) agg, subtotals, and the totals
     assert p.count("HashAggregate") >= 6
+
+
+def test_market_basket_pairs_without_self_join(spark):
+    """The r8 rework generates co-purchase pairs from per-order basket
+    arrays, so the plan's only joins are the broadcast top-20/item-count
+    attachments — no sort-merge self-join of the line items, and no
+    cartesian anywhere. A reintroduced pair self-join would show up as
+    SortMergeJoin over the full scan."""
+    p = plan_of("q_market_basket", spark)
+    assert "SortMergeJoin" not in p, p
+    assert "CartesianProduct" not in p, p
+    # pair expansion is expression-level: a Generate (explode) node over
+    # the basket arrays, not a join
+    assert "Generate" in p, p
+
+
+def test_winsorize_no_buffering_percentile(spark):
+    """q_winsorize's thresholds ride exact_quantiles: the plan must use
+    the GK sketch (approx_percentile / percentile_approx) for the
+    bracket, never the buffering exact percentile aggregate."""
+    p = plan_of("q_winsorize", spark)
+    low = p.lower()
+    assert "percentile_approx" in low or "approx_percentile" in low, p
+    # the buffering aggregate renders as percentile(...); strip the
+    # approx spellings and no percentile call may remain
+    stripped = low.replace("percentile_approx", "").replace("approx_percentile", "")
+    assert "percentile(" not in stripped, p
