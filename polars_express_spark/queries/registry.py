@@ -59,9 +59,16 @@ def query(name: str, oracle: str | None = None):
 #                 unchanged code, refreshing three-round-old evidence.
 # Tier "next" = the 18 remaining r5-stale queries PLUS
 # q_percentile_approx (r8 rebuild of its exact anchor on
-# operators/quantile.py — its r6 hash predates the change), queued to
-# lead r9. Everything else follows registration order with green r6/r7
-# hashes.
+# operators/quantile.py — its r6 hash predates the change; the late-r8
+# exact_quantiles refactor kept the single-q path delegating through
+# the same code, bit-equality re-proven in tests/test_quantile.py),
+# queued to lead r9. q_market_basket (basket-array pair rework) and
+# q_winsorize (exact_quantiles thresholds) also changed late in r8 but
+# sit INSIDE the r8 window (slots 4-23), so their new code is hashed
+# this round — no extra debt. q_outlier_mad and q10b deliberately stay
+# on the buffering exact percentile per their documented contracts
+# (low-cardinality / bounded-group shapes). Everything else follows
+# registration order with green r6/r7 hashes.
 _PRIORITY = [
     # slots 1-3 — changed or new this round
     "q_tokenize_ids", "q_sql_surface", "q_weighted_median",
