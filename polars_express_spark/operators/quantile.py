@@ -51,9 +51,31 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _null_safe_join(left: DataFrame, right: DataFrame, cols: list[str], how: str = "inner"):
-    """Broadcast join on group columns, NULL keys matching NULL keys
-    (percentile keeps NULL groups; a plain equi-join would drop them)."""
+def _null_safe_join(
+    left: DataFrame,
+    right: DataFrame,
+    cols: list[str],
+    how: str = "inner",
+    broadcast_right: bool = True,
+):
+    """Join on group columns, NULL keys matching NULL keys (percentile
+    keeps NULL groups; a plain equi-join would drop them). The right
+    side is broadcast by default; pass ``broadcast_right=False`` when
+    the join must preserve the right side (Spark cannot build a
+    broadcast hash join from the outer side of a right outer join)."""
+    if how == "right":
+        # rename the LEFT (non-preserved) side: preserved right rows
+        # with no match must keep their own key columns, not the
+        # left's NULLs
+        l2 = left
+        for c in cols:
+            l2 = l2.withColumnRenamed(c, f"__l_{c}")
+        cond = None
+        for c in cols:
+            eq = F.col(f"__l_{c}").eqNullSafe(F.col(c))
+            cond = eq if cond is None else (cond & eq)
+        j = l2.join(F.broadcast(right) if broadcast_right else right, cond, how)
+        return j.drop(*[f"__l_{c}" for c in cols])
     r = right
     for c in cols:
         r = r.withColumnRenamed(c, f"__r_{c}")
@@ -61,7 +83,7 @@ def _null_safe_join(left: DataFrame, right: DataFrame, cols: list[str], how: str
     for c in cols:
         eq = F.col(c).eqNullSafe(F.col(f"__r_{c}"))
         cond = eq if cond is None else (cond & eq)
-    j = left.join(F.broadcast(r), cond, how)
+    j = left.join(F.broadcast(r) if broadcast_right else r, cond, how)
     return j.drop(*[f"__r_{c}" for c in cols])
 
 
@@ -239,7 +261,17 @@ def exact_quantiles(
     pcols = [*gcols, "__qi"]
     w = Window.partitionBy(*pcols).orderBy("__v")
     bv = bv.withColumn("__cum", F.sum("__c").over(w))
-    picked = _null_safe_join(bv, stats_long, pcols)
+    # RIGHT outer, stats_long preserved: an EMPTY bracket (m_i = 0 —
+    # only reachable if the GK rank guarantee were violated) has no bv
+    # rows, and an inner join would drop the guarded stats_long row
+    # before any guard evaluates, silently emitting NULL (or dropping
+    # the group). Preserving the spine keeps one all-NULL candidate row
+    # per (group, quantile), which the __v1-null raise below turns into
+    # a loud failure. No broadcast: Spark cannot build the broadcast
+    # side opposite a right outer join, and bv (bracket-sized, up to
+    # executor-sized at tuned accuracy) is the side that must stream —
+    # its window shuffle on pcols is reused by this join.
+    picked = _null_safe_join(bv, stats_long, pcols, how="right", broadcast_right=False)
     # Global rank range covered by value v: [lt + cum − c, lt + cum − 1].
     top_rank = F.col("__lt") + F.col("__cum") - F.lit(1)
     res = picked.groupBy(*pcols, "__frac").agg(
@@ -255,6 +287,20 @@ def exact_quantiles(
     out = F.when(frac == 0, F.col("__v1").cast("double")).otherwise(
         (F.lit(1.0) - frac) * F.col("__v1") + frac * F.col("__v2")
     )
+    # Empty/missed-bracket raise: a sound non-empty bracket always
+    # yields a non-null lower order statistic (some bracket row covers
+    # rank k1). NULL here means the bracket held no rows at the target
+    # rank — the case the __k1-entangled guard cannot see, because
+    # `top_rank >= __k1` short-circuits on its NULL left operand before
+    # evaluating __k1. The raise sits in the taken CASE branch, so it
+    # cannot be pruned and never fires on the valid path.
+    out = F.when(
+        F.col("__v1").isNull(),
+        F.expr(
+            "raise_error('exact_quantile: bracket contained no rows"
+            " at the target rank')"
+        ).cast("double"),
+    ).otherwise(out)
     long_out = res.select(*pcols, out.alias("__out"))
     # Back to one row per group: brackets are sound, so every group has
     # exactly one row per quantile — conditional max (never NULL) is a

@@ -195,7 +195,15 @@ def q_percentile_approx(spark, sf_dir):
     ungrouped column in one final task: the global median of a 100 TB
     column was one executor's heap. Now every pass is a bounded
     partial→final aggregate and only the ~8n/accuracy bracket rows are
-    ever ranked."""
+    ever ranked.
+
+    Degenerate-input note (r8 ADVICE): on an EMPTY lineitem the old
+    global ``li.agg(...)`` returned one row (NULL exact_median) while
+    exact_quantile returns zero rows for a group with no non-null
+    values, so the crossJoin now yields an empty result. Accepted:
+    zero-rows-for-no-data is this registry's convention for grouped
+    aggregates, and no test/bench scale factor produces an empty
+    lineitem."""
     li = load_table(spark, sf_dir, "lineitem")
     approx = li.agg(
         F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000)).alias(

@@ -41,60 +41,53 @@ def query(name: str, oracle: str | None = None):
 # first ~50 entries per round in registration order (confirmed across
 # rounds 1-7: each CORRECTNESS_r* file has exactly 50 entries), so with
 # >50 registered queries some set is always outside the window.
-# Round-8 priority (VERDICT r7 next-steps #1/#2/#7 — clear the evidence
-# debt to zero): r7's window went 49/50 green (the one red,
-# q_tokenize_ids, was a harness-shape failure fixed this round by
-# stringifying its array column), leaving exactly 21 queries without a
-# current driver hash: the 20 tier-2 stats/similarity queries that have
-# never been windowed, plus q_weighted_median whose r6 hash predates the
-# r7 grouped-Blelloch rebuild. Window layout below:
-#   slots 1-3   — changed-this-round / new: q_tokenize_ids (r8 output
-#                 reshape), q_sql_surface (NEW r8 — the /sql endpoint
-#                 path under the hash contract), q_weighted_median
-#                 (r7 rebuild + r8 local-cost tuning);
-#   slots 4-23  — the 20 never-checked tier-2 queries;
-#   slots 24-50 — backfill with the longest-stale r5-hash queries
-#                 (preview/sort, the join block q12–q17, the scalar
-#                 block q25–q31, the dedup/sink/ANN heads) — all
-#                 unchanged code, refreshing three-round-old evidence.
-# Tier "next" = the 18 remaining r5-stale queries PLUS
-# q_percentile_approx (r8 rebuild of its exact anchor on
-# operators/quantile.py — its r6 hash predates the change; the late-r8
-# exact_quantiles refactor kept the single-q path delegating through
-# the same code, bit-equality re-proven in tests/test_quantile.py),
-# queued to lead r9. q_market_basket (basket-array pair rework) and
-# q_winsorize (exact_quantiles thresholds) also changed late in r8 but
-# sit INSIDE the r8 window (slots 4-23), so their new code is hashed
-# this round — no extra debt. q_outlier_mad and q10b deliberately stay
-# on the buffering exact percentile per their documented contracts
-# (low-cardinality / bounded-group shapes). Everything else follows
-# registration order with green r6/r7 hashes.
+# Round-9 priority: r8 went 50/50 green, clearing all never-checked
+# debt. Remaining staleness entering r9: the 18 r5-hash queries the r8
+# window couldn't fit, q_percentile_approx (r8 exact-anchor rebuild on
+# operators/quantile.py — its r6 hash predates the change; deliberately
+# queued for r9, see r8 ADVICE #3), and 49 r6-hash queries. This round
+# also changed operators/quantile.py again (empty-bracket guard: the
+# refine join now preserves the stats spine and raises instead of
+# silently NULLing — r8 ADVICE #1), which q_percentile_approx,
+# q_winsorize and the r9-reworked q_outlier_mad ride. Window layout:
+#   slots 1-3   — changed-this-round code: q_percentile_approx (r8
+#                 rebuild + r9 guard), q_winsorize / q_outlier_mad
+#                 (r9 quantile-path changes);
+#   slots 4-9   — NEW r9: the TPC-H headline pack (Q5/Q10/Q13/Q17/Q18
+#                 shapes, queries/tpch.py) and q_rolling_median
+#                 (windowed order statistic, windows.py);
+#   slots 10-27 — the 18 remaining r5-stale queries (unchanged code);
+#   slots 28-50 — oldest r6-hash backfill (unchanged code): the
+#                 regression/agg block q03–q11, window block q18–q21,
+#                 rollup/setops q22–q24, streaming twins q32/q33,
+#                 q_approx_distinct.
+# Tier "next" = the 25 remaining r6-hash queries (asof family, bloom,
+# chunking, CMS, corr matrix, PCA, JSON/map fns, multimodal, multireg,
+# packing, pagerank, pivot family, range join, scd2, session family,
+# tfidf, triangles, udtf, zorder) — lead the r10 window, then rotate
+# the 49 r7-hash queries.
 _PRIORITY = [
-    # slots 1-3 — changed or new this round
-    "q_tokenize_ids", "q_sql_surface", "q_weighted_median",
-    # slots 4-23 — never driver-checked (tier 2 of the r6 backlog)
-    "q_control_chart", "q_ks_test", "q_ab_ztest", "q_chi2",
-    "q_market_basket", "q_benford", "q_pmi", "q_ewma",
-    "q_token_entropy", "q_zipf_fit", "q_winsorize", "q_kcore",
-    "q_e2e_curation", "q_pseudonymize", "q_lpa_communities",
-    "q_url_canonical", "q_ann_pq", "q_ann_ivfpq", "q_semdedup",
-    "q_quantize_int8",
-    # slots 24-50 — oldest r5-hash refresh (unchanged code)
-    "q01_preview", "q02_sort_slice", "q05_filter_project",
-    "q06_cast_arith", "q07_conditional", "q12_inner_join",
-    "q13_multi_join", "q14_left_join", "q14b_right_join",
-    "q14c_full_join", "q15_anti_join", "q15_semi_join",
-    "q16_cross_join", "q17_non_equi_join", "q25_strings", "q26_regex",
-    "q27_dates", "q28_math", "q29_arrays", "q30_json", "q31_nulls",
-    "q34_exact_dedup", "q35_cosine_topk", "q36_token_counts",
-    "q37_json_sink", "q38_write_roundtrip", "q_ann_ivf",
-    # tier next — remaining r5-stale queries; lead the r9 window
+    # slots 1-3 — changed-this-round code paths (operators/quantile.py)
+    "q_percentile_approx", "q_winsorize", "q_outlier_mad",
+    # slots 4-9 — new r9 queries
+    "q_tpch_q5", "q_tpch_q10", "q_tpch_q13", "q_tpch_q17", "q_tpch_q18",
+    "q_rolling_median",
+    # slots 10-27 — last r5-stale refresh (unchanged code)
     "q_ann_lsh", "q_decontaminate", "q_dedup_canonical",
     "q_domain_mix", "q_embed_neardup", "q_fingerprint",
     "q_heavy_hitters", "q_lang_id", "q_lev_verify", "q_minhash_lsh",
     "q_neardup_clusters", "q_ngram_jaccard", "q_quality_score",
     "q_redact_pii", "q_repetition", "q_simhash", "q_stratified_sample",
-    "q_token_count", "q_percentile_approx",
+    "q_token_count",
+    # slots 28-50 — oldest r6-hash refresh (unchanged code)
+    "q03_regression_nullzero", "q04_regression_sql",
+    "q04b_grouped_regression", "q08_tpch_q1", "q09_count_distinct",
+    "q10_stats", "q10c_higher_moments", "q11_corr_cov",
+    "q18_window_rank", "q18b_window_family", "q19_window_lag",
+    "q20_running_sum", "q21_rolling_avg", "q22_rollup", "q22b_cube",
+    "q23_except", "q23_intersect", "q23_union_all",
+    "q23_union_distinct", "q24_distinct_rows", "q32_tumbling_window",
+    "q33_sliding_window", "q_approx_distinct",
 ]
 
 
@@ -118,6 +111,7 @@ def all_queries() -> dict[str, QueryFn]:
         sink,
         pipeline,
         similarity,
+        tpch,
     )
 
     # a typo'd _PRIORITY name would silently demote a real query out of

@@ -110,7 +110,17 @@ def q_sql_surface(spark, sf_dir):
     and key extrema per order status) so the JSON round-trip is exact.
     Puts the whole endpoint path under the driver hash contract
     (VERDICT r7 next-step #7); the oracle is the same ANSI statement run
-    by DuckDB directly."""
+    by DuckDB directly.
+
+    EAGER, deliberately: run_sql collects at query-CONSTRUCTION time
+    (the endpoint's contract is JSON rows, so the DataFrame returned
+    here is a local relation lifted from them). Building this query —
+    including schema-only sweeps — therefore executes the statement and
+    re-registers temp views named after the lake's dataset ids
+    (orders, lineitem, ...) in the shared session. That is the accepted
+    cost of driving the real endpoint path rather than a lazy twin of
+    it; the registry sweep (tests/test_registry_shapes.py) documents
+    this one exception."""
     from polars_express_spark.api import run_sql
     from polars_express_spark.catalog import DataLake
 

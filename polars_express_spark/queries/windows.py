@@ -104,6 +104,48 @@ def q21_rolling_avg(spark, sf_dir):
 
 
 @query(
+    "q_rolling_median",
+    oracle="""
+    SELECT event_id,
+           quantile_cont(value, 0.5) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+           ) AS rmed
+    FROM events
+    """,
+)
+def q_rolling_median(spark, sf_dir):
+    """Rolling 7-row exact median per user (§2.5, r9): an ORDER
+    STATISTIC over a moving frame — Spark has no built-in windowed
+    median, so this composes one JVM-side: collect_list over the frame
+    → array_sort → pick/interpolate by index. Everything stays in
+    whole-stage codegen; no UDF, no Python.
+
+    Interpolation mirrors DuckDB's quantile_cont tree exactly
+    (lo + (hi − lo)·0.5, which degenerates to lo for odd frames since
+    hi = lo there), so the doubles are bit-equal — no rounding needed.
+
+    Scale note: per-row cost and memory are O(frame) — fine for small
+    fixed frames (7 here). For frames of thousands of rows use two
+    passes over bucketized ranks instead (the operators/quantile.py
+    approach); collect_list over a wide frame is the same buffering
+    trap that operator exists to avoid."""
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-6, W.currentRow)
+    s = F.array_sort(F.collect_list("value").over(w))
+    n = F.size(s)
+    # 1-based order-statistic indices around pos = (n−1)/2:
+    # odd n → i1 = i2 = (n+1)/2; even n → the two middle elements.
+    i1 = (F.floor((n - F.lit(1)) / F.lit(2)) + F.lit(1)).cast("int")
+    i2 = (F.floor(n / F.lit(2)) + F.lit(1)).cast("int")
+    lo, hi = F.element_at(s, i1), F.element_at(s, i2)
+    med = F.when(n == 0, F.lit(None).cast("double")).otherwise(
+        lo + (hi - lo) * F.lit(0.5)
+    )
+    return e.select("event_id", med.alias("rmed"))
+
+
+@query(
     "q_session_window",
     oracle=f"""
     WITH flagged AS (

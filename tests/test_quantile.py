@@ -183,6 +183,30 @@ def test_guard_survives_the_optimizer(spark):
     assert "raise_error" in plan
 
 
+def test_empty_bracket_raises_not_null(spark, monkeypatch):
+    """r8 ADVICE: an EMPTY bracket (m_i = 0 — GK guarantee violated)
+    used to be dropped by the refine inner join before any guard
+    evaluated, emitting NULL / dropping the group instead of raising.
+    Force the failure by faking the GK sketch to return brackets that
+    contain no rows, on both sides of the data, and require a raise."""
+    from pyspark.sql import functions as pf
+
+    df = spark.range(0, 1000).select(
+        (F.col("id") % 2).cast("string").alias("g"),
+        (F.col("id") % 97).cast("double").alias("v"),
+    )
+    for bogus in (1e9, -1e9):  # bracket above all values / below all values
+        monkeypatch.setattr(
+            pf,
+            "percentile_approx",
+            lambda col, pcts, acc, _b=bogus: F.transform(pcts, lambda p: F.lit(_b)),
+        )
+        with pytest.raises(Exception, match="exact_quantile"):
+            # accuracy=2 → every group takes the "big" GK-bracket path
+            exact_quantile(df, "v", 0.5, group=["g"], accuracy=2).collect()
+    monkeypatch.undo()
+
+
 def test_no_full_width_shuffle_of_values(spark):
     """Scale shape: the only window in the plan runs over the bracket
     rows (post-filter), and the base relation is aggregated with

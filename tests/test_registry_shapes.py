@@ -40,8 +40,11 @@ _SAMPLES = {
 
 
 def test_registry_output_shapes_are_driver_safe(spark):
-    """Two assertions per registered query, from ONE lazy plan build
-    (no collect, so the sweep is schema-only):
+    """Two assertions per registered query, from ONE plan build per
+    query. The sweep is schema-only — no collect — for every query
+    EXCEPT q_sql_surface, which is eager by design (it drives the real
+    /sql endpoint, which collects JSON rows and registers lake temp
+    views as a side effect; see its docstring):
 
     1. no top-level array/map/struct column — the driver's pandas
        canonicalizer cannot sort or hash container cells; queries with
