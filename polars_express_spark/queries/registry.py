@@ -48,11 +48,16 @@ def query(name: str, oracle: str | None = None):
 # queued for r9, see r8 ADVICE #3), and 49 r6-hash queries. This round
 # also changed operators/quantile.py again (empty-bracket guard: the
 # refine join now preserves the stats spine and raises instead of
-# silently NULLing — r8 ADVICE #1), which q_percentile_approx,
-# q_winsorize and the r9-reworked q_outlier_mad ride. Window layout:
-#   slots 1-3   — changed-this-round code: q_percentile_approx (r8
-#                 rebuild + r9 guard), q_winsorize / q_outlier_mad
-#                 (r9 quantile-path changes);
+# silently NULLing — r8 ADVICE #1), which q_percentile_approx and
+# q_winsorize ride. (q_outlier_mad was TRIED on exact_quantile this
+# round and reverted: with 3 groups its buffering percentile is 2.6s
+# vs 4-6.5s for the nested three-pass operator — the r7 verdict's
+# "trade is documented, keep it" stands; its r7 hash is current.)
+# Window layout:
+#   slots 1-3   — changed-this-round code (operators/quantile.py):
+#                 q_percentile_approx (r8 rebuild + r9 guard),
+#                 q_winsorize; slot 3 starts the r6 backfill early
+#                 (q_asof_join);
 #   slots 4-9   — NEW r9: the TPC-H headline pack (Q5/Q10/Q13/Q17/Q18
 #                 shapes, queries/tpch.py) and q_rolling_median
 #                 (windowed order statistic, windows.py);
@@ -61,14 +66,15 @@ def query(name: str, oracle: str | None = None):
 #                 regression/agg block q03–q11, window block q18–q21,
 #                 rollup/setops q22–q24, streaming twins q32/q33,
 #                 q_approx_distinct.
-# Tier "next" = the 25 remaining r6-hash queries (asof family, bloom,
-# chunking, CMS, corr matrix, PCA, JSON/map fns, multimodal, multireg,
-# packing, pagerank, pivot family, range join, scd2, session family,
-# tfidf, triangles, udtf, zorder) — lead the r10 window, then rotate
-# the 49 r7-hash queries.
+# Tier "next" = the 24 remaining r6-hash queries (asof forward/nearest,
+# bloom, chunking, CMS, corr matrix, PCA, JSON/map fns, multimodal,
+# multireg, packing, pagerank, pivot family, range join, scd2, session
+# family, tfidf, triangles, udtf, zorder) — lead the r10 window, then
+# rotate the 49 r7-hash queries.
 _PRIORITY = [
     # slots 1-3 — changed-this-round code paths (operators/quantile.py)
-    "q_percentile_approx", "q_winsorize", "q_outlier_mad",
+    # + the head of the r6 backfill
+    "q_percentile_approx", "q_winsorize", "q_asof_join",
     # slots 4-9 — new r9 queries
     "q_tpch_q5", "q_tpch_q10", "q_tpch_q13", "q_tpch_q17", "q_tpch_q18",
     "q_rolling_median",
