@@ -132,7 +132,17 @@ def q_rolling_median(spark, sf_dir):
     trap that operator exists to avoid."""
     e = load_table(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-6, W.currentRow)
-    s = F.array_sort(F.collect_list("value").over(w))
+    # Materialize the sorted frame ONCE behind a checkpoint-free barrier:
+    # referencing the window expression from every index term would make
+    # Catalyst extract one collect_list PER REFERENCE (observed: seven
+    # _weN duplicates); an aggregate-free intermediate select pins a
+    # single window column, and the median projection below references
+    # the ATTRIBUTE, which CollapseProject substitutes without
+    # re-expanding the window expression.
+    base = e.select(
+        "event_id", F.array_sort(F.collect_list("value").over(w)).alias("__s")
+    )
+    s = F.col("__s")
     n = F.size(s)
     # 1-based order-statistic indices around pos = (n−1)/2:
     # odd n → i1 = i2 = (n+1)/2; even n → the two middle elements.
@@ -142,7 +152,7 @@ def q_rolling_median(spark, sf_dir):
     med = F.when(n == 0, F.lit(None).cast("double")).otherwise(
         lo + (hi - lo) * F.lit(0.5)
     )
-    return e.select("event_id", med.alias("rmed"))
+    return base.select("event_id", med.alias("rmed"))
 
 
 @query(

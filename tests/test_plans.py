@@ -365,3 +365,72 @@ def test_winsorize_no_buffering_percentile(spark):
     # approx spellings and no percentile call may remain
     stripped = low.replace("percentile_approx", "").replace("approx_percentile", "")
     assert "percentile(" not in stripped, p
+
+
+def test_tpch_pack_never_cartesian(spark):
+    """r9 TPC-H pack: every join in the five plans is keyed — no
+    CartesianProduct or BroadcastNestedLoopJoin anywhere (Q5's snowflake
+    included, whose c_nationkey = s_nationkey edge could degrade to a
+    residual-only join if the equi-keys were mis-declared)."""
+    for name in ("q_tpch_q5", "q_tpch_q10", "q_tpch_q13", "q_tpch_q17",
+                 "q_tpch_q18"):
+        p = plan_of(name, spark)
+        assert "CartesianProduct" not in p, name
+        assert "BroadcastNestedLoop" not in p, name
+
+
+def test_tpch_q5_dims_broadcast_and_filters_push(spark):
+    """Q5's region filter must reach the region scan, and the
+    region→nation→supplier chain must broadcast (no shuffle for dim
+    attachment)."""
+    p = plan_of("q_tpch_q5", spark)
+    assert "BroadcastHashJoin" in p
+    pushed = [seg.split("\n")[0] for seg in p.split("PushedFilters:")[1:]]
+    assert any("AFRICA" in s for s in pushed), pushed
+    assert any("o_orderdate" in s for s in pushed), pushed
+
+
+def test_tpch_q10_topk_fuses_and_returnflag_pushes(spark):
+    """Q10's top-20 must be TakeOrderedAndProject (per-partition heap,
+    no global sort of the per-customer aggregate) and the returnflag
+    filter must reach the lineitem scan."""
+    p = plan_of("q_tpch_q10", spark)
+    assert "TakeOrderedAndProject" in p
+    pushed = [seg.split("\n")[0] for seg in p.split("PushedFilters:")[1:]]
+    assert any("l_returnflag" in s and "R" in s for s in pushed), pushed
+
+
+def test_tpch_q17_threshold_broadcasts(spark):
+    """Q17's decorrelated per-part thresholds and the brand slice must
+    both attach by broadcast — the correlated comparison costs zero
+    extra shuffles of the fact."""
+    p = plan_of("q_tpch_q17", spark)
+    assert p.count("BroadcastHashJoin") >= 2, p
+    assert "SortMergeJoin" not in p, p
+
+
+def test_tpch_q18_aggregates_before_joining(spark):
+    """Q18's HAVING spine must aggregate lineitem BEFORE any join: the
+    first join input is the filtered per-order aggregate, so the plan
+    has a HashAggregate under the join, and the final top-100 fuses to
+    TakeOrderedAndProject."""
+    p = plan_of("q_tpch_q18", spark)
+    assert "TakeOrderedAndProject" in p
+    join_pos = p.find("Join")
+    agg_pos = p.find("HashAggregate")
+    assert agg_pos != -1 and join_pos != -1
+    assert "total_qty" in p
+
+
+def test_rolling_median_single_window_shuffle(spark):
+    """q_rolling_median is one window over user_id — exactly one hash
+    exchange, no join, no UDF (the order statistic is expression-level:
+    array_sort + element_at inside the window projection)."""
+    p = plan_of("q_rolling_median", spark)
+    assert p.count("hashpartitioning(user_id") == 1, p
+    assert "Join" not in p, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+    assert "array_sort" in p or "sort_array" in p, p
+    # the sorted frame must be materialized ONCE — a naive projection
+    # extracts one collect_list per index reference (observed: 7)
+    assert p.count("collect_list") == 1, p.count("collect_list")
