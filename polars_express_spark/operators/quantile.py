@@ -271,7 +271,12 @@ def exact_quantiles(
     # side opposite a right outer join, and bv (bracket-sized, up to
     # executor-sized at tuned accuracy) is the side that must stream —
     # its window shuffle on pcols is reused by this join.
-    picked = _null_safe_join(bv, stats_long, pcols, how="right", broadcast_right=False)
+    # SHUFFLE_HASH on the bracket side: a right outer join builds from
+    # the left, and hashing bv (bounded by the bracket contract) skips
+    # the sort-merge sorts of both sides.
+    picked = _null_safe_join(
+        bv.hint("SHUFFLE_HASH"), stats_long, pcols, how="right", broadcast_right=False
+    )
     # Global rank range covered by value v: [lt + cum − c, lt + cum − 1].
     top_rank = F.col("__lt") + F.col("__cum") - F.lit(1)
     res = picked.groupBy(*pcols, "__frac").agg(
