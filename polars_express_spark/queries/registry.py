@@ -58,25 +58,27 @@ def query(name: str, oracle: str | None = None):
 #                 q_percentile_approx (r8 rebuild + r9 guard),
 #                 q_winsorize; slot 3 starts the r6 backfill early
 #                 (q_asof_join);
-#   slots 4-9   — NEW r9: the TPC-H headline pack (Q5/Q10/Q13/Q17/Q18
-#                 shapes, queries/tpch.py) and q_rolling_median
-#                 (windowed order statistic, windows.py);
-#   slots 10-27 — the 18 remaining r5-stale queries (unchanged code);
-#   slots 28-50 — oldest r6-hash backfill (unchanged code): the
+#   slots 4-14  — NEW r9: the TPC-H headline pack (Q5/Q7/Q8/Q10/Q13/
+#                 Q15/Q17/Q18/Q19/Q22 shapes, queries/tpch.py) and
+#                 q_rolling_median (windowed order statistic,
+#                 windows.py);
+#   slots 15-32 — the 18 remaining r5-stale queries (unchanged code);
+#   slots 33-50 — oldest r6-hash backfill (unchanged code): the
 #                 regression/agg block q03–q11, window block q18–q21,
-#                 rollup/setops q22–q24, streaming twins q32/q33,
-#                 q_approx_distinct.
-# Tier "next" = the 24 remaining r6-hash queries (asof forward/nearest,
-# bloom, chunking, CMS, corr matrix, PCA, JSON/map fns, multimodal,
-# multireg, packing, pagerank, pivot family, range join, scd2, session
-# family, tfidf, triangles, udtf, zorder) — lead the r10 window, then
-# rotate the 49 r7-hash queries.
+#                 rollup q22/q22b, except/intersect/union_all.
+# Tier "next" = the 29 remaining r6-hash queries (q23_union_distinct,
+# q24, q32/q33 streaming twins, q_approx_distinct, asof forward/
+# nearest, bloom, chunking, CMS, corr matrix, PCA, JSON/map fns,
+# multimodal, multireg, packing, pagerank, pivot family, range join,
+# scd2, session family, tfidf, triangles, udtf, zorder) — lead the r10
+# window, then rotate the 49 r7-hash queries.
 _PRIORITY = [
     # slots 1-3 — changed-this-round code paths (operators/quantile.py)
     # + the head of the r6 backfill
     "q_percentile_approx", "q_winsorize", "q_asof_join",
-    # slots 4-9 — new r9 queries
+    # slots 4-14 — new r9 queries (TPC-H pack + rolling median)
     "q_tpch_q5", "q_tpch_q10", "q_tpch_q13", "q_tpch_q17", "q_tpch_q18",
+    "q_tpch_q7", "q_tpch_q8", "q_tpch_q15", "q_tpch_q19", "q_tpch_q22",
     "q_rolling_median",
     # slots 10-27 — last r5-stale refresh (unchanged code)
     "q_ann_lsh", "q_decontaminate", "q_dedup_canonical",
@@ -92,8 +94,6 @@ _PRIORITY = [
     "q18_window_rank", "q18b_window_family", "q19_window_lag",
     "q20_running_sum", "q21_rolling_avg", "q22_rollup", "q22b_cube",
     "q23_except", "q23_intersect", "q23_union_all",
-    "q23_union_distinct", "q24_distinct_rows", "q32_tumbling_window",
-    "q33_sliding_window", "q_approx_distinct",
 ]
 
 

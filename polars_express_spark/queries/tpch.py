@@ -319,3 +319,323 @@ def q_tpch_q18(spark, sf_dir):
     return j.select(
         "c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty"
     ).orderBy(F.col("o_totalprice").desc(), "o_orderkey").limit(100)
+
+
+@query(
+    "q_tpch_q7",
+    oracle=f"""
+    WITH j AS (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(l_shipdate) AS INT) AS l_year,
+             l_extendedprice * (1 - l_discount) AS rev
+      FROM supplier
+      JOIN lineitem ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+         OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    )
+    SELECT supp_nation, cust_nation, l_year, {sql_dsum("rev", "revenue")}
+    FROM j GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def q_tpch_q7(spark, sf_dir):
+    """TPC-H Q7 (volume shipping): revenue flowing between two specific
+    nations, by direction and ship year — the DISJUNCTIVE CROSS-NATION
+    pair predicate ((A,B) OR (B,A)) that cannot be pushed to either
+    scan alone.
+
+    Plan shape: both nation attachments broadcast; the pair disjunction
+    evaluates after them as a cheap residual filter on two tiny string
+    columns, BEFORE the grouping. Fact shuffles stay on
+    suppkey/orderkey/custkey only. At 100 TB the selective nation pair
+    makes the post-join stream a sliver; AQE coalesces the near-empty
+    shuffle partitions behind it."""
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        "l_orderkey",
+        F.year("l_shipdate").cast("int").alias("l_year"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation")
+    n1 = n.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    j = (
+        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .where(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+    )
+    return (
+        j.groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(dsum(F.col("rev"), "revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@query(
+    "q_tpch_q8",
+    oracle=f"""
+    WITH j AS (
+      SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+             n2.n_name AS supp_nation,
+             l_extendedprice * (1 - l_discount) AS rev
+      FROM lineitem
+      JOIN part     ON p_partkey = l_partkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region   ON n1.n_regionkey = r_regionkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+    ), g AS (
+      SELECT o_year,
+             count(*) AS n_items,
+             {sql_dsum("CASE WHEN supp_nation = 'NATION_3' THEN rev ELSE 0 END", "nat_rev")},
+             {sql_dsum("rev", "tot_rev")}
+      FROM j GROUP BY o_year
+    )
+    SELECT o_year, n_items, nat_rev / tot_rev AS mkt_share
+    FROM g ORDER BY o_year
+    """,
+)
+def q_tpch_q8(spark, sf_dir):
+    """TPC-H Q8 (national market share): NATION_3 suppliers' share of
+    ECONOMY-part revenue sold to ASIA customers, per order year — a
+    SHARE-OF-CONDITIONAL-SUM over a 7-table join.
+
+    Plan shape: part/region/nation/supplier all broadcast (the part
+    filter makes even the biggest dim a sliver); the share is computed
+    from two exact decimal sums in the SAME grouped aggregate (one
+    pass), then one double division — never a windowed
+    percent-of-total, which would re-shuffle the aggregate. Both
+    engines divide identical doubles, so the share hashes exactly."""
+    p = (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_type") == "ECONOMY")
+        .select("p_partkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.year("o_orderdate").cast("int").alias("o_year")
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), "n_regionkey"
+    )
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    cn = (
+        c.join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey")
+    )
+    sn = s.join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key")).select(
+        "s_suppkey", "supp_nation"
+    )
+    j = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(sn), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cn, F.col("o_custkey") == F.col("c_custkey"))
+    )
+    g = j.groupBy("o_year").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        dsum(
+            F.when(F.col("supp_nation") == "NATION_3", F.col("rev")).otherwise(0.0),
+            "nat_rev",
+        ),
+        dsum(F.col("rev"), "tot_rev"),
+    )
+    return g.select(
+        "o_year", "n_items", (F.col("nat_rev") / F.col("tot_rev")).alias("mkt_share")
+    ).orderBy("o_year")
+
+
+@query(
+    "q_tpch_q15",
+    oracle=f"""
+    WITH rev AS (
+      SELECT l_suppkey, {sql_dsum("l_extendedprice * (1 - l_discount)", "total_rev")}
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_rev
+    FROM supplier JOIN rev ON s_suppkey = l_suppkey
+    WHERE total_rev = (SELECT max(total_rev) FROM rev)
+    ORDER BY s_suppkey
+    """,
+)
+def q_tpch_q15(spark, sf_dir):
+    """TPC-H Q15 (top supplier): supplier(s) whose quarterly revenue
+    equals the maximum — the SCALAR AGGREGATE SUBQUERY over a derived
+    view, kept as an exact-equality filter (ties all surface, as the
+    spec requires).
+
+    Plan shape: the per-supplier revenue aggregate is computed once and
+    its 1-row max attaches by broadcast; the equality is safe because
+    both sides are the SAME exact decimal sum (a double-summed revenue
+    would make `= max` flake on partition order — the decimal contract
+    is what makes this query hashable at all). Supplier attaches by
+    broadcast after the filter, touching only the winners."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "total_rev")
+    )
+    mx = rev.agg(F.max("total_rev").alias("__mx"))
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    top = rev.join(F.broadcast(mx), F.col("total_rev") == F.col("__mx")).drop("__mx")
+    return (
+        top.join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .select("s_suppkey", "s_name", "total_rev")
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "q_tpch_q19",
+    oracle=f"""
+    WITH hit AS (
+      SELECT l_extendedprice * (1 - l_discount) AS rev
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE (p_brand = 'Brand#11' AND l_quantity BETWEEN 1 AND 11
+             AND p_size BETWEEN 1 AND 5)
+         OR (p_brand = 'Brand#22' AND l_quantity BETWEEN 10 AND 20
+             AND p_size BETWEEN 1 AND 10)
+         OR (p_brand = 'Brand#33' AND l_quantity BETWEEN 20 AND 30
+             AND p_size BETWEEN 1 AND 15)
+    )
+    SELECT count(*) AS n_items, {sql_dsum("rev", "revenue")} FROM hit
+    """,
+)
+def q_tpch_q19(spark, sf_dir):
+    """TPC-H Q19 (discounted revenue): revenue from three disjunctive
+    brand/quantity/size windows — the OR-OF-ANDS join predicate that
+    mixes columns from BOTH sides in every disjunct.
+
+    Plan shape: Catalyst extracts p_partkey = l_partkey as the equi-key
+    and keeps the disjunction as a join residual; it also derives the
+    IMPLIED single-side filters (p_brand IN (...), l_quantity within
+    the union of ranges) and pushes them to the scans, so both inputs
+    shrink before the join. The part side then broadcasts. This is the
+    query where a naive engine falls back to a nested loop — the plan
+    guard pins the equi-join."""
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_quantity",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+    )
+    cond = (F.col("p_partkey") == F.col("l_partkey")) & (
+        (
+            (F.col("p_brand") == "Brand#11")
+            & F.col("l_quantity").between(1, 11)
+            & F.col("p_size").between(1, 5)
+        )
+        | (
+            (F.col("p_brand") == "Brand#22")
+            & F.col("l_quantity").between(10, 20)
+            & F.col("p_size").between(1, 10)
+        )
+        | (
+            (F.col("p_brand") == "Brand#33")
+            & F.col("l_quantity").between(20, 30)
+            & F.col("p_size").between(1, 15)
+        )
+    )
+    hit = li.join(F.broadcast(p), cond)
+    return hit.agg(
+        F.count(F.lit(1)).alias("n_items"), dsum(F.col("rev"), "revenue")
+    )
+
+
+@query(
+    "q_tpch_q22",
+    oracle=f"""
+    WITH avg_bal AS (
+      SELECT avg(c_acctbal) AS ab FROM customer WHERE c_acctbal > 0
+    ), eligible AS (
+      SELECT c.c_custkey, c.c_nationkey, c.c_acctbal
+      FROM customer c, avg_bal
+      WHERE c.c_acctbal > ab
+        AND NOT EXISTS (
+          SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey
+            AND o.o_orderdate >= TIMESTAMP '1999-01-01'
+        )
+    )
+    SELECT n_name, count(*) AS n_custs, {sql_dsum("c_acctbal", "total_bal")}
+    FROM eligible JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name ORDER BY n_name
+    """,
+)
+def q_tpch_q22(spark, sf_dir):
+    """TPC-H Q22 shape (global sales opportunity): customers with
+    above-average account balance and NO recent orders, counted per
+    nation — SCALAR AVG SUBQUERY + NOT EXISTS anti-join in one query.
+    (The spec's phone-prefix country codes don't exist in this schema;
+    the nation dim plays that role.)
+
+    Plan shape: the positive-balance average is a 1-row broadcast
+    (computed from the same customer scan); NOT EXISTS decorrelates to
+    a LEFT ANTI join against the date-filtered orders — the filter
+    pushes to the orders scan, so the anti-join's build side shrinks to
+    the recent slice. The acctbal threshold comparison happens before
+    the anti-join, pruning the probe side first. avg() is a single
+    deterministic double on both engines (one row, no merge order).
+
+    Exactness note: avg(c_acctbal) is sum/count of doubles — its
+    partition merge order could differ, but both engines compute the
+    identical value here because the decimal-free sum of ~2-dp values
+    at this magnitude stays exact in double far beyond any test SF;
+    the strict `>` threshold would need a value within one ulp of a
+    customer's balance to flip, and balances are 2-dp quantized."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    avg_bal = c.where(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("ab"))
+    recent = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    eligible = (
+        c.join(F.broadcast(avg_bal), F.col("c_acctbal") > F.col("ab")).drop("ab")
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+    )
+    return (
+        eligible.join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_custs"), dsum(F.col("c_acctbal"), "total_bal"))
+        .orderBy("n_name")
+    )

@@ -434,3 +434,41 @@ def test_rolling_median_single_window_shuffle(spark):
     # the sorted frame must be materialized ONCE — a naive projection
     # extracts one collect_list per index reference (observed: 7)
     assert p.count("collect_list") == 1, p.count("collect_list")
+
+
+def test_tpch_pack2_join_shapes(spark):
+    """r9 TPC-H pack, second wave. Q7/Q8/Q15/Q19: keyed joins only.
+    Q22 is allowed exactly ONE BroadcastNestedLoopJoin — the 1-row
+    scalar avg-balance attach (a non-equi compare against a broadcast
+    single-row aggregate, the accepted scalar-attachment pattern);
+    its NOT EXISTS must decorrelate to a left anti join."""
+    for name in ("q_tpch_q7", "q_tpch_q8", "q_tpch_q15", "q_tpch_q19"):
+        p = plan_of(name, spark)
+        assert "CartesianProduct" not in p, name
+        assert "BroadcastNestedLoop" not in p, name
+    p22 = plan_of("q_tpch_q22", spark)
+    # count tree nodes only — the formatted detail sections repeat names
+    assert p22.split("\n\n")[0].count("BroadcastNestedLoopJoin") == 1, p22
+    assert "CartesianProduct" not in p22, p22
+    assert "LeftAnti" in p22, p22
+
+
+def test_tpch_q19_is_equi_join_with_residual(spark):
+    """Q19's OR-of-ANDs predicate must NOT demote the join to a nested
+    loop: Catalyst extracts p_partkey = l_partkey as the hash key and
+    keeps the disjunction as a residual, with implied brand filters
+    pushed to the part scan."""
+    p = plan_of("q_tpch_q19", spark)
+    assert "BroadcastHashJoin" in p, p
+    assert "BroadcastNestedLoop" not in p and "CartesianProduct" not in p, p
+    pushed = [seg.split("\n")[0] for seg in p.split("PushedFilters:")[1:]]
+    assert any("p_brand" in s for s in pushed), pushed
+
+
+def test_tpch_q15_max_attaches_by_broadcast(spark):
+    """Q15's scalar max must attach to the per-supplier revenue frame
+    by broadcast (1-row side), and the supplier dim joins AFTER the
+    equality filter."""
+    p = plan_of("q_tpch_q15", spark)
+    assert p.count("BroadcastHashJoin") >= 1, p
+    assert "SortMergeJoin" not in p, p
