@@ -472,3 +472,54 @@ def test_tpch_q15_max_attaches_by_broadcast(spark):
     p = plan_of("q_tpch_q15", spark)
     assert p.count("BroadcastHashJoin") >= 1, p
     assert "SortMergeJoin" not in p, p
+
+
+# Queries whose plans legitimately contain BroadcastNestedLoopJoin
+# nodes: every one is a broadcast attach of a BOUNDED (1-row aggregate /
+# kilobyte sketch / bitmap / threshold) frame to a data stream — O(n)
+# compares against constant-size state — or the declared q16 cross join.
+# A BNLJ between two DATA-sized sides would be a scale killer; keeping
+# this an explicit allowlist means any new one fails the sweep until
+# it is reviewed and declared here.
+_BNLJ_ALLOWED = {
+    "q16_cross_join",       # declared tiny-dim cross join (5 × 25 rows)
+    "q31_nulls",            # null-count scalar attaches
+    "q_bloom_prune",        # 1-row bitmap frame attach
+    "q_chi2",               # grand-total attach
+    "q_control_chart",      # global mean/stddev attach
+    "q_domain_mix",         # per-corpus totals attach
+    "q_embed_pca",          # total-variance scalar attach
+    "q_fk_audit",           # per-table total attaches
+    "q_funnel",             # step-total attaches
+    "q_heavy_hitters",      # corpus-total + threshold attaches
+    "q_histogram",          # global min/max bounds attach
+    "q_hll_union",          # per-register union attach
+    "q_ks_test",            # per-arm total attaches
+    "q_market_basket",      # basket-count scalar attach
+    "q_percentile_approx",  # global-group bracket/anchor attaches
+    "q_pmi",                # corpus-total attach
+    "q_simhash",            # hamming-threshold scalar attach
+    "q_tfidf",              # corpus doc-count attach
+    "q_tpch_q22",           # scalar avg-balance threshold attach
+    "q_train_split",        # split-threshold attaches
+    "q_triangles",          # wedge/triangle total attaches
+}
+
+
+def test_registry_wide_no_cartesian_and_declared_bnlj_only(spark):
+    """Scale-hazard sweep over EVERY registered query's plan: no
+    CartesianProduct anywhere, and BroadcastNestedLoopJoin only in the
+    reviewed allowlist above. This is the global form of the per-query
+    guards — a new operator that demotes to a cartesian (mis-declared
+    equi-keys, an accidental unkeyed join) fails here before the bench
+    or the driver ever see it. Tree section only (formatted detail
+    sections repeat node names)."""
+    offenders_cart, offenders_bnlj = [], []
+    for name, fn in QS.items():
+        tree = _plan(fn(spark, SF_DIR)).split("\n\n")[0]
+        if "CartesianProduct" in tree:
+            offenders_cart.append(name)
+        if "BroadcastNestedLoopJoin" in tree and name not in _BNLJ_ALLOWED:
+            offenders_bnlj.append(name)
+    assert not offenders_cart, f"CartesianProduct in: {offenders_cart}"
+    assert not offenders_bnlj, f"undeclared BNLJ in: {offenders_bnlj}"
