@@ -319,3 +319,160 @@ def durable_bloom_dedup(lake, data_id: str, key: str, fmt: str = "parquet",
             key, num_bits=num_bits, num_hashes=num_hashes, sink_fn=sink_fn
         )
     return acc, durable_foreach_batch(lake, data_id, acc, fmt=fmt)
+
+
+class StreamingQuantile:
+    """Streaming quantile estimation in FIXED memory with a RELATIVE
+    error guarantee (the DDSketch scheme — Masson/Rim/Lee, VLDB 2019:
+    log-scale bins of ratio γ = (1+α)/(1−α); any value in bin i,
+    covering (γ^(i−1), γ^i], is represented by 2γ^i/(γ+1), which is
+    within α of every value in the bin). Percentile monitoring over an
+    unbounded stream — p50/p95/p99 latency, price, score — where the
+    exact operator (operators/quantile.py) has no finite state.
+
+    Per micro-batch, executor-side: one partial→final groupBy over the
+    bin index (a pure-codegen ceil(ln x / ln γ) expression) — only the
+    ≤ max_bins finished (sign, bin, count) rows cross to the driver.
+    Bin counters form the same commutative monoid as the CMS counters,
+    so K micro-batches merged ≡ one batch fold, counter-for-counter
+    (the golden contract). Negative values mirror into their own store;
+    zeros count separately; NULL/NaN are ignored (as percentile does).
+
+    Memory bound: each store keeps ≤ max_bins bins; overflow collapses
+    the smallest-magnitude bins into the lowest kept one (DDSketch's
+    collapse rule) — upper quantiles keep the α guarantee, the
+    collapsed low tail degrades gracefully. α=0.01 spans double range
+    in < 7100 bins/store, so the default never collapses in practice.
+
+    Exactly-once / durability: absorb() is idempotent per batch_id;
+    snapshot()/restore() round-trip the full state, composing with
+    durable_foreach_batch for lake-persisted restarts like the other
+    accumulators."""
+
+    def __init__(self, col: str, alpha: float = 0.01, max_bins: int = 8192):
+        if not 0.0 < alpha < 1.0:
+            raise ValueError(f"alpha must be in (0, 1), got {alpha}")
+        self.col, self.alpha, self.max_bins = col, alpha, max_bins
+        self.gamma = (1.0 + alpha) / (1.0 - alpha)
+        self.pos: dict[int, int] = {}
+        self.neg: dict[int, int] = {}
+        self.zeros: int = 0
+        self._last_batch: int = -1
+
+    def _mid(self, i: int) -> float:
+        return 2.0 * self.gamma**i / (self.gamma + 1.0)
+
+    def _collapse(self, store: dict[int, int]) -> None:
+        if len(store) <= self.max_bins:
+            return
+        keys = sorted(store)
+        overflow = len(store) - self.max_bins
+        spill = sum(store.pop(k) for k in keys[:overflow])
+        store[keys[overflow]] = store.get(keys[overflow], 0) + spill
+
+    def absorb(self, batch_df: DataFrame, batch_id: int) -> None:
+        """foreachBatch hook: fold one micro-batch. A re-delivered
+        batch_id (restart replay) is a no-op."""
+        import math
+
+        from pyspark.sql import functions as F
+
+        if batch_id <= self._last_batch:
+            return
+        c = F.col(self.col).cast("double")
+        lg = F.lit(math.log(self.gamma))
+        binned = (
+            batch_df.where(c.isNotNull() & ~F.isnan(c))
+            .select(
+                F.when(c > 0, F.lit(1))
+                .when(c < 0, F.lit(-1))
+                .otherwise(F.lit(0))
+                .alias("__sgn"),
+                F.when(c > 0, F.ceil(F.log(c) / lg))
+                .when(c < 0, F.ceil(F.log(-c) / lg))
+                .otherwise(F.lit(0))
+                .cast("long")
+                .alias("__bin"),
+            )
+            .groupBy("__sgn", "__bin")
+            .agg(F.count(F.lit(1)).alias("__c"))
+        )
+        for r in binned.collect():
+            if r["__sgn"] == 0:
+                self.zeros += r["__c"]
+            elif r["__sgn"] > 0:
+                self.pos[r["__bin"]] = self.pos.get(r["__bin"], 0) + r["__c"]
+            else:
+                self.neg[r["__bin"]] = self.neg.get(r["__bin"], 0) + r["__c"]
+        self._collapse(self.pos)
+        self._collapse(self.neg)
+        self._last_batch = batch_id
+
+    def count(self) -> int:
+        return self.zeros + sum(self.pos.values()) + sum(self.neg.values())
+
+    def estimate(self, q: float) -> float | None:
+        """q-quantile estimate (relative error ≤ α for uncollapsed
+        bins); None on an empty sketch. Rank semantics match the
+        nearest-rank walk over ⌊q·(n−1)⌋."""
+        if not 0.0 <= q <= 1.0:
+            raise ValueError(f"q must be in [0, 1], got {q}")
+        n = self.count()
+        if n == 0:
+            return None
+        rank = q * (n - 1)
+        cum = 0
+        for i in sorted(self.neg, reverse=True):  # most negative first
+            cum += self.neg[i]
+            if cum > rank:
+                return -self._mid(i)
+        if self.zeros:
+            cum += self.zeros
+            if cum > rank:
+                return 0.0
+        for i in sorted(self.pos):
+            cum += self.pos[i]
+            if cum > rank:
+                return self._mid(i)
+        if self.pos:  # rank == n−1 boundary
+            return self._mid(max(self.pos))
+        return 0.0 if self.zeros else -self._mid(min(self.neg))
+
+    def snapshot(self) -> dict:
+        """JSON-serializable full state (≤ 2·max_bins + 1 counters)."""
+        return {
+            "col": self.col,
+            "alpha": self.alpha,
+            "max_bins": self.max_bins,
+            "last_batch": self._last_batch,
+            "zeros": self.zeros,
+            "pos": [[i, c] for i, c in sorted(self.pos.items())],
+            "neg": [[i, c] for i, c in sorted(self.neg.items())],
+        }
+
+    @classmethod
+    def restore(cls, state: dict) -> "StreamingQuantile":
+        acc = cls(state["col"], alpha=state["alpha"], max_bins=state["max_bins"])
+        acc.zeros = state["zeros"]
+        acc.pos = {i: c for i, c in state["pos"]}
+        acc.neg = {i: c for i, c in state["neg"]}
+        acc._last_batch = state["last_batch"]
+        return acc
+
+
+def stream_quantile(
+    stream: DataFrame,
+    col: str,
+    alpha: float = 0.01,
+    max_bins: int = 8192,
+    checkpoint: str | None = None,
+) -> tuple[StreamingQuantile, "object"]:
+    """Run a stream through the DDSketch accumulator to completion
+    (availableNow). Returns (sketch, query)."""
+    acc = StreamingQuantile(col, alpha=alpha, max_bins=max_bins)
+    w = stream.writeStream.foreachBatch(acc.absorb).trigger(availableNow=True)
+    if checkpoint:
+        w = w.option("checkpointLocation", checkpoint)
+    q = w.start()
+    q.processAllAvailable()
+    return acc, q

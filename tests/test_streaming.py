@@ -602,3 +602,139 @@ def test_durable_cms_raw_write_crash_restore(spark, tmp_path):
         (r["k"], int(r["__batch_id"])) for r in lake_c.load("raw").collect()
     ) == sorted((r["k"], int(r["__batch_id"])) for r in lake_u.load("raw").collect())
     assert load_state(lake_c, "raw") == load_state(lake_u, "raw")
+
+
+def test_streaming_quantile_monoid_and_accuracy(spark):
+    """DDSketch accumulator (r9): K micro-batch folds must equal ONE
+    batch fold counter-for-counter (the monoid law), and estimates must
+    sit within the α relative-error guarantee of the exact percentile
+    on mixed-sign lognormal-ish data."""
+    from polars_express_spark.streaming.sketch import StreamingQuantile
+
+    df = spark.range(0, 30_000).select(
+        "id",
+        (
+            F.exp((F.col("id") % 997).cast("double") / F.lit(100.0))
+            * F.when(F.col("id") % 11 == 0, -1.0).otherwise(1.0)
+        ).alias("v"),
+    ).localCheckpoint()
+
+    one = StreamingQuantile("v", alpha=0.02)
+    one.absorb(df, 0)
+    parts = StreamingQuantile("v", alpha=0.02)
+    for i in range(4):
+        parts.absorb(df.where(F.col("id") % 4 == i), i)
+    assert parts.pos == one.pos and parts.neg == one.neg
+    assert parts.zeros == one.zeros and parts.count() == 30_000
+
+    for q in (0.01, 0.25, 0.5, 0.9, 0.99):
+        exact = df.agg(F.percentile("v", F.lit(q))).collect()[0][0]
+        est = one.estimate(q)
+        assert abs(est - exact) <= 0.021 * abs(exact) + 1e-12, (q, est, exact)
+
+
+def test_streaming_quantile_exactly_once_restore_and_collapse(spark):
+    """Replayed batch ids are no-ops; snapshot → JSON → restore →
+    continue ≡ uninterrupted; and the collapse rule bounds state at
+    max_bins while keeping upper quantiles within α."""
+    import json
+
+    from polars_express_spark.streaming.sketch import StreamingQuantile
+
+    b0 = spark.range(0, 5_000).select((F.col("id") + 1).cast("double").alias("v"))
+    b1 = spark.range(5_000, 10_000).select((F.col("id") + 1).cast("double").alias("v"))
+
+    acc = StreamingQuantile("v", alpha=0.02)
+    acc.absorb(b0, 0)
+    once = dict(acc.pos)
+    acc.absorb(b0, 0)  # restart replay
+    assert acc.pos == once
+    acc.absorb(b1, 1)
+
+    acc2 = StreamingQuantile("v", alpha=0.02)
+    acc2.absorb(b0, 0)
+    snap = json.loads(json.dumps(acc2.snapshot()))
+    acc3 = StreamingQuantile.restore(snap)
+    acc3.absorb(b0, 0)  # replay after restore → no-op
+    acc3.absorb(b1, 1)
+    assert acc3.pos == acc.pos and acc3.count() == acc.count()
+
+    # collapse: tiny bin budget over a wide range — state stays bounded
+    # and the upper quantiles (kept bins) still honor the guarantee
+    tight = StreamingQuantile("v", alpha=0.02, max_bins=50)
+    wide = spark.range(0, 20_000).select(
+        F.exp((F.col("id") % 1400).cast("double") / F.lit(100.0)).alias("v")
+    ).localCheckpoint()
+    tight.absorb(wide, 0)
+    assert len(tight.pos) <= 50
+    exact99 = wide.agg(F.percentile("v", F.lit(0.99))).collect()[0][0]
+    assert abs(tight.estimate(0.99) - exact99) <= 0.021 * exact99
+
+
+def test_streaming_quantile_e2e_equals_batch(spark, tmp_path):
+    """File-stream e2e: folding events.value through micro-batches must
+    produce the same sketch as one batch fold, and the p50/p95 estimates
+    must track the exact percentiles within α."""
+    from polars_express_spark.streaming.sketch import StreamingQuantile, stream_quantile
+
+    src = str(tmp_path / "q_src")
+    ev = load_table(spark, SF_DIR, "events").select("value")
+    ev.repartition(4).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    acc, q = stream_quantile(stream, "value", alpha=0.02)
+    try:
+        batch = StreamingQuantile("value", alpha=0.02)
+        batch.absorb(spark.read.parquet(src), 0)
+        assert acc.pos == batch.pos and acc.neg == batch.neg
+        assert acc.zeros == batch.zeros and acc.count() > 0
+        for p in (0.5, 0.95):
+            exact = (
+                spark.read.parquet(src).agg(F.percentile("value", F.lit(p))).collect()[0][0]
+            )
+            assert abs(acc.estimate(p) - exact) <= 0.021 * abs(exact) + 1e-12
+    finally:
+        q.stop()
+
+
+def test_durable_quantile_crash_restore(spark, tmp_path):
+    """r9: the DDSketch twin of the durable-restore goldens — snapshots
+    persist through durable_foreach_batch; killing the driver at batch k
+    and restoring from the lake, then replaying batch k, equals one
+    uninterrupted run (same bins, same estimates)."""
+    import json
+
+    from polars_express_spark.catalog import DataLake
+    from polars_express_spark.streaming.sketch import (
+        StreamingQuantile,
+        durable_foreach_batch,
+        load_state,
+    )
+
+    batches = [
+        spark.range(0, 2000).select((F.col("id") % 321 + 1).cast("double").alias("v")),
+        spark.range(0, 2000).select((F.col("id") % 97 + 5).cast("double").alias("v")),
+    ]
+
+    # uninterrupted twin
+    lake_u = DataLake(spark, str(tmp_path / "lake_u"))
+    acc_u = StreamingQuantile("v", alpha=0.02)
+    hook_u = durable_foreach_batch(lake_u, "qsketch", acc_u)
+    for i, b in enumerate(batches):
+        hook_u(b, i)
+
+    # crash after batch 0's hook, restore from lake, replay batch 0
+    lake_c = DataLake(spark, str(tmp_path / "lake_c"))
+    acc1 = StreamingQuantile("v", alpha=0.02)
+    hook1 = durable_foreach_batch(lake_c, "qsketch", acc1)
+    hook1(batches[0], 0)
+    del acc1, hook1  # driver dies
+    state = load_state(lake_c, "qsketch")
+    assert state is not None and state["last_batch"] == 0
+    acc2 = StreamingQuantile.restore(json.loads(json.dumps(state)))
+    hook2 = durable_foreach_batch(lake_c, "qsketch", acc2)
+    hook2(batches[0], 0)  # at-least-once replay → no-op
+    hook2(batches[1], 1)
+    assert acc2.pos == acc_u.pos and acc2.zeros == acc_u.zeros
+    assert acc2.estimate(0.5) == acc_u.estimate(0.5)
+    assert load_state(lake_c, "qsketch") == acc_u.snapshot()
