@@ -476,3 +476,84 @@ def stream_quantile(
     q = w.start()
     q.processAllAvailable()
     return acc, q
+
+
+class StreamingHll:
+    """Streaming distinct-count estimation in fixed memory: one
+    Datasketches HLL sketch (Spark-native hll_sketch_agg /
+    hll_union_agg — the same binary family as q_hll_union's batch
+    rollup) maintained across micro-batches.
+
+    Register-max algebra makes HLL the cleanest monoid of the family:
+    the union of per-batch sketches has EXACTLY the register state of a
+    direct build over the concatenated stream (each register is a max,
+    and max is associative/commutative/idempotent), so the streaming
+    estimate equals the batch estimate — not approximately, equal (the
+    golden contract). Idempotence also means a replayed batch folds to
+    the same state even if it slipped past the batch_id guard.
+
+    Per micro-batch: one distributed partial→final hll_sketch_agg; one
+    ~KB binary crosses to the driver; the union with the accumulator
+    runs as a 2-row Spark job (no Python datasketches dependency).
+    snapshot()/restore() carry the sketch as base64 and compose with
+    durable_foreach_batch like the other accumulators."""
+
+    def __init__(self, col: str, lgk: int = 12):
+        self.col, self.lgk = col, lgk
+        self.sketch: bytes | None = None
+        self._last_batch: int = -1
+
+    def absorb(self, batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+
+        if batch_id <= self._last_batch:
+            return
+        sk = batch_df.agg(
+            F.hll_sketch_agg(self.col, F.lit(self.lgk)).alias("s")
+        ).collect()[0]["s"]
+        if sk is not None:
+            if self.sketch is None:
+                self.sketch = bytes(sk)
+            else:
+                spark = batch_df.sparkSession
+                two = spark.createDataFrame(
+                    [(bytes(self.sketch),), (bytes(sk),)], "s binary"
+                )
+                self.sketch = bytes(
+                    two.agg(F.hll_union_agg("s").alias("u")).collect()[0]["u"]
+                )
+        self._last_batch = batch_id
+
+    def estimate(self, spark) -> float:
+        """Distinct-count estimate of everything absorbed so far."""
+        from pyspark.sql import functions as F
+
+        if self.sketch is None:
+            return 0.0
+        one = spark.createDataFrame([(bytes(self.sketch),)], "s binary")
+        return float(
+            one.select(F.hll_sketch_estimate("s").alias("e")).collect()[0]["e"]
+        )
+
+    def snapshot(self) -> dict:
+        import base64
+
+        return {
+            "col": self.col,
+            "lgk": self.lgk,
+            "last_batch": self._last_batch,
+            "sketch": None
+            if self.sketch is None
+            else base64.b64encode(self.sketch).decode("ascii"),
+        }
+
+    @classmethod
+    def restore(cls, state: dict) -> "StreamingHll":
+        import base64
+
+        acc = cls(state["col"], lgk=state["lgk"])
+        acc.sketch = (
+            None if state["sketch"] is None else base64.b64decode(state["sketch"])
+        )
+        acc._last_batch = state["last_batch"]
+        return acc

@@ -738,3 +738,45 @@ def test_durable_quantile_crash_restore(spark, tmp_path):
     assert acc2.pos == acc_u.pos and acc2.zeros == acc_u.zeros
     assert acc2.estimate(0.5) == acc_u.estimate(0.5)
     assert load_state(lake_c, "qsketch") == acc_u.snapshot()
+
+
+def test_streaming_hll_union_equals_batch_estimate(spark):
+    """r9: register-max algebra — the union of per-batch HLL sketches
+    must estimate EXACTLY what a direct batch build estimates (each
+    register is an associative/idempotent max), replayed batch ids are
+    no-ops, and snapshot/restore continues exactly."""
+    import json
+
+    from polars_express_spark.streaming.sketch import StreamingHll
+
+    df = spark.range(0, 20_000).select(
+        "id", F.concat(F.lit("u"), (F.col("id") % 3777)).alias("k")
+    ).localCheckpoint()
+
+    acc = StreamingHll("k", lgk=12)
+    for i in range(4):
+        acc.absorb(df.where(F.col("id") % 4 == i), i)
+    batch_est = float(
+        df.agg(
+            F.hll_sketch_estimate(F.hll_sketch_agg("k", F.lit(12))).alias("e")
+        ).collect()[0]["e"]
+    )
+    assert acc.estimate(spark) == batch_est
+    exact = 3777
+    assert abs(batch_est - exact) <= 0.05 * exact
+
+    # replay no-op
+    before = acc.sketch
+    acc.absorb(df.where(F.col("id") % 4 == 0), 0)
+    assert acc.sketch == before
+
+    # snapshot → JSON → restore → continue ≡ uninterrupted
+    half = StreamingHll("k", lgk=12)
+    half.absorb(df.where(F.col("id") % 4 == 0), 0)
+    half.absorb(df.where(F.col("id") % 4 == 1), 1)
+    snap = json.loads(json.dumps(half.snapshot()))
+    cont = StreamingHll.restore(snap)
+    cont.absorb(df.where(F.col("id") % 4 == 1), 1)  # replay after restore
+    cont.absorb(df.where(F.col("id") % 4 == 2), 2)
+    cont.absorb(df.where(F.col("id") % 4 == 3), 3)
+    assert cont.estimate(spark) == acc.estimate(spark)
