@@ -108,6 +108,11 @@ def parse_image_header(payload: bytes):
     if len(payload) >= 10 and payload[:6] in (b"GIF87a", b"GIF89a"):
         w, h = struct.unpack_from("<HH", payload, 6)
         return w, h, 3
+    if payload[:2] in (b"P5", b"P6"):  # Netpbm: full pixels decodable too
+        parsed = parse_netpbm(payload)
+        if parsed is not None:
+            w, h, ch, _ = parsed
+            return w, h, ch
     return None
 
 
@@ -341,3 +346,102 @@ def decode_audio(df: DataFrame) -> DataFrame:
             )
 
     return df.select("doc_id", "payload").mapInPandas(decode, schema=AUDIO_META_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Netpbm (PGM P5 / PPM P6): the uncompressed raster family — REAL pixel
+# decode with pure struct + numpy, no codec library (r9). This closes
+# the last tier of the decode ladder: full pixels for uncompressed
+# formats, header metadata for PNG/BMP/GIF/JPEG (above), Pillow-gated
+# NotImplementedError for entropy-coded pixels.
+# ---------------------------------------------------------------------------
+
+PIXEL_STATS_SCHEMA = (
+    "doc_id bigint, width int, height int, channels int,"
+    " mean_val double, min_val int, max_val int"
+)
+
+
+def parse_netpbm(payload: bytes):
+    """Decode a binary Netpbm raster (P5 grayscale / P6 RGB): returns
+    (width, height, channels, ndarray[h, w, ch]) or None if the payload
+    is not Netpbm or is truncated/corrupt. Handles header comments
+    (#...), arbitrary whitespace, and 16-bit (maxval > 255, big-endian
+    per the spec) samples. Pure bytes + numpy — works in codec-less
+    environments because the format IS the raw raster."""
+    import numpy as np
+
+    if payload[:2] not in (b"P5", b"P6"):
+        return None
+    pos, tokens = 2, []
+    while len(tokens) < 3 and pos < len(payload):
+        c = payload[pos : pos + 1]
+        if c in b" \t\r\n":
+            pos += 1
+            continue
+        if c == b"#":
+            nl = payload.find(b"\n", pos)
+            if nl == -1:
+                return None
+            pos = nl + 1
+            continue
+        start = pos
+        while pos < len(payload) and payload[pos : pos + 1] not in b" \t\r\n#":
+            pos += 1
+        tokens.append(payload[start:pos])
+    if len(tokens) < 3:
+        return None
+    try:
+        w, h, maxval = (int(t) for t in tokens)
+    except ValueError:
+        return None
+    if w <= 0 or h <= 0 or not 0 < maxval < 65536:
+        return None
+    pos += 1  # exactly one whitespace byte separates maxval from raster
+    channels = 3 if payload[:2] == b"P6" else 1
+    bytes_per = 1 if maxval < 256 else 2
+    need = w * h * channels * bytes_per
+    raw = payload[pos : pos + need]
+    if len(raw) < need:
+        return None
+    arr = np.frombuffer(raw, dtype=">u2" if bytes_per == 2 else "u1")
+    return w, h, channels, arr.reshape(h, w, channels)
+
+
+def decode_pixel_stats(df: DataFrame) -> DataFrame:
+    """REAL pixel-level decode + reduce for Netpbm payloads: per doc,
+    dimensions plus exact mean/min/max sample values computed from the
+    decoded raster (numpy over the Arrow batch — the shape every
+    image-quality filter at 100 TB takes: decode executor-side, ship
+    only scalar features). Non-Netpbm payloads raise — compressed
+    pixels need a codec (Pillow, absent here); use decode_media for
+    header-only metadata on those."""
+    import numpy as np  # noqa: F401  (decode dependency, imported eagerly)
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                parsed = parse_netpbm(bytes(payload))
+                if parsed is None:
+                    raise NotImplementedError(
+                        f"doc {doc_id}: pixel decode is implemented codec-free "
+                        "for Netpbm P5/P6; compressed formats need an image "
+                        "codec (Pillow — absent in this environment)"
+                    )
+                w, h, ch, arr = parsed
+                rows.append(
+                    (doc_id, w, h, ch, float(arr.mean()), int(arr.min()), int(arr.max()))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "channels",
+                    "mean_val", "min_val", "max_val",
+                ],
+            ).astype(
+                {"width": "int32", "height": "int32", "channels": "int32",
+                 "min_val": "int32", "max_val": "int32"}
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(stats, schema=PIXEL_STATS_SCHEMA)

@@ -477,3 +477,63 @@ def test_parse_audio_header_formats():
     assert parse_audio_header(b"RIFF\x04\x00\x00\x00AVI ") is None
     assert parse_audio_header(b"\x89PNG\r\n\x1a\n") is None
     assert parse_audio_header(b"") is None
+
+
+def test_netpbm_pixel_decode_exact_stats(spark):
+    """r9: REAL pixel decode for the uncompressed raster family — P5
+    (gray, incl. 16-bit big-endian) and P6 (RGB) payloads with header
+    comments decode to exact per-doc mean/min/max computed from the
+    actual raster, executor-side in one Arrow batch pass."""
+    from polars_express_spark.functions.multimodal import (
+        decode_pixel_stats,
+        parse_image_header,
+        parse_netpbm,
+    )
+
+    # P6 RGB 2x2: known pixels
+    p6 = b"P6\n# a comment\n2 2\n255\n" + bytes(
+        [0, 0, 0, 255, 255, 255, 10, 20, 30, 40, 50, 60]
+    )
+    # P5 gray 3x1 8-bit
+    p5 = b"P5 3 1 255\n" + bytes([0, 128, 255])
+    # P5 gray 2x1 16-bit (maxval > 255 -> big-endian u16)
+    p5_16 = b"P5\n2 1\n65535\n" + (1000).to_bytes(2, "big") + (4000).to_bytes(2, "big")
+
+    w, h, ch, arr = parse_netpbm(p6)
+    assert (w, h, ch) == (2, 2, 3) and arr.shape == (2, 2, 3)
+    assert parse_image_header(p6) == (2, 2, 3)  # metadata path covers Netpbm too
+
+    df = spark.createDataFrame(
+        [(1, bytearray(p6)), (2, bytearray(p5)), (3, bytearray(p5_16))],
+        "doc_id long, payload binary",
+    )
+    got = {r["doc_id"]: r for r in decode_pixel_stats(df).collect()}
+    r1 = got[1]
+    assert (r1["width"], r1["height"], r1["channels"]) == (2, 2, 3)
+    assert r1["min_val"] == 0 and r1["max_val"] == 255
+    assert abs(r1["mean_val"] - (sum([0, 0, 0, 255, 255, 255, 10, 20, 30, 40, 50, 60]) / 12)) < 1e-12
+    r2 = got[2]
+    assert (r2["width"], r2["height"], r2["channels"]) == (3, 1, 1)
+    assert r2["mean_val"] == (0 + 128 + 255) / 3
+    r3 = got[3]
+    assert (r3["min_val"], r3["max_val"]) == (1000, 4000) and r3["mean_val"] == 2500.0
+
+
+def test_netpbm_corrupt_and_non_netpbm_fail_loud(spark):
+    """Truncated rasters parse to None; non-Netpbm payloads through the
+    pixel-stats operator raise (codec-gated), never silently null."""
+    import pytest as _pytest
+
+    from polars_express_spark.functions.multimodal import (
+        decode_pixel_stats,
+        parse_netpbm,
+    )
+
+    assert parse_netpbm(b"P6\n2 2\n255\n" + b"\x00" * 5) is None  # truncated
+    assert parse_netpbm(b"P6\n-2 2\n255\n") is None  # bad dims
+    assert parse_netpbm(b"\x89PNG....") is None  # not netpbm
+
+    df = spark.createDataFrame([(1, bytearray(b"\xff\xd8\xff\xe0JFIF"))],
+                               "doc_id long, payload binary")
+    with _pytest.raises(Exception, match="Netpbm|codec"):
+        decode_pixel_stats(df).collect()
