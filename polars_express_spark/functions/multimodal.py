@@ -18,7 +18,11 @@ payloads decode through `PIL.Image` inside the same Arrow-batched
 operator; in this sandbox non-header-parsable payloads raise
 NotImplementedError where the pixel codec would be invoked. The
 default deterministic fake derives metadata purely from the payload
-bytes. Everything around the stub — schema, Arrow batch
+bytes. r9 adds the uncompressed tier: Netpbm P5/P6 rasters decode to
+REAL pixels codec-free (parse_netpbm / decode_pixel_stats, and the
+real_resize / real_extract paths below), so the full
+decode→transform→featurize ladder runs end-to-end on actual pixels for
+formats whose encoding IS the raster. Everything around the stub — schema, Arrow batch
 iteration, column plumbing — is real and oracle-tested (q_multimodal_meta
 replays the fake's arithmetic in DuckDB SQL over the same bytes).
 """
@@ -181,7 +185,9 @@ def extract_features(df: DataFrame, dim: int = 16, real_extract: bool = False) -
     """mapInPandas feature extraction: binary payload → fixed-dim
     `array<float>` embedding column (feeds the §2.10 similarity ops).
 
-    Real extraction (a vision/audio encoder) is stubbed like decode; the
+    Real extraction: for codec-free Netpbm payloads, dim tile-means of
+    the actual grayscale raster (r9); other formats raise until an
+    encoder exists. The deterministic fake below is stubbed like decode; the
     deterministic fake is a byte-histogram folded to `dim` buckets and
     L1-normalized — computed with numpy over whole Arrow batches, so the
     plumbing (batch shape, array column output, schema) is exactly what
@@ -192,10 +198,31 @@ def extract_features(df: DataFrame, dim: int = 16, real_extract: bool = False) -
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if real_extract:
-                raise NotImplementedError(
-                    "real feature extraction requires a media encoder not "
-                    "present in this environment; plug one in here"
-                )
+                # REAL pixel features for the codec-free Netpbm family
+                # (r9): dim tile-means of the grayscale raster,
+                # L1-normalized — an actual (if simple) visual
+                # descriptor from actual pixels. Entropy-coded formats
+                # still need an encoder.
+                feats = []
+                for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                    parsed = parse_netpbm(bytes(payload))
+                    if parsed is None:
+                        raise NotImplementedError(
+                            f"doc {doc_id}: real feature extraction is "
+                            "implemented codec-free for Netpbm P5/P6; other "
+                            "formats need a media encoder not present here"
+                        )
+                    _, _, _, arr = parsed
+                    gray = arr.astype("float64").mean(axis=2).ravel()
+                    chunks = np.array_split(gray, dim)
+                    v = np.array(
+                        [c.mean() if len(c) else 0.0 for c in chunks],
+                        dtype="float32",
+                    )
+                    s = v.sum()
+                    feats.append(v / s if s else v)
+                yield pd.DataFrame({"doc_id": pdf["doc_id"], "features": feats})
+                continue
             feats = []
             for payload in pdf["payload"]:
                 arr = np.frombuffer(payload, dtype=np.uint8)
@@ -215,7 +242,9 @@ def resize_media(
 ) -> DataFrame:
     """mapInPandas resize: payload → payload' at the target dimensions.
 
-    The real pixel resample is stubbed; the fake keeps the byte budget
+    The real pixel resample works codec-free for Netpbm (nearest
+    neighbor, re-encoded as valid Netpbm; r9) and raises for compressed
+    formats; the fake keeps the byte budget
     honest (output payload is width·height bytes, sampled evenly from the
     input — a real nearest-neighbor downsample over a 1-channel buffer),
     so downstream operators see realistic shrunken binaries.
@@ -226,10 +255,37 @@ def resize_media(
         target = width * height
         for pdf in batches:
             if real_resize:
-                raise NotImplementedError(
-                    "real media resize requires image codecs not present in "
-                    "this environment; plug one in here"
+                # REAL nearest-neighbor resample for Netpbm (r9): decode
+                # the raster, index-select rows/columns, re-encode a
+                # VALID Netpbm payload (round-trips through parse_netpbm)
+                # — sample width (8/16-bit) and channel count preserved.
+                out = []
+                for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                    parsed = parse_netpbm(bytes(payload))
+                    if parsed is None:
+                        raise NotImplementedError(
+                            f"doc {doc_id}: real resize is implemented "
+                            "codec-free for Netpbm P5/P6; compressed formats "
+                            "need an image codec not present here"
+                        )
+                    w, h, ch, arr = parsed
+                    yi = np.linspace(0, h - 1, height).round().astype(np.int64)
+                    xi = np.linspace(0, w - 1, width).round().astype(np.int64)
+                    res = arr[yi][:, xi]
+                    maxval = 255 if arr.dtype.itemsize == 1 else 65535
+                    hdr = (
+                        f"P{'6' if ch == 3 else '5'}\n{width} {height}\n{maxval}\n"
+                    ).encode("ascii")
+                    out.append(hdr + res.tobytes())
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"],
+                        "payload": out,
+                        "width": pd.Series([width] * len(pdf)).astype("int32"),
+                        "height": pd.Series([height] * len(pdf)).astype("int32"),
+                    }
                 )
+                continue
             out = []
             for payload in pdf["payload"]:
                 arr = np.frombuffer(payload, dtype=np.uint8)

@@ -537,3 +537,55 @@ def test_netpbm_corrupt_and_non_netpbm_fail_loud(spark):
                                "doc_id long, payload binary")
     with _pytest.raises(Exception, match="Netpbm|codec"):
         decode_pixel_stats(df).collect()
+
+
+def test_netpbm_real_resize_and_features(spark):
+    """r9: the real_resize/real_extract paths are REAL for Netpbm —
+    nearest-neighbor pixel selection re-encoded as a valid Netpbm
+    payload (round-trips through parse_netpbm, 8- and 16-bit), and
+    tile-mean features computed from actual pixels."""
+    import numpy as np
+
+    from polars_express_spark.functions.multimodal import (
+        extract_features,
+        parse_netpbm,
+        resize_media,
+    )
+
+    # P6 RGB 4x2 with a known gradient
+    pixels = bytes(range(4 * 2 * 3))
+    p6 = b"P6\n4 2\n255\n" + pixels
+    # P5 16-bit 4x1
+    p5_16 = b"P5\n4 1\n65535\n" + b"".join(
+        int(v).to_bytes(2, "big") for v in (100, 200, 300, 400)
+    )
+    df = spark.createDataFrame(
+        [(1, bytearray(p6)), (2, bytearray(p5_16))], "doc_id long, payload binary"
+    )
+
+    out = {r["doc_id"]: r for r in resize_media(df, width=2, height=1, real_resize=True).collect()}
+    w, h, ch, arr = parse_netpbm(bytes(out[1]["payload"]))
+    assert (w, h, ch) == (2, 1, 3)
+    src = np.frombuffer(pixels, dtype="u1").reshape(2, 4, 3)
+    # nearest neighbor: rows linspace(0,1,1)->row 0... height=1 -> yi=[0]; xi=round(linspace(0,3,2))=[0,3]
+    assert (arr[0, 0] == src[0, 0]).all() and (arr[0, 1] == src[0, 3]).all()
+    w2, h2, ch2, arr2 = parse_netpbm(bytes(out[2]["payload"]))
+    assert (w2, h2, ch2) == (2, 1, 1)
+    assert arr2.ravel().tolist() == [100, 400]  # 16-bit survives round-trip
+
+    feats = {r["doc_id"]: r["features"] for r in
+             extract_features(df, dim=2, real_extract=True).collect()}
+    gray = src.astype("float64").mean(axis=2).ravel()
+    want = np.array([gray[:4].mean(), gray[4:].mean()], dtype="float32")
+    want = want / want.sum()
+    assert np.allclose(feats[1], want, atol=1e-6)
+
+    # compressed payloads still fail loud on the real paths
+    import pytest as _pytest
+
+    jpeg = spark.createDataFrame([(9, bytearray(b"\xff\xd8\xff\xe0JFIF"))],
+                                 "doc_id long, payload binary")
+    with _pytest.raises(Exception, match="Netpbm|codec"):
+        resize_media(jpeg, real_resize=True).collect()
+    with _pytest.raises(Exception, match="Netpbm|encoder"):
+        extract_features(jpeg, real_extract=True).collect()
