@@ -589,3 +589,47 @@ def test_netpbm_real_resize_and_features(spark):
         resize_media(jpeg, real_resize=True).collect()
     with _pytest.raises(Exception, match="Netpbm|encoder"):
         extract_features(jpeg, real_extract=True).collect()
+
+
+def test_avi_demux_real_frame_sampling(spark):
+    """r9: sample_frames(real_decode=True) demuxes a hand-built
+    RIFF/AVI container — frame bytes come from the actual '00dc'
+    chunks in LIST movi (odd sizes word-aligned, hdrl skipped),
+    sampled evenly; non-AVI payloads raise."""
+    import pytest as _pytest
+
+    from polars_express_spark.functions.multimodal import (
+        parse_avi_frames,
+        sample_frames,
+    )
+
+    def chunk(cid, body):
+        return cid + len(body).to_bytes(4, "little") + body + (
+            b"\x00" if len(body) & 1 else b""
+        )
+
+    frames_data = [b"FRAME0__", b"FRAME1", b"FRAME22222", b"F3x"]  # odd size too
+    movi_children = b"".join(chunk(b"00dc", f) for f in frames_data)
+    movi = chunk(b"LIST", b"movi" + movi_children)
+    hdrl = chunk(b"LIST", b"hdrl" + chunk(b"avih", b"\x00" * 8))
+    body = b"AVI " + hdrl + movi
+    avi = b"RIFF" + len(body).to_bytes(4, "little") + body
+
+    got = parse_avi_frames(avi)
+    assert [avi[o : o + s] for o, s in got] == frames_data
+
+    df = spark.createDataFrame([(7, bytearray(avi))], "doc_id long, payload binary")
+    rows = sorted(
+        (r["frame_no"], bytes(r["frame"]))
+        for r in sample_frames(df, n_frames=2, real_decode=True).collect()
+    )
+    assert rows == [(0, b"FRAME0__"), (1, b"F3x")]  # linspace(0,3,2) -> 0, 3
+    all_rows = sample_frames(df, n_frames=10, real_decode=True).collect()
+    assert sorted(bytes(r["frame"]) for r in all_rows) == sorted(frames_data)
+
+    # truncated container parses to None; non-AVI raises through the op
+    assert parse_avi_frames(avi[: len(avi) - 4]) is None
+    bad = spark.createDataFrame([(8, bytearray(b"\x00\x01\x02"))],
+                                "doc_id long, payload binary")
+    with _pytest.raises(Exception, match="AVI|ffmpeg"):
+        sample_frames(bad, real_decode=True).collect()
