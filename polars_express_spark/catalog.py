@@ -79,6 +79,8 @@ class DataLake:
         for entry in os.listdir(self.base_dir):
             if entry.endswith(".state.json"):
                 continue  # streaming-accumulator sidecar, not a dataset
+            if ".__writing__" in entry:
+                continue  # in-flight overwrite staging dir (save(), r9)
             stem, dot, ext = entry.rpartition(".")
             if dot and ext in self.FORMATS and stem:
                 ids.add(stem)
@@ -148,18 +150,21 @@ class DataLake:
     def vacuum(self) -> list[str]:
         """Lake maintenance: remove orphaned write debris — temp-and-swap
         leftovers from a compaction that died between write and swap
-        (`*.__compact_tmp.*`) and Spark `_temporary` staging dirs from a
-        killed job. Both are invisible to `load` (the catalog never
-        resolves them) but at 100 TB abandoned staging data is real
-        money; every production lake runs exactly this sweep. Never
-        touches a live dataset: only the two debris name patterns are
-        candidates. Returns the removed paths."""
+        (`*.__compact_tmp.*`), overwrite staging dirs from a save() that
+        died before its publish rename (`*.__writing__*`, r9), and Spark
+        `_temporary` staging dirs from a killed job. All are invisible
+        to `load` (the catalog never resolves them) but at 100 TB
+        abandoned staging data is real money; every production lake
+        runs exactly this sweep. Never touches a live dataset: only the
+        debris name patterns are candidates. Returns the removed paths."""
         import shutil
 
         removed: list[str] = []
         for entry in sorted(os.listdir(self.base_dir)):
             full = os.path.join(self.base_dir, entry)
-            if ".__compact_tmp." in entry:
+            if ".__compact_tmp." in entry or ".__writing__" in entry:
+                # compaction swap leftovers + overwrite staging dirs from
+                # a save() that died before its publish rename (r9)
                 shutil.rmtree(full, ignore_errors=True)
                 removed.append(full)
             elif os.path.isdir(full):
@@ -185,16 +190,43 @@ class DataLake:
         back transparently (spark.read takes files or directories). At
         100 TB pass partition_by to lay out Hive-style partition pruning
         keys; no driver-side materialization ever happens here.
+
+        Overwrites PUBLISH BY RENAME (r9): the job writes to a sibling
+        ``<path>.__writing__*`` directory (invisible to list_datasets),
+        then the old directory is removed and the new one renamed into
+        place. Concurrent readers therefore see the OLD complete data
+        for the whole duration of the write, never a half-written mix
+        of new part files — the r9 concurrency e2e caught exactly that
+        partial-count window under an in-place overwrite. The residual
+        remove→rename gap is a clean dataset-missing error (mapped to
+        400 by the endpoints), not a wrong answer; a crash in the gap
+        leaves the finished tmp dir for vacuum. This is the local-FS
+        analog of an object-store commit protocol — on a real deployment
+        the same role is played by the committer/table format. Append
+        mode keeps writing in place (it composes with existing files by
+        definition).
         """
         if fmt not in self.FORMATS:
             raise ValueError(f"unsupported format {fmt!r}; one of {self.FORMATS}")
         path = os.path.join(self.base_dir, f"{data_id}.{fmt}")
+        target = path
+        if mode == "overwrite":
+            import shutil
+            import uuid
+
+            target = f"{path}.__writing__{uuid.uuid4().hex[:8]}"
         writer = df.write.mode(mode)
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         if fmt == "csv":
             writer = writer.option("header", True)
-        getattr(writer, fmt)(path)
+        getattr(writer, fmt)(target)
+        if target is not path:
+            if os.path.isfile(path):  # e.g. a single-file CSV dataset
+                os.remove(path)
+            elif os.path.isdir(path):
+                shutil.rmtree(path, ignore_errors=True)
+            os.rename(target, path)
         self._invalidate_memos()
         return path
 

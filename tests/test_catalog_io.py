@@ -113,3 +113,36 @@ def test_vacuum_removes_debris_only(spark, tmp_path):
     assert not dead.exists() and not staging.exists()
     assert lake.load("alive").count() == 10
     assert lake.vacuum() == []  # idempotent
+
+
+def test_overwrite_publishes_by_rename(spark, tmp_path):
+    """r9: save(mode=overwrite) stages into a `.__writing__` sibling and
+    swaps — staging dirs are invisible to list_datasets, vacuum removes
+    orphans from a crashed write, file-shaped datasets (single CSV) are
+    replaced cleanly, and the published data round-trips."""
+    import os
+
+    from polars_express_spark.catalog import DataLake
+
+    lake = DataLake(spark, str(tmp_path / "lake"))
+    lake.save(spark.range(10).toDF("id"), "m", fmt="parquet")
+    lake.save(spark.range(25).toDF("id"), "m", fmt="parquet")  # overwrite
+    assert lake.load("m").count() == 25
+    assert lake.list_datasets() == ["m"]
+    assert not [e for e in os.listdir(lake.base_dir) if ".__writing__" in e]
+
+    # orphaned staging dir (crash between write and rename): hidden from
+    # listing, removed by vacuum
+    orphan = os.path.join(lake.base_dir, "m.parquet.__writing__deadbeef")
+    os.makedirs(orphan)
+    assert lake.list_datasets() == ["m"]
+    removed = lake.vacuum()
+    assert orphan in removed and not os.path.exists(orphan)
+
+    # overwriting a FILE-shaped dataset (hand-dropped single CSV) with a
+    # directory write replaces it
+    with open(os.path.join(lake.base_dir, "t.csv"), "w") as f:
+        f.write("a,b\n1,2\n")
+    lake.save(spark.createDataFrame([(3, 4)], "a int, b int"), "t", fmt="csv")
+    rows = [(r["a"], r["b"]) for r in lake.load("t", schema="a int, b int").collect()]
+    assert rows == [(3, 4)]
