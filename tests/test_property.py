@@ -903,3 +903,94 @@ def test_weighted_quantile_decimal_path_exact_at_8dp(spark, rows, q):
                 break
     assert got == want
     spark.catalog.clearCache()
+
+
+# --- r9: Netpbm round-trip + DDSketch error bound (pure Python, no Spark) ---
+
+
+@given(
+    w=st.integers(min_value=1, max_value=9),
+    h=st.integers(min_value=1, max_value=9),
+    rgb=st.booleans(),
+    deep=st.booleans(),
+    data=st.data(),
+)
+@settings(max_examples=60, deadline=None)
+def test_netpbm_roundtrip_exact(w, h, rgb, deep, data):
+    """encode(random raster) → parse_netpbm recovers width/height/
+    channels and every sample exactly, for P5/P6 at 8 and 16 bit,
+    with a comment and mixed whitespace in the header."""
+    from polars_express_spark.functions.multimodal import parse_netpbm
+
+    ch = 3 if rgb else 1
+    maxval = 65535 if deep else 255
+    n = w * h * ch
+    vals = data.draw(
+        st.lists(st.integers(0, maxval), min_size=n, max_size=n)
+    )
+    body = b"".join(
+        v.to_bytes(2, "big") if deep else bytes([v]) for v in vals
+    )
+    hdr = (f"P{'6' if rgb else '5'} # c\n {w}\t{h}  {maxval}\n").encode()
+    parsed = parse_netpbm(hdr + body)
+    assert parsed is not None
+    pw, ph, pch, arr = parsed
+    assert (pw, ph, pch) == (w, h, ch)
+    assert arr.ravel().tolist() == vals
+    # truncating any amount of raster makes it unparsable, never wrong
+    if n:
+        assert parse_netpbm(hdr + body[:-1]) is None
+
+
+@given(
+    vals=st.lists(
+        st.floats(
+            min_value=1e-6, max_value=1e12, allow_nan=False, allow_infinity=False
+        ),
+        min_size=1,
+        max_size=300,
+    ),
+    q=st.sampled_from([0.0, 0.01, 0.25, 0.5, 0.9, 0.99, 1.0]),
+)
+@settings(max_examples=80, deadline=None)
+def test_ddsketch_relative_error_bound(vals, q):
+    """StreamingQuantile's estimate stays within the α relative-error
+    guarantee of the true order statistic on arbitrary positive inputs,
+    and splitting the fold into two halves never changes the state
+    (merge = counter addition, driver-side replay)."""
+    from polars_express_spark.streaming.sketch import StreamingQuantile
+
+    alpha = 0.05
+    one = StreamingQuantile("v", alpha=alpha)
+
+    # fold driver-side (the executor groupBy is just this, distributed)
+    import math
+
+    def fold(acc, xs, batch_id):
+        if batch_id <= acc._last_batch:
+            return
+        for x in xs:
+            b = math.ceil(math.log(x) / math.log(acc.gamma))
+            acc.pos[b] = acc.pos.get(b, 0) + 1
+        acc._last_batch = batch_id
+
+    fold(one, vals, 0)
+    two = StreamingQuantile("v", alpha=alpha)
+    k = len(vals) // 2
+    fold(two, vals[:k], 0)
+    fold(two, vals[k:], 1)
+    assert two.pos == one.pos
+
+    # exact order statistic at the same rank-walk semantics
+    s = sorted(vals)
+    rank = q * (len(s) - 1)
+    exact = s[min(len(s) - 1, int(rank) + (1 if rank > int(rank) else 0))]
+    # the walk picks the bin holding the ceil-rank element; compare
+    # against whichever of the two bracketing order stats it represents
+    lo_exact = s[int(rank)]
+    est = one.estimate(q)
+    ok = (
+        abs(est - exact) <= alpha * exact + 1e-12
+        or abs(est - lo_exact) <= alpha * lo_exact + 1e-12
+    )
+    assert ok, (est, lo_exact, exact, q)
