@@ -147,7 +147,7 @@ class DataLake:
         self._invalidate_memos()
         return n_files
 
-    def vacuum(self) -> list[str]:
+    def vacuum(self, retention_seconds: float = 3600.0) -> list[str]:
         """Lake maintenance: remove orphaned write debris — temp-and-swap
         leftovers from a compaction that died between write and swap
         (`*.__compact_tmp.*`), overwrite staging dirs from a save() that
@@ -156,20 +156,38 @@ class DataLake:
         to `load` (the catalog never resolves them) but at 100 TB
         abandoned staging data is real money; every production lake
         runs exactly this sweep. Never touches a live dataset: only the
-        debris name patterns are candidates. Returns the removed paths."""
+        debris name patterns are candidates, and debris younger than
+        ``retention_seconds`` (mtime) is left alone so a vacuum running
+        concurrently with an IN-FLIGHT save()/compact() cannot delete
+        the active staging dir mid-write (r10, ADVICE — the same
+        retention rule every production lake's VACUUM applies; pass 0
+        only when no writer can be live). Returns the removed paths."""
         import shutil
+        import time
 
         removed: list[str] = []
+        now = time.time()
         for entry in sorted(os.listdir(self.base_dir)):
             full = os.path.join(self.base_dir, entry)
             if ".__compact_tmp." in entry or ".__writing__" in entry:
                 # compaction swap leftovers + overwrite staging dirs from
                 # a save() that died before its publish rename (r9)
+                try:
+                    age = now - os.path.getmtime(full)
+                except OSError:
+                    continue  # already gone — the writer published/cleaned
+                if age < retention_seconds:
+                    continue  # possibly a LIVE writer's staging dir
                 shutil.rmtree(full, ignore_errors=True)
                 removed.append(full)
             elif os.path.isdir(full):
                 staging = os.path.join(full, "_temporary")
                 if os.path.isdir(staging):
+                    try:
+                        if now - os.path.getmtime(staging) < retention_seconds:
+                            continue  # a job may still be committing
+                    except OSError:
+                        continue
                     shutil.rmtree(staging, ignore_errors=True)
                     removed.append(staging)
         return removed

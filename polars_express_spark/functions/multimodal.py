@@ -272,7 +272,10 @@ def resize_media(
                     yi = np.linspace(0, h - 1, height).round().astype(np.int64)
                     xi = np.linspace(0, w - 1, width).round().astype(np.int64)
                     res = arr[yi][:, xi]
-                    maxval = 255 if arr.dtype.itemsize == 1 else 65535
+                    # preserve the SOURCE maxval (r10, ADVICE: forcing
+                    # 255/65535 from the byte width silently rescales
+                    # the brightness scale of e.g. a maxval=1000 P5)
+                    maxval = _netpbm_header(bytes(payload))[2]
                     hdr = (
                         f"P{'6' if ch == 3 else '5'}\n{width} {height}\n{maxval}\n"
                     ).encode("ascii")
@@ -450,15 +453,14 @@ PIXEL_STATS_SCHEMA = (
 )
 
 
-def parse_netpbm(payload: bytes):
-    """Decode a binary Netpbm raster (P5 grayscale / P6 RGB): returns
-    (width, height, channels, ndarray[h, w, ch]) or None if the payload
-    is not Netpbm or is truncated/corrupt. Handles header comments
-    (#...), arbitrary whitespace, and 16-bit (maxval > 255, big-endian
-    per the spec) samples. Pure bytes + numpy — works in codec-less
-    environments because the format IS the raw raster."""
-    import numpy as np
-
+def _netpbm_header(payload: bytes):
+    """Parse a P5/P6 header: (width, height, maxval, channels,
+    raster_pos) or None. Handles comments (#...) and arbitrary
+    whitespace BETWEEN tokens; per the spec the raster starts after
+    EXACTLY ONE whitespace byte following maxval — a '#' or EOF there
+    is rejected (r10, ADVICE: advancing blindly would shift the raster
+    read and silently decode wrong pixels, violating the
+    'corrupt streams raise, never invent' contract)."""
     if payload[:2] not in (b"P5", b"P6"):
         return None
     pos, tokens = 2, []
@@ -485,8 +487,28 @@ def parse_netpbm(payload: bytes):
         return None
     if w <= 0 or h <= 0 or not 0 < maxval < 65536:
         return None
-    pos += 1  # exactly one whitespace byte separates maxval from raster
+    # the single raster delimiter — tuple membership, not substring:
+    # payload[pos:pos+1] is b"" at EOF and b"" is "in" any bytes
+    if payload[pos : pos + 1] not in (b" ", b"\t", b"\r", b"\n"):
+        return None
+    pos += 1
     channels = 3 if payload[:2] == b"P6" else 1
+    return w, h, maxval, channels, pos
+
+
+def parse_netpbm(payload: bytes):
+    """Decode a binary Netpbm raster (P5 grayscale / P6 RGB): returns
+    (width, height, channels, ndarray[h, w, ch]) or None if the payload
+    is not Netpbm or is truncated/corrupt. Handles header comments
+    (#...), arbitrary whitespace, and 16-bit (maxval > 255, big-endian
+    per the spec) samples. Pure bytes + numpy — works in codec-less
+    environments because the format IS the raw raster."""
+    import numpy as np
+
+    hdr = _netpbm_header(payload)
+    if hdr is None:
+        return None
+    w, h, maxval, channels, pos = hdr
     bytes_per = 1 if maxval < 256 else 2
     need = w * h * channels * bytes_per
     raw = payload[pos : pos + need]

@@ -39,61 +39,60 @@ def query(name: str, oracle: str | None = None):
 
 # ORDERING = round-rotation for the external harness: it checks the
 # first ~50 entries per round in registration order (confirmed across
-# rounds 1-7: each CORRECTNESS_r* file has exactly 50 entries), so with
+# rounds 1-9: each CORRECTNESS_r* file has exactly 50 entries), so with
 # >50 registered queries some set is always outside the window.
-# Round-9 priority: r8 went 50/50 green, clearing all never-checked
-# debt. Remaining staleness entering r9: the 18 r5-hash queries the r8
-# window couldn't fit, q_percentile_approx (r8 exact-anchor rebuild on
-# operators/quantile.py — its r6 hash predates the change; deliberately
-# queued for r9, see r8 ADVICE #3), and 49 r6-hash queries. This round
-# also changed operators/quantile.py again (empty-bracket guard: the
-# refine join now preserves the stats spine and raises instead of
-# silently NULLing — r8 ADVICE #1), which q_percentile_approx and
-# q_winsorize ride. (q_outlier_mad was TRIED on exact_quantile this
-# round and reverted: with 3 groups its buffering percentile is 2.6s
-# vs 4-6.5s for the nested three-pass operator — the r7 verdict's
-# "trade is documented, keep it" stands; its r7 hash is current.)
+# Round-10 priority (per the r9 verdict's items 1/2/5): r9 went 50/50
+# green; staleness entering r10 is 29 r6-hash, 49 r7-hash, 49 r8-hash
+# queries (all re-verified green by the r9-session sf0.01 oracle-mirror
+# pytest run — this rotation is about DRIVER evidence, not doubt).
+# This round changed: the TPC-H pack's SF-proportional broadcast hints
+# (tpch.py — dropped/inverted per r9 verdict finding #1, Q5/Q7/Q8/Q15/
+# Q17/Q19 re-enter the window), operators/quantile.py's multi-quantile
+# refine (q_winsorize perf item #3), and q_weighted_median's frame
+# reuse (item #4).
 # Window layout:
-#   slots 1-3   — changed-this-round code (operators/quantile.py):
-#                 q_percentile_approx (r8 rebuild + r9 guard),
-#                 q_winsorize; slot 3 starts the r6 backfill early
-#                 (q_asof_join);
-#   slots 4-14  — NEW r9: the TPC-H headline pack (Q5/Q7/Q8/Q10/Q13/
-#                 Q15/Q17/Q18/Q19/Q22 shapes, queries/tpch.py) and
-#                 q_rolling_median (windowed order statistic,
-#                 windows.py);
-#   slots 15-32 — the 18 remaining r5-stale queries (unchanged code);
-#   slots 33-50 — oldest r6-hash backfill (unchanged code): the
-#                 regression/agg block q03–q11, window block q18–q21,
-#                 rollup q22/q22b, except/intersect/union_all.
-# Tier "next" = the 29 remaining r6-hash queries (q23_union_distinct,
-# q24, q32/q33 streaming twins, q_approx_distinct, asof forward/
-# nearest, bloom, chunking, CMS, corr matrix, PCA, JSON/map fns,
-# multimodal, multireg, packing, pagerank, pivot family, range join,
-# scd2, session family, tfidf, triangles, udtf, zorder) — lead the r10
-# window, then rotate the 49 r7-hash queries.
+#   slots 1-29  — the FULL r6-stale tier, retiring it: streaming twins
+#                 q32/q33, setop/distinct q23_union_distinct/q24,
+#                 sketches (approx_distinct, bloom, CMS), asof fwd/
+#                 nearest, chunking/packing, corr matrix, PCA,
+#                 from_json/map fns, multimodal ×2, multireg, pagerank/
+#                 triangles, pivot/unpivot, range join, scd2, session
+#                 family, tfidf, udtf, zorder;
+#   slots 30-37 — changed-this-round code: q_winsorize +
+#                 q_weighted_median (perf reworks) and the six
+#                 de-hinted TPC-H queries;
+#   slots 38-50 — oldest r7-hash backfill (unchanged code): the
+#                 windows/rollup variants (q10b/q18c/q20b/q21b/q22c),
+#                 q23b pair, q32b, attribution, bigram LM, BPE family.
+# Tier "next" (r11) = the remaining 36 r7-hash queries
+# (q_classifier_score, q_data_contract, q_fk_audit, funnel family,
+# gapfill, group_sample, grouped_topk, hierarchy, histogram, hll_union,
+# incr_agg, interpolate, interval_overlap, lang_centroid, lm_score,
+# logreg_gd, merge_on_read, multimodal_audio, outlier_mad, paa,
+# profile, radius_join, rare_tokens, retention, rfm, skew_profile,
+# skyline, snapshot_diff, streaks, text_search, train_split,
+# transitions, unicode_norm, weighted_sample), then the 49 r8-hash.
 _PRIORITY = [
-    # slots 1-3 — changed-this-round code paths (operators/quantile.py)
-    # + the head of the r6 backfill
-    "q_percentile_approx", "q_winsorize", "q_asof_join",
-    # slots 4-14 — new r9 queries (TPC-H pack + rolling median)
-    "q_tpch_q5", "q_tpch_q10", "q_tpch_q13", "q_tpch_q17", "q_tpch_q18",
-    "q_tpch_q7", "q_tpch_q8", "q_tpch_q15", "q_tpch_q19", "q_tpch_q22",
-    "q_rolling_median",
-    # slots 10-27 — last r5-stale refresh (unchanged code)
-    "q_ann_lsh", "q_decontaminate", "q_dedup_canonical",
-    "q_domain_mix", "q_embed_neardup", "q_fingerprint",
-    "q_heavy_hitters", "q_lang_id", "q_lev_verify", "q_minhash_lsh",
-    "q_neardup_clusters", "q_ngram_jaccard", "q_quality_score",
-    "q_redact_pii", "q_repetition", "q_simhash", "q_stratified_sample",
-    "q_token_count",
-    # slots 28-50 — oldest r6-hash refresh (unchanged code)
-    "q03_regression_nullzero", "q04_regression_sql",
-    "q04b_grouped_regression", "q08_tpch_q1", "q09_count_distinct",
-    "q10_stats", "q10c_higher_moments", "q11_corr_cov",
-    "q18_window_rank", "q18b_window_family", "q19_window_lag",
-    "q20_running_sum", "q21_rolling_avg", "q22_rollup", "q22b_cube",
-    "q23_except", "q23_intersect", "q23_union_all",
+    # slots 1-29 — r6-stale tier, retired this round (unchanged code)
+    "q23_union_distinct", "q24_distinct_rows", "q32_tumbling_window",
+    "q33_sliding_window", "q_approx_distinct", "q_asof_forward",
+    "q_asof_nearest", "q_bloom_prune", "q_chunk_overlap",
+    "q_cms_tokens", "q_corr_matrix", "q_embed_pca", "q_from_json",
+    "q_map_fns", "q_multimodal_frames", "q_multimodal_meta",
+    "q_multireg", "q_pack_bins", "q_pagerank", "q_pivot",
+    "q_range_join", "q_scd2_merge", "q_session_stats",
+    "q_session_window", "q_tfidf", "q_triangles", "q_udtf_links",
+    "q_unpivot", "q_zorder",
+    # slots 30-37 — changed-this-round code paths (quantile refine,
+    # weighted-median frame reuse, de-hinted TPC-H)
+    "q_winsorize", "q_weighted_median",
+    "q_tpch_q5", "q_tpch_q7", "q_tpch_q8", "q_tpch_q15", "q_tpch_q17",
+    "q_tpch_q19",
+    # slots 38-50 — oldest r7-hash refresh (unchanged code)
+    "q10b_grouped_median", "q18c_window_dist", "q20b_share_of_total",
+    "q21b_range_frame", "q22c_grouping_sets", "q23b_except_all",
+    "q23b_intersect_all", "q32b_tumbling_distinct", "q_attribution",
+    "q_bigram_lm", "q_bpe_encode", "q_bpe_pairs", "q_bpe_train",
 ]
 
 

@@ -58,17 +58,20 @@ def q_tpch_q5(spark, sf_dir):
     ordering customer and the supplying supplier sit in the SAME nation
     of one region.
 
-    Plan shape (the point of the query): region→nation→supplier is a
-    broadcast chain — region is 5 rows, the filtered nation×supplier
-    dim is a kilobyte-scale frame even at large SF once one region is
-    selected — so lineitem picks up (s_suppkey, n_name, s_nationkey)
-    map-side with zero shuffle. The two remaining joins are the real
-    fact shuffles: lineitem⋈orders on orderkey, then ⋈customer on
-    custkey, with the c_nationkey = s_nationkey residual evaluated
-    inside the join. At 100 TB both shuffles are on high-cardinality
-    uniform keys (orderkey/custkey) — no skew, and AQE would demote the
-    supplier broadcast to shuffle if an unfiltered region blew past the
-    threshold."""
+    Plan shape (the point of the query): region→nation is a broadcast
+    chain of CONSTANT-cardinality dims (5 and 25 rows at every SF), so
+    those two carry explicit hints. supplier is SF-PROPORTIONAL — the
+    region filter keeps ~1/5 of it, which still grows linearly — so the
+    lineitem⋈supplier join carries NO hint: at test SF the scan-stats
+    threshold (spark.sql.autoBroadcastJoinThreshold) picks broadcast on
+    its own, and at 100 TB the planner/AQE is free to shuffle it on
+    suppkey instead of pinning an executor-OOM broadcast (an explicit
+    `F.broadcast` hint is BINDING — AQE never demotes it, which is why
+    SF-proportional sides must not be hinted). The two remaining joins
+    are the real fact shuffles: lineitem⋈orders on orderkey, then
+    ⋈customer on custkey, with the c_nationkey = s_nationkey residual
+    evaluated inside the join. At 100 TB both shuffles are on
+    high-cardinality uniform keys (orderkey/custkey) — no skew."""
     r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "AFRICA")
     n = (
         load_table(spark, sf_dir, "nation")
@@ -95,7 +98,7 @@ def q_tpch_q5(spark, sf_dir):
     )
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     j = (
-        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(
             c,
@@ -240,14 +243,19 @@ def q_tpch_q17(spark, sf_dir):
     canonical CORRELATED SCALAR SUBQUERY (per-part average compared
     against each row of the same part).
 
-    Decorrelation, Spark-first: filter the fact once through the tiny
-    brand/size part slice (broadcast semi-ish join), compute the
-    per-part averages from that SAME slice (the filter is on part
-    attributes only, so the slice holds every lineitem of the selected
-    parts), broadcast the per-part thresholds back, and filter. The
-    whole correlated comparison costs one scan of the brand slice plus
-    two kilobyte broadcasts — no repeated subquery per row, which is
-    what a naive correlated plan does and what dies at 100 TB.
+    Decorrelation, Spark-first: filter the fact once through the
+    brand/size part slice, compute the per-part averages from that SAME
+    slice (the filter is on part attributes only, so the slice holds
+    every lineitem of the selected parts), join the per-part thresholds
+    back, and filter. The whole correlated comparison costs one scan of
+    the brand slice plus two keyed joins — no repeated subquery per
+    row, which is what a naive correlated plan does and what dies at
+    100 TB. Neither join is HINTED: the part slice and the per-part
+    threshold table both grow linearly with SF (a fixed fraction of
+    part), so the size threshold broadcasts them at test SF while at
+    100 TB both joins shuffle on partkey — co-partitioned, since bl and
+    th share the l_partkey distribution (an explicit `F.broadcast`
+    would pin an OOM plan AQE cannot demote).
 
     Threshold exactness: l_quantity is integral (≤ 50), so the per-part
     double sums and averages are exact in any order, and 0.2·avg is the
@@ -261,13 +269,13 @@ def q_tpch_q17(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_quantity", "l_extendedprice"
     )
-    bl = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey")).drop(
+    bl = li.join(p, F.col("l_partkey") == F.col("p_partkey")).drop(
         "p_partkey"
     )
     th = bl.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
         (F.lit(0.2) * F.avg("l_quantity")).alias("qty_th")
     )
-    hit = bl.join(F.broadcast(th), F.col("l_partkey") == F.col("t_partkey")).where(
+    hit = bl.join(th, F.col("l_partkey") == F.col("t_partkey")).where(
         F.col("l_quantity") < F.col("qty_th")
     )
     return hit.agg(
@@ -348,12 +356,15 @@ def q_tpch_q7(spark, sf_dir):
     pair predicate ((A,B) OR (B,A)) that cannot be pushed to either
     scan alone.
 
-    Plan shape: both nation attachments broadcast; the pair disjunction
-    evaluates after them as a cheap residual filter on two tiny string
-    columns, BEFORE the grouping. Fact shuffles stay on
-    suppkey/orderkey/custkey only. At 100 TB the selective nation pair
-    makes the post-join stream a sliver; AQE coalesces the near-empty
-    shuffle partitions behind it."""
+    Plan shape: both nation attachments broadcast (constant 25-row
+    dims, hinted); supplier is SF-proportional so its join is UNHINTED
+    — threshold-broadcast at test SF, shuffle-on-suppkey at 100 TB
+    (a hard hint would pin an OOM broadcast AQE cannot demote). The
+    pair disjunction evaluates after the nation attaches as a cheap
+    residual filter on two tiny string columns, BEFORE the grouping.
+    Fact shuffles stay on suppkey/orderkey/custkey only. At 100 TB the
+    selective nation pair makes the post-join stream a sliver; AQE
+    coalesces the near-empty shuffle partitions behind it."""
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_suppkey",
@@ -371,7 +382,7 @@ def q_tpch_q7(spark, sf_dir):
         F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
     )
     j = (
-        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
@@ -420,12 +431,17 @@ def q_tpch_q8(spark, sf_dir):
     ECONOMY-part revenue sold to ASIA customers, per order year — a
     SHARE-OF-CONDITIONAL-SUM over a 7-table join.
 
-    Plan shape: part/region/nation/supplier all broadcast (the part
-    filter makes even the biggest dim a sliver); the share is computed
-    from two exact decimal sums in the SAME grouped aggregate (one
-    pass), then one double division — never a windowed
-    percent-of-total, which would re-shuffle the aggregate. Both
-    engines divide identical doubles, so the share hashes exactly."""
+    Plan shape: region and the two nation attachments broadcast with
+    explicit hints (constant-cardinality dims). part and supplier are
+    SF-PROPORTIONAL — even the p_type slice grows linearly — so their
+    joins carry NO hint: the size threshold broadcasts them at test SF,
+    and at 100 TB the planner shuffles them on partkey/suppkey instead
+    of pinning an OOM broadcast (explicit hints are binding; AQE never
+    demotes them). The share is computed from two exact decimal sums in
+    the SAME grouped aggregate (one pass), then one double division —
+    never a windowed percent-of-total, which would re-shuffle the
+    aggregate. Both engines divide identical doubles, so the share
+    hashes exactly."""
     p = (
         load_table(spark, sf_dir, "part")
         .where(F.col("p_type") == "ECONOMY")
@@ -458,8 +474,8 @@ def q_tpch_q8(spark, sf_dir):
         "s_suppkey", "supp_nation"
     )
     j = (
-        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(sn), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .join(sn, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(cn, F.col("o_custkey") == F.col("c_custkey"))
     )
@@ -499,11 +515,15 @@ def q_tpch_q15(spark, sf_dir):
     spec requires).
 
     Plan shape: the per-supplier revenue aggregate is computed once and
-    its 1-row max attaches by broadcast; the equality is safe because
-    both sides are the SAME exact decimal sum (a double-summed revenue
-    would make `= max` flake on partition order — the decimal contract
-    is what makes this query hashable at all). Supplier attaches by
-    broadcast after the filter, touching only the winners."""
+    its 1-row max attaches by broadcast (hinted — a 1-row aggregate is
+    constant-size at every SF, and the planner cannot know that from
+    static stats); the equality is safe because both sides are the SAME
+    exact decimal sum (a double-summed revenue would make `= max` flake
+    on partition order — the decimal contract is what makes this query
+    hashable at all). The winner set `top` — a handful of rows at any
+    SF — is the hinted broadcast side of the supplier attach; supplier
+    itself is SF-proportional and must NOT be hinted (a hard hint on it
+    would pin an OOM broadcast at 100 TB that AQE cannot demote)."""
     li = load_table(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
@@ -515,7 +535,7 @@ def q_tpch_q15(spark, sf_dir):
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     top = rev.join(F.broadcast(mx), F.col("total_rev") == F.col("__mx")).drop("__mx")
     return (
-        top.join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        s.join(F.broadcast(top), F.col("s_suppkey") == F.col("l_suppkey"))
         .select("s_suppkey", "s_name", "total_rev")
         .orderBy("s_suppkey")
     )
@@ -546,9 +566,12 @@ def q_tpch_q19(spark, sf_dir):
     and keeps the disjunction as a join residual; it also derives the
     IMPLIED single-side filters (p_brand IN (...), l_quantity within
     the union of ranges) and pushes them to the scans, so both inputs
-    shrink before the join. The part side then broadcasts. This is the
-    query where a naive engine falls back to a nested loop — the plan
-    guard pins the equi-join."""
+    shrink before the join. The part side is UNHINTED — the implied
+    brand filter still leaves an SF-proportional slice, so the size
+    threshold broadcasts it at test SF while at 100 TB the join may
+    shuffle on partkey (a hard hint would pin an OOM broadcast). This
+    is the query where a naive engine falls back to a nested loop — the
+    plan guard pins the equi-join."""
     p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_partkey",
@@ -572,7 +595,7 @@ def q_tpch_q19(spark, sf_dir):
             & F.col("p_size").between(1, 15)
         )
     )
-    hit = li.join(F.broadcast(p), cond)
+    hit = li.join(p, cond)
     return hit.agg(
         F.count(F.lit(1)).alias("n_items"), dsum(F.col("rev"), "revenue")
     )

@@ -362,10 +362,21 @@ class StreamingQuantile:
     def _mid(self, i: int) -> float:
         return 2.0 * self.gamma**i / (self.gamma + 1.0)
 
-    def _collapse(self, store: dict[int, int]) -> None:
+    def _collapse(self, store: dict[int, int], highest: bool = False) -> None:
+        """Bound a store at max_bins by merging overflow bins into the
+        nearest survivor. The positive store collapses its LOWEST
+        indices (near-zero positives); the mirrored negative store
+        collapses its HIGHEST indices — those are the most-negative
+        values, so both rules degrade the same far-from-typical low
+        tail of the real line, matching reference DDSketch's
+        highest-collapsing negative store (r10, ADVICE: the old
+        lowest-index rule on the neg store degraded near-zero negative
+        estimates instead). Unreachable at the default max_bins=8192
+        (needs a magnitude span of gamma^8192); the direction still
+        matters for small tuned budgets."""
         if len(store) <= self.max_bins:
             return
-        keys = sorted(store)
+        keys = sorted(store, reverse=highest)
         overflow = len(store) - self.max_bins
         spill = sum(store.pop(k) for k in keys[:overflow])
         store[keys[overflow]] = store.get(keys[overflow], 0) + spill
@@ -405,7 +416,7 @@ class StreamingQuantile:
             else:
                 self.neg[r["__bin"]] = self.neg.get(r["__bin"], 0) + r["__c"]
         self._collapse(self.pos)
-        self._collapse(self.neg)
+        self._collapse(self.neg, highest=True)
         self._last_batch = batch_id
 
     def count(self) -> int:

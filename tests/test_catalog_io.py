@@ -108,11 +108,15 @@ def test_vacuum_removes_debris_only(spark, tmp_path):
     staging = tmp_path / "alive.parquet" / "_temporary"
     staging.mkdir()
     (staging / "attempt_0").mkdir()
-    removed = lake.vacuum()
+    # r10 retention guard: debris younger than the retention window is
+    # NOT touched — it may be a live writer's staging dir
+    assert lake.vacuum() == []
+    assert dead.exists() and staging.exists()
+    removed = lake.vacuum(retention_seconds=0)
     assert len(removed) == 2
     assert not dead.exists() and not staging.exists()
     assert lake.load("alive").count() == 10
-    assert lake.vacuum() == []  # idempotent
+    assert lake.vacuum(retention_seconds=0) == []  # idempotent
 
 
 def test_overwrite_publishes_by_rename(spark, tmp_path):
@@ -136,7 +140,8 @@ def test_overwrite_publishes_by_rename(spark, tmp_path):
     orphan = os.path.join(lake.base_dir, "m.parquet.__writing__deadbeef")
     os.makedirs(orphan)
     assert lake.list_datasets() == ["m"]
-    removed = lake.vacuum()
+    assert lake.vacuum() == []  # fresh staging = possibly live writer
+    removed = lake.vacuum(retention_seconds=0)
     assert orphan in removed and not os.path.exists(orphan)
 
     # overwriting a FILE-shaped dataset (hand-dropped single CSV) with a

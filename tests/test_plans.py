@@ -402,11 +402,34 @@ def test_tpch_q10_topk_fuses_and_returnflag_pushes(spark):
 
 def test_tpch_q17_threshold_broadcasts(spark):
     """Q17's decorrelated per-part thresholds and the brand slice must
-    both attach by broadcast — the correlated comparison costs zero
-    extra shuffles of the fact."""
+    both attach by broadcast AT TEST SF — threshold-driven (r10: the
+    hard `F.broadcast` hints were removed because both sides are
+    SF-proportional; this asserts the size-based planner still picks
+    BHJ locally, so the de-hinting didn't silently demote the local
+    plan to a shuffle)."""
     p = plan_of("q_tpch_q17", spark)
     assert p.count("BroadcastHashJoin") >= 2, p
     assert "SortMergeJoin" not in p, p
+
+
+def test_tpch_no_sf_proportional_broadcast_hints():
+    """r10 scale-posture guard: an explicit `F.broadcast` hint is
+    BINDING — AQE will not demote it when the hinted side outgrows the
+    threshold — so the TPC-H pack may hint only frames whose size is
+    CONSTANT in SF: region (r, 5 rows), nation (n/n1/n2, 25 rows),
+    1-row scalar aggregates (mx, avg_bal), and Q15's winner set (top).
+    supplier/part/customer slices and per-part thresholds all grow
+    linearly with SF and must stay unhinted (r9 verdict finding #1)."""
+    import pathlib
+    import re
+
+    src = (
+        pathlib.Path(__file__).parent.parent
+        / "polars_express_spark" / "queries" / "tpch.py"
+    ).read_text()
+    hinted = re.findall(r"F\.broadcast\((\w+)\)", src)
+    allowed = {"r", "n", "n1", "n2", "mx", "avg_bal", "top"}
+    assert set(hinted) <= allowed, sorted(set(hinted) - allowed)
 
 
 def test_tpch_q18_aggregates_before_joining(spark):
@@ -467,8 +490,10 @@ def test_tpch_q19_is_equi_join_with_residual(spark):
 
 def test_tpch_q15_max_attaches_by_broadcast(spark):
     """Q15's scalar max must attach to the per-supplier revenue frame
-    by broadcast (1-row side), and the supplier dim joins AFTER the
-    equality filter."""
+    by broadcast (1-row side, hinted), and the winner set `top` — not
+    SF-proportional supplier — must be the broadcast side of the final
+    attach (r10: the inverted hint from r9 is fixed; no SMJ may appear
+    at test SF)."""
     p = plan_of("q_tpch_q15", spark)
     assert p.count("BroadcastHashJoin") >= 1, p
     assert "SortMergeJoin" not in p, p

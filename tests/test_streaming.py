@@ -670,6 +670,17 @@ def test_streaming_quantile_exactly_once_restore_and_collapse(spark):
     exact99 = wide.agg(F.percentile("v", F.lit(0.99))).collect()[0][0]
     assert abs(tight.estimate(0.99) - exact99) <= 0.021 * exact99
 
+    # negative store collapses its HIGHEST indices (most-negative
+    # values — the far-left tail), so NEAR-ZERO negative quantiles stay
+    # within α after overflow (r10: reference DDSketch collapse rule)
+    tneg = StreamingQuantile("v", alpha=0.02, max_bins=50)
+    wneg = wide.select((-F.col("v")).alias("v")).localCheckpoint()
+    tneg.absorb(wneg, 0)
+    assert len(tneg.neg) <= 50
+    # p99 of the negated data = the least-negative tail = kept bins
+    exact99n = wneg.agg(F.percentile("v", F.lit(0.99))).collect()[0][0]
+    assert abs(tneg.estimate(0.99) - exact99n) <= 0.021 * abs(exact99n)
+
 
 def test_streaming_quantile_e2e_equals_batch(spark, tmp_path):
     """File-stream e2e: folding events.value through micro-batches must
