@@ -11,7 +11,7 @@ accidental-serialization trap the grouped prefix scan
 
 This operator computes the SAME value — linear-interpolated order
 statistic, bit-equal to ``F.percentile`` / DuckDB ``quantile_cont`` —
-in three bounded passes:
+in two bounded passes:
 
 1. **Bracket** (one GK pass): ``approx_percentile`` at q ± 4/accuracy.
    The Greenwald–Khanna sketch carries a *deterministic* rank guarantee
@@ -23,21 +23,21 @@ in three bounded passes:
    — a "whole group" of ≤ 2·accuracy rows, still bounded. A runtime
    raise still guards the invariant (defense in depth — one comparison
    per group, arithmetically entangled so it cannot be pruned).
-2. **Anchor** (one counting pass): per group, ``n``, exact
-   ``count(v < lo)`` and ``count(lo ≤ v ≤ hi)`` — plain partial→final
-   counts, no buffering.
-3. **Refine** (one pass over bracket rows only): rows inside
+2. **Anchor + refine** (one fused pass): per group, exact
+   ``count(v < lo)`` (a plain partial→final count) AND the rows inside
    ``[lo, hi]`` — at most ~8n/accuracy plus ties of the boundary
-   values — are pre-aggregated to distinct (group, value, count), then
-   a per-group window over that tiny frame converts bracket-local
-   cumulative counts to GLOBAL ranks via the pass-2 anchor. The two
-   order statistics are picked by conditional min, and the result is
-   ``v_k1 + (v_k2 − v_k1) · (pos − ⌊pos⌋)`` with ``pos = q·(n−1)``
-   computed in double exactly as Spark's Percentile does.
+   values — buffered as one sorted array per quantile, in the SAME
+   aggregate. The order statistics are direct ``element_at`` picks:
+   global rank ``k`` is bracket-local index ``k − count(v < lo)``. The
+   result is interpolated from ``v_k1``/``v_k2`` with ``pos = q·(n−1)``
+   computed in double exactly as Spark's Percentile does. (r10: this
+   fused what were separate counting and window-cumulative-rank +
+   join refine passes — same values, one less input scan, five fewer
+   shuffles for the multi-quantile form.)
 
-Task memory is bounded by the bracket's distinct-value count
-(~8n/accuracy), tunable independently of data size — at 100 TB, raise
-``accuracy`` so the bracket stays executor-sized; every other stage is
+Task memory is bounded by the brackets' row count (~8n/accuracy per
+quantile), tunable independently of data size — at 100 TB, raise
+``accuracy`` so the brackets stay executor-sized; every other stage is
 a constant-state streaming aggregate.
 
 Reference analog: Polars ``quantile`` is a single-node column sort
@@ -47,35 +47,15 @@ distributed form with identical interpolation semantics.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _null_safe_join(
-    left: DataFrame,
-    right: DataFrame,
-    cols: list[str],
-    how: str = "inner",
-    broadcast_right: bool = True,
-):
-    """Join on group columns, NULL keys matching NULL keys (percentile
-    keeps NULL groups; a plain equi-join would drop them). The right
-    side is broadcast by default; pass ``broadcast_right=False`` when
-    the join must preserve the right side (Spark cannot build a
-    broadcast hash join from the outer side of a right outer join)."""
-    if how == "right":
-        # rename the LEFT (non-preserved) side: preserved right rows
-        # with no match must keep their own key columns, not the
-        # left's NULLs
-        l2 = left
-        for c in cols:
-            l2 = l2.withColumnRenamed(c, f"__l_{c}")
-        cond = None
-        for c in cols:
-            eq = F.col(f"__l_{c}").eqNullSafe(F.col(c))
-            cond = eq if cond is None else (cond & eq)
-        j = l2.join(F.broadcast(right) if broadcast_right else right, cond, how)
-        return j.drop(*[f"__l_{c}" for c in cols])
+def _null_safe_join(left: DataFrame, right: DataFrame, cols: list[str]):
+    """Broadcast inner join on group columns, NULL keys matching NULL
+    keys (percentile keeps NULL groups; a plain equi-join would drop
+    them). The right side is the per-group bracket frame — group
+    cardinality, always the broadcast side."""
     r = right
     for c in cols:
         r = r.withColumnRenamed(c, f"__r_{c}")
@@ -83,7 +63,7 @@ def _null_safe_join(
     for c in cols:
         eq = F.col(c).eqNullSafe(F.col(f"__r_{c}"))
         cond = eq if cond is None else (cond & eq)
-    j = left.join(F.broadcast(r) if broadcast_right else r, cond, how)
+    j = left.join(F.broadcast(r), cond, "inner")
     return j.drop(*[f"__r_{c}" for c in cols])
 
 
@@ -100,14 +80,11 @@ def exact_quantiles(
     ``F.percentile(value, q)`` (and DuckDB ``quantile_cont``), computed
     without ever buffering a whole group in one task.
 
-    All quantiles share the three passes: ONE GK sketch evaluated at
-    every bracket percentage, ONE counting pass carrying every
-    bracket's below/inside anchors, and ONE refine over the union of
-    bracket rows (each row tagged with the brackets it falls in via an
-    expression-level ``filter(sequence(...))`` — brackets are tiny and
-    rarely overlap, so the expansion factor is ~1). Asking for the
-    5th/50th/95th percentiles therefore costs the same three input
-    scans as asking for one.
+    All quantiles share the two passes: ONE GK sketch evaluated at
+    every bracket percentage, and ONE fused anchor+refine aggregate
+    carrying every bracket's below-count and sorted bracket array.
+    Asking for the 5th/50th/95th percentiles therefore costs the same
+    two input scans as asking for one.
 
     NULL values are ignored (as percentile does); a group with no
     non-null values is absent from the result. NULL group keys form
@@ -118,10 +95,10 @@ def exact_quantiles(
     values), so at larger n raise accuracy to keep brackets
     executor-sized.
 
-    The input is scanned three times (bracket / anchor / refine) — fine
+    The input is scanned twice (bracket / fused anchor+refine) — fine
     over a pruned columnar source, but CACHE OR CHECKPOINT a derived
     frame first (joins, per-key aggregates) or the upstream pipeline
-    runs three times. Prefer plain grouped ``F.percentile`` when groups
+    runs twice. Prefer plain grouped ``F.percentile`` when groups
     are many-and-small or values low-cardinality: its per-group
     distinct-value map is already bounded there, with one scan.
     """
@@ -183,139 +160,71 @@ def exact_quantiles(
         )
     )
 
-    # Pass 2 — exact anchors for every bracket in one counting
-    # aggregate: count below lo_i, count inside [lo_i, hi_i].
+    # Pass 2 — FUSED anchor + refine in one aggregate (one scan): per
+    # group, for each quantile i, the exact count below lo_i AND the
+    # bracket rows [lo_i, hi_i] buffered as one sorted array
+    # (collect_list skips the NULLs the un-otherwise'd when() leaves on
+    # non-bracket rows). The aggregation buffer holds the union of the
+    # m brackets — ~8·m·n/accuracy values plus boundary ties, the same
+    # bound the previous explode-per-bracket refine obeyed — and the
+    # fusion removes that shape's separate counting scan, bracket
+    # explode, per-(group, quantile) join, and final pivot: two input
+    # scans and two shuffles total, no join after the bracket attach.
     if gcols:
         anchored = _null_safe_join(vals, br, gcols)
     else:
         anchored = vals.crossJoin(F.broadcast(br))
-    stats = anchored.groupBy(*gcols, "__n").agg(
-        *[
-            F.count(F.when(F.col("__v") < F.element_at("__los", i + 1), 1)).alias(
-                f"__lt{i}"
-            )
-            for i in range(m)
-        ],
-        *[
-            F.count(
-                F.when(
-                    F.col("__v").between(
-                        F.element_at("__los", i + 1), F.element_at("__his", i + 1)
-                    ),
-                    1,
-                )
-            ).alias(f"__m{i}")
-            for i in range(m)
-        ],
-    )
+    agg_exprs = []
+    for i in range(m):
+        lo_i = F.element_at("__los", i + 1)
+        hi_i = F.element_at("__his", i + 1)
+        agg_exprs.append(F.count(F.when(F.col("__v") < lo_i, 1)).alias(f"__lt{i}"))
+        agg_exprs.append(
+            F.sort_array(
+                F.collect_list(F.when(F.col("__v").between(lo_i, hi_i), F.col("__v")))
+            ).alias(f"__arr{i}")
+        )
+    stats = anchored.groupBy(*gcols, "__n").agg(*agg_exprs)
 
-    # Per-quantile target order statistics, reshaped long (one row per
-    # (group, quantile)) — double pos exactly as Spark's Percentile:
+    # Order-statistic picks — double pos exactly as Spark's Percentile:
     # pos = q·(n−1), lower = floor(pos), the fraction interpolates.
     # The bracket-soundness raise is entangled INTO the rank the picks
-    # compare against (valid → +0, invalid → raise), an arithmetic
+    # index with (valid → +0, invalid → raise), an arithmetic
     # dependency the optimizer cannot simplify away (a plain
     # assert_true column, or when(c, k).otherwise(k), gets pruned).
-    per_q = []
+    # Soundness covers the EMPTY bracket too: size 0 fails
+    # lt + size > k2, so a bracket holding no rows raises instead of
+    # silently NULL-ing or dropping the group (r8 ADVICE regression,
+    # tested by faking the GK sketch).
+    outs = []
     for i, q in enumerate(qs):
         pos = F.lit(float(q)) * (F.col("__n") - F.lit(1)).cast("double")
         k1 = F.floor(pos).cast("long")
         frac = pos - F.floor(pos)
         k2 = F.when(frac > 0, k1 + 1).otherwise(k1)
-        lt_i, m_i = F.col(f"__lt{i}"), F.col(f"__m{i}")
-        valid = (lt_i <= k1) & ((lt_i + m_i) > k2)
+        lt_i = F.col(f"__lt{i}")
+        arr_i = F.col(f"__arr{i}")
+        valid = (lt_i <= k1) & ((lt_i + F.size(arr_i)) > k2)
         guard0 = F.when(valid, F.lit(0)).otherwise(
             F.expr(
                 "raise_error('exact_quantile: bracket missed the target rank')"
             ).cast("long")
         )
-        per_q.append(
-            F.struct(
-                F.lit(i).alias("__qi"),
-                (k1 + guard0).alias("__k1"),
-                k2.alias("__k2"),
-                frac.alias("__frac"),
-                lt_i.alias("__lt"),
-            )
+        # element_at is 1-based; global rank k maps to bracket-local
+        # index k − lt because exactly __lt values sit strictly below
+        # the bracket. The guard rides both indices, so an unsound
+        # bracket raises before any out-of-range pick could.
+        v1 = F.element_at(arr_i, ((k1 + guard0) - lt_i + F.lit(1)).cast("int"))
+        v2 = F.element_at(arr_i, ((k2 + guard0) - lt_i + F.lit(1)).cast("int"))
+        # Bit-for-bit Spark Percentile interpolation, short-circuited
+        # to the exact value when pos is integral — NOT the
+        # algebraically-equal v1 + (v2−v1)·frac, which rounds
+        # differently in the last ulp.
+        out = F.when(frac == 0, v1.cast("double")).otherwise(
+            (F.lit(1.0) - frac) * v1 + frac * v2
         )
-    stats_long = stats.select(*gcols, F.explode(F.array(*per_q)).alias("__s")).select(
-        *gcols, "__s.*"
-    )
-
-    # Pass 3 — refine inside the brackets only, all quantiles in one
-    # scan: each row explodes into the (usually 0 or 1) brackets it
-    # belongs to, then distinct (group, quantile, value) counts and a
-    # tiny per-(group, quantile) window convert bracket-local
-    # cumulative counts to GLOBAL ranks via the pass-2 anchor.
-    bracket = anchored.select(
-        *gcols,
-        "__v",
-        F.explode(
-            F.expr(
-                f"filter(sequence(0, {m - 1}),"
-                " i -> __v >= __los[i] AND __v <= __his[i])"
-            )
-        ).alias("__qi"),
-    )
-    bv = bracket.groupBy(*gcols, "__qi", "__v").agg(F.count(F.lit(1)).alias("__c"))
-    pcols = [*gcols, "__qi"]
-    w = Window.partitionBy(*pcols).orderBy("__v")
-    bv = bv.withColumn("__cum", F.sum("__c").over(w))
-    # RIGHT outer, stats_long preserved: an EMPTY bracket (m_i = 0 —
-    # only reachable if the GK rank guarantee were violated) has no bv
-    # rows, and an inner join would drop the guarded stats_long row
-    # before any guard evaluates, silently emitting NULL (or dropping
-    # the group). Preserving the spine keeps one all-NULL candidate row
-    # per (group, quantile), which the __v1-null raise below turns into
-    # a loud failure. No broadcast: Spark cannot build the broadcast
-    # side opposite a right outer join, and bv (bracket-sized, up to
-    # executor-sized at tuned accuracy) is the side that must stream —
-    # its window shuffle on pcols is reused by this join.
-    # SHUFFLE_HASH on the bracket side: a right outer join builds from
-    # the left, and hashing bv (bounded by the bracket contract) skips
-    # the sort-merge sorts of both sides.
-    picked = _null_safe_join(
-        bv.hint("SHUFFLE_HASH"), stats_long, pcols, how="right", broadcast_right=False
-    )
-    # Global rank range covered by value v: [lt + cum − c, lt + cum − 1].
-    top_rank = F.col("__lt") + F.col("__cum") - F.lit(1)
-    res = picked.groupBy(*pcols, "__frac").agg(
-        F.min(F.when(top_rank >= F.col("__k1"), F.col("__v"))).alias("__v1"),
-        F.min(F.when(top_rank >= F.col("__k2"), F.col("__v"))).alias("__v2"),
-    )
-    # Bit-for-bit Spark Percentile interpolation:
-    # (higher − pos)·lowerValue + (pos − lower)·higherValue, short-
-    # circuited to the exact value when pos is integral — NOT the
-    # algebraically-equal v1 + (v2−v1)·frac, which rounds differently
-    # in the last ulp.
-    frac = F.col("__frac")
-    out = F.when(frac == 0, F.col("__v1").cast("double")).otherwise(
-        (F.lit(1.0) - frac) * F.col("__v1") + frac * F.col("__v2")
-    )
-    # Empty/missed-bracket raise: a sound non-empty bracket always
-    # yields a non-null lower order statistic (some bracket row covers
-    # rank k1). NULL here means the bracket held no rows at the target
-    # rank — the case the __k1-entangled guard cannot see, because
-    # `top_rank >= __k1` short-circuits on its NULL left operand before
-    # evaluating __k1. The raise sits in the taken CASE branch, so it
-    # cannot be pruned and never fires on the valid path.
-    out = F.when(
-        F.col("__v1").isNull(),
-        F.expr(
-            "raise_error('exact_quantile: bracket contained no rows"
-            " at the target rank')"
-        ).cast("double"),
-    ).otherwise(out)
-    long_out = res.select(*pcols, out.alias("__out"))
-    # Back to one row per group: brackets are sound, so every group has
-    # exactly one row per quantile — conditional max (never NULL) is a
-    # deterministic pivot with statically-known quantile ids.
-    return long_out.groupBy(*gcols).agg(
-        *[
-            F.max(F.when(F.col("__qi") == i, F.col("__out"))).alias(result_cols[i])
-            for i in range(m)
-        ]
-    )
+        outs.append(out.alias(result_cols[i]))
+    return stats.select(*gcols, *outs)
 
 
 def exact_quantile(

@@ -208,22 +208,33 @@ def test_empty_bracket_raises_not_null(spark, monkeypatch):
 
 
 def test_no_full_width_shuffle_of_values(spark):
-    """Scale shape: the only window in the plan runs over the bracket
-    rows (post-filter), and the base relation is aggregated with
-    partial→final aggregates — assert the plan carries the bracket
-    between-filter feeding the window stage."""
+    """Scale shape (r10 fused refine): the GK sketch pass is present,
+    the bracket rows are collected into sorted arrays INSIDE the same
+    aggregate as the anchor counts — collect_list input is the
+    bracket-bounded when(), never the raw column — and the plan has NO
+    window, NO generate/explode, and NO shuffle join (a Window or SMJ
+    here would mean the full-width value stream is being re-sorted;
+    the only join is the broadcast bracket attach)."""
     df = spark.range(0, 100_000).select(
         (F.col("id") % 5).cast("string").alias("g"),
         (F.col("id") * 37 % 9973).cast("double").alias("v"),
     )
-    plan = (
-        exact_quantile(df, "v", 0.5, group=["g"], accuracy=1000)
-        ._jdf.queryExecution()
-        .executedPlan()
-        .toString()
+    q = exact_quantile(df, "v", 0.5, group=["g"], accuracy=1000)
+    # formatted explain — node toString truncates aggregate fn lists
+    plan = q._sc._jvm.PythonSQLUtils.explainString(
+        q._jdf.queryExecution(), "formatted"
     )
     assert "percentile_approx" in plan  # GK sketch pass present
-    assert "Window" in plan  # refine window present (bracket-only input)
+    assert "collect_list" in plan and "sort_array" in plan  # array refine
+    assert "Window" not in plan  # no windowed re-sort of the values
+    assert "Generate" not in plan  # no bracket explode — fused aggregate
+    assert "SortMergeJoin" not in plan  # bracket attach is broadcast
+    assert "BroadcastHashJoin" in plan
+    # exactly two shuffles: sketch groupBy + fused anchor/refine groupBy
+    import re
+
+    n_shuffles = len(re.findall(r"\(\d+\) Exchange\b", plan))
+    assert n_shuffles == 2, plan
 
 
 # --- multi-quantile (exact_quantiles) ------------------------------------
