@@ -9,14 +9,19 @@ ordered by v — reaches q · Σw. Weights ride the exact 4-dp scaled-long
 accumulator, so the crossing point is exact, the result is an ACTUAL
 DATA VALUE (no interpolation), and it replays identically in SQL.
 
-Shape (r7 rebuild): pre-aggregate to distinct (group, value) with
-map-side-combined weight sums — equal values cross together, so this
-loses nothing and removes ties — then the cumulative sum runs through
-the grouped Blelloch two-level prefix scan (operators/prefix.py). The
-previous shape, ``SUM(w) OVER (PARTITION BY group ORDER BY value)``,
-funnels each group through ONE reducer task: with a handful of groups
-(returnflags, languages, splits) a 1000-executor cluster does the sort
-on ~3 cores. Now no task ever sorts more than ~1/n_buckets of a group.
+Shape (r7 rebuild, r10 crossing-bucket prune): pre-aggregate to
+distinct (group, value) with map-side-combined weight sums — equal
+values cross together, so this loses nothing and removes ties — then
+range-bucket each group on its own value range (the grouped Blelloch
+scan's first level, operators/prefix.py) and resolve the quantile from
+per-bucket subtotals: exactly ONE bucket per group contains the
+crossing, so only that bucket's rows get the intra-bucket running sum.
+The previous shapes — ``SUM(w) OVER (PARTITION BY group ORDER BY
+value)``, and the full grouped prefix scan — sort every group (resp.
+every bucket); with a handful of groups (returnflags, languages,
+splits) a 1000-executor cluster would do the former on ~3 cores. Now
+no task ever sorts more than ~1/n_buckets of a group, and only one
+bucket per group is sorted at all.
 """
 
 from __future__ import annotations
@@ -65,7 +70,8 @@ def weighted_quantile(
     nulls out the predicate, silently dropping the group. Weights that
     large should be pre-scaled by the caller (they exceed any physical
     token/byte mass by orders of magnitude)."""
-    from polars_express_spark.operators.prefix import grouped_bucketed_cumsum
+    from pyspark.sql import Window
+
     from polars_express_spark.queries._util import scaled4
 
     d = df.where(
@@ -81,21 +87,85 @@ def weighted_quantile(
     # `value` a total order per group (the prefix-scan contract)
     base = d.select(group, value, w_expr.alias("__w"))
     dd = base.groupBy(group, value).agg(F.sum("__w").alias("__w"))
-    # bounds AND totals both derive from dd itself (the scan's defaults /
-    # with_total): AQE reuses dd's shuffle stage across the consumers, so
-    # neither denominator nor bucket bounds re-scan the raw input — one
-    # full-input pass total. (r8; the r7 shape computed bounds and Σw
-    # from the pre-shuffle frame, paying two extra full scans — measured
-    # slower locally and strictly worse at 100 TB, where a reused shuffle
+    # bounds derive from dd itself: AQE reuses dd's shuffle stage across
+    # the consumers, so neither bucketing nor subtotals re-scan the raw
+    # input — one full-input pass total. (r8; computing them from the
+    # pre-shuffle frame paid two extra full scans — measured slower
+    # locally and strictly worse at 100 TB, where a reused shuffle
     # output is cheap and an input re-scan is not.)
-    cum = grouped_bucketed_cumsum(dd, group, value, "__w", with_total=True)
-    crossed = cum.where(
-        F.col("cum___w") * F.lit(int(q_den)) >= F.col("tot___w") * F.lit(int(q_num))
+    n_buckets = 64
+    bounds = dd.groupBy(group).agg(
+        F.min(value).alias("__lo"), F.max(value).alias("__hi")
+    )
+    width = (F.col("__hi") - F.col("__lo")) / F.lit(n_buckets)
+    b = (
+        dd.join(F.broadcast(bounds), group)
+        .withColumn(
+            "__bkt",
+            F.when(F.col("__hi") == F.col("__lo"), F.lit(0)).otherwise(
+                F.least(
+                    F.lit(n_buckets - 1),
+                    F.floor((F.col(value) - F.col("__lo")) / width).cast("int"),
+                )
+            ),
+        )
+        .drop("__lo", "__hi")
+    )
+    # Per-(group, bucket) mass subtotals, then offsets and group totals
+    # over that TINY frame (≤ n_buckets rows per group). A single
+    # quantile needs the full running sum in exactly ONE bucket per
+    # group — the first whose through-end cumulative reaches q·Σw — so
+    # unlike the general prefix scan (operators/prefix.py, which this
+    # shape specializes), the intra-bucket window below runs over the
+    # crossing bucket only: ~1/n_buckets of each group instead of all
+    # of it. (r10; the full grouped_bucketed_cumsum sorted every bucket
+    # to produce cumulative weights this predicate then discarded.)
+    subtot = b.groupBy(group, "__bkt").agg(F.sum("__w").alias("__s"))
+    # offsets and group totals share one window sort over the subtotal
+    # frame (same partition + order, two frames)
+    span = Window.partitionBy(group).orderBy("__bkt")
+    ann = subtot.select(
+        group,
+        "__bkt",
+        "__s",
+        F.coalesce(
+            F.sum("__s").over(span.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).alias("__off"),
+        F.sum("__s")
+        .over(
+            span.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        )
+        .alias("__tot"),
+    )
+    # Crossing test everywhere: cum · q_den ≥ tot · q_num — long×small-
+    # integer products, exact. Every group crosses somewhere (the last
+    # bucket's through-end cum IS tot, and q ≤ 1), so min_by picks the
+    # first crossing bucket; its offset and the group total ride along.
+    crossb = (
+        ann.where(
+            (F.col("__off") + F.col("__s")) * F.lit(int(q_den))
+            >= F.col("__tot") * F.lit(int(q_num))
+        )
+        .groupBy(group)
+        .agg(F.min_by(F.struct("__bkt", "__off", "__tot"), "__bkt").alias("__cb"))
+        .select(group, "__cb.__bkt", "__cb.__off", "__cb.__tot")
+    )
+    intra = (
+        Window.partitionBy(group, "__bkt")
+        .orderBy(value)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    pruned = b.join(F.broadcast(crossb), [group, "__bkt"])
+    crossed = pruned.withColumn(
+        "__cum", F.col("__off") + F.sum("__w").over(intra)
+    ).where(
+        F.col("__cum") * F.lit(int(q_den)) >= F.col("__tot") * F.lit(int(q_num))
     )
     tot_out = (
-        F.max("tot___w").cast("double") / F.lit(float(WEIGHT_SCALE))
+        F.max("__tot").cast("double") / F.lit(float(WEIGHT_SCALE))
         if fast4
-        else F.max("tot___w").cast("double")
+        else F.max("__tot").cast("double")
     )
     return crossed.groupBy(group).agg(
         F.min(value).alias("wq_value"),

@@ -58,13 +58,15 @@ def query(name: str, oracle: str | None = None):
 #                 from_json/map fns, multimodal ×2, multireg, pagerank/
 #                 triangles, pivot/unpivot, range join, scd2, session
 #                 family, tfidf, udtf, zorder;
-#   slots 30-37 — changed-this-round code: q_winsorize +
-#                 q_weighted_median (perf reworks) and the six
-#                 de-hinted TPC-H queries;
-#   slots 38-50 — oldest r7-hash backfill (unchanged code): the
+#   slots 30-38 — changed-this-round code: q_winsorize +
+#                 q_percentile_approx (both ride the fused
+#                 exact_quantiles refine), q_weighted_median (crossing-
+#                 bucket prune), and the six de-hinted TPC-H queries;
+#   slots 39-50 — oldest r7-hash backfill (unchanged code): the
 #                 windows/rollup variants (q10b/q18c/q20b/q21b/q22c),
-#                 q23b pair, q32b, attribution, bigram LM, BPE family.
-# Tier "next" (r11) = the remaining 36 r7-hash queries
+#                 q23b pair, q32b, attribution, bigram LM, BPE
+#                 pairs/encode.
+# Tier "next" (r11) = q_bpe_train + the remaining 36 r7-hash queries
 # (q_classifier_score, q_data_contract, q_fk_audit, funnel family,
 # gapfill, group_sample, grouped_topk, hierarchy, histogram, hll_union,
 # incr_agg, interpolate, interval_overlap, lang_centroid, lm_score,
@@ -83,16 +85,16 @@ _PRIORITY = [
     "q_range_join", "q_scd2_merge", "q_session_stats",
     "q_session_window", "q_tfidf", "q_triangles", "q_udtf_links",
     "q_unpivot", "q_zorder",
-    # slots 30-37 — changed-this-round code paths (quantile refine,
-    # weighted-median frame reuse, de-hinted TPC-H)
-    "q_winsorize", "q_weighted_median",
+    # slots 30-38 — changed-this-round code paths (fused quantile
+    # refine, weighted-median crossing-bucket prune, de-hinted TPC-H)
+    "q_winsorize", "q_percentile_approx", "q_weighted_median",
     "q_tpch_q5", "q_tpch_q7", "q_tpch_q8", "q_tpch_q15", "q_tpch_q17",
     "q_tpch_q19",
-    # slots 38-50 — oldest r7-hash refresh (unchanged code)
+    # slots 39-50 — oldest r7-hash refresh (unchanged code)
     "q10b_grouped_median", "q18c_window_dist", "q20b_share_of_total",
     "q21b_range_frame", "q22c_grouping_sets", "q23b_except_all",
     "q23b_intersect_all", "q32b_tumbling_distinct", "q_attribution",
-    "q_bigram_lm", "q_bpe_encode", "q_bpe_pairs", "q_bpe_train",
+    "q_bigram_lm", "q_bpe_encode", "q_bpe_pairs",
 ]
 
 

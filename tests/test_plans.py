@@ -322,12 +322,15 @@ def test_lm_score_model_broadcasts(spark):
 
 
 def test_weighted_median_no_per_group_window_over_base_data(spark):
-    """r7 rebuild: the cumulative weight rides the GROUPED two-level
-    prefix scan — both Windows carry the bucket key in their partition
-    spec (big frame: (group, __bkt); offsets: over the tiny subtotal
-    frame ordered by __bkt), so no task ever sorts a whole group. The
-    old shape, PARTITION BY l_returnflag alone, serialized the engine
-    to 3 reducer tasks however many executors exist."""
+    """r7 rebuild + r10 crossing-bucket prune: every window spec
+    carries the bucket key (the offsets/totals windows order the tiny
+    subtotal frame by __bkt; the intra-bucket running sum partitions by
+    (group, __bkt)), so no task ever sorts a whole group — the old
+    shape, PARTITION BY l_returnflag alone, serialized the engine to 3
+    reducer tasks however many executors exist. And the big-frame
+    window's input is the broadcast semi-pruned crossing bucket, not
+    all buckets: the join against the crossing-bucket frame must sit
+    BELOW the value-ordered window in the plan."""
     p = plan_of("q_weighted_median", spark)
     tree = p.split("\n\n")[0]
     assert tree.count("Window") == 2
@@ -336,8 +339,19 @@ def test_weighted_median_no_per_group_window_over_base_data(spark):
     for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", p):
         assert "__bkt" in spec, f"window not bucket-partitioned: {spec}"
     # the equal-value pre-aggregation (map-side combine) must exist:
-    # partial+final for (group, value) agg, subtotals, and the totals
+    # partial+final for (group, value) agg, subtotals, crossing pick,
+    # and the final min — and min_by marks the crossing-bucket pick
     assert p.count("HashAggregate") >= 6
+    assert "min_by" in p
+    # the value-ordered (intra-bucket) window runs AFTER a broadcast
+    # join in the tree — i.e. over the pruned crossing bucket only
+    lines = tree.splitlines()
+    w_value = next(
+        i for i, ln in enumerate(lines) if "Window" in ln
+    )  # outermost Window in the tree is the intra-bucket one
+    assert any(
+        "BroadcastHashJoin" in ln for ln in lines[w_value:]
+    ), "intra-bucket window is not fed by the crossing-bucket prune join"
 
 
 def test_market_basket_pairs_without_self_join(spark):
