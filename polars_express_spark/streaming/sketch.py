@@ -471,6 +471,130 @@ class StreamingQuantile:
         return acc
 
 
+class StreamingTopK:
+    """Streaming heavy hitters (top-k items) in FIXED memory — the
+    Misra–Gries summary, maintained per micro-batch through the
+    mergeable-summaries construction (Agarwal et al., PODS 2012). CMS
+    answers "how often did THIS item occur" but cannot enumerate the
+    frequent items; this accumulator answers "WHICH items are frequent"
+    over an unbounded stream with ≤ ``capacity`` counters of state.
+
+    Per micro-batch, executor-side: one exact partial→final groupBy
+    count, then TakeOrdered top-(capacity+1) by count — only those
+    rows cross to the driver however wide the batch's key space is.
+    The batch's Misra–Gries summary is formed by dropping the
+    (capacity+1)-th count δ from every kept counter (valid: every
+    dropped item's count is ≤ δ), merged into the accumulator by
+    pointwise addition, and the accumulator is re-truncated the same
+    way when it outgrows capacity.
+
+    Guarantee (the MG invariant, golden-tested): for EVERY item,
+    ``est ≤ true ≤ est + err`` (est = 0 when untracked), with
+    ``err ≤ n / (capacity + 1)`` — so every item with true count
+    > err is tracked, and ``err`` is reported honestly per sketch
+    rather than assumed. When capacity covers the stream's distinct
+    keys the summary is EXACT (err = 0) and K micro-batch folds equal
+    one batch fold counter-for-counter — the same monoid golden as the
+    CMS/HLL/DDSketch siblings.
+
+    Exactly-once / durability: absorb() is idempotent per batch_id;
+    snapshot()/restore() round-trip the full state and compose with
+    durable_foreach_batch for lake-persisted driver restarts."""
+
+    def __init__(self, col: str, capacity: int = 256):
+        if capacity < 1:
+            raise ValueError(f"capacity must be >= 1, got {capacity}")
+        self.col, self.capacity = col, capacity
+        self.counters: dict = {}
+        self.err: int = 0
+        self._last_batch: int = -1
+
+    def absorb(self, batch_df: DataFrame, batch_id: int) -> None:
+        """foreachBatch hook: fold one micro-batch. A re-delivered
+        batch_id (restart replay) is a no-op. NULL keys are ignored
+        (they are not an item)."""
+        from pyspark.sql import functions as F
+
+        if batch_id <= self._last_batch:
+            return
+        rows = (
+            batch_df.where(F.col(self.col).isNotNull())
+            .groupBy(self.col)
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .orderBy(F.col("__c").desc(), F.col(self.col).asc())
+            .limit(self.capacity + 1)
+            .collect()
+        )
+        # batch MG summary: δ = the (capacity+1)-th largest count (0
+        # when the batch has ≤ capacity distinct keys — the exact case)
+        delta = rows[self.capacity]["__c"] if len(rows) > self.capacity else 0
+        for r in rows[: self.capacity]:
+            kept = r["__c"] - delta
+            if kept > 0:
+                k = r[self.col]
+                self.counters[k] = self.counters.get(k, 0) + kept
+        self.err += delta
+        self._truncate()
+        self._last_batch = batch_id
+
+    def _truncate(self) -> None:
+        """Re-bound the merged summary at ``capacity`` counters by
+        subtracting the (capacity+1)-th largest estimate from all and
+        dropping the non-positive — each unit of err removed is paid by
+        ≥ capacity+1 units of stream mass, which is what keeps the
+        total at err ≤ n/(capacity+1)."""
+        if len(self.counters) <= self.capacity:
+            return
+        cut = sorted(self.counters.values(), reverse=True)[self.capacity]
+        self.counters = {k: v - cut for k, v in self.counters.items() if v > cut}
+        self.err += cut
+
+    def topk(self, m: int) -> list:
+        """Top-m (item, estimate) by estimated count, ties broken by
+        item for determinism. True counts sit in
+        [estimate, estimate + self.err]."""
+        items = sorted(self.counters.items(), key=lambda kv: (-kv[1], str(kv[0])))
+        return items[:m]
+
+    def snapshot(self) -> dict:
+        """JSON-serializable full state (≤ capacity counter entries)."""
+        return {
+            "col": self.col,
+            "capacity": self.capacity,
+            "err": self.err,
+            "last_batch": self._last_batch,
+            "counters": sorted(
+                ([k, v] for k, v in self.counters.items()),
+                key=lambda kv: str(kv[0]),
+            ),
+        }
+
+    @classmethod
+    def restore(cls, state: dict) -> "StreamingTopK":
+        acc = cls(state["col"], capacity=state["capacity"])
+        acc.counters = {k: v for k, v in state["counters"]}
+        acc.err = state["err"]
+        acc._last_batch = state["last_batch"]
+        return acc
+
+
+def stream_topk(
+    stream: DataFrame,
+    col: str,
+    capacity: int = 256,
+    checkpoint: str | None = None,
+) -> tuple[StreamingTopK, "object"]:
+    """Run a stream through the Misra–Gries accumulator to completion
+    (availableNow). Returns (sketch, query)."""
+    acc = StreamingTopK(col, capacity=capacity)
+    w = stream.writeStream.foreachBatch(acc.absorb).trigger(availableNow=True)
+    if checkpoint:
+        w = w.option("checkpointLocation", checkpoint)
+    q = w.start()
+    q.processAllAvailable()
+    return acc, q
+
+
 def stream_quantile(
     stream: DataFrame,
     col: str,

@@ -791,3 +791,144 @@ def test_streaming_hll_union_equals_batch_estimate(spark):
     cont.absorb(df.where(F.col("id") % 4 == 2), 2)
     cont.absorb(df.where(F.col("id") % 4 == 3), 3)
     assert cont.estimate(spark) == acc.estimate(spark)
+
+
+def test_streaming_topk_monoid_exact_under_capacity(spark):
+    """Misra–Gries accumulator (r10): when capacity covers the key
+    space, K micro-batch folds must equal ONE batch fold — which must
+    equal the exact groupBy counts, err = 0 (the same monoid golden as
+    the CMS/HLL/DDSketch siblings)."""
+    from polars_express_spark.streaming.sketch import StreamingTopK
+
+    df = spark.range(0, 20_000).select(
+        "id", F.concat(F.lit("t"), (F.col("id") % 150)).alias("k")
+    ).localCheckpoint()
+
+    one = StreamingTopK("k", capacity=200)
+    one.absorb(df, 0)
+    parts = StreamingTopK("k", capacity=200)
+    for i in range(4):
+        parts.absorb(df.where(F.col("id") % 4 == i), i)
+    exact = {r["k"]: r["c"] for r in df.groupBy("k").agg(F.count("*").alias("c")).collect()}
+    assert one.counters == exact and one.err == 0
+    assert parts.counters == exact and parts.err == 0
+    # deterministic top-k enumeration — the thing CMS cannot do
+    assert [k for k, _ in one.topk(5)] == sorted(exact, key=lambda k: (-exact[k], k))[:5]
+
+
+def test_streaming_topk_guarantee_under_overflow(spark):
+    """Under capacity pressure on zipf-ish data the MG invariant must
+    hold: est ≤ true ≤ est + err for EVERY item, err ≤ n/(capacity+1),
+    every item with true count > err is tracked, and the top hitters
+    come back in exact-count order."""
+    from polars_express_spark.streaming.sketch import StreamingTopK
+
+    # three well-separated heavies (30%/20%/12.5% of the mass — gaps
+    # wider than the err bound, so their order IS recoverable) over a
+    # ~1500-key long tail of ~10 occurrences each
+    r = F.col("id") % 4000
+    df = spark.range(0, 40_000).select(
+        F.when(r < 1200, F.lit("h0"))
+        .when(r < 2000, F.lit("h1"))
+        .when(r < 2500, F.lit("h2"))
+        .otherwise(F.concat(F.lit("t"), r))
+        .alias("k")
+    ).localCheckpoint()
+
+    # fold in 5 disjoint hash slices so batches differ
+    acc = StreamingTopK("k", capacity=24)
+    for i in range(5):
+        acc.absorb(df.where(F.abs(F.xxhash64("k", F.lit(7))) % 5 == i), i)
+
+    exact = {r["k"]: r["c"] for r in df.groupBy("k").agg(F.count("*").alias("c")).collect()}
+    n = sum(exact.values())
+    assert len(acc.counters) <= 24
+    assert acc.err <= n // 25 + 1
+    for k, est in acc.counters.items():
+        assert est <= exact[k] <= est + acc.err, (k, est, exact[k], acc.err)
+    for k, true in exact.items():
+        if true > acc.err:
+            assert k in acc.counters, (k, true, acc.err)
+    top3_exact = sorted(exact, key=lambda k: (-exact[k], k))[:3]
+    assert [k for k, _ in acc.topk(3)] == top3_exact
+
+
+def test_streaming_topk_replay_restore_and_e2e(spark, tmp_path):
+    """Replayed batch ids are no-ops; snapshot → JSON → restore →
+    continue ≡ uninterrupted; and the file-stream e2e fold equals the
+    direct batch fold."""
+    import json
+
+    from polars_express_spark.streaming.sketch import StreamingTopK, stream_topk
+
+    df = spark.range(0, 12_000).select(
+        "id", F.concat(F.lit("r"), (F.col("id") % 900)).alias("k")
+    ).localCheckpoint()
+    b = [df.where(F.col("id") % 3 == i) for i in range(3)]
+
+    acc = StreamingTopK("k", capacity=64)
+    acc.absorb(b[0], 0)
+    once = (dict(acc.counters), acc.err)
+    acc.absorb(b[0], 0)  # restart replay → no-op
+    assert (dict(acc.counters), acc.err) == once
+    acc.absorb(b[1], 1)
+    acc.absorb(b[2], 2)
+
+    half = StreamingTopK("k", capacity=64)
+    half.absorb(b[0], 0)
+    half.absorb(b[1], 1)
+    snap = json.loads(json.dumps(half.snapshot()))
+    cont = StreamingTopK.restore(snap)
+    cont.absorb(b[1], 1)  # replay after restore → no-op
+    cont.absorb(b[2], 2)
+    assert cont.counters == acc.counters and cont.err == acc.err
+
+    # e2e: availableNow file stream ≡ one batch fold
+    src = str(tmp_path / "topk_src")
+    df.select("k").repartition(4).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    sacc, q = stream_topk(stream, "k", capacity=2048)
+    batch = StreamingTopK("k", capacity=2048)
+    batch.absorb(spark.read.parquet(src), 0)
+    assert sacc.counters == batch.counters and sacc.err == batch.err == 0
+
+
+def test_durable_topk_crash_restore(spark, tmp_path):
+    """Lake-durable twin: snapshots persist through
+    durable_foreach_batch; killing the driver at batch k, restoring
+    from the lake, then replaying batch k equals one uninterrupted run
+    (same counters, same err, same persisted snapshot)."""
+    import json
+
+    from polars_express_spark.catalog import DataLake
+    from polars_express_spark.streaming.sketch import (
+        StreamingTopK,
+        durable_foreach_batch,
+        load_state,
+    )
+
+    batches = [
+        spark.range(0, 3000).select(F.concat(F.lit("d"), (F.col("id") % 40)).alias("k")),
+        spark.range(0, 3000).select(F.concat(F.lit("d"), (F.col("id") % 11)).alias("k")),
+    ]
+
+    lake_u = DataLake(spark, str(tmp_path / "lake_u"))
+    acc_u = StreamingTopK("k", capacity=16)
+    hook_u = durable_foreach_batch(lake_u, "topk", acc_u)
+    for i, bt in enumerate(batches):
+        hook_u(bt, i)
+
+    lake_c = DataLake(spark, str(tmp_path / "lake_c"))
+    acc1 = StreamingTopK("k", capacity=16)
+    hook1 = durable_foreach_batch(lake_c, "topk", acc1)
+    hook1(batches[0], 0)
+    del acc1, hook1  # driver dies
+    state = load_state(lake_c, "topk")
+    assert state is not None and state["last_batch"] == 0
+    acc2 = StreamingTopK.restore(json.loads(json.dumps(state)))
+    hook2 = durable_foreach_batch(lake_c, "topk", acc2)
+    hook2(batches[0], 0)  # at-least-once replay → no-op
+    hook2(batches[1], 1)
+    assert acc2.counters == acc_u.counters and acc2.err == acc_u.err
+    assert load_state(lake_c, "topk") == acc_u.snapshot()
