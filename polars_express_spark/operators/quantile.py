@@ -241,3 +241,85 @@ def exact_quantile(
     return exact_quantiles(
         df, value, [q], group=group, accuracy=accuracy, result_cols=[result_col]
     )
+
+
+def rolling_quantile_binned(
+    df: DataFrame,
+    value: str,
+    q: float,
+    partition: list[str],
+    order: list[str],
+    preceding: int,
+    alpha: float = 0.05,
+    result_col: str = "rq",
+) -> DataFrame:
+    """(input columns..., <result_col>_bin, <result_col>) — rolling
+    q-quantile over a WIDE ``ROWS BETWEEN preceding PRECEDING AND
+    CURRENT ROW`` frame with per-row window state bounded by the BIN
+    count, not the frame width.
+
+    The exact rolling median (queries/windows.py q_rolling_median)
+    buffers and sorts the whole frame per row — fine at 7 rows, an
+    executor-memory trap at thousands. This is the declared scale path:
+    values are log-binned at relative resolution α (bin i covers
+    (γ^(i−1), γ^i], γ = (1+α)/(1−α) — the DDSketch scheme shared with
+    streaming/sketch.StreamingQuantile), and the windowed aggregate is
+    Spark's Percentile over the SMALL INTEGER bin indices. Percentile's
+    buffer is a value→count map of the frame, so binning caps it at the
+    number of distinct bins the frame spans (a few hundred for any
+    physical dynamic range) however wide the frame grows — while
+    collect_list's buffer is the frame itself.
+
+    ``<result_col>_bin`` is the bin-space rolling quantile (fractional
+    between adjacent occupied bins, exactly Spark's / DuckDB's
+    interpolation — for dyadic q over integer bins the doubles are
+    bit-equal across engines, which is what the correctness hash
+    pins). ``<result_col>`` maps it back to a value, 2γ^b/(γ+1):
+    within α of the true rolling quantile whenever the target rank
+    lands on a data point (odd-count frames at q=0.5); between the two
+    adjacent bins' representatives (a geometric interpolation)
+    otherwise.
+
+    Positive values only (log bins): a non-positive or NULL value
+    raises via the same arithmetically-entangled guard the exact
+    operator uses (pruning-proof). NULL handling is therefore STRICTER
+    than percentile's skip-NULLs — a rolling statistic that silently
+    skipped rows would misalign frames with the caller's intent.
+    """
+    import math
+
+    if not 0.0 <= q <= 1.0:
+        raise ValueError(f"q must be in [0, 1], got {q}")
+    if not 0.0 < alpha < 1.0:
+        raise ValueError(f"alpha must be in (0, 1), got {alpha}")
+    from pyspark.sql import Window
+
+    gamma = (1.0 + alpha) / (1.0 - alpha)
+    lg = math.log(gamma)
+    c = F.col(value).cast("double")
+    # the guard sits INSIDE the log argument: a separate additive guard
+    # term would be skipped by Add's null short-circuit (log(NULL) nulls
+    # the left operand before the guard ever evaluates), silently
+    # turning bad rows into percentile-skipped NULL bins
+    guarded = F.when(c > 0, c).otherwise(
+        F.expr(
+            "raise_error('rolling_quantile_binned: value must be"
+            " strictly positive (log bins)')"
+        ).cast("double")
+    )
+    binned = df.withColumn(
+        "__bin", F.ceil(F.log(guarded) / F.lit(lg)).cast("bigint")
+    )
+    w = (
+        Window.partitionBy(*partition)
+        .orderBy(*order)
+        .rowsBetween(-preceding, Window.currentRow)
+    )
+    # pin the window expression in ONE intermediate select (the
+    # q_rolling_median lesson: per-reference re-extraction otherwise)
+    pinned = binned.withColumn(
+        f"{result_col}_bin", F.percentile("__bin", F.lit(float(q))).over(w)
+    ).drop("__bin")
+    b = F.col(f"{result_col}_bin")
+    est = F.lit(2.0) * F.pow(F.lit(gamma), b) / F.lit(gamma + 1.0)
+    return pinned.withColumn(result_col, est)

@@ -62,11 +62,13 @@ def query(name: str, oracle: str | None = None):
 #                 q_percentile_approx (both ride the fused
 #                 exact_quantiles refine), q_weighted_median (crossing-
 #                 bucket prune), and the six de-hinted TPC-H queries;
-#   slots 39-50 — oldest r7-hash backfill (unchanged code): the
+#   slot 39     — q_rolling_p50_wide, NEW this round (wide-frame
+#                 rolling quantile over log bins — never checked);
+#   slots 40-50 — oldest r7-hash backfill (unchanged code): the
 #                 windows/rollup variants (q10b/q18c/q20b/q21b/q22c),
-#                 q23b pair, q32b, attribution, bigram LM, BPE
-#                 pairs/encode.
-# Tier "next" (r11) = q_bpe_train + the remaining 36 r7-hash queries
+#                 q23b pair, q32b, attribution, bigram LM, BPE pairs.
+# Tier "next" (r11) = q_bpe_train + q_bpe_encode + the remaining 36
+# r7-hash queries
 # (q_classifier_score, q_data_contract, q_fk_audit, funnel family,
 # gapfill, group_sample, grouped_topk, hierarchy, histogram, hll_union,
 # incr_agg, interpolate, interval_overlap, lang_centroid, lm_score,
@@ -90,11 +92,13 @@ _PRIORITY = [
     "q_winsorize", "q_percentile_approx", "q_weighted_median",
     "q_tpch_q5", "q_tpch_q7", "q_tpch_q8", "q_tpch_q15", "q_tpch_q17",
     "q_tpch_q19",
-    # slots 39-50 — oldest r7-hash refresh (unchanged code)
+    # slot 39 — new this round, never checked
+    "q_rolling_p50_wide",
+    # slots 40-50 — oldest r7-hash refresh (unchanged code)
     "q10b_grouped_median", "q18c_window_dist", "q20b_share_of_total",
     "q21b_range_frame", "q22c_grouping_sets", "q23b_except_all",
     "q23b_intersect_all", "q32b_tumbling_distinct", "q_attribution",
-    "q_bigram_lm", "q_bpe_encode", "q_bpe_pairs",
+    "q_bigram_lm", "q_bpe_pairs",
 ]
 
 

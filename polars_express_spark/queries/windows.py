@@ -156,6 +156,52 @@ def q_rolling_median(spark, sf_dir):
 
 
 @query(
+    "q_rolling_p50_wide",
+    oracle="""
+    WITH b AS (
+      SELECT user_id, ts, event_id,
+             CAST(ceil(ln(value) / 0.10008345855698263) AS BIGINT) AS bin
+      FROM events WHERE value > 0
+    )
+    SELECT event_id, user_id,
+           quantile_cont(bin, 0.5) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 29 PRECEDING AND CURRENT ROW
+           ) AS rq_bin
+    FROM b
+    """,
+)
+def q_rolling_p50_wide(spark, sf_dir):
+    """Rolling median over a WIDE 30-row frame (§2.5, r10) — the scale
+    path q_rolling_median's docstring declares: per-row window state is
+    the log-BIN histogram of the frame (operators/quantile.py
+    rolling_quantile_binned, α = 0.05), not the frame itself, so the
+    same plan holds at frames of thousands where collect_list+sort
+    would buffer and sort every frame per row. The hash pins the
+    bin-space rolling quantile (integer bins, dyadic q → both engines'
+    interpolation trees produce bit-equal doubles); the value-space
+    estimate's α accuracy is property-tested in tests/test_quantile.py,
+    not hashed (γ^b re-materialization is libm-dependent in the last
+    ulp)."""
+    from polars_express_spark.operators.quantile import rolling_quantile_binned
+
+    # frames run over the POSITIVE subsequence (the operator's log-bin
+    # domain contract — a zero/negative reading raises rather than
+    # silently shifting the frames, so the caller filters explicitly)
+    e = load_table(spark, sf_dir, "events").where(F.col("value") > 0)
+    r = rolling_quantile_binned(
+        e,
+        "value",
+        0.5,
+        partition=["user_id"],
+        order=["ts", "event_id"],
+        preceding=29,
+        alpha=0.05,
+    )
+    return r.select("event_id", "user_id", "rq_bin")
+
+
+@query(
     "q_session_window",
     oracle=f"""
     WITH flagged AS (

@@ -310,3 +310,79 @@ def test_multi_validation(spark):
         exact_quantiles(df, "v", [0.5, 1.5])
     with pytest.raises(ValueError):
         exact_quantiles(df, "v", [0.5], result_cols=["a", "b"])
+
+
+# --- rolling_quantile_binned (wide-frame rolling quantile) -----------------
+
+
+def test_rolling_binned_accuracy_at_integral_ranks(spark):
+    """Where the target rank lands on a data point (odd frame counts at
+    q=0.5), the value-space estimate must sit within alpha of the EXACT
+    rolling median; everywhere it must sit between the adjacent bins'
+    representatives (gamma-ratio envelope of the exact value)."""
+    from pyspark.sql import Window as W
+
+    from polars_express_spark.operators.quantile import rolling_quantile_binned
+
+    df = spark.range(0, 4_000).select(
+        (F.col("id") % 8).alias("g"),
+        F.col("id").alias("i"),
+        (F.exp((F.col("id") * 37 % 613).cast("double") / F.lit(100.0))).alias("v"),
+    ).localCheckpoint()
+    alpha = 0.05
+    got = rolling_quantile_binned(
+        df, "v", 0.5, partition=["g"], order=["i"], preceding=30, alpha=alpha
+    ).collect()
+    w = W.partitionBy("g").orderBy("i").rowsBetween(-30, W.currentRow)
+    frames = {
+        r["i"]: sorted(r["fr"])
+        for r in df.select("i", F.collect_list("v").over(w).alias("fr")).collect()
+    }
+    checked_odd = 0
+    for r in got:
+        fr = frames[r["i"]]
+        n = len(fr)
+        v_lo = fr[(n - 1) // 2]  # lower/higher middle order statistics
+        v_hi = fr[n // 2]
+        if n % 2 == 1:
+            assert abs(r["rq"] - v_lo) <= alpha * v_lo + 1e-12, (r["i"], r["rq"], v_lo)
+            checked_odd += 1
+        # envelope: between the adjacent order statistics, each
+        # stretched by its bin's alpha slack (the documented guarantee
+        # for fractional ranks — NOT within alpha of the value-space
+        # interpolation, which can sit anywhere in (v_lo, v_hi))
+        assert v_lo * (1 - alpha) - 1e-12 <= r["rq"] <= v_hi * (1 + alpha) + 1e-12
+    assert checked_odd > 1000  # the alpha claim was actually exercised
+
+
+def test_rolling_binned_rejects_nonpositive(spark):
+    from polars_express_spark.operators.quantile import rolling_quantile_binned
+
+    df = spark.createDataFrame(
+        [("a", 1, 2.0), ("a", 2, 0.0)], "g string, i int, v double"
+    )
+    with pytest.raises(Exception, match="strictly positive"):
+        rolling_quantile_binned(
+            df, "v", 0.5, partition=["g"], order=["i"], preceding=5
+        ).collect()
+
+
+def test_rolling_binned_plan_buffers_bins_not_frame(spark):
+    """Scale shape: the window aggregate is percentile over the INT bin
+    column (frame buffer = distinct-bin map), with NO collect_list /
+    sort_array anywhere — the wide-frame trap this operator exists to
+    avoid is buffering the frame itself."""
+    from polars_express_spark.operators.quantile import rolling_quantile_binned
+
+    df = spark.range(0, 1000).select(
+        (F.col("id") % 3).alias("g"),
+        F.col("id").alias("i"),
+        (F.col("id") % 97 + 1).cast("double").alias("v"),
+    )
+    out = rolling_quantile_binned(
+        df, "v", 0.5, partition=["g"], order=["i"], preceding=200
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "percentile(__bin" in plan
+    assert "collect_list" not in plan and "sort_array" not in plan
+    assert "raise_error" in plan  # positive-domain guard not pruned
