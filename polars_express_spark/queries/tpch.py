@@ -19,6 +19,18 @@ for a DISTINCT Catalyst pattern:
 - Q18 — HAVING-filtered semi-join spine (big orders) re-joined to the
         facts.
 
+The r9 second wave added Q7/Q8/Q15/Q17/Q19/Q22 (see each docstring);
+the r10 third wave completes the expressible set:
+
+- Q6  — pure scan-predicate-aggregate (pushdown showcase, no join);
+- Q4  — correlated EXISTS decorrelated to a LEFT SEMI join with a
+        cross-table non-equi residual riding the equi key;
+- Q12 — fact-fact join with non-equi residual + conditional pivot
+        aggregate (CASE inside SUM);
+- Q14 — conditional-ratio aggregate over one keyed join;
+- Q21 — EXISTS + NOT EXISTS on the same fact, rewritten to per-order
+        window aggregates (one scan, one shuffle, no self-join).
+
 Dates/filters are adapted to the driver testdata's value ranges
 (TESTDATA.md; probed ranges: o_orderdate 1995-2001, regions AFRICA…,
 brands Brand#N). Revenue sums ride the exact decimal/split-long
@@ -27,7 +39,7 @@ contracts of _util so the 6-dp driver hash is partition-order-free.
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
+from pyspark.sql import Window, functions as F
 
 from polars_express_spark.catalog import load_table
 from polars_express_spark.queries._util import dsum, sql_dsum
@@ -661,4 +673,265 @@ def q_tpch_q22(spark, sf_dir):
         .groupBy("n_name")
         .agg(F.count(F.lit(1)).alias("n_custs"), dsum(F.col("c_acctbal"), "total_bal"))
         .orderBy("n_name")
+    )
+
+
+@query(
+    "q_tpch_q6",
+    oracle=f"""
+    SELECT {sql_dsum("l_extendedprice * l_discount", "revenue")}
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q_tpch_q6(spark, sf_dir):
+    """TPC-H Q6 (forecasting revenue change, r10): the pure
+    scan-predicate-aggregate shape — no join at all. The point is
+    pushdown: all three predicates must reach the parquet scan
+    (PushedFilters) and the projection must prune to the three read
+    columns, so at 100 TB the query is one embarrassingly parallel
+    scan + a constant-state partial→final sum. Revenue rides the exact
+    decimal contract (the one double product is bit-identical on both
+    engines; the SUM order-free)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(dsum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"))
+    )
+
+
+@query(
+    "q_tpch_q4",
+    oracle="""
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey
+          AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+      )
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def q_tpch_q4(spark, sf_dir):
+    """TPC-H Q4 (order priority checking, r10), adapted to the driver
+    schema: the testdata has no l_commitdate/l_receiptdate
+    (TESTDATA.md), so "late" is l_shipdate > o_orderdate + 90 days —
+    the same correlated-EXISTS shape, decorrelated into a LEFT SEMI
+    join whose condition carries the orderkey equi-key PLUS the
+    non-equi date residual. At 100 TB the semi join shuffles both
+    sides on orderkey (high-cardinality, uniform — no skew), dedups on
+    the build side, and the count is a 5-group partial→final
+    aggregate. Counts are integral-exact."""
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .where(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (F.col("o_orderkey") == F.col("l_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "q_tpch_q12",
+    oracle="""
+    SELECT l_linestatus,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+    GROUP BY l_linestatus ORDER BY l_linestatus
+    """,
+)
+def q_tpch_q12(spark, sf_dir):
+    """TPC-H Q12 (shipping modes / critical priority, r10), adapted to
+    the driver schema: no l_shipmode/l_commitdate/l_receiptdate
+    (TESTDATA.md), so the grouping rides l_linestatus and "slow
+    shipping" is shipdate > orderdate + 30 days. The shape is the
+    point: a fact-fact join with a CROSS-TABLE non-equi residual
+    (l_shipdate vs o_orderdate — evaluable only inside the join), then
+    a conditional PIVOT aggregate (CASE inside SUM splitting one pass
+    into two counters — no second scan, no second join). The shipdate
+    window prunes the lineitem side at the scan. Counts are
+    integral-exact."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .select("l_orderkey", "l_shipdate", "l_linestatus")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    j = li.join(
+        o,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")),
+    )
+    return (
+        j.groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@query(
+    "q_tpch_q14",
+    oracle=f"""
+    WITH j AS (
+      SELECT p_type, l_extendedprice * (1 - l_discount) AS rev
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+        AND l_shipdate <  TIMESTAMP '1997-10-01'
+    ), s AS (
+      SELECT {sql_dsum("CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END", "promo")},
+             {sql_dsum("rev", "total")}
+      FROM j
+    )
+    SELECT 100.0 * promo / total AS promo_revenue FROM s
+    """,
+)
+def q_tpch_q14(spark, sf_dir):
+    """TPC-H Q14 (promotion effect, r10): the conditional-RATIO
+    aggregate — promo revenue share of one month's shipments. One
+    lineitem⋈part join (part is SF-proportional: NO broadcast hint,
+    the size threshold decides locally and AQE stays free to shuffle
+    at scale — the r9-verdict lesson), one pass computing both the
+    CASE-gated numerator and the denominator, one double division.
+    Both sums ride the exact decimal contract, so the final
+    100·promo/total is a division of two bit-identical doubles —
+    deterministic on both engines."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
+        )
+        .select(
+            "l_partkey",
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+        )
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    j = li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+    s = j.agg(
+        dsum(F.when(F.col("p_type") == "PROMO", F.col("rev")).otherwise(0.0), "promo"),
+        dsum(F.col("rev"), "total"),
+    )
+    return s.select(
+        (F.lit(100.0) * F.col("promo") / F.col("total")).alias("promo_revenue")
+    )
+
+
+@query(
+    "q_tpch_q21",
+    oracle="""
+    WITH l AS (
+      SELECT l_orderkey, l_suppkey,
+             (l_shipdate > o_orderdate + INTERVAL 365 DAY) AS late
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderstatus = 'F'
+    ), a AS (
+      SELECT l_orderkey,
+             count(DISTINCT l_suppkey) AS ns,
+             count(DISTINCT CASE WHEN late THEN l_suppkey END) AS nl
+      FROM l GROUP BY l_orderkey
+    )
+    SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM l JOIN a USING (l_orderkey) JOIN supplier ON l_suppkey = s_suppkey
+    WHERE l.late AND a.ns > 1 AND a.nl = 1
+    GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20
+    """,
+)
+def q_tpch_q21(spark, sf_dir):
+    """TPC-H Q21 (suppliers who kept orders waiting, r10), adapted to
+    the driver schema: "late" is l_shipdate > o_orderdate + 365 days
+    (no commit/receipt dates in the testdata). The classic form is the
+    hardest TPC-H shape — an EXISTS (another supplier touched the
+    order) AND a NOT EXISTS (no OTHER supplier was late) correlated on
+    the same fact. The Spark-first rewrite replaces BOTH self-joins
+    with per-order WINDOW aggregates over the one lineitem⋈orders
+    frame: ns = size(collect_set(suppkey)), nl = size(collect_set(
+    suppkey WHEN late)) over PARTITION BY l_orderkey; then
+    exists-another ⟺ ns > 1 and no-other-late ⟺ nl = 1 (the candidate
+    line is itself late, so its supplier is the one late supplier).
+    That makes the whole correlation ONE scan of each fact and ONE
+    hash exchange on l_orderkey — no groupBy+rejoin (which re-scans
+    the frame: Catalyst does not dedupe common subplans), no SMJ, no
+    countDistinct Expand. The collect_set state is bounded by
+    suppliers-per-order (≤7 lines in TPC-H), so the window buffers
+    O(1) per row at any SF. supplier is SF-proportional: no broadcast
+    hint (threshold picks BHJ locally; AQE stays free at scale).
+    LIMIT rides a total order (numwait DESC, unique s_name). Counts
+    are integral-exact."""
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    l = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 365 DAYS")
+        ).alias("late"),
+    )
+    w = Window.partitionBy("l_orderkey")
+    cand = (
+        l.select(
+            "l_orderkey",
+            "l_suppkey",
+            "late",
+            F.size(F.collect_set("l_suppkey").over(w)).alias("ns"),
+            F.size(
+                F.collect_set(
+                    F.when(F.col("late"), F.col("l_suppkey"))
+                ).over(w)
+            ).alias("nl"),
+        )
+        .where(F.col("late") & (F.col("ns") > 1) & (F.col("nl") == 1))
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        cand.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
     )

@@ -513,6 +513,55 @@ def test_tpch_q15_max_attaches_by_broadcast(spark):
     assert "SortMergeJoin" not in p, p
 
 
+def test_tpch_q6_pure_scan_aggregate(spark):
+    """Q6 is the pushdown showcase: no join at all, all three
+    predicates (shipdate window, discount band, quantity cap) reach
+    the parquet reader, and the projection prunes to the 4 touched
+    columns — at 100 TB this must be one embarrassingly parallel scan
+    with constant aggregate state."""
+    p = plan_of("q_tpch_q6", spark)
+    assert "Join" not in p, p
+    pushed = [seg.split("\n")[0] for seg in p.split("PushedFilters:")[1:]]
+    joined = " ".join(pushed)
+    assert "l_shipdate" in joined and "l_discount" in joined, pushed
+    assert "l_quantity" in joined, pushed
+    read_schema = p.split("ReadSchema:")[1].split("\n")[0]
+    assert "l_comment" not in read_schema and "l_orderkey" not in read_schema
+
+
+def test_tpch_pack3_join_shapes(spark):
+    """r10 TPC-H third wave. Q4's EXISTS must decorrelate to a LEFT
+    SEMI hash join (the non-equi date residual rides the orderkey
+    equi-key — never a nested loop); Q12/Q14 are keyed joins with the
+    shipdate window pushed to the lineitem scan; none may plan a
+    CartesianProduct or BNLJ."""
+    for name in ("q_tpch_q4", "q_tpch_q12", "q_tpch_q14"):
+        p = plan_of(name, spark)
+        assert "CartesianProduct" not in p, name
+        assert "BroadcastNestedLoop" not in p, name
+    p4 = plan_of("q_tpch_q4", spark)
+    assert "LeftSemi" in p4, p4
+    for name in ("q_tpch_q12", "q_tpch_q14"):
+        p = plan_of(name, spark)
+        pushed = [seg.split("\n")[0] for seg in p.split("PushedFilters:")[1:]]
+        assert any("l_shipdate" in s for s in pushed), (name, pushed)
+
+
+def test_tpch_q21_single_pass_window(spark):
+    """Q21's EXISTS/NOT-EXISTS correlation must be ONE pass: exactly
+    one lineitem scan (a groupBy+rejoin formulation re-scans the
+    lineitem⋈orders frame — Catalyst does not dedupe common subplans),
+    one Window node carrying both per-order supplier sets, no
+    SortMergeJoin, and no countDistinct Expand."""
+    p = plan_of("q_tpch_q21", spark)
+    assert p.count("lineitem.parquet") == 1, p.count("lineitem.parquet")
+    tree = p.split("\n\n")[0]
+    assert tree.count("Window") == 1, tree
+    assert "SortMergeJoin" not in tree, tree
+    assert "Expand" not in tree, tree
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p, p
+
+
 # Queries whose plans legitimately contain BroadcastNestedLoopJoin
 # nodes: every one is a broadcast attach of a BOUNDED (1-row aggregate /
 # kilobyte sketch / bitmap / threshold) frame to a data stream — O(n)
