@@ -8,9 +8,10 @@ so the cross-engine hash has no FP surface at all.
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
+from pyspark.sql import Window, functions as F
 
 from polars_express_spark.catalog import load_table
+from polars_express_spark.queries._memo import FRAMES
 from polars_express_spark.queries.registry import query
 
 _FUNNEL = ("view", "click", "purchase")
@@ -1007,4 +1008,205 @@ def q_control_chart(spark, sf_dir):
             .cast("bigint").alias("n_below_lcl"),
         )
         .select("n_days", "mu", "sigma", "n_above_ucl", "n_below_lcl")
+    )
+
+
+@query(
+    "q_bm25_rank",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, t.token AS t FROM documents,
+             unnest(string_split_regex(text, '\\s+')) t(token)
+      WHERE t.token <> ''
+    ),
+    tf AS (
+      SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf
+      FROM toks GROUP BY doc_id, t
+    ),
+    dl AS (
+      SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id
+    ),
+    dfreq AS (SELECT t, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY t),
+    chosen AS (
+      SELECT t, df FROM (
+        SELECT t, df, row_number() OVER (ORDER BY df DESC, t ASC) AS rn
+        FROM dfreq
+      ) WHERE rn IN (5, 8)
+    ),
+    stats AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+             CAST(sum(dl) AS DOUBLE) AS sum_dl
+      FROM dl
+    )
+    SELECT tf.doc_id,
+           sum(
+             ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+             * (tf * 2.2)
+             / (tf + 1.2 * (0.25 + 0.75 * dl / (sum_dl / n_docs)))
+           ) AS bm25
+    FROM tf JOIN chosen USING (t) JOIN dl USING (doc_id), stats
+    GROUP BY tf.doc_id ORDER BY doc_id
+    """,
+)
+def q_bm25_rank(spark, sf_dir):
+    """BM25 ranked retrieval (§2.10 text family) — the standard ranked
+    companion to q_text_search's boolean AND: score every document
+    holding either of two query terms (the corpus's 5th and 8th
+    most-document-frequent tokens, data-derived so the query is
+    self-contained) with Okapi BM25 (k1=1.2, b=0.75, Lucene's
+    always-positive ln(1 + (N-df+.5)/(df+.5)) idf).
+
+    Spark-first shape: ONE token explode feeds the (doc,term) tf
+    aggregate, which is MATERIALIZED once (FRAMES memo — the local
+    stand-in for the persisted inverted-index table of the 100 TB
+    design) and read by all four consumers (dl, df, stats, postings) —
+    without it Catalyst re-derives the corpus explode per consumer;
+    the 2-row query-term frame broadcasts into the postings; the 1-row
+    (N, sum_dl) stats frame is the accepted scalar cross-attach; the
+    per-doc score sum has ≤2 addends (one per query term), so the
+    float sum is a single commutative add — partition-order-free
+    without a decimal detour. The global df ranking window sorts the
+    VOCABULARY frame, not the corpus. Returns all matched docs ordered
+    by doc_id (a production top-k would fuse to TakeOrderedAndProject;
+    emitting the full posting union keeps the oracle free of
+    FP-boundary LIMIT risk)."""
+
+    def build_tf():
+        d = load_table(spark, sf_dir, "documents")
+        toks = (
+            d.select("doc_id", F.explode(F.split("text", r"\s+")).alias("t"))
+            .where(F.col("t") != "")
+        )
+        return toks.groupBy("doc_id", "t").agg(
+            F.count(F.lit(1)).cast("bigint").alias("tf")
+        )
+
+    tf = FRAMES.get(spark, ("bm25_tf", sf_dir), build_tf, persist="checkpoint")
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("bigint").alias("dl"))
+    dfreq = tf.groupBy("t").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    chosen = (
+        dfreq.withColumn(
+            "rn",
+            F.row_number().over(Window.orderBy(F.col("df").desc(), F.col("t").asc())),
+        )
+        .where(F.col("rn").isin(5, 8))
+        .select("t", "df")
+    )
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.sum("dl").cast("double").alias("sum_dl"),
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    norm = F.col("tf") + F.lit(1.2) * (
+        F.lit(0.25) + F.lit(0.75) * F.col("dl") / (F.col("sum_dl") / F.col("n_docs"))
+    )
+    return (
+        tf.join(F.broadcast(chosen), "t")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(idf * (F.col("tf") * F.lit(2.2)) / norm).alias("bm25"))
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "q_dup_spans",
+    oracle="""
+    WITH arrs AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS arr
+      FROM documents
+    ),
+    shl AS (
+      SELECT doc_id,
+             [array_to_string(arr[i:i+4], ' ') for i in range(1, len(arr) - 3)]
+               AS sl
+      FROM arrs WHERE len(arr) >= 5
+    ),
+    sh AS (
+      SELECT doc_id, unnest(sl) AS sh,
+             CAST(generate_subscripts(sl, 1) AS BIGINT) AS pos
+      FROM shl
+    ),
+    dup AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) >= 2),
+    marked AS (
+      SELECT doc_id, pos,
+             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      FROM sh WHERE sh IN (SELECT sh FROM dup)
+    ),
+    runs AS (
+      SELECT doc_id, grp, CAST(count(*) AS BIGINT) AS run_len
+      FROM marked GROUP BY doc_id, grp
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_runs,
+           CAST(max(run_len) + 4 AS BIGINT) AS max_span_words,
+           CAST(sum(run_len) AS BIGINT) AS n_dup_shingles
+    FROM runs GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q_dup_spans(spark, sf_dir):
+    """Duplicated-substring span detection (§2.10 dedup family) — the
+    span-level companion to the doc-level minhash/simhash near-dup
+    suite: find, per document, the maximal runs of consecutive word
+    5-grams that occur at least twice anywhere in the corpus (the
+    exact-substring-duplication signal used to scrub memorizable
+    repeated text from LLM training data; within-doc repeats count,
+    matching the "appears more than once in the corpus" definition).
+
+    Spark-first shape: shingling is pure JVM rowgen — filter(split) +
+    transform(sequence) + slice + posexplode, no UDF; "duplicated" is
+    one shingle-keyed partial→final count (never an all-pairs
+    comparison); the runs are gaps-and-islands — pos minus
+    row_number() over (doc, pos) constant within each consecutive run
+    — one window over the doc-partitioned MARKED subset (only
+    duplicated positions shuffle; at 100 TB that is the duplication
+    volume, not the corpus). Every output is an integer count, so the
+    hash has no FP surface. A production pass would hash shingles to
+    xxhash64 before the count; the registered form groups the raw
+    5-gram string so the oracle compares the identical key."""
+    d = load_table(spark, sf_dir, "documents")
+    arrs = d.select(
+        "doc_id",
+        F.expr(r"filter(split(text, '\\s+'), x -> x <> '')").alias("arr"),
+    ).where(F.size("arr") >= 5)
+    sh = arrs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(arr) - 4),"
+                " i -> struct(cast(i as bigint) as pos,"
+                " concat_ws(' ', slice(arr, i, 5)) as sh))"
+            )
+        ).alias("e"),
+    ).select("doc_id", F.col("e.pos").alias("pos"), F.col("e.sh").alias("sh"))
+    dup = (
+        sh.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= 2)
+        .select("sh")
+    )
+    marked = sh.join(dup, "sh", "left_semi").select(
+        "doc_id",
+        "pos",
+        (
+            F.col("pos")
+            - F.row_number().over(Window.partitionBy("doc_id").orderBy("pos"))
+        ).alias("grp"),
+    )
+    runs = marked.groupBy("doc_id", "grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("run_len")
+    )
+    return (
+        runs.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_runs"),
+            (F.max("run_len") + F.lit(4)).cast("bigint").alias("max_span_words"),
+            F.sum("run_len").cast("bigint").alias("n_dup_shingles"),
+        )
+        .orderBy("doc_id")
     )

@@ -547,6 +547,32 @@ def test_tpch_pack3_join_shapes(spark):
         assert any("l_shipdate" in s for s in pushed), (name, pushed)
 
 
+def test_bm25_posting_join_no_python(spark):
+    """q_bm25_rank must stay JVM-side end to end (no Arrow/Python eval
+    nodes), attach the 2-row query-term frame by BroadcastHashJoin, and
+    carry exactly ONE BroadcastNestedLoopJoin — the declared 1-row
+    (N, sum_dl) scalar stats attach."""
+    p = plan_of("q_bm25_rank", spark)
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+    tree = p.split("\n\n")[0]
+    assert "BroadcastHashJoin" in tree, tree
+    assert tree.count("BroadcastNestedLoopJoin") == 1, tree
+    assert "CartesianProduct" not in tree, tree
+
+
+def test_dup_spans_no_all_pairs(spark):
+    """q_dup_spans' duplicate detection must be a shingle-keyed
+    aggregate + semi-join — never an all-pairs comparison (no
+    cartesian/BNLJ) — with the islands window as the only doc-keyed
+    sort, and pure JVM rowgen (no Python eval) for the shingling."""
+    p = plan_of("q_dup_spans", spark)
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+    tree = p.split("\n\n")[0]
+    assert "CartesianProduct" not in tree and "BroadcastNestedLoop" not in tree, tree
+    assert "LeftSemi" in tree, tree
+    assert tree.count("Window") == 1, tree
+
+
 def test_tpch_q21_single_pass_window(spark):
     """Q21's EXISTS/NOT-EXISTS correlation must be ONE pass: exactly
     one lineitem scan (a groupBy+rejoin formulation re-scans the
@@ -573,6 +599,7 @@ _BNLJ_ALLOWED = {
     "q16_cross_join",       # declared tiny-dim cross join (5 × 25 rows)
     "q31_nulls",            # null-count scalar attaches
     "q_bloom_prune",        # 1-row bitmap frame attach
+    "q_bm25_rank",          # 1-row (N, sum_dl) stats attach
     "q_chi2",               # grand-total attach
     "q_control_chart",      # global mean/stddev attach
     "q_domain_mix",         # per-corpus totals attach
