@@ -1210,3 +1210,98 @@ def q_dup_spans(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "q_perplexity",
+    oracle="""
+    WITH arrs AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS l
+      FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, l[s.i] AS w1, l[s.i + 1] AS w2
+      FROM arrs, unnest(generate_series(1, len(l) - 1)) s(i)
+      WHERE len(l) >= 2
+    ),
+    pc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c FROM bg GROUP BY w1, w2),
+    uc AS (SELECT w1, CAST(sum(c) AS BIGINT) AS n FROM pc GROUP BY w1),
+    voc AS (
+      SELECT CAST(count(DISTINCT t.token) AS BIGINT) AS v FROM documents,
+             unnest(string_split_regex(text, '\\s+')) t(token)
+      WHERE t.token <> ''
+    ),
+    scored AS (
+      SELECT bg.doc_id,
+             CAST(round(-ln((c + 1) / CAST(n + v AS DOUBLE)), 8)
+                  AS DECIMAL(38,12)) AS nll
+      FROM bg JOIN pc USING (w1, w2) JOIN uc USING (w1), voc
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           exp(CAST(sum(nll) AS DOUBLE) / count(*)) AS ppl
+    FROM scored GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q_perplexity(spark, sf_dir):
+    """Per-document bigram-LM perplexity (§2.10 quality family) — the
+    classic perplexity-filtering signal (CCNet/Gopher-style): train a
+    Laplace-smoothed bigram model on the corpus, score every document
+    by exp(mean negative log-prob of its bigrams). High-ppl documents
+    are the incoherent/boilerplate tail a curation pipeline drops.
+
+    Spark-first shape: the per-doc bigram frame is JVM rowgen
+    (transform(sequence)+element_at, no UDF) and MATERIALIZED once
+    (FRAMES memo) — it is both the LM training input and the scoring
+    input; the LM is two token-keyed aggregates (pair counts, unigram
+    totals — vocabulary-sized, shuffle-joined back without a binding
+    hint so AQE stays free at scale); the vocab size is the accepted
+    1-row scalar attach. Float determinism: every ln input is a ratio
+    of exact integers, each -ln(p) rounds to 8 dp and sums as
+    decimal(38,12) — associative, partition-order-free — and only the
+    final mean/exp are double ops on that exact sum. At 100 TB the
+    LM tables are the only shuffles beyond the doc-keyed score
+    aggregate; nothing is all-pairs."""
+
+    def build_bg():
+        d = load_table(spark, sf_dir, "documents")
+        arrs = d.select(
+            "doc_id",
+            F.expr(r"filter(split(text, '\\s+'), x -> x <> '')").alias("arr"),
+        ).where(F.size("arr") >= 2)
+        return arrs.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(arr) - 1),"
+                    " i -> struct(element_at(arr, i) as w1,"
+                    " element_at(arr, i + 1) as w2))"
+                )
+            ).alias("e"),
+        ).select("doc_id", "e.w1", "e.w2")
+
+    bg = FRAMES.get(spark, ("bigrams_doc", sf_dir), build_bg, persist="checkpoint")
+    pc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    uc = pc.groupBy("w1").agg(F.sum("c").cast("bigint").alias("n"))
+    d = load_table(spark, sf_dir, "documents")
+    voc = (
+        d.select(F.explode(F.split("text", r"\s+")).alias("t"))
+        .where(F.col("t") != "")
+        .agg(F.countDistinct("t").cast("bigint").alias("v"))
+    )
+    nll = F.round(
+        -F.log((F.col("c") + 1) / (F.col("n") + F.col("v")).cast("double")), 8
+    ).cast("decimal(38,12)")
+    return (
+        bg.join(pc, ["w1", "w2"])
+        .join(uc, "w1")
+        .crossJoin(F.broadcast(voc))
+        .select("doc_id", nll.alias("nll"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.exp(F.sum("nll").cast("double") / F.count(F.lit(1))).alias("ppl"),
+        )
+        .orderBy("doc_id")
+    )

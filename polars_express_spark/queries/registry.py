@@ -67,13 +67,15 @@ def query(name: str, oracle: str | None = None):
 #   slots 40-44 — the r10 TPC-H third wave (q_tpch_q6/q4/q12/q14/q21),
 #                 NEW this round — never checked; new code outranks
 #                 refreshing unchanged r7-hash queries;
-#   slots 45-46 — q_bm25_rank + q_dup_spans (ranked retrieval and
-#                 duplicated-substring spans), NEW this round;
-#   slots 47-50 — oldest r7-hash backfill (unchanged code): the
-#                 windows/rollup variants q10b/q18c/q20b/q21b.
+#   slots 45-47 — q_bm25_rank + q_dup_spans + q_perplexity (ranked
+#                 retrieval, duplicated-substring spans, bigram-LM
+#                 perplexity scoring), NEW this round;
+#   slots 48-50 — oldest r7-hash backfill (unchanged code): the
+#                 windows/rollup variants q10b/q18c/q20b.
 # Tier "next" (r11) = the r7-hash queries displaced by the new-query
-# waves (q22c_grouping_sets, q23b_except_all, q23b_intersect_all,
-# q32b_tumbling_distinct, q_attribution, q_bigram_lm, q_bpe_pairs) +
+# waves (q21b_range_frame, q22c_grouping_sets, q23b_except_all,
+# q23b_intersect_all, q32b_tumbling_distinct, q_attribution,
+# q_bigram_lm, q_bpe_pairs) +
 # q_bpe_train + q_bpe_encode + the remaining 36 r7-hash queries
 # (q_classifier_score, q_data_contract, q_fk_audit, funnel family,
 # gapfill, group_sample, grouped_topk, hierarchy, histogram, hll_union,
@@ -102,11 +104,10 @@ _PRIORITY = [
     "q_rolling_p50_wide",
     # slots 40-44 — r10 TPC-H third wave, new this round, never checked
     "q_tpch_q6", "q_tpch_q4", "q_tpch_q12", "q_tpch_q14", "q_tpch_q21",
-    # slots 45-46 — r10 text-family additions, new this round
-    "q_bm25_rank", "q_dup_spans",
-    # slots 47-50 — oldest r7-hash refresh (unchanged code)
+    # slots 45-47 — r10 text-family additions, new this round
+    "q_bm25_rank", "q_dup_spans", "q_perplexity",
+    # slots 48-50 — oldest r7-hash refresh (unchanged code)
     "q10b_grouped_median", "q18c_window_dist", "q20b_share_of_total",
-    "q21b_range_frame",
 ]
 
 

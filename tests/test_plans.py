@@ -573,6 +573,17 @@ def test_dup_spans_no_all_pairs(spark):
     assert tree.count("Window") == 1, tree
 
 
+def test_perplexity_keyed_lm_join_no_python(spark):
+    """q_perplexity must stay JVM-side (no Python eval), join the LM
+    tables by hash equi-joins, and carry exactly ONE
+    BroadcastNestedLoopJoin — the declared 1-row vocab-size attach."""
+    p = plan_of("q_perplexity", spark)
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+    tree = p.split("\n\n")[0]
+    assert tree.count("BroadcastNestedLoopJoin") == 1, tree
+    assert "CartesianProduct" not in tree, tree
+
+
 def test_tpch_q21_single_pass_window(spark):
     """Q21's EXISTS/NOT-EXISTS correlation must be ONE pass: exactly
     one lineitem scan (a groupBy+rejoin formulation re-scans the
@@ -612,6 +623,7 @@ _BNLJ_ALLOWED = {
     "q_ks_test",            # per-arm total attaches
     "q_market_basket",      # basket-count scalar attach
     "q_percentile_approx",  # global-group bracket/anchor attaches
+    "q_perplexity",         # 1-row vocab-size attach
     "q_pmi",                # corpus-total attach
     "q_simhash",            # hamming-threshold scalar attach
     "q_tfidf",              # corpus doc-count attach
