@@ -37,13 +37,24 @@ TPCH_TABLES = (
 
 
 class DataLake:
-    """id → path catalog over a base directory (reference src/main.rs:17-39)."""
+    """id → path catalog over a base directory (reference src/main.rs:17-39).
+
+    ``keep_snapshots`` (r10) turns overwrite into a VERSIONED publish:
+    the replaced data directory is archived by atomic rename as
+    ``<path>.__snapshot__<k>`` (invisible to list/load) instead of
+    removed, retaining the newest N versions — time travel
+    (`load_snapshot`) and rollback (`restore`) over the retained
+    window, the local-FS analog of a table format's snapshot log.
+    Default 0 keeps the r9 remove-on-publish behavior.
+    """
 
     FORMATS = ("parquet", "csv", "json", "orc")
+    SNAP_MARK = ".__snapshot__"
 
-    def __init__(self, spark: SparkSession, base_dir: str):
+    def __init__(self, spark: SparkSession, base_dir: str, keep_snapshots: int = 0):
         self.spark = spark
         self.base_dir = base_dir
+        self.keep_snapshots = keep_snapshots
 
     def dataset_path(self, data_id: str) -> str | None:
         """Resolve id to an existing file/dir, trying formats in order.
@@ -81,6 +92,10 @@ class DataLake:
                 continue  # streaming-accumulator sidecar, not a dataset
             if ".__writing__" in entry:
                 continue  # in-flight overwrite staging dir (save(), r9)
+            if self.SNAP_MARK in entry:
+                continue  # retained overwrite snapshot (r10) — without
+                # this filter the isdir fallback below would list every
+                # snapshot as a phantom dataset
             stem, dot, ext = entry.rpartition(".")
             if dot and ext in self.FORMATS and stem:
                 ids.add(stem)
@@ -243,8 +258,110 @@ class DataLake:
             if os.path.isfile(path):  # e.g. a single-file CSV dataset
                 os.remove(path)
             elif os.path.isdir(path):
-                shutil.rmtree(path, ignore_errors=True)
+                if self.keep_snapshots > 0:
+                    # archive, don't delete: one atomic rename, so the
+                    # publish gap is identical to the r9 remove path but
+                    # the displaced version stays readable via
+                    # load_snapshot until pruned
+                    k = self._next_snapshot_version(path)
+                    os.rename(path, f"{path}{self.SNAP_MARK}{k:08d}")
+                    self._prune_snapshots(path)
+                else:
+                    shutil.rmtree(path, ignore_errors=True)
             os.rename(target, path)
+        self._invalidate_memos()
+        return path
+
+    # -- overwrite snapshots (time travel / rollback, r10) ------------
+
+    def _snapshots_of(self, path: str) -> list[tuple[int, str]]:
+        """(version, full_path) of every retained snapshot of ``path``,
+        ascending. A directory scan, never a data read."""
+        d, base = os.path.dirname(path), os.path.basename(path) + self.SNAP_MARK
+        out = []
+        if os.path.isdir(d):
+            for entry in os.listdir(d):
+                if entry.startswith(base) and entry[len(base):].isdigit():
+                    out.append((int(entry[len(base):]), os.path.join(d, entry)))
+        return sorted(out)
+
+    def _next_snapshot_version(self, path: str) -> int:
+        snaps = self._snapshots_of(path)
+        return (snaps[-1][0] + 1) if snaps else 1
+
+    def _prune_snapshots(self, path: str) -> None:
+        import shutil
+
+        snaps = self._snapshots_of(path)
+        for _, p in snaps[: max(0, len(snaps) - self.keep_snapshots)]:
+            shutil.rmtree(p, ignore_errors=True)
+
+    def _snapshot_index(self, data_id: str) -> dict[int, str]:
+        """version → path over every format the id ever published as
+        (snapshots survive even if the live dataset was deleted)."""
+        out: dict[int, str] = {}
+        for fmt in self.FORMATS:
+            p = os.path.join(self.base_dir, f"{data_id}.{fmt}")
+            out.update(dict(self._snapshots_of(p)))
+        return out
+
+    def list_snapshots(self, data_id: str) -> list[int]:
+        """Retained overwrite versions of a dataset, ascending (higher =
+        more recent; the live directory is always newer than all)."""
+        return sorted(self._snapshot_index(data_id))
+
+    def load_snapshot(self, data_id: str, version: int) -> DataFrame:
+        """Time travel: lazy scan of a RETAINED overwrite snapshot.
+
+        Snapshot directories are immutable once archived (only pruning
+        removes them), so a reader pinned to a version sees stable,
+        complete data regardless of concurrent overwrites of the live
+        dataset — the property the live path cannot give across a
+        publish."""
+        snaps = self._snapshot_index(data_id)
+        if version not in snaps:
+            raise FileNotFoundError(
+                f"no snapshot {version} of {data_id!r}; have {sorted(snaps)}"
+            )
+        path = snaps[version]
+        fmt = path.split(self.SNAP_MARK)[0].rpartition(".")[2]
+        if fmt == "csv":
+            return self.spark.read.option("header", True).option(
+                "inferSchema", True
+            ).csv(path)
+        if fmt == "json":
+            return self.spark.read.json(path)
+        if fmt == "orc":
+            return self.spark.read.orc(path)
+        return self.spark.read.parquet(path)
+
+    def restore(self, data_id: str, version: int) -> str:
+        """Rollback: republish snapshot ``version`` as the live dataset
+        through the same staged rename as save() — the snapshot itself
+        is COPIED, not moved, so it remains in the retained window, and
+        the replaced live data is archived per ``keep_snapshots`` (a
+        rollback is itself an overwrite, so rolling BACK the rollback
+        works)."""
+        import shutil
+        import uuid
+
+        snaps = self._snapshot_index(data_id)
+        if version not in snaps:
+            raise FileNotFoundError(
+                f"no snapshot {version} of {data_id!r}; have {sorted(snaps)}"
+            )
+        snap_path = snaps[version]
+        path = snap_path.split(self.SNAP_MARK)[0]
+        target = f"{path}.__writing__{uuid.uuid4().hex[:8]}"
+        shutil.copytree(snap_path, target)
+        if os.path.isdir(path):
+            if self.keep_snapshots > 0:
+                k = self._next_snapshot_version(path)
+                os.rename(path, f"{path}{self.SNAP_MARK}{k:08d}")
+                self._prune_snapshots(path)
+            else:
+                shutil.rmtree(path, ignore_errors=True)
+        os.rename(target, path)
         self._invalidate_memos()
         return path
 

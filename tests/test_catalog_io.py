@@ -151,3 +151,46 @@ def test_overwrite_publishes_by_rename(spark, tmp_path):
     lake.save(spark.createDataFrame([(3, 4)], "a int, b int"), "t", fmt="csv")
     rows = [(r["a"], r["b"]) for r in lake.load("t", schema="a int, b int").collect()]
     assert rows == [(3, 4)]
+
+
+def test_snapshot_retention_time_travel_and_rollback(spark, tmp_path):
+    """keep_snapshots=2: overwrites archive the displaced version by
+    rename; load_snapshot reads the EXACT old rows; pruning keeps only
+    the newest two; restore republishes an old version (copy, not
+    move) and archives the replaced current, so rollback composes."""
+    lake = DataLake(spark, str(tmp_path), keep_snapshots=2)
+
+    def frame(v):
+        return spark.range(v * 10).selectExpr("id", f"{v} as ver")
+
+    lake.save(frame(1), "ds")                 # create, no snapshot
+    assert lake.list_snapshots("ds") == []
+    lake.save(frame(2), "ds")                 # v1 archived
+    lake.save(frame(3), "ds")                 # v2 archived
+    assert lake.list_snapshots("ds") == [1, 2]
+    # time travel: version 2 is the frame(2) data
+    snap = lake.load_snapshot("ds", 2)
+    assert snap.count() == 20 and snap.agg({"ver": "max"}).first()[0] == 2
+    lake.save(frame(4), "ds")                 # v3 archived, v1 pruned
+    assert lake.list_snapshots("ds") == [2, 3]
+    # live data is frame(4)
+    assert lake.load("ds").count() == 40
+    # rollback to version 2 (frame(2)); replaced current archives as v4
+    lake.restore("ds", 2)
+    assert lake.load("ds").count() == 20
+    assert lake.list_snapshots("ds") == [3, 4]  # v2 pruned after archive
+    # snapshot dirs never appear as datasets
+    assert lake.list_datasets() == ["ds"]
+    with pytest.raises(FileNotFoundError):
+        lake.load_snapshot("ds", 99)
+
+
+def test_snapshot_default_off_keeps_r9_behavior(spark, tmp_path):
+    """keep_snapshots defaults to 0: overwrite removes the old data and
+    leaves no snapshot dirs (exactly the r9 publish)."""
+    lake = DataLake(spark, str(tmp_path))
+    lake.save(spark.range(5), "ds")
+    lake.save(spark.range(7), "ds")
+    assert lake.list_snapshots("ds") == []
+    assert not [e for e in os.listdir(tmp_path) if DataLake.SNAP_MARK in e]
+    assert lake.load("ds").count() == 7
