@@ -23,22 +23,31 @@ in two bounded passes:
    — a "whole group" of ≤ 2·accuracy rows, still bounded. A runtime
    raise still guards the invariant (defense in depth — one comparison
    per group, arithmetically entangled so it cannot be pruned).
-2. **Anchor + refine** (one fused pass): per group, exact
-   ``count(v < lo)`` (a plain partial→final count) AND the rows inside
-   ``[lo, hi]`` — at most ~8n/accuracy plus ties of the boundary
-   values — buffered as one sorted array per quantile, in the SAME
-   aggregate. The order statistics are direct ``element_at`` picks:
-   global rank ``k`` is bracket-local index ``k − count(v < lo)``. The
-   result is interpolated from ``v_k1``/``v_k2`` with ``pos = q·(n−1)``
-   computed in double exactly as Spark's Percentile does. (r10: this
-   fused what were separate counting and window-cumulative-rank +
-   join refine passes — same values, one less input scan, five fewer
-   shuffles for the multi-quantile form.)
+2. **Anchor + refine** (one fused pass, r11 tie-bounded): every
+   non-bracket row's value is masked to NULL and the stream is
+   pre-aggregated on (group, masked value) — bracket rows collapse to
+   DISTINCT ``(value, count)`` pairs, all other rows of a group
+   collapse into the single NULL-key row (which still carries the
+   per-bracket exact ``count(v < lo)`` partials, so the anchor counts
+   sum over ALL rows). The final aggregate collects each bracket's
+   pairs into one sorted array per quantile: its buffer is bounded by
+   the DISTINCT values inside the bracket — ≤ ~8n/accuracy + 2 by the
+   GK rank guarantee, INDEPENDENT of tie mass. (The r10 shape
+   collected raw bracket ROWS, so a mode straddling the target rank
+   buffered its whole tie block — up to the whole group — in one
+   aggregation buffer: the exact trap this module exists to avoid;
+   r10 ADVICE.) Order statistics are cumulative-count picks over the
+   deduped array (global rank ``k`` → first pair whose running count
+   exceeds ``k − count(v < lo)``), interpolated with ``pos = q·(n−1)``
+   computed in double exactly as Spark's Percentile does.
 
-Task memory is bounded by the brackets' row count (~8n/accuracy per
-quantile), tunable independently of data size — at 100 TB, raise
-``accuracy`` so the brackets stay executor-sized; every other stage is
-a constant-state streaming aggregate.
+Task memory is bounded by the brackets' distinct-value count
+(~8n/accuracy + 2 per quantile), tunable independently of data size —
+at 100 TB, raise ``accuracy`` so the brackets stay executor-sized;
+every other stage is a constant-state streaming aggregate. The
+tie-collapse costs one extra exchange over the r10 two-shuffle shape,
+but every exchange here moves combined partial buffers (GK sketches,
+deduped pairs, per-group scalars) — never the full-width value stream.
 
 Reference analog: Polars ``quantile`` is a single-node column sort
 (linked surface, reference Cargo.toml:8); this is its shuffle-safe
@@ -160,42 +169,80 @@ def exact_quantiles(
         )
     )
 
-    # Pass 2 — FUSED anchor + refine in one aggregate (one scan): per
-    # group, for each quantile i, the exact count below lo_i AND the
-    # bracket rows [lo_i, hi_i] buffered as one sorted array
-    # (collect_list skips the NULLs the un-otherwise'd when() leaves on
-    # non-bracket rows). The aggregation buffer holds the union of the
-    # m brackets — ~8·m·n/accuracy values plus boundary ties, the same
-    # bound the previous explode-per-bracket refine obeyed — and the
-    # fusion removes that shape's separate counting scan, bracket
-    # explode, per-(group, quantile) join, and final pivot: two input
-    # scans and two shuffles total, no join after the bracket attach.
+    # Pass 2 — FUSED anchor + refine (one scan), in TWO aggregate
+    # stages so the collect buffer is tie-bounded (r11, ADVICE):
+    #   2a. mask non-bracket values to NULL and pre-aggregate on
+    #       (group, masked value): bracket rows collapse to distinct
+    #       (value, count) pairs; every other row of a group collapses
+    #       into the NULL-key row. The per-bracket below-counts
+    #       (count(v < lo_i)) are partial-summed HERE, over ALL rows,
+    #       so masking loses no anchor information. Map-side combine
+    #       means the exchange carries distinct-bracket-values + one
+    #       row per (map partition, group) — never raw rows.
+    #   2b. per group, sum the below-counts and collect each bracket's
+    #       (value, count) structs into one sorted array: the buffer is
+    #       bounded by the bracket's DISTINCT values (≤ ~8n/accuracy
+    #       + 2 boundary values by the GK rank guarantee), independent
+    #       of tie mass — collecting raw rows here (the r10 shape) let
+    #       a mode straddling the target rank pull its whole tie block
+    #       into one buffer. Still no join after the bracket attach;
+    #       one extra combined-partial exchange vs r10.
     if gcols:
         anchored = _null_safe_join(vals, br, gcols)
     else:
         anchored = vals.crossJoin(F.broadcast(br))
+    in_any = None
+    for i in range(m):
+        bet = F.col("__v").between(
+            F.element_at("__los", i + 1), F.element_at("__his", i + 1)
+        )
+        in_any = bet if in_any is None else (in_any | bet)
+    masked = anchored.withColumn("__key", F.when(in_any, F.col("__v")))
+    pre_exprs = [F.count(F.lit(1)).alias("__c")]
+    for i in range(m):
+        lo_i = F.element_at("__los", i + 1)
+        pre_exprs.append(
+            F.count(F.when(F.col("__v") < lo_i, 1)).alias(f"__ltp{i}")
+        )
+    pre = masked.groupBy(*gcols, "__n", "__los", "__his", "__key").agg(*pre_exprs)
     agg_exprs = []
     for i in range(m):
         lo_i = F.element_at("__los", i + 1)
         hi_i = F.element_at("__his", i + 1)
-        agg_exprs.append(F.count(F.when(F.col("__v") < lo_i, 1)).alias(f"__lt{i}"))
+        in_i = F.col("__key").between(lo_i, hi_i)  # NULL key → NULL → skipped
+        agg_exprs.append(F.sum(f"__ltp{i}").alias(f"__lt{i}"))
+        agg_exprs.append(
+            F.coalesce(F.sum(F.when(in_i, F.col("__c"))), F.lit(0)).alias(f"__sz{i}")
+        )
         agg_exprs.append(
             F.sort_array(
-                F.collect_list(F.when(F.col("__v").between(lo_i, hi_i), F.col("__v")))
+                F.collect_list(
+                    F.when(
+                        in_i,
+                        F.struct(
+                            F.col("__key").cast("double").alias("v"),
+                            F.col("__c").alias("c"),
+                        ),
+                    )
+                )
             ).alias(f"__arr{i}")
         )
-    stats = anchored.groupBy(*gcols, "__n").agg(*agg_exprs)
+    stats = pre.groupBy(*gcols, "__n").agg(*agg_exprs)
 
     # Order-statistic picks — double pos exactly as Spark's Percentile:
     # pos = q·(n−1), lower = floor(pos), the fraction interpolates.
-    # The bracket-soundness raise is entangled INTO the rank the picks
-    # index with (valid → +0, invalid → raise), an arithmetic
-    # dependency the optimizer cannot simplify away (a plain
-    # assert_true column, or when(c, k).otherwise(k), gets pruned).
-    # Soundness covers the EMPTY bracket too: size 0 fails
-    # lt + size > k2, so a bracket holding no rows raises instead of
-    # silently NULL-ing or dropping the group (r8 ADVICE regression,
-    # tested by faking the GK sketch).
+    # Global rank k maps to bracket-local rank k − count(v < lo); the
+    # pick is a cumulative-count fold over the sorted (value, count)
+    # pairs: the first pair whose running count exceeds the local rank.
+    # The bracket-soundness raise is entangled INTO the fold's INIT
+    # accumulator (valid → cum starts at 0, invalid → raise) — the init
+    # evaluates even for an EMPTY array (the fold's finish applies to
+    # it), so an empty bracket (size 0 fails lt + sz > k2) raises
+    # instead of silently NULL-ing or dropping the group (r8 ADVICE
+    # regression, tested by faking the GK sketch), and cum is
+    # load-bearing in every merge step, an arithmetic dependency the
+    # optimizer cannot simplify away (a plain assert_true column, or
+    # when(c, k).otherwise(k), gets pruned).
     outs = []
     for i, q in enumerate(qs):
         pos = F.lit(float(q)) * (F.col("__n") - F.lit(1)).cast("double")
@@ -204,23 +251,43 @@ def exact_quantiles(
         k2 = F.when(frac > 0, k1 + 1).otherwise(k1)
         lt_i = F.col(f"__lt{i}")
         arr_i = F.col(f"__arr{i}")
-        valid = (lt_i <= k1) & ((lt_i + F.size(arr_i)) > k2)
-        guard0 = F.when(valid, F.lit(0)).otherwise(
+        valid = (lt_i <= k1) & ((lt_i + F.col(f"__sz{i}")) > k2)
+        guard0 = F.when(valid, F.lit(0).cast("long")).otherwise(
             F.expr(
                 "raise_error('exact_quantile: bracket missed the target rank')"
             ).cast("long")
         )
-        # element_at is 1-based; global rank k maps to bracket-local
-        # index k − lt because exactly __lt values sit strictly below
-        # the bracket. The guard rides both indices, so an unsound
-        # bracket raises before any out-of-range pick could.
-        v1 = F.element_at(arr_i, ((k1 + guard0) - lt_i + F.lit(1)).cast("int"))
-        v2 = F.element_at(arr_i, ((k2 + guard0) - lt_i + F.lit(1)).cast("int"))
+        tgt1 = k1 - lt_i  # 0-based local ranks inside the bracket
+        tgt2 = k2 - lt_i
+        init = F.struct(
+            guard0.alias("cum"),
+            F.lit(None).cast("double").alias("v1"),
+            F.lit(None).cast("double").alias("v2"),
+        )
+
+        def make_step(t1, t2):
+            def step(acc, x):
+                cum2 = acc["cum"] + x["c"]
+                return F.struct(
+                    cum2.alias("cum"),
+                    F.when(acc["v1"].isNull() & (cum2 > t1), x["v"])
+                    .otherwise(acc["v1"])
+                    .alias("v1"),
+                    F.when(acc["v2"].isNull() & (cum2 > t2), x["v"])
+                    .otherwise(acc["v2"])
+                    .alias("v2"),
+                )
+
+            return step
+
+        picked = F.aggregate(arr_i, init, make_step(tgt1, tgt2))
+        v1 = picked["v1"]
+        v2 = picked["v2"]
         # Bit-for-bit Spark Percentile interpolation, short-circuited
         # to the exact value when pos is integral — NOT the
         # algebraically-equal v1 + (v2−v1)·frac, which rounds
         # differently in the last ulp.
-        out = F.when(frac == 0, v1.cast("double")).otherwise(
+        out = F.when(frac == 0, v1).otherwise(
             (F.lit(1.0) - frac) * v1 + frac * v2
         )
         outs.append(out.alias(result_cols[i]))

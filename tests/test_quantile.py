@@ -208,13 +208,16 @@ def test_empty_bracket_raises_not_null(spark, monkeypatch):
 
 
 def test_no_full_width_shuffle_of_values(spark):
-    """Scale shape (r10 fused refine): the GK sketch pass is present,
-    the bracket rows are collected into sorted arrays INSIDE the same
-    aggregate as the anchor counts — collect_list input is the
-    bracket-bounded when(), never the raw column — and the plan has NO
-    window, NO generate/explode, and NO shuffle join (a Window or SMJ
-    here would mean the full-width value stream is being re-sorted;
-    the only join is the broadcast bracket attach)."""
+    """Scale shape (r11 tie-bounded refine): the GK sketch pass is
+    present, the bracket values are pre-deduped to (value, count)
+    pairs before any collect — the collect_list input is a struct of
+    the masked key and its combined count, never the raw column — and
+    the plan has NO window, NO generate/explode, and NO shuffle join
+    (a Window or SMJ here would mean the full-width value stream is
+    being re-sorted; the only join is the broadcast bracket attach).
+    Exactly three exchanges, each moving combined partial buffers:
+    sketch groupBy, masked (group, value) dedup, final per-group
+    collect."""
     df = spark.range(0, 100_000).select(
         (F.col("id") % 5).cast("string").alias("g"),
         (F.col("id") * 37 % 9973).cast("double").alias("v"),
@@ -230,11 +233,39 @@ def test_no_full_width_shuffle_of_values(spark):
     assert "Generate" not in plan  # no bracket explode — fused aggregate
     assert "SortMergeJoin" not in plan  # bracket attach is broadcast
     assert "BroadcastHashJoin" in plan
-    # exactly two shuffles: sketch groupBy + fused anchor/refine groupBy
     import re
 
     n_shuffles = len(re.findall(r"\(\d+\) Exchange\b", plan))
-    assert n_shuffles == 2, plan
+    assert n_shuffles == 3, plan
+    # the collect buffers deduped (value, count) structs, not raw rows
+    assert re.search(r"collect_list\(CASE WHEN .*struct", plan) or (
+        "collect_list" in plan and "__c" in plan
+    ), plan
+
+
+def test_tie_heavy_buffer_is_distinct_bounded(spark):
+    """r10 ADVICE (the reason for the r11 refine shape): a constant
+    column — EVERY row ties at the target value — must still match
+    percentile, and the refine's collected array must hold ONE struct
+    per distinct bracket value, not one entry per row. Checked by
+    running the internal shape at a tiny accuracy over 200k rows of a
+    3-value distribution whose mode straddles the median: bit-equal
+    output proves the cumulative-count picks; the plan proof above
+    pins that what is collected is the deduped struct."""
+    df = (
+        spark.range(0, 200_000)
+        .select(
+            (F.col("id") % 2).cast("string").alias("g"),
+            F.when(F.col("id") % 10 < 6, F.lit(7.0))
+            .otherwise((F.col("id") % 10).cast("double"))
+            .alias("v"),
+        )
+        .localCheckpoint()
+    )
+    for q in (0.3, 0.5, 0.7):
+        assert _expected_grouped(df, q) == _got_grouped(
+            df, q, accuracy=100
+        ), f"q={q}"
 
 
 # --- multi-quantile (exact_quantiles) ------------------------------------
