@@ -285,24 +285,47 @@ class DataLake:
                     out.append((int(entry[len(base):]), os.path.join(d, entry)))
         return sorted(out)
 
+    def _all_format_snapshots(self, path: str) -> list[tuple[int, str]]:
+        """(version, path) over EVERY format of this dataset id,
+        ascending by version — version numbers are minted and pruned
+        globally across formats (r11 ADVICE: a per-format counter let a
+        dataset republished under a second format mint a version number
+        colliding with an earlier format's snapshot, and the dict merge
+        in the index silently shadowed one of them)."""
+        stem = path.rpartition(".")[0]
+        out: list[tuple[int, str]] = []
+        for fmt in self.FORMATS:
+            out += self._snapshots_of(f"{stem}.{fmt}")
+        return sorted(out)
+
     def _next_snapshot_version(self, path: str) -> int:
-        snaps = self._snapshots_of(path)
+        snaps = self._all_format_snapshots(path)
         return (snaps[-1][0] + 1) if snaps else 1
 
     def _prune_snapshots(self, path: str) -> None:
         import shutil
 
-        snaps = self._snapshots_of(path)
+        snaps = self._all_format_snapshots(path)
         for _, p in snaps[: max(0, len(snaps) - self.keep_snapshots)]:
             shutil.rmtree(p, ignore_errors=True)
 
     def _snapshot_index(self, data_id: str) -> dict[int, str]:
         """version → path over every format the id ever published as
-        (snapshots survive even if the live dataset was deleted)."""
+        (snapshots survive even if the live dataset was deleted). The
+        global version counter makes cross-format collisions impossible
+        going forward; a collision from a pre-r11 lake raises instead
+        of silently shadowing one format's snapshot."""
         out: dict[int, str] = {}
         for fmt in self.FORMATS:
             p = os.path.join(self.base_dir, f"{data_id}.{fmt}")
-            out.update(dict(self._snapshots_of(p)))
+            for v, sp in self._snapshots_of(p):
+                if v in out:
+                    raise ValueError(
+                        f"ambiguous snapshot version {v} of {data_id!r}:"
+                        f" {out[v]} vs {sp} — restore/load by a unique"
+                        " version after removing one of them"
+                    )
+                out[v] = sp
         return out
 
     def list_snapshots(self, data_id: str) -> list[int]:
@@ -354,7 +377,10 @@ class DataLake:
         path = snap_path.split(self.SNAP_MARK)[0]
         target = f"{path}.__writing__{uuid.uuid4().hex[:8]}"
         shutil.copytree(snap_path, target)
-        if os.path.isdir(path):
+        if os.path.isfile(path):  # hand-dropped single-file dataset —
+            os.remove(path)  # same branch save() takes (r11 ADVICE:
+            # the final rename would otherwise fail with OSError)
+        elif os.path.isdir(path):
             if self.keep_snapshots > 0:
                 k = self._next_snapshot_version(path)
                 os.rename(path, f"{path}{self.SNAP_MARK}{k:08d}")

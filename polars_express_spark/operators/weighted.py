@@ -93,13 +93,19 @@ def weighted_quantile(
     # pre-shuffle frame paid two extra full scans — measured slower
     # locally and strictly worse at 100 TB, where a reused shuffle
     # output is cheap and an input re-scan is not.)
+    # bounds/crossb are GROUP-CARDINALITY frames: tiny for the declared
+    # uses (returnflags, languages, splits) but unbounded if a caller
+    # groups by a high-cardinality key — so no binding F.broadcast hint
+    # (the r9 tpch lesson): the size threshold picks BHJ when they fit
+    # and AQE stays free to demote when they don't. test_plans.py pins
+    # BHJ-by-threshold at test SF.
     n_buckets = 64
     bounds = dd.groupBy(group).agg(
         F.min(value).alias("__lo"), F.max(value).alias("__hi")
     )
     width = (F.col("__hi") - F.col("__lo")) / F.lit(n_buckets)
     b = (
-        dd.join(F.broadcast(bounds), group)
+        dd.join(bounds, group)
         .withColumn(
             "__bkt",
             F.when(F.col("__hi") == F.col("__lo"), F.lit(0)).otherwise(
@@ -156,7 +162,7 @@ def weighted_quantile(
         .orderBy(value)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    pruned = b.join(F.broadcast(crossb), [group, "__bkt"])
+    pruned = b.join(crossb, [group, "__bkt"])
     crossed = pruned.withColumn(
         "__cum", F.col("__off") + F.sum("__w").over(intra)
     ).where(

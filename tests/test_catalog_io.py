@@ -185,6 +185,50 @@ def test_snapshot_retention_time_travel_and_rollback(spark, tmp_path):
         lake.load_snapshot("ds", 99)
 
 
+def test_snapshot_versions_global_across_formats(spark, tmp_path):
+    """r11 ADVICE: a dataset republished under a SECOND format must keep
+    minting globally-unique version numbers — the per-format counter
+    restarted at 1, and equal versions from two formats silently
+    shadowed each other in the index. Versions now continue across the
+    format switch, every snapshot stays addressable, and a pre-existing
+    (hand-made) collision raises instead of shadowing."""
+    lake = DataLake(spark, str(tmp_path), keep_snapshots=4)
+    lake.save(spark.range(10).selectExpr("id", "1 as ver"), "ds")
+    lake.save(spark.range(20).selectExpr("id", "2 as ver"), "ds")  # v1
+    lake.save(spark.range(30).selectExpr("id", "3 as ver"), "ds", fmt="json")
+    lake.save(spark.range(40).selectExpr("id", "4 as ver"), "ds", fmt="json")
+    # the json overwrite archived nothing (fresh path); overwrite it
+    # again so a json snapshot exists alongside the parquet one
+    assert lake.list_snapshots("ds") == [1, 2]
+    snaps = lake._snapshot_index("ds")
+    assert snaps[1].endswith(f".parquet{DataLake.SNAP_MARK}00000001")
+    assert snaps[2].endswith(f".json{DataLake.SNAP_MARK}00000002")
+    assert lake.load_snapshot("ds", 2).agg({"ver": "max"}).first()[0] == 3
+    # a hand-made collision (pre-r11 lake) raises, never shadows
+    os.rename(snaps[2], str(tmp_path / f"ds.json{DataLake.SNAP_MARK}00000001"))
+    with pytest.raises(ValueError, match="ambiguous snapshot version"):
+        lake.list_snapshots("ds")
+
+
+def test_restore_over_live_single_file_dataset(spark, tmp_path):
+    """r11 ADVICE: restore() must take save()'s isfile branch — a
+    hand-dropped single-file CSV occupying the live path made the final
+    publish rename fail with OSError instead of restoring."""
+    lake = DataLake(spark, str(tmp_path), keep_snapshots=2)
+    lake.save(spark.createDataFrame([(1, 2)], "a int, b int"), "t", fmt="csv")
+    lake.save(spark.createDataFrame([(3, 4)], "a int, b int"), "t", fmt="csv")
+    assert lake.list_snapshots("t") == [1]
+    # replace the live dataset with a hand-dropped single file
+    import shutil
+
+    shutil.rmtree(tmp_path / "t.csv")
+    with open(tmp_path / "t.csv", "w") as f:
+        f.write("a,b\n9,9\n")
+    lake.restore("t", 1)
+    rows = [(r["a"], r["b"]) for r in lake.load("t", schema="a int, b int").collect()]
+    assert rows == [(1, 2)]
+
+
 def test_snapshot_default_off_keeps_r9_behavior(spark, tmp_path):
     """keep_snapshots defaults to 0: overwrite removes the old data and
     leaves no snapshot dirs (exactly the r9 publish)."""

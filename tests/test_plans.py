@@ -446,6 +446,21 @@ def test_tpch_no_sf_proportional_broadcast_hints():
     assert set(hinted) <= allowed, sorted(set(hinted) - allowed)
 
 
+def test_weighted_quantile_no_group_cardinality_broadcast_hints():
+    """r11 (same posture, applied to weighted.py's own frames): bounds
+    and crossb are GROUP-cardinality — tiny for the documented uses but
+    unbounded for a high-cardinality group key, so they must not carry
+    a binding hint; the threshold/AQE decides (the plan test above
+    proves BHJ is still chosen by size at test SF)."""
+    import pathlib
+
+    src = (
+        pathlib.Path(__file__).parent.parent
+        / "polars_express_spark" / "operators" / "weighted.py"
+    ).read_text()
+    assert "F.broadcast(" not in src
+
+
 def test_tpch_q18_aggregates_before_joining(spark):
     """Q18's HAVING spine must aggregate lineitem BEFORE any join: the
     first join input is the filtered per-order aggregate, so the plan
