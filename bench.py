@@ -85,14 +85,20 @@ def main() -> int:
     # number (VERDICT r6 next-step #6). Report all three so
     # round-over-round comparisons can separate plan cost from
     # host-contention luck.
+    # KEY ORDER IS LOAD-BEARING (r10 verdict #5): the driver records
+    # only the LAST 2000 chars of this line, so the big `queries` map
+    # goes FIRST and every scalar total LAST — totals and the newest
+    # alphabetical tail of per-query numbers always survive truncation.
     result = {
+        "queries": timings,
         "metric": "total_query_sec",
-        "value": round(sum(ok.values()), 4),
+        "unit": "sec",
+        "sf": sf_val,
+        "n_queries": len(timings),
+        "n_errors": len(timings) - len(ok),
         "cold_total": round(sum(cold_ok.values()), 4),
         "warm_total": round(sum(warm_ok.values()), 4),
-        "unit": "sec",
-        "queries": timings,
-        "sf": sf_val,
+        "value": round(sum(ok.values()), 4),
     }
     print(json.dumps(result))
     return 0

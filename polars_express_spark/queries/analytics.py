@@ -1165,25 +1165,36 @@ def q_dup_spans(spark, sf_dir):
     row_number() over (doc, pos) constant within each consecutive run
     — one window over the doc-partitioned MARKED subset (only
     duplicated positions shuffle; at 100 TB that is the duplication
-    volume, not the corpus). Every output is an integer count, so the
-    hash has no FP surface. A production pass would hash shingles to
-    xxhash64 before the count; the registered form groups the raw
-    5-gram string so the oracle compares the identical key."""
-    d = load_table(spark, sf_dir, "documents")
-    arrs = d.select(
-        "doc_id",
-        F.expr(r"filter(split(text, '\\s+'), x -> x <> '')").alias("arr"),
-    ).where(F.size("arr") >= 5)
-    sh = arrs.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "transform(sequence(1, size(arr) - 4),"
-                " i -> struct(cast(i as bigint) as pos,"
-                " concat_ws(' ', slice(arr, i, 5)) as sh))"
-            )
-        ).alias("e"),
-    ).select("doc_id", F.col("e.pos").alias("pos"), F.col("e.sh").alias("sh"))
+    volume, not the corpus). The positional shingle frame is
+    MATERIALIZED once (FRAMES memo, r11): it feeds both the
+    duplicate-count aggregate and the marked-position semi-join, and
+    Catalyst does not dedupe common subplans, so without the memo the
+    corpus was scanned and shingled TWICE — an avoidable 2× on the
+    most expensive stage (r10 verdict finding #1; q_bm25_rank and
+    q_perplexity already memoize their equivalents). Every output is
+    an integer count, so the hash has no FP surface. A production pass
+    would hash shingles to xxhash64 before the count; the registered
+    form groups the raw 5-gram string so the oracle compares the
+    identical key."""
+
+    def build_sh():
+        d = load_table(spark, sf_dir, "documents")
+        arrs = d.select(
+            "doc_id",
+            F.expr(r"filter(split(text, '\\s+'), x -> x <> '')").alias("arr"),
+        ).where(F.size("arr") >= 5)
+        return arrs.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(arr) - 4),"
+                    " i -> struct(cast(i as bigint) as pos,"
+                    " concat_ws(' ', slice(arr, i, 5)) as sh))"
+                )
+            ).alias("e"),
+        ).select("doc_id", F.col("e.pos").alias("pos"), F.col("e.sh").alias("sh"))
+
+    sh = FRAMES.get(spark, ("dup_spans_sh", sf_dir), build_sh, persist="checkpoint")
     dup = (
         sh.groupBy("sh")
         .agg(F.count(F.lit(1)).alias("c"))
