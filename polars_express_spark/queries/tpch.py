@@ -31,6 +31,25 @@ the r10 third wave completes the expressible set:
 - Q21 — EXISTS + NOT EXISTS on the same fact, rewritten to per-order
         window aggregates (one scan, one shuffle, no self-join).
 
+The r11 fourth wave completes all 22 canonical shapes. The five
+remaining queries are partsupp-centric; the driver testdata has no
+partsupp, so its role — the (part, supplier) supply catalog with a
+cost/availability measure — is DERIVED from lineitem (the observed
+supply relation: min unit price as supply cost, shipped quantity as
+availability), preserving each query's distinctive plan shape:
+
+- Q2  — correlated min-cost-supplier subquery, decorrelated to a
+        per-part min join + exact-equality filter (ties surface);
+- Q9  — LIKE-filtered profit rollup by nation × year (5-table join
+        spine with a computed measure crossing three tables);
+- Q11 — HAVING against a share of the GLOBAL total (1-row scalar
+        attach, integer cross-multiplied in decimal so the
+        threshold compare is exact);
+- Q16 — distinct-supplier counts with a NOT-IN blacklist → left
+        anti join + grouped count-distinct;
+- Q20 — nested IN/EXISTS chain → chained semi-joins over one fused
+        per-(supplier, part) aggregate.
+
 Dates/filters are adapted to the driver testdata's value ranges
 (TESTDATA.md; probed ranges: o_orderdate 1995-2001, regions AFRICA…,
 brands Brand#N). Revenue sums ride the exact decimal/split-long
@@ -934,4 +953,391 @@ def q_tpch_q21(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fourth wave (r11): the five partsupp-centric shapes, completing all 22.
+# The supply catalog is derived from lineitem (see module docstring).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_tpch_q2",
+    oracle="""
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey, min(l_extendedprice) AS cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    sup AS (
+      SELECT l_partkey, cost, s_acctbal, s_name, n_name
+      FROM ps
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation   ON n_nationkey = s_nationkey
+      JOIN region   ON r_regionkey = n_regionkey
+      WHERE r_name = 'EUROPE'
+    ),
+    mc AS (
+      SELECT l_partkey AS m_partkey, min(cost) AS min_cost
+      FROM sup GROUP BY l_partkey
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_name, cost
+    FROM sup
+    JOIN mc   ON l_partkey = m_partkey AND cost = min_cost
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_size < 15 AND p_type = 'LARGE'
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def q_tpch_q2(spark, sf_dir):
+    """TPC-H Q2 (minimum-cost supplier): for every LARGE small-size
+    part, the European supplier(s) offering it at the minimum cost —
+    the canonical CORRELATED MIN SUBQUERY (ps_supplycost = (SELECT
+    min ...)), decorrelated to a per-part min join + exact-equality
+    filter so ties all surface, as the spec requires.
+
+    partsupp stand-in: the observed supply relation — per (part,
+    supplier), min(l_extendedprice) over lineitem is the supply cost.
+    One grouped aggregate derives it; everything downstream is the
+    canonical Q2 plan.
+
+    Scale shape: region/nation ride broadcast hints (constant-size);
+    supplier and the supply catalog are SF-proportional and UNHINTED —
+    the threshold broadcasts at test SF, AQE decides at 100 TB. The
+    per-part min frame shares the supply frame's partkey distribution
+    (co-partitioned join). The equality filter is safe because both
+    sides are the SAME exact double (min preserves values bit-for-bit
+    on both engines). The final top-100 fuses to
+    TakeOrderedAndProject under a TOTAL order — (s_name, p_partkey)
+    is unique per row, so LIMIT cannot flake the hash."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min("l_extendedprice").alias("cost")
+    )
+    r = (
+        load_table(spark, sf_dir, "region")
+        .where(F.col("r_name") == "EUROPE")
+        .select("r_regionkey")
+    )
+    n = load_table(spark, sf_dir, "nation").join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select("n_nationkey", "n_name")
+    s = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "s_acctbal", "s_name", "n_name")
+    sup = ps.join(s, F.col("l_suppkey") == F.col("s_suppkey")).select(
+        "l_partkey", "cost", "s_acctbal", "s_name", "n_name"
+    )
+    mc = sup.groupBy(F.col("l_partkey").alias("m_partkey")).agg(
+        F.min("cost").alias("min_cost")
+    )
+    p = (
+        load_table(spark, sf_dir, "part")
+        .where((F.col("p_size") < 15) & (F.col("p_type") == "LARGE"))
+        .select("p_partkey", "p_name")
+    )
+    return (
+        sup.join(
+            mc,
+            (F.col("l_partkey") == F.col("m_partkey"))
+            & (F.col("cost") == F.col("min_cost")),
+        )
+        .join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "cost")
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@query(
+    "q_tpch_q9",
+    oracle=f"""
+    WITH j AS (
+      SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+             l_extendedprice * (1 - l_discount)
+               - 0.5 * p_retailprice * l_quantity AS amount
+      FROM lineitem
+      JOIN part     ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN nation   ON n_nationkey = s_nationkey
+      WHERE p_name LIKE '%red%'
+    )
+    SELECT nation, o_year, {sql_dsum("amount", "sum_profit")}
+    FROM j GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+)
+def q_tpch_q9(spark, sf_dir):
+    """TPC-H Q9 (product-type profit): profit on red parts by supplier
+    nation and order year — the widest join spine of the suite (fact +
+    part + supplier + orders + nation) with a computed measure crossing
+    three tables, gated by a LIKE on p_name.
+
+    partsupp stand-in: unit cost = 0.5 · p_retailprice (the canonical
+    query's ps_supplycost; the exact constant is irrelevant to the
+    shape — amount mixes revenue and cost terms and goes NEGATIVE, so
+    the exactness contract must handle signed sums: dsum's decimal
+    path does, the scaled4 fast path would not).
+
+    Scale shape: the LIKE-filtered part slice and supplier are
+    SF-proportional — UNHINTED (threshold at test SF, AQE at scale);
+    nation is the only hinted broadcast. orders joins on the fact's
+    orderkey distribution. Group-by cardinality is nations × years
+    (~175 rows at any SF) — a pure partial→final agg."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        "l_extendedprice", "l_discount", "l_quantity",
+    )
+    p = (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_name").like("%red%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    j = (
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            (
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                - F.lit(0.5) * F.col("p_retailprice") * F.col("l_quantity")
+            ).alias("amount"),
+        )
+    )
+    return (
+        j.groupBy("nation", "o_year")
+        .agg(dsum(F.col("amount"), "sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+@query(
+    "q_tpch_q11",
+    oracle="""
+    WITH sk AS (
+      SELECT s_suppkey FROM supplier
+      JOIN nation ON n_nationkey = s_nationkey
+      WHERE n_name = 'NATION_7'
+    ),
+    byp AS (
+      SELECT l_partkey,
+             SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(25,6))) AS val
+      FROM lineitem
+      WHERE l_suppkey IN (SELECT s_suppkey FROM sk)
+      GROUP BY l_partkey
+    ),
+    tot AS (SELECT SUM(val) AS t FROM byp)
+    SELECT l_partkey, CAST(val AS DOUBLE) AS value
+    FROM byp, tot
+    WHERE val * 1000 > t
+    ORDER BY value DESC, l_partkey
+    """,
+)
+def q_tpch_q11(spark, sf_dir):
+    """TPC-H Q11 (important stock): per-part supply value from one
+    nation's suppliers, keeping parts whose value exceeds a fixed
+    share of the GLOBAL total — the canonical HAVING-against-a-scalar-
+    subquery shape.
+
+    partsupp stand-in: supply value = Σ l_extendedprice · l_quantity
+    over the nation's lineitems (the canonical ps_supplycost ·
+    ps_availqty).
+
+    Scale shape: the nation's supplier keys semi-filter the fact
+    (UNHINTED — supplier is SF-proportional); ONE grouped decimal
+    aggregate; the global total is the accepted 1-row scalar attach
+    (declared BNLJ, test_plans allowlist). The share test cross-
+    multiplies in decimal — val·1000 > tot — so the threshold compare
+    is exact on both engines (a double 0.001·tot would flake rows
+    sitting on the boundary). Output value casts the SAME decimal to
+    double, so the hash is partition-order-free."""
+    n = load_table(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_7")
+    sk = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
+    )
+    byp = (
+        li.join(sk, F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * F.col("l_quantity")).cast(
+                    "decimal(25,6)"
+                )
+            ).alias("val")
+        )
+    )
+    tot = byp.agg(F.sum("val").alias("t"))
+    return (
+        byp.crossJoin(F.broadcast(tot))
+        .where(F.col("val") * F.lit(1000) > F.col("t"))
+        .select("l_partkey", F.col("val").cast("double").alias("value"))
+        .orderBy(F.col("value").desc(), "l_partkey")
+    )
+
+
+@query(
+    "q_tpch_q16",
+    oracle="""
+    WITH pairs AS (
+      SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+    ),
+    bad AS (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    SELECT p_brand, p_type, p_size,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM pairs
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#11' AND p_type <> 'PROMO'
+      AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22, 25)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM bad)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def q_tpch_q16(spark, sf_dir):
+    """TPC-H Q16 (supplier-part relationship count): how many distinct
+    suppliers offer each (brand, type, size) bucket, excluding one
+    brand, one type, and a supplier blacklist — the canonical NOT-IN +
+    COUNT-DISTINCT shape.
+
+    partsupp stand-in: the distinct (part, supplier) pairs observed in
+    lineitem; the blacklist (canonically a comment LIKE) is suppliers
+    with negative account balance — any deterministic predicate
+    preserves the anti-join shape.
+
+    Scale shape: the pair catalog is ONE distinct aggregate of two
+    fact columns (partial→final, no raw-row shuffle); the blacklist
+    attaches as a LEFT ANTI join (NOT IN with non-null keys); part's
+    filtered slice joins on partkey UNHINTED. count(DISTINCT) expands
+    to the standard two-level aggregate; group cardinality is
+    brand × type × size — bounded."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    pairs = li.distinct()
+    bad = (
+        load_table(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    p = (
+        load_table(spark, sf_dir, "part")
+        .where(
+            (F.col("p_brand") != "Brand#11")
+            & (F.col("p_type") != "PROMO")
+            & F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22, 25)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    return (
+        pairs.join(bad, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+@query(
+    "q_tpch_q20",
+    oracle="""
+    WITH pk AS (SELECT p_partkey FROM part WHERE p_name LIKE 'small%'),
+    agg AS (
+      SELECT l_suppkey,
+             CAST(SUM(l_quantity) AS BIGINT) AS total_qty,
+             CAST(COALESCE(SUM(CASE WHEN l_shipdate >= DATE '1997-01-01'
+                                     AND l_shipdate < DATE '1998-01-01'
+                                    THEN l_quantity END), 0) AS BIGINT) AS qty97
+      FROM lineitem
+      WHERE l_partkey IN (SELECT p_partkey FROM pk)
+      GROUP BY l_suppkey, l_partkey
+    ),
+    chosen AS (
+      SELECT DISTINCT l_suppkey FROM agg
+      WHERE qty97 > 0 AND 2 * total_qty > 3 * qty97
+    )
+    SELECT s_name
+    FROM supplier
+    JOIN nation ON n_nationkey = s_nationkey
+    JOIN region ON r_regionkey = n_regionkey
+    WHERE r_name = 'ASIA'
+      AND s_suppkey IN (SELECT l_suppkey FROM chosen)
+    ORDER BY s_name
+    """,
+)
+def q_tpch_q20(spark, sf_dir):
+    """TPC-H Q20 (potential part promotion): Asian suppliers holding
+    excess stock of small parts — the canonical NESTED IN/EXISTS CHAIN
+    (suppkey IN (... partkey IN (...) ... availqty > 0.5 · shipped)),
+    rewritten as chained LEFT SEMI joins.
+
+    partsupp stand-in: availability = total quantity the supplier ever
+    shipped of the part; the excess test keeps pairs whose total
+    exceeds 1.5× the 1997 window's shipments. Both sides derive from
+    lineitem, so the canonical query's separate partsupp scan FUSES
+    into the one per-(supplier, part) aggregate — one fact scan, one
+    shuffle, with the window sum as a CASE-gated second measure. The
+    threshold compare cross-multiplies integers (2·total > 3·qty97 —
+    quantities are integral, sums < 2⁵³, both sides exact bigints).
+
+    Scale shape: the part-name slice semi-filters the fact (UNHINTED,
+    SF-proportional); chosen supplier keys semi-filter supplier;
+    region/nation are the only hinted broadcasts."""
+    pk = (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_name").like("small%"))
+        .select("p_partkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity", "l_shipdate"
+    )
+    in97 = (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp")) & (
+        F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    agg = (
+        li.join(pk, F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(
+            F.sum("l_quantity").cast("bigint").alias("total_qty"),
+            F.coalesce(
+                F.sum(F.when(in97, F.col("l_quantity"))), F.lit(0.0)
+            )
+            .cast("bigint")
+            .alias("qty97"),
+        )
+    )
+    chosen = (
+        agg.where(
+            (F.col("qty97") > 0)
+            & (F.lit(2) * F.col("total_qty") > F.lit(3) * F.col("qty97"))
+        )
+        .select("l_suppkey")
+        .distinct()
+    )
+    r = (
+        load_table(spark, sf_dir, "region")
+        .where(F.col("r_name") == "ASIA")
+        .select("r_regionkey")
+    )
+    n = load_table(spark, sf_dir, "nation").join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select("n_nationkey")
+    return (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(chosen, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_name")
+        .orderBy("s_name")
     )

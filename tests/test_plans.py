@@ -442,8 +442,12 @@ def test_tpch_no_sf_proportional_broadcast_hints():
         / "polars_express_spark" / "queries" / "tpch.py"
     ).read_text()
     hinted = re.findall(r"F\.broadcast\((\w+)\)", src)
-    allowed = {"r", "n", "n1", "n2", "mx", "avg_bal", "top"}
+    allowed = {"r", "n", "n1", "n2", "mx", "avg_bal", "top", "tot"}
     assert set(hinted) <= allowed, sorted(set(hinted) - allowed)
+    # the regex only sees simple names — an inline F.broadcast(expr)
+    # would evade it, so forbid that form outright in this module
+    assert not re.search(r"F\.broadcast\(\s*load_table", src)
+    assert not re.search(r"F\.broadcast\(\s*\n", src)
 
 
 def test_weighted_quantile_no_group_cardinality_broadcast_hints():
@@ -599,6 +603,33 @@ def test_perplexity_keyed_lm_join_no_python(spark):
     assert "CartesianProduct" not in tree, tree
 
 
+def test_tpch_pack4_join_shapes(spark):
+    """r11 TPC-H fourth wave (Q2/Q9/Q11/Q16/Q20 — the partsupp-derived
+    set). No CartesianProduct anywhere; BNLJ only in Q11 (exactly one —
+    the declared 1-row global-total attach). Q2's top-100 fuses to
+    TakeOrderedAndProject with the part filters pushed to the scan.
+    Q16's NOT-IN blacklist is a LEFT ANTI hash join. Q20's two derived
+    relations (all-time availability, window demand) fuse into ONE
+    lineitem scan, with both semi-join stages present."""
+    for name in ("q_tpch_q2", "q_tpch_q9", "q_tpch_q16", "q_tpch_q20"):
+        p = plan_of(name, spark)
+        assert "CartesianProduct" not in p, name
+        assert "BroadcastNestedLoop" not in p, name
+    p2 = plan_of("q_tpch_q2", spark)
+    assert "TakeOrderedAndProject" in p2, p2
+    pushed = [seg.split("\n")[0] for seg in p2.split("PushedFilters:")[1:]]
+    assert any("p_size" in s and "p_type" in s for s in pushed), pushed
+    p11 = plan_of("q_tpch_q11", spark).split("\n\n")[0]
+    assert "CartesianProduct" not in p11, p11
+    assert p11.count("BroadcastNestedLoopJoin") == 1, p11
+    p16 = plan_of("q_tpch_q16", spark)
+    assert "LeftAnti" in p16, p16
+    p20 = plan_of("q_tpch_q20", spark)
+    tree20 = p20.split("\n\n")[0]
+    assert tree20.count("LeftSemi") >= 2, tree20
+    assert p20.count("lineitem.parquet") == 1, p20
+
+
 def test_tpch_q21_single_pass_window(spark):
     """Q21's EXISTS/NOT-EXISTS correlation must be ONE pass: exactly
     one lineitem scan (a groupBy+rejoin formulation re-scans the
@@ -642,6 +673,7 @@ _BNLJ_ALLOWED = {
     "q_pmi",                # corpus-total attach
     "q_simhash",            # hamming-threshold scalar attach
     "q_tfidf",              # corpus doc-count attach
+    "q_tpch_q11",           # 1-row global-total share threshold attach
     "q_tpch_q22",           # scalar avg-balance threshold attach
     "q_train_split",        # split-threshold attaches
     "q_triangles",          # wedge/triangle total attaches
