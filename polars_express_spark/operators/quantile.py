@@ -198,13 +198,20 @@ def exact_quantiles(
         )
         in_any = bet if in_any is None else (in_any | bet)
     masked = anchored.withColumn("__key", F.when(in_any, F.col("__v")))
-    pre_exprs = [F.count(F.lit(1)).alias("__c")]
+    # __los/__his are group-constant: carry them through as first()
+    # aggregates rather than grouping KEYS, so the hash aggregate never
+    # hashes two arrays per input row
+    pre_exprs = [
+        F.count(F.lit(1)).alias("__c"),
+        F.first("__los").alias("__los"),
+        F.first("__his").alias("__his"),
+    ]
     for i in range(m):
         lo_i = F.element_at("__los", i + 1)
         pre_exprs.append(
             F.count(F.when(F.col("__v") < lo_i, 1)).alias(f"__ltp{i}")
         )
-    pre = masked.groupBy(*gcols, "__n", "__los", "__his", "__key").agg(*pre_exprs)
+    pre = masked.groupBy(*gcols, "__n", "__key").agg(*pre_exprs)
     agg_exprs = []
     for i in range(m):
         lo_i = F.element_at("__los", i + 1)
