@@ -50,22 +50,26 @@ def query(name: str, oracle: str | None = None):
 # (distinct (value,count) pairs instead of raw bracket rows — r10
 # ADVICE medium; q_winsorize/q_percentile_approx ride it),
 # operators/weighted.py lost its group-cardinality broadcast hints
-# (q_weighted_median), and q_dup_spans memoizes its shingle frame
-# (verdict finding #1).
+# (q_weighted_median), q_dup_spans memoizes its shingle frame
+# (verdict finding #1), and q_tpch_q17's per-part threshold became a
+# window over the ONE brand-slice derivation (the aggregate-and-rejoin
+# shape scanned the fact twice — Catalyst does not dedupe common
+# subplans).
 # Window layout:
-#   slots 1-41  — the r7-stale tier, 41 of its 46 members in
+#   slots 1-40  — the r7-stale tier, 40 of its 46 members in
 #                 alphabetical order (driver evidence lags code by
 #                 FOUR rounds — the verdict's #1 item);
-#   slots 42-45 — changed-this-round code: q_winsorize +
+#   slots 41-45 — changed-this-round code: q_winsorize +
 #                 q_percentile_approx (tie-bounded refine),
 #                 q_weighted_median (de-hinted), q_dup_spans
-#                 (memoized shingle frame);
+#                 (memoized shingle frame), q_tpch_q17
+#                 (single-derivation window);
 #   slots 46-50 — the r11 TPC-H fourth wave (Q2/Q9/Q11/Q16/Q20 —
 #                 completing all 22 canonical shapes), NEW this
 #                 round, never checked.
-# Tier "next" (r12) = the 5 r7-hash queries that did not fit
-# (q_text_search, q_train_split, q_transitions, q_unicode_norm,
-# q_weighted_sample), then the 48 r8-hash (q01/q02/q05/q06/q07,
+# Tier "next" (r12) = the 6 r7-hash queries that did not fit
+# (q_streaks, q_text_search, q_train_split, q_transitions,
+# q_unicode_norm, q_weighted_sample), then the 48 r8-hash (q01/q02/q05/q06/q07,
 # q12-q17 join family, q25-q31 scalar-fn family, q34-q38,
 # q_ab_ztest, q_ann_ivf/ivfpq/pq, q_benford, q_chi2, q_control_chart,
 # q_e2e_curation, q_ewma, q_kcore, q_ks_test, q_lpa_communities,
@@ -73,8 +77,8 @@ def query(name: str, oracle: str | None = None):
 # q_semdedup, q_sql_surface, q_token_entropy, q_tokenize_ids,
 # q_url_canonical, q_zipf_fit), then the 42 r9-hash.
 _PRIORITY = [
-    # slots 1-41 — r7-stale tier (unchanged code, oldest driver
-    # evidence first alphabetically; 5 spill to the r12 tier)
+    # slots 1-40 — r7-stale tier (unchanged code, oldest driver
+    # evidence first alphabetically; 6 spill to the r12 tier)
     "q21b_range_frame", "q22c_grouping_sets", "q23b_except_all",
     "q23b_intersect_all", "q32b_tumbling_distinct", "q_attribution",
     "q_bigram_lm", "q_bpe_encode", "q_bpe_pairs", "q_bpe_train",
@@ -85,10 +89,10 @@ _PRIORITY = [
     "q_lang_centroid", "q_lm_score", "q_logreg_gd", "q_merge_on_read",
     "q_multimodal_audio", "q_outlier_mad", "q_paa", "q_profile",
     "q_radius_join", "q_rare_tokens", "q_retention", "q_rfm",
-    "q_skew_profile", "q_skyline", "q_snapshot_diff", "q_streaks",
-    # slots 42-45 — changed-this-round code paths
+    "q_skew_profile", "q_skyline", "q_snapshot_diff",
+    # slots 41-45 — changed-this-round code paths
     "q_winsorize", "q_percentile_approx", "q_weighted_median",
-    "q_dup_spans",
+    "q_dup_spans", "q_tpch_q17",
     # slots 46-50 — r11 TPC-H fourth wave, new this round
     "q_tpch_q2", "q_tpch_q9", "q_tpch_q11", "q_tpch_q16", "q_tpch_q20",
 ]

@@ -274,24 +274,26 @@ def q_tpch_q17(spark, sf_dir):
     canonical CORRELATED SCALAR SUBQUERY (per-part average compared
     against each row of the same part).
 
-    Decorrelation, Spark-first: filter the fact once through the
-    brand/size part slice, compute the per-part averages from that SAME
-    slice (the filter is on part attributes only, so the slice holds
-    every lineitem of the selected parts), join the per-part thresholds
-    back, and filter. The whole correlated comparison costs one scan of
-    the brand slice plus two keyed joins — no repeated subquery per
-    row, which is what a naive correlated plan does and what dies at
-    100 TB. Neither join is HINTED: the part slice and the per-part
-    threshold table both grow linearly with SF (a fixed fraction of
-    part), so the size threshold broadcasts them at test SF while at
-    100 TB both joins shuffle on partkey — co-partitioned, since bl and
-    th share the l_partkey distribution (an explicit `F.broadcast`
-    would pin an OOM plan AQE cannot demote).
+    Decorrelation, Spark-first (r11 single-derivation rework): filter
+    the fact once through the brand/size part slice (the filter is on
+    part attributes only, so the slice holds every lineitem of the
+    selected parts), then compute the per-part average as a WINDOW
+    over the partkey-partitioned slice and filter in place. The
+    previous aggregate-and-rejoin shape derived the slice TWICE —
+    Catalyst does not dedupe common subplans (the q_dup_spans r10
+    lesson), so the fact was scanned and joined once per consumer; the
+    window computes the threshold in the one derivation: one fact
+    scan, one partkey shuffle, no repeated subquery per row (which is
+    what a naive correlated plan does and what dies at 100 TB). The
+    window's per-partition buffer is lineitems-per-part — TPC-H holds
+    that near-constant (~30) at every SF. The part-slice join is
+    UNHINTED (SF-proportional: threshold broadcasts at test SF, AQE
+    free at scale).
 
     Threshold exactness: l_quantity is integral (≤ 50), so the per-part
-    double sums and averages are exact in any order, and 0.2·avg is the
-    same double on both engines — the strict `<` boundary cannot
-    diverge."""
+    double sums and averages are exact in any order — window and
+    grouped aggregation orders included — and 0.2·avg is the same
+    double on both engines; the strict `<` boundary cannot diverge."""
     p = (
         load_table(spark, sf_dir, "part")
         .where((F.col("p_brand") == "Brand#11") & (F.col("p_size") < 25))
@@ -303,12 +305,10 @@ def q_tpch_q17(spark, sf_dir):
     bl = li.join(p, F.col("l_partkey") == F.col("p_partkey")).drop(
         "p_partkey"
     )
-    th = bl.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
-        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_th")
-    )
-    hit = bl.join(th, F.col("l_partkey") == F.col("t_partkey")).where(
-        F.col("l_quantity") < F.col("qty_th")
-    )
+    hit = bl.withColumn(
+        "qty_th",
+        F.lit(0.2) * F.avg("l_quantity").over(Window.partitionBy("l_partkey")),
+    ).where(F.col("l_quantity") < F.col("qty_th"))
     return hit.agg(
         F.count(F.lit(1)).alias("n_matched"), dsum(F.col("l_extendedprice"), "__s")
     ).select(
@@ -545,13 +545,20 @@ def q_tpch_q15(spark, sf_dir):
     view, kept as an exact-equality filter (ties all surface, as the
     spec requires).
 
-    Plan shape: the per-supplier revenue aggregate is computed once and
-    its 1-row max attaches by broadcast (hinted — a 1-row aggregate is
-    constant-size at every SF, and the planner cannot know that from
-    static stats); the equality is safe because both sides are the SAME
-    exact decimal sum (a double-summed revenue would make `= max` flake
-    on partition order — the decimal contract is what makes this query
-    hashable at all). The winner set `top` — a handful of rows at any
+    Plan shape: the per-supplier revenue aggregate is DERIVED TWICE —
+    once under the 1-row max, once as the winner-filter input
+    (Catalyst does not dedupe common subplans; both derivations are
+    pruned 3-column scan+agg passes). That is the deliberate choice
+    for an exact argmax-with-ties over a grouped aggregate: the
+    alternatives are a single-partition window (serializes
+    supplier-cardinality rows into one task at 100 TB) or a
+    checkpoint (makes the query eager) — the linear re-scan is the
+    declarative price. The 1-row max attaches by broadcast (hinted —
+    a 1-row aggregate is constant-size at every SF, and the planner
+    cannot know that from static stats); the equality is safe because
+    both sides are the SAME exact decimal sum (a double-summed revenue
+    would make `= max` flake on partition order — the decimal contract
+    is what makes this query hashable at all). The winner set `top` — a handful of rows at any
     SF — is the hinted broadcast side of the supplier attach; supplier
     itself is SF-proportional and must NOT be hinted (a hard hint on it
     would pin an OOM broadcast at 100 TB that AQE cannot demote)."""
@@ -1005,17 +1012,38 @@ def q_tpch_q2(spark, sf_dir):
     Scale shape: region/nation ride broadcast hints (constant-size);
     supplier and the supply catalog are SF-proportional and UNHINTED —
     the threshold broadcasts at test SF, AQE decides at 100 TB. The
-    per-part min frame shares the supply frame's partkey distribution
-    (co-partitioned join). The equality filter is safe because both
-    sides are the SAME exact double (min preserves values bit-for-bit
-    on both engines). The final top-100 fuses to
+    per-part min rides a WINDOW over the partkey-partitioned supply
+    frame, not a groupBy + self-join: Catalyst does not dedupe common
+    subplans, so the aggregate-and-rejoin shape would derive the
+    supply catalog TWICE (two fact scans — the q_dup_spans r10
+    lesson); the window computes it in the one derivation, and its
+    per-partition buffer is the suppliers-per-part count (bounded —
+    TPC-H holds it at a few dozen at every SF). The equality filter is
+    safe because both sides are the SAME exact double (min preserves
+    values bit-for-bit on both engines). The final top-100 fuses to
     TakeOrderedAndProject under a TOTAL order — (s_name, p_partkey)
     is unique per row, so LIMIT cannot flake the hash."""
+    p = (
+        load_table(spark, sf_dir, "part")
+        .where((F.col("p_size") < 15) & (F.col("p_type") == "LARGE"))
+        .select("p_partkey", "p_name")
+    )
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_suppkey", "l_extendedprice"
     )
-    ps = li.groupBy("l_partkey", "l_suppkey").agg(
-        F.min("l_extendedprice").alias("cost")
+    # the part filter is independent of the min (it gates WHICH parts
+    # surface, not which supplies compete), so it pushes BELOW the
+    # supply aggregate: the fact semi-joins the filtered partkeys
+    # before grouping — at 100 TB the catalog aggregate runs over the
+    # selected parts' lineitems only, not the whole fact
+    ps = (
+        li.join(
+            p.select("p_partkey"),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left_semi",
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("l_extendedprice").alias("cost"))
     )
     r = (
         load_table(spark, sf_dir, "region")
@@ -1031,21 +1059,11 @@ def q_tpch_q2(spark, sf_dir):
     sup = ps.join(s, F.col("l_suppkey") == F.col("s_suppkey")).select(
         "l_partkey", "cost", "s_acctbal", "s_name", "n_name"
     )
-    mc = sup.groupBy(F.col("l_partkey").alias("m_partkey")).agg(
-        F.min("cost").alias("min_cost")
-    )
-    p = (
-        load_table(spark, sf_dir, "part")
-        .where((F.col("p_size") < 15) & (F.col("p_type") == "LARGE"))
-        .select("p_partkey", "p_name")
-    )
+    win = sup.withColumn(
+        "min_cost", F.min("cost").over(Window.partitionBy("l_partkey"))
+    ).where(F.col("cost") == F.col("min_cost"))
     return (
-        sup.join(
-            mc,
-            (F.col("l_partkey") == F.col("m_partkey"))
-            & (F.col("cost") == F.col("min_cost")),
-        )
-        .join(p, F.col("p_partkey") == F.col("l_partkey"))
+        win.join(p, F.col("p_partkey") == F.col("l_partkey"))
         .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "cost")
         .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
         .limit(100)
@@ -1154,13 +1172,21 @@ def q_tpch_q11(spark, sf_dir):
     ps_availqty).
 
     Scale shape: the nation's supplier keys semi-filter the fact
-    (UNHINTED — supplier is SF-proportional); ONE grouped decimal
-    aggregate; the global total is the accepted 1-row scalar attach
-    (declared BNLJ, test_plans allowlist). The share test cross-
-    multiplies in decimal — val·1000 > tot — so the threshold compare
-    is exact on both engines (a double 0.001·tot would flake rows
-    sitting on the boundary). Output value casts the SAME decimal to
-    double, so the hash is partition-order-free."""
+    (UNHINTED — supplier is SF-proportional); the per-part values are
+    ONE grouped decimal aggregate, and the global total is a SECOND
+    pruned pass over the same 2-column slice with NO grouping (a
+    straight scalar sum — Catalyst does not dedupe common subplans, so
+    the total cannot ride the per-part aggregate for free; deriving it
+    from byp would re-run the partkey exchange as well, and a
+    single-partition window over byp would serialize part-cardinality
+    rows into one task at 100 TB — the cheap re-scan is the right
+    trade). The 1-row total is the accepted scalar attach (declared
+    BNLJ, test_plans allowlist). The share test cross-multiplies in
+    decimal — val·1000 > tot, exact on both engines (a double
+    0.001·tot would flake rows sitting on the boundary); decimal
+    addition is associative, so the slice-level total equals the
+    oracle's sum-of-per-part-sums bit-for-bit. Output value casts the
+    SAME decimal to double, so the hash is partition-order-free."""
     n = load_table(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_7")
     sk = (
         load_table(spark, sf_dir, "supplier")
@@ -1170,18 +1196,14 @@ def q_tpch_q11(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
     )
-    byp = (
-        li.join(sk, F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
-        .groupBy("l_partkey")
-        .agg(
-            F.sum(
-                (F.col("l_extendedprice") * F.col("l_quantity")).cast(
-                    "decimal(25,6)"
-                )
-            ).alias("val")
-        )
+    sl = li.join(sk, F.col("l_suppkey") == F.col("s_suppkey"), "left_semi").select(
+        "l_partkey",
+        (F.col("l_extendedprice") * F.col("l_quantity"))
+        .cast("decimal(25,6)")
+        .alias("__pv"),
     )
-    tot = byp.agg(F.sum("val").alias("t"))
+    byp = sl.groupBy("l_partkey").agg(F.sum("__pv").alias("val"))
+    tot = sl.agg(F.sum("__pv").alias("t"))
     return (
         byp.crossJoin(F.broadcast(tot))
         .where(F.col("val") * F.lit(1000) > F.col("t"))

@@ -414,15 +414,18 @@ def test_tpch_q10_topk_fuses_and_returnflag_pushes(spark):
     assert any("l_returnflag" in s and "R" in s for s in pushed), pushed
 
 
-def test_tpch_q17_threshold_broadcasts(spark):
-    """Q17's decorrelated per-part thresholds and the brand slice must
-    both attach by broadcast AT TEST SF — threshold-driven (r10: the
-    hard `F.broadcast` hints were removed because both sides are
-    SF-proportional; this asserts the size-based planner still picks
-    BHJ locally, so the de-hinting didn't silently demote the local
-    plan to a shuffle)."""
+def test_tpch_q17_single_derivation_window(spark):
+    """Q17's decorrelated per-part threshold is a WINDOW over the one
+    brand-slice derivation (r11: the aggregate-and-rejoin shape
+    derived the slice twice — Catalyst does not dedupe common
+    subplans): exactly ONE lineitem scan, one Window, and the
+    UNHINTED part-slice join still broadcasts at test SF by size
+    (the r10 de-hinting must not silently demote it locally)."""
     p = plan_of("q_tpch_q17", spark)
-    assert p.count("BroadcastHashJoin") >= 2, p
+    assert p.count("lineitem.parquet") == 1, p
+    tree = p.split("\n\n")[0]
+    assert tree.count("Window") == 1, tree
+    assert "BroadcastHashJoin" in p, p
     assert "SortMergeJoin" not in p, p
 
 
@@ -619,6 +622,10 @@ def test_tpch_pack4_join_shapes(spark):
     assert "TakeOrderedAndProject" in p2, p2
     pushed = [seg.split("\n")[0] for seg in p2.split("PushedFilters:")[1:]]
     assert any("p_size" in s and "p_type" in s for s in pushed), pushed
+    # the per-part min is a window over the ONE supply derivation —
+    # never an aggregate-and-rejoin that re-scans the fact
+    assert p2.count("lineitem.parquet") == 1, p2
+    assert p2.split("\n\n")[0].count("Window") == 1, p2
     p11 = plan_of("q_tpch_q11", spark).split("\n\n")[0]
     assert "CartesianProduct" not in p11, p11
     assert p11.count("BroadcastNestedLoopJoin") == 1, p11
