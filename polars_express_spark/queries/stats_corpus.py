@@ -432,8 +432,16 @@ def q_pmi(spark, sf_dir):
             )
         ).alias("p")
     ).select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
-    pc = pairs.groupBy("w1", "w2").agg(
-        F.count(F.lit(1)).cast("bigint").alias("pair_cnt")
+    # pc feeds FOUR consumers (both margins, the total, the filtered
+    # join input); Catalyst does not dedupe common subplans, so without
+    # materialization the corpus explode and pair aggregation ran once
+    # per consumer (r11: measured four documents scans). The frame is
+    # vocab²-bounded — safe to pin; a lazy localCheckpoint keeps the
+    # query lazy and the input is exploded ONCE.
+    pc = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("pair_cnt"))
+        .localCheckpoint(eager=False)
     )
     r = pc.groupBy("w1").agg(F.sum("pair_cnt").cast("bigint").alias("w1_cnt"))
     s = pc.groupBy("w2").agg(F.sum("pair_cnt").cast("bigint").alias("w2_cnt"))

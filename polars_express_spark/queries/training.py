@@ -721,8 +721,18 @@ def q_lm_score(spark, sf_dir):
         ).alias("b"),
     ).select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
     train = big.where(F.col("doc_id") % 2 == 0)
-    lm2 = train.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
-    lm1 = train.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    # lm2 is vocab²-bounded and feeds two consumers (the unigram margin
+    # and the model join) — lazily checkpointed so the training half is
+    # exploded ONCE; the unigram margin is then the bigram table summed
+    # over w2 (the q_perplexity uc-from-pc pattern) instead of a second
+    # pass over `train` (Catalyst does not dedupe common subplans; r11:
+    # the old shape ran the corpus explode three times)
+    lm2 = (
+        train.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c2"))
+        .localCheckpoint(eager=False)
+    )
+    lm1 = lm2.groupBy("w1").agg(F.sum("c2").alias("c1"))
     lm = lm2.join(lm1, "w1").select(
         "w1", "w2", (F.col("c2").cast("double") / F.col("c1").cast("double")).alias("p")
     )
