@@ -22,7 +22,12 @@ bucket offset + intra-bucket running sum, independent of bucket count.
 Caller contract: ``order_col`` is numeric and a TOTAL order (distinct
 values) — pre-aggregate to distinct keys first (as the ECDF/KS caller
 does), otherwise ties make any running sum order-dependent in every
-engine.
+engine. The input is read THREE times inside the operator (bounds,
+per-bucket subtotals, the final offset-join pass) — Catalyst does not
+dedupe common subplans, so an input behind an expensive lineage (that
+dedup aggregation, a join) should be lazily ``localCheckpoint``ed by
+the caller first (as the KS caller does); the operator does not force
+one because a caller may pass a frame that is already cheap or pinned.
 
 Reference analog: Polars cum_sum is a single-threaded column kernel
 (linked surface, reference Cargo.toml:8); this is its shuffle-safe

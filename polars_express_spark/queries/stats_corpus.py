@@ -72,7 +72,16 @@ def q_ks_test(spark, sf_dir):
         F.when(F.col("o_orderpriority") == _KS_A, 1).otherwise(0).cast("long").alias("a"),
         F.when(F.col("o_orderpriority") == _KS_B, 1).otherwise(0).cast("long").alias("b"),
     )
-    per_v = ab.groupBy("v").agg(F.sum("a").alias("sa"), F.sum("b").alias("sb"))
+    # per_v (the deduped ECDF support) feeds the prefix scan's three
+    # internal passes plus the totals; Catalyst does not dedupe common
+    # subplans, so without materialization the orders scan + dedup
+    # aggregation re-ran once per consumer (r11: measured five scans).
+    # Distinct-value-bounded — safe to pin lazily.
+    per_v = (
+        ab.groupBy("v")
+        .agg(F.sum("a").alias("sa"), F.sum("b").alias("sb"))
+        .localCheckpoint(eager=False)
+    )
     from polars_express_spark.operators.prefix import bucketed_cumsum
 
     cum = bucketed_cumsum(per_v, "v", ["sa", "sb"], n_buckets=32)
