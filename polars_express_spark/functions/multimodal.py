@@ -22,9 +22,19 @@ bytes. r9 adds the uncompressed tier: Netpbm P5/P6 rasters decode to
 REAL pixels codec-free (parse_netpbm / decode_pixel_stats, and the
 real_resize / real_extract paths below), so the full
 decode→transform→featurize ladder runs end-to-end on actual pixels for
-formats whose encoding IS the raster. Everything around the stub — schema, Arrow batch
-iteration, column plumbing — is real and oracle-tested (q_multimodal_meta
-replays the fake's arithmetic in DuckDB SQL over the same bytes).
+formats whose encoding IS the raster. r11 adds the ENTROPY-CODED tier
+for PNG: its compression is DEFLATE, which the stdlib's zlib decodes —
+parse_png inflates the IDAT stream, reconstructs all five scanline
+filters (None/Sub/Up/Average/Paeth, PNG spec §9), applies PLTE for
+paletted images, and returns the same (w, h, ch, ndarray) contract as
+parse_netpbm, CRC-checked per chunk; gray/RGB/gray+alpha/RGBA at 8-
+and 16-bit and 8-bit palette are covered, Adam7 interlace and sub-byte
+depths still raise. The remaining codec gates are JPEG's arithmetic/
+Huffman scans and compressed audio/video — formats whose entropy
+coders have no stdlib implementation. Everything around the stub —
+schema, Arrow batch iteration, column plumbing — is real and
+oracle-tested (q_multimodal_meta replays the fake's arithmetic in
+DuckDB SQL over the same bytes).
 """
 
 from __future__ import annotations
@@ -441,10 +451,12 @@ def decode_audio(df: DataFrame) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Netpbm (PGM P5 / PPM P6): the uncompressed raster family — REAL pixel
-# decode with pure struct + numpy, no codec library (r9). This closes
-# the last tier of the decode ladder: full pixels for uncompressed
-# formats, header metadata for PNG/BMP/GIF/JPEG (above), Pillow-gated
-# NotImplementedError for entropy-coded pixels.
+# decode with pure struct + numpy, no codec library (r9). r11 extends
+# the real tier to PNG (parse_png below — DEFLATE is stdlib zlib), so
+# the decode ladder is now: full pixels for uncompressed rasters AND
+# PNG, header metadata for BMP/GIF/JPEG (above), Pillow-gated
+# NotImplementedError only for formats whose entropy coders have no
+# stdlib implementation (JPEG scans, compressed audio/video).
 # ---------------------------------------------------------------------------
 
 PIXEL_STATS_SCHEMA = (
@@ -518,26 +530,154 @@ def parse_netpbm(payload: bytes):
     return w, h, channels, arr.reshape(h, w, channels)
 
 
+def parse_png(payload: bytes):
+    """REAL PNG pixel decode with the standard library only (r11):
+    returns (width, height, channels, ndarray[h, w, ch]) or None.
+
+    PNG's entropy coder is DEFLATE, which ``zlib`` implements — so
+    unlike JPEG, full pixel decode needs no external codec: walk the
+    chunk stream (CRC-checking each chunk — a corrupt stream returns
+    None, never invented pixels), inflate the concatenated IDAT data,
+    reconstruct the per-scanline filters (None/Sub/Up/Average/Paeth —
+    filters operate on BYTES regardless of sample depth, PNG spec §9),
+    and reshape. Covers color types 0/2/4/6 at bit depth 8 and 16
+    (16-bit samples big-endian, matching parse_netpbm's convention)
+    and type 3 (palette) at depth 8 via PLTE lookup (output is the
+    looked-up RGB raster, channels=3). Returns None for Adam7
+    interlace and sub-byte depths (valid PNGs this tier does not
+    cover) and for any structural corruption: bad CRC, truncated
+    chunk, inflate error, or a raster length that disagrees with the
+    header.
+
+    Per-byte filter reconstruction runs in Python inside the
+    Arrow-batched operator — correct and dependency-free; a production
+    deployment swaps this one function for a C codec without touching
+    the Spark plumbing around it."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    pos, n = 8, len(payload)
+    ihdr, plte, idat = None, None, []
+    saw_iend = False
+    while pos + 12 <= n:
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        if pos + 12 + length > n:
+            return None  # truncated chunk
+        data = payload[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack(">I", payload[pos + 8 + length : pos + 12 + length])
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            return None
+        pos += 12 + length
+        if ctype == b"IHDR":
+            if length != 13:
+                return None
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            plte = data
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            saw_iend = True
+            break
+    # a stream that never reaches IEND is truncated even if every
+    # present chunk CRC-checks — strict, per "corrupt streams raise"
+    if ihdr is None or not idat or not saw_iend:
+        return None
+    w, h, depth, ctype_i, comp, filt, interlace = ihdr
+    if comp != 0 or filt != 0 or interlace != 0:
+        return None  # Adam7 / nonstandard methods: not this tier
+    if ctype_i not in _PNG_CHANNELS or w <= 0 or h <= 0:
+        return None
+    ch = _PNG_CHANNELS[ctype_i]
+    if ctype_i == 3:
+        if depth != 8 or plte is None or len(plte) % 3:
+            return None
+        bps = 1
+    elif depth in (8, 16):
+        bps = depth // 8
+    else:
+        return None  # sub-byte depths: not this tier
+    bpp = ch * bps
+    stride = w * bpp
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error:
+        return None
+    if len(raw) != h * (1 + stride):
+        return None
+    out = bytearray(h * stride)
+    for y in range(h):
+        f = raw[y * (1 + stride)]
+        line = raw[y * (1 + stride) + 1 : (y + 1) * (1 + stride)]
+        o = y * stride
+        if f == 0:  # None
+            out[o : o + stride] = line
+        elif f == 2:  # Up — vectorized (no horizontal dependency)
+            if y == 0:
+                out[o : o + stride] = line
+            else:
+                cur = np.frombuffer(line, dtype="u1")
+                up = np.frombuffer(out[o - stride : o], dtype="u1")
+                out[o : o + stride] = (cur + up).astype("u1").tobytes()
+        elif f == 1:  # Sub
+            for x in range(stride):
+                a = out[o + x - bpp] if x >= bpp else 0
+                out[o + x] = (line[x] + a) & 0xFF
+        elif f == 3:  # Average
+            for x in range(stride):
+                a = out[o + x - bpp] if x >= bpp else 0
+                b = out[o - stride + x] if y > 0 else 0
+                out[o + x] = (line[x] + ((a + b) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for x in range(stride):
+                a = out[o + x - bpp] if x >= bpp else 0
+                b = out[o - stride + x] if y > 0 else 0
+                c = out[o - stride + x - bpp] if (y > 0 and x >= bpp) else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                out[o + x] = (line[x] + pr) & 0xFF
+        else:
+            return None  # undefined filter type
+    if ctype_i == 3:
+        idx = np.frombuffer(bytes(out), dtype="u1").reshape(h, w)
+        pal = np.frombuffer(plte, dtype="u1").reshape(-1, 3)
+        if int(idx.max()) >= pal.shape[0]:
+            return None  # index past the palette — corrupt
+        return w, h, 3, pal[idx]
+    arr = np.frombuffer(bytes(out), dtype=">u2" if bps == 2 else "u1")
+    return w, h, ch, arr.reshape(h, w, ch)
+
+
 def decode_pixel_stats(df: DataFrame) -> DataFrame:
-    """REAL pixel-level decode + reduce for Netpbm payloads: per doc,
-    dimensions plus exact mean/min/max sample values computed from the
-    decoded raster (numpy over the Arrow batch — the shape every
-    image-quality filter at 100 TB takes: decode executor-side, ship
-    only scalar features). Non-Netpbm payloads raise — compressed
-    pixels need a codec (Pillow, absent here); use decode_media for
-    header-only metadata on those."""
+    """REAL pixel-level decode + reduce for Netpbm AND PNG payloads
+    (r11 — PNG's DEFLATE entropy coding decodes with stdlib zlib; see
+    parse_png): per doc, dimensions plus exact mean/min/max sample
+    values computed from the decoded raster (numpy over the Arrow
+    batch — the shape every image-quality filter at 100 TB takes:
+    decode executor-side, ship only scalar features). Payloads that
+    are neither raise — JPEG scans and compressed audio/video need a
+    codec library (absent here); use decode_media for header-only
+    metadata on those."""
     import numpy as np  # noqa: F401  (decode dependency, imported eagerly)
 
     def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                parsed = parse_netpbm(bytes(payload))
+                raw = bytes(payload)
+                parsed = parse_netpbm(raw) or parse_png(raw)
                 if parsed is None:
                     raise NotImplementedError(
                         f"doc {doc_id}: pixel decode is implemented codec-free "
-                        "for Netpbm P5/P6; compressed formats need an image "
-                        "codec (Pillow — absent in this environment)"
+                        "for Netpbm P5/P6 and PNG (zlib inflate + filter "
+                        "reconstruction); other compressed formats need an "
+                        "image codec (Pillow — absent in this environment)"
                     )
                 w, h, ch, arr = parsed
                 rows.append(
