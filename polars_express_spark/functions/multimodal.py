@@ -208,19 +208,21 @@ def extract_features(df: DataFrame, dim: int = 16, real_extract: bool = False) -
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if real_extract:
-                # REAL pixel features for the codec-free Netpbm family
-                # (r9): dim tile-means of the grayscale raster,
-                # L1-normalized — an actual (if simple) visual
-                # descriptor from actual pixels. Entropy-coded formats
-                # still need an encoder.
+                # REAL pixel features for the codec-free families —
+                # Netpbm (r9) and PNG (r11, stdlib zlib): dim tile-means
+                # of the grayscale raster, L1-normalized — an actual (if
+                # simple) visual descriptor from actual pixels. JPEG
+                # scans still need a codec.
                 feats = []
                 for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                    parsed = parse_netpbm(bytes(payload))
+                    raw = bytes(payload)
+                    parsed = parse_netpbm(raw) or parse_png(raw)
                     if parsed is None:
                         raise NotImplementedError(
                             f"doc {doc_id}: real feature extraction is "
-                            "implemented codec-free for Netpbm P5/P6; other "
-                            "formats need a media encoder not present here"
+                            "implemented codec-free for Netpbm P5/P6 and "
+                            "PNG; other formats need a media codec not "
+                            "present here"
                         )
                     _, _, _, arr = parsed
                     gray = arr.astype("float64").mean(axis=2).ravel()
@@ -265,27 +267,40 @@ def resize_media(
         target = width * height
         for pdf in batches:
             if real_resize:
-                # REAL nearest-neighbor resample for Netpbm (r9): decode
-                # the raster, index-select rows/columns, re-encode a
-                # VALID Netpbm payload (round-trips through parse_netpbm)
-                # — sample width (8/16-bit) and channel count preserved.
+                # REAL nearest-neighbor resample for Netpbm (r9) and
+                # PNG (r11): decode the raster, index-select
+                # rows/columns, re-encode a VALID payload in the SOURCE
+                # family (round-trips through its own parser) — sample
+                # width (8/16-bit) and channel count preserved. A
+                # paletted PNG decodes to its looked-up RGB raster, so
+                # its resize re-encodes as truecolor (same pixels,
+                # PLTE indirection not reconstructed).
                 out = []
                 for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                    parsed = parse_netpbm(bytes(payload))
+                    raw = bytes(payload)
+                    parsed = parse_netpbm(raw)
+                    is_png = False
+                    if parsed is None:
+                        parsed = parse_png(raw)
+                        is_png = True
                     if parsed is None:
                         raise NotImplementedError(
                             f"doc {doc_id}: real resize is implemented "
-                            "codec-free for Netpbm P5/P6; compressed formats "
-                            "need an image codec not present here"
+                            "codec-free for Netpbm P5/P6 and PNG; other "
+                            "compressed formats need an image codec not "
+                            "present here"
                         )
                     w, h, ch, arr = parsed
                     yi = np.linspace(0, h - 1, height).round().astype(np.int64)
                     xi = np.linspace(0, w - 1, width).round().astype(np.int64)
                     res = arr[yi][:, xi]
+                    if is_png:
+                        out.append(encode_png(res))
+                        continue
                     # preserve the SOURCE maxval (r10, ADVICE: forcing
                     # 255/65535 from the byte width silently rescales
                     # the brightness scale of e.g. a maxval=1000 P5)
-                    maxval = _netpbm_header(bytes(payload))[2]
+                    maxval = _netpbm_header(raw)[2]
                     hdr = (
                         f"P{'6' if ch == 3 else '5'}\n{width} {height}\n{maxval}\n"
                     ).encode("ascii")
@@ -652,6 +667,54 @@ def parse_png(payload: bytes):
         return w, h, 3, pal[idx]
     arr = np.frombuffer(bytes(out), dtype=">u2" if bps == 2 else "u1")
     return w, h, ch, arr.reshape(h, w, ch)
+
+
+def encode_png(arr) -> bytes:
+    """Encode an (h, w) or (h, w, ch) sample array as a minimal VALID
+    PNG — filter-0 scanlines, one zlib-compressed IDAT, CRC-complete —
+    the write half of the r11 real-PNG tier (round-trips through
+    parse_png bit-exactly). Channel count picks the color type (1 →
+    gray, 2 → gray+alpha, 3 → RGB, 4 → RGBA); dtype picks the depth
+    (uint8 → 8-bit, anything wider → 16-bit big-endian, the
+    parse_netpbm convention). Filter 0 trades a few percent of
+    compression for a pure-numpy encode path — the consumers here
+    (resize re-encode, fixture construction) care about validity and
+    exact round-trip, not ratio."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    a = np.asarray(arr)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, ch = a.shape
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    if a.dtype == np.uint8:
+        depth, dt = 8, "u1"
+    else:
+        depth, dt = 16, ">u2"
+    raster = np.ascontiguousarray(a, dtype=dt).tobytes()
+    stride = w * ch * (depth // 8)
+    body = b"".join(
+        b"\x00" + raster[y * stride : (y + 1) * stride] for y in range(h)
+    )
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, 0)
+
+    def chunk(t: bytes, d: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(d))
+            + t
+            + d
+            + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+        )
+
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(body))
+        + chunk(b"IEND", b"")
+    )
 
 
 def decode_pixel_stats(df: DataFrame) -> DataFrame:

@@ -795,3 +795,56 @@ def test_png_corrupt_unsupported_fail_loud():
     idx = np.array([[5]], dtype="u1")
     overrun = _encode_png(idx, 3, 8, filters=[0], palette=bytes([1, 2, 3]))
     assert parse_png(overrun) is None
+
+
+def test_png_real_resize_features_and_encoder_roundtrip(spark):
+    """r11: encode_png is a valid writer (parse_png round-trips it
+    bit-exactly for gray/RGB/RGBA at 8/16-bit), real_resize re-encodes
+    PNG inputs as PNG with channels and depth preserved, and
+    real_extract computes tile-mean features from actual PNG pixels —
+    Netpbm and PNG payloads flow through the same operators together."""
+    import numpy as np
+
+    from polars_express_spark.functions.multimodal import (
+        encode_png,
+        extract_features,
+        parse_png,
+        resize_media,
+    )
+
+    rng = np.random.RandomState(23)
+    for shape, dtype in [((5, 4), "u1"), ((3, 6, 3), "u1"), ((2, 2, 4), "u1"),
+                         ((4, 3), ">u2")]:
+        a = rng.randint(0, 256 if dtype == "u1" else 65536, size=shape).astype(dtype)
+        w, h, ch, back = parse_png(encode_png(a))
+        want = a if a.ndim == 3 else a[:, :, None]
+        assert np.array_equal(back.astype(want.dtype), want), (shape, dtype)
+
+    rgb = rng.randint(0, 256, size=(10, 8, 3)).astype("u1")
+    p6 = b"P6\n8 10\n255\n" + rgb.tobytes()
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_png(rgb))), (2, bytearray(p6))],
+        "doc_id long, payload binary",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in resize_media(df, width=4, height=5, real_resize=True).collect()
+    }
+    # PNG in -> PNG out; exact nearest-neighbor selection
+    w1, h1, ch1, arr1 = parse_png(bytes(got[1]["payload"]))
+    assert (w1, h1, ch1) == (4, 5, 3)
+    yi = np.linspace(0, 9, 5).round().astype(int)
+    xi = np.linspace(0, 7, 4).round().astype(int)
+    assert np.array_equal(arr1, rgb[yi][:, xi])
+    # the Netpbm sibling stays Netpbm
+    assert bytes(got[2]["payload"])[:2] == b"P6"
+
+    feats = {
+        r["doc_id"]: np.array(r["features"])
+        for r in extract_features(df, dim=4, real_extract=True).collect()
+    }
+    gray = rgb.astype("float64").mean(axis=2).ravel()
+    want = np.array([c.mean() for c in np.array_split(gray, 4)], dtype="float32")
+    want = want / want.sum()
+    assert np.allclose(feats[1], want, atol=1e-6)
+    assert np.allclose(feats[1], feats[2], atol=1e-6)  # same pixels, both formats
