@@ -122,3 +122,73 @@ def q_multimodal_audio(spark, sf_dir):
 
     wav = d.mapInPandas(synth, schema="doc_id bigint, payload binary")
     return decode_audio(wav).orderBy("doc_id")
+
+
+@query(
+    "q_multimodal_pixels",
+    oracle="""
+    WITH px AS (
+      SELECT doc_id,
+             [ascii(substr(text, (i % length(text)) + 1, 1)) % 256
+              for i in range(0, 16)] AS p
+      FROM documents
+      WHERE text IS NOT NULL AND length(text) > 0
+    )
+    SELECT doc_id,
+           CAST(4 AS INT) AS width,
+           CAST(4 AS INT) AS height,
+           CAST(1 AS INT) AS channels,
+           CAST(list_sum(p) AS DOUBLE) / 16 AS mean_val,
+           CAST(list_min(p) AS INT) AS min_val,
+           CAST(list_max(p) AS INT) AS max_val
+    FROM px ORDER BY doc_id
+    """,
+)
+def q_multimodal_pixels(spark, sf_dir):
+    """REAL PNG encode→decode round-trip under the driver hash (r11 —
+    the entropy-coded pixel tier made driver-visible): a deterministic
+    4×4 grayscale raster is derived from each document's text with a
+    pure-SQL formula (code point of the (i mod len)-th character,
+    mod 256 — computed JVM-side, identically replayable in DuckDB),
+    encoded executor-side as a VALID PNG (encode_png: zlib IDAT,
+    filter-0 scanlines, CRCs), then decoded back through the real
+    parse_png path (inflate, filter reconstruction, CRC checks) by
+    decode_pixel_stats. The oracle computes the stats DIRECTLY from
+    the formula, never touching PNG — so a hash match proves the
+    encode and decode are exact inverses over real compressed bytes,
+    not just that two copies of the same arithmetic agree. Scale
+    shape: one scan, zero shuffles before the final sort; both UDF
+    stages are Arrow-batched mapInPandas (the declared Python tier
+    for codec work — decode executor-side, ship scalar features)."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    from polars_express_spark.functions.multimodal import (
+        decode_pixel_stats,
+        encode_png,
+    )
+
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    )
+    px = d.select(
+        "doc_id",
+        F.expr(
+            "transform(sequence(0, 15),"
+            " i -> ascii(substring(text, (i % length(text)) + 1, 1)) % 256)"
+        ).alias("p"),
+    )
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            payloads = [
+                encode_png(np.array(p, dtype="u1").reshape(4, 4))
+                for p in pdf["p"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    enc = px.mapInPandas(encode, schema="doc_id bigint, payload binary")
+    return decode_pixel_stats(enc).orderBy("doc_id")
