@@ -62,39 +62,44 @@ def query(name: str, oracle: str | None = None):
 # q_lm_score (lm2 checkpointed, unigram margin rolled up from it —
 # was 3 corpus explodes), q_ks_test (deduped ECDF support checkpointed
 # ahead of the prefix scan's three documented internal passes — was 5
-# orders scans). NEW beyond the wave: q_multimodal_pixels — the r11
+# orders scans), q_semdedup (bucket-shard frame checkpointed — the
+# bucketize matmul and its embeddings scan ran once per self-join
+# side), q_hll_union (per-type sketch frame checkpointed — kilobytes).
+# NEW beyond the wave: q_multimodal_pixels — the r11
 # real-PNG tier (stdlib zlib inflate + filter reconstruction) made
 # driver-visible via an encode→decode round-trip whose oracle computes
 # the expected stats directly from the pixel formula, never touching
 # PNG.
 # Window layout:
-#   slots 1-35  — the r7-stale tier, 35 of its 46 members in
+#   slots 1-34  — the r7-stale tier, 34 of its 46 members in
 #                 alphabetical order (driver evidence lags code by
 #                 FOUR rounds — the verdict's #1 item; q_lm_score
 #                 doubles as changed code);
-#   slots 36-44 — changed-this-round code: q_winsorize +
+#   slots 35-44 — changed-this-round code: q_winsorize +
 #                 q_percentile_approx (tie-bounded refine),
 #                 q_weighted_median, q_dup_spans, q_tpch_q17, q_pmi,
-#                 q_tfidf, q_heavy_hitters, q_ks_test;
+#                 q_tfidf, q_heavy_hitters, q_ks_test, q_semdedup
+#                 (q_hll_union, also changed, sits in the stale tier);
 #   slots 45-50 — NEW this round, never checked: the r11 TPC-H
 #                 fourth wave (Q2/Q9/Q11/Q16/Q20 — completing all 22
 #                 canonical shapes) and q_multimodal_pixels (real PNG
 #                 round-trip).
-# Tier "next" (r12) = the 11 r7-hash queries that did not fit
-# (q_retention, q_rfm, q_skew_profile, q_skyline, q_snapshot_diff, q_streaks,
+# Tier "next" (r12) = the 12 r7-hash queries that did not fit
+# (q_rare_tokens, q_retention, q_rfm, q_skew_profile, q_skyline,
+# q_snapshot_diff, q_streaks,
 # q_text_search, q_train_split, q_transitions,
 # q_unicode_norm, q_weighted_sample), then the 46 r8-hash (q01/q02/q05/q06/q07,
 # q12-q17 join family, q25-q31 scalar-fn family, q34-q38,
 # q_ab_ztest, q_ann_ivf/ivfpq/pq, q_benford, q_chi2, q_control_chart,
 # q_e2e_curation, q_ewma, q_kcore, q_lpa_communities,
 # q_market_basket, q_pseudonymize, q_quantize_int8,
-# q_semdedup, q_sql_surface, q_token_entropy, q_tokenize_ids,
-# q_url_canonical, q_zipf_fit — q_ks_test/q_pmi moved up as changed
-# code this round), then the 42 r9-hash.
+# q_sql_surface, q_token_entropy, q_tokenize_ids,
+# q_url_canonical, q_zipf_fit — q_ks_test/q_pmi/q_semdedup moved up
+# as changed code this round; 45 remain), then the 42 r9-hash.
 _PRIORITY = [
-    # slots 1-35 — r7-stale tier (oldest driver evidence first
-    # alphabetically; 11 spill to the r12 tier; q_lm_score is also
-    # changed-this-round code)
+    # slots 1-34 — r7-stale tier (oldest driver evidence first
+    # alphabetically; 12 spill to the r12 tier; q_lm_score and
+    # q_hll_union are also changed-this-round code)
     "q21b_range_frame", "q22c_grouping_sets", "q23b_except_all",
     "q23b_intersect_all", "q32b_tumbling_distinct", "q_attribution",
     "q_bigram_lm", "q_bpe_encode", "q_bpe_pairs", "q_bpe_train",
@@ -104,11 +109,11 @@ _PRIORITY = [
     "q_incr_agg", "q_interpolate", "q_interval_overlap",
     "q_lang_centroid", "q_lm_score", "q_logreg_gd", "q_merge_on_read",
     "q_multimodal_audio", "q_outlier_mad", "q_paa", "q_profile",
-    "q_radius_join", "q_rare_tokens",
-    # slots 36-44 — changed-this-round code paths
+    "q_radius_join",
+    # slots 35-44 — changed-this-round code paths
     "q_winsorize", "q_percentile_approx", "q_weighted_median",
     "q_dup_spans", "q_tpch_q17", "q_pmi", "q_tfidf", "q_heavy_hitters",
-    "q_ks_test",
+    "q_ks_test", "q_semdedup",
     # slots 45-50 — new this round: TPC-H fourth wave + real-PNG tier
     "q_tpch_q2", "q_tpch_q9", "q_tpch_q11", "q_tpch_q16", "q_tpch_q20",
     "q_multimodal_pixels",

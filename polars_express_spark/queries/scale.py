@@ -583,9 +583,20 @@ def q_hll_union(spark, sf_dir):
     the exact GLOBAL distinct — a wrong merge or double-count breaks
     it)."""
     e = load_table(spark, sf_dir, "events").select("event_type", "user_id")
-    sk = e.groupBy("event_type").agg(
-        F.hll_sketch_agg("user_id").alias("hll"),
-        F.countDistinct("user_id").cast("bigint").alias("exact_users"),
+    # sk feeds the union aggregate AND the final per-type projection;
+    # Catalyst does not dedupe common subplans, so without pinning the
+    # sketch-building scan ran twice (r11 single-derivation audit).
+    # n_types rows × kilobyte sketches — safe to pin lazily. The exact
+    # GLOBAL distinct below keeps its own scan: users overlap types, so
+    # it cannot derive from the per-type frame, and it is the exact
+    # side the union invariant is compared against.
+    sk = (
+        e.groupBy("event_type")
+        .agg(
+            F.hll_sketch_agg("user_id").alias("hll"),
+            F.countDistinct("user_id").cast("bigint").alias("exact_users"),
+        )
+        .localCheckpoint(eager=False)
     )
     merged = sk.agg(
         F.hll_sketch_estimate(F.hll_union_agg("hll")).alias("g_est")

@@ -946,8 +946,18 @@ def q_semdedup(spark, sf_dir):
                 }
             )
 
-    buck = vec.select("vec_id", "label", "v").mapInPandas(
-        bucketize, schema="vec_id long, label int, bucket long"
+    # buck feeds BOTH sides of the in-block self-join; Catalyst does
+    # not dedupe common subplans, so without materialization the
+    # bucketize matmul (and its embeddings scan) ran once per side
+    # (r11 single-derivation audit). Three narrow columns per vector —
+    # safe to pin lazily. The va/vb vector attaches below still read
+    # the source twice: that is the floor for a self-join whose probe
+    # sides need the vectors, and a pruned columnar re-scan beats
+    # materializing the full embedding column.
+    buck = (
+        vec.select("vec_id", "label", "v")
+        .mapInPandas(bucketize, schema="vec_id long, label int, bucket long")
+        .localCheckpoint(eager=False)
     )
     a = buck.select(
         F.col("vec_id").alias("a_id"), "label", "bucket"
