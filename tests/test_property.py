@@ -994,3 +994,37 @@ def test_ddsketch_relative_error_bound(vals, q):
         or abs(est - lo_exact) <= alpha * lo_exact + 1e-12
     )
     assert ok, (est, lo_exact, exact, q)
+
+
+@settings(max_examples=30, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    w=st.integers(1, 9),
+    h=st.integers(1, 7),
+    ch=st.integers(1, 4),
+    deep=st.booleans(),
+    filters=st.lists(st.integers(0, 4), min_size=1, max_size=7),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_png_roundtrip_property(w, h, ch, deep, filters, seed):
+    """parse_png inverts ANY valid filtered encoding: random shapes,
+    channel counts, 8/16-bit depths, and random per-scanline filter
+    choices (the test encoder applies the forward filter; the decoder
+    must reconstruct bit-exactly). Pure driver-side — no Spark."""
+    import numpy as np
+
+    from polars_express_spark.functions.multimodal import parse_png
+    from tests.test_pipeline_ops import _encode_png
+
+    rng = np.random.RandomState(seed)
+    hi = 65536 if deep else 256
+    dt = ">u2" if deep else "u1"
+    shape = (h, w) if ch == 1 else (h, w, ch)
+    a = rng.randint(0, hi, size=shape).astype(dt)
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    png = _encode_png(a, ctype, 16 if deep else 8, filters=filters)
+    got = parse_png(png)
+    assert got is not None
+    gw, gh, gch, arr = got
+    assert (gw, gh, gch) == (w, h, ch)
+    want = a if a.ndim == 3 else a[:, :, None]
+    assert np.array_equal(arr.astype(want.dtype), want)
