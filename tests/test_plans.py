@@ -635,6 +635,10 @@ def test_tpch_pack4_join_shapes(spark):
     tree20 = p20.split("\n\n")[0]
     assert tree20.count("LeftSemi") >= 2, tree20
     assert p20.count("lineitem.parquet") == 1, p20
+    # the LIKE filters reach the part scan as string pushdowns
+    p9 = plan_of("q_tpch_q9", spark)
+    assert "StringContains(p_name,red)" in p9, p9
+    assert "StringStartsWith(p_name,small)" in p20, p20
 
 
 def test_tpch_q21_single_pass_window(spark):
