@@ -4,9 +4,11 @@ entry(spark)    — flagship query (Q13, TPC-H Q3 shape: 3-way join +
                   filtered agg + distributed top-k) at sf0.001.
 queries()       — every implemented operator from SURVEY.md §2 as a
                   named (spark, sf_dir) -> DataFrame callable.
-oracle_sql()    — DuckDB twin for EVERY registered query (the live
-                  registry; 191/191 as of round 11):
-                  hash/approximate operators (fingerprint,
+oracle_sql()    — DuckDB twin for EVERY registered query. The count is
+                  LIVE, never hardcoded here (it went stale twice):
+                  len(queries()) == len(oracle_sql()) is asserted by
+                  tests/test_registry_shapes.py against the registry.
+                  Hash/approximate operators (fingerprint,
                   simhash, minhash/LSH, ANN, sampling) register
                   bounded-invariant forms whose exact part the oracle
                   recomputes, so nothing falls back to the rows-only

@@ -31,12 +31,32 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 PASSES = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2")))
 
 
+def _cpu_ticks() -> tuple[int, int] | None:
+    """(steal_ticks, total_ticks) from /proc/stat's aggregate cpu line,
+    or None off-Linux. Sampled before/after the run so the emitted
+    totals carry a machine-readable `steal_pct` — this box shows bursty
+    host-level CPU steal (identical code measured 111s idle vs 129-131s
+    under a uniform ~1.17× inflation, diagnosed BY HAND in rounds 9-11
+    via the uniform-ratio heuristic; VERDICT r11 next-step #5 asks for
+    the telemetry instead)."""
+    try:
+        with open("/proc/stat") as f:
+            fields = f.readline().split()
+    except OSError:
+        return None
+    if not fields or fields[0] != "cpu" or len(fields) < 9:
+        return None
+    vals = [int(v) for v in fields[1:]]
+    return vals[7], sum(vals)  # field 8 = steal (man proc)
+
+
 def main() -> int:
     from polars_express_spark.queries.registry import all_queries
     from polars_express_spark.session import get_spark
 
     spark = get_spark(app_name="polars_express_spark_bench")
     queries = all_queries()
+    ticks0 = _cpu_ticks()
 
     # Warm the JVM + parquet footers once so per-query numbers measure
     # query execution, not first-touch setup.
@@ -89,6 +109,12 @@ def main() -> int:
     # only the LAST 2000 chars of this line, so the big `queries` map
     # goes FIRST and every scalar total LAST — totals and the newest
     # alphabetical tail of per-query numbers always survive truncation.
+    ticks1 = _cpu_ticks()
+    steal_pct = None
+    if ticks0 is not None and ticks1 is not None and ticks1[1] > ticks0[1]:
+        steal_pct = round(
+            100.0 * (ticks1[0] - ticks0[0]) / (ticks1[1] - ticks0[1]), 2
+        )
     result = {
         "queries": timings,
         "metric": "total_query_sec",
@@ -96,6 +122,10 @@ def main() -> int:
         "sf": sf_val,
         "n_queries": len(timings),
         "n_errors": len(timings) - len(ok),
+        # host CPU stolen by the hypervisor over the run, as % of all
+        # cpu ticks — >~3% means the totals above are contention-inflated
+        # and should be compared against an idle re-run, not the plan
+        "steal_pct": steal_pct,
         "cold_total": round(sum(cold_ok.values()), 4),
         "warm_total": round(sum(warm_ok.values()), 4),
         "value": round(sum(ok.values()), 4),

@@ -101,6 +101,23 @@ def _pd_family(dtype) -> str:
     return "obj"
 
 
+def test_every_query_has_an_oracle():
+    """__spark_entry__'s docstring claims a DuckDB twin for EVERY
+    registered query. Keep the claim LIVE instead of hardcoding a count
+    in the docstring — the hardcoded number went stale twice (said
+    165/165 for four rounds, then 191/191 against a 192-query registry;
+    VERDICT r11 what's-wrong #1). A query registered with oracle=None
+    would fall back to the driver's weaker rows-only check — fail here
+    first so the demotion is a deliberate, reviewed choice."""
+    from polars_express_spark.queries.registry import all_oracles, all_queries
+
+    qs, osql = all_queries(), all_oracles()
+    assert set(qs) == set(osql), (
+        f"queries without oracles (rows-only fallback): {sorted(set(qs) - set(osql))}"
+        f" / oracles without queries: {sorted(set(osql) - set(qs))}"
+    )
+
+
 def test_oracle_dtypes_match_spark_schema(spark, ddb):
     """Driver-canonicalizer dtype parity (r8): the oracle result's pandas
     dtype family must match the Spark schema's for every column — value
