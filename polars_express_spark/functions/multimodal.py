@@ -560,9 +560,14 @@ def parse_png(payload: bytes):
     and type 3 (palette) at depth 8 via PLTE lookup (output is the
     looked-up RGB raster, channels=3). Returns None for Adam7
     interlace and sub-byte depths (valid PNGs this tier does not
-    cover) and for any structural corruption: bad CRC, truncated
-    chunk, inflate error, or a raster length that disagrees with the
-    header.
+    cover), for tRNS transparency and unrecognized CRITICAL chunks
+    (honoring either would change pixels — "None, never invented
+    pixels"; ancillary chunks like tEXt/gAMA are skipped per spec),
+    and for any structural corruption: bad CRC, truncated chunk,
+    inflate error, or a raster length that disagrees with the header.
+    IDAT inflation is CAPPED at the header-declared raster size, so a
+    crafted deflate bomb is rejected without the allocation it tried
+    to provoke.
 
     Per-byte filter reconstruction runs in Python inside the
     Arrow-batched operator — correct and dependency-free; a production
@@ -599,6 +604,18 @@ def parse_png(payload: bytes):
         elif ctype == b"IEND":
             saw_iend = True
             break
+        elif ctype == b"tRNS":
+            # transparency (palette alpha / color-keyed): this tier has
+            # no alpha channel to express it in, and decoding to opaque
+            # RGB would silently drop it — pixels differing from a
+            # reference decoder violates "None, never invented pixels"
+            # (r12, ADVICE)
+            return None
+        elif not ctype[0] & 0x20:
+            # unrecognized CRITICAL chunk (uppercase first letter, PNG
+            # spec §5.4): the spec forbids rendering without honoring
+            # it, so skipping would invent pixels — reject like Adam7
+            return None
     # a stream that never reaches IEND is truncated even if every
     # present chunk CRC-checks — strict, per "corrupt streams raise"
     if ihdr is None or not idat or not saw_iend:
@@ -619,11 +636,19 @@ def parse_png(payload: bytes):
         return None  # sub-byte depths: not this tier
     bpp = ch * bps
     stride = w * bpp
+    # cap inflation at the header-declared raster size (r12, ADVICE):
+    # a kilobyte-scale crafted IDAT (deflate bomb) must not allocate
+    # gigabytes executor-side before the length check rejects it —
+    # decompressobj stops at max_length, then one 1-byte probe detects
+    # any surplus output without producing it
+    need = h * (1 + stride)
+    d = zlib.decompressobj()
     try:
-        raw = zlib.decompress(b"".join(idat))
+        raw = d.decompress(b"".join(idat), need)
+        surplus = d.decompress(d.unconsumed_tail, 1)
     except zlib.error:
         return None
-    if len(raw) != h * (1 + stride):
+    if len(raw) != need or surplus:
         return None
     out = bytearray(h * stride)
     for y in range(h):

@@ -156,7 +156,16 @@ def q_multimodal_pixels(spark, sf_dir):
     decode_pixel_stats. The oracle computes the stats DIRECTLY from
     the formula, never touching PNG — so a hash match proves the
     encode and decode are exact inverses over real compressed bytes,
-    not just that two copies of the same arithmetic agree. Scale
+    not just that two copies of the same arithmetic agree. Cross-engine
+    footing (r12, ADVICE): the formula is code-point-safe as written —
+    measured on THIS Spark (4.1), ascii() returns the full Unicode code
+    point even for supplementary-plane characters (ascii('U+1F600') =
+    128512, identical to DuckDB), and length()/substring() are
+    code-point-based on both engines, so the %256 pixel values agree
+    for any text including astral-plane characters; pinned by
+    tests/test_pipeline_ops.py::test_pixel_formula_codepoint_parity,
+    which would catch a Spark regression to UTF-16-code-unit semantics
+    before the driver hash does. Scale
     shape: one scan, zero shuffles before the final sort; both UDF
     stages are Arrow-batched mapInPandas (the declared Python tier
     for codec work — decode executor-side, ship scalar features)."""

@@ -797,6 +797,90 @@ def test_png_corrupt_unsupported_fail_loud():
     assert parse_png(overrun) is None
 
 
+def test_png_bomb_trns_and_critical_chunks():
+    """r12 hardening (ADVICE): a kilobyte-scale deflate bomb is rejected
+    WITHOUT inflating past the header-declared raster size; tRNS
+    transparency and unrecognized critical chunks return None (honoring
+    either would change pixels); unrecognized ANCILLARY chunks are
+    still skipped per spec."""
+    import struct
+    import time
+    import zlib
+
+    import numpy as np
+
+    from polars_express_spark.functions.multimodal import parse_png
+
+    g = np.arange(12, dtype="u1").reshape(3, 4)
+    base = _encode_png(g, 0, 8, filters=[0])
+
+    # deflate bomb: 2x2 gray header, IDAT inflates to 256 MiB. The
+    # capped decompressobj path must reject it fast (the uncapped
+    # zlib.decompress materialized the whole bomb first)
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+    bomb = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"\x00" * (256 << 20), 9))
+        + _png_chunk(b"IEND", b"")
+    )
+    assert len(bomb) < 300_000  # the attack payload really is small
+    t0 = time.perf_counter()
+    assert parse_png(bomb) is None
+    assert time.perf_counter() - t0 < 1.0
+
+    def _with_chunk_after_ihdr(png: bytes, ctype: bytes, data: bytes) -> bytes:
+        # IHDR chunk is bytes 8..33 (8 sig + 25 chunk)
+        return png[:33] + _png_chunk(ctype, data) + png[33:]
+
+    # tRNS present -> None (alpha would be silently dropped)
+    pal = bytes([255, 0, 0, 0, 255, 0])
+    idx = np.array([[0, 1]], dtype="u1")
+    paletted = _encode_png(idx, 3, 8, filters=[0], palette=pal)
+    assert parse_png(paletted) is not None
+    assert parse_png(_with_chunk_after_ihdr(paletted, b"tRNS", b"\x00")) is None
+    # unknown CRITICAL chunk (uppercase first letter) -> None
+    assert parse_png(_with_chunk_after_ihdr(base, b"CRIT", b"\x01\x02")) is None
+    # unknown ancillary chunk (lowercase first letter) -> still decodes
+    w, h, ch, arr = parse_png(_with_chunk_after_ihdr(base, b"tEXt", b"k\x00v"))
+    assert (w, h, ch) == (4, 3, 1) and np.array_equal(arr[:, :, 0], g)
+
+
+def test_pixel_formula_codepoint_parity(spark, ddb):
+    """r12 (ADVICE): q_multimodal_pixels' pixel formula
+    ascii(substr(text, (i % length(text)) + 1, 1)) % 256 must agree
+    between Spark and DuckDB for ANY text, including supplementary-plane
+    characters. Measured on this Spark 4.1: ascii() returns the full
+    code point (128512 for U+1F600, not the 0xD8xx high surrogate) and
+    length()/substring() count code points — identical to DuckDB. This
+    test pins that parity on astral, BMP-high, and mixed strings so a
+    Spark regression to UTF-16-code-unit semantics fails HERE, not as an
+    opaque driver hash flip."""
+    texts = [
+        "plain ascii",
+        "café naïve",          # latin-1 supplement
+        "�� tail",             # BMP-high (U+FFFD)
+        "a\U0001f600b\U0001f680c",       # astral-plane emoji
+        "\U0001f600",                    # single astral char
+    ]
+    sdf = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "id long, text string")
+    got_spark = {
+        r["id"]: list(r["p"])
+        for r in sdf.selectExpr(
+            "id",
+            "transform(sequence(0, 15),"
+            " i -> ascii(substring(text, (i % length(text)) + 1, 1)) % 256) AS p",
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        got_duck = ddb.execute(
+            "SELECT [ascii(substr(?, (i % length(?)) + 1, 1)) % 256"
+            " for i in range(0, 16)]",
+            [t, t],
+        ).fetchone()[0]
+        assert got_spark[i] == list(got_duck), (t, got_spark[i], got_duck)
+
+
 def test_png_real_resize_features_and_encoder_roundtrip(spark):
     """r11: encode_png is a valid writer (parse_png round-trips it
     bit-exactly for gray/RGB/RGBA at 8/16-bit), real_resize re-encodes
