@@ -29,9 +29,11 @@ filters (None/Sub/Up/Average/Paeth, PNG spec §9), applies PLTE for
 paletted images, and returns the same (w, h, ch, ndarray) contract as
 parse_netpbm, CRC-checked per chunk; gray/RGB/gray+alpha/RGBA at 8-
 and 16-bit and 8-bit palette are covered, Adam7 interlace and sub-byte
-depths still raise. The remaining codec gates are JPEG's arithmetic/
-Huffman scans and compressed audio/video — formats whose entropy
-coders have no stdlib implementation. Everything around the stub —
+depths still raise. r12 completes the dependency-free image ladder:
+BMP (parse_bmp — uncompressed BI_RGB at 1/8/24/32bpp is pure
+struct + numpy) and GIF (parse_gif — LZW is ~60 lines of pure Python,
+interlace included) decode to REAL pixels too. The remaining codec
+gates are JPEG's entropy-coded scans and compressed audio/video. Everything around the stub —
 schema, Arrow batch iteration, column plumbing — is real and
 oracle-tested (q_multimodal_meta replays the fake's arithmetic in
 DuckDB SQL over the same bytes).
@@ -216,13 +218,16 @@ def extract_features(df: DataFrame, dim: int = 16, real_extract: bool = False) -
                 feats = []
                 for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                     raw = bytes(payload)
-                    parsed = parse_netpbm(raw) or parse_png(raw)
+                    parsed = (
+                        parse_netpbm(raw) or parse_png(raw)
+                        or parse_bmp(raw) or parse_gif(raw)
+                    )
                     if parsed is None:
                         raise NotImplementedError(
                             f"doc {doc_id}: real feature extraction is "
-                            "implemented codec-free for Netpbm P5/P6 and "
-                            "PNG; other formats need a media codec not "
-                            "present here"
+                            "implemented codec-free for Netpbm P5/P6, PNG, "
+                            "BMP (BI_RGB), and GIF; other formats need a "
+                            "media codec not present here"
                         )
                     _, _, _, arr = parsed
                     gray = arr.astype("float64").mean(axis=2).ravel()
@@ -278,24 +283,46 @@ def resize_media(
                 out = []
                 for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                     raw = bytes(payload)
-                    parsed = parse_netpbm(raw)
-                    is_png = False
-                    if parsed is None:
-                        parsed = parse_png(raw)
-                        is_png = True
+                    fam, parsed = None, None
+                    for fam, parser in (
+                        ("netpbm", parse_netpbm), ("png", parse_png),
+                        ("bmp", parse_bmp), ("gif", parse_gif),
+                    ):
+                        parsed = parser(raw)
+                        if parsed is not None:
+                            break
                     if parsed is None:
                         raise NotImplementedError(
                             f"doc {doc_id}: real resize is implemented "
-                            "codec-free for Netpbm P5/P6 and PNG; other "
-                            "compressed formats need an image codec not "
-                            "present here"
+                            "codec-free for Netpbm P5/P6, PNG, BMP "
+                            "(BI_RGB), and GIF; other compressed formats "
+                            "need an image codec not present here"
                         )
                     w, h, ch, arr = parsed
                     yi = np.linspace(0, h - 1, height).round().astype(np.int64)
                     xi = np.linspace(0, w - 1, width).round().astype(np.int64)
                     res = arr[yi][:, xi]
-                    if is_png:
+                    if fam == "png":
                         out.append(encode_png(res))
+                        continue
+                    if fam == "bmp":
+                        # decoded BMPs are always RGB (palette flattened,
+                        # 32bpp pad dropped) → re-encode 24-bit BI_RGB
+                        out.append(encode_bmp(res))
+                        continue
+                    if fam == "gif":
+                        # nearest-neighbor selects a SUBSET of source
+                        # pixels, so the resized frame has ≤256 unique
+                        # colors by construction — rebuild a palette
+                        # from them and re-encode as a valid GIF
+                        colors, inv = np.unique(
+                            res.reshape(-1, 3), axis=0, return_inverse=True
+                        )
+                        out.append(
+                            encode_gif(
+                                inv.reshape(height, width).astype("u1"), colors
+                            )
+                        )
                         continue
                     # preserve the SOURCE maxval (r10, ADVICE: forcing
                     # 255/65535 from the byte width silently rescales
@@ -742,10 +769,392 @@ def encode_png(arr) -> bytes:
     )
 
 
+def parse_bmp(payload: bytes):
+    """REAL BMP pixel decode with pure struct + numpy (r12 — VERDICT r11
+    next-step #2): uncompressed BI_RGB is raw raster plus row
+    bookkeeping, exactly the Netpbm tier's difficulty. Returns
+    (width, height, channels, ndarray[h, w, ch]) or None.
+
+    Covers BITMAPINFOHEADER and its extensions (V4/V5 — palette offset
+    rides the declared header size) plus the ancient 12-byte
+    BITMAPCOREHEADER, at 1/8/24/32 bits per pixel: bottom-up AND
+    top-down (negative height) row order, 4-byte row padding stripped,
+    BGR→RGB swizzled. Palette images (1/8-bit) return the looked-up RGB
+    raster (channels=3, the parse_png PLTE convention); 32bpp returns
+    channels=3 because BI_RGB's fourth byte is spec-reserved padding,
+    not alpha — emitting it as alpha would invent transparency. Returns
+    None for compressed BMPs (BI_RLE/BI_BITFIELDS — not this tier), a
+    palette index past the declared palette, and any structural
+    corruption: truncated header/palette/raster, nonpositive
+    dimensions, planes != 1, or a pixel offset inside the header. The
+    raster read is bounded by the header-declared w·h·bpp, so no
+    payload can provoke an allocation larger than it declares."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 26 or payload[:2] != b"BM":
+        return None
+    (off_bits,) = struct.unpack_from("<I", payload, 10)
+    (hsize,) = struct.unpack_from("<I", payload, 14)
+    top_down = False
+    if hsize == 12:  # BITMAPCOREHEADER: u16 dims, no compression field
+        w, h, planes, bits = struct.unpack_from("<HHHH", payload, 18)
+        pal_entry = 3
+        if bits == 32:
+            return None  # core header predates 32bpp
+    elif hsize >= 40:
+        if len(payload) < 14 + 40:
+            return None
+        (w, h, planes, bits, compression, _isz, _xp, _yp, clr_used, _ci) = (
+            struct.unpack_from("<iiHHIIiiII", payload, 18)
+        )
+        if compression != 0:  # BI_RLE4/8, BI_BITFIELDS, …: not this tier
+            return None
+        pal_entry = 4
+        if h < 0:
+            top_down, h = True, -h
+    else:
+        return None
+    if planes != 1 or w <= 0 or h <= 0 or bits not in (1, 8, 24, 32):
+        return None
+    stride = ((w * bits + 31) // 32) * 4
+    if off_bits < 14 + hsize or off_bits + stride * h > len(payload):
+        return None
+    raw = np.frombuffer(
+        payload, dtype="u1", count=stride * h, offset=off_bits
+    ).reshape(h, stride)
+    if not top_down:
+        raw = raw[::-1]
+    if bits == 24:
+        img = raw[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR→RGB
+        return w, h, 3, np.ascontiguousarray(img)
+    if bits == 32:
+        img = raw[:, : w * 4].reshape(h, w, 4)
+        return w, h, 3, np.ascontiguousarray(img[:, :, 2::-1])
+    # palette entry count: biClrUsed if declared, else 2**bits — but
+    # never more than the bytes actually present between the header and
+    # the pixel offset (core-header files routinely ship truncated
+    # palettes; the index-overrun check below still rejects any raster
+    # that references a missing entry)
+    pal_off = 14 + hsize
+    n_pal = clr_used if (hsize >= 40 and clr_used) else (1 << bits)
+    n_pal = min(n_pal, (off_bits - pal_off) // pal_entry)
+    if not 1 <= n_pal <= 256:
+        return None
+    pal = np.frombuffer(
+        payload, dtype="u1", count=n_pal * pal_entry, offset=pal_off
+    ).reshape(n_pal, pal_entry)
+    pal_rgb = np.ascontiguousarray(pal[:, 2::-1])  # BGR(X) → RGB
+    if bits == 8:
+        idx = raw[:, :w]
+    else:  # 1-bit: MSB-first within each byte
+        idx = np.unpackbits(raw, axis=1)[:, :w]
+    if int(idx.max()) >= n_pal:
+        return None
+    return w, h, 3, pal_rgb[idx]
+
+
+def encode_bmp(arr) -> bytes:
+    """Encode an (h, w) gray or (h, w, 3) RGB uint8 array as a VALID
+    uncompressed BI_RGB BMP — the write half of the r12 BMP tier.
+    RGB → 24-bit; gray → 8-bit with a 256-entry grayscale palette
+    (parse_bmp returns the looked-up raster, so a gray round trip
+    comes back as channels=3 with all three planes equal — the same
+    palette-flattening convention as PNG type-3). Bottom-up rows,
+    4-byte-padded strides, BITMAPINFOHEADER."""
+    import struct
+
+    import numpy as np
+
+    a = np.asarray(arr, dtype="u1")
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, ch = a.shape
+    if ch == 1:
+        bits, pal = 8, bytes(v for g in range(256) for v in (g, g, g, 0))
+        rows = a[:, :, 0]
+    elif ch == 3:
+        bits, pal = 24, b""
+        rows = a[:, :, ::-1].reshape(h, w * 3)  # RGB→BGR
+    else:
+        raise ValueError("encode_bmp: 1 (gray) or 3 (RGB) channels only")
+    stride = ((w * bits + 31) // 32) * 4
+    body = np.zeros((h, stride), dtype="u1")
+    body[:, : rows.shape[1]] = rows[::-1]  # bottom-up
+    off = 14 + 40 + len(pal)
+    header = b"BM" + struct.pack("<IHHI", off + stride * h, 0, 0, off)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, bits, 0, stride * h, 2835, 2835,
+        256 if pal else 0, 0,
+    )
+    return header + dib + pal + body.tobytes()
+
+
+def _gif_lzw_decode(min_code_size: int, data: bytes, expected_len: int):
+    """GIF's variable-width LZW (GIF89a spec appendix F) in pure Python
+    — the last dependency-free entropy coder (VERDICT r11 next-step #3).
+    LSB-first bit packing; code width starts at min_code_size+1 and
+    grows when the table reaches 2**width, capping at 12 bits; CLEAR
+    resets the table, EOI ends the stream. Output is CAPPED at
+    expected_len (the descriptor-declared w·h) so a crafted stream
+    cannot allocate more than the header admits — the deflate-bomb
+    posture. Returns the index bytes or None on any malformation:
+    code past the table, missing EOI, or a pixel count that disagrees
+    with the descriptor."""
+    if not 2 <= min_code_size <= 8:
+        return None
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    literals = [bytes([i]) for i in range(clear)]
+    table = literals + [b"", b""]  # placeholders at CLEAR/EOI indices
+    code_size = min_code_size + 1
+    out = bytearray()
+    prev = None
+    bitpos, nbits = 0, len(data) * 8
+    while True:
+        if bitpos + code_size > nbits:
+            return None  # ran out of bits before EOI
+        i = bitpos >> 3
+        code = (
+            int.from_bytes(data[i : i + 3], "little") >> (bitpos & 7)
+        ) & ((1 << code_size) - 1)
+        bitpos += code_size
+        if code == clear:
+            table = literals + [b"", b""]
+            code_size = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:  # first code after (implicit) clear: a literal
+            if code >= len(table):
+                return None
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            if len(table) < 4096:
+                table.append(prev + entry[:1])
+        elif code == len(table) and len(table) < 4096:
+            entry = prev + prev[:1]  # the KwKwK case
+            table.append(entry)
+        else:
+            return None
+        if len(table) == (1 << code_size) and code_size < 12:
+            code_size += 1
+        out += entry
+        if len(out) > expected_len:
+            return None
+        prev = entry
+    return bytes(out) if len(out) == expected_len else None
+
+
+def _gif_lzw_encode(min_code_size: int, data: bytes) -> bytes:
+    """The encoding half — real LZW (greedy longest-match with table
+    growth), NOT the emit-only-literals shortcut, so round-trip tests
+    exercise the decoder's dictionary growth, width bumps, and table
+    reset. Width-bump sync with the decoder is the classic off-by-one:
+    the decoder constructs each table entry one code LATER than the
+    encoder, so the encoder grows its code width when next_code reaches
+    2**width + 1 (the decoder's table hits 2**width at that moment);
+    at 4096 the encoder emits CLEAR and resets both sides."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    acc = cnt = 0
+    code_size = min_code_size + 1
+
+    def emit(code: int) -> None:
+        nonlocal acc, cnt
+        acc |= code << cnt
+        cnt += code_size
+        while cnt >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            cnt -= 8
+
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = clear + 2
+    emit(clear)
+    w = b""
+    for b in data:
+        wc = w + bytes([b])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w])
+        if next_code < 4096:
+            table[wc] = next_code
+            next_code += 1
+            if next_code == (1 << code_size) + 1 and code_size < 12:
+                code_size += 1
+        else:
+            emit(clear)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = clear + 2
+            code_size = min_code_size + 1
+        w = wc[-1:]
+    if w:
+        emit(table[w])
+        # the decoder cannot know this was the last code: it appends a
+        # table entry for it too, and bumps its code width if that
+        # lands exactly on 2**width (its table length equals next_code
+        # here — one ahead of ours, since our final emit adds nothing).
+        # Mirror the bump so EOI goes out at the width it is read at.
+        if next_code == (1 << code_size) and code_size < 12:
+            code_size += 1
+    emit(eoi)
+    if cnt:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def parse_gif(payload: bytes):
+    """REAL GIF pixel decode, dependency-free (r12): LZW is
+    implementable in pure Python (above), so GIF87a/89a first frames
+    decode to actual pixels. Returns (width, height, 3,
+    ndarray[h, w, 3]) — the looked-up RGB raster (local color table
+    preferred over global, per spec) — or None.
+
+    Interlaced images ARE covered (the four-pass row shuffle is
+    reordering, not codec work). Returns None, never invented pixels,
+    for: a Graphic Control Extension declaring transparency (this tier
+    has no alpha to express it — the PNG tRNS posture), a first frame
+    that does not cover the full logical screen (compositing it onto
+    an undefined canvas would invent background), no color table,
+    palette-index overrun, and any structural corruption (truncated
+    blocks, LZW malformation, pixel count ≠ descriptor). Later frames
+    of an animation are out of scope: frame 1 is well-defined without
+    disposal compositing. Non-0xF9 extensions (comment, application,
+    plain text) are skipped per spec."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 13 or payload[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    w, h = struct.unpack_from("<HH", payload, 6)
+    if w <= 0 or h <= 0:
+        return None
+    packed = payload[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        if pos + 3 * n > len(payload):
+            return None
+        gct = payload[pos : pos + 3 * n]
+        pos += 3 * n
+    while pos < len(payload):
+        block = payload[pos]
+        if block == 0x21:  # extension: label + sub-blocks
+            if pos + 2 > len(payload):
+                return None
+            label = payload[pos + 1]
+            pos += 2
+            first = True
+            while True:
+                if pos >= len(payload):
+                    return None
+                sz = payload[pos]
+                pos += 1
+                if sz == 0:
+                    break
+                if pos + sz > len(payload):
+                    return None
+                if label == 0xF9 and first and payload[pos] & 0x01:
+                    return None  # transparent index: no alpha channel here
+                first = False
+                pos += sz
+        elif block == 0x2C:  # image descriptor
+            if pos + 10 > len(payload):
+                return None
+            left, top, iw, ih = struct.unpack_from("<HHHH", payload, pos + 1)
+            ipacked = payload[pos + 9]
+            pos += 10
+            pal = gct
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 0x07)
+                if pos + 3 * n > len(payload):
+                    return None
+                pal = payload[pos : pos + 3 * n]
+                pos += 3 * n
+            if pal is None or (left, top, iw, ih) != (0, 0, w, h):
+                return None
+            if pos >= len(payload):
+                return None
+            mcs = payload[pos]
+            pos += 1
+            chunks = []
+            while True:
+                if pos >= len(payload):
+                    return None
+                sz = payload[pos]
+                pos += 1
+                if sz == 0:
+                    break
+                if pos + sz > len(payload):
+                    return None
+                chunks.append(payload[pos : pos + sz])
+                pos += sz
+            idx_bytes = _gif_lzw_decode(mcs, b"".join(chunks), w * h)
+            if idx_bytes is None:
+                return None
+            idx = np.frombuffer(idx_bytes, dtype="u1").reshape(h, w)
+            if ipacked & 0x40:  # interlaced: rows stored in 4-pass order
+                order = np.r_[0:h:8, 4:h:8, 2:h:4, 1:h:2]
+                de = np.empty_like(idx)
+                de[order] = idx
+                idx = de
+            pal_arr = np.frombuffer(pal, dtype="u1").reshape(-1, 3)
+            if int(idx.max()) >= pal_arr.shape[0]:
+                return None
+            return w, h, 3, pal_arr[idx]
+        else:  # trailer before any image, or junk
+            return None
+    return None
+
+
+def encode_gif(idx, palette, interlaced: bool = False) -> bytes:
+    """Encode an (h, w) uint8 index raster + (n, 3) RGB palette as a
+    VALID GIF89a — the write half of the r12 GIF tier (round-trips
+    through parse_gif to the looked-up RGB raster). Global color table
+    padded to the next power of two; real LZW compression
+    (_gif_lzw_encode); optional interlacing writes rows in the
+    four-pass order parse_gif undoes."""
+    import struct
+
+    import numpy as np
+
+    a = np.asarray(idx, dtype="u1")
+    h, w = a.shape
+    pal = np.asarray(palette, dtype="u1").reshape(-1, 3)
+    bits = max(1, (len(pal) - 1).bit_length())
+    gct = np.zeros((1 << bits, 3), dtype="u1")
+    gct[: len(pal)] = pal
+    mcs = max(2, bits)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    out += bytes([0x80 | (bits - 1), 0, 0])
+    out += gct.tobytes()
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h)
+    out.append(0x40 if interlaced else 0)
+    rows = a[np.r_[0:h:8, 4:h:8, 2:h:4, 1:h:2]] if interlaced else a
+    comp = _gif_lzw_encode(mcs, rows.tobytes())
+    out.append(mcs)
+    for i in range(0, len(comp), 255):
+        blk = comp[i : i + 255]
+        out.append(len(blk))
+        out += blk
+    out.append(0)
+    out += b"\x3b"
+    return bytes(out)
+
+
 def decode_pixel_stats(df: DataFrame) -> DataFrame:
-    """REAL pixel-level decode + reduce for Netpbm AND PNG payloads
-    (r11 — PNG's DEFLATE entropy coding decodes with stdlib zlib; see
-    parse_png): per doc, dimensions plus exact mean/min/max sample
+    """REAL pixel-level decode + reduce for Netpbm, PNG, BMP, and GIF
+    payloads (r11 PNG via stdlib zlib; r12 BMP via struct+numpy and GIF
+    via pure-Python LZW): per doc, dimensions plus exact mean/min/max sample
     values computed from the decoded raster (numpy over the Arrow
     batch — the shape every image-quality filter at 100 TB takes:
     decode executor-side, ship only scalar features). Payloads that
@@ -759,13 +1168,17 @@ def decode_pixel_stats(df: DataFrame) -> DataFrame:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 raw = bytes(payload)
-                parsed = parse_netpbm(raw) or parse_png(raw)
+                parsed = (
+                    parse_netpbm(raw) or parse_png(raw)
+                    or parse_bmp(raw) or parse_gif(raw)
+                )
                 if parsed is None:
                     raise NotImplementedError(
                         f"doc {doc_id}: pixel decode is implemented codec-free "
-                        "for Netpbm P5/P6 and PNG (zlib inflate + filter "
-                        "reconstruction); other compressed formats need an "
-                        "image codec (Pillow — absent in this environment)"
+                        "for Netpbm P5/P6, PNG (zlib inflate + filter "
+                        "reconstruction), BMP (BI_RGB), and GIF (pure-Python "
+                        "LZW); other compressed formats need an image codec "
+                        "(Pillow — absent in this environment)"
                     )
                 w, h, ch, arr = parsed
                 rows.append(

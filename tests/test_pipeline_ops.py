@@ -846,6 +846,257 @@ def test_png_bomb_trns_and_critical_chunks():
     assert (w, h, ch) == (4, 3, 1) and np.array_equal(arr[:, :, 0], g)
 
 
+def test_bmp_pixel_decode_roundtrip_and_variants():
+    """r12: REAL BMP decode — encode_bmp/parse_bmp round-trip (24-bit
+    RGB exact; 8-bit gray comes back as 3 equal planes via the
+    grayscale palette), row padding at odd widths, top-down (negative
+    height), hand-built 1-bit and 32bpp rasters, and the ancient
+    BITMAPCOREHEADER."""
+    import struct
+
+    import numpy as np
+
+    from polars_express_spark.functions.multimodal import encode_bmp, parse_bmp
+
+    rng = np.random.RandomState(3)
+    rgb = rng.randint(0, 256, size=(5, 7, 3)).astype("u1")
+    w, h, ch, back = parse_bmp(encode_bmp(rgb))
+    assert (w, h, ch) == (7, 5, 3) and np.array_equal(back, rgb)
+    g = rng.randint(0, 256, size=(4, 6)).astype("u1")
+    w, h, ch, back = parse_bmp(encode_bmp(g))
+    assert (w, h, ch) == (6, 4, 3)
+    assert all(np.array_equal(back[:, :, i], g) for i in range(3))
+    for wd in (1, 2, 3, 5):  # strides 4/8/12/16 exercise 0-3 pad bytes
+        a = rng.randint(0, 256, size=(3, wd, 3)).astype("u1")
+        assert np.array_equal(parse_bmp(encode_bmp(a))[3], a)
+    # top-down: negate height, store rows in display order
+    good = encode_bmp(rgb)
+    stride = ((7 * 24 + 31) // 32) * 4
+    td = bytearray(good)
+    struct.pack_into("<i", td, 22, -5)
+    body = bytes(td[54:])
+    rows = [body[i * stride : (i + 1) * stride] for i in range(5)]
+    td[54:] = b"".join(reversed(rows))
+    assert np.array_equal(parse_bmp(bytes(td))[3], rgb)
+    # 1-bit, MSB-first: 2x2 black/white checker, bottom-up
+    pal = bytes((0, 0, 0, 0)) + bytes((255, 255, 255, 0))
+    raster = bytes([0b10000000, 0, 0, 0, 0b01000000, 0, 0, 0])
+    hdr = b"BM" + struct.pack("<IHHI", 14 + 40 + 8 + 8, 0, 0, 14 + 40 + 8)
+    dib = struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 1, 0, 8, 0, 0, 2, 0)
+    w, h, ch, back = parse_bmp(hdr + dib + pal + raster)
+    assert (w, h, ch) == (2, 2, 3)
+    assert tuple(back[1, 0]) == (255, 255, 255) and tuple(back[0, 0]) == (0, 0, 0)
+    # 32bpp BI_RGB: BGRX -> RGB, reserved 4th byte dropped (not alpha)
+    hdr = b"BM" + struct.pack("<IHHI", 14 + 40 + 4, 0, 0, 14 + 40)
+    dib = struct.pack("<IiiHHIIiiII", 40, 1, 1, 1, 32, 0, 4, 0, 0, 0, 0)
+    w, h, ch, back = parse_bmp(hdr + dib + bytes([10, 20, 30, 99]))
+    assert ch == 3 and tuple(back[0, 0]) == (30, 20, 10)
+    # BITMAPCOREHEADER: u16 dims, 3-byte palette entries, 8-bit
+    core_pal = b"".join(bytes((v, v, v)) for v in (0, 128, 255))
+    hdr = b"BM" + struct.pack("<IHHI", 14 + 12 + 9 + 4, 0, 0, 14 + 12 + 9)
+    core = struct.pack("<IHHHH", 12, 2, 1, 1, 8)
+    w, h, ch, back = parse_bmp(hdr + core + core_pal + bytes([2, 1, 0, 0]))
+    assert (w, h, ch) == (2, 1, 3)
+    assert tuple(back[0, 0]) == (255, 255, 255) and tuple(back[0, 1]) == (128, 128, 128)
+
+
+def test_bmp_corrupt_unsupported_fail_loud():
+    """Corrupt/uncovered BMPs return None: truncated raster, bad magic,
+    RLE/bitfields compression, palette-index overrun, pixel offset
+    inside the header, zero dimensions."""
+    import struct
+
+    import numpy as np
+
+    from polars_express_spark.functions.multimodal import encode_bmp, parse_bmp
+
+    rng = np.random.RandomState(4)
+    good = encode_bmp(rng.randint(0, 256, size=(3, 4, 3)).astype("u1"))
+    assert parse_bmp(good) is not None
+    assert parse_bmp(good[:-5]) is None
+    assert parse_bmp(b"XX" + good[2:]) is None
+    bad = bytearray(good)
+    struct.pack_into("<I", bad, 30, 1)  # BI_RLE8
+    assert parse_bmp(bytes(bad)) is None
+    bad = bytearray(good)
+    struct.pack_into("<I", bad, 30, 3)  # BI_BITFIELDS
+    assert parse_bmp(bytes(bad)) is None
+    bad = bytearray(good)
+    struct.pack_into("<i", bad, 18, 0)  # width 0
+    assert parse_bmp(bytes(bad)) is None
+    bad = bytearray(good)
+    struct.pack_into("<I", bad, 10, 5)  # bfOffBits inside the header
+    assert parse_bmp(bytes(bad)) is None
+    # 8-bit raster referencing an index past the declared palette
+    enc = bytearray(encode_bmp(np.array([[5]], dtype="u1")))
+    struct.pack_into("<I", enc, 46, 4)  # biClrUsed -> 4, raster has 5
+    assert parse_bmp(bytes(enc)) is None
+
+
+def test_gif_lzw_roundtrip_and_decode_guards():
+    """The pure-Python LZW pair round-trips across code-width bumps and
+    the 4096-entry table reset, and the decoder rejects malformed
+    streams: output past the declared size (the bomb cap), missing EOI,
+    codes past the table."""
+    import numpy as np
+
+    from polars_express_spark.functions.multimodal import (
+        _gif_lzw_decode,
+        _gif_lzw_encode,
+    )
+
+    rng = np.random.RandomState(5)
+    for n, mcs in [(0, 2), (1, 2), (300, 2), (5000, 4), (100_000, 8)]:
+        data = rng.randint(0, 1 << mcs, size=n).astype("u1").tobytes()
+        assert _gif_lzw_decode(mcs, _gif_lzw_encode(mcs, data), n) == data
+    rep = (b"\x00" * 1000 + b"\x01\x00\x01" * 500) * 20  # deep chains + KwKwK
+    assert _gif_lzw_decode(2, _gif_lzw_encode(2, rep), len(rep)) == rep
+    enc = _gif_lzw_encode(2, bytes(100))
+    assert _gif_lzw_decode(2, enc, 99) is None   # more pixels than declared
+    assert _gif_lzw_decode(2, enc, 101) is None  # fewer pixels than declared
+    assert _gif_lzw_decode(2, enc[:-2], 100) is None  # EOI truncated away
+    assert _gif_lzw_decode(1, enc, 100) is None  # min code size out of range
+    # first code after clear must be a literal: craft clear, then code 7
+    # (past the 6-entry table) at 3-bit width -> bits 100 111 LSB-first
+    assert _gif_lzw_decode(2, bytes([0b00111100]), 1) is None
+
+
+def test_gif_pixel_decode_roundtrip_and_variants():
+    """r12: REAL GIF decode — encode_gif/parse_gif round-trip over
+    random palettes, plain AND interlaced row order, the max 256-entry
+    table, a local color table overriding the global one, and skipped
+    comment/opaque-GCE extensions."""
+    import struct
+
+    import numpy as np
+
+    from polars_express_spark.functions.multimodal import encode_gif, parse_gif
+
+    rng = np.random.RandomState(6)
+    pal = rng.randint(0, 256, size=(16, 3)).astype("u1")
+    idx = rng.randint(0, 16, size=(9, 5)).astype("u1")
+    for inter in (False, True):
+        w, h, ch, back = parse_gif(encode_gif(idx, pal, interlaced=inter))
+        assert (w, h, ch) == (5, 9, 3) and np.array_equal(back, pal[idx])
+    pal256 = (np.arange(768, dtype="u2") % 256).astype("u1").reshape(256, 3)
+    idx2 = rng.randint(0, 256, size=(40, 40)).astype("u1")
+    assert np.array_equal(parse_gif(encode_gif(idx2, pal256))[3], pal256[idx2])
+    # extensions before the image are skipped (comment, opaque GCE)
+    g = encode_gif(idx, pal)
+    pos = 13 + 3 * 16  # header + 16-entry GCT
+    com = bytes([0x21, 0xFE, 3]) + b"abc" + bytes([0])
+    gce = bytes([0x21, 0xF9, 4, 0x00, 0, 0, 0, 0])
+    assert np.array_equal(parse_gif(g[:pos] + com + gce + g[pos:])[3], pal[idx])
+    # local color table wins over the global one: rebuild with GCT
+    # flag cleared and the palette moved after the image descriptor
+    no_gct = bytearray(g)
+    no_gct[10] &= 0x0F  # clear GCT flag (keep size bits harmlessly)
+    del no_gct[13 : 13 + 3 * 16]
+    # image descriptor now at 13: set LCT flag + size 3 (16 entries)
+    assert no_gct[13] == 0x2C
+    no_gct[22] = 0x80 | 3
+    lct = bytes(no_gct[:23]) + pal.tobytes() + bytes(no_gct[23:])
+    assert np.array_equal(parse_gif(lct)[3], pal[idx])
+
+
+def test_gif_corrupt_unsupported_fail_loud():
+    """GIFs this tier refuses, all None: declared transparency (no
+    alpha to express it), a first frame smaller than the logical
+    screen, truncation, no color table at all, palette-index overrun."""
+    import struct
+
+    import numpy as np
+
+    from polars_express_spark.functions.multimodal import encode_gif, parse_gif
+
+    rng = np.random.RandomState(7)
+    pal = rng.randint(0, 256, size=(4, 3)).astype("u1")
+    idx = rng.randint(0, 4, size=(3, 3)).astype("u1")
+    g = encode_gif(idx, pal)
+    assert parse_gif(g) is not None
+    assert parse_gif(g[:-4]) is None
+    pos = 13 + 3 * 4
+    trans = bytes([0x21, 0xF9, 4, 0x01, 0, 0, 0, 0])
+    assert parse_gif(g[:pos] + trans + g[pos:]) is None
+    part = bytearray(g)
+    struct.pack_into("<H", part, pos + 5, 2)  # image width 2 != screen 3
+    assert parse_gif(bytes(part)) is None
+    no_tables = bytearray(g)
+    no_tables[10] &= 0x0F
+    del no_tables[13 : 13 + 3 * 4]
+    assert parse_gif(bytes(no_tables)) is None
+    # palette overrun: min code size 4 lets the LZW stream carry index
+    # 7, but the declared GCT has only 4 entries (encode_gif can't
+    # produce this by construction, so hand-build the container)
+    from polars_express_spark.functions.multimodal import _gif_lzw_encode
+
+    comp = _gif_lzw_encode(4, bytes([7] * 4))
+    over = (
+        b"GIF89a" + struct.pack("<HH", 2, 2) + bytes([0x80 | 1, 0, 0])
+        + pal.tobytes()
+        + b"\x2c" + struct.pack("<HHHH", 0, 0, 2, 2) + bytes([0, 4])
+        + bytes([len(comp)]) + comp + bytes([0]) + b"\x3b"
+    )
+    assert parse_gif(over) is None
+
+
+def test_bmp_gif_through_pixel_operators(spark):
+    """The r12 formats flow through the SAME operators as Netpbm/PNG:
+    decode_pixel_stats reduces a mixed batch, real_resize re-encodes
+    each family as itself (BMP→BMP, GIF→GIF, round-trip parsed), and
+    real_extract computes tile-means from actual BMP/GIF pixels."""
+    import numpy as np
+
+    from polars_express_spark.functions.multimodal import (
+        encode_bmp,
+        encode_gif,
+        extract_features,
+        parse_bmp,
+        parse_gif,
+        resize_media,
+    )
+    from polars_express_spark.functions.multimodal import decode_pixel_stats
+
+    rng = np.random.RandomState(8)
+    rgb = rng.randint(0, 256, size=(6, 8, 3)).astype("u1")
+    pal = rng.randint(0, 256, size=(8, 3)).astype("u1")
+    idx = rng.randint(0, 8, size=(6, 8)).astype("u1")
+    bmp, gif = encode_bmp(rgb), encode_gif(idx, pal, interlaced=True)
+    df = spark.createDataFrame(
+        [(1, bytearray(bmp)), (2, bytearray(gif))],
+        "doc_id long, payload binary",
+    )
+    got = {r["doc_id"]: r for r in decode_pixel_stats(df).collect()}
+    assert (got[1]["width"], got[1]["height"], got[1]["channels"]) == (8, 6, 3)
+    assert got[1]["min_val"] == int(rgb.min()) and got[1]["max_val"] == int(rgb.max())
+    assert abs(got[1]["mean_val"] - float(rgb.mean())) < 1e-9
+    want = pal[idx]
+    assert got[2]["min_val"] == int(want.min()) and got[2]["max_val"] == int(want.max())
+    assert abs(got[2]["mean_val"] - float(want.mean())) < 1e-9
+
+    res = {
+        r["doc_id"]: bytes(r["payload"])
+        for r in resize_media(df, width=4, height=3, real_resize=True).collect()
+    }
+    w, h, ch, arr = parse_bmp(res[1])
+    assert (w, h, ch) == (4, 3, 3)
+    yi = np.linspace(0, 5, 3).round().astype(int)
+    xi = np.linspace(0, 7, 4).round().astype(int)
+    assert np.array_equal(arr, rgb[yi][:, xi])
+    w, h, ch, arr = parse_gif(res[2])
+    assert (w, h, ch) == (4, 3, 3)
+    assert np.array_equal(arr, want[yi][:, xi])
+
+    feats = {
+        r["doc_id"]: np.array(r["features"])
+        for r in extract_features(df, dim=4, real_extract=True).collect()
+    }
+    gray = rgb.astype("float64").mean(axis=2).ravel()
+    expect = np.array([c.mean() for c in np.array_split(gray, 4)], dtype="float32")
+    expect = expect / expect.sum()
+    assert np.allclose(feats[1], expect, atol=1e-6)
+
+
 def test_pixel_formula_codepoint_parity(spark, ddb):
     """r12 (ADVICE): q_multimodal_pixels' pixel formula
     ascii(substr(text, (i % length(text)) + 1, 1)) % 256 must agree

@@ -1028,3 +1028,63 @@ def test_png_roundtrip_property(w, h, ch, deep, filters, seed):
     assert (gw, gh, gch) == (w, h, ch)
     want = a if a.ndim == 3 else a[:, :, None]
     assert np.array_equal(arr.astype(want.dtype), want)
+
+
+@settings(max_examples=30, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    w=st.integers(1, 11),
+    h=st.integers(1, 9),
+    gray=st.booleans(),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_bmp_roundtrip_property(w, h, gray, seed):
+    """parse_bmp inverts encode_bmp for ANY shape: random widths hit
+    every row-padding remainder (stride % 4), random heights the
+    bottom-up flip; gray rasters flatten through the grayscale palette
+    to three equal planes. Pure driver-side — no Spark."""
+    import numpy as np
+
+    from polars_express_spark.functions.multimodal import encode_bmp, parse_bmp
+
+    rng = np.random.RandomState(seed)
+    shape = (h, w) if gray else (h, w, 3)
+    a = rng.randint(0, 256, size=shape).astype("u1")
+    got = parse_bmp(encode_bmp(a))
+    assert got is not None
+    gw, gh, gch, arr = got
+    assert (gw, gh, gch) == (w, h, 3)
+    want = a[:, :, None].repeat(3, axis=2) if gray else a
+    assert np.array_equal(arr, want)
+
+
+@settings(max_examples=30, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    w=st.integers(1, 11),
+    h=st.integers(1, 10),
+    n_colors=st.integers(1, 256),
+    interlaced=st.booleans(),
+    skewed=st.booleans(),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_gif_roundtrip_property(w, h, n_colors, interlaced, skewed, seed):
+    """parse_gif inverts encode_gif for ANY palette size (1..256 —
+    every LZW min-code-size), interlaced or not, on both uniform-random
+    and skewed (repetition-heavy, dictionary-deep) index rasters.
+    Pure driver-side — no Spark."""
+    import numpy as np
+
+    from polars_express_spark.functions.multimodal import encode_gif, parse_gif
+
+    rng = np.random.RandomState(seed)
+    pal = rng.randint(0, 256, size=(n_colors, 3)).astype("u1")
+    if skewed:  # few distinct runs -> long LZW matches / KwKwK cases
+        idx = np.repeat(
+            rng.randint(0, n_colors, size=(w * h + 6) // 7), 7
+        )[: w * h].reshape(h, w).astype("u1")
+    else:
+        idx = rng.randint(0, n_colors, size=(h, w)).astype("u1")
+    got = parse_gif(encode_gif(idx, pal, interlaced=interlaced))
+    assert got is not None
+    gw, gh, gch, arr = got
+    assert (gw, gh, gch) == (w, h, 3)
+    assert np.array_equal(arr, pal[idx])
