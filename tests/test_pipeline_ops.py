@@ -1097,6 +1097,127 @@ def test_bmp_gif_through_pixel_operators(spark):
     assert np.allclose(feats[1], expect, atol=1e-6)
 
 
+def test_jpeg_dc_exact_roundtrip():
+    """r12: baseline JPEG — rasters constant within each 8x8 block
+    round-trip BIT-EXACTLY under all-ones quant (DC = 8·(v−128) is an
+    exact integer; proof in functions/jpeg.py), for gray, RGB 4:4:4,
+    solid-color 4:2:0 (box downsample of a constant is the constant),
+    and with restart markers in the stream."""
+    import numpy as np
+
+    from polars_express_spark.functions.jpeg import encode_jpeg, parse_jpeg
+
+    rng = np.random.RandomState(11)
+    p = rng.randint(0, 256, size=(4, 4)).astype("u1")
+    img = p.repeat(8, axis=0).repeat(8, axis=1)
+    w, h, ch, back = parse_jpeg(encode_jpeg(img))
+    assert (w, h, ch) == (32, 32, 1) and np.array_equal(back[:, :, 0], img)
+    prgb = rng.randint(0, 256, size=(2, 3, 3)).astype("u1")
+    imgc = prgb.repeat(8, axis=0).repeat(8, axis=1)
+    w, h, ch, back = parse_jpeg(encode_jpeg(imgc))
+    assert (w, h, ch) == (24, 16, 3) and np.array_equal(back, imgc)
+    solid = np.zeros((24, 24, 3), dtype="u1")
+    solid[:] = (201, 77, 150)
+    assert np.array_equal(parse_jpeg(encode_jpeg(solid, subsample=True))[3], solid)
+    w, h, ch, back = parse_jpeg(encode_jpeg(img, restart_interval=3))
+    assert np.array_equal(back[:, :, 0], img)
+
+
+def test_jpeg_lossy_regimes_bounded():
+    """General content is where JPEG is honestly lossy: with all-ones
+    quant the only loss is coefficient rounding (tight bound, tested),
+    with the Annex-K luminance table the loss is real quantization
+    (decodes, bounded mean error), and 4:2:0 loses chroma detail but
+    keeps shape and bounded error on smooth content."""
+    import numpy as np
+
+    from polars_express_spark.functions.jpeg import encode_jpeg, parse_jpeg
+
+    rng = np.random.RandomState(12)
+    g = rng.randint(0, 256, size=(17, 23)).astype("u1")
+    w, h, ch, back = parse_jpeg(encode_jpeg(g))
+    assert (w, h, ch) == (23, 17, 1)
+    assert np.abs(back[:, :, 0].astype(int) - g.astype(int)).max() <= 8
+    c = rng.randint(0, 256, size=(9, 14, 3)).astype("u1")
+    back = parse_jpeg(encode_jpeg(c))[3]
+    assert np.abs(back.astype(int) - c.astype(int)).max() <= 12
+    stdq = np.array(
+        [16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+         14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+         18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+         49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99]
+    ).reshape(8, 8)
+    back = parse_jpeg(encode_jpeg(g, quant=stdq))[3]
+    assert np.abs(back[:, :, 0].astype(int) - g.astype(int)).mean() < 60
+    # smooth gradient under 4:2:0: bounded by chroma averaging
+    yy, xx = np.mgrid[0:16, 0:24]
+    smooth = np.stack([yy * 3 + 40, xx * 2 + 30, (yy + xx) * 2], axis=2).astype("u1")
+    w, h, ch, back = parse_jpeg(encode_jpeg(smooth, subsample=True))
+    assert (w, h, ch) == (24, 16, 3)
+    assert np.abs(back.astype(int) - smooth.astype(int)).max() <= 12
+
+
+def test_jpeg_corrupt_unsupported_fail_loud():
+    """Streams parse_jpeg refuses, all None: truncation, progressive
+    (SOF2) and arithmetic (SOF9) frames, 12-bit precision, a scan
+    referencing an undefined Huffman table, EOI before any scan, and
+    non-JPEG bytes."""
+    import numpy as np
+
+    from polars_express_spark.functions.jpeg import encode_jpeg, parse_jpeg
+
+    img = (np.arange(256, dtype=np.int64) % 256).astype("u1").reshape(16, 16)
+    good = encode_jpeg(img)
+    assert parse_jpeg(good) is not None
+    assert parse_jpeg(good[:-6]) is None
+    assert parse_jpeg(b"not a jpeg") is None
+    assert parse_jpeg(b"\xff\xd8\xff\xd9") is None
+    sof_at = good.find(b"\xff\xc0")
+    for marker in (0xC2, 0xC9):  # progressive / arithmetic
+        bad = bytearray(good)
+        bad[sof_at + 1] = marker
+        assert parse_jpeg(bytes(bad)) is None
+    bad = bytearray(good)
+    bad[sof_at + 4] = 12  # precision byte
+    assert parse_jpeg(bytes(bad)) is None
+    # SOS selecting huffman table 3 which was never defined
+    sos_at = good.find(b"\xff\xda")
+    bad = bytearray(good)
+    bad[sos_at + 6] = 0x33
+    assert parse_jpeg(bytes(bad)) is None
+
+
+def test_jpeg_through_pixel_operators(spark):
+    """JPEG payloads flow through the same operators as the other four
+    formats: decode_pixel_stats reduces them exactly (constant-block
+    tier), and real_resize re-encodes as JPEG — lossy by nature, so
+    the round-trip is bounded, not bit-exact."""
+    import numpy as np
+
+    from polars_express_spark.functions.jpeg import encode_jpeg, parse_jpeg
+    from polars_express_spark.functions.multimodal import (
+        decode_pixel_stats,
+        resize_media,
+    )
+
+    rng = np.random.RandomState(13)
+    p = rng.randint(0, 256, size=(4, 4)).astype("u1")
+    img = p.repeat(8, axis=0).repeat(8, axis=1)
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_jpeg(img)))], "doc_id long, payload binary"
+    )
+    row = decode_pixel_stats(df).collect()[0]
+    assert (row["width"], row["height"], row["channels"]) == (32, 32, 1)
+    assert row["min_val"] == int(p.min()) and row["max_val"] == int(p.max())
+    assert abs(row["mean_val"] - float(p.mean())) < 1e-9
+    out = resize_media(df, width=8, height=8, real_resize=True).collect()[0]
+    w, h, ch, arr = parse_jpeg(bytes(out["payload"]))
+    assert (w, h, ch) == (8, 8, 1)
+    yi = np.linspace(0, 31, 8).round().astype(int)
+    want = img[yi][:, yi]
+    assert np.abs(arr[:, :, 0].astype(int) - want.astype(int)).max() <= 8
+
+
 def test_pixel_formula_codepoint_parity(spark, ddb):
     """r12 (ADVICE): q_multimodal_pixels' pixel formula
     ascii(substr(text, (i % length(text)) + 1, 1)) % 256 must agree
