@@ -19,6 +19,20 @@ from polars_express_spark.functions.multimodal import (
 from polars_express_spark.queries.registry import query
 
 
+def _codec_parallel(df):
+    """Hash-repartition the tiny formula rows on doc_id before the
+    Arrow codec stages of the round-trip queries: the documents scan is
+    a single parquet split at test SFs, so without this exchange the
+    pure-Python codec work runs on ONE core (measured at sf0.1:
+    q_multimodal_jpeg 8.3s serial). The exchange moves only
+    (doc_id, 16 ints) rows — the standard 100 TB shape for Python-codec
+    stages: shuffle the cheap rows, parallelize the expensive decode."""
+    spark = df.sparkSession
+    return df.repartition(
+        int(spark.conf.get("spark.sql.shuffle.partitions")), "doc_id"
+    )
+
+
 @query(
     "q_multimodal_meta",
     oracle="""
@@ -166,9 +180,11 @@ def q_multimodal_pixels(spark, sf_dir):
     tests/test_pipeline_ops.py::test_pixel_formula_codepoint_parity,
     which would catch a Spark regression to UTF-16-code-unit semantics
     before the driver hash does. Scale
-    shape: one scan, zero shuffles before the final sort; both UDF
-    stages are Arrow-batched mapInPandas (the declared Python tier
-    for codec work — decode executor-side, ship scalar features)."""
+    shape: one scan, then ONE doc_id exchange of the tiny formula rows
+    (_codec_parallel — r12: the single-split scan otherwise serializes
+    the codec stage on one core); both UDF stages are Arrow-batched
+    mapInPandas (the declared Python tier for codec work — decode
+    executor-side, ship scalar features)."""
     from typing import Iterator
 
     import pandas as pd
@@ -199,7 +215,9 @@ def q_multimodal_pixels(spark, sf_dir):
             ]
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    enc = px.mapInPandas(encode, schema="doc_id bigint, payload binary")
+    enc = _codec_parallel(px).mapInPandas(
+        encode, schema="doc_id bigint, payload binary"
+    )
     return decode_pixel_stats(enc).orderBy("doc_id")
 
 
@@ -234,8 +252,8 @@ def q_multimodal_bmp(spark, sf_dir):
     stats DIRECTLY from the formula, never touching BMP — a hash match
     proves the writer and parser are exact inverses across the row
     flip, padding, and channel swizzle. Scale shape: one documents
-    scan, zero shuffles before the final sort; both codec stages are
-    Arrow-batched mapInPandas."""
+    scan, one doc_id exchange for codec parallelism (_codec_parallel);
+    both codec stages are Arrow-batched mapInPandas."""
     from typing import Iterator
 
     import pandas as pd
@@ -266,7 +284,9 @@ def q_multimodal_bmp(spark, sf_dir):
             ]
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    enc = px.mapInPandas(encode, schema="doc_id bigint, payload binary")
+    enc = _codec_parallel(px).mapInPandas(
+        encode, schema="doc_id bigint, payload binary"
+    )
     return decode_pixel_stats(enc).orderBy("doc_id")
 
 
@@ -305,8 +325,10 @@ def q_multimodal_jpeg(spark, sf_dir):
     coefficient is DC = 8·(v−128), an integer, so quantization is the
     identity and the IDCT recovers v within float epsilon (proof in
     functions/jpeg.py). The oracle computes the stats directly from
-    the formula, never touching JPEG. Scale shape: one scan, zero
-    shuffles before the final sort; Arrow-batched mapInPandas."""
+    the formula, never touching JPEG. Scale shape: one scan, one
+    doc_id exchange for codec parallelism (_codec_parallel — measured
+    8.3s→sub-second at sf0.1: the single-split scan otherwise ran the
+    pure-Python Huffman on one core); Arrow-batched mapInPandas."""
     from typing import Iterator
 
     import pandas as pd
@@ -340,7 +362,9 @@ def q_multimodal_jpeg(spark, sf_dir):
             ]
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    enc = px.mapInPandas(encode, schema="doc_id bigint, payload binary")
+    enc = _codec_parallel(px).mapInPandas(
+        encode, schema="doc_id bigint, payload binary"
+    )
     return decode_pixel_stats(enc).orderBy("doc_id")
 
 
@@ -378,7 +402,8 @@ def q_multimodal_gif(spark, sf_dir):
     index-level stats the oracle computes straight from the formula —
     a hash match proves compressor and decompressor are exact inverses
     over real variable-width LZW bitstreams. Scale shape: one scan,
-    zero shuffles before the final sort; Arrow-batched mapInPandas."""
+    one doc_id exchange for codec parallelism (_codec_parallel);
+    Arrow-batched mapInPandas."""
     from typing import Iterator
 
     import pandas as pd
@@ -414,5 +439,7 @@ def q_multimodal_gif(spark, sf_dir):
             ]
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    enc = px.mapInPandas(encode, schema="doc_id bigint, payload binary")
+    enc = _codec_parallel(px).mapInPandas(
+        encode, schema="doc_id bigint, payload binary"
+    )
     return decode_pixel_stats(enc).orderBy("doc_id")

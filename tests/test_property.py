@@ -1147,3 +1147,48 @@ def test_jpeg_noisy_bounded_property(w, h, color, seed):
     assert (gw, gh, gch) == (w, h, 3 if color else 1)
     want = a if color else a[:, :, None]
     assert np.abs(arr.astype(int) - want.astype(int)).max() <= 12
+
+
+@settings(max_examples=30, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    fmt=st.sampled_from(["png", "bmp", "gif", "jpeg"]),
+    cut=st.floats(0.0, 1.0),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_image_truncation_never_wrong_pixels(fmt, cut, seed):
+    """Safety property across the whole r12 codec ladder: truncating a
+    valid payload at ANY byte either returns None or decodes to exactly
+    the untruncated result (a format may carry removable trailing
+    structure, e.g. GIF's trailer byte) — never a crash, never
+    different pixels."""
+    import numpy as np
+
+    from polars_express_spark.functions.jpeg import encode_jpeg, parse_jpeg
+    from polars_express_spark.functions.multimodal import (
+        encode_bmp,
+        encode_gif,
+        encode_png,
+        parse_bmp,
+        parse_gif,
+        parse_png,
+    )
+
+    rng = np.random.RandomState(seed)
+    a = rng.randint(0, 256, size=(6, 7, 3)).astype("u1")
+    if fmt == "png":
+        enc, dec = encode_png(a), parse_png
+    elif fmt == "bmp":
+        enc, dec = encode_bmp(a), parse_bmp
+    elif fmt == "gif":
+        pal = rng.randint(0, 256, size=(8, 3)).astype("u1")
+        idx = rng.randint(0, 8, size=(6, 7)).astype("u1")
+        enc, dec = encode_gif(idx, pal), parse_gif
+    else:
+        enc, dec = encode_jpeg(a), parse_jpeg
+    full = dec(enc)
+    assert full is not None
+    k = max(1, int(round(cut * (len(enc) - 1))))
+    got = dec(enc[:k])
+    assert got is None or (
+        got[:3] == full[:3] and np.array_equal(got[3], full[3])
+    )
