@@ -291,6 +291,84 @@ def q_multimodal_bmp(spark, sf_dir):
 
 
 @query(
+    "q_multimodal_mulaw",
+    oracle="""
+    WITH px AS (
+      SELECT doc_id,
+             [ascii(substr(text, ((i * 7) % length(text)) + 1, 1)) % 256
+              for i in range(0, 64)] AS bs
+      FROM documents
+      WHERE text IS NOT NULL AND length(text) > 0
+    ), pcm AS (
+      SELECT doc_id,
+             list_transform(bs, b ->
+               CASE WHEN 255 - b >= 128
+                    THEN 132 - (((255 - b) % 16) * 8 + 132)
+                               * (1 << (((255 - b) // 16) % 8))
+                    ELSE (((255 - b) % 16) * 8 + 132)
+                         * (1 << (((255 - b) // 16) % 8)) - 132
+               END) AS p
+      FROM px
+    )
+    SELECT doc_id,
+           CAST(64 AS BIGINT) AS n_samples,
+           CAST(list_sum(p) AS DOUBLE) / 64 AS mean_pcm,
+           CAST(list_min(p) AS INT) AS min_pcm,
+           CAST(list_max(p) AS INT) AS max_pcm
+    FROM pcm ORDER BY doc_id
+    """,
+)
+def q_multimodal_mulaw(spark, sf_dir):
+    """REAL audio-codec decode under the driver hash (r12 — the audio
+    twin of the image round-trips): 64 G.711 mu-law bytes are derived
+    from each document's text (stride-7 code-point sampling), wrapped
+    executor-side in a VALID RIFF/WAVE container (format tag 7,
+    encode_wav_mulaw), then decoded back through the real path —
+    container chunk walk, format-tag dispatch, vectorized mu-law
+    expansion (mulaw_decode, byte-for-byte equal to stdlib
+    audioop.ulaw2lin on all 256 codes, pinned in tests) — by
+    decode_audio_samples, which ships only exact PCM stats. The oracle
+    replays the SAME G.711 expansion as pure SQL arithmetic
+    (complement, mantissa*8+132 shifted by the segment, re-biased), so
+    a hash match proves the numpy decoder implements exactly the
+    published formula — the codec itself is differentially tested, not
+    just the container. Scale shape: one scan, one doc_id exchange for
+    codec parallelism (_codec_parallel); Arrow-batched mapInPandas."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    from polars_express_spark.functions.multimodal import (
+        decode_audio_samples,
+        encode_wav_mulaw,
+    )
+
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    )
+    bs = d.select(
+        "doc_id",
+        F.expr(
+            "transform(sequence(0, 63),"
+            " i -> ascii(substring(text, ((i * 7) % length(text)) + 1, 1)) % 256)"
+        ).alias("bs"),
+    )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                encode_wav_mulaw(bytes(bytearray(int(x) for x in row)))
+                for row in pdf["bs"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    wav = _codec_parallel(bs).mapInPandas(
+        synth, schema="doc_id bigint, payload binary"
+    )
+    return decode_audio_samples(wav).orderBy("doc_id")
+
+
+@query(
     "q_multimodal_jpeg",
     oracle="""
     WITH px AS (

@@ -61,28 +61,28 @@ def query(name: str, oracle: str | None = None):
 #   slots 1-12  — the ENTIRE r7-stale tier, alphabetical (the 12 that
 #                 spilled from the r11 window; this retires 5-round-old
 #                 driver evidence for good);
-#   slots 13-46 — the 34 oldest r8-hash, alphabetical (q01-q38
+#   slots 13-45 — the 33 oldest r8-hash, alphabetical (q01-q38
 #                 relational/scalar/sink families, q_ab_ztest, the ANN
-#                 family, q_benford, q_chi2, q_control_chart,
-#                 q_e2e_curation);
-#   slot  47    — changed-this-round code: q_multimodal_pixels
+#                 family, q_benford, q_chi2, q_control_chart);
+#   slot  46    — changed-this-round code: q_multimodal_pixels
 #                 (hardened parse_png);
-#   slots 48-50 — NEW this round, never checked: q_multimodal_bmp,
-#                 q_multimodal_gif, q_multimodal_jpeg.
-# Tier "next" (r13) = the 11 r8-hash queries that did not fit
-# (q_ewma, q_kcore, q_lpa_communities, q_market_basket,
-# q_pseudonymize, q_quantize_int8, q_sql_surface, q_token_entropy,
-# q_tokenize_ids, q_url_canonical, q_zipf_fit), then the 41 r9-hash
-# (q03/q04 regression family, q08-q11 agg/stats, q18-q23 window/set
-# families, as-of joins, the dedup/decontaminate/near-dup family,
-# q_tpch_q10/q13/q18/q22), then the 44 r10-hash.
+#   slots 47-50 — NEW this round, never checked: q_multimodal_bmp,
+#                 q_multimodal_gif, q_multimodal_jpeg,
+#                 q_multimodal_mulaw.
+# Tier "next" (r13) = the 12 r8-hash queries that did not fit
+# (q_e2e_curation, q_ewma, q_kcore, q_lpa_communities,
+# q_market_basket, q_pseudonymize, q_quantize_int8, q_sql_surface,
+# q_token_entropy, q_tokenize_ids, q_url_canonical, q_zipf_fit), then
+# the 41 r9-hash (q03/q04 regression family, q08-q11 agg/stats,
+# q18-q23 window/set families, as-of joins, the dedup/decontaminate/
+# near-dup family, q_tpch_q10/q13/q18/q22), then the 44 r10-hash.
 _PRIORITY = [
     # slots 1-12 — the full r7-stale tier, alphabetical
     "q_rare_tokens", "q_retention", "q_rfm", "q_skew_profile",
     "q_skyline", "q_snapshot_diff", "q_streaks", "q_text_search",
     "q_train_split", "q_transitions", "q_unicode_norm",
     "q_weighted_sample",
-    # slots 13-46 — the 34 oldest r8-hash, alphabetical
+    # slots 13-45 — the 33 oldest r8-hash, alphabetical
     "q01_preview", "q02_sort_slice", "q05_filter_project",
     "q06_cast_arith", "q07_conditional", "q12_inner_join",
     "q13_multi_join", "q14_left_join", "q14b_right_join",
@@ -92,11 +92,12 @@ _PRIORITY = [
     "q34_exact_dedup", "q35_cosine_topk", "q36_token_counts",
     "q37_json_sink", "q38_write_roundtrip", "q_ab_ztest", "q_ann_ivf",
     "q_ann_ivfpq", "q_ann_pq", "q_benford", "q_chi2",
-    "q_control_chart", "q_e2e_curation",
-    # slot 47 — changed-this-round code: hardened parse_png path
+    "q_control_chart",
+    # slot 46 — changed-this-round code: hardened parse_png path
     "q_multimodal_pixels",
-    # slots 48-50 — new this round: the BMP/GIF/JPEG round-trip tier
+    # slots 47-50 — new this round: BMP/GIF/JPEG/mu-law round trips
     "q_multimodal_bmp", "q_multimodal_gif", "q_multimodal_jpeg",
+    "q_multimodal_mulaw",
 ]
 
 

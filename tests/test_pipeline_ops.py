@@ -1218,6 +1218,76 @@ def test_jpeg_through_pixel_operators(spark):
     assert np.abs(arr[:, :, 0].astype(int) - want.astype(int)).max() <= 8
 
 
+def test_mulaw_decode_and_audio_samples(spark):
+    """r12 audio tier: mulaw_decode matches the stdlib reference
+    (audioop.ulaw2lin) byte-for-byte on ALL 256 codes while that module
+    still exists; encode_wav_mulaw wraps raw codes in a container
+    parse_audio_header walks; decode_audio_samples reduces mu-law,
+    16-bit PCM, and unsigned 8-bit PCM payloads to exact sample stats,
+    and raises on format tags without a dependency-free decode."""
+    import io
+    import struct
+    import wave
+
+    import numpy as np
+    import pytest
+
+    from polars_express_spark.functions.multimodal import (
+        decode_audio_samples,
+        encode_wav_mulaw,
+        mulaw_decode,
+        parse_audio_header,
+    )
+
+    try:
+        import warnings
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            import audioop  # deprecated, removed in 3.13
+
+        ref = np.frombuffer(
+            audioop.ulaw2lin(bytes(range(256)), 2), dtype="<i2"
+        ).astype(np.int32)
+        mine = mulaw_decode(np.arange(256, dtype=np.uint8))
+        assert np.array_equal(mine, ref)
+    except ImportError:
+        pass  # the DuckDB-oracle replay still covers the formula
+    # known anchor codes: 0xFF -> 0, 0x7F -> 0, 0x00 -> -32124 (max neg)
+    assert list(mulaw_decode(np.array([0xFF, 0x7F, 0x00, 0x80], dtype="u1"))) == [
+        0, 0, -32124, 32124,
+    ]
+
+    codes = bytes([0x00, 0x45, 0x80, 0xC3, 0xFF])
+    wav_mu = encode_wav_mulaw(codes, 8000)
+    assert parse_audio_header(wav_mu) == (1, 8000, 8, 5)
+    pcm16 = np.array([-300, 0, 17, 12345], dtype="<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wv:
+        wv.setnchannels(1)
+        wv.setsampwidth(2)
+        wv.setframerate(16000)
+        wv.writeframes(pcm16.tobytes())
+    wav_pcm = buf.getvalue()
+    df = spark.createDataFrame(
+        [(1, bytearray(wav_mu)), (2, bytearray(wav_pcm))],
+        "doc_id long, payload binary",
+    )
+    got = {r["doc_id"]: r for r in decode_audio_samples(df).collect()}
+    want = mulaw_decode(np.frombuffer(codes, dtype=np.uint8))
+    assert got[1]["n_samples"] == 5
+    assert got[1]["min_pcm"] == int(want.min()) and got[1]["max_pcm"] == int(want.max())
+    assert abs(got[1]["mean_pcm"] - float(want.mean())) < 1e-9
+    assert (got[2]["min_pcm"], got[2]["max_pcm"]) == (-300, 12345)
+
+    # ADPCM (tag 0x11) has no dependency-free decode -> raises
+    bad = bytearray(wav_mu)
+    struct.pack_into("<H", bad, 20, 0x11)
+    dfb = spark.createDataFrame([(3, bytes(bad))], "doc_id long, payload binary")
+    with pytest.raises(Exception, match="format tag|NotImplemented"):
+        decode_audio_samples(dfb).collect()
+
+
 def test_pixel_formula_codepoint_parity(spark, ddb):
     """r12 (ADVICE): q_multimodal_pixels' pixel formula
     ascii(substr(text, (i % length(text)) + 1, 1)) % 256 must agree
