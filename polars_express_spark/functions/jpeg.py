@@ -393,20 +393,20 @@ def _seg(marker: int, body: bytes) -> bytes:
     return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
 
 
-def _dht_body(tc: int, th: int, syms: list[int], length: int) -> bytes:
-    counts = bytearray(16)
-    counts[length - 1] = len(syms)
+def _dht_body(tc: int, th: int, counts, syms) -> bytes:
     return bytes([tc << 4 | th]) + bytes(counts) + bytes(syms)
 
 
-def _encode_block(bw: _BitWriter, blk: np.ndarray, q: np.ndarray, pred: int) -> int:
-    zz = np.rint(_M @ (blk - 128.0) @ _M.T / q).astype(np.int64).reshape(64)[_ZZ]
+def _block_tokens(zz, pred: int) -> list:
+    """One quantized zigzag block → (is_ac, symbol, extra_value,
+    extra_len) tokens: the DC size category + difference bits, then the
+    AC run/size pairs with ZRL and EOB (T.81 §F.1.2). Token streams
+    feed both symbol-frequency counting (optimized tables) and bit
+    emission, so the two passes cannot disagree."""
+    toks = []
     diff = int(zz[0]) - pred
     s = int(abs(diff)).bit_length()
-    code, nb = _DC_CODE[s]
-    bw.write(code, nb)
-    if s:
-        bw.write((diff if diff >= 0 else diff + (1 << s) - 1) & ((1 << s) - 1), s)
+    toks.append((0, s, (diff if diff >= 0 else diff + (1 << s) - 1) & ((1 << s) - 1), s))
     run = 0
     for k in range(1, 64):
         v = int(zz[k])
@@ -414,18 +414,69 @@ def _encode_block(bw: _BitWriter, blk: np.ndarray, q: np.ndarray, pred: int) -> 
             run += 1
             continue
         while run > 15:
-            code, nb = _AC_CODE[0xF0]  # ZRL
-            bw.write(code, nb)
+            toks.append((1, 0xF0, 0, 0))  # ZRL
             run -= 16
         s = int(abs(v)).bit_length()
-        code, nb = _AC_CODE[(run << 4) | s]
-        bw.write(code, nb)
-        bw.write((v if v >= 0 else v + (1 << s) - 1) & ((1 << s) - 1), s)
+        toks.append(
+            (1, (run << 4) | s, (v if v >= 0 else v + (1 << s) - 1) & ((1 << s) - 1), s)
+        )
         run = 0
     if run:
-        code, nb = _AC_CODE[0x00]  # EOB
-        bw.write(code, nb)
-    return int(zz[0])
+        toks.append((1, 0x00, 0, 0))  # EOB
+    return toks
+
+
+def _optimized_code(freqs: dict[int, int]):
+    """Frequency-optimal canonical Huffman for one table, with T.81's
+    reserved-codeword construction: a pseudo-symbol of weight 1 joins
+    the build, is guaranteed maximal depth (it loses every heap tie, so
+    it sits in the first merge — Huffman merges are non-increasing in
+    final depth), takes the all-ones codeword as the LAST canonical
+    code, and is then dropped — so no real symbol ever codes as all 1s
+    (§K.2's flow chart does the same). Returns (counts16, syms,
+    {sym: (code, length)}), or None if any code would exceed 16 bits
+    (caller falls back to the fixed-length tables)."""
+    import heapq
+
+    pseudo = -1
+    depth = {sym: 0 for sym in freqs}
+    depth[pseudo] = 0
+    heap = [(f, i + 1, (sym,)) for i, (sym, f) in enumerate(sorted(freqs.items()))]
+    heap.append((1, 0, (pseudo,)))  # tiebreak 0: merges first
+    heapq.heapify(heap)
+    nxt = len(heap) + 1
+    while len(heap) > 1:
+        f1, _, s1 = heapq.heappop(heap)
+        f2, _, s2 = heapq.heappop(heap)
+        for s in s1 + s2:
+            depth[s] += 1
+        heapq.heappush(heap, (f1 + f2, nxt, s1 + s2))
+        nxt += 1
+    if max(depth.values()) > 16:
+        return None
+    # canonical order: by (length, symbol), pseudo strictly last
+    order = sorted(freqs, key=lambda s: (depth[s], s))
+    order.append(pseudo)
+    order.sort(key=lambda s: depth[s])  # stable: pseudo stays last per length
+    assert order[-1] == pseudo
+    counts = [0] * 16
+    codes = {}
+    prev_len = depth[order[0]]
+    cur = 0
+    for i, sym in enumerate(order):
+        length = depth[sym]
+        if i == 0:
+            cur = 0
+            prev_len = length
+        else:
+            cur += 1
+            cur <<= length - prev_len
+            prev_len = length
+        if sym != pseudo:
+            codes[sym] = (cur, length)
+            counts[length - 1] += 1
+    syms = [s for s in order if s != pseudo]
+    return counts, syms, codes
 
 
 def _pad_edge(p: np.ndarray, th: int, tw: int) -> np.ndarray:
@@ -433,13 +484,24 @@ def _pad_edge(p: np.ndarray, th: int, tw: int) -> np.ndarray:
     return np.pad(p, ((0, th - h), (0, tw - w)), mode="edge")
 
 
-def encode_jpeg(arr, quant=None, subsample: bool = False, restart_interval: int = 0) -> bytes:
+def encode_jpeg(
+    arr,
+    quant=None,
+    subsample: bool = False,
+    restart_interval: int = 0,
+    huffman: str = "fixed",
+) -> bytes:
     """Encode an (h, w) gray or (h, w, 3) RGB uint8 array as a VALID
     baseline JPEG. quant=None uses all-ones tables (the exact-DC tier);
     pass an (8,8) array for real quantization. subsample=True writes
     4:2:0 (box-averaged chroma); restart_interval>0 emits DRI + RSTn
     markers every that many MCUs (exercises the decoder's restart
-    path)."""
+    path). huffman='optimized' builds frequency-optimal canonical
+    tables per stream (the real-encoder '-optimize' mode) — its
+    variable 1-16-bit codes exercise the decoder's generic canonical
+    construction, which the fixed 4/8-bit tables alone never would;
+    falls back to 'fixed' in the (pathological) case a code would
+    exceed 16 bits."""
     a = np.asarray(arr, dtype=np.uint8)
     if a.ndim == 2:
         a = a[:, :, None]
@@ -471,6 +533,49 @@ def encode_jpeg(arr, quant=None, subsample: bool = False, restart_interval: int 
     my = (h + 8 * vmax - 1) // (8 * vmax)
     planes = {cid: _pad_edge(p, my * 8 * vi, mx * 8 * hi) for cid, hi, vi, p in comps}
 
+    # tokenize the whole scan first (one restart segment per sublist) —
+    # the same token stream drives frequency counting and bit emission
+    token_segs: list[list] = [[]]
+    pred = {c[0]: 0 for c in comps}
+    for mi in range(mx * my):
+        if restart_interval and mi and mi % restart_interval == 0:
+            token_segs.append([])
+            pred = {c[0]: 0 for c in comps}
+        myi, mxi = divmod(mi, mx)
+        cur = token_segs[-1]
+        for cid, hi, vi, _p in comps:
+            plane = planes[cid]
+            for by in range(vi):
+                for bx in range(hi):
+                    y0 = (myi * vi + by) * 8
+                    x0 = (mxi * hi + bx) * 8
+                    zz = (
+                        np.rint(
+                            _M @ (plane[y0 : y0 + 8, x0 : x0 + 8] - 128.0) @ _M.T / q
+                        )
+                        .astype(np.int64)
+                        .reshape(64)[_ZZ]
+                    )
+                    cur.extend(_block_tokens(zz, pred[cid]))
+                    pred[cid] = int(zz[0])
+
+    dc_code, ac_code = _DC_CODE, _AC_CODE
+    dc_tbl = (3 * [0] + [12] + 12 * [0], _DC_SYMS)  # 12 codes, all length 4
+    ac_tbl = (7 * [0] + [162] + 8 * [0], _AC_SYMS)  # 162 codes, all length 8
+    if huffman == "optimized":
+        dc_f: dict[int, int] = {}
+        ac_f: dict[int, int] = {}
+        for seg in token_segs:
+            for is_ac, sym, _ev, _el in seg:
+                tgt = ac_f if is_ac else dc_f
+                tgt[sym] = tgt.get(sym, 0) + 1
+        opt_dc, opt_ac = _optimized_code(dc_f), _optimized_code(ac_f)
+        if opt_dc is not None and opt_ac is not None:
+            dc_tbl, dc_code = (opt_dc[0], opt_dc[1]), opt_dc[2]
+            ac_tbl, ac_code = (opt_ac[0], opt_ac[1]), opt_ac[2]
+    elif huffman != "fixed":
+        raise ValueError("encode_jpeg: huffman must be 'fixed' or 'optimized'")
+
     zzq = q.reshape(64)[_ZZ].astype(np.uint8)  # DQT carries zigzag order
     out = bytearray(b"\xff\xd8")
     out += _seg(0xDB, bytes([0x00]) + zzq.tobytes())
@@ -478,8 +583,8 @@ def encode_jpeg(arr, quant=None, subsample: bool = False, restart_interval: int 
     for cid, hi, vi, _p in comps:
         sof += bytes([cid, (hi << 4) | vi, 0])
     out += _seg(0xC0, sof)
-    out += _seg(0xC4, _dht_body(0, 0, _DC_SYMS, 4))
-    out += _seg(0xC4, _dht_body(1, 0, _AC_SYMS, 8))
+    out += _seg(0xC4, _dht_body(0, 0, *dc_tbl))
+    out += _seg(0xC4, _dht_body(1, 0, *ac_tbl))
     if restart_interval:
         out += _seg(0xDD, struct.pack(">H", restart_interval))
     sos = bytes([len(comps)])
@@ -488,24 +593,17 @@ def encode_jpeg(arr, quant=None, subsample: bool = False, restart_interval: int 
     out += _seg(0xDA, sos + bytes([0, 63, 0]))
 
     bw = _BitWriter()
-    pred = {c[0]: 0 for c in comps}
     rst = 0
-    for mi in range(mx * my):
-        if restart_interval and mi and mi % restart_interval == 0:
+    for si, seg in enumerate(token_segs):
+        if si:
             out += bw.take().replace(b"\xff", b"\xff\x00")
             out += bytes([0xFF, 0xD0 + rst])
             rst = (rst + 1) % 8
-            pred = {c[0]: 0 for c in comps}
-        myi, mxi = divmod(mi, mx)
-        for cid, hi, vi, _p in comps:
-            plane = planes[cid]
-            for by in range(vi):
-                for bx in range(hi):
-                    y0 = (myi * vi + by) * 8
-                    x0 = (mxi * hi + bx) * 8
-                    pred[cid] = _encode_block(
-                        bw, plane[y0 : y0 + 8, x0 : x0 + 8], q, pred[cid]
-                    )
+        for is_ac, sym, ev, el in seg:
+            code, nb = (ac_code if is_ac else dc_code)[sym]
+            bw.write(code, nb)
+            if el:
+                bw.write(ev, el)
     out += bw.take().replace(b"\xff", b"\xff\x00")
     out += b"\xff\xd9"
     return bytes(out)

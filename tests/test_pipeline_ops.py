@@ -999,6 +999,71 @@ def test_gif_pixel_decode_roundtrip_and_variants():
     assert np.array_equal(parse_gif(lct)[3], pal[idx])
 
 
+def test_gif_decoder_reads_foreign_lzw_strategy():
+    """Interop evidence beyond the round-trip: parse_gif must decode a
+    DIFFERENT valid LZW encoding of the same pixels — the classic
+    'uncompressed GIF' strategy (every pixel emitted as a literal code,
+    CLEAR issued before the table would force a width bump), which
+    no code path in the repo encoder produces. Same pixels, entirely
+    different bitstream."""
+    import struct
+
+    import numpy as np
+
+    from polars_express_spark.functions.multimodal import encode_gif, parse_gif
+
+    def literal_lzw(min_code_size: int, data: bytes) -> bytes:
+        clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+        width = min_code_size + 1
+        out, acc, cnt = bytearray(), 0, 0
+
+        def emit(code: int) -> None:
+            nonlocal acc, cnt
+            acc |= code << cnt
+            cnt += width
+            while cnt >= 8:
+                out.append(acc & 0xFF)
+                acc >>= 8
+                cnt -= 8
+
+        # decoder table after a clear holds clear+2 entries and grows by
+        # one per literal after the first; stay strictly below 2**width
+        budget = (1 << width) - (clear + 2) - 1
+        emit(clear)
+        since_clear = 0
+        for b in data:
+            if since_clear > budget:
+                emit(clear)
+                since_clear = 0
+            emit(b)
+            since_clear += 1
+        emit(eoi)
+        if cnt:
+            out.append(acc & 0xFF)
+        return bytes(out)
+
+    rng = np.random.RandomState(9)
+    pal = rng.randint(0, 256, size=(16, 3)).astype("u1")
+    idx = rng.randint(0, 16, size=(23, 17)).astype("u1")  # > one clear cycle
+    h, w = idx.shape
+    comp = literal_lzw(4, idx.tobytes())
+    gif = bytearray(b"GIF89a")
+    gif += struct.pack("<HH", w, h)
+    gif += bytes([0x80 | 3, 0, 0])  # GCT, 16 entries
+    gif += pal.tobytes()
+    gif += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + bytes([0, 4])
+    for i in range(0, len(comp), 255):
+        blk = comp[i : i + 255]
+        gif.append(len(blk))
+        gif += blk
+    gif += bytes([0]) + b"\x3b"
+    got = parse_gif(bytes(gif))
+    assert got is not None
+    assert np.array_equal(got[3], pal[idx])
+    # and the two encodings really are different bitstreams
+    assert bytes(gif) != encode_gif(idx, pal)
+
+
 def test_gif_corrupt_unsupported_fail_loud():
     """GIFs this tier refuses, all None: declared transparency (no
     alpha to express it), a first frame smaller than the logical

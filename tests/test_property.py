@@ -1096,14 +1096,18 @@ def test_gif_roundtrip_property(w, h, n_colors, interlaced, skewed, seed):
     bh=st.integers(1, 4),
     color=st.booleans(),
     ri=st.integers(0, 5),
+    opt=st.booleans(),
     seed=st.integers(0, 2**31 - 1),
 )
-def test_jpeg_dc_exact_property(bw, bh, color, ri, seed):
+def test_jpeg_dc_exact_property(bw, bh, color, ri, opt, seed):
     """The JPEG exactness contract holds for ANY constant-per-8x8-block
     raster under all-ones quant: random block grids, gray and RGB,
-    with and without restart markers. The RGB case additionally proves
-    the YCbCr forward/inverse pair stays inside the 0.5 rounding
-    radius through coefficient rounding (the bound argued in
+    with and without restart markers, under BOTH Huffman modes (the
+    fixed 4/8-bit tables and the frequency-optimized variable-width
+    ones — the latter exercises the decoder's generic 1-16-bit
+    canonical construction). The RGB case additionally proves the
+    YCbCr forward/inverse pair stays inside the 0.5 rounding radius
+    through coefficient rounding (the bound argued in
     functions/jpeg.py). Pure driver-side — no Spark."""
     import numpy as np
 
@@ -1113,7 +1117,11 @@ def test_jpeg_dc_exact_property(bw, bh, color, ri, seed):
     shape = (bh, bw, 3) if color else (bh, bw)
     blocks = rng.randint(0, 256, size=shape).astype("u1")
     img = blocks.repeat(8, axis=0).repeat(8, axis=1)
-    got = parse_jpeg(encode_jpeg(img, restart_interval=ri))
+    got = parse_jpeg(
+        encode_jpeg(
+            img, restart_interval=ri, huffman="optimized" if opt else "fixed"
+        )
+    )
     assert got is not None
     gw, gh, gch, arr = got
     assert (gw, gh, gch) == (8 * bw, 8 * bh, 3 if color else 1)
@@ -1126,14 +1134,15 @@ def test_jpeg_dc_exact_property(bw, bh, color, ri, seed):
     w=st.integers(1, 20),
     h=st.integers(1, 20),
     color=st.booleans(),
+    opt=st.booleans(),
     seed=st.integers(0, 2**31 - 1),
 )
-def test_jpeg_noisy_bounded_property(w, h, color, seed):
+def test_jpeg_noisy_bounded_property(w, h, color, opt, seed):
     """For arbitrary (non-block-constant) content with all-ones quant,
     the only loss is coefficient rounding; the reconstruction error
     stays within a small fixed bound at ANY shape, including non-
     multiple-of-8 edges (encoder pads by edge replication, decoder
-    crops)."""
+    crops), in both Huffman modes."""
     import numpy as np
 
     from polars_express_spark.functions.jpeg import encode_jpeg, parse_jpeg
@@ -1141,7 +1150,7 @@ def test_jpeg_noisy_bounded_property(w, h, color, seed):
     rng = np.random.RandomState(seed)
     shape = (h, w, 3) if color else (h, w)
     a = rng.randint(0, 256, size=shape).astype("u1")
-    got = parse_jpeg(encode_jpeg(a))
+    got = parse_jpeg(encode_jpeg(a, huffman="optimized" if opt else "fixed"))
     assert got is not None
     gw, gh, gch, arr = got
     assert (gw, gh, gch) == (w, h, 3 if color else 1)
