@@ -981,6 +981,10 @@ def test_gif_pixel_decode_roundtrip_and_variants():
     pal256 = (np.arange(768, dtype="u2") % 256).astype("u1").reshape(256, 3)
     idx2 = rng.randint(0, 256, size=(40, 40)).astype("u1")
     assert np.array_equal(parse_gif(encode_gif(idx2, pal256))[3], pal256[idx2])
+    # GIF87a (the older signature, no extensions) decodes identically
+    g89 = encode_gif(idx, pal)
+    g87 = b"GIF87a" + g89[6:]
+    assert np.array_equal(parse_gif(g87)[3], pal[idx])
     # extensions before the image are skipped (comment, opaque GCE)
     g = encode_gif(idx, pal)
     pos = 13 + 3 * 16  # header + 16-entry GCT
