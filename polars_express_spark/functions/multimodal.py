@@ -715,10 +715,14 @@ def parse_png(payload: bytes):
     crafted deflate bomb is rejected without the allocation it tried
     to provoke.
 
-    Per-byte filter reconstruction runs in Python inside the
-    Arrow-batched operator — correct and dependency-free; a production
-    deployment swaps this one function for a C codec without touching
-    the Spark plumbing around it."""
+    Filter reconstruction: None is a copy, Up and Sub are vectorized
+    numpy (Up has no horizontal dependency; Sub is a per-lane prefix
+    sum, and uint8 cumsum wraps mod 256 exactly like the spec's
+    arithmetic — r12). Average and Paeth carry a true left-AND-up
+    recurrence and stay per-byte Python inside the Arrow-batched
+    operator — correct and dependency-free; a production deployment
+    swaps this one function for a C codec without touching the Spark
+    plumbing around it."""
     import struct
     import zlib
 
@@ -810,10 +814,12 @@ def parse_png(payload: bytes):
                 cur = np.frombuffer(line, dtype="u1")
                 up = np.frombuffer(out[o - stride : o], dtype="u1")
                 out[o : o + stride] = (cur + up).astype("u1").tobytes()
-        elif f == 1:  # Sub
-            for x in range(stride):
-                a = out[o + x - bpp] if x >= bpp else 0
-                out[o + x] = (line[x] + a) & 0xFF
+        elif f == 1:  # Sub — vectorized (r12): out[x] = line[x] +
+            # out[x-bpp] is a per-LANE prefix sum (lane = byte offset
+            # within the pixel), and numpy's uint8 cumsum wraps mod 256
+            # exactly like the spec's arithmetic
+            lanes = np.frombuffer(line, dtype="u1").reshape(-1, bpp)
+            out[o : o + stride] = np.cumsum(lanes, axis=0, dtype="u1").tobytes()
         elif f == 3:  # Average
             for x in range(stride):
                 a = out[o + x - bpp] if x >= bpp else 0
