@@ -28,8 +28,9 @@ parse_png inflates the IDAT stream, reconstructs all five scanline
 filters (None/Sub/Up/Average/Paeth, PNG spec §9), applies PLTE for
 paletted images, and returns the same (w, h, ch, ndarray) contract as
 parse_netpbm, CRC-checked per chunk; gray/RGB/gray+alpha/RGBA at 8-
-and 16-bit and 8-bit palette are covered, Adam7 interlace and sub-byte
-depths still raise. r12 COMPLETES the dependency-free image ladder:
+and 16-bit and 8-bit palette are covered, Adam7 interlace decodes too
+(r12), only sub-byte depths still raise. r12 COMPLETES the
+dependency-free image ladder:
 BMP (parse_bmp — uncompressed BI_RGB at 1/8/24/32bpp is pure
 struct + numpy), GIF (parse_gif — LZW is ~60 lines of pure Python,
 interlace included), and baseline JPEG (functions/jpeg.py — canonical
@@ -691,6 +692,55 @@ def parse_netpbm(payload: bytes):
     return w, h, channels, arr.reshape(h, w, channels)
 
 
+def _png_unfilter(raw, off: int, h: int, stride: int, bpp: int):
+    """Reconstruct h filtered scanlines of `stride` bytes starting at
+    byte `off` of the inflated stream (PNG spec §9); each scanline is
+    prefixed by its filter byte. None is a copy; Up and Sub are
+    vectorized numpy (Up has no horizontal dependency; Sub is a
+    per-lane prefix sum, and uint8 cumsum wraps mod 256 exactly like
+    the spec's arithmetic — r12); Average and Paeth carry a true
+    left-AND-up recurrence and stay per-byte Python. Returns
+    bytearray(h*stride) or None on an undefined filter type. Factored
+    out so the Adam7 path (r12) can unfilter each of the seven
+    sub-images independently."""
+    import numpy as np
+
+    out = bytearray(h * stride)
+    for y in range(h):
+        f = raw[off + y * (1 + stride)]
+        line = raw[off + y * (1 + stride) + 1 : off + (y + 1) * (1 + stride)]
+        o = y * stride
+        if f == 0:  # None
+            out[o : o + stride] = line
+        elif f == 2:  # Up — vectorized (no horizontal dependency)
+            if y == 0:
+                out[o : o + stride] = line
+            else:
+                cur = np.frombuffer(line, dtype="u1")
+                up = np.frombuffer(out[o - stride : o], dtype="u1")
+                out[o : o + stride] = (cur + up).astype("u1").tobytes()
+        elif f == 1:  # Sub — per-lane uint8 prefix sum
+            lanes = np.frombuffer(line, dtype="u1").reshape(-1, bpp)
+            out[o : o + stride] = np.cumsum(lanes, axis=0, dtype="u1").tobytes()
+        elif f == 3:  # Average
+            for x in range(stride):
+                a = out[o + x - bpp] if x >= bpp else 0
+                b = out[o - stride + x] if y > 0 else 0
+                out[o + x] = (line[x] + ((a + b) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for x in range(stride):
+                a = out[o + x - bpp] if x >= bpp else 0
+                b = out[o - stride + x] if y > 0 else 0
+                c = out[o - stride + x - bpp] if (y > 0 and x >= bpp) else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                out[o + x] = (line[x] + pr) & 0xFF
+        else:
+            return None  # undefined filter type
+    return out
+
+
 def parse_png(payload: bytes):
     """REAL PNG pixel decode with the standard library only (r11):
     returns (width, height, channels, ndarray[h, w, ch]) or None.
@@ -704,9 +754,11 @@ def parse_png(payload: bytes):
     and reshape. Covers color types 0/2/4/6 at bit depth 8 and 16
     (16-bit samples big-endian, matching parse_netpbm's convention)
     and type 3 (palette) at depth 8 via PLTE lookup (output is the
-    looked-up RGB raster, channels=3). Returns None for Adam7
-    interlace and sub-byte depths (valid PNGs this tier does not
-    cover), for tRNS transparency and unrecognized CRITICAL chunks
+    looked-up RGB raster, channels=3). Adam7 interlace IS covered
+    (r12): the seven sub-images are unfiltered independently and
+    scattered back — reordering plus the same filter math, not new
+    codec work. Returns None for sub-byte depths (the one remaining
+    valid-PNG gate), for tRNS transparency and unrecognized CRITICAL chunks
     (honoring either would change pixels — "None, never invented
     pixels"; ancillary chunks like tEXt/gAMA are skipped per spec),
     and for any structural corruption: bad CRC, truncated chunk,
@@ -764,15 +816,15 @@ def parse_png(payload: bytes):
         elif not ctype[0] & 0x20:
             # unrecognized CRITICAL chunk (uppercase first letter, PNG
             # spec §5.4): the spec forbids rendering without honoring
-            # it, so skipping would invent pixels — reject like Adam7
+            # it, so skipping would invent pixels — reject
             return None
     # a stream that never reaches IEND is truncated even if every
     # present chunk CRC-checks — strict, per "corrupt streams raise"
     if ihdr is None or not idat or not saw_iend:
         return None
     w, h, depth, ctype_i, comp, filt, interlace = ihdr
-    if comp != 0 or filt != 0 or interlace != 0:
-        return None  # Adam7 / nonstandard methods: not this tier
+    if comp != 0 or filt != 0 or interlace not in (0, 1):
+        return None  # nonstandard methods: not any tier
     if ctype_i not in _PNG_CHANNELS or w <= 0 or h <= 0:
         return None
     ch = _PNG_CHANNELS[ctype_i]
@@ -786,12 +838,26 @@ def parse_png(payload: bytes):
         return None  # sub-byte depths: not this tier
     bpp = ch * bps
     stride = w * bpp
+    if interlace == 0:
+        passes = [(0, 0, 1, 1, w, h)]
+    else:
+        # Adam7 (r12): seven sub-images, each filtered independently;
+        # empty passes (sub-image smaller than 1px) contribute no bytes
+        passes = []
+        for x0, y0, dx, dy in (
+            (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+            (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+        ):
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw > 0 and ph > 0:
+                passes.append((x0, y0, dx, dy, pw, ph))
     # cap inflation at the header-declared raster size (r12, ADVICE):
     # a kilobyte-scale crafted IDAT (deflate bomb) must not allocate
     # gigabytes executor-side before the length check rejects it —
     # decompressobj stops at max_length, then one 1-byte probe detects
     # any surplus output without producing it
-    need = h * (1 + stride)
+    need = sum(ph * (1 + pw * bpp) for *_, pw, ph in passes)
     d = zlib.decompressobj()
     try:
         raw = d.decompress(b"".join(idat), need)
@@ -800,42 +866,22 @@ def parse_png(payload: bytes):
         return None
     if len(raw) != need or surplus:
         return None
-    out = bytearray(h * stride)
-    for y in range(h):
-        f = raw[y * (1 + stride)]
-        line = raw[y * (1 + stride) + 1 : (y + 1) * (1 + stride)]
-        o = y * stride
-        if f == 0:  # None
-            out[o : o + stride] = line
-        elif f == 2:  # Up — vectorized (no horizontal dependency)
-            if y == 0:
-                out[o : o + stride] = line
-            else:
-                cur = np.frombuffer(line, dtype="u1")
-                up = np.frombuffer(out[o - stride : o], dtype="u1")
-                out[o : o + stride] = (cur + up).astype("u1").tobytes()
-        elif f == 1:  # Sub — vectorized (r12): out[x] = line[x] +
-            # out[x-bpp] is a per-LANE prefix sum (lane = byte offset
-            # within the pixel), and numpy's uint8 cumsum wraps mod 256
-            # exactly like the spec's arithmetic
-            lanes = np.frombuffer(line, dtype="u1").reshape(-1, bpp)
-            out[o : o + stride] = np.cumsum(lanes, axis=0, dtype="u1").tobytes()
-        elif f == 3:  # Average
-            for x in range(stride):
-                a = out[o + x - bpp] if x >= bpp else 0
-                b = out[o - stride + x] if y > 0 else 0
-                out[o + x] = (line[x] + ((a + b) >> 1)) & 0xFF
-        elif f == 4:  # Paeth
-            for x in range(stride):
-                a = out[o + x - bpp] if x >= bpp else 0
-                b = out[o - stride + x] if y > 0 else 0
-                c = out[o - stride + x - bpp] if (y > 0 and x >= bpp) else 0
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                out[o + x] = (line[x] + pr) & 0xFF
-        else:
-            return None  # undefined filter type
+    if interlace == 0:
+        out = _png_unfilter(raw, 0, h, stride, bpp)
+        if out is None:
+            return None
+    else:
+        final = np.zeros((h, w, bpp), dtype="u1")
+        off = 0
+        for x0, y0, dx, dy, pw, ph in passes:
+            po = _png_unfilter(raw, off, ph, pw * bpp, bpp)
+            if po is None:
+                return None
+            off += ph * (1 + pw * bpp)
+            final[y0::dy, x0::dx] = np.frombuffer(bytes(po), dtype="u1").reshape(
+                ph, pw, bpp
+            )
+        out = final.tobytes()
     if ctype_i == 3:
         idx = np.frombuffer(bytes(out), dtype="u1").reshape(h, w)
         pal = np.frombuffer(plte, dtype="u1").reshape(-1, 3)
@@ -902,18 +948,21 @@ def parse_bmp(payload: bytes):
 
     Covers BITMAPINFOHEADER and its extensions (V4/V5 — palette offset
     rides the declared header size) plus the ancient 12-byte
-    BITMAPCOREHEADER, at 1/8/24/32 bits per pixel: bottom-up AND
+    BITMAPCOREHEADER, at 1/4/8/24/32 bits per pixel: bottom-up AND
     top-down (negative height) row order, 4-byte row padding stripped,
-    BGR→RGB swizzled. Palette images (1/8-bit) return the looked-up RGB
-    raster (channels=3, the parse_png PLTE convention); 32bpp returns
-    channels=3 because BI_RGB's fourth byte is spec-reserved padding,
-    not alpha — emitting it as alpha would invent transparency. Returns
-    None for compressed BMPs (BI_RLE/BI_BITFIELDS — not this tier), a
-    palette index past the declared palette, and any structural
-    corruption: truncated header/palette/raster, nonpositive
-    dimensions, planes != 1, or a pixel offset inside the header. The
-    raster read is bounded by the header-declared w·h·bpp, so no
-    payload can provoke an allocation larger than it declares."""
+    BGR→RGB swizzled. Palette images (1/4/8-bit) return the looked-up
+    RGB raster (channels=3, the parse_png PLTE convention). 32bpp
+    BI_RGB returns channels=3 because its fourth byte is spec-reserved
+    padding, not alpha — emitting it would invent transparency; 32bpp
+    BI_BITFIELDS with the standard byte-aligned BGRX masks is decoded
+    too, returning channels=4 REAL alpha when the V4+ header declares
+    AlphaMask=0xFF000000 and channels=3 otherwise. Returns None for
+    RLE compression, non-byte-aligned bitfield masks (16bpp 565/555 —
+    not this tier), a palette index past the declared palette, and any
+    structural corruption: truncated header/palette/raster,
+    nonpositive dimensions, planes != 1, or a pixel offset inside the
+    header. The raster read is bounded by the header-declared w·h·bpp,
+    so no payload can provoke an allocation larger than it declares."""
     import struct
 
     import numpy as np
@@ -923,6 +972,7 @@ def parse_bmp(payload: bytes):
     (off_bits,) = struct.unpack_from("<I", payload, 10)
     (hsize,) = struct.unpack_from("<I", payload, 14)
     top_down = False
+    alpha = False
     if hsize == 12:  # BITMAPCOREHEADER: u16 dims, no compression field
         w, h, planes, bits = struct.unpack_from("<HHHH", payload, 18)
         pal_entry = 3
@@ -934,14 +984,28 @@ def parse_bmp(payload: bytes):
         (w, h, planes, bits, compression, _isz, _xp, _yp, clr_used, _ci) = (
             struct.unpack_from("<iiHHIIiiII", payload, 18)
         )
-        if compression != 0:  # BI_RLE4/8, BI_BITFIELDS, …: not this tier
+        if compression == 3:
+            # BI_BITFIELDS: masks sit at file offset 54 either way —
+            # appended after a 40-byte header, or the V2+/V4/V5 header
+            # fields at DIB offset 40. Only the standard byte-aligned
+            # 32bpp BGRX layout is this tier; anything else (565/555,
+            # scrambled masks) would need bit gymnastics → None.
+            if bits != 32 or len(payload) < 66:
+                return None
+            if struct.unpack_from("<III", payload, 54) != (
+                0x00FF0000, 0x0000FF00, 0x000000FF,
+            ):
+                return None
+            if hsize >= 56:  # V4+: AlphaMask at DIB offset 52
+                alpha = struct.unpack_from("<I", payload, 66)[0] == 0xFF000000
+        elif compression != 0:  # BI_RLE4/8, BI_JPEG, …: not this tier
             return None
         pal_entry = 4
         if h < 0:
             top_down, h = True, -h
     else:
         return None
-    if planes != 1 or w <= 0 or h <= 0 or bits not in (1, 8, 24, 32):
+    if planes != 1 or w <= 0 or h <= 0 or bits not in (1, 4, 8, 24, 32):
         return None
     stride = ((w * bits + 31) // 32) * 4
     if off_bits < 14 + hsize or off_bits + stride * h > len(payload):
@@ -956,6 +1020,8 @@ def parse_bmp(payload: bytes):
         return w, h, 3, np.ascontiguousarray(img)
     if bits == 32:
         img = raw[:, : w * 4].reshape(h, w, 4)
+        if alpha:  # V4+ BI_BITFIELDS with AlphaMask: the byte IS alpha
+            return w, h, 4, np.ascontiguousarray(img[:, :, [2, 1, 0, 3]])
         return w, h, 3, np.ascontiguousarray(img[:, :, 2::-1])
     # palette entry count: biClrUsed if declared, else 2**bits — but
     # never more than the bytes actually present between the header and
@@ -973,6 +1039,9 @@ def parse_bmp(payload: bytes):
     pal_rgb = np.ascontiguousarray(pal[:, 2::-1])  # BGR(X) → RGB
     if bits == 8:
         idx = raw[:, :w]
+    elif bits == 4:  # two pixels per byte, high nibble first
+        nib = np.stack([raw >> 4, raw & 0x0F], axis=2).reshape(h, -1)
+        idx = nib[:, :w]
     else:  # 1-bit: MSB-first within each byte
         idx = np.unpackbits(raw, axis=1)[:, :w]
     if int(idx.max()) >= n_pal:

@@ -647,11 +647,13 @@ def _png_chunk(ctype: bytes, data: bytes) -> bytes:
     )
 
 
-def _encode_png(arr, ctype_i: int, depth: int, filters, palette=None) -> bytes:
-    """Minimal stdlib PNG encoder for the tests: filters[y] picks the
-    scanline filter, so every reconstruction path is exercised against
-    pixels we know. Encoding applies the filter's forward form; the
-    decoder must invert it exactly."""
+def _encode_png(arr, ctype_i: int, depth: int, filters, palette=None, interlace=False) -> bytes:
+    """Minimal stdlib PNG encoder for the tests: filters[i] picks the
+    scanline filter (cycling across scanlines, including across Adam7
+    passes), so every reconstruction path is exercised against pixels
+    we know. Encoding applies the filter's forward form; the decoder
+    must invert it exactly. interlace=True writes Adam7: each of the
+    seven sub-images filtered independently, per spec."""
     import struct
     import zlib
 
@@ -661,39 +663,61 @@ def _encode_png(arr, ctype_i: int, depth: int, filters, palette=None) -> bytes:
     ch = 1 if arr.ndim == 2 else arr.shape[2]
     bps = depth // 8
     dt = ">u2" if depth == 16 else "u1"
-    raster = np.ascontiguousarray(arr, dtype=dt).tobytes()
-    stride = w * ch * bps
+    a3 = np.ascontiguousarray(arr, dtype=dt)
+    if a3.ndim == 2:
+        a3 = a3[:, :, None]
     bpp = ch * bps
-    out = bytearray()
-    prev = bytes(stride)
-    for y in range(h):
-        line = raster[y * stride : (y + 1) * stride]
-        f = filters[y % len(filters)]
-        out.append(f)
-        for x in range(stride):
-            a = line[x - bpp] if x >= bpp else 0
-            b = prev[x]
-            c = prev[x - bpp] if x >= bpp else 0
-            if f == 0:
-                v = line[x]
-            elif f == 1:
-                v = line[x] - a
-            elif f == 2:
-                v = line[x] - b
-            elif f == 3:
-                v = line[x] - ((a + b) >> 1)
-            else:  # Paeth
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                v = line[x] - pr
-            out.append(v & 0xFF)
-        prev = line
-    ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype_i, 0, 0, 0)
+    row_no = 0  # global scanline counter so filters cycle across passes
+
+    def filt_block(sub) -> bytes:
+        nonlocal row_no
+        raster = np.ascontiguousarray(sub, dtype=dt).tobytes()
+        ph, pw = sub.shape[0], sub.shape[1]
+        stride = pw * bpp
+        out = bytearray()
+        prev = bytes(stride)
+        for y in range(ph):
+            line = raster[y * stride : (y + 1) * stride]
+            f = filters[row_no % len(filters)]
+            row_no += 1
+            out.append(f)
+            for x in range(stride):
+                av = line[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                if f == 0:
+                    v = line[x]
+                elif f == 1:
+                    v = line[x] - av
+                elif f == 2:
+                    v = line[x] - b
+                elif f == 3:
+                    v = line[x] - ((av + b) >> 1)
+                else:  # Paeth
+                    p = av + b - c
+                    pa, pb, pc = abs(p - av), abs(p - b), abs(p - c)
+                    pr = av if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    v = line[x] - pr
+                out.append(v & 0xFF)
+            prev = line
+        return bytes(out)
+
+    if interlace:
+        body = b""
+        for x0, y0, dx, dy in (
+            (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+            (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+        ):
+            sub = a3[y0::dy, x0::dx]
+            if sub.shape[0] and sub.shape[1]:
+                body += filt_block(sub)
+    else:
+        body = filt_block(a3)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype_i, 0, 0, 1 if interlace else 0)
     png = b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
     if palette is not None:
         png += _png_chunk(b"PLTE", palette)
-    comp = zlib.compress(bytes(out))
+    comp = zlib.compress(bytes(body))
     # split IDAT in two to exercise multi-chunk concatenation
     png += _png_chunk(b"IDAT", comp[: len(comp) // 2])
     png += _png_chunk(b"IDAT", comp[len(comp) // 2 :])
@@ -755,8 +779,9 @@ def test_png_pixel_decode_all_filters_and_types(spark):
 def test_png_corrupt_unsupported_fail_loud():
     """Corrupt streams return None — bad chunk CRC, truncated IDAT,
     raster/header disagreement, palette overrun — and VALID-but-
-    uncovered PNGs (Adam7 interlace, sub-byte depths) also return None
-    so the operator raises rather than inventing pixels."""
+    uncovered PNGs (sub-byte depths, since r12 the one remaining gate)
+    also return None so the operator raises rather than inventing
+    pixels."""
     import struct
     import zlib
 
@@ -773,7 +798,8 @@ def test_png_corrupt_unsupported_fail_loud():
     assert parse_png(bytes(bad)) is None
     # truncated: drop the tail
     assert parse_png(good[:-12]) is None
-    # interlaced header (Adam7) — valid PNG, not this tier
+    # interlaced header whose data length disagrees with the Adam7
+    # pass layout (15 bytes vs the required 18) — structural corruption
     ihdr = struct.pack(">IIBBBBB", 4, 3, 8, 0, 0, 0, 1)
     interlaced = (
         b"\x89PNG\r\n\x1a\n"
@@ -782,6 +808,15 @@ def test_png_corrupt_unsupported_fail_loud():
         + _png_chunk(b"IEND", b"")
     )
     assert parse_png(interlaced) is None
+    # sub-byte depth (2-bit gray): valid PNG, not this tier
+    ihdr2b = struct.pack(">IIBBBBB", 4, 3, 2, 0, 0, 0, 0)
+    sub_byte = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr2b)
+        + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 6))
+        + _png_chunk(b"IEND", b"")
+    )
+    assert parse_png(sub_byte) is None
     # raster length disagrees with header (extra scanline)
     ihdr2 = struct.pack(">IIBBBBB", 4, 2, 8, 0, 0, 0, 0)
     wrong = (
@@ -795,6 +830,42 @@ def test_png_corrupt_unsupported_fail_loud():
     idx = np.array([[5]], dtype="u1")
     overrun = _encode_png(idx, 3, 8, filters=[0], palette=bytes([1, 2, 3]))
     assert parse_png(overrun) is None
+
+
+def test_png_adam7_interlace_roundtrip():
+    """r12: Adam7-interlaced PNGs decode to the same pixels as their
+    sequential twins — gray/RGB/RGBA at 8- and 16-bit, random filter
+    mixes cycling ACROSS the seven passes, palette type, and the shapes
+    where some passes are empty (tiny images)."""
+    import numpy as np
+
+    from polars_express_spark.functions.multimodal import parse_png
+
+    rng = np.random.RandomState(14)
+    for shape, ctype, depth in [
+        ((11, 13), 0, 8),        # gray — all 7 passes non-empty
+        ((9, 10, 3), 2, 8),      # RGB
+        ((5, 6, 4), 6, 8),       # RGBA
+        ((7, 4), 0, 16),         # gray 16-bit (2-byte samples scatter)
+        ((1, 1), 0, 8),          # only pass 1 exists
+        ((2, 3), 0, 8),          # several empty passes
+        ((8, 1), 0, 8),          # single column
+    ]:
+        hi = 65536 if depth == 16 else 256
+        a = rng.randint(0, hi, size=shape).astype(">u2" if depth == 16 else "u1")
+        got = parse_png(_encode_png(a, ctype, depth, filters=[0, 1, 2, 3, 4], interlace=True))
+        assert got is not None, (shape, ctype, depth)
+        w, h, ch, arr = got
+        want = a if a.ndim == 3 else a[:, :, None]
+        assert (w, h) == (shape[1], shape[0])
+        assert np.array_equal(arr.astype(want.dtype), want), (shape, ctype, depth)
+    # paletted + interlaced
+    pal = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])
+    idx = rng.randint(0, 3, size=(9, 9)).astype("u1")
+    w, h, ch, arr = parse_png(_encode_png(idx, 3, 8, filters=[1, 4], palette=pal, interlace=True))
+    assert ch == 3
+    want = np.frombuffer(pal, dtype="u1").reshape(3, 3)[idx]
+    assert np.array_equal(arr, want)
 
 
 def test_png_bomb_trns_and_critical_chunks():
@@ -898,6 +969,55 @@ def test_bmp_pixel_decode_roundtrip_and_variants():
     w, h, ch, back = parse_bmp(hdr + core + core_pal + bytes([2, 1, 0, 0]))
     assert (w, h, ch) == (2, 1, 3)
     assert tuple(back[0, 0]) == (255, 255, 255) and tuple(back[0, 1]) == (128, 128, 128)
+
+
+def test_bmp_4bit_and_bitfields():
+    """r12 extension: 4-bit palette rasters (two pixels per byte, high
+    nibble first) and 32bpp BI_BITFIELDS with the standard BGRX masks —
+    channels=4 REAL alpha when a V4+ header declares
+    AlphaMask=0xFF000000, channels=3 otherwise; scrambled or 16bpp
+    masks return None."""
+    import struct
+
+    from polars_express_spark.functions.multimodal import parse_bmp
+
+    pal = b"".join(
+        bytes((b, g, r, 0))
+        for r, g, b in [(10, 20, 30), (40, 50, 60), (70, 80, 90), (1, 2, 3), (9, 8, 7)]
+    )
+    row_top = bytes([0x01, 0x20, 0, 0])  # pixels 0,1,2 (3 px, stride 4)
+    row_bot = bytes([0x34, 0x00, 0, 0])  # pixels 3,4,0
+    hdr = b"BM" + struct.pack("<IHHI", 14 + 40 + 20 + 8, 0, 0, 14 + 40 + 20)
+    dib = struct.pack("<IiiHHIIiiII", 40, 3, 2, 1, 4, 0, 8, 0, 0, 5, 0)
+    w, h, ch, arr = parse_bmp(hdr + dib + pal + row_bot + row_top)
+    assert (w, h, ch) == (3, 2, 3)
+    assert tuple(arr[0, 0]) == (10, 20, 30) and tuple(arr[0, 2]) == (70, 80, 90)
+    assert tuple(arr[1, 1]) == (9, 8, 7) and tuple(arr[1, 2]) == (10, 20, 30)
+
+    def bitfields(hsize, amask):
+        px = bytes([10, 20, 30, 200])  # B G R A
+        off_extra = 12 if hsize == 40 else 0
+        off = 14 + hsize + off_extra
+        out = b"BM" + struct.pack("<IHHI", off + 4, 0, 0, off)
+        out += struct.pack("<IiiHHIIiiII", hsize, 1, 1, 1, 32, 3, 4, 0, 0, 0, 0)
+        if hsize == 40:  # masks appended after the header
+            out += struct.pack("<III", 0xFF0000, 0xFF00, 0xFF)
+        else:  # V4+: masks are header fields
+            out += struct.pack("<IIII", 0xFF0000, 0xFF00, 0xFF, amask)
+            out += b"\x00" * (hsize - 40 - 16)
+        return out + px
+
+    w, h, ch, arr = parse_bmp(bitfields(40, 0))
+    assert ch == 3 and tuple(arr[0, 0]) == (30, 20, 10)
+    w, h, ch, arr = parse_bmp(bitfields(108, 0xFF000000))
+    assert ch == 4 and tuple(arr[0, 0]) == (30, 20, 10, 200)
+    assert parse_bmp(bitfields(108, 0))[2] == 3  # no alpha mask declared
+    bad = bytearray(bitfields(40, 0))
+    struct.pack_into("<III", bad, 54, 0xFF, 0xFF00, 0xFF0000)
+    assert parse_bmp(bytes(bad)) is None  # scrambled masks
+    bad16 = bytearray(bitfields(40, 0))
+    struct.pack_into("<H", bad16, 28, 16)
+    assert parse_bmp(bytes(bad16)) is None  # 565/555: not this tier
 
 
 def test_bmp_corrupt_unsupported_fail_loud():

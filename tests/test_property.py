@@ -1002,14 +1002,17 @@ def test_ddsketch_relative_error_bound(vals, q):
     h=st.integers(1, 7),
     ch=st.integers(1, 4),
     deep=st.booleans(),
+    interlace=st.booleans(),
     filters=st.lists(st.integers(0, 4), min_size=1, max_size=7),
     seed=st.integers(0, 2**31 - 1),
 )
-def test_png_roundtrip_property(w, h, ch, deep, filters, seed):
+def test_png_roundtrip_property(w, h, ch, deep, interlace, filters, seed):
     """parse_png inverts ANY valid filtered encoding: random shapes,
-    channel counts, 8/16-bit depths, and random per-scanline filter
-    choices (the test encoder applies the forward filter; the decoder
-    must reconstruct bit-exactly). Pure driver-side — no Spark."""
+    channel counts, 8/16-bit depths, random per-scanline filter
+    choices, sequential AND Adam7-interlaced layout (r12 — filters
+    cycle across the seven passes, empty passes included at small
+    shapes). The test encoder applies the forward filter; the decoder
+    must reconstruct bit-exactly. Pure driver-side — no Spark."""
     import numpy as np
 
     from polars_express_spark.functions.multimodal import parse_png
@@ -1021,7 +1024,7 @@ def test_png_roundtrip_property(w, h, ch, deep, filters, seed):
     shape = (h, w) if ch == 1 else (h, w, ch)
     a = rng.randint(0, hi, size=shape).astype(dt)
     ctype = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
-    png = _encode_png(a, ctype, 16 if deep else 8, filters=filters)
+    png = _encode_png(a, ctype, 16 if deep else 8, filters=filters, interlace=interlace)
     got = parse_png(png)
     assert got is not None
     gw, gh, gch, arr = got
