@@ -500,6 +500,23 @@ def mulaw_decode(b):
     return np.where(c & 0x80, 0x84 - t, t - 0x84).astype(np.int32)
 
 
+def alaw_decode(b):
+    """G.711 A-law byte(s) → linear 16-bit-range PCM, vectorized numpy
+    (r12 — completes G.711 beside mulaw_decode): XOR 0x55, then
+    segment/mantissa expansion per the CCITT tables. Matches stdlib
+    audioop.alaw2lin byte-for-byte on all 256 codes (pinned in tests
+    while that module still exists)."""
+    import numpy as np
+
+    a = (np.asarray(b, dtype=np.uint8) ^ 0x55).astype(np.int32)
+    mant = a & 0x0F
+    seg = (a >> 4) & 0x07
+    t = (mant << 4) + 8
+    t = np.where(seg >= 1, t + 0x100, t)
+    t = np.where(seg > 1, t << np.maximum(seg - 1, 0), t)
+    return np.where(a & 0x80, t, -t).astype(np.int32)
+
+
 def encode_wav_mulaw(samples_mulaw: bytes, sample_rate: int = 8000) -> bytes:
     """A VALID RIFF/WAVE container around raw G.711 mu-law bytes
     (format tag 7, 8 bits, mono) — stdlib `wave` writes PCM only, so
@@ -561,6 +578,8 @@ def decode_audio_samples(df: DataFrame) -> DataFrame:
                 bits = meta[2]
                 if tag == 7 and bits == 8:
                     pcm = mulaw_decode(np.frombuffer(data, dtype=np.uint8))
+                elif tag == 6 and bits == 8:
+                    pcm = alaw_decode(np.frombuffer(data, dtype=np.uint8))
                 elif tag == 1 and bits == 16:
                     pcm = np.frombuffer(data, dtype="<i2").astype(np.int32)
                 elif tag == 1 and bits == 8:  # PCM 8-bit is UNSIGNED
@@ -568,8 +587,8 @@ def decode_audio_samples(df: DataFrame) -> DataFrame:
                 else:
                     raise NotImplementedError(
                         f"doc {doc_id}: WAV format tag {tag}/{bits}-bit has no "
-                        "dependency-free decode here (PCM 8/16 and G.711 "
-                        "mu-law are implemented)"
+                        "dependency-free decode here (PCM 8/16 and both G.711 "
+                        "halves, mu-law and A-law, are implemented)"
                     )
                 if len(pcm) == 0:
                     raise ValueError(f"doc {doc_id}: empty data chunk")

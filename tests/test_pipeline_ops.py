@@ -1428,6 +1428,8 @@ def test_mulaw_decode_and_audio_samples(spark):
         parse_audio_header,
     )
 
+    from polars_express_spark.functions.multimodal import alaw_decode
+
     try:
         import warnings
 
@@ -1440,6 +1442,10 @@ def test_mulaw_decode_and_audio_samples(spark):
         ).astype(np.int32)
         mine = mulaw_decode(np.arange(256, dtype=np.uint8))
         assert np.array_equal(mine, ref)
+        ref_a = np.frombuffer(
+            audioop.alaw2lin(bytes(range(256)), 2), dtype="<i2"
+        ).astype(np.int32)
+        assert np.array_equal(alaw_decode(np.arange(256, dtype=np.uint8)), ref_a)
     except ImportError:
         pass  # the DuckDB-oracle replay still covers the formula
     # known anchor codes: 0xFF -> 0, 0x7F -> 0, 0x00 -> -32124 (max neg)
@@ -1468,6 +1474,14 @@ def test_mulaw_decode_and_audio_samples(spark):
     assert got[1]["min_pcm"] == int(want.min()) and got[1]["max_pcm"] == int(want.max())
     assert abs(got[1]["mean_pcm"] - float(want.mean())) < 1e-9
     assert (got[2]["min_pcm"], got[2]["max_pcm"]) == (-300, 12345)
+
+    # A-law (tag 6) decodes through the same operator
+    alaw_wav = bytearray(wav_mu)
+    struct.pack_into("<H", alaw_wav, 20, 6)
+    dfa = spark.createDataFrame([(4, bytes(alaw_wav))], "doc_id long, payload binary")
+    row = decode_audio_samples(dfa).collect()[0]
+    want_a = alaw_decode(np.frombuffer(codes, dtype=np.uint8))
+    assert row["min_pcm"] == int(want_a.min()) and row["max_pcm"] == int(want_a.max())
 
     # ADPCM (tag 0x11) has no dependency-free decode -> raises
     bad = bytearray(wav_mu)
