@@ -517,6 +517,74 @@ def alaw_decode(b):
     return np.where(a & 0x80, t, -t).astype(np.int32)
 
 
+# IMA/DVI ADPCM tables (IMA ADPCM spec / Intel DVI): 89 step sizes and
+# the per-nibble index adjustments
+_IMA_STEPS = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+)
+_IMA_INDEX_ADJ = (-1, -1, -1, -1, 2, 4, 6, 8)
+
+
+def adpcm_ima_decode(data: bytes, val: int = 0, idx: int = 0, low_first: bool = False):
+    """DVI/IMA ADPCM nibble stream → linear PCM16 (r12 — the first
+    COMPRESSED audio codec in the ladder: 4 bits/sample, a stateful
+    step-size predictor, inherently sequential like PNG's Paeth).
+    Matches stdlib audioop.adpcm2lin byte-for-byte from any seeded
+    (val, idx) state (pinned in tests). high-nibble-first is the
+    DVI/audioop order; WAV's tag-0x11 payload packs LOW nibble first
+    (low_first=True). Returns an int32 array of 2 samples per byte."""
+    import numpy as np
+
+    out = []
+    for byte in data:
+        pair = (byte & 0x0F, byte >> 4) if low_first else (byte >> 4, byte & 0x0F)
+        for nib in pair:
+            step = _IMA_STEPS[idx]
+            diff = step >> 3
+            if nib & 1:
+                diff += step >> 2
+            if nib & 2:
+                diff += step >> 1
+            if nib & 4:
+                diff += step
+            val = val - diff if nib & 8 else val + diff
+            val = max(-32768, min(32767, val))
+            idx = max(0, min(88, idx + _IMA_INDEX_ADJ[nib & 7]))
+            out.append(val)
+    return np.array(out, dtype=np.int32)
+
+
+def _wav_ima_blocks_decode(data: bytes, block_align: int):
+    """WAV format tag 0x11 (IMA ADPCM), MONO block layout: each
+    block_align-sized block starts with a 4-byte header (seed sample
+    i16le, step index u8, reserved) followed by low-nibble-first
+    ADPCM data; the seed sample is emitted verbatim. Returns the
+    concatenated int32 PCM or None on a malformed block (index > 88,
+    block shorter than its header)."""
+    import numpy as np
+
+    if block_align < 4:
+        return None
+    chunks = []
+    for off in range(0, len(data) - 3, block_align):
+        block = data[off : off + block_align]
+        val = int.from_bytes(block[:2], "little", signed=True)
+        idx = block[2]
+        if idx > 88:
+            return None
+        chunks.append(np.array([val], dtype=np.int32))
+        chunks.append(adpcm_ima_decode(block[4:], val, idx, low_first=True))
+    if not chunks:
+        return None
+    return np.concatenate(chunks)
+
+
 def encode_wav_mulaw(samples_mulaw: bytes, sample_rate: int = 8000) -> bytes:
     """A VALID RIFF/WAVE container around raw G.711 mu-law bytes
     (format tag 7, 8 bits, mono) — stdlib `wave` writes PCM only, so
@@ -562,14 +630,15 @@ def decode_audio_samples(df: DataFrame) -> DataFrame:
                 meta = parse_audio_header(raw)
                 if meta is None:
                     raise ValueError(f"doc {doc_id}: payload is not RIFF/WAVE")
-                # re-walk for the format tag and data chunk bounds
-                pos, tag, data = 12, None, None
+                # re-walk for the format tag, block align, and data bounds
+                pos, tag, block_align, data = 12, None, 0, None
                 while pos + 8 <= len(raw):
                     cid = raw[pos : pos + 4]
                     csize = struct.unpack_from("<I", raw, pos + 4)[0]
                     body = pos + 8
                     if cid == b"fmt " and csize >= 16:
                         tag = struct.unpack_from("<H", raw, body)[0]
+                        block_align = struct.unpack_from("<H", raw, body + 12)[0]
                     elif cid == b"data" and body + csize <= len(raw):
                         data = raw[body : body + csize]
                     pos = body + csize + (csize & 1)
@@ -580,15 +649,23 @@ def decode_audio_samples(df: DataFrame) -> DataFrame:
                     pcm = mulaw_decode(np.frombuffer(data, dtype=np.uint8))
                 elif tag == 6 and bits == 8:
                     pcm = alaw_decode(np.frombuffer(data, dtype=np.uint8))
+                elif tag == 0x11 and meta[0] == 1:  # IMA ADPCM, mono
+                    pcm = _wav_ima_blocks_decode(data, block_align)
+                    if pcm is None:
+                        raise ValueError(
+                            f"doc {doc_id}: malformed IMA-ADPCM block layout"
+                        )
                 elif tag == 1 and bits == 16:
                     pcm = np.frombuffer(data, dtype="<i2").astype(np.int32)
                 elif tag == 1 and bits == 8:  # PCM 8-bit is UNSIGNED
                     pcm = np.frombuffer(data, dtype=np.uint8).astype(np.int32) - 128
                 else:
                     raise NotImplementedError(
-                        f"doc {doc_id}: WAV format tag {tag}/{bits}-bit has no "
-                        "dependency-free decode here (PCM 8/16 and both G.711 "
-                        "halves, mu-law and A-law, are implemented)"
+                        f"doc {doc_id}: WAV format tag {tag}/{bits}-bit/"
+                        f"{meta[0]}ch has no dependency-free decode here "
+                        "(PCM 8/16, G.711 mu-law + A-law, and mono IMA "
+                        "ADPCM are implemented; stereo ADPCM and "
+                        "MP3-in-WAV remain codec-gated)"
                     )
                 if len(pcm) == 0:
                     raise ValueError(f"doc {doc_id}: empty data chunk")
