@@ -521,3 +521,158 @@ def q_multimodal_gif(spark, sf_dir):
         encode, schema="doc_id bigint, payload binary"
     )
     return decode_pixel_stats(enc).orderBy("doc_id")
+
+
+@query(
+    "q_multimodal_alaw",
+    oracle="""
+    WITH px AS (
+      SELECT doc_id, g.i AS i,
+             ascii(substr(text, ((g.i * 9) % length(text)) + 1, 1)) % 256 AS b
+      FROM documents, unnest(generate_series(0, 63)) g(i)
+      WHERE text IS NOT NULL AND length(text) > 0
+    ), ax AS (
+      SELECT doc_id, xor(b, 85) AS v FROM px
+    ), pcm AS (
+      SELECT doc_id,
+             (CASE WHEN v >= 128 THEN 1 ELSE -1 END) *
+             (CASE WHEN (v // 16) % 8 = 0 THEN (v % 16) * 16 + 8
+                   ELSE ((v % 16) * 16 + 264) * (1 << ((v // 16) % 8 - 1))
+              END) AS p
+      FROM ax
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_samples,
+           CAST(sum(p) AS DOUBLE) / 64 AS mean_pcm,
+           CAST(min(p) AS INT) AS min_pcm,
+           CAST(max(p) AS INT) AS max_pcm
+    FROM pcm GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q_multimodal_alaw(spark, sf_dir):
+    """The SECOND G.711 half under the driver hash (r13 — VERDICT r12
+    next-step #6, on the q_multimodal_mulaw pattern): 64 A-law bytes
+    are derived from each document's text (stride-9 code-point
+    sampling — each codec query gets a distinct stride so their
+    payloads can never be confused), wrapped executor-side in a VALID
+    RIFF/WAVE container (format tag 6, encode_wav_alaw), then decoded
+    back through the real path — container chunk walk, format-tag
+    dispatch, vectorized A-law expansion (alaw_decode, byte-for-byte
+    equal to stdlib audioop.alaw2lin on all 256 codes, pinned in
+    tests) — by decode_audio_samples. The oracle replays the CCITT
+    A-law expansion as pure SQL arithmetic (XOR 0x55, then
+    mantissa·16+8 for segment 0 or (mantissa·16+264)·2^(seg−1) with
+    the sign from the top bit), so a hash match differentially tests
+    the codec itself, not just the container. Scale shape: one scan,
+    one doc_id exchange for codec parallelism (_codec_parallel),
+    Arrow-batched mapInPandas throughout."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    from polars_express_spark.functions.multimodal import (
+        decode_audio_samples,
+        encode_wav_alaw,
+    )
+
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    )
+    bs = d.select(
+        "doc_id",
+        F.expr(
+            "transform(sequence(0, 63),"
+            " i -> ascii(substring(text, ((i * 9) % length(text)) + 1, 1)) % 256)"
+        ).alias("bs"),
+    )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                encode_wav_alaw(bytes(bytearray(int(x) for x in row)))
+                for row in pdf["bs"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    wav = _codec_parallel(bs).mapInPandas(
+        synth, schema="doc_id bigint, payload binary"
+    )
+    return decode_audio_samples(wav).orderBy("doc_id")
+
+
+@query(
+    "q_multimodal_png_subbyte",
+    oracle="""
+    WITH px AS (
+      SELECT doc_id,
+             [ascii(substr(text, ((i * 13) % length(text)) + 1, 1)) %
+              (CASE WHEN doc_id % 3 = 0 THEN 2
+                    WHEN doc_id % 3 = 1 THEN 4 ELSE 16 END)
+              for i in range(0, 25)] AS p
+      FROM documents
+      WHERE text IS NOT NULL AND length(text) > 0
+    )
+    SELECT doc_id,
+           CAST(5 AS INT) AS width,
+           CAST(5 AS INT) AS height,
+           CAST(1 AS INT) AS channels,
+           CAST(list_sum(p) AS DOUBLE) / 25 AS mean_val,
+           CAST(list_min(p) AS INT) AS min_val,
+           CAST(list_max(p) AS INT) AS max_val
+    FROM px ORDER BY doc_id
+    """,
+)
+def q_multimodal_png_subbyte(spark, sf_dir):
+    """Sub-byte-depth PNG round trip under the driver hash (r13 — the
+    last valid-PNG gate, closed and made driver-visible): a 5×5 raster
+    of depth-limited samples is derived from each document's text
+    (stride-13 sampling; doc_id mod 3 picks the bit depth — 1, 2, or
+    4 — so ALL three sub-byte depths are hashed every round, and the
+    odd width forces byte-boundary row padding, PNG spec §7.2),
+    encoded executor-side as a VALID depth-d grayscale PNG
+    (encode_png(depth=d): MSB-first bit packing, zlib IDAT, CRCs),
+    then decoded back through the real parse_png path (inflate, byte
+    filter reconstruction, bit unpacking) by decode_pixel_stats. The
+    oracle computes the stats DIRECTLY from the formula, never
+    touching PNG — a hash match proves decode∘encode = id over real
+    sub-byte bit-packed streams. Scale shape: one scan, one doc_id
+    exchange (_codec_parallel), Arrow-batched mapInPandas."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    from polars_express_spark.functions.multimodal import (
+        decode_pixel_stats,
+        encode_png,
+    )
+
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    )
+    px = d.select(
+        "doc_id",
+        F.expr("shiftleft(1, cast(doc_id % 3 as int))").alias("depth"),
+        F.expr(
+            "transform(sequence(0, 24),"
+            " i -> ascii(substring(text, ((i * 13) % length(text)) + 1, 1)) %"
+            " (CASE WHEN doc_id % 3 = 0 THEN 2"
+            "       WHEN doc_id % 3 = 1 THEN 4 ELSE 16 END))"
+        ).alias("p"),
+    )
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            payloads = [
+                encode_png(
+                    np.array(p, dtype="u1").reshape(5, 5), depth=int(depth)
+                )
+                for depth, p in zip(pdf["depth"], pdf["p"])
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    enc = _codec_parallel(px).mapInPandas(
+        encode, schema="doc_id bigint, payload binary"
+    )
+    return decode_pixel_stats(enc).orderBy("doc_id")

@@ -661,19 +661,29 @@ def _encode_png(arr, ctype_i: int, depth: int, filters, palette=None, interlace=
 
     h, w = arr.shape[0], arr.shape[1]
     ch = 1 if arr.ndim == 2 else arr.shape[2]
-    bps = depth // 8
+    bps = max(1, depth // 8)
     dt = ">u2" if depth == 16 else "u1"
     a3 = np.ascontiguousarray(arr, dtype=dt)
     if a3.ndim == 2:
         a3 = a3[:, :, None]
-    bpp = ch * bps
+    bpp = ch * bps  # sub-byte → 1: filters operate on whole bytes
     row_no = 0  # global scanline counter so filters cycle across passes
 
     def filt_block(sub) -> bytes:
         nonlocal row_no
-        raster = np.ascontiguousarray(sub, dtype=dt).tobytes()
         ph, pw = sub.shape[0], sub.shape[1]
-        stride = pw * bpp
+        if depth < 8:
+            # pack sub-byte samples MSB-first, each row padded to a
+            # byte boundary (r13: the sub-byte tier's test-side half)
+            bits = (
+                (sub[:, :, 0].astype("u1")[:, :, None]
+                 >> np.arange(depth - 1, -1, -1, dtype="u1")) & 1
+            ).reshape(ph, -1)
+            raster = np.packbits(bits, axis=1).tobytes()
+            stride = (pw * depth + 7) // 8
+        else:
+            raster = np.ascontiguousarray(sub, dtype=dt).tobytes()
+            stride = pw * bpp
         out = bytearray()
         prev = bytes(stride)
         for y in range(ph):
@@ -778,10 +788,11 @@ def test_png_pixel_decode_all_filters_and_types(spark):
 
 def test_png_corrupt_unsupported_fail_loud():
     """Corrupt streams return None — bad chunk CRC, truncated IDAT,
-    raster/header disagreement, palette overrun — and VALID-but-
-    uncovered PNGs (sub-byte depths, since r12 the one remaining gate)
-    also return None so the operator raises rather than inventing
-    pixels."""
+    raster/header disagreement, palette overrun — and INVALID depth/
+    color-type combinations (e.g. sub-byte RGB) also return None so
+    the operator raises rather than inventing pixels. Since r13 there
+    are no valid-but-uncovered PNGs left: sub-byte grayscale/palette
+    (the former last gate) decodes."""
     import struct
     import zlib
 
@@ -808,7 +819,7 @@ def test_png_corrupt_unsupported_fail_loud():
         + _png_chunk(b"IEND", b"")
     )
     assert parse_png(interlaced) is None
-    # sub-byte depth (2-bit gray): valid PNG, not this tier
+    # sub-byte gray (2-bit) DECODES since r13 — the gate is closed
     ihdr2b = struct.pack(">IIBBBBB", 4, 3, 2, 0, 0, 0, 0)
     sub_byte = (
         b"\x89PNG\r\n\x1a\n"
@@ -816,7 +827,17 @@ def test_png_corrupt_unsupported_fail_loud():
         + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 6))
         + _png_chunk(b"IEND", b"")
     )
-    assert parse_png(sub_byte) is None
+    sw, sh, sch, sarr = parse_png(sub_byte)
+    assert (sw, sh, sch) == (4, 3, 1) and not sarr.any()
+    # but sub-byte RGB is not a VALID PNG (spec §11.2.2) — still None
+    ihdr_bad = struct.pack(">IIBBBBB", 4, 3, 2, 2, 0, 0, 0)
+    invalid = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr_bad)
+        + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 9))
+        + _png_chunk(b"IEND", b"")
+    )
+    assert parse_png(invalid) is None
     # raster length disagrees with header (extra scanline)
     ihdr2 = struct.pack(">IIBBBBB", 4, 2, 8, 0, 0, 0, 0)
     wrong = (
@@ -1658,3 +1679,362 @@ def test_png_real_resize_features_and_encoder_roundtrip(spark):
     want = want / want.sum()
     assert np.allclose(feats[1], want, atol=1e-6)
     assert np.allclose(feats[1], feats[2], atol=1e-6)  # same pixels, both formats
+
+
+def test_png_subbyte_depths():
+    """r13 — the last valid-PNG gate closed: 1/2/4-bit grayscale and
+    palette round-trip bit-exactly through parse_png, across every
+    scanline filter and Adam7 interlace, at widths that exercise the
+    byte-boundary row padding (PNG spec §7.2). Decoded samples are RAW
+    0..2**depth−1 values (the 16-bit no-rescale convention). The
+    encoder here is the test-side independent one; the in-repo
+    encode_png(depth=) write half round-trips too and rejects
+    out-of-range samples."""
+    import numpy as np
+    import pytest
+
+    from polars_express_spark.functions.multimodal import encode_png, parse_png
+
+    rng = np.random.RandomState(13)
+    for depth in (1, 2, 4):
+        for (h, w) in [(1, 1), (3, 5), (7, 9), (4, 16), (5, 17)]:
+            a = rng.randint(0, 1 << depth, size=(h, w)).astype("u1")
+            for interlace in (False, True):
+                png = _encode_png(
+                    a, 0, depth, filters=[0, 1, 2, 3, 4], interlace=interlace
+                )
+                got = parse_png(png)
+                assert got is not None, (depth, h, w, interlace)
+                gw, gh, ch, arr = got
+                assert (gw, gh, ch) == (w, h, 1)
+                assert np.array_equal(arr[:, :, 0], a), (depth, h, w, interlace)
+            # in-repo write half (filter-0, non-interlaced)
+            gw, gh, ch, arr = parse_png(encode_png(a, depth=depth))
+            assert (gw, gh, ch) == (w, h, 1) and np.array_equal(arr[:, :, 0], a)
+    # sub-byte PALETTE: indices pack the same way, output is looked-up RGB
+    pal = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 7, 8, 9])  # 4 entries
+    idx = rng.randint(0, 4, size=(5, 7)).astype("u1")
+    for depth in (2, 4):
+        for interlace in (False, True):
+            png = _encode_png(
+                idx, 3, depth, filters=[4, 1], palette=pal, interlace=interlace
+            )
+            gw, gh, ch, arr = parse_png(png)
+            assert (gw, gh, ch) == (7, 5, 3)
+            want = np.frombuffer(pal, dtype="u1").reshape(-1, 3)[idx]
+            assert np.array_equal(arr, want), (depth, interlace)
+    # 1-bit palette (the classic bilevel file)
+    bits = rng.randint(0, 2, size=(4, 10)).astype("u1")
+    gw, gh, ch, arr = parse_png(
+        _encode_png(bits, 3, 1, filters=[0], palette=pal[:6])
+    )
+    assert ch == 3
+    assert np.array_equal(
+        arr, np.frombuffer(pal[:6], dtype="u1").reshape(-1, 3)[bits]
+    )
+    # index past the palette at sub-byte depth still rejects
+    over = np.full((2, 2), 3, dtype="u1")  # palette has 2 entries
+    assert parse_png(_encode_png(over, 3, 2, filters=[0], palette=pal[:6])) is None
+    # write-half guards
+    with pytest.raises(ValueError, match="out of range"):
+        encode_png(np.full((2, 2), 4, dtype="u1"), depth=2)
+    with pytest.raises(ValueError, match="grayscale-only"):
+        encode_png(np.zeros((2, 2, 3), dtype="u1"), depth=4)
+
+
+def test_png_adler_trailer_required():
+    """r13 (ADVICE): an IDAT zlib stream truncated exactly at the
+    declared raster size — all pixel bytes present, adler32 trailer
+    missing — must be rejected (d.eof), matching the strictness of the
+    pre-cap one-shot zlib.decompress path."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from polars_express_spark.functions.multimodal import encode_png, parse_png
+
+    g = np.arange(48, dtype=np.uint8).reshape(6, 8)
+    full = encode_png(g)
+    pos, chunks = 8, {}
+    while pos + 12 <= len(full):
+        (length,) = struct.unpack(">I", full[pos : pos + 4])
+        chunks[full[pos + 4 : pos + 8]] = full[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+    cut = chunks[b"IDAT"][:-4]  # strip the adler32 trailer
+
+    def chunk(t, d):
+        return (
+            struct.pack(">I", len(d)) + t + d
+            + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+        )
+
+    bad = (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", chunks[b"IHDR"])
+        + chunk(b"IDAT", cut) + chunk(b"IEND", b"")
+    )
+    assert parse_png(bad) is None
+    assert parse_png(full) is not None  # the intact stream still decodes
+
+
+def test_bmp_rgba_roundtrip_and_truncation(spark):
+    """r13 (ADVICE ×2): encode_bmp writes 4-channel arrays as 32-bit V4
+    BI_BITFIELDS with AlphaMask, bit-exact through parse_bmp's alpha
+    path — so resize_media can re-encode a decoded alpha BMP instead of
+    crashing; and EVERY truncated prefix of such a file returns None
+    (the 66–69-byte V4 header prefix used to raise struct.error)."""
+    import numpy as np
+
+    from polars_express_spark.functions.multimodal import (
+        encode_bmp,
+        parse_bmp,
+        resize_media,
+    )
+
+    rng = np.random.RandomState(13)
+    rgba = rng.randint(0, 256, size=(6, 5, 4)).astype("u1")
+    bmp = encode_bmp(rgba)
+    w, h, ch, arr = parse_bmp(bmp)
+    assert (w, h, ch) == (5, 6, 4) and np.array_equal(arr, rgba)
+    for n in range(len(bmp)):
+        assert parse_bmp(bmp[:n]) is None, f"prefix of {n} bytes must be None"
+    # resize over the alpha BMP: stays BMP, stays 4-channel, exact NN
+    df = spark.createDataFrame([(1, bytearray(bmp))], "doc_id long, payload binary")
+    out = resize_media(df, width=3, height=4, real_resize=True).collect()[0]
+    w2, h2, ch2, arr2 = parse_bmp(bytes(out["payload"]))
+    assert (w2, h2, ch2) == (3, 4, 4)
+    yi = np.linspace(0, 5, 4).round().astype(int)
+    xi = np.linspace(0, 4, 3).round().astype(int)
+    assert np.array_equal(arr2, rgba[yi][:, xi])
+
+
+def test_decode_media_jpeg_real(spark):
+    """r13 (VERDICT r12 finding #2): a real JPEG through
+    decode_media(real_decode=True) yields its true dimensions — the
+    metadata path must never hit the Pillow gate for a format the
+    in-tree codecs handle (parse_image_header reads the SOF segment;
+    the full parse_jpeg decoder backstops it before the gate)."""
+    import numpy as np
+
+    from polars_express_spark.functions.jpeg import encode_jpeg
+    from polars_express_spark.functions.multimodal import decode_media
+
+    rng = np.random.RandomState(13)
+    gray = rng.randint(0, 256, size=(16, 24)).astype("u1")
+    rgb = rng.randint(0, 256, size=(8, 8, 3)).astype("u1")
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_jpeg(gray))), (2, bytearray(encode_jpeg(rgb)))],
+        "doc_id long, payload binary",
+    )
+    got = {r["doc_id"]: r for r in decode_media(df, real_decode=True).collect()}
+    assert (got[1]["width"], got[1]["height"], got[1]["channels"]) == (24, 16, 1)
+    assert (got[2]["width"], got[2]["height"], got[2]["channels"]) == (8, 8, 3)
+
+
+def test_ima_adpcm_stereo(spark):
+    """r13 — the last ADPCM gate closed: WAV tag-0x11 STEREO blocks
+    (4-byte header per channel, data in 4-byte groups alternating
+    channels) decode frame-interleaved through decode_audio_samples,
+    each channel byte-exact vs the audioop-verified mono core seeded
+    with that channel's header state; a partial channel group is
+    malformed and raises."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from polars_express_spark.functions.multimodal import (
+        _wav_ima_blocks_decode,
+        adpcm_ima_decode,
+        decode_audio_samples,
+    )
+
+    rng = np.random.RandomState(15)
+    nL = bytes(rng.randint(0, 256, size=16).astype("u1"))  # 4 groups
+    nR = bytes(rng.randint(0, 256, size=16).astype("u1"))
+    seeds = ((-1234, 30), (4000, 60))
+    groups = np.stack(
+        [np.frombuffer(nL, dtype="u1").reshape(-1, 4),
+         np.frombuffer(nR, dtype="u1").reshape(-1, 4)],
+        axis=1,
+    ).tobytes()
+    block = (
+        struct.pack("<hBB", *seeds[0], 0)
+        + struct.pack("<hBB", *seeds[1], 0)
+        + groups
+    )
+    wantL = np.concatenate(
+        [[seeds[0][0]], adpcm_ima_decode(nL, *seeds[0], low_first=True)]
+    )
+    wantR = np.concatenate(
+        [[seeds[1][0]], adpcm_ima_decode(nR, *seeds[1], low_first=True)]
+    )
+    pcm = _wav_ima_blocks_decode(block, len(block), channels=2).reshape(-1, 2)
+    assert np.array_equal(pcm[:, 0], wantL) and np.array_equal(pcm[:, 1], wantR)
+
+    # two blocks end-to-end through the WAV container + Spark operator
+    data = block + block
+    fmt = struct.pack("<HHIIHH", 0x11, 2, 8000, 8000, len(block), 4)
+    body = (
+        b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    wav = b"RIFF" + struct.pack("<I", len(body)) + body
+    df = spark.createDataFrame([(1, bytearray(wav))], "doc_id long, payload binary")
+    row = decode_audio_samples(df).collect()[0]
+    want = np.concatenate([np.stack([wantL, wantR], axis=1).ravel()] * 2)
+    assert row["n_samples"] == len(want)
+    assert row["min_pcm"] == int(want.min()) and row["max_pcm"] == int(want.max())
+    assert abs(row["mean_pcm"] - float(want.mean())) < 1e-9
+
+    # malformed: body not a whole number of 4-byte channel groups
+    ragged = block[:-2]
+    fmt_r = struct.pack("<HHIIHH", 0x11, 2, 8000, 8000, len(ragged), 4)
+    body_r = (
+        b"WAVE" + b"fmt " + struct.pack("<I", len(fmt_r)) + fmt_r
+        + b"data" + struct.pack("<I", len(ragged)) + ragged
+    )
+    wav_r = b"RIFF" + struct.pack("<I", len(body_r)) + body_r
+    dfr = spark.createDataFrame([(2, bytearray(wav_r))], "doc_id long, payload binary")
+    with pytest.raises(Exception, match="IMA-ADPCM|malformed"):
+        decode_audio_samples(dfr).collect()
+
+
+def test_alaw_wav_roundtrip(spark):
+    """r13: encode_wav_alaw writes a valid tag-6 container and
+    decode_audio_samples expands it through alaw_decode — the
+    operator-level twin of the audioop byte-exactness pin, and the
+    pytest half of the q_multimodal_alaw driver query."""
+    import numpy as np
+
+    from polars_express_spark.functions.multimodal import (
+        alaw_decode,
+        decode_audio_samples,
+        encode_wav_alaw,
+        parse_audio_header,
+    )
+
+    codes = bytes(range(256))
+    wav = encode_wav_alaw(codes, sample_rate=16000)
+    assert parse_audio_header(wav) == (1, 16000, 8, 256)
+    df = spark.createDataFrame([(1, bytearray(wav))], "doc_id long, payload binary")
+    row = decode_audio_samples(df).collect()[0]
+    want = alaw_decode(np.frombuffer(codes, dtype=np.uint8))
+    assert row["n_samples"] == 256
+    assert row["min_pcm"] == int(want.min()) and row["max_pcm"] == int(want.max())
+    assert abs(row["mean_pcm"] - float(want.mean())) < 1e-9
+
+
+def _bmp_file(w, h, bits, compression, body, pal=b"", masks=b""):
+    """Minimal BMP assembler for the r13 RLE/16bpp tests: 40-byte
+    BITMAPINFOHEADER, optional BI_BITFIELDS masks, optional palette."""
+    import struct
+
+    off = 14 + 40 + len(masks) + len(pal)
+    header = b"BM" + struct.pack("<IHHI", off + len(body), 0, 0, off)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, bits, compression, len(body),
+        2835, 2835, len(pal) // 4 if pal else 0, 0,
+    )
+    return header + dib + masks + pal + body
+
+
+def test_bmp_rle_decode():
+    """r13 — BI_RLE8/BI_RLE4 decode: encoded runs, word-aligned
+    absolute mode, EOL/EOB/delta escapes (delta-skipped cells fill
+    with palette index 0, the GDI convention), RLE4's alternating
+    nibbles; structural violations — row overrun, missing EOB,
+    truncated literal, top-down RLE — all return None."""
+    import numpy as np
+
+    from polars_express_spark.functions.multimodal import parse_bmp
+
+    gray_pal = bytes(v for g in range(256) for v in (g, g, g, 0))
+    # 4x3 target (top-down): runs, absolute mode, delta, EOL, EOB
+    want = np.array(
+        [[7, 7, 7, 2], [0, 5, 5, 0], [9, 9, 9, 9]], dtype="u1"
+    )
+    s = bytes(
+        [4, 9, 0, 0]            # bottom row: run 4×9, EOL
+        + [0, 2, 1, 0, 2, 5, 0, 0]  # delta right 1, run 2×5, EOL
+        + [0, 3, 7, 7, 7, 0]    # absolute: 3 literals + pad byte
+        + [1, 2, 0, 1]          # run 1×2, EOB
+    )
+    got = parse_bmp(_bmp_file(4, 3, 8, 1, s, pal=gray_pal))
+    assert got is not None
+    w, h, ch, arr = got
+    assert (w, h, ch) == (4, 3, 3) and np.array_equal(arr[:, :, 0], want)
+    # malformed: no EOB / run past the row edge / literal truncated
+    assert parse_bmp(_bmp_file(4, 3, 8, 1, s[:-2], pal=gray_pal)) is None
+    assert parse_bmp(_bmp_file(4, 3, 8, 1, bytes([5, 1, 0, 1]), pal=gray_pal)) is None
+    assert parse_bmp(_bmp_file(4, 3, 8, 1, bytes([0, 3, 7, 7]), pal=gray_pal)) is None
+    # top-down (negative height) RLE is invalid per spec
+    import struct as _s
+    f = bytearray(_bmp_file(4, 3, 8, 1, s, pal=gray_pal))
+    _s.pack_into("<i", f, 22, -3)
+    assert parse_bmp(bytes(f)) is None
+    # RLE4: absolute nibbles + alternating run
+    pal4 = bytes(v for g in range(16) for v in (g * 17, g * 17, g * 17, 0))
+    want4 = np.array([[1, 2, 1, 2, 1], [3, 4, 5, 0, 0]], dtype="u1")
+    s4 = bytes([0, 3, 0x34, 0x50, 0, 0, 5, 0x12, 0, 1])
+    got4 = parse_bmp(_bmp_file(5, 2, 4, 2, s4, pal=pal4))
+    assert got4 is not None
+    assert np.array_equal(got4[3][:, :, 0] // 17, want4)
+    # mode/bits mismatch: RLE8 header over 4-bit data
+    assert parse_bmp(_bmp_file(5, 2, 4, 1, s4, pal=pal4)) is None
+
+
+def test_bmp_16bpp_555_565():
+    """r13 — 16bpp BMP in both canonical packings: BI_RGB defaults to
+    555, BI_BITFIELDS selects 555 or 565 by its masks; fields expand
+    with the GDI bit-replication idiom ((v<<3)|(v>>2) / (v<<2)|(v>>4)).
+    Nonstandard masks and 16bpp alpha masks return None; every
+    truncated prefix returns None."""
+    import struct
+
+    import numpy as np
+
+    from polars_express_spark.functions.multimodal import parse_bmp
+
+    rng = np.random.RandomState(13)
+    w, h = 3, 2
+    stride = ((w * 16 + 31) // 32) * 4
+
+    def body_of(vals):
+        rows = np.zeros((h, stride), dtype="u1")
+        rows[:, : w * 2] = np.frombuffer(
+            vals.astype("<u2").tobytes(), dtype="u1"
+        ).reshape(h, w * 2)
+        return rows[::-1].tobytes()  # bottom-up
+
+    v555 = rng.randint(0, 1 << 15, size=(h, w)).astype("u2")
+    got = parse_bmp(_bmp_file(w, h, 16, 0, body_of(v555)))
+    assert got is not None and got[2] == 3
+    r, g, b = (v555 >> 10) & 0x1F, (v555 >> 5) & 0x1F, v555 & 0x1F
+    exp = np.stack(
+        [(r << 3) | (r >> 2), (g << 3) | (g >> 2), (b << 3) | (b >> 2)], axis=2
+    ).astype("u1")
+    assert np.array_equal(got[3], exp)
+
+    v565 = rng.randint(0, 1 << 16, size=(h, w)).astype("u2")
+    m565 = struct.pack("<III", 0xF800, 0x07E0, 0x001F)
+    full = _bmp_file(w, h, 16, 3, body_of(v565), masks=m565)
+    got = parse_bmp(full)
+    assert got is not None
+    r, g, b = (v565 >> 11) & 0x1F, (v565 >> 5) & 0x3F, v565 & 0x1F
+    exp = np.stack(
+        [(r << 3) | (r >> 2), (g << 2) | (g >> 4), (b << 3) | (b >> 2)], axis=2
+    ).astype("u1")
+    assert np.array_equal(got[3], exp)
+    # BI_BITFIELDS with the 555 masks decodes as 555
+    m555 = struct.pack("<III", 0x7C00, 0x03E0, 0x001F)
+    got555 = parse_bmp(_bmp_file(w, h, 16, 3, body_of(v555), masks=m555))
+    assert got555 is not None and np.array_equal(
+        got555[3], parse_bmp(_bmp_file(w, h, 16, 0, body_of(v555)))[3]
+    )
+    # scrambled masks rejected
+    bad = struct.pack("<III", 0x0F00, 0x00F0, 0x000F)
+    assert parse_bmp(_bmp_file(w, h, 16, 3, body_of(v565), masks=bad)) is None
+    # truncated prefixes never raise
+    for n in range(len(full)):
+        assert parse_bmp(full[:n]) is None
