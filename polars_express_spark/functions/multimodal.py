@@ -255,7 +255,7 @@ def extract_features(df: DataFrame, dim: int = 16, real_extract: bool = False) -
                         raise NotImplementedError(
                             f"doc {doc_id}: real feature extraction is "
                             "implemented dependency-free for Netpbm P5/P6, "
-                            "PNG, BMP (BI_RGB), GIF, and baseline JPEG; "
+                            "PNG, BMP (incl. RLE and 16bpp), GIF, and baseline JPEG; "
                             "other formats need a media codec not present "
                             "here"
                         )
@@ -326,7 +326,7 @@ def resize_media(
                         raise NotImplementedError(
                             f"doc {doc_id}: real resize is implemented "
                             "dependency-free for Netpbm P5/P6, PNG, BMP "
-                            "(BI_RGB), GIF, and baseline JPEG; other "
+                            "(incl. RLE and 16bpp), GIF, and baseline JPEG; other "
                             "formats need an image codec not present here"
                         )
                     w, h, ch, arr = parsed
@@ -1737,7 +1737,7 @@ def decode_pixel_stats(df: DataFrame) -> DataFrame:
                     raise NotImplementedError(
                         f"doc {doc_id}: pixel decode is implemented "
                         "dependency-free for Netpbm P5/P6, PNG (zlib "
-                        "inflate + filter reconstruction), BMP (BI_RGB), "
+                        "inflate + filter reconstruction), BMP (incl. RLE/16bpp), "
                         "GIF (pure-Python LZW), and baseline JPEG "
                         "(pure-Python Huffman + IDCT); other formats need "
                         "a media codec (Pillow — absent here)"
