@@ -419,18 +419,42 @@ def sample_frames(df: DataFrame, n_frames: int = 4, real_decode: bool = False) -
                 # REAL container demux for RIFF/AVI (r9): the frame
                 # boundaries come from the actual chunk list, sampled
                 # evenly across the stream; frames stay encoded (codec
-                # work), but which bytes ARE frame k is real. Non-AVI
-                # containers raise — mp4/mkv demux or pixel decode
-                # needs ffmpeg, absent here.
+                # work), but which bytes ARE frame k is real. r13 adds
+                # animated GIF: parse_gif_frames composites every
+                # frame per the GIF89a disposal model, and the sampled
+                # canvas snapshots are re-encoded as valid PNGs (a
+                # composited canvas can mix >256 colors from several
+                # palettes, so GIF re-encode is not generally
+                # possible). Other containers raise — mp4/mkv demux or
+                # pixel decode needs ffmpeg, absent here.
                 doc_ids, frame_nos, frames = [], [], []
                 for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                     b = bytes(payload)
+                    if b[:6] in (b"GIF87a", b"GIF89a"):
+                        parsed = parse_gif_frames(b)
+                        if parsed is None:
+                            raise ValueError(
+                                f"doc {doc_id}: corrupt or unsupported "
+                                "GIF animation"
+                            )
+                        _, _, canvases = parsed
+                        take = np.unique(
+                            np.linspace(
+                                0, len(canvases) - 1,
+                                min(n_frames, len(canvases)),
+                            ).round().astype(np.int64)
+                        )
+                        for fno, i in enumerate(take):
+                            doc_ids.append(doc_id)
+                            frame_nos.append(fno)
+                            frames.append(encode_png(canvases[i]))
+                        continue
                     idxs = parse_avi_frames(b)
                     if idxs is None:
                         raise NotImplementedError(
                             f"doc {doc_id}: real frame sampling is implemented "
-                            "codec-free for RIFF/AVI containers; other "
-                            "containers need ffmpeg (absent here)"
+                            "codec-free for RIFF/AVI containers and animated "
+                            "GIFs; other containers need ffmpeg (absent here)"
                         )
                     if not idxs:
                         continue  # container with no video frames
@@ -1673,6 +1697,170 @@ def parse_gif(payload: bytes):
         else:  # trailer before any image, or junk
             return None
     return None
+
+
+def parse_gif_frames(payload: bytes):
+    """REAL animated-GIF demux + compositing (r13 — extends the r12
+    single-frame tier to full animations for sample_frames): decode
+    EVERY frame of a GIF87a/89a stream and composite per the GIF89a
+    disposal model, returning (w, h, [ndarray[h, w, 3], ...]) — one
+    RGB canvas snapshot per frame — or None.
+
+    Compositing is the spec's, not guesswork: frame 1 must cover the
+    full logical screen and be opaque (an undefined initial canvas is
+    the parse_gif posture — None, never invented pixels), but LATER
+    frames may be partial-coverage and transparent, because then the
+    pixels that show through are the PREVIOUS canvas — well-defined
+    compositing, not invention. Disposal 0/1 leave the canvas as
+    drawn; disposal 3 restores the pre-frame canvas; disposal 2
+    restores the frame's region to the LITERAL spec background (the
+    global color table's background-color index) and returns None for
+    files that rely on the renderer convention of a transparent
+    background (no GCT, or an out-of-range index) rather than guess.
+    Each Graphic Control Extension applies to exactly one image.
+    Structural corruption, palette-index overrun by any VISIBLE pixel,
+    and LZW malformation return None, and the cumulative canvas
+    allocation is capped (a kilobyte payload cannot declare thousands
+    of full-screen frames — the PNG bomb-cap posture)."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 13 or payload[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    w, h = struct.unpack_from("<HH", payload, 6)
+    if w <= 0 or h <= 0:
+        return None
+    packed, bg_idx = payload[10], payload[11]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        if pos + 3 * n > len(payload):
+            return None
+        gct = payload[pos : pos + 3 * n]
+        pos += 3 * n
+    canvas = None
+    frames: list = []
+    saw_trailer = False
+    transparent = None  # pending GCE state: applies to the next image only
+    disposal = 0
+    while pos < len(payload):
+        block = payload[pos]
+        if block == 0x3B:  # trailer
+            saw_trailer = True
+            break
+        if block == 0x21:  # extension
+            if pos + 2 > len(payload):
+                return None
+            label = payload[pos + 1]
+            pos += 2
+            first = True
+            while True:
+                if pos >= len(payload):
+                    return None
+                sz = payload[pos]
+                pos += 1
+                if sz == 0:
+                    break
+                if pos + sz > len(payload):
+                    return None
+                if label == 0xF9 and first and sz >= 4:
+                    flags = payload[pos]
+                    disposal = (flags >> 2) & 0x07
+                    transparent = payload[pos + 3] if flags & 0x01 else None
+                first = False
+                pos += sz
+        elif block == 0x2C:  # image descriptor
+            if pos + 10 > len(payload):
+                return None
+            left, top, iw, ih = struct.unpack_from("<HHHH", payload, pos + 1)
+            ipacked = payload[pos + 9]
+            pos += 10
+            pal = gct
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 0x07)
+                if pos + 3 * n > len(payload):
+                    return None
+                pal = payload[pos : pos + 3 * n]
+                pos += 3 * n
+            if (
+                pal is None or iw <= 0 or ih <= 0
+                or left + iw > w or top + ih > h
+            ):
+                return None
+            if pos >= len(payload):
+                return None
+            mcs = payload[pos]
+            pos += 1
+            chunks = []
+            while True:
+                if pos >= len(payload):
+                    return None
+                sz = payload[pos]
+                pos += 1
+                if sz == 0:
+                    break
+                if pos + sz > len(payload):
+                    return None
+                chunks.append(payload[pos : pos + sz])
+                pos += sz
+            idx_bytes = _gif_lzw_decode(mcs, b"".join(chunks), iw * ih)
+            if idx_bytes is None:
+                return None
+            idx = np.frombuffer(idx_bytes, dtype="u1").reshape(ih, iw)
+            if ipacked & 0x40:  # interlaced sub-frame
+                order = np.r_[0:ih:8, 4:ih:8, 2:ih:4, 1:ih:2]
+                de = np.empty_like(idx)
+                de[order] = idx
+                idx = de
+            pal_arr = np.frombuffer(pal, dtype="u1").reshape(-1, 3)
+            visible = idx if transparent is None else idx[idx != transparent]
+            if visible.size and int(visible.max()) >= pal_arr.shape[0]:
+                return None  # a VISIBLE pixel references a missing entry
+            if canvas is None:
+                # frame 1 defines the canvas: full-coverage, opaque,
+                # and it has no pre-frame state to restore to
+                if (
+                    (left, top, iw, ih) != (0, 0, w, h)
+                    or transparent is not None or disposal == 3
+                ):
+                    return None
+                before = None
+                canvas = np.ascontiguousarray(pal_arr[idx])
+            else:
+                # disposal 3 restores the canvas as it was BEFORE this
+                # frame was drawn (NOT the previous snapshot — the
+                # previous frame's own disposal already ran)
+                before = canvas.copy() if disposal == 3 else None
+                region = canvas[top : top + ih, left : left + iw]
+                if transparent is None:
+                    region[:] = pal_arr[idx]
+                else:
+                    m = idx != transparent
+                    region[m] = pal_arr[idx[m]]
+            if (len(frames) + 2) * h * w * 3 > (1 << 28):
+                return None  # frame-count bomb: refuse the allocation
+            frames.append(canvas.copy())
+            if disposal == 2:
+                # literal spec reading: restore to the GLOBAL table's
+                # declared background color; files relying on the
+                # transparent-background renderer convention → None
+                if gct is None or 3 * bg_idx + 3 > len(gct):
+                    return None
+                canvas[top : top + ih, left : left + iw] = np.frombuffer(
+                    gct[3 * bg_idx : 3 * bg_idx + 3], dtype="u1"
+                )
+            elif disposal == 3:
+                canvas = before
+            transparent, disposal = None, 0
+        else:
+            return None  # junk block id
+    # a stream that never reaches the trailer is truncated even if
+    # every present block parsed — strict, the parse_png IEND posture
+    if not frames or not saw_trailer:
+        return None
+    return w, h, frames
 
 
 def encode_gif(idx, palette, interlaced: bool = False) -> bytes:

@@ -2038,3 +2038,218 @@ def test_bmp_16bpp_555_565():
     # truncated prefixes never raise
     for n in range(len(full)):
         assert parse_bmp(full[:n]) is None
+
+
+def _make_animated_gif(w, h, frame_specs, gct, bg_idx=0):
+    """Test-side animated-GIF assembler (r13): logical screen + GCT,
+    then per frame an optional GCE (disposal/transparency), an image
+    descriptor (offset, optional LCT, optional interlace), and LZW
+    data. frame_specs: dicts with idx (ih,iw u1), left, top, disposal,
+    transparent, lct, interlaced."""
+    import struct
+
+    import numpy as np
+
+    from polars_express_spark.functions.multimodal import _gif_lzw_encode
+
+    def size_field(n_entries):
+        k = 0
+        while (2 << k) < n_entries:
+            k += 1
+        assert (2 << k) == n_entries, "palette sizes must be 2<<k"
+        return k
+
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    out += bytes([0x80 | size_field(len(gct) // 3), bg_idx, 0])
+    out += gct
+    for f in frame_specs:
+        idx = f["idx"]
+        ih, iw = idx.shape
+        if f.get("transparent") is not None or f.get("disposal"):
+            flags = ((f.get("disposal", 0) & 7) << 2) | (
+                1 if f.get("transparent") is not None else 0
+            )
+            out += bytes([0x21, 0xF9, 4, flags, 0, 0, f.get("transparent") or 0, 0])
+        lct = f.get("lct")
+        ipacked = 0
+        if lct is not None:
+            ipacked |= 0x80 | size_field(len(lct) // 3)
+        data = idx
+        if f.get("interlaced"):
+            ipacked |= 0x40
+            order = np.r_[0:ih:8, 4:ih:8, 2:ih:4, 1:ih:2]
+            data = idx[order]
+        out += b"\x2c" + struct.pack(
+            "<HHHH", f.get("left", 0), f.get("top", 0), iw, ih
+        ) + bytes([ipacked])
+        if lct is not None:
+            out += lct
+        n_pal = len(lct or gct) // 3
+        mcs = max(2, (n_pal - 1).bit_length())
+        comp = _gif_lzw_encode(mcs, data.tobytes())
+        out += bytes([mcs])
+        for i in range(0, len(comp), 255):
+            blk = comp[i : i + 255]
+            out.append(len(blk))
+            out += blk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
+def test_gif_animation_compositing():
+    """r13 — parse_gif_frames: every frame of an animation composites
+    per the GIF89a disposal model. Later frames may be partial and
+    transparent (the show-through is the PREVIOUS canvas — defined
+    compositing); disposal 2 restores the region to the declared
+    background, disposal 3 to the pre-frame canvas; LCT overrides GCT
+    per frame; interlaced sub-frames deinterlace. Undefined-canvas
+    shapes (partial/transparent/restore-to-previous FIRST frame,
+    disposal 2 without a usable background) return None."""
+    import numpy as np
+
+    from polars_express_spark.functions.multimodal import (
+        encode_gif,
+        parse_gif,
+        parse_gif_frames,
+    )
+
+    rng = np.random.RandomState(13)
+    gct = bytes(rng.randint(0, 256, size=16 * 3).astype("u1"))
+    pal = np.frombuffer(gct, dtype="u1").reshape(-1, 3)
+    w, h = 7, 5
+    base = rng.randint(0, 16, size=(h, w)).astype("u1")
+
+    # frame 2: opaque 3x2 patch at (2,1); frame 3: transparent patch
+    patch = rng.randint(0, 16, size=(2, 3)).astype("u1")
+    tpatch = rng.randint(0, 16, size=(2, 3)).astype("u1")
+    tpatch[0, 1] = 15  # transparent index
+    gif = _make_animated_gif(
+        w, h,
+        [
+            {"idx": base},
+            {"idx": patch, "left": 2, "top": 1},
+            {"idx": tpatch, "left": 4, "top": 3, "transparent": 15},
+        ],
+        gct,
+    )
+    got = parse_gif_frames(gif)
+    assert got is not None
+    gw, gh, frames = got
+    assert (gw, gh, len(frames)) == (w, h, 3)
+    c0 = pal[base]
+    assert np.array_equal(frames[0], c0)
+    c1 = c0.copy()
+    c1[1:3, 2:5] = pal[patch]
+    assert np.array_equal(frames[1], c1)
+    c2 = c1.copy()
+    m = tpatch != 15
+    c2[3:5, 4:7][m] = pal[tpatch][m]
+    assert np.array_equal(frames[2], c2)
+
+    # disposal 2 (restore to background) and 3 (restore to previous)
+    gif_d = _make_animated_gif(
+        w, h,
+        [
+            {"idx": base},
+            {"idx": patch, "left": 0, "top": 0, "disposal": 2},
+            {"idx": patch, "left": 3, "top": 2, "disposal": 3},
+            {"idx": tpatch, "left": 0, "top": 0, "transparent": 15},
+        ],
+        gct, bg_idx=5,
+    )
+    got = parse_gif_frames(gif_d)
+    assert got is not None
+    frames = got[2]
+    d1 = pal[base].copy()
+    d1[0:2, 0:3] = pal[patch]  # frame 2 drawn
+    assert np.array_equal(frames[1], d1)
+    after_d2 = pal[base].copy()  # then its region restores to bg
+    after_d2[0:2, 0:3] = pal[5]
+    d2 = after_d2.copy()
+    d2[2:4, 3:6] = pal[patch]  # frame 3 drawn on the restored canvas
+    assert np.array_equal(frames[2], d2)
+    d3 = after_d2.copy()  # frame 3 disposes to ITS pre-frame canvas
+    mm = tpatch != 15
+    d3[0:2, 0:3][mm] = pal[tpatch][mm]
+    assert np.array_equal(frames[3], d3)
+
+    # LCT over GCT in a later frame + interlaced sub-frame
+    lct = bytes(rng.randint(0, 256, size=4 * 3).astype("u1"))
+    lpal = np.frombuffer(lct, dtype="u1").reshape(-1, 3)
+    tall = rng.randint(0, 4, size=(5, 3)).astype("u1")
+    gif_l = _make_animated_gif(
+        w, h,
+        [{"idx": base}, {"idx": tall, "left": 1, "top": 0, "lct": lct,
+                         "interlaced": True}],
+        gct,
+    )
+    got = parse_gif_frames(gif_l)
+    assert got is not None
+    l1 = pal[base].copy()
+    l1[0:5, 1:4] = lpal[tall]
+    assert np.array_equal(got[2][1], l1)
+
+    # single-frame: agrees with parse_gif on the repo encoder's output
+    single = encode_gif(base, pal)
+    sf = parse_gif_frames(single)
+    assert sf is not None and len(sf[2]) == 1
+    assert np.array_equal(sf[2][0], parse_gif(single)[3])
+
+    # undefined-canvas shapes reject
+    assert parse_gif_frames(
+        _make_animated_gif(w, h, [{"idx": patch, "left": 2, "top": 1}], gct)
+    ) is None  # partial first frame
+    assert parse_gif_frames(
+        _make_animated_gif(w, h, [{"idx": base, "transparent": 15}], gct)
+    ) is None  # transparent first frame
+    assert parse_gif_frames(
+        _make_animated_gif(w, h, [{"idx": base, "disposal": 3}], gct)
+    ) is None  # restore-to-previous with no previous
+    assert parse_gif_frames(
+        _make_animated_gif(
+            w, h, [{"idx": base}, {"idx": patch, "disposal": 2}], gct,
+            bg_idx=200,
+        )
+    ) is None  # disposal 2 with background index past the GCT
+    # truncated prefixes never raise
+    for n in range(0, len(gif_d), 7):
+        assert parse_gif_frames(gif_d[:n]) is None
+
+
+def test_sample_frames_gif_animation(spark):
+    """r13 — sample_frames(real_decode=True) demuxes animated GIFs:
+    n_frames evenly-sampled canvas snapshots come back as VALID PNGs
+    whose pixels equal the reference compositing; an AVI sibling still
+    routes through the RIFF demux path."""
+    import numpy as np
+
+    from polars_express_spark.functions.multimodal import (
+        parse_gif_frames,
+        parse_png,
+        sample_frames,
+    )
+
+    rng = np.random.RandomState(7)
+    gct = bytes(rng.randint(0, 256, size=8 * 3).astype("u1"))
+    w, h = 6, 4
+    specs = [{"idx": rng.randint(0, 8, size=(h, w)).astype("u1")}]
+    for k in range(5):
+        specs.append(
+            {"idx": rng.randint(0, 8, size=(2, 2)).astype("u1"),
+             "left": k, "top": k % 3}
+        )
+    gif = _make_animated_gif(w, h, specs, gct)
+    want = parse_gif_frames(gif)[2]  # 6 frames
+    df = spark.createDataFrame([(1, bytearray(gif))], "doc_id long, payload binary")
+    rows = sorted(
+        sample_frames(df, n_frames=4, real_decode=True).collect(),
+        key=lambda r: r["frame_no"],
+    )
+    assert [r["frame_no"] for r in rows] == [0, 1, 2, 3]
+    take = np.unique(np.linspace(0, 5, 4).round().astype(int))
+    for r, i in zip(rows, take):
+        pw, ph, ch, arr = parse_png(bytes(r["frame"]))
+        assert (pw, ph, ch) == (w, h, 3)
+        assert np.array_equal(arr, want[i])
