@@ -1204,3 +1204,117 @@ def test_image_truncation_never_wrong_pixels(fmt, cut, seed):
     assert got is None or (
         got[:3] == full[:3] and np.array_equal(got[3], full[3])
     )
+
+
+@settings(max_examples=30, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    w=st.integers(1, 19),
+    h=st.integers(1, 7),
+    depth=st.sampled_from([1, 2, 4]),
+    paletted=st.booleans(),
+    interlace=st.booleans(),
+    filters=st.lists(st.integers(0, 4), min_size=1, max_size=7),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_png_subbyte_roundtrip_property(w, h, depth, paletted, interlace, filters, seed):
+    """r13 — parse_png inverts ANY valid sub-byte encoding: depths
+    1/2/4 for grayscale AND palette, random widths hitting every
+    byte-boundary padding remainder, random per-scanline filters,
+    sequential and Adam7 layout (each pass pads its rows
+    independently). Grayscale returns RAW 0..2**depth−1 samples;
+    palette returns the looked-up RGB raster. Pure driver-side."""
+    import numpy as np
+
+    from polars_express_spark.functions.multimodal import parse_png
+    from tests.test_pipeline_ops import _encode_png
+
+    rng = np.random.RandomState(seed)
+    n = 1 << depth
+    a = rng.randint(0, n, size=(h, w)).astype("u1")
+    if paletted:
+        pal = bytes(rng.randint(0, 256, size=3 * n).astype("u1"))
+        png = _encode_png(a, 3, depth, filters=filters, palette=pal,
+                          interlace=interlace)
+        got = parse_png(png)
+        assert got is not None
+        gw, gh, gch, arr = got
+        assert (gw, gh, gch) == (w, h, 3)
+        want = np.frombuffer(pal, dtype="u1").reshape(-1, 3)[a]
+    else:
+        png = _encode_png(a, 0, depth, filters=filters, interlace=interlace)
+        got = parse_png(png)
+        assert got is not None
+        gw, gh, gch, arr = got
+        assert (gw, gh, gch) == (w, h, 1)
+        want = a[:, :, None]
+    assert np.array_equal(arr, want)
+
+
+@settings(max_examples=30, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    w=st.integers(2, 9),
+    h=st.integers(2, 7),
+    n_extra=st.integers(1, 5),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_gif_animation_compositing_property(w, h, n_extra, seed):
+    """r13 — parse_gif_frames matches an independent reference
+    compositor on random animations: random sub-frame rectangles,
+    disposal methods 0-3, transparency, and per-frame local palettes.
+    The reference below re-implements the GIF89a disposal model
+    directly from the spec text; the production path goes through the
+    block walker + LZW + vectorized compositing. Pure driver-side."""
+    import numpy as np
+
+    from polars_express_spark.functions.multimodal import parse_gif_frames
+    from tests.test_pipeline_ops import _make_animated_gif
+
+    rng = np.random.RandomState(seed)
+    gct = bytes(rng.randint(0, 256, size=16 * 3).astype("u1"))
+    gpal = np.frombuffer(gct, dtype="u1").reshape(-1, 3)
+    bg_idx = int(rng.randint(0, 16))
+    specs = [{"idx": rng.randint(0, 16, size=(h, w)).astype("u1")}]
+    for k in range(n_extra):
+        iw = int(rng.randint(1, w + 1))
+        ih = int(rng.randint(1, h + 1))
+        left = int(rng.randint(0, w - iw + 1))
+        top = int(rng.randint(0, h - ih + 1))
+        use_lct = bool(rng.randint(0, 2))
+        n_pal = 16
+        spec = {
+            "idx": rng.randint(0, n_pal, size=(ih, iw)).astype("u1"),
+            "left": left, "top": top,
+            "disposal": int(rng.randint(0, 4)),
+            "transparent": int(rng.randint(0, n_pal)) if rng.randint(0, 2) else None,
+        }
+        if use_lct:
+            spec["lct"] = bytes(rng.randint(0, 256, size=n_pal * 3).astype("u1"))
+        specs.append(spec)
+    gif = _make_animated_gif(w, h, specs, gct, bg_idx=bg_idx)
+    got = parse_gif_frames(gif)
+    assert got is not None
+    frames = got[2]
+    assert len(frames) == len(specs)
+
+    # independent reference compositor, straight from the spec text
+    canvas = gpal[specs[0]["idx"]].copy()
+    assert np.array_equal(frames[0], canvas)
+    for spec, frame in zip(specs[1:], frames[1:]):
+        pal = (
+            np.frombuffer(spec["lct"], dtype="u1").reshape(-1, 3)
+            if "lct" in spec else gpal
+        )
+        saved = canvas.copy()
+        il, it = spec["left"], spec["top"]
+        ih, iw = spec["idx"].shape
+        for y in range(ih):
+            for x in range(iw):
+                v = int(spec["idx"][y, x])
+                if spec["transparent"] is not None and v == spec["transparent"]:
+                    continue
+                canvas[it + y, il + x] = pal[v]
+        assert np.array_equal(frame, canvas), spec
+        if spec["disposal"] == 2:
+            canvas[it : it + ih, il : il + iw] = gpal[bg_idx]
+        elif spec["disposal"] == 3:
+            canvas = saved
