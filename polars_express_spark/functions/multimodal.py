@@ -254,7 +254,7 @@ def extract_features(df: DataFrame, dim: int = 16, real_extract: bool = False) -
                     if parsed is None:
                         raise NotImplementedError(
                             f"doc {doc_id}: real feature extraction is "
-                            "implemented dependency-free for Netpbm P5/P6, "
+                            "implemented dependency-free for Netpbm (P1-P6), "
                             "PNG, BMP (incl. RLE and 16bpp), GIF, and baseline JPEG; "
                             "other formats need a media codec not present "
                             "here"
@@ -325,7 +325,7 @@ def resize_media(
                     if parsed is None:
                         raise NotImplementedError(
                             f"doc {doc_id}: real resize is implemented "
-                            "dependency-free for Netpbm P5/P6, PNG, BMP "
+                            "dependency-free for Netpbm (P1-P6), PNG, BMP "
                             "(incl. RLE and 16bpp), GIF, and baseline JPEG; other "
                             "formats need an image codec not present here"
                         )
@@ -365,8 +365,25 @@ def resize_media(
                         continue
                     # preserve the SOURCE maxval (r10, ADVICE: forcing
                     # 255/65535 from the byte width silently rescales
-                    # the brightness scale of e.g. a maxval=1000 P5)
-                    maxval = _netpbm_header(raw)[2]
+                    # the brightness scale of e.g. a maxval=1000 P5).
+                    # r13: plain variants re-encode as their BINARY
+                    # siblings (P1/P4 → P4, P2 → P5, P3 → P6) — same
+                    # family, same pixels, same maxval; a bitmap's 0/1
+                    # raster packs MSB-first like the source P4
+                    if raw[:2] in (b"P1", b"P4"):
+                        stride_out = (width + 7) // 8
+                        bits = np.zeros((height, stride_out * 8), dtype="u1")
+                        bits[:, :width] = res[:, :, 0]
+                        packed = np.packbits(bits, axis=1)
+                        out.append(
+                            f"P4\n{width} {height}\n".encode("ascii")
+                            + packed.tobytes()
+                        )
+                        continue
+                    if raw[:2] in (b"P2", b"P3"):
+                        maxval = _netpbm_plain_header(raw, 3)[2]
+                    else:
+                        maxval = _netpbm_header(raw)[2]
                     hdr = (
                         f"P{'6' if ch == 3 else '5'}\n{width} {height}\n{maxval}\n"
                     ).encode("ascii")
@@ -844,26 +861,122 @@ def _netpbm_header(payload: bytes):
     return w, h, maxval, channels, pos
 
 
+def _netpbm_plain_header(payload: bytes, n_tokens: int):
+    """Header scan for the plain/bitmap magics (P1-P4): n_tokens
+    integers after the magic, with the same comment (#...) and
+    whitespace rules as _netpbm_header. Returns (tokens..., pos) —
+    pos is the byte after the LAST header token (for the tokenized
+    plain rasters any following whitespace is consumed by the raster
+    tokenizer; the packed P4 raster additionally requires the single
+    whitespace delimiter, checked by the caller)."""
+    pos, tokens = 2, []
+    while len(tokens) < n_tokens and pos < len(payload):
+        c = payload[pos : pos + 1]
+        if c in b" \t\r\n":
+            pos += 1
+            continue
+        if c == b"#":
+            nl = payload.find(b"\n", pos)
+            if nl == -1:
+                return None
+            pos = nl + 1
+            continue
+        start = pos
+        while pos < len(payload) and payload[pos : pos + 1] not in b" \t\r\n#":
+            pos += 1
+        tokens.append(payload[start:pos])
+    if len(tokens) < n_tokens:
+        return None
+    try:
+        vals = [int(t) for t in tokens]
+    except ValueError:
+        return None
+    return (*vals, pos)
+
+
+def _strip_pnm_comments(body: bytes) -> bytes:
+    """Remove #-to-end-of-line comments from a plain-format raster
+    section (the netpbm spec allows them anywhere in plain files)."""
+    if b"#" not in body:
+        return body
+    return b"\n".join(line.split(b"#", 1)[0] for line in body.split(b"\n"))
+
+
 def parse_netpbm(payload: bytes):
-    """Decode a binary Netpbm raster (P5 grayscale / P6 RGB): returns
-    (width, height, channels, ndarray[h, w, ch]) or None if the payload
-    is not Netpbm or is truncated/corrupt. Handles header comments
-    (#...), arbitrary whitespace, and 16-bit (maxval > 255, big-endian
-    per the spec) samples. Pure bytes + numpy — works in codec-less
-    environments because the format IS the raw raster."""
+    """Decode ANY Netpbm raster — the full family since r13: binary
+    P5 grayscale / P6 RGB (the r9 tier), plain-ASCII P2/P3 (tokenized
+    sample lists), and both bitmap forms (P1 plain — digits with
+    optional separators — and P4 packed, MSB-first rows padded to a
+    byte boundary, the PNG depth-1 layout). Returns (width, height,
+    channels, ndarray[h, w, ch]) or None if the payload is not Netpbm
+    or is truncated/corrupt. Handles header comments (#...), arbitrary
+    whitespace, and 16-bit (maxval > 255, big-endian per the spec)
+    samples. Bitmaps return RAW 0/1 samples where 1 = black per the
+    PBM spec — stored values, no luminance reinterpretation (the
+    sub-byte-PNG convention). Plain rasters are strict: a sample above
+    maxval, a non-digit, or trailing junk after the declared raster
+    returns None. Pure bytes + numpy — works in codec-less
+    environments because the format IS the raster."""
     import numpy as np
 
-    hdr = _netpbm_header(payload)
-    if hdr is None:
-        return None
-    w, h, maxval, channels, pos = hdr
-    bytes_per = 1 if maxval < 256 else 2
-    need = w * h * channels * bytes_per
-    raw = payload[pos : pos + need]
-    if len(raw) < need:
-        return None
-    arr = np.frombuffer(raw, dtype=">u2" if bytes_per == 2 else "u1")
-    return w, h, channels, arr.reshape(h, w, channels)
+    magic = payload[:2]
+    if magic in (b"P5", b"P6"):
+        hdr = _netpbm_header(payload)
+        if hdr is None:
+            return None
+        w, h, maxval, channels, pos = hdr
+        bytes_per = 1 if maxval < 256 else 2
+        need = w * h * channels * bytes_per
+        raw = payload[pos : pos + need]
+        if len(raw) < need:
+            return None
+        arr = np.frombuffer(raw, dtype=">u2" if bytes_per == 2 else "u1")
+        return w, h, channels, arr.reshape(h, w, channels)
+    if magic in (b"P2", b"P3"):
+        hdr = _netpbm_plain_header(payload, 3)
+        if hdr is None:
+            return None
+        w, h, maxval, pos = hdr
+        if w <= 0 or h <= 0 or not 0 < maxval < 65536:
+            return None
+        channels = 3 if magic == b"P3" else 1
+        toks = _strip_pnm_comments(payload[pos:]).split()
+        if len(toks) != w * h * channels:
+            return None  # short raster or trailing junk
+        try:
+            vals = [int(t) for t in toks]
+        except ValueError:
+            return None
+        arr = np.array(vals, dtype=">u2" if maxval > 255 else "u1")
+        if int(arr.max()) > maxval:
+            return None  # sample above the declared maxval
+        return w, h, channels, arr.reshape(h, w, channels)
+    if magic in (b"P1", b"P4"):
+        hdr = _netpbm_plain_header(payload, 2)
+        if hdr is None:
+            return None
+        w, h, pos = hdr
+        if w <= 0 or h <= 0:
+            return None
+        if magic == b"P1":
+            # plain bitmap: each 0/1 DIGIT is a sample; separators
+            # between digits are optional per the spec
+            body = _strip_pnm_comments(payload[pos:])
+            chars = [c for c in body if c not in b" \t\r\n"]
+            if len(chars) != w * h or any(c not in (0x30, 0x31) for c in chars):
+                return None
+            arr = (np.array(chars, dtype="u1") - 0x30).reshape(h, w)
+            return w, h, 1, arr[:, :, None]
+        # P4 packed: single whitespace delimiter, then MSB-first rows
+        if payload[pos : pos + 1] not in (b" ", b"\t", b"\r", b"\n"):
+            return None
+        pos += 1
+        stride = (w + 7) // 8
+        raw = payload[pos : pos + stride * h]
+        if len(raw) < stride * h:
+            return None
+        return w, h, 1, _png_unpack_bits(raw, h, stride, w, 1)[:, :, None]
+    return None
 
 
 def _png_unfilter(raw, off: int, h: int, stride: int, bpp: int):
@@ -1924,7 +2037,7 @@ def decode_pixel_stats(df: DataFrame) -> DataFrame:
                 if parsed is None:
                     raise NotImplementedError(
                         f"doc {doc_id}: pixel decode is implemented "
-                        "dependency-free for Netpbm P5/P6, PNG (zlib "
+                        "dependency-free for Netpbm (P1-P6), PNG (zlib "
                         "inflate + filter reconstruction), BMP (incl. RLE/16bpp), "
                         "GIF (pure-Python LZW), and baseline JPEG "
                         "(pure-Python Huffman + IDCT); other formats need "

@@ -2253,3 +2253,66 @@ def test_sample_frames_gif_animation(spark):
         pw, ph, ch, arr = parse_png(bytes(r["frame"]))
         assert (pw, ph, ch) == (w, h, 3)
         assert np.array_equal(arr, want[i])
+
+
+def test_netpbm_full_family(spark):
+    """r13 — the whole Netpbm family decodes: plain-ASCII P2/P3
+    (tokenized samples, comments anywhere, 16-bit via maxval), and
+    both bitmap forms (P1 digits with optional separators, P4 packed
+    MSB-first rows) beside the r9 binary P5/P6. Bitmaps return RAW
+    0/1 samples (1 = black per the PBM spec). Plain rasters are
+    strict: sample > maxval, non-digit, short raster, or trailing
+    junk → None. resize_media re-encodes plain variants as their
+    binary siblings (P1/P4 → P4, P2 → P5, P3 → P6), maxval preserved."""
+    import numpy as np
+
+    from polars_express_spark.functions.multimodal import (
+        parse_netpbm,
+        resize_media,
+    )
+
+    p2 = b"P2 # gray\n3 2\n# c\n1000\n0 500 1000\n7 8 9\n"
+    w, h, ch, arr = parse_netpbm(p2)
+    assert (w, h, ch) == (3, 2, 1) and arr.dtype.str == ">u2"
+    assert np.array_equal(arr[:, :, 0], [[0, 500, 1000], [7, 8, 9]])
+
+    p3 = b"P3\n2 1 255\n255 0 0  0 255 0\n"
+    w, h, ch, arr = parse_netpbm(p3)
+    assert (w, h, ch) == (2, 1, 3)
+    assert np.array_equal(arr[0], [[255, 0, 0], [0, 255, 0]])
+
+    assert parse_netpbm(b"P2\n2 1 10\n5 11\n") is None   # > maxval
+    assert parse_netpbm(b"P2\n2 1 10\n5 6 7\n") is None  # trailing junk
+    assert parse_netpbm(b"P2\n2 1 10\n5\n") is None      # short
+    assert parse_netpbm(b"P3\n1 1 255\n1 x 3\n") is None  # non-digit
+
+    p1 = b"P1\n# bitmap\n5 2\n01101\n1 0 0 1 1\n"
+    w, h, ch, arr = parse_netpbm(p1)
+    assert (w, h, ch) == (5, 2, 1)
+    assert np.array_equal(arr[:, :, 0], [[0, 1, 1, 0, 1], [1, 0, 0, 1, 1]])
+    assert parse_netpbm(b"P1\n2 1\n02\n") is None  # digit out of range
+    assert parse_netpbm(b"P1\n2 1\n0\n") is None   # short
+
+    bits = np.random.RandomState(5).randint(0, 2, size=(3, 10)).astype("u1")
+    rows = np.zeros((3, 16), dtype="u1")
+    rows[:, :10] = bits
+    p4 = b"P4\n10 3\n" + np.packbits(rows, axis=1).tobytes()
+    w, h, ch, arr = parse_netpbm(p4)
+    assert (w, h, ch) == (10, 3, 1) and np.array_equal(arr[:, :, 0], bits)
+    assert parse_netpbm(p4[:-1]) is None  # truncated raster
+
+    df = spark.createDataFrame(
+        [(1, bytearray(p1)), (2, bytearray(p2)), (3, bytearray(p4)),
+         (4, bytearray(p3))],
+        "doc_id long, payload binary",
+    )
+    got = {
+        r["doc_id"]: bytes(r["payload"])
+        for r in resize_media(df, width=2, height=2, real_resize=True).collect()
+    }
+    for d, pay in got.items():
+        g = parse_netpbm(pay)
+        assert g is not None and (g[0], g[1]) == (2, 2), d
+    assert got[1][:2] == b"P4" and got[3][:2] == b"P4"
+    assert got[2][:2] == b"P5" and b"1000" in got[2][:20]  # maxval preserved
+    assert got[4][:2] == b"P6"
