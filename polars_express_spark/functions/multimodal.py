@@ -708,11 +708,13 @@ def decode_audio_samples(df: DataFrame) -> DataFrame:
     container, decode the payload to linear PCM — format tag 1 (PCM,
     8-bit unsigned or 16-bit signed), tags 7/6 (G.711 mu-law / A-law),
     or tag 0x11 (IMA ADPCM, any channel count since r13) — and ship
-    exact mean/min/max sample values. The audio analog of
-    decode_pixel_stats: decode executor-side inside the Arrow batch,
-    move scalars, never raw samples. Unparsable containers and format
-    tags without a dependency-free decode (MP3-in-WAV — still
-    codec-gated by policy) raise."""
+    exact mean/min/max sample values. WAVE_FORMAT_EXTENSIBLE (tag
+    0xFFFE, what most modern writers emit) resolves to its real tag
+    from the SubFormat GUID over the fixed Microsoft base (r13). The
+    audio analog of decode_pixel_stats: decode executor-side inside
+    the Arrow batch, move scalars, never raw samples. Unparsable
+    containers and format tags without a dependency-free decode
+    (MP3-in-WAV — still codec-gated by policy) raise."""
     import struct
 
     import numpy as np
@@ -734,6 +736,17 @@ def decode_audio_samples(df: DataFrame) -> DataFrame:
                     if cid == b"fmt " and csize >= 16:
                         tag = struct.unpack_from("<H", raw, body)[0]
                         block_align = struct.unpack_from("<H", raw, body + 12)[0]
+                        if tag == 0xFFFE and csize >= 40 and body + 40 <= len(raw):
+                            # WAVE_FORMAT_EXTENSIBLE (r13): the real tag
+                            # is the first two bytes of the SubFormat
+                            # GUID, valid only over the fixed Microsoft
+                            # base GUID tail (…-0000-0010-8000-00aa00389b71)
+                            if (
+                                raw[body + 26 : body + 40]
+                                == b"\x00\x00\x00\x00\x10\x00\x80\x00"
+                                   b"\x00\xaa\x00\x38\x9b\x71"
+                            ):
+                                tag = struct.unpack_from("<H", raw, body + 24)[0]
                     elif cid == b"data" and body + csize <= len(raw):
                         data = raw[body : body + csize]
                     pos = body + csize + (csize & 1)

@@ -2316,3 +2316,58 @@ def test_netpbm_full_family(spark):
     assert got[1][:2] == b"P4" and got[3][:2] == b"P4"
     assert got[2][:2] == b"P5" and b"1000" in got[2][:20]  # maxval preserved
     assert got[4][:2] == b"P6"
+
+
+def test_wav_extensible_format(spark):
+    """r13 — WAVE_FORMAT_EXTENSIBLE (tag 0xFFFE, the modern writer
+    default): decode_audio_samples resolves the real format from the
+    SubFormat GUID over the fixed Microsoft base, so extensible PCM16
+    and extensible mu-law decode identically to their plain-tag twins;
+    a GUID off the standard base stays NotImplementedError."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from polars_express_spark.functions.multimodal import (
+        decode_audio_samples,
+        mulaw_decode,
+    )
+
+    base_tail = b"\x00\x00\x00\x00\x10\x00\x80\x00\x00\xaa\x00\x38\x9b\x71"
+
+    def ext_wav(sub_tag, ch, bits, data):
+        fmt = struct.pack(
+            "<HHIIHH", 0xFFFE, ch, 8000, 8000 * ch * bits // 8,
+            ch * bits // 8, bits,
+        )
+        fmt += struct.pack("<HHI", 22, bits, 0)  # cbSize, valid bits, mask
+        fmt += struct.pack("<H", sub_tag) + base_tail
+        body = (
+            b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data
+            + (b"\x00" if len(data) & 1 else b"")
+        )
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    rng = np.random.RandomState(15)
+    pcm = rng.randint(-32768, 32768, size=50).astype("<i2")
+    codes = bytes(rng.randint(0, 256, size=64).astype("u1"))
+    df = spark.createDataFrame(
+        [(1, bytearray(ext_wav(1, 1, 16, pcm.tobytes()))),
+         (2, bytearray(ext_wav(7, 1, 8, codes)))],
+        "doc_id long, payload binary",
+    )
+    got = {r["doc_id"]: r for r in decode_audio_samples(df).collect()}
+    assert got[1]["n_samples"] == 50
+    assert got[1]["min_pcm"] == int(pcm.min()) and got[1]["max_pcm"] == int(pcm.max())
+    want = mulaw_decode(np.frombuffer(codes, dtype=np.uint8))
+    assert got[2]["n_samples"] == 64
+    assert abs(got[2]["mean_pcm"] - float(want.mean())) < 1e-9
+
+    # nonstandard GUID base: NOT silently decoded as PCM
+    bad = bytearray(ext_wav(1, 1, 16, pcm.tobytes()))
+    bad[bad.find(base_tail) + 10] ^= 0xFF
+    dfb = spark.createDataFrame([(3, bytes(bad))], "doc_id long, payload binary")
+    with pytest.raises(Exception, match="format tag|NotImplemented"):
+        decode_audio_samples(dfb).collect()
