@@ -708,3 +708,42 @@ def test_registry_wide_no_cartesian_and_declared_bnlj_only(spark):
             offenders_bnlj.append(name)
     assert not offenders_cart, f"CartesianProduct in: {offenders_cart}"
     assert not offenders_bnlj, f"undeclared BNLJ in: {offenders_bnlj}"
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["q_multimodal_pixels", "q_multimodal_bmp", "q_multimodal_gif",
+     "q_multimodal_jpeg", "q_multimodal_mulaw", "q_multimodal_alaw",
+     "q_multimodal_png_subbyte"],
+)
+def test_codec_roundtrip_plan_shape(spark, name):
+    """r13 — pin the codec-query scale shape that was previously only
+    argued in docstrings: ONE parquet scan, ONE hash exchange of the
+    kilobyte formula rows on doc_id BEFORE the Python stages (the
+    _codec_parallel fix — without it the single-split documents scan
+    serializes the pure-Python codec on one core), the encode and
+    decode Arrow stages FUSED back-to-back with no exchange between
+    them, and only the final order-by range exchange above. A refactor
+    that drops the repartition or splits the codec stages fails here,
+    not in a bench regression three rounds later."""
+    p = plan_of(name, spark)
+    assert "CartesianProduct" not in p
+    assert "hashpartitioning(doc_id" in p
+    # operator order from the tree section (parent printed first):
+    # Sort / range-Exchange / MapInPandas(decode) / MapInPandas(encode)
+    # / hash-Exchange / ... / Scan parquet
+    seq = []
+    for line in p.splitlines():
+        t = line.strip(" +-:*")
+        for op in ("Exchange", "MapInPandas", "Scan parquet"):
+            if t.startswith(op):
+                seq.append(op)
+        if t.startswith("(1) Scan"):  # details section begins
+            break
+    assert seq.count("Scan parquet") == 1, seq
+    assert seq.count("MapInPandas") == 2, seq
+    assert seq.count("Exchange") == 2, seq
+    i, j = (k for k, op in enumerate(seq) if op == "MapInPandas")
+    assert j == i + 1, f"exchange between the codec stages: {seq}"
+    assert seq.index("Exchange") < i, f"no exchange above the stages: {seq}"
+    assert seq[j + 1] == "Exchange", f"codec stages not fed by the doc_id exchange: {seq}"
