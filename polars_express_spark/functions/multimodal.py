@@ -697,6 +697,30 @@ def encode_wav_alaw(samples_alaw: bytes, sample_rate: int = 8000) -> bytes:
     return _encode_wav_g711(samples_alaw, 6, sample_rate)
 
 
+def parse_au_header(payload: bytes):
+    """Sun Au (.au/.snd) metadata (r13 — the canonical G.711 container,
+    big-endian throughout): magic '.snd', header size (≥ 24, annotation
+    text may pad it), data size (0xFFFFFFFF = unknown → derived from
+    the file length), encoding, sample rate, channels. Returns
+    (channels, sample_rate, bits, n_samples, encoding, data_pos) or
+    None for anything that is not a parsable Au file. Encodings this
+    tier decodes: 1 = G.711 mu-law, 2 = 8-bit SIGNED linear (NOT the
+    WAV convention — WAV PCM8 is unsigned), 3 = 16-bit linear,
+    27 = G.711 A-law."""
+    import struct
+
+    if len(payload) < 24 or payload[:4] != b".snd":
+        return None
+    hdr_size, data_size, enc, rate, ch = struct.unpack_from(">IIIII", payload, 4)
+    if hdr_size < 24 or hdr_size > len(payload) or ch < 1 or rate <= 0:
+        return None
+    avail = len(payload) - hdr_size
+    n_bytes = avail if data_size == 0xFFFFFFFF else min(data_size, avail)
+    bits = 16 if enc == 3 else 8
+    n_samples = n_bytes // (ch * (bits // 8))
+    return ch, rate, bits, n_samples, enc, hdr_size
+
+
 AUDIO_SAMPLE_STATS_SCHEMA = (
     "doc_id bigint, n_samples bigint, mean_pcm double,"
     " min_pcm int, max_pcm int"
@@ -704,8 +728,10 @@ AUDIO_SAMPLE_STATS_SCHEMA = (
 
 
 def decode_audio_samples(df: DataFrame) -> DataFrame:
-    """REAL audio SAMPLE decode + reduce (r12): per doc, parse the WAV
-    container, decode the payload to linear PCM — format tag 1 (PCM,
+    """REAL audio SAMPLE decode + reduce (r12): per doc, parse the
+    container — RIFF/WAVE, or Sun Au since r13 (the canonical G.711
+    container: big-endian, mu-law/A-law/signed-PCM8/PCM16BE) — and
+    decode the payload to linear PCM — format tag 1 (PCM,
     8-bit unsigned or 16-bit signed), tags 7/6 (G.711 mu-law / A-law),
     or tag 0x11 (IMA ADPCM, any channel count since r13) — and ship
     exact mean/min/max sample values. WAVE_FORMAT_EXTENSIBLE (tag
@@ -724,9 +750,36 @@ def decode_audio_samples(df: DataFrame) -> DataFrame:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 raw = bytes(payload)
+                au = parse_au_header(raw)
+                if au is not None:  # Sun Au (r13): big-endian, 4 encodings
+                    ch_au, _rate, bits_au, n_au, enc, dpos = au
+                    data = raw[dpos : dpos + n_au * ch_au * (bits_au // 8)]
+                    if enc == 1:
+                        pcm = mulaw_decode(np.frombuffer(data, dtype=np.uint8))
+                    elif enc == 27:
+                        pcm = alaw_decode(np.frombuffer(data, dtype=np.uint8))
+                    elif enc == 2:  # Au PCM8 is SIGNED (unlike WAV)
+                        pcm = np.frombuffer(data, dtype=np.int8).astype(np.int32)
+                    elif enc == 3:  # 16-bit linear, big-endian
+                        pcm = np.frombuffer(data, dtype=">i2").astype(np.int32)
+                    else:
+                        raise NotImplementedError(
+                            f"doc {doc_id}: Au encoding {enc} has no "
+                            "dependency-free decode here (mu-law, A-law, "
+                            "and 8/16-bit linear are implemented)"
+                        )
+                    if len(pcm) == 0:
+                        raise ValueError(f"doc {doc_id}: empty Au data")
+                    rows.append(
+                        (doc_id, len(pcm), float(pcm.mean()),
+                         int(pcm.min()), int(pcm.max()))
+                    )
+                    continue
                 meta = parse_audio_header(raw)
                 if meta is None:
-                    raise ValueError(f"doc {doc_id}: payload is not RIFF/WAVE")
+                    raise ValueError(
+                        f"doc {doc_id}: payload is not RIFF/WAVE or Sun Au"
+                    )
                 # re-walk for the format tag, block align, and data bounds
                 pos, tag, block_align, data = 12, None, 0, None
                 while pos + 8 <= len(raw):

@@ -2371,3 +2371,67 @@ def test_wav_extensible_format(spark):
     dfb = spark.createDataFrame([(3, bytes(bad))], "doc_id long, payload binary")
     with pytest.raises(Exception, match="format tag|NotImplemented"):
         decode_audio_samples(dfb).collect()
+
+
+def test_au_container_decode(spark):
+    """r13 — Sun Au (.au/.snd), the canonical G.711 container:
+    decode_audio_samples handles all four dependency-free encodings —
+    mu-law, A-law, 8-bit SIGNED linear (the Au convention; WAV PCM8 is
+    unsigned), 16-bit big-endian — plus the unknown-length sentinel
+    and annotation-padded headers. An unsupported encoding raises."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from polars_express_spark.functions.multimodal import (
+        alaw_decode,
+        decode_audio_samples,
+        mulaw_decode,
+        parse_au_header,
+    )
+
+    rng = np.random.RandomState(15)
+
+    def au(enc, data, hdr_pad=b"", data_size=None):
+        hdr = struct.pack(
+            ">4sIIIII", b".snd", 24 + len(hdr_pad),
+            len(data) if data_size is None else data_size, enc, 8000, 1,
+        )
+        return hdr + hdr_pad + data
+
+    codes = bytes(rng.randint(0, 256, size=64).astype("u1"))
+    pcm8 = rng.randint(-128, 128, size=50).astype(np.int8)
+    pcm16 = rng.randint(-32768, 32768, size=40).astype(">i2")
+    rows_in = [
+        (1, au(1, codes)),
+        (2, au(27, codes, hdr_pad=b"annotation\x00\x00")),  # padded header
+        (3, au(2, pcm8.tobytes())),
+        (4, au(3, pcm16.tobytes(), data_size=0xFFFFFFFF)),  # unknown length
+    ]
+    df = spark.createDataFrame(
+        [(d, bytearray(p)) for d, p in rows_in], "doc_id long, payload binary"
+    )
+    got = {r["doc_id"]: r for r in decode_audio_samples(df).collect()}
+    for d, want in (
+        (1, mulaw_decode(np.frombuffer(codes, dtype=np.uint8))),
+        (2, alaw_decode(np.frombuffer(codes, dtype=np.uint8))),
+        (3, pcm8.astype(np.int32)),
+        (4, pcm16.astype(np.int32)),
+    ):
+        assert got[d]["n_samples"] == len(want), d
+        assert got[d]["min_pcm"] == int(want.min()), d
+        assert got[d]["max_pcm"] == int(want.max()), d
+        assert abs(got[d]["mean_pcm"] - float(want.mean())) < 1e-9, d
+
+    # header metadata, including a truncated header → None
+    assert parse_au_header(au(1, codes))[:4] == (1, 8000, 8, 64)
+    assert parse_au_header(au(1, codes)[:20]) is None
+    assert parse_au_header(b"FORM" + au(1, codes)[4:]) is None
+
+    # unsupported encoding (e.g. 64-bit float = 7) raises
+    dfb = spark.createDataFrame(
+        [(9, bytearray(au(7, b"\x00" * 16)))], "doc_id long, payload binary"
+    )
+    with pytest.raises(Exception, match="Au encoding"):
+        decode_audio_samples(dfb).collect()
