@@ -380,6 +380,20 @@ def resize_media(
                             + packed.tobytes()
                         )
                         continue
+                    if raw[:2] == b"P7":
+                        # PAM resizes to PAM — it is the only family
+                        # member that can carry 2/4-channel rasters
+                        import re as _re
+
+                        maxval = int(
+                            _re.search(rb"MAXVAL\s+(\d+)", raw).group(1)
+                        )
+                        hdr = (
+                            f"P7\nWIDTH {width}\nHEIGHT {height}\n"
+                            f"DEPTH {ch}\nMAXVAL {maxval}\nENDHDR\n"
+                        ).encode("ascii")
+                        out.append(hdr + res.tobytes())
+                        continue
                     if raw[:2] in (b"P2", b"P3"):
                         maxval = _netpbm_plain_header(raw, 3)[2]
                     else:
@@ -1017,6 +1031,41 @@ def parse_netpbm(payload: bytes):
         if int(arr.max()) > maxval:
             return None  # sample above the declared maxval
         return w, h, channels, arr.reshape(h, w, channels)
+    if magic == b"P7":
+        # PAM (r13 — the last Netpbm magic): header of KEYWORD VALUE
+        # lines (comments allowed) up to ENDHDR, then a P6-style
+        # binary raster of DEPTH channels. Depths 1-4 cover the
+        # image semantics this module decodes (gray, gray+alpha, RGB,
+        # RGBA); TUPLTYPE is accepted but not enforced — samples are
+        # returned raw, the module's convention.
+        end = payload.find(b"ENDHDR\n")
+        if end == -1:
+            return None
+        fields = {}
+        for line in payload[2:end].split(b"\n"):
+            line = line.split(b"#", 1)[0].strip()
+            if not line:
+                continue
+            parts = line.split(None, 1)
+            if len(parts) == 2:
+                fields[parts[0]] = parts[1]
+        try:
+            w = int(fields[b"WIDTH"])
+            h = int(fields[b"HEIGHT"])
+            depth = int(fields[b"DEPTH"])
+            maxval = int(fields[b"MAXVAL"])
+        except (KeyError, ValueError):
+            return None
+        if w <= 0 or h <= 0 or not 1 <= depth <= 4 or not 0 < maxval < 65536:
+            return None
+        pos = end + 7
+        bytes_per = 1 if maxval < 256 else 2
+        need = w * h * depth * bytes_per
+        raw = payload[pos : pos + need]
+        if len(raw) < need:
+            return None
+        arr = np.frombuffer(raw, dtype=">u2" if bytes_per == 2 else "u1")
+        return w, h, depth, arr.reshape(h, w, depth)
     if magic in (b"P1", b"P4"):
         hdr = _netpbm_plain_header(payload, 2)
         if hdr is None:

@@ -2435,3 +2435,52 @@ def test_au_container_decode(spark):
     )
     with pytest.raises(Exception, match="Au encoding"):
         decode_audio_samples(dfb).collect()
+
+
+def test_pam_p7_decode_and_resize(spark):
+    """r13 — PAM (P7), the last Netpbm magic: keyword/value header up
+    to ENDHDR (comments allowed, TUPLTYPE accepted but not enforced),
+    then a P6-style binary raster of DEPTH channels — so gray+alpha
+    and RGBA rasters ride the Netpbm family too, at 8 and 16 bit.
+    resize_media re-encodes PAM as PAM (the only member that can carry
+    2/4-channel rasters). Malformed headers and short rasters → None."""
+    import numpy as np
+
+    from polars_express_spark.functions.multimodal import (
+        parse_netpbm,
+        resize_media,
+    )
+
+    rng = np.random.RandomState(15)
+
+    def pam(arr, maxval, extra=b""):
+        h, w, d = arr.shape
+        hdr = (
+            f"P7\nWIDTH {w}\n# comment\nHEIGHT {h}\nDEPTH {d}\n"
+            f"MAXVAL {maxval}\n".encode() + extra + b"ENDHDR\n"
+        )
+        return hdr + arr.tobytes()
+
+    rgba = rng.randint(0, 256, size=(4, 5, 4)).astype("u1")
+    w, h, ch, arr = parse_netpbm(pam(rgba, 255, extra=b"TUPLTYPE RGB_ALPHA\n"))
+    assert (w, h, ch) == (5, 4, 4) and np.array_equal(arr, rgba)
+
+    ga16 = rng.randint(0, 60000, size=(3, 2, 2)).astype(">u2")
+    w, h, ch, arr = parse_netpbm(pam(ga16, 60000))
+    assert (w, h, ch) == (2, 3, 2) and np.array_equal(
+        arr.astype("u2"), ga16.astype("u2")
+    )
+
+    assert parse_netpbm(pam(rgba, 255)[:-3]) is None       # short raster
+    assert parse_netpbm(b"P7\nWIDTH 2\nENDHDR\n\x00") is None  # fields missing
+    assert parse_netpbm(b"P7\nWIDTH 2\nHEIGHT 1\nDEPTH 9\nMAXVAL 255\nENDHDR\n") is None
+
+    df = spark.createDataFrame(
+        [(1, bytearray(pam(rgba, 255)))], "doc_id long, payload binary"
+    )
+    out = resize_media(df, width=3, height=2, real_resize=True).collect()[0]
+    pw, ph, pch, parr = parse_netpbm(bytes(out["payload"]))
+    assert bytes(out["payload"])[:2] == b"P7" and (pw, ph, pch) == (3, 2, 4)
+    yi = np.linspace(0, 3, 2).round().astype(int)
+    xi = np.linspace(0, 4, 3).round().astype(int)
+    assert np.array_equal(parr, rgba[yi][:, xi])
