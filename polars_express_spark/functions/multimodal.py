@@ -382,12 +382,11 @@ def resize_media(
                         continue
                     if raw[:2] == b"P7":
                         # PAM resizes to PAM — it is the only family
-                        # member that can carry 2/4-channel rasters
-                        import re as _re
-
-                        maxval = int(
-                            _re.search(rb"MAXVAL\s+(\d+)", raw).group(1)
-                        )
+                        # member that can carry 2/4-channel rasters.
+                        # MAXVAL via the comment-aware header parse
+                        # (r14, ADVICE: a raw-bytes regex would match
+                        # inside a '#' comment before the real field)
+                        maxval = _pam_header(raw)[3]
                         hdr = (
                             f"P7\nWIDTH {width}\nHEIGHT {height}\n"
                             f"DEPTH {ch}\nMAXVAL {maxval}\nENDHDR\n"
@@ -974,6 +973,39 @@ def _netpbm_plain_header(payload: bytes, n_tokens: int):
     return (*vals, pos)
 
 
+def _pam_header(payload: bytes):
+    """Parse a PAM (P7) header: (width, height, depth, maxval,
+    raster_pos) or None. KEYWORD VALUE lines with #-comments stripped
+    per line, up to the ENDHDR sentinel. Factored out of parse_netpbm
+    (r14, ADVICE) so resize_media's PAM re-encode reads MAXVAL through
+    the SAME comment-aware scan the decoder used — a raw-bytes regex
+    would match a '# MAXVAL 1' comment before the real field and stamp
+    the re-encoded header with the wrong sample scale."""
+    if payload[:2] != b"P7":
+        return None
+    end = payload.find(b"ENDHDR\n")
+    if end == -1:
+        return None
+    fields = {}
+    for line in payload[2:end].split(b"\n"):
+        line = line.split(b"#", 1)[0].strip()
+        if not line:
+            continue
+        parts = line.split(None, 1)
+        if len(parts) == 2:
+            fields[parts[0]] = parts[1]
+    try:
+        w = int(fields[b"WIDTH"])
+        h = int(fields[b"HEIGHT"])
+        depth = int(fields[b"DEPTH"])
+        maxval = int(fields[b"MAXVAL"])
+    except (KeyError, ValueError):
+        return None
+    if w <= 0 or h <= 0 or not 1 <= depth <= 4 or not 0 < maxval < 65536:
+        return None
+    return w, h, depth, maxval, end + 7
+
+
 def _strip_pnm_comments(body: bytes) -> bytes:
     """Remove #-to-end-of-line comments from a plain-format raster
     section (the netpbm spec allows them anywhere in plain files)."""
@@ -1023,13 +1055,19 @@ def parse_netpbm(payload: bytes):
         toks = _strip_pnm_comments(payload[pos:]).split()
         if len(toks) != w * h * channels:
             return None  # short raster or trailing junk
-        try:
-            vals = [int(t) for t in toks]
-        except ValueError:
+        # validate BEFORE building the array (r14, ADVICE): int() also
+        # accepts lenient forms like b'+5'/b'1_0', and an out-of-range
+        # sample (300 under maxval 255) would WRAP under the u1 dtype
+        # (to 44, passing a post-hoc max() check) — or raise
+        # OverflowError on numpy>=2, an executor crash. The spec's
+        # plain samples are bare decimal digits in 0..maxval, nothing
+        # else; bytes.isdigit() is exactly that strictness.
+        if not all(t.isdigit() for t in toks):
             return None
-        arr = np.array(vals, dtype=">u2" if maxval > 255 else "u1")
-        if int(arr.max()) > maxval:
+        vals = [int(t) for t in toks]
+        if any(v > maxval for v in vals):
             return None  # sample above the declared maxval
+        arr = np.array(vals, dtype=">u2" if maxval > 255 else "u1")
         return w, h, channels, arr.reshape(h, w, channels)
     if magic == b"P7":
         # PAM (r13 — the last Netpbm magic): header of KEYWORD VALUE
@@ -1038,27 +1076,10 @@ def parse_netpbm(payload: bytes):
         # image semantics this module decodes (gray, gray+alpha, RGB,
         # RGBA); TUPLTYPE is accepted but not enforced — samples are
         # returned raw, the module's convention.
-        end = payload.find(b"ENDHDR\n")
-        if end == -1:
+        hdr = _pam_header(payload)
+        if hdr is None:
             return None
-        fields = {}
-        for line in payload[2:end].split(b"\n"):
-            line = line.split(b"#", 1)[0].strip()
-            if not line:
-                continue
-            parts = line.split(None, 1)
-            if len(parts) == 2:
-                fields[parts[0]] = parts[1]
-        try:
-            w = int(fields[b"WIDTH"])
-            h = int(fields[b"HEIGHT"])
-            depth = int(fields[b"DEPTH"])
-            maxval = int(fields[b"MAXVAL"])
-        except (KeyError, ValueError):
-            return None
-        if w <= 0 or h <= 0 or not 1 <= depth <= 4 or not 0 < maxval < 65536:
-            return None
-        pos = end + 7
+        w, h, depth, maxval, pos = hdr
         bytes_per = 1 if maxval < 256 else 2
         need = w * h * depth * bytes_per
         raw = payload[pos : pos + need]

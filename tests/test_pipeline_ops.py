@@ -2285,6 +2285,14 @@ def test_netpbm_full_family(spark):
     assert parse_netpbm(b"P2\n2 1 10\n5 6 7\n") is None  # trailing junk
     assert parse_netpbm(b"P2\n2 1 10\n5\n") is None      # short
     assert parse_netpbm(b"P3\n1 1 255\n1 x 3\n") is None  # non-digit
+    # r14 ADVICE: out-of-range samples must be rejected BEFORE the
+    # numpy cast — 300 % 256 = 44 would wrap under u1 and sneak past a
+    # post-hoc max() check (or raise OverflowError on numpy>=2); and
+    # int()'s lenient forms ('+5', '1_0') are not spec plain samples
+    assert parse_netpbm(b"P2\n2 1 255\n5 300\n") is None   # wraps to 44
+    assert parse_netpbm(b"P3\n1 1 255\n1 2 999\n") is None
+    assert parse_netpbm(b"P2\n2 1 10\n+5 6\n") is None     # lenient int
+    assert parse_netpbm(b"P2\n2 1 10\n1_0 6\n") is None    # lenient int
 
     p1 = b"P1\n# bitmap\n5 2\n01101\n1 0 0 1 1\n"
     w, h, ch, arr = parse_netpbm(p1)
@@ -2484,3 +2492,19 @@ def test_pam_p7_decode_and_resize(spark):
     yi = np.linspace(0, 3, 2).round().astype(int)
     xi = np.linspace(0, 4, 3).round().astype(int)
     assert np.array_equal(parr, rgba[yi][:, xi])
+
+    # r14 ADVICE: the re-encoded header's MAXVAL must come from the
+    # comment-aware header scan, not a raw-bytes regex — a '# MAXVAL 1'
+    # comment BEFORE the real field would otherwise stamp the output
+    # with maxval 1 while the raster was decoded at the true scale
+    tricky = (
+        b"P7\n# MAXVAL 1\nWIDTH 5\nHEIGHT 4\nDEPTH 4\nMAXVAL 255\n"
+        b"ENDHDR\n" + rgba.tobytes()
+    )
+    assert parse_netpbm(tricky) is not None
+    df2 = spark.createDataFrame(
+        [(1, bytearray(tricky))], "doc_id long, payload binary"
+    )
+    out2 = resize_media(df2, width=3, height=2, real_resize=True).collect()[0]
+    assert b"MAXVAL 255" in bytes(out2["payload"])[:64]
+    assert np.array_equal(parse_netpbm(bytes(out2["payload"]))[3], rgba[yi][:, xi])
