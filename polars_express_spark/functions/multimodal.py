@@ -710,6 +710,33 @@ def encode_wav_alaw(samples_alaw: bytes, sample_rate: int = 8000) -> bytes:
     return _encode_wav_g711(samples_alaw, 6, sample_rate)
 
 
+def encode_au(
+    data: bytes,
+    encoding: int,
+    sample_rate: int = 8000,
+    channels: int = 1,
+    annotation: bytes = b"",
+    unknown_size: bool = False,
+) -> bytes:
+    """A VALID Sun Au (.au/.snd) container around raw sample data
+    (r14 — the writer twin of parse_au_header for the q_multimodal_au
+    driver round trip): 24-byte big-endian header (magic, header size,
+    data size, encoding, rate, channels), optionally padded by an
+    annotation block (header size grows past 24 — readers must honor
+    it) and optionally carrying the spec's 0xFFFFFFFF unknown-length
+    sentinel instead of the true data size."""
+    import struct
+
+    hdr_size = 24 + len(annotation)
+    size = 0xFFFFFFFF if unknown_size else len(data)
+    return (
+        b".snd"
+        + struct.pack(">IIIII", hdr_size, size, encoding, sample_rate, channels)
+        + annotation
+        + data
+    )
+
+
 def parse_au_header(payload: bytes):
     """Sun Au (.au/.snd) metadata (r13 — the canonical G.711 container,
     big-endian throughout): magic '.snd', header size (≥ 24, annotation
@@ -1113,6 +1140,49 @@ def parse_netpbm(payload: bytes):
             return None
         return w, h, 1, _png_unpack_bits(raw, h, stride, w, 1)[:, :, None]
     return None
+
+
+def encode_netpbm(arr, fmt: str, maxval: int = 255) -> bytes:
+    """A VALID Netpbm payload in ANY family format (r14 — the writer
+    twin of parse_netpbm for the q_multimodal_netpbm driver round
+    trip): plain-ASCII P1 (0/1 digit rows) / P2 / P3 (tokenized sample
+    lines), packed P4 (MSB-first rows padded to a byte boundary),
+    binary P5/P6 (big-endian 16-bit when maxval > 255, the spec rule),
+    and PAM P7 (keyword header to ENDHDR, DEPTH from the array's
+    channel count). Independent of the parser — header text plus
+    numpy buffer writes, so a round trip through parse_netpbm is a
+    differential test, not two copies of one implementation."""
+    import numpy as np
+
+    h, w = arr.shape[:2]
+    ch = 1 if arr.ndim == 2 else arr.shape[2]
+    arr = np.asarray(arr).reshape(h, w, ch)
+    if fmt == "P1":
+        body = b"\n".join(
+            b"".join(b"1" if v else b"0" for v in row)
+            for row in arr[:, :, 0].tolist()
+        )
+        return f"P1\n{w} {h}\n".encode("ascii") + body + b"\n"
+    if fmt in ("P2", "P3"):
+        lines = b"\n".join(
+            " ".join(str(v) for v in arr[y].ravel().tolist()).encode("ascii")
+            for y in range(h)
+        )
+        return f"{fmt}\n{w} {h}\n{maxval}\n".encode("ascii") + lines + b"\n"
+    if fmt == "P4":
+        stride = (w + 7) // 8
+        bits = np.zeros((h, stride * 8), dtype="u1")
+        bits[:, :w] = arr[:, :, 0]
+        return f"P4\n{w} {h}\n".encode("ascii") + np.packbits(bits, axis=1).tobytes()
+    raster = arr.astype(">u2" if maxval > 255 else "u1").tobytes()
+    if fmt in ("P5", "P6"):
+        return f"{fmt}\n{w} {h}\n{maxval}\n".encode("ascii") + raster
+    if fmt == "P7":
+        hdr = (
+            f"P7\nWIDTH {w}\nHEIGHT {h}\nDEPTH {ch}\nMAXVAL {maxval}\nENDHDR\n"
+        )
+        return hdr.encode("ascii") + raster
+    raise ValueError(f"unknown Netpbm format {fmt!r}")
 
 
 def _png_unfilter(raw, off: int, h: int, stride: int, bpp: int):
@@ -2231,3 +2301,77 @@ def parse_avi_frames(payload: bytes):
     if not walk(12, riff_end, False):
         return None
     return frames
+
+
+def _avi_video_format(payload: bytes):
+    """The 'strf' stream-format body (BITMAPINFOHEADER + optional
+    palette) of the FIRST video stream in a RIFF/AVI container, or
+    None (r14 — the header-side counterpart of parse_avi_frames'
+    movi walk: raw-DIB frames carry no per-frame header, so their
+    width/height/bpp/compression live only here). Walks LIST hdrl →
+    LIST strl, pairing each strf with the preceding strh's fccType."""
+    import struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        return None
+    found: list[bytes] = []
+
+    def walk(pos: int, end: int) -> None:
+        last_type = None
+        while pos + 8 <= end and not found:
+            cid = payload[pos : pos + 4]
+            csize = struct.unpack_from("<I", payload, pos + 4)[0]
+            body = pos + 8
+            if body + csize > len(payload):
+                return
+            if cid == b"LIST" and csize >= 4:
+                walk(body + 4, body + csize)
+            elif cid == b"strh" and csize >= 4:
+                last_type = payload[body : body + 4]
+            elif cid == b"strf" and last_type == b"vids":
+                found.append(payload[body : body + csize])
+            pos = body + csize + (csize & 1)
+
+    walk(12, min(len(payload), 8 + struct.unpack_from("<I", payload, 4)[0]))
+    return found[0] if found else None
+
+
+def encode_avi(
+    frames: list, width: int, height: int, fourcc: bytes = b"MJPG",
+    bpp: int = 24, fps: int = 25,
+) -> bytes:
+    """A VALID RIFF/AVI container around pre-encoded video frame chunks
+    (r14 — the writer twin of parse_avi_frames/_avi_video_format for
+    the q_multimodal_video driver round trip): LIST hdrl (avih + one
+    LIST strl with a 'vids' strh and a BITMAPINFOHEADER strf), then
+    LIST movi of word-aligned '00dc' chunks. fourcc b'MJPG' marks
+    Motion-JPEG frames; b'DIB ' (biCompression 0) marks uncompressed
+    bottom-up BGR rasters."""
+    import struct
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + struct.pack("<I", len(body)) + body + (
+            b"\x00" if len(body) & 1 else b""
+        )
+
+    comp = 0 if fourcc in (b"DIB ", b"\x00\x00\x00\x00") else struct.unpack(
+        "<I", fourcc
+    )[0]
+    bufsize = max((len(f) for f in frames), default=0)
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, bpp, comp,
+        width * height * bpp // 8, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIIIhhhh", b"vids", fourcc, 0, 0, 0, 0, 1, fps, 0,
+        len(frames), bufsize, 0xFFFFFFFF, 0, 0, 0, width, height,
+    )
+    strl = chunk(b"LIST", b"strl" + chunk(b"strh", strh) + chunk(b"strf", strf))
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII", 1_000_000 // fps, 0, 0, 0, len(frames), 0, 1,
+        bufsize, width, height, 0, 0, 0, 0,
+    )
+    hdrl = chunk(b"LIST", b"hdrl" + chunk(b"avih", avih) + strl)
+    movi = chunk(b"LIST", b"movi" + b"".join(chunk(b"00dc", f) for f in frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body

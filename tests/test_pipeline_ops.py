@@ -2445,6 +2445,44 @@ def test_au_container_decode(spark):
         decode_audio_samples(dfb).collect()
 
 
+def test_encode_au_and_encode_netpbm_writers():
+    """r14 — the writer twins behind the q_multimodal_au /
+    q_multimodal_netpbm driver round trips. encode_au must agree
+    byte-for-byte with an independently struct-packed header
+    (annotation padding and the unknown-length sentinel included);
+    encode_netpbm must round-trip every family format through
+    parse_netpbm, including 16-bit P5 and depth-2 PAM."""
+    import struct
+
+    import numpy as np
+
+    from polars_express_spark.functions.multimodal import (
+        encode_au,
+        encode_netpbm,
+        parse_au_header,
+        parse_netpbm,
+    )
+
+    rng = np.random.RandomState(14)
+    data = bytes(rng.randint(0, 256, size=64).astype("u1"))
+    want = struct.pack(">4sIIIII", b".snd", 28, 0xFFFFFFFF, 27, 8000, 1)
+    assert encode_au(data, 27, annotation=b"\x00" * 4, unknown_size=True) == (
+        want + b"\x00" * 4 + data
+    )
+    assert parse_au_header(encode_au(data, 3))[:5] == (1, 8000, 16, 32, 3)
+
+    for fmt, ch, mx in [("P1", 1, 1), ("P2", 1, 255), ("P3", 3, 255),
+                        ("P4", 1, 1), ("P5", 1, 1000), ("P6", 3, 255),
+                        ("P7", 2, 255)]:
+        a = rng.randint(0, mx + 1, size=(4, 4, ch))
+        pay = encode_netpbm(
+            a.astype(">u2" if mx > 255 else "u1"), fmt, maxval=mx
+        )
+        w, h, c, arr = parse_netpbm(pay)
+        assert (w, h, c) == (4, 4, ch), fmt
+        assert np.array_equal(arr.astype(int), a), fmt
+
+
 def test_pam_p7_decode_and_resize(spark):
     """r13 — PAM (P7), the last Netpbm magic: keyword/value header up
     to ENDHDR (comments allowed, TUPLTYPE accepted but not enforced),
