@@ -39,10 +39,16 @@ interlace included), and baseline JPEG (functions/jpeg.py — canonical
 Huffman + dequant + orthonormal IDCT + JFIF YCbCr, 4:4:4/4:2:2/4:2:0,
 restart markers; exact for constant-per-block rasters under all-ones
 quant, which is what the driver query hashes) all decode to REAL
-pixels. The remaining codec gates are compressed audio/video only
-(MP3/AAC/H.264 entropy coders are out of scope by policy — they are
-orders more spec surface than value here, and the swap-in point is
-these parser functions, not the Spark plumbing). Everything around the stub —
+pixels. r14 extends real pixel decode into VIDEO: MJPEG-in-AVI (each
+'00dc' chunk is a standalone baseline JPEG — parse_avi_frames demuxes,
+functions/jpeg.py decodes) and uncompressed BI_RGB DIB frames (the
+stream's strf header plus a 14-byte 'BM' prefix makes each frame a
+complete BMP for parse_bmp), both shipped as PNGs by
+sample_frames(real_decode=True). The remaining codec gates are
+MP3/AAC-in-WAV and INTER-FRAME video codecs only (H.264 etc. entropy
+coders are out of scope by policy — they are orders more spec surface
+than value here, and the swap-in point is these parser functions, not
+the Spark plumbing). Everything around the stub —
 schema, Arrow batch iteration, column plumbing — is real and
 oracle-tested (q_multimodal_meta replays the fake's arithmetic in
 DuckDB SQL over the same bytes).
@@ -437,9 +443,13 @@ def sample_frames(df: DataFrame, n_frames: int = 4, real_decode: bool = False) -
     """mapInPandas frame sampling: one 'video' payload row → n_frames
     frame rows (the generator/UDTF shape: output cardinality ≠ input).
 
-    Real container demuxing is stubbed; the fake slices the payload into
-    n_frames even chunks, which preserves the real operator's row
-    explosion, ordering column, and binary output schema.
+    real_decode=True demuxes RIFF/AVI containers and animated GIFs for
+    real, and since r14 decodes PIXELS for MJPEG and uncompressed-DIB
+    AVI streams (shipped as PNGs); inter-frame codecs stay encoded
+    (demux only — the documented ffmpeg gate). The default fake slices
+    the payload into n_frames even chunks, which preserves the real
+    operator's row explosion, ordering column, and binary output
+    schema.
     """
     import numpy as np
 
@@ -448,15 +458,24 @@ def sample_frames(df: DataFrame, n_frames: int = 4, real_decode: bool = False) -
             if real_decode:
                 # REAL container demux for RIFF/AVI (r9): the frame
                 # boundaries come from the actual chunk list, sampled
-                # evenly across the stream; frames stay encoded (codec
-                # work), but which bytes ARE frame k is real. r13 adds
-                # animated GIF: parse_gif_frames composites every
-                # frame per the GIF89a disposal model, and the sampled
-                # canvas snapshots are re-encoded as valid PNGs (a
-                # composited canvas can mix >256 colors from several
-                # palettes, so GIF re-encode is not generally
-                # possible). Other containers raise — mp4/mkv demux or
-                # pixel decode needs ffmpeg, absent here.
+                # evenly across the stream. r13 adds animated GIF:
+                # parse_gif_frames composites every frame per the
+                # GIF89a disposal model, and the sampled canvas
+                # snapshots are re-encoded as valid PNGs (a composited
+                # canvas can mix >256 colors from several palettes, so
+                # GIF re-encode is not generally possible). r14 adds
+                # real PIXEL decode for two AVI codecs that need no
+                # new math: MJPEG frames (each one IS a baseline JPEG
+                # — parse_jpeg decodes it) and uncompressed BI_RGB DIB
+                # frames (a 14-byte 'BM' header in front of the
+                # stream's strf BITMAPINFOHEADER makes each frame a
+                # complete BMP that parse_bmp decodes) — both
+                # re-encoded as valid PNGs, the GIF-frames precedent.
+                # Frames of inter-frame codecs (H.264 etc.) stay
+                # encoded — demux is real, pixel decode needs ffmpeg
+                # (absent here; the documented policy gate). Other
+                # containers raise.
+                import struct
                 doc_ids, frame_nos, frames = [], [], []
                 for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                     b = bytes(payload)
@@ -488,6 +507,12 @@ def sample_frames(df: DataFrame, n_frames: int = 4, real_decode: bool = False) -
                         )
                     if not idxs:
                         continue  # container with no video frames
+                    strf = _avi_video_format(b)
+                    comp = (
+                        struct.unpack_from("<I", strf, 16)[0]
+                        if strf is not None and len(strf) >= 20
+                        else None
+                    )
                     take = np.unique(
                         np.linspace(0, len(idxs) - 1, min(n_frames, len(idxs)))
                         .round()
@@ -495,9 +520,44 @@ def sample_frames(df: DataFrame, n_frames: int = 4, real_decode: bool = False) -
                     )
                     for fno, i in enumerate(take):
                         off, sz = idxs[i]
+                        fb = b[off : off + sz]
+                        if fb[:2] == b"\xff\xd8":
+                            # MJPEG (r14): every frame is a standalone
+                            # baseline JPEG — decode and ship a PNG
+                            parsed = _parse_jpeg(fb)
+                            if parsed is None:
+                                raise ValueError(
+                                    f"doc {doc_id}: corrupt MJPEG frame {fno}"
+                                )
+                            arr = parsed[3]
+                            fb = encode_png(
+                                arr if arr.shape[2] > 1 else arr[:, :, 0]
+                            )
+                        elif comp == 0 and strf is not None:
+                            # uncompressed BI_RGB DIB (r14): the frame
+                            # is raw raster bytes; the stream's strf IS
+                            # its BITMAPINFOHEADER (+ palette), so a
+                            # 14-byte file header makes a complete BMP
+                            bm = (
+                                b"BM"
+                                + struct.pack(
+                                    "<IHHI", 14 + len(strf) + len(fb), 0, 0,
+                                    14 + len(strf),
+                                )
+                                + strf + fb
+                            )
+                            parsed = parse_bmp(bm)
+                            if parsed is None:
+                                raise ValueError(
+                                    f"doc {doc_id}: corrupt DIB frame {fno}"
+                                )
+                            arr = parsed[3]
+                            fb = encode_png(
+                                arr if arr.shape[2] > 1 else arr[:, :, 0]
+                            )
                         doc_ids.append(doc_id)
                         frame_nos.append(fno)
-                        frames.append(b[off : off + sz])
+                        frames.append(fb)
                 yield pd.DataFrame(
                     {
                         "doc_id": doc_ids,

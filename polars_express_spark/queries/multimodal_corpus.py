@@ -810,6 +810,121 @@ def q_multimodal_au(spark, sf_dir):
 
 
 @query(
+    "q_multimodal_video",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, text, CAST(doc_id % 2 AS INT) AS m,
+             CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS nch
+      FROM documents WHERE text IS NOT NULL AND length(text) > 0
+    ), px AS (
+      SELECT doc_id, m, nch, f.f AS frame_no,
+             ascii(substr(text, ((g.i * 17 + f.f) % length(text)) + 1, 1))
+               % 256 AS p
+      FROM d,
+           unnest(generate_series(0, 2)) f(f),
+           unnest(generate_series(0, 16 * nch - 1)) g(i)
+    )
+    SELECT doc_id,
+           CAST(frame_no AS INT) AS frame_no,
+           CAST(CASE WHEN m = 0 THEN 32 ELSE 4 END AS INT) AS width,
+           CAST(CASE WHEN m = 0 THEN 32 ELSE 4 END AS INT) AS height,
+           CAST(nch AS INT) AS channels,
+           CAST(sum(p) AS DOUBLE) / count(*) AS mean_val,
+           CAST(min(p) AS INT) AS min_val,
+           CAST(max(p) AS INT) AS max_val
+    FROM px GROUP BY doc_id, frame_no, m, nch ORDER BY doc_id, frame_no
+    """,
+)
+def q_multimodal_video(spark, sf_dir):
+    """REAL video pixel decode under the driver hash (r14 — VERDICT
+    r13 next-steps #2 and #5 combined): per document, THREE video
+    frames are derived from the text (stride-17 code-point sampling,
+    frame f offsetting the stride phase by f) and muxed executor-side
+    into a VALID RIFF/AVI container (encode_avi) whose codec is picked
+    by doc_id parity — even docs carry MJPEG (each '00dc' chunk a
+    standalone baseline JPEG of 16 constant 8×8 blocks, the exactness
+    tier q_multimodal_jpeg established), odd docs carry uncompressed
+    BI_RGB DIB frames (bottom-up BGR rasters whose only header is the
+    stream's strf). sample_frames(real_decode=True) then demuxes the
+    container, decodes each sampled frame to pixels (parse_jpeg for
+    MJPEG; a 14-byte 'BM' prefix + strf + frame bytes through
+    parse_bmp for DIB), and re-encodes valid PNGs; decode_pixel_stats
+    (keyed by doc_id·4+frame_no, split back after) hashes the exact
+    per-frame stats. The oracle computes them straight from the
+    formula — a hash match proves demux, per-codec frame decode, the
+    PNG re-encode, and the row-exploding frame sampler are exact end
+    to end. Scale shape: one scan, one doc_id exchange
+    (_codec_parallel), then THREE fused Arrow stages (mux → demux+
+    decode → stats) with no exchange between."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    from polars_express_spark.functions.jpeg import encode_jpeg
+    from polars_express_spark.functions.multimodal import (
+        decode_pixel_stats,
+        encode_avi,
+        sample_frames,
+    )
+
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    )
+    px = d.select(
+        "doc_id",
+        F.expr(
+            "transform(sequence(0, 2), f -> transform("
+            " sequence(0, 16 * (CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END) - 1),"
+            " i -> ascii(substring(text, ((i * 17 + f) % length(text)) + 1, 1))"
+            " % 256))"
+        ).alias("fs"),
+    )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            payloads = []
+            for doc_id, fs in zip(pdf["doc_id"], pdf["fs"]):
+                if int(doc_id) % 2 == 0:
+                    frames = [
+                        encode_jpeg(
+                            np.array(p, dtype="u1")
+                            .reshape(4, 4)
+                            .repeat(8, axis=0)
+                            .repeat(8, axis=1)
+                        )
+                        for p in fs
+                    ]
+                    payloads.append(encode_avi(frames, 32, 32, b"MJPG"))
+                else:
+                    frames = [
+                        np.array(p, dtype="u1")
+                        .reshape(4, 4, 3)[::-1, :, ::-1]
+                        .tobytes()
+                        for p in fs
+                    ]
+                    payloads.append(encode_avi(frames, 4, 4, b"DIB "))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    avi = _codec_parallel(px).mapInPandas(
+        synth, schema="doc_id bigint, payload binary"
+    )
+    frames = sample_frames(avi, n_frames=3, real_decode=True)
+    stats = decode_pixel_stats(
+        frames.select(
+            (F.col("doc_id") * 4 + F.col("frame_no")).alias("doc_id"),
+            F.col("frame").alias("payload"),
+        )
+    )
+    return stats.selectExpr(
+        "CAST(doc_id DIV 4 AS BIGINT) AS doc_id",
+        "CAST(doc_id % 4 AS INT) AS frame_no",
+        "width", "height", "channels", "mean_val", "min_val", "max_val",
+    ).orderBy("doc_id", "frame_no")
+
+
+@query(
     "q_multimodal_png_subbyte",
     oracle="""
     WITH px AS (

@@ -635,6 +635,65 @@ def test_avi_demux_real_frame_sampling(spark):
         sample_frames(bad, real_decode=True).collect()
 
 
+def test_avi_real_video_pixel_decode(spark):
+    """r14 — real PIXEL decode for the two AVI codecs that need no new
+    math: MJPEG (every '00dc' chunk is a standalone baseline JPEG) and
+    uncompressed BI_RGB DIB (the stream's strf BITMAPINFOHEADER plus a
+    14-byte 'BM' prefix makes each frame a complete BMP). Sampled
+    frames come back as valid PNGs carrying the exact source pixels;
+    frames of an unknown compressed codec stay encoded (demux-only,
+    the documented ffmpeg gate)."""
+    import numpy as np
+
+    from polars_express_spark.functions.jpeg import encode_jpeg
+    from polars_express_spark.functions.multimodal import (
+        _avi_video_format,
+        encode_avi,
+        parse_png,
+        sample_frames,
+    )
+
+    rng = np.random.RandomState(14)
+    # MJPEG: constant 8x8 blocks => exact decode (the jpeg query tier)
+    mj_rasters = [
+        rng.randint(0, 256, (4, 4)).astype("u1").repeat(8, 0).repeat(8, 1)
+        for _ in range(3)
+    ]
+    mjpg = encode_avi([encode_jpeg(r) for r in mj_rasters], 32, 32, b"MJPG")
+
+    # raw DIB: 24bpp BGR bottom-up rows (4*3 stride, already 4-aligned)
+    dib_rasters = [rng.randint(0, 256, (4, 4, 3)).astype("u1") for _ in range(2)]
+    dib = encode_avi(
+        [r[::-1, :, ::-1].tobytes() for r in dib_rasters], 4, 4, b"DIB "
+    )
+    assert _avi_video_format(dib) is not None
+
+    # unknown codec: frames must come back encoded, byte-identical
+    opaque = [b"\x01\x02\x03\x04", b"\x05\x06\x07\x08"]
+    h264ish = encode_avi(opaque, 4, 4, b"H264")
+
+    df = spark.createDataFrame(
+        [(1, bytearray(mjpg)), (2, bytearray(dib)), (3, bytearray(h264ish))],
+        "doc_id long, payload binary",
+    )
+    out = sample_frames(df, n_frames=3, real_decode=True).collect()
+    by_doc: dict = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], {})[r["frame_no"]] = bytes(r["frame"])
+
+    assert len(by_doc[1]) == 3
+    for fno, want in enumerate(mj_rasters):
+        w, h, ch, arr = parse_png(by_doc[1][fno])
+        assert (w, h, ch) == (32, 32, 1)
+        assert np.array_equal(arr[:, :, 0], want), fno
+    assert len(by_doc[2]) == 2
+    for fno, want in enumerate(dib_rasters):
+        w, h, ch, arr = parse_png(by_doc[2][fno])
+        assert (w, h, ch) == (4, 4, 3)
+        assert np.array_equal(arr, want), fno
+    assert sorted(by_doc[3].values()) == sorted(opaque)
+
+
 def _png_chunk(ctype: bytes, data: bytes) -> bytes:
     import struct
     import zlib

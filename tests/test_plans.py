@@ -747,3 +747,30 @@ def test_codec_roundtrip_plan_shape(spark, name):
     assert j == i + 1, f"exchange between the codec stages: {seq}"
     assert seq.index("Exchange") < i, f"no exchange above the stages: {seq}"
     assert seq[j + 1] == "Exchange", f"codec stages not fed by the doc_id exchange: {seq}"
+
+
+def test_video_roundtrip_plan_shape(spark):
+    """r14 — q_multimodal_video has a third Arrow stage (mux →
+    demux+decode → stats) but the same scale contract as the other
+    codec queries: ONE parquet scan, ONE hash exchange of the kilobyte
+    formula rows on doc_id BEFORE the Python tier, all three
+    MapInPandas stages FUSED with no exchange between them, and only
+    the final order-by range exchange above."""
+    p = plan_of("q_multimodal_video", spark)
+    assert "CartesianProduct" not in p
+    assert "hashpartitioning(doc_id" in p
+    seq = []
+    for line in p.splitlines():
+        t = line.strip(" +-:*")
+        for op in ("Exchange", "MapInPandas", "Scan parquet"):
+            if t.startswith(op):
+                seq.append(op)
+        if t.startswith("(1) Scan"):
+            break
+    assert seq.count("Scan parquet") == 1, seq
+    assert seq.count("MapInPandas") == 3, seq
+    assert seq.count("Exchange") == 2, seq
+    ks = [k for k, op in enumerate(seq) if op == "MapInPandas"]
+    assert ks[2] == ks[0] + 2, f"exchange between the codec stages: {seq}"
+    assert seq.index("Exchange") < ks[0], f"no exchange above the stages: {seq}"
+    assert seq[ks[2] + 1] == "Exchange", f"stages not fed by the doc_id exchange: {seq}"

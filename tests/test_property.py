@@ -943,6 +943,77 @@ def test_netpbm_roundtrip_exact(w, h, rgb, deep, data):
 
 
 @given(
+    n_frames=st.integers(1, 4),
+    mjpeg=st.booleans(),
+    bw=st.integers(1, 5),
+    bh=st.integers(1, 4),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_avi_video_roundtrip_property(n_frames, mjpeg, bw, bh, seed):
+    """r14 — mux(random frames) → demux → per-frame pixel decode is
+    exact for both real-decode AVI codecs: MJPEG (constant 8×8 blocks,
+    the exactness tier) at any block-grid size, and uncompressed
+    BI_RGB DIB at widths whose 24bpp stride needs 4-byte row padding.
+    The frame list and the strf header both survive the container."""
+    import struct
+
+    import numpy as np
+
+    from polars_express_spark.functions.jpeg import encode_jpeg, parse_jpeg
+    from polars_express_spark.functions.multimodal import (
+        _avi_video_format,
+        encode_avi,
+        parse_avi_frames,
+        parse_bmp,
+    )
+
+    rng = np.random.RandomState(seed)
+    if mjpeg:
+        w, h = bw * 8, bh * 8
+        rasters = [
+            rng.randint(0, 256, (bh, bw)).astype("u1").repeat(8, 0).repeat(8, 1)
+            for _ in range(n_frames)
+        ]
+        avi = encode_avi([encode_jpeg(r) for r in rasters], w, h, b"MJPG")
+    else:
+        w, h = bw, bh
+        pad = (-(w * 3)) % 4
+        rasters = [
+            rng.randint(0, 256, (h, w, 3)).astype("u1") for _ in range(n_frames)
+        ]
+        frames = [
+            b"".join(
+                row[:, ::-1].tobytes() + b"\x00" * pad for row in r[::-1]
+            )
+            for r in rasters
+        ]
+        avi = encode_avi(frames, w, h, b"DIB ")
+
+    idxs = parse_avi_frames(avi)
+    strf = _avi_video_format(avi)
+    assert len(idxs) == n_frames and strf is not None
+    assert struct.unpack_from("<I", strf, 16)[0] == (
+        0x47504A4D if mjpeg else 0
+    )
+    for (off, sz), want in zip(idxs, rasters):
+        fb = avi[off : off + sz]
+        if mjpeg:
+            pw, ph, pch, arr = parse_jpeg(fb)
+            assert (pw, ph, pch) == (w, h, 1)
+            assert np.array_equal(arr[:, :, 0], want)
+        else:
+            bm = (
+                b"BM"
+                + struct.pack("<IHHI", 14 + len(strf) + sz, 0, 0, 14 + len(strf))
+                + strf + fb
+            )
+            pw, ph, pch, arr = parse_bmp(bm)
+            assert (pw, ph, pch) == (w, h, 3)
+            assert np.array_equal(arr, want)
+
+
+@given(
     vals=st.lists(
         st.floats(
             min_value=1e-6, max_value=1e12, allow_nan=False, allow_infinity=False
@@ -1342,9 +1413,12 @@ def test_parsers_never_crash_on_corrupt_payloads(seed, kind):
 
     from polars_express_spark.functions.jpeg import encode_jpeg, parse_jpeg
     from polars_express_spark.functions.multimodal import (
+        _avi_video_format,
         _wav_ima_blocks_decode,
         encode_gif,
+        parse_au_header,
         parse_audio_header,
+        parse_avi_frames,
         parse_bmp,
         parse_gif,
         parse_gif_frames,
@@ -1356,10 +1430,12 @@ def test_parsers_never_crash_on_corrupt_payloads(seed, kind):
     rng = np.random.RandomState(seed)
     parsers = [parse_png, parse_bmp, parse_gif, parse_gif_frames,
                parse_netpbm, parse_audio_header, parse_image_header,
-               parse_jpeg]
+               parse_jpeg, parse_au_header, parse_avi_frames,
+               _avi_video_format]
     if kind == 0:  # magic-prefixed garbage through every parser
         magics = [b"\x89PNG\r\n\x1a\n", b"BM", b"GIF89a", b"P1", b"P2",
-                  b"P3", b"P4", b"P5", b"P6", b"RIFF", b"\xff\xd8\xff", b""]
+                  b"P3", b"P4", b"P5", b"P6", b"RIFF", b"RIFF\x80\x00\x00\x00AVI ",
+                  b".snd", b"\xff\xd8\xff", b""]
         for m in magics:
             payload = m + rng.bytes(int(rng.randint(0, 160)))
             for p in parsers:
