@@ -2278,6 +2278,77 @@ def encode_gif(idx, palette, interlaced: bool = False) -> bytes:
     return bytes(out)
 
 
+def encode_gif_anim(frames, palette, width: int, height: int) -> bytes:
+    """Encode a multi-frame GIF89a animation (r14 — the writer twin of
+    parse_gif_frames for the q_multimodal_gif_anim driver round trip):
+    `frames` is a list of (left, top, idx2d) placements — the first
+    must cover the full logical screen (the compositor's defined-
+    initial-canvas rule), later ones may be partial sub-rects that
+    overwrite part of the canvas. Every frame is opaque with
+    disposal 1 (leave in place), each preceded by its own Graphic
+    Control Extension; one global color table, real LZW compression."""
+    import struct
+
+    import numpy as np
+
+    pal = np.asarray(palette, dtype="u1").reshape(-1, 3)
+    bits = max(1, (len(pal) - 1).bit_length())
+    gct = np.zeros((1 << bits, 3), dtype="u1")
+    gct[: len(pal)] = pal
+    mcs = max(2, bits)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", width, height)
+    out += bytes([0x80 | (bits - 1), 0, 0])
+    out += gct.tobytes()
+    for left, top, idx in frames:
+        a = np.asarray(idx, dtype="u1")
+        ih, iw = a.shape
+        # GCE: disposal 1 (do not dispose), no transparency, delay 4
+        out += b"\x21\xf9\x04" + bytes([1 << 2]) + struct.pack("<H", 4)
+        out += b"\x00\x00"
+        out += b"\x2c" + struct.pack("<HHHH", left, top, iw, ih) + b"\x00"
+        comp = _gif_lzw_encode(mcs, a.tobytes())
+        out.append(mcs)
+        for i in range(0, len(comp), 255):
+            blk = comp[i : i + 255]
+            out.append(len(blk))
+            out += blk
+        out.append(0)
+    out += b"\x3b"
+    return bytes(out)
+
+
+def encode_wav_extensible(
+    data: bytes, sub_tag: int, bits: int, sample_rate: int = 8000,
+    channels: int = 1,
+) -> bytes:
+    """A VALID WAVE_FORMAT_EXTENSIBLE container (format tag 0xFFFE,
+    what most modern writers emit) around raw sample data (r14 — the
+    writer twin of decode_audio_samples' GUID resolution for the
+    q_multimodal_wavext driver round trip): 40-byte fmt chunk with
+    cbSize 22 and the real format in the SubFormat GUID over the fixed
+    Microsoft base tail."""
+    import struct
+
+    base_tail = (
+        b"\x00\x00\x00\x00\x10\x00\x80\x00\x00\xaa\x00\x38\x9b\x71"
+    )
+    block = channels * bits // 8
+    fmt = struct.pack(
+        "<HHIIHH", 0xFFFE, channels, sample_rate, sample_rate * block,
+        block, bits,
+    )
+    fmt += struct.pack("<HHI", 22, bits, 0)  # cbSize, valid bits, mask
+    fmt += struct.pack("<H", sub_tag) + base_tail
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+        + (b"\x00" if len(data) & 1 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 def decode_pixel_stats(df: DataFrame) -> DataFrame:
     """REAL pixel-level decode + reduce for Netpbm, PNG, BMP, and GIF
     payloads (r11 PNG via stdlib zlib; r12 BMP via struct+numpy and GIF

@@ -925,6 +925,210 @@ def q_multimodal_video(spark, sf_dir):
 
 
 @query(
+    "q_multimodal_gif_anim",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, text FROM documents
+      WHERE text IS NOT NULL AND length(text) > 0
+    ), px AS (
+      SELECT doc_id, k.k AS frame_no,
+             CASE
+               WHEN k.k >= 1 AND j.j // 4 < 2 AND j.j % 4 < 2 THEN
+                 ascii(substr(text,
+                   ((((j.j // 4) * 2 + j.j % 4) * 19 + 1) % length(text)) + 1,
+                   1)) % 256
+               WHEN k.k = 2 AND j.j // 4 >= 2 AND j.j % 4 >= 2 THEN
+                 ascii(substr(text,
+                   ((((j.j // 4 - 2) * 2 + (j.j % 4 - 2)) * 19 + 2)
+                    % length(text)) + 1, 1)) % 256
+               ELSE ascii(substr(text, ((j.j * 19) % length(text)) + 1, 1))
+                    % 256
+             END AS p
+      FROM d,
+           unnest(generate_series(0, 2)) k(k),
+           unnest(generate_series(0, 15)) j(j)
+    )
+    SELECT doc_id,
+           CAST(frame_no AS INT) AS frame_no,
+           CAST(4 AS INT) AS width,
+           CAST(4 AS INT) AS height,
+           CAST(3 AS INT) AS channels,
+           CAST(sum(p) AS DOUBLE) / 16 AS mean_val,
+           CAST(min(p) AS INT) AS min_val,
+           CAST(max(p) AS INT) AS max_val
+    FROM px GROUP BY doc_id, frame_no ORDER BY doc_id, frame_no
+    """,
+)
+def q_multimodal_gif_anim(spark, sf_dir):
+    """The GIF89a animation COMPOSITOR under the driver hash (r14 —
+    making r13's disposal-model compositing driver-visible): per
+    document, a 3-frame animation is muxed executor-side by
+    encode_gif_anim over a 256-gray palette — frame 0 covers the full
+    4×4 canvas (stride-19 formula samples), frames 1 and 2 are partial
+    2×2 sub-rects at fixed offsets (top-left, bottom-right; stride
+    phase f) that OVERWRITE part of the composited canvas while the
+    rest shows through from the prior frame, each behind its own
+    Graphic Control Extension with disposal 1. sample_frames
+    (real_decode=True) routes the stream through parse_gif_frames —
+    per-frame LZW decode, GCE parsing, spec compositing — and ships
+    each canvas snapshot as a PNG; decode_pixel_stats (keyed
+    doc_id·4+frame_no, split back after) hashes the exact per-canvas
+    stats. Gray v looks up palette entry (v,v,v), so the RGB canvas
+    stats equal the index-level stats the oracle computes straight
+    from the show-through arithmetic (a positional CASE per canvas
+    cell) — a hash match proves mux, demux, and the partial-frame
+    compositor are exact. The adversarial disposal/transparency space
+    is covered by the hypothesis property against an in-test spec
+    compositor; this query pins the driver-visible slice. Scale shape:
+    one scan, one doc_id exchange (_codec_parallel), three fused
+    Arrow stages."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    from polars_express_spark.functions.multimodal import (
+        decode_pixel_stats,
+        encode_gif_anim,
+        sample_frames,
+    )
+
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    )
+    px = d.select(
+        "doc_id",
+        F.expr(
+            "transform(sequence(0, 2), f -> transform("
+            " sequence(0, CASE WHEN f = 0 THEN 15 ELSE 3 END),"
+            " i -> ascii(substring(text, ((i * 19 + f) % length(text)) + 1, 1))"
+            " % 256))"
+        ).alias("fs"),
+    )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        gray = np.repeat(np.arange(256, dtype="u1"), 3).reshape(256, 3)
+        for pdf in batches:
+            payloads = []
+            for fs in pdf["fs"]:
+                f0 = np.array(fs[0], dtype="u1").reshape(4, 4)
+                f1 = np.array(fs[1], dtype="u1").reshape(2, 2)
+                f2 = np.array(fs[2], dtype="u1").reshape(2, 2)
+                payloads.append(
+                    encode_gif_anim(
+                        [(0, 0, f0), (0, 0, f1), (2, 2, f2)], gray, 4, 4
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    gif = _codec_parallel(px).mapInPandas(
+        synth, schema="doc_id bigint, payload binary"
+    )
+    frames = sample_frames(gif, n_frames=3, real_decode=True)
+    stats = decode_pixel_stats(
+        frames.select(
+            (F.col("doc_id") * 4 + F.col("frame_no")).alias("doc_id"),
+            F.col("frame").alias("payload"),
+        )
+    )
+    return stats.selectExpr(
+        "CAST(doc_id DIV 4 AS BIGINT) AS doc_id",
+        "CAST(doc_id % 4 AS INT) AS frame_no",
+        "width", "height", "channels", "mean_val", "min_val", "max_val",
+    ).orderBy("doc_id", "frame_no")
+
+
+@query(
+    "q_multimodal_wavext",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, CAST(doc_id % 2 AS INT) AS m, g.i AS i,
+             ascii(substr(text, ((g.i * 21) % length(text)) + 1, 1)) % 256 AS b
+      FROM documents, unnest(generate_series(0, 63)) g(i)
+      WHERE text IS NOT NULL AND length(text) > 0
+    ), nxt AS (
+      SELECT doc_id, m, i, b,
+             lead(b) OVER (PARTITION BY doc_id ORDER BY i) AS b2
+      FROM b
+    ), pcm AS (
+      SELECT doc_id,
+             CASE
+               WHEN m = 0 THEN
+                 CASE WHEN b2 * 256 + b >= 32768
+                      THEN b2 * 256 + b - 65536 ELSE b2 * 256 + b END
+               ELSE
+                 CASE WHEN 255 - b >= 128
+                      THEN 132 - (((255 - b) % 16) * 8 + 132)
+                                 * (1 << (((255 - b) // 16) % 8))
+                      ELSE (((255 - b) % 16) * 8 + 132)
+                           * (1 << (((255 - b) // 16) % 8)) - 132
+                 END
+             END AS p
+      FROM nxt WHERE m != 0 OR i % 2 = 0
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_samples,
+           CAST(sum(p) AS DOUBLE) / count(*) AS mean_pcm,
+           CAST(min(p) AS INT) AS min_pcm,
+           CAST(max(p) AS INT) AS max_pcm
+    FROM pcm GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q_multimodal_wavext(spark, sf_dir):
+    """WAVE_FORMAT_EXTENSIBLE under the driver hash (r14 — making
+    r13's GUID resolution driver-visible): 64 formula bytes per
+    document (stride-21 code-point sampling) are wrapped executor-side
+    in a VALID extensible WAV (encode_wav_extensible: format tag
+    0xFFFE, cbSize-22 fmt extension, the real format in the SubFormat
+    GUID over the fixed Microsoft base tail — what most modern writers
+    emit). doc_id parity picks the sub-format: even docs carry 16-bit
+    PCM (the 64 bytes read as 32 little-endian samples), odd docs
+    G.711 mu-law (64 samples). decode_audio_samples must resolve the
+    real tag FROM THE GUID to decode either — a hash match proves the
+    extensible header walk, the base-GUID check, and the resolved
+    codec end to end. The oracle replays the little-endian byte
+    pairing with a window lead() and the CCITT mu-law expansion as SQL
+    arithmetic. Scale shape: one scan, one doc_id exchange
+    (_codec_parallel), Arrow-batched mapInPandas."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    from polars_express_spark.functions.multimodal import (
+        decode_audio_samples,
+        encode_wav_extensible,
+    )
+
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    )
+    bs = d.select(
+        "doc_id",
+        F.expr(
+            "transform(sequence(0, 63),"
+            " i -> ascii(substring(text, ((i * 21) % length(text)) + 1, 1)) % 256)"
+        ).alias("bs"),
+    )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id, row in zip(pdf["doc_id"], pdf["bs"]):
+                data = bytes(bytearray(int(x) for x in row))
+                if int(doc_id) % 2 == 0:
+                    payloads.append(encode_wav_extensible(data, 1, 16))
+                else:
+                    payloads.append(encode_wav_extensible(data, 7, 8))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    wav = _codec_parallel(bs).mapInPandas(
+        synth, schema="doc_id bigint, payload binary"
+    )
+    return decode_audio_samples(wav).orderBy("doc_id")
+
+
+@query(
     "q_multimodal_png_subbyte",
     oracle="""
     WITH px AS (

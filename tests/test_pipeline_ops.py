@@ -2542,6 +2542,37 @@ def test_encode_au_and_encode_netpbm_writers():
         assert np.array_equal(arr.astype(int), a), fmt
 
 
+def test_encode_gif_anim_and_wavext_writers():
+    """r14 — the writer twins behind q_multimodal_gif_anim /
+    q_multimodal_wavext: a partial-frame animation composites with
+    show-through from the prior canvas under parse_gif_frames, and an
+    EXTENSIBLE container decodes through the GUID-resolved real tag."""
+    import numpy as np
+
+    from polars_express_spark.functions.multimodal import (
+        encode_gif_anim,
+        encode_wav_extensible,
+        parse_audio_header,
+        parse_gif_frames,
+    )
+
+    rng = np.random.RandomState(14)
+    gray = np.repeat(np.arange(256, dtype="u1"), 3).reshape(256, 3)
+    f0 = rng.randint(0, 256, (4, 4)).astype("u1")
+    f1 = rng.randint(0, 256, (2, 2)).astype("u1")
+    gif = encode_gif_anim([(0, 0, f0), (2, 1, f1)], gray, 4, 4)
+    w, h, canvases = parse_gif_frames(gif)
+    assert (w, h, len(canvases)) == (4, 4, 2)
+    assert np.array_equal(canvases[0], np.repeat(f0[:, :, None], 3, 2))
+    want = np.repeat(f0[:, :, None], 3, 2)
+    want[1:3, 2:4] = np.repeat(f1[:, :, None], 3, 2)
+    assert np.array_equal(canvases[1], want)
+
+    pcm = rng.randint(-32768, 32768, size=32).astype("<i2")
+    ext = encode_wav_extensible(pcm.tobytes(), 1, 16)
+    assert parse_audio_header(ext) == (1, 8000, 16, 32)
+
+
 def test_pam_p7_decode_and_resize(spark):
     """r13 — PAM (P7), the last Netpbm magic: keyword/value header up
     to ENDHDR (comments allowed, TUPLTYPE accepted but not enforced),

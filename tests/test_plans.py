@@ -714,7 +714,8 @@ def test_registry_wide_no_cartesian_and_declared_bnlj_only(spark):
     "name",
     ["q_multimodal_pixels", "q_multimodal_bmp", "q_multimodal_gif",
      "q_multimodal_jpeg", "q_multimodal_mulaw", "q_multimodal_alaw",
-     "q_multimodal_png_subbyte", "q_multimodal_netpbm", "q_multimodal_au"],
+     "q_multimodal_png_subbyte", "q_multimodal_netpbm", "q_multimodal_au",
+     "q_multimodal_wavext"],
 )
 def test_codec_roundtrip_plan_shape(spark, name):
     """r13 — pin the codec-query scale shape that was previously only
@@ -749,14 +750,17 @@ def test_codec_roundtrip_plan_shape(spark, name):
     assert seq[j + 1] == "Exchange", f"codec stages not fed by the doc_id exchange: {seq}"
 
 
-def test_video_roundtrip_plan_shape(spark):
-    """r14 — q_multimodal_video has a third Arrow stage (mux →
-    demux+decode → stats) but the same scale contract as the other
-    codec queries: ONE parquet scan, ONE hash exchange of the kilobyte
-    formula rows on doc_id BEFORE the Python tier, all three
+@pytest.mark.parametrize(
+    "name", ["q_multimodal_video", "q_multimodal_gif_anim"]
+)
+def test_video_roundtrip_plan_shape(spark, name):
+    """r14 — the frame-sampling round trips have a third Arrow stage
+    (mux → demux+decode → stats) but the same scale contract as the
+    other codec queries: ONE parquet scan, ONE hash exchange of the
+    kilobyte formula rows on doc_id BEFORE the Python tier, all three
     MapInPandas stages FUSED with no exchange between them, and only
     the final order-by range exchange above."""
-    p = plan_of("q_multimodal_video", spark)
+    p = plan_of(name, spark)
     assert "CartesianProduct" not in p
     assert "hashpartitioning(doc_id" in p
     seq = []
