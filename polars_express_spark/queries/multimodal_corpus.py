@@ -814,7 +814,8 @@ def q_multimodal_au(spark, sf_dir):
     oracle="""
     WITH d AS (
       SELECT doc_id, text, CAST(doc_id % 2 AS INT) AS m,
-             CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS nch
+             CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS nch,
+             CASE WHEN doc_id % 2 = 0 THEN 4 ELSE 48 END AS nsamp
       FROM documents WHERE text IS NOT NULL AND length(text) > 0
     ), px AS (
       SELECT doc_id, m, nch, f.f AS frame_no,
@@ -822,12 +823,12 @@ def q_multimodal_au(spark, sf_dir):
                % 256 AS p
       FROM d,
            unnest(generate_series(0, 2)) f(f),
-           unnest(generate_series(0, 16 * nch - 1)) g(i)
+           unnest(generate_series(0, nsamp - 1)) g(i)
     )
     SELECT doc_id,
            CAST(frame_no AS INT) AS frame_no,
-           CAST(CASE WHEN m = 0 THEN 32 ELSE 4 END AS INT) AS width,
-           CAST(CASE WHEN m = 0 THEN 32 ELSE 4 END AS INT) AS height,
+           CAST(CASE WHEN m = 0 THEN 16 ELSE 4 END AS INT) AS width,
+           CAST(CASE WHEN m = 0 THEN 16 ELSE 4 END AS INT) AS height,
            CAST(nch AS INT) AS channels,
            CAST(sum(p) AS DOUBLE) / count(*) AS mean_val,
            CAST(min(p) AS INT) AS min_val,
@@ -842,8 +843,11 @@ def q_multimodal_video(spark, sf_dir):
     frame f offsetting the stride phase by f) and muxed executor-side
     into a VALID RIFF/AVI container (encode_avi) whose codec is picked
     by doc_id parity — even docs carry MJPEG (each '00dc' chunk a
-    standalone baseline JPEG of 16 constant 8×8 blocks, the exactness
-    tier q_multimodal_jpeg established), odd docs carry uncompressed
+    standalone baseline JPEG of four constant 8×8 blocks, the
+    exactness tier q_multimodal_jpeg established — 16 blocks measured
+    ~3.8s at sf0.1, ~2× the codec-tier band, and the extra blocks re-
+    exercise nothing parse_jpeg's own query doesn't already hash),
+    odd docs carry uncompressed
     BI_RGB DIB frames (bottom-up BGR rasters whose only header is the
     stream's strf). sample_frames(real_decode=True) then demuxes the
     container, decodes each sampled frame to pixels (parse_jpeg for
@@ -874,7 +878,7 @@ def q_multimodal_video(spark, sf_dir):
         "doc_id",
         F.expr(
             "transform(sequence(0, 2), f -> transform("
-            " sequence(0, 16 * (CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END) - 1),"
+            " sequence(0, CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 47 END),"
             " i -> ascii(substring(text, ((i * 17 + f) % length(text)) + 1, 1))"
             " % 256))"
         ).alias("fs"),
@@ -890,13 +894,13 @@ def q_multimodal_video(spark, sf_dir):
                     frames = [
                         encode_jpeg(
                             np.array(p, dtype="u1")
-                            .reshape(4, 4)
+                            .reshape(2, 2)
                             .repeat(8, axis=0)
                             .repeat(8, axis=1)
                         )
                         for p in fs
                     ]
-                    payloads.append(encode_avi(frames, 32, 32, b"MJPG"))
+                    payloads.append(encode_avi(frames, 16, 16, b"MJPG"))
                 else:
                     frames = [
                         np.array(p, dtype="u1")
