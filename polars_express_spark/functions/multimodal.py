@@ -39,12 +39,14 @@ interlace included), and baseline JPEG (functions/jpeg.py — canonical
 Huffman + dequant + orthonormal IDCT + JFIF YCbCr, 4:4:4/4:2:2/4:2:0,
 restart markers; exact for constant-per-block rasters under all-ones
 quant, which is what the driver query hashes) all decode to REAL
-pixels. r14 extends real pixel decode into VIDEO: MJPEG-in-AVI (each
-'00dc' chunk is a standalone baseline JPEG — parse_avi_frames demuxes,
-functions/jpeg.py decodes) and uncompressed BI_RGB DIB frames (the
-stream's strf header plus a 14-byte 'BM' prefix makes each frame a
-complete BMP for parse_bmp), both shipped as PNGs by
-sample_frames(real_decode=True). The remaining codec gates are
+pixels. r14 extends real pixel decode into VIDEO: MJPEG frames (each a
+standalone baseline JPEG — functions/jpeg.py decodes them out of
+RIFF/AVI '00dc' chunks or ISO BMFF samples, both demuxed for real —
+parse_avi_frames walks the movi list, parse_mp4_frames reconstructs
+sample boundaries from the stsz/stsc/stco tables) and uncompressed
+BI_RGB DIB AVI frames (the stream's strf header plus a 14-byte 'BM'
+prefix makes each frame a complete BMP for parse_bmp), shipped as
+PNGs by sample_frames(real_decode=True). The remaining codec gates are
 MP3/AAC-in-WAV and INTER-FRAME video codecs only (H.264 etc. entropy
 coders are out of scope by policy — they are orders more spec surface
 than value here, and the swap-in point is these parser functions, not
@@ -443,10 +445,11 @@ def sample_frames(df: DataFrame, n_frames: int = 4, real_decode: bool = False) -
     """mapInPandas frame sampling: one 'video' payload row → n_frames
     frame rows (the generator/UDTF shape: output cardinality ≠ input).
 
-    real_decode=True demuxes RIFF/AVI containers and animated GIFs for
-    real, and since r14 decodes PIXELS for MJPEG and uncompressed-DIB
-    AVI streams (shipped as PNGs); inter-frame codecs stay encoded
-    (demux only — the documented ffmpeg gate). The default fake slices
+    real_decode=True demuxes RIFF/AVI containers, ISO BMFF (mp4/mov —
+    real stsz/stsc/stco sample tables, r14) and animated GIFs for
+    real, and since r14 decodes PIXELS for MJPEG (in either container)
+    and uncompressed-DIB AVI streams (shipped as PNGs); inter-frame
+    codecs stay encoded (demux only — the documented ffmpeg gate). The default fake slices
     the payload into n_frames even chunks, which preserves the real
     operator's row explosion, ordering column, and binary output
     schema.
@@ -499,20 +502,28 @@ def sample_frames(df: DataFrame, n_frames: int = 4, real_decode: bool = False) -
                             frames.append(encode_png(canvases[i]))
                         continue
                     idxs = parse_avi_frames(b)
+                    strf = comp = None
+                    if idxs is not None:
+                        strf = _avi_video_format(b)
+                        comp = (
+                            struct.unpack_from("<I", strf, 16)[0]
+                            if strf is not None and len(strf) >= 20
+                            else None
+                        )
+                    else:
+                        # ISO BMFF (r14): sample boundaries from the
+                        # real stsz/stsc/stco tables; MJPEG samples
+                        # still hit the SOI sniff below and decode
+                        idxs = parse_mp4_frames(b)
                     if idxs is None:
                         raise NotImplementedError(
                             f"doc {doc_id}: real frame sampling is implemented "
-                            "codec-free for RIFF/AVI containers and animated "
-                            "GIFs; other containers need ffmpeg (absent here)"
+                            "codec-free for RIFF/AVI and ISO BMFF (mp4/mov) "
+                            "containers and animated GIFs; other containers "
+                            "need ffmpeg (absent here)"
                         )
                     if not idxs:
                         continue  # container with no video frames
-                    strf = _avi_video_format(b)
-                    comp = (
-                        struct.unpack_from("<I", strf, 16)[0]
-                        if strf is not None and len(strf) >= 20
-                        else None
-                    )
                     take = np.unique(
                         np.linspace(0, len(idxs) - 1, min(n_frames, len(idxs)))
                         .round()
@@ -2276,6 +2287,182 @@ def encode_gif(idx, palette, interlaced: bool = False) -> bytes:
     out.append(0)
     out += b"\x3b"
     return bytes(out)
+
+
+def parse_mp4_frames(payload: bytes):
+    """Codec-less ISO BMFF DEMUX (r14 — mp4/mov joins RIFF/AVI as a
+    demuxable container): offsets/sizes of the FIRST video track's
+    samples, reconstructed from the real sample tables — 'stsz'
+    (sample sizes), 'stsc' (sample-to-chunk runs), 'stco'/'co64'
+    (chunk offsets) — under moov/trak/mdia/minf/stbl, with the track
+    selected by its 'hdlr' handler type 'vide'. Box walking and table
+    arithmetic only; the returned frames are still encoded (H.264 etc.
+    stay codec-gated), but WHICH bytes are sample k is real. Returns a
+    list of (offset, size) in sample order, or None if the payload is
+    not a parsable BMFF file with a video track (malformed tables,
+    out-of-file offsets, and truncated boxes all return None)."""
+    import struct
+
+    def boxes(lo: int, hi: int):
+        pos = lo
+        while pos + 8 <= hi:
+            size = struct.unpack_from(">I", payload, pos)[0]
+            btype = payload[pos + 4 : pos + 8]
+            body = pos + 8
+            if size == 1:  # 64-bit largesize
+                if body + 8 > hi:
+                    return
+                size = struct.unpack_from(">Q", payload, pos + 8)[0]
+                body += 8
+            elif size == 0:  # to end of enclosing scope
+                size = hi - pos
+            if size < body - pos or pos + size > hi:
+                return  # corrupt/truncated box
+            yield btype, body, pos + size
+            pos += size
+
+    def find(lo: int, hi: int, btype: bytes):
+        for t, b, e in boxes(lo, hi):
+            if t == btype:
+                return b, e
+        return None
+
+    if len(payload) < 12:
+        return None
+    head = payload[4:8]
+    if head not in (b"ftyp", b"moov", b"mdat", b"free", b"skip", b"wide"):
+        return None
+    moov = find(0, len(payload), b"moov")
+    if moov is None:
+        return None
+    for t, b, e in boxes(*moov):
+        if t != b"trak":
+            continue
+        mdia = find(b, e, b"mdia")
+        if mdia is None:
+            continue
+        hdlr = find(*mdia, b"hdlr")
+        if hdlr is None or hdlr[0] + 12 > len(payload):
+            continue
+        if payload[hdlr[0] + 8 : hdlr[0] + 12] != b"vide":
+            continue
+        minf = find(*mdia, b"minf")
+        stbl = find(*minf, b"stbl") if minf else None
+        if stbl is None:
+            return None
+        stsz = find(*stbl, b"stsz")
+        stsc = find(*stbl, b"stsc")
+        stco = find(*stbl, b"stco")
+        wide_off = False
+        if stco is None:
+            stco = find(*stbl, b"co64")
+            wide_off = True
+        if stsz is None or stsc is None or stco is None:
+            return None
+        # stsz: version/flags, fixed sample_size, count[, sizes...]
+        if stsz[1] - stsz[0] < 12:
+            return None
+        fixed, n = struct.unpack_from(">II", payload, stsz[0] + 4)
+        if fixed == 0:
+            if stsz[0] + 12 + 4 * n > stsz[1]:
+                return None
+            sizes = list(struct.unpack_from(f">{n}I", payload, stsz[0] + 12))
+        else:
+            sizes = [fixed] * n
+        # stco/co64: version/flags, count, offsets
+        if stco[1] - stco[0] < 8:
+            return None
+        nch = struct.unpack_from(">I", payload, stco[0] + 4)[0]
+        w = 8 if wide_off else 4
+        if stco[0] + 8 + w * nch > stco[1]:
+            return None
+        offs = list(
+            struct.unpack_from(f">{nch}{'Q' if wide_off else 'I'}", payload, stco[0] + 8)
+        )
+        # stsc: version/flags, count, (first_chunk, samples/chunk, sdi)
+        if stsc[1] - stsc[0] < 8:
+            return None
+        nsc = struct.unpack_from(">I", payload, stsc[0] + 4)[0]
+        if stsc[0] + 8 + 12 * nsc > stsc[1] or nsc == 0:
+            return None
+        runs = [
+            struct.unpack_from(">III", payload, stsc[0] + 8 + 12 * i)[:2]
+            for i in range(nsc)
+        ]
+        if runs[0][0] != 1 or any(
+            runs[i][0] >= runs[i + 1][0] for i in range(nsc - 1)
+        ):
+            return None  # first_chunk must start at 1 and increase
+        frames: list[tuple[int, int]] = []
+        si, ri = 0, 0
+        for ci in range(1, nch + 1):
+            if ri + 1 < len(runs) and ci >= runs[ri + 1][0]:
+                ri += 1
+            spc = runs[ri][1]
+            pos = offs[ci - 1]
+            for _ in range(spc):
+                if si >= n:
+                    break
+                sz = sizes[si]
+                if pos + sz > len(payload):
+                    return None  # sample points past EOF
+                frames.append((pos, sz))
+                pos += sz
+                si += 1
+        if si < n:
+            return None  # chunk list exhausted before all samples placed
+        return frames
+    return None  # no video track
+
+
+def encode_mp4(frames: list, samples_per_chunk: int = 0) -> bytes:
+    """A VALID minimal ISO BMFF (mp4) container around pre-encoded
+    video samples (r14 — the writer twin of parse_mp4_frames): ftyp,
+    one mdat holding the sample bytes, and a moov whose single 'vide'
+    track carries real stsz/stsc/stco tables with absolute file
+    offsets. samples_per_chunk 0 puts every sample in one chunk; k>0
+    packs k samples per chunk (the last chunk keeps the remainder —
+    a DISTINCT stsc run when it differs), exercising the run walk."""
+    import struct
+
+    def box(btype: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(body)) + btype + body
+
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2")
+    mdat_body = b"".join(frames)
+    mdat_off = len(ftyp) + 8  # first sample starts after mdat's header
+    n = len(frames)
+    spc = samples_per_chunk if samples_per_chunk > 0 else max(n, 1)
+    # chunk layout: full chunks of spc samples + one remainder chunk;
+    # chunk offsets are absolute file positions of cumulative samples
+    counts = [spc] * (n // spc) + ([n % spc] if n % spc else [])
+    offs, pos, i = [], mdat_off, 0
+    for c in counts:
+        offs.append(pos)
+        pos += sum(len(f) for f in frames[i : i + c])
+        i += c
+    stsz = box(
+        b"stsz",
+        struct.pack(">III", 0, 0, n) + struct.pack(f">{n}I", *[len(f) for f in frames]),
+    )
+    runs = [(1, counts[0])] if counts else [(1, 1)]
+    if len(counts) > 1 and counts[-1] != counts[0]:
+        runs.append((len(counts), counts[-1]))
+    stsc = box(
+        b"stsc",
+        struct.pack(">II", 0, len(runs))
+        + b"".join(struct.pack(">III", fc, c, 1) for fc, c in runs),
+    )
+    stco = box(
+        b"stco", struct.pack(">II", 0, len(offs)) + struct.pack(f">{len(offs)}I", *offs)
+    )
+    stbl = box(b"stbl", stsz + stsc + stco)
+    minf = box(b"minf", stbl)
+    hdlr = box(b"hdlr", struct.pack(">II", 0, 0) + b"vide" + b"\x00" * 12 + b"\x00")
+    mdia = box(b"mdia", hdlr + minf)
+    trak = box(b"trak", mdia)
+    moov = box(b"moov", trak)
+    return ftyp + box(b"mdat", mdat_body) + moov
 
 
 def encode_gif_anim(frames, palette, width: int, height: int) -> bytes:

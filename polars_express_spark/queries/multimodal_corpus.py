@@ -1133,6 +1133,105 @@ def q_multimodal_wavext(spark, sf_dir):
 
 
 @query(
+    "q_multimodal_mp4",
+    oracle="""
+    WITH px AS (
+      SELECT doc_id, f.f AS frame_no,
+             ascii(substr(text, ((g.i * 23 + f.f) % length(text)) + 1, 1))
+               % 256 AS p
+      FROM documents,
+           unnest(generate_series(0, 2)) f(f),
+           unnest(generate_series(0, 3)) g(i)
+      WHERE text IS NOT NULL AND length(text) > 0
+    )
+    SELECT doc_id,
+           CAST(frame_no AS INT) AS frame_no,
+           CAST(16 AS INT) AS width,
+           CAST(16 AS INT) AS height,
+           CAST(1 AS INT) AS channels,
+           CAST(sum(p) AS DOUBLE) / 4 AS mean_val,
+           CAST(min(p) AS INT) AS min_val,
+           CAST(max(p) AS INT) AS max_val
+    FROM px GROUP BY doc_id, frame_no ORDER BY doc_id, frame_no
+    """,
+)
+def q_multimodal_mp4(spark, sf_dir):
+    """ISO BMFF demux under the driver hash (r14 — the container twin
+    of q_multimodal_video's AVI half): per document, three MJPEG
+    samples (four constant 8×8 blocks each, stride-23 formula with
+    frame-f phase) are muxed executor-side into a VALID minimal mp4 by
+    encode_mp4, with the chunk layout picked by doc_id mod 3 — all
+    samples in one chunk, one per chunk, or two per chunk with a
+    ragged remainder — so the stsz/stsc/stco reconstruction walks a
+    DIFFERENT table shape on every residue class, every round.
+    sample_frames(real_decode=True) rebuilds the sample boundaries
+    from the real tables, pixel-decodes each MJPEG sample through
+    parse_jpeg, and ships PNGs; decode_pixel_stats (keyed
+    doc_id·4+frame_no, split back after) hashes exact per-frame stats
+    that the oracle computes straight from the formula. Scale shape:
+    one scan, one doc_id exchange (_codec_parallel), three fused
+    Arrow stages."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    from polars_express_spark.functions.jpeg import encode_jpeg
+    from polars_express_spark.functions.multimodal import (
+        decode_pixel_stats,
+        encode_mp4,
+        sample_frames,
+    )
+
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    )
+    px = d.select(
+        "doc_id",
+        F.expr(
+            "transform(sequence(0, 2), f -> transform(sequence(0, 3),"
+            " i -> ascii(substring(text, ((i * 23 + f) % length(text)) + 1, 1))"
+            " % 256))"
+        ).alias("fs"),
+    )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            payloads = []
+            for doc_id, fs in zip(pdf["doc_id"], pdf["fs"]):
+                frames = [
+                    encode_jpeg(
+                        np.array(p, dtype="u1")
+                        .reshape(2, 2)
+                        .repeat(8, axis=0)
+                        .repeat(8, axis=1)
+                    )
+                    for p in fs
+                ]
+                payloads.append(
+                    encode_mp4(frames, samples_per_chunk=int(doc_id) % 3)
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    mp4 = _codec_parallel(px).mapInPandas(
+        synth, schema="doc_id bigint, payload binary"
+    )
+    frames = sample_frames(mp4, n_frames=3, real_decode=True)
+    stats = decode_pixel_stats(
+        frames.select(
+            (F.col("doc_id") * 4 + F.col("frame_no")).alias("doc_id"),
+            F.col("frame").alias("payload"),
+        )
+    )
+    return stats.selectExpr(
+        "CAST(doc_id DIV 4 AS BIGINT) AS doc_id",
+        "CAST(doc_id % 4 AS INT) AS frame_no",
+        "width", "height", "channels", "mean_val", "min_val", "max_val",
+    ).orderBy("doc_id", "frame_no")
+
+
+@query(
     "q_multimodal_png_subbyte",
     oracle="""
     WITH px AS (

@@ -694,6 +694,54 @@ def test_avi_real_video_pixel_decode(spark):
     assert sorted(by_doc[3].values()) == sorted(opaque)
 
 
+def test_mp4_demux_real_frame_sampling(spark):
+    """r14 — ISO BMFF joins RIFF/AVI as a demuxable container: sample
+    boundaries come from the REAL stsz/stsc/stco tables (multi-chunk
+    layouts included), MJPEG samples pixel-decode to PNGs through the
+    same SOI sniff as AVI, opaque-codec samples come back encoded
+    byte-identical, and a truncated file raises through the op."""
+    import pytest as _pytest
+    import numpy as np
+
+    from polars_express_spark.functions.jpeg import encode_jpeg
+    from polars_express_spark.functions.multimodal import (
+        encode_mp4,
+        parse_mp4_frames,
+        parse_png,
+        sample_frames,
+    )
+
+    rng = np.random.RandomState(41)
+    rasters = [
+        rng.randint(0, 256, (2, 2)).astype("u1").repeat(8, 0).repeat(8, 1)
+        for _ in range(3)
+    ]
+    mj = encode_mp4([encode_jpeg(r) for r in rasters], samples_per_chunk=2)
+    opaque = [b"\x01\x02\x03", b"\x04\x05\x06\x07", b"\x08"]
+    h264ish = encode_mp4(opaque, samples_per_chunk=1)
+    assert [h264ish[o : o + s] for o, s in parse_mp4_frames(h264ish)] == opaque
+
+    df = spark.createDataFrame(
+        [(1, bytearray(mj)), (2, bytearray(h264ish))],
+        "doc_id long, payload binary",
+    )
+    out = sample_frames(df, n_frames=3, real_decode=True).collect()
+    by_doc: dict = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], {})[r["frame_no"]] = bytes(r["frame"])
+    for fno, want in enumerate(rasters):
+        w, h, ch, arr = parse_png(by_doc[1][fno])
+        assert (w, h, ch) == (16, 16, 1)
+        assert np.array_equal(arr[:, :, 0], want), fno
+    assert sorted(by_doc[2].values()) == sorted(opaque)
+
+    bad = spark.createDataFrame(
+        [(9, bytearray(mj[: len(mj) - 30]))], "doc_id long, payload binary"
+    )
+    with _pytest.raises(Exception, match="AVI|BMFF|ffmpeg"):
+        sample_frames(bad, real_decode=True).collect()
+
+
 def _png_chunk(ctype: bytes, data: bytes) -> bytes:
     import struct
     import zlib

@@ -751,7 +751,8 @@ def test_codec_roundtrip_plan_shape(spark, name):
 
 
 @pytest.mark.parametrize(
-    "name", ["q_multimodal_video", "q_multimodal_gif_anim"]
+    "name",
+    ["q_multimodal_video", "q_multimodal_gif_anim", "q_multimodal_mp4"],
 )
 def test_video_roundtrip_plan_shape(spark, name):
     """r14 — the frame-sampling round trips have a third Arrow stage

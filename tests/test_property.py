@@ -1014,6 +1014,37 @@ def test_avi_video_roundtrip_property(n_frames, mjpeg, bw, bh, seed):
 
 
 @given(
+    n_frames=st.integers(1, 9),
+    spc=st.integers(0, 10),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=60, deadline=None)
+def test_mp4_demux_roundtrip_property(n_frames, spc, seed):
+    """r14 — encode_mp4(random samples, random chunking) →
+    parse_mp4_frames recovers every sample's exact bytes: the
+    stsz/stsc/stco reconstruction is exercised across one-chunk,
+    k-per-chunk, and ragged-remainder layouts; truncating the file
+    makes it unparsable, never wrong."""
+    import numpy as np
+
+    from polars_express_spark.functions.multimodal import (
+        encode_mp4,
+        parse_mp4_frames,
+    )
+
+    rng = np.random.RandomState(seed)
+    frames = [
+        bytes(rng.randint(0, 256, int(rng.randint(1, 30))).astype("u1"))
+        for _ in range(n_frames)
+    ]
+    mp4 = encode_mp4(frames, samples_per_chunk=spc)
+    got = parse_mp4_frames(mp4)
+    assert got is not None
+    assert [mp4[o : o + s] for o, s in got] == frames
+    assert parse_mp4_frames(mp4[: len(mp4) - 1]) is None
+
+
+@given(
     vals=st.lists(
         st.floats(
             min_value=1e-6, max_value=1e12, allow_nan=False, allow_infinity=False
@@ -1419,6 +1450,7 @@ def test_parsers_never_crash_on_corrupt_payloads(seed, kind):
         parse_au_header,
         parse_audio_header,
         parse_avi_frames,
+        parse_mp4_frames,
         parse_bmp,
         parse_gif,
         parse_gif_frames,
@@ -1431,11 +1463,12 @@ def test_parsers_never_crash_on_corrupt_payloads(seed, kind):
     parsers = [parse_png, parse_bmp, parse_gif, parse_gif_frames,
                parse_netpbm, parse_audio_header, parse_image_header,
                parse_jpeg, parse_au_header, parse_avi_frames,
-               _avi_video_format]
+               _avi_video_format, parse_mp4_frames]
     if kind == 0:  # magic-prefixed garbage through every parser
         magics = [b"\x89PNG\r\n\x1a\n", b"BM", b"GIF89a", b"P1", b"P2",
                   b"P3", b"P4", b"P5", b"P6", b"RIFF", b"RIFF\x80\x00\x00\x00AVI ",
-                  b".snd", b"\xff\xd8\xff", b""]
+                  b".snd", b"\x00\x00\x00\x18ftypisom", b"\x00\x00\x00\x10moov",
+                  b"\xff\xd8\xff", b""]
         for m in magics:
             payload = m + rng.bytes(int(rng.randint(0, 160)))
             for p in parsers:
