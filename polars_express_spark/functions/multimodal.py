@@ -886,10 +886,31 @@ def decode_audio_samples(df: DataFrame) -> DataFrame:
                          int(pcm.min()), int(pcm.max()))
                     )
                     continue
+                if raw[:4] == b"RIFF" and raw[8:12] == b"AVI ":
+                    # AVI audio track (r14): demux the first 'auds'
+                    # stream and re-wrap it as the WAV its strf
+                    # literally describes (the strf IS a WAVEFORMATEX),
+                    # then fall through to the normal WAV decode — so
+                    # a video file's audio decodes whenever its codec
+                    # is in the dependency-free set
+                    ext = parse_avi_audio(raw)
+                    if ext is None:
+                        raise ValueError(
+                            f"doc {doc_id}: AVI has no audio stream"
+                        )
+                    afmt, adata = ext
+                    body = (
+                        b"WAVE"
+                        + b"fmt " + struct.pack("<I", len(afmt)) + afmt
+                        + b"data" + struct.pack("<I", len(adata)) + adata
+                        + (b"\x00" if len(adata) & 1 else b"")
+                    )
+                    raw = b"RIFF" + struct.pack("<I", len(body)) + body
                 meta = parse_audio_header(raw)
                 if meta is None:
                     raise ValueError(
-                        f"doc {doc_id}: payload is not RIFF/WAVE or Sun Au"
+                        f"doc {doc_id}: payload is not RIFF/WAVE, Sun Au, "
+                        "or an AVI with an audio stream"
                     )
                 # re-walk for the format tag, block align, and data bounds
                 pos, tag, block_align, data = 12, None, 0, None
@@ -2654,9 +2675,75 @@ def _avi_video_format(payload: bytes):
     return found[0] if found else None
 
 
+def parse_avi_audio(payload: bytes):
+    """Codec-less AVI AUDIO-TRACK demux (r14 — the audio twin of
+    parse_avi_frames): (strf_bytes, data_bytes) of the FIRST audio
+    stream — the strf is a literal WAVEFORMATEX, the data is the
+    concatenation of the stream's '##wb' chunks in stream order, with
+    '##' the stream's REAL index (streams are numbered by strl order
+    within hdrl, so an audio stream behind a video stream is '01wb',
+    not '00wb'). Returns None if the payload is not RIFF/AVI or has no
+    audio stream. Demux only: together with the WAV format walk this
+    makes decode_audio_samples able to decode the audio track OF A
+    VIDEO FILE when its codec is in the dependency-free set."""
+    import struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        return None
+    streams: list = []  # (fccType, strf_bytes or None) in strl order
+
+    def walk_hdr(pos: int, end: int) -> None:
+        last_type = None
+        while pos + 8 <= end:
+            cid = payload[pos : pos + 4]
+            csize = struct.unpack_from("<I", payload, pos + 4)[0]
+            body = pos + 8
+            if body + csize > len(payload):
+                return
+            if cid == b"LIST" and csize >= 4:
+                if payload[body : body + 4] == b"strl":
+                    streams.append([None, None])
+                walk_hdr(body + 4, body + csize)
+            elif cid == b"strh" and csize >= 4 and streams:
+                streams[-1][0] = payload[body : body + 4]
+            elif cid == b"strf" and streams:
+                streams[-1][1] = payload[body : body + csize]
+            pos = body + csize + (csize & 1)
+
+    riff_end = min(len(payload), 8 + struct.unpack_from("<I", payload, 4)[0])
+    walk_hdr(12, riff_end)
+    idx = next(
+        (i for i, (t, f) in enumerate(streams) if t == b"auds" and f), None
+    )
+    if idx is None:
+        return None
+    want = f"{idx:02d}wb".encode("ascii")
+    chunks: list[bytes] = []
+
+    def walk_movi(pos: int, end: int, in_movi: bool) -> bool:
+        while pos + 8 <= end:
+            cid = payload[pos : pos + 4]
+            csize = struct.unpack_from("<I", payload, pos + 4)[0]
+            body = pos + 8
+            if body + csize > len(payload):
+                return False
+            if cid == b"LIST" and csize >= 4:
+                ltype = payload[body : body + 4]
+                if not walk_movi(body + 4, body + csize, in_movi or ltype == b"movi"):
+                    return False
+            elif in_movi and cid == want:
+                chunks.append(payload[body : body + csize])
+            pos = body + csize + (csize & 1)
+        return True
+
+    if not walk_movi(12, riff_end, False):
+        return None
+    return bytes(streams[idx][1]), b"".join(chunks)
+
+
 def encode_avi(
     frames: list, width: int, height: int, fourcc: bytes = b"MJPG",
-    bpp: int = 24, fps: int = 25,
+    bpp: int = 24, fps: int = 25, audio: tuple | None = None,
 ) -> bytes:
     """A VALID RIFF/AVI container around pre-encoded video frame chunks
     (r14 — the writer twin of parse_avi_frames/_avi_video_format for
@@ -2664,7 +2751,11 @@ def encode_avi(
     LIST strl with a 'vids' strh and a BITMAPINFOHEADER strf), then
     LIST movi of word-aligned '00dc' chunks. fourcc b'MJPG' marks
     Motion-JPEG frames; b'DIB ' (biCompression 0) marks uncompressed
-    bottom-up BGR rasters."""
+    bottom-up BGR rasters. audio=(wavefmt_bytes, [data_chunks]) adds
+    a SECOND stream — an 'auds' strl whose strf is the given
+    WAVEFORMATEX and whose payload rides '01wb' movi chunks (stream
+    index 1, after the video strl) — the layout parse_avi_audio
+    demuxes."""
     import struct
 
     def chunk(cid: bytes, body: bytes) -> bytes:
@@ -2685,11 +2776,27 @@ def encode_avi(
         len(frames), bufsize, 0xFFFFFFFF, 0, 0, 0, width, height,
     )
     strl = chunk(b"LIST", b"strl" + chunk(b"strh", strh) + chunk(b"strf", strf))
+    n_streams = 1
+    movi_children = b"".join(chunk(b"00dc", f) for f in frames)
+    if audio is not None:
+        afmt, achunks = audio
+        astrh = struct.pack(
+            "<4s4sIHHIIIIIIIIhhhh", b"auds", b"\x00" * 4, 0, 0, 0, 0, 1,
+            struct.unpack_from("<I", afmt, 4)[0], 0,
+            sum(len(c) for c in achunks),
+            max((len(c) for c in achunks), default=0), 0xFFFFFFFF, 1,
+            0, 0, 0, 0,
+        )
+        strl += chunk(
+            b"LIST", b"strl" + chunk(b"strh", astrh) + chunk(b"strf", afmt)
+        )
+        movi_children += b"".join(chunk(b"01wb", c) for c in achunks)
+        n_streams = 2
     avih = struct.pack(
-        "<IIIIIIIIIIIIII", 1_000_000 // fps, 0, 0, 0, len(frames), 0, 1,
-        bufsize, width, height, 0, 0, 0, 0,
+        "<IIIIIIIIIIIIII", 1_000_000 // fps, 0, 0, 0, len(frames), 0,
+        n_streams, bufsize, width, height, 0, 0, 0, 0,
     )
     hdrl = chunk(b"LIST", b"hdrl" + chunk(b"avih", avih) + strl)
-    movi = chunk(b"LIST", b"movi" + b"".join(chunk(b"00dc", f) for f in frames))
+    movi = chunk(b"LIST", b"movi" + movi_children)
     body = b"AVI " + hdrl + movi
     return b"RIFF" + struct.pack("<I", len(body)) + body

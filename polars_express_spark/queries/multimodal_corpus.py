@@ -1232,6 +1232,108 @@ def q_multimodal_mp4(spark, sf_dir):
 
 
 @query(
+    "q_multimodal_avi_audio",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, CAST(doc_id % 2 AS INT) AS m, g.i AS i,
+             ascii(substr(text, ((g.i * 25) % length(text)) + 1, 1)) % 256 AS b
+      FROM documents, unnest(generate_series(0, 63)) g(i)
+      WHERE text IS NOT NULL AND length(text) > 0
+    ), pcm AS (
+      SELECT doc_id,
+             CASE
+               WHEN m = 0 THEN
+                 CASE WHEN 255 - b >= 128
+                      THEN 132 - (((255 - b) % 16) * 8 + 132)
+                                 * (1 << (((255 - b) // 16) % 8))
+                      ELSE (((255 - b) % 16) * 8 + 132)
+                           * (1 << (((255 - b) // 16) % 8)) - 132
+                 END
+               ELSE
+                 (CASE WHEN xor(b, 85) >= 128 THEN 1 ELSE -1 END) *
+                 (CASE WHEN (xor(b, 85) // 16) % 8 = 0
+                       THEN (xor(b, 85) % 16) * 16 + 8
+                       ELSE ((xor(b, 85) % 16) * 16 + 264)
+                            * (1 << ((xor(b, 85) // 16) % 8 - 1))
+                  END)
+             END AS p
+      FROM b
+    )
+    SELECT doc_id,
+           CAST(64 AS BIGINT) AS n_samples,
+           CAST(sum(p) AS DOUBLE) / 64 AS mean_pcm,
+           CAST(min(p) AS INT) AS min_pcm,
+           CAST(max(p) AS INT) AS max_pcm
+    FROM pcm GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q_multimodal_avi_audio(spark, sf_dir):
+    """The audio track OF A VIDEO FILE under the driver hash (r14 —
+    completes the AVI container: frames AND sound): 64 G.711 bytes per
+    document (stride-25 code-point sampling, mu-law on even doc_ids,
+    A-law on odd) are muxed executor-side as the SECOND stream of a
+    real AVI — one raw-DIB video frame first, then an 'auds' strl
+    whose strf is the literal WAVEFORMATEX and whose payload rides
+    '01wb' movi chunks, split at a doc_id-dependent point so the
+    chunk-concatenation order is exercised, not just single-chunk
+    tracks. decode_audio_samples demuxes the audio stream
+    (parse_avi_audio: strl-order stream indexing — the audio stream
+    is '01', not '00'), re-wraps it as the WAV its strf describes,
+    and decodes through the same CCITT expansions the WAV tier
+    hashes. The oracle replays both G.711 formulas by parity. Scale
+    shape: one scan, one doc_id exchange (_codec_parallel),
+    Arrow-batched mapInPandas."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    from polars_express_spark.functions.multimodal import (
+        decode_audio_samples,
+        encode_avi,
+    )
+
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    )
+    bs = d.select(
+        "doc_id",
+        F.expr(
+            "transform(sequence(0, 63),"
+            " i -> ascii(substring(text, ((i * 25) % length(text)) + 1, 1)) % 256)"
+        ).alias("bs"),
+    )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        import numpy as np
+
+        dib = (
+            np.arange(48, dtype="u1").reshape(4, 4, 3)[::-1, :, ::-1].tobytes()
+        )
+        for pdf in batches:
+            payloads = []
+            for doc_id, row in zip(pdf["doc_id"], pdf["bs"]):
+                doc_id = int(doc_id)
+                data = bytes(bytearray(int(x) for x in row))
+                tag = 7 if doc_id % 2 == 0 else 6
+                afmt = struct.pack("<HHIIHH", tag, 1, 8000, 8000, 1, 8)
+                cut = 16 + (doc_id % 3) * 16
+                payloads.append(
+                    encode_avi(
+                        [dib], 4, 4, b"DIB ",
+                        audio=(afmt, [data[:cut], data[cut:]]),
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    avi = _codec_parallel(bs).mapInPandas(
+        synth, schema="doc_id bigint, payload binary"
+    )
+    return decode_audio_samples(avi).orderBy("doc_id")
+
+
+@query(
     "q_multimodal_png_subbyte",
     oracle="""
     WITH px AS (

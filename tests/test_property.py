@@ -1449,6 +1449,7 @@ def test_parsers_never_crash_on_corrupt_payloads(seed, kind):
         encode_gif,
         parse_au_header,
         parse_audio_header,
+        parse_avi_audio,
         parse_avi_frames,
         parse_mp4_frames,
         parse_bmp,
@@ -1463,7 +1464,7 @@ def test_parsers_never_crash_on_corrupt_payloads(seed, kind):
     parsers = [parse_png, parse_bmp, parse_gif, parse_gif_frames,
                parse_netpbm, parse_audio_header, parse_image_header,
                parse_jpeg, parse_au_header, parse_avi_frames,
-               _avi_video_format, parse_mp4_frames]
+               _avi_video_format, parse_mp4_frames, parse_avi_audio]
     if kind == 0:  # magic-prefixed garbage through every parser
         magics = [b"\x89PNG\r\n\x1a\n", b"BM", b"GIF89a", b"P1", b"P2",
                   b"P3", b"P4", b"P5", b"P6", b"RIFF", b"RIFF\x80\x00\x00\x00AVI ",
