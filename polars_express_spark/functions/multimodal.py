@@ -144,8 +144,18 @@ def parse_image_header(payload: bytes):
     if len(payload) >= 10 and payload[:6] in (b"GIF87a", b"GIF89a"):
         w, h = struct.unpack_from("<HH", payload, 6)
         return w, h, 3
+    if len(payload) >= 14 and payload[:4] == b"qoif":
+        # QOI (r14): fixed 14-byte header — dims big-endian, channels u8
+        w, h = struct.unpack_from(">II", payload, 4)
+        if payload[12] in (3, 4):
+            return w, h, payload[12]
     if payload[:2] in (b"P5", b"P6"):  # Netpbm: full pixels decodable too
         parsed = parse_netpbm(payload)
+        if parsed is not None:
+            w, h, ch, _ = parsed
+            return w, h, ch
+    if payload[:2] in (b"II", b"MM"):  # TIFF (r14): dims need the IFD walk
+        parsed = parse_tiff(payload)
         if parsed is not None:
             w, h, ch, _ = parsed
             return w, h, ch
@@ -185,7 +195,8 @@ def decode_media(df: DataFrame, real_decode: bool = False) -> DataFrame:
                     full = (
                         _parse_jpeg(raw) or parse_png(raw)
                         or parse_bmp(raw) or parse_gif(raw)
-                        or parse_netpbm(raw)
+                        or parse_netpbm(raw) or parse_qoi(raw)
+                        or parse_tiff(raw)
                     )
                     if full is not None:
                         w, h, ch, _ = full
@@ -197,10 +208,10 @@ def decode_media(df: DataFrame, real_decode: bool = False) -> DataFrame:
                         from PIL import Image  # probed: absent in this sandbox
                     except ImportError as e:
                         raise NotImplementedError(
-                            "payload is not PNG/BMP/GIF/JPEG/Netpbm (neither "
-                            "header-parsable nor decodable by the in-tree "
-                            "codecs) and richer decode requires image codecs "
-                            f"(Pillow) not present in this environment ({e})"
+                            "payload is not PNG/BMP/GIF/JPEG/Netpbm/QOI/TIFF "
+                            "(neither header-parsable nor decodable by the "
+                            "in-tree codecs) and richer decode requires image "
+                            f"codecs (Pillow) not present here ({e})"
                         ) from e
                     img = Image.open(io.BytesIO(payload))
                     metas.append(
@@ -446,7 +457,8 @@ def sample_frames(df: DataFrame, n_frames: int = 4, real_decode: bool = False) -
     frame rows (the generator/UDTF shape: output cardinality ≠ input).
 
     real_decode=True demuxes RIFF/AVI containers, ISO BMFF (mp4/mov —
-    real stsz/stsc/stco sample tables, r14) and animated GIFs for
+    real stsz/stsc/stco sample tables, r14), YUV4MPEG2 streams (r14 —
+    raw planar frames, so pixels always decode) and animated GIFs for
     real, and since r14 decodes PIXELS for MJPEG (in either container)
     and uncompressed-DIB AVI streams (shipped as PNGs); inter-frame
     codecs stay encoded (demux only — the documented ffmpeg gate). The default fake slices
@@ -501,6 +513,46 @@ def sample_frames(df: DataFrame, n_frames: int = 4, real_decode: bool = False) -
                             frame_nos.append(fno)
                             frames.append(encode_png(canvases[i]))
                         continue
+                    if b.startswith(b"YUV4MPEG2"):
+                        # Y4M (r14): raw planar frames — no codec at
+                        # all, so every frame decodes to pixels. Chroma
+                        # is nearest-replicated to full res and the
+                        # RAW YUV samples ship as the PNG's three
+                        # channels (stored values, no colorimetric
+                        # conversion — the module's convention).
+                        parsed = parse_y4m_frames(b)
+                        if parsed is None:
+                            raise ValueError(
+                                f"doc {doc_id}: corrupt or unsupported "
+                                "YUV4MPEG2 stream"
+                            )
+                        _, _, _, planes_list = parsed
+                        if not planes_list:
+                            continue
+                        take = np.unique(
+                            np.linspace(
+                                0, len(planes_list) - 1,
+                                min(n_frames, len(planes_list)),
+                            ).round().astype(np.int64)
+                        )
+                        for fno, i in enumerate(take):
+                            planes = planes_list[i]
+                            if len(planes) == 1:
+                                arr = planes[0]
+                            else:
+                                y, u, v = planes
+                                ry = y.shape[0] // u.shape[0]
+                                rx = y.shape[1] // u.shape[1]
+                                arr = np.stack(
+                                    [y,
+                                     u.repeat(ry, 0).repeat(rx, 1),
+                                     v.repeat(ry, 0).repeat(rx, 1)],
+                                    axis=-1,
+                                )
+                            doc_ids.append(doc_id)
+                            frame_nos.append(fno)
+                            frames.append(encode_png(arr))
+                        continue
                     idxs = parse_avi_frames(b)
                     strf = comp = None
                     if idxs is not None:
@@ -518,9 +570,9 @@ def sample_frames(df: DataFrame, n_frames: int = 4, real_decode: bool = False) -
                     if idxs is None:
                         raise NotImplementedError(
                             f"doc {doc_id}: real frame sampling is implemented "
-                            "codec-free for RIFF/AVI and ISO BMFF (mp4/mov) "
-                            "containers and animated GIFs; other containers "
-                            "need ffmpeg (absent here)"
+                            "codec-free for RIFF/AVI, ISO BMFF (mp4/mov), and "
+                            "YUV4MPEG2 containers and animated GIFs; other "
+                            "containers need ffmpeg (absent here)"
                         )
                     if not idxs:
                         continue  # container with no video frames
@@ -1886,6 +1938,513 @@ def encode_bmp(arr) -> bytes:
     return header + dib + pal + body.tobytes()
 
 
+def parse_qoi(payload: bytes):
+    """REAL QOI pixel decode (r14 — 'Quite OK Image', qoiformat.org
+    spec, one page, public domain): returns (width, height, channels,
+    ndarray[h, w, ch]) or None. QOI is a real interchange format
+    (stb-style single-header C reference; ffmpeg/ImageMagick read it)
+    whose entire coder is byte arithmetic — no entropy coder at all —
+    so like Netpbm it is fully decodable dependency-free: a running
+    64-slot color index (hash r*3+g*5+b*7+a*11 mod 64), 2-bit-per-lane
+    wraparound diffs, a green-anchored LUMA diff, 1..62 runs, and raw
+    RGB/RGBA escapes (0xFE/0xFF).
+
+    Strict per the module's None-posture: header channels must be 3 or
+    4 and colorspace 0/1; the op stream must produce EXACTLY width ×
+    height pixels (a run overshooting the count, a truncated stream,
+    or leftover ops are all corruption), and the spec's mandatory
+    8-byte end marker (seven 0x00 then 0x01) must follow the last op
+    with nothing after it. The pixel count is bounds-checked BEFORE
+    the output allocation so a crafted header cannot provoke a
+    gigabyte allocation (the PNG inflate-cap posture)."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 14 + 8 or payload[:4] != b"qoif":
+        return None
+    w, h = struct.unpack_from(">II", payload, 4)
+    ch, colorspace = payload[12], payload[13]
+    if w <= 0 or h <= 0 or ch not in (3, 4) or colorspace not in (0, 1):
+        return None
+    n_px = w * h
+    if n_px > (1 << 26):  # bomb guard: 64M px ≫ any test payload
+        return None
+    if payload[-8:] != b"\x00" * 7 + b"\x01":
+        return None
+    data, end = payload[14:-8], len(payload) - 22
+    out = np.empty((n_px, 4), dtype="u1")
+    index = [(0, 0, 0, 0)] * 64
+    r, g, b, a = 0, 0, 0, 255
+    pos, px = 0, 0
+    while px < n_px:
+        if pos >= end:
+            return None  # op stream exhausted before the last pixel
+        op = data[pos]
+        pos += 1
+        if op == 0xFE:  # QOI_OP_RGB
+            if pos + 3 > end:
+                return None
+            r, g, b = data[pos], data[pos + 1], data[pos + 2]
+            pos += 3
+        elif op == 0xFF:  # QOI_OP_RGBA
+            if pos + 4 > end:
+                return None
+            r, g, b, a = data[pos], data[pos + 1], data[pos + 2], data[pos + 3]
+            pos += 4
+        elif op >> 6 == 0:  # QOI_OP_INDEX
+            r, g, b, a = index[op]
+        elif op >> 6 == 1:  # QOI_OP_DIFF: 2-bit lanes, bias 2, wrap
+            r = (r + ((op >> 4) & 3) - 2) & 0xFF
+            g = (g + ((op >> 2) & 3) - 2) & 0xFF
+            b = (b + (op & 3) - 2) & 0xFF
+        elif op >> 6 == 2:  # QOI_OP_LUMA: dg 6 bits bias 32 + dr-dg/db-dg
+            if pos >= end:
+                return None
+            dg = (op & 0x3F) - 32
+            drdb = data[pos]
+            pos += 1
+            r = (r + dg + ((drdb >> 4) & 0x0F) - 8) & 0xFF
+            g = (g + dg) & 0xFF
+            b = (b + dg + (drdb & 0x0F) - 8) & 0xFF
+        else:  # QOI_OP_RUN: 1..62 (63/64 would collide with RGB/RGBA)
+            run = (op & 0x3F) + 1
+            if px + run > n_px:
+                return None  # run overshoots the declared pixel count
+            out[px : px + run] = (r, g, b, a)
+            px += run
+            index[(r * 3 + g * 5 + b * 7 + a * 11) % 64] = (r, g, b, a)
+            continue
+        index[(r * 3 + g * 5 + b * 7 + a * 11) % 64] = (r, g, b, a)
+        out[px] = (r, g, b, a)
+        px += 1
+    if pos != end:
+        return None  # trailing ops after the last pixel
+    return w, h, ch, out[:, :ch].reshape(h, w, ch).copy()
+
+
+def encode_qoi(arr) -> bytes:
+    """Independent QOI writer for the round-trip tests/queries: encodes
+    an (h, w, 3|4) uint8 raster using the full op set — runs, index
+    hits, DIFF, LUMA, and raw escapes — choosing ops in the reference
+    encoder's canonical priority order so real decoder behavior (index
+    collisions included) is exercised, not just the raw escape path."""
+    import struct
+
+    import numpy as np
+
+    arr = np.asarray(arr, dtype="u1")
+    h, w, ch = arr.shape
+    if ch not in (3, 4):
+        raise ValueError("QOI carries 3 or 4 channels")
+    out = bytearray(b"qoif" + struct.pack(">II", w, h) + bytes((ch, 0)))
+    index = [(0, 0, 0, 0)] * 64
+    prev = (0, 0, 0, 255)
+    run = 0
+    flat = arr.reshape(-1, ch)
+    for px in flat:
+        cur = (int(px[0]), int(px[1]), int(px[2]),
+               int(px[3]) if ch == 4 else 255)
+        if cur == prev:
+            run += 1
+            if run == 62:
+                out.append(0xC0 | (run - 1))
+                run = 0
+            continue
+        if run:
+            out.append(0xC0 | (run - 1))
+            run = 0
+        slot = (cur[0] * 3 + cur[1] * 5 + cur[2] * 7 + cur[3] * 11) % 64
+        if index[slot] == cur:
+            out.append(slot)
+        elif cur[3] == prev[3]:
+            dr = (cur[0] - prev[0]) & 0xFF
+            dg = (cur[1] - prev[1]) & 0xFF
+            db = (cur[2] - prev[2]) & 0xFF
+            # signed wraparound deltas in two's complement
+            sr = dr - 256 if dr > 127 else dr
+            sg = dg - 256 if dg > 127 else dg
+            sb = db - 256 if db > 127 else db
+            if -2 <= sr <= 1 and -2 <= sg <= 1 and -2 <= sb <= 1:
+                out.append(0x40 | ((sr + 2) << 4) | ((sg + 2) << 2) | (sb + 2))
+            elif (
+                -32 <= sg <= 31 and -8 <= sr - sg <= 7 and -8 <= sb - sg <= 7
+            ):
+                out.append(0x80 | (sg + 32))
+                out.append(((sr - sg + 8) << 4) | (sb - sg + 8))
+            else:
+                out.append(0xFE)
+                out.extend(cur[:3])
+        else:
+            out.append(0xFF)
+            out.extend(cur)
+        index[slot] = cur
+        prev = cur
+    if run:
+        out.append(0xC0 | (run - 1))
+    out.extend(b"\x00" * 7 + b"\x01")
+    return bytes(out)
+
+
+def _packbits_decode(data: bytes, expected: int):
+    """Apple PackBits (TIFF compression 32773, spec §9): literal runs
+    (n+1 bytes for header 0..127) and replicate runs (byte repeated
+    1-n for header -1..-127 two's complement; -128 is a no-op).
+    Returns exactly ``expected`` bytes or None — an output overrun or
+    a truncated run is corruption, never padding."""
+    out = bytearray()
+    pos, n = 0, len(data)
+    while len(out) < expected:
+        if pos >= n:
+            return None
+        h = data[pos]
+        pos += 1
+        if h < 128:  # literal: next h+1 bytes
+            if pos + h + 1 > n:
+                return None
+            out += data[pos : pos + h + 1]
+            pos += h + 1
+        elif h > 128:  # replicate: next byte 257-h times
+            if pos >= n:
+                return None
+            out += data[pos : pos + 1] * (257 - h)
+            pos += 1
+        # h == 128: no-op per spec
+    if len(out) != expected:
+        return None  # a run overshot the strip's declared size
+    return bytes(out)
+
+
+def _tiff_lzw_decode(data: bytes, expected: int):
+    """TIFF's LZW variant (TIFF 6.0 spec §13) in pure Python: unlike
+    GIF's, codes are packed MSB-first, and the width bump happens one
+    code EARLY (the spec's "EarlyChange": at table size 511/1023/2047,
+    because the code ABOUT to be emitted could be the first of the
+    wider size). 8-bit roots, ClearCode 256, EOI 257, max width 12.
+    Returns exactly ``expected`` bytes or None on any structural
+    corruption (bad first code, premature end, code beyond the table,
+    output overrun)."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    table: list[bytes] = []
+    width = 9
+    acc = nbits = 0
+    pos, n = 0, len(data)
+    prev: bytes | None = None
+
+    def reset():
+        nonlocal table, width, prev
+        table = [bytes((i,)) for i in range(256)] + [b"", b""]
+        width = 9
+        prev = None
+
+    reset()
+    while True:
+        while nbits < width:
+            if pos >= n:
+                return None  # ran out of bits before EOI
+            acc = (acc << 8) | data[pos]
+            nbits += 8
+            pos += 1
+        code = (acc >> (nbits - width)) & ((1 << width) - 1)
+        nbits -= width
+        if code == CLEAR:
+            reset()
+            continue
+        if code == EOI:
+            break
+        if prev is None:
+            if code > 255:
+                return None  # first code after Clear must be a root
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):  # the KwKwK case
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            return None
+        out += entry
+        if len(out) > expected:
+            return None
+        prev = entry
+        # EarlyChange width bump. The decoder's table lags the
+        # encoder's by ONE entry (the encoder adds w+c when emitting w;
+        # the decoder only learns that entry from the NEXT code), so
+        # where the encoder bumps at next_code == 2^width - 1 the
+        # decoder bumps at table size 2^width - 2 — libtiff's
+        # CODE_MAX(n)-1 idiom.
+        if len(table) >= (1 << width) - 2 and width < 12:
+            width += 1
+    if len(out) != expected:
+        return None
+    return bytes(out)
+
+
+def _tiff_lzw_encode(data: bytes) -> bytes:
+    """TIFF-LZW writer for the round-trip tests/queries: greedy
+    longest-match table build, MSB-first packing, EarlyChange width
+    bumps mirroring the decoder, Clear emitted when the table fills at
+    4094 entries (the spec's required flush)."""
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int, width: int):
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+
+    CLEAR, EOI = 256, 257
+    table = {bytes((i,)): i for i in range(256)}
+    next_code, width = 258, 9
+    emit(CLEAR, width)
+    w = b""
+    for i in range(len(data)):
+        c = data[i : i + 1]
+        if w + c in table:
+            w += c
+            continue
+        emit(table[w], width)
+        table[w + c] = next_code
+        next_code += 1
+        # encoder bumps width when next_code reaches 2^width - 1
+        # (EarlyChange, matching the decoder's bump point)
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1
+        elif next_code == 4094:
+            emit(CLEAR, width)
+            table = {bytes((j,)): j for j in range(256)}
+            next_code, width = 258, 9
+        w = c
+    if w:
+        emit(table[w], width)
+    emit(EOI, width)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def parse_tiff(payload: bytes):
+    """REAL baseline-TIFF pixel decode (r14, TIFF 6.0 spec): returns
+    (width, height, channels, ndarray[h, w, ch]) or None. Covers what
+    "Baseline TIFF" requires of a reader for 8-bit images — both byte
+    orders (II little / MM big), the first IFD's tag walk, strip
+    organization (RowsPerStrip + StripOffsets/StripByteCounts, any
+    strip count), PhotometricInterpretation 0/1/2 (grayscale both
+    polarities — WhiteIsZero samples are returned RAW per the module's
+    stored-values convention — and RGB), SamplesPerPixel 1/3/4 (RGBA
+    via ExtraSamples), chunky planar config, and compressions 1
+    (none), 32773 (PackBits), and 5 (TIFF LZW with the spec's
+    EarlyChange width bump — _tiff_lzw_decode). None on anything
+    outside that envelope (tiles, 16-bit, palette, planar=2, JPEG/
+    deflate compression) and on any structural corruption: truncated
+    IFD, out-of-bounds value offsets, strip bounds outside the file,
+    or a decompressed strip whose size disagrees with the geometry.
+    Strip sizes are derived from header geometry BEFORE decompression
+    (the PNG inflate-cap posture), so a crafted LZW/PackBits stream
+    cannot over-allocate."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 8:
+        return None
+    if payload[:2] == b"II":
+        bo = "<"
+    elif payload[:2] == b"MM":
+        bo = ">"
+    else:
+        return None
+    if struct.unpack_from(bo + "H", payload, 2)[0] != 42:
+        return None
+    (ifd_off,) = struct.unpack_from(bo + "I", payload, 4)
+    if ifd_off + 2 > len(payload):
+        return None
+    (n_tags,) = struct.unpack_from(bo + "H", payload, ifd_off)
+    if ifd_off + 2 + n_tags * 12 + 4 > len(payload):
+        return None
+    _SIZES = {1: 1, 2: 1, 3: 2, 4: 4}  # BYTE ASCII SHORT LONG
+
+    def values(pos: int):
+        tag, typ, cnt = struct.unpack_from(bo + "HHI", payload, pos)
+        if typ not in _SIZES:
+            return tag, None  # RATIONAL etc. — tags we read never use them
+        total = _SIZES[typ] * cnt
+        off = pos + 8 if total <= 4 else struct.unpack_from(bo + "I", payload, pos + 8)[0]
+        if off + total > len(payload):
+            return tag, None
+        fmt = {1: "B", 2: "B", 3: "H", 4: "I"}[typ]
+        return tag, struct.unpack_from(bo + str(cnt) + fmt, payload, off)
+
+    tags: dict[int, tuple] = {}
+    for i in range(n_tags):
+        tag, vals = values(ifd_off + 2 + i * 12)
+        if vals is not None:
+            tags[tag] = vals
+    try:
+        w = int(tags[256][0])
+        h = int(tags[257][0])
+        offsets = tags[273]
+        counts = tags[279]
+    except KeyError:
+        return None
+    spp = int(tags.get(277, (1,))[0])
+    bits = tags.get(258, (8,) * spp)
+    comp = int(tags.get(259, (1,))[0])
+    photo = int(tags.get(262, (1,))[0])
+    rps = int(tags.get(278, (h,))[0])
+    planar = int(tags.get(284, (1,))[0])
+    if (
+        w <= 0 or h <= 0 or spp not in (1, 3, 4) or planar != 1
+        or len(bits) != spp or any(b != 8 for b in bits)
+        or comp not in (1, 5, 32773) or rps <= 0
+        or len(offsets) != len(counts)
+        or photo not in (0, 1, 2) or (photo == 2) != (spp >= 3)
+    ):
+        return None
+    if w * h * spp > (1 << 28):  # bomb guard before any allocation
+        return None
+    n_strips = (h + rps - 1) // rps
+    if len(offsets) != n_strips:
+        return None
+    raster = bytearray()
+    for s, (off, cnt) in enumerate(zip(offsets, counts)):
+        rows = min(rps, h - s * rps)
+        expected = rows * w * spp
+        if off + cnt > len(payload):
+            return None
+        chunk = payload[off : off + cnt]
+        if comp == 1:
+            strip = bytes(chunk) if cnt == expected else None
+        elif comp == 32773:
+            strip = _packbits_decode(chunk, expected)
+        else:
+            strip = _tiff_lzw_decode(chunk, expected)
+        if strip is None:
+            return None
+        raster += strip
+    arr = np.frombuffer(bytes(raster), dtype="u1").reshape(h, w, spp)
+    return w, h, spp, arr
+
+
+def encode_tiff(arr, compression: int = 1, rows_per_strip: int | None = None) -> bytes:
+    """Independent baseline-TIFF writer (little-endian II) for the
+    round-trip tests/queries: one IFD, multi-strip when
+    ``rows_per_strip`` is set, compression 1 (none), 32773 (PackBits —
+    a simple literal+replicate packer) or 5 (TIFF LZW via
+    _tiff_lzw_encode). Gray (1ch), RGB (3ch), or RGBA (4ch with
+    ExtraSamples=unassociated) uint8 input."""
+    import struct
+
+    import numpy as np
+
+    arr = np.asarray(arr, dtype="u1")
+    h, w, ch = arr.shape
+    rps = rows_per_strip or h
+    flat = arr.tobytes()
+
+    def pack_strip(rows_bytes: bytes) -> bytes:
+        if compression == 1:
+            return rows_bytes
+        if compression == 5:
+            return _tiff_lzw_encode(rows_bytes)
+        # PackBits: replicate runs ≥2, literal otherwise
+        out = bytearray()
+        i, n = 0, len(rows_bytes)
+        while i < n:
+            j = i
+            while j + 1 < n and rows_bytes[j + 1] == rows_bytes[j] and j - i < 127:
+                j += 1
+            if j > i:  # run of j-i+1 equal bytes
+                out.append(257 - (j - i + 1))
+                out.append(rows_bytes[i])
+                i = j + 1
+                continue
+            j = i
+            while (
+                j + 1 < n and j - i < 127
+                and not (j + 2 < n and rows_bytes[j + 1] == rows_bytes[j + 2])
+            ):
+                j += 1
+            out.append(j - i)
+            out += rows_bytes[i : j + 1]
+            i = j + 1
+        return bytes(out)
+
+    strips = [
+        pack_strip(flat[s * rps * w * ch : min((s + 1) * rps, h) * w * ch])
+        for s in range((h + rps - 1) // rps)
+    ]
+    photo = 1 if ch == 1 else 2
+    entries = [
+        (256, 4, 1, w), (257, 4, 1, h),
+        (259, 3, 1, compression), (262, 3, 1, photo),
+        (277, 3, 1, ch), (278, 4, 1, rps),
+    ]
+    # variable-length values (BitsPerSample when >2 shorts, strip
+    # arrays) live after the IFD; compute the layout in two passes
+    n_strips = len(strips)
+    # +3 = BitsPerSample (written in both branches) + StripOffsets +
+    # StripByteCounts; +1 more for RGBA's ExtraSamples
+    n_entries = len(entries) + 3 + (1 if ch == 4 else 0)
+    ifd_off = 8
+    after_ifd = ifd_off + 2 + n_entries * 12 + 4
+    extra = bytearray()
+
+    def place(fmt_vals: bytes) -> int:
+        off = after_ifd + len(extra)
+        extra.extend(fmt_vals)
+        return off
+
+    if ch > 1:
+        bps_off = place(struct.pack("<" + "H" * ch, *([8] * ch)))
+        entries.append((258, 3, ch, bps_off))
+    else:
+        entries.append((258, 3, 1, 8))
+    if ch == 4:
+        entries.append((338, 3, 1, 2))  # ExtraSamples: unassociated alpha
+    if n_strips == 1:
+        off_entry_val: int | None = None  # patched after layout is final
+        entries.append((273, 4, 1, 0))
+        entries.append((279, 4, 1, len(strips[0])))
+    else:
+        off_entry_val = place(b"\x00" * 4 * n_strips)  # patched below
+        entries.append((273, 4, n_strips, off_entry_val))
+        cnt_off = place(struct.pack("<" + "I" * n_strips, *[len(s) for s in strips]))
+        entries.append((279, 4, n_strips, cnt_off))
+    data_start = after_ifd + len(extra)
+    offs, pos = [], data_start
+    for s in strips:
+        offs.append(pos)
+        pos += len(s)
+    entries = [
+        (273, 4, n_strips, offs[0]) if t == 273 and n_strips == 1 else (t, ty, c, v)
+        for (t, ty, c, v) in entries
+    ]
+    if n_strips > 1:
+        struct.pack_into(
+            "<" + "I" * n_strips, extra, off_entry_val - after_ifd, *offs
+        )
+    entries.sort(key=lambda e: e[0])  # spec: ascending tag order
+    out = bytearray(b"II" + struct.pack("<HI", 42, ifd_off))
+    out += struct.pack("<H", len(entries))
+    for tag, typ, cnt, val in entries:
+        out += struct.pack("<HHI", tag, typ, cnt)
+        if typ == 3 and cnt == 1:
+            out += struct.pack("<HH", val, 0)
+        else:
+            out += struct.pack("<I", val)
+    out += struct.pack("<I", 0)  # no next IFD
+    out += extra
+    for s in strips:
+        out += s
+    return bytes(out)
+
+
 def _gif_lzw_decode(min_code_size: int, data: bytes, expected_len: int):
     """GIF's variable-width LZW (GIF89a spec appendix F) in pure Python
     — the last dependency-free entropy coder (VERDICT r11 next-step #3).
@@ -2577,6 +3136,7 @@ def decode_pixel_stats(df: DataFrame) -> DataFrame:
                 parsed = (
                     parse_netpbm(raw) or parse_png(raw)
                     or parse_bmp(raw) or parse_gif(raw)
+                    or parse_qoi(raw) or parse_tiff(raw)
                     or _parse_jpeg(raw)
                 )
                 if parsed is None:
@@ -2584,7 +3144,8 @@ def decode_pixel_stats(df: DataFrame) -> DataFrame:
                         f"doc {doc_id}: pixel decode is implemented "
                         "dependency-free for Netpbm (P1-P6), PNG (zlib "
                         "inflate + filter reconstruction), BMP (incl. RLE/16bpp), "
-                        "GIF (pure-Python LZW), and baseline JPEG "
+                        "GIF (pure-Python LZW), QOI, baseline TIFF "
+                        "(none/PackBits/LZW strips), and baseline JPEG "
                         "(pure-Python Huffman + IDCT); other formats need "
                         "a media codec (Pillow — absent here)"
                     )
@@ -2800,3 +3361,121 @@ def encode_avi(
     movi = chunk(b"LIST", b"movi" + movi_children)
     body = b"AVI " + hdrl + movi
     return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+# Y4M chroma subsampling: colorspace tag -> (x_div, y_div) of the
+# U/V planes relative to Y; None = no chroma (mono). The C420 siting
+# variants (jpeg/mpeg2/paldv) differ only in filter placement, not in
+# stored plane layout, so they demux identically.
+_Y4M_CHROMA = {
+    b"mono": None,
+    b"444": (1, 1),
+    b"422": (2, 1),
+    b"411": (4, 1),
+    b"420": (2, 2),
+    b"420jpeg": (2, 2),
+    b"420mpeg2": (2, 2),
+    b"420paldv": (2, 2),
+}
+
+
+def parse_y4m_frames(payload: bytes):
+    """REAL YUV4MPEG2 demux (r14 — the uncompressed-video container of
+    the mjpegtools/ffmpeg toolchain: `ffmpeg -f yuv4mpeg2` reads and
+    writes it; every frame is stored as raw planar YUV, so unlike the
+    AVI/mp4 tiers there is no codec at all between the container and
+    the pixels). Returns (width, height, mode, frames) — mode is the
+    colorspace tag body ('mono', '444', '422', '411', '420', or a
+    C420 siting variant) and frames a list of plane tuples, (y,) for
+    mono and (y, u, v) otherwise, each a numpy (plane_h, plane_w)
+    uint8 array of RAW stored samples (no colorimetric conversion —
+    the module's stored-values convention). None on anything corrupt
+    or out of envelope: missing magic, malformed/duplicate-free W/H/C
+    parameters, dims not divisible by the chroma subsampling, an
+    unknown colorspace, a truncated frame, or trailing junk after the
+    last frame. Interlace/rate/aspect (I/F/A) and X-extension
+    parameters are accepted and ignored — they do not change the
+    stored layout."""
+    import numpy as np
+
+    if not payload.startswith(b"YUV4MPEG2"):
+        return None
+    nl = payload.find(b"\x0a")
+    if nl < 0:
+        return None
+    params = payload[9:nl].split(b" ")
+    if params and params[0] != b"":
+        return None  # magic must be followed by a space or newline
+    w = h = None
+    cspace = b"420"  # the spec's default when C is absent
+    for p in params[1:]:
+        if not p:
+            continue
+        tag, body = p[:1], p[1:]
+        try:
+            if tag == b"W":
+                w = int(body)
+            elif tag == b"H":
+                h = int(body)
+            elif tag == b"C":
+                cspace = body
+            elif tag not in (b"I", b"F", b"A", b"X"):
+                return None
+        except ValueError:
+            return None
+    if w is None or h is None or w <= 0 or h <= 0 or w * h > (1 << 26):
+        return None
+    if cspace not in _Y4M_CHROMA:
+        return None
+    sub = _Y4M_CHROMA[cspace]
+    if sub is not None and (w % sub[0] or h % sub[1]):
+        return None
+    cw, ch_ = (w // sub[0], h // sub[1]) if sub else (0, 0)
+    frame_sz = w * h + 2 * cw * ch_
+    frames = []
+    pos, n = nl + 1, len(payload)
+    while pos < n:
+        if payload[pos : pos + 5] != b"FRAME":
+            return None
+        fnl = payload.find(b"\x0a", pos)
+        if fnl < 0:
+            return None
+        tail = payload[pos + 5 : fnl]
+        if tail and not tail.startswith(b" "):
+            return None
+        pos = fnl + 1
+        if pos + frame_sz > n:
+            return None  # truncated frame
+        y = np.frombuffer(payload[pos : pos + w * h], dtype="u1").reshape(h, w)
+        if sub is None:
+            frames.append((y,))
+        else:
+            usz = cw * ch_
+            u = np.frombuffer(
+                payload[pos + w * h : pos + w * h + usz], dtype="u1"
+            ).reshape(ch_, cw)
+            v = np.frombuffer(
+                payload[pos + w * h + usz : pos + frame_sz], dtype="u1"
+            ).reshape(ch_, cw)
+            frames.append((y, u, v))
+        pos += frame_sz
+    return w, h, cspace.decode("ascii"), frames
+
+
+def encode_y4m(frames, width: int, height: int, mode: str = "444") -> bytes:
+    """Independent YUV4MPEG2 writer for the round-trip tests/queries:
+    stream header with W/H/F/Ip/A tags, one FRAME marker per frame,
+    raw planar bytes. ``frames`` is a list of plane tuples matching
+    parse_y4m_frames' return — (y,) for mono, (y, u, v) otherwise,
+    with chroma planes already at the subsampled size."""
+    import numpy as np
+
+    sub = _Y4M_CHROMA[mode.encode("ascii")]
+    out = bytearray(
+        f"YUV4MPEG2 W{width} H{height} F25:1 Ip A1:1 C{mode}\x0a".encode()
+    )
+    for planes in frames:
+        out += b"FRAME\x0a"
+        for p in planes:
+            out += np.asarray(p, dtype="u1").tobytes()
+    return bytes(out)

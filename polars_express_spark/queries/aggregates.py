@@ -604,24 +604,31 @@ def q_outlier_mad(spark, sf_dir):
     """Robust outlier detection via median/MAD (§2.4 data-quality
     family): per group, flag rows whose |x − median| exceeds 3 scaled
     MADs — the outlier rule that, unlike z-scores, is not itself
-    dragged by the outliers. Two exact-percentile passes (the pinned
-    percentile ≡ quantile_cont pair) joined back as broadcast per-group
-    thresholds; the counts are exact integers and every compared
+    dragged by the outliers. Both medians go through bounded-memory
+    ``exact_quantiles`` (operators/quantile.py, r14 — previously two
+    grouped ``F.percentile`` passes, whose per-group distinct-value
+    buffer IS the near-unique price column at scale: the operator
+    docstring's named 100 TB hazard). Bit-equal to ``F.percentile``
+    by the operator's contract (tests/test_quantile), hence to DuckDB
+    ``quantile_cont`` — the driver hash is unchanged. Thresholds join
+    back broadcast; the counts are exact integers and every compared
     quantity is the identical double expression on both engines."""
+    from polars_express_spark.operators.quantile import exact_quantiles
+
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_extendedprice"
     )
-    med = li.groupBy("l_returnflag").agg(
-        F.percentile("l_extendedprice", F.lit(0.5)).alias("med")
+    med = exact_quantiles(
+        li, "l_extendedprice", [0.5], group=["l_returnflag"], result_cols=["med"]
     )
-    mad = (
-        li.join(F.broadcast(med), "l_returnflag")
-        .groupBy("l_returnflag", "med")
-        .agg(
-            F.percentile(F.abs(F.col("l_extendedprice") - F.col("med")), F.lit(0.5)).alias(
-                "mad"
-            )
-        )
+    # the deviation frame re-derives from the pruned 2-column scan plus
+    # a broadcast 3-row join on each of the operator's two passes —
+    # cheaper than caching, and never wider than the scan itself
+    dev = li.join(F.broadcast(med), "l_returnflag").withColumn(
+        "absdev", F.abs(F.col("l_extendedprice") - F.col("med"))
+    )
+    mad = exact_quantiles(
+        dev, "absdev", [0.5], group=["l_returnflag", "med"], result_cols=["mad"]
     )
     out = F.when(
         F.abs(F.col("l_extendedprice") - F.col("med"))

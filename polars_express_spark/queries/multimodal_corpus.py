@@ -1409,3 +1409,286 @@ def q_multimodal_png_subbyte(spark, sf_dir):
         encode, schema="doc_id bigint, payload binary"
     )
     return decode_pixel_stats(enc).orderBy("doc_id")
+
+
+@query(
+    "q_multimodal_qoi",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, text, CAST(doc_id % 3 AS INT) AS m,
+             CASE WHEN doc_id % 3 = 1 THEN 4 ELSE 3 END AS nch
+      FROM documents WHERE text IS NOT NULL AND length(text) > 0
+    ), px AS (
+      SELECT doc_id, nch,
+             ascii(substr(text,
+               (((CASE WHEN m = 2 THEN g.i % (4 * nch) ELSE g.i END) * 27)
+                 % length(text)) + 1, 1)) % 256 AS p
+      FROM d, unnest(generate_series(0, 16 * nch - 1)) g(i)
+    )
+    SELECT doc_id,
+           CAST(4 AS INT) AS width,
+           CAST(4 AS INT) AS height,
+           CAST(any_value(nch) AS INT) AS channels,
+           CAST(sum(p) AS DOUBLE) / count(*) AS mean_val,
+           CAST(min(p) AS INT) AS min_val,
+           CAST(max(p) AS INT) AS max_val
+    FROM px GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q_multimodal_qoi(spark, sf_dir):
+    """QOI under the driver hash (r14 — a real interchange format,
+    qoiformat.org, decodable dependency-free because its whole coder
+    is byte arithmetic: 64-slot color index, wraparound DIFF/LUMA
+    deltas, runs, raw escapes). doc_id mod 3 picks the shape: m=0 RGB
+    from raw formula samples (stride-27 code-point sampling — each
+    codec query owns a distinct stride), m=1 RGBA (exercising the
+    0xFF escape and alpha in the index hash), m=2 RGB with the sample
+    formula repeating every row (i mod 4*nch) so every encoded stream
+    carries RUN and INDEX ops, not just escapes. Pixels are encoded
+    executor-side by encode_qoi (full op set in the reference
+    encoder's priority order) and decoded back through parse_qoi by
+    decode_pixel_stats. The oracle computes the stats straight from
+    the formula, never touching QOI — a hash match proves
+    decode∘encode = id across the op set. Scale shape: one scan, one
+    doc_id exchange (_codec_parallel), Arrow-batched mapInPandas."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    from polars_express_spark.functions.multimodal import (
+        decode_pixel_stats,
+        encode_qoi,
+    )
+
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    )
+    px = d.select(
+        "doc_id",
+        F.expr("CASE WHEN doc_id % 3 = 1 THEN 4 ELSE 3 END").alias("nch"),
+        F.expr(
+            "transform(sequence(0, 16 * (CASE WHEN doc_id % 3 = 1 THEN 4 ELSE 3 END) - 1),"
+            " i -> ascii(substring(text,"
+            "   (((CASE WHEN doc_id % 3 = 2"
+            "      THEN i % (4 * (CASE WHEN doc_id % 3 = 1 THEN 4 ELSE 3 END))"
+            "      ELSE i END) * 27) % length(text)) + 1, 1)) % 256)"
+        ).alias("p"),
+    )
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            payloads = []
+            for nch, p in zip(pdf["nch"], pdf["p"]):
+                nch = int(nch)
+                payloads.append(
+                    encode_qoi(np.array(p, dtype="u1").reshape(4, 4, nch))
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    enc = _codec_parallel(px).mapInPandas(
+        encode, schema="doc_id bigint, payload binary"
+    )
+    return decode_pixel_stats(enc).orderBy("doc_id")
+
+
+@query(
+    "q_multimodal_tiff",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, text,
+             CASE WHEN doc_id % 2 = 1 THEN 3 ELSE 1 END AS nch
+      FROM documents WHERE text IS NOT NULL AND length(text) > 0
+    ), px AS (
+      SELECT doc_id, nch,
+             ascii(substr(text, ((g.i * 31) % length(text)) + 1, 1)) % 256 AS p
+      FROM d, unnest(generate_series(0, 16 * nch - 1)) g(i)
+    )
+    SELECT doc_id,
+           CAST(4 AS INT) AS width,
+           CAST(4 AS INT) AS height,
+           CAST(any_value(nch) AS INT) AS channels,
+           CAST(sum(p) AS DOUBLE) / count(*) AS mean_val,
+           CAST(min(p) AS INT) AS min_val,
+           CAST(max(p) AS INT) AS max_val
+    FROM px GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q_multimodal_tiff(spark, sf_dir):
+    """Baseline TIFF under the driver hash (r14): 4x4 formula rasters
+    (stride-31 code-point sampling) are written executor-side by
+    encode_tiff as MULTI-STRIP files (RowsPerStrip 2, so the strip
+    offset/count arrays overflow the 4-byte IFD value slot and the
+    offset-indirection path is what gets hashed) and decoded back
+    through parse_tiff's IFD walk by decode_pixel_stats. doc_id mod 3
+    picks the compression — 1 (none), 32773 (PackBits), 5 (TIFF LZW
+    with the spec's EarlyChange width bump) — and doc_id parity the
+    photometric (gray / RGB), so every compressor and both sample
+    layouts are hashed every round. The oracle computes the stats
+    straight from the formula, never touching TIFF — a hash match
+    proves decode∘encode = id across the IFD grammar, strip math, and
+    both entropy-free compressors. Scale shape: one scan, one doc_id
+    exchange (_codec_parallel), Arrow-batched mapInPandas."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    from polars_express_spark.functions.multimodal import (
+        decode_pixel_stats,
+        encode_tiff,
+    )
+
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    )
+    px = d.select(
+        "doc_id",
+        F.expr("CAST(doc_id % 3 AS INT)").alias("m"),
+        F.expr("CASE WHEN doc_id % 2 = 1 THEN 3 ELSE 1 END").alias("nch"),
+        F.expr(
+            "transform(sequence(0, 16 * (CASE WHEN doc_id % 2 = 1 THEN 3 ELSE 1 END) - 1),"
+            " i -> ascii(substring(text, ((i * 31) % length(text)) + 1, 1)) % 256)"
+        ).alias("p"),
+    )
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        comps = (1, 32773, 5)
+        for pdf in batches:
+            payloads = []
+            for m, nch, p in zip(pdf["m"], pdf["nch"], pdf["p"]):
+                payloads.append(
+                    encode_tiff(
+                        np.array(p, dtype="u1").reshape(4, 4, int(nch)),
+                        compression=comps[int(m)],
+                        rows_per_strip=2,
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    enc = _codec_parallel(px).mapInPandas(
+        encode, schema="doc_id bigint, payload binary"
+    )
+    return decode_pixel_stats(enc).orderBy("doc_id")
+
+
+@query(
+    "q_multimodal_y4m",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, text, CAST(doc_id % 3 AS INT) AS m
+      FROM documents WHERE text IS NOT NULL AND length(text) > 0
+    ), y AS (
+      SELECT doc_id, m, f.f AS frame_no,
+             ascii(substr(text, ((g.i * 29 + f.f) % length(text)) + 1, 1))
+               % 256 AS p,
+             1 AS wt
+      FROM d, unnest(generate_series(0, 2)) f(f),
+           unnest(generate_series(0, 15)) g(i)
+    ), c AS (
+      SELECT doc_id, m, f.f AS frame_no,
+             ascii(substr(text, ((g.i * 29 + f.f) % length(text)) + 1, 1))
+               % 256 AS p,
+             CASE WHEN m = 2 THEN 4 ELSE 1 END AS wt
+      FROM d, unnest(generate_series(0, 2)) f(f),
+           unnest(generate_series(16, CASE WHEN m = 1 THEN 47 ELSE 23 END)) g(i)
+      WHERE m != 0
+    ), px AS (
+      SELECT * FROM y UNION ALL SELECT * FROM c
+    )
+    SELECT doc_id,
+           CAST(frame_no AS INT) AS frame_no,
+           CAST(4 AS INT) AS width,
+           CAST(4 AS INT) AS height,
+           CAST(CASE WHEN m = 0 THEN 1 ELSE 3 END AS INT) AS channels,
+           CAST(sum(p * wt) AS DOUBLE) / sum(wt) AS mean_val,
+           CAST(min(p) AS INT) AS min_val,
+           CAST(max(p) AS INT) AS max_val
+    FROM px GROUP BY doc_id, frame_no, m ORDER BY doc_id, frame_no
+    """,
+)
+def q_multimodal_y4m(spark, sf_dir):
+    """YUV4MPEG2 under the driver hash (r14 — the third video
+    container tier after AVI and ISO BMFF, and the only one with NO
+    codec between container and pixels: mjpegtools/ffmpeg's raw
+    planar interchange format). Per document, THREE 4x4 frames of
+    stride-29 formula samples; doc_id mod 3 picks the plane layout —
+    m=0 Cmono (Y only), m=1 C444 (full-res U/V), m=2 C420 (2x2-
+    subsampled U/V: 4+4 chroma samples that nearest-replicate to full
+    res on decode, so each carries weight 4 in the oracle's mean).
+    encode_y4m muxes the planes executor-side;
+    sample_frames(real_decode=True) demuxes the stream, replicates
+    chroma, and ships raw-YUV PNGs; decode_pixel_stats (keyed by
+    doc_id*4+frame_no, split back after) hashes the per-frame stats.
+    The oracle computes them straight from the formula with the
+    replication expressed as weights — a hash match proves the stream
+    -header grammar, FRAME walking, plane math, and all three
+    subsampling layouts end to end. Scale shape: one scan, one doc_id
+    exchange (_codec_parallel), three fused Arrow stages."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    from polars_express_spark.functions.multimodal import (
+        decode_pixel_stats,
+        encode_y4m,
+        sample_frames,
+    )
+
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    )
+    px = d.select(
+        "doc_id",
+        F.expr(
+            "transform(sequence(0, 2), f -> transform("
+            " sequence(0, CASE WHEN doc_id % 3 = 0 THEN 15"
+            "               WHEN doc_id % 3 = 1 THEN 47 ELSE 23 END),"
+            " i -> ascii(substring(text, ((i * 29 + f) % length(text)) + 1, 1))"
+            " % 256))"
+        ).alias("fs"),
+    )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            payloads = []
+            for doc_id, fs in zip(pdf["doc_id"], pdf["fs"]):
+                m = int(doc_id) % 3
+                planes_list = []
+                for p in fs:
+                    a = np.array(p, dtype="u1")
+                    if m == 0:
+                        planes_list.append((a.reshape(4, 4),))
+                    elif m == 1:
+                        planes_list.append(
+                            (a[:16].reshape(4, 4), a[16:32].reshape(4, 4),
+                             a[32:48].reshape(4, 4))
+                        )
+                    else:
+                        planes_list.append(
+                            (a[:16].reshape(4, 4), a[16:20].reshape(2, 2),
+                             a[20:24].reshape(2, 2))
+                        )
+                mode = ("mono", "444", "420")[m]
+                payloads.append(encode_y4m(planes_list, 4, 4, mode))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    y4m = _codec_parallel(px).mapInPandas(
+        synth, schema="doc_id bigint, payload binary"
+    )
+    frames = sample_frames(y4m, n_frames=3, real_decode=True)
+    stats = decode_pixel_stats(
+        frames.select(
+            (F.col("doc_id") * 4 + F.col("frame_no")).alias("doc_id"),
+            F.col("frame").alias("payload"),
+        )
+    )
+    return stats.selectExpr(
+        "CAST(doc_id DIV 4 AS BIGINT) AS doc_id",
+        "CAST(doc_id % 4 AS INT) AS frame_no",
+        "width", "height", "channels", "mean_val", "min_val", "max_val",
+    ).orderBy("doc_id", "frame_no")

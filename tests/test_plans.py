@@ -715,7 +715,8 @@ def test_registry_wide_no_cartesian_and_declared_bnlj_only(spark):
     ["q_multimodal_pixels", "q_multimodal_bmp", "q_multimodal_gif",
      "q_multimodal_jpeg", "q_multimodal_mulaw", "q_multimodal_alaw",
      "q_multimodal_png_subbyte", "q_multimodal_netpbm", "q_multimodal_au",
-     "q_multimodal_wavext", "q_multimodal_avi_audio"],
+     "q_multimodal_wavext", "q_multimodal_avi_audio", "q_multimodal_qoi",
+     "q_multimodal_tiff"],
 )
 def test_codec_roundtrip_plan_shape(spark, name):
     """r13 — pin the codec-query scale shape that was previously only
@@ -752,7 +753,8 @@ def test_codec_roundtrip_plan_shape(spark, name):
 
 @pytest.mark.parametrize(
     "name",
-    ["q_multimodal_video", "q_multimodal_gif_anim", "q_multimodal_mp4"],
+    ["q_multimodal_video", "q_multimodal_gif_anim", "q_multimodal_mp4",
+     "q_multimodal_y4m"],
 )
 def test_video_roundtrip_plan_shape(spark, name):
     """r14 — the frame-sampling round trips have a third Arrow stage

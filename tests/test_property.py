@@ -1458,13 +1458,17 @@ def test_parsers_never_crash_on_corrupt_payloads(seed, kind):
         parse_image_header,
         parse_netpbm,
         parse_png,
+        parse_qoi,
+        parse_tiff,
+        parse_y4m_frames,
     )
 
     rng = np.random.RandomState(seed)
     parsers = [parse_png, parse_bmp, parse_gif, parse_gif_frames,
                parse_netpbm, parse_audio_header, parse_image_header,
                parse_jpeg, parse_au_header, parse_avi_frames,
-               _avi_video_format, parse_mp4_frames, parse_avi_audio]
+               _avi_video_format, parse_mp4_frames, parse_avi_audio,
+               parse_qoi, parse_tiff, parse_y4m_frames]
     if kind == 0:  # magic-prefixed garbage through every parser
         magics = [b"\x89PNG\r\n\x1a\n", b"BM", b"GIF89a", b"P1", b"P2",
                   b"P3", b"P4", b"P5", b"P6", b"RIFF", b"RIFF\x80\x00\x00\x00AVI ",
@@ -1511,3 +1515,145 @@ def test_parsers_never_crash_on_corrupt_payloads(seed, kind):
         _wav_ima_blocks_decode(rng.bytes(int(rng.randint(0, 60))),
                                int(rng.randint(0, 64)),
                                int(rng.randint(1, 4)))
+
+
+@given(
+    w=st.integers(1, 10),
+    h=st.integers(1, 10),
+    alpha=st.booleans(),
+    low_entropy=st.booleans(),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=80, deadline=None)
+def test_qoi_roundtrip_exact(w, h, alpha, low_entropy, seed):
+    """r14 — encode_qoi(random raster) → parse_qoi recovers dims,
+    channels, and every sample exactly. The low-entropy regime (few
+    distinct values, long runs) forces RUN/INDEX/DIFF/LUMA ops; the
+    random regime forces raw escapes; both must round-trip. Truncation
+    and a damaged end marker are corruption, never wrong pixels."""
+    import numpy as np
+
+    from polars_express_spark.functions.multimodal import encode_qoi, parse_qoi
+
+    rng = np.random.RandomState(seed)
+    ch = 4 if alpha else 3
+    if low_entropy:
+        arr = (rng.randint(0, 3, (h, w, ch)) * 7 + 100).astype("u1")
+    else:
+        arr = rng.randint(0, 256, (h, w, ch)).astype("u1")
+    enc = encode_qoi(arr)
+    parsed = parse_qoi(enc)
+    assert parsed is not None
+    pw, ph, pch, out = parsed
+    assert (pw, ph, pch) == (w, h, ch)
+    assert np.array_equal(out, arr)
+    assert parse_qoi(enc[:-1]) is None
+    assert parse_qoi(enc[:-8] + b"\x00" * 7 + b"\x02") is None
+
+
+@given(
+    w=st.integers(1, 10),
+    h=st.integers(1, 10),
+    ch=st.sampled_from([1, 3, 4]),
+    comp=st.sampled_from([1, 32773, 5]),
+    rps=st.sampled_from([0, 1, 2, 5]),
+    low_entropy=st.booleans(),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=80, deadline=None)
+def test_tiff_roundtrip_exact(w, h, ch, comp, rps, low_entropy, seed):
+    """r14 — encode_tiff → parse_tiff is exact across both byte-order-
+    independent structures that matter (single- and multi-strip IFD
+    layouts) and all three baseline compressions (none / PackBits /
+    LZW with EarlyChange). Low-entropy rasters force replicate runs
+    (PackBits) and table growth (LZW); flipping a strip byte of the
+    LZW file must yield None or a well-formed tuple, never a crash."""
+    import numpy as np
+
+    from polars_express_spark.functions.multimodal import encode_tiff, parse_tiff
+
+    rng = np.random.RandomState(seed)
+    if low_entropy:
+        arr = (rng.randint(0, 3, (h, w, ch)) * 90).astype("u1")
+    else:
+        arr = rng.randint(0, 256, (h, w, ch)).astype("u1")
+    enc = encode_tiff(arr, compression=comp, rows_per_strip=rps or None)
+    parsed = parse_tiff(enc)
+    assert parsed is not None
+    pw, ph, pch, out = parsed
+    assert (pw, ph, pch) == (w, h, ch)
+    assert np.array_equal(out, arr)
+    if comp == 5 and len(enc) > 12:
+        flipped = bytearray(enc)
+        flipped[-1 - (seed % 8)] ^= 0xFF
+        parse_tiff(bytes(flipped))  # None or tuple — must not raise
+
+
+def test_tiff_lzw_width_bumps_and_clear_flush():
+    """r14 — TIFF LZW at sizes that cross every EarlyChange width bump
+    (9→10→11→12 bits) and the 4094-entry Clear flush: the classic
+    off-by-one (decoder bumping at 2^w−1 instead of 2^w−2) corrupts
+    output only past ~250 table entries, which the random-raster
+    property rarely reaches — this pins it deterministically."""
+    import numpy as np
+
+    from polars_express_spark.functions.multimodal import (
+        _tiff_lzw_decode,
+        _tiff_lzw_encode,
+    )
+
+    for seed, n in ((0, 600), (1, 5000), (2, 40000)):
+        rng = np.random.RandomState(seed)
+        for regime in range(3):
+            if regime == 0:
+                data = rng.randint(0, 256, n).astype("u1").tobytes()
+            elif regime == 1:
+                data = (np.arange(n) % 7).astype("u1").tobytes()
+            else:
+                data = rng.randint(0, 3, n).astype("u1").tobytes()
+            assert _tiff_lzw_decode(_tiff_lzw_encode(data), n) == data
+
+
+@given(
+    mode=st.sampled_from(["mono", "444", "422", "411", "420", "420jpeg"]),
+    wq=st.integers(1, 4),
+    hq=st.integers(1, 4),
+    nf=st.integers(1, 4),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=60, deadline=None)
+def test_y4m_roundtrip_exact(mode, wq, hq, nf, seed):
+    """r14 — encode_y4m(random planes) → parse_y4m_frames recovers
+    dims, colorspace, frame count, and every stored plane sample
+    exactly across all five subsampling layouts; truncating the last
+    plane or appending junk after the last frame is corruption."""
+    import numpy as np
+
+    from polars_express_spark.functions.multimodal import (
+        encode_y4m,
+        parse_y4m_frames,
+    )
+
+    dx, dy = {"mono": (1, 1), "444": (1, 1), "422": (2, 1),
+              "411": (4, 1)}.get(mode, (2, 2))
+    w, h = wq * dx, hq * dy
+    rng = np.random.RandomState(seed)
+    frames = []
+    for _ in range(nf):
+        y = rng.randint(0, 256, (h, w)).astype("u1")
+        if mode == "mono":
+            frames.append((y,))
+        else:
+            u = rng.randint(0, 256, (h // dy, w // dx)).astype("u1")
+            v = rng.randint(0, 256, (h // dy, w // dx)).astype("u1")
+            frames.append((y, u, v))
+    enc = encode_y4m(frames, w, h, mode)
+    got = parse_y4m_frames(enc)
+    assert got is not None
+    gw, gh, gm, gf = got
+    assert (gw, gh, gm, len(gf)) == (w, h, mode, nf)
+    for a, b in zip(frames, gf):
+        assert len(a) == len(b)
+        assert all(np.array_equal(x, z) for x, z in zip(a, b))
+    assert parse_y4m_frames(enc[:-1]) is None
+    assert parse_y4m_frames(enc + b"x") is None
