@@ -892,8 +892,10 @@ AUDIO_SAMPLE_STATS_SCHEMA = (
 
 def decode_audio_samples(df: DataFrame) -> DataFrame:
     """REAL audio SAMPLE decode + reduce (r12): per doc, parse the
-    container — RIFF/WAVE, or Sun Au since r13 (the canonical G.711
-    container: big-endian, mu-law/A-law/signed-PCM8/PCM16BE) — and
+    container — RIFF/WAVE, Sun Au since r13 (the canonical G.711
+    container: big-endian, mu-law/A-law/signed-PCM8/PCM16BE), or FLAC
+    since r14 (the first lossless compressed codec in the ladder —
+    functions/flac.py) — and
     decode the payload to linear PCM — format tag 1 (PCM,
     8-bit unsigned or 16-bit signed), tags 7/6 (G.711 mu-law / A-law),
     or tag 0x11 (IMA ADPCM, any channel count since r13) — and ship
@@ -913,6 +915,28 @@ def decode_audio_samples(df: DataFrame) -> DataFrame:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 raw = bytes(payload)
+                if raw[:4] == b"fLaC":
+                    # FLAC (r14): the first lossless COMPRESSED codec
+                    # in the ladder — linear prediction + Rice coding,
+                    # decoded dependency-free (functions/flac.py); the
+                    # stream's own CRC-8/CRC-16/MD5 make a corrupt
+                    # payload undecodable, never wrong samples
+                    from polars_express_spark.functions.flac import parse_flac
+
+                    parsed = parse_flac(raw)
+                    if parsed is None:
+                        raise ValueError(
+                            f"doc {doc_id}: corrupt or out-of-envelope "
+                            "FLAC stream"
+                        )
+                    pcm = parsed[3].reshape(-1)
+                    if len(pcm) == 0:
+                        raise ValueError(f"doc {doc_id}: empty FLAC stream")
+                    rows.append(
+                        (doc_id, len(pcm), float(pcm.mean()),
+                         int(pcm.min()), int(pcm.max()))
+                    )
+                    continue
                 au = parse_au_header(raw)
                 if au is not None:  # Sun Au (r13): big-endian, 4 encodings
                     ch_au, _rate, bits_au, n_au, enc, dpos = au
@@ -962,7 +986,7 @@ def decode_audio_samples(df: DataFrame) -> DataFrame:
                 if meta is None:
                     raise ValueError(
                         f"doc {doc_id}: payload is not RIFF/WAVE, Sun Au, "
-                        "or an AVI with an audio stream"
+                        "FLAC, or an AVI with an audio stream"
                     )
                 # re-walk for the format tag, block align, and data bounds
                 pos, tag, block_align, data = 12, None, 0, None

@@ -1692,3 +1692,98 @@ def q_multimodal_y4m(spark, sf_dir):
         "CAST(doc_id % 4 AS INT) AS frame_no",
         "width", "height", "channels", "mean_val", "min_val", "max_val",
     ).orderBy("doc_id", "frame_no")
+
+
+@query(
+    "q_multimodal_flac",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, g.i AS i,
+             ascii(substr(text, ((g.i * 33) % length(text)) + 1, 1)) % 256 AS b
+      FROM documents, unnest(generate_series(0, 63)) g(i)
+      WHERE text IS NOT NULL AND length(text) > 0
+    ), nxt AS (
+      SELECT doc_id, i, b,
+             lead(b) OVER (PARTITION BY doc_id ORDER BY i) AS b2
+      FROM b
+    ), pcm AS (
+      SELECT doc_id,
+             CASE WHEN b2 * 256 + b >= 32768
+                  THEN b2 * 256 + b - 65536 ELSE b2 * 256 + b END AS p
+      FROM nxt WHERE i % 2 = 0
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_samples,
+           CAST(sum(p) AS DOUBLE) / count(*) AS mean_pcm,
+           CAST(min(p) AS INT) AS min_pcm,
+           CAST(max(p) AS INT) AS max_pcm
+    FROM pcm GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q_multimodal_flac(spark, sf_dir):
+    """FLAC under the driver hash (r14 — the first lossless COMPRESSED
+    audio codec in the ladder: linear prediction + Rice-coded
+    residuals, functions/flac.py, from the public RFC 9639 spec). Per
+    document, 64 stride-33 formula bytes pair little-endian into 32
+    signed 16-bit samples; doc_id mod 4 picks the encode strategy so
+    every decoder path is hashed every round — m=0 mono with the best
+    fixed polynomial predictor (orders 0-2, Rice residuals), m=1 mono
+    VERBATIM, m=2 stereo MID/SIDE with fixed predictors, m=3 stereo
+    LEFT/SIDE with quantized-LPC subframes. encode_flac writes real
+    streams (CRC-8 header, CRC-16 frame, true audio MD5 in STREAMINFO
+    — so parse_flac's end-to-end hash check is armed on every
+    payload); decode_audio_samples decodes them back to exact PCM.
+    Because FLAC is lossless the oracle is simply the byte-pairing
+    arithmetic replayed in SQL (the wavext lead() idiom) — a hash
+    match proves bit-exact decode∘encode = id across subframe types,
+    both stereo decorrelations, the Rice coder, and the CRC/MD5
+    integrity chain. Scale shape: one scan, one doc_id exchange
+    (_codec_parallel), Arrow-batched mapInPandas."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    from polars_express_spark.functions.flac import encode_flac
+    from polars_express_spark.functions.multimodal import decode_audio_samples
+
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    )
+    bs = d.select(
+        "doc_id",
+        F.expr(
+            "transform(sequence(0, 63),"
+            " i -> ascii(substring(text, ((i * 33) % length(text)) + 1, 1)) % 256)"
+        ).alias("bs"),
+    )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            payloads = []
+            for doc_id, row in zip(pdf["doc_id"], pdf["bs"]):
+                raw = np.array([int(x) for x in row], dtype=np.int64)
+                pcm = raw[0::2] + 256 * raw[1::2]
+                pcm = np.where(pcm >= 32768, pcm - 65536, pcm)
+                m = int(doc_id) % 4
+                if m == 0:
+                    payloads.append(encode_flac(pcm, 8000, 16, 16, "fixed"))
+                elif m == 1:
+                    payloads.append(encode_flac(pcm, 8000, 16, 16, "verbatim"))
+                elif m == 2:
+                    payloads.append(
+                        encode_flac(pcm.reshape(-1, 2), 8000, 16, 16,
+                                    "fixed", "mid_side")
+                    )
+                else:
+                    payloads.append(
+                        encode_flac(pcm.reshape(-1, 2), 8000, 16, 16,
+                                    "lpc", "left_side")
+                    )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    flac = _codec_parallel(bs).mapInPandas(
+        synth, schema="doc_id bigint, payload binary"
+    )
+    return decode_audio_samples(flac).orderBy("doc_id")

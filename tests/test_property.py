@@ -1462,13 +1462,14 @@ def test_parsers_never_crash_on_corrupt_payloads(seed, kind):
         parse_tiff,
         parse_y4m_frames,
     )
+    from polars_express_spark.functions.flac import parse_flac
 
     rng = np.random.RandomState(seed)
     parsers = [parse_png, parse_bmp, parse_gif, parse_gif_frames,
                parse_netpbm, parse_audio_header, parse_image_header,
                parse_jpeg, parse_au_header, parse_avi_frames,
                _avi_video_format, parse_mp4_frames, parse_avi_audio,
-               parse_qoi, parse_tiff, parse_y4m_frames]
+               parse_qoi, parse_tiff, parse_y4m_frames, parse_flac]
     if kind == 0:  # magic-prefixed garbage through every parser
         magics = [b"\x89PNG\r\n\x1a\n", b"BM", b"GIF89a", b"P1", b"P2",
                   b"P3", b"P4", b"P5", b"P6", b"RIFF", b"RIFF\x80\x00\x00\x00AVI ",
@@ -1657,3 +1658,48 @@ def test_y4m_roundtrip_exact(mode, wq, hq, nf, seed):
         assert all(np.array_equal(x, z) for x, z in zip(a, b))
     assert parse_y4m_frames(enc[:-1]) is None
     assert parse_y4m_frames(enc + b"x") is None
+
+
+@given(
+    ch=st.sampled_from([1, 2]),
+    bits=st.sampled_from([8, 12, 16]),
+    n=st.integers(0, 120),
+    bs=st.sampled_from([16, 32, 64]),
+    mode=st.sampled_from(["fixed", "verbatim", "lpc"]),
+    smode=st.sampled_from(["independent", "left_side", "right_side", "mid_side"]),
+    low_entropy=st.booleans(),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=80, deadline=None)
+def test_flac_roundtrip_exact(ch, bits, n, bs, mode, smode, low_entropy, seed):
+    """r14 — encode_flac → parse_flac is BIT-EXACT (FLAC is lossless)
+    across channel counts, bit depths, block sizes, every encoder
+    subframe strategy (constant via low-entropy draws, fixed 0-2,
+    verbatim, quantized LPC), and all four stereo assignments.
+    Corrupting a frame byte must be caught by CRC-16 or the STREAMINFO
+    MD5 (None), never returned as wrong samples."""
+    import numpy as np
+
+    from polars_express_spark.functions.flac import encode_flac, parse_flac
+
+    if ch == 1:
+        smode = "independent"
+    rng = np.random.RandomState(seed)
+    lim = 1 << (bits - 1)
+    if low_entropy:
+        arr = (rng.randint(-3, 4, (n, ch)) + rng.randint(-20, 20)).astype(np.int64)
+        arr = np.clip(arr, -lim, lim - 1)
+    else:
+        arr = rng.randint(-lim, lim, (n, ch)).astype(np.int64)
+    enc = encode_flac(arr, 8000, bits, bs, mode, smode)
+    got = parse_flac(enc)
+    assert got is not None
+    gch, gsr, gbits, out = got
+    assert (gch, gsr, gbits) == (ch, 8000, bits)
+    assert out.shape == (n, ch)
+    assert np.array_equal(out, arr)
+    if n:
+        assert parse_flac(enc[:-1]) is None
+        bad = bytearray(enc)
+        bad[-3] ^= 0x40
+        assert parse_flac(bytes(bad)) is None
