@@ -604,31 +604,34 @@ def q_outlier_mad(spark, sf_dir):
     """Robust outlier detection via median/MAD (§2.4 data-quality
     family): per group, flag rows whose |x − median| exceeds 3 scaled
     MADs — the outlier rule that, unlike z-scores, is not itself
-    dragged by the outliers. Both medians go through bounded-memory
-    ``exact_quantiles`` (operators/quantile.py, r14 — previously two
-    grouped ``F.percentile`` passes, whose per-group distinct-value
-    buffer IS the near-unique price column at scale: the operator
-    docstring's named 100 TB hazard). Bit-equal to ``F.percentile``
-    by the operator's contract (tests/test_quantile), hence to DuckDB
-    ``quantile_cont`` — the driver hash is unchanged. Thresholds join
-    back broadcast; the counts are exact integers and every compared
-    quantity is the identical double expression on both engines."""
-    from polars_express_spark.operators.quantile import exact_quantiles
+    dragged by the outliers. Two exact-percentile passes (the pinned
+    percentile ≡ quantile_cont pair) joined back as broadcast per-group
+    thresholds; the counts are exact integers and every compared
+    quantity is the identical double expression on both engines.
 
+    The r14 verdict's optional item — routing both medians through
+    bounded-memory ``exact_quantiles`` — was tried and MEASURED
+    SLOWER (4.1s vs 2.7s idle at sf0.1: the MAD median depends on the
+    group median, so the rewrite needs two sequential two-pass
+    operator calls = 4 scans + GK machinery, vs 3 scans here), so the
+    r7-r12 acceptance of the buffering percentile stands. At a SF
+    where a group's distinct prices outgrow one task, the swap is the
+    same three lines it was (exact_quantiles on li, then on the
+    broadcast-joined deviation frame — q_winsorize shows the idiom)."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_extendedprice"
     )
-    med = exact_quantiles(
-        li, "l_extendedprice", [0.5], group=["l_returnflag"], result_cols=["med"]
+    med = li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("med")
     )
-    # the deviation frame re-derives from the pruned 2-column scan plus
-    # a broadcast 3-row join on each of the operator's two passes —
-    # cheaper than caching, and never wider than the scan itself
-    dev = li.join(F.broadcast(med), "l_returnflag").withColumn(
-        "absdev", F.abs(F.col("l_extendedprice") - F.col("med"))
-    )
-    mad = exact_quantiles(
-        dev, "absdev", [0.5], group=["l_returnflag", "med"], result_cols=["mad"]
+    mad = (
+        li.join(F.broadcast(med), "l_returnflag")
+        .groupBy("l_returnflag", "med")
+        .agg(
+            F.percentile(F.abs(F.col("l_extendedprice") - F.col("med")), F.lit(0.5)).alias(
+                "mad"
+            )
+        )
     )
     out = F.when(
         F.abs(F.col("l_extendedprice") - F.col("med"))
