@@ -196,7 +196,7 @@ def decode_media(df: DataFrame, real_decode: bool = False) -> DataFrame:
                         _parse_jpeg(raw) or parse_png(raw)
                         or parse_bmp(raw) or parse_gif(raw)
                         or parse_netpbm(raw) or parse_qoi(raw)
-                        or parse_tiff(raw)
+                        or parse_tiff(raw) or parse_tga(raw)
                     )
                     if full is not None:
                         w, h, ch, _ = full
@@ -937,6 +937,24 @@ def decode_audio_samples(df: DataFrame) -> DataFrame:
                          int(pcm.min()), int(pcm.max()))
                     )
                     continue
+                if raw[:4] == b"FORM":
+                    # AIFF (r14): the third audio container — FORM/IFF
+                    # chunks, 80-bit extended-float sample rate,
+                    # big-endian PCM at 8/16/24/32 bits
+                    aif = parse_aiff(raw)
+                    if aif is None:
+                        raise ValueError(
+                            f"doc {doc_id}: corrupt or out-of-envelope "
+                            "AIFF (AIFC compressed forms are gated)"
+                        )
+                    pcm = aif[3]
+                    if len(pcm) == 0:
+                        raise ValueError(f"doc {doc_id}: empty AIFF SSND")
+                    rows.append(
+                        (doc_id, len(pcm), float(pcm.mean()),
+                         int(pcm.min()), int(pcm.max()))
+                    )
+                    continue
                 au = parse_au_header(raw)
                 if au is not None:  # Sun Au (r13): big-endian, 4 encodings
                     ch_au, _rate, bits_au, n_au, enc, dpos = au
@@ -986,7 +1004,7 @@ def decode_audio_samples(df: DataFrame) -> DataFrame:
                 if meta is None:
                     raise ValueError(
                         f"doc {doc_id}: payload is not RIFF/WAVE, Sun Au, "
-                        "FLAC, or an AVI with an audio stream"
+                        "FLAC, AIFF, or an AVI with an audio stream"
                     )
                 # re-walk for the format tag, block align, and data bounds
                 pos, tag, block_align, data = 12, None, 0, None
@@ -3161,7 +3179,7 @@ def decode_pixel_stats(df: DataFrame) -> DataFrame:
                     parse_netpbm(raw) or parse_png(raw)
                     or parse_bmp(raw) or parse_gif(raw)
                     or parse_qoi(raw) or parse_tiff(raw)
-                    or _parse_jpeg(raw)
+                    or parse_tga(raw) or _parse_jpeg(raw)
                 )
                 if parsed is None:
                     raise NotImplementedError(
@@ -3169,7 +3187,8 @@ def decode_pixel_stats(df: DataFrame) -> DataFrame:
                         "dependency-free for Netpbm (P1-P6), PNG (zlib "
                         "inflate + filter reconstruction), BMP (incl. RLE/16bpp), "
                         "GIF (pure-Python LZW), QOI, baseline TIFF "
-                        "(none/PackBits/LZW strips), and baseline JPEG "
+                        "(none/PackBits/LZW strips), TGA 2.0 (footer-"
+                        "gated, raw + RLE), and baseline JPEG "
                         "(pure-Python Huffman + IDCT); other formats need "
                         "a media codec (Pillow — absent here)"
                     )
@@ -3503,3 +3522,300 @@ def encode_y4m(frames, width: int, height: int, mode: str = "444") -> bytes:
         for p in planes:
             out += np.asarray(p, dtype="u1").tobytes()
     return bytes(out)
+
+
+def _f80_decode(b: bytes):
+    """80-bit IEEE 754 extended float → int sample rate (AIFF COMM).
+    Returns None for NaN/Inf/zero/non-integral or out-of-range rates —
+    no real audio rate needs fractional Hz, and rejecting keeps the
+    parser's strict posture."""
+    if len(b) != 10:
+        return None
+    sign = b[0] >> 7
+    exp = ((b[0] & 0x7F) << 8) | b[1]
+    mant = int.from_bytes(b[2:10], "big")
+    if exp == 0x7FFF or (exp == 0 and mant == 0) or sign:
+        return None  # Inf/NaN, zero, or a negative rate
+    shift = exp - 16383 - 63
+    if shift > 0:
+        if shift > 32:
+            return None
+        val = mant << shift
+    else:
+        if shift < -63 or mant & ((1 << -shift) - 1):
+            return None  # fractional rate
+        val = mant >> -shift
+    return val if 0 < val <= 1 << 32 else None
+
+
+def _f80_encode(rate: int) -> bytes:
+    """int sample rate → 80-bit IEEE 754 extended float (AIFF COMM)."""
+    if rate <= 0:
+        raise ValueError("rate must be positive")
+    msb = rate.bit_length() - 1
+    exp = 16383 + msb
+    mant = rate << (63 - msb)
+    return bytes((exp >> 8, exp & 0xFF)) + mant.to_bytes(8, "big")
+
+
+def parse_aiff(payload: bytes):
+    """REAL AIFF decode (r14 — the big-endian FORM/IFF audio container
+    of the classic Mac/SGI toolchain, the third audio container after
+    RIFF/WAVE and Sun Au; EA IFF 85 chunk grammar, Apple AIFF-1.3
+    spec): returns (channels, sample_rate, bits_per_sample,
+    ndarray[int32] frame-interleaved flat) or None. Walks the chunk
+    list (word-aligned like RIFF), reads COMM — channels, frame count,
+    sample size, and the sample rate stored as an 80-BIT IEEE 754
+    EXTENDED float (decoded exactly, fractional/degenerate rates
+    rejected) — and SSND's offset/blockSize-prefixed big-endian
+    two's-complement PCM at 8/16/24/32 bits. None on anything else:
+    missing/duplicate COMM or SSND, an SSND too short for the declared
+    frames (extra bytes ARE allowed — blockSize-aligned writers pad),
+    odd sample sizes, or the AIFC form (compressed variants are a
+    different grammar). Pure struct + numpy."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 12 or payload[:4] != b"FORM" or payload[8:12] != b"AIFF":
+        return None
+    (form_size,) = struct.unpack_from(">I", payload, 4)
+    end = min(len(payload), 8 + form_size)
+    pos = 12
+    comm = ssnd = None
+    while pos + 8 <= end:
+        cid = payload[pos : pos + 4]
+        (csize,) = struct.unpack_from(">I", payload, pos + 4)
+        body = pos + 8
+        if body + csize > end:
+            return None  # truncated chunk
+        if cid == b"COMM":
+            if comm is not None or csize != 18:
+                return None
+            comm = payload[body : body + 18]
+        elif cid == b"SSND":
+            if ssnd is not None or csize < 8:
+                return None
+            ssnd = payload[body : body + csize]
+        pos = body + csize + (csize & 1)
+    if comm is None or ssnd is None:
+        return None
+    channels, n_frames, bits = struct.unpack_from(">HIH", comm, 0)
+    rate = _f80_decode(comm[8:18])
+    if rate is None or channels == 0 or bits not in (8, 16, 24, 32):
+        return None
+    if n_frames * channels > (1 << 28):
+        return None  # bomb guard before allocation
+    off, _block = struct.unpack_from(">II", ssnd, 0)
+    width = bits // 8
+    need = n_frames * channels * width
+    data = ssnd[8 + off : 8 + off + need]
+    if len(data) < need:
+        return None
+    if bits == 8:
+        pcm = np.frombuffer(data, dtype=np.int8).astype(np.int32)
+    elif bits == 16:
+        pcm = np.frombuffer(data, dtype=">i2").astype(np.int32)
+    elif bits == 32:
+        pcm = np.frombuffer(data, dtype=">i4").astype(np.int32)
+    else:  # 24-bit: assemble from 3 big-endian bytes, sign-extend
+        u = np.frombuffer(data, dtype="u1").reshape(-1, 3).astype(np.int64)
+        v = (u[:, 0] << 16) | (u[:, 1] << 8) | u[:, 2]
+        pcm = np.where(v >= 1 << 23, v - (1 << 24), v).astype(np.int32)
+    return channels, rate, bits, pcm
+
+
+def encode_aiff(
+    samples, sample_rate: int = 8000, bits: int = 16, channels: int = 1
+) -> bytes:
+    """Independent AIFF writer for the round-trip tests/queries: FORM/
+    AIFF with one COMM (80-bit extended sample rate via _f80_encode)
+    and one SSND (zero offset/blockSize), big-endian two's-complement
+    PCM at 8/16/24/32 bits. ``samples`` is a flat frame-interleaved
+    int sequence."""
+    import struct
+
+    import numpy as np
+
+    arr = np.asarray(samples, dtype=np.int64)
+    if arr.size % channels:
+        raise ValueError("sample count must be a multiple of channels")
+    lim = 1 << (bits - 1)
+    if arr.size and (arr.max() >= lim or arr.min() < -lim):
+        raise ValueError("sample out of range for declared bit depth")
+    if bits == 8:
+        data = arr.astype(np.int8).tobytes()
+    elif bits == 16:
+        data = arr.astype(">i2").tobytes()
+    elif bits == 32:
+        data = arr.astype(">i4").tobytes()
+    elif bits == 24:
+        v = np.where(arr < 0, arr + (1 << 24), arr).astype(np.int64)
+        out = np.empty((arr.size, 3), dtype="u1")
+        out[:, 0] = (v >> 16) & 0xFF
+        out[:, 1] = (v >> 8) & 0xFF
+        out[:, 2] = v & 0xFF
+        data = out.tobytes()
+    else:
+        raise ValueError("bits must be 8, 16, 24, or 32")
+    comm = struct.pack(
+        ">HIH", channels, arr.size // channels, bits
+    ) + _f80_encode(sample_rate)
+    ssnd = struct.pack(">II", 0, 0) + data
+    body = (
+        b"AIFF"
+        + b"COMM" + struct.pack(">I", len(comm)) + comm
+        + b"SSND" + struct.pack(">I", len(ssnd)) + ssnd
+        + (b"\x00" if len(ssnd) & 1 else b"")
+    )
+    return b"FORM" + struct.pack(">I", len(body)) + body
+
+
+_TGA_FOOTER = b"TRUEVISION-XFILE.\x00"
+
+
+def parse_tga(payload: bytes):
+    """REAL Targa (TGA) decode (r14 — Truevision TGA 2.0 spec):
+    returns (width, height, channels, ndarray[h, w, ch] in RGB(A)
+    row-major top-down order) or None. TGA has NO magic header — the
+    format is only unambiguously detectable by the TGA-2.0 FOOTER
+    ('TRUEVISION-XFILE.\\0' in the last 26 bytes), so this parser
+    REQUIRES it (encode_tga always writes it); a headerless TGA-1.0
+    file is indistinguishable from arbitrary bytes and stays outside
+    the envelope, keeping the shared decode_pixel_stats dispatch
+    sound. Covers image types 2/3 (uncompressed truecolor/grayscale)
+    and 10/11 (their RLE forms — run and literal packets over the
+    whole raster), 8/24/32 bpp with stored BGR(A) reordered to RGB(A),
+    both vertical orders (descriptor bit 5; bottom-up is the TGA
+    default), and skips the ID field. None on colormapped images,
+    right-to-left order, an alpha-depth field inconsistent with the
+    bpp, an RLE stream that over- or under-runs the declared raster,
+    or any truncation. The header dims bound every allocation."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 18 + 26 or payload[-18:] != _TGA_FOOTER:
+        return None
+    idlen, cmaptype, itype = payload[0], payload[1], payload[2]
+    if cmaptype != 0 or itype not in (2, 3, 10, 11):
+        return None
+    cm_len = struct.unpack_from("<H", payload, 5)[0]
+    if cm_len != 0:
+        return None
+    w, h = struct.unpack_from("<HH", payload, 12)
+    bpp, desc = payload[16], payload[17]
+    if w <= 0 or h <= 0 or w * h > (1 << 26):
+        return None
+    if desc & 0x10:  # right-to-left: out of envelope
+        return None
+    alpha_bits = desc & 0x0F
+    if itype in (3, 11):
+        if bpp != 8 or alpha_bits:
+            return None
+        ch = 1
+    elif bpp == 24:
+        if alpha_bits:
+            return None
+        ch = 3
+    elif bpp == 32:
+        if alpha_bits not in (0, 8):
+            return None
+        ch = 4
+    else:
+        return None
+    pos = 18 + idlen
+    n_px = w * h
+    if itype in (2, 3):  # uncompressed
+        need = n_px * ch
+        if pos + need > len(payload) - 26:
+            return None
+        flat = np.frombuffer(payload[pos : pos + need], dtype="u1")
+    else:  # RLE
+        out = np.empty((n_px, ch), dtype="u1")
+        filled = 0
+        end = len(payload) - 26
+        while filled < n_px:
+            if pos >= end:
+                return None
+            hdr = payload[pos]
+            pos += 1
+            cnt = (hdr & 0x7F) + 1
+            if filled + cnt > n_px:
+                return None  # packet overruns the raster
+            if hdr & 0x80:  # run packet: one pixel repeated
+                if pos + ch > end:
+                    return None
+                out[filled : filled + cnt] = np.frombuffer(
+                    payload[pos : pos + ch], dtype="u1"
+                )
+                pos += ch
+            else:  # literal packet
+                if pos + cnt * ch > end:
+                    return None
+                out[filled : filled + cnt] = np.frombuffer(
+                    payload[pos : pos + cnt * ch], dtype="u1"
+                ).reshape(cnt, ch)
+                pos += cnt * ch
+            filled += cnt
+        flat = out.reshape(-1)
+    arr = flat.reshape(h, w, ch)
+    if not desc & 0x20:  # bottom-up (the TGA default): flip to top-down
+        arr = arr[::-1]
+    if ch >= 3:  # stored BGR(A) → returned RGB(A)
+        arr = arr[:, :, [2, 1, 0] + ([3] if ch == 4 else [])]
+    return w, h, ch, np.ascontiguousarray(arr)
+
+
+def encode_tga(arr, rle: bool = False, top_down: bool = False) -> bytes:
+    """Independent TGA-2.0 writer for the round-trip tests/queries:
+    gray (1ch), RGB (3ch, stored BGR) or RGBA (4ch, stored BGRA,
+    alpha-depth 8 in the descriptor), bottom-up by default (the TGA
+    convention), optional RLE (maximal runs ≥2 pixels, literal
+    otherwise), always with the TGA-2.0 footer parse_tga requires."""
+    import struct
+
+    import numpy as np
+
+    arr = np.asarray(arr, dtype="u1")
+    h, w, ch = arr.shape
+    if ch not in (1, 3, 4):
+        raise ValueError("TGA carries 1, 3, or 4 channels")
+    stored = arr if ch == 1 else arr[:, :, [2, 1, 0] + ([3] if ch == 4 else [])]
+    if not top_down:
+        stored = stored[::-1]
+    itype = (3 if ch == 1 else 2) + (8 if rle else 0)
+    desc = (0x20 if top_down else 0) | (8 if ch == 4 else 0)
+    # 18-byte header: id-length, colormap type, image type, colormap
+    # spec (first u16 / length u16 / entry-size u8), x/y origin, dims,
+    # bpp, descriptor
+    hdr = struct.pack(
+        "<BBBHHBHHHHBB", 0, 0, itype, 0, 0, 0, 0, 0, w, h, ch * 8, desc
+    )
+    flat = stored.reshape(-1, ch)
+    if not rle:
+        body = flat.tobytes()
+    else:
+        out = bytearray()
+        i, n = 0, flat.shape[0]
+        while i < n:
+            j = i
+            while j + 1 < n and j - i < 127 and np.array_equal(flat[j + 1], flat[i]):
+                j += 1
+            if j > i:  # run of j-i+1 identical pixels
+                out.append(0x80 | (j - i))
+                out += flat[i].tobytes()
+                i = j + 1
+                continue
+            j = i
+            while (
+                j + 1 < n and j - i < 127
+                and not (j + 2 < n and np.array_equal(flat[j + 1], flat[j + 2]))
+            ):
+                j += 1
+            out.append(j - i)
+            out += flat[i : j + 1].tobytes()
+            i = j + 1
+        body = bytes(out)
+    footer = struct.pack("<II", 0, 0) + _TGA_FOOTER
+    return hdr + body + footer

@@ -1787,3 +1787,202 @@ def q_multimodal_flac(spark, sf_dir):
         synth, schema="doc_id bigint, payload binary"
     )
     return decode_audio_samples(flac).orderBy("doc_id")
+
+
+@query(
+    "q_multimodal_aiff",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, CAST(doc_id % 4 AS INT) AS m, g.i AS i,
+             ascii(substr(text, ((g.i * 35) % length(text)) + 1, 1)) % 256 AS b
+      FROM documents, unnest(generate_series(0, 63)) g(i)
+      WHERE text IS NOT NULL AND length(text) > 0
+    ), nxt AS (
+      SELECT doc_id, m, i, b,
+             lead(b, 1) OVER (PARTITION BY doc_id ORDER BY i) AS b2,
+             lead(b, 2) OVER (PARTITION BY doc_id ORDER BY i) AS b3
+      FROM b
+    ), pcm AS (
+      SELECT doc_id,
+             CASE
+               WHEN m = 2 THEN CASE WHEN b >= 128 THEN b - 256 ELSE b END
+               WHEN m = 3 THEN
+                 CASE WHEN b * 65536 + b2 * 256 + b3 >= 8388608
+                      THEN b * 65536 + b2 * 256 + b3 - 16777216
+                      ELSE b * 65536 + b2 * 256 + b3 END
+               ELSE
+                 CASE WHEN b * 256 + b2 >= 32768
+                      THEN b * 256 + b2 - 65536 ELSE b * 256 + b2 END
+             END AS p
+      FROM nxt
+      WHERE (m IN (0, 1) AND i % 2 = 0)
+         OR (m = 2 AND i < 32)
+         OR (m = 3 AND i % 3 = 0 AND i < 48)
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_samples,
+           CAST(sum(p) AS DOUBLE) / count(*) AS mean_pcm,
+           CAST(min(p) AS INT) AS min_pcm,
+           CAST(max(p) AS INT) AS max_pcm
+    FROM pcm GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q_multimodal_aiff(spark, sf_dir):
+    """AIFF under the driver hash (r14 — the THIRD audio container
+    after RIFF/WAVE and Sun Au: Apple's big-endian FORM/IFF grammar
+    with the sample rate stored as an 80-BIT IEEE 754 EXTENDED float,
+    a field no other tier exercises). 64 stride-35 formula bytes per
+    document; doc_id mod 4 picks the layout so every sample width and
+    the channel math are hashed every round — m=0 mono PCM16BE (32
+    big-endian pairs), m=1 stereo PCM16BE (16 frames x 2, hashing the
+    frame-interleave bookkeeping), m=2 mono signed PCM8 (first 32
+    bytes), m=3 mono PCM24BE (16 samples of 3 bytes — the only 24-bit
+    path in the audio ladder). encode_aiff writes real containers
+    (COMM with _f80_encode'd rate, SSND with offset/blockSize);
+    decode_audio_samples routes FORM payloads through parse_aiff. The
+    oracle replays the big-endian byte assembly and two's-complement
+    sign logic with window lead()s — a hash match proves the chunk
+    walk, the f80 rate decode, and all four widths end to end. Scale
+    shape: one scan, one doc_id exchange (_codec_parallel),
+    Arrow-batched mapInPandas."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    from polars_express_spark.functions.multimodal import (
+        decode_audio_samples,
+        encode_aiff,
+    )
+
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    )
+    bs = d.select(
+        "doc_id",
+        F.expr(
+            "transform(sequence(0, 63),"
+            " i -> ascii(substring(text, ((i * 35) % length(text)) + 1, 1)) % 256)"
+        ).alias("bs"),
+    )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            payloads = []
+            for doc_id, row in zip(pdf["doc_id"], pdf["bs"]):
+                raw = np.array([int(x) for x in row], dtype=np.int64)
+                m = int(doc_id) % 4
+                if m in (0, 1):  # big-endian 16-bit pairs
+                    pcm = raw[0::2] * 256 + raw[1::2]
+                    pcm = np.where(pcm >= 32768, pcm - 65536, pcm)
+                    payloads.append(
+                        encode_aiff(pcm, 44100, 16, channels=2 if m == 1 else 1)
+                    )
+                elif m == 2:  # signed 8-bit
+                    pcm = raw[:32]
+                    pcm = np.where(pcm >= 128, pcm - 256, pcm)
+                    payloads.append(encode_aiff(pcm, 8000, 8))
+                else:  # 24-bit big-endian triples
+                    t = raw[:48].reshape(16, 3)
+                    pcm = t[:, 0] * 65536 + t[:, 1] * 256 + t[:, 2]
+                    pcm = np.where(pcm >= 1 << 23, pcm - (1 << 24), pcm)
+                    payloads.append(encode_aiff(pcm, 48000, 24))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    aif = _codec_parallel(bs).mapInPandas(
+        synth, schema="doc_id bigint, payload binary"
+    )
+    return decode_audio_samples(aif).orderBy("doc_id")
+
+
+@query(
+    "q_multimodal_tga",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, text, CAST(doc_id % 4 AS INT) AS m,
+             CASE WHEN doc_id % 4 = 1 THEN 3
+                  WHEN doc_id % 4 = 3 THEN 4 ELSE 1 END AS nch
+      FROM documents WHERE text IS NOT NULL AND length(text) > 0
+    ), px AS (
+      SELECT doc_id, nch,
+             ascii(substr(text,
+               (((CASE WHEN m >= 2 THEN g.i % (8 * nch) ELSE g.i END) * 37)
+                 % length(text)) + 1, 1)) % 256 AS p
+      FROM d, unnest(generate_series(0, 16 * nch - 1)) g(i)
+    )
+    SELECT doc_id,
+           CAST(4 AS INT) AS width,
+           CAST(4 AS INT) AS height,
+           CAST(any_value(nch) AS INT) AS channels,
+           CAST(sum(p) AS DOUBLE) / count(*) AS mean_val,
+           CAST(min(p) AS INT) AS min_val,
+           CAST(max(p) AS INT) AS max_val
+    FROM px GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q_multimodal_tga(spark, sf_dir):
+    """Targa (TGA 2.0) under the driver hash (r14 — the game/VFX-
+    toolchain raster format; the only tier whose detection is by
+    trailing FOOTER rather than magic prefix, which is exactly what
+    parse_tga requires for sound dispatch). 4x4 stride-37 formula
+    rasters; doc_id mod 4 picks the shape so both compressions, all
+    three channel layouts, and both vertical orders are hashed every
+    round — m=0 grayscale uncompressed bottom-up, m=1 RGB (stored
+    BGR) uncompressed top-down, m=2 grayscale RLE with the formula
+    repeating every 2 rows (i mod 8*nch) so run packets occur, m=3
+    RGBA (stored BGRA, alpha-depth 8) RLE with the same repetition.
+    encode_tga writes real files (18-byte header, packet stream,
+    TGA-2.0 footer); decode_pixel_stats dispatches through parse_tga.
+    The oracle computes the stats straight from the formula — a hash
+    match proves decode∘encode = id across the header grammar, BGR↔RGB
+    reorder, bottom-up flip, and the RLE packet walk. Scale shape: one
+    scan, one doc_id exchange (_codec_parallel), Arrow-batched
+    mapInPandas."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    from polars_express_spark.functions.multimodal import (
+        decode_pixel_stats,
+        encode_tga,
+    )
+
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    )
+    px = d.select(
+        "doc_id",
+        F.expr("CAST(doc_id % 4 AS INT)").alias("m"),
+        F.expr(
+            "CASE WHEN doc_id % 4 = 1 THEN 3"
+            " WHEN doc_id % 4 = 3 THEN 4 ELSE 1 END"
+        ).alias("nch"),
+        F.expr(
+            "transform(sequence(0, 16 * (CASE WHEN doc_id % 4 = 1 THEN 3"
+            " WHEN doc_id % 4 = 3 THEN 4 ELSE 1 END) - 1),"
+            " i -> ascii(substring(text,"
+            "   (((CASE WHEN doc_id % 4 >= 2"
+            "      THEN i % (8 * (CASE WHEN doc_id % 4 = 1 THEN 3"
+            "                     WHEN doc_id % 4 = 3 THEN 4 ELSE 1 END))"
+            "      ELSE i END) * 37) % length(text)) + 1, 1)) % 256)"
+        ).alias("p"),
+    )
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            payloads = []
+            for m, nch, p in zip(pdf["m"], pdf["nch"], pdf["p"]):
+                m, nch = int(m), int(nch)
+                arr = np.array(p, dtype="u1").reshape(4, 4, nch)
+                payloads.append(
+                    encode_tga(arr, rle=m >= 2, top_down=m == 1)
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    enc = _codec_parallel(px).mapInPandas(
+        encode, schema="doc_id bigint, payload binary"
+    )
+    return decode_pixel_stats(enc).orderBy("doc_id")

@@ -1458,7 +1458,9 @@ def test_parsers_never_crash_on_corrupt_payloads(seed, kind):
         parse_image_header,
         parse_netpbm,
         parse_png,
+        parse_aiff,
         parse_qoi,
+        parse_tga,
         parse_tiff,
         parse_y4m_frames,
     )
@@ -1469,7 +1471,8 @@ def test_parsers_never_crash_on_corrupt_payloads(seed, kind):
                parse_netpbm, parse_audio_header, parse_image_header,
                parse_jpeg, parse_au_header, parse_avi_frames,
                _avi_video_format, parse_mp4_frames, parse_avi_audio,
-               parse_qoi, parse_tiff, parse_y4m_frames, parse_flac]
+               parse_qoi, parse_tiff, parse_y4m_frames, parse_flac,
+               parse_aiff, parse_tga]
     if kind == 0:  # magic-prefixed garbage through every parser
         magics = [b"\x89PNG\r\n\x1a\n", b"BM", b"GIF89a", b"P1", b"P2",
                   b"P3", b"P4", b"P5", b"P6", b"RIFF", b"RIFF\x80\x00\x00\x00AVI ",
@@ -1703,3 +1706,65 @@ def test_flac_roundtrip_exact(ch, bits, n, bs, mode, smode, low_entropy, seed):
         bad = bytearray(enc)
         bad[-3] ^= 0x40
         assert parse_flac(bytes(bad)) is None
+
+
+@given(
+    ch=st.sampled_from([1, 2, 4]),
+    bits=st.sampled_from([8, 16, 24, 32]),
+    nf=st.integers(0, 50),
+    rate=st.sampled_from([8000, 44100, 48000, 192000]),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=60, deadline=None)
+def test_aiff_roundtrip_exact(ch, bits, nf, rate, seed):
+    """r14 — encode_aiff → parse_aiff recovers channels, the 80-bit
+    extended-float sample rate, bit depth, and every big-endian
+    two's-complement sample exactly at 8/16/24/32 bits; truncating the
+    SSND data is corruption."""
+    import numpy as np
+
+    from polars_express_spark.functions.multimodal import encode_aiff, parse_aiff
+
+    rng = np.random.RandomState(seed)
+    lim = 1 << (bits - 1)
+    arr = rng.randint(-lim, lim, nf * ch).astype(np.int64)
+    enc = encode_aiff(arr, rate, bits, ch)
+    got = parse_aiff(enc)
+    assert got is not None
+    gch, gr, gb, pcm = got
+    assert (gch, gr, gb) == (ch, rate, bits)
+    assert np.array_equal(pcm, arr)
+    if nf:
+        assert parse_aiff(enc[:-2]) is None
+
+
+@given(
+    w=st.integers(1, 10),
+    h=st.integers(1, 10),
+    ch=st.sampled_from([1, 3, 4]),
+    rle=st.booleans(),
+    top_down=st.booleans(),
+    low_entropy=st.booleans(),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=80, deadline=None)
+def test_tga_roundtrip_exact(w, h, ch, rle, top_down, low_entropy, seed):
+    """r14 — encode_tga → parse_tga recovers dims, channels, and every
+    sample exactly across raw/RLE, gray/BGR/BGRA, and both vertical
+    orders; damaging the TGA-2.0 footer (the format's only reliable
+    signature) makes the payload undetectable (None)."""
+    import numpy as np
+
+    from polars_express_spark.functions.multimodal import encode_tga, parse_tga
+
+    rng = np.random.RandomState(seed)
+    if low_entropy:
+        arr = (rng.randint(0, 3, (h, w, ch)) * 80).astype("u1")
+    else:
+        arr = rng.randint(0, 256, (h, w, ch)).astype("u1")
+    enc = encode_tga(arr, rle=rle, top_down=top_down)
+    got = parse_tga(enc)
+    assert got is not None
+    assert got[:3] == (w, h, ch)
+    assert np.array_equal(got[3], arr)
+    assert parse_tga(enc[:-1]) is None
