@@ -816,7 +816,8 @@ def q_multimodal_au(spark, sf_dir):
       SELECT doc_id, text, CAST(doc_id % 2 AS INT) AS m,
              CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS nch,
              CASE WHEN doc_id % 2 = 0 THEN 4 ELSE 48 END AS nsamp
-      FROM documents WHERE text IS NOT NULL AND length(text) > 0
+      FROM documents
+      WHERE text IS NOT NULL AND length(text) > 0 AND doc_id % 4 < 2
     ), px AS (
       SELECT doc_id, m, nch, f.f AS frame_no,
              ascii(substr(text, ((g.i * 17 + f.f) % length(text)) + 1, 1))
@@ -873,6 +874,10 @@ def q_multimodal_video(spark, sf_dir):
 
     d = load_table(spark, sf_dir, "documents").where(
         F.col("text").isNotNull() & (F.length("text") > 0)
+        # half the corpus, both codec parities kept (doc%4=0 -> MJPEG,
+        # doc%4=1 -> DIB): the three-Arrow-stage video tier costs ~2x a
+        # flat codec query per doc, so population is what the band buys
+        & (F.col("doc_id") % 4 < 2)
     )
     px = d.select(
         "doc_id",
@@ -1142,7 +1147,7 @@ def q_multimodal_wavext(spark, sf_dir):
       FROM documents,
            unnest(generate_series(0, 2)) f(f),
            unnest(generate_series(0, 3)) g(i)
-      WHERE text IS NOT NULL AND length(text) > 0
+      WHERE text IS NOT NULL AND length(text) > 0 AND doc_id % 2 = 0
     )
     SELECT doc_id,
            CAST(frame_no AS INT) AS frame_no,
@@ -1184,6 +1189,9 @@ def q_multimodal_mp4(spark, sf_dir):
 
     d = load_table(spark, sf_dir, "documents").where(
         F.col("text").isNotNull() & (F.length("text") > 0)
+        # even doc_ids only: halves the three-Arrow-stage tier's cost
+        # while 0,2,4,... still covers every doc_id%3 chunk layout
+        & (F.col("doc_id") % 2 == 0)
     )
     px = d.select(
         "doc_id",
@@ -1579,7 +1587,8 @@ def q_multimodal_tiff(spark, sf_dir):
     oracle="""
     WITH d AS (
       SELECT doc_id, text, CAST(doc_id % 3 AS INT) AS m
-      FROM documents WHERE text IS NOT NULL AND length(text) > 0
+      FROM documents
+      WHERE text IS NOT NULL AND length(text) > 0 AND doc_id % 2 = 0
     ), y AS (
       SELECT doc_id, m, f.f AS frame_no,
              ascii(substr(text, ((g.i * 29 + f.f) % length(text)) + 1, 1))
@@ -1639,6 +1648,9 @@ def q_multimodal_y4m(spark, sf_dir):
 
     d = load_table(spark, sf_dir, "documents").where(
         F.col("text").isNotNull() & (F.length("text") > 0)
+        # even doc_ids only: halves the three-Arrow-stage tier's cost
+        # while 0,2,4,... still covers every doc_id%3 plane layout
+        & (F.col("doc_id") % 2 == 0)
     )
     px = d.select(
         "doc_id",
