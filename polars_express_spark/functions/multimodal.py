@@ -308,9 +308,11 @@ def resize_media(
 ) -> DataFrame:
     """mapInPandas resize: payload → payload' at the target dimensions.
 
-    The real pixel resample works codec-free for Netpbm (nearest
-    neighbor, re-encoded as valid Netpbm; r9) and raises for compressed
-    formats; the fake keeps the byte budget
+    The real pixel resample works codec-free for every decodable image
+    family (nearest neighbor, re-encoded as a VALID payload of the
+    SOURCE family: Netpbm r9, PNG r11, BMP/GIF/JPEG r12, QOI/TIFF/TGA
+    r14) and raises for formats needing an external codec; the fake
+    keeps the byte budget
     honest (output payload is width·height bytes, sampled evenly from the
     input — a real nearest-neighbor downsample over a 1-channel buffer),
     so downstream operators see realistic shrunken binaries.
@@ -336,7 +338,8 @@ def resize_media(
                     for fam, parser in (
                         ("netpbm", parse_netpbm), ("png", parse_png),
                         ("bmp", parse_bmp), ("gif", parse_gif),
-                        ("jpeg", _parse_jpeg),
+                        ("qoi", parse_qoi), ("tiff", parse_tiff),
+                        ("tga", parse_tga), ("jpeg", _parse_jpeg),
                     ):
                         parsed = parser(raw)
                         if parsed is not None:
@@ -345,7 +348,8 @@ def resize_media(
                         raise NotImplementedError(
                             f"doc {doc_id}: real resize is implemented "
                             "dependency-free for Netpbm (P1-P6), PNG, BMP "
-                            "(incl. RLE and 16bpp), GIF, and baseline JPEG; other "
+                            "(incl. RLE and 16bpp), GIF, QOI, baseline TIFF, "
+                            "TGA, and baseline JPEG; other "
                             "formats need an image codec not present here"
                         )
                     w, h, ch, arr = parsed
@@ -381,6 +385,18 @@ def resize_media(
                         # by nature, but ones-quant bounds the error to
                         # coefficient rounding (±2 per sample, tested)
                         out.append(encode_jpeg(res))
+                        continue
+                    if fam == "qoi":
+                        out.append(encode_qoi(res))
+                        continue
+                    if fam == "tiff":
+                        # re-encode uncompressed: the IFD walk does not
+                        # surface the source compression, and resize
+                        # preserves pixels, not byte layout
+                        out.append(encode_tiff(res))
+                        continue
+                    if fam == "tga":
+                        out.append(encode_tga(res))
                         continue
                     # preserve the SOURCE maxval (r10, ADVICE: forcing
                     # 255/65535 from the byte width silently rescales
