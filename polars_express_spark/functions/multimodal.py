@@ -244,9 +244,9 @@ def extract_features(df: DataFrame, dim: int = 16, real_extract: bool = False) -
     """mapInPandas feature extraction: binary payload → fixed-dim
     `array<float>` embedding column (feeds the §2.10 similarity ops).
 
-    Real extraction: for codec-free Netpbm payloads, dim tile-means of
-    the actual grayscale raster (r9); other formats raise until an
-    encoder exists. The deterministic fake below is stubbed like decode; the
+    Real extraction: for every decodable image family, dim tile-means
+    of the actual grayscale raster; formats needing an external codec
+    raise. The deterministic fake below is stubbed like decode; the
     deterministic fake is a byte-histogram folded to `dim` buckets and
     L1-normalized — computed with numpy over whole Arrow batches, so the
     plumbing (batch shape, array column output, schema) is exactly what
@@ -257,24 +257,26 @@ def extract_features(df: DataFrame, dim: int = 16, real_extract: bool = False) -
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if real_extract:
-                # REAL pixel features for the codec-free families —
-                # Netpbm (r9) and PNG (r11, stdlib zlib): dim tile-means
-                # of the grayscale raster, L1-normalized — an actual (if
-                # simple) visual descriptor from actual pixels. JPEG
-                # scans still need a codec.
+                # REAL pixel features for every decodable image family
+                # (Netpbm r9, PNG r11, BMP/GIF/JPEG r12, QOI/TIFF/TGA
+                # r14): dim tile-means of the grayscale raster,
+                # L1-normalized — an actual (if simple) visual
+                # descriptor from actual pixels.
                 feats = []
                 for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                     raw = bytes(payload)
                     parsed = (
                         parse_netpbm(raw) or parse_png(raw)
                         or parse_bmp(raw) or parse_gif(raw)
-                        or _parse_jpeg(raw)
+                        or parse_qoi(raw) or parse_tiff(raw)
+                        or parse_tga(raw) or _parse_jpeg(raw)
                     )
                     if parsed is None:
                         raise NotImplementedError(
                             f"doc {doc_id}: real feature extraction is "
                             "implemented dependency-free for Netpbm (P1-P6), "
-                            "PNG, BMP (incl. RLE and 16bpp), GIF, and baseline JPEG; "
+                            "PNG, BMP (incl. RLE and 16bpp), GIF, QOI, "
+                            "baseline TIFF, TGA, and baseline JPEG; "
                             "other formats need a media codec not present "
                             "here"
                         )
