@@ -2726,3 +2726,108 @@ def test_pam_p7_decode_and_resize(spark):
     out2 = resize_media(df2, width=3, height=2, real_resize=True).collect()[0]
     assert b"MAXVAL 255" in bytes(out2["payload"])[:64]
     assert np.array_equal(parse_netpbm(bytes(out2["payload"]))[3], rgba[yi][:, xi])
+
+
+def test_flac_hand_assembled_golden_streams():
+    """r14 — byte-level FLAC goldens assembled BY HAND from the spec
+    text (RFC 9639), independent of encode_flac's bit writer: a
+    mirrored misreading of the frame-header layout or CRC conventions
+    would round-trip through encode/parse cleanly but fail here. CRCs
+    are computed with table-driven implementations written separately
+    from the module's bit-loop versions."""
+    import struct
+
+    from polars_express_spark.functions.flac import parse_flac
+
+    def crc8(data):
+        tbl = []
+        for i in range(256):
+            c = i
+            for _ in range(8):
+                c = ((c << 1) ^ 0x07) & 0xFF if c & 0x80 else (c << 1) & 0xFF
+            tbl.append(c)
+        c = 0
+        for b in data:
+            c = tbl[c ^ b]
+        return c
+
+    def crc16(data):
+        tbl = []
+        for i in range(256):
+            c = i << 8
+            for _ in range(8):
+                c = ((c << 1) ^ 0x8005) & 0xFFFF if c & 0x8000 else (c << 1) & 0xFFFF
+            tbl.append(c)
+        c = 0
+        for b in data:
+            c = ((c << 8) & 0xFFFF) ^ tbl[((c >> 8) ^ b) & 0xFF]
+        return c
+
+    packed = (8000 << 44) | (0 << 41) | (15 << 36) | 4
+    si = (
+        struct.pack(">HH", 16, 16) + b"\x00\x00\x00" * 2
+        + packed.to_bytes(8, "big") + b"\x00" * 16
+    )
+    stream = b"fLaC" + bytes((0x80,)) + len(si).to_bytes(3, "big") + si
+
+    # frame 1 — VERBATIM: sync(14)+res+blocking | bs code 6 (8-bit at
+    # end), sr code 0 | mono, sample-size code 4 (16-bit), res | frame
+    # number 0 (UTF-8) | blocksize-1 = 3 | CRC-8; subframe pad(1)=0,
+    # type 000001, wasted 0 → 0x02; four 16-bit BE samples; CRC-16.
+    hdr = bytes((0xFF, 0xF8, 0x60, 0x08, 0x00, 0x03))
+    hdr += bytes((crc8(hdr),))
+    body = hdr + bytes((0x02,)) + struct.pack(">4h", 100, -100, 1000, -1000)
+    body += struct.pack(">H", crc16(body))
+    got = parse_flac(stream + body)
+    assert got is not None
+    ch, sr, bits, arr = got
+    assert (ch, sr, bits) == (1, 8000, 16)
+    assert arr.ravel().tolist() == [100, -100, 1000, -1000]
+
+    # frame 2 variant — FIXED order 1 with one Rice partition, param 0:
+    # warmup sample 5; residuals for [5,6,6,4] are [1,0,-2] → zigzag
+    # [2,0,3] → unary 001,1,0001. Subframe header 0|001001|0 = 0x12.
+    # Residual section: method 00, partition order 0000, param 0000,
+    # then the unary bits; pad to byte boundary with zeros.
+    hdr = bytes((0xFF, 0xF8, 0x60, 0x08, 0x00, 0x03))
+    hdr += bytes((crc8(hdr),))
+    sub = bytes((0x12,)) + struct.pack(">h", 5)
+    # bits: 00 0000 0000 | 001 1 0001 | pad 00 → bytes 0x00, 0x31, then
+    # the first ten bits already consumed two bytes: lay out explicitly:
+    # 00000000 00|001100 01 + 6 pad zeros → 0x00, 0x0C, 0x40
+    sub += bytes((0x00, 0x0C, 0x40))
+    body = hdr + sub
+    body += struct.pack(">H", crc16(body))
+    got = parse_flac(stream + body)
+    assert got is not None
+    assert got[3].ravel().tolist() == [5, 6, 6, 4]
+
+
+def test_qoi_hand_assembled_golden():
+    """r14 — byte-level QOI golden from the one-page spec, independent
+    of encode_qoi: RGB escape, RUN, DIFF (+1,+1,+1), LUMA (dg=8,
+    dr-dg=-2, db-dg=3), and INDEX back to the first pixel."""
+    import struct
+
+    import numpy as np
+
+    from polars_express_spark.functions.multimodal import parse_qoi
+
+    px0 = (128, 64, 32)
+    ops = bytes((0xFE, *px0))          # QOI_OP_RGB
+    ops += bytes((0xC0 | 0,))          # RUN of 1 → second pixel = px0
+    ops += bytes((0x40 | (3 << 4) | (3 << 2) | 3,))  # DIFF +1,+1,+1
+    px2 = (129, 65, 33)
+    ops += bytes((0x80 | (8 + 32), ((-2 + 8) << 4) | (3 + 8)))  # LUMA
+    px3 = (129 + 8 - 2, 65 + 8, 33 + 8 + 3)
+    idx0 = (px0[0] * 3 + px0[1] * 5 + px0[2] * 7 + 255 * 11) % 64
+    ops += bytes((idx0,))              # INDEX back to px0
+    hdr = b"qoif" + struct.pack(">II", 5, 1) + bytes((3, 0))
+    golden = hdr + ops + b"\x00" * 7 + b"\x01"
+    got = parse_qoi(golden)
+    assert got is not None
+    w, h, ch, arr = got
+    assert (w, h, ch) == (5, 1, 3)
+    assert arr.reshape(-1, 3).tolist() == [
+        list(px0), list(px0), list(px2), list(px3), list(px0)
+    ]
