@@ -3837,3 +3837,152 @@ def encode_tga(arr, rle: bool = False, top_down: bool = False) -> bytes:
         body = bytes(out)
     footer = struct.pack("<II", 0, 0) + _TGA_FOOTER
     return hdr + body + footer
+
+
+def parse_ico(payload: bytes):
+    """REAL Windows ICO container decode (r14 — the favicon format: a
+    web-crawl corpus carries millions of these, making ICO the most
+    pipeline-relevant container in the image ladder). Returns a list
+    of (width, height, channels, ndarray[h, w, ch]) — one per icon
+    directory entry, in directory order — or None. Each entry is
+    either a complete PNG stream (Vista+ compressed entries — routed
+    through parse_png) or a headerless DIB: a BITMAPINFOHEADER whose
+    biHeight is DOUBLED to cover the XOR raster plus the 1-bpp AND
+    mask. DIB entries are decoded by wrapping them in a synthetic
+    14-byte 'BM' file header with the height halved and routing
+    through parse_bmp — container composition, not a third raster
+    decoder. Alpha follows real renderer behavior: 32-bpp entries use
+    their in-band alpha channel (the mask is structurally present but
+    ignored, the Vista convention); lower depths apply the AND mask
+    (1 = transparent) as an alpha channel, returning RGBA. None on a
+    bad ICONDIR, an entry range outside the payload, a DIB whose
+    declared dims disagree with the directory entry, a truncated
+    mask, or any entry its inner decoder rejects — one bad entry
+    poisons the container (never partial results)."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 6:
+        return None
+    reserved, rtype, count = struct.unpack_from("<HHH", payload, 0)
+    if reserved != 0 or rtype != 1 or count == 0 or count > 64:
+        return None
+    if 6 + 16 * count > len(payload):
+        return None
+    out = []
+    for e in range(count):
+        off = 6 + 16 * e
+        ew, eh = payload[off], payload[off + 1]
+        ew, eh = ew or 256, eh or 256
+        size, ioff = struct.unpack_from("<II", payload, off + 8)
+        if ioff + size > len(payload) or size < 8:
+            return None
+        data = payload[ioff : ioff + size]
+        if data[:8] == b"\x89PNG\r\n\x1a\n":
+            parsed = parse_png(data)
+            if parsed is None or parsed[0] != ew or parsed[1] != eh:
+                return None
+            out.append(parsed)
+            continue
+        if len(data) < 40:
+            return None
+        hsize, w, h2 = struct.unpack_from("<Iii", data, 0)
+        bits = struct.unpack_from("<H", data, 14)[0]
+        ncolors = struct.unpack_from("<I", data, 32)[0]
+        if hsize != 40 or w != ew or h2 != 2 * eh:
+            return None
+        pal = (ncolors or (1 << bits if bits <= 8 else 0)) * 4
+        xor_stride = (ew * bits + 31) // 32 * 4
+        mask_stride = (ew + 31) // 32 * 4
+        xor_end = 40 + pal + xor_stride * eh
+        if xor_end + mask_stride * eh > len(data):
+            return None  # truncated raster or mask
+        if bits == 32:
+            # 32-bpp entries carry IN-BAND alpha even under BI_RGB —
+            # the ICO-specific convention (Vista+; a regular BMP's
+            # fourth byte is pad, which parse_bmp rightly drops, so
+            # this depth is decoded here, not routed): bottom-up BGRA
+            xor = np.frombuffer(
+                data[40 + pal : xor_end], dtype="u1"
+            ).reshape(eh, xor_stride)[:, : ew * 4]
+            arr = xor.reshape(eh, ew, 4)[::-1][:, :, [2, 1, 0, 3]]
+            out.append((ew, eh, 4, np.ascontiguousarray(arr)))
+            continue
+        # other depths: synthetic BMP — file header + the entry's own
+        # header with the height halved (the doubled height only
+        # covers the AND mask) — routed through parse_bmp
+        hdr = bytearray(data[:40])
+        struct.pack_into("<i", hdr, 8, eh)
+        bmp = (
+            b"BM"
+            + struct.pack("<IHHI", 14 + xor_end, 0, 0, 14 + 40 + pal)
+            + bytes(hdr)
+            + data[40:xor_end]
+        )
+        parsed = parse_bmp(bmp)
+        if parsed is None or parsed[0] != ew or parsed[1] != eh:
+            return None
+        pw, ph, pch, arr = parsed
+        mask = np.frombuffer(
+            data[xor_end : xor_end + mask_stride * eh], dtype="u1"
+        ).reshape(eh, mask_stride)
+        bits_arr = np.unpackbits(mask, axis=1)[:, :ew]
+        alpha = np.where(bits_arr == 1, 0, 255).astype("u1")[::-1]  # bottom-up
+        if pch == 1:
+            arr = np.repeat(arr, 3, axis=2)
+        out.append((pw, ph, 4, np.dstack([arr, alpha])))
+    return out
+
+
+def encode_ico(entries) -> bytes:
+    """Independent ICO writer for the round-trip tests/queries:
+    ``entries`` is a list of ('png'|'bmp', ndarray[h, w, ch]) pairs.
+    PNG entries embed a complete encode_png stream; BMP entries write
+    the headerless double-height DIB — BITMAPINFOHEADER, bottom-up
+    BGR(A) XOR raster, and an AND mask derived from alpha (1 where
+    alpha == 0) or all-opaque for 3-channel input."""
+    import struct
+
+    import numpy as np
+
+    blobs = []
+    dims = []
+    for kind, arr in entries:
+        arr = np.asarray(arr, dtype="u1")
+        h, w = arr.shape[:2]
+        ch = arr.shape[2]
+        if w > 256 or h > 256:
+            raise ValueError("ICO entries are at most 256x256")
+        dims.append((w, h))
+        if kind == "png":
+            blobs.append(encode_png(arr if ch > 1 else arr[:, :, 0]))
+            continue
+        if ch not in (3, 4):
+            raise ValueError("BMP ICO entries take 3- or 4-channel input")
+        bits = 8 * ch
+        xor_stride = (w * bits + 31) // 32 * 4
+        mask_stride = (w + 31) // 32 * 4
+        hdr = struct.pack(
+            "<IiiHHIIiiII", 40, w, 2 * h, 1, bits, 0,
+            xor_stride * h + mask_stride * h, 0, 0, 0, 0,
+        )
+        bgr = arr[:, :, [2, 1, 0] + ([3] if ch == 4 else [])][::-1]
+        xor = np.zeros((h, xor_stride), dtype="u1")
+        xor[:, : w * ch] = bgr.reshape(h, w * ch)
+        if ch == 4:
+            trans = (arr[:, :, 3] == 0)[::-1]
+        else:
+            trans = np.zeros((h, w), dtype=bool)
+        maskbits = np.zeros((h, mask_stride * 8), dtype="u1")
+        maskbits[:, :w] = trans
+        mask = np.packbits(maskbits, axis=1)
+        blobs.append(bytes(hdr) + xor.tobytes() + mask.tobytes())
+    out = struct.pack("<HHH", 0, 1, len(blobs))
+    ioff = 6 + 16 * len(blobs)
+    for (w, h), blob in zip(dims, blobs):
+        out += struct.pack(
+            "<BBBBHHII", w % 256, h % 256, 0, 0, 1, 32, len(blob), ioff
+        )
+        ioff += len(blob)
+    return out + b"".join(blobs)

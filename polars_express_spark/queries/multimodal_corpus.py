@@ -1998,3 +1998,128 @@ def q_multimodal_tga(spark, sf_dir):
         encode, schema="doc_id bigint, payload binary"
     )
     return decode_pixel_stats(enc).orderBy("doc_id")
+
+
+@query(
+    "q_multimodal_ico",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, text, CAST(doc_id % 2 AS INT) AS m
+      FROM documents WHERE text IS NOT NULL AND length(text) > 0
+    ), px AS (
+      SELECT doc_id, m, e.e AS entry_no,
+             ascii(substr(text, ((g.i * 39 + e.e) % length(text)) + 1, 1))
+               % 256 AS p
+      FROM d, unnest(generate_series(0, 1)) e(e),
+           unnest(generate_series(0, 63)) g(i)
+      WHERE g.i < CASE
+          WHEN m = 0 AND e.e = 0 THEN 16   -- PNG gray
+          WHEN m = 0 AND e.e = 1 THEN 64   -- BMP RGBA, in-band alpha
+          WHEN m = 1 AND e.e = 0 THEN 48   -- BMP RGB (opaque alpha added)
+          ELSE 48 END                      -- PNG RGB
+    ), opaque AS (
+      SELECT doc_id, m, 0 AS entry_no, 255 AS p
+      FROM d, unnest(generate_series(0, 15)) g(i) WHERE m = 1
+    ), allpx AS (
+      SELECT * FROM px UNION ALL SELECT * FROM opaque
+    )
+    SELECT doc_id,
+           CAST(entry_no AS INT) AS entry_no,
+           CAST(4 AS INT) AS width,
+           CAST(4 AS INT) AS height,
+           CAST(CASE WHEN m = 0 AND entry_no = 0 THEN 1
+                     WHEN m = 1 AND entry_no = 1 THEN 3
+                     ELSE 4 END AS INT) AS channels,
+           CAST(sum(p) AS DOUBLE) / count(*) AS mean_val,
+           CAST(min(p) AS INT) AS min_val,
+           CAST(max(p) AS INT) AS max_val
+    FROM allpx GROUP BY doc_id, entry_no, m ORDER BY doc_id, entry_no
+    """,
+)
+def q_multimodal_ico(spark, sf_dir):
+    """Windows ICO under the driver hash (r14 — the favicon container:
+    the most pipeline-relevant image container for a web-crawl corpus,
+    and the only tier that COMPOSES two inner decoders — each
+    directory entry is a complete PNG stream or a headerless
+    double-height DIB). Per document TWO entries (stride-39 formula,
+    entry e offsetting the phase); doc_id parity picks the mix so both
+    entry kinds, both orders, the in-band-alpha 32-bpp path, and the
+    AND-mask opaque-alpha path are hashed every round — even docs:
+    PNG-gray + BMP-RGBA (alpha from the formula, proving 32-bpp
+    entries keep IN-BAND alpha rather than the mask); odd docs:
+    BMP-RGB (decoded to RGBA with constant 255 mask-derived alpha,
+    weighted into the oracle as 16 constant rows) + PNG-RGB.
+    encode_ico writes real containers (ICONDIR, 16-byte entries, BGRA
+    XOR rasters, packed AND masks); the stats stage walks parse_ico
+    per entry. A hash match proves the directory walk, both inner
+    routes, and both alpha conventions end to end. Scale shape: one
+    scan, one doc_id exchange (_codec_parallel), two fused Arrow
+    stages."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    from polars_express_spark.functions.multimodal import encode_ico, parse_ico
+
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    )
+    px = d.select(
+        "doc_id",
+        F.expr(
+            "transform(sequence(0, 1), e -> transform(sequence(0, 63),"
+            " i -> ascii(substring(text, ((i * 39 + e) % length(text)) + 1, 1))"
+            " % 256))"
+        ).alias("es"),
+    )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            payloads = []
+            for doc_id, es in zip(pdf["doc_id"], pdf["es"]):
+                a0 = np.array(es[0], dtype="u1")
+                a1 = np.array(es[1], dtype="u1")
+                if int(doc_id) % 2 == 0:
+                    entries = [
+                        ("png", a0[:16].reshape(4, 4, 1)),
+                        ("bmp", a1.reshape(4, 4, 4)),
+                    ]
+                else:
+                    entries = [
+                        ("bmp", a0[:48].reshape(4, 4, 3)),
+                        ("png", a1[:48].reshape(4, 4, 3)),
+                    ]
+                payloads.append(encode_ico(entries))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                parsed = parse_ico(bytes(payload))
+                if parsed is None:
+                    raise ValueError(f"doc {doc_id}: corrupt ICO container")
+                for e, (w, h, ch, arr) in enumerate(parsed):
+                    rows.append(
+                        (doc_id, e, w, h, ch,
+                         float(arr.mean()), int(arr.min()), int(arr.max()))
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "entry_no", "width", "height",
+                         "channels", "mean_val", "min_val", "max_val"],
+            ).astype(
+                {"entry_no": "int32", "width": "int32", "height": "int32",
+                 "channels": "int32", "min_val": "int32", "max_val": "int32"}
+            )
+
+    ico = _codec_parallel(px).mapInPandas(
+        synth, schema="doc_id bigint, payload binary"
+    )
+    return ico.mapInPandas(
+        stats,
+        schema="doc_id bigint, entry_no int, width int, height int,"
+        " channels int, mean_val double, min_val int, max_val int",
+    ).orderBy("doc_id", "entry_no")

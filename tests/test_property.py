@@ -1459,6 +1459,7 @@ def test_parsers_never_crash_on_corrupt_payloads(seed, kind):
         parse_netpbm,
         parse_png,
         parse_aiff,
+        parse_ico,
         parse_qoi,
         parse_tga,
         parse_tiff,
@@ -1472,7 +1473,7 @@ def test_parsers_never_crash_on_corrupt_payloads(seed, kind):
                parse_jpeg, parse_au_header, parse_avi_frames,
                _avi_video_format, parse_mp4_frames, parse_avi_audio,
                parse_qoi, parse_tiff, parse_y4m_frames, parse_flac,
-               parse_aiff, parse_tga]
+               parse_aiff, parse_tga, parse_ico]
     if kind == 0:  # magic-prefixed garbage through every parser
         magics = [b"\x89PNG\r\n\x1a\n", b"BM", b"GIF89a", b"P1", b"P2",
                   b"P3", b"P4", b"P5", b"P6", b"RIFF", b"RIFF\x80\x00\x00\x00AVI ",
@@ -1768,3 +1769,44 @@ def test_tga_roundtrip_exact(w, h, ch, rle, top_down, low_entropy, seed):
     assert got[:3] == (w, h, ch)
     assert np.array_equal(got[3], arr)
     assert parse_tga(enc[:-1]) is None
+
+
+@given(
+    n=st.integers(1, 3),
+    data=st.data(),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=60, deadline=None)
+def test_ico_roundtrip_exact(n, data, seed):
+    """r14 — encode_ico → parse_ico recovers every directory entry
+    exactly: PNG entries verbatim, 32-bpp DIB entries with IN-BAND
+    alpha (the ICO-specific convention parse_bmp must not see), and
+    24-bpp DIB entries as RGBA with mask-derived opaque alpha.
+    Truncating the container is corruption for every entry mix."""
+    import numpy as np
+
+    from polars_express_spark.functions.multimodal import encode_ico, parse_ico
+
+    rng = np.random.RandomState(seed)
+    entries, expect = [], []
+    for _ in range(n):
+        h, w = int(rng.randint(1, 9)), int(rng.randint(1, 9))
+        kind = data.draw(st.sampled_from(["png", "bmp"]))
+        ch = data.draw(st.sampled_from([3, 4] if kind == "bmp" else [1, 3, 4]))
+        arr = rng.randint(0, 256, (h, w, ch)).astype("u1")
+        entries.append((kind, arr))
+        if kind == "png":
+            expect.append((w, h, ch, arr))
+        elif ch == 4:
+            expect.append((w, h, 4, arr))
+        else:
+            expect.append(
+                (w, h, 4, np.dstack([arr, np.full((h, w), 255, "u1")]))
+            )
+    ico = encode_ico(entries)
+    got = parse_ico(ico)
+    assert got is not None and len(got) == n
+    for (ew, eh, ech, earr), (gw, gh, gch, garr) in zip(expect, got):
+        assert (gw, gh, gch) == (ew, eh, ech)
+        assert np.array_equal(garr, earr)
+    assert parse_ico(ico[:-1]) is None
