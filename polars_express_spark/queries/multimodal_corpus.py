@@ -2005,7 +2005,8 @@ def q_multimodal_tga(spark, sf_dir):
     oracle="""
     WITH d AS (
       SELECT doc_id, text, CAST(doc_id % 2 AS INT) AS m
-      FROM documents WHERE text IS NOT NULL AND length(text) > 0
+      FROM documents
+      WHERE text IS NOT NULL AND length(text) > 0 AND doc_id % 4 < 2
     ), px AS (
       SELECT doc_id, m, e.e AS entry_no,
              ascii(substr(text, ((g.i * 39 + e.e) % length(text)) + 1, 1))
@@ -2063,6 +2064,10 @@ def q_multimodal_ico(spark, sf_dir):
 
     d = load_table(spark, sf_dir, "documents").where(
         F.col("text").isNotNull() & (F.length("text") > 0)
+        # half the corpus, both parities kept (doc%4=0 -> PNG-first
+        # mix, doc%4=1 -> DIB-first): each doc costs TWO inner-codec
+        # round trips, the population is what the band buys
+        & (F.col("doc_id") % 4 < 2)
     )
     px = d.select(
         "doc_id",
