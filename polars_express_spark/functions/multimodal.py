@@ -66,6 +66,7 @@ from pyspark.sql import functions as F
 
 from polars_express_spark.functions.jpeg import encode_jpeg  # noqa: F401
 from polars_express_spark.functions.jpeg import parse_jpeg as _parse_jpeg
+from polars_express_spark.functions.webp import parse_webp as _parse_webp
 
 MEDIA_META_SCHEMA = "doc_id bigint, byte_len int, width int, height int, channels int"
 
@@ -149,6 +150,17 @@ def parse_image_header(payload: bytes):
         w, h = struct.unpack_from(">II", payload, 4)
         if payload[12] in (3, 4):
             return w, h, payload[12]
+    if (
+        len(payload) >= 25
+        and payload[:4] == b"RIFF"
+        and payload[8:12] == b"WEBP"
+        and payload[12:16] == b"VP8L"
+        and payload[20] == 0x2F
+    ):
+        # lossless WebP (r14): 14-bit dims LSB-packed after the 0x2F
+        # signature byte
+        bits = int.from_bytes(payload[21:25], "little")
+        return (bits & 0x3FFF) + 1, ((bits >> 14) & 0x3FFF) + 1, 4
     if payload[:2] in (b"P5", b"P6"):  # Netpbm: full pixels decodable too
         parsed = parse_netpbm(payload)
         if parsed is not None:
@@ -197,6 +209,7 @@ def decode_media(df: DataFrame, real_decode: bool = False) -> DataFrame:
                         or parse_bmp(raw) or parse_gif(raw)
                         or parse_netpbm(raw) or parse_qoi(raw)
                         or parse_tiff(raw) or parse_tga(raw)
+                        or _parse_webp(raw)
                     )
                     if full is not None:
                         w, h, ch, _ = full
@@ -269,7 +282,8 @@ def extract_features(df: DataFrame, dim: int = 16, real_extract: bool = False) -
                         parse_netpbm(raw) or parse_png(raw)
                         or parse_bmp(raw) or parse_gif(raw)
                         or parse_qoi(raw) or parse_tiff(raw)
-                        or parse_tga(raw) or _parse_jpeg(raw)
+                        or parse_tga(raw) or _parse_webp(raw)
+                        or _parse_jpeg(raw)
                     )
                     if parsed is None:
                         raise NotImplementedError(
@@ -341,7 +355,8 @@ def resize_media(
                         ("netpbm", parse_netpbm), ("png", parse_png),
                         ("bmp", parse_bmp), ("gif", parse_gif),
                         ("qoi", parse_qoi), ("tiff", parse_tiff),
-                        ("tga", parse_tga), ("jpeg", _parse_jpeg),
+                        ("tga", parse_tga), ("webp", _parse_webp),
+                        ("jpeg", _parse_jpeg),
                     ):
                         parsed = parser(raw)
                         if parsed is not None:
@@ -399,6 +414,11 @@ def resize_media(
                         continue
                     if fam == "tga":
                         out.append(encode_tga(res))
+                        continue
+                    if fam == "webp":
+                        from polars_express_spark.functions.webp import encode_webp
+
+                        out.append(encode_webp(res))
                         continue
                     # preserve the SOURCE maxval (r10, ADVICE: forcing
                     # 255/65535 from the byte width silently rescales
@@ -3197,7 +3217,8 @@ def decode_pixel_stats(df: DataFrame) -> DataFrame:
                     parse_netpbm(raw) or parse_png(raw)
                     or parse_bmp(raw) or parse_gif(raw)
                     or parse_qoi(raw) or parse_tiff(raw)
-                    or parse_tga(raw) or _parse_jpeg(raw)
+                    or parse_tga(raw) or _parse_webp(raw)
+                    or _parse_jpeg(raw)
                 )
                 if parsed is None:
                     raise NotImplementedError(
@@ -3206,9 +3227,10 @@ def decode_pixel_stats(df: DataFrame) -> DataFrame:
                         "inflate + filter reconstruction), BMP (incl. RLE/16bpp), "
                         "GIF (pure-Python LZW), QOI, baseline TIFF "
                         "(none/PackBits/LZW strips), TGA 2.0 (footer-"
-                        "gated, raw + RLE), and baseline JPEG "
-                        "(pure-Python Huffman + IDCT); other formats need "
-                        "a media codec (Pillow — absent here)"
+                        "gated, raw + RLE), lossless WebP (VP8L, the "
+                        "documented transform envelope), and baseline "
+                        "JPEG (pure-Python Huffman + IDCT); other formats "
+                        "need a media codec (Pillow — absent here)"
                     )
                 w, h, ch, arr = parsed
                 rows.append(

@@ -2128,3 +2128,83 @@ def q_multimodal_ico(spark, sf_dir):
         schema="doc_id bigint, entry_no int, width int, height int,"
         " channels int, mean_val double, min_val int, max_val int",
     ).orderBy("doc_id", "entry_no")
+
+
+@query(
+    "q_multimodal_webp",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, text, CAST(doc_id % 2 AS INT) AS m
+      FROM documents WHERE text IS NOT NULL AND length(text) > 0
+    ), px AS (
+      SELECT doc_id,
+             ascii(substr(text,
+               (((CASE WHEN m = 1 THEN g.i % 4 ELSE g.i END) * 41)
+                 % length(text)) + 1, 1)) % 256 AS p
+      FROM d, unnest(generate_series(0, 63)) g(i)
+    )
+    SELECT doc_id,
+           CAST(4 AS INT) AS width,
+           CAST(4 AS INT) AS height,
+           CAST(4 AS INT) AS channels,
+           CAST(sum(p) AS DOUBLE) / count(*) AS mean_val,
+           CAST(min(p) AS INT) AS min_val,
+           CAST(max(p) AS INT) AS max_val
+    FROM px GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q_multimodal_webp(spark, sf_dir):
+    """Lossless WebP (VP8L) under the driver hash (r14 — the third
+    ENTROPY-CODED image tier after PNG/DEFLATE and JPEG/Huffman-DCT,
+    from the public WebP Lossless Bitstream Specification, RFC 9649:
+    canonical prefix codes whose lengths are themselves prefix-coded
+    with RLE symbols 16/17/18, serialized LSB-first). 4x4 RGBA rasters
+    from stride-41 formula samples (each codec query owns a distinct
+    stride); doc_id parity picks the stream shape — even docs are
+    pure per-channel literal streams, odd docs repeat the formula
+    every 4 samples so all 16 pixels are identical and encode_webp
+    (use_backrefs) emits one literal plus a 2-D LZ77 run through
+    plain distance code 121, putting the backref decode path under
+    the hash, not just under goldens. Decoded back through parse_webp
+    by decode_pixel_stats; the oracle computes the stats straight
+    from the formula, never touching VP8L — a hash match proves
+    decode(encode(x)) = x across both stream shapes, including the
+    code-length-code serialization both directions. Scale shape: one
+    scan, one doc_id exchange (_codec_parallel), two fused
+    Arrow-batched mapInPandas stages (plan-pinned with the other
+    media queries in tests/test_plans.py)."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    from polars_express_spark.functions.multimodal import decode_pixel_stats
+    from polars_express_spark.functions.webp import encode_webp
+
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    )
+    px = d.select(
+        "doc_id",
+        (F.col("doc_id") % 2).cast("int").alias("m"),
+        F.expr(
+            "transform(sequence(0, 63),"
+            " i -> ascii(substring(text,"
+            "   (((CASE WHEN doc_id % 2 = 1 THEN i % 4 ELSE i END) * 41)"
+            "     % length(text)) + 1, 1)) % 256)"
+        ).alias("p"),
+    )
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            payloads = []
+            for m, p in zip(pdf["m"], pdf["p"]):
+                arr = np.array(p, dtype="u1").reshape(4, 4, 4)
+                payloads.append(encode_webp(arr, use_backrefs=int(m) == 1))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    enc = _codec_parallel(px).mapInPandas(
+        encode, schema="doc_id bigint, payload binary"
+    )
+    return decode_pixel_stats(enc).orderBy("doc_id")

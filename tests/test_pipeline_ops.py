@@ -2831,3 +2831,191 @@ def test_qoi_hand_assembled_golden():
     assert arr.reshape(-1, 3).tolist() == [
         list(px0), list(px0), list(px2), list(px3), list(px0)
     ]
+
+
+def _webp_container(body_bits: bytes) -> bytes:
+    import struct
+
+    body = b"\x2f" + body_bits
+    vp8l = b"VP8L" + struct.pack("<I", len(body)) + body
+    if len(body) & 1:
+        vp8l += b"\x00"
+    riff = b"WEBP" + vp8l
+    return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+
+def _webp_simple_code(wtr, syms):
+    wtr.bits(1, 1)
+    wtr.bits(len(syms) - 1, 1)
+    wtr.bits(1, 1)
+    wtr.bits(syms[0], 8)
+    if len(syms) == 2:
+        wtr.bits(syms[1], 8)
+
+
+def test_webp_hand_assembled_feature_streams():
+    """r14 — hand-built VP8L streams for the decoder paths
+    encode_webp never emits: the color cache (a hashed hit must
+    reproduce an earlier pixel), the SUBTRACT_GREEN transform (stored
+    deltas re-add green), COLOR_INDEXING with sub-byte pixel bundling
+    (palette of 2, eight 1-bit indices per coded green byte), the
+    meta-prefix mechanism (two code groups selected per 4-pixel
+    block), and a neighbor-mapped short distance (code 1 = the pixel
+    directly above). Each stream is laid out field by field from the
+    spec, so a mirrored misreading of the feature layout fails here
+    even though encoder round trips stay green."""
+    import numpy as np
+
+    from polars_express_spark.functions.webp import (
+        _canonical_codes,
+        _canonical_lengths,
+        _cache_hash,
+        _LsbWriter,
+        _prefix_encode_value,
+        _write_prefix_code,
+        _write_symbol,
+        parse_webp,
+    )
+
+    # --- color cache ---
+    P, Q = (10, 20, 30, 255), (40, 50, 60, 255)
+    cache_bits = 4
+    argbP = (P[3] << 24) | (P[0] << 16) | (P[1] << 8) | P[2]
+    idxP = _cache_hash(argbP, cache_bits)
+    w = _LsbWriter()
+    w.bits(2, 14); w.bits(0, 14); w.bits(0, 1); w.bits(0, 3)
+    w.bits(0, 1)
+    w.bits(1, 1); w.bits(cache_bits, 4)
+    w.bits(0, 1)
+    glen = [0] * 296
+    glen[20] = 2; glen[50] = 2; glen[280 + idxP] = 1
+    _write_prefix_code(w, glen)
+    _webp_simple_code(w, [P[0], Q[0]])
+    _webp_simple_code(w, [P[2], Q[2]])
+    _webp_simple_code(w, [255])
+    _webp_simple_code(w, [0])
+    gc = _canonical_codes(glen)
+    rc = _canonical_codes([1 if i in (P[0], Q[0]) else 0 for i in range(256)])
+    bc = _canonical_codes([1 if i in (P[2], Q[2]) else 0 for i in range(256)])
+    for px in (P, Q):
+        _write_symbol(w, gc, px[1])
+        _write_symbol(w, rc, px[0])
+        _write_symbol(w, bc, px[2])
+    _write_symbol(w, gc, 280 + idxP)
+    got = parse_webp(_webp_container(w.finish()))
+    assert got is not None and got[:3] == (3, 1, 4)
+    assert [tuple(px) for px in got[3].reshape(-1, 4)] == [P, Q, P]
+
+    # --- subtract_green ---
+    orig = (100, 7, 200, 255)
+    w = _LsbWriter()
+    w.bits(0, 14); w.bits(0, 14); w.bits(0, 1); w.bits(0, 3)
+    w.bits(1, 1); w.bits(2, 2); w.bits(0, 1)
+    w.bits(0, 1); w.bits(0, 1)
+    _webp_simple_code(w, [orig[1]])
+    _webp_simple_code(w, [(orig[0] - orig[1]) & 0xFF])
+    _webp_simple_code(w, [(orig[2] - orig[1]) & 0xFF])
+    _webp_simple_code(w, [255])
+    _webp_simple_code(w, [0])
+    got = parse_webp(_webp_container(w.finish()))
+    assert got is not None and tuple(got[3][0, 0]) == orig
+
+    # --- color indexing, bundled (palette 2, width 10) ---
+    pal0, pal1 = (1, 2, 3, 255), (200, 150, 100, 255)
+    d = tuple((pal1[i] - pal0[i]) & 0xFF for i in range(4))
+    w = _LsbWriter()
+    w.bits(9, 14); w.bits(0, 14); w.bits(0, 1); w.bits(0, 3)
+    w.bits(1, 1); w.bits(3, 2); w.bits(1, 8)
+    w.bits(0, 1)
+    glen = [0] * 280
+    glen[pal0[1]] = 1; glen[d[1]] = 1
+    _write_prefix_code(w, glen)
+    _webp_simple_code(w, [pal0[0], d[0]])
+    _webp_simple_code(w, [pal0[2], d[2]])
+    _webp_simple_code(w, sorted({pal0[3], d[3]}))
+    _webp_simple_code(w, [0])
+    gc = _canonical_codes(glen)
+    rc = _canonical_codes([1 if i in (pal0[0], d[0]) else 0 for i in range(256)])
+    bc = _canonical_codes([1 if i in (pal0[2], d[2]) else 0 for i in range(256)])
+    aset = sorted({pal0[3], d[3]})
+    ac = _canonical_codes([1 if i in aset else 0 for i in range(256)])
+    for px in (pal0, d):
+        _write_symbol(w, gc, px[1])
+        _write_symbol(w, rc, px[0])
+        _write_symbol(w, bc, px[2])
+        if len(ac) > 1:
+            _write_symbol(w, ac, px[3])
+    w.bits(0, 1)
+    w.bits(0, 1); w.bits(0, 1)
+    idxs = [1, 0, 1, 0, 1, 0, 1, 0, 1, 1]
+    b0 = sum(idxs[k] << k for k in range(8))
+    b1 = sum(idxs[8 + k] << k for k in range(2))
+    glen2 = [0] * 280
+    glen2[b0] = 1; glen2[b1] = 1
+    _write_prefix_code(w, glen2)
+    for syms in ([0], [0], [255], [0]):
+        _webp_simple_code(w, syms)
+    gc2 = _canonical_codes(glen2)
+    _write_symbol(w, gc2, b0)
+    _write_symbol(w, gc2, b1)
+    got = parse_webp(_webp_container(w.finish()))
+    assert got is not None and got[:2] == (10, 1)
+    assert [tuple(px) for px in got[3].reshape(-1, 4)] == [
+        pal1 if i else pal0 for i in idxs
+    ]
+
+    # --- meta-prefix: two groups over 4-pixel blocks ---
+    w = _LsbWriter()
+    w.bits(7, 14); w.bits(0, 14); w.bits(0, 1); w.bits(0, 3)
+    w.bits(0, 1); w.bits(0, 1)
+    w.bits(1, 1); w.bits(0, 3)
+    w.bits(0, 1)
+    glen = [0] * 280
+    glen[0] = 1; glen[1] = 1
+    _write_prefix_code(w, glen)
+    for syms in ([0], [0], [255], [0]):
+        _webp_simple_code(w, syms)
+    gc = _canonical_codes(glen)
+    _write_symbol(w, gc, 0)
+    _write_symbol(w, gc, 1)
+    for gval in (11, 22):
+        for syms in ([gval], [5], [6], [255], [0]):
+            _webp_simple_code(w, syms)
+    got = parse_webp(_webp_container(w.finish()))
+    assert got is not None and got[:2] == (8, 1)
+    assert [int(p[1]) for p in got[3][0]] == [11] * 4 + [22] * 4
+
+    # --- neighbor-mapped distance: code 1 = (0, 1), copy the row above ---
+    wd = 5
+    px_row = [(i * 10, i * 13 % 256, i * 7, 255) for i in range(wd)]
+    w = _LsbWriter()
+    w.bits(wd - 1, 14); w.bits(1, 14); w.bits(0, 1); w.bits(0, 3)
+    w.bits(0, 1); w.bits(0, 1); w.bits(0, 1)
+    lcode, lextra, lnb = _prefix_encode_value(5)
+    freq = [0] * 280
+    for p in px_row:
+        freq[p[1]] += 1
+    freq[256 + lcode] += 1
+    glen = _canonical_lengths(freq, 15)
+    _write_prefix_code(w, glen)
+    rfreq, bfreq = [0] * 256, [0] * 256
+    for p in px_row:
+        rfreq[p[0]] += 1
+        bfreq[p[2]] += 1
+    rlen, blen = _canonical_lengths(rfreq, 15), _canonical_lengths(bfreq, 15)
+    _write_prefix_code(w, rlen)
+    _write_prefix_code(w, blen)
+    _webp_simple_code(w, [255])
+    _webp_simple_code(w, [0])
+    gc, rc, bc = (_canonical_codes(l) for l in (glen, rlen, blen))
+    for p in px_row:
+        _write_symbol(w, gc, p[1])
+        _write_symbol(w, rc, p[0])
+        _write_symbol(w, bc, p[2])
+    _write_symbol(w, gc, 256 + lcode)
+    if lnb:
+        w.bits(lextra, lnb)
+    got = parse_webp(_webp_container(w.finish()))
+    assert got is not None and got[:2] == (5, 2)
+    assert [tuple(p) for p in got[3][0]] == px_row
+    assert np.array_equal(got[3][1], got[3][0])

@@ -1466,6 +1466,7 @@ def test_parsers_never_crash_on_corrupt_payloads(seed, kind):
         parse_y4m_frames,
     )
     from polars_express_spark.functions.flac import parse_flac
+    from polars_express_spark.functions.webp import parse_webp
 
     rng = np.random.RandomState(seed)
     parsers = [parse_png, parse_bmp, parse_gif, parse_gif_frames,
@@ -1473,12 +1474,13 @@ def test_parsers_never_crash_on_corrupt_payloads(seed, kind):
                parse_jpeg, parse_au_header, parse_avi_frames,
                _avi_video_format, parse_mp4_frames, parse_avi_audio,
                parse_qoi, parse_tiff, parse_y4m_frames, parse_flac,
-               parse_aiff, parse_tga, parse_ico]
+               parse_aiff, parse_tga, parse_ico, parse_webp]
     if kind == 0:  # magic-prefixed garbage through every parser
         magics = [b"\x89PNG\r\n\x1a\n", b"BM", b"GIF89a", b"P1", b"P2",
                   b"P3", b"P4", b"P5", b"P6", b"RIFF", b"RIFF\x80\x00\x00\x00AVI ",
                   b".snd", b"\x00\x00\x00\x18ftypisom", b"\x00\x00\x00\x10moov",
-                  b"\xff\xd8\xff", b""]
+                  b"\xff\xd8\xff", b"RIFF\x80\x00\x00\x00WEBPVP8L",
+                  b"RIFF\x80\x00\x00\x00WEBPVP8L\x80\x00\x00\x00\x2f", b""]
         for m in magics:
             payload = m + rng.bytes(int(rng.randint(0, 160)))
             for p in parsers:
@@ -1810,3 +1812,54 @@ def test_ico_roundtrip_exact(n, data, seed):
         assert (gw, gh, gch) == (ew, eh, ech)
         assert np.array_equal(garr, earr)
     assert parse_ico(ico[:-1]) is None
+
+
+@given(
+    w=st.integers(1, 10),
+    h=st.integers(1, 10),
+    alpha=st.booleans(),
+    backrefs=st.booleans(),
+    low_entropy=st.booleans(),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=80, deadline=None)
+def test_webp_roundtrip_exact(w, h, alpha, backrefs, low_entropy, seed):
+    """r14 — encode_webp(random raster) → parse_webp recovers dims and
+    every sample exactly (VP8L is lossless; a 3-channel input comes
+    back RGBA with constant 255 alpha). The low-entropy regime (few
+    distinct values, long equal-pixel stretches) combined with
+    use_backrefs forces 2-D LZ77 run tokens through plain distance
+    code 121; the random regime forces dense per-channel prefix codes
+    through the code-length-code serializer (RLE 16/17/18 both
+    directions). Truncating the VP8L chunk is corruption, never wrong
+    pixels: the reader runs out of bits mid-stream and returns None."""
+    import numpy as np
+
+    from polars_express_spark.functions.webp import encode_webp, parse_webp
+
+    rng = np.random.RandomState(seed)
+    ch = 4 if alpha else 3
+    if low_entropy:
+        arr = (rng.randint(0, 3, (h, w, ch)) * 7 + 100).astype("u1")
+    else:
+        arr = rng.randint(0, 256, (h, w, ch)).astype("u1")
+    enc = encode_webp(arr, use_backrefs=backrefs)
+    parsed = parse_webp(enc)
+    assert parsed is not None
+    pw, ph, pch, out = parsed
+    assert (pw, ph, pch) == (w, h, 4)
+    expect = arr if ch == 4 else np.dstack(
+        [arr, np.full((h, w), 255, "u1")]
+    )
+    assert np.array_equal(out, expect)
+    # damage: chop the last byte of the coded body AND shrink both
+    # size fields to match — a well-formed container whose bitstream
+    # ends early must be rejected, not padded
+    import struct as _struct
+
+    body_len = _struct.unpack_from("<I", enc, 16)[0]
+    if body_len > 2:
+        short = (enc[:4] + _struct.pack("<I", len(enc) - 8 - 1)
+                 + enc[8:16] + _struct.pack("<I", body_len - 1)
+                 + enc[20:20 + body_len - 1])
+        assert parse_webp(short) is None
