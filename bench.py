@@ -18,6 +18,14 @@ luck. The first pass still pays any one-time memo materialization
 (shingle table, verified pair frame, ANN index) under the query that
 triggers it, so those costs stay visible in pass-1 ordering; min() then
 reports the steady-state cost the memo design intends.
+
+Adjudicated wobbles (the per-round ledger of driver-bench readings that
+isolated idle probes showed to be host noise, not regressions):
+- r12 q_session_stats 1.99s -> six idle probes 0.7-0.85s on unchanged
+  code; BENCH_r13 read 0.94s, closing it.
+- r13 q_pseudonymize 1.19s (driver steal_pct 0.39, uniform ~1.08x
+  inflation) -> five r14 idle probes of the unchanged code read
+  0.69-1.01s at sf0.1, matching its r12 value of 0.74s. Host noise.
 """
 
 from __future__ import annotations
