@@ -23,18 +23,25 @@ Decoder (`parse_webp`) envelope:
   codes — see _DIST_MAP below for its provenance);
 - meta-prefix (multiple code groups selected by an entropy-coded
   meta image);
-- SUBTRACT_GREEN and COLOR_INDEXING transforms (fully specified,
-  no edge-rule ambiguity), including sub-byte pixel bundling at
-  palette sizes <= 16;
-- PREDICTOR and COLOR transforms return None: their per-block modes
-  are entropy-coded sub-images this module can read, but their edge
-  semantics (top-right wrap at row ends, boundary fallbacks) cannot
-  be verified here without a reference decoder or ground-truth
-  files, and the module's contract is None over invented pixels.
-  Real-world encoders usually enable the predictor transform, so
-  this subset decodes palette/simple-content files and everything
-  produced by encode_webp, not arbitrary cwebp output — the
-  documented swap-in point is this module, not the Spark plumbing.
+- ALL FOUR transforms (r14 second pass — the full VP8L transform
+  set): SUBTRACT_GREEN; COLOR_INDEXING incl. sub-byte pixel bundling
+  at palette sizes <= 16; PREDICTOR (all 14 modes with the spec's
+  edge rules — top row is L, left column is T, (0,0) is opaque
+  black, and the TR neighbor of a rightmost-column pixel wraps to
+  the leftmost pixel of the current row, which flat scan-order
+  addressing gives for free; Select's tie goes to TOP, and
+  ClampAddSubtractHalf divides toward zero like C); and COLOR
+  (cross-channel 3.5-fixed-point int8 deltas, arithmetic shift,
+  red_to_blue applied to the RECONSTRUCTED red). Each transform
+  records the image width current at its read point so its inverse
+  runs in the matching domain when chained with color indexing.
+  Verified by in-test spec-text FORWARD transformers (independent
+  per-channel re-derivations, not calls into this module) driving
+  hand-assembled streams through all 14 predictor modes and signed
+  color factors, plus scalar hand goldens for the tie-break and
+  truncation rules. This makes the decode envelope full VP8L; what
+  still returns None is lossy VP8 and the VP8X extended container
+  (different codecs), plus corrupt streams.
 
 Encoder (`encode_webp`): always-valid literal streams — per-channel
 canonical prefix codes (depth-capped with a Kraft completion pass)
@@ -357,13 +364,34 @@ def _decode_entropy_image(r: _LsbReader, w: int, h: int, level0: bool):
                     wbits = 1
                 else:
                     wbits = 0
-                transforms.append(("color_indexing", out, wbits))
+                transforms.append(("color_indexing", out, wbits, w))
                 if wbits:
                     w = (w + (1 << wbits) - 1) >> wbits
             else:
-                # PREDICTOR (0) / COLOR (1): edge semantics not
-                # verifiable here — out of envelope (module docstring)
-                return None
+                # PREDICTOR (0) / COLOR (1): a per-block mode/element
+                # sub-image at 1<<(3 bits + 2) granularity, read with
+                # the width CURRENT at this point in the transform
+                # chain (a color-indexing transform read earlier
+                # shrinks it) — record that width so the inverse runs
+                # in the matching domain.
+                sb = r.bits(3)
+                if sb is None:
+                    return None
+                size_bits = sb + 2
+                bw = (w + (1 << size_bits) - 1) >> size_bits
+                bh = (h + (1 << size_bits) - 1) >> size_bits
+                sub = _decode_entropy_image(r, bw, bh, False)
+                if sub is None:
+                    return None
+                if ttype == 0:
+                    modes = ((sub >> 8) & 0xFF).astype(np.int64)
+                    if modes.max() > 13:
+                        return None  # spec: predictor modes are 0..13
+                    transforms.append(("predictor", modes, size_bits, w))
+                else:
+                    transforms.append(
+                        ("color", sub.astype(np.uint32), size_bits, w)
+                    )
     cache_bits = 0
     has_cache = r.bits(1)
     if has_cache is None:
@@ -467,6 +495,151 @@ def _decode_entropy_image(r: _LsbReader, w: int, h: int, level0: bool):
     return out.reshape(h, w)
 
 
+def _avg2(a: int, b: int) -> int:
+    """Per-channel Average2 on packed ARGB (spec: (a + b) / 2 per
+    channel, floor): mask out the low bit of each channel before the
+    shift so no channel borrows from its neighbor, then add back the
+    carry bits both operands share."""
+    return (((a ^ b) & 0xFEFEFEFE) >> 1) + (a & b)
+
+
+def _clamp_add_subtract_full(l: int, t: int, tl: int) -> int:
+    out = 0
+    for shift in (24, 16, 8, 0):
+        v = ((l >> shift) & 0xFF) + ((t >> shift) & 0xFF) - ((tl >> shift) & 0xFF)
+        out |= max(0, min(255, v)) << shift
+    return out
+
+
+def _clamp_add_subtract_half(avg: int, tl: int) -> int:
+    # spec: Clamp(a + (a - b) / 2) with C int division — truncation
+    # TOWARD ZERO, which differs from Python's floor for negatives
+    out = 0
+    for shift in (24, 16, 8, 0):
+        a = (avg >> shift) & 0xFF
+        b = (tl >> shift) & 0xFF
+        d = a - b
+        v = a + (d // 2 if d >= 0 else -((-d) // 2))
+        out |= max(0, min(255, v)) << shift
+    return out
+
+
+def _select(l: int, t: int, tl: int) -> int:
+    # spec Select(): per-channel estimate p_c = L_c + T_c - TL_c, then
+    # Manhattan distance of L and T to the estimate; left wins only
+    # STRICTLY (pL < pT), so ties go to TOP. (Equivalent form: the
+    # per-channel |p-L| collapses to |T-TL| and |p-T| to |L-TL|, which
+    # is how the distances are usually written.)
+    p_l = 0
+    p_t = 0
+    for shift in (24, 16, 8, 0):
+        lc = (l >> shift) & 0xFF
+        tc = (t >> shift) & 0xFF
+        tlc = (tl >> shift) & 0xFF
+        pc = lc + tc - tlc
+        p_l += abs(pc - lc)
+        p_t += abs(pc - tc)
+    return l if p_l < p_t else t
+
+
+def _predict(mode: int, l: int, t: int, tl: int, tr: int) -> int:
+    if mode == 0:
+        return 0xFF000000
+    if mode == 1:
+        return l
+    if mode == 2:
+        return t
+    if mode == 3:
+        return tr
+    if mode == 4:
+        return tl
+    if mode == 5:
+        return _avg2(_avg2(l, tr), t)
+    if mode == 6:
+        return _avg2(l, tl)
+    if mode == 7:
+        return _avg2(l, t)
+    if mode == 8:
+        return _avg2(tl, t)
+    if mode == 9:
+        return _avg2(t, tr)
+    if mode == 10:
+        return _avg2(_avg2(l, tl), _avg2(t, tr))
+    if mode == 11:
+        return _select(l, t, tl)
+    if mode == 12:
+        return _clamp_add_subtract_full(l, t, tl)
+    return _clamp_add_subtract_half(_avg2(l, t), tl)  # mode 13
+
+
+def _inverse_predictor(res, w: int, h: int, modes, size_bits: int):
+    """Inverse predictor transform: reconstructed = (residual +
+    prediction) mod 256 per channel, scan order, predictions from
+    already-reconstructed neighbors. Spec edge rules: (0,0) is
+    mode 0 (0xff000000); the rest of the top row is L; the leftmost
+    column is T; and the TR neighbor of a rightmost-column pixel is
+    the LEFTMOST pixel of the CURRENT row — which in flat scan-order
+    addressing is exactly rec[p - w + 1], so no special case."""
+    rec = np.zeros_like(res)
+    for y in range(h):
+        row_mode = modes[y >> size_bits]
+        for x in range(w):
+            p = y * w + x
+            if y == 0:
+                pred = 0xFF000000 if x == 0 else int(rec[p - 1])
+            elif x == 0:
+                pred = int(rec[p - w])
+            else:
+                pred = _predict(
+                    int(row_mode[x >> size_bits]),
+                    int(rec[p - 1]), int(rec[p - w]),
+                    int(rec[p - w - 1]), int(rec[p - w + 1]),
+                )
+            v = int(res[p])
+            rec[p] = (
+                (((v >> 24 & 0xFF) + (pred >> 24 & 0xFF)) & 0xFF) << 24
+                | (((v >> 16 & 0xFF) + (pred >> 16 & 0xFF)) & 0xFF) << 16
+                | (((v >> 8 & 0xFF) + (pred >> 8 & 0xFF)) & 0xFF) << 8
+                | ((v & 0xFF) + (pred & 0xFF)) & 0xFF
+            )
+    return rec
+
+
+def _i8(v: int) -> int:
+    """Reinterpret a byte as a two's-complement int8."""
+    return v - 256 if v >= 128 else v
+
+
+def _inverse_color(flat, w: int, h: int, ctes, size_bits: int):
+    """Inverse color (cross-channel decorrelation) transform. Each
+    block's ColorTransformElement rides the sub-image pixel as
+    green_to_red = BLUE, green_to_blue = GREEN, red_to_blue = RED;
+    deltas are (int8 factor * int8 channel) >> 5 — a signed
+    3.5-fixed-point product with an ARITHMETIC shift (Python's >> on
+    negative ints matches) — and red_to_blue uses the RECONSTRUCTED
+    red, re-narrowed to int8."""
+    out = np.zeros_like(flat)
+    for y in range(h):
+        row_cte = ctes[y >> size_bits]
+        for x in range(w):
+            p = y * w + x
+            v = int(flat[p])
+            cte = int(row_cte[x >> size_bits])
+            g2r = _i8(cte & 0xFF)
+            g2b = _i8((cte >> 8) & 0xFF)
+            r2b = _i8((cte >> 16) & 0xFF)
+            g = _i8((v >> 8) & 0xFF)
+            tmp_red = ((v >> 16) & 0xFF) + ((g2r * g) >> 5)
+            tmp_blue = (v & 0xFF) + ((g2b * g) >> 5)
+            tmp_blue += (r2b * _i8(tmp_red & 0xFF)) >> 5
+            out[p] = (
+                (v & 0xFF00FF00)
+                | (tmp_red & 0xFF) << 16
+                | (tmp_blue & 0xFF)
+            )
+    return out
+
+
 def parse_webp(payload: bytes):
     """Decode a lossless WebP (VP8L) payload within the documented
     envelope: returns (width, height, 4, ndarray[h, w, 4] RGBA) or
@@ -498,30 +671,45 @@ def parse_webp(payload: bytes):
     if res is None:
         return None
     out, coded_w, transforms = res
-    # apply inverse transforms in reverse reading order
+    # apply inverse transforms in reverse reading order; each runs in
+    # the domain whose width was current when IT was read (cw tracks
+    # the running width — only color indexing changes it)
+    cw = coded_w
     for t in reversed(transforms):
         if t[0] == "subtract_green":
             g = (out >> 8) & 0xFF
             red = (((out >> 16) & 0xFF) + g) & 0xFF
             blue = ((out & 0xFF) + g) & 0xFF
             out = (out & 0xFF00FF00) | (red << 16) | blue
+        elif t[0] == "predictor":
+            _, modes, size_bits, w_t = t
+            if cw != w_t:
+                return None  # transform chain widths inconsistent
+            out = _inverse_predictor(out, w_t, h, modes, size_bits)
+        elif t[0] == "color":
+            _, ctes, size_bits, w_t = t
+            if cw != w_t:
+                return None
+            out = _inverse_color(out, w_t, h, ctes, size_bits)
         else:  # color_indexing
-            _, pal, wbits = t
+            _, pal, wbits, w_t = t
             if wbits:
-                packed = out.reshape(h, coded_w)
+                packed = out.reshape(h, cw)
                 per = 1 << wbits
                 ibits = 8 >> wbits
-                idx = np.zeros((h, coded_w * per), dtype=np.int64)
+                idx = np.zeros((h, cw * per), dtype=np.int64)
                 green = (packed >> 8) & 0xFF
                 for k in range(per):
                     idx[:, k::per] = (green >> (k * ibits)) & ((1 << ibits) - 1)
-                idx = idx[:, :w].reshape(-1)
+                idx = idx[:, :w_t].reshape(-1)
             else:
                 idx = ((out >> 8) & 0xFF).astype(np.int64)
             if idx.max() >= len(pal):
                 return None  # index beyond the palette
             out = pal[idx]
-            coded_w = w
+            cw = w_t
+    if cw != w:
+        return None  # a bundled image never unbundled back to w
     arr = np.empty((h, w, 4), dtype="u1")
     flat = out.reshape(h, w)
     arr[:, :, 0] = (flat >> 16) & 0xFF

@@ -3019,3 +3019,321 @@ def test_webp_hand_assembled_feature_streams():
     assert got is not None and got[:2] == (5, 2)
     assert [tuple(p) for p in got[3][0]] == px_row
     assert np.array_equal(got[3][1], got[3][0])
+
+
+def test_webp_predictor_scalar_goldens():
+    """r14 — hand-worked scalars for the two predictor rules where a
+    plausible misreading decodes real files wrong. Select's tie-break:
+    the spec returns LEFT only when pL is STRICTLY smaller (the
+    equivalent difference form sums |L-TL|-|T-TL| per channel and
+    returns TOP when <= 0), so an exact tie must yield TOP.
+    ClampAddSubtractHalf uses C integer division — truncation TOWARD
+    ZERO — so a negative (avg - TL) of -3 contributes -1, where
+    Python floor division would contribute -2."""
+    from polars_express_spark.functions.webp import (
+        _avg2,
+        _clamp_add_subtract_full,
+        _clamp_add_subtract_half,
+        _select,
+    )
+
+    def argb(a, r, g, b):
+        return a << 24 | r << 16 | g << 8 | b
+
+    # tie: only green differs; p_g = 10+20-15 = 15, |15-10| = |15-20|
+    l, t, tl = argb(255, 7, 10, 7), argb(255, 7, 20, 7), argb(255, 7, 15, 7)
+    assert _select(l, t, tl) == t  # tie -> TOP
+    # strict win for left: move TL's green next to T's
+    tl2 = argb(255, 7, 19, 7)  # pL = |20-19| = 1, pT = |10-19| = 9
+    assert _select(l, t, tl2) == l
+
+    # toward-zero: avg=10, TL=13 -> 10 + (-3 -> -1) = 9 (floor gives 8)
+    assert _clamp_add_subtract_half(argb(255, 10, 10, 10),
+                                    argb(255, 13, 13, 13)) \
+        == argb(255, 9, 9, 9)
+    # clamps both ends: avg=200,TL=10 -> 200+95=295 -> 255;
+    # avg=5,TL=250 -> 5-122=-117 -> 0
+    assert _clamp_add_subtract_half(argb(255, 200, 5, 200),
+                                    argb(255, 10, 250, 10)) \
+        == argb(255, 255, 0, 255)
+    assert _clamp_add_subtract_full(argb(255, 200, 5, 100),
+                                    argb(255, 100, 5, 200),
+                                    argb(255, 10, 250, 50)) \
+        == argb(255, 255, 0, 250)
+    # SWAR average must not borrow across channels: avg(0x01, 0x00FF)
+    # per channel is (0,0,0x7f... ) e.g. bytes (1+255)//2 independent
+    assert _avg2(argb(0, 0, 0, 1), argb(0, 0, 1, 255)) == argb(0, 0, 0, 128)
+
+
+def _fwd_predict_ref(mode, L, T, TL, TR):
+    """Spec-text predictor, re-derived per channel on (a,r,g,b) tuples
+    — independent of the module's packed-SWAR implementation."""
+
+    def avg2(p, q):
+        return tuple((pc + qc) // 2 for pc, qc in zip(p, q))
+
+    def clamp(v):
+        return max(0, min(255, v))
+
+    if mode == 0:
+        return (255, 0, 0, 0)
+    if mode == 1:
+        return L
+    if mode == 2:
+        return T
+    if mode == 3:
+        return TR
+    if mode == 4:
+        return TL
+    if mode == 5:
+        return avg2(avg2(L, TR), T)
+    if mode == 6:
+        return avg2(L, TL)
+    if mode == 7:
+        return avg2(L, T)
+    if mode == 8:
+        return avg2(TL, T)
+    if mode == 9:
+        return avg2(T, TR)
+    if mode == 10:
+        return avg2(avg2(L, TL), avg2(T, TR))
+    if mode == 11:
+        p = tuple(lc + tc - tlc for lc, tc, tlc in zip(L, T, TL))
+        pl = sum(abs(pc - lc) for pc, lc in zip(p, L))
+        pt = sum(abs(pc - tc) for pc, tc in zip(p, T))
+        return L if pl < pt else T
+    if mode == 12:
+        return tuple(
+            clamp(lc + tc - tlc) for lc, tc, tlc in zip(L, T, TL)
+        )
+    a = avg2(L, T)
+    out = []
+    for ac, tlc in zip(a, TL):
+        d = ac - tlc
+        half = d // 2 if d >= 0 else -((-d) // 2)
+        out.append(clamp(ac + half))
+    return tuple(out)  # mode 13
+
+
+def _webp_literal_body(wtr, argb_px, level0=True):
+    """Write one entropy-coded image of literal ARGB pixels: cache
+    bit, no meta (level0 only — sub-images carry no meta bit), five
+    prefix codes, then per-pixel symbols."""
+    from polars_express_spark.functions.webp import (
+        _canonical_codes,
+        _canonical_lengths,
+        _write_prefix_code,
+        _write_symbol,
+    )
+
+    wtr.bits(0, 1)  # no color cache
+    if level0:
+        wtr.bits(0, 1)  # no meta prefix image
+    freqs = [[0] * 280, [0] * 256, [0] * 256, [0] * 256]
+    for a, r, g, b in argb_px:
+        freqs[0][g] += 1
+        freqs[1][r] += 1
+        freqs[2][b] += 1
+        freqs[3][a] += 1
+    codes = []
+    for f, nsym in zip(freqs, (280, 256, 256, 256)):
+        ls = _canonical_lengths(f, 15)
+        if ls is None:  # single distinct symbol: simple 1-symbol code
+            s = next(i for i, v in enumerate(f) if v)
+            _webp_simple_code(wtr, [s])
+            codes.append({s: (0, 0)})
+            continue
+        _write_prefix_code(wtr, ls)
+        codes.append(_canonical_codes(ls))
+    _webp_simple_code(wtr, [0])  # distance code: unused single symbol
+    for a, r, g, b in argb_px:
+        for ci, sym in ((0, g), (1, r), (2, b), (3, a)):
+            if len(codes[ci]) > 1:
+                _write_symbol(wtr, codes[ci], sym)
+
+
+def test_webp_predictor_transform_all_modes():
+    """r14 — full-stream inverse-predictor verification: for every
+    mode 0..13, forward-transform a seeded 5x4 RGBA raster with the
+    independent spec-text reference above (edge rules: (0,0) opaque
+    black, top row L, left column T, rightmost-column TR = leftmost
+    pixel of the CURRENT row), hand-assemble a VP8L stream carrying
+    the residuals plus a predictor transform whose 1-block-per-image
+    mode sub-image selects the mode, and require parse_webp to
+    reconstruct the original raster exactly."""
+    import numpy as np
+
+    from polars_express_spark.functions.webp import _LsbWriter, parse_webp
+
+    rng = np.random.RandomState(14)
+    w, h = 5, 4
+    for mode in range(14):
+        arr = rng.randint(0, 256, (h, w, 4)).astype("u1")
+
+        def px(y, x):
+            return (int(arr[y, x, 3]), int(arr[y, x, 0]),
+                    int(arr[y, x, 1]), int(arr[y, x, 2]))
+
+        residuals = []
+        for y in range(h):
+            for x in range(w):
+                if y == 0 and x == 0:
+                    pred = (255, 0, 0, 0)
+                elif y == 0:
+                    pred = px(0, x - 1)
+                elif x == 0:
+                    pred = px(y - 1, 0)
+                else:
+                    tr = px(y - 1, x + 1) if x + 1 < w else px(y, 0)
+                    pred = _fwd_predict_ref(
+                        mode, px(y, x - 1), px(y - 1, x), px(y - 1, x - 1), tr
+                    )
+                residuals.append(tuple(
+                    (o - pc) % 256 for o, pc in zip(px(y, x), pred)
+                ))
+
+        wtr = _LsbWriter()
+        wtr.bits(w - 1, 14)
+        wtr.bits(h - 1, 14)
+        wtr.bits(1, 1)   # alpha hint
+        wtr.bits(0, 3)   # version
+        wtr.bits(1, 1)   # transform present
+        wtr.bits(0, 2)   # PREDICTOR
+        wtr.bits(1, 3)   # size_bits = 3 -> 8x8 blocks -> 1x1 sub-image
+        # mode sub-image: green = mode, others constant
+        wtr.bits(0, 1)   # sub-image: no cache
+        _webp_simple_code(wtr, [mode])  # green
+        _webp_simple_code(wtr, [0])     # red
+        _webp_simple_code(wtr, [0])     # blue
+        _webp_simple_code(wtr, [255])   # alpha
+        _webp_simple_code(wtr, [0])     # distance
+        wtr.bits(0, 1)   # no more transforms
+        _webp_literal_body(wtr, residuals)
+        got = parse_webp(_webp_container(wtr.finish()))
+        assert got is not None, f"mode {mode} failed to decode"
+        gw, gh, gch, out = got
+        assert (gw, gh, gch) == (w, h, 4)
+        rgba = np.dstack([
+            arr[:, :, 0], arr[:, :, 1], arr[:, :, 2], arr[:, :, 3]
+        ])
+        assert np.array_equal(out, rgba), f"mode {mode} wrong pixels"
+
+
+def test_webp_color_transform_signed_factors():
+    """r14 — inverse color transform: forward-transform a raster whose
+    greens span the int8 sign boundary with factors including negative
+    3.5-fixed-point values (0x90 = -112), using an independent
+    spec-text forward (deltas (int8 t * int8 c) >> 5 arithmetic,
+    red_to_blue applied to the ORIGINAL red on the forward side and
+    the RECONSTRUCTED red on the inverse), then require an exact
+    round trip through parse_webp."""
+    import numpy as np
+
+    from polars_express_spark.functions.webp import _LsbWriter, parse_webp
+
+    def i8(v):
+        return v - 256 if v >= 128 else v
+
+    def delta(t, c):
+        return (i8(t) * i8(c)) >> 5
+
+    g2r, g2b, r2b = 0x90, 0x35, 0xE0  # -112, +53, -32
+    rng = np.random.RandomState(41)
+    w, h = 4, 4
+    arr = rng.randint(0, 256, (h, w, 4)).astype("u1")
+    residuals = []
+    for y in range(h):
+        for x in range(w):
+            r, g, b, a = (int(arr[y, x, c]) for c in range(4))
+            nr = (r - delta(g2r, g)) & 0xFF
+            nb = (b - delta(g2b, g) - delta(r2b, r)) & 0xFF
+            residuals.append((a, nr, g, nb))
+
+    wtr = _LsbWriter()
+    wtr.bits(w - 1, 14)
+    wtr.bits(h - 1, 14)
+    wtr.bits(1, 1)
+    wtr.bits(0, 3)
+    wtr.bits(1, 1)   # transform present
+    wtr.bits(1, 2)   # COLOR
+    wtr.bits(1, 3)   # size_bits = 3 -> one block
+    # cte sub-image pixel: red=r2b, green=g2b, blue=g2r
+    wtr.bits(0, 1)
+    _webp_simple_code(wtr, [g2b])   # green channel
+    _webp_simple_code(wtr, [r2b])   # red channel
+    _webp_simple_code(wtr, [g2r])   # blue channel
+    _webp_simple_code(wtr, [255])   # alpha
+    _webp_simple_code(wtr, [0])     # distance
+    wtr.bits(0, 1)   # no more transforms
+    _webp_literal_body(wtr, residuals)
+    got = parse_webp(_webp_container(wtr.finish()))
+    assert got is not None
+    assert got[:2] == (w, h)
+    rgba = np.dstack([arr[:, :, 0], arr[:, :, 1], arr[:, :, 2], arr[:, :, 3]])
+    assert np.array_equal(got[3], rgba)
+
+
+def test_webp_chained_predictor_subtract_green():
+    """r14 — transform chaining: read order [predictor,
+    subtract_green] means the decoder un-does subtract_green FIRST,
+    then the predictor, so the coded stream must carry
+    subtract_green(predictor_residuals(img)). A 9x5 raster with
+    4x4 blocks gives a 3x2 mode sub-image mixing six different modes,
+    so block-boundary mode switching is exercised in the same
+    stream."""
+    import numpy as np
+
+    from polars_express_spark.functions.webp import _LsbWriter, parse_webp
+
+    rng = np.random.RandomState(7)
+    w, h = 9, 5
+    size_bits = 2
+    modes2d = [[11, 12, 13], [5, 9, 3]]
+    arr = rng.randint(0, 256, (h, w, 4)).astype("u1")
+
+    def px(y, x):
+        return (int(arr[y, x, 3]), int(arr[y, x, 0]),
+                int(arr[y, x, 1]), int(arr[y, x, 2]))
+
+    coded = []
+    for y in range(h):
+        for x in range(w):
+            if y == 0 and x == 0:
+                pred = (255, 0, 0, 0)
+            elif y == 0:
+                pred = px(0, x - 1)
+            elif x == 0:
+                pred = px(y - 1, 0)
+            else:
+                tr = px(y - 1, x + 1) if x + 1 < w else px(y, 0)
+                pred = _fwd_predict_ref(
+                    modes2d[y >> size_bits][x >> size_bits],
+                    px(y, x - 1), px(y - 1, x), px(y - 1, x - 1), tr,
+                )
+            a, r, g, b = (
+                (o - pc) % 256 for o, pc in zip(px(y, x), pred)
+            )
+            # forward subtract-green on the residual stream
+            coded.append((a, (r - g) % 256, g, (b - g) % 256))
+
+    wtr = _LsbWriter()
+    wtr.bits(w - 1, 14)
+    wtr.bits(h - 1, 14)
+    wtr.bits(1, 1)
+    wtr.bits(0, 3)
+    wtr.bits(1, 1)   # transform: PREDICTOR
+    wtr.bits(0, 2)
+    wtr.bits(0, 3)   # size_bits = 2 -> 4x4 blocks -> 3x2 sub-image
+    _webp_literal_body(
+        wtr, [(255, 0, m, 0) for row in modes2d for m in row],
+        level0=False,
+    )
+    wtr.bits(1, 1)   # transform: SUBTRACT_GREEN
+    wtr.bits(2, 2)
+    wtr.bits(0, 1)   # no more transforms
+    _webp_literal_body(wtr, coded)
+    got = parse_webp(_webp_container(wtr.finish()))
+    assert got is not None
+    assert got[:2] == (w, h)
+    rgba = np.dstack([arr[:, :, 0], arr[:, :, 1], arr[:, :, 2], arr[:, :, 3]])
+    assert np.array_equal(got[3], rgba)
