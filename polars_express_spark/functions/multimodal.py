@@ -154,13 +154,33 @@ def parse_image_header(payload: bytes):
         len(payload) >= 25
         and payload[:4] == b"RIFF"
         and payload[8:12] == b"WEBP"
-        and payload[12:16] == b"VP8L"
-        and payload[20] == 0x2F
     ):
-        # lossless WebP (r14): 14-bit dims LSB-packed after the 0x2F
-        # signature byte
-        bits = int.from_bytes(payload[21:25], "little")
-        return (bits & 0x3FFF) + 1, ((bits >> 14) & 0x3FFF) + 1, 4
+        # WebP (r14): header-level dims for all three container
+        # flavors; full pixel decode (parse_webp) covers VP8L only
+        if payload[12:16] == b"VP8L" and payload[20] == 0x2F:
+            # lossless: 14-bit dims LSB-packed after the 0x2F byte
+            bits = int.from_bytes(payload[21:25], "little")
+            return (bits & 0x3FFF) + 1, ((bits >> 14) & 0x3FFF) + 1, 4
+        if payload[12:16] == b"VP8X" and len(payload) >= 30:
+            # extended: flags u32, then 24-bit canvas dims minus one
+            w = int.from_bytes(payload[24:27], "little") + 1
+            h = int.from_bytes(payload[27:30], "little") + 1
+            # flag bit 4 (0x10) = alpha present
+            return w, h, 4 if payload[20] & 0x10 else 3
+        if (
+            payload[12:16] == b"VP8 "
+            and len(payload) >= 30
+            and payload[23:26] == b"\x9d\x01\x2a"
+            # key frame only: inter frames carry no dims (tag bit 0
+            # is the frame type, 0 = key frame)
+            and not payload[20] & 0x01
+        ):
+            # lossy key frame: 3-byte frame tag, sync code 9D 01 2A,
+            # then 14-bit dims (upper 2 bits are the scale hint)
+            w = struct.unpack_from("<H", payload, 26)[0] & 0x3FFF
+            h = struct.unpack_from("<H", payload, 28)[0] & 0x3FFF
+            if w and h:
+                return w, h, 3
     if payload[:2] in (b"P5", b"P6"):  # Netpbm: full pixels decodable too
         parsed = parse_netpbm(payload)
         if parsed is not None:

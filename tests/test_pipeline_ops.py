@@ -3337,3 +3337,40 @@ def test_webp_chained_predictor_subtract_green():
     assert got[:2] == (w, h)
     rgba = np.dstack([arr[:, :, 0], arr[:, :, 1], arr[:, :, 2], arr[:, :, 3]])
     assert np.array_equal(got[3], rgba)
+
+
+def test_webp_header_dims_all_flavors():
+    """r14 — parse_image_header returns dims for every WebP container
+    flavor even though full pixel decode covers VP8L only: VP8X's
+    24-bit canvas-minus-one fields (alpha from flag bit 0x10), and a
+    lossy VP8 KEY frame's 14-bit dims behind the 9D 01 2A sync code
+    (an inter frame, tag bit 0 set, carries no dims and must return
+    None rather than garbage)."""
+    import struct
+
+    from polars_express_spark.functions.multimodal import parse_image_header
+    from polars_express_spark.functions.webp import parse_webp
+
+    vp8x = (
+        b"RIFF" + struct.pack("<I", 22) + b"WEBP" + b"VP8X"
+        + struct.pack("<I", 10) + bytes([0x10, 0, 0, 0])
+        + (639).to_bytes(3, "little") + (479).to_bytes(3, "little")
+    )
+    assert parse_image_header(vp8x) == (640, 480, 4)
+    no_alpha = vp8x[:20] + b"\x00" + vp8x[21:]
+    assert parse_image_header(no_alpha) == (640, 480, 3)
+    assert parse_webp(vp8x) is None  # full decode stays VP8L-only
+
+    def vp8_lossy(tag0, w_field, h_field):
+        body = bytes([tag0, 0, 0]) + b"\x9d\x01\x2a" + struct.pack(
+            "<HH", w_field, h_field
+        )
+        return (b"RIFF" + struct.pack("<I", 12 + len(body)) + b"WEBP"
+                + b"VP8 " + struct.pack("<I", len(body)) + body)
+
+    # key frame, scale hints in the upper 2 bits must be masked off
+    assert parse_image_header(vp8_lossy(0x30, 320 | (2 << 14), 200)) \
+        == (320, 200, 3)
+    # inter frame (tag bit 0 set): no dims in the stream
+    assert parse_image_header(vp8_lossy(0x31, 320, 200)) is None
+    assert parse_webp(vp8_lossy(0x30, 320, 200)) is None
