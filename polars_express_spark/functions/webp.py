@@ -848,12 +848,16 @@ def _write_prefix_code(wtr: _LsbWriter, lengths):
             wtr.bits(extra, nbits)
 
 
-def encode_webp(arr, use_backrefs: bool = False) -> bytes:
+def encode_webp(
+    arr, use_backrefs: bool = False, subtract_green: bool = False
+) -> bytes:
     """Encode an (h, w, 3|4) uint8 raster as lossless WebP (VP8L):
     literal stream with per-channel canonical prefix codes, optional
     distance-1 run backrefs (plain distance code 121) when
-    ``use_backrefs`` — exercising the decoder's LZ77 path — no
-    transforms, no cache, no meta image."""
+    ``use_backrefs`` — exercising the decoder's LZ77 path — and
+    optionally the SUBTRACT_GREEN transform (red/blue stored as
+    mod-256 deltas against green, the cheapest real decorrelation);
+    no cache, no meta image. Lossless either way."""
     arr = np.asarray(arr, dtype="u1")
     h, w, ch = arr.shape
     if ch == 3:
@@ -862,6 +866,11 @@ def encode_webp(arr, use_backrefs: bool = False) -> bytes:
         rgba = arr
     else:
         raise ValueError("WebP carries 3 or 4 channels")
+    if subtract_green:
+        g = rgba[:, :, 1]
+        rgba = np.dstack([
+            rgba[:, :, 0] - g, g, rgba[:, :, 2] - g, rgba[:, :, 3]
+        ])  # uint8 arithmetic wraps mod 256, matching the spec
     flat = rgba.reshape(-1, 4)
     n = flat.shape[0]
     # tokenize: literals + optional runs of the previous pixel
@@ -916,6 +925,9 @@ def encode_webp(arr, use_backrefs: bool = False) -> bytes:
     wtr.bits(h - 1, 14)
     wtr.bits(1 if ch == 4 else 0, 1)  # alpha hint
     wtr.bits(0, 3)  # version
+    if subtract_green:
+        wtr.bits(1, 1)  # transform present
+        wtr.bits(2, 2)  # SUBTRACT_GREEN (no payload)
     wtr.bits(0, 1)  # no more transforms
     wtr.bits(0, 1)  # no color cache
     wtr.bits(0, 1)  # no meta prefix image

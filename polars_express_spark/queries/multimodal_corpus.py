@@ -2134,7 +2134,7 @@ def q_multimodal_ico(spark, sf_dir):
     "q_multimodal_webp",
     oracle="""
     WITH d AS (
-      SELECT doc_id, text, CAST(doc_id % 2 AS INT) AS m
+      SELECT doc_id, text, CAST(doc_id % 3 AS INT) AS m
       FROM documents WHERE text IS NOT NULL AND length(text) > 0
     ), px AS (
       SELECT doc_id,
@@ -2160,16 +2160,18 @@ def q_multimodal_webp(spark, sf_dir):
     canonical prefix codes whose lengths are themselves prefix-coded
     with RLE symbols 16/17/18, serialized LSB-first). 4x4 RGBA rasters
     from stride-41 formula samples (each codec query owns a distinct
-    stride); doc_id parity picks the stream shape — even docs are
-    pure per-channel literal streams, odd docs repeat the formula
-    every 4 samples so all 16 pixels are identical and encode_webp
+    stride); doc_id mod 3 picks the stream shape — m=0 docs are pure
+    per-channel literal streams, m=1 docs repeat the formula every 4
+    samples so all 16 pixels are identical and encode_webp
     (use_backrefs) emits one literal plus a 2-D LZ77 run through
-    plain distance code 121, putting the backref decode path under
+    plain distance code 121, and m=2 docs carry the SUBTRACT_GREEN
+    transform (red/blue stored as mod-256 deltas against green), so
+    the backref decode path AND a real transform inverse sit under
     the hash, not just under goldens. Decoded back through parse_webp
     by decode_pixel_stats; the oracle computes the stats straight
     from the formula, never touching VP8L — a hash match proves
-    decode(encode(x)) = x across both stream shapes, including the
-    code-length-code serialization both directions. Scale shape: one
+    decode(encode(x)) = x across all three stream shapes, including
+    the code-length-code serialization both directions. Scale shape: one
     scan, one doc_id exchange (_codec_parallel), two fused
     Arrow-batched mapInPandas stages (plan-pinned with the other
     media queries in tests/test_plans.py)."""
@@ -2185,11 +2187,11 @@ def q_multimodal_webp(spark, sf_dir):
     )
     px = d.select(
         "doc_id",
-        (F.col("doc_id") % 2).cast("int").alias("m"),
+        (F.col("doc_id") % 3).cast("int").alias("m"),
         F.expr(
             "transform(sequence(0, 63),"
             " i -> ascii(substring(text,"
-            "   (((CASE WHEN doc_id % 2 = 1 THEN i % 4 ELSE i END) * 41)"
+            "   (((CASE WHEN doc_id % 3 = 1 THEN i % 4 ELSE i END) * 41)"
             "     % length(text)) + 1, 1)) % 256)"
         ).alias("p"),
     )
@@ -2201,7 +2203,11 @@ def q_multimodal_webp(spark, sf_dir):
             payloads = []
             for m, p in zip(pdf["m"], pdf["p"]):
                 arr = np.array(p, dtype="u1").reshape(4, 4, 4)
-                payloads.append(encode_webp(arr, use_backrefs=int(m) == 1))
+                payloads.append(encode_webp(
+                    arr,
+                    use_backrefs=int(m) == 1,
+                    subtract_green=int(m) == 2,
+                ))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
     enc = _codec_parallel(px).mapInPandas(

@@ -1819,11 +1819,12 @@ def test_ico_roundtrip_exact(n, data, seed):
     h=st.integers(1, 10),
     alpha=st.booleans(),
     backrefs=st.booleans(),
+    sub_green=st.booleans(),
     low_entropy=st.booleans(),
     seed=st.integers(0, 2**31 - 1),
 )
 @settings(max_examples=80, deadline=None)
-def test_webp_roundtrip_exact(w, h, alpha, backrefs, low_entropy, seed):
+def test_webp_roundtrip_exact(w, h, alpha, backrefs, sub_green, low_entropy, seed):
     """r14 — encode_webp(random raster) → parse_webp recovers dims and
     every sample exactly (VP8L is lossless; a 3-channel input comes
     back RGBA with constant 255 alpha). The low-entropy regime (few
@@ -1843,7 +1844,7 @@ def test_webp_roundtrip_exact(w, h, alpha, backrefs, low_entropy, seed):
         arr = (rng.randint(0, 3, (h, w, ch)) * 7 + 100).astype("u1")
     else:
         arr = rng.randint(0, 256, (h, w, ch)).astype("u1")
-    enc = encode_webp(arr, use_backrefs=backrefs)
+    enc = encode_webp(arr, use_backrefs=backrefs, subtract_green=sub_green)
     parsed = parse_webp(enc)
     assert parsed is not None
     pw, ph, pch, out = parsed
