@@ -848,16 +848,36 @@ def _write_prefix_code(wtr: _LsbWriter, lengths):
             wtr.bits(extra, nbits)
 
 
+def _write_simple_code(wtr, syms) -> None:
+    """Write a 'simple' prefix code (1 or 2 symbols, 8-bit spelling)."""
+    wtr.bits(1, 1)  # simple-code flag
+    wtr.bits(len(syms) - 1, 1)
+    wtr.bits(1, 1)  # first symbol stored in 8 bits
+    wtr.bits(syms[0], 8)
+    if len(syms) == 2:
+        wtr.bits(syms[1], 8)
+
+
 def encode_webp(
-    arr, use_backrefs: bool = False, subtract_green: bool = False
+    arr,
+    use_backrefs: bool = False,
+    subtract_green: bool = False,
+    predictor_mode: int | None = None,
 ) -> bytes:
     """Encode an (h, w, 3|4) uint8 raster as lossless WebP (VP8L):
     literal stream with per-channel canonical prefix codes, optional
     distance-1 run backrefs (plain distance code 121) when
-    ``use_backrefs`` — exercising the decoder's LZ77 path — and
+    ``use_backrefs`` — exercising the decoder's LZ77 path —
     optionally the SUBTRACT_GREEN transform (red/blue stored as
-    mod-256 deltas against green, the cheapest real decorrelation);
-    no cache, no meta image. Lossless either way."""
+    mod-256 deltas against green, the cheapest real decorrelation),
+    and optionally a single-mode PREDICTOR transform (one whole-image
+    block; residuals = pixel - _predict(...) mod 256 per channel, the
+    exact inverse of _inverse_predictor, with the same spec edge
+    rules); no cache, no meta image. Lossless in every combination.
+    When both transforms are requested the predictor is written FIRST
+    (read order [predictor, subtract_green] → the decoder undoes
+    subtract-green first), so subtract-green is applied to the
+    residual stream here."""
     arr = np.asarray(arr, dtype="u1")
     h, w, ch = arr.shape
     if ch == 3:
@@ -866,6 +886,43 @@ def encode_webp(
         rgba = arr
     else:
         raise ValueError("WebP carries 3 or 4 channels")
+    if predictor_mode is not None:
+        if not 0 <= predictor_mode <= 13:
+            raise ValueError("predictor modes are 0..13")
+        packed = (
+            rgba[:, :, 3].astype(np.uint32) << 24
+            | rgba[:, :, 0].astype(np.uint32) << 16
+            | rgba[:, :, 1].astype(np.uint32) << 8
+            | rgba[:, :, 2].astype(np.uint32)
+        ).reshape(-1)
+        res = np.zeros_like(packed)
+        for y in range(h):
+            for x in range(w):
+                p = y * w + x
+                if y == 0:
+                    pred = 0xFF000000 if x == 0 else int(packed[p - 1])
+                elif x == 0:
+                    pred = int(packed[p - w])
+                else:
+                    pred = _predict(
+                        predictor_mode,
+                        int(packed[p - 1]), int(packed[p - w]),
+                        int(packed[p - w - 1]), int(packed[p - w + 1]),
+                    )
+                v = int(packed[p])
+                res[p] = (
+                    (((v >> 24 & 0xFF) - (pred >> 24 & 0xFF)) & 0xFF) << 24
+                    | (((v >> 16 & 0xFF) - (pred >> 16 & 0xFF)) & 0xFF) << 16
+                    | (((v >> 8 & 0xFF) - (pred >> 8 & 0xFF)) & 0xFF) << 8
+                    | ((v & 0xFF) - (pred & 0xFF)) & 0xFF
+                )
+        res = res.reshape(h, w)
+        rgba = np.dstack([
+            ((res >> 16) & 0xFF).astype("u1"),
+            ((res >> 8) & 0xFF).astype("u1"),
+            (res & 0xFF).astype("u1"),
+            ((res >> 24) & 0xFF).astype("u1"),
+        ])
     if subtract_green:
         g = rgba[:, :, 1]
         rgba = np.dstack([
@@ -925,6 +982,15 @@ def encode_webp(
     wtr.bits(h - 1, 14)
     wtr.bits(1 if ch == 4 else 0, 1)  # alpha hint
     wtr.bits(0, 3)  # version
+    if predictor_mode is not None:
+        wtr.bits(1, 1)  # transform present
+        wtr.bits(0, 2)  # PREDICTOR
+        wtr.bits(7, 3)  # size_bits = 9 -> 512px blocks, all same mode
+        # mode sub-image: every pixel is 0-bit single-symbol codes,
+        # so ANY block count costs nothing beyond the code headers
+        wtr.bits(0, 1)  # sub-image: no color cache
+        for syms in ([predictor_mode], [0], [0], [255], [0]):
+            _write_simple_code(wtr, syms)
     if subtract_green:
         wtr.bits(1, 1)  # transform present
         wtr.bits(2, 2)  # SUBTRACT_GREEN (no payload)

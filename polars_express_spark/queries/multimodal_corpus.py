@@ -2134,7 +2134,7 @@ def q_multimodal_ico(spark, sf_dir):
     "q_multimodal_webp",
     oracle="""
     WITH d AS (
-      SELECT doc_id, text, CAST(doc_id % 3 AS INT) AS m
+      SELECT doc_id, text, CAST(doc_id % 4 AS INT) AS m
       FROM documents WHERE text IS NOT NULL AND length(text) > 0
     ), px AS (
       SELECT doc_id,
@@ -2160,17 +2160,20 @@ def q_multimodal_webp(spark, sf_dir):
     canonical prefix codes whose lengths are themselves prefix-coded
     with RLE symbols 16/17/18, serialized LSB-first). 4x4 RGBA rasters
     from stride-41 formula samples (each codec query owns a distinct
-    stride); doc_id mod 3 picks the stream shape — m=0 docs are pure
+    stride); doc_id mod 4 picks the stream shape — m=0 docs are pure
     per-channel literal streams, m=1 docs repeat the formula every 4
     samples so all 16 pixels are identical and encode_webp
     (use_backrefs) emits one literal plus a 2-D LZ77 run through
-    plain distance code 121, and m=2 docs carry the SUBTRACT_GREEN
-    transform (red/blue stored as mod-256 deltas against green), so
-    the backref decode path AND a real transform inverse sit under
-    the hash, not just under goldens. Decoded back through parse_webp
+    plain distance code 121, m=2 docs carry the SUBTRACT_GREEN
+    transform (red/blue stored as mod-256 deltas against green), and
+    m=3 docs carry a PREDICTOR transform (mode 12,
+    ClampAddSubtractFull — residuals against the clamped L+T-TL
+    gradient with the spec's edge rules), so the backref decode path
+    AND two real transform inverses sit under the hash, not just
+    under goldens. Decoded back through parse_webp
     by decode_pixel_stats; the oracle computes the stats straight
     from the formula, never touching VP8L — a hash match proves
-    decode(encode(x)) = x across all three stream shapes, including
+    decode(encode(x)) = x across all four stream shapes, including
     the code-length-code serialization both directions. Scale shape: one
     scan, one doc_id exchange (_codec_parallel), two fused
     Arrow-batched mapInPandas stages (plan-pinned with the other
@@ -2187,11 +2190,11 @@ def q_multimodal_webp(spark, sf_dir):
     )
     px = d.select(
         "doc_id",
-        (F.col("doc_id") % 3).cast("int").alias("m"),
+        (F.col("doc_id") % 4).cast("int").alias("m"),
         F.expr(
             "transform(sequence(0, 63),"
             " i -> ascii(substring(text,"
-            "   (((CASE WHEN doc_id % 3 = 1 THEN i % 4 ELSE i END) * 41)"
+            "   (((CASE WHEN doc_id % 4 = 1 THEN i % 4 ELSE i END) * 41)"
             "     % length(text)) + 1, 1)) % 256)"
         ).alias("p"),
     )
@@ -2202,11 +2205,13 @@ def q_multimodal_webp(spark, sf_dir):
         for pdf in batches:
             payloads = []
             for m, p in zip(pdf["m"], pdf["p"]):
+                m = int(m)
                 arr = np.array(p, dtype="u1").reshape(4, 4, 4)
                 payloads.append(encode_webp(
                     arr,
-                    use_backrefs=int(m) == 1,
-                    subtract_green=int(m) == 2,
+                    use_backrefs=m == 1,
+                    subtract_green=m == 2,
+                    predictor_mode=12 if m == 3 else None,
                 ))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 

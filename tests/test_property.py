@@ -1820,11 +1820,14 @@ def test_ico_roundtrip_exact(n, data, seed):
     alpha=st.booleans(),
     backrefs=st.booleans(),
     sub_green=st.booleans(),
+    pred=st.one_of(st.none(), st.integers(0, 13)),
     low_entropy=st.booleans(),
     seed=st.integers(0, 2**31 - 1),
 )
-@settings(max_examples=80, deadline=None)
-def test_webp_roundtrip_exact(w, h, alpha, backrefs, sub_green, low_entropy, seed):
+@settings(max_examples=120, deadline=None)
+def test_webp_roundtrip_exact(
+    w, h, alpha, backrefs, sub_green, pred, low_entropy, seed
+):
     """r14 — encode_webp(random raster) → parse_webp recovers dims and
     every sample exactly (VP8L is lossless; a 3-channel input comes
     back RGBA with constant 255 alpha). The low-entropy regime (few
@@ -1844,7 +1847,10 @@ def test_webp_roundtrip_exact(w, h, alpha, backrefs, sub_green, low_entropy, see
         arr = (rng.randint(0, 3, (h, w, ch)) * 7 + 100).astype("u1")
     else:
         arr = rng.randint(0, 256, (h, w, ch)).astype("u1")
-    enc = encode_webp(arr, use_backrefs=backrefs, subtract_green=sub_green)
+    enc = encode_webp(
+        arr, use_backrefs=backrefs, subtract_green=sub_green,
+        predictor_mode=pred,
+    )
     parsed = parse_webp(enc)
     assert parsed is not None
     pw, ph, pch, out = parsed
