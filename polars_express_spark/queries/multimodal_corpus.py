@@ -817,7 +817,7 @@ def q_multimodal_au(spark, sf_dir):
              CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS nch,
              CASE WHEN doc_id % 2 = 0 THEN 4 ELSE 48 END AS nsamp
       FROM documents
-      WHERE text IS NOT NULL AND length(text) > 0 AND doc_id % 4 < 2
+      WHERE text IS NOT NULL AND length(text) > 0 AND doc_id % 8 < 2
     ), px AS (
       SELECT doc_id, m, nch, f.f AS frame_no,
              ascii(substr(text, ((g.i * 17 + f.f) % length(text)) + 1, 1))
@@ -874,10 +874,11 @@ def q_multimodal_video(spark, sf_dir):
 
     d = load_table(spark, sf_dir, "documents").where(
         F.col("text").isNotNull() & (F.length("text") > 0)
-        # half the corpus, both codec parities kept (doc%4=0 -> MJPEG,
-        # doc%4=1 -> DIB): the three-Arrow-stage video tier costs ~2x a
-        # flat codec query per doc, so population is what the band buys
-        & (F.col("doc_id") % 4 < 2)
+        # quarter of the corpus, both codec parities kept (doc%8=0 ->
+        # MJPEG, doc%8=1 -> DIB): the three-Arrow-stage video tier costs
+        # ~2x a flat codec query per doc, and the r14 idle bench still
+        # read 2.58s at half population — population is what the band buys
+        & (F.col("doc_id") % 8 < 2)
     )
     px = d.select(
         "doc_id",
@@ -938,7 +939,7 @@ def q_multimodal_video(spark, sf_dir):
     oracle="""
     WITH d AS (
       SELECT doc_id, text FROM documents
-      WHERE text IS NOT NULL AND length(text) > 0
+      WHERE text IS NOT NULL AND length(text) > 0 AND doc_id % 2 = 0
     ), px AS (
       SELECT doc_id, k.k AS frame_no,
              CASE
@@ -1003,6 +1004,11 @@ def q_multimodal_gif_anim(spark, sf_dir):
 
     d = load_table(spark, sf_dir, "documents").where(
         F.col("text").isNotNull() & (F.length("text") > 0)
+        # half the corpus: the compositor tier has no doc_id-residue
+        # variant classes (every doc exercises the same disposal
+        # paths), and its 3 frames x 3 Arrow stages made it the
+        # slowest bench query at full population (3.37s idle, r14)
+        & (F.col("doc_id") % 2 == 0)
     )
     px = d.select(
         "doc_id",
@@ -2135,7 +2141,8 @@ def q_multimodal_ico(spark, sf_dir):
     oracle="""
     WITH d AS (
       SELECT doc_id, text, CAST(doc_id % 4 AS INT) AS m
-      FROM documents WHERE text IS NOT NULL AND length(text) > 0
+      FROM documents
+      WHERE text IS NOT NULL AND length(text) > 0 AND doc_id % 8 < 4
     ), px AS (
       SELECT doc_id,
              ascii(substr(text,
@@ -2187,6 +2194,11 @@ def q_multimodal_webp(spark, sf_dir):
 
     d = load_table(spark, sf_dir, "documents").where(
         F.col("text").isNotNull() & (F.length("text") > 0)
+        # half the corpus, all four doc_id%4 stream shapes kept
+        # (residues 0-3 mod 8): VP8L's per-doc prefix-code build is
+        # the priciest flat-codec encode, 2.58s idle at full
+        # population in the r14 bench
+        & (F.col("doc_id") % 8 < 4)
     )
     px = d.select(
         "doc_id",
