@@ -26,6 +26,20 @@ isolated idle probes showed to be host noise, not regressions):
 - r13 q_pseudonymize 1.19s (driver steal_pct 0.39, uniform ~1.08x
   inflation) -> five r14 idle probes of the unchanged code read
   0.69-1.01s at sf0.1, matching its r12 value of 0.74s. Host noise.
+
+Measured floor of the media round-trip queries (r14): each
+mapInPandas pass over the 32-partition doc_id exchange costs
+~0.42s of wall-clock HANDSHAKE regardless of rows — an identity
+mapInPandas over 1000 ints reads 0.52/1.04/1.27s for 1/2/3 chained
+passes at local[32], ~13-16ms per task and largely serialized across
+a pass's tasks, with spark.python.worker.reuse at its default true.
+So flat codec queries (exchange + 2 fused passes) floor at ~1.4s and
+the three-pass video/compositor tier at ~2.3s (q_multimodal_video
+reads 2.45s with a TWELVE-document sf0.001 input). Population trims
+move only the work term above that floor; the partition count stays
+at shuffle.partitions because serializing the decode is the real
+100 TB regression (q_multimodal_jpeg measured 8.3s on one core, r12)
+and the handshake amortizes at production row counts.
 """
 
 from __future__ import annotations

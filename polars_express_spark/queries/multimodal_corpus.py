@@ -939,7 +939,7 @@ def q_multimodal_video(spark, sf_dir):
     oracle="""
     WITH d AS (
       SELECT doc_id, text FROM documents
-      WHERE text IS NOT NULL AND length(text) > 0 AND doc_id % 2 = 0
+      WHERE text IS NOT NULL AND length(text) > 0 AND doc_id % 4 = 0
     ), px AS (
       SELECT doc_id, k.k AS frame_no,
              CASE
@@ -1004,11 +1004,12 @@ def q_multimodal_gif_anim(spark, sf_dir):
 
     d = load_table(spark, sf_dir, "documents").where(
         F.col("text").isNotNull() & (F.length("text") > 0)
-        # half the corpus: the compositor tier has no doc_id-residue
-        # variant classes (every doc exercises the same disposal
-        # paths), and its 3 frames x 3 Arrow stages made it the
-        # slowest bench query at full population (3.37s idle, r14)
-        & (F.col("doc_id") % 2 == 0)
+        # quarter of the corpus: the compositor tier has no
+        # doc_id-residue variant classes (every doc exercises the same
+        # disposal paths), and its 3 frames x 3 Arrow passes made it
+        # the slowest bench query at full population (3.37s idle, r14;
+        # the ~2.3s three-pass harness floor is documented in bench.py)
+        & (F.col("doc_id") % 4 == 0)
     )
     px = d.select(
         "doc_id",
