@@ -611,6 +611,36 @@ def sample_frames(df: DataFrame, n_frames: int = 4, real_decode: bool = False) -
                             frame_nos.append(fno)
                             frames.append(encode_png(arr))
                         continue
+                    if b[:4] == b"RIFF" and b[8:12] == b"WEBP":
+                        # animated WebP (r14): VP8X + ANIM/ANMF with
+                        # VP8L frame chunks — parse_webp_frames
+                        # composites every canvas per the container
+                        # spec (2px-unit offsets, no-blend vs
+                        # alpha-blend, dispose-to-background); sampled
+                        # snapshots ship as PNGs, the GIF precedent
+                        from polars_express_spark.functions.webp import (
+                            parse_webp_frames,
+                        )
+
+                        parsed = parse_webp_frames(b)
+                        if parsed is None:
+                            raise ValueError(
+                                f"doc {doc_id}: corrupt or unsupported "
+                                "animated WebP (lossy-VP8 frames need a "
+                                "real codec)"
+                            )
+                        _, _, canvases = parsed
+                        take = np.unique(
+                            np.linspace(
+                                0, len(canvases) - 1,
+                                min(n_frames, len(canvases)),
+                            ).round().astype(np.int64)
+                        )
+                        for fno, i in enumerate(take):
+                            doc_ids.append(doc_id)
+                            frame_nos.append(fno)
+                            frames.append(encode_png(canvases[i]))
+                        continue
                     idxs = parse_avi_frames(b)
                     strf = comp = None
                     if idxs is not None:

@@ -12,8 +12,12 @@ cannot be independently verified in this environment are explicitly
 OUT OF ENVELOPE and return None rather than risk wrong pixels:
 
 Decoder (`parse_webp`) envelope:
-- RIFF/WEBP container with a VP8L chunk (lossy VP8 and extended VP8X
-  return None — different codecs);
+- RIFF/WEBP container with a VP8L chunk, bare or inside a VP8X
+  extended container (still images; `parse_webp_frames` composites
+  ANIMATED VP8X files per the container spec's ANIM/ANMF model —
+  2-pixel-unit frame offsets, no-blend vs straight-alpha blending,
+  dispose-to-background). Lossy VP8 image data returns None — a
+  different codec;
 - prefix codes in both spellings: "simple" (1-2 symbols) and
   length-coded (code-length code, RLE 16/17/18, optional max-symbol
   shortcut), including the spec's empty-code and single-symbol
@@ -40,15 +44,17 @@ Decoder (`parse_webp`) envelope:
   hand-assembled streams through all 14 predictor modes and signed
   color factors, plus scalar hand goldens for the tie-break and
   truncation rules. This makes the decode envelope full VP8L; what
-  still returns None is lossy VP8 and the VP8X extended container
-  (different codecs), plus corrupt streams.
+  still returns None is lossy VP8 image data (a different codec)
+  plus corrupt streams.
 
 Encoder (`encode_webp`): always-valid literal streams — per-channel
 canonical prefix codes (depth-capped with a Kraft completion pass)
 serialized through the code-length code, "simple" codes where a
 channel is near-constant, optional distance-1 run backrefs (exercising
-the LZ77 decode path), no transforms, no cache. Lossless by
-construction, so decode∘encode = id is exact.
+the LZ77 decode path), optional SUBTRACT_GREEN and single-mode
+PREDICTOR transforms, no cache. Lossless in every combination, so
+decode∘encode = id is exact. `encode_webp_anim` muxes the animated
+container (VP8X + ANIM + per-frame ANMF wrapping VP8L chunks).
 
 Reference: the reference engine exposes no image codec at all
 (reference src/main.rs:106-121 serves tabular endpoints only); this
@@ -640,21 +646,70 @@ def _inverse_color(flat, w: int, h: int, ctes, size_bits: int):
     return out
 
 
+def _riff_chunks(payload: bytes, pos: int):
+    """Walk RIFF sub-chunks from ``pos``: yields (fourcc, chunk
+    payload). Stops (without raising) at the first malformed header
+    or a chunk running past the buffer."""
+    n = len(payload)
+    while pos + 8 <= n:
+        four = payload[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        body_end = pos + 8 + size
+        if body_end > n:
+            return
+        yield four, payload[pos + 8 : body_end]
+        pos = body_end + (size & 1)  # RIFF chunks pad to even offsets
+
+
 def parse_webp(payload: bytes):
-    """Decode a lossless WebP (VP8L) payload within the documented
-    envelope: returns (width, height, 4, ndarray[h, w, 4] RGBA) or
-    None (module docstring lists the envelope and the None cases)."""
+    """Decode a lossless WebP payload within the documented envelope:
+    returns (width, height, 4, ndarray[h, w, 4] RGBA) or None (module
+    docstring lists the envelope and the None cases). Accepts both the
+    simple container (a bare VP8L chunk) and a VP8X extended container
+    whose still image is a VP8L chunk with matching canvas dims;
+    animated VP8X files go through parse_webp_frames instead, and
+    lossy VP8 image data returns None."""
     if len(payload) < 20 or payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
         return None
     (riff_size,) = struct.unpack_from("<I", payload, 4)
     if 8 + riff_size > len(payload):
         return None
+    if payload[12:16] == b"VP8X":
+        (xsize,) = struct.unpack_from("<I", payload, 16)
+        if xsize < 10 or 20 + xsize > len(payload):
+            return None
+        flags = payload[20]
+        if flags & 0x02:
+            return None  # animated: frames, not a still — see _frames
+        cw = int.from_bytes(payload[24:27], "little") + 1
+        chh = int.from_bytes(payload[27:30], "little") + 1
+        for four, body in _riff_chunks(payload, 20 + xsize + (xsize & 1)):
+            if four == b"VP8L":
+                got = _decode_vp8l_stream(body)
+                if got is None:
+                    return None
+                w, h, arr = got
+                if (w, h) != (cw, chh):
+                    return None  # canvas/stream dim mismatch: corrupt
+                return w, h, 4, arr
+            if four == b"VP8 ":
+                return None  # lossy still: different codec
+        return None
     if payload[12:16] != b"VP8L":
-        return None  # lossy VP8 / extended VP8X: different codecs
+        return None  # bare lossy VP8: different codec
     (csize,) = struct.unpack_from("<I", payload, 16)
     if 20 + csize > len(payload):
         return None
-    data = payload[20 : 20 + csize]
+    got = _decode_vp8l_stream(payload[20 : 20 + csize])
+    if got is None:
+        return None
+    w, h, arr = got
+    return w, h, 4, arr
+
+
+def _decode_vp8l_stream(data: bytes):
+    """Decode one bare VP8L stream (the payload of a 'VP8L' chunk):
+    (w, h, ndarray[h, w, 4] RGBA) or None."""
     if not data or data[0] != 0x2F:
         return None
     r = _LsbReader(data[1:])
@@ -716,7 +771,7 @@ def parse_webp(payload: bytes):
     arr[:, :, 1] = (flat >> 8) & 0xFF
     arr[:, :, 2] = flat & 0xFF
     arr[:, :, 3] = (flat >> 24) & 0xFF
-    return w, h, 4, arr
+    return w, h, arr
 
 
 def _canonical_lengths(freqs, max_len: int):
@@ -1029,4 +1084,138 @@ def encode_webp(
     if len(body) & 1:
         vp8l += b"\x00"  # RIFF chunks pad to even size
     riff = b"WEBP" + vp8l
+    return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+
+def parse_webp_frames(payload: bytes):
+    """Composite an ANIMATED WebP (VP8X + ANIM/ANMF, RFC 9649 §2.5.2)
+    whose frames are VP8L chunks: returns (canvas_w, canvas_h,
+    [ndarray[ch, cw, 4] RGBA canvas snapshot per frame]) or None.
+
+    Spec model implemented: the canvas starts filled with the ANIM
+    chunk's background color (stored [B, G, R, A]); each ANMF places
+    its frame at (2*Frame X, 2*Frame Y) — offsets are stored in units
+    of TWO pixels — either overwriting the rect (blending bit B set =
+    do not blend) or alpha-compositing over it with the spec's
+    straight-alpha formula; after a frame is shown, disposal bit D
+    fills ITS rect back to the background color. Mid-range alpha
+    blending follows the spec's real-number formula evaluated in
+    float64 and rounded half-to-even to uint8 (the spec does not pin
+    integer rounding; 0/255 alphas — the exact copy/keep cases — are
+    integer-exact either way). Frames carrying lossy VP8 data, frames
+    out of canvas bounds, and dimension-mismatched frame streams
+    return None — never invented pixels."""
+    if len(payload) < 30 or payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
+        return None
+    (riff_size,) = struct.unpack_from("<I", payload, 4)
+    if 8 + riff_size > len(payload):
+        return None
+    if payload[12:16] != b"VP8X":
+        return None
+    (xsize,) = struct.unpack_from("<I", payload, 16)
+    if xsize < 10 or 20 + xsize > len(payload):
+        return None
+    if not payload[20] & 0x02:
+        return None  # animation flag not set: a still, use parse_webp
+    cw = int.from_bytes(payload[24:27], "little") + 1
+    ch = int.from_bytes(payload[27:30], "little") + 1
+    if cw * ch > (1 << 26):
+        return None
+    bg = None
+    canvases = []
+    canvas = None
+    for four, body in _riff_chunks(payload, 20 + xsize + (xsize & 1)):
+        if four == b"ANIM":
+            if len(body) < 6:
+                return None
+            b_, g_, r_, a_ = body[0], body[1], body[2], body[3]
+            bg = np.array([r_, g_, b_, a_], dtype="u1")
+            canvas = np.broadcast_to(bg, (ch, cw, 4)).copy()
+        elif four == b"ANMF":
+            if canvas is None or len(body) < 16:
+                return None  # ANMF before ANIM: malformed
+            fx = int.from_bytes(body[0:3], "little") * 2
+            fy = int.from_bytes(body[3:6], "little") * 2
+            fw = int.from_bytes(body[6:9], "little") + 1
+            fh = int.from_bytes(body[9:12], "little") + 1
+            flags = body[15]
+            no_blend = bool(flags & 0x02)
+            dispose_bg = bool(flags & 0x01)
+            if fx + fw > cw or fy + fh > ch:
+                return None  # frame rect outside the canvas
+            frame = None
+            for ffour, fbody in _riff_chunks(body, 16):
+                if ffour == b"VP8L":
+                    got = _decode_vp8l_stream(fbody)
+                    if got is None:
+                        return None
+                    w, h, arr = got
+                    if (w, h) != (fw, fh):
+                        return None  # header/stream dim mismatch
+                    frame = arr
+                    break
+                if ffour in (b"VP8 ", b"ALPH"):
+                    return None  # lossy frame data: different codec
+            if frame is None:
+                return None
+            rect = canvas[fy : fy + fh, fx : fx + fw]
+            if no_blend:
+                rect[:] = frame
+            else:
+                sa = frame[:, :, 3:4].astype(np.float64) / 255.0
+                da = rect[:, :, 3:4].astype(np.float64) / 255.0
+                oa = sa + da * (1.0 - sa)
+                rgb = (
+                    frame[:, :, :3] * sa
+                    + rect[:, :, :3] * da * (1.0 - sa)
+                )
+                np.divide(rgb, oa, out=rgb, where=oa > 0)
+                rect[:, :, :3] = np.rint(
+                    np.where(oa > 0, rgb, 0.0)
+                ).astype("u1")
+                rect[:, :, 3] = np.rint(oa[:, :, 0] * 255.0).astype("u1")
+            canvases.append(canvas.copy())
+            if dispose_bg:
+                rect[:] = bg
+    if not canvases:
+        return None
+    return cw, ch, canvases
+
+
+def encode_webp_anim(frames, canvas_w: int, canvas_h: int,
+                     bg=(255, 255, 255, 255), loop: int = 0) -> bytes:
+    """Mux an animated WebP: VP8X (animation flag) + ANIM + one ANMF
+    per frame, each frame's pixel data a VP8L chunk from encode_webp.
+    ``frames`` is a list of (x, y, arr[h, w, 3|4], no_blend,
+    dispose_bg); offsets must be even (the container stores them in
+    2-pixel units). ``bg`` is RGBA."""
+    parts = []
+    for x, y, arr, no_blend, dispose_bg in frames:
+        if x % 2 or y % 2:
+            raise ValueError("ANMF offsets are stored in 2-pixel units")
+        h, w = arr.shape[:2]
+        vp8l = encode_webp(arr)[12:]  # the simple container IS one chunk
+        hdr = (
+            (x // 2).to_bytes(3, "little")
+            + (y // 2).to_bytes(3, "little")
+            + (w - 1).to_bytes(3, "little")
+            + (h - 1).to_bytes(3, "little")
+            + (40).to_bytes(3, "little")  # duration ms, display-only
+            + bytes([(0x02 if no_blend else 0) | (0x01 if dispose_bg else 0)])
+        )
+        body = hdr + vp8l
+        anmf = b"ANMF" + struct.pack("<I", len(body)) + body
+        if len(body) & 1:
+            anmf += b"\x00"
+        parts.append(anmf)
+    r_, g_, b_, a_ = bg
+    anim_body = bytes([b_, g_, r_, a_]) + struct.pack("<H", loop)
+    anim = b"ANIM" + struct.pack("<I", len(anim_body)) + anim_body
+    vp8x_body = (
+        bytes([0x12, 0, 0, 0])  # animation + alpha flags
+        + (canvas_w - 1).to_bytes(3, "little")
+        + (canvas_h - 1).to_bytes(3, "little")
+    )
+    vp8x = b"VP8X" + struct.pack("<I", len(vp8x_body)) + vp8x_body
+    riff = b"WEBP" + vp8x + anim + b"".join(parts)
     return b"RIFF" + struct.pack("<I", len(riff)) + riff

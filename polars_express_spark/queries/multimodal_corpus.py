@@ -2233,3 +2233,155 @@ def q_multimodal_webp(spark, sf_dir):
         encode, schema="doc_id bigint, payload binary"
     )
     return decode_pixel_stats(enc).orderBy("doc_id")
+
+
+@query(
+    "q_multimodal_webp_anim",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, text FROM documents
+      WHERE text IS NOT NULL AND length(text) > 0 AND doc_id % 8 = 1
+    ), cells AS (
+      SELECT doc_id, k.k AS frame_no, j.j AS i,
+             ascii(substr(text, ((j.j * 43) % length(text)) + 1, 1))
+               % 256 AS v0,
+             CASE WHEN j.j // 4 < 2 AND j.j % 4 < 2 THEN
+               ascii(substr(text,
+                 ((((j.j // 4) * 2 + j.j % 4) * 43 + 1) % length(text)) + 1,
+                 1)) % 256
+             END AS v1,
+             CASE WHEN j.j // 4 >= 2 AND j.j % 4 >= 2 THEN
+               ascii(substr(text,
+                 ((((j.j // 4 - 2) * 2 + (j.j % 4 - 2)) * 43 + 2)
+                  % length(text)) + 1, 1)) % 256
+             END AS v2,
+             CASE WHEN j.j // 4 >= 2 AND j.j % 4 >= 2 THEN
+               ascii(substr(text,
+                 ((((j.j // 4 - 2) * 2 + (j.j % 4 - 2)) * 43 + 3)
+                  % length(text)) + 1, 1)) % 2
+             END AS m2
+      FROM d, unnest(generate_series(0, 2)) k(k),
+           unnest(generate_series(0, 15)) j(j)
+    ), vals AS (
+      SELECT doc_id, frame_no,
+             CASE
+               WHEN frame_no = 0 THEN v0
+               WHEN frame_no = 1 THEN coalesce(v1, v0)
+               ELSE CASE WHEN m2 = 1 THEN v2 ELSE coalesce(v1, v0) END
+             END AS v
+      FROM cells
+    ), px AS (
+      SELECT doc_id, frame_no, v AS p, 3 AS wt FROM vals
+      UNION ALL
+      SELECT doc_id, frame_no, 255 AS p, 1 AS wt FROM vals
+    )
+    SELECT doc_id,
+           CAST(frame_no AS INT) AS frame_no,
+           CAST(4 AS INT) AS width,
+           CAST(4 AS INT) AS height,
+           CAST(4 AS INT) AS channels,
+           CAST(sum(p * wt) AS DOUBLE) / sum(wt) AS mean_val,
+           CAST(min(p) AS INT) AS min_val,
+           CAST(max(p) AS INT) AS max_val
+    FROM px GROUP BY doc_id, frame_no ORDER BY doc_id, frame_no
+    """,
+)
+def q_multimodal_webp_anim(spark, sf_dir):
+    """The ANIMATED WebP container under the driver hash (r14 — the
+    modern web's animation format, composited per RFC 9649's
+    VP8X/ANIM/ANMF canvas model the way q_multimodal_gif_anim pins
+    the GIF89a disposal model). Per document a 3-frame animation:
+    frame 0 covers the full 4x4 canvas (grayscale stride-43 formula,
+    alpha 255, no-blend), frame 1 is a no-blend 2x2 sub-rect at the
+    top-left that OVERWRITES while the rest shows through, and frame 2
+    is a 2x2 sub-rect at (2,2) — stored in the container's 2-pixel
+    offset units — composited with the BLEND path, its per-pixel alpha
+    driven to 0 or 255 by a formula bit so both blend branches are
+    integer-exact (srcA=1 copies the source, srcA=0 keeps the
+    destination; the fractional-alpha rounding band is covered by the
+    hypothesis property against the in-test spec compositor, this
+    query pins the driver-visible slice). encode_webp_anim muxes real
+    VP8X+ANIM+ANMF containers with VP8L frame chunks;
+    sample_frames(real_decode=True) composites and ships canvas
+    snapshots as RGBA PNGs; decode_pixel_stats hashes per-canvas
+    stats (alpha rows enter as 16 constant-255 samples, the ICO
+    precedent). Population: quarter corpus, the three-pass-tier band
+    (bench.py documents the ~2.3s pass floor). Scale shape: one scan,
+    one doc_id exchange, three fused Arrow stages."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    from polars_express_spark.functions.multimodal import (
+        decode_pixel_stats,
+        sample_frames,
+    )
+    from polars_express_spark.functions.webp import encode_webp_anim
+
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+        # eighth of the corpus: SIX VP8L codec ops per doc (3 frame
+        # encodes + 3 decodes) plus 3 PNG round trips put this at the
+        # top of the three-pass tier's work term (bench.py documents
+        # the ~2.3s pass floor); no doc_id-residue variants to lose
+        & (F.col("doc_id") % 8 == 1)
+    )
+
+    def fexpr(n, off):
+        return (
+            f"transform(sequence(0, {n}),"
+            f" i -> ascii(substring(text, ((i * 43 + {off})"
+            " % length(text)) + 1, 1)) % 256)"
+        )
+
+    px = d.select(
+        "doc_id",
+        F.expr(fexpr(15, 0)).alias("a0"),
+        F.expr(fexpr(3, 1)).alias("a1"),
+        F.expr(fexpr(3, 2)).alias("a2"),
+        F.expr(fexpr(3, 3)).alias("a3"),
+    )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        def gray_rgba(vals, alpha):
+            v = np.asarray(vals, dtype="u1")
+            side = int(len(vals) ** 0.5)
+            g = v.reshape(side, side)
+            return np.dstack([g, g, g, np.asarray(alpha, dtype="u1")])
+
+        for pdf in batches:
+            payloads = []
+            for a0, a1, a2, a3 in zip(
+                pdf["a0"], pdf["a1"], pdf["a2"], pdf["a3"]
+            ):
+                import numpy as np
+
+                f0 = gray_rgba(a0, np.full((4, 4), 255))
+                f1 = gray_rgba(a1, np.full((2, 2), 255))
+                mask = (np.asarray(a3) % 2 * 255).astype("u1").reshape(2, 2)
+                f2 = gray_rgba(a2, mask)
+                payloads.append(encode_webp_anim(
+                    [(0, 0, f0, True, False),
+                     (0, 0, f1, True, False),
+                     (2, 2, f2, False, False)],
+                    4, 4, bg=(0, 0, 0, 255),
+                ))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    anim = _codec_parallel(px).mapInPandas(
+        synth, schema="doc_id bigint, payload binary"
+    )
+    frames = sample_frames(anim, n_frames=3, real_decode=True)
+    stats = decode_pixel_stats(
+        frames.select(
+            (F.col("doc_id") * 4 + F.col("frame_no")).alias("doc_id"),
+            F.col("frame").alias("payload"),
+        )
+    )
+    return stats.selectExpr(
+        "CAST(doc_id DIV 4 AS BIGINT) AS doc_id",
+        "CAST(doc_id % 4 AS INT) AS frame_no",
+        "width", "height", "channels", "mean_val", "min_val", "max_val",
+    ).orderBy("doc_id", "frame_no")

@@ -3374,3 +3374,143 @@ def test_webp_header_dims_all_flavors():
     # inter frame (tag bit 0 set): no dims in the stream
     assert parse_image_header(vp8_lossy(0x31, 320, 200)) is None
     assert parse_webp(vp8_lossy(0x30, 320, 200)) is None
+
+
+def _webp_anim_ref_composite(frames, cw, ch, bg):
+    """Independent spec-text ANIM/ANMF compositor: per-channel integer
+    /float re-derivation of RFC 9649's canvas model, written separately
+    from the module's vectorized implementation."""
+    import numpy as np
+
+    canvas = np.zeros((ch, cw, 4), dtype="u1")
+    canvas[:, :] = bg
+    outs = []
+    for x, y, arr, no_blend, dispose in frames:
+        fh, fw = arr.shape[:2]
+        for r in range(fh):
+            for c in range(fw):
+                src = [int(v) for v in arr[r, c]]
+                dst = [int(v) for v in canvas[y + r, x + c]]
+                if no_blend:
+                    out = src
+                else:
+                    sa, da = src[3] / 255.0, dst[3] / 255.0
+                    oa = sa + da * (1 - sa)
+                    if oa == 0:
+                        out = [0, 0, 0, 0]
+                    else:
+                        out = [
+                            int(np.rint(
+                                (src[k] * sa + dst[k] * da * (1 - sa)) / oa
+                            ))
+                            for k in range(3)
+                        ] + [int(np.rint(oa * 255.0))]
+                canvas[y + r, x + c] = out
+        outs.append(canvas.copy())
+        if dispose:
+            canvas[y : y + fh, x : x + fw] = bg
+    return outs
+
+
+def test_webp_anim_compositor_against_spec_reference():
+    """r14 — animated WebP: encode_webp_anim → parse_webp_frames must
+    reproduce the independent reference compositor above across the
+    full feature grid — no-blend overwrites, straight-alpha blending
+    at 0/128/255 alphas, dispose-to-background rect restoration,
+    2-pixel-unit frame offsets, and frames showing through earlier
+    canvases. Seeded random stacks; exact equality per canvas."""
+    import numpy as np
+
+    from polars_express_spark.functions.webp import (
+        encode_webp_anim,
+        parse_webp_frames,
+    )
+
+    rng = np.random.RandomState(99)
+    for trial in range(12):
+        cw, ch = int(rng.randint(2, 5)) * 2, int(rng.randint(2, 5)) * 2
+        bg = tuple(int(v) for v in rng.randint(0, 256, 4))
+        frames = []
+        for _ in range(int(rng.randint(1, 5))):
+            fw = int(rng.randint(1, cw + 1))
+            fh = int(rng.randint(1, ch + 1))
+            x = int(rng.randint(0, (cw - fw) // 2 + 1)) * 2
+            y = int(rng.randint(0, (ch - fh) // 2 + 1)) * 2
+            arr = rng.randint(0, 256, (fh, fw, 4)).astype("u1")
+            # quantize alpha to {0, 128, 255} half the time so the
+            # exact-copy and exact-keep branches are hit often
+            if rng.randint(2):
+                arr[:, :, 3] = np.array([0, 128, 255], dtype="u1")[
+                    rng.randint(0, 3, (fh, fw))
+                ]
+            frames.append(
+                (x, y, arr, bool(rng.randint(2)), bool(rng.randint(2)))
+            )
+        payload = encode_webp_anim(frames, cw, ch, bg=bg)
+        got = parse_webp_frames(payload)
+        assert got is not None, trial
+        gw, gh, canvases = got
+        assert (gw, gh) == (cw, ch)
+        exp = _webp_anim_ref_composite(frames, cw, ch, bg)
+        assert len(canvases) == len(exp)
+        for i, (g, e) in enumerate(zip(canvases, exp)):
+            assert np.array_equal(g, e), (trial, i)
+
+
+def test_webp_anim_strictness():
+    """r14 — the animated container's None cases: a lossy VP8 frame, a
+    frame rect past the canvas, an ANMF header whose dims disagree
+    with its VP8L stream, an ANMF before any ANIM chunk, and a still
+    (no animation flag) through parse_webp_frames. parse_webp in turn
+    refuses animated files (stills only)."""
+    import struct
+
+    import numpy as np
+
+    from polars_express_spark.functions.webp import (
+        encode_webp,
+        encode_webp_anim,
+        parse_webp,
+        parse_webp_frames,
+    )
+
+    arr = np.random.RandomState(1).randint(0, 256, (2, 2, 4)).astype("u1")
+    good = encode_webp_anim([(0, 0, arr, True, False)], 4, 4)
+    assert parse_webp_frames(good) is not None
+    assert parse_webp(good) is None  # animated != still
+
+    # frame rect past the canvas: offset (2,2) + 2x2 frame on a 2x2
+    # canvas — wait, offsets must stay in container; craft via dims
+    too_small = encode_webp_anim([(2, 2, arr, True, False)], 2, 2)
+    assert parse_webp_frames(too_small) is None
+
+    # ANMF whose declared dims disagree with the VP8L stream inside:
+    # flip the width-minus-one byte of the 16-byte ANMF header
+    idx = good.find(b"ANMF") + 8 + 6
+    bad_dims = good[:idx] + bytes([7]) + good[idx + 1 :]
+    assert parse_webp_frames(bad_dims) is None
+
+    # lossy frame data: replace the inner chunk tag VP8L -> 'VP8 '
+    bad_codec = good.replace(b"VP8L", b"VP8 ", 1)
+    # (the first VP8L occurrence is inside the ANMF body)
+    assert parse_webp_frames(bad_codec) is None
+
+    # ANMF before ANIM: drop the ANIM chunk (14 bytes: hdr+6+pad? 6
+    # is even, so 8+6=14) and splice the rest back together
+    a = good.find(b"ANIM")
+    no_anim = good[:a] + good[a + 14 :]
+    no_anim = no_anim[:4] + struct.pack(
+        "<I", len(no_anim) - 8
+    ) + no_anim[8:]
+    assert parse_webp_frames(no_anim) is None
+
+    # a still VP8X (no anim flag) through the frames API
+    vp8l = encode_webp(arr)[12:]
+    vp8x_body = (bytes([0x10, 0, 0, 0])
+                 + (1).to_bytes(3, "little") + (1).to_bytes(3, "little"))
+    riff = (b"WEBP" + b"VP8X" + struct.pack("<I", len(vp8x_body))
+            + vp8x_body + vp8l)
+    still = b"RIFF" + struct.pack("<I", len(riff)) + riff
+    assert parse_webp_frames(still) is None
+    got = parse_webp(still)
+    assert got is not None and got[:2] == (2, 2)

@@ -755,7 +755,7 @@ def test_codec_roundtrip_plan_shape(spark, name):
 @pytest.mark.parametrize(
     "name",
     ["q_multimodal_video", "q_multimodal_gif_anim", "q_multimodal_mp4",
-     "q_multimodal_y4m"],
+     "q_multimodal_y4m", "q_multimodal_webp_anim"],
 )
 def test_video_roundtrip_plan_shape(spark, name):
     """r14 — the frame-sampling round trips have a third Arrow stage

@@ -1466,7 +1466,7 @@ def test_parsers_never_crash_on_corrupt_payloads(seed, kind):
         parse_y4m_frames,
     )
     from polars_express_spark.functions.flac import parse_flac
-    from polars_express_spark.functions.webp import parse_webp
+    from polars_express_spark.functions.webp import parse_webp, parse_webp_frames
 
     rng = np.random.RandomState(seed)
     parsers = [parse_png, parse_bmp, parse_gif, parse_gif_frames,
@@ -1474,13 +1474,17 @@ def test_parsers_never_crash_on_corrupt_payloads(seed, kind):
                parse_jpeg, parse_au_header, parse_avi_frames,
                _avi_video_format, parse_mp4_frames, parse_avi_audio,
                parse_qoi, parse_tiff, parse_y4m_frames, parse_flac,
-               parse_aiff, parse_tga, parse_ico, parse_webp]
+               parse_aiff, parse_tga, parse_ico, parse_webp,
+               parse_webp_frames]
     if kind == 0:  # magic-prefixed garbage through every parser
         magics = [b"\x89PNG\r\n\x1a\n", b"BM", b"GIF89a", b"P1", b"P2",
                   b"P3", b"P4", b"P5", b"P6", b"RIFF", b"RIFF\x80\x00\x00\x00AVI ",
                   b".snd", b"\x00\x00\x00\x18ftypisom", b"\x00\x00\x00\x10moov",
                   b"\xff\xd8\xff", b"RIFF\x80\x00\x00\x00WEBPVP8L",
-                  b"RIFF\x80\x00\x00\x00WEBPVP8L\x80\x00\x00\x00\x2f", b""]
+                  b"RIFF\x80\x00\x00\x00WEBPVP8L\x80\x00\x00\x00\x2f",
+                  b"RIFF\x80\x00\x00\x00WEBPVP8X\x0a\x00\x00\x00\x12",
+                  b"RIFF\x80\x00\x00\x00WEBPVP8X\x0a\x00\x00\x00\x12\x00\x00"
+                  b"\x00\x03\x00\x00\x03\x00\x00ANIM\x06\x00\x00\x00", b""]
         for m in magics:
             payload = m + rng.bytes(int(rng.randint(0, 160)))
             for p in parsers:
