@@ -891,6 +891,158 @@ def _wav_ima_blocks_decode(data: bytes, block_align: int, channels: int = 1):
     return np.concatenate(chunks)
 
 
+# MS ADPCM (WAVE_FORMAT_ADPCM, tag 0x0002) tables from the public
+# Microsoft Multimedia Data Standards spec: 7 fixed predictor
+# coefficient pairs (8.8 fixed point) and the 16-entry per-nibble
+# delta adaptation table
+_MS_ADPCM_COEFS = (
+    (256, 0), (512, -256), (0, 0), (192, 64), (240, 0),
+    (460, -208), (392, -232),
+)
+_MS_ADPCM_ADAPT = (
+    230, 230, 230, 230, 307, 409, 512, 614,
+    768, 614, 512, 409, 307, 230, 230, 230,
+)
+
+
+def _wav_ms_blocks_decode(data: bytes, block_align: int, channels: int = 1):
+    """WAV format tag 0x02 (MS ADPCM) block layout, any channel count
+    (r14 — the OTHER classic WAV ADPCM beside IMA; a fixed-pole LPC
+    whose two seed samples ride the block header verbatim): per block,
+    1 predictor byte per channel (index into the 7 coefficient
+    pairs), then idelta/sample1/sample2 as int16le per channel; the
+    seeds are emitted OLDEST FIRST (sample2 then sample1), then 4-bit
+    codes high nibble first, cycling channels per nibble. Per code:
+    predictor = (s1*c1 + s2*c2) >> 8 (arithmetic), sample =
+    clamp_int16(predictor + signed4(code) * idelta), then idelta =
+    max(16, (ADAPT[code] * idelta) >> 8). Returns frame-interleaved
+    int32 PCM or None on a malformed block (predictor index > 6 or a
+    block shorter than its headers)."""
+    import numpy as np
+
+    hdr = 7 * channels
+    if block_align < hdr or channels < 1:
+        return None
+    chunks = []
+    for off in range(0, len(data) - (hdr - 1), block_align):
+        block = data[off : off + block_align]
+        preds = block[:channels]
+        if any(p > 6 for p in preds):
+            return None
+        c1 = [_MS_ADPCM_COEFS[p][0] for p in preds]
+        c2 = [_MS_ADPCM_COEFS[p][1] for p in preds]
+        idelta, s1, s2 = [], [], []
+        for c in range(channels):
+            idelta.append(int.from_bytes(
+                block[channels + 2 * c : channels + 2 * c + 2],
+                "little", signed=True))
+            s1.append(int.from_bytes(
+                block[3 * channels + 2 * c : 3 * channels + 2 * c + 2],
+                "little", signed=True))
+            s2.append(int.from_bytes(
+                block[5 * channels + 2 * c : 5 * channels + 2 * c + 2],
+                "little", signed=True))
+        chunks.append(np.array(s2, dtype=np.int32))
+        chunks.append(np.array(s1, dtype=np.int32))
+        out = []
+        k = 0
+        for byte in block[hdr:]:
+            for nib in (byte >> 4, byte & 0x0F):
+                c = k % channels
+                k += 1
+                pred = (s1[c] * c1[c] + s2[c] * c2[c]) >> 8
+                sn = nib - 16 if nib & 8 else nib
+                samp = max(-32768, min(32767, pred + sn * idelta[c]))
+                s2[c] = s1[c]
+                s1[c] = samp
+                idelta[c] = max(16, (_MS_ADPCM_ADAPT[nib] * idelta[c]) >> 8)
+                out.append(samp)
+        if out:
+            chunks.append(np.array(out, dtype=np.int32))
+    if not chunks:
+        return None
+    return np.concatenate(chunks)
+
+
+def encode_wav_msadpcm(
+    pcm,
+    sample_rate: int = 8000,
+    predictor: int = 0,
+    idelta0: int = 16,
+    samples_per_block: int | None = None,
+) -> bytes:
+    """A VALID RIFF/WAVE container of MS ADPCM (tag 0x0002), mono —
+    the writer twin of _wav_ms_blocks_decode for the driver round
+    trip. Greedy predictive quantizer: each code is the clamped
+    floor((sample - predictor) / idelta), and the encoder steps the
+    SAME decoder state so drift never accumulates; on the (0,0)
+    coefficient pair, idelta stays pinned at its floor of 16 as long
+    as every code lands in the ADAPT=230 band (codes -3..3:
+    max(16, (230*16)>>8) = 16 — codes beyond that band GROW it, e.g.
+    (768*16)>>8 = 48 for code -8), so the sample lattice
+    {-48..48 step 16} encodes losslessly. The
+    fmt chunk carries the full spec extension (cbSize 32,
+    wSamplesPerBlock, wNumCoef 7, the 7 coefficient pairs)."""
+    import struct
+
+    import numpy as np
+
+    pcm = [int(v) for v in np.asarray(pcm).ravel()]
+    if len(pcm) < 2:
+        raise ValueError("MS ADPCM needs at least the two seed samples")
+    if samples_per_block is None:
+        samples_per_block = len(pcm)
+    if samples_per_block < 2 or (samples_per_block - 2) % 2:
+        raise ValueError("samples per block must be 2 + an even count")
+    block_align = 7 + (samples_per_block - 2) // 2
+    c1, c2 = _MS_ADPCM_COEFS[predictor]
+    blocks = []
+    n_samples = 0
+    for boff in range(0, len(pcm) - 1, samples_per_block):
+        seg = pcm[boff : boff + samples_per_block]
+        if len(seg) < 2:
+            break
+        s2, s1 = seg[0], seg[1]
+        idelta = idelta0
+        hdr = (
+            bytes([predictor])
+            + struct.pack("<h", idelta)
+            + struct.pack("<h", s1)
+            + struct.pack("<h", s2)
+        )
+        nibs = []
+        for samp in seg[2:]:
+            pred = (s1 * c1 + s2 * c2) >> 8
+            q = (samp - pred) // idelta if idelta else 0
+            q = max(-8, min(7, q))
+            nibs.append(q & 0x0F)
+            dec = max(-32768, min(32767, pred + q * idelta))
+            s2, s1 = s1, dec
+            idelta = max(16, (_MS_ADPCM_ADAPT[q & 0x0F] * idelta) >> 8)
+        body = bytes(
+            (nibs[i] << 4) | nibs[i + 1] for i in range(0, len(nibs), 2)
+        )
+        block = hdr + body
+        block += b"\x00" * (block_align - len(block))
+        blocks.append(block)
+        n_samples += len(seg)
+    data = b"".join(blocks)
+    coefs = b"".join(struct.pack("<hh", a, b) for a, b in _MS_ADPCM_COEFS)
+    fmt = struct.pack(
+        "<HHIIHHHHH", 2, 1, sample_rate,
+        sample_rate * block_align // max(1, samples_per_block),
+        block_align, 4, 32, samples_per_block, 7,
+    ) + coefs
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<II", 4, n_samples)
+        + b"data" + struct.pack("<I", len(data)) + data
+        + (b"\x00" if len(data) & 1 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 def _encode_wav_g711(samples: bytes, tag: int, sample_rate: int) -> bytes:
     """A VALID RIFF/WAVE container around raw G.711 bytes (format tag
     7 = mu-law or 6 = A-law, 8 bits, mono) — stdlib `wave` writes PCM
@@ -1130,6 +1282,12 @@ def decode_audio_samples(df: DataFrame) -> DataFrame:
                         raise ValueError(
                             f"doc {doc_id}: malformed IMA-ADPCM block layout"
                         )
+                elif tag == 0x02:  # MS ADPCM, any channel count (r14)
+                    pcm = _wav_ms_blocks_decode(data, block_align, meta[0])
+                    if pcm is None:
+                        raise ValueError(
+                            f"doc {doc_id}: malformed MS-ADPCM block layout"
+                        )
                 elif tag == 1 and bits == 16:
                     pcm = np.frombuffer(data, dtype="<i2").astype(np.int32)
                 elif tag == 1 and bits == 8:  # PCM 8-bit is UNSIGNED
@@ -1138,9 +1296,9 @@ def decode_audio_samples(df: DataFrame) -> DataFrame:
                     raise NotImplementedError(
                         f"doc {doc_id}: WAV format tag {tag}/{bits}-bit/"
                         f"{meta[0]}ch has no dependency-free decode here "
-                        "(PCM 8/16, G.711 mu-law + A-law, and IMA ADPCM "
-                        "at any channel count are implemented; MP3-in-WAV "
-                        "remains codec-gated)"
+                        "(PCM 8/16, G.711 mu-law + A-law, and IMA + MS "
+                        "ADPCM at any channel count are implemented; "
+                        "MP3-in-WAV remains codec-gated)"
                     )
                 if len(pcm) == 0:
                     raise ValueError(f"doc {doc_id}: empty data chunk")

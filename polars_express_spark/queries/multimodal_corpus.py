@@ -2385,3 +2385,100 @@ def q_multimodal_webp_anim(spark, sf_dir):
         "CAST(doc_id % 4 AS INT) AS frame_no",
         "width", "height", "channels", "mean_val", "min_val", "max_val",
     ).orderBy("doc_id", "frame_no")
+
+
+@query(
+    "q_multimodal_msadpcm",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, text, CAST(doc_id % 2 AS INT) AS m
+      FROM documents
+      WHERE text IS NOT NULL AND length(text) > 0 AND doc_id % 4 < 2
+    ), px AS (
+      SELECT doc_id,
+             CASE
+               WHEN m = 0 OR g.i < 2 THEN
+                 (ascii(substr(text, ((g.i * 45) % length(text)) + 1, 1))
+                  % 256 - 128) * 256
+               ELSE
+                 (ascii(substr(text, ((g.i * 45) % length(text)) + 1, 1))
+                  % 7 - 3) * 16
+             END AS p
+      FROM d, unnest(generate_series(0,
+               CASE WHEN m = 0 THEN 15 ELSE 65 END)) g(i)
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_samples,
+           CAST(sum(p) AS DOUBLE) / count(*) AS mean_pcm,
+           CAST(min(p) AS INT) AS min_pcm,
+           CAST(max(p) AS INT) AS max_pcm
+    FROM px GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q_multimodal_msadpcm(spark, sf_dir):
+    """MS ADPCM (WAVE_FORMAT_ADPCM, tag 0x0002) under the driver hash
+    (r14 — the OTHER classic WAV codec beside IMA, completing the WAV
+    ADPCM pair). doc_id parity picks the tier: m=0 docs pack 16
+    full-range PCM16 samples as EIGHT seed-only blocks (block_align
+    7 = headers only, zero nibbles — the seeds ride the block header
+    verbatim, hashing the block walk, the int16 header fields, and
+    the oldest-first seed emission order); m=1 docs encode one
+    66-sample block on the (0,0) coefficient pair whose 64 codes stay
+    in the ADAPT=230 band, so idelta is pinned at its floor of 16 and
+    every 4-bit code decodes STATELESSLY to code*16 — the adaptive
+    decode loop runs for real executor-side, while the oracle knows
+    the closed form. Free-range adaptation (growing idelta, clamps,
+    all 7 coefficient pairs, stereo interleave) is pinned by the
+    200-block agreement test against an independent spec-text decoder
+    (tests/test_pipeline_ops.py); this query pins the driver-visible
+    slice. encode_wav_msadpcm writes complete RIFF containers (fmt
+    extension with the 7 coefficient pairs, fact, data);
+    decode_audio_samples dispatches tag 0x0002 to
+    _wav_ms_blocks_decode. Scale shape: one scan, one doc_id exchange
+    (_codec_parallel), two fused Arrow stages."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    from polars_express_spark.functions.multimodal import (
+        decode_audio_samples,
+        encode_wav_msadpcm,
+    )
+
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+        # half the corpus, both parities kept
+        & (F.col("doc_id") % 4 < 2)
+    )
+    bs = d.select(
+        "doc_id",
+        (F.col("doc_id") % 2).cast("int").alias("m"),
+        F.expr(
+            "transform(sequence(0, CASE WHEN doc_id % 2 = 0 THEN 15 ELSE 65 END),"
+            " i -> ascii(substring(text, ((i * 45) % length(text)) + 1, 1)) % 256)"
+        ).alias("vs"),
+    )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for m, vs in zip(pdf["m"], pdf["vs"]):
+                vs = [int(v) for v in vs]
+                if int(m) == 0:
+                    pcm = [(v - 128) * 256 for v in vs]
+                    payloads.append(
+                        encode_wav_msadpcm(pcm, samples_per_block=2)
+                    )
+                else:
+                    pcm = [(v - 128) * 256 for v in vs[:2]] + [
+                        (v % 7 - 3) * 16 for v in vs[2:]
+                    ]
+                    payloads.append(encode_wav_msadpcm(
+                        pcm, predictor=2, idelta0=16, samples_per_block=66
+                    ))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    wav = _codec_parallel(bs).mapInPandas(
+        synth, schema="doc_id bigint, payload binary"
+    )
+    return decode_audio_samples(wav).orderBy("doc_id")

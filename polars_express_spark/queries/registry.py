@@ -47,7 +47,7 @@ def query(name: str, oracle: str | None = None):
 # 50 r13-hash (every one re-verified green by the r13-session sf0.01
 # oracle-mirror pytest run — this rotation is about DRIVER evidence,
 # not doubt). New code takes window slots first, the endorsed
-# precedent, so 27 of the 44 r10 fit (16 new queries this round). No previously-hashed query's
+# precedent, so 26 of the 44 r10 fit (17 new queries this round). No previously-hashed query's
 # code path changed this round: the parse_netpbm strictness fix (r14
 # ADVICE) only affects P2/P3 payloads, which no prior driver query
 # synthesizes, and the sample_frames video decode touches only the
@@ -81,14 +81,16 @@ def query(name: str, oracle: str | None = None):
 # codes with prefix-coded lengths, 2-D LZ77 runs, subtract-green and
 # predictor transforms by doc_id mod 4) plus q_multimodal_webp_anim
 # (the VP8X/ANIM/ANMF animated-WebP compositor — no-blend overwrite
-# and integer-exact 0/255-alpha blend branches, 2px-unit offsets).
+# and integer-exact 0/255-alpha blend branches, 2px-unit offsets) and
+# q_multimodal_msadpcm (MS ADPCM, WAV tag 0x0002 — verbatim seed-only
+# blocks + the ADAPT=230 stateless lattice by doc_id parity).
 # Window layout (new code takes slots first — the endorsed precedent):
 #   slots 1-7   — the ENTIRE remaining r9 tier, alphabetical (retires
 #                 r9 evidence for good; declared last round);
-#   slots 8-34  — the 27 oldest r10-hash, alphabetical (streaming
+#   slots 8-33  — the 26 oldest r10-hash, alphabetical (streaming
 #                 batch twins, as-of forward/nearest, bloom/CMS/BM25,
-#                 PCA, graph, ending at q_rolling_p50_wide);
-#   slots 35-50 — NEW this round, never checked: q_multimodal_netpbm,
+#                 PCA, graph, ending at q_range_join);
+#   slots 34-50 — NEW this round, never checked: q_multimodal_netpbm,
 #                 q_multimodal_au, q_multimodal_video,
 #                 q_multimodal_gif_anim, q_multimodal_wavext,
 #                 q_multimodal_mp4, q_multimodal_avi_audio,
@@ -96,11 +98,11 @@ def query(name: str, oracle: str | None = None):
 #                 q_multimodal_y4m, q_multimodal_flac,
 #                 q_multimodal_aiff, q_multimodal_tga,
 #                 q_multimodal_ico, q_multimodal_webp,
-#                 q_multimodal_webp_anim.
-# Tier "next" (r15) = the 17 r10-hash queries that did not fit
-# (q_scd2_merge, q_session_stats, q_session_window, q_tpch_q12,
-# q_tpch_q14, q_tpch_q15, q_tpch_q19, q_tpch_q21, q_tpch_q4, q_tpch_q5,
-# q_tpch_q6, q_tpch_q7, q_tpch_q8,
+#                 q_multimodal_webp_anim, q_multimodal_msadpcm.
+# Tier "next" (r15) = the 18 r10-hash queries that did not fit
+# (q_rolling_p50_wide, q_scd2_merge, q_session_stats, q_session_window,
+# q_tpch_q12, q_tpch_q14, q_tpch_q15, q_tpch_q19, q_tpch_q21,
+# q_tpch_q4, q_tpch_q5, q_tpch_q6, q_tpch_q7, q_tpch_q8,
 # q_triangles, q_udtf_links, q_unpivot, q_zorder), then the 49 r11-hash
 # (alphabetical from q21b_range_frame through the r11 wave), then the
 # r12 tier.
@@ -108,7 +110,7 @@ _PRIORITY = [
     # slots 1-7 — the full remaining r9 tier, alphabetical
     "q_simhash", "q_stratified_sample", "q_token_count", "q_tpch_q10",
     "q_tpch_q13", "q_tpch_q18", "q_tpch_q22",
-    # slots 8-34 — the 27 oldest r10-hash, alphabetical
+    # slots 8-33 — the 26 oldest r10-hash, alphabetical
     "q10b_grouped_median", "q18c_window_dist", "q20b_share_of_total",
     "q23_union_distinct", "q24_distinct_rows", "q32_tumbling_window",
     "q33_sliding_window", "q_approx_distinct", "q_asof_forward",
@@ -116,17 +118,16 @@ _PRIORITY = [
     "q_cms_tokens", "q_corr_matrix", "q_embed_pca", "q_from_json",
     "q_map_fns", "q_multimodal_frames", "q_multimodal_meta", "q_multireg",
     "q_pack_bins", "q_pagerank", "q_perplexity", "q_pivot", "q_range_join",
-    "q_rolling_p50_wide",
-    # slots 35-50 — new this round: Netpbm family, Sun Au, AVI video,
+    # slots 34-50 — new this round: Netpbm family, Sun Au, AVI video,
     # GIF animation compositor, WAVE_FORMAT_EXTENSIBLE, mp4 demux, AVI
     # audio track, QOI, baseline TIFF, YUV4MPEG2, FLAC, AIFF, TGA, ICO,
-    # lossless WebP (VP8L), and the animated-WebP compositor
+    # lossless WebP (VP8L), the animated-WebP compositor, and MS ADPCM
     "q_multimodal_netpbm", "q_multimodal_au", "q_multimodal_video",
     "q_multimodal_gif_anim", "q_multimodal_wavext", "q_multimodal_mp4",
     "q_multimodal_avi_audio", "q_multimodal_qoi", "q_multimodal_tiff",
     "q_multimodal_y4m", "q_multimodal_flac", "q_multimodal_aiff",
     "q_multimodal_tga", "q_multimodal_ico", "q_multimodal_webp",
-    "q_multimodal_webp_anim",
+    "q_multimodal_webp_anim", "q_multimodal_msadpcm",
 ]
 
 

@@ -3514,3 +3514,117 @@ def test_webp_anim_strictness():
     assert parse_webp_frames(still) is None
     got = parse_webp(still)
     assert got is not None and got[:2] == (2, 2)
+
+
+def _ms_adpcm_ref_decode(data, block_align, channels):
+    """Independent spec-text MS ADPCM decoder (per-sample scalar
+    walk, written separately from the module's implementation)."""
+    COEFS = [(256, 0), (512, -256), (0, 0), (192, 64), (240, 0),
+             (460, -208), (392, -232)]
+    ADAPT = [230, 230, 230, 230, 307, 409, 512, 614,
+             768, 614, 512, 409, 307, 230, 230, 230]
+    import struct
+
+    out = []
+    hdr = 7 * channels
+    off = 0
+    while off + hdr <= len(data):
+        blk = data[off : off + block_align]
+        off += block_align
+        st = []
+        for c in range(channels):
+            p = blk[c]
+            if p > 6:
+                return None
+            idelta = struct.unpack_from("<h", blk, channels + 2 * c)[0]
+            s1 = struct.unpack_from("<h", blk, 3 * channels + 2 * c)[0]
+            s2 = struct.unpack_from("<h", blk, 5 * channels + 2 * c)[0]
+            st.append([COEFS[p][0], COEFS[p][1], idelta, s1, s2])
+        out.extend(s[4] for s in st)
+        out.extend(s[3] for s in st)
+        k = 0
+        for byte in blk[hdr:]:
+            for nib in (byte >> 4, byte & 0xF):
+                c1, c2, idelta, s1, s2 = st[k % channels]
+                pred = (s1 * c1 + s2 * c2) >> 8
+                sn = nib - 16 if nib >= 8 else nib
+                samp = pred + sn * idelta
+                samp = max(-32768, min(32767, samp))
+                idelta = max(16, (ADAPT[nib] * idelta) >> 8)
+                st[k % channels] = [c1, c2, idelta, samp, s1]
+                out.append(samp)
+                k += 1
+    return out or None
+
+
+def test_ms_adpcm_hand_golden_and_reference_agreement():
+    """r14 — MS ADPCM (WAVE_FORMAT_ADPCM 0x0002), the other classic
+    WAV codec beside IMA. Hand-stepped golden: predictor 0 (pred=s1),
+    idelta 32, seeds s1=100/s2=50, nibble byte 0x39 → emit 50, 100,
+    then 100+3*32=196 (idelta→(230*32)>>8=28), then 196-7*28=0.
+    Then 200 random valid blocks (any predictor, idelta, seeds, body)
+    must decode IDENTICALLY through the module decoder and the
+    independent spec-text reference above — mono and stereo, including
+    clamp saturation and the idelta floor. Strictness: predictor
+    index 7 is malformed."""
+    import struct
+
+    import numpy as np
+
+    from polars_express_spark.functions.multimodal import (
+        _wav_ms_blocks_decode,
+    )
+
+    block = bytes([0]) + struct.pack("<hhh", 32, 100, 50) + bytes([0x39])
+    assert _wav_ms_blocks_decode(block, len(block), 1).tolist() == \
+        [50, 100, 196, 0]
+    assert _wav_ms_blocks_decode(bytes([7]) + block[1:], len(block), 1) \
+        is None
+
+    rng = np.random.RandomState(14)
+    for _ in range(200):
+        channels = int(rng.randint(1, 3))
+        nbody = int(rng.randint(0, 24)) * channels
+        blocks = b""
+        ba = 7 * channels + nbody
+        for _b in range(int(rng.randint(1, 4))):
+            hdr = bytes(int(rng.randint(0, 7)) for _ in range(channels))
+            for _c in range(channels):
+                hdr += struct.pack("<h", int(rng.randint(-32768, 32768)))
+            for _c in range(2 * channels):
+                hdr += struct.pack("<h", int(rng.randint(-32768, 32768)))
+            blocks += hdr + rng.bytes(nbody)
+        got = _wav_ms_blocks_decode(blocks, ba, channels)
+        exp = _ms_adpcm_ref_decode(blocks, ba, channels)
+        assert got is not None and got.tolist() == exp
+
+
+def test_ms_adpcm_wav_lattice_roundtrip():
+    """r14 — encode_wav_msadpcm writes a complete RIFF container (fmt
+    extension with the 7 coefficient pairs, fact, data) that
+    parse_audio_header walks; on the (0,0) coefficient pair the
+    idelta floor pins at 16 for codes in the ADAPT=230 band, so the
+    {-48..48 step 16} lattice round-trips EXACTLY — and a code
+    outside the band (e.g. -8 → ADAPT 768) grows idelta, which is
+    why the exactness claim stops there."""
+    import struct
+
+    import numpy as np
+
+    from polars_express_spark.functions.multimodal import (
+        _wav_ms_blocks_decode,
+        encode_wav_msadpcm,
+        parse_audio_header,
+    )
+
+    rng = np.random.RandomState(7)
+    pcm = [640, -320] + (rng.randint(-3, 4, 64) * 16).tolist()
+    wav = encode_wav_msadpcm(pcm, predictor=2, idelta0=16)
+    assert parse_audio_header(wav) is not None
+    d = wav.find(b"data")
+    (dsize,) = struct.unpack_from("<I", wav, d + 4)
+    (ba,) = struct.unpack_from("<H", wav, wav.find(b"fmt ") + 8 + 12)
+    dec = _wav_ms_blocks_decode(wav[d + 8 : d + 8 + dsize], ba, 1)
+    assert dec.tolist() == pcm
+    # idelta growth outside the band: code -8 (ADAPT 768)
+    assert (768 * 16) >> 8 == 48  # the counterexample from the claim

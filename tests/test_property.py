@@ -1446,6 +1446,7 @@ def test_parsers_never_crash_on_corrupt_payloads(seed, kind):
     from polars_express_spark.functions.multimodal import (
         _avi_video_format,
         _wav_ima_blocks_decode,
+        _wav_ms_blocks_decode,
         encode_gif,
         parse_au_header,
         parse_audio_header,
@@ -1526,6 +1527,9 @@ def test_parsers_never_crash_on_corrupt_payloads(seed, kind):
         _wav_ima_blocks_decode(rng.bytes(int(rng.randint(0, 60))),
                                int(rng.randint(0, 64)),
                                int(rng.randint(1, 4)))
+        _wav_ms_blocks_decode(rng.bytes(int(rng.randint(0, 60))),
+                              int(rng.randint(0, 64)),
+                              int(rng.randint(1, 4)))
 
 
 @given(
