@@ -27,6 +27,18 @@ isolated idle probes showed to be host noise, not regressions):
   inflation) -> five r14 idle probes of the unchanged code read
   0.69-1.01s at sf0.1, matching its r12 value of 0.74s. Host noise.
 
+r14 builder reference runs (final tree, sf0.1, 215 queries, zero
+errors in every run): steady 179.9s / warm 208.5 / cold 268.4 at
+steal 0.08% — the clean run; a back-to-back run at steal 0.99% read
+steady 188.1s with uniform ~10-20% inflation on untouched queries
+(q_multimodal_mp4 2.79 vs 2.20, q_multimodal_ico 2.70 vs 2.17),
+the same contention class as the r12/r13 wobbles. One genuine burst
+observed and ruled out: q_rolling_p50_wide read 2.68s in a single
+mid-session run against 0.87-0.89s in the runs before and after, on
+untouched code. Only q_outlier_mad (documented trade) exceeds ~2.5s
+idle; every media query sits at 1.6-2.4s against the pass floor
+below.
+
 Measured floor of the media round-trip queries (r14): each
 mapInPandas pass over the 32-partition doc_id exchange costs
 ~0.42s of wall-clock HANDSHAKE regardless of rows — an identity
