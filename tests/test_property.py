@@ -1423,20 +1423,22 @@ def test_gif_animation_compositing_property(w, h, n_extra, seed):
 
 
 @settings(max_examples=60, deadline=None, suppress_health_check=list(HealthCheck))
-@given(seed=st.integers(0, 2**31 - 1), kind=st.integers(0, 4))
+@given(seed=st.integers(0, 2**31 - 1), kind=st.integers(0, 5))
 def test_parsers_never_crash_on_corrupt_payloads(seed, kind):
     """r13 — executor-safety property: at 100 TB corrupt payloads are
     certain, and an unhandled IndexError inside a mapInPandas stage
     kills the task, so every parser must return None (or a well-formed
-    tuple) on ARBITRARY bytes — never raise. Five corruption regimes,
+    tuple) on ARBITRARY bytes — never raise. Six corruption regimes,
     each aimed past the outer integrity checks: magic-prefixed
     garbage; PNG IDAT garbage re-wrapped with VALID chunk CRCs (the
     inflate and filter machinery sees it); GIF LZW sub-block flips
     (the variable-width table walker sees them); JPEG entropy-segment
     flips (the Huffman decoder sees them); BMP RLE escape-stream
-    garbage and random ADPCM blocks. A session-scale fuzz of ~40k
-    cases per regime ran clean when this was written; the bounded
-    sample here keeps the guarantee pinned."""
+    garbage and random ADPCM blocks; bit flips anywhere inside a
+    VALID animated-WebP container (r14 — the chunk walker, ANMF
+    header fields, and the VP8L prefix machinery all see them). A
+    session-scale fuzz of ~40k cases per regime ran clean when this
+    was written; the bounded sample here keeps the guarantee pinned."""
     import struct
     import zlib
 
@@ -1516,6 +1518,25 @@ def test_parsers_never_crash_on_corrupt_payloads(seed, kind):
             i = int(rng.randint(sos + 2, len(jp)))
             jp[i] = int(rng.randint(0, 256))
         parse_jpeg(bytes(jp))
+    elif kind == 5:  # bit flips in a VALID animated-WebP container
+        from polars_express_spark.functions.webp import (
+            encode_webp_anim,
+            parse_webp_frames,
+        )
+
+        f0 = rng.randint(0, 256, (4, 4, 4)).astype("u1")
+        f1 = rng.randint(0, 256, (2, 2, 4)).astype("u1")
+        payload = bytearray(encode_webp_anim(
+            [(0, 0, f0, bool(rng.randint(2)), bool(rng.randint(2))),
+             (2, 2, f1, bool(rng.randint(2)), bool(rng.randint(2)))],
+            4, 4,
+        ))
+        for _ in range(int(rng.randint(1, 6))):
+            i = int(rng.randint(12, len(payload)))  # keep RIFF/WEBP magic
+            payload[i] ^= 1 << int(rng.randint(0, 8))
+        parse_webp_frames(bytes(payload))  # must not raise
+        parse_webp(bytes(payload))
+        parse_image_header(bytes(payload))
     else:  # BMP RLE escape-stream garbage + random ADPCM blocks
         pal8 = bytes(v for gg in range(256) for v in (gg, gg, gg, 0))
         stream = rng.bytes(int(rng.randint(0, 40)))
