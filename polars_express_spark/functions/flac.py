@@ -577,6 +577,28 @@ def encode_flac(
     """Encode (n, channels) int samples losslessly (module docstring
     has the strategy envelope). STREAMINFO carries the true audio MD5,
     arming parse_flac's end-to-end hash check on every payload."""
+    si_block, frame_list = encode_flac_parts(
+        samples, sample_rate, bits_per_sample, block_size, mode, stereo_mode
+    )
+    return b"fLaC" + si_block + b"".join(frame_list)
+
+
+def encode_flac_parts(
+    samples,
+    sample_rate: int = 8000,
+    bits_per_sample: int = 16,
+    block_size: int = 4096,
+    mode: str = "fixed",
+    stereo_mode: str = "independent",
+):
+    """encode_flac split at the container seams: returns
+    (streaminfo_block, [frame, ...]) where streaminfo_block is the
+    complete 38-byte metadata block (header byte with the last-flag
+    set + 3-byte length + STREAMINFO) and each frame is one complete
+    FLAC frame incl. its CRC-16. This is exactly the granularity the
+    FLAC-to-Ogg mapping needs (r15 — packet 0 carries 'fLaC' +
+    STREAMINFO, then ONE FRAME PER PACKET), and joining the parts
+    behind b'fLaC' is the native stream encode_flac returns."""
     arr = np.asarray(samples, dtype=np.int64)
     if arr.ndim == 1:
         arr = arr[:, None]
@@ -592,7 +614,7 @@ def encode_flac(
     md5 = hashlib.md5(
         b"".join(int(v).to_bytes(width, "little", signed=True) for v in arr.ravel())
     ).digest()
-    frames = bytearray()
+    frame_list: list[bytes] = []
     for fno, start in enumerate(range(0, n, block_size)):
         blk = arr[start : start + block_size]
         bs = blk.shape[0]
@@ -641,7 +663,7 @@ def encode_flac(
             _write_subframe(w, s, bps, mode)
         w.align()
         body = w.bytes()
-        frames += body + struct.pack(">H", _crc16(body))
+        frame_list.append(body + struct.pack(">H", _crc16(body)))
     # STREAMINFO: min/max blocksize = the one block size used (the
     # last block may be shorter; spec keeps min at the stream's
     # nominal, so clamp min to the smallest actual block ≥16)
@@ -656,4 +678,5 @@ def encode_flac(
         + packed.to_bytes(8, "big")
         + md5
     )
-    return b"fLaC" + bytes((0x80,)) + len(si).to_bytes(3, "big") + si + bytes(frames)
+    si_block = bytes((0x80,)) + len(si).to_bytes(3, "big") + si
+    return si_block, frame_list

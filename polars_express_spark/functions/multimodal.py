@@ -1177,6 +1177,55 @@ def decode_audio_samples(df: DataFrame) -> DataFrame:
                          int(pcm.min()), int(pcm.max()))
                     )
                     continue
+                if raw[:4] == b"OggS":
+                    # Ogg (r15): the container demuxes for real
+                    # (parse_ogg — CRC-verified pages, packets
+                    # reassembled). FLAC-in-Ogg decodes all the way to
+                    # samples: rebuild the native stream from the
+                    # mapping's packets (packet 0 carries 'fLaC' +
+                    # STREAMINFO, then one frame per packet) and run it
+                    # through parse_flac, whose CRC-8/16 + MD5 chain
+                    # stays armed. Vorbis/Opus payloads are full
+                    # transform codecs and stay policy-gated like
+                    # MP3-in-WAV; the swap-in point is parse_ogg's
+                    # packet list → libopus/libvorbis.
+                    parsed = parse_ogg(raw)
+                    if parsed is None:
+                        raise ValueError(
+                            f"doc {doc_id}: corrupt or out-of-envelope "
+                            "Ogg stream"
+                        )
+                    codec, _ch, _rate, hdr_count, _np_, _gran, pkts = parsed
+                    if codec != "flac":
+                        raise NotImplementedError(
+                            f"doc {doc_id}: Ogg-{codec} demuxes via "
+                            "decode_ogg_stats; the payload codec is gated "
+                            "by policy (no dependency-free decode here)"
+                        )
+                    from polars_express_spark.functions.flac import parse_flac
+
+                    # force STREAMINFO's last-metadata flag: any extra
+                    # header packets (VorbisComment etc.) are dropped,
+                    # so the rebuilt native stream goes straight from
+                    # STREAMINFO to the first frame
+                    native = (
+                        b"fLaC" + bytes([pkts[0][13] | 0x80])
+                        + pkts[0][14:] + b"".join(pkts[1 + hdr_count :])
+                    )
+                    parsed_flac = parse_flac(native)
+                    if parsed_flac is None:
+                        raise ValueError(
+                            f"doc {doc_id}: Ogg pages were intact but the "
+                            "FLAC payload failed its own integrity chain"
+                        )
+                    pcm = parsed_flac[3].reshape(-1)
+                    if len(pcm) == 0:
+                        raise ValueError(f"doc {doc_id}: empty Ogg-FLAC stream")
+                    rows.append(
+                        (doc_id, len(pcm), float(pcm.mean()),
+                         int(pcm.min()), int(pcm.max()))
+                    )
+                    continue
                 if raw[:4] == b"FORM":
                     # AIFF (r14): the third audio container — FORM/IFF
                     # chunks, 80-bit extended-float sample rate,
@@ -4216,3 +4265,378 @@ def encode_ico(entries) -> bytes:
         )
         ioff += len(blob)
     return out + b"".join(blobs)
+
+
+# ---------------------------------------------------------------------------
+# Ogg (r15) — the page-level container demux for the Xiph family
+# (reference parity anchor: the reference's media surface is the Polars
+# binary column passthrough in src/main.rs:106-121; this tier, like the
+# rest of §2.10, is the training-pipeline extension mandated by SURVEY).
+# ---------------------------------------------------------------------------
+
+def _ogg_crc_table():
+    # Ogg page CRC-32 (RFC 3533 §6): polynomial 0x04c11db7, NO bit
+    # reflection, init 0, xorout 0 — deliberately NOT zlib's CRC-32.
+    tbl = []
+    for i in range(256):
+        r = i << 24
+        for _ in range(8):
+            r = ((r << 1) ^ 0x04C11DB7 if r & 0x80000000 else r << 1) & 0xFFFFFFFF
+        tbl.append(r)
+    return tbl
+
+
+_OGG_CRC = _ogg_crc_table()
+
+
+def _ogg_crc32(data: bytes) -> int:
+    crc = 0
+    tbl = _OGG_CRC
+    for b in data:
+        crc = ((crc << 8) & 0xFFFFFFFF) ^ tbl[((crc >> 24) ^ b) & 0xFF]
+    return crc
+
+
+def _ogg_lacing(n: int) -> list[int]:
+    """Lacing values for one packet of n bytes (RFC 3533 §5): floor(n/255)
+    255-values then n%255 — a multiple of 255 therefore ends with an
+    explicit 0 terminator, and a zero-length packet is a single 0."""
+    return [255] * (n // 255) + [n % 255]
+
+
+def encode_ogg(
+    id_packet: bytes,
+    data_packets,
+    serial: int = 0x1337,
+    max_page_payload: int = 4096,
+    final_granule: int | None = None,
+) -> bytes:
+    """Independent Ogg writer (RFC 3533) for the round-trip tests/queries:
+    the identification packet goes alone on the BOS page (as the Opus and
+    Vorbis mappings both mandate), then data packets are packed greedily
+    into pages of at most ``max_page_payload`` payload bytes / 255
+    segments. Pages may only break between lacing segments, so a break
+    mid-packet always leaves the page ending in a 255-lacing and sets the
+    CONTINUATION flag on the next page (a small ``max_page_payload``
+    forces that path deliberately). Granule position is the cumulative
+    count of data-packet bytes completed on the page, -1 (all-ones) for
+    pages ending mid-packet per spec; the last page carries EOS and
+    ``final_granule`` (default: total data bytes). Every page gets the
+    RFC 3533 §6 CRC-32 (poly 0x04c11db7, unreflected, init/xorout 0)."""
+    import struct
+
+    if len(id_packet) >= 255 * 255:
+        raise ValueError("id packet must fit a single page")
+    pages = []
+    seq = 0
+
+    def flush(htype, granule, segs, payload):
+        nonlocal seq
+        hdr = (
+            b"OggS" + bytes([0, htype])
+            + struct.pack("<q", granule)
+            + struct.pack("<II", serial, seq)
+            + b"\x00\x00\x00\x00"
+            + bytes([len(segs)]) + bytes(segs)
+        )
+        page = bytearray(hdr + bytes(payload))
+        crc = _ogg_crc32(bytes(page))
+        page[22:26] = struct.pack("<I", crc)
+        pages.append(bytes(page))
+        seq += 1
+
+    flush(0x02, 0, _ogg_lacing(len(id_packet)), id_packet)  # BOS page
+
+    total = sum(len(p) for p in data_packets)
+    if final_granule is None:
+        final_granule = total
+    # (lace, chunk, completes_bytes) stream across all data packets;
+    # completes_bytes is the cumulative data-byte count if this lacing
+    # value TERMINATES its packet, else None (mid-packet)
+    stream = []
+    done = 0
+    for p in data_packets:
+        laces = _ogg_lacing(len(p))
+        off = 0
+        for j, lv in enumerate(laces):
+            chunk = p[off : off + lv]
+            off += lv
+            last = j == len(laces) - 1
+            stream.append((lv, chunk, done + off if last else None))
+        done += len(p)
+
+    segs, payload, cont, page_granule = [], bytearray(), False, None
+    for k, (lv, chunk, completes) in enumerate(stream):
+        if segs and (len(payload) + lv > max_page_payload or len(segs) == 255):
+            flush(
+                0x01 if cont else 0x00,
+                page_granule if page_granule is not None else -1,
+                segs, payload,
+            )
+            # the page broke mid-packet iff its last lacing was 255
+            cont = segs[-1] == 255
+            segs, payload, page_granule = [], bytearray(), None
+        segs.append(lv)
+        payload += chunk
+        if completes is not None:
+            page_granule = completes
+    htype = 0x04 | (0x01 if cont else 0x00)
+    flush(htype, final_granule, segs, payload)  # EOS page
+    return b"".join(pages)
+
+
+def parse_ogg(payload: bytes):
+    """REAL Ogg demux (r15 — RFC 3533, the Xiph container for
+    Vorbis/Opus/Theora/FLAC-in-Ogg; the last mainstream media container
+    family the ladder lacked): returns
+    (codec, channels, sample_rate, pre_skip, n_pages, last_granule,
+    packets) or None, where ``packets`` is the full reassembled packet
+    list (packets[0] is the identification header). Page walk: 'OggS'
+    capture + version 0, the 64-bit granule, serial, strictly
+    incrementing page sequence from 0 (single logical stream — grouped/
+    multiplexed streams are out of envelope), and the RFC 3533 §6
+    CRC-32 checked on EVERY page (unreflected 0x04c11db7 over the page
+    with the CRC field zeroed) — so, like PNG and FLAC and unlike
+    VP8L/QOI/TGA, a bit-level corruption is DETECTED, never silently
+    decoded. Lacing reassembly handles multi-segment packets,
+    255-multiple packets (explicit 0 terminator), zero-length packets,
+    and packets continued across pages; the continuation flag must be
+    consistent both ways (set ⟺ the previous page ended mid-packet) and
+    a stream ending mid-packet is rejected. BOS must open the stream
+    (exactly once), EOS must close it. The identification packet is
+    decoded for Opus ('OpusHead' v1: channels, pre-skip, input rate)
+    and Vorbis ('\\x01vorbis' v0: channels, rate, framing bit); the
+    compressed audio payload itself stays codec-gated by policy, like
+    MP3-in-WAV (decode_audio_samples raises at the gate). Allocation is
+    input-bounded: a page's payload is sum of ≤255 byte-valued lacings."""
+    import struct
+
+    pos = 0
+    n_pages = 0
+    packets: list[bytes] = []
+    cur = bytearray()
+    mid_packet = False
+    serial = None
+    expect_seq = 0
+    saw_eos = False
+    last_granule = None
+    while pos < len(payload):
+        if saw_eos:
+            return None  # trailing bytes after the EOS page
+        if pos + 27 > len(payload) or payload[pos : pos + 4] != b"OggS":
+            return None
+        if payload[pos + 4] != 0:  # stream structure version
+            return None
+        htype = payload[pos + 5]
+        (granule,) = struct.unpack_from("<q", payload, pos + 6)
+        (pserial, pseq) = struct.unpack_from("<II", payload, pos + 14)
+        (crc_stored,) = struct.unpack_from("<I", payload, pos + 22)
+        nsegs = payload[pos + 26]
+        seg_end = pos + 27 + nsegs
+        if seg_end > len(payload):
+            return None
+        segtable = payload[pos + 27 : seg_end]
+        body_len = sum(segtable)
+        page_end = seg_end + body_len
+        if page_end > len(payload):
+            return None
+        page = bytearray(payload[pos:page_end])
+        page[22:26] = b"\x00\x00\x00\x00"
+        if _ogg_crc32(bytes(page)) != crc_stored:
+            return None  # corrupt page — the spec-mandated detection
+        if serial is None:
+            serial = pserial
+            if not htype & 0x02:
+                return None  # first page must be BOS
+        else:
+            if pserial != serial or htype & 0x02:
+                return None  # multiplexed stream or duplicate BOS
+        if pseq != expect_seq:
+            return None  # lost or reordered page
+        expect_seq += 1
+        if bool(htype & 0x01) != mid_packet:
+            return None  # continuation flag inconsistent with lacing state
+        body = payload[seg_end:page_end]
+        off = 0
+        for lv in segtable:
+            cur += body[off : off + lv]
+            off += lv
+            if lv < 255:
+                packets.append(bytes(cur))
+                cur = bytearray()
+        mid_packet = bool(segtable) and segtable[-1] == 255
+        if granule != -1:
+            last_granule = granule
+        n_pages += 1
+        if htype & 0x04:
+            saw_eos = True
+        pos = page_end
+    if n_pages == 0 or not saw_eos or mid_packet or not packets:
+        return None
+    ident = packets[0]
+    if ident[:8] == b"OpusHead":
+        # RFC 7845 §5.1: version 1, u8 channels, u16le pre-skip,
+        # u32le input sample rate, s16le gain, u8 mapping family
+        if len(ident) < 19 or ident[8] != 1:
+            return None
+        channels = ident[9]
+        (pre_skip,) = struct.unpack_from("<H", ident, 10)
+        (rate,) = struct.unpack_from("<I", ident, 12)
+        family = ident[18]
+        if channels == 0 or (family == 0 and channels > 2):
+            return None
+        codec = "opus"
+    elif ident[:7] == b"\x01vorbis":
+        # Vorbis I §4.2.2: u32 version 0, u8 channels, u32 rate,
+        # 3×u32 bitrates, u8 blocksizes, framing bit
+        if len(ident) != 30:
+            return None
+        (version,) = struct.unpack_from("<I", ident, 7)
+        channels = ident[11]
+        (rate,) = struct.unpack_from("<I", ident, 12)
+        if version != 0 or channels == 0 or rate == 0 or not ident[29] & 1:
+            return None
+        pre_skip = 0
+        codec = "vorbis"
+    elif ident[:5] == b"\x7fFLAC":
+        # FLAC-to-Ogg mapping v1 (the Xiph mapping spec): 0x7F 'FLAC',
+        # u8 major/minor, u16be count of FOLLOWING header packets, then
+        # the native 'fLaC' magic and the complete STREAMINFO block
+        if (
+            len(ident) != 13 + 38
+            or ident[5] != 1
+            or ident[9:13] != b"fLaC"
+            or (ident[13] & 0x7F) != 0  # block type must be STREAMINFO
+        ):
+            return None
+        (hdr_count,) = struct.unpack_from(">H", ident, 7)
+        if len(packets) < 1 + hdr_count:
+            return None
+        streaminfo = ident[17:]
+        packed = int.from_bytes(streaminfo[10:18], "big")
+        rate = packed >> 44
+        channels = ((packed >> 41) & 0x7) + 1
+        if rate == 0:
+            return None
+        pre_skip = hdr_count  # field reused: # of extra header packets
+        codec = "flac"
+    else:
+        return None  # unknown mapping — out of envelope
+    if last_granule is None:
+        return None
+    return codec, channels, rate, pre_skip, n_pages, last_granule, packets
+
+
+def encode_ogg_flac(
+    samples,
+    sample_rate: int = 8000,
+    bits_per_sample: int = 16,
+    block_size: int = 4096,
+    mode: str = "fixed",
+    stereo_mode: str = "independent",
+    max_page_payload: int = 4096,
+) -> bytes:
+    """FLAC-to-Ogg mux (r15): the Xiph mapping — packet 0 is
+    0x7F 'FLAC' 1 0 + u16be 0 extra headers + the native 'fLaC' magic +
+    the complete STREAMINFO block, then ONE FLAC FRAME PER PACKET, each
+    frame still carrying its own CRC-8/CRC-16 and the stream MD5 in
+    STREAMINFO — so the Ogg page CRC-32 wraps FLAC's own integrity
+    chain and the payload decodes for REAL (unlike the policy-gated
+    Vorbis/Opus codecs). Granule = cumulative interleaved sample count
+    per the mapping's spirit (encode_ogg prices it in data bytes of
+    completed packets; the final granule is set to the sample total)."""
+    import numpy as np
+
+    from polars_express_spark.functions.flac import encode_flac_parts
+
+    arr = np.asarray(samples, dtype=np.int64)
+    n = arr.shape[0] if arr.ndim > 1 else arr.size
+    si_block, frame_list = encode_flac_parts(
+        arr, sample_rate, bits_per_sample, block_size, mode, stereo_mode
+    )
+    ident = b"\x7fFLAC\x01\x00" + (0).to_bytes(2, "big") + b"fLaC" + si_block
+    return encode_ogg(
+        ident, frame_list, max_page_payload=max_page_payload, final_granule=n
+    )
+
+
+def make_opus_head(
+    channels: int, rate: int = 48000, pre_skip: int = 0
+) -> bytes:
+    """Canonical 19-byte OpusHead identification packet (RFC 7845 §5.1,
+    channel mapping family 0 — mono/stereo only)."""
+    import struct
+
+    if not 1 <= channels <= 2:
+        raise ValueError("mapping family 0 takes 1 or 2 channels")
+    return (
+        b"OpusHead" + bytes([1, channels])
+        + struct.pack("<HIh", pre_skip, rate, 0) + bytes([0])
+    )
+
+
+def make_vorbis_id(channels: int, rate: int) -> bytes:
+    """Canonical 30-byte Vorbis identification packet (Vorbis I §4.2.2;
+    blocksizes 256/2048, bitrate fields zero)."""
+    import struct
+
+    if channels == 0 or rate == 0:
+        raise ValueError("channels and rate must be positive")
+    return (
+        b"\x01vorbis" + struct.pack("<IBI", 0, channels, rate)
+        + struct.pack("<iii", 0, 0, 0) + bytes([(11 << 4) | 8, 1])
+    )
+
+
+OGG_STATS_SCHEMA = (
+    "doc_id bigint, codec string, channels int, sample_rate int, "
+    "pre_skip int, n_packets bigint, data_bytes bigint, granule bigint, "
+    "mean_b double, min_b int, max_b int"
+)
+
+
+def decode_ogg_stats(df: DataFrame) -> DataFrame:
+    """Ogg container stats (r15): per doc, demux the page stream with
+    parse_ogg — every page CRC-verified, packets reassembled across
+    lacing and page-continuation boundaries — and ship the
+    identification-header fields plus exact byte stats over the
+    reassembled DATA packets (packets[1:], i.e. what a codec would
+    consume). The compressed Vorbis/Opus payload decode stays gated
+    (policy, like MP3-in-WAV: the swap-in point is this function's
+    packet list → libopus/libvorbis). Same Arrow-batched scale shape as
+    decode_audio_samples: decode executor-side, move scalars."""
+    import numpy as np
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                parsed = parse_ogg(bytes(payload))
+                if parsed is None:
+                    raise ValueError(
+                        f"doc {doc_id}: corrupt or out-of-envelope Ogg "
+                        "stream (CRC-32 failure, lacing inconsistency, "
+                        "or unknown codec mapping)"
+                    )
+                codec, ch, rate, pre_skip, _n_pages, granule, pkts = parsed
+                data = b"".join(pkts[1:])
+                arr = np.frombuffer(data, dtype=np.uint8)
+                if arr.size == 0:
+                    raise ValueError(f"doc {doc_id}: Ogg stream has no data")
+                rows.append(
+                    (doc_id, codec, ch, rate, pre_skip, len(pkts) - 1,
+                     len(data), granule, float(arr.mean()),
+                     int(arr.min()), int(arr.max()))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "codec", "channels", "sample_rate",
+                         "pre_skip", "n_packets", "data_bytes", "granule",
+                         "mean_b", "min_b", "max_b"],
+            ).astype({"channels": "int32", "sample_rate": "int32",
+                      "pre_skip": "int32", "min_b": "int32",
+                      "max_b": "int32"})
+
+    return df.select("doc_id", "payload").mapInPandas(
+        stats, schema=OGG_STATS_SCHEMA
+    )

@@ -2486,3 +2486,238 @@ def q_multimodal_msadpcm(spark, sf_dir):
         synth, schema="doc_id bigint, payload binary"
     )
     return decode_audio_samples(wav).orderBy("doc_id")
+
+
+@query(
+    "q_multimodal_ogg",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, text, n_chars, CAST(3 + doc_id % 3 AS INT) AS k
+      FROM documents WHERE text IS NOT NULL AND length(text) > 0
+    ), sized AS (
+      SELECT doc_id, text, k,
+             810 + CASE WHEN k >= 4 THEN 100 + n_chars % 156 ELSE 0 END
+                 + CASE WHEN k = 5 THEN 255 ELSE 0 END AS n
+      FROM d
+    ), b AS (
+      SELECT doc_id, k, n,
+             ascii(substr(text, ((g.i * 29) % length(text)) + 1, 1)) % 256 AS b
+      FROM sized, unnest(generate_series(0, CAST(n - 1 AS BIGINT))) g(i)
+    )
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'opus' ELSE 'vorbis' END AS codec,
+           CAST(1 + (doc_id // 2) % 2 AS INT) AS channels,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 48000
+                ELSE 8000 * (1 + doc_id % 3) END AS INT) AS sample_rate,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN doc_id % 1000 ELSE 0 END
+                AS INT) AS pre_skip,
+           CAST(any_value(k) AS BIGINT) AS n_packets,
+           CAST(any_value(n) AS BIGINT) AS data_bytes,
+           CAST(any_value(n) AS BIGINT) AS granule,
+           CAST(sum(b) AS DOUBLE) / count(*) AS mean_b,
+           CAST(min(b) AS INT) AS min_b,
+           CAST(max(b) AS INT) AS max_b
+    FROM b GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q_multimodal_ogg(spark, sf_dir):
+    """Ogg under the driver hash (r15 — RFC 3533, the Xiph container
+    and the last mainstream media container family the ladder lacked;
+    the only tier whose integrity posture is a PER-PAGE CRC-32, so the
+    hash also pins the unreflected 0x04c11db7 implementation: one
+    polynomial bug and no page parses). Per document the data bytes are
+    the stride-29 formula; doc_id picks the mux shape so every lacing
+    edge case is hashed every round — packet sizes [300, 510, 0] always
+    (a multi-segment packet, an exact-255-multiple packet needing the
+    explicit 0 terminator, and a ZERO-LENGTH packet), plus
+    100+n_chars%156 when doc_id%3>=1 and a single-full-segment 255 when
+    doc_id%3=2; max_page_payload=500 forces packets to SPAN pages, so
+    the continuation flag and mid-packet granule=-1 path run on every
+    doc. doc_id parity picks the codec mapping: even = OpusHead
+    (channels from (doc_id div 2)%2, pre-skip doc_id%1000 — the u16le
+    field), odd = Vorbis id (rate 8000*(1+doc_id%3), framing bit). The
+    encoder and parser are independent ends of RFC 3533; the oracle
+    replays the size/id arithmetic and the byte formula in SQL — a hash
+    match proves page CRC generation+verification, lacing reassembly
+    across continuation boundaries, and both id-header decodes end to
+    end. The Vorbis/Opus payload codec itself stays policy-gated
+    (decode_audio_samples raises on OggS). Scale shape: one scan, one
+    doc_id exchange (_codec_parallel), Arrow-batched mapInPandas."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    from polars_express_spark.functions.multimodal import (
+        decode_ogg_stats,
+        encode_ogg,
+        make_opus_head,
+        make_vorbis_id,
+    )
+
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    )
+    bs = (
+        d.select(
+            "doc_id",
+            (3 + F.col("doc_id") % 3).cast("int").alias("k"),
+            "n_chars",
+            "text",
+        )
+        .withColumn(
+            "n",
+            F.lit(810)
+            + F.when(F.col("k") >= 4, 100 + F.col("n_chars") % 156).otherwise(0)
+            + F.when(F.col("k") == 5, 255).otherwise(0),
+        )
+        .select(
+            "doc_id",
+            "k",
+            F.expr(
+                "transform(sequence(0, n - 1),"
+                " i -> ascii(substring(text, ((i * 29) % length(text)) + 1, 1))"
+                " % 256)"
+            ).alias("bs"),
+        )
+    )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id, k, row in zip(pdf["doc_id"], pdf["k"], pdf["bs"]):
+                doc_id, k = int(doc_id), int(k)
+                raw = bytes(int(x) for x in row)
+                sizes = [300, 510, 0]
+                if k >= 4:
+                    sizes.append(len(raw) - 810 - (255 if k == 5 else 0))
+                if k == 5:
+                    sizes.append(255)
+                pkts, off = [], 0
+                for s in sizes:
+                    pkts.append(raw[off : off + s])
+                    off += s
+                ch = 1 + (doc_id // 2) % 2
+                if doc_id % 2 == 0:
+                    ident = make_opus_head(ch, 48000, pre_skip=doc_id % 1000)
+                else:
+                    ident = make_vorbis_id(ch, 8000 * (1 + doc_id % 3))
+                payloads.append(
+                    encode_ogg(ident, pkts, max_page_payload=500)
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    ogg = _codec_parallel(bs).mapInPandas(
+        synth, schema="doc_id bigint, payload binary"
+    )
+    return decode_ogg_stats(ogg).orderBy("doc_id")
+
+
+@query(
+    "q_multimodal_ogg_flac",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, g.i AS i,
+             ascii(substr(text, ((g.i * 31) % length(text)) + 1, 1)) % 256 AS b
+      FROM documents, unnest(generate_series(0, 63)) g(i)
+      WHERE text IS NOT NULL AND length(text) > 0 AND doc_id % 8 >= 4
+    ), nxt AS (
+      SELECT doc_id, i, b,
+             lead(b) OVER (PARTITION BY doc_id ORDER BY i) AS b2
+      FROM b
+    ), pcm AS (
+      SELECT doc_id,
+             CASE WHEN b2 * 256 + b >= 32768
+                  THEN b2 * 256 + b - 65536 ELSE b2 * 256 + b END AS p
+      FROM nxt WHERE i % 2 = 0
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_samples,
+           CAST(sum(p) AS DOUBLE) / count(*) AS mean_pcm,
+           CAST(min(p) AS INT) AS min_pcm,
+           CAST(max(p) AS INT) AS max_pcm
+    FROM pcm GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q_multimodal_ogg_flac(spark, sf_dir):
+    """FLAC-in-Ogg under the driver hash (r15 — the Xiph FLAC-to-Ogg
+    mapping: the one Ogg payload that decodes all the way to SAMPLES
+    in-tree, because functions/flac.py is a full codec; Vorbis/Opus
+    stay policy-gated). Per document, 64 stride-31 formula bytes pair
+    little-endian into 32 signed 16-bit samples; doc_id mod 4 picks the
+    encode strategy (m=0 mono fixed-predictor, m=1 mono VERBATIM, m=2
+    stereo MID/SIDE, m=3 stereo LEFT/SIDE with quantized LPC — the
+    q_multimodal_flac rotation, here re-muxed) and the complementary
+    corpus half (doc_id%8 >= 4 vs the native-FLAC query's < 4) keeps
+    the pair inside the bench band while covering the full corpus
+    between them. encode_ogg_flac muxes real mapping streams — packet
+    0 is 0x7F'FLAC' + 'fLaC' + STREAMINFO, one frame per packet,
+    block_size 16 so mono docs carry TWO frame packets, page cap 120
+    so packets span pages through the continuation flag — and
+    decode_audio_samples demuxes the pages (per-page CRC-32),
+    rebuilds the native stream, and decodes through parse_flac with
+    its CRC-8/16 + MD5 chain still armed. The oracle is the
+    byte-pairing arithmetic in SQL: a hash match proves bit-exact
+    decode∘(ogg-mux∘flac-encode) = id through BOTH integrity layers.
+    Scale shape: one scan, one doc_id exchange (_codec_parallel),
+    Arrow-batched mapInPandas."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    from polars_express_spark.functions.multimodal import (
+        decode_audio_samples,
+        encode_ogg_flac,
+    )
+
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+        # the complementary half to q_multimodal_flac — all four
+        # doc_id%4 strategies kept (4,5,6,7 mod 4 = 0,1,2,3)
+        & (F.col("doc_id") % 8 >= 4)
+    )
+    bs = d.select(
+        "doc_id",
+        F.expr(
+            "transform(sequence(0, 63),"
+            " i -> ascii(substring(text, ((i * 31) % length(text)) + 1, 1)) % 256)"
+        ).alias("bs"),
+    )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            payloads = []
+            for doc_id, row in zip(pdf["doc_id"], pdf["bs"]):
+                raw = np.array([int(x) for x in row], dtype=np.int64)
+                pcm = raw[0::2] + 256 * raw[1::2]
+                pcm = np.where(pcm >= 32768, pcm - 65536, pcm)
+                m = int(doc_id) % 4
+                if m == 0:
+                    payloads.append(
+                        encode_ogg_flac(pcm, 8000, 16, 16, "fixed",
+                                        max_page_payload=120)
+                    )
+                elif m == 1:
+                    payloads.append(
+                        encode_ogg_flac(pcm, 8000, 16, 16, "verbatim",
+                                        max_page_payload=120)
+                    )
+                elif m == 2:
+                    payloads.append(
+                        encode_ogg_flac(pcm.reshape(-1, 2), 8000, 16, 16,
+                                        "fixed", "mid_side",
+                                        max_page_payload=120)
+                    )
+                else:
+                    payloads.append(
+                        encode_ogg_flac(pcm.reshape(-1, 2), 8000, 16, 16,
+                                        "lpc", "left_side",
+                                        max_page_payload=120)
+                    )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    ogg = _codec_parallel(bs).mapInPandas(
+        synth, schema="doc_id bigint, payload binary"
+    )
+    return decode_audio_samples(ogg).orderBy("doc_id")

@@ -3628,3 +3628,77 @@ def test_ms_adpcm_wav_lattice_roundtrip():
     assert dec.tolist() == pcm
     # idelta growth outside the band: code -8 (ADAPT 768)
     assert (768 * 16) >> 8 == 48  # the counterexample from the claim
+
+
+def test_ogg_demux_stats_and_codec_gate(spark):
+    """r15 — Ogg (RFC 3533): decode_ogg_stats demuxes a real page
+    stream (CRC-verified, packets reassembled across a forced page
+    continuation) and ships the id-header fields plus exact data-byte
+    stats; the Vorbis/Opus payload codec is policy-gated —
+    decode_audio_samples raises on OggS like MP3-in-WAV. A corrupt
+    page (one flipped payload byte) fails the page CRC and the stats
+    operator raises rather than shipping wrong bytes."""
+    import numpy as np
+    import pytest
+
+    from polars_express_spark.functions.multimodal import (
+        decode_audio_samples,
+        decode_ogg_stats,
+        encode_ogg,
+        make_opus_head,
+        make_vorbis_id,
+    )
+
+    rng = np.random.RandomState(42)
+    pkts1 = [rng.bytes(300), rng.bytes(510), b"", rng.bytes(123)]
+    ogg1 = encode_ogg(make_opus_head(2, 48000, pre_skip=312), pkts1,
+                      max_page_payload=500)
+    pkts2 = [rng.bytes(255)]
+    ogg2 = encode_ogg(make_vorbis_id(1, 44100), pkts2)
+    df = spark.createDataFrame(
+        [(1, bytearray(ogg1)), (2, bytearray(ogg2))],
+        "doc_id long, payload binary",
+    )
+    got = {r["doc_id"]: r for r in decode_ogg_stats(df).collect()}
+    d1 = np.frombuffer(b"".join(pkts1), dtype=np.uint8)
+    assert got[1]["codec"] == "opus" and got[1]["channels"] == 2
+    assert got[1]["sample_rate"] == 48000 and got[1]["pre_skip"] == 312
+    assert got[1]["n_packets"] == 4 and got[1]["data_bytes"] == len(d1)
+    assert got[1]["granule"] == len(d1)
+    assert got[1]["min_b"] == int(d1.min()) and got[1]["max_b"] == int(d1.max())
+    assert abs(got[1]["mean_b"] - float(d1.mean())) < 1e-9
+    assert got[2]["codec"] == "vorbis" and got[2]["sample_rate"] == 44100
+    assert got[2]["n_packets"] == 1 and got[2]["data_bytes"] == 255
+
+    # payload codec gate: the sample decoder refuses Ogg-Opus by policy
+    dfg = spark.createDataFrame([(3, bytearray(ogg1))], "doc_id long, payload binary")
+    with pytest.raises(Exception, match="gated|NotImplemented"):
+        decode_audio_samples(dfg).collect()
+
+    # ...but FLAC-in-Ogg decodes all the way to samples (r15): the
+    # mapping rebuilds the native stream and runs the full flac.py
+    # integrity chain under the page CRC-32
+    from polars_express_spark.functions.multimodal import encode_ogg_flac
+
+    pcm = rng.randint(-20000, 20000, (40, 2)).astype(np.int64)
+    oggf = encode_ogg_flac(pcm, 8000, 16, 16, "fixed", "mid_side",
+                           max_page_payload=120)
+    dff = spark.createDataFrame([(5, bytearray(oggf))], "doc_id long, payload binary")
+    row = decode_audio_samples(dff).collect()[0]
+    flat = pcm.reshape(-1)
+    assert row["n_samples"] == flat.size
+    assert row["min_pcm"] == int(flat.min()) and row["max_pcm"] == int(flat.max())
+    assert abs(row["mean_pcm"] - float(flat.mean())) < 1e-9
+    # a flipped bit in the Ogg wrapper is detected by the page CRC
+    badf = bytearray(oggf)
+    badf[len(badf) // 2] ^= 0x40
+    dfbf = spark.createDataFrame([(6, bytes(badf))], "doc_id long, payload binary")
+    with pytest.raises(Exception, match="corrupt|out-of-envelope"):
+        decode_audio_samples(dfbf).collect()
+
+    # a corrupt page is DETECTED (per-page CRC), never decoded wrong
+    bad = bytearray(ogg1)
+    bad[-5] ^= 0x10  # inside the last page's payload
+    dfb = spark.createDataFrame([(4, bytes(bad))], "doc_id long, payload binary")
+    with pytest.raises(Exception, match="corrupt|out-of-envelope"):
+        decode_ogg_stats(dfb).collect()

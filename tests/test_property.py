@@ -1423,12 +1423,12 @@ def test_gif_animation_compositing_property(w, h, n_extra, seed):
 
 
 @settings(max_examples=60, deadline=None, suppress_health_check=list(HealthCheck))
-@given(seed=st.integers(0, 2**31 - 1), kind=st.integers(0, 5))
+@given(seed=st.integers(0, 2**31 - 1), kind=st.integers(0, 6))
 def test_parsers_never_crash_on_corrupt_payloads(seed, kind):
     """r13 — executor-safety property: at 100 TB corrupt payloads are
     certain, and an unhandled IndexError inside a mapInPandas stage
     kills the task, so every parser must return None (or a well-formed
-    tuple) on ARBITRARY bytes — never raise. Six corruption regimes,
+    tuple) on ARBITRARY bytes — never raise. Seven corruption regimes,
     each aimed past the outer integrity checks: magic-prefixed
     garbage; PNG IDAT garbage re-wrapped with VALID chunk CRCs (the
     inflate and filter machinery sees it); GIF LZW sub-block flips
@@ -1436,7 +1436,12 @@ def test_parsers_never_crash_on_corrupt_payloads(seed, kind):
     flips (the Huffman decoder sees them); BMP RLE escape-stream
     garbage and random ADPCM blocks; bit flips anywhere inside a
     VALID animated-WebP container (r14 — the chunk walker, ANMF
-    header fields, and the VP8L prefix machinery all see them). A
+    header fields, and the VP8L prefix machinery all see them); bit
+    flips in a VALID Ogg stream (r15 — which additionally must return
+    None, never wrong packets: every page is CRC-32'd, the DETECTED
+    side of the per-format integrity asymmetry — PNG/FLAC/Ogg carry
+    checksums, VP8L/QOI/TGA structurally cannot detect payload flips
+    and may decode a flip to different valid output). A
     session-scale fuzz of ~40k cases per regime ran clean when this
     was written; the bounded sample here keeps the guarantee pinned."""
     import struct
@@ -1460,6 +1465,7 @@ def test_parsers_never_crash_on_corrupt_payloads(seed, kind):
         parse_gif_frames,
         parse_image_header,
         parse_netpbm,
+        parse_ogg,
         parse_png,
         parse_aiff,
         parse_ico,
@@ -1478,7 +1484,7 @@ def test_parsers_never_crash_on_corrupt_payloads(seed, kind):
                _avi_video_format, parse_mp4_frames, parse_avi_audio,
                parse_qoi, parse_tiff, parse_y4m_frames, parse_flac,
                parse_aiff, parse_tga, parse_ico, parse_webp,
-               parse_webp_frames]
+               parse_webp_frames, parse_ogg]
     if kind == 0:  # magic-prefixed garbage through every parser
         magics = [b"\x89PNG\r\n\x1a\n", b"BM", b"GIF89a", b"P1", b"P2",
                   b"P3", b"P4", b"P5", b"P6", b"RIFF", b"RIFF\x80\x00\x00\x00AVI ",
@@ -1487,7 +1493,8 @@ def test_parsers_never_crash_on_corrupt_payloads(seed, kind):
                   b"RIFF\x80\x00\x00\x00WEBPVP8L\x80\x00\x00\x00\x2f",
                   b"RIFF\x80\x00\x00\x00WEBPVP8X\x0a\x00\x00\x00\x12",
                   b"RIFF\x80\x00\x00\x00WEBPVP8X\x0a\x00\x00\x00\x12\x00\x00"
-                  b"\x00\x03\x00\x00\x03\x00\x00ANIM\x06\x00\x00\x00", b""]
+                  b"\x00\x03\x00\x00\x03\x00\x00ANIM\x06\x00\x00\x00",
+                  b"OggS", b"OggS\x00\x02" + b"\x00" * 20 + b"\x03", b""]
         for m in magics:
             payload = m + rng.bytes(int(rng.randint(0, 160)))
             for p in parsers:
@@ -1537,6 +1544,24 @@ def test_parsers_never_crash_on_corrupt_payloads(seed, kind):
         parse_webp_frames(bytes(payload))  # must not raise
         parse_webp(bytes(payload))
         parse_image_header(bytes(payload))
+    elif kind == 6:  # bit flips in a VALID Ogg stream: CRC'd pages →
+        # must return None, never wrong packets (and never raise)
+        from polars_express_spark.functions.multimodal import (
+            encode_ogg,
+            make_opus_head,
+        )
+
+        pkts = [rng.bytes(int(s)) for s in
+                rng.choice([0, 100, 255, 300, 510], size=int(rng.randint(1, 5)))]
+        payload = bytearray(encode_ogg(
+            make_opus_head(1 + int(rng.randint(2)), 48000),
+            pkts, max_page_payload=int(rng.choice([120, 500])),
+        ))
+        flips = {(int(rng.randint(0, len(payload))), int(rng.randint(0, 8)))
+                 for _ in range(int(rng.randint(1, 6)))}
+        for i, bit in flips:  # distinct flips — none can cancel
+            payload[i] ^= 1 << bit
+        assert parse_ogg(bytes(payload)) is None
     else:  # BMP RLE escape-stream garbage + random ADPCM blocks
         pal8 = bytes(v for gg in range(256) for v in (gg, gg, gg, 0))
         stream = rng.bytes(int(rng.randint(0, 40)))
@@ -1899,3 +1924,108 @@ def test_webp_roundtrip_exact(
                  + enc[8:16] + _struct.pack("<I", body_len - 1)
                  + enc[20:20 + body_len - 1])
         assert parse_webp(short) is None
+
+
+@given(
+    codec=st.sampled_from(["opus", "vorbis"]),
+    ch=st.integers(1, 2),
+    rate=st.sampled_from([8000, 16000, 44100, 48000]),
+    sizes=st.lists(
+        st.sampled_from([0, 1, 100, 254, 255, 256, 300, 510, 511, 700]),
+        min_size=1, max_size=6,
+    ),
+    cap=st.sampled_from([60, 255, 500, 4096]),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=80, deadline=None)
+def test_ogg_roundtrip_exact(codec, ch, rate, sizes, cap, seed):
+    """r15 — encode_ogg → parse_ogg recovers the codec id-header fields
+    and EVERY packet byte-exactly across the lacing edge cases (zero-
+    length packets, exact-255 multiples needing the 0 terminator,
+    multi-segment packets, packets spanning pages via the continuation
+    flag — small caps force all of them), and the RFC 3533 per-page
+    CRC-32 means ANY single-bit flip is detected: parse returns None,
+    never wrong packets. This is the detected side of the per-format
+    integrity asymmetry (SURVEY §2.10): Ogg/PNG/FLAC carry checksums,
+    VP8L/QOI/TGA structurally cannot detect payload flips."""
+    import numpy as np
+
+    from polars_express_spark.functions.multimodal import (
+        encode_ogg,
+        make_opus_head,
+        make_vorbis_id,
+        parse_ogg,
+    )
+
+    rng = np.random.RandomState(seed)
+    ident = (
+        make_opus_head(ch, 48000, pre_skip=int(rng.randint(0, 4000)))
+        if codec == "opus" else make_vorbis_id(ch, rate)
+    )
+    pkts = [rng.bytes(s) for s in sizes]
+    enc = encode_ogg(ident, pkts, max_page_payload=cap)
+    got = parse_ogg(enc)
+    assert got is not None
+    gcodec, gch, grate, _ps, n_pages, granule, gpkts = got
+    assert gcodec == codec and gch == ch
+    assert grate == (48000 if codec == "opus" else rate)
+    assert gpkts[0] == ident and gpkts[1:] == pkts
+    assert granule == sum(sizes)
+    assert n_pages >= 2  # BOS page + at least one data page
+    # single-bit flips: the per-page CRC must reject every one
+    b = bytearray(enc)
+    for _ in range(20):
+        i = int(rng.randint(0, len(b)))
+        bit = 1 << int(rng.randint(0, 8))
+        b[i] ^= bit
+        assert parse_ogg(bytes(b)) is None
+        b[i] ^= bit
+    # truncation is corruption (mid-page or lost EOS page)
+    if len(enc) > 1:
+        assert parse_ogg(enc[: int(rng.randint(1, len(enc)))]) is None
+
+
+@given(
+    ch=st.integers(1, 2),
+    n=st.integers(0, 120),
+    bits=st.sampled_from([8, 16, 24]),
+    mode=st.sampled_from(["fixed", "verbatim", "lpc"]),
+    stereo=st.sampled_from(["independent", "mid_side", "left_side"]),
+    cap=st.sampled_from([100, 500, 4096]),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=60, deadline=None)
+def test_ogg_flac_roundtrip_exact(ch, n, bits, mode, stereo, cap, seed):
+    """r15 — the Xiph FLAC-to-Ogg mapping: encode_ogg_flac → parse_ogg
+    demuxes (codec 'flac', channels/rate straight from the STREAMINFO
+    inside packet 0, granule = sample count) and the rebuilt native
+    stream decodes BIT-EXACTLY through parse_flac — both integrity
+    layers (page CRC-32 outside, FLAC CRC-8/16 + MD5 inside) armed on
+    every stream. Small page caps force frames to span pages."""
+    import numpy as np
+
+    from polars_express_spark.functions.flac import parse_flac
+    from polars_express_spark.functions.multimodal import (
+        encode_ogg_flac,
+        parse_ogg,
+    )
+
+    if ch == 1:
+        stereo = "independent"
+    rng = np.random.RandomState(seed)
+    lim = 1 << (bits - 1)
+    pcm = rng.randint(-lim, lim, (n, ch)).astype(np.int64)
+    ogg = encode_ogg_flac(pcm, 44100, bits, 32, mode, stereo,
+                          max_page_payload=cap)
+    got = parse_ogg(ogg)
+    assert got is not None
+    codec, gch, grate, hdr_count, _pages, granule, pkts = got
+    assert codec == "flac" and gch == ch and grate == 44100
+    assert hdr_count == 0 and granule == n
+    native = (b"fLaC" + bytes([pkts[0][13] | 0x80]) + pkts[0][14:]
+              + b"".join(pkts[1:]))
+    dec = parse_flac(native)
+    assert dec is not None
+    dch, drate, dbits, samples = dec
+    assert (dch, drate, dbits) == (ch, 44100, bits)
+    assert np.array_equal(samples, pcm)
