@@ -641,6 +641,53 @@ def sample_frames(df: DataFrame, n_frames: int = 4, real_decode: bool = False) -
                             frame_nos.append(fno)
                             frames.append(encode_png(canvases[i]))
                         continue
+                    if b[:4] == b"\x1a\x45\xdf\xa3":
+                        # Matroska/webm (r15): EBML demux — track
+                        # metadata + SimpleBlock frames through all
+                        # four lacing modes, optional per-master
+                        # CRC-32 verified (functions/mkv.py). V_MJPEG
+                        # frames decode to real pixels (each one IS a
+                        # baseline JPEG); inter-frame codecs
+                        # (V_VP8/V_VP9/V_AVC) stay policy-gated.
+                        from polars_express_spark.functions.mkv import (
+                            parse_mkv_frames,
+                        )
+
+                        parsed = parse_mkv_frames(b)
+                        if parsed is None:
+                            raise ValueError(
+                                f"doc {doc_id}: corrupt or out-of-envelope "
+                                "Matroska stream (or no video track)"
+                            )
+                        codec, _w, _h, fbs = parsed
+                        if codec != "V_MJPEG":
+                            raise NotImplementedError(
+                                f"doc {doc_id}: Matroska video codec "
+                                f"{codec} has no dependency-free decode "
+                                "(V_MJPEG is implemented; inter-frame "
+                                "codecs are gated by policy)"
+                            )
+                        if not fbs:
+                            continue
+                        take = np.unique(
+                            np.linspace(
+                                0, len(fbs) - 1, min(n_frames, len(fbs))
+                            ).round().astype(np.int64)
+                        )
+                        for fno, i in enumerate(take):
+                            parsed_j = _parse_jpeg(fbs[i])
+                            if parsed_j is None:
+                                raise ValueError(
+                                    f"doc {doc_id}: corrupt MJPEG frame "
+                                    f"{fno} in Matroska stream"
+                                )
+                            arr = parsed_j[3]
+                            doc_ids.append(doc_id)
+                            frame_nos.append(fno)
+                            frames.append(encode_png(
+                                arr if arr.shape[2] > 1 else arr[:, :, 0]
+                            ))
+                        continue
                     idxs = parse_avi_frames(b)
                     strf = comp = None
                     if idxs is not None:
@@ -658,9 +705,10 @@ def sample_frames(df: DataFrame, n_frames: int = 4, real_decode: bool = False) -
                     if idxs is None:
                         raise NotImplementedError(
                             f"doc {doc_id}: real frame sampling is implemented "
-                            "codec-free for RIFF/AVI, ISO BMFF (mp4/mov), and "
-                            "YUV4MPEG2 containers and animated GIFs; other "
-                            "containers need ffmpeg (absent here)"
+                            "codec-free for RIFF/AVI, ISO BMFF (mp4/mov), "
+                            "Matroska/webm, and YUV4MPEG2 containers and "
+                            "animated GIFs; other containers need ffmpeg "
+                            "(absent here)"
                         )
                     if not idxs:
                         continue  # container with no video frames
@@ -1264,6 +1312,56 @@ def decode_audio_samples(df: DataFrame) -> DataFrame:
                         )
                     if len(pcm) == 0:
                         raise ValueError(f"doc {doc_id}: empty Au data")
+                    rows.append(
+                        (doc_id, len(pcm), float(pcm.mean()),
+                         int(pcm.min()), int(pcm.max()))
+                    )
+                    continue
+                if raw[:4] == b"\x1a\x45\xdf\xa3":
+                    # Matroska/webm (r15): demux the first audio track
+                    # (functions/mkv.py — lacing reassembled, optional
+                    # CRC-32 verified) and decode the PCM codec ids to
+                    # real samples; compressed ids (A_OPUS/A_VORBIS/
+                    # A_MPEG) stay policy-gated like MP3-in-WAV
+                    from polars_express_spark.functions.mkv import (
+                        parse_mkv_audio,
+                    )
+
+                    mka = parse_mkv_audio(raw)
+                    if mka is None:
+                        raise ValueError(
+                            f"doc {doc_id}: corrupt or out-of-envelope "
+                            "Matroska stream (or no audio track)"
+                        )
+                    mcodec, _mch, _mrate, mbits, mdata = mka
+                    if mcodec not in ("A_PCM/INT/LIT", "A_PCM/INT/BIG"):
+                        raise NotImplementedError(
+                            f"doc {doc_id}: Matroska audio codec {mcodec} "
+                            "has no dependency-free decode (PCM int "
+                            "little/big-endian are implemented; "
+                            "compressed codecs are gated by policy)"
+                        )
+                    if mbits == 16:
+                        dt = "<i2" if mcodec.endswith("LIT") else ">i2"
+                        if len(mdata) % 2:
+                            raise ValueError(
+                                f"doc {doc_id}: odd PCM16 byte count"
+                            )
+                        pcm = np.frombuffer(mdata, dtype=dt).astype(np.int32)
+                    elif mbits == 8:
+                        # Matroska PCM8 is SIGNED (unlike WAV's unsigned)
+                        pcm = np.frombuffer(mdata, dtype=np.int8).astype(
+                            np.int32
+                        )
+                    else:
+                        raise NotImplementedError(
+                            f"doc {doc_id}: Matroska PCM at {mbits} bits "
+                            "has no decode here (8/16 implemented)"
+                        )
+                    if len(pcm) == 0:
+                        raise ValueError(
+                            f"doc {doc_id}: empty Matroska audio track"
+                        )
                     rows.append(
                         (doc_id, len(pcm), float(pcm.mean()),
                          int(pcm.min()), int(pcm.max()))

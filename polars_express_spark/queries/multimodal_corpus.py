@@ -2721,3 +2721,215 @@ def q_multimodal_ogg_flac(spark, sf_dir):
         synth, schema="doc_id bigint, payload binary"
     )
     return decode_audio_samples(ogg).orderBy("doc_id")
+
+
+@query(
+    "q_multimodal_mkv",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, text FROM documents
+      WHERE text IS NOT NULL AND length(text) > 0 AND doc_id % 8 >= 6
+    ), px AS (
+      SELECT doc_id, f.f AS frame_no,
+             ascii(substr(text, ((g.i * 23 + f.f) % length(text)) + 1, 1))
+               % 256 AS p
+      FROM d,
+           unnest(generate_series(0, 2)) f(f),
+           unnest(generate_series(0, 3)) g(i)
+    )
+    SELECT doc_id,
+           CAST(frame_no AS INT) AS frame_no,
+           CAST(16 AS INT) AS width,
+           CAST(16 AS INT) AS height,
+           CAST(1 AS INT) AS channels,
+           CAST(sum(p) AS DOUBLE) / count(*) AS mean_val,
+           CAST(min(p) AS INT) AS min_val,
+           CAST(max(p) AS INT) AS max_val
+    FROM px GROUP BY doc_id, frame_no ORDER BY doc_id, frame_no
+    """,
+)
+def q_multimodal_mkv(spark, sf_dir):
+    """Matroska/webm under the driver hash (r15 — the EBML container
+    family, functions/mkv.py: RFC 8794 vints, Segment/Tracks/Cluster
+    walk, SimpleBlock lacing, and the spec's OPTIONAL per-master
+    CRC-32 armed by the writer and verified by the parser). Per
+    document, THREE MJPEG frames (stride-23 formula, frame f phasing
+    the stride — each a baseline JPEG of four constant 8x8 blocks, the
+    q_multimodal_jpeg exactness tier) are muxed executor-side by
+    encode_mkv; doc_id mod 3 picks the block layout so the lacing
+    grammar is hashed every round — 0 = one SimpleBlock per frame
+    (no lacing), 1 = ONE Xiph-laced block (255-run size table), 2 =
+    ONE EBML-laced block (vint first size + signed-vint deltas, the
+    only signed-vint consumer in the repo). sample_frames
+    (real_decode=True) demuxes via parse_mkv_frames — Info/Tracks/
+    Cluster CRC-32s verified — and decodes each frame through
+    parse_jpeg to a PNG; decode_pixel_stats (keyed doc_id*4+frame_no)
+    hashes exact per-frame stats the oracle computes straight from the
+    formula. A hash match proves the EBML walk, all three mux shapes,
+    and the pixel decode end to end. Quarter population (doc_id%8 >=
+    6), disjoint from q_multimodal_video's and q_multimodal_mp4's
+    slices — the three-Arrow-stage video tier prices ~2x a flat codec
+    query per doc. Scale shape: one scan, one doc_id exchange
+    (_codec_parallel), three fused Arrow stages."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    from polars_express_spark.functions.jpeg import encode_jpeg
+    from polars_express_spark.functions.mkv import encode_mkv
+    from polars_express_spark.functions.multimodal import (
+        decode_pixel_stats,
+        sample_frames,
+    )
+
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+        & (F.col("doc_id") % 8 >= 6)
+    )
+    px = d.select(
+        "doc_id",
+        F.expr(
+            "transform(sequence(0, 2), f -> transform(sequence(0, 3),"
+            " i -> ascii(substring(text, ((i * 23 + f) % length(text)) + 1, 1))"
+            " % 256))"
+        ).alias("fs"),
+    )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            payloads = []
+            for doc_id, fs in zip(pdf["doc_id"], pdf["fs"]):
+                frames = [
+                    encode_jpeg(
+                        np.array(p, dtype="u1")
+                        .reshape(2, 2)
+                        .repeat(8, axis=0)
+                        .repeat(8, axis=1)
+                    )
+                    for p in fs
+                ]
+                lac = ["none", "xiph", "ebml"][int(doc_id) % 3]
+                payloads.append(
+                    encode_mkv(frames, 16, 16, "V_MJPEG", lacing=lac)
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    mkv = _codec_parallel(px).mapInPandas(
+        synth, schema="doc_id bigint, payload binary"
+    )
+    frames = sample_frames(mkv, n_frames=3, real_decode=True)
+    stats = decode_pixel_stats(
+        frames.select(
+            (F.col("doc_id") * 4 + F.col("frame_no")).alias("doc_id"),
+            F.col("frame").alias("payload"),
+        )
+    )
+    return stats.selectExpr(
+        "CAST(doc_id DIV 4 AS BIGINT) AS doc_id",
+        "CAST(doc_id % 4 AS INT) AS frame_no",
+        "width", "height", "channels", "mean_val", "min_val", "max_val",
+    ).orderBy("doc_id", "frame_no")
+
+
+@query(
+    "q_multimodal_mkv_audio",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, text,
+             CAST((doc_id // 4) % 2 AS INT) AS eight_bit
+      FROM documents WHERE text IS NOT NULL AND length(text) > 0
+    ), b AS (
+      SELECT doc_id, eight_bit, g.i AS i,
+             ascii(substr(text, ((g.i * 27) % length(text)) + 1, 1)) % 256 AS b
+      FROM d, unnest(generate_series(0, 63)) g(i)
+    ), nxt AS (
+      SELECT doc_id, eight_bit, i, b,
+             lead(b) OVER (PARTITION BY doc_id ORDER BY i) AS b2
+      FROM b
+    ), pcm AS (
+      SELECT doc_id,
+             CASE
+               WHEN eight_bit = 1 THEN
+                 CASE WHEN b >= 128 THEN b - 256 ELSE b END
+               WHEN doc_id % 2 = 0 THEN
+                 CASE WHEN b2 * 256 + b >= 32768
+                      THEN b2 * 256 + b - 65536 ELSE b2 * 256 + b END
+               ELSE
+                 CASE WHEN b * 256 + b2 >= 32768
+                      THEN b * 256 + b2 - 65536 ELSE b * 256 + b2 END
+             END AS p
+      FROM nxt WHERE eight_bit = 1 OR i % 2 = 0
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_samples,
+           CAST(sum(p) AS DOUBLE) / count(*) AS mean_pcm,
+           CAST(min(p) AS INT) AS min_pcm,
+           CAST(max(p) AS INT) AS max_pcm
+    FROM pcm GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q_multimodal_mkv_audio(spark, sf_dir):
+    """Matroska PCM audio under the driver hash (r15 — the audio half
+    of the EBML tier; the only tier that hashes BOTH byte orders of
+    the same codec id, because Matroska splits them into
+    A_PCM/INT/LIT and A_PCM/INT/BIG). Per document, 64 stride-27
+    formula bytes ARE the track payload; the interpretation is what's
+    differentially tested — (doc_id div 4) parity picks 8-bit SIGNED
+    PCM (Matroska PCM8, unlike WAV's unsigned) vs 16-bit, doc_id
+    parity picks little vs big endian at 16 bits, and doc_id mod 4
+    picks the mux: 0 = one block per 16-byte frame (no lacing), 1 =
+    Xiph lacing, 2 = FIXED lacing (the equal-size table-free mode —
+    only exercisable here where frames are equal), 3 = EBML lacing.
+    encode_mkv writes CRC-32-armed masters; decode_audio_samples
+    demuxes via parse_mkv_audio and ships exact stats. The oracle
+    replays the endianness/sign arithmetic with the established
+    lead() idiom. Scale shape: one scan, one doc_id exchange
+    (_codec_parallel), two fused Arrow stages."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    from polars_express_spark.functions.mkv import encode_mkv
+    from polars_express_spark.functions.multimodal import (
+        decode_audio_samples,
+    )
+
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    )
+    bs = d.select(
+        "doc_id",
+        F.expr(
+            "transform(sequence(0, 63),"
+            " i -> ascii(substring(text, ((i * 27) % length(text)) + 1, 1))"
+            " % 256)"
+        ).alias("bs"),
+    )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id, row in zip(pdf["doc_id"], pdf["bs"]):
+                doc_id = int(doc_id)
+                raw = bytes(int(x) for x in row)
+                eight = (doc_id // 4) % 2 == 1
+                codec = (
+                    "A_PCM/INT/LIT" if doc_id % 2 == 0 else "A_PCM/INT/BIG"
+                )
+                lac = ["none", "xiph", "fixed", "ebml"][doc_id % 4]
+                payloads.append(
+                    encode_mkv(
+                        None, audio_data=raw, channels=1, rate=8000,
+                        bit_depth=8 if eight else 16,
+                        audio_codec="A_PCM/INT/LIT" if eight else codec,
+                        lacing=lac, audio_frame_bytes=16,
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    mka = _codec_parallel(bs).mapInPandas(
+        synth, schema="doc_id bigint, payload binary"
+    )
+    return decode_audio_samples(mka).orderBy("doc_id")

@@ -3702,3 +3702,70 @@ def test_ogg_demux_stats_and_codec_gate(spark):
     dfb = spark.createDataFrame([(4, bytes(bad))], "doc_id long, payload binary")
     with pytest.raises(Exception, match="corrupt|out-of-envelope"):
         decode_ogg_stats(dfb).collect()
+
+
+def test_mkv_demux_decode_and_codec_gates(spark):
+    """r15 — Matroska/EBML: MJPEG-in-MKV decodes to real pixels through
+    sample_frames(real_decode=True); A_PCM/INT at both endiannesses
+    decodes to exact samples through decode_audio_samples; inter-frame
+    video (V_VP8) and compressed audio (A_OPUS) codec ids raise at the
+    policy gate; a flipped byte inside a Cluster fails its EBML CRC-32
+    and the operators raise rather than shipping wrong frames."""
+    import numpy as np
+    import pytest
+
+    from polars_express_spark.functions.jpeg import encode_jpeg
+    from polars_express_spark.functions.mkv import encode_mkv
+    from polars_express_spark.functions.multimodal import (
+        decode_audio_samples,
+        decode_pixel_stats,
+        sample_frames,
+    )
+
+    rng = np.random.RandomState(11)
+    blocks = rng.randint(0, 256, (2, 2)).astype("u1")
+    raster = blocks.repeat(8, axis=0).repeat(8, axis=1)
+    frames = [encode_jpeg(raster)] * 2
+    mkv_v = encode_mkv(frames, 16, 16, "V_MJPEG", lacing="ebml")
+    dfv = spark.createDataFrame([(1, bytearray(mkv_v))], "doc_id long, payload binary")
+    out = sample_frames(dfv, n_frames=2, real_decode=True)
+    stats = {r["doc_id"]: r for r in decode_pixel_stats(
+        out.selectExpr("doc_id", "frame AS payload")).collect()}
+    assert stats[1]["width"] == 16 and stats[1]["channels"] == 1
+    assert stats[1]["min_val"] == int(raster.min())
+    assert stats[1]["max_val"] == int(raster.max())
+
+    # PCM both endiannesses through the audio operator
+    raw = rng.bytes(64)
+    le = np.frombuffer(raw, dtype="<i2").astype(np.int32)
+    be = np.frombuffer(raw, dtype=">i2").astype(np.int32)
+    mkv_le = encode_mkv(None, audio_data=raw, bit_depth=16,
+                        audio_codec="A_PCM/INT/LIT", lacing="fixed",
+                        audio_frame_bytes=16)
+    mkv_be = encode_mkv(None, audio_data=raw, bit_depth=16,
+                        audio_codec="A_PCM/INT/BIG", lacing="xiph",
+                        audio_frame_bytes=16)
+    dfa = spark.createDataFrame(
+        [(1, bytearray(mkv_le)), (2, bytearray(mkv_be))],
+        "doc_id long, payload binary",
+    )
+    got = {r["doc_id"]: r for r in decode_audio_samples(dfa).collect()}
+    assert got[1]["min_pcm"] == int(le.min()) and got[1]["max_pcm"] == int(le.max())
+    assert got[2]["min_pcm"] == int(be.min()) and got[2]["max_pcm"] == int(be.max())
+
+    # codec gates
+    mkv_vp8 = encode_mkv([b"\x00" * 10], 4, 4, "V_VP8")
+    dfg = spark.createDataFrame([(3, bytearray(mkv_vp8))], "doc_id long, payload binary")
+    with pytest.raises(Exception, match="gated|NotImplemented|no dependency-free"):
+        sample_frames(dfg, n_frames=1, real_decode=True).collect()
+    mkv_opus = encode_mkv(None, audio_data=b"\x01\x02", audio_codec="A_OPUS")
+    dfo = spark.createDataFrame([(4, bytearray(mkv_opus))], "doc_id long, payload binary")
+    with pytest.raises(Exception, match="gated|NotImplemented|no dependency-free"):
+        decode_audio_samples(dfo).collect()
+
+    # corruption inside a Cluster fails its CRC-32
+    bad = bytearray(mkv_le)
+    bad[-3] ^= 0x08  # inside the cluster's block payload
+    dfb = spark.createDataFrame([(5, bytes(bad))], "doc_id long, payload binary")
+    with pytest.raises(Exception, match="corrupt|out-of-envelope"):
+        decode_audio_samples(dfb).collect()

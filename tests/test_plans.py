@@ -718,7 +718,8 @@ def test_registry_wide_no_cartesian_and_declared_bnlj_only(spark):
      "q_multimodal_wavext", "q_multimodal_avi_audio", "q_multimodal_qoi",
      "q_multimodal_tiff", "q_multimodal_flac", "q_multimodal_aiff",
      "q_multimodal_tga", "q_multimodal_ico", "q_multimodal_webp",
-     "q_multimodal_msadpcm", "q_multimodal_ogg", "q_multimodal_ogg_flac"],
+     "q_multimodal_msadpcm", "q_multimodal_ogg", "q_multimodal_ogg_flac",
+     "q_multimodal_mkv_audio"],
 )
 def test_codec_roundtrip_plan_shape(spark, name):
     """r13 — pin the codec-query scale shape that was previously only
@@ -756,7 +757,7 @@ def test_codec_roundtrip_plan_shape(spark, name):
 @pytest.mark.parametrize(
     "name",
     ["q_multimodal_video", "q_multimodal_gif_anim", "q_multimodal_mp4",
-     "q_multimodal_y4m", "q_multimodal_webp_anim"],
+     "q_multimodal_y4m", "q_multimodal_webp_anim", "q_multimodal_mkv"],
 )
 def test_video_roundtrip_plan_shape(spark, name):
     """r14 — the frame-sampling round trips have a third Arrow stage

@@ -1475,6 +1475,11 @@ def test_parsers_never_crash_on_corrupt_payloads(seed, kind):
         parse_y4m_frames,
     )
     from polars_express_spark.functions.flac import parse_flac
+    from polars_express_spark.functions.mkv import (
+        parse_mkv,
+        parse_mkv_audio,
+        parse_mkv_frames,
+    )
     from polars_express_spark.functions.webp import parse_webp, parse_webp_frames
 
     rng = np.random.RandomState(seed)
@@ -1484,7 +1489,8 @@ def test_parsers_never_crash_on_corrupt_payloads(seed, kind):
                _avi_video_format, parse_mp4_frames, parse_avi_audio,
                parse_qoi, parse_tiff, parse_y4m_frames, parse_flac,
                parse_aiff, parse_tga, parse_ico, parse_webp,
-               parse_webp_frames, parse_ogg]
+               parse_webp_frames, parse_ogg, parse_mkv, parse_mkv_frames,
+               parse_mkv_audio]
     if kind == 0:  # magic-prefixed garbage through every parser
         magics = [b"\x89PNG\r\n\x1a\n", b"BM", b"GIF89a", b"P1", b"P2",
                   b"P3", b"P4", b"P5", b"P6", b"RIFF", b"RIFF\x80\x00\x00\x00AVI ",
@@ -1494,7 +1500,10 @@ def test_parsers_never_crash_on_corrupt_payloads(seed, kind):
                   b"RIFF\x80\x00\x00\x00WEBPVP8X\x0a\x00\x00\x00\x12",
                   b"RIFF\x80\x00\x00\x00WEBPVP8X\x0a\x00\x00\x00\x12\x00\x00"
                   b"\x00\x03\x00\x00\x03\x00\x00ANIM\x06\x00\x00\x00",
-                  b"OggS", b"OggS\x00\x02" + b"\x00" * 20 + b"\x03", b""]
+                  b"OggS", b"OggS\x00\x02" + b"\x00" * 20 + b"\x03",
+                  b"\x1a\x45\xdf\xa3",
+                  b"\x1a\x45\xdf\xa3\x84\x42\x82\x88matroska\x18\x53\x80\x67",
+                  b""]
         for m in magics:
             payload = m + rng.bytes(int(rng.randint(0, 160)))
             for p in parsers:
@@ -2029,3 +2038,71 @@ def test_ogg_flac_roundtrip_exact(ch, n, bits, mode, stereo, cap, seed):
     dch, drate, dbits, samples = dec
     assert (dch, drate, dbits) == (ch, 44100, bits)
     assert np.array_equal(samples, pcm)
+
+
+@given(
+    lacing=st.sampled_from(["none", "xiph", "fixed", "ebml"]),
+    nfr=st.integers(1, 6),
+    doctype=st.sampled_from(["matroska", "webm"]),
+    afb=st.sampled_from([0, 16, 64]),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=80, deadline=None)
+def test_mkv_roundtrip_exact(lacing, nfr, doctype, afb, seed):
+    """r15 — encode_mkv → parse_mkv recovers the track metadata and
+    EVERY frame byte-exactly through all four SimpleBlock lacing modes
+    (Xiph 255-runs, fixed's table-free equal sizes, EBML's signed-vint
+    deltas, and unlaced), and the EBML CRC-32 elements the writer arms
+    mean a bit flip inside Info/Tracks/Cluster is DETECTED; a flip on
+    a master's ID byte makes that master skip wholesale (spec
+    forward-compat), so returned frames are only ever a DROP-ONLY
+    subset — never silently altered bytes."""
+    import numpy as np
+
+    from polars_express_spark.functions.mkv import (
+        encode_mkv,
+        parse_mkv,
+        parse_mkv_audio,
+        parse_mkv_frames,
+    )
+
+    rng = np.random.RandomState(seed)
+    if lacing == "fixed":
+        sz = int(rng.randint(1, 300))
+        vframes = [rng.bytes(sz) for _ in range(nfr)]
+    else:
+        vframes = [
+            rng.bytes(int(s))
+            for s in rng.choice([0, 1, 100, 254, 255, 256, 300, 510], size=nfr)
+        ]
+    adata = rng.bytes(int(rng.randint(1, 200)) * 2)
+    enc = encode_mkv(
+        vframes, 32, 24, "V_MJPEG", adata, channels=2, rate=48000,
+        bit_depth=16, audio_codec="A_PCM/INT/BIG", lacing=lacing,
+        audio_frame_bytes=afb, doctype=doctype,
+    )
+    got = parse_mkv(enc)
+    assert got is not None and got[0] == doctype and got[1] == 1_000_000
+    v = parse_mkv_frames(enc)
+    assert v is not None
+    assert v[0] == "V_MJPEG" and (v[1], v[2]) == (32, 24)
+    assert v[3] == vframes
+    a = parse_mkv_audio(enc)
+    assert a == ("A_PCM/INT/BIG", 2, 48000, 16, adata)
+    # single-bit flips: detected, or a drop-only parse — never altered
+    b = bytearray(enc)
+    allowed_frames = set(vframes)
+    achunks = {adata[i : i + (afb or len(adata))]
+               for i in range(0, len(adata), afb or len(adata))}
+    for _ in range(15):
+        i = int(rng.randint(0, len(b)))
+        bit = 1 << int(rng.randint(0, 8))
+        b[i] ^= bit
+        r = parse_mkv(bytes(b))
+        if r is not None:
+            for _tn, _ts, fs in r[3]:
+                for f in fs:
+                    assert f in allowed_frames or f in achunks, (
+                        "a flip altered frame bytes undetected"
+                    )
+        b[i] ^= bit
