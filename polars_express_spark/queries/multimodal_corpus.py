@@ -2933,3 +2933,96 @@ def q_multimodal_mkv_audio(spark, sf_dir):
         synth, schema="doc_id bigint, payload binary"
     )
     return decode_audio_samples(mka).orderBy("doc_id")
+
+
+@query(
+    "q_warc_extract",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, text, n_chars, CAST(1 + doc_id % 3 AS INT) AS k
+      FROM documents WHERE text IS NOT NULL AND length(text) > 0
+    ), recs AS (
+      SELECT doc_id, text, r.r AS rec_no,
+             50 + (n_chars + r.r * 7) % 100 AS body_len
+      FROM d, unnest(generate_series(0, CAST(k - 1 AS BIGINT))) r(r)
+    ), b AS (
+      SELECT doc_id, rec_no, body_len,
+             ascii(substr(text, ((g.i * 13 + rec_no) % length(text)) + 1, 1))
+               % 256 AS b
+      FROM recs, unnest(generate_series(0, CAST(body_len - 1 AS BIGINT))) g(i)
+    )
+    SELECT doc_id,
+           CAST(rec_no AS INT) AS rec_no,
+           'response' AS warc_type,
+           'http://example.com/' || doc_id || '/' || rec_no AS uri,
+           CAST(CASE rec_no % 3 WHEN 0 THEN 200 WHEN 1 THEN 404
+                ELSE 301 END AS INT) AS http_status,
+           CAST(any_value(body_len) AS BIGINT) AS body_len,
+           CAST(sum(b) AS DOUBLE) / count(*) AS mean_b,
+           CAST(min(b) AS INT) AS min_b,
+           CAST(max(b) AS INT) AS max_b
+    FROM b GROUP BY doc_id, rec_no ORDER BY doc_id, rec_no
+    """,
+)
+def q_warc_extract(spark, sf_dir):
+    """WARC crawl extraction under the driver hash (r15 — the Common
+    Crawl archive grammar, functions/warc.py; the §2.10 ingestion tier
+    a training pipeline actually starts from). Per document a real
+    WARC archive is muxed executor-side — a warcinfo record then
+    1 + doc_id%3 HTTP response records whose bodies are stride-13
+    formula bytes (record r phasing the stride, length 50 +
+    (n_chars + 7r)%100) and whose statuses rotate 200/404/301 —
+    gzipped PER MEMBER for odd docs (the splittability convention;
+    zlib verifies each member's CRC-32 trailer) and plain for even.
+    read_warc_records then re-parses the archive, splits each HTTP
+    payload, and ships one row per response with exact body-byte
+    stats. Writer and reader are independent ends of ISO 28500 +
+    RFC 9110 framing; the oracle replays the size/status/URI
+    arithmetic in SQL — a hash match proves record framing,
+    Content-Length discipline, per-member gunzip, and the HTTP split
+    end to end, through the generator-shaped row explosion. Scale
+    shape: one scan, one doc_id exchange (_codec_parallel), two fused
+    Arrow stages."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    from polars_express_spark.functions.warc import (
+        encode_warc,
+        read_warc_records,
+    )
+
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    )
+    bs = d.select(
+        "doc_id",
+        F.expr(
+            "transform(sequence(0, doc_id % 3),"
+            " r -> transform(sequence(0, 49 + (n_chars + r * 7) % 100),"
+            " i -> ascii(substring(text, ((i * 13 + r) % length(text)) + 1, 1))"
+            " % 256))"
+        ).alias("fs"),
+    )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id, fs in zip(pdf["doc_id"], pdf["fs"]):
+                doc_id = int(doc_id)
+                resps = []
+                for r, body in enumerate(fs):
+                    status = [200, 404, 301][r % 3]
+                    resps.append(
+                        (f"http://example.com/{doc_id}/{r}", status,
+                         bytes(int(x) for x in body))
+                    )
+                payloads.append(
+                    encode_warc(resps, gzip_members=doc_id % 2 == 1)
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    warc = _codec_parallel(bs).mapInPandas(
+        synth, schema="doc_id bigint, payload binary"
+    )
+    return read_warc_records(warc).orderBy("doc_id", "rec_no")

@@ -3769,3 +3769,44 @@ def test_mkv_demux_decode_and_codec_gates(spark):
     dfb = spark.createDataFrame([(5, bytes(bad))], "doc_id long, payload binary")
     with pytest.raises(Exception, match="corrupt|out-of-envelope"):
         decode_audio_samples(dfb).collect()
+
+
+def test_warc_extraction_operator(spark):
+    """r15 — read_warc_records: one archive row explodes into one row
+    per HTTP response record with exact body stats; warcinfo records
+    are skipped; a truncated gzip member (corrupt archive) raises
+    rather than shipping a partial corpus."""
+    import numpy as np
+    import pytest
+
+    from polars_express_spark.functions.warc import (
+        encode_warc,
+        read_warc_records,
+    )
+
+    rng = np.random.RandomState(3)
+    b0, b1 = rng.bytes(80), rng.bytes(120)
+    w_plain = encode_warc(
+        [("http://a/0", 200, b0), ("http://a/1", 404, b1)]
+    )
+    w_gz = encode_warc([("http://b/0", 301, b0)], gzip_members=True)
+    df = spark.createDataFrame(
+        [(1, bytearray(w_plain)), (2, bytearray(w_gz))],
+        "doc_id long, payload binary",
+    )
+    rows = read_warc_records(df).collect()
+    got = {(r["doc_id"], r["rec_no"]): r for r in rows}
+    assert len(got) == 3
+    r0 = got[(1, 0)]
+    assert r0["uri"] == "http://a/0" and r0["http_status"] == 200
+    assert r0["body_len"] == 80
+    a0 = np.frombuffer(b0, dtype=np.uint8)
+    assert r0["min_b"] == int(a0.min()) and r0["max_b"] == int(a0.max())
+    assert abs(r0["mean_b"] - float(a0.mean())) < 1e-9
+    assert got[(1, 1)]["http_status"] == 404
+    assert got[(2, 0)]["uri"] == "http://b/0" and got[(2, 0)]["http_status"] == 301
+
+    bad = bytearray(w_gz)[:-6]  # truncated final gzip member
+    dfb = spark.createDataFrame([(3, bytes(bad))], "doc_id long, payload binary")
+    with pytest.raises(Exception, match="corrupt|out-of-envelope"):
+        read_warc_records(dfb).collect()

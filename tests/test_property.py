@@ -1480,6 +1480,10 @@ def test_parsers_never_crash_on_corrupt_payloads(seed, kind):
         parse_mkv_audio,
         parse_mkv_frames,
     )
+    from polars_express_spark.functions.warc import (
+        parse_http_response,
+        parse_warc,
+    )
     from polars_express_spark.functions.webp import parse_webp, parse_webp_frames
 
     rng = np.random.RandomState(seed)
@@ -1490,7 +1494,7 @@ def test_parsers_never_crash_on_corrupt_payloads(seed, kind):
                parse_qoi, parse_tiff, parse_y4m_frames, parse_flac,
                parse_aiff, parse_tga, parse_ico, parse_webp,
                parse_webp_frames, parse_ogg, parse_mkv, parse_mkv_frames,
-               parse_mkv_audio]
+               parse_mkv_audio, parse_warc, parse_http_response]
     if kind == 0:  # magic-prefixed garbage through every parser
         magics = [b"\x89PNG\r\n\x1a\n", b"BM", b"GIF89a", b"P1", b"P2",
                   b"P3", b"P4", b"P5", b"P6", b"RIFF", b"RIFF\x80\x00\x00\x00AVI ",
@@ -1503,7 +1507,9 @@ def test_parsers_never_crash_on_corrupt_payloads(seed, kind):
                   b"OggS", b"OggS\x00\x02" + b"\x00" * 20 + b"\x03",
                   b"\x1a\x45\xdf\xa3",
                   b"\x1a\x45\xdf\xa3\x84\x42\x82\x88matroska\x18\x53\x80\x67",
-                  b""]
+                  b"WARC/1.0\r\n", b"WARC/1.0\r\nContent-Length: 4\r\n\r\n",
+                  b"\x1f\x8b", b"\x1f\x8b\x08\x00\x00\x00\x00\x00\x00\x03",
+                  b"HTTP/1.1 200 OK\r\n", b""]
         for m in magics:
             payload = m + rng.bytes(int(rng.randint(0, 160)))
             for p in parsers:
@@ -2105,4 +2111,57 @@ def test_mkv_roundtrip_exact(lacing, nfr, doctype, afb, seed):
                     assert f in allowed_frames or f in achunks, (
                         "a flip altered frame bytes undetected"
                     )
+        b[i] ^= bit
+
+
+@given(
+    k=st.integers(0, 5),
+    gz=st.booleans(),
+    sizes=st.lists(st.integers(0, 400), min_size=0, max_size=5),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=60, deadline=None)
+def test_warc_roundtrip_exact(k, gz, sizes, seed):
+    """r15 — encode_warc → parse_warc recovers every record's headers
+    and content byte-exactly in both the plain and the member-gzipped
+    forms, and parse_http_response splits each response's status/body
+    exactly. Integrity semantics stated honestly: gzip members carry
+    zlib-verified CRC-32 trailers (a flip inside compressed data is
+    detected; a flip in an uncovered gzip HEADER field may parse but
+    leaves content byte-identical), while the plain form, like all
+    checksum-free formats, detects structural damage only — a cut at
+    an exact record boundary is a VALID shorter archive by spec."""
+    import numpy as np
+
+    from polars_express_spark.functions.warc import (
+        encode_warc,
+        parse_http_response,
+        parse_warc,
+    )
+
+    rng = np.random.RandomState(seed)
+    resps = [
+        (f"http://t/{i}", int(rng.choice([200, 301, 404])), rng.bytes(s))
+        for i, s in enumerate(sizes[:k] if k <= len(sizes) else sizes)
+    ]
+    enc = encode_warc(resps, gzip_members=gz)
+    recs = parse_warc(enc)
+    assert recs is not None and len(recs) == len(resps) + 1
+    assert recs[0]["headers"]["warc-type"] == "warcinfo"
+    for (uri, status, body), rec in zip(resps, recs[1:]):
+        assert rec["headers"]["warc-target-uri"] == uri
+        h = parse_http_response(rec["content"])
+        assert h is not None and h[0] == status and h[2] == body
+    # flips: never silently altered content
+    b = bytearray(enc)
+    orig = [r["content"] for r in recs]
+    for _ in range(15):
+        i = int(rng.randint(0, len(b)))
+        bit = 1 << int(rng.randint(0, 8))
+        b[i] ^= bit
+        r = parse_warc(bytes(b))
+        if r is not None and gz:
+            assert [x["content"] for x in r] == orig, (
+                "a gzip flip altered record content undetected"
+            )
         b[i] ^= bit
