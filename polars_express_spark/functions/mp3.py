@@ -1,0 +1,204 @@
+"""MP3 (MPEG-1 Layer III) frame-header walk + ID3 envelope (r15).
+
+The most mainstream audio format in any real corpus. Full sample
+decode needs the MDCT/Huffman codec and stays policy-gated (the same
+ruling as MP3-in-WAV since r12) — but the METADATA layer is fixed-
+layout struct math, exactly like the JPEG SOF walk that predated the
+JPEG pixel decoder: frame sync, version/layer bits, the public
+bitrate/sample-rate index tables, and the padding-aware frame-size
+arithmetic give sample rate, channel mode, frame count, CBR/VBR-ness,
+and exact duration without touching a single subband. ID3v2 prefix
+tags (syncsafe 28-bit size, optional footer) and the fixed 128-byte
+ID3v1 trailer are recognized and measured, not decoded field-by-field.
+
+Strictness envelope: MPEG-1 Layer III only (the "MP3" in MP3); the
+free-format bitrate index 0 and the bad index 15 reject; protection
+bit 0 (header-CRC variant) is out of envelope rather than skipped
+unverified — this module never walks past bytes it does not
+understand, so trailing garbage after the last frame is corruption,
+not slack. Like VP8L/QOI/TGA, bare MP3 frames carry NO payload
+checksum (with protection=1), so bit flips inside frame payloads are
+structurally undetectable — the walk only guarantees no-crash and
+correct framing (SURVEY §2.10 integrity asymmetry).
+
+Reference parity anchor: the reference has no audio surface
+(src/main.rs handles CSV rows only); this is §2.10 training-pipeline
+territory.
+"""
+
+from __future__ import annotations
+
+import struct
+
+# MPEG-1 Layer III bitrate table, index 1..14 (kbps); 0 = free-format
+# (out of envelope), 15 = invalid.
+_BITRATES = [None, 32, 40, 48, 56, 64, 80, 96, 112,
+             128, 160, 192, 224, 256, 320, None]
+_SAMPLE_RATES = [44100, 48000, 32000, None]  # MPEG-1 index 0..3
+_CHANNEL_MODES = ["stereo", "joint_stereo", "dual_channel", "mono"]
+_SAMPLES_PER_FRAME = 1152  # MPEG-1 Layer III
+
+
+def _id3v2_size(payload: bytes):
+    """Byte length of a leading ID3v2 tag (0 if absent, None if a tag
+    starts but is malformed/truncated): 10-byte header with a syncsafe
+    28-bit size, +10 for the footer when flag bit 4 is set."""
+    if payload[:3] != b"ID3":
+        return 0
+    if len(payload) < 10:
+        return None
+    flags = payload[5]
+    if any(b & 0x80 for b in payload[6:10]):
+        return None  # syncsafe bytes must have the high bit clear
+    size = 0
+    for b in payload[6:10]:
+        size = (size << 7) | b
+    total = 10 + size + (10 if flags & 0x10 else 0)
+    if total > len(payload):
+        return None
+    return total
+
+
+def parse_mp3(payload: bytes):
+    """REAL MP3 metadata walk: returns (sample_rate, channel_mode,
+    n_frames, min_kbps, max_kbps, duration_ms, id3v2_bytes, has_id3v1)
+    or None. Strides frame to frame by the size formula
+    floor(144000·kbps / rate) + padding, so one wrong table entry or a
+    lying padding bit desynchronizes the walk and the next sync check
+    fails — the hash of n_frames + duration pins the whole table. The
+    audio payload itself is never interpreted (codec-gated policy)."""
+    id3v2 = _id3v2_size(payload)
+    if id3v2 is None:
+        return None
+    pos = id3v2
+    end = len(payload)
+    has_id3v1 = end - pos >= 128 + 4 and payload[end - 128 : end - 125] == b"TAG"
+    if has_id3v1:
+        end -= 128
+    n_frames = 0
+    rate = mode = None
+    min_k = max_k = None
+    while pos < end:
+        if pos + 4 > end:
+            return None
+        h = struct.unpack_from(">I", payload, pos)[0]
+        if (h >> 21) & 0x7FF != 0x7FF:
+            return None  # lost sync
+        if (h >> 19) & 0x3 != 0x3 or (h >> 17) & 0x3 != 0x1:
+            return None  # not MPEG-1 Layer III
+        if not (h >> 16) & 0x1:
+            return None  # protection=0 (header CRC variant): out of envelope
+        kbps = _BITRATES[(h >> 12) & 0xF]
+        sr = _SAMPLE_RATES[(h >> 10) & 0x3]
+        if kbps is None or sr is None or (h & 0x3) == 0x2:
+            return None  # free/bad bitrate, reserved rate or emphasis
+        if rate is None:
+            rate = sr
+            mode = _CHANNEL_MODES[(h >> 6) & 0x3]
+        elif sr != rate:
+            return None  # mid-stream sample-rate switch: malformed
+        padding = (h >> 9) & 0x1
+        size = 144_000 * kbps // sr + padding
+        if pos + size > end:
+            return None  # truncated final frame
+        n_frames += 1
+        min_k = kbps if min_k is None else min(min_k, kbps)
+        max_k = kbps if max_k is None else max(max_k, kbps)
+        pos += size
+    if n_frames == 0:
+        return None
+    duration_ms = n_frames * _SAMPLES_PER_FRAME * 1000.0 / rate
+    return rate, mode, n_frames, min_k, max_k, duration_ms, id3v2, has_id3v1
+
+
+def encode_mp3_frames(
+    kbps_list,
+    sample_rate: int = 44100,
+    channel_mode: str = "stereo",
+    paddings=None,
+    payload_byte=None,
+    id3v2_payload: bytes | None = None,
+    id3v1: bool = False,
+) -> bytes:
+    """Independent MP3 writer for the round-trip tests/queries: one
+    MPEG-1 Layer III frame per bitrate in ``kbps_list`` (protection=1,
+    per-frame padding bits from ``paddings``), payload bytes from
+    ``payload_byte(frame_no, i)`` (default zeros — the payload is
+    never interpreted), an optional ID3v2 prefix wrapping
+    ``id3v2_payload`` verbatim, and an optional blank ID3v1 trailer."""
+    sr_idx = _SAMPLE_RATES.index(sample_rate)
+    mode_idx = _CHANNEL_MODES.index(channel_mode)
+    out = bytearray()
+    if id3v2_payload is not None:
+        n = len(id3v2_payload)
+        if n >= 1 << 28:
+            raise ValueError("ID3v2 payload too large for a syncsafe size")
+        ss = bytes(
+            [(n >> 21) & 0x7F, (n >> 14) & 0x7F, (n >> 7) & 0x7F, n & 0x7F]
+        )
+        out += b"ID3" + bytes([4, 0, 0]) + ss + id3v2_payload
+    for fno, kbps in enumerate(kbps_list):
+        br_idx = _BITRATES.index(kbps)
+        pad = int(paddings[fno]) if paddings is not None else 0
+        h = (
+            (0x7FF << 21) | (0x3 << 19) | (0x1 << 17) | (0x1 << 16)
+            | (br_idx << 12) | (sr_idx << 10) | (pad << 9)
+            | (mode_idx << 6)
+        )
+        out += struct.pack(">I", h)
+        size = 144_000 * kbps // sample_rate + pad
+        body = bytearray(size - 4)
+        if payload_byte is not None:
+            for i in range(len(body)):
+                body[i] = payload_byte(fno, i) & 0xFF
+        out += body
+    if id3v1:
+        out += b"TAG" + b"\x00" * 125
+    return bytes(out)
+
+
+MP3_META_SCHEMA = (
+    "doc_id bigint, sample_rate int, channel_mode string, "
+    "n_frames bigint, min_kbps int, max_kbps int, duration_ms double, "
+    "byte_len bigint, id3v2_bytes int, has_id3v1 boolean"
+)
+
+
+def decode_mp3_meta(df):
+    """MP3 metadata operator (the audio twin of the JPEG SOF walk):
+    per doc, walk the frame chain and ship sample rate, channel mode,
+    frame count, CBR/VBR bitrate bounds, exact duration, and the ID3
+    envelope measurements. Malformed chains raise. Arrow-batched
+    mapInPandas; payloads never leave the executor."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload)
+                parsed = parse_mp3(raw)
+                if parsed is None:
+                    raise ValueError(
+                        f"doc {doc_id}: corrupt or out-of-envelope MP3 "
+                        "frame chain"
+                    )
+                rate, mode, n, mn, mx, dur, id3v2, id3v1 = parsed
+                rows.append(
+                    (doc_id, rate, mode, n, mn, mx, dur, len(raw),
+                     id3v2, id3v1)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "sample_rate", "channel_mode",
+                         "n_frames", "min_kbps", "max_kbps",
+                         "duration_ms", "byte_len", "id3v2_bytes",
+                         "has_id3v1"],
+            ).astype({"sample_rate": "int32", "min_kbps": "int32",
+                      "max_kbps": "int32", "id3v2_bytes": "int32"})
+
+    return df.select("doc_id", "payload").mapInPandas(
+        meta, schema=MP3_META_SCHEMA
+    )

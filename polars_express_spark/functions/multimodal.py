@@ -1225,6 +1225,19 @@ def decode_audio_samples(df: DataFrame) -> DataFrame:
                          int(pcm.min()), int(pcm.max()))
                     )
                     continue
+                if raw[:3] == b"ID3" or (
+                    len(raw) >= 2 and raw[0] == 0xFF and raw[1] & 0xE0 == 0xE0
+                ):
+                    # bare MP3 (r15): the frame chain and ID3 envelope
+                    # walk for real (functions/mp3.py decode_mp3_meta —
+                    # sample rate, frame count, exact duration), but
+                    # sample decode is the full MDCT/Huffman codec and
+                    # stays policy-gated, the standing MP3-in-WAV ruling
+                    raise NotImplementedError(
+                        f"doc {doc_id}: MP3 metadata decodes via "
+                        "decode_mp3_meta; the sample codec is gated by "
+                        "policy (no dependency-free decode here)"
+                    )
                 if raw[:4] == b"OggS":
                     # Ogg (r15): the container demuxes for real
                     # (parse_ogg — CRC-verified pages, packets

@@ -1,0 +1,209 @@
+"""ZIP archive reader/writer (SURVEY.md §2.10 ingestion tier, r15).
+
+The other corpus-in-an-archive grammar next to WARC: datasets ship as
+zips of text/JSON members constantly. Pure struct + stdlib zlib:
+
+- parse_zip walks the archive the way the format intends — find the
+  End Of Central Directory record (reverse scan for its signature with
+  a consistent comment length), then the central directory, then each
+  member's local header. STORED and DEFLATE members extract; each
+  member's CRC-32 AND declared uncompressed size are verified (zip is
+  a CHECKSUMMED format — a bit flip in member data is detected, the
+  PNG/FLAC/Ogg side of the §2.10 integrity asymmetry), and inflation
+  is capped (the PNG bomb-guard precedent; a zip bomb rejects, never
+  allocates).
+- Out of envelope (None, never a guess): encryption (general-purpose
+  flag bit 0), streamed data descriptors (bit 3), zip64 sentinels,
+  compression methods other than 0/8, local-vs-central metadata
+  disagreement, or member data overlapping the central directory.
+- encode_zip is the independent writer twin.
+- read_zip_entries explodes one archive row into one row per member
+  with exact byte stats (the WARC operator shape).
+
+Reference parity anchor: extends the reference's CSV-only ingest
+(reference src/main.rs:41-52) the same way the WARC tier does.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+_EOCD_SIG = 0x06054B50
+_CDH_SIG = 0x02014B50
+_LFH_SIG = 0x04034B50
+_MAX_INFLATE = 1 << 26  # total uncompressed cap across all members
+
+
+def parse_zip(payload: bytes):
+    """REAL zip parse: returns [(name, method, comp_size, data bytes),
+    ...] in central-directory order, or None. Every member's CRC-32
+    and uncompressed size are verified after extraction."""
+    n = len(payload)
+    if n < 22:
+        return None
+    # EOCD: reverse-scan the last 64 KiB + 22 for the signature whose
+    # comment length reaches exactly the end of the payload
+    lo = max(0, n - 22 - 0xFFFF)
+    eocd = None
+    for i in range(n - 22, lo - 1, -1):
+        if struct.unpack_from("<I", payload, i)[0] == _EOCD_SIG:
+            clen = struct.unpack_from("<H", payload, i + 20)[0]
+            if i + 22 + clen == n:
+                eocd = i
+                break
+    if eocd is None:
+        return None
+    disk, cd_disk, n_here, n_total, cd_size, cd_off = struct.unpack_from(
+        "<HHHHII", payload, eocd + 4
+    )
+    if disk or cd_disk or n_here != n_total:
+        return None  # multi-disk archives: out of envelope
+    if cd_off == 0xFFFFFFFF or n_total == 0xFFFF:
+        return None  # zip64: out of envelope
+    if cd_off + cd_size > eocd:
+        return None
+    out = []
+    pos = cd_off
+    total_inflated = 0
+    for _ in range(n_total):
+        if pos + 46 > cd_off + cd_size:
+            return None
+        if struct.unpack_from("<I", payload, pos)[0] != _CDH_SIG:
+            return None
+        (flags, method, _t, _d, crc, csize, usize, nlen, elen, klen,
+         _dn, _ia, _ea, lfh_off) = struct.unpack_from(
+            "<HHHHIIIHHHHHII", payload, pos + 8
+        )
+        if flags & 0x1 or flags & 0x8:
+            return None  # encrypted / data-descriptor stream
+        if method not in (0, 8):
+            return None
+        if 0xFFFFFFFF in (crc, csize, usize, lfh_off):
+            return None  # zip64 sentinels
+        name_b = payload[pos + 46 : pos + 46 + nlen]
+        if len(name_b) != nlen:
+            return None
+        try:
+            name = name_b.decode("utf-8")
+        except UnicodeDecodeError:
+            return None
+        pos += 46 + nlen + elen + klen
+        # local header: re-read the lengths (they can differ from the
+        # central ones); metadata itself must agree
+        if lfh_off + 30 > cd_off:
+            return None
+        if struct.unpack_from("<I", payload, lfh_off)[0] != _LFH_SIG:
+            return None
+        (lflags, lmethod, _lt, _ld, lcrc, lcsize, lusize, lnlen,
+         lelen) = struct.unpack_from("<HHHHIIIHH", payload, lfh_off + 6)
+        if (lflags, lmethod) != (flags, method):
+            return None
+        if (lcrc, lcsize, lusize) != (crc, csize, usize):
+            return None
+        data_off = lfh_off + 30 + lnlen + lelen
+        if data_off + csize > cd_off:
+            return None  # member data may not overlap the directory
+        raw = payload[data_off : data_off + csize]
+        if usize > _MAX_INFLATE - total_inflated:
+            return None  # bomb guard BEFORE inflating
+        if method == 0:
+            if csize != usize:
+                return None
+            data = raw
+        else:
+            d = zlib.decompressobj(-15)
+            try:
+                data = d.decompress(raw, usize + 1)
+            except zlib.error:
+                return None
+            if len(data) != usize or not d.eof or d.unconsumed_tail:
+                return None
+        total_inflated += usize
+        if zlib.crc32(data) & 0xFFFFFFFF != crc:
+            return None  # the format's own integrity check
+        out.append((name, method, csize, data))
+    return out
+
+
+def encode_zip(entries, method: int = 8) -> bytes:
+    """Independent zip writer: ``entries`` is [(name, data bytes),
+    ...]; method 0 (stored) or 8 (deflate). Writes local headers,
+    member data, the central directory, and the EOCD."""
+    if method not in (0, 8):
+        raise ValueError("method must be 0 (stored) or 8 (deflate)")
+    body = bytearray()
+    central = bytearray()
+    for name, data in entries:
+        data = bytes(data)
+        name_b = name.encode("utf-8")
+        crc = zlib.crc32(data) & 0xFFFFFFFF
+        if method == 8:
+            co = zlib.compressobj(6, zlib.DEFLATED, -15)
+            comp = co.compress(data) + co.flush()
+        else:
+            comp = data
+        lfh_off = len(body)
+        common = struct.pack(
+            "<HHHHIII", 0, method, 0, 0x21, crc, len(comp), len(data)
+        )
+        body += (
+            struct.pack("<I", _LFH_SIG) + b"\x14\x00" + common
+            + struct.pack("<HH", len(name_b), 0) + name_b + comp
+        )
+        central += (
+            struct.pack("<I", _CDH_SIG) + b"\x14\x03\x14\x00" + common
+            + struct.pack("<HHHHHII", len(name_b), 0, 0, 0, 0, 0, lfh_off)
+            + name_b
+        )
+    eocd = struct.pack(
+        "<IHHHHIIH", _EOCD_SIG, 0, 0, len(entries), len(entries),
+        len(central), len(body), 0,
+    )
+    return bytes(body + central + eocd)
+
+
+ZIP_ENTRIES_SCHEMA = (
+    "doc_id bigint, entry_no int, name string, method int, "
+    "comp_size bigint, size bigint, mean_b double, min_b int, max_b int"
+)
+
+
+def read_zip_entries(df):
+    """Zip extraction operator (the WARC operator shape): one archive
+    row → one row per member, with the member's name, compression
+    method, sizes, and exact byte stats over the EXTRACTED data (CRC-
+    verified by parse_zip). Malformed archives raise — a silent skip
+    is a silent corpus hole. Arrow-batched mapInPandas."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                entries = parse_zip(bytes(payload))
+                if entries is None:
+                    raise ValueError(
+                        f"doc {doc_id}: corrupt or out-of-envelope zip"
+                    )
+                for eno, (name, method, csize, data) in enumerate(entries):
+                    arr = np.frombuffer(data, dtype=np.uint8)
+                    rows.append(
+                        (doc_id, eno, name, method, csize, len(data),
+                         float(arr.mean()) if arr.size else 0.0,
+                         int(arr.min()) if arr.size else 0,
+                         int(arr.max()) if arr.size else 0)
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "entry_no", "name", "method",
+                         "comp_size", "size", "mean_b", "min_b", "max_b"],
+            ).astype({"entry_no": "int32", "method": "int32",
+                      "min_b": "int32", "max_b": "int32"})
+
+    return df.select("doc_id", "payload").mapInPandas(
+        extract, schema=ZIP_ENTRIES_SCHEMA
+    )

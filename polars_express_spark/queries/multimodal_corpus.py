@@ -3026,3 +3026,188 @@ def q_warc_extract(spark, sf_dir):
         synth, schema="doc_id bigint, payload binary"
     )
     return read_warc_records(warc).orderBy("doc_id", "rec_no")
+
+
+@query(
+    "q_multimodal_mp3",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, n_chars, CAST(3 + doc_id % 4 AS INT) AS n,
+             CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                  ELSE 32000 END AS sr
+      FROM documents WHERE text IS NOT NULL AND length(text) > 0
+    ), fr AS (
+      SELECT doc_id, n, sr, n_chars, f.f AS f,
+             CASE WHEN doc_id % 2 = 1 THEN
+               CASE (doc_id + f.f) % 4 WHEN 0 THEN 64 WHEN 1 THEN 128
+                    WHEN 2 THEN 192 ELSE 320 END
+             ELSE 128 END AS kbps,
+             CAST((doc_id + f.f) % 2 AS INT) AS pad
+      FROM d, unnest(generate_series(0, CAST(n - 1 AS BIGINT))) f(f)
+    )
+    SELECT doc_id,
+           CAST(any_value(sr) AS INT) AS sample_rate,
+           CASE doc_id % 4 WHEN 0 THEN 'stereo' WHEN 1 THEN 'joint_stereo'
+                WHEN 2 THEN 'dual_channel' ELSE 'mono' END AS channel_mode,
+           CAST(any_value(n) AS BIGINT) AS n_frames,
+           CAST(min(kbps) AS INT) AS min_kbps,
+           CAST(max(kbps) AS INT) AS max_kbps,
+           any_value(n) * 1152 * 1000.0 / any_value(sr) AS duration_ms,
+           CAST(sum(144000 * kbps // sr + pad)
+              + CASE WHEN doc_id % 2 = 0
+                     THEN 10 + any_value(n_chars) % 64 ELSE 0 END
+              + CASE WHEN doc_id % 3 = 0 THEN 128 ELSE 0 END
+              AS BIGINT) AS byte_len,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 10 + any_value(n_chars) % 64
+                ELSE 0 END AS INT) AS id3v2_bytes,
+           doc_id % 3 = 0 AS has_id3v1
+    FROM fr GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q_multimodal_mp3(spark, sf_dir):
+    """MP3 metadata under the driver hash (r15 — the audio twin of the
+    JPEG SOF walk, functions/mp3.py: the most mainstream audio format
+    gets honest frame-chain metadata while its sample codec stays
+    policy-gated). Per document, 3 + doc_id%4 MPEG-1 Layer III frames:
+    doc parity picks CBR 128 vs VBR rotating 64/128/192/320 (so the
+    whole bitrate-index table is hashed), doc_id mod 3 the sample rate
+    (all three MPEG-1 rates), doc_id mod 4 the channel mode, per-frame
+    padding bits alternate by (doc_id+f) parity — and the walk strides
+    by floor(144000·kbps/rate)+pad, so byte_len pins the size formula
+    frame by frame (one wrong table entry desyncs the walk and the
+    query errors). Even docs carry an ID3v2 prefix sized by the
+    syncsafe 28-bit length (n_chars%64 payload), every third doc the
+    fixed ID3v1 trailer. decode_mp3_meta ships the metadata; the
+    oracle replays all the arithmetic in SQL. Scale shape: one scan,
+    one doc_id exchange (_codec_parallel), two fused Arrow stages."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    from polars_express_spark.functions.mp3 import (
+        decode_mp3_meta,
+        encode_mp3_frames,
+    )
+
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    )
+    bs = d.select("doc_id", "n_chars")
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                doc_id, n_chars = int(doc_id), int(n_chars)
+                n = 3 + doc_id % 4
+                if doc_id % 2 == 1:
+                    ks = [[64, 128, 192, 320][(doc_id + f) % 4]
+                          for f in range(n)]
+                else:
+                    ks = [128] * n
+                payloads.append(encode_mp3_frames(
+                    ks,
+                    [44100, 48000, 32000][doc_id % 3],
+                    ["stereo", "joint_stereo", "dual_channel",
+                     "mono"][doc_id % 4],
+                    paddings=[(doc_id + f) % 2 for f in range(n)],
+                    id3v2_payload=(
+                        bytes(n_chars % 64) if doc_id % 2 == 0 else None
+                    ),
+                    id3v1=doc_id % 3 == 0,
+                ))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    mp3 = _codec_parallel(bs).mapInPandas(
+        synth, schema="doc_id bigint, payload binary"
+    )
+    return decode_mp3_meta(mp3).orderBy("doc_id")
+
+
+@query(
+    "q_zip_extract",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, text, n_chars, CAST(1 + doc_id % 3 AS INT) AS k
+      FROM documents WHERE text IS NOT NULL AND length(text) > 0
+    ), ent AS (
+      SELECT doc_id, text, e.e AS entry_no,
+             40 + (n_chars + e.e * 11) % 120 AS size
+      FROM d, unnest(generate_series(0, CAST(k - 1 AS BIGINT))) e(e)
+    ), b AS (
+      SELECT doc_id, entry_no, size,
+             ascii(substr(text, ((g.i * 19 + entry_no * 3) % length(text)) + 1,
+                          1)) % 256 AS b
+      FROM ent, unnest(generate_series(0, CAST(size - 1 AS BIGINT))) g(i)
+    )
+    SELECT doc_id,
+           CAST(entry_no AS INT) AS entry_no,
+           'corpus/' || doc_id || '/' || entry_no || '.txt' AS name,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 8 ELSE 0 END AS INT) AS method,
+           CAST(any_value(size) AS BIGINT) AS size,
+           CAST(sum(b) AS DOUBLE) / count(*) AS mean_b,
+           CAST(min(b) AS INT) AS min_b,
+           CAST(max(b) AS INT) AS max_b
+    FROM b GROUP BY doc_id, entry_no ORDER BY doc_id, entry_no
+    """,
+)
+def q_zip_extract(spark, sf_dir):
+    """Zip corpus extraction under the driver hash (r15 — the other
+    archive-ingestion grammar next to WARC, functions/ziparc.py,
+    cross-verified both ways against the stdlib zipfile module in the
+    property suite). Per document a real zip is muxed executor-side —
+    1 + doc_id%3 members named corpus/{doc}/{e}.txt with stride-19
+    formula bodies (entry e phasing the stride, length 40 +
+    (n_chars + 11e)%120) — DEFLATE for even docs, STORED for odd (both
+    methods hashed every round). read_zip_entries re-parses via the
+    EOCD → central directory → local header chain, inflates behind the
+    bomb cap, verifies each member's CRC-32 and declared size (zip's
+    own integrity: the exhaustive single-flip sweep shows member DATA
+    can never silently alter — only names, which the format leaves
+    unchecksummed), and ships one row per member with exact stats.
+    comp_size is NOT hashed (DEFLATE output is a zlib implementation
+    detail, not a format invariant). The oracle replays the name/size/
+    method/byte arithmetic in SQL. Scale shape: one scan, one doc_id
+    exchange (_codec_parallel), two fused Arrow stages."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    from polars_express_spark.functions.ziparc import (
+        encode_zip,
+        read_zip_entries,
+    )
+
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    )
+    bs = d.select(
+        "doc_id",
+        F.expr(
+            "transform(sequence(0, doc_id % 3),"
+            " e -> transform(sequence(0, 39 + (n_chars + e * 11) % 120),"
+            " i -> ascii(substring(text, ((i * 19 + e * 3) % length(text)) + 1,"
+            " 1)) % 256))"
+        ).alias("fs"),
+    )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id, fs in zip(pdf["doc_id"], pdf["fs"]):
+                doc_id = int(doc_id)
+                entries = [
+                    (f"corpus/{doc_id}/{e}.txt", bytes(int(x) for x in body))
+                    for e, body in enumerate(fs)
+                ]
+                payloads.append(
+                    encode_zip(entries, method=8 if doc_id % 2 == 0 else 0)
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    zf = _codec_parallel(bs).mapInPandas(
+        synth, schema="doc_id bigint, payload binary"
+    )
+    return read_zip_entries(zf).drop("comp_size").orderBy(
+        "doc_id", "entry_no"
+    )

@@ -51,9 +51,9 @@ def query(name: str, oracle: str | None = None):
 #   slots 1-18  — the ENTIRE remaining r10 tier, alphabetical (retires
 #                 r10 evidence for good; declared last round and
 #                 verified against the computed ledger this session);
-#   slots 19-45 — the 27 oldest r11-hash, alphabetical
-#                 (q21b_range_frame .. q_interval_overlap);
-#   slots 46-50 — NEW this round, never checked: q_multimodal_ogg
+#   slots 19-43 — the 25 oldest r11-hash, alphabetical
+#                 (q21b_range_frame .. q_incr_agg);
+#   slots 44-50 — NEW this round, never checked: q_multimodal_ogg
 #                 (RFC 3533 page demux — per-page CRC-32, lacing
 #                 reassembly across forced page continuations, OpusHead
 #                 + Vorbis id headers by doc_id parity; those payload
@@ -73,14 +73,25 @@ def query(name: str, oracle: str | None = None):
 #                 q_warc_extract (the Common Crawl ingestion grammar —
 #                 ISO 28500 record framing, per-member gunzip with
 #                 zlib-verified CRC-32 trailers, HTTP status/body
-#                 split, generator-shaped record explosion).
-# Tier "next" (r16) = the 22 r11-hash queries that did not fit
-# (q_ks_test, q_lang_centroid, q_lm_score, q_logreg_gd,
-# q_merge_on_read, q_multimodal_audio, q_outlier_mad, q_paa,
-# q_percentile_approx, q_pmi, q_profile, q_radius_join, q_semdedup,
-# q_tfidf, q_tpch_q11, q_tpch_q16, q_tpch_q17, q_tpch_q2, q_tpch_q20,
-# q_tpch_q9, q_weighted_median, q_winsorize), then the 48 r12-hash
-# tier (alphabetical), then the r13 tier.
+#                 split, generator-shaped record explosion), and
+#                 q_multimodal_mp3 (MPEG-1 Layer III frame-chain walk —
+#                 the full bitrate table via VBR rotation, all three
+#                 sample rates and four channel modes, padding bits,
+#                 ID3v2 syncsafe sizing and the ID3v1 trailer; byte_len
+#                 pins the frame-size formula frame by frame), and
+#                 q_zip_extract (EOCD reverse-scan → central directory
+#                 → local headers; stored vs deflate by doc parity;
+#                 member CRC-32 + declared-size verification — the
+#                 exhaustive single-flip sweep shows member DATA never
+#                 silently alters, only unchecksummed names).
+# Tier "next" (r16) = the 24 r11-hash queries that did not fit
+# (q_interpolate, q_interval_overlap, q_ks_test, q_lang_centroid,
+# q_lm_score, q_logreg_gd, q_merge_on_read, q_multimodal_audio,
+# q_outlier_mad, q_paa, q_percentile_approx, q_pmi, q_profile,
+# q_radius_join, q_semdedup, q_tfidf, q_tpch_q11, q_tpch_q16,
+# q_tpch_q17, q_tpch_q2, q_tpch_q20, q_tpch_q9, q_weighted_median,
+# q_winsorize), then the 48 r12-hash tier (alphabetical), then the
+# r13 tier.
 #
 # Round-14 history (executing the rotation the r13 comment declared
 # and the r13 verdict's item #1): r13 went 50/50 green; staleness
@@ -161,16 +172,19 @@ _PRIORITY = [
     "q_classifier_score", "q_data_contract", "q_dup_spans", "q_fk_audit",
     "q_funnel", "q_funnel_timing", "q_gap_detect", "q_gapfill",
     "q_group_sample", "q_grouped_topk", "q_heavy_hitters", "q_hierarchy",
-    "q_histogram", "q_hll_union", "q_incr_agg", "q_interpolate",
-    "q_interval_overlap",
-    # slots 46-50 — new this round: the Ogg container tier (container
+    "q_histogram", "q_hll_union", "q_incr_agg",
+    # slots 44-50 — new this round: the Ogg container tier (container
     # demux with gated Vorbis/Opus payloads; real FLAC-in-Ogg decode),
     # the Matroska/EBML tier (MJPEG video + both-endian PCM audio,
-    # all four lacing modes, optional per-master CRC-32 armed), and
+    # all four lacing modes, optional per-master CRC-32 armed),
     # the WARC crawl-ingestion tier (ISO 28500 records, per-member
-    # gunzip, HTTP payload split)
+    # gunzip, HTTP payload split), the MP3 frame-chain metadata
+    # walk (the audio twin of the JPEG SOF tier; sample codec gated),
+    # and the zip archive tier (EOCD/central-directory walk, stored +
+    # deflate, per-member CRC-32, stdlib-zipfile cross-verified)
     "q_multimodal_ogg", "q_multimodal_ogg_flac",
     "q_multimodal_mkv", "q_multimodal_mkv_audio", "q_warc_extract",
+    "q_multimodal_mp3", "q_zip_extract",
 ]
 
 

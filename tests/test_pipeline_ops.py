@@ -3810,3 +3810,67 @@ def test_warc_extraction_operator(spark):
     dfb = spark.createDataFrame([(3, bytes(bad))], "doc_id long, payload binary")
     with pytest.raises(Exception, match="corrupt|out-of-envelope"):
         read_warc_records(dfb).collect()
+
+
+def test_mp3_metadata_operator_and_gate(spark):
+    """r15 — decode_mp3_meta ships the frame-chain metadata (the audio
+    twin of the JPEG SOF walk); decode_audio_samples refuses bare MP3
+    by policy (the standing MP3-in-WAV ruling); a desynchronized chain
+    (truncated frame) raises in the metadata operator."""
+    import pytest
+
+    from polars_express_spark.functions.mp3 import (
+        decode_mp3_meta,
+        encode_mp3_frames,
+    )
+    from polars_express_spark.functions.multimodal import (
+        decode_audio_samples,
+    )
+
+    enc = encode_mp3_frames([128, 192, 320], 44100, "joint_stereo",
+                            paddings=[1, 0, 1],
+                            id3v2_payload=b"\x00" * 30, id3v1=True)
+    df = spark.createDataFrame([(1, bytearray(enc))], "doc_id long, payload binary")
+    row = decode_mp3_meta(df).collect()[0]
+    assert row["sample_rate"] == 44100 and row["channel_mode"] == "joint_stereo"
+    assert row["n_frames"] == 3 and (row["min_kbps"], row["max_kbps"]) == (128, 320)
+    assert abs(row["duration_ms"] - 3 * 1152 * 1000.0 / 44100) < 1e-9
+    assert row["id3v2_bytes"] == 40 and bool(row["has_id3v1"])
+    assert row["byte_len"] == len(enc)
+
+    with pytest.raises(Exception, match="gated|NotImplemented"):
+        decode_audio_samples(df).collect()
+
+    dfb = spark.createDataFrame([(2, bytearray(enc[:-1]))], "doc_id long, payload binary")
+    with pytest.raises(Exception, match="corrupt|out-of-envelope"):
+        decode_mp3_meta(dfb).collect()
+
+
+def test_zip_extraction_operator(spark):
+    """r15 — read_zip_entries: one archive row explodes into one row
+    per member with CRC-verified data stats; a corrupted member
+    (flipped data byte behind intact framing) raises rather than
+    shipping wrong bytes."""
+    import numpy as np
+    import pytest
+
+    from polars_express_spark.functions.ziparc import (
+        encode_zip,
+        read_zip_entries,
+    )
+
+    rng = np.random.RandomState(9)
+    b0, b1 = rng.bytes(100), rng.bytes(50)
+    z = encode_zip([("x/a.txt", b0), ("x/b.txt", b1)], method=0)
+    df = spark.createDataFrame([(1, bytearray(z))], "doc_id long, payload binary")
+    rows = {r["entry_no"]: r for r in read_zip_entries(df).collect()}
+    assert rows[0]["name"] == "x/a.txt" and rows[0]["size"] == 100
+    a0 = np.frombuffer(b0, dtype=np.uint8)
+    assert rows[0]["min_b"] == int(a0.min()) and rows[0]["max_b"] == int(a0.max())
+    assert rows[1]["name"] == "x/b.txt" and rows[1]["method"] == 0
+
+    bad = bytearray(z)
+    bad[30 + len("x/a.txt") + 10] ^= 0x20  # inside the first member's STORED data
+    dfb = spark.createDataFrame([(2, bytes(bad))], "doc_id long, payload binary")
+    with pytest.raises(Exception, match="corrupt|out-of-envelope"):
+        read_zip_entries(dfb).collect()

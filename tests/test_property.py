@@ -1480,10 +1480,12 @@ def test_parsers_never_crash_on_corrupt_payloads(seed, kind):
         parse_mkv_audio,
         parse_mkv_frames,
     )
+    from polars_express_spark.functions.mp3 import parse_mp3
     from polars_express_spark.functions.warc import (
         parse_http_response,
         parse_warc,
     )
+    from polars_express_spark.functions.ziparc import parse_zip
     from polars_express_spark.functions.webp import parse_webp, parse_webp_frames
 
     rng = np.random.RandomState(seed)
@@ -1494,7 +1496,8 @@ def test_parsers_never_crash_on_corrupt_payloads(seed, kind):
                parse_qoi, parse_tiff, parse_y4m_frames, parse_flac,
                parse_aiff, parse_tga, parse_ico, parse_webp,
                parse_webp_frames, parse_ogg, parse_mkv, parse_mkv_frames,
-               parse_mkv_audio, parse_warc, parse_http_response]
+               parse_mkv_audio, parse_warc, parse_http_response, parse_mp3,
+               parse_zip]
     if kind == 0:  # magic-prefixed garbage through every parser
         magics = [b"\x89PNG\r\n\x1a\n", b"BM", b"GIF89a", b"P1", b"P2",
                   b"P3", b"P4", b"P5", b"P6", b"RIFF", b"RIFF\x80\x00\x00\x00AVI ",
@@ -1509,7 +1512,10 @@ def test_parsers_never_crash_on_corrupt_payloads(seed, kind):
                   b"\x1a\x45\xdf\xa3\x84\x42\x82\x88matroska\x18\x53\x80\x67",
                   b"WARC/1.0\r\n", b"WARC/1.0\r\nContent-Length: 4\r\n\r\n",
                   b"\x1f\x8b", b"\x1f\x8b\x08\x00\x00\x00\x00\x00\x00\x03",
-                  b"HTTP/1.1 200 OK\r\n", b""]
+                  b"HTTP/1.1 200 OK\r\n",
+                  b"ID3", b"ID3\x04\x00\x00\x00\x00\x00\x0a", b"\xff\xfb",
+                  b"\xff\xfb\x90\x00", b"PK\x03\x04", b"PK\x05\x06",
+                  b"PK\x05\x06" + b"\x00" * 18, b""]
         for m in magics:
             payload = m + rng.bytes(int(rng.randint(0, 160)))
             for p in parsers:
@@ -2163,5 +2169,113 @@ def test_warc_roundtrip_exact(k, gz, sizes, seed):
         if r is not None and gz:
             assert [x["content"] for x in r] == orig, (
                 "a gzip flip altered record content undetected"
+            )
+        b[i] ^= bit
+
+
+@given(
+    n=st.integers(1, 8),
+    sr=st.sampled_from([44100, 48000, 32000]),
+    mode=st.sampled_from(["stereo", "joint_stereo", "dual_channel", "mono"]),
+    id3v2_len=st.one_of(st.none(), st.integers(0, 200)),
+    id3v1=st.booleans(),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=60, deadline=None)
+def test_mp3_metadata_walk_exact(n, sr, mode, id3v2_len, id3v1, seed):
+    """r15 — encode_mp3_frames → parse_mp3 recovers rate, channel
+    mode, frame count, bitrate bounds, exact duration, and the ID3
+    envelope; the frame walk strides by the size formula, so ANY
+    truncation or trailing byte desynchronizes and rejects. Bare MP3
+    frames carry no payload checksum (the checksum-free side of the
+    §2.10 integrity asymmetry): flips inside payloads must still
+    never crash the walk."""
+    import numpy as np
+
+    from polars_express_spark.functions.mp3 import (
+        encode_mp3_frames,
+        parse_mp3,
+    )
+
+    rng = np.random.RandomState(seed)
+    ks = [int(rng.choice([32, 48, 64, 80, 96, 112, 128, 160, 192, 224,
+                          256, 320])) for _ in range(n)]
+    pads = [int(rng.randint(2)) for _ in range(n)]
+    enc = encode_mp3_frames(
+        ks, sr, mode, pads,
+        payload_byte=lambda f, i: (f * 31 + i * 7) & 0xFF,
+        id3v2_payload=None if id3v2_len is None else bytes(id3v2_len),
+        id3v1=id3v1,
+    )
+    got = parse_mp3(enc)
+    assert got is not None
+    rate, gmode, gn, mn, mx, dur, gi2, gi1 = got
+    assert (rate, gmode, gn) == (sr, mode, n)
+    assert (mn, mx) == (min(ks), max(ks))
+    assert abs(dur - n * 1152 * 1000.0 / sr) < 1e-9
+    assert gi2 == (0 if id3v2_len is None else 10 + id3v2_len)
+    assert gi1 == id3v1
+    assert parse_mp3(enc[:-1]) is None
+    assert parse_mp3(enc + b"\x7f") is None
+    b = bytearray(enc)
+    for _ in range(10):
+        i = int(rng.randint(0, len(b)))
+        b[i] ^= 1 << int(rng.randint(0, 8))
+        parse_mp3(bytes(b))  # must not raise
+        b = bytearray(enc)
+
+
+@given(
+    k=st.integers(0, 5),
+    method=st.sampled_from([0, 8]),
+    sizes=st.lists(st.integers(0, 400), min_size=0, max_size=5),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=60, deadline=None)
+def test_zip_roundtrip_and_stdlib_cross(k, method, sizes, seed):
+    """r15 — encode_zip → parse_zip recovers every member exactly for
+    both methods, and BOTH directions cross-verify against the stdlib
+    zipfile module (our writer → zipfile reader, zipfile writer → our
+    reader), so the implementation can't drift into a self-consistent
+    dialect. Member data is CRC-32 + size verified: a flip in member
+    bytes is detected (names are unchecksummed by spec)."""
+    import io
+    import zipfile
+
+    import numpy as np
+
+    from polars_express_spark.functions.ziparc import encode_zip, parse_zip
+
+    rng = np.random.RandomState(seed)
+    entries = [
+        (f"d/{i}.txt", rng.bytes(s))
+        for i, s in enumerate(sizes[:k] if k <= len(sizes) else sizes)
+    ]
+    enc = encode_zip(entries, method=method)
+    got = parse_zip(enc)
+    assert got is not None
+    assert [(g[0], g[3]) for g in got] == entries
+    assert all(g[1] == method for g in got)
+    zf = zipfile.ZipFile(io.BytesIO(enc))
+    assert [(i.filename, zf.read(i.filename)) for i in zf.infolist()] == entries
+    buf = io.BytesIO()
+    with zipfile.ZipFile(
+        buf, "w", zipfile.ZIP_DEFLATED if method else zipfile.ZIP_STORED
+    ) as z:
+        for n_, d_ in entries:
+            z.writestr(n_, d_)
+    got2 = parse_zip(buf.getvalue())
+    assert got2 is not None and [(g[0], g[3]) for g in got2] == entries
+    # flips never alter member DATA undetected
+    b = bytearray(enc)
+    orig_data = [g[3] for g in got]
+    for _ in range(15):
+        i = int(rng.randint(0, len(b)))
+        bit = 1 << int(rng.randint(0, 8))
+        b[i] ^= bit
+        r = parse_zip(bytes(b))
+        if r is not None:
+            assert [g[3] for g in r] == orig_data, (
+                "a flip altered member data undetected"
             )
         b[i] ^= bit
