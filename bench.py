@@ -39,6 +39,24 @@ untouched code. Only q_outlier_mad (documented trade) exceeds ~2.5s
 idle; every media query sits at 1.6-2.4s against the pass floor
 below.
 
+r15 builder measurements (archive-tier queries, idle sf0.1):
+- The per-DATA-BYTE JVM formula (ascii(substring(text, (i*stride)%L)))
+  is O(position) per substring call and priced the first drafts at
+  q_multimodal_ogg 15.64s / q_zip_extract 4.84 / q_tar_extract 4.35 /
+  q_warc_extract 3.85 (the r15 mid-round bench, 223 queries, steal
+  0.07). Fix: generate a 64-byte formula BASE JVM-side and cycle it in
+  Python (b(i) = base[i%64], the oracle replays i%64) -> ogg 2.14,
+  warc 2.64, zip 2.63, tar 2.67.
+- Then the standard half-population trim (doc_id%8<4; %2 parity, %3
+  counts, and //2 channel strategies all survive): ogg 1.57, warc
+  1.77, zip 1.67, tar 1.71, tfrecord 2.15 idle. All five re-verified
+  against their oracles at sf0.01 after both changes.
+- r14 noise movers confirmed recovered in the same bench: q_simhash
+  0.16 (r13 0.169), q_pseudonymize 0.80; q_tpch_q12 0.66 / q_tpch_q13
+  0.62 read ~0.05-0.10s above their r13 marks at steal 0.07 — the
+  established uniform-contention class, not code movement (untouched
+  files).
+
 Measured floor of the media round-trip queries (r14): each
 mapInPandas pass over the 32-partition doc_id exchange costs
 ~0.42s of wall-clock HANDSHAKE regardless of rows — an identity

@@ -1,0 +1,197 @@
+"""Tar (POSIX ustar) archive reader/writer (SURVEY.md §2.10, r15).
+
+The third corpus-archive grammar next to WARC and zip — ML datasets
+ship as .tar / .tar.gz constantly (WebDataset shards ARE tar files of
+sample members, which makes this the highest-leverage archive format
+for a training pipeline after WARC itself). Pure struct math over the
+512-byte block grammar:
+
+- parse_tar walks header blocks (name + ustar prefix field, octal
+  size/mtime, typeflag), verifies EVERY header's checksum (the
+  format's own integrity: the additive sum over the header with the
+  checksum field blanked — so a flipped header byte is detected, while
+  member DATA carries no checksum at all and a data flip is
+  structurally undetectable: tar sits on the unchecksummed side of the
+  §2.10 integrity asymmetry, exactly like plain WARC), extracts
+  regular-file members, skips directory entries, and requires the
+  terminating zero blocks. A leading gzip magic routes through the
+  capped multi-member gunzip (.tar.gz — the warc tier's machinery).
+- Out of envelope (None, never a guess): GNU long-name/long-link
+  entries, pax extended headers, base-256 numeric fields, link/device
+  typeflags, truncation anywhere.
+- encode_tar is the independent writer twin; the property suite
+  cross-verifies BOTH WAYS against the stdlib tarfile module.
+- read_tar_entries explodes one archive row into one row per member
+  (the WARC/zip operator shape).
+
+Reference parity anchor: extends the reference's CSV-only ingest
+(reference src/main.rs:41-52) like the other §2.10 ingestion tiers.
+"""
+
+from __future__ import annotations
+
+_BLOCK = 512
+
+
+def _octal(field: bytes):
+    """Parse a NUL/space-terminated octal field; None on base-256
+    (high bit set — out of envelope) or malformed digits."""
+    if field and field[0] & 0x80:
+        return None
+    s = field.split(b"\x00")[0].strip(b" \x00")
+    if not s:
+        return 0
+    try:
+        return int(s, 8)
+    except ValueError:
+        return None
+
+
+def _checksum(header: bytes) -> int:
+    return sum(header[:148]) + 8 * 0x20 + sum(header[156:])
+
+
+def parse_tar(payload: bytes):
+    """REAL tar parse: returns [(name, size, data bytes), ...] for the
+    regular-file members, or None. Every header checksum is verified;
+    the archive must end with two zero blocks (truncation is
+    corruption). Accepts a gzip-wrapped stream (.tar.gz) via the
+    capped inflate."""
+    if payload[:2] == b"\x1f\x8b":
+        from polars_express_spark.functions.warc import _gunzip_members
+
+        g = _gunzip_members(payload)
+        if g is None:
+            return None
+        payload = g[0]
+    out = []
+    pos = 0
+    n = len(payload)
+    saw_end = False
+    while pos + _BLOCK <= n:
+        header = payload[pos : pos + _BLOCK]
+        if header == b"\x00" * _BLOCK:
+            # end marker: the second zero block, then only whole
+            # zero blocks may follow (tar pads archives to a record
+            # size — stdlib tarfile pads to 10240 bytes); any nonzero
+            # trailing byte is corruption
+            rest = payload[pos + _BLOCK :]
+            if (
+                len(rest) < _BLOCK
+                or len(rest) % _BLOCK
+                or rest.count(0) != len(rest)
+            ):
+                return None
+            saw_end = True
+            break
+        stored = _octal(header[148:156])
+        if stored is None or stored != _checksum(header):
+            return None  # the format's own header integrity check
+        size = _octal(header[124:136])
+        if size is None:
+            return None
+        typeflag = header[156:157]
+        magic = header[257:263]
+        if magic not in (b"ustar\x00", b"ustar "):
+            return None
+        try:
+            name = header[:100].split(b"\x00")[0].decode("utf-8")
+            prefix = header[345:500].split(b"\x00")[0].decode("utf-8")
+        except UnicodeDecodeError:
+            return None
+        if prefix:
+            name = prefix + "/" + name
+        data_end = pos + _BLOCK + size
+        padded = pos + _BLOCK + (size + _BLOCK - 1) // _BLOCK * _BLOCK
+        if padded > n:
+            return None  # truncated member
+        if typeflag in (b"0", b"\x00"):
+            out.append((name, size, payload[pos + _BLOCK : data_end]))
+        elif typeflag == b"5":
+            if size != 0:
+                return None
+        else:
+            return None  # long names, pax, links, devices: out of envelope
+        pos = padded
+    if not saw_end:
+        return None
+    return out
+
+
+def encode_tar(entries, gzip_wrap: bool = False) -> bytes:
+    """Independent ustar writer: ``entries`` is [(name, data bytes),
+    ...]; 512-byte headers with correct checksums, data padded to
+    block size, two terminating zero blocks; optionally gzip-wrapped
+    (.tar.gz)."""
+    out = bytearray()
+    for name, data in entries:
+        data = bytes(data)
+        name_b = name.encode("utf-8")
+        if len(name_b) > 100:
+            raise ValueError("name longer than the ustar name field")
+        header = bytearray(_BLOCK)
+        header[0 : len(name_b)] = name_b
+        header[100:108] = b"0000644\x00"
+        header[108:116] = b"0000000\x00"
+        header[116:124] = b"0000000\x00"
+        header[124:136] = f"{len(data):011o}".encode() + b"\x00"
+        header[136:148] = b"00000000000\x00"
+        header[148:156] = b" " * 8
+        header[156:157] = b"0"
+        header[257:263] = b"ustar\x00"
+        header[263:265] = b"00"
+        header[148:156] = f"{_checksum(bytes(header)):06o}".encode() + b"\x00 "
+        out += header + data
+        if len(data) % _BLOCK:
+            out += b"\x00" * (_BLOCK - len(data) % _BLOCK)
+    out += b"\x00" * (2 * _BLOCK)
+    if gzip_wrap:
+        import zlib
+
+        co = zlib.compressobj(6, zlib.DEFLATED, 31)
+        return co.compress(bytes(out)) + co.flush()
+    return bytes(out)
+
+
+TAR_ENTRIES_SCHEMA = (
+    "doc_id bigint, entry_no int, name string, size bigint, "
+    "mean_b double, min_b int, max_b int"
+)
+
+
+def read_tar_entries(df):
+    """Tar extraction operator (the WARC/zip operator shape): one
+    archive row → one row per regular-file member with exact byte
+    stats. Malformed archives raise. Arrow-batched mapInPandas."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                entries = parse_tar(bytes(payload))
+                if entries is None:
+                    raise ValueError(
+                        f"doc {doc_id}: corrupt or out-of-envelope tar"
+                    )
+                for eno, (name, size, data) in enumerate(entries):
+                    arr = np.frombuffer(data, dtype=np.uint8)
+                    rows.append(
+                        (doc_id, eno, name, size,
+                         float(arr.mean()) if arr.size else 0.0,
+                         int(arr.min()) if arr.size else 0,
+                         int(arr.max()) if arr.size else 0)
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "entry_no", "name", "size",
+                         "mean_b", "min_b", "max_b"],
+            ).astype({"entry_no": "int32", "min_b": "int32",
+                      "max_b": "int32"})
+
+    return df.select("doc_id", "payload").mapInPandas(
+        extract, schema=TAR_ENTRIES_SCHEMA
+    )

@@ -51,9 +51,9 @@ def query(name: str, oracle: str | None = None):
 #   slots 1-18  — the ENTIRE remaining r10 tier, alphabetical (retires
 #                 r10 evidence for good; declared last round and
 #                 verified against the computed ledger this session);
-#   slots 19-43 — the 25 oldest r11-hash, alphabetical
-#                 (q21b_range_frame .. q_incr_agg);
-#   slots 44-50 — NEW this round, never checked: q_multimodal_ogg
+#   slots 19-41 — the 23 oldest r11-hash, alphabetical
+#                 (q21b_range_frame .. q_histogram);
+#   slots 42-50 — NEW this round, never checked: q_multimodal_ogg
 #                 (RFC 3533 page demux — per-page CRC-32, lacing
 #                 reassembly across forced page continuations, OpusHead
 #                 + Vorbis id headers by doc_id parity; those payload
@@ -83,15 +83,23 @@ def query(name: str, oracle: str | None = None):
 #                 → local headers; stored vs deflate by doc parity;
 #                 member CRC-32 + declared-size verification — the
 #                 exhaustive single-flip sweep shows member DATA never
-#                 silently alters, only unchecksummed names).
-# Tier "next" (r16) = the 24 r11-hash queries that did not fit
-# (q_interpolate, q_interval_overlap, q_ks_test, q_lang_centroid,
-# q_lm_score, q_logreg_gd, q_merge_on_read, q_multimodal_audio,
-# q_outlier_mad, q_paa, q_percentile_approx, q_pmi, q_profile,
-# q_radius_join, q_semdedup, q_tfidf, q_tpch_q11, q_tpch_q16,
-# q_tpch_q17, q_tpch_q2, q_tpch_q20, q_tpch_q9, q_weighted_median,
-# q_winsorize), then the 48 r12-hash tier (alphabetical), then the
-# r13 tier.
+#                 silently alters, only unchecksummed names), and
+#                 q_tar_extract (the ustar/WebDataset shard grammar —
+#                 512-byte blocks, per-header checksums, block padding
+#                 at every size residue, .tar.gz via capped inflate,
+#                 stdlib-tarfile cross-verified both ways), and
+#                 q_tfrecord_extract (TensorFlow shard framing — the
+#                 Castagnoli CRC table and the TFRecord mask rotation
+#                 pinned by the hash on both the length and data CRCs
+#                 of every record, zero-length record included).
+# Tier "next" (r16) = the 26 r11-hash queries that did not fit
+# (q_hll_union, q_incr_agg, q_interpolate, q_interval_overlap,
+# q_ks_test, q_lang_centroid, q_lm_score, q_logreg_gd,
+# q_merge_on_read, q_multimodal_audio, q_outlier_mad, q_paa,
+# q_percentile_approx, q_pmi, q_profile, q_radius_join, q_semdedup,
+# q_tfidf, q_tpch_q11, q_tpch_q16, q_tpch_q17, q_tpch_q2, q_tpch_q20,
+# q_tpch_q9, q_weighted_median, q_winsorize), then the 48 r12-hash
+# tier (alphabetical), then the r13 tier.
 #
 # Round-14 history (executing the rotation the r13 comment declared
 # and the r13 verdict's item #1): r13 went 50/50 green; staleness
@@ -172,19 +180,25 @@ _PRIORITY = [
     "q_classifier_score", "q_data_contract", "q_dup_spans", "q_fk_audit",
     "q_funnel", "q_funnel_timing", "q_gap_detect", "q_gapfill",
     "q_group_sample", "q_grouped_topk", "q_heavy_hitters", "q_hierarchy",
-    "q_histogram", "q_hll_union", "q_incr_agg",
-    # slots 44-50 — new this round: the Ogg container tier (container
+    "q_histogram",
+    # slots 42-50 — new this round: the Ogg container tier (container
     # demux with gated Vorbis/Opus payloads; real FLAC-in-Ogg decode),
     # the Matroska/EBML tier (MJPEG video + both-endian PCM audio,
     # all four lacing modes, optional per-master CRC-32 armed),
     # the WARC crawl-ingestion tier (ISO 28500 records, per-member
     # gunzip, HTTP payload split), the MP3 frame-chain metadata
     # walk (the audio twin of the JPEG SOF tier; sample codec gated),
-    # and the zip archive tier (EOCD/central-directory walk, stored +
-    # deflate, per-member CRC-32, stdlib-zipfile cross-verified)
+    # the zip archive tier (EOCD/central-directory walk, stored +
+    # deflate, per-member CRC-32, stdlib-zipfile cross-verified), and
+    # the tar/WebDataset-shard tier (ustar block grammar, header
+    # checksums, .tar.gz, stdlib-tarfile cross-verified), and the
+    # TFRecord tier (TensorFlow shards — masked CRC32C on both the
+    # length and the data of every record, the strongest-integrity
+    # archive framing)
     "q_multimodal_ogg", "q_multimodal_ogg_flac",
     "q_multimodal_mkv", "q_multimodal_mkv_audio", "q_warc_extract",
-    "q_multimodal_mp3", "q_zip_extract",
+    "q_multimodal_mp3", "q_zip_extract", "q_tar_extract",
+    "q_tfrecord_extract",
 ]
 
 

@@ -3874,3 +3874,59 @@ def test_zip_extraction_operator(spark):
     dfb = spark.createDataFrame([(2, bytes(bad))], "doc_id long, payload binary")
     with pytest.raises(Exception, match="corrupt|out-of-envelope"):
         read_zip_entries(dfb).collect()
+
+
+def test_tar_extraction_operator(spark):
+    """r15 — read_tar_entries: one shard row explodes into one row per
+    member with exact stats; a truncated archive raises."""
+    import numpy as np
+    import pytest
+
+    from polars_express_spark.functions.tar import encode_tar, read_tar_entries
+
+    rng = np.random.RandomState(13)
+    b0, b1 = rng.bytes(700), rng.bytes(512)
+    t = encode_tar([("w/a.bin", b0), ("w/b.bin", b1)], gzip_wrap=True)
+    df = spark.createDataFrame([(1, bytearray(t))], "doc_id long, payload binary")
+    rows = {r["entry_no"]: r for r in read_tar_entries(df).collect()}
+    assert rows[0]["name"] == "w/a.bin" and rows[0]["size"] == 700
+    a0 = np.frombuffer(b0, dtype=np.uint8)
+    assert rows[0]["min_b"] == int(a0.min()) and rows[0]["max_b"] == int(a0.max())
+    assert rows[1]["size"] == 512
+
+    bare = encode_tar([("w/a.bin", b0)])
+    dfb = spark.createDataFrame(
+        [(2, bytearray(bare[:-512]))], "doc_id long, payload binary"
+    )
+    with pytest.raises(Exception, match="corrupt|out-of-envelope"):
+        read_tar_entries(dfb).collect()
+
+
+def test_tfrecord_extraction_operator(spark):
+    """r15 — read_tfrecord_records: one shard row explodes into one
+    row per CRC32C-verified record (empty records keep zero-stat
+    rows); a flipped byte anywhere raises."""
+    import numpy as np
+    import pytest
+
+    from polars_express_spark.functions.tfrecord import (
+        encode_tfrecord,
+        read_tfrecord_records,
+    )
+
+    rng = np.random.RandomState(17)
+    r0, r2 = rng.bytes(90), rng.bytes(40)
+    shard = encode_tfrecord([r0, b"", r2])
+    df = spark.createDataFrame([(1, bytearray(shard))], "doc_id long, payload binary")
+    rows = {r["rec_no"]: r for r in read_tfrecord_records(df).collect()}
+    assert len(rows) == 3
+    a0 = np.frombuffer(r0, dtype=np.uint8)
+    assert rows[0]["size"] == 90 and rows[0]["min_b"] == int(a0.min())
+    assert rows[1]["size"] == 0 and rows[1]["mean_b"] == 0.0
+    assert rows[2]["size"] == 40
+
+    bad = bytearray(shard)
+    bad[20] ^= 0x04
+    dfb = spark.createDataFrame([(2, bytes(bad))], "doc_id long, payload binary")
+    with pytest.raises(Exception, match="corrupt|out-of-envelope"):
+        read_tfrecord_records(dfb).collect()

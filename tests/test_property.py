@@ -1485,6 +1485,8 @@ def test_parsers_never_crash_on_corrupt_payloads(seed, kind):
         parse_http_response,
         parse_warc,
     )
+    from polars_express_spark.functions.tar import parse_tar
+    from polars_express_spark.functions.tfrecord import parse_tfrecord
     from polars_express_spark.functions.ziparc import parse_zip
     from polars_express_spark.functions.webp import parse_webp, parse_webp_frames
 
@@ -1497,7 +1499,7 @@ def test_parsers_never_crash_on_corrupt_payloads(seed, kind):
                parse_aiff, parse_tga, parse_ico, parse_webp,
                parse_webp_frames, parse_ogg, parse_mkv, parse_mkv_frames,
                parse_mkv_audio, parse_warc, parse_http_response, parse_mp3,
-               parse_zip]
+               parse_zip, parse_tar, parse_tfrecord]
     if kind == 0:  # magic-prefixed garbage through every parser
         magics = [b"\x89PNG\r\n\x1a\n", b"BM", b"GIF89a", b"P1", b"P2",
                   b"P3", b"P4", b"P5", b"P6", b"RIFF", b"RIFF\x80\x00\x00\x00AVI ",
@@ -1515,7 +1517,8 @@ def test_parsers_never_crash_on_corrupt_payloads(seed, kind):
                   b"HTTP/1.1 200 OK\r\n",
                   b"ID3", b"ID3\x04\x00\x00\x00\x00\x00\x0a", b"\xff\xfb",
                   b"\xff\xfb\x90\x00", b"PK\x03\x04", b"PK\x05\x06",
-                  b"PK\x05\x06" + b"\x00" * 18, b""]
+                  b"PK\x05\x06" + b"\x00" * 18,
+                  b"x" * 257 + b"ustar\x00", b""]
         for m in magics:
             payload = m + rng.bytes(int(rng.randint(0, 160)))
             for p in parsers:
@@ -2279,3 +2282,111 @@ def test_zip_roundtrip_and_stdlib_cross(k, method, sizes, seed):
                 "a flip altered member data undetected"
             )
         b[i] ^= bit
+
+
+@given(
+    k=st.integers(0, 5),
+    gz=st.booleans(),
+    sizes=st.lists(st.integers(0, 1200), min_size=0, max_size=5),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=60, deadline=None)
+def test_tar_roundtrip_and_stdlib_cross(k, gz, sizes, seed):
+    """r15 — encode_tar → parse_tar recovers every member exactly
+    (block padding at every size residue, names through the ustar
+    prefix join), cross-verified BOTH WAYS against the stdlib tarfile
+    module; every header checksum is verified (a header flip is
+    detected) while member data is unchecksummed by spec — the
+    plain-WARC side of the §2.10 integrity asymmetry. Truncation and
+    missing end blocks reject."""
+    import io
+    import tarfile
+
+    import numpy as np
+
+    from polars_express_spark.functions.tar import encode_tar, parse_tar
+
+    rng = np.random.RandomState(seed)
+    entries = [
+        (f"s/{i}.bin", rng.bytes(s))
+        for i, s in enumerate(sizes[:k] if k <= len(sizes) else sizes)
+    ]
+    enc = encode_tar(entries, gzip_wrap=gz)
+    got = parse_tar(enc)
+    assert got is not None
+    assert [(g[0], g[2]) for g in got] == entries
+    assert all(g[1] == len(g[2]) for g in got)
+    # our writer -> stdlib reader
+    tf = tarfile.open(fileobj=io.BytesIO(enc), mode="r:gz" if gz else "r:")
+    assert [
+        (m.name, tf.extractfile(m).read()) for m in tf.getmembers()
+    ] == entries
+    # stdlib writer -> our reader (ustar format, no PAX)
+    buf = io.BytesIO()
+    with tarfile.open(
+        fileobj=buf, mode="w:gz" if gz else "w:",
+        format=tarfile.USTAR_FORMAT,
+    ) as w:
+        for n_, d_ in entries:
+            ti = tarfile.TarInfo(n_)
+            ti.size = len(d_)
+            w.addfile(ti, io.BytesIO(d_))
+    got2 = parse_tar(buf.getvalue())
+    assert got2 is not None and [(g[0], g[2]) for g in got2] == entries
+    # header flips are detected by the ustar checksum (bare form)
+    if entries and not gz:
+        b = bytearray(enc)
+        for _ in range(10):
+            i = int(rng.randint(0, 148))  # inside the first header
+            bit = 1 << int(rng.randint(0, 8))
+            b[i] ^= bit
+            r = parse_tar(bytes(b))
+            if r is not None:
+                # an accepted flip must not have touched this header's
+                # protected fields undetected — checksum makes this
+                # impossible for a single flip
+                raise AssertionError("header flip accepted")
+            b[i] ^= bit
+    assert parse_tar(enc[:-1]) is None
+    if not gz:
+        assert parse_tar(enc[:-512]) is None  # lost end block
+
+
+@given(
+    sizes=st.lists(st.integers(0, 600), min_size=1, max_size=6),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=60, deadline=None)
+def test_tfrecord_roundtrip_and_crc(sizes, seed):
+    """r15 — encode_tfrecord → parse_tfrecord recovers every record
+    byte-exactly (zero-length records included), and because BOTH the
+    length CRC32C and the data CRC32C are verified per record, EVERY
+    single-bit flip anywhere in the shard is detected — the strongest
+    integrity posture in the archive family (PNG/FLAC/Ogg tier).
+    Truncation and trailing bytes reject. The CRC is Castagnoli
+    (0x82F63B78 reflected), pinned against a known vector."""
+    import numpy as np
+
+    from polars_express_spark.functions.tfrecord import (
+        crc32c,
+        encode_tfrecord,
+        parse_tfrecord,
+    )
+
+    # public check vector: crc32c(b"123456789") == 0xE3069283
+    assert crc32c(b"123456789") == 0xE3069283
+
+    rng = np.random.RandomState(seed)
+    recs = [rng.bytes(s) for s in sizes]
+    enc = encode_tfrecord(recs)
+    got = parse_tfrecord(enc)
+    assert got is not None and got == recs
+    b = bytearray(enc)
+    for _ in range(20):
+        i = int(rng.randint(0, len(b)))
+        bit = 1 << int(rng.randint(0, 8))
+        b[i] ^= bit
+        assert parse_tfrecord(bytes(b)) is None
+        b[i] ^= bit
+    assert parse_tfrecord(enc[:-1]) is None
+    assert parse_tfrecord(enc + b"\x00") is None
