@@ -2528,7 +2528,8 @@ def q_multimodal_ogg(spark, sf_dir):
     the only tier whose integrity posture is a PER-PAGE CRC-32, so the
     hash also pins the unreflected 0x04c11db7 implementation: one
     polynomial bug and no page parses). Per document the data bytes are
-    the stride-29 formula; doc_id picks the mux shape so every lacing
+    the stride-29 formula (a 64-byte base cycled to length — see the
+    bs comment); doc_id picks the mux shape so every lacing
     edge case is hashed every round — packet sizes [300, 510, 0] always
     (a multi-segment packet, an exact-255-multiple packet needing the
     explicit 0 terminator, and a ZERO-LENGTH packet), plus
@@ -2990,8 +2991,8 @@ def q_warc_extract(spark, sf_dir):
     a training pipeline actually starts from). Per document a real
     WARC archive is muxed executor-side — a warcinfo record then
     1 + doc_id%3 HTTP response records whose bodies are stride-13
-    formula bytes (record r phasing the stride, length 50 +
-    (n_chars + 7r)%100) and whose statuses rotate 200/404/301 —
+    formula bytes cycled from a 64-byte base (record r phasing the
+    stride, length 50 + (n_chars + 7r)%100) and whose statuses rotate 200/404/301 —
     gzipped PER MEMBER for odd docs (the splittability convention;
     zlib verifies each member's CRC-32 trailer) and plain for even.
     read_warc_records then re-parses the archive, splits each HTTP
@@ -3194,8 +3195,8 @@ def q_zip_extract(spark, sf_dir):
     cross-verified both ways against the stdlib zipfile module in the
     property suite). Per document a real zip is muxed executor-side —
     1 + doc_id%3 members named corpus/{doc}/{e}.txt with stride-19
-    formula bodies (entry e phasing the stride, length 40 +
-    (n_chars + 11e)%120) — DEFLATE for even docs, STORED for odd (both
+    formula bodies cycled from 64-byte bases (entry e phasing the
+    stride, length 40 + (n_chars + 11e)%120) — DEFLATE for even docs, STORED for odd (both
     methods hashed every round). read_zip_entries re-parses via the
     EOCD → central directory → local header chain, inflates behind the
     bomb cap, verifies each member's CRC-32 and declared size (zip's
@@ -3300,8 +3301,8 @@ def q_tar_extract(spark, sf_dir):
     shards ARE tar files, so this is the shard-reading path of a
     training pipeline). Per document a real ustar archive is muxed
     executor-side — 1 + doc_id%3 members shard/{doc}/{e}.bin with
-    stride-21 formula bodies (entry e phasing the stride, size 30 +
-    (n_chars + 13e)%150, exercising block padding at every residue) —
+    stride-21 formula bodies cycled from 64-byte bases (entry e
+    phasing the stride, size 30 + (n_chars + 13e)%150, exercising block padding at every residue) —
     gzip-wrapped (.tar.gz, through the capped inflate) for odd docs
     and bare for even. read_tar_entries re-walks the 512-byte block
     grammar, verifies every header checksum, and ships one row per
@@ -3410,8 +3411,8 @@ def q_tfrecord_extract(spark, sf_dir):
     TensorFlow training-shard framing, functions/tfrecord.py; with
     WARC/tar/zip this completes the §2.10 ingestion set). Per document
     a real shard is muxed executor-side — 2 + doc_id%3 records with
-    stride-23 formula payloads (record r phasing the stride, size 20 +
-    (n_chars + 17r)%200), record 1 always ZERO-LENGTH (the empty-
+    stride-23 formula payloads cycled from 64-byte bases (record r
+    phasing the stride, size 20 + (n_chars + 17r)%200), record 1 always ZERO-LENGTH (the empty-
     record framing edge). read_tfrecord_records re-parses the shard
     verifying BOTH masked CRC32Cs per record — the Castagnoli table
     and the TFRecord mask rotation are pinned by the hash, because one
