@@ -57,6 +57,17 @@ r15 builder measurements (archive-tier queries, idle sf0.1):
   established uniform-contention class, not code movement (untouched
   files).
 
+r15 builder reference runs (final tree, sf0.1, 224 queries, zero
+errors in every run): steady 204.2s / warm 219.4 / cold 260.9 at
+steal 0.15 — the clean run; the nine new queries sum 19.2s (ogg 1.91,
+ogg_flac 1.96, mkv 2.15, mkv_audio 2.19, warc 2.29, mp3 1.38, zip
+2.39, tar 2.30, tfrecord 2.66), slowest overall q_outlier_mad 2.83
+(the documented trade). A back-to-back run at steal 1.43% read steady
+238.7s with uniform ~15-40% inflation on untouched queries (q_ann_ivf
+4.47 vs its usual ~1.5, q_bloom_prune 3.31, q_outlier_mad 3.59) — the
+same contention class as every prior round's wobble entries; per-query
+ratios, not totals, are the regression signal.
+
 Measured floor of the media round-trip queries (r14): each
 mapInPandas pass over the 32-partition doc_id exchange costs
 ~0.42s of wall-clock HANDSHAKE regardless of rows — an identity
