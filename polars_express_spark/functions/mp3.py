@@ -8,8 +8,10 @@ JPEG pixel decoder: frame sync, version/layer bits, the public
 bitrate/sample-rate index tables, and the padding-aware frame-size
 arithmetic give sample rate, channel mode, frame count, CBR/VBR-ness,
 and exact duration without touching a single subband. ID3v2 prefix
-tags (syncsafe 28-bit size, optional footer) and the fixed 128-byte
-ID3v1 trailer are recognized and measured, not decoded field-by-field.
+tags are decoded for real since late r15 — v2.3/v2.4 frame walks with
+plain vs syncsafe sizes, Latin-1/UTF-8/UTF-16 text frames
+(parse_id3v2) — and the fixed 128-byte ID3v1 trailer is recognized and
+measured.
 
 Strictness envelope: MPEG-1 Layer III only (the "MP3" in MP3); the
 free-format bitrate index 0 and the bad index 15 reject; protection
@@ -119,6 +121,7 @@ def encode_mp3_frames(
     payload_byte=None,
     id3v2_payload: bytes | None = None,
     id3v1: bool = False,
+    id3v2_tag: bytes | None = None,
 ) -> bytes:
     """Independent MP3 writer for the round-trip tests/queries: one
     MPEG-1 Layer III frame per bitrate in ``kbps_list`` (protection=1,
@@ -129,6 +132,9 @@ def encode_mp3_frames(
     sr_idx = _SAMPLE_RATES.index(sample_rate)
     mode_idx = _CHANNEL_MODES.index(channel_mode)
     out = bytearray()
+    if id3v2_tag is not None:
+        # a complete tag (encode_id3v2) prepended verbatim
+        out += id3v2_tag
     if id3v2_payload is not None:
         n = len(id3v2_payload)
         if n >= 1 << 28:
@@ -160,7 +166,7 @@ def encode_mp3_frames(
 MP3_META_SCHEMA = (
     "doc_id bigint, sample_rate int, channel_mode string, "
     "n_frames bigint, min_kbps int, max_kbps int, duration_ms double, "
-    "byte_len bigint, id3v2_bytes int, has_id3v1 boolean"
+    "byte_len bigint, id3v2_bytes int, has_id3v1 boolean, title string"
 )
 
 
@@ -186,19 +192,126 @@ def decode_mp3_meta(df):
                         "frame chain"
                     )
                 rate, mode, n, mn, mx, dur, id3v2, id3v1 = parsed
+                tag = parse_id3v2(raw)
+                if tag is None:
+                    raise ValueError(
+                        f"doc {doc_id}: structurally corrupt ID3v2 tag"
+                    )
                 rows.append(
                     (doc_id, rate, mode, n, mn, mx, dur, len(raw),
-                     id3v2, id3v1)
+                     id3v2, id3v1, tag[1].get("TIT2", ""))
                 )
             yield pd.DataFrame(
                 rows,
                 columns=["doc_id", "sample_rate", "channel_mode",
                          "n_frames", "min_kbps", "max_kbps",
                          "duration_ms", "byte_len", "id3v2_bytes",
-                         "has_id3v1"],
+                         "has_id3v1", "title"],
             ).astype({"sample_rate": "int32", "min_kbps": "int32",
                       "max_kbps": "int32", "id3v2_bytes": "int32"})
 
     return df.select("doc_id", "payload").mapInPandas(
         meta, schema=MP3_META_SCHEMA
     )
+
+
+def _syncsafe(n: int) -> bytes:
+    if n >= 1 << 28:
+        raise ValueError("too large for a syncsafe int")
+    return bytes([(n >> 21) & 0x7F, (n >> 14) & 0x7F, (n >> 7) & 0x7F, n & 0x7F])
+
+
+def encode_id3v2(frames: dict, version: int = 4) -> bytes:
+    """Independent ID3v2 writer: ``frames`` maps frame ids (TIT2, TPE1,
+    …) to text. v2.4 writes syncsafe frame sizes and UTF-8 (encoding
+    3); v2.3 writes plain big-endian sizes and Latin-1 (encoding 0) or
+    UTF-16-with-BOM (encoding 1) when the text needs it — the four
+    layouts a real tag population spans."""
+    body = b""
+    for fid, text in frames.items():
+        if len(fid) != 4:
+            raise ValueError("frame ids are 4 characters")
+        if version == 4:
+            data = b"\x03" + text.encode("utf-8")
+            size = _syncsafe(len(data))
+        elif version == 3:
+            try:
+                data = b"\x00" + text.encode("latin-1")
+            except UnicodeEncodeError:
+                data = b"\x01\xff\xfe" + text.encode("utf-16-le")
+            size = struct.pack(">I", len(data))
+        else:
+            raise ValueError("version must be 3 or 4")
+        body += fid.encode("ascii") + size + b"\x00\x00" + data
+    return b"ID3" + bytes([version, 0, 0]) + _syncsafe(len(body)) + body
+
+
+def parse_id3v2(payload: bytes):
+    """REAL ID3v2 TEXT-FRAME decode (r15 — upgrading the envelope from
+    'measured' to decoded): returns (total_tag_bytes, {frame_id: text})
+    or None on a structurally corrupt tag. Handles v2.3 (plain 32-bit
+    frame sizes) and v2.4 (syncsafe), text encodings 0 (Latin-1),
+    1 (UTF-16 with BOM), 2 (UTF-16BE), 3 (UTF-8); non-text frames are
+    skipped by size (standard forward-compat), zero padding ends the
+    walk, and any frame overrunning the tag is corruption. A payload
+    without a tag returns (0, {})."""
+    if payload[:3] != b"ID3":
+        return 0, {}
+    total = _id3v2_size(payload)
+    if total is None:
+        return None
+    version = payload[3]
+    if version not in (3, 4):
+        return None  # v2.2 three-byte frames are out of envelope
+    end = 10 + (total - 10 - (10 if payload[5] & 0x10 else 0))
+    if payload[5] & 0x40:  # extended header: skip by its own size
+        if version == 4:
+            if any(b & 0x80 for b in payload[10:14]):
+                return None
+            ehs = 0
+            for b in payload[10:14]:
+                ehs = (ehs << 7) | b
+        else:
+            (ehs,) = struct.unpack_from(">I", payload, 10)
+            ehs += 4
+        pos = 10 + ehs
+    else:
+        pos = 10
+    frames: dict[str, str] = {}
+    while pos + 10 <= end:
+        if payload[pos] == 0:
+            break  # zero padding
+        fid_b = payload[pos : pos + 4]
+        if not all(0x30 <= c <= 0x5A for c in fid_b):
+            return None
+        fid = fid_b.decode("ascii")
+        if version == 4:
+            if any(b & 0x80 for b in payload[pos + 4 : pos + 8]):
+                return None
+            size = 0
+            for b in payload[pos + 4 : pos + 8]:
+                size = (size << 7) | b
+        else:
+            (size,) = struct.unpack_from(">I", payload, pos + 4)
+        body = pos + 10
+        if body + size > end:
+            return None  # frame overruns the tag
+        if fid.startswith("T") and size >= 1:
+            enc = payload[body]
+            raw = payload[body + 1 : body + size]
+            try:
+                if enc == 0:
+                    text = raw.decode("latin-1")
+                elif enc == 1:
+                    text = raw.decode("utf-16")  # BOM-led
+                elif enc == 2:
+                    text = raw.decode("utf-16-be")
+                elif enc == 3:
+                    text = raw.decode("utf-8")
+                else:
+                    return None
+            except UnicodeDecodeError:
+                return None
+            frames[fid] = text.rstrip("\x00")
+        pos = body + size
+    return total, frames

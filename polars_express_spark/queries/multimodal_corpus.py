@@ -3090,13 +3090,18 @@ def q_warc_extract(spark, sf_dir):
            CAST(max(kbps) AS INT) AS max_kbps,
            any_value(n) * 1152 * 1000.0 / any_value(sr) AS duration_ms,
            CAST(sum(144000 * kbps // sr + pad)
-              + CASE WHEN doc_id % 2 = 0
-                     THEN 10 + any_value(n_chars) % 64 ELSE 0 END
+              + CASE WHEN doc_id % 2 = 0 THEN 21 + length(
+                  'doc-' || doc_id || '-' || (any_value(n_chars) % 97))
+                ELSE 0 END
               + CASE WHEN doc_id % 3 = 0 THEN 128 ELSE 0 END
               AS BIGINT) AS byte_len,
-           CAST(CASE WHEN doc_id % 2 = 0 THEN 10 + any_value(n_chars) % 64
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 21 + length(
+                  'doc-' || doc_id || '-' || (any_value(n_chars) % 97))
                 ELSE 0 END AS INT) AS id3v2_bytes,
-           doc_id % 3 = 0 AS has_id3v1
+           doc_id % 3 = 0 AS has_id3v1,
+           CASE WHEN doc_id % 2 = 0
+                THEN 'doc-' || doc_id || '-' || (any_value(n_chars) % 97)
+                ELSE '' END AS title
     FROM fr GROUP BY doc_id ORDER BY doc_id
     """,
 )
@@ -3111,10 +3116,11 @@ def q_multimodal_mp3(spark, sf_dir):
     padding bits alternate by (doc_id+f) parity — and the walk strides
     by floor(144000·kbps/rate)+pad, so byte_len pins the size formula
     frame by frame (one wrong table entry desyncs the walk and the
-    query errors). Even docs carry an ID3v2 prefix sized by the
-    syncsafe 28-bit length (n_chars%64 payload), every third doc the
-    fixed ID3v1 trailer. decode_mp3_meta ships the metadata; the
-    oracle replays all the arithmetic in SQL. Scale shape: one scan,
+    query errors). Even docs carry a REAL ID3v2 tag whose
+    TIT2 title lands under the hash (decoded by parse_id3v2 — v2.4
+    syncsafe vs v2.3 plain frame sizes by (doc_id div 2) parity),
+    every third doc the fixed ID3v1 trailer. decode_mp3_meta ships the
+    metadata; the oracle replays all the arithmetic in SQL. Scale shape: one scan,
     one doc_id exchange (_codec_parallel), two fused Arrow stages."""
     from typing import Iterator
 
@@ -3122,6 +3128,7 @@ def q_multimodal_mp3(spark, sf_dir):
 
     from polars_express_spark.functions.mp3 import (
         decode_mp3_meta,
+        encode_id3v2,
         encode_mp3_frames,
     )
 
@@ -3141,15 +3148,21 @@ def q_multimodal_mp3(spark, sf_dir):
                           for f in range(n)]
                 else:
                     ks = [128] * n
+                tag = None
+                if doc_id % 2 == 0:
+                    # a REAL tag: TIT2 under the hash, v2.4 syncsafe vs
+                    # v2.3 plain frame sizes by (doc_id div 2) parity
+                    tag = encode_id3v2(
+                        {"TIT2": f"doc-{doc_id}-{n_chars % 97}"},
+                        version=4 if (doc_id // 2) % 2 == 0 else 3,
+                    )
                 payloads.append(encode_mp3_frames(
                     ks,
                     [44100, 48000, 32000][doc_id % 3],
                     ["stereo", "joint_stereo", "dual_channel",
                      "mono"][doc_id % 4],
                     paddings=[(doc_id + f) % 2 for f in range(n)],
-                    id3v2_payload=(
-                        bytes(n_chars % 64) if doc_id % 2 == 0 else None
-                    ),
+                    id3v2_tag=tag,
                     id3v1=doc_id % 3 == 0,
                 ))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})

@@ -3827,15 +3827,19 @@ def test_mp3_metadata_operator_and_gate(spark):
         decode_audio_samples,
     )
 
+    from polars_express_spark.functions.mp3 import encode_id3v2
+
+    tag = encode_id3v2({"TIT2": "golden title"}, version=3)
     enc = encode_mp3_frames([128, 192, 320], 44100, "joint_stereo",
                             paddings=[1, 0, 1],
-                            id3v2_payload=b"\x00" * 30, id3v1=True)
+                            id3v2_tag=tag, id3v1=True)
     df = spark.createDataFrame([(1, bytearray(enc))], "doc_id long, payload binary")
     row = decode_mp3_meta(df).collect()[0]
     assert row["sample_rate"] == 44100 and row["channel_mode"] == "joint_stereo"
     assert row["n_frames"] == 3 and (row["min_kbps"], row["max_kbps"]) == (128, 320)
     assert abs(row["duration_ms"] - 3 * 1152 * 1000.0 / 44100) < 1e-9
-    assert row["id3v2_bytes"] == 40 and bool(row["has_id3v1"])
+    assert row["id3v2_bytes"] == len(tag) and bool(row["has_id3v1"])
+    assert row["title"] == "golden title"
     assert row["byte_len"] == len(enc)
 
     with pytest.raises(Exception, match="gated|NotImplemented"):

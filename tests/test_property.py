@@ -1480,7 +1480,7 @@ def test_parsers_never_crash_on_corrupt_payloads(seed, kind):
         parse_mkv_audio,
         parse_mkv_frames,
     )
-    from polars_express_spark.functions.mp3 import parse_mp3
+    from polars_express_spark.functions.mp3 import parse_id3v2, parse_mp3
     from polars_express_spark.functions.warc import (
         parse_http_response,
         parse_warc,
@@ -1499,7 +1499,7 @@ def test_parsers_never_crash_on_corrupt_payloads(seed, kind):
                parse_aiff, parse_tga, parse_ico, parse_webp,
                parse_webp_frames, parse_ogg, parse_mkv, parse_mkv_frames,
                parse_mkv_audio, parse_warc, parse_http_response, parse_mp3,
-               parse_zip, parse_tar, parse_tfrecord]
+               parse_zip, parse_tar, parse_tfrecord, parse_id3v2]
     if kind == 0:  # magic-prefixed garbage through every parser
         magics = [b"\x89PNG\r\n\x1a\n", b"BM", b"GIF89a", b"P1", b"P2",
                   b"P3", b"P4", b"P5", b"P6", b"RIFF", b"RIFF\x80\x00\x00\x00AVI ",
@@ -2390,3 +2390,39 @@ def test_tfrecord_roundtrip_and_crc(sizes, seed):
         b[i] ^= bit
     assert parse_tfrecord(enc[:-1]) is None
     assert parse_tfrecord(enc + b"\x00") is None
+
+
+@given(
+    version=st.sampled_from([3, 4]),
+    title=st.text(min_size=0, max_size=200).filter(lambda t: "\x00" not in t),
+    artist=st.text(min_size=0, max_size=60).filter(lambda t: "\x00" not in t),
+    trailing=st.integers(0, 50),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=60, deadline=None)
+def test_id3v2_text_frames_roundtrip(version, title, artist, trailing, seed):
+    """r15 — encode_id3v2 → parse_id3v2 recovers text frames exactly
+    across v2.3 (plain frame sizes, Latin-1 or BOM'd UTF-16 as the
+    text requires) and v2.4 (syncsafe sizes incl. >=128, UTF-8);
+    arbitrary bytes after the tag are untouched; flips inside the tag
+    never crash (no checksum by spec — structural damage rejects,
+    value damage may decode to different text, as ID3 dictates)."""
+    import numpy as np
+
+    from polars_express_spark.functions.mp3 import encode_id3v2, parse_id3v2
+
+    rng = np.random.RandomState(seed)
+    tag = encode_id3v2({"TIT2": title, "TPE1": artist}, version=version)
+    payload = tag + rng.bytes(trailing)
+    got = parse_id3v2(payload)
+    assert got is not None
+    total, frames = got
+    assert total == len(tag)
+    assert frames["TIT2"] == title.rstrip("\x00")
+    assert frames["TPE1"] == artist.rstrip("\x00")
+    b = bytearray(payload)
+    for _ in range(10):
+        i = int(rng.randint(0, len(b)))
+        b[i] ^= 1 << int(rng.randint(0, 8))
+        parse_id3v2(bytes(b))  # must not raise
+        b = bytearray(payload)
