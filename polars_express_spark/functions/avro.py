@@ -1,0 +1,346 @@
+"""Avro object-container reader/writer (SURVEY.md §2.10 ingestion
+tier, r16).
+
+The most-used data-engineering container family still missing from the
+archive ladder (WARC/zip/tar/TFRecord): Kafka-adjacent and Hive-era
+corpora ship as ``.avro`` object-container files. The container layer
+is pure struct math per the public Avro 1.x spec:
+
+    Obj\\x01                                    4-byte magic
+    file metadata                               an Avro map<bytes>
+    sync marker                                 16 bytes
+    repeat >=1: count (long) | size (long) | serialized objects
+               (after codec) | sync marker (must equal the header's)
+
+Longs are zigzag varints (``zigzag(n) = (n << 1) ^ (n >> 63)``, then
+little-endian base-128 groups with a continuation bit, at most 10
+bytes). The metadata map must carry ``avro.schema`` (JSON); the
+optional ``avro.codec`` may be ``null`` (default) or ``deflate`` —
+RAW RFC-1951 deflate, no zlib header, no checksum — inflated through
+the capped-inflate bomb guard (the zip/WARC precedent; a bomb rejects,
+never allocates). Snappy and other codecs are out of envelope.
+
+Record-body decode is schema-driven in general and needs a datum
+reader; per the tf.Example ruling (functions/tfrecord.py:21) this
+module decodes the two self-delimiting primitive schemas a byte-level
+pipeline owns — ``"bytes"`` and ``"string"`` (each datum is a long
+length + payload; string payloads must be valid UTF-8) — and treats
+every other schema as out of envelope (None). The swap-in point for a
+full datum reader is the per-block object walk in parse_avro.
+
+Integrity honesty (SURVEY §2.10 asymmetry): Avro carries NO data
+checksum. The sync markers and the varint framing detect structural
+damage (a flipped sync byte, a lying block size, a truncated block),
+and they are exactly what makes a 100 TB ``.avro`` corpus
+executor-splittable (a reader seeks to the next sync to align) — but
+a bit flip inside a null-codec record body silently alters that
+record, like tar member data; deflate-codec flips usually break the
+stream but carry no guarantee. parse_avro therefore promises
+no-crash/no-bomb and exact framing, not flip detection.
+
+Reference parity anchor: extends the reference's CSV-only ingest
+(reference src/main.rs:41-52) like the other §2.10 ingestion tiers.
+"""
+
+from __future__ import annotations
+
+import json
+import zlib
+
+_MAGIC = b"Obj\x01"
+_MAX_INFLATE = 1 << 26  # total decompressed cap across all blocks
+_SYNC_DEFAULT = bytes(range(0xA0, 0xB0))  # deterministic writer marker
+
+
+def _read_long(b: bytes, pos: int):
+    """Read a zigzag-varint Avro long: returns (value, end_pos) or None
+    on truncation / overlong form (>10 bytes or bits past 64)."""
+    result = 0
+    shift = 0
+    for _ in range(10):
+        if pos >= len(b):
+            return None
+        byte = b[pos]
+        pos += 1
+        result |= (byte & 0x7F) << shift
+        if not byte & 0x80:
+            if result >= 1 << 64:
+                return None  # overflows a 64-bit long
+            return (result >> 1) ^ -(result & 1), pos
+        shift += 7
+    return None  # 10 continuation bytes: overlong
+
+
+def _w_long(n: int) -> bytes:
+    """Minimal zigzag-varint encoding of a signed 64-bit long."""
+    if not -(1 << 63) <= n < 1 << 63:
+        raise ValueError("out of range for an Avro long")
+    z = ((n << 1) ^ (n >> 63)) & ((1 << 64) - 1)
+    out = bytearray()
+    while True:
+        if z < 0x80:
+            out.append(z)
+            return bytes(out)
+        out.append((z & 0x7F) | 0x80)
+        z >>= 7
+
+
+def _read_sized(b: bytes, pos: int):
+    """Read a length-prefixed byte datum (the bytes/string layout):
+    returns (payload_slice, end_pos) or None."""
+    r = _read_long(b, pos)
+    if r is None:
+        return None
+    ln, pos = r
+    if ln < 0 or ln > len(b) - pos:
+        return None
+    return b[pos : pos + ln], pos + ln
+
+
+def _parse_meta_map(payload: bytes, pos: int):
+    """Walk the file-metadata map (an Avro map<bytes>): returns
+    ({key: value_bytes}, end_pos) or None. Both the positive-count and
+    the negative-count-with-block-size forms parse (the latter's
+    declared byte size must match exactly); duplicate keys are
+    malformed (strict posture — the spec gives them no meaning)."""
+    meta: dict[str, bytes] = {}
+    while True:
+        r = _read_long(payload, pos)
+        if r is None:
+            return None
+        count, pos = r
+        if count == 0:
+            return meta, pos
+        declared_size = None
+        if count < 0:
+            count = -count
+            r = _read_long(payload, pos)
+            if r is None:
+                return None
+            declared_size, pos = r
+            if declared_size < 0 or declared_size > len(payload) - pos:
+                return None
+        if count > len(payload) - pos:
+            return None  # each entry needs >=2 bytes; cheap bomb bound
+        block_start = pos
+        for _ in range(count):
+            r = _read_sized(payload, pos)
+            if r is None:
+                return None
+            key_b, pos = r
+            try:
+                key = key_b.decode("utf-8")
+            except UnicodeDecodeError:
+                return None
+            r = _read_sized(payload, pos)
+            if r is None:
+                return None
+            val, pos = r
+            if key in meta:
+                return None
+            meta[key] = val
+        if declared_size is not None and pos - block_start != declared_size:
+            return None
+
+
+def _schema_name(schema_json: bytes):
+    """Resolve the avro.schema JSON to 'bytes' or 'string' (the two
+    in-envelope primitive schemas), accepting both the bare-string and
+    the {"type": ...} spellings; anything else → None (the documented
+    datum-reader gate)."""
+    try:
+        s = json.loads(schema_json.decode("utf-8"))
+    except (UnicodeDecodeError, ValueError):
+        return None
+    if isinstance(s, dict):
+        s = s.get("type")
+    if s in ("bytes", "string"):
+        return s
+    return None
+
+
+def parse_avro(payload: bytes):
+    """REAL Avro object-container parse: returns
+    (codec, schema_name, sync_marker, [[record bytes, ...], ...]) —
+    one inner list per data block, so the block framing itself is an
+    observable output — or None.
+    The metadata map, every block's count/size framing, every sync
+    marker (all must equal the header's), and every datum length are
+    verified; blocks must contain exactly ``count`` datums consuming
+    exactly the block's decompressed bytes; string datums must be
+    valid UTF-8. Deflate blocks inflate through a shared 64 MiB cap
+    (bomb guard BEFORE allocation scales with the attacker's count).
+    Truncation anywhere, trailing bytes after the last sync, or a
+    header-only file (the spec requires >=1 data block) → None."""
+    n = len(payload)
+    if n < 4 + 2 + 16 or payload[:4] != _MAGIC:
+        return None
+    r = _parse_meta_map(payload, 4)
+    if r is None:
+        return None
+    meta, pos = r
+    if "avro.schema" not in meta:
+        return None
+    schema = _schema_name(meta["avro.schema"])
+    if schema is None:
+        return None
+    codec = meta.get("avro.codec", b"null").decode("latin-1")
+    if codec not in ("null", "deflate"):
+        return None
+    if pos + 16 > n:
+        return None
+    sync = payload[pos : pos + 16]
+    pos += 16
+    blocks: list[list[bytes]] = []
+    total_inflated = 0
+    while pos < n:
+        r = _read_long(payload, pos)
+        if r is None:
+            return None
+        count, pos = r
+        r = _read_long(payload, pos)
+        if r is None:
+            return None
+        size, pos = r
+        if count < 1 or size < 0 or size > n - pos - 16:
+            return None  # empty/negative block or truncated body+sync
+        raw = payload[pos : pos + size]
+        pos += size
+        if codec == "deflate":
+            cap = _MAX_INFLATE - total_inflated
+            d = zlib.decompressobj(-15)
+            try:
+                data = d.decompress(raw, cap + 1)
+            except zlib.error:
+                return None
+            if (len(data) > cap or not d.eof or d.unconsumed_tail
+                    or d.unused_data):
+                return None
+        else:
+            if size > _MAX_INFLATE - total_inflated:
+                return None
+            data = raw
+        total_inflated += len(data)
+        if count > len(data):
+            return None  # every datum takes >=1 byte (its length varint)
+        q = 0
+        block: list[bytes] = []
+        for _ in range(count):
+            r = _read_sized(data, q)
+            if r is None:
+                return None
+            datum, q = r
+            if schema == "string":
+                try:
+                    datum.decode("utf-8")
+                except UnicodeDecodeError:
+                    return None
+            block.append(datum)
+        if q != len(data):
+            return None  # block must consume exactly its declared bytes
+        if payload[pos : pos + 16] != sync:
+            return None
+        pos += 16
+        blocks.append(block)
+    if not blocks:
+        return None  # the spec requires >=1 data block
+    return codec, schema, sync, blocks
+
+
+def encode_avro(
+    records,
+    codec: str = "null",
+    schema: str = "bytes",
+    sync: bytes = _SYNC_DEFAULT,
+    objects_per_block: int = 0,
+) -> bytes:
+    """Independent Avro object-container writer: ``records`` is a list
+    of bytes datums (must be valid UTF-8 when ``schema='string'``),
+    grouped ``objects_per_block`` per data block (0 → one block),
+    each block deflated when ``codec='deflate'`` (raw RFC-1951) and
+    terminated by the 16-byte ``sync`` marker."""
+    if codec not in ("null", "deflate"):
+        raise ValueError("codec must be 'null' or 'deflate'")
+    if schema not in ("bytes", "string"):
+        raise ValueError("schema must be 'bytes' or 'string'")
+    if len(sync) != 16:
+        raise ValueError("sync marker is 16 bytes")
+    if not records:
+        raise ValueError("the spec requires at least one data block")
+    meta = [(b"avro.schema", json.dumps(schema).encode()),
+            (b"avro.codec", codec.encode())]
+    out = bytearray(_MAGIC)
+    out += _w_long(len(meta))
+    for k, v in meta:
+        out += _w_long(len(k)) + k + _w_long(len(v)) + v
+    out += _w_long(0)
+    out += sync
+    step = objects_per_block if objects_per_block > 0 else len(records)
+    for at in range(0, len(records), step):
+        chunk = records[at : at + step]
+        data = bytearray()
+        for rec in chunk:
+            rec = bytes(rec)
+            if schema == "string":
+                rec.decode("utf-8")  # raises on a non-UTF-8 string datum
+            data += _w_long(len(rec)) + rec
+        if codec == "deflate":
+            co = zlib.compressobj(6, zlib.DEFLATED, -15)
+            raw = co.compress(bytes(data)) + co.flush()
+        else:
+            raw = bytes(data)
+        out += _w_long(len(chunk)) + _w_long(len(raw)) + raw + sync
+    return bytes(out)
+
+
+AVRO_SCHEMA = (
+    "doc_id bigint, rec_no int, block_no int, codec string, "
+    "schema_type string, size bigint, mean_b double, min_b int, max_b int"
+)
+
+
+def read_avro_records(df):
+    """Avro extraction operator (the WARC/zip/tar/TFRecord operator
+    shape): one container row → one row per record with the container's
+    codec and schema (pinning the metadata-map decode under the hash),
+    the record's block number (pinning the block framing), and exact
+    byte stats over the datum. Malformed containers raise — a silent
+    skip is a silent corpus hole. Arrow-batched mapInPandas; container
+    bytes never leave the executor."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                parsed = parse_avro(bytes(payload))
+                if parsed is None:
+                    raise ValueError(
+                        f"doc {doc_id}: corrupt or out-of-envelope Avro "
+                        "object container"
+                    )
+                codec, schema, _sync, blocks = parsed
+                rno = 0
+                for bno, block in enumerate(blocks):
+                    for datum in block:
+                        arr = np.frombuffer(datum, dtype=np.uint8)
+                        rows.append(
+                            (doc_id, rno, bno, codec, schema, len(datum),
+                             float(arr.mean()) if arr.size else 0.0,
+                             int(arr.min()) if arr.size else 0,
+                             int(arr.max()) if arr.size else 0)
+                        )
+                        rno += 1
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "rec_no", "block_no", "codec",
+                         "schema_type", "size", "mean_b", "min_b", "max_b"],
+            ).astype({"rec_no": "int32", "block_no": "int32",
+                      "min_b": "int32", "max_b": "int32"})
+
+    return df.select("doc_id", "payload").mapInPandas(
+        extract, schema=AVRO_SCHEMA
+    )

@@ -70,19 +70,23 @@ def _vint_len(first: int) -> int | None:
     return 9 - first.bit_length()
 
 
-def _read_vint(b: bytes, pos: int):
+def _read_vint(b: bytes, pos: int, allow_all_ones: bool = False):
     """Read a size/value vint: returns (value, end_pos) with the length
-    marker stripped, or None on truncation / reserved length /
-    unknown-size (all value bits set — legal EBML, out of envelope
-    here: encode_mkv never emits it and bounded walks need real
-    sizes)."""
+    marker stripped, or None on truncation / reserved length. The
+    all-value-bits-set form is rejected ONLY for element data sizes
+    (where RFC 8794 reserves it as "unknown size" — legal EBML, out of
+    envelope here: encode_mkv never emits it and bounded walks need
+    real sizes); SimpleBlock track numbers and EBML lace sizes reserve
+    NO such value, so a foreign muxer writing track 127 minimally as
+    0xFF (or a 127/16383-byte lace) is valid — those callers pass
+    ``allow_all_ones=True`` (r16, per ADVICE)."""
     if pos >= len(b):
         return None
     ln = _vint_len(b[pos])
     if ln is None or pos + ln > len(b):
         return None
     val = int.from_bytes(b[pos : pos + ln], "big") - (1 << (7 * ln))
-    if val == (1 << (7 * ln)) - 1:
+    if not allow_all_ones and val == (1 << (7 * ln)) - 1:
         return None  # unknown size
     return val, pos + ln
 
@@ -157,7 +161,8 @@ def _decode_block(body: bytes):
     [frame bytes...]) or None. Handles all four lacing modes; every
     size is bounds-checked against the block body so a lying lace
     table is malformed, not a crash."""
-    r = _read_vint(body, 0)
+    # track numbers have no reserved all-ones form: 0xFF IS track 127
+    r = _read_vint(body, 0, allow_all_ones=True)
     if r is None:
         return None
     track_no, pos = r
@@ -192,15 +197,16 @@ def _decode_block(body: bytes):
                     break
             sizes.append(s)
     elif cnt >= 2:  # EBML lacing: first size a vint, then signed-vint
-        # deltas (a single-frame laced block carries NO size table)
-        r = _read_vint(data, q)
+        # deltas (a single-frame laced block carries NO size table);
+        # lace sizes reserve no all-ones value — 0xFF is a 127-byte lace
+        r = _read_vint(data, q, allow_all_ones=True)
         if r is None:
             return None
         s, q = r
         sizes.append(s)
         for _ in range(cnt - 2):
             start_q = q
-            r = _read_vint(data, q)
+            r = _read_vint(data, q, allow_all_ones=True)
             if r is None:
                 return None
             raw, q = r

@@ -223,12 +223,25 @@ def _syncsafe(n: int) -> bytes:
 
 def encode_id3v2(frames: dict, version: int = 4) -> bytes:
     """Independent ID3v2 writer: ``frames`` maps frame ids (TIT2, TPE1,
-    …) to text. v2.4 writes syncsafe frame sizes and UTF-8 (encoding
-    3); v2.3 writes plain big-endian sizes and Latin-1 (encoding 0) or
-    UTF-16-with-BOM (encoding 1) when the text needs it — the four
-    layouts a real tag population spans."""
+    …; 3-char TT2/TP1 forms for v2.2) to text. v2.4 writes syncsafe
+    frame sizes and UTF-8 (encoding 3); v2.3 writes plain big-endian
+    sizes and Latin-1 (encoding 0) or UTF-16-with-BOM (encoding 1)
+    when the text needs it; v2.2 (r16) writes 3-byte ids + 3-byte
+    plain sizes with the same Latin-1/UCS-2 choice — the layouts a
+    real tag population spans."""
     body = b""
     for fid, text in frames.items():
+        if version == 2:
+            if len(fid) != 3:
+                raise ValueError("v2.2 frame ids are 3 characters")
+            try:
+                data = b"\x00" + text.encode("latin-1")
+            except UnicodeEncodeError:
+                data = b"\x01\xff\xfe" + text.encode("utf-16-le")
+            if len(data) >= 1 << 24:
+                raise ValueError("v2.2 frame too large")
+            body += fid.encode("ascii") + len(data).to_bytes(3, "big") + data
+            continue
         if len(fid) != 4:
             raise ValueError("frame ids are 4 characters")
         if version == 4:
@@ -241,28 +254,82 @@ def encode_id3v2(frames: dict, version: int = 4) -> bytes:
                 data = b"\x01\xff\xfe" + text.encode("utf-16-le")
             size = struct.pack(">I", len(data))
         else:
-            raise ValueError("version must be 3 or 4")
+            raise ValueError("version must be 2, 3 or 4")
         body += fid.encode("ascii") + size + b"\x00\x00" + data
     return b"ID3" + bytes([version, 0, 0]) + _syncsafe(len(body)) + body
+
+
+def _parse_id3v22_frames(payload: bytes, total: int):
+    """ID3v2.2 frame walk (r16 — the last mainstream ID3 variant):
+    3-byte frame ids + 3-byte big-endian sizes (the pre-v2.3 layout,
+    ids like TT2/TP1), text encodings 0 (Latin-1) and 1 (UCS-2 with
+    BOM — the only two v2.2 defines). Returns (total, {frame_id: text})
+    or None; ids are returned as their native 3-char forms (no aliasing
+    to v2.3 names — honest envelope)."""
+    pos = 10
+    frames: dict[str, str] = {}
+    while pos + 6 <= total:
+        if payload[pos] == 0:
+            break  # zero padding
+        fid_b = payload[pos : pos + 3]
+        if not all(0x30 <= c <= 0x5A for c in fid_b):
+            return None
+        fid = fid_b.decode("ascii")
+        size = int.from_bytes(payload[pos + 3 : pos + 6], "big")
+        body = pos + 6
+        if body + size > total:
+            return None  # frame overruns the tag
+        if fid.startswith("T") and size >= 1:
+            enc = payload[body]
+            raw = payload[body + 1 : body + size]
+            try:
+                if enc == 0:
+                    text = raw.decode("latin-1")
+                elif enc == 1:
+                    text = raw.decode("utf-16")  # BOM-led UCS-2
+                else:
+                    return None  # v2.2 defines no other encodings
+            except UnicodeDecodeError:
+                return None
+            frames[fid] = text.rstrip("\x00")
+        pos = body + size
+    return total, frames
 
 
 def parse_id3v2(payload: bytes):
     """REAL ID3v2 TEXT-FRAME decode (r15 — upgrading the envelope from
     'measured' to decoded): returns (total_tag_bytes, {frame_id: text})
-    or None on a structurally corrupt tag. Handles v2.3 (plain 32-bit
-    frame sizes) and v2.4 (syncsafe), text encodings 0 (Latin-1),
-    1 (UTF-16 with BOM), 2 (UTF-16BE), 3 (UTF-8); non-text frames are
-    skipped by size (standard forward-compat), zero padding ends the
-    walk, and any frame overrunning the tag is corruption. A payload
-    without a tag returns (0, {})."""
+    or None on a structurally corrupt tag. Handles v2.2 (3-byte ids +
+    3-byte plain sizes, r16), v2.3 (plain 32-bit frame sizes) and v2.4
+    (syncsafe), text encodings 0 (Latin-1), 1 (UTF-16 with BOM),
+    2 (UTF-16BE), 3 (UTF-8); non-text frames are skipped by size
+    (standard forward-compat), zero padding ends the walk, and any
+    frame overrunning the tag is corruption. Unsynchronised tags
+    (header flag 0x80) are out of envelope — the raw escaped stream
+    would misread frame sizes, and this module never guesses (r16, per
+    ADVICE). A payload without a tag returns (0, {})."""
     if payload[:3] != b"ID3":
         return 0, {}
     total = _id3v2_size(payload)
     if total is None:
         return None
     version = payload[3]
-    if version not in (3, 4):
-        return None  # v2.2 three-byte frames are out of envelope
+    if version not in (2, 3, 4):
+        return None
+    if payload[5] & 0x80:
+        # unsynchronisation: frame sizes/text bytes would be misread on
+        # the raw escaped stream — honest out-of-envelope, never a
+        # guess (r16, per ADVICE)
+        return None
+    if version == 2:
+        # ID3v2.2 (r16): 3-byte frame ids + 3-byte big-endian sizes,
+        # no frame flags, no extended header, no footer. The spec
+        # defines only header bits 7 (unsync, rejected above) and 6
+        # (compression, "the tag should be ignored" — out of
+        # envelope); any other set bit is malformed.
+        if payload[5] & 0x7F:
+            return None
+        return _parse_id3v22_frames(payload, total)
     end = 10 + (total - 10 - (10 if payload[5] & 0x10 else 0))
     if payload[5] & 0x40:  # extended header: skip by its own size
         if version == 4:

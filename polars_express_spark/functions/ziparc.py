@@ -117,7 +117,11 @@ def parse_zip(payload: bytes):
                 data = d.decompress(raw, usize + 1)
             except zlib.error:
                 return None
-            if len(data) != usize or not d.eof or d.unconsumed_tail:
+            # unused_data: the deflate stream must consume EXACTLY
+            # comp_size bytes — trailing slack inside csize is
+            # corruption, same as trailing garbage anywhere else (r16)
+            if (len(data) != usize or not d.eof or d.unconsumed_tail
+                    or d.unused_data):
                 return None
         total_inflated += usize
         if zlib.crc32(data) & 0xFFFFFFFF != crc:

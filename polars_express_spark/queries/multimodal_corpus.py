@@ -3486,3 +3486,141 @@ def q_tfrecord_extract(spark, sf_dir):
         synth, schema="doc_id bigint, payload binary"
     )
     return read_tfrecord_records(tfr).orderBy("doc_id", "rec_no")
+
+
+@query(
+    "q_avro_extract",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, text, n_chars, CAST(2 + doc_id % 3 AS INT) AS k,
+             CASE WHEN doc_id % 2 = 1 THEN 'deflate' ELSE 'null' END
+               AS codec,
+             CASE WHEN doc_id % 4 < 2 THEN 'string' ELSE 'bytes' END
+               AS schema_type
+      FROM documents
+      WHERE text IS NOT NULL AND length(text) > 0 AND doc_id % 8 < 4
+    ), ent AS (
+      SELECT doc_id, text, codec, schema_type, r.r AS rec_no,
+             CASE WHEN r.r = 1 THEN 0
+                  ELSE 15 + (n_chars + r.r * 11) % 180 END AS size
+      FROM d, unnest(generate_series(0, CAST(k - 1 AS BIGINT))) r(r)
+    ), b AS (
+      SELECT doc_id, rec_no,
+             CASE WHEN schema_type = 'string'
+                  THEN 32 + (ascii(substr(text,
+                    ((((g.i % 64) * 19 + rec_no * 3)) % length(text)) + 1,
+                    1)) % 256) % 95
+                  ELSE ascii(substr(text,
+                    ((((g.i % 64) * 19 + rec_no * 3)) % length(text)) + 1,
+                    1)) % 256
+             END AS bb
+      FROM ent, unnest(generate_series(0, CAST(size - 1 AS BIGINT))) g(i)
+      WHERE size > 0
+    ), stats AS (
+      SELECT doc_id, rec_no,
+             CAST(sum(bb) AS DOUBLE) / count(*) AS mean_b,
+             CAST(min(bb) AS INT) AS min_b,
+             CAST(max(bb) AS INT) AS max_b
+      FROM b GROUP BY doc_id, rec_no
+    )
+    SELECT ent.doc_id,
+           CAST(ent.rec_no AS INT) AS rec_no,
+           CAST(ent.rec_no // 2 AS INT) AS block_no,
+           ent.codec,
+           ent.schema_type,
+           CAST(ent.size AS BIGINT) AS size,
+           COALESCE(stats.mean_b, 0.0) AS mean_b,
+           COALESCE(stats.min_b, 0) AS min_b,
+           COALESCE(stats.max_b, 0) AS max_b
+    FROM ent LEFT JOIN stats
+      ON ent.doc_id = stats.doc_id AND ent.rec_no = stats.rec_no
+    ORDER BY ent.doc_id, ent.rec_no
+    """,
+)
+def q_avro_extract(spark, sf_dir):
+    """Avro object-container extraction under the driver hash (r16 —
+    the Kafka/Hive-era container family, functions/avro.py; completes
+    the §2.10 ingestion ladder next to WARC/zip/tar/TFRecord). Per
+    document a real container is muxed executor-side — 2 + doc_id%3
+    datums with stride-19 formula bodies cycled from 64-byte bases
+    (record r phasing the stride, size 15 + (n_chars + 11r)%180,
+    record 1 always zero-length), TWO datums per data block so the
+    block framing and every inter-block sync marker are exercised —
+    with the codec (null vs raw-deflate through the capped inflate) on
+    doc parity and the schema (string with printable-mapped bodies vs
+    bytes) on doc_id%4, so all four codec×schema combinations are
+    hashed every round. read_avro_records re-parses the container —
+    zigzag-varint metadata map, block counts/sizes, sync-marker
+    equality, exact per-block datum consumption, UTF-8 validation for
+    string datums — and ships one row per record carrying the PARSED
+    codec/schema/block_no (the metadata and framing decode are pinned
+    by the hash, not just byte stats). The oracle replays the
+    size/byte/codec arithmetic in SQL (a LEFT JOIN keeps the empty
+    record's zero-stats row). Scale shape: one scan, one doc_id
+    exchange (_codec_parallel), two fused Arrow stages; the sync
+    markers this query verifies are exactly Avro's 100 TB
+    splittability convention."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    from polars_express_spark.functions.avro import (
+        encode_avro,
+        read_avro_records,
+    )
+
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+        # half the corpus, every doc_id-stride strategy kept (%2 codec
+        # parity, %4 schema split, %3 record counts all survive
+        # doc%8<4); idle sf0.1 measurement in the commit per the
+        # standing population-trim ratchet
+        & (F.col("doc_id") % 8 < 4)
+    )
+    bs = d.select(
+        "doc_id",
+        "n_chars",
+        # 64-byte bases, cycled in Python (the archive-tier idiom:
+        # per-data-byte JVM formulas are O(pos) per substring call)
+        F.expr(
+            "transform(sequence(0, 1 + doc_id % 3),"
+            " r -> transform(sequence(0, 63),"
+            " j -> ascii(substring(text, ((j * 19 + r * 3) % length(text)) + 1,"
+            " 1)) % 256))"
+        ).alias("fs"),
+    )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            payloads = []
+            for doc_id, n_chars, fs in zip(
+                pdf["doc_id"], pdf["n_chars"], pdf["fs"]
+            ):
+                doc_id, n_chars = int(doc_id), int(n_chars)
+                schema = "string" if doc_id % 4 < 2 else "bytes"
+                recs = []
+                for r, base in enumerate(fs):
+                    if r == 1:  # the zero-length datum edge
+                        recs.append(b"")
+                        continue
+                    ln = 15 + (n_chars + r * 11) % 180
+                    arr = np.array([int(x) for x in base], dtype=np.uint8)
+                    if schema == "string":
+                        arr = 32 + arr % 95  # printable ASCII: valid UTF-8
+                    recs.append(np.tile(arr, (ln + 63) // 64)[:ln].tobytes())
+                payloads.append(
+                    encode_avro(
+                        recs,
+                        codec="deflate" if doc_id % 2 == 1 else "null",
+                        schema=schema,
+                        objects_per_block=2,
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    av = _codec_parallel(bs).mapInPandas(
+        synth, schema="doc_id bigint, payload binary"
+    )
+    return read_avro_records(av).orderBy("doc_id", "rec_no")

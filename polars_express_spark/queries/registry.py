@@ -173,7 +173,7 @@ _PRIORITY = [
     "q_tpch_q19", "q_tpch_q21", "q_tpch_q4", "q_tpch_q5", "q_tpch_q6",
     "q_tpch_q7", "q_tpch_q8", "q_triangles", "q_udtf_links",
     "q_unpivot", "q_zorder",
-    # slots 19-48 — the 30 oldest r11-hash, alphabetical
+    # slots 19-41 — the 23 oldest r11-hash, alphabetical
     "q21b_range_frame", "q22c_grouping_sets", "q23b_except_all",
     "q23b_intersect_all", "q32b_tumbling_distinct", "q_attribution",
     "q_bigram_lm", "q_bpe_encode", "q_bpe_pairs", "q_bpe_train",

@@ -1485,6 +1485,7 @@ def test_parsers_never_crash_on_corrupt_payloads(seed, kind):
         parse_http_response,
         parse_warc,
     )
+    from polars_express_spark.functions.avro import parse_avro
     from polars_express_spark.functions.tar import parse_tar
     from polars_express_spark.functions.tfrecord import parse_tfrecord
     from polars_express_spark.functions.ziparc import parse_zip
@@ -1499,7 +1500,8 @@ def test_parsers_never_crash_on_corrupt_payloads(seed, kind):
                parse_aiff, parse_tga, parse_ico, parse_webp,
                parse_webp_frames, parse_ogg, parse_mkv, parse_mkv_frames,
                parse_mkv_audio, parse_warc, parse_http_response, parse_mp3,
-               parse_zip, parse_tar, parse_tfrecord, parse_id3v2]
+               parse_zip, parse_tar, parse_tfrecord, parse_id3v2,
+               parse_avro]
     if kind == 0:  # magic-prefixed garbage through every parser
         magics = [b"\x89PNG\r\n\x1a\n", b"BM", b"GIF89a", b"P1", b"P2",
                   b"P3", b"P4", b"P5", b"P6", b"RIFF", b"RIFF\x80\x00\x00\x00AVI ",
@@ -1518,7 +1520,10 @@ def test_parsers_never_crash_on_corrupt_payloads(seed, kind):
                   b"ID3", b"ID3\x04\x00\x00\x00\x00\x00\x0a", b"\xff\xfb",
                   b"\xff\xfb\x90\x00", b"PK\x03\x04", b"PK\x05\x06",
                   b"PK\x05\x06" + b"\x00" * 18,
-                  b"x" * 257 + b"ustar\x00", b""]
+                  b"x" * 257 + b"ustar\x00",
+                  b"Obj\x01", b"Obj\x01\x00" + b"\xa0" * 16,
+                  b"Obj\x01\x04\x16avro.schema\x0e\"bytes\"\x00"
+                  + b"\xa0" * 16, b""]
         for m in magics:
             payload = m + rng.bytes(int(rng.randint(0, 160)))
             for p in parsers:
@@ -2123,6 +2128,81 @@ def test_mkv_roundtrip_exact(lacing, nfr, doctype, afb, seed):
         b[i] ^= bit
 
 
+def test_mkv_minimal_form_all_ones_vints_accepted():
+    """r16 (per ADVICE) — SimpleBlock track numbers and EBML lace sizes
+    reserve NO all-ones 'unknown' value (RFC 8794 reserves that form
+    only for element DATA sizes), so a conformant foreign muxer writing
+    track 127 minimally as 0xFF, or a 127-byte lace minimally as 0xFF,
+    must parse. The in-tree writer's size-vint convention never emits
+    these forms, so the round-trip suite alone cannot pin this."""
+    from polars_express_spark.functions.mkv import _decode_block, _read_vint
+
+    # element data sizes: the unknown-size reservation still rejects
+    assert _read_vint(b"\xff", 0) is None
+    assert _read_vint(b"\x7f\xff", 0) is None  # 2-byte all-ones
+    assert _read_vint(b"\xff", 0, allow_all_ones=True) == (127, 1)
+
+    # track 127 in minimal 1-byte form 0xFF, unlaced block
+    got = _decode_block(b"\xff" + b"\x00\x00" + b"\x80" + b"payload")
+    assert got == (127, 0, [b"payload"])
+
+    # EBML lacing: first lace size 127 as 0xFF, then a +64 delta whose
+    # minimal signed form is also the all-ones byte (stored 127 = 0xFF)
+    f0, f1, f2 = b"a" * 127, b"b" * 191, b"tail"
+    body = (
+        b"\x81" + b"\x00\x00" + bytes([0x80 | (3 << 1)])
+        + bytes([2]) + b"\xff" + b"\xff" + f0 + f1 + f2
+    )
+    got = _decode_block(body)
+    assert got == (1, 0, [f0, f1, f2])
+
+
+def test_zip_deflate_member_trailing_slack_rejected():
+    """r16 (per ADVICE) — a deflate member whose declared comp_size
+    extends past the end of the actual deflate stream (slack bytes
+    inside csize) is corruption under the module's 'trailing garbage'
+    posture: the stream must consume EXACTLY comp_size bytes
+    (d.unused_data check). The identical archive without slack
+    parses."""
+    import struct
+    import zlib
+
+    from polars_express_spark.functions.ziparc import (
+        _CDH_SIG,
+        _EOCD_SIG,
+        _LFH_SIG,
+        parse_zip,
+    )
+
+    data = b"hello zip world" * 3
+    co = zlib.compressobj(6, zlib.DEFLATED, -15)
+    comp = co.compress(data) + co.flush()
+    crc = zlib.crc32(data) & 0xFFFFFFFF
+    name_b = b"a.txt"
+    for slack in (b"", b"\x00\x00"):
+        comp_s = comp + slack
+        common = struct.pack(
+            "<HHHHIII", 0, 8, 0, 0x21, crc, len(comp_s), len(data)
+        )
+        body = (
+            struct.pack("<I", _LFH_SIG) + b"\x14\x00" + common
+            + struct.pack("<HH", len(name_b), 0) + name_b + comp_s
+        )
+        central = (
+            struct.pack("<I", _CDH_SIG) + b"\x14\x03\x14\x00" + common
+            + struct.pack("<HHHHHII", len(name_b), 0, 0, 0, 0, 0, 0)
+            + name_b
+        )
+        eocd = struct.pack(
+            "<IHHHHIIH", _EOCD_SIG, 0, 0, 1, 1, len(central), len(body), 0
+        )
+        got = parse_zip(body + central + eocd)
+        if slack:
+            assert got is None
+        else:
+            assert got is not None and got[0][3] == data
+
+
 @given(
     k=st.integers(0, 5),
     gz=st.booleans(),
@@ -2393,7 +2473,95 @@ def test_tfrecord_roundtrip_and_crc(sizes, seed):
 
 
 @given(
-    version=st.sampled_from([3, 4]),
+    codec=st.sampled_from(["null", "deflate"]),
+    schema=st.sampled_from(["bytes", "string"]),
+    opb=st.integers(0, 4),
+    sizes=st.lists(st.integers(0, 600), min_size=1, max_size=7),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=60, deadline=None)
+def test_avro_roundtrip_and_framing(codec, schema, opb, sizes, seed):
+    """r16 — encode_avro → parse_avro recovers every datum byte-exactly
+    AND the block grouping itself (the parse returns per-block lists)
+    across codec × schema × objects-per-block; zigzag varints are
+    pinned against the public vectors. Integrity semantics stated
+    honestly: Avro carries NO data checksum, so only STRUCTURAL damage
+    is detected — any flip in a sync marker, the magic, or (for valid
+    containers) truncation/trailing bytes rejects; a flip inside a
+    null-codec datum body silently alters that datum (like tar member
+    data — the §2.10 asymmetry's undetected side), so the flip loop
+    asserts no-crash + well-formed shape, not detection. String-schema
+    datums must be valid UTF-8; an in-place corruption to a non-UTF-8
+    byte rejects. Unsupported schemas and codecs are out of envelope
+    (the documented datum-reader gate)."""
+    import numpy as np
+
+    from polars_express_spark.functions.avro import (
+        _read_long,
+        _w_long,
+        encode_avro,
+        parse_avro,
+    )
+
+    # public zigzag vectors: 0→00, -1→01, 1→02, -2→03, 2→04, -64→7f,
+    # 64→80 01
+    for n_, bs_ in [(0, b"\x00"), (-1, b"\x01"), (1, b"\x02"),
+                    (-2, b"\x03"), (2, b"\x04"), (-64, b"\x7f"),
+                    (64, b"\x80\x01")]:
+        assert _w_long(n_) == bs_ and _read_long(bs_, 0) == (n_, len(bs_))
+    for n_ in (2**63 - 1, -(2**63)):
+        assert _read_long(_w_long(n_), 0) == (n_, len(_w_long(n_)))
+
+    rng = np.random.RandomState(seed)
+    if schema == "string":
+        recs = [(32 + rng.randint(0, 95, size=s).astype("u1")).tobytes()
+                for s in sizes]
+    else:
+        recs = [rng.bytes(s) for s in sizes]
+    enc = encode_avro(recs, codec=codec, schema=schema,
+                      objects_per_block=opb)
+    got = parse_avro(enc)
+    assert got is not None
+    c, s, sync, blocks = got
+    assert (c, s) == (codec, schema)
+    assert [d for b in blocks for d in b] == recs
+    step = opb if opb > 0 else len(recs)
+    assert [len(b) for b in blocks] == [
+        len(recs[i : i + step]) for i in range(0, len(recs), step)
+    ]
+    # structural damage rejects
+    assert parse_avro(enc[:-1]) is None
+    assert parse_avro(enc + b"\x00") is None
+    assert parse_avro(b"Obk\x01" + enc[4:]) is None
+    hdr_sync_at = enc.index(sync)
+    for at in (hdr_sync_at, len(enc) - 16):  # header + final sync marker
+        b = bytearray(enc)
+        b[at + int(rng.randint(0, 16))] ^= 1 << int(rng.randint(0, 8))
+        assert parse_avro(bytes(b)) is None
+    # arbitrary flips: never crash; a surviving parse stays well-formed
+    b = bytearray(enc)
+    for _ in range(15):
+        i = int(rng.randint(0, len(b)))
+        bit = 1 << int(rng.randint(0, 8))
+        b[i] ^= bit
+        r = parse_avro(bytes(b))
+        if r is not None and r[1] == "string":
+            for blk in r[3]:
+                for d in blk:
+                    d.decode("utf-8")  # the parse enforces this
+        b[i] ^= bit
+    # string schema: a non-UTF-8 datum byte rejects (null codec keeps
+    # the framing valid, so this isolates the UTF-8 check)
+    if schema == "string" and codec == "null" and any(sizes):
+        k = next(i for i, s_ in enumerate(sizes) if s_)
+        at = enc.index(recs[k])
+        b = bytearray(enc)
+        b[at] = 0xFF
+        assert parse_avro(bytes(b)) is None
+
+
+@given(
+    version=st.sampled_from([2, 3, 4]),
     title=st.text(min_size=0, max_size=200).filter(lambda t: "\x00" not in t),
     artist=st.text(min_size=0, max_size=60).filter(lambda t: "\x00" not in t),
     trailing=st.integers(0, 50),
@@ -2402,24 +2570,32 @@ def test_tfrecord_roundtrip_and_crc(sizes, seed):
 @settings(max_examples=60, deadline=None)
 def test_id3v2_text_frames_roundtrip(version, title, artist, trailing, seed):
     """r15 — encode_id3v2 → parse_id3v2 recovers text frames exactly
-    across v2.3 (plain frame sizes, Latin-1 or BOM'd UTF-16 as the
+    across v2.2 (r16 — 3-byte ids + 3-byte plain sizes, native TT2/TP1
+    ids), v2.3 (plain frame sizes, Latin-1 or BOM'd UTF-16 as the
     text requires) and v2.4 (syncsafe sizes incl. >=128, UTF-8);
     arbitrary bytes after the tag are untouched; flips inside the tag
     never crash (no checksum by spec — structural damage rejects,
-    value damage may decode to different text, as ID3 dictates)."""
+    value damage may decode to different text, as ID3 dictates).
+    Unsynchronised tags (flag 0x80) reject as out of envelope rather
+    than being misread on the raw escaped stream (r16, per ADVICE)."""
     import numpy as np
 
     from polars_express_spark.functions.mp3 import encode_id3v2, parse_id3v2
 
     rng = np.random.RandomState(seed)
-    tag = encode_id3v2({"TIT2": title, "TPE1": artist}, version=version)
+    t_id, a_id = ("TT2", "TP1") if version == 2 else ("TIT2", "TPE1")
+    tag = encode_id3v2({t_id: title, a_id: artist}, version=version)
     payload = tag + rng.bytes(trailing)
     got = parse_id3v2(payload)
     assert got is not None
     total, frames = got
     assert total == len(tag)
-    assert frames["TIT2"] == title.rstrip("\x00")
-    assert frames["TPE1"] == artist.rstrip("\x00")
+    assert frames[t_id] == title.rstrip("\x00")
+    assert frames[a_id] == artist.rstrip("\x00")
+    # the unsynchronisation flag makes the same tag out of envelope
+    unsync = bytearray(payload)
+    unsync[5] |= 0x80
+    assert parse_id3v2(bytes(unsync)) is None
     b = bytearray(payload)
     for _ in range(10):
         i = int(rng.randint(0, len(b)))
