@@ -42,7 +42,38 @@ def query(name: str, oracle: str | None = None):
 # rounds 1-14: each CORRECTNESS_r* file has exactly 50 entries), so
 # with >50 registered queries some set is always outside the window.
 #
-# Round-15 priority (executing the rotation the r14 comment declared
+# Round-16 priority (executing the rotation the r15 comment declared
+# and the r15 verdict's item #1): r15 went 50/50 green; staleness
+# entering r16 is 26 r11-hash, 48 r12-hash, 50 r13-hash, 50 r14-hash,
+# 50 r15-hash (every one re-verified green by the r15-session sf0.01
+# oracle-mirror run — this rotation is about DRIVER evidence, not
+# doubt; the 26-name r11 list below was re-verified against the
+# computed CORRECTNESS_r01-r15 ledger this session). Window layout:
+#   slots 1-26  — the ENTIRE remaining r11 tier, alphabetical (retires
+#                 r11 evidence for good; declared last round and held
+#                 to by the r15 verdict);
+#   slots 27-49 — the 23 oldest r12-hash, alphabetical (q01_preview
+#                 .. q35_cosine_topk);
+#   slot  50    — NEW this round, never checked: q_avro_extract (the
+#                 Avro object-container grammar — zigzag-varint
+#                 metadata map, per-block sync-marker equality, null +
+#                 raw-deflate codecs through the capped inflate,
+#                 bytes/string datum decode with UTF-8 validation, all
+#                 four codec×schema combinations by doc_id mod 4, the
+#                 zero-length datum edge, and the PARSED
+#                 codec/schema/block_no shipped under the hash).
+# Tier "next" (r17) = the 25 r12-hash queries that did not fit
+# (q36_token_counts, q37_json_sink, q38_write_roundtrip, q_ab_ztest,
+# q_ann_ivf, q_ann_ivfpq, q_ann_pq, q_benford, q_chi2,
+# q_control_chart, q_multimodal_gif, q_multimodal_jpeg,
+# q_multimodal_mulaw, q_rare_tokens, q_retention, q_rfm,
+# q_skew_profile, q_skyline, q_snapshot_diff, q_streaks,
+# q_text_search, q_train_split, q_transitions, q_unicode_norm,
+# q_weighted_sample), then the 50 r13-hash tier (alphabetical), with
+# new never-checked queries taking tail slots first (the endorsed
+# precedent).
+#
+# Round-15 history (executing the rotation the r14 comment declared
 # and the r14 verdict's item #1): r14 went 50/50 green; staleness
 # entering r15 is 18 r10-hash, 49 r11-hash, 48 r12-hash, 50 r13-hash,
 # 50 r14-hash (every one re-verified green by the r14-session sf0.01
@@ -167,38 +198,29 @@ def query(name: str, oracle: str | None = None):
 # (alphabetical from q21b_range_frame through the r11 wave), then the
 # r12 tier.
 _PRIORITY = [
-    # slots 1-18 — the full remaining r10 tier, alphabetical
-    "q_rolling_p50_wide", "q_scd2_merge", "q_session_stats",
-    "q_session_window", "q_tpch_q12", "q_tpch_q14", "q_tpch_q15",
-    "q_tpch_q19", "q_tpch_q21", "q_tpch_q4", "q_tpch_q5", "q_tpch_q6",
-    "q_tpch_q7", "q_tpch_q8", "q_triangles", "q_udtf_links",
-    "q_unpivot", "q_zorder",
-    # slots 19-41 — the 23 oldest r11-hash, alphabetical
-    "q21b_range_frame", "q22c_grouping_sets", "q23b_except_all",
-    "q23b_intersect_all", "q32b_tumbling_distinct", "q_attribution",
-    "q_bigram_lm", "q_bpe_encode", "q_bpe_pairs", "q_bpe_train",
-    "q_classifier_score", "q_data_contract", "q_dup_spans", "q_fk_audit",
-    "q_funnel", "q_funnel_timing", "q_gap_detect", "q_gapfill",
-    "q_group_sample", "q_grouped_topk", "q_heavy_hitters", "q_hierarchy",
-    "q_histogram",
-    # slots 42-50 — new this round: the Ogg container tier (container
-    # demux with gated Vorbis/Opus payloads; real FLAC-in-Ogg decode),
-    # the Matroska/EBML tier (MJPEG video + both-endian PCM audio,
-    # all four lacing modes, optional per-master CRC-32 armed),
-    # the WARC crawl-ingestion tier (ISO 28500 records, per-member
-    # gunzip, HTTP payload split), the MP3 frame-chain metadata
-    # walk (the audio twin of the JPEG SOF tier; sample codec gated),
-    # the zip archive tier (EOCD/central-directory walk, stored +
-    # deflate, per-member CRC-32, stdlib-zipfile cross-verified), and
-    # the tar/WebDataset-shard tier (ustar block grammar, header
-    # checksums, .tar.gz, stdlib-tarfile cross-verified), and the
-    # TFRecord tier (TensorFlow shards — masked CRC32C on both the
-    # length and the data of every record, the strongest-integrity
-    # archive framing)
-    "q_multimodal_ogg", "q_multimodal_ogg_flac",
-    "q_multimodal_mkv", "q_multimodal_mkv_audio", "q_warc_extract",
-    "q_multimodal_mp3", "q_zip_extract", "q_tar_extract",
-    "q_tfrecord_extract",
+    # slots 1-26 — the full remaining r11 tier, alphabetical
+    "q_hll_union", "q_incr_agg", "q_interpolate", "q_interval_overlap",
+    "q_ks_test", "q_lang_centroid", "q_lm_score", "q_logreg_gd",
+    "q_merge_on_read", "q_multimodal_audio", "q_outlier_mad", "q_paa",
+    "q_percentile_approx", "q_pmi", "q_profile", "q_radius_join",
+    "q_semdedup", "q_tfidf", "q_tpch_q11", "q_tpch_q16", "q_tpch_q17",
+    "q_tpch_q2", "q_tpch_q20", "q_tpch_q9", "q_weighted_median",
+    "q_winsorize",
+    # slots 27-49 — the 23 oldest r12-hash, alphabetical
+    "q01_preview", "q02_sort_slice", "q05_filter_project",
+    "q06_cast_arith", "q07_conditional", "q12_inner_join",
+    "q13_multi_join", "q14_left_join", "q14b_right_join",
+    "q14c_full_join", "q15_anti_join", "q15_semi_join", "q16_cross_join",
+    "q17_non_equi_join", "q25_strings", "q26_regex", "q27_dates",
+    "q28_math", "q29_arrays", "q30_json", "q31_nulls", "q34_exact_dedup",
+    "q35_cosine_topk",
+    # slot 50 — new this round: the Avro object-container ingestion
+    # tier (zigzag-varint metadata map, per-block sync-marker
+    # equality, null + raw-deflate codecs through the capped inflate,
+    # bytes/string datum decode with UTF-8 validation; all four
+    # codec×schema combinations and the zero-length datum edge under
+    # one hash)
+    "q_avro_extract",
 ]
 
 
