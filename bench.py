@@ -26,6 +26,14 @@ isolated idle probes showed to be host noise, not regressions):
 - r13 q_pseudonymize 1.19s (driver steal_pct 0.39, uniform ~1.08x
   inflation) -> five r14 idle probes of the unchanged code read
   0.69-1.01s at sf0.1, matching its r12 value of 0.74s. Host noise.
+- r15 driver movers q_sql_surface 0.98->1.79, q_streaks 0.53->0.88,
+  q_perplexity 0.97->1.57 (driver steal_pct 2.26, broad ~1.29x median
+  inflation; none of the three files touched by the r15 diff) -> five
+  r16 idle probes each at steal 0.05 on unchanged code: q_streaks
+  0.46-0.60 steady, q_perplexity 0.82-0.95, q_sql_surface 1.18-1.22
+  (its eager-at-construction r8 ruling pays a fixed plan-walk; r14's
+  0.98 and this 1.2 bracket its normal band). All three are the
+  documented uniform-contention class, not regressions.
 
 r14 builder reference runs (final tree, sf0.1, 215 queries, zero
 errors in every run): steady 179.9s / warm 208.5 / cold 268.4 at
@@ -67,6 +75,19 @@ ogg_flac 1.96, mkv 2.15, mkv_audio 2.19, warc 2.29, mp3 1.38, zip
 4.47 vs its usual ~1.5, q_bloom_prune 3.31, q_outlier_mad 3.59) — the
 same contention class as every prior round's wobble entries; per-query
 ratios, not totals, are the regression signal.
+
+r16 builder measurements (Avro tier, idle sf0.1):
+- q_avro_extract idle probes: 2.53-2.93 steady at steal 0.01-0.05,
+  and a same-session three-way read avro 2.53-2.63 vs tfrecord
+  2.58-2.62 vs zip 2.25-2.36 — the new query prices AT the TFRecord
+  band edge, which is the expected shape: identical half-population
+  trim (doc%8<4, preserving the %2 codec, %4 schema, and %3
+  record-count strategies), identical two-fused-stage plan, and a
+  serial-python profile of synth 1.55s + parse 0.41s over 30k docs
+  (~60ms parallel at 32 cores) showing the time is the documented
+  mapInPandas handshake floor + JVM formula term, not the codec.
+- The three r15 driver movers were idle-probed this round (see the
+  adjudicated-wobbles ledger above): all host noise.
 
 Measured floor of the media round-trip queries (r14): each
 mapInPandas pass over the 32-partition doc_id exchange costs
