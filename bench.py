@@ -88,6 +88,18 @@ r16 builder measurements (Avro tier, idle sf0.1):
   mapInPandas handshake floor + JVM formula term, not the codec.
 - The three r15 driver movers were idle-probed this round (see the
   adjudicated-wobbles ledger above): all host noise.
+- q_tfexample_extract (the tf.Example wire-format decode) does
+  strictly more work than its q_tfrecord_extract sibling (same CRC
+  framing PLUS the full payload decode and three output rows per
+  record): at the archive-standard doc%8<4 it read 3.03-3.14 idle
+  (same-session control: tar 2.42-2.79, tfrecord 2.74); a first draft
+  also spent a SECOND 64-byte JVM base per odd record's extra byte
+  string — replaced by a Python-side +7 rotation of the record's one
+  base (the oracle replays (b+7t)%256). Final shape: quarter
+  population doc%8<2 (every strategy survives — packed parity needs
+  doc%2, record counts doc%3 span all residues over {0,1,8,9,...},
+  and the %4/%3 list lengths key on doc_id+r with r spanning 0..k-1),
+  reading 2.20-2.66 idle at steal 0.04, inside the tfrecord band.
 
 Measured floor of the media round-trip queries (r14): each
 mapInPandas pass over the 32-partition doc_id exchange costs

@@ -18,11 +18,15 @@ single-bit flip anywhere in a shard is detected — TFRecord sits with
 PNG/FLAC/Ogg on the detected side of the §2.10 integrity asymmetry.
 
 The record PAYLOAD is conventionally a serialized tf.Example protobuf;
-decoding that needs a schema registry and stays out of envelope here
-(the swap-in point is the record list — the framing, splitting, and
-integrity layers are what a Spark reader owns). parse_tfrecord returns
-raw record bytes; read_tfrecord_records is the generator-shaped Arrow
-operator; encode_tfrecord is the independent writer twin.
+decoding an ARBITRARY protobuf needs a schema registry and stays out
+of envelope here — but tf.Example itself is a fixed public message,
+and since r16 functions/protowire.py decodes it from the wire format
+(read_tfexample_records composes parse_tfrecord with that walk). The
+swap-in point for other payload schemas remains the record list — the
+framing, splitting, and integrity layers are what a Spark reader owns.
+parse_tfrecord returns raw record bytes; read_tfrecord_records is the
+generator-shaped Arrow operator; encode_tfrecord is the independent
+writer twin.
 
 Reference parity anchor: extends the reference's CSV-only ingest
 (reference src/main.rs:41-52) like the other §2.10 ingestion tiers.

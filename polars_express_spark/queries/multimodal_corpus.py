@@ -3489,6 +3489,163 @@ def q_tfrecord_extract(spark, sf_dir):
 
 
 @query(
+    "q_tfexample_extract",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, text, n_chars, CAST(2 + doc_id % 3 AS INT) AS k
+      FROM documents
+      WHERE text IS NOT NULL AND length(text) > 0 AND doc_id % 8 < 2
+    ), ent AS (
+      SELECT doc_id, text, n_chars, r.r AS rec_no
+      FROM d, unnest(generate_series(0, CAST(k - 1 AS BIGINT))) r(r)
+    ), txt_b AS (
+      SELECT doc_id, rec_no, t.t AS t, text,
+             10 + (n_chars + 7 * rec_no + 11 * t.t) % 120 AS sz
+      FROM ent,
+           unnest(generate_series(0, CAST(rec_no % 2 AS BIGINT))) t(t)
+    ), txt_v AS (
+      SELECT doc_id, rec_no,
+             (ascii(substr(text,
+               ((((g.i % 64) * 13 + rec_no * 5))
+                 % length(text)) + 1, 1)) % 256 + 7 * t) % 256 AS b
+      FROM txt_b, unnest(generate_series(0, CAST(sz - 1 AS BIGINT))) g(i)
+    ), txt AS (
+      SELECT doc_id, rec_no, 'txt' AS fname, 'bytes' AS kind,
+             CAST(1 + rec_no % 2 AS INT) AS n_vals,
+             CAST(sum(b) AS DOUBLE) AS vsum
+      FROM txt_v GROUP BY doc_id, rec_no
+    ), ids AS (
+      SELECT doc_id, rec_no, 'ids' AS fname, 'int64' AS kind,
+             CAST(1 + (doc_id + rec_no) % 4 AS INT) AS n_vals,
+             CAST(sum((n_chars * j.j + rec_no) % 100000) AS DOUBLE)
+               AS vsum
+      FROM ent, unnest(generate_series(1,
+             CAST(1 + (doc_id + rec_no) % 4 AS BIGINT))) j(j)
+      GROUP BY doc_id, rec_no, n_chars
+    ), emb AS (
+      SELECT doc_id, rec_no, 'emb' AS fname, 'float' AS kind,
+             CAST(2 + (doc_id + rec_no) % 3 AS INT) AS n_vals,
+             CAST(sum((n_chars + 31 * j.j + 17 * rec_no) % 512)
+               AS DOUBLE) / 4.0 AS vsum
+      FROM ent, unnest(generate_series(0,
+             CAST(1 + (doc_id + rec_no) % 3 AS BIGINT))) j(j)
+      GROUP BY doc_id, rec_no, n_chars
+    )
+    SELECT doc_id, CAST(rec_no AS INT) AS rec_no, fname, kind, n_vals,
+           vsum
+    FROM (SELECT * FROM txt UNION ALL SELECT * FROM ids
+          UNION ALL SELECT * FROM emb)
+    ORDER BY doc_id, rec_no, fname
+    """,
+)
+def q_tfexample_extract(spark, sf_dir):
+    """tf.Example decode under the driver hash (r16 — lifting the
+    TFRecord tier's payload gate: tf.Example is a FIXED public
+    protobuf message, so functions/protowire.py decodes it from the
+    wire format with no schema registry). Per document a real TFRecord
+    shard of 2 + doc_id%3 tf.Example records is muxed executor-side;
+    each record carries a bytes feature 'txt' (1 + r%2 byte strings —
+    stride-13 formula bodies cycled from ONE 64-byte base per record,
+    the second string a +7 byte-rotation of the same base), an int64
+    feature 'ids' (1 + (doc+r)%4 varint values), and a float feature
+    'emb' (2 + (doc+r)%3 float32 values, quarter-integer so the f32
+    round trip is exact) — PACKED numeric encoding for even docs and
+    the per-element unpacked form for odd docs, so both legal proto3
+    wire layouts are hashed every round. read_tfexample_records
+    re-verifies the TFRecord CRCs, walks the wire format (Example →
+    Features → map entries → Feature oneof), and ships one row per
+    (record, feature) with kind, element count, and exact value sums.
+    The oracle replays all three features' arithmetic in SQL. Scale
+    shape: one scan, one doc_id exchange (_codec_parallel), two fused
+    Arrow stages."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    from polars_express_spark.functions.protowire import (
+        encode_tf_example,
+        read_tfexample_records,
+    )
+    from polars_express_spark.functions.tfrecord import encode_tfrecord
+
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+        # quarter population — this query does strictly more work than
+        # its q_tfrecord_extract sibling (same CRC framing PLUS the
+        # full payload decode and 3 output rows per record), so it
+        # takes the smaller slice; every strategy survives: packed
+        # parity needs doc%2 ∈ {0,1} (doc%8<2 gives both), record
+        # counts doc%3 span all residues over {0,1,8,9,16,17,...}, and
+        # the %4/%3 list lengths key on (doc_id + r) with r spanning
+        # 0..k-1. Idle sf0.1 measurement in the commit (the standing
+        # trim ratchet).
+        & (F.col("doc_id") % 8 < 2)
+    )
+    bs = d.select(
+        "doc_id",
+        "n_chars",
+        # ONE 64-byte base per record, cycled in Python; the second
+        # byte string of odd records derives from the same base via a
+        # +7t rotation Python-side — keeping the JVM substring count
+        # at the 64·k archive-tier norm (an earlier per-string base
+        # doubled it and priced this query at 3.3s idle sf0.1)
+        F.expr(
+            "transform(sequence(0, 1 + doc_id % 3),"
+            " r -> transform(sequence(0, 63),"
+            " j -> ascii(substring(text,"
+            " ((j * 13 + r * 5) % length(text)) + 1, 1)) % 256))"
+        ).alias("fs"),
+    )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            payloads = []
+            for doc_id, n_chars, fs in zip(
+                pdf["doc_id"], pdf["n_chars"], pdf["fs"]
+            ):
+                doc_id, n_chars = int(doc_id), int(n_chars)
+                recs = []
+                for r, base in enumerate(fs):
+                    base_arr = np.array(
+                        [int(x) for x in base], dtype=np.uint8
+                    )
+                    strs = []
+                    for t in range(1 + r % 2):
+                        ln = 10 + (n_chars + 7 * r + 11 * t) % 120
+                        arr = (base_arr + 7 * t) % 256
+                        strs.append(
+                            np.tile(arr, (ln + 63) // 64)[:ln].tobytes()
+                        )
+                    n_ids = 1 + (doc_id + r) % 4
+                    ids = [
+                        (n_chars * j + r) % 100000
+                        for j in range(1, n_ids + 1)
+                    ]
+                    n_emb = 2 + (doc_id + r) % 3
+                    emb = [
+                        ((n_chars + 31 * j + 17 * r) % 512) / 4.0
+                        for j in range(n_emb)
+                    ]
+                    recs.append(
+                        encode_tf_example(
+                            {"txt": ("bytes", strs),
+                             "ids": ("int64", ids),
+                             "emb": ("float", emb)},
+                            packed=doc_id % 2 == 0,
+                        )
+                    )
+                payloads.append(encode_tfrecord(recs))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    tfe = _codec_parallel(bs).mapInPandas(
+        synth, schema="doc_id bigint, payload binary"
+    )
+    return read_tfexample_records(tfe).orderBy("doc_id", "rec_no", "fname")
+
+
+@query(
     "q_avro_extract",
     oracle="""
     WITH d AS (

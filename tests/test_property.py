@@ -1486,6 +1486,10 @@ def test_parsers_never_crash_on_corrupt_payloads(seed, kind):
         parse_warc,
     )
     from polars_express_spark.functions.avro import parse_avro
+    from polars_express_spark.functions.protowire import (
+        parse_protowire,
+        parse_tf_example,
+    )
     from polars_express_spark.functions.tar import parse_tar
     from polars_express_spark.functions.tfrecord import parse_tfrecord
     from polars_express_spark.functions.ziparc import parse_zip
@@ -1501,7 +1505,7 @@ def test_parsers_never_crash_on_corrupt_payloads(seed, kind):
                parse_webp_frames, parse_ogg, parse_mkv, parse_mkv_frames,
                parse_mkv_audio, parse_warc, parse_http_response, parse_mp3,
                parse_zip, parse_tar, parse_tfrecord, parse_id3v2,
-               parse_avro]
+               parse_avro, parse_protowire, parse_tf_example]
     if kind == 0:  # magic-prefixed garbage through every parser
         magics = [b"\x89PNG\r\n\x1a\n", b"BM", b"GIF89a", b"P1", b"P2",
                   b"P3", b"P4", b"P5", b"P6", b"RIFF", b"RIFF\x80\x00\x00\x00AVI ",
@@ -2558,6 +2562,67 @@ def test_avro_roundtrip_and_framing(codec, schema, opb, sizes, seed):
         b = bytearray(enc)
         b[at] = 0xFF
         assert parse_avro(bytes(b)) is None
+
+
+@given(
+    packed=st.booleans(),
+    n_bytes=st.lists(st.integers(0, 300), min_size=0, max_size=4),
+    ints=st.lists(st.integers(-(2**63), 2**63 - 1), min_size=0,
+                  max_size=8),
+    quarters=st.lists(st.integers(-2000, 2000), min_size=0, max_size=8),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=60, deadline=None)
+def test_tf_example_wire_roundtrip(packed, n_bytes, ints, quarters, seed):
+    """r16 — encode_tf_example → parse_tf_example recovers every
+    feature exactly through BOTH legal proto3 layouts (packed wire-2
+    lists and per-element unpacked tags), including negative int64s
+    (10-byte two's-complement varints), empty lists, and empty byte
+    strings; quarter-integer floats survive the float32 round trip
+    bit-exactly. Unknown fields skip per the spec's mandated
+    forward-compat; truncation, field number 0, and deprecated group
+    wire types reject. This is the decoder that lifts the TFRecord
+    tier's tf.Example gate — the message layout is fixed and public,
+    so no schema registry is involved."""
+    import numpy as np
+
+    from polars_express_spark.functions.protowire import (
+        _w_uvarint,
+        encode_tf_example,
+        parse_protowire,
+        parse_tf_example,
+    )
+
+    rng = np.random.RandomState(seed)
+    feats = {
+        "txt": ("bytes", [rng.bytes(s) for s in n_bytes]),
+        "ids": ("int64", ints),
+        "emb": ("float", [q / 4.0 for q in quarters]),
+    }
+    enc = encode_tf_example(feats, packed=packed)
+    got = parse_tf_example(enc)
+    assert got == feats
+    # unknown field appended at top level: spec-mandated skip
+    assert parse_tf_example(enc + _w_uvarint((99 << 3) | 0) + b"\x2a") == feats
+    # strictness
+    if len(enc) > 2:
+        assert parse_tf_example(enc[:-1]) is None
+    assert parse_protowire(b"\x00") is None  # field number 0
+    assert parse_protowire(b"\x0b") is None  # group wire type
+    assert parse_tf_example(b"\x0a\x01") is None  # truncated message
+    # flips: never crash; any surviving parse is a well-formed dict
+    b = bytearray(enc)
+    for _ in range(12):
+        i = int(rng.randint(0, max(1, len(b))))
+        if i >= len(b):
+            break
+        bit = 1 << int(rng.randint(0, 8))
+        b[i] ^= bit
+        r = parse_tf_example(bytes(b))
+        if r is not None:
+            for name, (kind, vals) in r.items():
+                assert kind in ("bytes", "float", "int64")
+        b[i] ^= bit
 
 
 @given(
