@@ -88,6 +88,12 @@ r16 builder measurements (Avro tier, idle sf0.1):
   mapInPandas handshake floor + JVM formula term, not the codec.
 - The three r15 driver movers were idle-probed this round (see the
   adjudicated-wobbles ledger above): all host noise.
+- q_multimodal_ogg_theora 2.67-2.86 and q_multimodal_icns 2.23-2.54
+  in isolated probe sessions at steal 0.10 / half population doc%8<4
+  (probe sessions systematically read ~0.5s above full-bench values —
+  the bench warms codegen across 225 queries; the same session read
+  zip at 2.25-2.36 vs its 1.67 bench ledger mark). Both are flat
+  two-stage codec queries on the standard floor.
 - q_tfexample_extract (the tf.Example wire-format decode) does
   strictly more work than its q_tfrecord_extract sibling (same CRC
   framing PLUS the full payload decode and three output rows per

@@ -4378,6 +4378,109 @@ def encode_ico(entries) -> bytes:
     return out + b"".join(blobs)
 
 
+# Apple ICNS icon-element types that carry complete PNG streams, with
+# their spec-fixed nominal pixel sizes (the @2x retina types ic11-ic14
+# store the PHYSICAL pixel count). Legacy packed-RGB/mask types
+# (is32/il32/s8mk/...) and JPEG 2000 payloads are out of envelope.
+_ICNS_PNG_TYPES = {
+    "icp4": 16, "icp5": 32, "icp6": 64, "ic04": 16, "ic05": 32,
+    "ic07": 128, "ic08": 256, "ic09": 512, "ic10": 1024, "ic11": 32,
+    "ic12": 64, "ic13": 256, "ic14": 512,
+}
+
+
+def parse_icns(payload: bytes):
+    """REAL Apple ICNS container decode (r16 — the macOS sibling of the
+    ICO favicon tier; composes parse_png the way parse_ico does).
+    Returns a list of (ostype, width, height, channels, ndarray) — one
+    per icon element in file order — or None. Envelope: the 'icns'
+    magic with a file length that must equal the payload exactly;
+    elements are (4-char OSType, u32be length >= 8) headers whose data
+    must be a complete PNG stream of the type's spec-fixed nominal
+    size (_ICNS_PNG_TYPES); an optional 'TOC ' element, which must
+    come FIRST and whose (type, length) entries must match the
+    following elements exactly; legacy packed-RGB/mask types, JPEG
+    2000 payloads, and unknown OSTypes reject (never a guess — one bad
+    element poisons the container, the parse_ico posture)."""
+    if len(payload) < 8 or payload[:4] != b"icns":
+        return None
+    total = int.from_bytes(payload[4:8], "big")
+    if total != len(payload):
+        return None
+    pos = 8
+    out = []
+    toc = None
+    elems: list[tuple[str, int]] = []
+    while pos < total:
+        if pos + 8 > total:
+            return None
+        try:
+            typ = payload[pos : pos + 4].decode("ascii")
+        except UnicodeDecodeError:
+            return None
+        ln = int.from_bytes(payload[pos + 4 : pos + 8], "big")
+        if ln < 8 or pos + ln > total:
+            return None
+        data = payload[pos + 8 : pos + ln]
+        if typ == "TOC ":
+            if pos != 8 or len(data) % 8:
+                return None  # TOC must be the first element
+            toc = [
+                (data[i : i + 4].decode("latin-1"),
+                 int.from_bytes(data[i + 4 : i + 8], "big"))
+                for i in range(0, len(data), 8)
+            ]
+        elif typ in _ICNS_PNG_TYPES:
+            nominal = _ICNS_PNG_TYPES[typ]
+            if data[:8] != b"\x89PNG\r\n\x1a\n":
+                return None  # JPEG 2000 / legacy raster: out of envelope
+            parsed = parse_png(data)
+            if parsed is None or (parsed[0], parsed[1]) != (nominal, nominal):
+                return None
+            elems.append((typ, ln))
+            out.append((typ, *parsed))
+            pos += ln
+            continue
+        else:
+            return None  # legacy/unknown OSType: out of envelope
+        pos += ln
+    if toc is not None and toc != elems:
+        return None  # TOC disagrees with the elements that follow it
+    if not out:
+        return None
+    return out
+
+
+def encode_icns(entries, toc: bool = False) -> bytes:
+    """Independent ICNS writer for the round-trip tests/queries:
+    ``entries`` is a list of (ostype, ndarray) pairs rendered as PNG
+    elements (dims must equal the type's nominal size); ``toc``
+    prepends the 'TOC ' element listing the icon elements that
+    follow."""
+    import numpy as np
+
+    blobs = []
+    for typ, arr in entries:
+        nominal = _ICNS_PNG_TYPES[typ]
+        arr = np.asarray(arr, dtype="u1")
+        if arr.shape[0] != nominal or arr.shape[1] != nominal:
+            raise ValueError(f"{typ} entries are {nominal}x{nominal}")
+        png = encode_png(arr if arr.ndim == 2 or arr.shape[2] > 1
+                         else arr[:, :, 0])
+        blobs.append((typ, png))
+    body = b"".join(
+        typ.encode("ascii") + (8 + len(png)).to_bytes(4, "big") + png
+        for typ, png in blobs
+    )
+    if toc:
+        tdata = b"".join(
+            typ.encode("ascii") + (8 + len(png)).to_bytes(4, "big")
+            for typ, png in blobs
+        )
+        body = b"TOC " + (8 + len(tdata)).to_bytes(4, "big") + tdata + body
+    return b"icns" + (8 + len(body)).to_bytes(4, "big") + body
+
+
 # ---------------------------------------------------------------------------
 # Ogg (r15) — the page-level container demux for the Xiph family
 # (reference parity anchor: the reference's media surface is the Polars
@@ -4631,6 +4734,41 @@ def parse_ogg(payload: bytes):
             return None
         pre_skip = hdr_count  # field reused: # of extra header packets
         codec = "flac"
+    elif ident[:7] == b"\x80theora":
+        # Theora spec §6.2 (r16): the 42-byte identification header —
+        # VMAJ 3 / VMIN 2, frame dims in 16-px macroblocks, 24-bit
+        # picture dims that must fit the macroblock frame, frame-rate
+        # fraction (both parts nonzero), and the trailing QUAL/
+        # KFGSHIFT/PF bitfield whose 3 reserved bits must be zero and
+        # whose pixel format 1 is reserved. Video has no channels/
+        # sample-rate: the tuple reuses rate for the frame-rate
+        # NUMERATOR and pre_skip for the DENOMINATOR (the FLAC
+        # hdr_count precedent); parse_ogg_theora_info returns the full
+        # header. The compressed frame payload stays codec-gated like
+        # Vorbis/Opus. Skeleton ('fishead') is NOT identified here:
+        # Skeleton only ever rides a grouped/multiplexed physical
+        # stream, which this single-stream walk rejects by design.
+        if len(ident) != 42 or ident[7] != 3 or ident[8] != 2:
+            return None
+        fmbw = int.from_bytes(ident[10:12], "big")
+        fmbh = int.from_bytes(ident[12:14], "big")
+        picw = int.from_bytes(ident[14:17], "big")
+        pich = int.from_bytes(ident[17:20], "big")
+        frn = int.from_bytes(ident[22:26], "big")
+        frd = int.from_bytes(ident[26:30], "big")
+        tail = int.from_bytes(ident[40:42], "big")
+        if not fmbw or not fmbh or picw > fmbw * 16 or pich > fmbh * 16:
+            return None
+        if not picw or not pich or not frn or not frd:
+            return None
+        if ident[20] + picw > fmbw * 16 or ident[21] + pich > fmbh * 16:
+            return None  # picture region must fit inside the frame
+        if tail & 0x7 or (tail >> 3) & 0x3 == 1:  # reserved bits / PF 1
+            return None
+        channels = 0
+        rate = frn
+        pre_skip = frd
+        codec = "theora"
     else:
         return None  # unknown mapping — out of envelope
     if last_granule is None:
@@ -4696,6 +4834,69 @@ def make_vorbis_id(channels: int, rate: int) -> bytes:
     return (
         b"\x01vorbis" + struct.pack("<IBI", 0, channels, rate)
         + struct.pack("<iii", 0, 0, 0) + bytes([(11 << 4) | 8, 1])
+    )
+
+
+def make_theora_id(
+    pic_w: int,
+    pic_h: int,
+    fps_num: int = 24,
+    fps_den: int = 1,
+    qual: int = 0,
+    kfgshift: int = 6,
+    pixel_fmt: int = 0,
+    pic_x: int = 0,
+    pic_y: int = 0,
+) -> bytes:
+    """Canonical 42-byte Theora identification packet (Theora spec
+    §6.2, r16): version 3.2.1, frame dims = picture dims rounded up to
+    16-px macroblocks, picture offset (pic_x, pic_y), frame-rate
+    fraction, square pixels, unspecified colorspace, and the
+    QUAL/KFGSHIFT/PF bitfield (pixel format 1 is reserved by spec)."""
+    if not pic_w or not pic_h or not fps_num or not fps_den:
+        raise ValueError("dims and frame rate must be positive")
+    if pixel_fmt not in (0, 2, 3):
+        raise ValueError("pixel format 1 is reserved")
+    fmbw = (pic_x + pic_w + 15) // 16
+    fmbh = (pic_y + pic_h + 15) // 16
+    tail = (qual << 10) | (kfgshift << 5) | (pixel_fmt << 3)
+    return (
+        b"\x80theora" + bytes([3, 2, 1])
+        + fmbw.to_bytes(2, "big") + fmbh.to_bytes(2, "big")
+        + pic_w.to_bytes(3, "big") + pic_h.to_bytes(3, "big")
+        + bytes([pic_x, pic_y])
+        + fps_num.to_bytes(4, "big") + fps_den.to_bytes(4, "big")
+        + (1).to_bytes(3, "big") + (1).to_bytes(3, "big")  # square PAR
+        + bytes([0])  # colorspace: unspecified
+        + (0).to_bytes(3, "big")  # nominal bitrate: unspecified
+        + tail.to_bytes(2, "big")
+    )
+
+
+def parse_ogg_theora_info(payload: bytes):
+    """Full Theora identification decode over a parse_ogg'd stream
+    (r16): returns (pic_w, pic_h, fps_num, fps_den, qual, kfgshift,
+    pixel_fmt, n_pages, last_granule, n_data_packets, data_bytes,
+    data_sum) or None — data_sum is the sum of the reassembled data
+    packets' byte VALUES, so the lacing/continuation reassembly is
+    pinned even though the compressed frame payload itself stays
+    codec-gated (the Vorbis/Opus policy)."""
+    parsed = parse_ogg(payload)
+    if parsed is None or parsed[0] != "theora":
+        return None
+    _codec, _ch, _rate, _ps, n_pages, granule, pkts = parsed
+    ident = pkts[0]
+    picw = int.from_bytes(ident[14:17], "big")
+    pich = int.from_bytes(ident[17:20], "big")
+    frn = int.from_bytes(ident[22:26], "big")
+    frd = int.from_bytes(ident[26:30], "big")
+    tail = int.from_bytes(ident[40:42], "big")
+    data = pkts[1:]
+    return (
+        picw, pich, frn, frd, tail >> 10, (tail >> 5) & 0x1F,
+        (tail >> 3) & 0x3, n_pages, granule, len(data),
+        sum(len(p) for p in data),
+        sum(b for p in data for b in p),
     )
 
 

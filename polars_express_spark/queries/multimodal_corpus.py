@@ -3781,3 +3781,281 @@ def q_avro_extract(spark, sf_dir):
         synth, schema="doc_id bigint, payload binary"
     )
     return read_avro_records(av).orderBy("doc_id", "rec_no")
+
+
+@query(
+    "q_multimodal_ogg_theora",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, text, n_chars, CAST(1 + doc_id % 3 AS INT) AS k
+      FROM documents
+      WHERE text IS NOT NULL AND length(text) > 0 AND doc_id % 8 < 4
+    ), ent AS (
+      SELECT doc_id, text, r.r AS rec_no,
+             20 + (n_chars + 13 * r.r) % 200 AS size
+      FROM d, unnest(generate_series(0, CAST(k - 1 AS BIGINT))) r(r)
+    ), b AS (
+      SELECT doc_id, rec_no, size,
+             ascii(substr(text,
+               ((((g.i % 64) * 37 + rec_no * 11)) % length(text)) + 1,
+               1)) % 256 AS bb
+      FROM ent, unnest(generate_series(0, CAST(size - 1 AS BIGINT))) g(i)
+    ), agg AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS data_bytes,
+             CAST(sum(bb) AS BIGINT) AS data_sum
+      FROM b GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(16 + d.doc_id % 49 AS INT) AS pic_w,
+           CAST(16 + (d.doc_id * 3) % 33 AS INT) AS pic_h,
+           CAST(24000 + d.n_chars % 6001 AS INT) AS fps_num,
+           CAST(1 + d.doc_id % 1000 AS INT) AS fps_den,
+           CAST(d.doc_id % 64 AS INT) AS qual,
+           CAST(d.doc_id % 32 AS INT) AS kfgshift,
+           CAST(CASE d.doc_id % 3 WHEN 0 THEN 0 WHEN 1 THEN 2 ELSE 3 END
+                AS INT) AS pixel_fmt,
+           CAST(2 AS INT) AS n_pages,
+           agg.data_bytes AS granule,
+           CAST(d.k AS BIGINT) AS n_packets,
+           agg.data_bytes,
+           agg.data_sum
+    FROM d JOIN agg ON d.doc_id = agg.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+def q_multimodal_ogg_theora(spark, sf_dir):
+    """Ogg Theora identification headers under the driver hash (r16 —
+    the video member of the Xiph family, extending parse_ogg's mapping
+    table per the r15 verdict's codec-depth item; the compressed frame
+    payload stays policy-gated like Vorbis/Opus). Per document a real
+    Ogg stream is muxed executor-side whose BOS packet is a 42-byte
+    Theora §6.2 header — picture dims offset inside the 16-px
+    macroblock frame (pic_x/pic_y from doc formulas), the frame-rate
+    fraction, and the QUAL/KFGSHIFT/PF bitfield with pixel format
+    cycling over the three non-reserved values by doc_id%3 — followed
+    by 1 + doc_id%3 data packets of stride-37 formula bytes cycled
+    from 64-byte bases. parse_ogg re-walks every page (CRC-32 per RFC
+    3533), identifies the Theora mapping with full header validation
+    (version 3.2, picture-fits-frame, reserved bits zero, PF!=1), and
+    parse_ogg_theora_info ships every header field plus the
+    reassembled data packets' byte count AND value sum — so the page
+    framing, the granule arithmetic, and the lacing reassembly are all
+    pinned even though no frame decodes. The oracle replays the
+    header and byte arithmetic in SQL. Scale shape: one scan, one
+    doc_id exchange (_codec_parallel), two fused Arrow stages."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    from polars_express_spark.functions.multimodal import (
+        encode_ogg,
+        make_theora_id,
+        parse_ogg_theora_info,
+    )
+
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+        # half the corpus; the %3 pixel-format/packet-count and %2
+        # parity strategies all survive doc%8<4 (idle sf0.1
+        # measurement in the commit, the standing trim ratchet)
+        & (F.col("doc_id") % 8 < 4)
+    )
+    bs = d.select(
+        "doc_id",
+        "n_chars",
+        F.expr(
+            "transform(sequence(0, doc_id % 3),"
+            " r -> transform(sequence(0, 63),"
+            " j -> ascii(substring(text, ((j * 37 + r * 11) % length(text)) + 1,"
+            " 1)) % 256))"
+        ).alias("fs"),
+    )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            payloads = []
+            for doc_id, n_chars, fs in zip(
+                pdf["doc_id"], pdf["n_chars"], pdf["fs"]
+            ):
+                doc_id, n_chars = int(doc_id), int(n_chars)
+                ident = make_theora_id(
+                    16 + doc_id % 49,
+                    16 + (doc_id * 3) % 33,
+                    24000 + n_chars % 6001,
+                    1 + doc_id % 1000,
+                    qual=doc_id % 64,
+                    kfgshift=doc_id % 32,
+                    pixel_fmt=(0, 2, 3)[doc_id % 3],
+                    pic_x=doc_id % 5,
+                    pic_y=(doc_id * 7) % 5,
+                )
+                pkts = []
+                for r, base in enumerate(fs):
+                    ln = 20 + (n_chars + 13 * r) % 200
+                    arr = np.array([int(x) for x in base], dtype=np.uint8)
+                    pkts.append(np.tile(arr, (ln + 63) // 64)[:ln].tobytes())
+                payloads.append(encode_ogg(ident, pkts))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                info = parse_ogg_theora_info(bytes(payload))
+                if info is None:
+                    raise ValueError(
+                        f"doc {doc_id}: corrupt or out-of-envelope Ogg "
+                        "Theora stream"
+                    )
+                (pw, ph, fn, fd, q, kg, pf, n_pages, gran, n_pkts,
+                 dbytes, dsum) = info
+                rows.append(
+                    (doc_id, pw, ph, fn, fd, q, kg, pf, n_pages, gran,
+                     n_pkts, dbytes, dsum)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "pic_w", "pic_h", "fps_num", "fps_den",
+                         "qual", "kfgshift", "pixel_fmt", "n_pages",
+                         "granule", "n_packets", "data_bytes", "data_sum"],
+            ).astype(
+                {"pic_w": "int32", "pic_h": "int32", "fps_num": "int32",
+                 "fps_den": "int32", "qual": "int32", "kfgshift": "int32",
+                 "pixel_fmt": "int32", "n_pages": "int32"}
+            )
+
+    ogg = _codec_parallel(bs).mapInPandas(
+        synth, schema="doc_id bigint, payload binary"
+    )
+    return ogg.mapInPandas(
+        stats,
+        schema="doc_id bigint, pic_w int, pic_h int, fps_num int,"
+        " fps_den int, qual int, kfgshift int, pixel_fmt int,"
+        " n_pages int, granule bigint, n_packets bigint,"
+        " data_bytes bigint, data_sum bigint",
+    ).orderBy("doc_id")
+
+
+@query(
+    "q_multimodal_icns",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, text, CAST(doc_id % 2 AS INT) AS extra
+      FROM documents
+      WHERE text IS NOT NULL AND length(text) > 0 AND doc_id % 8 < 4
+    ), px AS (
+      SELECT doc_id, e.e AS elem_no,
+             ascii(substr(text,
+               ((g.j * 43 + e.e * 7) % length(text)) + 1, 1)) % 256 AS p
+      FROM d, unnest(generate_series(0, CAST(extra AS BIGINT))) e(e),
+           unnest(generate_series(0, 63)) g(j)
+    )
+    SELECT doc_id,
+           CAST(elem_no AS INT) AS elem_no,
+           CASE elem_no WHEN 0 THEN 'icp4' ELSE 'icp5' END AS ostype,
+           CAST(CASE elem_no WHEN 0 THEN 16 ELSE 32 END AS INT) AS width,
+           CAST(CASE elem_no WHEN 0 THEN 16 ELSE 32 END AS INT) AS height,
+           CAST(CASE elem_no WHEN 0 THEN 1 ELSE 3 END AS INT) AS channels,
+           CAST(sum(p) AS DOUBLE) / count(*) AS mean_val,
+           CAST(min(p) AS INT) AS min_val,
+           CAST(max(p) AS INT) AS max_val
+    FROM px GROUP BY doc_id, elem_no ORDER BY doc_id, elem_no
+    """,
+)
+def q_multimodal_icns(spark, sf_dir):
+    """Apple ICNS under the driver hash (r16 — the macOS icon
+    container, the second PNG-composing container after ICO, per the
+    r15 verdict's codec-depth item). Per document a real ICNS is
+    muxed executor-side: an icp4 16x16 grayscale PNG element always,
+    plus an icp5 32x32 RGB element for odd docs, with the 'TOC '
+    element (which parse_icns validates against the elements that
+    follow) armed for doc_id%4 >= 2 — so single/multi element, gray/
+    RGB inner PNGs, and both TOC states are hashed every round.
+    Pixels cycle 64-byte stride-43 formula bases; both element pixel
+    counts (256 and 3072) are exact multiples of 64, so the oracle
+    computes the identical stats over just the base values. parse_icns
+    re-walks the container — file-length equality, element bounds,
+    nominal-size enforcement per OSType, full PNG decode of every
+    element through the entropy-coded tier — and a hash match proves
+    encode∘decode = id over real compressed bytes (the ICO argument).
+    Scale shape: one scan, one doc_id exchange (_codec_parallel), two
+    fused Arrow stages."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    from polars_express_spark.functions.multimodal import (
+        encode_icns,
+        parse_icns,
+    )
+
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+        # half the corpus; %2 element-count parity and the %4 TOC
+        # split both survive doc%8<4 (idle sf0.1 measurement in the
+        # commit, the standing trim ratchet)
+        & (F.col("doc_id") % 8 < 4)
+    )
+    px = d.select(
+        "doc_id",
+        F.expr(
+            "transform(sequence(0, doc_id % 2),"
+            " e -> transform(sequence(0, 63),"
+            " j -> ascii(substring(text, ((j * 43 + e * 7) % length(text)) + 1,"
+            " 1)) % 256))"
+        ).alias("es"),
+    )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            payloads = []
+            for doc_id, es in zip(pdf["doc_id"], pdf["es"]):
+                doc_id = int(doc_id)
+                b0 = np.array([int(x) for x in es[0]], dtype="u1")
+                entries = [("icp4", np.tile(b0, 4).reshape(16, 16, 1))]
+                if doc_id % 2 == 1:
+                    b1 = np.array([int(x) for x in es[1]], dtype="u1")
+                    entries.append(
+                        ("icp5", np.tile(b1, 48).reshape(32, 32, 3))
+                    )
+                payloads.append(encode_icns(entries, toc=doc_id % 4 >= 2))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                parsed = parse_icns(bytes(payload))
+                if parsed is None:
+                    raise ValueError(
+                        f"doc {doc_id}: corrupt ICNS container"
+                    )
+                for e, (typ, w, h, ch, arr) in enumerate(parsed):
+                    rows.append(
+                        (doc_id, e, typ, w, h, ch,
+                         float(arr.mean()), int(arr.min()), int(arr.max()))
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "elem_no", "ostype", "width", "height",
+                         "channels", "mean_val", "min_val", "max_val"],
+            ).astype(
+                {"elem_no": "int32", "width": "int32", "height": "int32",
+                 "channels": "int32", "min_val": "int32",
+                 "max_val": "int32"}
+            )
+
+    icns = _codec_parallel(px).mapInPandas(
+        synth, schema="doc_id bigint, payload binary"
+    )
+    return icns.mapInPandas(
+        stats,
+        schema="doc_id bigint, elem_no int, ostype string, width int,"
+        " height int, channels int, mean_val double, min_val int,"
+        " max_val int",
+    ).orderBy("doc_id", "elem_no")

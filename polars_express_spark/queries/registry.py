@@ -52,32 +52,42 @@ def query(name: str, oracle: str | None = None):
 #   slots 1-26  — the ENTIRE remaining r11 tier, alphabetical (retires
 #                 r11 evidence for good; declared last round and held
 #                 to by the r15 verdict);
-#   slots 27-48 — the 22 oldest r12-hash, alphabetical (q01_preview
-#                 .. q34_exact_dedup);
-#   slots 49-50 — NEW this round, never checked: q_avro_extract (the
+#   slots 27-46 — the 20 oldest r12-hash, alphabetical (q01_preview
+#                 .. q30_json);
+#   slots 47-50 — NEW this round, never checked: q_avro_extract (the
 #                 Avro object-container grammar — zigzag-varint
 #                 metadata map, per-block sync-marker equality, null +
 #                 raw-deflate codecs through the capped inflate,
 #                 bytes/string datum decode with UTF-8 validation, all
 #                 four codec×schema combinations by doc_id mod 4, the
 #                 zero-length datum edge, and the PARSED
-#                 codec/schema/block_no shipped under the hash), and
+#                 codec/schema/block_no shipped under the hash),
 #                 q_tfexample_extract (tf.Example decoded from the
 #                 protobuf wire format — the fixed public message
 #                 layout needs no schema registry, lifting the r15
 #                 TFRecord payload gate; bytes/float/int64 features
 #                 through BOTH packed and unpacked proto3 layouts by
-#                 doc parity, under the TFRecord CRCs).
-# Tier "next" (r17) = the 26 r12-hash queries that did not fit
-# (q35_cosine_topk, q36_token_counts, q37_json_sink,
-# q38_write_roundtrip, q_ab_ztest, q_ann_ivf, q_ann_ivfpq, q_ann_pq,
-# q_benford, q_chi2, q_control_chart, q_multimodal_gif,
-# q_multimodal_jpeg, q_multimodal_mulaw, q_rare_tokens, q_retention,
-# q_rfm, q_skew_profile, q_skyline, q_snapshot_diff, q_streaks,
-# q_text_search, q_train_split, q_transitions, q_unicode_norm,
-# q_weighted_sample), then the 50 r13-hash tier (alphabetical), with
-# new never-checked queries taking tail slots first (the endorsed
-# precedent).
+#                 doc parity, under the TFRecord CRCs),
+#                 q_multimodal_ogg_theora (the Theora §6.2
+#                 identification header through the page-CRC'd Ogg
+#                 walk — pixel formats cycling the three non-reserved
+#                 values, picture offsets inside the macroblock frame,
+#                 data-packet byte count AND value sum pinning the
+#                 lacing reassembly), and q_multimodal_icns (the Apple
+#                 icon container composing parse_png — element count
+#                 by parity, TOC element armed for half the docs and
+#                 validated against the element list, nominal-size
+#                 enforcement per OSType).
+# Tier "next" (r17) = the 28 r12-hash queries that did not fit
+# (q31_nulls, q34_exact_dedup, q35_cosine_topk, q36_token_counts,
+# q37_json_sink, q38_write_roundtrip, q_ab_ztest, q_ann_ivf,
+# q_ann_ivfpq, q_ann_pq, q_benford, q_chi2, q_control_chart,
+# q_multimodal_gif, q_multimodal_jpeg, q_multimodal_mulaw,
+# q_rare_tokens, q_retention, q_rfm, q_skew_profile, q_skyline,
+# q_snapshot_diff, q_streaks, q_text_search, q_train_split,
+# q_transitions, q_unicode_norm, q_weighted_sample), then the 50
+# r13-hash tier (alphabetical), with new never-checked queries taking
+# tail slots first (the endorsed precedent).
 #
 # Round-15 history (executing the rotation the r14 comment declared
 # and the r14 verdict's item #1): r14 went 50/50 green; staleness
@@ -212,23 +222,27 @@ _PRIORITY = [
     "q_semdedup", "q_tfidf", "q_tpch_q11", "q_tpch_q16", "q_tpch_q17",
     "q_tpch_q2", "q_tpch_q20", "q_tpch_q9", "q_weighted_median",
     "q_winsorize",
-    # slots 27-48 — the 22 oldest r12-hash, alphabetical
+    # slots 27-46 — the 20 oldest r12-hash, alphabetical
     "q01_preview", "q02_sort_slice", "q05_filter_project",
     "q06_cast_arith", "q07_conditional", "q12_inner_join",
     "q13_multi_join", "q14_left_join", "q14b_right_join",
     "q14c_full_join", "q15_anti_join", "q15_semi_join", "q16_cross_join",
     "q17_non_equi_join", "q25_strings", "q26_regex", "q27_dates",
-    "q28_math", "q29_arrays", "q30_json", "q31_nulls", "q34_exact_dedup",
-    # slots 49-50 — new this round: the Avro object-container
+    "q28_math", "q29_arrays", "q30_json",
+    # slots 47-50 — new this round: the Avro object-container
     # ingestion tier (zigzag-varint metadata map, per-block
     # sync-marker equality, null + raw-deflate codecs through the
     # capped inflate, bytes/string datum decode with UTF-8 validation;
     # all four codec×schema combinations and the zero-length datum
-    # edge under one hash), and the tf.Example wire-format decode
-    # (fixed public message layout — no schema registry — bytes/
-    # float/int64 features through both packed and unpacked proto3
-    # layouts, under the TFRecord CRCs)
-    "q_avro_extract", "q_tfexample_extract",
+    # edge under one hash), the tf.Example wire-format decode (fixed
+    # public message layout — no schema registry — bytes/float/int64
+    # features through both packed and unpacked proto3 layouts, under
+    # the TFRecord CRCs), the Ogg Theora identification tier (§6.2
+    # header validation through the page-CRC'd walk, data packets
+    # pinned by count and value sum), and the Apple ICNS container
+    # (PNG elements at spec-fixed nominal sizes, TOC validation)
+    "q_avro_extract", "q_tfexample_extract", "q_multimodal_ogg_theora",
+    "q_multimodal_icns",
 ]
 
 

@@ -1464,8 +1464,10 @@ def test_parsers_never_crash_on_corrupt_payloads(seed, kind):
         parse_gif,
         parse_gif_frames,
         parse_image_header,
+        parse_icns,
         parse_netpbm,
         parse_ogg,
+        parse_ogg_theora_info,
         parse_png,
         parse_aiff,
         parse_ico,
@@ -1505,7 +1507,8 @@ def test_parsers_never_crash_on_corrupt_payloads(seed, kind):
                parse_webp_frames, parse_ogg, parse_mkv, parse_mkv_frames,
                parse_mkv_audio, parse_warc, parse_http_response, parse_mp3,
                parse_zip, parse_tar, parse_tfrecord, parse_id3v2,
-               parse_avro, parse_protowire, parse_tf_example]
+               parse_avro, parse_protowire, parse_tf_example,
+               parse_icns, parse_ogg_theora_info]
     if kind == 0:  # magic-prefixed garbage through every parser
         magics = [b"\x89PNG\r\n\x1a\n", b"BM", b"GIF89a", b"P1", b"P2",
                   b"P3", b"P4", b"P5", b"P6", b"RIFF", b"RIFF\x80\x00\x00\x00AVI ",
@@ -1527,7 +1530,10 @@ def test_parsers_never_crash_on_corrupt_payloads(seed, kind):
                   b"x" * 257 + b"ustar\x00",
                   b"Obj\x01", b"Obj\x01\x00" + b"\xa0" * 16,
                   b"Obj\x01\x04\x16avro.schema\x0e\"bytes\"\x00"
-                  + b"\xa0" * 16, b""]
+                  + b"\xa0" * 16,
+                  b"icns", b"icns\x00\x00\x00\x20TOC \x00\x00\x00\x10",
+                  b"icns\x00\x00\x00\x14icp4\x00\x00\x00\x0c",
+                  b"\x80theora", b""]
         for m in magics:
             payload = m + rng.bytes(int(rng.randint(0, 160)))
             for p in parsers:
@@ -2562,6 +2568,133 @@ def test_avro_roundtrip_and_framing(codec, schema, opb, sizes, seed):
         b = bytearray(enc)
         b[at] = 0xFF
         assert parse_avro(bytes(b)) is None
+
+
+@given(
+    types=st.lists(
+        st.sampled_from(["icp4", "icp5", "icp6", "ic04", "ic05"]),
+        min_size=1, max_size=4,
+    ),
+    toc=st.booleans(),
+    gray=st.booleans(),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_icns_roundtrip_and_toc(types, toc, gray, seed):
+    """r16 — encode_icns → parse_icns recovers every element's PNG
+    raster byte-exactly at its OSType's spec-fixed nominal size, with
+    and without the leading 'TOC ' element (whose entries must match
+    the elements that follow — a disagreeing TOC rejects). Structural
+    damage (file-length mismatch, truncation, trailing bytes, a
+    corrupted inner PNG via its chunk CRCs) rejects; legacy/unknown
+    OSTypes are out of envelope."""
+    import numpy as np
+
+    from polars_express_spark.functions.multimodal import (
+        _ICNS_PNG_TYPES,
+        encode_icns,
+        parse_icns,
+    )
+
+    rng = np.random.RandomState(seed)
+    entries = []
+    for t in types:
+        n = _ICNS_PNG_TYPES[t]
+        ch = 1 if gray else int(rng.choice([3, 4]))
+        entries.append((t, rng.randint(0, 256, size=(n, n, ch)).astype("u1")))
+    enc = encode_icns(entries, toc=toc)
+    got = parse_icns(enc)
+    assert got is not None and len(got) == len(entries)
+    for (typ, w, h, ch, arr), (et, ea) in zip(got, entries):
+        assert typ == et and (w, h) == (ea.shape[1], ea.shape[0])
+        ref = ea[:, :, 0] if ea.shape[2] == 1 else ea
+        assert np.array_equal(arr.reshape(ref.shape), ref)
+    assert parse_icns(enc[:-1]) is None
+    assert parse_icns(enc + b"\x00") is None
+    if toc:
+        b = bytearray(enc)
+        b[enc.index(b"TOC ") + 8] ^= 0x01  # first TOC entry's type byte
+        assert parse_icns(bytes(b)) is None
+    # flips inside the container: PNG chunk CRCs or the struct walk
+    # reject, or (length fields only) the file-length equality does —
+    # never altered pixels
+    b = bytearray(enc)
+    for _ in range(10):
+        i = int(rng.randint(0, len(b)))
+        bit = 1 << int(rng.randint(0, 8))
+        b[i] ^= bit
+        r = parse_icns(bytes(b))
+        if r is not None:
+            for (typ, w, h, ch, arr), (et, ea) in zip(r, entries):
+                ref = ea[:, :, 0] if ea.shape[2] == 1 else ea
+                assert np.array_equal(arr.reshape(ref.shape), ref)
+        b[i] ^= bit
+
+
+@given(
+    picw=st.integers(1, 1000),
+    pich=st.integers(1, 1000),
+    frn=st.integers(1, 2**31 - 1),
+    frd=st.integers(1, 2**31 - 1),
+    qual=st.integers(0, 63),
+    kg=st.integers(0, 31),
+    pf=st.sampled_from([0, 2, 3]),
+    offs=st.tuples(st.integers(0, 15), st.integers(0, 15)),
+    sizes=st.lists(st.integers(0, 700), min_size=1, max_size=4),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=60, deadline=None)
+def test_ogg_theora_id_roundtrip(picw, pich, frn, frd, qual, kg, pf,
+                                 offs, sizes, seed):
+    """r16 — make_theora_id → encode_ogg → parse_ogg_theora_info
+    recovers every identification-header field and the data packets'
+    exact byte count/sum through the page walk (every page CRC-32'd,
+    so any bit flip in the stream is DETECTED — the Ogg tier's
+    established guarantee extends to the Theora mapping). Reserved
+    pixel format 1, nonzero reserved bits, wrong version, and a
+    picture overrunning its macroblock frame all reject."""
+    import numpy as np
+
+    from polars_express_spark.functions.multimodal import (
+        encode_ogg,
+        make_theora_id,
+        parse_ogg,
+        parse_ogg_theora_info,
+    )
+
+    rng = np.random.RandomState(seed)
+    ident = make_theora_id(picw, pich, frn, frd, qual=qual, kfgshift=kg,
+                           pixel_fmt=pf, pic_x=offs[0], pic_y=offs[1])
+    pkts = [rng.bytes(s) for s in sizes]
+    enc = encode_ogg(ident, pkts, max_page_payload=512)
+    info = parse_ogg_theora_info(enc)
+    assert info is not None
+    assert info[:7] == (picw, pich, frn, frd, qual, kg, pf)
+    assert info[9] == len(pkts)
+    assert info[10] == sum(len(p) for p in pkts)
+    assert info[11] == sum(b for p in pkts for b in p)
+    # every bit flip detected (the page CRC covers all bytes)
+    b = bytearray(enc)
+    for _ in range(12):
+        i = int(rng.randint(0, len(b)))
+        bit = 1 << int(rng.randint(0, 8))
+        b[i] ^= bit
+        assert parse_ogg(bytes(b)) is None
+        b[i] ^= bit
+    # header strictness (re-muxed so the page CRC stays valid):
+    # PF forced to the reserved value 1, a nonzero reserved bit, and
+    # a wrong major version must each reject
+    bad = bytearray(make_theora_id(picw, pich, frn, frd, qual=qual,
+                                   kfgshift=kg, pixel_fmt=0,
+                                   pic_x=offs[0], pic_y=offs[1]))
+    bad[41] |= 0x08  # PF 0 -> 1 (the reserved format)
+    assert parse_ogg(encode_ogg(bytes(bad), pkts)) is None
+    bad = bytearray(ident)
+    bad[41] |= 0x01  # reserved bits must be zero
+    assert parse_ogg(encode_ogg(bytes(bad), pkts)) is None
+    bad = bytearray(ident)
+    bad[7] = 2  # VMAJ must be 3
+    assert parse_ogg(encode_ogg(bytes(bad), pkts)) is None
 
 
 @given(
