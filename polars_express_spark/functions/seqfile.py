@@ -1,0 +1,330 @@
+"""Hadoop SequenceFile reader/writer (SURVEY.md §2.10 ingestion tier,
+r16).
+
+The Hive-era row container next to Avro: a decade of Hadoop pipelines
+shipped intermediate corpora as SequenceFiles, and they still sit in
+every long-lived data lake. The version-6 layout is public struct math
+(the Hadoop SequenceFile format documentation):
+
+    SEQ\\x06                               magic + version
+    key class name, value class name      Hadoop vint length + UTF-8
+    u8 compressed, u8 block_compressed    booleans
+    [codec class name]                    present when compressed
+    u32be metadata count + count x (Text key, Text value)
+    16-byte sync marker
+    records: u32be record_length | u32be key_length | key | value
+             (record_length == 0xFFFFFFFF escapes a 16-byte sync
+              marker that must equal the header's)
+
+Hadoop vints are the WritableUtils encoding: one byte for [-112, 127],
+else a negative marker byte giving the big-endian byte count and sign.
+Record compression (the DefaultCodec = zlib WITH header) deflates each
+VALUE individually and is inflated through the capped bomb guard;
+BLOCK compression restructures the file wholesale and is out of
+envelope (None), as are codecs other than DefaultCodec.
+
+Key/value payloads are Writable-serialized; this module unwraps the
+two classes a byte-level pipeline owns — BytesWritable (u32be inner
+length that must equal the outer length minus 4) and Text (Hadoop
+vint length + UTF-8, validated) — and returns any other class's bytes
+opaque (the tf.Example precedent: framing, splitting, and the sync
+markers ARE the Spark reader's job; the sync escape is exactly what
+makes a 100 TB SequenceFile executor-splittable).
+
+Reference parity anchor: extends the reference's CSV-only ingest
+(reference src/main.rs:41-52) like the other §2.10 ingestion tiers.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+_MAGIC = b"SEQ\x06"
+_MAX_INFLATE = 1 << 26
+_SYNC_DEFAULT = bytes(range(0x50, 0x60))
+_BYTES_WRITABLE = "org.apache.hadoop.io.BytesWritable"
+_TEXT = "org.apache.hadoop.io.Text"
+_DEFAULT_CODEC = "org.apache.hadoop.io.compress.DefaultCodec"
+
+
+def _read_hvint(b: bytes, pos: int):
+    """Hadoop WritableUtils vint: (value, end_pos) or None."""
+    if pos >= len(b):
+        return None
+    first = b[pos] - 256 if b[pos] >= 128 else b[pos]
+    pos += 1
+    if first >= -112:
+        return first, pos
+    ln = (-119 - first) if first < -120 else (-111 - first)
+    if pos + ln - 1 > len(b):
+        return None
+    val = 0
+    for i in range(ln - 1):
+        val = (val << 8) | b[pos + i]
+    pos += ln - 1
+    if first < -120 or -112 <= first < 0:
+        val = ~val
+    return val, pos
+
+
+def _w_hvint(n: int) -> bytes:
+    """Hadoop WritableUtils vint writer (the readVLong inverse)."""
+    if -112 <= n <= 127:
+        return bytes([n & 0xFF])
+    neg = n < 0
+    if neg:
+        n = ~n
+    ln = max(1, (n.bit_length() + 7) // 8)
+    if ln > 8:
+        raise ValueError("out of vlong range")
+    first = (-120 if neg else -112) - ln
+    return bytes([first & 0xFF]) + n.to_bytes(ln, "big")
+
+
+def _read_hstring(b: bytes, pos: int):
+    """Hadoop vint-length UTF-8 string: (str, end_pos) or None."""
+    r = _read_hvint(b, pos)
+    if r is None:
+        return None
+    ln, pos = r
+    if ln < 0 or ln > len(b) - pos:
+        return None
+    try:
+        return b[pos : pos + ln].decode("utf-8"), pos + ln
+    except UnicodeDecodeError:
+        return None
+
+
+def _w_hstring(s: str) -> bytes:
+    raw = s.encode("utf-8")
+    return _w_hvint(len(raw)) + raw
+
+
+def _unwrap(payload: bytes, cls: str):
+    """Unwrap a Writable-serialized payload for the two in-envelope
+    classes; other classes pass through opaque. Returns bytes or None
+    on a malformed envelope."""
+    if cls == _BYTES_WRITABLE:
+        if len(payload) < 4:
+            return None
+        (inner,) = struct.unpack_from(">I", payload, 0)
+        if inner != len(payload) - 4:
+            return None
+        return payload[4:]
+    if cls == _TEXT:
+        r = _read_hvint(payload, 0)
+        if r is None:
+            return None
+        ln, at = r
+        if ln != len(payload) - at:
+            return None
+        try:
+            payload[at:].decode("utf-8")
+        except UnicodeDecodeError:
+            return None
+        return payload[at:]
+    return payload
+
+
+def parse_seqfile(payload: bytes):
+    """REAL SequenceFile v6 parse: returns (key_class, value_class,
+    compressed, {metadata}, sync, [(key bytes, value bytes), ...]) or
+    None. Record framing, every sync-escape marker, the BytesWritable/
+    Text envelopes, and (when record-compressed with DefaultCodec) each
+    value's zlib stream are verified; block compression, other codecs,
+    truncation, and trailing bytes are out of envelope. Inflation is
+    capped (bomb guard)."""
+    n = len(payload)
+    if n < 4 + 2 + 2 + 4 + 16 or payload[:4] != _MAGIC:
+        return None
+    r = _read_hstring(payload, 4)
+    if r is None:
+        return None
+    key_class, pos = r
+    r = _read_hstring(payload, pos)
+    if r is None:
+        return None
+    value_class, pos = r
+    if pos + 2 > n:
+        return None
+    compressed = payload[pos]
+    block_compressed = payload[pos + 1]
+    pos += 2
+    if compressed not in (0, 1) or block_compressed not in (0, 1):
+        return None
+    if block_compressed:
+        return None  # block compression: out of envelope
+    if compressed:
+        r = _read_hstring(payload, pos)
+        if r is None:
+            return None
+        codec, pos = r
+        if codec != _DEFAULT_CODEC:
+            return None  # only the zlib DefaultCodec is in envelope
+    if pos + 4 > n:
+        return None
+    (meta_count,) = struct.unpack_from(">I", payload, pos)
+    pos += 4
+    if meta_count > n - pos:
+        return None  # each entry needs >=2 bytes
+    meta: dict[str, str] = {}
+    for _ in range(meta_count):
+        r = _read_hstring(payload, pos)
+        if r is None:
+            return None
+        k, pos = r
+        r = _read_hstring(payload, pos)
+        if r is None:
+            return None
+        v, pos = r
+        if k in meta:
+            return None
+        meta[k] = v
+    if pos + 16 > n:
+        return None
+    sync = payload[pos : pos + 16]
+    pos += 16
+    records: list[tuple[bytes, bytes]] = []
+    total_inflated = 0
+    while pos < n:
+        if pos + 4 > n:
+            return None
+        (rec_len,) = struct.unpack_from(">I", payload, pos)
+        pos += 4
+        if rec_len == 0xFFFFFFFF:  # sync escape
+            if payload[pos : pos + 16] != sync or pos + 16 > n:
+                return None
+            pos += 16
+            continue
+        if pos + 4 > n:
+            return None
+        (key_len,) = struct.unpack_from(">I", payload, pos)
+        pos += 4
+        if key_len > rec_len or rec_len > n - pos:
+            return None
+        key_raw = payload[pos : pos + key_len]
+        val_raw = payload[pos + key_len : pos + rec_len]
+        pos += rec_len
+        key = _unwrap(key_raw, key_class)
+        if key is None:
+            return None
+        if compressed:
+            cap = _MAX_INFLATE - total_inflated
+            d = zlib.decompressobj()
+            try:
+                val_ser = d.decompress(val_raw, cap + 1)
+            except zlib.error:
+                return None
+            if (len(val_ser) > cap or not d.eof or d.unconsumed_tail
+                    or d.unused_data):
+                return None
+        else:
+            if len(val_raw) > _MAX_INFLATE - total_inflated:
+                return None
+            val_ser = val_raw
+        total_inflated += len(val_ser)
+        val = _unwrap(val_ser, value_class)
+        if val is None:
+            return None
+        records.append((key, val))
+    return key_class, value_class, bool(compressed), meta, sync, records
+
+
+def encode_seqfile(
+    records,
+    key_class: str = _TEXT,
+    value_class: str = _BYTES_WRITABLE,
+    compress: bool = False,
+    sync_interval: int = 0,
+    metadata=None,
+    sync: bytes = _SYNC_DEFAULT,
+) -> bytes:
+    """Independent SequenceFile v6 writer: ``records`` is a list of
+    (key bytes, value bytes) pairs, wrapped in the named Writable
+    envelopes (Text validates UTF-8; BytesWritable prefixes the u32be
+    inner length; other class names write the bytes opaque);
+    ``compress`` applies the zlib DefaultCodec per value;
+    ``sync_interval`` > 0 writes the sync escape before every
+    interval-th record."""
+    if len(sync) != 16:
+        raise ValueError("sync marker is 16 bytes")
+
+    def wrap(data: bytes, cls: str) -> bytes:
+        data = bytes(data)
+        if cls == _BYTES_WRITABLE:
+            return struct.pack(">I", len(data)) + data
+        if cls == _TEXT:
+            data.decode("utf-8")
+            return _w_hvint(len(data)) + data
+        return data
+
+    out = bytearray(_MAGIC)
+    out += _w_hstring(key_class) + _w_hstring(value_class)
+    out += bytes([1 if compress else 0, 0])
+    if compress:
+        out += _w_hstring(_DEFAULT_CODEC)
+    meta = metadata or {}
+    out += struct.pack(">I", len(meta))
+    for k, v in meta.items():
+        out += _w_hstring(k) + _w_hstring(v)
+    out += sync
+    for i, (key, value) in enumerate(records):
+        if sync_interval and i and i % sync_interval == 0:
+            out += b"\xff\xff\xff\xff" + sync
+        kw = wrap(key, key_class)
+        vw = wrap(value, value_class)
+        if compress:
+            vw = zlib.compress(vw, 6)
+        out += struct.pack(">II", len(kw) + len(vw), len(kw)) + kw + vw
+    return bytes(out)
+
+
+SEQFILE_SCHEMA = (
+    "doc_id bigint, rec_no int, key string, compressed boolean, "
+    "size bigint, mean_b double, min_b int, max_b int"
+)
+
+
+def read_seqfile_records(df):
+    """SequenceFile extraction operator (the WARC/zip/tar/TFRecord/
+    Avro operator shape): one container row → one row per record with
+    the Text key, the parsed compression flag, and exact byte stats
+    over the unwrapped BytesWritable value. Malformed files raise.
+    Arrow-batched mapInPandas; container bytes never leave the
+    executor."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                parsed = parse_seqfile(bytes(payload))
+                if parsed is None:
+                    raise ValueError(
+                        f"doc {doc_id}: corrupt or out-of-envelope "
+                        "SequenceFile"
+                    )
+                _kc, _vc, compressed, _meta, _sync, recs = parsed
+                for rno, (key, val) in enumerate(recs):
+                    arr = np.frombuffer(val, dtype=np.uint8)
+                    rows.append(
+                        (doc_id, rno, key.decode("utf-8"), compressed,
+                         len(val),
+                         float(arr.mean()) if arr.size else 0.0,
+                         int(arr.min()) if arr.size else 0,
+                         int(arr.max()) if arr.size else 0)
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "rec_no", "key", "compressed", "size",
+                         "mean_b", "min_b", "max_b"],
+            ).astype({"rec_no": "int32", "min_b": "int32",
+                      "max_b": "int32"})
+
+    return df.select("doc_id", "payload").mapInPandas(
+        extract, schema=SEQFILE_SCHEMA
+    )

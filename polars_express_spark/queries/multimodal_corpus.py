@@ -4059,3 +4059,240 @@ def q_multimodal_icns(spark, sf_dir):
         " height int, channels int, mean_val double, min_val int,"
         " max_val int",
     ).orderBy("doc_id", "elem_no")
+
+
+@query(
+    "q_seqfile_extract",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, text, n_chars, CAST(2 + doc_id % 3 AS INT) AS k,
+             doc_id % 2 = 1 AS compressed
+      FROM documents
+      WHERE text IS NOT NULL AND length(text) > 0 AND doc_id % 8 < 4
+    ), ent AS (
+      SELECT doc_id, text, compressed, r.r AS rec_no,
+             CASE WHEN r.r = 1 THEN 0
+                  ELSE 18 + (n_chars + r.r * 9) % 160 END AS size
+      FROM d, unnest(generate_series(0, CAST(k - 1 AS BIGINT))) r(r)
+    ), b AS (
+      SELECT doc_id, rec_no,
+             ascii(substr(text,
+               ((((g.i % 64) * 31 + rec_no * 7)) % length(text)) + 1,
+               1)) % 256 AS bb
+      FROM ent, unnest(generate_series(0, CAST(size - 1 AS BIGINT))) g(i)
+      WHERE size > 0
+    ), stats AS (
+      SELECT doc_id, rec_no,
+             CAST(sum(bb) AS DOUBLE) / count(*) AS mean_b,
+             CAST(min(bb) AS INT) AS min_b,
+             CAST(max(bb) AS INT) AS max_b
+      FROM b GROUP BY doc_id, rec_no
+    )
+    SELECT ent.doc_id,
+           CAST(ent.rec_no AS INT) AS rec_no,
+           'k' || ent.doc_id || '/' || ent.rec_no AS key,
+           ent.compressed,
+           CAST(ent.size AS BIGINT) AS size,
+           COALESCE(stats.mean_b, 0.0) AS mean_b,
+           COALESCE(stats.min_b, 0) AS min_b,
+           COALESCE(stats.max_b, 0) AS max_b
+    FROM ent LEFT JOIN stats
+      ON ent.doc_id = stats.doc_id AND ent.rec_no = stats.rec_no
+    ORDER BY ent.doc_id, ent.rec_no
+    """,
+)
+def q_seqfile_extract(spark, sf_dir):
+    """Hadoop SequenceFile extraction under the driver hash (r16 —
+    the Hive-era row container next to Avro, functions/seqfile.py).
+    Per document a real version-6 file is muxed executor-side — 2 +
+    doc_id%3 records with Text keys 'k{doc}/{r}' and BytesWritable
+    values carrying stride-31 formula bodies cycled from 64-byte bases
+    (record r phasing the stride, size 18 + (n_chars + 9r)%160, record
+    1 a zero-length value), a sync escape every 2 records so the
+    mid-stream 0xFFFFFFFF marker path is hashed, and the zlib
+    DefaultCodec record compression on doc parity (through the capped
+    inflate). read_seqfile_records re-walks the header (Hadoop vint
+    class names, booleans, metadata map), verifies every sync marker,
+    unwraps both Writable envelopes (Text UTF-8 validated,
+    BytesWritable inner length enforced), and ships one row per record
+    with the key, the PARSED compression flag, and exact value stats.
+    The oracle replays the key/size/byte arithmetic in SQL (a LEFT
+    JOIN keeps the empty value's zero-stats row). Scale shape: one
+    scan, one doc_id exchange (_codec_parallel), two fused Arrow
+    stages; the sync escapes this query verifies are exactly what
+    makes a 100 TB SequenceFile splittable."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    from polars_express_spark.functions.seqfile import (
+        encode_seqfile,
+        read_seqfile_records,
+    )
+
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+        # half the corpus; %2 compression parity and %3 record counts
+        # survive doc%8<4 (idle sf0.1 measurement in the commit, the
+        # standing trim ratchet)
+        & (F.col("doc_id") % 8 < 4)
+    )
+    bs = d.select(
+        "doc_id",
+        "n_chars",
+        # 64-byte bases, cycled in Python (the archive-tier idiom)
+        F.expr(
+            "transform(sequence(0, 1 + doc_id % 3),"
+            " r -> transform(sequence(0, 63),"
+            " j -> ascii(substring(text, ((j * 31 + r * 7) % length(text)) + 1,"
+            " 1)) % 256))"
+        ).alias("fs"),
+    )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            payloads = []
+            for doc_id, n_chars, fs in zip(
+                pdf["doc_id"], pdf["n_chars"], pdf["fs"]
+            ):
+                doc_id, n_chars = int(doc_id), int(n_chars)
+                recs = []
+                for r, base in enumerate(fs):
+                    key = f"k{doc_id}/{r}".encode()
+                    if r == 1:  # the zero-length value edge
+                        recs.append((key, b""))
+                        continue
+                    ln = 18 + (n_chars + r * 9) % 160
+                    arr = np.array([int(x) for x in base], dtype=np.uint8)
+                    recs.append(
+                        (key, np.tile(arr, (ln + 63) // 64)[:ln].tobytes())
+                    )
+                payloads.append(
+                    encode_seqfile(
+                        recs,
+                        compress=doc_id % 2 == 1,
+                        sync_interval=2,
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    sq = _codec_parallel(bs).mapInPandas(
+        synth, schema="doc_id bigint, payload binary"
+    )
+    return read_seqfile_records(sq).orderBy("doc_id", "rec_no")
+
+
+@query(
+    "q_cbor_extract",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, text, n_chars, CAST(2 + doc_id % 3 AS INT) AS k
+      FROM documents
+      WHERE text IS NOT NULL AND length(text) > 0 AND doc_id % 8 < 4
+    ), ent AS (
+      SELECT doc_id, text, n_chars, r.r AS rec_no,
+             CASE WHEN r.r = 1 THEN 0
+                  ELSE 12 + (n_chars + r.r * 5) % 140 END AS size
+      FROM d, unnest(generate_series(0, CAST(k - 1 AS BIGINT))) r(r)
+    ), b AS (
+      SELECT doc_id, rec_no,
+             ascii(substr(text,
+               ((((g.i % 64) * 41 + rec_no * 9)) % length(text)) + 1,
+               1)) % 256 AS bb
+      FROM ent, unnest(generate_series(0, CAST(size - 1 AS BIGINT))) g(i)
+      WHERE size > 0
+    ), sums AS (
+      SELECT doc_id, rec_no, CAST(sum(bb) AS BIGINT) AS txt_sum
+      FROM b GROUP BY doc_id, rec_no
+    )
+    SELECT ent.doc_id,
+           CAST(ent.rec_no AS INT) AS rec_no,
+           CAST(ent.n_chars * (ent.rec_no + 1) - 600 AS BIGINT) AS id_val,
+           CAST(ent.size AS INT) AS txt_len,
+           COALESCE(sums.txt_sum, 0) AS txt_sum,
+           CAST((ent.n_chars + 29 * ent.rec_no) % 1024 AS DOUBLE) / 8.0
+             AS score,
+           (ent.doc_id + ent.rec_no) % 2 = 1 AS flag
+    FROM ent LEFT JOIN sums
+      ON ent.doc_id = sums.doc_id AND ent.rec_no = sums.rec_no
+    ORDER BY ent.doc_id, ent.rec_no
+    """,
+)
+def q_cbor_extract(spark, sf_dir):
+    """CBOR decode under the driver hash (r16 — RFC 8949, the
+    self-describing metadata-blob serialization; functions/cbor.py is
+    pinned against the RFC's own Appendix A test vectors in the
+    property suite). Per document a real CBOR payload is muxed
+    executor-side: a top-level array of 2 + doc_id%3 maps, each with
+    an integer 'id' spanning negative and multi-width positive heads
+    (n_chars·(r+1) − 600), a byte string 'txt' of stride-41 formula
+    bytes cycled from 64-byte bases (record 1 a zero-length string —
+    the empty-bytes head), an eighth-integer float 'score' (exact in
+    binary64), and a parity boolean 'flag' — so integer, bytes, text
+    (the map keys), float, boolean, array, and map majors are all
+    hashed every round. read_cbor_records re-decodes through the full
+    RFC walk (UTF-8 validation, duplicate-key rejection, depth cap)
+    and ships one row per element; the oracle replays the arithmetic
+    in SQL. Scale shape: one scan, one doc_id exchange
+    (_codec_parallel), two fused Arrow stages."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    from polars_express_spark.functions.cbor import (
+        encode_cbor,
+        read_cbor_records,
+    )
+
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+        # half the corpus; %3 record counts and %2 flag parity survive
+        # doc%8<4 (idle sf0.1 measurement in the commit, the standing
+        # trim ratchet)
+        & (F.col("doc_id") % 8 < 4)
+    )
+    bs = d.select(
+        "doc_id",
+        "n_chars",
+        # 64-byte bases, cycled in Python (the archive-tier idiom)
+        F.expr(
+            "transform(sequence(0, 1 + doc_id % 3),"
+            " r -> transform(sequence(0, 63),"
+            " j -> ascii(substring(text, ((j * 41 + r * 9) % length(text)) + 1,"
+            " 1)) % 256))"
+        ).alias("fs"),
+    )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            payloads = []
+            for doc_id, n_chars, fs in zip(
+                pdf["doc_id"], pdf["n_chars"], pdf["fs"]
+            ):
+                doc_id, n_chars = int(doc_id), int(n_chars)
+                items = []
+                for r, base in enumerate(fs):
+                    if r == 1:
+                        txt = b""
+                    else:
+                        ln = 12 + (n_chars + r * 5) % 140
+                        arr = np.array([int(x) for x in base],
+                                       dtype=np.uint8)
+                        txt = np.tile(arr, (ln + 63) // 64)[:ln].tobytes()
+                    items.append({
+                        "id": n_chars * (r + 1) - 600,
+                        "txt": txt,
+                        "score": ((n_chars + 29 * r) % 1024) / 8.0,
+                        "flag": (doc_id + r) % 2 == 1,
+                    })
+                payloads.append(encode_cbor(items))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    cb = _codec_parallel(bs).mapInPandas(
+        synth, schema="doc_id bigint, payload binary"
+    )
+    return read_cbor_records(cb).orderBy("doc_id", "rec_no")

@@ -1488,10 +1488,12 @@ def test_parsers_never_crash_on_corrupt_payloads(seed, kind):
         parse_warc,
     )
     from polars_express_spark.functions.avro import parse_avro
+    from polars_express_spark.functions.cbor import parse_cbor
     from polars_express_spark.functions.protowire import (
         parse_protowire,
         parse_tf_example,
     )
+    from polars_express_spark.functions.seqfile import parse_seqfile
     from polars_express_spark.functions.tar import parse_tar
     from polars_express_spark.functions.tfrecord import parse_tfrecord
     from polars_express_spark.functions.ziparc import parse_zip
@@ -1508,7 +1510,8 @@ def test_parsers_never_crash_on_corrupt_payloads(seed, kind):
                parse_mkv_audio, parse_warc, parse_http_response, parse_mp3,
                parse_zip, parse_tar, parse_tfrecord, parse_id3v2,
                parse_avro, parse_protowire, parse_tf_example,
-               parse_icns, parse_ogg_theora_info]
+               parse_icns, parse_ogg_theora_info, parse_seqfile,
+               parse_cbor]
     if kind == 0:  # magic-prefixed garbage through every parser
         magics = [b"\x89PNG\r\n\x1a\n", b"BM", b"GIF89a", b"P1", b"P2",
                   b"P3", b"P4", b"P5", b"P6", b"RIFF", b"RIFF\x80\x00\x00\x00AVI ",
@@ -1533,7 +1536,10 @@ def test_parsers_never_crash_on_corrupt_payloads(seed, kind):
                   + b"\xa0" * 16,
                   b"icns", b"icns\x00\x00\x00\x20TOC \x00\x00\x00\x10",
                   b"icns\x00\x00\x00\x14icp4\x00\x00\x00\x0c",
-                  b"\x80theora", b""]
+                  b"\x80theora",
+                  b"SEQ\x06", b"SEQ\x06\x22org.apache.hadoop.io.Text",
+                  b"\x9f", b"\xbf", b"\x82\x01", b"\xa2\x61a", b"\xfb",
+                  b""]
         for m in magics:
             payload = m + rng.bytes(int(rng.randint(0, 160)))
             for p in parsers:
@@ -2695,6 +2701,136 @@ def test_ogg_theora_id_roundtrip(picw, pich, frn, frd, qual, kg, pf,
     bad = bytearray(ident)
     bad[7] = 2  # VMAJ must be 3
     assert parse_ogg(encode_ogg(bytes(bad), pkts)) is None
+
+
+@given(
+    compress=st.booleans(),
+    si=st.integers(0, 3),
+    sizes=st.lists(st.integers(0, 800), min_size=0, max_size=6),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=60, deadline=None)
+def test_seqfile_roundtrip_and_sync(compress, si, sizes, seed):
+    """r16 — encode_seqfile → parse_seqfile recovers every (Text key,
+    BytesWritable value) pair byte-exactly across the record-compressed
+    (zlib DefaultCodec) and plain forms at every sync interval; Hadoop
+    vints are pinned against hand-derived encodings. Integrity
+    honesty: SequenceFile carries NO data checksum — the sync escapes
+    detect framing damage (a flipped sync byte rejects) and are the
+    format's splittability convention, but a plain-form value flip
+    silently alters, like tar member data. The Writable envelopes are
+    strict: a BytesWritable inner-length mismatch and a non-UTF-8 Text
+    key both reject; block compression is out of envelope."""
+    import numpy as np
+
+    from polars_express_spark.functions.seqfile import (
+        _read_hstring,
+        _read_hvint,
+        _w_hvint,
+        encode_seqfile,
+        parse_seqfile,
+    )
+
+    for n_, bs_ in [(0, b"\x00"), (127, b"\x7f"), (-112, b"\x90"),
+                    (128, b"\x8f\x80"), (-113, b"\x87\x70"),
+                    (65535, b"\x8e\xff\xff")]:
+        assert _w_hvint(n_) == bs_ and _read_hvint(bs_, 0) == (n_, len(bs_))
+
+    rng = np.random.RandomState(seed)
+    recs = [(f"k/{i}".encode(), rng.bytes(s)) for i, s in enumerate(sizes)]
+    enc = encode_seqfile(recs, compress=compress, sync_interval=si,
+                         metadata={"m": "1"})
+    got = parse_seqfile(enc)
+    assert got is not None
+    kc, vc, comp, meta, sync, out = got
+    assert comp == compress and meta == {"m": "1"} and out == recs
+    assert parse_seqfile(enc[:-1]) is None
+    assert parse_seqfile(enc + b"\x00") is None
+    # header sync flip rejects every record boundary check
+    at = enc.index(sync)
+    b = bytearray(enc)
+    b[at + int(rng.randint(0, 16))] ^= 1 << int(rng.randint(0, 8))
+    if si and len(recs) > si:
+        assert parse_seqfile(bytes(b)) is None  # escape marker disagrees
+    # block-compression flag rejects
+    b = bytearray(enc)
+    _, p1 = _read_hstring(enc, 4)
+    _, p2 = _read_hstring(enc, p1)
+    b[p2 + 1] = 1
+    assert parse_seqfile(bytes(b)) is None
+    # arbitrary flips never crash
+    b = bytearray(enc)
+    for _ in range(12):
+        i = int(rng.randint(0, len(b)))
+        b[i] ^= 1 << int(rng.randint(0, 8))
+        parse_seqfile(bytes(b))
+        b = bytearray(enc)
+
+
+@given(
+    ints=st.lists(st.integers(-(2**64), 2**64 - 1), min_size=0, max_size=6),
+    blobs=st.lists(st.binary(min_size=0, max_size=400), min_size=0,
+                   max_size=4),
+    texts=st.lists(st.text(max_size=60), min_size=0, max_size=4),
+    eighths=st.lists(st.integers(-(2**20), 2**20), min_size=0, max_size=4),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=60, deadline=None)
+def test_cbor_roundtrip_and_rfc_vectors(ints, blobs, texts, eighths, seed):
+    """r16 — encode_cbor → parse_cbor is the identity over nested
+    arrays/maps of ints (full 65-bit CBOR range), bytes, text, exact
+    eighth-integer floats, booleans, and null (the CBOR_NULL sentinel
+    keeps None as the error signal); the decoder is pinned against RFC
+    8949's own Appendix A vectors including all three float widths.
+    Indefinite lengths, tags, undefined/unassigned simple values,
+    duplicate map keys, trailing bytes, truncation, and >64-deep
+    nesting all reject."""
+    from binascii import unhexlify as uh
+
+    import numpy as np
+
+    from polars_express_spark.functions.cbor import (
+        CBOR_NULL,
+        encode_cbor,
+        parse_cbor,
+    )
+
+    for hexs, want in [
+        ("00", 0), ("1818", 24), ("1a000f4240", 1000000),
+        ("1bffffffffffffffff", 18446744073709551615), ("3903e7", -1000),
+        ("f90000", 0.0), ("f93c00", 1.0), ("fb3ff199999999999a", 1.1),
+        ("f97bff", 65504.0), ("fa47c35000", 100000.0), ("f9c400", -4.0),
+        ("f4", False), ("f5", True), ("f6", CBOR_NULL),
+        ("4401020304", b"\x01\x02\x03\x04"), ("62c3bc", "ü"),
+        ("8301820203820405", [1, [2, 3], [4, 5]]),
+        ("a26161016162820203", {"a": 1, "b": [2, 3]}),
+    ]:
+        assert parse_cbor(uh(hexs)) == want, hexs
+    for hexs in ["5f42010243030405ff", "9f018202039f0405ffff",
+                 "c074323031332d30332d32315432303a30343a30305a", "f7",
+                 "00ff", "a1", "a2616101616102"]:
+        assert parse_cbor(uh(hexs)) is None, hexs
+
+    ints = [i for i in ints if -(1 << 64) <= i < (1 << 64)]
+    value = {
+        "ints": ints, "blobs": blobs, "texts": texts,
+        "floats": [q / 8.0 for q in eighths],
+        "flags": [True, False, CBOR_NULL],
+        1: {"nested": [ints[:2], {"deep": b"x"}]},
+    }
+    enc = encode_cbor(value)
+    assert parse_cbor(enc) == value
+    if len(enc) > 1:
+        assert parse_cbor(enc[:-1]) is None
+    assert parse_cbor(enc + b"\x00") is None
+    assert parse_cbor(b"\x81" * 100 + b"\x00") is None  # depth bomb
+    rng = np.random.RandomState(seed)
+    b = bytearray(enc)
+    for _ in range(12):  # flips never crash (no checksum by design)
+        i = int(rng.randint(0, len(b)))
+        b[i] ^= 1 << int(rng.randint(0, 8))
+        parse_cbor(bytes(b))
+        b = bytearray(enc)
 
 
 @given(
