@@ -51,12 +51,53 @@ def _checksum(header: bytes) -> int:
     return sum(header[:148]) + 8 * 0x20 + sum(header[156:])
 
 
+_MAX_DECOMP = 1 << 26  # shared decompression cap (the bomb guard)
+
+
+def _bunzip_capped(payload: bytes):
+    """Single-stream bzip2 decompression under the cap. bzip2 verifies
+    a CRC-32 per block AND a combined stream CRC, so a flip inside
+    compressed data is DETECTED (the gzip-member tier). Multi-stream
+    concatenations are out of envelope (unused_data rejects)."""
+    import bz2
+
+    d = bz2.BZ2Decompressor()
+    try:
+        out = d.decompress(payload, _MAX_DECOMP + 1)
+    except OSError:
+        return None
+    if len(out) > _MAX_DECOMP or not d.eof or d.unused_data:
+        return None
+    return out
+
+
+def _unxz_capped(payload: bytes):
+    """Single-stream .xz decompression under the cap. The xz container
+    carries its own integrity check per block (CRC-32/CRC-64/SHA-256
+    per the stream flags), verified by the decoder — a flip inside
+    compressed data is DETECTED. Multi-stream files are out of
+    envelope."""
+    import lzma
+
+    d = lzma.LZMADecompressor(format=lzma.FORMAT_XZ)
+    try:
+        out = d.decompress(payload, _MAX_DECOMP + 1)
+    except lzma.LZMAError:
+        return None
+    if len(out) > _MAX_DECOMP or not d.eof or d.unused_data:
+        return None
+    return out
+
+
 def parse_tar(payload: bytes):
     """REAL tar parse: returns [(name, size, data bytes), ...] for the
     regular-file members, or None. Every header checksum is verified;
     the archive must end with two zero blocks (truncation is
-    corruption). Accepts a gzip-wrapped stream (.tar.gz) via the
-    capped inflate."""
+    corruption). Accepts gzip- (.tar.gz), bzip2- (.tar.bz2, r16), and
+    xz-wrapped (.tar.xz, r16) streams via capped decompressors — all
+    three wrappers carry their own checksums, so compressed-shard
+    corruption is detected even though bare tar member data is
+    unchecksummed by spec."""
     if payload[:2] == b"\x1f\x8b":
         from polars_express_spark.functions.warc import _gunzip_members
 
@@ -64,6 +105,14 @@ def parse_tar(payload: bytes):
         if g is None:
             return None
         payload = g[0]
+    elif payload[:3] == b"BZh":
+        payload = _bunzip_capped(payload)
+        if payload is None:
+            return None
+    elif payload[:6] == b"\xfd7zXZ\x00":
+        payload = _unxz_capped(payload)
+        if payload is None:
+            return None
     out = []
     pos = 0
     n = len(payload)
@@ -118,11 +167,21 @@ def parse_tar(payload: bytes):
     return out
 
 
-def encode_tar(entries, gzip_wrap: bool = False) -> bytes:
+def encode_tar(
+    entries, gzip_wrap: bool = False, compression: str | None = None
+) -> bytes:
     """Independent ustar writer: ``entries`` is [(name, data bytes),
     ...]; 512-byte headers with correct checksums, data padded to
-    block size, two terminating zero blocks; optionally gzip-wrapped
-    (.tar.gz)."""
+    block size, two terminating zero blocks; optionally wrapped as
+    .tar.gz (``gzip_wrap`` or compression='gz'), .tar.bz2
+    (compression='bz2', r16), or .tar.xz (compression='xz', r16 —
+    written with the CRC-64 check, the xz default)."""
+    if gzip_wrap and compression not in (None, "gz"):
+        raise ValueError("gzip_wrap conflicts with compression")
+    if gzip_wrap:
+        compression = "gz"
+    if compression not in (None, "gz", "bz2", "xz"):
+        raise ValueError("compression must be gz, bz2, or xz")
     out = bytearray()
     for name, data in entries:
         data = bytes(data)
@@ -145,11 +204,21 @@ def encode_tar(entries, gzip_wrap: bool = False) -> bytes:
         if len(data) % _BLOCK:
             out += b"\x00" * (_BLOCK - len(data) % _BLOCK)
     out += b"\x00" * (2 * _BLOCK)
-    if gzip_wrap:
+    if compression == "gz":
         import zlib
 
         co = zlib.compressobj(6, zlib.DEFLATED, 31)
         return co.compress(bytes(out)) + co.flush()
+    if compression == "bz2":
+        import bz2
+
+        return bz2.compress(bytes(out), 6)
+    if compression == "xz":
+        import lzma
+
+        return lzma.compress(
+            bytes(out), format=lzma.FORMAT_XZ, check=lzma.CHECK_CRC64
+        )
     return bytes(out)
 
 

@@ -1539,6 +1539,8 @@ def test_parsers_never_crash_on_corrupt_payloads(seed, kind):
                   b"\x80theora",
                   b"SEQ\x06", b"SEQ\x06\x22org.apache.hadoop.io.Text",
                   b"\x9f", b"\xbf", b"\x82\x01", b"\xa2\x61a", b"\xfb",
+                  b"BZh", b"BZh91AY&SY", b"\xfd7zXZ\x00",
+                  b"\xfd7zXZ\x00\x00\x04\xe6\xd6\xb4F",
                   b""]
         for m in magics:
             payload = m + rng.bytes(int(rng.randint(0, 160)))
@@ -2382,19 +2384,22 @@ def test_zip_roundtrip_and_stdlib_cross(k, method, sizes, seed):
 
 @given(
     k=st.integers(0, 5),
-    gz=st.booleans(),
+    comp=st.sampled_from([None, "gz", "bz2", "xz"]),
     sizes=st.lists(st.integers(0, 1200), min_size=0, max_size=5),
     seed=st.integers(0, 2**31 - 1),
 )
 @settings(max_examples=60, deadline=None)
-def test_tar_roundtrip_and_stdlib_cross(k, gz, sizes, seed):
+def test_tar_roundtrip_and_stdlib_cross(k, comp, sizes, seed):
     """r15 — encode_tar → parse_tar recovers every member exactly
     (block padding at every size residue, names through the ustar
     prefix join), cross-verified BOTH WAYS against the stdlib tarfile
     module; every header checksum is verified (a header flip is
     detected) while member data is unchecksummed by spec — the
     plain-WARC side of the §2.10 integrity asymmetry. Truncation and
-    missing end blocks reject."""
+    missing end blocks reject. r16 extends the wrapper set to .tar.bz2
+    and .tar.xz (both carry their own stream checksums, so a flip
+    inside compressed data is DETECTED — asserted below for all three
+    compressed forms)."""
     import io
     import tarfile
 
@@ -2402,25 +2407,27 @@ def test_tar_roundtrip_and_stdlib_cross(k, gz, sizes, seed):
 
     from polars_express_spark.functions.tar import encode_tar, parse_tar
 
+    gz = comp is not None
     rng = np.random.RandomState(seed)
     entries = [
         (f"s/{i}.bin", rng.bytes(s))
         for i, s in enumerate(sizes[:k] if k <= len(sizes) else sizes)
     ]
-    enc = encode_tar(entries, gzip_wrap=gz)
+    enc = encode_tar(entries, compression=comp)
     got = parse_tar(enc)
     assert got is not None
     assert [(g[0], g[2]) for g in got] == entries
     assert all(g[1] == len(g[2]) for g in got)
     # our writer -> stdlib reader
-    tf = tarfile.open(fileobj=io.BytesIO(enc), mode="r:gz" if gz else "r:")
+    mode = f"r:{comp}" if comp else "r:"
+    tf = tarfile.open(fileobj=io.BytesIO(enc), mode=mode)
     assert [
         (m.name, tf.extractfile(m).read()) for m in tf.getmembers()
     ] == entries
     # stdlib writer -> our reader (ustar format, no PAX)
     buf = io.BytesIO()
     with tarfile.open(
-        fileobj=buf, mode="w:gz" if gz else "w:",
+        fileobj=buf, mode=f"w:{comp}" if comp else "w:",
         format=tarfile.USTAR_FORMAT,
     ) as w:
         for n_, d_ in entries:
@@ -2429,6 +2436,19 @@ def test_tar_roundtrip_and_stdlib_cross(k, gz, sizes, seed):
             w.addfile(ti, io.BytesIO(d_))
     got2 = parse_tar(buf.getvalue())
     assert got2 is not None and [(g[0], g[2]) for g in got2] == entries
+    # compressed wrappers carry their own checksums: a flip inside the
+    # stream is detected, or (gzip header fields the CRC doesn't
+    # cover) decodes to identical members — never altered bytes
+    if comp is not None and entries:
+        b = bytearray(enc)
+        for _ in range(10):
+            i = int(rng.randint(0, len(b)))
+            bit = 1 << int(rng.randint(0, 8))
+            b[i] ^= bit
+            r = parse_tar(bytes(b))
+            if r is not None:
+                assert [(g[0], g[2]) for g in r] == entries
+            b[i] ^= bit
     # header flips are detected by the ustar checksum (bare form)
     if entries and not gz:
         b = bytearray(enc)
