@@ -94,6 +94,12 @@ r16 builder measurements (Avro tier, idle sf0.1):
   the bench warms codegen across 225 queries; the same session read
   zip at 2.25-2.36 vs its 1.67 bench ledger mark). Both are flat
   two-stage codec queries on the standard floor.
+- The remaining r16 ingestion queries probe in the same band at steal
+  0.10: q_seqfile_extract 2.66-2.85, q_cbor_extract 2.72-2.80,
+  q_msgpack_extract 2.72-2.74 (all half population doc%8<4; the
+  formula/strategy axes key on doc%2/%3/%4/%5 and doc+r, all of which
+  survive). The end-of-round full-bench ledger below carries the
+  comparable marks.
 - q_tfexample_extract (the tf.Example wire-format decode) does
   strictly more work than its q_tfrecord_extract sibling (same CRC
   framing PLUS the full payload decode and three output rows per

@@ -4296,3 +4296,135 @@ def q_cbor_extract(spark, sf_dir):
         synth, schema="doc_id bigint, payload binary"
     )
     return read_cbor_records(cb).orderBy("doc_id", "rec_no")
+
+
+@query(
+    "q_msgpack_extract",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, text, n_chars, CAST(2 + doc_id % 3 AS INT) AS k
+      FROM documents
+      WHERE text IS NOT NULL AND length(text) > 0 AND doc_id % 8 < 4
+    ), ent AS (
+      SELECT doc_id, text, n_chars, r.r AS rec_no,
+             CASE WHEN r.r = 1 THEN 0
+                  ELSE 14 + (n_chars + r.r * 3) % 130 END AS size,
+             CAST(1 + (doc_id + r.r) % 5 AS INT) AS n_tags
+      FROM d, unnest(generate_series(0, CAST(k - 1 AS BIGINT))) r(r)
+    ), b AS (
+      SELECT doc_id, rec_no,
+             ascii(substr(text,
+               ((((g.i % 64) * 47 + rec_no * 13)) % length(text)) + 1,
+               1)) % 256 AS bb
+      FROM ent, unnest(generate_series(0, CAST(size - 1 AS BIGINT))) g(i)
+      WHERE size > 0
+    ), sums AS (
+      SELECT doc_id, rec_no, CAST(sum(bb) AS BIGINT) AS bin_sum
+      FROM b GROUP BY doc_id, rec_no
+    ), tags AS (
+      SELECT doc_id, rec_no,
+             CAST(sum((n_chars + t.t * 7 + rec_no) % 256) AS BIGINT)
+               AS tags_sum
+      FROM ent, unnest(generate_series(0, CAST(n_tags - 1 AS BIGINT))) t(t)
+      GROUP BY doc_id, rec_no
+    )
+    SELECT ent.doc_id,
+           CAST(ent.rec_no AS INT) AS rec_no,
+           CAST(ent.n_chars * (ent.rec_no + 1) - 700 AS BIGINT) AS id_val,
+           'rec-' || ent.doc_id || '-' || ent.rec_no AS name,
+           CAST(ent.size AS INT) AS bin_len,
+           COALESCE(sums.bin_sum, 0) AS bin_sum,
+           ent.n_tags,
+           tags.tags_sum,
+           CAST((ent.n_chars + 23 * ent.rec_no) % 2048 AS DOUBLE) / 16.0
+             AS score,
+           (ent.doc_id + ent.rec_no) % 2 = 0 AS ok
+    FROM ent
+    LEFT JOIN sums
+      ON ent.doc_id = sums.doc_id AND ent.rec_no = sums.rec_no
+    JOIN tags
+      ON ent.doc_id = tags.doc_id AND ent.rec_no = tags.rec_no
+    ORDER BY ent.doc_id, ent.rec_no
+    """,
+)
+def q_msgpack_extract(spark, sf_dir):
+    """MessagePack decode under the driver hash (r16 — the Fluentd/
+    Redis serialization next to CBOR; functions/msgpack.py is pinned
+    against spec-derived byte vectors in the property suite). Per
+    document a real payload is muxed executor-side: a top-level array
+    of 2 + doc_id%3 maps, each carrying an integer 'id' spanning
+    negative and multi-width heads (n_chars·(r+1) − 700), a str 'name'
+    ('rec-{doc}-{r}' — fixstr and str8 widths both land), a bin 'bin'
+    of stride-47 formula bytes (record 1 zero-length — the empty-bin
+    head), a fixarray 'tags' of 1 + (doc+r)%5 small ints, a
+    sixteenth-integer float 'score' (exact in binary64), and a parity
+    boolean 'ok' — so fixint/negative-fixint/uint/int, fixstr, bin,
+    fixarray, fixmap, float64, and bool families are all hashed every
+    round. read_msgpack_records re-decodes through the full spec walk
+    (UTF-8 validation, duplicate-key rejection, depth cap) and ships
+    one row per element; the oracle replays the arithmetic in SQL.
+    Scale shape: one scan, one doc_id exchange (_codec_parallel), two
+    fused Arrow stages."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    from polars_express_spark.functions.msgpack import (
+        encode_msgpack,
+        read_msgpack_records,
+    )
+
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+        # half the corpus; %3 record counts, %5 tag counts, and %2
+        # parities survive doc%8<4 (idle sf0.1 measurement in the
+        # commit, the standing trim ratchet)
+        & (F.col("doc_id") % 8 < 4)
+    )
+    bs = d.select(
+        "doc_id",
+        "n_chars",
+        # 64-byte bases, cycled in Python (the archive-tier idiom)
+        F.expr(
+            "transform(sequence(0, 1 + doc_id % 3),"
+            " r -> transform(sequence(0, 63),"
+            " j -> ascii(substring(text, ((j * 47 + r * 13) % length(text)) + 1,"
+            " 1)) % 256))"
+        ).alias("fs"),
+    )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            payloads = []
+            for doc_id, n_chars, fs in zip(
+                pdf["doc_id"], pdf["n_chars"], pdf["fs"]
+            ):
+                doc_id, n_chars = int(doc_id), int(n_chars)
+                items = []
+                for r, base in enumerate(fs):
+                    if r == 1:
+                        binv = b""
+                    else:
+                        ln = 14 + (n_chars + r * 3) % 130
+                        arr = np.array([int(x) for x in base],
+                                       dtype=np.uint8)
+                        binv = np.tile(arr, (ln + 63) // 64)[:ln].tobytes()
+                    n_tags = 1 + (doc_id + r) % 5
+                    items.append({
+                        "id": n_chars * (r + 1) - 700,
+                        "name": f"rec-{doc_id}-{r}",
+                        "bin": binv,
+                        "tags": [(n_chars + t * 7 + r) % 256
+                                 for t in range(n_tags)],
+                        "score": ((n_chars + 23 * r) % 2048) / 16.0,
+                        "ok": (doc_id + r) % 2 == 0,
+                    })
+                payloads.append(encode_msgpack(items))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    mp = _codec_parallel(bs).mapInPandas(
+        synth, schema="doc_id bigint, payload binary"
+    )
+    return read_msgpack_records(mp).orderBy("doc_id", "rec_no")

@@ -52,9 +52,9 @@ def query(name: str, oracle: str | None = None):
 #   slots 1-26  — the ENTIRE remaining r11 tier, alphabetical (retires
 #                 r11 evidence for good; declared last round and held
 #                 to by the r15 verdict);
-#   slots 27-44 — the 18 oldest r12-hash, alphabetical (q01_preview
-#                 .. q28_math);
-#   slots 45-50 — NEW this round, never checked: q_avro_extract (the
+#   slots 27-43 — the 17 oldest r12-hash, alphabetical (q01_preview
+#                 .. q27_dates);
+#   slots 44-50 — NEW this round, never checked: q_avro_extract (the
 #                 Avro object-container grammar — zigzag-varint
 #                 metadata map, per-block sync-marker equality, null +
 #                 raw-deflate codecs through the capped inflate,
@@ -82,17 +82,21 @@ def query(name: str, oracle: str | None = None):
 #                 class names, Text keys + BytesWritable values both
 #                 envelope-verified, sync escapes every 2 records,
 #                 zlib DefaultCodec record compression by doc parity
-#                 through the capped inflate), and q_cbor_extract
+#                 through the capped inflate), q_cbor_extract
 #                 (RFC 8949 — integer/bytes/text/float/bool/array/map
 #                 majors all hashed, Appendix-A-vector-pinned decoder,
-#                 duplicate-key and depth-bomb rejection).
-# Tier "next" (r17) = the 30 r12-hash queries that did not fit
-# (q29_arrays, q30_json, q31_nulls, q34_exact_dedup, q35_cosine_topk,
-# q36_token_counts, q37_json_sink, q38_write_roundtrip, q_ab_ztest,
-# q_ann_ivf, q_ann_ivfpq, q_ann_pq, q_benford, q_chi2,
-# q_control_chart, q_multimodal_gif, q_multimodal_jpeg,
-# q_multimodal_mulaw, q_rare_tokens, q_retention, q_rfm,
-# q_skew_profile, q_skyline, q_snapshot_diff, q_streaks,
+#                 duplicate-key and depth-bomb rejection), and
+#                 q_msgpack_extract (the Fluentd/Redis serialization —
+#                 every width family from negative fixint to uint64,
+#                 fixstr/bin/fixarray/fixmap heads, spec-vector-pinned
+#                 decoder, ext family out of envelope).
+# Tier "next" (r17) = the 31 r12-hash queries that did not fit
+# (q28_math, q29_arrays, q30_json, q31_nulls, q34_exact_dedup,
+# q35_cosine_topk, q36_token_counts, q37_json_sink,
+# q38_write_roundtrip, q_ab_ztest, q_ann_ivf, q_ann_ivfpq, q_ann_pq,
+# q_benford, q_chi2, q_control_chart, q_multimodal_gif,
+# q_multimodal_jpeg, q_multimodal_mulaw, q_rare_tokens, q_retention,
+# q_rfm, q_skew_profile, q_skyline, q_snapshot_diff, q_streaks,
 # q_text_search, q_train_split, q_transitions, q_unicode_norm,
 # q_weighted_sample), then the 50 r13-hash tier (alphabetical), with
 # new never-checked queries taking tail slots first (the endorsed
@@ -231,14 +235,13 @@ _PRIORITY = [
     "q_semdedup", "q_tfidf", "q_tpch_q11", "q_tpch_q16", "q_tpch_q17",
     "q_tpch_q2", "q_tpch_q20", "q_tpch_q9", "q_weighted_median",
     "q_winsorize",
-    # slots 27-44 — the 18 oldest r12-hash, alphabetical
+    # slots 27-43 — the 17 oldest r12-hash, alphabetical
     "q01_preview", "q02_sort_slice", "q05_filter_project",
     "q06_cast_arith", "q07_conditional", "q12_inner_join",
     "q13_multi_join", "q14_left_join", "q14b_right_join",
     "q14c_full_join", "q15_anti_join", "q15_semi_join", "q16_cross_join",
     "q17_non_equi_join", "q25_strings", "q26_regex", "q27_dates",
-    "q28_math",
-    # slots 45-50 — new this round: the Avro object-container
+    # slots 44-50 — new this round: the Avro object-container
     # ingestion tier (zigzag-varint metadata map, per-block
     # sync-marker equality, null + raw-deflate codecs through the
     # capped inflate, bytes/string datum decode with UTF-8 validation;
@@ -251,10 +254,12 @@ _PRIORITY = [
     # pinned by count and value sum), the Apple ICNS container (PNG
     # elements at spec-fixed nominal sizes, TOC validation), the
     # Hadoop SequenceFile v6 tier (Writable envelopes, sync escapes,
-    # DefaultCodec record compression), and the CBOR tier (RFC 8949,
-    # Appendix-A-pinned, all in-envelope majors under one hash)
+    # DefaultCodec record compression), the CBOR tier (RFC 8949,
+    # Appendix-A-pinned, all in-envelope majors under one hash), and
+    # the MessagePack tier (every width family, spec-vector-pinned)
     "q_avro_extract", "q_tfexample_extract", "q_multimodal_ogg_theora",
     "q_multimodal_icns", "q_seqfile_extract", "q_cbor_extract",
+    "q_msgpack_extract",
 ]
 
 

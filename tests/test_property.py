@@ -1489,6 +1489,7 @@ def test_parsers_never_crash_on_corrupt_payloads(seed, kind):
     )
     from polars_express_spark.functions.avro import parse_avro
     from polars_express_spark.functions.cbor import parse_cbor
+    from polars_express_spark.functions.msgpack import parse_msgpack
     from polars_express_spark.functions.protowire import (
         parse_protowire,
         parse_tf_example,
@@ -1511,7 +1512,7 @@ def test_parsers_never_crash_on_corrupt_payloads(seed, kind):
                parse_zip, parse_tar, parse_tfrecord, parse_id3v2,
                parse_avro, parse_protowire, parse_tf_example,
                parse_icns, parse_ogg_theora_info, parse_seqfile,
-               parse_cbor]
+               parse_cbor, parse_msgpack]
     if kind == 0:  # magic-prefixed garbage through every parser
         magics = [b"\x89PNG\r\n\x1a\n", b"BM", b"GIF89a", b"P1", b"P2",
                   b"P3", b"P4", b"P5", b"P6", b"RIFF", b"RIFF\x80\x00\x00\x00AVI ",
@@ -1541,6 +1542,8 @@ def test_parsers_never_crash_on_corrupt_payloads(seed, kind):
                   b"\x9f", b"\xbf", b"\x82\x01", b"\xa2\x61a", b"\xfb",
                   b"BZh", b"BZh91AY&SY", b"\xfd7zXZ\x00",
                   b"\xfd7zXZ\x00\x00\x04\xe6\xd6\xb4F",
+                  b"\x94", b"\x84\xa2id", b"\xdc\x00\x10", b"\xde\x00\x04",
+                  b"\xcb", b"\xd9",
                   b""]
         for m in magics:
             payload = m + rng.bytes(int(rng.randint(0, 160)))
@@ -2850,6 +2853,71 @@ def test_cbor_roundtrip_and_rfc_vectors(ints, blobs, texts, eighths, seed):
         i = int(rng.randint(0, len(b)))
         b[i] ^= 1 << int(rng.randint(0, 8))
         parse_cbor(bytes(b))
+        b = bytearray(enc)
+
+
+@given(
+    ints=st.lists(st.integers(-(2**63), 2**64 - 1), min_size=0, max_size=8),
+    blobs=st.lists(st.binary(min_size=0, max_size=400), min_size=0,
+                   max_size=4),
+    texts=st.lists(st.text(max_size=60), min_size=0, max_size=4),
+    sixteenths=st.lists(st.integers(-(2**20), 2**20), min_size=0,
+                        max_size=4),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=60, deadline=None)
+def test_msgpack_roundtrip_and_vectors(ints, blobs, texts, sixteenths,
+                                       seed):
+    """r16 — encode_msgpack → parse_msgpack is the identity over
+    nested arrays/maps of ints (the full negative-fixint → uint64
+    range, so every width family lands), bin, str, exact
+    sixteenth-integer floats, booleans, and nil; the decoder is pinned
+    against spec-derived byte vectors for every family head. The ext
+    family, the never-used 0xc1 byte, duplicate map keys, trailing
+    bytes, truncation, and >64-deep nesting all reject."""
+    import numpy as np
+
+    from polars_express_spark.functions.msgpack import (
+        MSGPACK_NULL,
+        encode_msgpack,
+        parse_msgpack,
+    )
+
+    for enc_, want in [
+        (b"\x00", 0), (b"\x7f", 127), (b"\xff", -1), (b"\xe0", -32),
+        (b"\xcc\x80", 128), (b"\xcd\x01\x00", 256),
+        (b"\xcf" + b"\xff" * 8, 2**64 - 1), (b"\xd0\xdf", -33),
+        (b"\xd3\x80" + b"\x00" * 7, -(2**63)),
+        (b"\xc0", MSGPACK_NULL), (b"\xc2", False), (b"\xc3", True),
+        (b"\xca\x3f\x80\x00\x00", 1.0), (b"\xa5hello", "hello"),
+        (b"\xc4\x03abc", b"abc"), (b"\x93\x01\x02\x03", [1, 2, 3]),
+        (b"\x82\xa1a\x01\xa1b\x02", {"a": 1, "b": 2}),
+        (b"\xdc\x00\x11" + b"\x01" * 17, [1] * 17),
+    ]:
+        assert parse_msgpack(enc_) == want, enc_
+    for bad in [b"\xc1", b"\xc7\x01\x00x", b"\xd4\x00x", b"\x00\x00",
+                b"\xcc", b"\xa1", b"\x91", b"\xa1\xff",
+                b"\x82\xa1a\x01\xa1a\x02"]:
+        assert parse_msgpack(bad) is None, bad
+    assert parse_msgpack(b"\x91" * 100 + b"\x00") is None  # depth bomb
+
+    value = {
+        "ints": ints, "blobs": blobs, "texts": texts,
+        "floats": [q / 16.0 for q in sixteenths],
+        "mixed": [True, False, MSGPACK_NULL, {"k": ints[:2]}],
+        3: "int-keyed",
+    }
+    enc = encode_msgpack(value)
+    assert parse_msgpack(enc) == value
+    if len(enc) > 1:
+        assert parse_msgpack(enc[:-1]) is None
+    assert parse_msgpack(enc + b"\x00") is None
+    rng = np.random.RandomState(seed)
+    b = bytearray(enc)
+    for _ in range(12):  # flips never crash (no checksum by design)
+        i = int(rng.randint(0, len(b)))
+        b[i] ^= 1 << int(rng.randint(0, 8))
+        parse_msgpack(bytes(b))
         b = bytearray(enc)
 
 
