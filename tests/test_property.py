@@ -1542,6 +1542,10 @@ def test_parsers_never_crash_on_corrupt_payloads(seed, kind):
                   b"\x9f", b"\xbf", b"\x82\x01", b"\xa2\x61a", b"\xfb",
                   b"BZh", b"BZh91AY&SY", b"\xfd7zXZ\x00",
                   b"\xfd7zXZ\x00\x00\x04\xe6\xd6\xb4F",
+                  b"PK\x06\x06", b"PK\x06\x07",
+                  b"PK\x06\x07" + b"\x00" * 16
+                  + b"PK\x05\x06" + b"\x00" * 10 + b"\xff\xff"
+                  + b"\xff" * 8 + b"\x00\x00",
                   b"\x94", b"\x84\xa2id", b"\xdc\x00\x10", b"\xde\x00\x04",
                   b"\xcb", b"\xd9",
                   b""]
@@ -2332,17 +2336,23 @@ def test_mp3_metadata_walk_exact(n, sr, mode, id3v2_len, id3v1, seed):
 @given(
     k=st.integers(0, 5),
     method=st.sampled_from([0, 8]),
+    z64=st.booleans(),
     sizes=st.lists(st.integers(0, 400), min_size=0, max_size=5),
     seed=st.integers(0, 2**31 - 1),
 )
 @settings(max_examples=60, deadline=None)
-def test_zip_roundtrip_and_stdlib_cross(k, method, sizes, seed):
+def test_zip_roundtrip_and_stdlib_cross(k, method, z64, sizes, seed):
     """r15 — encode_zip → parse_zip recovers every member exactly for
     both methods, and BOTH directions cross-verify against the stdlib
     zipfile module (our writer → zipfile reader, zipfile writer → our
     reader), so the implementation can't drift into a self-consistent
     dialect. Member data is CRC-32 + size verified: a flip in member
-    bytes is detected (names are unchecksummed by spec)."""
+    bytes is detected (names are unchecksummed by spec). r16 extends
+    the envelope to zip64: the forced-zip64 form (every size/offset
+    through 0xFFFFFFFF sentinels + 0x0001 extras, EOCD64 record +
+    locator) round-trips, stdlib reads it, and stdlib's own
+    force_zip64 local-header output parses — the >4 GiB structures
+    exercised without 4 GiB of data."""
     import io
     import zipfile
 
@@ -2355,7 +2365,7 @@ def test_zip_roundtrip_and_stdlib_cross(k, method, sizes, seed):
         (f"d/{i}.txt", rng.bytes(s))
         for i, s in enumerate(sizes[:k] if k <= len(sizes) else sizes)
     ]
-    enc = encode_zip(entries, method=method)
+    enc = encode_zip(entries, method=method, zip64=z64)
     got = parse_zip(enc)
     assert got is not None
     assert [(g[0], g[3]) for g in got] == entries
@@ -2367,7 +2377,11 @@ def test_zip_roundtrip_and_stdlib_cross(k, method, sizes, seed):
         buf, "w", zipfile.ZIP_DEFLATED if method else zipfile.ZIP_STORED
     ) as z:
         for n_, d_ in entries:
-            z.writestr(n_, d_)
+            if z64:
+                with z.open(n_, "w", force_zip64=True) as f:
+                    f.write(d_)
+            else:
+                z.writestr(n_, d_)
     got2 = parse_zip(buf.getvalue())
     assert got2 is not None and [(g[0], g[3]) for g in got2] == entries
     # flips never alter member DATA undetected
