@@ -94,12 +94,23 @@ r16 builder measurements (Avro tier, idle sf0.1):
   the bench warms codegen across 225 queries; the same session read
   zip at 2.25-2.36 vs its 1.67 bench ledger mark). Both are flat
   two-stage codec queries on the standard floor.
-- The remaining r16 ingestion queries probe in the same band at steal
-  0.10: q_seqfile_extract 2.66-2.85, q_cbor_extract 2.72-2.80,
-  q_msgpack_extract 2.72-2.74 (all half population doc%8<4; the
-  formula/strategy axes key on doc%2/%3/%4/%5 and doc+r, all of which
-  survive). The end-of-round full-bench ledger below carries the
-  comparable marks.
+- The serialization queries' first drafts used a per-record 64-byte
+  JVM base (k bases/doc -> up to 256 O(pos) substring calls), pricing
+  the mid-round full bench at avro 3.09 / seqfile 3.02 / msgpack 2.95
+  / cbor 2.56. Fix: ONE base per doc, record r derived Python-side as
+  a +c·r byte rotation the oracle replays — avro 1.72-1.82, seqfile
+  1.76-1.77, cbor 1.62-1.69, msgpack 1.83-1.86 idle at steal 0.02,
+  all oracle-re-verified at sf0.01 after the change. TRAP within the
+  fix (cost one mismatch round): numpy 1.26 value-based promotion
+  makes `(uint8_arr + c) % 256` INT16 (the 256 literal does not fit
+  uint8), so tobytes() doubles lengths with interleaved zeros — byte
+  SUMS stay equal, so only a length/mean column catches it; rotations
+  must go through ((arr.astype(int64) + c) % 256).astype(uint8).
+- End-of-round full bench (231 queries, zero errors, steal 0.28,
+  BEFORE the rotation fix): steady 213.8 / warm 241.5 / cold 251.2.
+  Common surface vs the r15 idle ledger: 213.8 - 17.9 (new seven) =
+  195.9s vs 204.2s = 0.96x. Slowest after the fix: q_outlier_mad 2.95
+  (documented trade), q_weighted_median 2.83, tfrecord 2.58.
 - q_tfexample_extract (the tf.Example wire-format decode) does
   strictly more work than its q_tfrecord_extract sibling (same CRC
   framing PLUS the full payload decode and three output rows per

@@ -3614,7 +3614,7 @@ def q_tfexample_extract(spark, sf_dir):
                     strs = []
                     for t in range(1 + r % 2):
                         ln = 10 + (n_chars + 7 * r + 11 * t) % 120
-                        arr = (base_arr + 7 * t) % 256
+                        arr = ((base_arr.astype(np.int64) + 7 * t) % 256).astype(np.uint8)
                         strs.append(
                             np.tile(arr, (ln + 63) // 64)[:ln].tobytes()
                         )
@@ -3664,12 +3664,12 @@ def q_tfexample_extract(spark, sf_dir):
     ), b AS (
       SELECT doc_id, rec_no,
              CASE WHEN schema_type = 'string'
-                  THEN 32 + (ascii(substr(text,
-                    ((((g.i % 64) * 19 + rec_no * 3)) % length(text)) + 1,
-                    1)) % 256) % 95
-                  ELSE ascii(substr(text,
-                    ((((g.i % 64) * 19 + rec_no * 3)) % length(text)) + 1,
-                    1)) % 256
+                  THEN 32 + ((ascii(substr(text,
+                    (((g.i % 64) * 19) % length(text)) + 1,
+                    1)) % 256 + 17 * rec_no) % 256) % 95
+                  ELSE (ascii(substr(text,
+                    (((g.i % 64) * 19) % length(text)) + 1,
+                    1)) % 256 + 17 * rec_no) % 256
              END AS bb
       FROM ent, unnest(generate_series(0, CAST(size - 1 AS BIGINT))) g(i)
       WHERE size > 0
@@ -3699,9 +3699,11 @@ def q_avro_extract(spark, sf_dir):
     the Kafka/Hive-era container family, functions/avro.py; completes
     the §2.10 ingestion ladder next to WARC/zip/tar/TFRecord). Per
     document a real container is muxed executor-side — 2 + doc_id%3
-    datums with stride-19 formula bodies cycled from 64-byte bases
-    (record r phasing the stride, size 15 + (n_chars + 11r)%180,
-    record 1 always zero-length), TWO datums per data block so the
+    datums with stride-19 formula bodies cycled from the doc's ONE
+    64-byte base (record r a +17r byte rotation, size
+    15 + (n_chars + 11r)%180, record 1 always zero-length — the
+    tfexample perf lesson applied: per-record JVM bases priced this at
+    3.09s idle sf0.1), TWO datums per data block so the
     block framing and every inter-block sync marker are exercised —
     with the codec (null vs raw-deflate through the capped inflate) on
     doc parity and the schema (string with printable-mapped bodies vs
@@ -3737,13 +3739,15 @@ def q_avro_extract(spark, sf_dir):
     bs = d.select(
         "doc_id",
         "n_chars",
-        # 64-byte bases, cycled in Python (the archive-tier idiom:
-        # per-data-byte JVM formulas are O(pos) per substring call)
+        # ONE 64-byte base per doc, cycled in Python; record r derives
+        # via a +17r byte rotation (the tfexample lesson: per-record
+        # JVM bases multiply the O(pos) substring count by k and
+        # priced this query at 3.09s idle sf0.1; the oracle replays
+        # the same rotation)
         F.expr(
-            "transform(sequence(0, 1 + doc_id % 3),"
-            " r -> transform(sequence(0, 63),"
-            " j -> ascii(substring(text, ((j * 19 + r * 3) % length(text)) + 1,"
-            " 1)) % 256))"
+            "transform(sequence(0, 63),"
+            " j -> ascii(substring(text, ((j * 19) % length(text)) + 1,"
+            " 1)) % 256)"
         ).alias("fs"),
     )
 
@@ -3757,13 +3761,14 @@ def q_avro_extract(spark, sf_dir):
             ):
                 doc_id, n_chars = int(doc_id), int(n_chars)
                 schema = "string" if doc_id % 4 < 2 else "bytes"
+                base_arr = np.array([int(x) for x in fs], dtype=np.uint8)
                 recs = []
-                for r, base in enumerate(fs):
+                for r in range(2 + doc_id % 3):
                     if r == 1:  # the zero-length datum edge
                         recs.append(b"")
                         continue
                     ln = 15 + (n_chars + r * 11) % 180
-                    arr = np.array([int(x) for x in base], dtype=np.uint8)
+                    arr = ((base_arr.astype(np.int64) + 17 * r) % 256).astype(np.uint8)
                     if schema == "string":
                         arr = 32 + arr % 95  # printable ASCII: valid UTF-8
                     recs.append(np.tile(arr, (ln + 63) // 64)[:ln].tobytes())
@@ -4076,9 +4081,9 @@ def q_multimodal_icns(spark, sf_dir):
       FROM d, unnest(generate_series(0, CAST(k - 1 AS BIGINT))) r(r)
     ), b AS (
       SELECT doc_id, rec_no,
-             ascii(substr(text,
-               ((((g.i % 64) * 31 + rec_no * 7)) % length(text)) + 1,
-               1)) % 256 AS bb
+             (ascii(substr(text,
+               (((g.i % 64) * 31) % length(text)) + 1,
+               1)) % 256 + 7 * rec_no) % 256 AS bb
       FROM ent, unnest(generate_series(0, CAST(size - 1 AS BIGINT))) g(i)
       WHERE size > 0
     ), stats AS (
@@ -4106,9 +4111,10 @@ def q_seqfile_extract(spark, sf_dir):
     the Hive-era row container next to Avro, functions/seqfile.py).
     Per document a real version-6 file is muxed executor-side — 2 +
     doc_id%3 records with Text keys 'k{doc}/{r}' and BytesWritable
-    values carrying stride-31 formula bodies cycled from 64-byte bases
-    (record r phasing the stride, size 18 + (n_chars + 9r)%160, record
-    1 a zero-length value), a sync escape every 2 records so the
+    values carrying stride-31 formula bodies cycled from the doc's ONE
+    64-byte base (record r a +7r byte rotation — the tfexample perf
+    lesson, size 18 + (n_chars + 9r)%160, record 1 a zero-length
+    value), a sync escape every 2 records so the
     mid-stream 0xFFFFFFFF marker path is hashed, and the zlib
     DefaultCodec record compression on doc parity (through the capped
     inflate). read_seqfile_records re-walks the header (Hadoop vint
@@ -4140,12 +4146,12 @@ def q_seqfile_extract(spark, sf_dir):
     bs = d.select(
         "doc_id",
         "n_chars",
-        # 64-byte bases, cycled in Python (the archive-tier idiom)
+        # ONE 64-byte base per doc; record r derives via a +7r byte
+        # rotation Python-side (the oracle replays it)
         F.expr(
-            "transform(sequence(0, 1 + doc_id % 3),"
-            " r -> transform(sequence(0, 63),"
-            " j -> ascii(substring(text, ((j * 31 + r * 7) % length(text)) + 1,"
-            " 1)) % 256))"
+            "transform(sequence(0, 63),"
+            " j -> ascii(substring(text, ((j * 31) % length(text)) + 1,"
+            " 1)) % 256)"
         ).alias("fs"),
     )
 
@@ -4158,14 +4164,15 @@ def q_seqfile_extract(spark, sf_dir):
                 pdf["doc_id"], pdf["n_chars"], pdf["fs"]
             ):
                 doc_id, n_chars = int(doc_id), int(n_chars)
+                base_arr = np.array([int(x) for x in fs], dtype=np.uint8)
                 recs = []
-                for r, base in enumerate(fs):
+                for r in range(2 + doc_id % 3):
                     key = f"k{doc_id}/{r}".encode()
                     if r == 1:  # the zero-length value edge
                         recs.append((key, b""))
                         continue
                     ln = 18 + (n_chars + r * 9) % 160
-                    arr = np.array([int(x) for x in base], dtype=np.uint8)
+                    arr = ((base_arr.astype(np.int64) + 7 * r) % 256).astype(np.uint8)
                     recs.append(
                         (key, np.tile(arr, (ln + 63) // 64)[:ln].tobytes())
                     )
@@ -4198,9 +4205,9 @@ def q_seqfile_extract(spark, sf_dir):
       FROM d, unnest(generate_series(0, CAST(k - 1 AS BIGINT))) r(r)
     ), b AS (
       SELECT doc_id, rec_no,
-             ascii(substr(text,
-               ((((g.i % 64) * 41 + rec_no * 9)) % length(text)) + 1,
-               1)) % 256 AS bb
+             (ascii(substr(text,
+               (((g.i % 64) * 41) % length(text)) + 1,
+               1)) % 256 + 9 * rec_no) % 256 AS bb
       FROM ent, unnest(generate_series(0, CAST(size - 1 AS BIGINT))) g(i)
       WHERE size > 0
     ), sums AS (
@@ -4228,8 +4235,10 @@ def q_cbor_extract(spark, sf_dir):
     executor-side: a top-level array of 2 + doc_id%3 maps, each with
     an integer 'id' spanning negative and multi-width positive heads
     (n_chars·(r+1) − 600), a byte string 'txt' of stride-41 formula
-    bytes cycled from 64-byte bases (record 1 a zero-length string —
-    the empty-bytes head), an eighth-integer float 'score' (exact in
+    bytes cycled from the doc's ONE 64-byte base with a +9r rotation
+    per record (the tfexample perf lesson; record 1 a zero-length
+    string — the empty-bytes head), an eighth-integer float 'score'
+    (exact in
     binary64), and a parity boolean 'flag' — so integer, bytes, text
     (the map keys), float, boolean, array, and map majors are all
     hashed every round. read_cbor_records re-decodes through the full
@@ -4256,12 +4265,12 @@ def q_cbor_extract(spark, sf_dir):
     bs = d.select(
         "doc_id",
         "n_chars",
-        # 64-byte bases, cycled in Python (the archive-tier idiom)
+        # ONE 64-byte base per doc; record r derives via a +9r byte
+        # rotation Python-side (the oracle replays it)
         F.expr(
-            "transform(sequence(0, 1 + doc_id % 3),"
-            " r -> transform(sequence(0, 63),"
-            " j -> ascii(substring(text, ((j * 41 + r * 9) % length(text)) + 1,"
-            " 1)) % 256))"
+            "transform(sequence(0, 63),"
+            " j -> ascii(substring(text, ((j * 41) % length(text)) + 1,"
+            " 1)) % 256)"
         ).alias("fs"),
     )
 
@@ -4274,14 +4283,14 @@ def q_cbor_extract(spark, sf_dir):
                 pdf["doc_id"], pdf["n_chars"], pdf["fs"]
             ):
                 doc_id, n_chars = int(doc_id), int(n_chars)
+                base_arr = np.array([int(x) for x in fs], dtype=np.uint8)
                 items = []
-                for r, base in enumerate(fs):
+                for r in range(2 + doc_id % 3):
                     if r == 1:
                         txt = b""
                     else:
                         ln = 12 + (n_chars + r * 5) % 140
-                        arr = np.array([int(x) for x in base],
-                                       dtype=np.uint8)
+                        arr = ((base_arr.astype(np.int64) + 9 * r) % 256).astype(np.uint8)
                         txt = np.tile(arr, (ln + 63) // 64)[:ln].tobytes()
                     items.append({
                         "id": n_chars * (r + 1) - 600,
@@ -4313,9 +4322,9 @@ def q_cbor_extract(spark, sf_dir):
       FROM d, unnest(generate_series(0, CAST(k - 1 AS BIGINT))) r(r)
     ), b AS (
       SELECT doc_id, rec_no,
-             ascii(substr(text,
-               ((((g.i % 64) * 47 + rec_no * 13)) % length(text)) + 1,
-               1)) % 256 AS bb
+             (ascii(substr(text,
+               (((g.i % 64) * 47) % length(text)) + 1,
+               1)) % 256 + 13 * rec_no) % 256 AS bb
       FROM ent, unnest(generate_series(0, CAST(size - 1 AS BIGINT))) g(i)
       WHERE size > 0
     ), sums AS (
@@ -4355,8 +4364,10 @@ def q_msgpack_extract(spark, sf_dir):
     of 2 + doc_id%3 maps, each carrying an integer 'id' spanning
     negative and multi-width heads (n_chars·(r+1) − 700), a str 'name'
     ('rec-{doc}-{r}' — fixstr and str8 widths both land), a bin 'bin'
-    of stride-47 formula bytes (record 1 zero-length — the empty-bin
-    head), a fixarray 'tags' of 1 + (doc+r)%5 small ints, a
+    of stride-47 formula bytes cycled from the doc's ONE 64-byte base
+    with a +13r rotation per record (the tfexample perf lesson;
+    record 1 zero-length — the empty-bin head), a fixarray 'tags' of
+    1 + (doc+r)%5 small ints, a
     sixteenth-integer float 'score' (exact in binary64), and a parity
     boolean 'ok' — so fixint/negative-fixint/uint/int, fixstr, bin,
     fixarray, fixmap, float64, and bool families are all hashed every
@@ -4384,12 +4395,12 @@ def q_msgpack_extract(spark, sf_dir):
     bs = d.select(
         "doc_id",
         "n_chars",
-        # 64-byte bases, cycled in Python (the archive-tier idiom)
+        # ONE 64-byte base per doc; record r derives via a +13r byte
+        # rotation Python-side (the oracle replays it)
         F.expr(
-            "transform(sequence(0, 1 + doc_id % 3),"
-            " r -> transform(sequence(0, 63),"
-            " j -> ascii(substring(text, ((j * 47 + r * 13) % length(text)) + 1,"
-            " 1)) % 256))"
+            "transform(sequence(0, 63),"
+            " j -> ascii(substring(text, ((j * 47) % length(text)) + 1,"
+            " 1)) % 256)"
         ).alias("fs"),
     )
 
@@ -4402,14 +4413,14 @@ def q_msgpack_extract(spark, sf_dir):
                 pdf["doc_id"], pdf["n_chars"], pdf["fs"]
             ):
                 doc_id, n_chars = int(doc_id), int(n_chars)
+                base_arr = np.array([int(x) for x in fs], dtype=np.uint8)
                 items = []
-                for r, base in enumerate(fs):
+                for r in range(2 + doc_id % 3):
                     if r == 1:
                         binv = b""
                     else:
                         ln = 14 + (n_chars + r * 3) % 130
-                        arr = np.array([int(x) for x in base],
-                                       dtype=np.uint8)
+                        arr = ((base_arr.astype(np.int64) + 13 * r) % 256).astype(np.uint8)
                         binv = np.tile(arr, (ln + 63) // 64)[:ln].tobytes()
                     n_tags = 1 + (doc_id + r) % 5
                     items.append({
