@@ -106,11 +106,15 @@ r16 builder measurements (Avro tier, idle sf0.1):
   uint8), so tobytes() doubles lengths with interleaved zeros — byte
   SUMS stay equal, so only a length/mean column catches it; rotations
   must go through ((arr.astype(int64) + c) % 256).astype(uint8).
-- End-of-round full bench (231 queries, zero errors, steal 0.28,
-  BEFORE the rotation fix): steady 213.8 / warm 241.5 / cold 251.2.
-  Common surface vs the r15 idle ledger: 213.8 - 17.9 (new seven) =
-  195.9s vs 204.2s = 0.96x. Slowest after the fix: q_outlier_mad 2.95
-  (documented trade), q_weighted_median 2.83, tfrecord 2.58.
+- r16 builder reference runs (231 queries, zero errors in both): the
+  pre-rotation-fix run read steady 213.8 / warm 241.5 / cold 251.2 at
+  steal 0.28 with avro 3.09 / seqfile 3.02 / msgpack 2.95; the FINAL
+  post-fix run reads steady 210.3 / warm 228.4 / cold 274.9 at steal
+  0.42, the new seven queries summing 13.84 (avro 1.85, tfexample
+  2.04, theora 2.43, icns 2.08, seqfile 1.64, cbor 1.81, msgpack
+  2.00). Common surface vs the r15 idle ledger: 210.3 - 13.8 = 196.4s
+  vs 204.2s = 0.96x. Slowest overall: q_outlier_mad 2.64 (documented
+  trade), q_tfrecord_extract 2.52 — nothing else above 2.43.
 - q_tfexample_extract (the tf.Example wire-format decode) does
   strictly more work than its q_tfrecord_extract sibling (same CRC
   framing PLUS the full payload decode and three output rows per
