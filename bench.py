@@ -106,6 +106,10 @@ r16 builder measurements (Avro tier, idle sf0.1):
   uint8), so tobytes() doubles lengths with interleaved zeros — byte
   SUMS stay equal, so only a length/mean column catches it; rotations
   must go through ((arr.astype(int64) + c) % 256).astype(uint8).
+- q_multimodal_exif (added after the final full bench): 2.30-2.40 in
+  an isolated probe session at steal 0.02, half population doc%8<4 —
+  the probe band of the other flat codec queries; the JPEG encode is
+  the q_multimodal_jpeg constant-block tier plus a spliced APP1.
 - r16 builder reference runs (231 queries, zero errors in both): the
   pre-rotation-fix run read steady 213.8 / warm 241.5 / cold 251.2 at
   steal 0.28 with avro 3.09 / seqfile 3.02 / msgpack 2.95; the FINAL

@@ -4439,3 +4439,109 @@ def q_msgpack_extract(spark, sf_dir):
         synth, schema="doc_id bigint, payload binary"
     )
     return read_msgpack_records(mp).orderBy("doc_id", "rec_no")
+
+
+@query(
+    "q_multimodal_exif",
+    oracle="""
+    WITH px AS (
+      SELECT doc_id, n_chars,
+             [ascii(substr(text, ((i * 53) % length(text)) + 1, 1)) % 256
+              for i in range(0, 16)] AS p
+      FROM documents
+      WHERE text IS NOT NULL AND length(text) > 0 AND doc_id % 8 < 4
+    )
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 1 THEN 'MM' ELSE 'II' END AS byte_order,
+           'maker-' || (doc_id % 5) AS make,
+           'cam-' || (n_chars % 100) AS model,
+           CAST((doc_id // 8 + doc_id) % 8 + 1 AS INT) AS orientation,
+           CAST(100 * (1 + doc_id % 32) AS INT) AS iso,
+           CAST(32 AS BIGINT) AS exif_w,
+           CAST(32 AS BIGINT) AS exif_h,
+           CAST(10 + doc_id % 90 AS DOUBLE) / 10.0 AS fnum,
+           CAST(32 AS INT) AS width,
+           CAST(32 AS INT) AS height,
+           CAST(list_sum(p) AS DOUBLE) / 16 AS mean_px
+    FROM px ORDER BY doc_id
+    """,
+)
+def q_multimodal_exif(spark, sf_dir):
+    """EXIF extraction under the driver hash (r16 — the standard
+    image-corpus preprocessing read: orientation correction and camera
+    metadata; functions/exif.py composes the JPEG marker walk with the
+    TIFF IFD grammar). Per document a real baseline JPEG (the
+    q_multimodal_jpeg constant-block exact tier, stride-53 so the
+    rasters are hash-independent of the r12 twin) is spliced with a
+    real APP1 Exif segment — byte order II/MM by doc parity so BOTH
+    TIFF endiannesses are hashed, orientation covering all 8 spec
+    values via (doc//8 + doc)%8 + 1, formula-driven Make/Model/ISO
+    strings and a RATIONAL FNumber, and the Exif sub-IFD reached
+    through the 0x8769 pointer. read_exif_meta re-walks the markers,
+    decodes the IFDs with bounds/NUL/orientation validation, AND
+    decodes the raster through parse_jpeg behind the spliced segment —
+    pinning that the splice leaves the entropy-coded body intact. The
+    oracle replays every field formula in SQL. Scale shape: one scan,
+    one doc_id exchange (_codec_parallel), two fused Arrow stages."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    from polars_express_spark.functions.exif import (
+        encode_exif_app1,
+        read_exif_meta,
+        splice_exif_app1,
+    )
+    from polars_express_spark.functions.jpeg import encode_jpeg
+
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+        # half the corpus; the %2 byte-order parity, %5/%32/%90 field
+        # formulas, and the (doc//8 + doc)%8 orientation sweep all
+        # survive doc%8<4 (idle sf0.1 measurement in the commit, the
+        # standing trim ratchet)
+        & (F.col("doc_id") % 8 < 4)
+    )
+    px = d.select(
+        "doc_id",
+        "n_chars",
+        F.expr(
+            "transform(sequence(0, 15),"
+            " i -> ascii(substring(text, ((i * 53) % length(text)) + 1, 1))"
+            " % 256)"
+        ).alias("p"),
+    )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            payloads = []
+            for doc_id, n_chars, p in zip(
+                pdf["doc_id"], pdf["n_chars"], pdf["p"]
+            ):
+                doc_id, n_chars = int(doc_id), int(n_chars)
+                raster = (
+                    np.array([int(x) for x in p], dtype="u1")
+                    .reshape(4, 4).repeat(8, axis=0).repeat(8, axis=1)
+                )
+                app1 = encode_exif_app1(
+                    make=f"maker-{doc_id % 5}",
+                    model=f"cam-{n_chars % 100}",
+                    orientation=(doc_id // 8 + doc_id) % 8 + 1,
+                    datetime=f"2026:08:{1 + doc_id % 28:02d} 12:00:00",
+                    iso=100 * (1 + doc_id % 32),
+                    exif_w=32,
+                    exif_h=32,
+                    fnumber=(10 + doc_id % 90, 10),
+                    big_endian=doc_id % 2 == 1,
+                )
+                payloads.append(
+                    splice_exif_app1(encode_jpeg(raster), app1)
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    jp = _codec_parallel(px).mapInPandas(
+        synth, schema="doc_id bigint, payload binary"
+    )
+    return read_exif_meta(jp).orderBy("doc_id")

@@ -52,9 +52,9 @@ def query(name: str, oracle: str | None = None):
 #   slots 1-26  — the ENTIRE remaining r11 tier, alphabetical (retires
 #                 r11 evidence for good; declared last round and held
 #                 to by the r15 verdict);
-#   slots 27-43 — the 17 oldest r12-hash, alphabetical (q01_preview
-#                 .. q27_dates);
-#   slots 44-50 — NEW this round, never checked: q_avro_extract (the
+#   slots 27-42 — the 16 oldest r12-hash, alphabetical (q01_preview
+#                 .. q26_regex);
+#   slots 43-50 — NEW this round, never checked: q_avro_extract (the
 #                 Avro object-container grammar — zigzag-varint
 #                 metadata map, per-block sync-marker equality, null +
 #                 raw-deflate codecs through the capped inflate,
@@ -89,9 +89,13 @@ def query(name: str, oracle: str | None = None):
 #                 q_msgpack_extract (the Fluentd/Redis serialization —
 #                 every width family from negative fixint to uint64,
 #                 fixstr/bin/fixarray/fixmap heads, spec-vector-pinned
-#                 decoder, ext family out of envelope).
-# Tier "next" (r17) = the 31 r12-hash queries that did not fit
-# (q28_math, q29_arrays, q30_json, q31_nulls, q34_exact_dedup,
+#                 decoder, ext family out of envelope), and
+#                 q_multimodal_exif (EXIF from JPEG APP1 — both TIFF
+#                 byte orders by doc parity, all 8 orientations, the
+#                 0x8769 sub-IFD, a RATIONAL FNumber, and the raster
+#                 decoded behind the spliced segment).
+# Tier "next" (r17) = the 32 r12-hash queries that did not fit
+# (q27_dates, q28_math, q29_arrays, q30_json, q31_nulls, q34_exact_dedup,
 # q35_cosine_topk, q36_token_counts, q37_json_sink,
 # q38_write_roundtrip, q_ab_ztest, q_ann_ivf, q_ann_ivfpq, q_ann_pq,
 # q_benford, q_chi2, q_control_chart, q_multimodal_gif,
@@ -235,13 +239,13 @@ _PRIORITY = [
     "q_semdedup", "q_tfidf", "q_tpch_q11", "q_tpch_q16", "q_tpch_q17",
     "q_tpch_q2", "q_tpch_q20", "q_tpch_q9", "q_weighted_median",
     "q_winsorize",
-    # slots 27-43 — the 17 oldest r12-hash, alphabetical
+    # slots 27-42 — the 16 oldest r12-hash, alphabetical
     "q01_preview", "q02_sort_slice", "q05_filter_project",
     "q06_cast_arith", "q07_conditional", "q12_inner_join",
     "q13_multi_join", "q14_left_join", "q14b_right_join",
     "q14c_full_join", "q15_anti_join", "q15_semi_join", "q16_cross_join",
-    "q17_non_equi_join", "q25_strings", "q26_regex", "q27_dates",
-    # slots 44-50 — new this round: the Avro object-container
+    "q17_non_equi_join", "q25_strings", "q26_regex",
+    # slots 43-50 — new this round: the Avro object-container
     # ingestion tier (zigzag-varint metadata map, per-block
     # sync-marker equality, null + raw-deflate codecs through the
     # capped inflate, bytes/string datum decode with UTF-8 validation;
@@ -256,10 +260,12 @@ _PRIORITY = [
     # Hadoop SequenceFile v6 tier (Writable envelopes, sync escapes,
     # DefaultCodec record compression), the CBOR tier (RFC 8949,
     # Appendix-A-pinned, all in-envelope majors under one hash), and
-    # the MessagePack tier (every width family, spec-vector-pinned)
+    # the MessagePack tier (every width family, spec-vector-pinned),
+    # and the EXIF tier (JPEG APP1 + TIFF IFD walk, both byte orders,
+    # all 8 orientations, raster decoded behind the spliced segment)
     "q_avro_extract", "q_tfexample_extract", "q_multimodal_ogg_theora",
     "q_multimodal_icns", "q_seqfile_extract", "q_cbor_extract",
-    "q_msgpack_extract",
+    "q_msgpack_extract", "q_multimodal_exif",
 ]
 
 

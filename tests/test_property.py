@@ -1489,6 +1489,7 @@ def test_parsers_never_crash_on_corrupt_payloads(seed, kind):
     )
     from polars_express_spark.functions.avro import parse_avro
     from polars_express_spark.functions.cbor import parse_cbor
+    from polars_express_spark.functions.exif import parse_exif
     from polars_express_spark.functions.msgpack import parse_msgpack
     from polars_express_spark.functions.protowire import (
         parse_protowire,
@@ -1512,7 +1513,7 @@ def test_parsers_never_crash_on_corrupt_payloads(seed, kind):
                parse_zip, parse_tar, parse_tfrecord, parse_id3v2,
                parse_avro, parse_protowire, parse_tf_example,
                parse_icns, parse_ogg_theora_info, parse_seqfile,
-               parse_cbor, parse_msgpack]
+               parse_cbor, parse_msgpack, parse_exif]
     if kind == 0:  # magic-prefixed garbage through every parser
         magics = [b"\x89PNG\r\n\x1a\n", b"BM", b"GIF89a", b"P1", b"P2",
                   b"P3", b"P4", b"P5", b"P6", b"RIFF", b"RIFF\x80\x00\x00\x00AVI ",
@@ -1548,6 +1549,8 @@ def test_parsers_never_crash_on_corrupt_payloads(seed, kind):
                   + b"\xff" * 8 + b"\x00\x00",
                   b"\x94", b"\x84\xa2id", b"\xdc\x00\x10", b"\xde\x00\x04",
                   b"\xcb", b"\xd9",
+                  b"\xff\xd8\xff\xe1\x00\x10Exif\x00\x00II\x2a\x00",
+                  b"\xff\xd8\xff\xe1\x00\x10Exif\x00\x00MM\x00\x2a",
                   b""]
         for m in magics:
             payload = m + rng.bytes(int(rng.randint(0, 160)))
@@ -2738,6 +2741,70 @@ def test_ogg_theora_id_roundtrip(picw, pich, frn, frd, qual, kg, pf,
     bad = bytearray(ident)
     bad[7] = 2  # VMAJ must be 3
     assert parse_ogg(encode_ogg(bytes(bad), pkts)) is None
+
+
+@given(
+    be=st.booleans(),
+    orientation=st.integers(1, 8),
+    make=st.text(alphabet=st.characters(min_codepoint=32,
+                                        max_codepoint=126),
+                 max_size=40),
+    iso=st.integers(0, 65535),
+    fn=st.tuples(st.integers(0, 1000), st.integers(1, 100)),
+    dims=st.tuples(st.integers(0, 2**32 - 1), st.integers(0, 2**32 - 1)),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=60, deadline=None)
+def test_exif_roundtrip_both_orders(be, orientation, make, iso, fn, dims,
+                                    seed):
+    """r16 — encode_exif_app1 → splice → parse_exif recovers every
+    field through BOTH TIFF byte orders, inline and data-area value
+    placements (short strings sit in the 4-byte slot, long ones move
+    to the data area), the RATIONAL FNumber, and the 0x8769 sub-IFD
+    pointer; the raster behind the spliced segment still decodes
+    through parse_jpeg. Orientation outside 1..8, a lost ASCII NUL,
+    and truncation reject; a JPEG without EXIF returns the empty dict
+    (absence is data). Flips never crash (EXIF carries no checksum —
+    structural damage rejects, value damage may decode to different
+    metadata, as the format dictates)."""
+    import numpy as np
+
+    from polars_express_spark.functions.exif import (
+        encode_exif_app1,
+        parse_exif,
+        splice_exif_app1,
+    )
+    from polars_express_spark.functions.jpeg import encode_jpeg, parse_jpeg
+
+    rng = np.random.RandomState(seed)
+    img = np.full((8, 8), int(rng.randint(0, 256)), dtype="u1")
+    jpg = encode_jpeg(img)
+    app1 = encode_exif_app1(
+        make=make, model="m", orientation=orientation,
+        datetime="2026:08:16 00:00:00", iso=iso, exif_w=dims[0],
+        exif_h=dims[1], fnumber=fn, big_endian=be,
+    )
+    full = splice_exif_app1(jpg, app1)
+    meta = parse_exif(full)
+    assert meta is not None and meta
+    assert meta["byte_order"] == ("MM" if be else "II")
+    assert meta["make"] == make and meta["model"] == "m"
+    assert meta["orientation"] == orientation and meta["iso"] == iso
+    assert (meta["exif_w"], meta["exif_h"]) == dims
+    assert meta["fnumber"] == fn
+    dec = parse_jpeg(full)
+    assert dec is not None and (dec[0], dec[1]) == (8, 8)
+    assert parse_exif(jpg) == {}  # absence is data, not corruption
+    # truncation INSIDE the APP1 segment rejects (cutting trailing
+    # JPEG bytes instead leaves a complete, legitimately-parsing EXIF
+    # block — the metadata walk stops at APP1 by design)
+    assert parse_exif(full[: 2 + len(app1) - 3]) is None
+    b = bytearray(full)
+    for _ in range(12):
+        i = int(rng.randint(0, len(b)))
+        b[i] ^= 1 << int(rng.randint(0, 8))
+        parse_exif(bytes(b))  # must not raise
+        b = bytearray(full)
 
 
 @given(
