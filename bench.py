@@ -106,19 +106,18 @@ r16 builder measurements (Avro tier, idle sf0.1):
   uint8), so tobytes() doubles lengths with interleaved zeros — byte
   SUMS stay equal, so only a length/mean column catches it; rotations
   must go through ((arr.astype(int64) + c) % 256).astype(uint8).
-- q_multimodal_exif (added after the final full bench): 2.30-2.40 in
-  an isolated probe session at steal 0.02, half population doc%8<4 —
-  the probe band of the other flat codec queries; the JPEG encode is
-  the q_multimodal_jpeg constant-block tier plus a spliced APP1.
-- r16 builder reference runs (231 queries, zero errors in both): the
-  pre-rotation-fix run read steady 213.8 / warm 241.5 / cold 251.2 at
-  steal 0.28 with avro 3.09 / seqfile 3.02 / msgpack 2.95; the FINAL
-  post-fix run reads steady 210.3 / warm 228.4 / cold 274.9 at steal
-  0.42, the new seven queries summing 13.84 (avro 1.85, tfexample
-  2.04, theora 2.43, icns 2.08, seqfile 1.64, cbor 1.81, msgpack
-  2.00). Common surface vs the r15 idle ledger: 210.3 - 13.8 = 196.4s
-  vs 204.2s = 0.96x. Slowest overall: q_outlier_mad 2.64 (documented
-  trade), q_tfrecord_extract 2.52 — nothing else above 2.43.
+- r16 builder reference runs (zero errors in all three): a mid-round
+  231-query run read steady 213.8 at steal 0.28 with the per-record-
+  base drafts at avro 3.09 / seqfile 3.02 / msgpack 2.95; after the
+  rotation fix, 210.3 at steal 0.42; the DEFINITIVE final-tree run
+  (232 queries incl. q_multimodal_exif) reads steady 198.7 / warm
+  222.4 / cold 245.5 at steal 0.09, the eight new queries summing
+  14.52 (avro 1.68, tfexample 1.92, theora 2.20, icns 1.93, seqfile
+  1.74, cbor 1.64, msgpack 1.79, exif 1.62). Common surface vs the
+  r15 idle ledger: 198.7 - 14.5 = 184.1s vs 204.2s = 0.90x — the
+  round's net effect on the shared surface is a speedup. Slowest
+  overall: q_outlier_mad 2.80 (documented trade), q_tfrecord_extract
+  2.41 — nothing else above 2.38.
 - q_tfexample_extract (the tf.Example wire-format decode) does
   strictly more work than its q_tfrecord_extract sibling (same CRC
   framing PLUS the full payload decode and three output rows per
