@@ -98,6 +98,38 @@ def _read_ifd(blob: bytes, off: int, bo: str, tags: dict):
     return fields, sub
 
 
+def parse_tiff_exif_blob(blob: bytes):
+    """The TIFF-structured EXIF payload walk shared by the JPEG APP1
+    and PNG eXIf containers (the eXIf chunk carries this blob bare per
+    the PNG 1.5 extension): returns {field: value, 'byte_order':
+    'II'|'MM'} or None."""
+    if len(blob) < 8:
+        return None
+    if blob[:4] == b"II\x2a\x00":
+        bo = "<"
+        order = "II"
+    elif blob[:4] == b"MM\x00\x2a":
+        bo = ">"
+        order = "MM"
+    else:
+        return None
+    (ifd0_off,) = struct.unpack_from(bo + "I", blob, 4)
+    r = _read_ifd(blob, ifd0_off, bo, _IFD0_TAGS)
+    if r is None:
+        return None
+    fields, sub = r
+    if "orientation" in fields and not 1 <= fields["orientation"] <= 8:
+        return None
+    if sub is not None:
+        r = _read_ifd(blob, sub, bo, _EXIF_TAGS)
+        if r is None:
+            return None
+        sub_fields, _ = r
+        fields.update(sub_fields)
+    fields["byte_order"] = order
+    return fields
+
+
 def parse_exif(payload: bytes):
     """REAL EXIF decode from a JPEG stream: returns {field: value,
     'byte_order': 'II'|'MM'} (empty dict when no Exif APP1 exists) or
@@ -125,31 +157,62 @@ def parse_exif(payload: bytes):
         pos += 2 + seglen
     if app1 is None:
         return {}
-    if len(app1) < 8:
+    return parse_tiff_exif_blob(app1)
+
+
+def parse_png_exif(payload: bytes):
+    """EXIF from a PNG's eXIf chunk (the PNG 1.5 extension: the chunk
+    data IS the bare TIFF blob — no 'Exif\\0\\0' prefix): returns the
+    same dict as parse_exif, the empty dict when no eXIf chunk exists,
+    or None on a malformed chunk walk / blob / chunk CRC (PNG chunks
+    are CRC-32'd, so unlike JPEG APP1 a corrupted eXIf is DETECTED).
+    Only the chunk LAYER is walked here — raster decoding stays with
+    parse_png."""
+    import zlib
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
         return None
-    if app1[:4] == b"II\x2a\x00":
-        bo = "<"
-        order = "II"
-    elif app1[:4] == b"MM\x00\x2a":
-        bo = ">"
-        order = "MM"
-    else:
-        return None
-    (ifd0_off,) = struct.unpack_from(bo + "I", app1, 4)
-    r = _read_ifd(app1, ifd0_off, bo, _IFD0_TAGS)
-    if r is None:
-        return None
-    fields, sub = r
-    if "orientation" in fields and not 1 <= fields["orientation"] <= 8:
-        return None
-    if sub is not None:
-        r = _read_ifd(app1, sub, bo, _EXIF_TAGS)
-        if r is None:
+    pos = 8
+    while pos + 8 <= len(payload):
+        (ln,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        end = pos + 8 + ln
+        if ln > len(payload) - pos - 12:
             return None
-        sub_fields, _ = r
-        fields.update(sub_fields)
-    fields["byte_order"] = order
-    return fields
+        if ctype == b"eXIf":
+            (crc,) = struct.unpack_from(">I", payload, end)
+            if zlib.crc32(payload[pos + 4 : end]) & 0xFFFFFFFF != crc:
+                return None
+            return parse_tiff_exif_blob(payload[pos + 8 : end])
+        if ctype == b"IEND":
+            return {}
+        pos = end + 4
+    return None
+
+
+def splice_png_exif(png: bytes, tiff_blob: bytes) -> bytes:
+    """Insert an eXIf chunk right after IHDR (the extension requires
+    it before IDAT) with the correct chunk CRC."""
+    import zlib
+
+    if png[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG stream")
+    (ihdr_len,) = struct.unpack_from(">I", png, 8)
+    at = 8 + 8 + ihdr_len + 4  # end of the IHDR chunk
+    chunk = (
+        struct.pack(">I", len(tiff_blob)) + b"eXIf" + tiff_blob
+        + struct.pack(
+            ">I", zlib.crc32(b"eXIf" + tiff_blob) & 0xFFFFFFFF
+        )
+    )
+    return png[:at] + chunk + png[at:]
+
+
+def exif_tiff_blob(**kwargs) -> bytes:
+    """The bare TIFF blob of encode_exif_app1 (for the PNG eXIf
+    container, which carries it without the APP1 wrapper)."""
+    app1 = encode_exif_app1(**kwargs)
+    return app1[10:]  # strip FFE1 + length + 'Exif\0\0'
 
 
 def encode_exif_app1(

@@ -1489,7 +1489,10 @@ def test_parsers_never_crash_on_corrupt_payloads(seed, kind):
     )
     from polars_express_spark.functions.avro import parse_avro
     from polars_express_spark.functions.cbor import parse_cbor
-    from polars_express_spark.functions.exif import parse_exif
+    from polars_express_spark.functions.exif import (
+        parse_exif,
+        parse_png_exif,
+    )
     from polars_express_spark.functions.msgpack import parse_msgpack
     from polars_express_spark.functions.protowire import (
         parse_protowire,
@@ -1513,7 +1516,7 @@ def test_parsers_never_crash_on_corrupt_payloads(seed, kind):
                parse_zip, parse_tar, parse_tfrecord, parse_id3v2,
                parse_avro, parse_protowire, parse_tf_example,
                parse_icns, parse_ogg_theora_info, parse_seqfile,
-               parse_cbor, parse_msgpack, parse_exif]
+               parse_cbor, parse_msgpack, parse_exif, parse_png_exif]
     if kind == 0:  # magic-prefixed garbage through every parser
         magics = [b"\x89PNG\r\n\x1a\n", b"BM", b"GIF89a", b"P1", b"P2",
                   b"P3", b"P4", b"P5", b"P6", b"RIFF", b"RIFF\x80\x00\x00\x00AVI ",
@@ -1551,6 +1554,7 @@ def test_parsers_never_crash_on_corrupt_payloads(seed, kind):
                   b"\xcb", b"\xd9",
                   b"\xff\xd8\xff\xe1\x00\x10Exif\x00\x00II\x2a\x00",
                   b"\xff\xd8\xff\xe1\x00\x10Exif\x00\x00MM\x00\x2a",
+                  b"\x89PNG\r\n\x1a\n\x00\x00\x00\x08eXIfII\x2a\x00",
                   b""]
         for m in magics:
             payload = m + rng.bytes(int(rng.randint(0, 160)))
@@ -2799,6 +2803,38 @@ def test_exif_roundtrip_both_orders(be, orientation, make, iso, fn, dims,
     # JPEG bytes instead leaves a complete, legitimately-parsing EXIF
     # block — the metadata walk stops at APP1 by design)
     assert parse_exif(full[: 2 + len(app1) - 3]) is None
+    # the PNG eXIf container (r16): the same TIFF blob rides a
+    # CRC-32'd chunk, so — unlike JPEG APP1 — EVERY flip inside the
+    # chunk is DETECTED; the raster behind the chunk stays decodable
+    from polars_express_spark.functions.exif import (
+        exif_tiff_blob,
+        parse_png_exif,
+        splice_png_exif,
+    )
+    from polars_express_spark.functions.multimodal import (
+        encode_png,
+        parse_png,
+    )
+
+    png = encode_png(img)
+    blob = exif_tiff_blob(
+        make=make, model="m", orientation=orientation,
+        datetime="2026:08:16 00:00:00", iso=iso, exif_w=dims[0],
+        exif_h=dims[1], fnumber=fn, big_endian=be,
+    )
+    pfull = splice_png_exif(png, blob)
+    pmeta = parse_png_exif(pfull)
+    assert pmeta is not None and pmeta
+    assert {k: pmeta[k] for k in meta} == meta  # same fields both ways
+    assert parse_png(pfull) is not None
+    assert parse_png_exif(png) == {}
+    at = pfull.index(b"eXIf") + 4
+    for _ in range(8):
+        i = at + int(rng.randint(0, len(blob)))
+        bit = 1 << int(rng.randint(0, 8))
+        b2 = bytearray(pfull)
+        b2[i] ^= bit
+        assert parse_png_exif(bytes(b2)) is None
     b = bytearray(full)
     for _ in range(12):
         i = int(rng.randint(0, len(b)))
