@@ -209,10 +209,54 @@ def splice_png_exif(png: bytes, tiff_blob: bytes) -> bytes:
 
 
 def exif_tiff_blob(**kwargs) -> bytes:
-    """The bare TIFF blob of encode_exif_app1 (for the PNG eXIf
-    container, which carries it without the APP1 wrapper)."""
+    """The bare TIFF blob of encode_exif_app1 (for the PNG eXIf and
+    WebP EXIF containers, which carry it without the APP1 wrapper)."""
     app1 = encode_exif_app1(**kwargs)
     return app1[10:]  # strip FFE1 + length + 'Exif\0\0'
+
+
+def parse_webp_exif(payload: bytes):
+    """EXIF from a WebP container's EXIF chunk (RFC 9649 §2.5: VP8X
+    extended files may carry the bare TIFF blob in a RIFF 'EXIF'
+    chunk after the image data): returns the same dict as parse_exif,
+    the empty dict when no EXIF chunk exists, or None on a malformed
+    RIFF walk / blob. RIFF chunks are unchecksummed (like JPEG APP1 —
+    structural damage rejects, value damage may decode differently;
+    the PNG eXIf container is the checksummed sibling)."""
+    if (len(payload) < 12 or payload[:4] != b"RIFF"
+            or payload[8:12] != b"WEBP"):
+        return None
+    (riff_len,) = struct.unpack_from("<I", payload, 4)
+    if 8 + riff_len > len(payload):
+        return None
+    pos = 12
+    end = 8 + riff_len
+    while pos + 8 <= end:
+        ctype = payload[pos : pos + 4]
+        (ln,) = struct.unpack_from("<I", payload, pos + 4)
+        if pos + 8 + ln > end:
+            return None
+        if ctype == b"EXIF":
+            return parse_tiff_exif_blob(payload[pos + 8 : pos + 8 + ln])
+        pos += 8 + ln + (ln & 1)  # RIFF word alignment
+    return {}
+
+
+def splice_webp_exif(webp: bytes, tiff_blob: bytes) -> bytes:
+    """Append an EXIF chunk to a WebP container (the spec places it
+    after the image data), fixing up the RIFF size and padding to the
+    container's word alignment. NOTE: a spec-strict reader also wants
+    the VP8X EXIF flag set; parse_webp_exif keys on the chunk itself,
+    and simple (non-VP8X) files with an EXIF chunk are parsed
+    leniently the way real readers do."""
+    if webp[:4] != b"RIFF" or webp[8:12] != b"WEBP":
+        raise ValueError("not a WebP container")
+    chunk = b"EXIF" + struct.pack("<I", len(tiff_blob)) + tiff_blob
+    if len(tiff_blob) & 1:
+        chunk += b"\x00"
+    out = bytearray(webp + chunk)
+    out[4:8] = struct.pack("<I", len(out) - 8)
+    return bytes(out)
 
 
 def encode_exif_app1(

@@ -1492,6 +1492,7 @@ def test_parsers_never_crash_on_corrupt_payloads(seed, kind):
     from polars_express_spark.functions.exif import (
         parse_exif,
         parse_png_exif,
+        parse_webp_exif,
     )
     from polars_express_spark.functions.msgpack import parse_msgpack
     from polars_express_spark.functions.protowire import (
@@ -1516,7 +1517,8 @@ def test_parsers_never_crash_on_corrupt_payloads(seed, kind):
                parse_zip, parse_tar, parse_tfrecord, parse_id3v2,
                parse_avro, parse_protowire, parse_tf_example,
                parse_icns, parse_ogg_theora_info, parse_seqfile,
-               parse_cbor, parse_msgpack, parse_exif, parse_png_exif]
+               parse_cbor, parse_msgpack, parse_exif, parse_png_exif,
+               parse_webp_exif]
     if kind == 0:  # magic-prefixed garbage through every parser
         magics = [b"\x89PNG\r\n\x1a\n", b"BM", b"GIF89a", b"P1", b"P2",
                   b"P3", b"P4", b"P5", b"P6", b"RIFF", b"RIFF\x80\x00\x00\x00AVI ",
@@ -2835,6 +2837,23 @@ def test_exif_roundtrip_both_orders(be, orientation, make, iso, fn, dims,
         b2 = bytearray(pfull)
         b2[i] ^= bit
         assert parse_png_exif(bytes(b2)) is None
+    # the WebP EXIF container (r16): the same blob in a RIFF chunk
+    # (unchecksummed, like APP1); the VP8L raster stays decodable
+    from polars_express_spark.functions.exif import (
+        parse_webp_exif,
+        splice_webp_exif,
+    )
+    from polars_express_spark.functions.webp import encode_webp, parse_webp
+
+    webp = encode_webp(
+        np.repeat(img[:, :, None], 3, axis=2).astype("u1")
+    )
+    wfull = splice_webp_exif(webp, blob)
+    wmeta = parse_webp_exif(wfull)
+    assert wmeta is not None and {k: wmeta[k] for k in meta} == meta
+    assert parse_webp(wfull) is not None
+    assert parse_webp_exif(webp) == {}
+    assert parse_webp_exif(wfull[:-3]) is None  # truncated chunk
     b = bytearray(full)
     for _ in range(12):
         i = int(rng.randint(0, len(b)))
