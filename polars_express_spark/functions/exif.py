@@ -66,7 +66,9 @@ def _read_ifd(blob: bytes, off: int, bo: str, tags: dict):
             continue
         if tag not in tags:
             continue  # forward-compat: unknown tags skip structurally
-        if typ not in _TYPE_SIZES:
+        if typ not in _TYPE_SIZES or n < 1:
+            # count=0 would make every decode below read past an empty
+            # value slice; the TIFF grammar has no zero-count entries
             return None
         size = _TYPE_SIZES[typ] * n
         if size <= 4:
@@ -228,6 +230,11 @@ def parse_webp_exif(payload: bytes):
         return None
     (riff_len,) = struct.unpack_from("<I", payload, 4)
     if 8 + riff_len > len(payload):
+        return None
+    if len(payload) > 8 + riff_len + (riff_len & 1):
+        # trailing garbage past the RIFF-declared length (one pad byte
+        # tolerated for odd lengths, per RIFF word alignment) — reject,
+        # matching the module family's strict-trailing posture
         return None
     pos = 12
     end = 8 + riff_len

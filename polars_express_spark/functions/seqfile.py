@@ -286,6 +286,37 @@ SEQFILE_SCHEMA = (
 )
 
 
+def _seqfile_rows(doc_id, payload: bytes):
+    """Per-container extraction for read_seqfile_records: parses,
+    enforces the Text key class (parse_seqfile only UTF-8-validates
+    keys when the class is Text — any other class yields opaque bytes
+    this operator cannot decode as a string column), and returns the
+    stat tuples. Raises ValueError with the doc id on any defect."""
+    import numpy as np
+
+    parsed = parse_seqfile(bytes(payload))
+    if parsed is None:
+        raise ValueError(
+            f"doc {doc_id}: corrupt or out-of-envelope SequenceFile"
+        )
+    kc, _vc, compressed, _meta, _sync, recs = parsed
+    if kc != _TEXT:
+        raise ValueError(
+            f"doc {doc_id}: key class {kc!r} not supported by "
+            "read_seqfile_records (Text keys only)"
+        )
+    rows = []
+    for rno, (key, val) in enumerate(recs):
+        arr = np.frombuffer(val, dtype=np.uint8)
+        rows.append(
+            (doc_id, rno, key.decode("utf-8"), compressed, len(val),
+             float(arr.mean()) if arr.size else 0.0,
+             int(arr.min()) if arr.size else 0,
+             int(arr.max()) if arr.size else 0)
+        )
+    return rows
+
+
 def read_seqfile_records(df):
     """SequenceFile extraction operator (the WARC/zip/tar/TFRecord/
     Avro operator shape): one container row → one row per record with
@@ -295,29 +326,13 @@ def read_seqfile_records(df):
     executor."""
     from collections.abc import Iterator
 
-    import numpy as np
     import pandas as pd
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                parsed = parse_seqfile(bytes(payload))
-                if parsed is None:
-                    raise ValueError(
-                        f"doc {doc_id}: corrupt or out-of-envelope "
-                        "SequenceFile"
-                    )
-                _kc, _vc, compressed, _meta, _sync, recs = parsed
-                for rno, (key, val) in enumerate(recs):
-                    arr = np.frombuffer(val, dtype=np.uint8)
-                    rows.append(
-                        (doc_id, rno, key.decode("utf-8"), compressed,
-                         len(val),
-                         float(arr.mean()) if arr.size else 0.0,
-                         int(arr.min()) if arr.size else 0,
-                         int(arr.max()) if arr.size else 0)
-                    )
+                rows.extend(_seqfile_rows(doc_id, payload))
             yield pd.DataFrame(
                 rows,
                 columns=["doc_id", "rec_no", "key", "compressed", "size",

