@@ -20,13 +20,18 @@ RAW RFC-1951 deflate, no zlib header, no checksum — inflated through
 the capped-inflate bomb guard (the zip/WARC precedent; a bomb rejects,
 never allocates). Snappy and other codecs are out of envelope.
 
-Record-body decode is schema-driven in general and needs a datum
-reader; per the tf.Example ruling (functions/tfrecord.py:21) this
-module decodes the two self-delimiting primitive schemas a byte-level
-pipeline owns — ``"bytes"`` and ``"string"`` (each datum is a long
-length + payload; string payloads must be valid UTF-8) — and treats
-every other schema as out of envelope (None). The swap-in point for a
-full datum reader is the per-block object walk in parse_avro.
+Record-body decode is schema-driven; the schema JSON lives IN the
+file metadata (Avro containers are self-describing — no external
+registry). In envelope: the two bare primitive schemas (``"bytes"``
+and ``"string"`` — each datum a long length + payload, string
+payloads valid UTF-8) and, since r17, ``"type": "record"`` schemas
+whose fields are all flat self-delimiting primitives
+(long/int/double/float/boolean/string/bytes — zigzag varints,
+IEEE-754 LE fixed widths, a strict 0/1 boolean byte, length-prefixed
+payloads; the common Kafka/Hive flat-record shape). Unions, nesting,
+arrays/maps/enums/fixed and logical types that change the raw layout
+stay out of envelope (None); the swap-in point for a fuller datum
+reader is _read_datum.
 
 Integrity honesty (SURVEY §2.10 asymmetry): Avro carries NO data
 checksum. The sync markers and the varint framing detect structural
@@ -143,27 +148,132 @@ def _parse_meta_map(payload: bytes, pos: int):
             return None
 
 
-def _schema_name(schema_json: bytes):
-    """Resolve the avro.schema JSON to 'bytes' or 'string' (the two
-    in-envelope primitive schemas), accepting both the bare-string and
-    the {"type": ...} spellings; anything else → None (the documented
-    datum-reader gate)."""
+_REC_PRIMS = ("long", "int", "double", "float", "boolean", "string",
+              "bytes")
+
+
+def _schema_descr(schema_json: bytes):
+    """Resolve the avro.schema JSON to an in-envelope descriptor:
+    'bytes' / 'string' (bare primitive schemas, both the bare-string
+    and the {"type": ...} spellings), or ('record', ((field_name,
+    field_type), ...)) for a named record of flat self-delimiting
+    primitives (long/int/double/float/boolean/string/bytes — the r16
+    verdict's "what a real Kafka/Hive user hits first"; field types
+    accept both the bare-string and the one-level {"type": ...}
+    spellings per the spec). Unions, nesting, arrays/maps/enums/fixed,
+    logical types that change the raw layout, duplicate or missing
+    field names, and a nameless record are all out of envelope →
+    None (the documented datum-reader gate)."""
     try:
         s = json.loads(schema_json.decode("utf-8"))
     except (UnicodeDecodeError, ValueError):
         return None
-    if isinstance(s, dict):
-        s = s.get("type")
-    if s in ("bytes", "string"):
-        return s
-    return None
+    if isinstance(s, str):
+        return s if s in ("bytes", "string") else None
+    if not isinstance(s, dict):
+        return None
+    t = s.get("type")
+    if t in ("bytes", "string"):
+        return t
+    if t != "record":
+        return None
+    name = s.get("name")
+    if not isinstance(name, str) or not name:
+        return None  # the spec requires a record name
+    flds = s.get("fields")
+    if not isinstance(flds, list) or not flds:
+        return None
+    fields = []
+    seen = set()
+    for f in flds:
+        if not isinstance(f, dict):
+            return None
+        fname = f.get("name")
+        ftype = f.get("type")
+        if isinstance(ftype, dict):
+            ftype = ftype.get("type")  # one-level {"type": ...} spelling
+        if (not isinstance(fname, str) or not fname or fname in seen
+                or ftype not in _REC_PRIMS):
+            return None
+        seen.add(fname)
+        fields.append((fname, ftype))
+    return "record", tuple(fields)
+
+
+def _read_datum(data: bytes, pos: int, ftype: str):
+    """Decode one primitive datum at ``pos`` per the Avro binary
+    encoding: returns (value, end_pos) or None. All seven in-envelope
+    primitives are self-delimiting — zigzag varints (long/int, the int
+    range-checked to 32 bits), IEEE-754 little-endian fixed widths
+    (float/double), a strict 0/1 byte (boolean), and length-prefixed
+    payloads (bytes/string, string UTF-8-validated)."""
+    import struct
+
+    if ftype in ("bytes", "string"):
+        r = _read_sized(data, pos)
+        if r is None:
+            return None
+        raw, pos = r
+        if ftype == "string":
+            try:
+                return raw.decode("utf-8"), pos
+            except UnicodeDecodeError:
+                return None
+        return raw, pos
+    if ftype in ("long", "int"):
+        r = _read_long(data, pos)
+        if r is None:
+            return None
+        v, pos = r
+        if ftype == "int" and not -(1 << 31) <= v < 1 << 31:
+            return None  # int is a 32-bit value by spec
+        return v, pos
+    if ftype == "double":
+        if pos + 8 > len(data):
+            return None
+        return struct.unpack_from("<d", data, pos)[0], pos + 8
+    if ftype == "float":
+        if pos + 4 > len(data):
+            return None
+        return struct.unpack_from("<f", data, pos)[0], pos + 4
+    # boolean: exactly one byte, 0 or 1 (strict posture)
+    if pos >= len(data) or data[pos] > 1:
+        return None
+    return bool(data[pos]), pos + 1
+
+
+def _w_datum(value, ftype: str) -> bytes:
+    """Binary-encode one primitive datum (the writer twin of
+    _read_datum); raises ValueError on a value outside the type."""
+    import struct
+
+    if ftype == "bytes":
+        value = bytes(value)
+        return _w_long(len(value)) + value
+    if ftype == "string":
+        raw = str(value).encode("utf-8")
+        return _w_long(len(raw)) + raw
+    if ftype in ("long", "int"):
+        v = int(value)
+        if ftype == "int" and not -(1 << 31) <= v < 1 << 31:
+            raise ValueError("out of range for an Avro int")
+        return _w_long(v)
+    if ftype == "double":
+        return struct.pack("<d", float(value))
+    if ftype == "float":
+        return struct.pack("<f", float(value))
+    if ftype == "boolean":
+        return b"\x01" if value else b"\x00"
+    raise ValueError(f"unsupported field type {ftype!r}")
 
 
 def parse_avro(payload: bytes):
     """REAL Avro object-container parse: returns
-    (codec, schema_name, sync_marker, [[record bytes, ...], ...]) —
-    one inner list per data block, so the block framing itself is an
-    observable output — or None.
+    (codec, schema, sync_marker, [[datum, ...], ...]) — one inner list
+    per data block, so the block framing itself is an observable
+    output — or None. ``schema`` is 'bytes'/'string' (datums are raw
+    bytes) or ('record', fields) (each datum a {field: value} dict
+    decoded by _read_datum).
     The metadata map, every block's count/size framing, every sync
     marker (all must equal the header's), and every datum length are
     verified; blocks must contain exactly ``count`` datums consuming
@@ -181,9 +291,10 @@ def parse_avro(payload: bytes):
     meta, pos = r
     if "avro.schema" not in meta:
         return None
-    schema = _schema_name(meta["avro.schema"])
+    schema = _schema_descr(meta["avro.schema"])
     if schema is None:
         return None
+    fields = schema[1] if isinstance(schema, tuple) else None
     codec = meta.get("avro.codec", b"null").decode("latin-1")
     if codec not in ("null", "deflate"):
         return None
@@ -222,10 +333,19 @@ def parse_avro(payload: bytes):
             data = raw
         total_inflated += len(data)
         if count > len(data):
-            return None  # every datum takes >=1 byte (its length varint)
+            return None  # every datum takes >=1 byte
         q = 0
-        block: list[bytes] = []
+        block: list = []
         for _ in range(count):
+            if fields is not None:
+                rec = {}
+                for fname, ftype in fields:
+                    r = _read_datum(data, q, ftype)
+                    if r is None:
+                        return None
+                    rec[fname], q = r
+                block.append(rec)
+                continue
             r = _read_sized(data, q)
             if r is None:
                 return None
@@ -255,19 +375,36 @@ def encode_avro(
     objects_per_block: int = 0,
 ) -> bytes:
     """Independent Avro object-container writer: ``records`` is a list
-    of bytes datums (must be valid UTF-8 when ``schema='string'``),
-    grouped ``objects_per_block`` per data block (0 → one block),
-    each block deflated when ``codec='deflate'`` (raw RFC-1951) and
-    terminated by the 16-byte ``sync`` marker."""
+    of bytes datums (must be valid UTF-8 when ``schema='string'``) —
+    or, when ``schema`` is a list/tuple of (field_name, field_type)
+    pairs, a list of {field: value} dicts encoded as a flat-primitive
+    record schema (the metadata JSON gets the canonical
+    {"type": "record", "name": "R", "fields": [...]} spelling).
+    Datums are grouped ``objects_per_block`` per data block (0 → one
+    block), each block deflated when ``codec='deflate'`` (raw
+    RFC-1951) and terminated by the 16-byte ``sync`` marker."""
     if codec not in ("null", "deflate"):
         raise ValueError("codec must be 'null' or 'deflate'")
-    if schema not in ("bytes", "string"):
-        raise ValueError("schema must be 'bytes' or 'string'")
+    fields = None
+    if isinstance(schema, (list, tuple)):
+        fields = [(str(n), str(t)) for n, t in schema]
+        if not fields or any(t not in _REC_PRIMS for _, t in fields):
+            raise ValueError("record fields must be flat primitives")
+        schema_json = json.dumps(
+            {"type": "record", "name": "R",
+             "fields": [{"name": n, "type": t} for n, t in fields]}
+        ).encode()
+    elif schema in ("bytes", "string"):
+        schema_json = json.dumps(schema).encode()
+    else:
+        raise ValueError(
+            "schema must be 'bytes', 'string', or record field pairs"
+        )
     if len(sync) != 16:
         raise ValueError("sync marker is 16 bytes")
     if not records:
         raise ValueError("the spec requires at least one data block")
-    meta = [(b"avro.schema", json.dumps(schema).encode()),
+    meta = [(b"avro.schema", schema_json),
             (b"avro.codec", codec.encode())]
     out = bytearray(_MAGIC)
     out += _w_long(len(meta))
@@ -280,6 +417,12 @@ def encode_avro(
         chunk = records[at : at + step]
         data = bytearray()
         for rec in chunk:
+            if fields is not None:
+                if set(rec) != {n for n, _ in fields}:
+                    raise ValueError("record keys must match the schema")
+                for n, t in fields:
+                    data += _w_datum(rec[n], t)
+                continue
             rec = bytes(rec)
             if schema == "string":
                 rec.decode("utf-8")  # raises on a non-UTF-8 string datum
@@ -323,6 +466,11 @@ def read_avro_records(df):
                         "object container"
                     )
                 codec, schema, _sync, blocks = parsed
+                if isinstance(schema, tuple):
+                    raise ValueError(
+                        f"doc {doc_id}: record-schema container — use "
+                        "read_avro_fields for typed field extraction"
+                    )
                 rno = 0
                 for bno, block in enumerate(blocks):
                     for datum in block:
@@ -343,4 +491,85 @@ def read_avro_records(df):
 
     return df.select("doc_id", "payload").mapInPandas(
         extract, schema=AVRO_SCHEMA
+    )
+
+
+AVRO_FIELDS_SCHEMA = (
+    "doc_id bigint, rec_no int, block_no int, codec string, "
+    "fname string, ftype string, v_int bigint, v_dbl double, "
+    "v_str string, v_len int, v_sum bigint"
+)
+
+
+def read_avro_fields(df):
+    """Typed Avro record extraction (r17 — the record-schema datum
+    reader the r16 verdict ranked the highest-leverage gap): one
+    container row → one row per (record, field) in schema field order,
+    with the value in the column its type owns — v_int for long/int/
+    boolean (booleans as 0/1), v_dbl for double/float (a float32
+    round-trips exactly into binary64), v_str for string (plus v_len),
+    v_len + v_sum byte stats for bytes. The container must carry a
+    record schema (that is what makes the file self-describing — the
+    reader takes NO external schema); primitive-schema containers
+    belong to read_avro_records. Malformed containers raise — a silent
+    skip is a silent corpus hole. Arrow-batched mapInPandas; container
+    bytes never leave the executor; the long format keeps the output
+    schema fixed across arbitrary record schemas (no per-corpus
+    DataFrame schema inference)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                parsed = parse_avro(bytes(payload))
+                if parsed is None:
+                    raise ValueError(
+                        f"doc {doc_id}: corrupt or out-of-envelope Avro "
+                        "object container"
+                    )
+                codec, schema, _sync, blocks = parsed
+                if not isinstance(schema, tuple):
+                    raise ValueError(
+                        f"doc {doc_id}: primitive-schema container — "
+                        "use read_avro_records"
+                    )
+                fields = schema[1]
+                rno = 0
+                for bno, block in enumerate(blocks):
+                    for rec in block:
+                        for fname, ftype in fields:
+                            v = rec[fname]
+                            v_int = v_dbl = v_str = v_len = v_sum = None
+                            if ftype in ("long", "int"):
+                                v_int = int(v)
+                            elif ftype == "boolean":
+                                v_int = int(v)
+                            elif ftype in ("double", "float"):
+                                v_dbl = float(v)
+                            elif ftype == "string":
+                                v_str = v
+                                v_len = len(v)
+                            else:  # bytes
+                                v_len = len(v)
+                                v_sum = sum(v)
+                            rows.append(
+                                (doc_id, rno, bno, codec, fname, ftype,
+                                 v_int, v_dbl, v_str, v_len, v_sum)
+                            )
+                        rno += 1
+            pdf_out = pd.DataFrame(
+                rows,
+                columns=["doc_id", "rec_no", "block_no", "codec",
+                         "fname", "ftype", "v_int", "v_dbl", "v_str",
+                         "v_len", "v_sum"],
+            )
+            pdf_out["rec_no"] = pdf_out["rec_no"].astype("int32")
+            pdf_out["block_no"] = pdf_out["block_no"].astype("int32")
+            yield pdf_out
+
+    return df.select("doc_id", "payload").mapInPandas(
+        extract, schema=AVRO_FIELDS_SCHEMA
     )

@@ -3789,6 +3789,172 @@ def q_avro_extract(spark, sf_dir):
 
 
 @query(
+    "q_avro_record",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, text, n_chars, CAST(1 + doc_id % 3 AS INT) AS k,
+             CASE WHEN doc_id % 2 = 1 THEN 'deflate' ELSE 'null' END
+               AS codec
+      FROM documents
+      WHERE text IS NOT NULL AND length(text) > 0 AND doc_id % 8 >= 6
+    ), ent AS (
+      SELECT doc_id, text, n_chars, codec, r.r AS rec_no,
+             5 + (n_chars + 9 * r.r) % 96 AS plen
+      FROM d, unnest(generate_series(0, CAST(k - 1 AS BIGINT))) r(r)
+    ), psum AS (
+      SELECT doc_id, rec_no,
+             sum((ascii(substr(text,
+               (((g.i % 64) * 23) % length(text)) + 1, 1)) % 256
+               + 13 * rec_no) % 256) AS s
+      FROM ent, unnest(generate_series(0, CAST(plen - 1 AS BIGINT))) g(i)
+      GROUP BY doc_id, rec_no
+    ), f AS (
+      SELECT ent.*, psum.s, fl.fname, fl.ftype
+      FROM ent JOIN psum USING (doc_id, rec_no),
+           (VALUES ('id', 'long'), ('n', 'int'), ('score', 'double'),
+                   ('ratio', 'float'), ('flag', 'boolean'),
+                   ('label', 'string'), ('payload', 'bytes'))
+             fl(fname, ftype)
+    )
+    SELECT doc_id,
+           CAST(rec_no AS INT) AS rec_no,
+           CAST(rec_no // 2 AS INT) AS block_no,
+           codec, fname, ftype,
+           CAST(COALESCE(CASE fname
+             WHEN 'id' THEN (1 - 2 * ((doc_id + rec_no) % 2))
+                            * (n_chars * 1009 + rec_no * 7919 + doc_id)
+             WHEN 'n' THEN (doc_id * 7 + rec_no * 13) % 4096 - 2048
+             WHEN 'flag' THEN
+               CASE WHEN (n_chars + rec_no) % 2 = 0 THEN 1 ELSE 0 END
+           END, 0) AS BIGINT) AS v_int,
+           CAST(COALESCE(CASE fname
+             WHEN 'score' THEN (n_chars % 10000) / 16.0 + 3 * rec_no
+             WHEN 'ratio' THEN ((doc_id * 31 + rec_no * 17) % 4096) / 8.0
+           END, 0.0) AS DOUBLE) AS v_dbl,
+           COALESCE(CASE WHEN fname = 'label'
+                THEN CAST((n_chars * (rec_no + 1)) % 100000 AS VARCHAR)
+           END, '') AS v_str,
+           CAST(COALESCE(CASE
+             WHEN fname = 'label' THEN length(
+               CAST((n_chars * (rec_no + 1)) % 100000 AS VARCHAR))
+             WHEN fname = 'payload' THEN plen
+           END, -1) AS INT) AS v_len,
+           CAST(COALESCE(CASE WHEN fname = 'payload' THEN s END, -1)
+             AS BIGINT) AS v_sum
+    FROM f
+    ORDER BY doc_id, rec_no, fname
+    """,
+)
+def q_avro_record(spark, sf_dir):
+    """Avro RECORD-schema datum decode under the driver hash (r17 —
+    the r16 verdict's highest-leverage functional gap: real Kafka/Hive
+    Avro is overwhelmingly "type":"record", and the schema JSON lives
+    IN the file metadata, so the reader is fully self-describing). Per
+    document a real container is muxed executor-side carrying
+    1 + doc_id%3 records of a seven-field flat-primitive schema that
+    exercises EVERY in-envelope field type — a sign-alternating `long`
+    (the zigzag negative path), an `int` spanning negatives, an exact
+    `double`, a `float` chosen on the 0.125 grid so the f32 round-trip
+    is exact, a `boolean`, a decimal-rendered `string` (the full value
+    is hashed, not just stats), and formula `bytes` cycled from the
+    doc's ONE 64-byte base with a +13r rotation — codec on doc parity,
+    TWO records per block so the framing rotates. read_avro_fields
+    re-parses the container (metadata-map schema resolution, per-field
+    binary decode, exact block consumption, sync equality) and ships
+    one row per (record, field) in the long format, each value in the
+    column its type owns. The oracle replays the schema's field list
+    (a VALUES join) and every field formula in SQL. Scale shape: one
+    scan, one doc_id exchange (_codec_parallel), two fused Arrow
+    stages; the long format keeps the output schema fixed across
+    arbitrary record schemas — no per-corpus inference."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    from polars_express_spark.functions.avro import (
+        encode_avro,
+        read_avro_fields,
+    )
+
+    fields = [("id", "long"), ("n", "int"), ("score", "double"),
+              ("ratio", "float"), ("flag", "boolean"),
+              ("label", "string"), ("payload", "bytes")]
+
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+        # quarter population, disjoint from q_avro_extract's doc%8<4
+        # slice; every strategy survives: codec parity needs doc%2
+        # (doc%8>=6 gives 6,7,14,15,... — both parities), record
+        # counts doc%3 span all residues over {6,7,14,15,22,23,...}
+        & (F.col("doc_id") % 8 >= 6)
+    )
+    bs = d.select(
+        "doc_id",
+        "n_chars",
+        # ONE 64-byte base per doc (stride 23), cycled in Python;
+        # record r derives via a +13r rotation the oracle replays
+        F.expr(
+            "transform(sequence(0, 63),"
+            " j -> ascii(substring(text, ((j * 23) % length(text)) + 1,"
+            " 1)) % 256)"
+        ).alias("fs"),
+    )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            payloads = []
+            for doc_id, n_chars, fs in zip(
+                pdf["doc_id"], pdf["n_chars"], pdf["fs"]
+            ):
+                doc_id, n_chars = int(doc_id), int(n_chars)
+                base_arr = np.array([int(x) for x in fs], dtype=np.uint8)
+                recs = []
+                for r in range(1 + doc_id % 3):
+                    ln = 5 + (n_chars + 9 * r) % 96
+                    arr = ((base_arr.astype(np.int64) + 13 * r) % 256
+                           ).astype(np.uint8)
+                    recs.append({
+                        "id": (1 - 2 * ((doc_id + r) % 2))
+                              * (n_chars * 1009 + r * 7919 + doc_id),
+                        "n": (doc_id * 7 + r * 13) % 4096 - 2048,
+                        "score": (n_chars % 10000) / 16.0 + 3 * r,
+                        "ratio": ((doc_id * 31 + r * 17) % 4096) / 8.0,
+                        "flag": (n_chars + r) % 2 == 0,
+                        "label": str((n_chars * (r + 1)) % 100000),
+                        "payload": np.tile(
+                            arr, (ln + 63) // 64)[:ln].tobytes(),
+                    })
+                payloads.append(
+                    encode_avro(
+                        recs,
+                        codec="deflate" if doc_id % 2 == 1 else "null",
+                        schema=fields,
+                        objects_per_block=2,
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    av = _codec_parallel(bs).mapInPandas(
+        synth, schema="doc_id bigint, payload binary"
+    )
+    # the operator's honest contract is NULL in the columns a type
+    # doesn't own; the hashed query coalesces to sentinels (0 / 0.0 /
+    # '' / -1) because a NULL int materializes as float64-with-NaN on
+    # the DuckDB-pandas side and splits a dtype-sensitive hash (the r8
+    # canonicalizer lesson pinned by test_oracle_dtypes_match_spark_schema)
+    return read_avro_fields(av).select(
+        "doc_id", "rec_no", "block_no", "codec", "fname", "ftype",
+        F.coalesce("v_int", F.lit(0)).alias("v_int"),
+        F.coalesce("v_dbl", F.lit(0.0)).alias("v_dbl"),
+        F.coalesce("v_str", F.lit("")).alias("v_str"),
+        F.coalesce("v_len", F.lit(-1)).alias("v_len"),
+        F.coalesce("v_sum", F.lit(-1)).alias("v_sum"),
+    ).orderBy("doc_id", "rec_no", "fname")
+
+
+@query(
     "q_multimodal_ogg_theora",
     oracle="""
     WITH d AS (

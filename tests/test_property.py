@@ -2623,6 +2623,142 @@ def test_avro_roundtrip_and_framing(codec, schema, opb, sizes, seed):
 
 
 @given(
+    codec=st.sampled_from(["null", "deflate"]),
+    opb=st.integers(0, 3),
+    nrec=st.integers(1, 5),
+    ftypes=st.lists(
+        st.sampled_from(["long", "int", "double", "float", "boolean",
+                         "string", "bytes"]),
+        min_size=1, max_size=6,
+    ),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=60, deadline=None)
+def test_avro_record_roundtrip(codec, opb, nrec, ftypes, seed):
+    """r17 — the record-schema datum reader (the r16 verdict's
+    "What's missing" #1): encode_avro with (name, type) field pairs →
+    parse_avro recovers every field of every record across codec ×
+    objects-per-block × arbitrary flat-primitive field mixes, the
+    schema resolved purely from the container's own metadata JSON
+    (self-describing — no external registry). Longs exercise the full
+    zigzag range, ints the 32-bit range, floats round-trip through
+    binary32 exactly, booleans are a strict 0/1 byte, strings
+    UTF-8-validate. The decode-level strictness table pins the spec
+    edges (int overflow, boolean byte 2, truncated fixed widths), the
+    schema gate pins unions/nesting/dups out of envelope, and flips
+    never crash."""
+    import struct as _s
+
+    import numpy as np
+
+    from polars_express_spark.functions.avro import (
+        _read_datum,
+        _schema_descr,
+        _w_long,
+        encode_avro,
+        parse_avro,
+    )
+
+    rng = np.random.RandomState(seed)
+    fields = [(f"f{i}_{t}", t) for i, t in enumerate(ftypes)]
+
+    def mk(t):
+        if t == "long":
+            return int(rng.randint(-(2**62), 2**62, dtype=np.int64))
+        if t == "int":
+            return int(rng.randint(-(2**31), 2**31, dtype=np.int64))
+        if t == "double":
+            return float(rng.standard_normal() * 10.0 ** rng.randint(0, 9))
+        if t == "float":
+            return float(rng.standard_normal() * 10.0 ** rng.randint(0, 9))
+        if t == "boolean":
+            return bool(rng.randint(0, 2))
+        if t == "string":
+            n = int(rng.randint(0, 40))
+            return "é" + "".join(
+                chr(32 + int(c)) for c in rng.randint(0, 95, size=n)
+            ) if rng.randint(0, 2) else "".join(
+                chr(32 + int(c)) for c in rng.randint(0, 95, size=n)
+            )
+        return rng.bytes(int(rng.randint(0, 50)))
+
+    recs = [{n: mk(t) for n, t in fields} for _ in range(nrec)]
+    enc = encode_avro(recs, codec=codec, schema=fields,
+                      objects_per_block=opb)
+    got = parse_avro(enc)
+    assert got is not None
+    c, s, _sync, blocks = got
+    assert c == codec and s == ("record", tuple(fields))
+    out = [r for b in blocks for r in b]
+    assert len(out) == nrec
+    for want, have in zip(recs, out):
+        for n, t in fields:
+            if t == "float":  # binary32 round-trip is the spec's width
+                assert have[n] == _s.unpack(
+                    "<f", _s.pack("<f", want[n])
+                )[0]
+            else:
+                assert have[n] == want[n]
+    # decode-level strictness: the spec edges of every primitive
+    assert _read_datum(_w_long(2**31), 0, "int") is None
+    assert _read_datum(_w_long(-(2**31) - 1), 0, "int") is None
+    assert _read_datum(_w_long(2**31 - 1), 0, "int")[0] == 2**31 - 1
+    assert _read_datum(b"\x02", 0, "boolean") is None
+    assert _read_datum(b"", 0, "boolean") is None
+    assert _read_datum(b"\x00" * 3, 0, "float") is None
+    assert _read_datum(b"\x00" * 7, 0, "double") is None
+    assert _read_datum(b"\x04\xff\xc0", 0, "string") is None  # bad UTF-8?
+    # (length 2, bytes ff c0 — an invalid UTF-8 sequence rejects)
+    # schema gate: unions, nesting, dups, namelessness out of envelope
+    ok = (b'{"type":"record","name":"R","fields":'
+          b'[{"name":"a","type":"long"}]}')
+    assert _schema_descr(ok) == ("record", (("a", "long"),))
+    assert _schema_descr(
+        b'{"type":"record","name":"R","fields":'
+        b'[{"name":"a","type":{"type":"long"}}]}'
+    ) == ("record", (("a", "long"),))  # one-level dict spelling
+    for bad in (
+        b'{"type":"record","fields":[{"name":"a","type":"long"}]}',
+        b'{"type":"record","name":"R","fields":[]}',
+        b'{"type":"record","name":"R","fields":'
+        b'[{"name":"a","type":["null","long"]}]}',
+        b'{"type":"record","name":"R","fields":'
+        b'[{"name":"a","type":"long"},{"name":"a","type":"int"}]}',
+        b'{"type":"record","name":"R","fields":'
+        b'[{"name":"a","type":{"type":"record","name":"S","fields":'
+        b'[{"name":"b","type":"long"}]}}]}',
+        b'{"type":"record","name":"R","fields":'
+        b'[{"name":"a","type":"array"}]}',
+    ):
+        assert _schema_descr(bad) is None
+    # writer strictness: keys must match the schema; bad types raise
+    try:
+        encode_avro([{"zzz": 1}], schema=fields)
+        raise AssertionError("keys mismatch must raise")
+    except ValueError:
+        pass
+    try:
+        encode_avro([{"a": 1}], schema=[("a", "array")])
+        raise AssertionError("non-primitive field type must raise")
+    except ValueError:
+        pass
+    # flips never crash; a surviving record parse stays well-formed
+    b = bytearray(enc)
+    for _ in range(12):
+        i = int(rng.randint(0, len(b)))
+        bit = 1 << int(rng.randint(0, 8))
+        b[i] ^= bit
+        r = parse_avro(bytes(b))
+        if r is not None and isinstance(r[1], tuple):
+            for blk in r[3]:
+                for d in blk:
+                    assert set(d) == {n for n, _ in r[1][1]}
+        b[i] ^= bit
+    assert parse_avro(enc[:-1]) is None
+    assert parse_avro(enc + b"\x00") is None
+
+
+@given(
     types=st.lists(
         st.sampled_from(["icp4", "icp5", "icp6", "ic04", "ic05"]),
         min_size=1, max_size=4,
