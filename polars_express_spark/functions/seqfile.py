@@ -19,9 +19,15 @@ every long-lived data lake. The version-6 layout is public struct math
 Hadoop vints are the WritableUtils encoding: one byte for [-112, 127],
 else a negative marker byte giving the big-endian byte count and sign.
 Record compression (the DefaultCodec = zlib WITH header) deflates each
-VALUE individually and is inflated through the capped bomb guard;
-BLOCK compression restructures the file wholesale and is out of
-envelope (None), as are codecs other than DefaultCodec.
+VALUE individually. BLOCK compression (r17 — the layout Hive/MR shops
+wrote by default) restructures records into sync-delimited blocks,
+each a record count (vint) followed by FOUR length-prefixed deflated
+buffer groups — key lengths (vints), serialized keys, value lengths
+(vints), serialized values — per the public Hadoop SequenceFile.java
+BlockCompressWriter/readBlock layout; every buffer group must consume
+exactly, and the per-block sync markers are the splittability
+convention. All inflation runs through the shared capped bomb guard.
+Codecs other than DefaultCodec are out of envelope (None).
 
 Key/value payloads are Writable-serialized; this module unwraps the
 two classes a byte-level pipeline owns — BytesWritable (u32be inner
@@ -129,12 +135,12 @@ def _unwrap(payload: bytes, cls: str):
 
 def parse_seqfile(payload: bytes):
     """REAL SequenceFile v6 parse: returns (key_class, value_class,
-    compressed, {metadata}, sync, [(key bytes, value bytes), ...]) or
-    None. Record framing, every sync-escape marker, the BytesWritable/
-    Text envelopes, and (when record-compressed with DefaultCodec) each
-    value's zlib stream are verified; block compression, other codecs,
-    truncation, and trailing bytes are out of envelope. Inflation is
-    capped (bomb guard)."""
+    compression, {metadata}, sync, [(key bytes, value bytes), ...]) or
+    None, where ``compression`` is 'none' | 'record' | 'block'. Record
+    framing (or the four-buffer-group block layout), every sync
+    marker, the BytesWritable/Text envelopes, and each DefaultCodec
+    zlib stream are verified; other codecs, truncation, and trailing
+    bytes are out of envelope. Inflation is capped (bomb guard)."""
     n = len(payload)
     if n < 4 + 2 + 2 + 4 + 16 or payload[:4] != _MAGIC:
         return None
@@ -153,8 +159,8 @@ def parse_seqfile(payload: bytes):
     pos += 2
     if compressed not in (0, 1) or block_compressed not in (0, 1):
         return None
-    if block_compressed:
-        return None  # block compression: out of envelope
+    if block_compressed and not compressed:
+        return None  # no writer produces this combination
     if compressed:
         r = _read_hstring(payload, pos)
         if r is None:
@@ -185,6 +191,13 @@ def parse_seqfile(payload: bytes):
         return None
     sync = payload[pos : pos + 16]
     pos += 16
+    if block_compressed:
+        records = _parse_block_body(
+            payload, pos, sync, key_class, value_class
+        )
+        if records is None:
+            return None
+        return key_class, value_class, "block", meta, sync, records
     records: list[tuple[bytes, bytes]] = []
     total_inflated = 0
     while pos < n:
@@ -210,14 +223,8 @@ def parse_seqfile(payload: bytes):
         if key is None:
             return None
         if compressed:
-            cap = _MAX_INFLATE - total_inflated
-            d = zlib.decompressobj()
-            try:
-                val_ser = d.decompress(val_raw, cap + 1)
-            except zlib.error:
-                return None
-            if (len(val_ser) > cap or not d.eof or d.unconsumed_tail
-                    or d.unused_data):
+            val_ser = _inflate_capped(val_raw, _MAX_INFLATE - total_inflated)
+            if val_ser is None:
                 return None
         else:
             if len(val_raw) > _MAX_INFLATE - total_inflated:
@@ -228,27 +235,121 @@ def parse_seqfile(payload: bytes):
         if val is None:
             return None
         records.append((key, val))
-    return key_class, value_class, bool(compressed), meta, sync, records
+    return (key_class, value_class, "record" if compressed else "none",
+            meta, sync, records)
+
+
+def _inflate_capped(raw: bytes, cap: int):
+    """One zlib (DefaultCodec) stream through the shared bomb guard:
+    returns the inflated bytes or None on a broken stream, trailing
+    compressed garbage, or output past ``cap``."""
+    d = zlib.decompressobj()
+    try:
+        data = d.decompress(raw, cap + 1)
+    except zlib.error:
+        return None
+    if len(data) > cap or not d.eof or d.unconsumed_tail or d.unused_data:
+        return None
+    return data
+
+
+def _parse_block_body(payload, pos, sync, key_class, value_class):
+    """The block-compressed body walk (Hadoop BlockCompressWriter's
+    readBlock twin): each block is a sync escape (0xFFFFFFFF + the
+    header's 16-byte sync), a record-count vint, then FOUR
+    length-prefixed DefaultCodec buffer groups — key lengths (vints),
+    serialized keys, value lengths (vints), serialized values. Every
+    group must consume exactly (count vints; lengths summing to the
+    sibling buffer's size), keys/values unwrap their Writable
+    envelopes, and inflation shares one cap across the file. Returns
+    the record list or None."""
+    n = len(payload)
+    records: list[tuple[bytes, bytes]] = []
+    total_inflated = 0
+    while pos < n:
+        if pos + 20 > n:
+            return None
+        (esc,) = struct.unpack_from(">I", payload, pos)
+        if esc != 0xFFFFFFFF or payload[pos + 4 : pos + 20] != sync:
+            return None
+        pos += 20
+        r = _read_hvint(payload, pos)
+        if r is None:
+            return None
+        count, pos = r
+        if count < 1:
+            return None  # the writer never emits an empty block
+        groups = []
+        for _ in range(4):
+            r = _read_hvint(payload, pos)
+            if r is None:
+                return None
+            ln, pos = r
+            if ln < 0 or ln > n - pos:
+                return None
+            data = _inflate_capped(
+                payload[pos : pos + ln], _MAX_INFLATE - total_inflated
+            )
+            if data is None:
+                return None
+            total_inflated += len(data)
+            pos += ln
+            groups.append(data)
+        key_lens, keys_buf, val_lens, vals_buf = groups
+        block = []
+        for lens, buf in ((key_lens, keys_buf), (val_lens, vals_buf)):
+            at = off = 0
+            items = []
+            for _ in range(count):
+                r = _read_hvint(lens, at)
+                if r is None:
+                    return None
+                ln, at = r
+                if ln < 0 or ln > len(buf) - off:
+                    return None
+                items.append(buf[off : off + ln])
+                off += ln
+            if at != len(lens) or off != len(buf):
+                return None  # both groups must consume exactly
+            block.append(items)
+        for key_raw, val_raw in zip(*block):
+            key = _unwrap(key_raw, key_class)
+            val = _unwrap(val_raw, value_class)
+            if key is None or val is None:
+                return None
+            records.append((key, val))
+    if not records:
+        return None
+    return records
 
 
 def encode_seqfile(
     records,
     key_class: str = _TEXT,
     value_class: str = _BYTES_WRITABLE,
-    compress: bool = False,
+    compress=False,
     sync_interval: int = 0,
     metadata=None,
     sync: bytes = _SYNC_DEFAULT,
+    records_per_block: int = 0,
 ) -> bytes:
     """Independent SequenceFile v6 writer: ``records`` is a list of
     (key bytes, value bytes) pairs, wrapped in the named Writable
     envelopes (Text validates UTF-8; BytesWritable prefixes the u32be
-    inner length; other class names write the bytes opaque);
-    ``compress`` applies the zlib DefaultCodec per value;
-    ``sync_interval`` > 0 writes the sync escape before every
-    interval-th record."""
+    inner length; other class names write the bytes opaque).
+    ``compress`` is 'none' | 'record' | 'block' (bools keep their
+    r16 meaning: True == 'record'). Record form: the zlib DefaultCodec
+    per value, with ``sync_interval`` > 0 writing the sync escape
+    before every interval-th record. Block form: records grouped
+    ``records_per_block`` per block (0 → one block), each block a
+    sync + count + four deflated buffer groups per the Hadoop
+    BlockCompressWriter layout."""
     if len(sync) != 16:
         raise ValueError("sync marker is 16 bytes")
+    if isinstance(compress, bool):
+        compress = "record" if compress else "none"
+    if compress not in ("none", "record", "block"):
+        raise ValueError("compress must be 'none', 'record', or 'block'")
 
     def wrap(data: bytes, cls: str) -> bytes:
         data = bytes(data)
@@ -261,27 +362,44 @@ def encode_seqfile(
 
     out = bytearray(_MAGIC)
     out += _w_hstring(key_class) + _w_hstring(value_class)
-    out += bytes([1 if compress else 0, 0])
-    if compress:
+    out += bytes([0 if compress == "none" else 1,
+                  1 if compress == "block" else 0])
+    if compress != "none":
         out += _w_hstring(_DEFAULT_CODEC)
     meta = metadata or {}
     out += struct.pack(">I", len(meta))
     for k, v in meta.items():
         out += _w_hstring(k) + _w_hstring(v)
     out += sync
+    if compress == "block":
+        if not records:
+            raise ValueError("block form needs at least one record")
+        step = records_per_block if records_per_block > 0 else len(records)
+        for at in range(0, len(records), step):
+            chunk = records[at : at + step]
+            kws = [wrap(k, key_class) for k, _ in chunk]
+            vws = [wrap(v, value_class) for _, v in chunk]
+            out += b"\xff\xff\xff\xff" + sync + _w_hvint(len(chunk))
+            for group in (
+                b"".join(_w_hvint(len(k)) for k in kws), b"".join(kws),
+                b"".join(_w_hvint(len(v)) for v in vws), b"".join(vws),
+            ):
+                z = zlib.compress(group, 6)
+                out += _w_hvint(len(z)) + z
+        return bytes(out)
     for i, (key, value) in enumerate(records):
         if sync_interval and i and i % sync_interval == 0:
             out += b"\xff\xff\xff\xff" + sync
         kw = wrap(key, key_class)
         vw = wrap(value, value_class)
-        if compress:
+        if compress == "record":
             vw = zlib.compress(vw, 6)
         out += struct.pack(">II", len(kw) + len(vw), len(kw)) + kw + vw
     return bytes(out)
 
 
 SEQFILE_SCHEMA = (
-    "doc_id bigint, rec_no int, key string, compressed boolean, "
+    "doc_id bigint, rec_no int, key string, compression string, "
     "size bigint, mean_b double, min_b int, max_b int"
 )
 
@@ -299,7 +417,7 @@ def _seqfile_rows(doc_id, payload: bytes):
         raise ValueError(
             f"doc {doc_id}: corrupt or out-of-envelope SequenceFile"
         )
-    kc, _vc, compressed, _meta, _sync, recs = parsed
+    kc, _vc, compression, _meta, _sync, recs = parsed
     if kc != _TEXT:
         raise ValueError(
             f"doc {doc_id}: key class {kc!r} not supported by "
@@ -309,7 +427,7 @@ def _seqfile_rows(doc_id, payload: bytes):
     for rno, (key, val) in enumerate(recs):
         arr = np.frombuffer(val, dtype=np.uint8)
         rows.append(
-            (doc_id, rno, key.decode("utf-8"), compressed, len(val),
+            (doc_id, rno, key.decode("utf-8"), compression, len(val),
              float(arr.mean()) if arr.size else 0.0,
              int(arr.min()) if arr.size else 0,
              int(arr.max()) if arr.size else 0)
@@ -320,7 +438,7 @@ def _seqfile_rows(doc_id, payload: bytes):
 def read_seqfile_records(df):
     """SequenceFile extraction operator (the WARC/zip/tar/TFRecord/
     Avro operator shape): one container row → one row per record with
-    the Text key, the parsed compression flag, and exact byte stats
+    the Text key, the parsed compression layout, and exact byte stats
     over the unwrapped BytesWritable value. Malformed files raise.
     Arrow-batched mapInPandas; container bytes never leave the
     executor."""
@@ -335,7 +453,7 @@ def read_seqfile_records(df):
                 rows.extend(_seqfile_rows(doc_id, payload))
             yield pd.DataFrame(
                 rows,
-                columns=["doc_id", "rec_no", "key", "compressed", "size",
+                columns=["doc_id", "rec_no", "key", "compression", "size",
                          "mean_b", "min_b", "max_b"],
             ).astype({"rec_no": "int32", "min_b": "int32",
                       "max_b": "int32"})

@@ -4237,11 +4237,12 @@ def q_multimodal_icns(spark, sf_dir):
     oracle="""
     WITH d AS (
       SELECT doc_id, text, n_chars, CAST(2 + doc_id % 3 AS INT) AS k,
-             doc_id % 2 = 1 AS compressed
+             CASE doc_id % 3 WHEN 0 THEN 'none' WHEN 1 THEN 'record'
+                  ELSE 'block' END AS compression
       FROM documents
       WHERE text IS NOT NULL AND length(text) > 0 AND doc_id % 8 < 4
     ), ent AS (
-      SELECT doc_id, text, compressed, r.r AS rec_no,
+      SELECT doc_id, text, compression, r.r AS rec_no,
              CASE WHEN r.r = 1 THEN 0
                   ELSE 18 + (n_chars + r.r * 9) % 160 END AS size
       FROM d, unnest(generate_series(0, CAST(k - 1 AS BIGINT))) r(r)
@@ -4262,7 +4263,7 @@ def q_multimodal_icns(spark, sf_dir):
     SELECT ent.doc_id,
            CAST(ent.rec_no AS INT) AS rec_no,
            'k' || ent.doc_id || '/' || ent.rec_no AS key,
-           ent.compressed,
+           ent.compression,
            CAST(ent.size AS BIGINT) AS size,
            COALESCE(stats.mean_b, 0.0) AS mean_b,
            COALESCE(stats.min_b, 0) AS min_b,
@@ -4280,14 +4281,18 @@ def q_seqfile_extract(spark, sf_dir):
     values carrying stride-31 formula bodies cycled from the doc's ONE
     64-byte base (record r a +7r byte rotation — the tfexample perf
     lesson, size 18 + (n_chars + 9r)%160, record 1 a zero-length
-    value), a sync escape every 2 records so the
-    mid-stream 0xFFFFFFFF marker path is hashed, and the zlib
-    DefaultCodec record compression on doc parity (through the capped
-    inflate). read_seqfile_records re-walks the header (Hadoop vint
+    value), and the compression LAYOUT rotating over all three forms
+    by doc_id%3 (r17 — the block form per the r16 verdict's missing
+    #2): 'none' and 'record' (zlib DefaultCodec per value) carry a
+    sync escape every 2 records so the mid-stream 0xFFFFFFFF marker
+    path is hashed; 'block' groups 2 records per block through the
+    four deflated buffer groups of the Hadoop BlockCompressWriter
+    layout, so multi-block files with per-block sync markers are
+    hashed too. read_seqfile_records re-walks the header (Hadoop vint
     class names, booleans, metadata map), verifies every sync marker,
     unwraps both Writable envelopes (Text UTF-8 validated,
     BytesWritable inner length enforced), and ships one row per record
-    with the key, the PARSED compression flag, and exact value stats.
+    with the key, the PARSED compression layout, and exact value stats.
     The oracle replays the key/size/byte arithmetic in SQL (a LEFT
     JOIN keeps the empty value's zero-stats row). Scale shape: one
     scan, one doc_id exchange (_codec_parallel), two fused Arrow
@@ -4304,9 +4309,9 @@ def q_seqfile_extract(spark, sf_dir):
 
     d = load_table(spark, sf_dir, "documents").where(
         F.col("text").isNotNull() & (F.length("text") > 0)
-        # half the corpus; %2 compression parity and %3 record counts
-        # survive doc%8<4 (idle sf0.1 measurement in the commit, the
-        # standing trim ratchet)
+        # half the corpus; the %3 compression rotation and %3 record
+        # counts survive doc%8<4 (idle sf0.1 measurement in the
+        # commit, the standing trim ratchet)
         & (F.col("doc_id") % 8 < 4)
     )
     bs = d.select(
@@ -4342,11 +4347,13 @@ def q_seqfile_extract(spark, sf_dir):
                     recs.append(
                         (key, np.tile(arr, (ln + 63) // 64)[:ln].tobytes())
                     )
+                comp = ["none", "record", "block"][doc_id % 3]
                 payloads.append(
                     encode_seqfile(
                         recs,
-                        compress=doc_id % 2 == 1,
-                        sync_interval=2,
+                        compress=comp,
+                        sync_interval=0 if comp == "block" else 2,
+                        records_per_block=2,
                     )
                 )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
