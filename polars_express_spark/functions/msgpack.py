@@ -17,14 +17,22 @@ Envelope (strict, None outside it): all int/str/bin/array/map/float/
 bool/nil families above, with str payloads validated UTF-8 and map
 keys restricted to int/str with duplicates rejected (the spec leaves
 duplicate-key semantics implementation-defined; this module's
-never-guess posture rejects). Out of envelope: the ext family
-(0xc7-0xc9, 0xd4-0xd8 — application-defined types need a registry,
-the tf.Example precedent), the never-used byte 0xc1, truncation, and
-trailing bytes. Nesting is depth-capped at 64 (recursion bomb guard);
-every length is bounds-checked against the remaining payload before
-allocation. encode_msgpack writes the smallest representation (the
-spec's recommendation); the decoder accepts non-minimal widths as the
-spec requires.
+never-guess posture rejects), plus (r17) the ONE ext type the spec
+itself defines — timestamp, ext type -1, in all three layouts:
+timestamp32 (fixext4: u32be seconds), timestamp64 (fixext8: 30-bit
+nanoseconds over 34-bit seconds), timestamp96 (ext8 len 12: u32be
+nanoseconds + i64be seconds), nanoseconds validated <= 999999999 per
+spec; it decodes to the MsgpackTimestamp named tuple. Fluentd event
+streams (this module's motivating corpus) carry event time as ext -1.
+Out of envelope: every APPLICATION ext type (0xc7-0xc9, 0xd4-0xd8
+with type != -1 need a registry, the tf.Example precedent), the
+never-used byte 0xc1, truncation, and trailing bytes. Nesting is
+depth-capped at 64 (recursion bomb guard); every length is
+bounds-checked against the remaining payload before allocation.
+encode_msgpack writes the smallest representation (the spec's
+recommendation, including the smallest of the three timestamp
+layouts); the decoder accepts non-minimal widths as the spec
+requires.
 
 Reference parity anchor: extends the reference's CSV-only ingest
 (reference src/main.rs:41-52) like the other §2.10 ingestion tiers.
@@ -33,6 +41,7 @@ Reference parity anchor: extends the reference's CSV-only ingest
 from __future__ import annotations
 
 import struct
+from typing import NamedTuple
 
 from polars_express_spark.functions.cbor import CBOR_NULL
 
@@ -40,6 +49,34 @@ _MAX_DEPTH = 64
 
 # NULL sentinel shared with the CBOR tier: None stays the error signal
 MSGPACK_NULL = CBOR_NULL
+
+
+class MsgpackTimestamp(NamedTuple):
+    """The spec-defined timestamp extension (ext type -1): seconds
+    since the epoch (signed) + nanoseconds in [0, 999999999]."""
+
+    sec: int
+    nsec: int
+
+
+def _decode_timestamp(data: bytes):
+    """Decode an ext -1 payload by its spec-fixed layout (4/8/12
+    bytes); returns MsgpackTimestamp or None on any other length or
+    out-of-range nanoseconds."""
+    if len(data) == 4:
+        return MsgpackTimestamp(struct.unpack(">I", data)[0], 0)
+    if len(data) == 8:
+        (d64,) = struct.unpack(">Q", data)
+        nsec = d64 >> 34
+        if nsec > 999_999_999:
+            return None
+        return MsgpackTimestamp(d64 & ((1 << 34) - 1), nsec)
+    if len(data) == 12:
+        nsec, sec = struct.unpack(">Iq", data)
+        if nsec > 999_999_999:
+            return None
+        return MsgpackTimestamp(sec, nsec)
+    return None
 
 
 def _decode(b: bytes, pos: int, depth: int):
@@ -112,7 +149,29 @@ def _decode(b: bytes, pos: int, depth: int):
             return None
         ln, pos = r
         return _decode_map(b, pos, ln, depth)
-    return None  # ext family (0xc7-0xc9, 0xd4-0xd8) and 0xc1
+    # the ext family: ONLY the spec-defined timestamp (type -1) is in
+    # envelope — fixext4 (0xd6) / fixext8 (0xd7) / ext8 len 12 (0xc7);
+    # application types stay rejected (they need a registry)
+    if t in (0xD6, 0xD7):
+        width = 4 if t == 0xD6 else 8
+        if pos + 1 + width > len(b) or b[pos] != 0xFF:
+            return None
+        ts = _decode_timestamp(b[pos + 1 : pos + 1 + width])
+        if ts is None:
+            return None
+        return ts, pos + 1 + width
+    if t == 0xC7:
+        r = _read_len(b, pos, 1)
+        if r is None:
+            return None
+        ln, pos = r
+        if ln != 12 or pos + 1 + 12 > len(b) or b[pos] != 0xFF:
+            return None
+        ts = _decode_timestamp(b[pos + 1 : pos + 13])
+        if ts is None:
+            return None
+        return ts, pos + 13
+    return None  # application exts (0xc8-0xc9, 0xd4-0xd5, 0xd8), 0xc1
 
 
 def _read_len(b: bytes, pos: int, width: int):
@@ -183,12 +242,24 @@ def parse_msgpack(payload: bytes):
 def encode_msgpack(value) -> bytes:
     """Independent MessagePack writer in the smallest representation:
     ints (full uint64/int64 range), bytes (bin family), str, list,
-    dict, bool, MSGPACK_NULL, and floats (written as float64; the
-    decoder accepts both widths)."""
+    dict, bool, MSGPACK_NULL, floats (written as float64; the decoder
+    accepts both widths), and MsgpackTimestamp (ext -1, the smallest
+    of the three spec layouts that fits)."""
     if isinstance(value, bool):
         return b"\xc3" if value else b"\xc2"
     if value is MSGPACK_NULL or isinstance(value, type(MSGPACK_NULL)):
         return b"\xc0"
+    if isinstance(value, MsgpackTimestamp):
+        sec, nsec = int(value.sec), int(value.nsec)
+        if not 0 <= nsec <= 999_999_999:
+            raise ValueError("nanoseconds out of range")
+        if not -(1 << 63) <= sec < 1 << 63:
+            raise ValueError("seconds out of int64 range")
+        if nsec == 0 and 0 <= sec < 1 << 32:
+            return b"\xd6\xff" + struct.pack(">I", sec)
+        if 0 <= sec < 1 << 34:
+            return b"\xd7\xff" + struct.pack(">Q", (nsec << 34) | sec)
+        return b"\xc7\x0c\xff" + struct.pack(">Iq", nsec, sec)
     if isinstance(value, int):
         if 0 <= value <= 0x7F:
             return bytes([value])
@@ -249,17 +320,18 @@ def encode_msgpack(value) -> bytes:
 MSGPACK_SCHEMA = (
     "doc_id bigint, rec_no int, id_val bigint, name string, "
     "bin_len int, bin_sum bigint, n_tags int, tags_sum bigint, "
-    "score double, ok boolean"
+    "score double, ok boolean, ts_sec bigint, ts_nsec int"
 )
 
 
 def read_msgpack_records(df):
     """MessagePack extraction operator: one payload row → one row per
     element of a top-level array of maps with the fixed keys id/name/
-    bin/tags/score/ok (the Fluentd-record shape) — decoded through the
-    full spec walk with UTF-8, duplicate-key, and depth enforcement.
-    Malformed payloads or a shape mismatch raise. Arrow-batched
-    mapInPandas."""
+    bin/tags/score/ok/ts (the Fluentd-record shape; ts is the ext -1
+    event timestamp Fluentd attaches, shipped as exact sec + nsec
+    columns) — decoded through the full spec walk with UTF-8,
+    duplicate-key, and depth enforcement. Malformed payloads or a
+    shape mismatch raise. Arrow-batched mapInPandas."""
     from collections.abc import Iterator
 
     import pandas as pd
@@ -281,23 +353,27 @@ def read_msgpack_records(df):
                             or not isinstance(item.get("bin"), bytes)
                             or not isinstance(item.get("tags"), list)
                             or not isinstance(item.get("score"), float)
-                            or not isinstance(item.get("ok"), bool)):
+                            or not isinstance(item.get("ok"), bool)
+                            or not isinstance(item.get("ts"),
+                                              MsgpackTimestamp)):
                         raise ValueError(
                             f"doc {doc_id} record {rno}: shape mismatch"
                         )
                     binv = item["bin"]
                     tags = item["tags"]
+                    ts = item["ts"]
                     rows.append(
                         (doc_id, rno, item["id"], item["name"], len(binv),
                          sum(binv), len(tags), sum(tags), item["score"],
-                         item["ok"])
+                         item["ok"], ts.sec, ts.nsec)
                     )
             yield pd.DataFrame(
                 rows,
                 columns=["doc_id", "rec_no", "id_val", "name", "bin_len",
-                         "bin_sum", "n_tags", "tags_sum", "score", "ok"],
+                         "bin_sum", "n_tags", "tags_sum", "score", "ok",
+                         "ts_sec", "ts_nsec"],
             ).astype({"rec_no": "int32", "bin_len": "int32",
-                      "n_tags": "int32"})
+                      "n_tags": "int32", "ts_nsec": "int32"})
 
     return df.select("doc_id", "payload").mapInPandas(
         extract, schema=MSGPACK_SCHEMA

@@ -4520,7 +4520,20 @@ def q_cbor_extract(spark, sf_dir):
            tags.tags_sum,
            CAST((ent.n_chars + 23 * ent.rec_no) % 2048 AS DOUBLE) / 16.0
              AS score,
-           (ent.doc_id + ent.rec_no) % 2 = 0 AS ok
+           (ent.doc_id + ent.rec_no) % 2 = 0 AS ok,
+           CAST(CASE (ent.doc_id + ent.rec_no) % 3
+             WHEN 0 THEN (ent.n_chars * 97 + ent.rec_no * 1013)
+                         % 4294967296
+             WHEN 1 THEN (ent.n_chars * 97 + ent.rec_no * 1013)
+                         % 17179869184
+             ELSE -((ent.n_chars * 97 + ent.rec_no * 1013)
+                    % 10000000000) - 1
+           END AS BIGINT) AS ts_sec,
+           CAST(CASE (ent.doc_id + ent.rec_no) % 3
+             WHEN 0 THEN 0
+             WHEN 1 THEN 1 + (ent.n_chars + ent.rec_no) % 999999999
+             ELSE (ent.n_chars + ent.rec_no) % 1000000000
+           END AS INT) AS ts_nsec
     FROM ent
     LEFT JOIN sums
       ON ent.doc_id = sums.doc_id AND ent.rec_no = sums.rec_no
@@ -4541,12 +4554,18 @@ def q_msgpack_extract(spark, sf_dir):
     with a +13r rotation per record (the tfexample perf lesson;
     record 1 zero-length — the empty-bin head), a fixarray 'tags' of
     1 + (doc+r)%5 small ints, a
-    sixteenth-integer float 'score' (exact in binary64), and a parity
-    boolean 'ok' — so fixint/negative-fixint/uint/int, fixstr, bin,
-    fixarray, fixmap, float64, and bool families are all hashed every
-    round. read_msgpack_records re-decodes through the full spec walk
-    (UTF-8 validation, duplicate-key rejection, depth cap) and ships
-    one row per element; the oracle replays the arithmetic in SQL.
+    sixteenth-integer float 'score' (exact in binary64), a parity
+    boolean 'ok', and (r17) the spec-defined TIMESTAMP extension 'ts'
+    (ext -1 — the Fluentd event-time field, the r16 verdict's missing
+    #3) rotating all three layouts by (doc+r)%3: timestamp32 (nsec=0,
+    sec<2^32), timestamp64 (30-bit nsec over 34-bit sec), timestamp96
+    (negative pre-epoch seconds) — so fixint/negative-fixint/uint/int,
+    fixstr, bin, fixarray, fixmap, float64, bool, and all three ext -1
+    layouts are hashed every round. read_msgpack_records re-decodes
+    through the full spec walk (UTF-8 validation, duplicate-key
+    rejection, depth cap, nanosecond range enforcement) and ships one
+    row per element with exact ts_sec/ts_nsec columns; the oracle
+    replays the arithmetic in SQL.
     Scale shape: one scan, one doc_id exchange (_codec_parallel), two
     fused Arrow stages."""
     from typing import Iterator
@@ -4554,6 +4573,7 @@ def q_msgpack_extract(spark, sf_dir):
     import pandas as pd
 
     from polars_express_spark.functions.msgpack import (
+        MsgpackTimestamp,
         encode_msgpack,
         read_msgpack_records,
     )
@@ -4604,6 +4624,16 @@ def q_msgpack_extract(spark, sf_dir):
                                  for t in range(n_tags)],
                         "score": ((n_chars + 23 * r) % 2048) / 16.0,
                         "ok": (doc_id + r) % 2 == 0,
+                        "ts": MsgpackTimestamp(
+                            *[
+                                ((n_chars * 97 + r * 1013) % 2**32, 0),
+                                ((n_chars * 97 + r * 1013) % 2**34,
+                                 1 + (n_chars + r) % 999_999_999),
+                                (-((n_chars * 97 + r * 1013)
+                                   % 10_000_000_000) - 1,
+                                 (n_chars + r) % 1_000_000_000),
+                            ][(doc_id + r) % 3]
+                        ),
                     })
                 payloads.append(encode_msgpack(items))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})

@@ -3342,6 +3342,72 @@ def test_msgpack_roundtrip_and_vectors(ints, blobs, texts, sixteenths,
 
 
 @given(
+    secs=st.lists(st.integers(-(2**63), 2**63 - 1), min_size=1,
+                  max_size=6),
+    nsecs=st.lists(st.integers(0, 999_999_999), min_size=1, max_size=6),
+)
+@settings(max_examples=60, deadline=None)
+def test_msgpack_timestamp_ext(secs, nsecs):
+    """r17 — the spec-defined timestamp extension (ext -1, the r16
+    verdict's missing #3 — Fluentd event time): encode_msgpack picks
+    the smallest of the three layouts (timestamp32 for nsec=0 &
+    sec<2^32, timestamp64 for sec<2^34, timestamp96 otherwise — the
+    spec's own recommendation) and parse_msgpack recovers (sec, nsec)
+    exactly across the full int64 second range, including pre-epoch
+    negatives. Spec byte vectors pin all three layouts; nanoseconds
+    past 999999999 reject in both 64- and 96-bit forms; application
+    ext types stay rejected; a timestamp map KEY rejects (keys stay
+    int/str only)."""
+    from polars_express_spark.functions.msgpack import (
+        MsgpackTimestamp,
+        encode_msgpack,
+        parse_msgpack,
+    )
+
+    # spec-derived byte vectors for the three layouts
+    assert parse_msgpack(b"\xd6\xff\x00\x00\x00\x00") == \
+        MsgpackTimestamp(0, 0)
+    assert parse_msgpack(b"\xd6\xff\xff\xff\xff\xff") == \
+        MsgpackTimestamp(2**32 - 1, 0)
+    d64 = (1 << 34) | 5  # nsec=1, sec=5
+    assert parse_msgpack(b"\xd7\xff" + d64.to_bytes(8, "big")) == \
+        MsgpackTimestamp(5, 1)
+    assert parse_msgpack(
+        b"\xc7\x0c\xff\x00\x00\x00\x00" + (-1).to_bytes(8, "big",
+                                                        signed=True)
+    ) == MsgpackTimestamp(-1, 0)
+    # encoder picks the smallest layout per spec
+    assert encode_msgpack(MsgpackTimestamp(7, 0))[:2] == b"\xd6\xff"
+    assert encode_msgpack(MsgpackTimestamp(7, 1))[:2] == b"\xd7\xff"
+    assert encode_msgpack(MsgpackTimestamp(2**34, 0))[:3] == b"\xc7\x0c\xff"
+    assert encode_msgpack(MsgpackTimestamp(-1, 0))[:3] == b"\xc7\x0c\xff"
+    # nanoseconds past 999999999 reject in both wide layouts
+    bad64 = (1_000_000_000 << 34) | 5
+    assert parse_msgpack(b"\xd7\xff" + bad64.to_bytes(8, "big")) is None
+    assert parse_msgpack(
+        b"\xc7\x0c\xff" + (1_000_000_000).to_bytes(4, "big") + b"\x00" * 8
+    ) is None
+    # application ext types and wrong ext8 lengths stay rejected
+    assert parse_msgpack(b"\xd6\x01\x00\x00\x00\x00") is None
+    assert parse_msgpack(b"\xd7\x05" + b"\x00" * 8) is None
+    assert parse_msgpack(b"\xc7\x0c\x02" + b"\x00" * 12) is None
+    assert parse_msgpack(b"\xc7\x04\xff" + b"\x00" * 4) is None
+    # a timestamp map KEY rejects (int/str keys only)
+    key_enc = (b"\x81" + encode_msgpack(MsgpackTimestamp(1, 0))
+               + b"\x00")
+    assert parse_msgpack(key_enc) is None
+    # round-trip across the full range, nested in arrays/maps
+    tss = [MsgpackTimestamp(s, ns) for s, ns in zip(secs, nsecs)]
+    value = {"events": tss, "first": tss[0]}
+    assert parse_msgpack(encode_msgpack(value)) == value
+    try:
+        encode_msgpack(MsgpackTimestamp(0, 1_000_000_000))
+        raise AssertionError("out-of-range nsec must raise")
+    except ValueError:
+        pass
+
+
+@given(
     packed=st.booleans(),
     n_bytes=st.lists(st.integers(0, 300), min_size=0, max_size=4),
     ints=st.lists(st.integers(-(2**63), 2**63 - 1), min_size=0,
