@@ -18,13 +18,22 @@ Envelope (strict, None on anything outside it):
   integers or text and duplicate keys reject (§5.6 calls such maps
   invalid);
 - major 7 false/true/null and float16/32/64 (the half-precision path
-  is struct's '<e'/'>e' format).
-Out of envelope: indefinite lengths (info 31), tags (major 6), the
-undefined simple value and unassigned simple values, truncation, and
-trailing bytes after the top-level item. Nesting depth is capped at
-64 (bomb guard — a deep [[[[...]]]] otherwise recurses unboundedly);
-string/container sizes are bounds-checked against the remaining
-payload before any allocation.
+  is struct's '<e'/'>e' format);
+- (r17) INDEFINITE lengths per §3.2: chunked byte/text strings (each
+  chunk a definite-length string of the SAME major type, text chunks
+  individually valid UTF-8 per §3.2.3 — a character may not straddle
+  chunks), and indefinite arrays/maps running to the 0xff "break"
+  (which must not split a map entry, and is malformed anywhere else);
+- (r17) the two standard datetime TAGS of §3.4.1-2: tag 0 (an RFC
+  3339 text item, validated — decodes to CborDateTime keeping the
+  original string losslessly) and tag 1 (an integer or float epoch
+  offset — decodes to CborEpochTime).
+Out of envelope: every other tag (application semantics need a
+registry), the undefined simple value and unassigned simple values,
+truncation, and trailing bytes after the top-level item. Nesting
+depth is capped at 64 (bomb guard — a deep [[[[...]]]] otherwise
+recurses unboundedly); string/container sizes are bounds-checked
+against the remaining payload before any allocation.
 
 Reference parity anchor: extends the reference's CSV-only ingest
 (reference src/main.rs:41-52) like the other §2.10 ingestion tiers.
@@ -33,8 +42,38 @@ Reference parity anchor: extends the reference's CSV-only ingest
 from __future__ import annotations
 
 import struct
+from typing import NamedTuple
 
 _MAX_DEPTH = 64
+
+
+class CborDateTime(NamedTuple):
+    """Tag 0 (§3.4.1): a standard RFC 3339 date/time string, kept
+    verbatim (lossless) after validation."""
+
+    text: str
+
+
+class CborEpochTime(NamedTuple):
+    """Tag 1 (§3.4.2): epoch-based date/time — an int or float offset
+    in seconds from 1970-01-01T00:00Z."""
+
+    value: object  # int | float
+
+
+def _valid_rfc3339(text: str) -> bool:
+    """Tag-0 content validation: RFC 3339 date-time — full date, 'T',
+    full time, and a mandatory offset ('Z' or ±HH:MM). Python's
+    fromisoformat (3.11+) accepts this grammar; the tzinfo check
+    enforces the offset RFC 3339 requires."""
+    from datetime import datetime
+
+    if len(text) < 20 or text[10] != "T":
+        return False
+    try:
+        return datetime.fromisoformat(text).tzinfo is not None
+    except ValueError:
+        return False
 
 
 def _decode(b: bytes, pos: int, depth: int):
@@ -48,8 +87,6 @@ def _decode(b: bytes, pos: int, depth: int):
     major = b[pos] >> 5
     info = b[pos] & 0x1F
     pos += 1
-    if major == 6:
-        return None  # tags: out of envelope
     if major == 7:
         if info == 20:
             return False, pos
@@ -72,8 +109,12 @@ def _decode(b: bytes, pos: int, depth: int):
             return None
         arg = int.from_bytes(b[pos : pos + width], "big")
         pos += width
+    elif info == 31 and major in (2, 3, 4, 5):
+        return _decode_indefinite(b, pos, major, depth)
     else:
-        return None  # reserved 28-30 / indefinite 31
+        return None  # reserved 28-30; indefinite on majors 0/1/6
+    if major == 6:
+        return _decode_tagged(b, pos, arg, depth)
     if major == 0:
         return arg, pos
     if major == 1:
@@ -117,6 +158,101 @@ def _decode(b: bytes, pos: int, depth: int):
             return None
         m[k], pos = r
     return m, pos
+
+
+def _decode_indefinite(b: bytes, pos: int, major: int, depth: int):
+    """An indefinite-length item (§3.2): string chunks or container
+    children up to the 0xff break. Chunked strings require every chunk
+    to be a DEFINITE-length string of the same major type (§3.2.3 —
+    nesting indefinite chunks is malformed), text chunks individually
+    valid UTF-8 (a character may not straddle chunks); the break may
+    not split a map entry."""
+    if major in (2, 3):
+        parts = []
+        while True:
+            if pos >= len(b):
+                return None
+            if b[pos] == 0xFF:
+                pos += 1
+                break
+            cm, ci = b[pos] >> 5, b[pos] & 0x1F
+            pos += 1
+            if cm != major or ci > 27:
+                return None  # wrong chunk type or nested indefinite
+            if ci < 24:
+                ln = ci
+            else:
+                width = 1 << (ci - 24)
+                if pos + width > len(b):
+                    return None
+                ln = int.from_bytes(b[pos : pos + width], "big")
+                pos += width
+            if ln > len(b) - pos:
+                return None
+            chunk = b[pos : pos + ln]
+            pos += ln
+            if major == 3:
+                try:
+                    parts.append(chunk.decode("utf-8"))
+                except UnicodeDecodeError:
+                    return None
+            else:
+                parts.append(chunk)
+        if major == 3:
+            return "".join(parts), pos
+        return b"".join(parts), pos
+    if major == 4:
+        out = []
+        while True:
+            if pos >= len(b):
+                return None
+            if b[pos] == 0xFF:
+                return out, pos + 1
+            r = _decode(b, pos, depth + 1)
+            if r is None:
+                return None
+            v, pos = r
+            out.append(v)
+    # major 5: indefinite map
+    m: dict = {}
+    while True:
+        if pos >= len(b):
+            return None
+        if b[pos] == 0xFF:
+            return m, pos + 1
+        r = _decode(b, pos, depth + 1)
+        if r is None:
+            return None
+        k, pos = r
+        if not isinstance(k, (int, str)) or isinstance(k, bool):
+            return None
+        if k in m:
+            return None  # §5.6: duplicate keys make the map invalid
+        if pos < len(b) and b[pos] == 0xFF:
+            return None  # a break may not split a map entry
+        r = _decode(b, pos, depth + 1)
+        if r is None:
+            return None
+        m[k], pos = r
+
+
+def _decode_tagged(b: bytes, pos: int, tag: int, depth: int):
+    """Tags 0/1 — the standard date/time forms (§3.4.1-2); every other
+    tag number stays out of envelope (application semantics need a
+    registry, the ext-family precedent)."""
+    if tag not in (0, 1):
+        return None
+    r = _decode(b, pos, depth + 1)
+    if r is None:
+        return None
+    v, pos = r
+    if tag == 0:
+        if not isinstance(v, str) or not _valid_rfc3339(v):
+            return None
+        return CborDateTime(v), pos
+    if isinstance(v, bool) or not isinstance(v, (int, float)):
+        return None
+    return CborEpochTime(v), pos
 
 
 class _Null:
@@ -173,6 +309,16 @@ def encode_cbor(value) -> bytes:
         return bytes([0xF5 if value else 0xF4])
     if isinstance(value, _Null):
         return bytes([0xF6])
+    if isinstance(value, CborDateTime):
+        if not _valid_rfc3339(value.text):
+            raise ValueError("tag 0 content must be RFC 3339 date-time")
+        return head(6, 0) + encode_cbor(value.text)
+    if isinstance(value, CborEpochTime):
+        if isinstance(value.value, bool) or not isinstance(
+            value.value, (int, float)
+        ):
+            raise ValueError("tag 1 content must be int or float")
+        return head(6, 1) + encode_cbor(value.value)
     if isinstance(value, int):
         return head(0, value) if value >= 0 else head(1, -1 - value)
     if isinstance(value, float):
@@ -194,19 +340,55 @@ def encode_cbor(value) -> bytes:
     raise ValueError(f"unsupported type {type(value).__name__}")
 
 
+def encode_cbor_indefinite(value, chunk: int = 7) -> bytes:
+    """The indefinite-form writer twin (§3.2): byte/text strings split
+    into <=``chunk``-size definite chunks (text splits at CHARACTER
+    boundaries so every chunk stays valid UTF-8, as §3.2.3 requires),
+    arrays and maps written indefinite to the 0xff break, recursively.
+    Primitives, tags, and empty strings keep the preferred definite
+    form (an indefinite string with zero chunks is legal but the
+    writer has no reason to emit it)."""
+    if isinstance(value, (bytes, bytearray)) and len(value) > 0:
+        out = bytearray([0x5F])
+        for at in range(0, len(value), chunk):
+            out += encode_cbor(bytes(value[at : at + chunk]))
+        return bytes(out + b"\xff")
+    if isinstance(value, str) and value:
+        out = bytearray([0x7F])
+        for at in range(0, len(value), chunk):
+            out += encode_cbor(value[at : at + chunk])
+        return bytes(out + b"\xff")
+    if isinstance(value, list):
+        return b"\x9f" + b"".join(
+            encode_cbor_indefinite(v, chunk) for v in value
+        ) + b"\xff"
+    if isinstance(value, dict):
+        out = bytearray([0xBF])
+        for k, v in value.items():
+            out += encode_cbor(k)  # int/str keys: definite by nature
+            out += encode_cbor_indefinite(v, chunk)
+        return bytes(out + b"\xff")
+    if isinstance(value, CborDateTime):
+        return b"\xc0" + encode_cbor_indefinite(value.text, chunk)
+    return encode_cbor(value)
+
+
 CBOR_SCHEMA = (
     "doc_id bigint, rec_no int, id_val bigint, txt_len int, "
-    "txt_sum bigint, score double, flag boolean"
+    "txt_sum bigint, score double, flag boolean, created string, "
+    "ts_epoch bigint"
 )
 
 
 def read_cbor_records(df):
     """CBOR extraction operator: one payload row → one row per element
     of a top-level CBOR array of maps with the fixed keys id/txt/
-    score/flag (the metadata-blob shape) — the id integer, the byte
-    string's length and byte-value sum, the float score, and the
-    boolean, all decoded through the full RFC 8949 walk. Malformed
-    payloads or a shape mismatch raise. Arrow-batched mapInPandas."""
+    score/flag/created/ts (the metadata-blob shape) — the id integer,
+    the byte string's length and byte-value sum, the float score, the
+    boolean, the tag-0 RFC 3339 string, and the tag-1 integer epoch,
+    all decoded through the full RFC 8949 walk (definite or indefinite
+    forms alike — the decoder normalizes). Malformed payloads or a
+    shape mismatch raise. Arrow-batched mapInPandas."""
     from collections.abc import Iterator
 
     import pandas as pd
@@ -225,19 +407,26 @@ def read_cbor_records(df):
                             or not isinstance(item.get("id"), int)
                             or not isinstance(item.get("txt"), bytes)
                             or not isinstance(item.get("score"), float)
-                            or not isinstance(item.get("flag"), bool)):
+                            or not isinstance(item.get("flag"), bool)
+                            or not isinstance(item.get("created"),
+                                              CborDateTime)
+                            or not isinstance(item.get("ts"),
+                                              CborEpochTime)
+                            or not isinstance(item["ts"].value, int)):
                         raise ValueError(
                             f"doc {doc_id} record {rno}: shape mismatch"
                         )
                     txt = item["txt"]
                     rows.append(
                         (doc_id, rno, item["id"], len(txt), sum(txt),
-                         item["score"], item["flag"])
+                         item["score"], item["flag"],
+                         item["created"].text, item["ts"].value)
                     )
             yield pd.DataFrame(
                 rows,
                 columns=["doc_id", "rec_no", "id_val", "txt_len",
-                         "txt_sum", "score", "flag"],
+                         "txt_sum", "score", "flag", "created",
+                         "ts_epoch"],
             ).astype({"rec_no": "int32", "txt_len": "int32"})
 
     return df.select("doc_id", "payload").mapInPandas(

@@ -4394,7 +4394,19 @@ def q_seqfile_extract(spark, sf_dir):
            COALESCE(sums.txt_sum, 0) AS txt_sum,
            CAST((ent.n_chars + 29 * ent.rec_no) % 1024 AS DOUBLE) / 8.0
              AS score,
-           (ent.doc_id + ent.rec_no) % 2 = 1 AS flag
+           (ent.doc_id + ent.rec_no) % 2 = 1 AS flag,
+           '2026-08-'
+             || lpad(CAST(1 + (ent.n_chars + ent.rec_no) % 28
+                          AS VARCHAR), 2, '0')
+             || 'T'
+             || lpad(CAST((ent.doc_id + ent.rec_no) % 24 AS VARCHAR),
+                     2, '0')
+             || ':' || lpad(CAST(ent.n_chars % 60 AS VARCHAR), 2, '0')
+             || ':' || lpad(CAST((ent.rec_no * 7) % 60 AS VARCHAR),
+                            2, '0')
+             || 'Z' AS created,
+           CAST(ent.n_chars * 1000 + ent.rec_no * 37 - 500000 AS BIGINT)
+             AS ts_epoch
     FROM ent LEFT JOIN sums
       ON ent.doc_id = sums.doc_id AND ent.rec_no = sums.rec_no
     ORDER BY ent.doc_id, ent.rec_no
@@ -4412,19 +4424,31 @@ def q_cbor_extract(spark, sf_dir):
     per record (the tfexample perf lesson; record 1 a zero-length
     string — the empty-bytes head), an eighth-integer float 'score'
     (exact in
-    binary64), and a parity boolean 'flag' — so integer, bytes, text
-    (the map keys), float, boolean, array, and map majors are all
-    hashed every round. read_cbor_records re-decodes through the full
-    RFC walk (UTF-8 validation, duplicate-key rejection, depth cap)
-    and ships one row per element; the oracle replays the arithmetic
-    in SQL. Scale shape: one scan, one doc_id exchange
-    (_codec_parallel), two fused Arrow stages."""
+    binary64), a parity boolean 'flag', and (r17, the r16 verdict's
+    missing #4) the two STANDARD TAGS of §3.4: 'created' carries tag 0
+    (an RFC 3339 text item, validated and hashed verbatim) and 'ts'
+    tag 1 (an integer epoch spanning negatives) — so integer, bytes,
+    text, float, boolean, array, map, and both datetime tags are all
+    hashed every round. Odd docs additionally serialize the WHOLE
+    payload in the INDEFINITE forms of §3.2 (chunked strings at
+    7-byte/char chunks, break-terminated arrays/maps via
+    encode_cbor_indefinite), even docs in the preferred definite form
+    — the decoder normalizes both to the same values, so the hash pins
+    the indefinite walk on half the corpus. read_cbor_records
+    re-decodes through the full RFC walk (UTF-8 validation per chunk,
+    duplicate-key rejection, depth cap, RFC 3339 validation) and ships
+    one row per element; the oracle replays the arithmetic in SQL.
+    Scale shape: one scan, one doc_id exchange (_codec_parallel), two
+    fused Arrow stages."""
     from typing import Iterator
 
     import pandas as pd
 
     from polars_express_spark.functions.cbor import (
+        CborDateTime,
+        CborEpochTime,
         encode_cbor,
+        encode_cbor_indefinite,
         read_cbor_records,
     )
 
@@ -4470,8 +4494,19 @@ def q_cbor_extract(spark, sf_dir):
                         "txt": txt,
                         "score": ((n_chars + 29 * r) % 1024) / 8.0,
                         "flag": (doc_id + r) % 2 == 1,
+                        "created": CborDateTime(
+                            f"2026-08-{1 + (n_chars + r) % 28:02d}"
+                            f"T{(doc_id + r) % 24:02d}"
+                            f":{n_chars % 60:02d}:{(r * 7) % 60:02d}Z"
+                        ),
+                        "ts": CborEpochTime(
+                            n_chars * 1000 + r * 37 - 500000
+                        ),
                     })
-                payloads.append(encode_cbor(items))
+                payloads.append(
+                    encode_cbor_indefinite(items, chunk=7)
+                    if doc_id % 2 == 1 else encode_cbor(items)
+                )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
     cb = _codec_parallel(bs).mapInPandas(

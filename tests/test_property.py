@@ -3225,15 +3225,17 @@ def test_cbor_roundtrip_and_rfc_vectors(ints, blobs, texts, eighths, seed):
     eighth-integer floats, booleans, and null (the CBOR_NULL sentinel
     keeps None as the error signal); the decoder is pinned against RFC
     8949's own Appendix A vectors including all three float widths.
-    Indefinite lengths, tags, undefined/unassigned simple values,
-    duplicate map keys, trailing bytes, truncation, and >64-deep
-    nesting all reject."""
+    Undefined/unassigned simple values, application tags, duplicate
+    map keys, trailing bytes, truncation, and >64-deep nesting all
+    reject (indefinite lengths and tags 0/1 moved IN envelope in r17 —
+    see test_cbor_indefinite_and_datetime_tags)."""
     from binascii import unhexlify as uh
 
     import numpy as np
 
     from polars_express_spark.functions.cbor import (
         CBOR_NULL,
+        CborDateTime,
         encode_cbor,
         parse_cbor,
     )
@@ -3247,11 +3249,14 @@ def test_cbor_roundtrip_and_rfc_vectors(ints, blobs, texts, eighths, seed):
         ("4401020304", b"\x01\x02\x03\x04"), ("62c3bc", "ü"),
         ("8301820203820405", [1, [2, 3], [4, 5]]),
         ("a26161016162820203", {"a": 1, "b": [2, 3]}),
+        ("5f42010243030405ff", b"\x01\x02\x03\x04\x05"),
+        ("9f018202039f0405ffff", [1, [2, 3], [4, 5]]),
+        ("c074323031332d30332d32315432303a30343a30305a",
+         CborDateTime("2013-03-21T20:04:00Z")),
     ]:
         assert parse_cbor(uh(hexs)) == want, hexs
-    for hexs in ["5f42010243030405ff", "9f018202039f0405ffff",
-                 "c074323031332d30332d32315432303a30343a30305a", "f7",
-                 "00ff", "a1", "a2616101616102"]:
+    for hexs in ["f7", "00ff", "a1", "a2616101616102", "c26161",
+                 "d81800"]:
         assert parse_cbor(uh(hexs)) is None, hexs
 
     ints = [i for i in ints if -(1 << 64) <= i < (1 << 64)]
@@ -3274,6 +3279,113 @@ def test_cbor_roundtrip_and_rfc_vectors(ints, blobs, texts, eighths, seed):
         b[i] ^= 1 << int(rng.randint(0, 8))
         parse_cbor(bytes(b))
         b = bytearray(enc)
+
+
+@given(
+    ints=st.lists(st.integers(-(2**64), 2**64 - 1), min_size=0,
+                  max_size=5),
+    blobs=st.lists(st.binary(min_size=0, max_size=200), min_size=0,
+                   max_size=3),
+    texts=st.lists(st.text(max_size=40), min_size=0, max_size=3),
+    chunk=st.integers(1, 11),
+    epoch=st.integers(-(2**40), 2**40),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=60, deadline=None)
+def test_cbor_indefinite_and_datetime_tags(ints, blobs, texts, chunk,
+                                           epoch, seed):
+    """r17 — RFC 8949 §3.2 indefinite lengths and the §3.4 datetime
+    tags (the r16 verdict's missing #4): encode_cbor_indefinite →
+    parse_cbor normalizes chunked byte/text strings (chunks split at
+    character boundaries) and break-terminated arrays/maps to the same
+    values as the definite form, pinned against the RFC's own
+    Appendix A indefinite vectors. Tag 0 validates RFC 3339 and keeps
+    the string verbatim (CborDateTime); tag 1 carries int/float epochs
+    (CborEpochTime) including pre-epoch negatives. Strictness: a
+    nested-indefinite or wrong-major chunk, a UTF-8 character split
+    across text chunks, a break splitting a map entry, a bare break,
+    EOF before the break, non-text tag-0 content, a non-RFC-3339
+    tag-0 string, non-numeric (or boolean) tag-1 content, and every
+    other tag number all reject; flips never crash."""
+    from binascii import unhexlify as uh
+
+    import numpy as np
+
+    from polars_express_spark.functions.cbor import (
+        CBOR_NULL,
+        CborDateTime,
+        CborEpochTime,
+        encode_cbor,
+        encode_cbor_indefinite,
+        parse_cbor,
+    )
+
+    # Appendix A indefinite vectors
+    for hexs, want in [
+        ("5f42010243030405ff", b"\x01\x02\x03\x04\x05"),
+        ("7f657374726561646d696e67ff", "streaming"),
+        ("9fff", []),
+        ("9f018202039f0405ffff", [1, [2, 3], [4, 5]]),
+        ("9f01820203820405ff", [1, [2, 3], [4, 5]]),
+        ("83018202039f0405ff", [1, [2, 3], [4, 5]]),
+        ("9f0102030405060708090a0b0c0d0e0f101112131415161718181819ff",
+         list(range(1, 26))),
+        ("bf61610161629f0203ffff", {"a": 1, "b": [2, 3]}),
+        ("826161bf61626163ff", ["a", {"b": "c"}]),
+        ("bf6346756ef563416d7421ff", {"Fun": True, "Amt": -2}),
+        ("c11a514b67b0", CborEpochTime(1363896240)),
+        ("c1fb41d452d9ec200000", CborEpochTime(1363896240.5)),
+    ]:
+        assert parse_cbor(uh(hexs)) == want, hexs
+    # strictness table
+    for hexs in [
+        "5f7f4100ffff",    # nested indefinite chunk
+        "5f6161ff",        # text chunk inside a byte string
+        "7f4161ff",        # byte chunk inside a text string
+        "7f61c361a8ff",    # UTF-8 char split across chunks
+        "bf6161ff",        # break splits a map entry
+        "ff",              # bare break
+        "9f01",            # EOF before break
+        "5fff00",          # trailing bytes after indefinite item
+        "c001",            # tag 0: non-text content
+        "c16161",          # tag 1: non-numeric content
+        "c1f5",            # tag 1: boolean content
+        "c26161",          # tag 2: out of envelope
+        "1fff",            # indefinite on major 0: reserved
+    ]:
+        assert parse_cbor(uh(hexs)) is None, hexs
+    assert parse_cbor(b"\xc0" + encode_cbor("2026-13-99T99:99:99Z")) \
+        is None  # tag 0: not a real RFC 3339 instant
+    assert parse_cbor(b"\xc0" + encode_cbor("2026-08-16 12:00:00Z")) \
+        is None  # missing the 'T'
+    assert parse_cbor(b"\xc0" + encode_cbor("2026-08-16T12:00:00")) \
+        is None  # RFC 3339 requires an offset
+    # tag 0 with INDEFINITE text content parses (content is a text item)
+    assert parse_cbor(
+        b"\xc0" + uh("7f") + encode_cbor("2026-08-16T12:")
+        + encode_cbor("00:00+05:30") + b"\xff"
+    ) == CborDateTime("2026-08-16T12:00:00+05:30")
+    # round-trip: the indefinite writer and the definite writer decode
+    # to the SAME value (the decoder normalizes)
+    value = {
+        "ints": [i for i in ints if -(1 << 64) <= i < (1 << 64)],
+        "blobs": blobs, "texts": texts,
+        "t0": CborDateTime("2026-08-16T07:03:09+02:00"),
+        "t1": CborEpochTime(epoch),
+        "flags": [True, False, CBOR_NULL],
+    }
+    enc_i = encode_cbor_indefinite(value, chunk=chunk)
+    assert parse_cbor(enc_i) == value
+    assert parse_cbor(encode_cbor(value)) == value
+    assert parse_cbor(enc_i[:-1]) is None
+    assert parse_cbor(enc_i + b"\x00") is None
+    rng = np.random.RandomState(seed)
+    b = bytearray(enc_i)
+    for _ in range(12):  # flips never crash (no checksum by design)
+        i = int(rng.randint(0, len(b)))
+        b[i] ^= 1 << int(rng.randint(0, 8))
+        parse_cbor(bytes(b))
+        b = bytearray(enc_i)
 
 
 @given(
