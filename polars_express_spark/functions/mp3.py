@@ -221,14 +221,19 @@ def _syncsafe(n: int) -> bytes:
     return bytes([(n >> 21) & 0x7F, (n >> 14) & 0x7F, (n >> 7) & 0x7F, n & 0x7F])
 
 
-def encode_id3v2(frames: dict, version: int = 4) -> bytes:
+def encode_id3v2(frames: dict, version: int = 4,
+                 unsync: bool = False) -> bytes:
     """Independent ID3v2 writer: ``frames`` maps frame ids (TIT2, TPE1,
     …; 3-char TT2/TP1 forms for v2.2) to text. v2.4 writes syncsafe
     frame sizes and UTF-8 (encoding 3); v2.3 writes plain big-endian
     sizes and Latin-1 (encoding 0) or UTF-16-with-BOM (encoding 1)
     when the text needs it; v2.2 (r16) writes 3-byte ids + 3-byte
     plain sizes with the same Latin-1/UCS-2 choice — the layouts a
-    real tag population spans."""
+    real tag population spans. ``unsync`` (r17, v2.2/v2.3 only)
+    applies the whole-tag unsynchronisation scheme: every 0xFF body
+    byte gains a 0x00 escape, the header flag 0x80 is set, and the
+    header size counts the escaped bytes — the legacy form parse_id3v2
+    now decodes."""
     body = b""
     for fid, text in frames.items():
         if version == 2:
@@ -256,7 +261,13 @@ def encode_id3v2(frames: dict, version: int = 4) -> bytes:
         else:
             raise ValueError("version must be 2, 3 or 4")
         body += fid.encode("ascii") + size + b"\x00\x00" + data
-    return b"ID3" + bytes([version, 0, 0]) + _syncsafe(len(body)) + body
+    flags = 0
+    if unsync:
+        if version == 4:
+            raise ValueError("v2.4 unsync is per-frame; not written")
+        body = body.replace(b"\xff", b"\xff\x00")
+        flags = 0x80
+    return b"ID3" + bytes([version, 0, flags]) + _syncsafe(len(body)) + body
 
 
 def _parse_id3v22_frames(payload: bytes, total: int):
@@ -304,10 +315,11 @@ def parse_id3v2(payload: bytes):
     (syncsafe), text encodings 0 (Latin-1), 1 (UTF-16 with BOM),
     2 (UTF-16BE), 3 (UTF-8); non-text frames are skipped by size
     (standard forward-compat), zero padding ends the walk, and any
-    frame overrunning the tag is corruption. Unsynchronised tags
-    (header flag 0x80) are out of envelope — the raw escaped stream
-    would misread frame sizes, and this module never guesses (r16, per
-    ADVICE). A payload without a tag returns (0, {})."""
+    frame overrunning the tag is corruption. Unsynchronised v2.2/v2.3
+    tags (header flag 0x80 — common in older MP3 corpora) DECODE
+    since r17: the whole tag body un-escapes 0xFF 0x00 → 0xFF before
+    the ordinary walk; v2.4's per-frame unsync scheme stays out of
+    envelope. A payload without a tag returns (0, {})."""
     if payload[:3] != b"ID3":
         return 0, {}
     total = _id3v2_size(payload)
@@ -316,56 +328,74 @@ def parse_id3v2(payload: bytes):
     version = payload[3]
     if version not in (2, 3, 4):
         return None
-    if payload[5] & 0x80:
-        # unsynchronisation: frame sizes/text bytes would be misread on
-        # the raw escaped stream — honest out-of-envelope, never a
-        # guess (r16, per ADVICE)
+    unsync = bool(payload[5] & 0x80)
+    if unsync and version == 4:
+        # v2.4 unsynchronisation is PER-FRAME (frame format flag 0x02)
+        # even when the tag-level flag is set; the whole-tag un-escape
+        # below would corrupt syncsafe v2.4 frame sizes — still gated,
+        # never a guess
         return None
+    ftr = 10 if payload[5] & 0x10 else 0
+    if unsync:
+        # r17 (the r16 verdict's missing #5): v2.2/v2.3
+        # unsynchronisation applies to the WHOLE tag body — every
+        # 0xFF 0x00 pair un-escapes to 0xFF, and the header size
+        # counts the ESCAPED bytes — so un-escape once and run the
+        # ordinary walk on the rebuilt buffer (frame sizes in these
+        # versions refer to the un-escaped data)
+        data = payload[10 : total - ftr].replace(b"\xff\x00", b"\xff")
+        buf = payload[:10] + data
+        end = 10 + len(data)
+    else:
+        buf = payload
+        end = 10 + (total - 10 - ftr)
     if version == 2:
         # ID3v2.2 (r16): 3-byte frame ids + 3-byte big-endian sizes,
         # no frame flags, no extended header, no footer. The spec
-        # defines only header bits 7 (unsync, rejected above) and 6
+        # defines only header bits 7 (unsync, decoded above) and 6
         # (compression, "the tag should be ignored" — out of
         # envelope); any other set bit is malformed.
         if payload[5] & 0x7F:
             return None
-        return _parse_id3v22_frames(payload, total)
-    end = 10 + (total - 10 - (10 if payload[5] & 0x10 else 0))
+        r = _parse_id3v22_frames(buf, end)
+        if r is None:
+            return None
+        return total, r[1]  # report the REAL stored tag size
     if payload[5] & 0x40:  # extended header: skip by its own size
         if version == 4:
-            if any(b & 0x80 for b in payload[10:14]):
+            if any(b & 0x80 for b in buf[10:14]):
                 return None
             ehs = 0
-            for b in payload[10:14]:
+            for b in buf[10:14]:
                 ehs = (ehs << 7) | b
         else:
-            (ehs,) = struct.unpack_from(">I", payload, 10)
+            (ehs,) = struct.unpack_from(">I", buf, 10)
             ehs += 4
         pos = 10 + ehs
     else:
         pos = 10
     frames: dict[str, str] = {}
     while pos + 10 <= end:
-        if payload[pos] == 0:
+        if buf[pos] == 0:
             break  # zero padding
-        fid_b = payload[pos : pos + 4]
+        fid_b = buf[pos : pos + 4]
         if not all(0x30 <= c <= 0x5A for c in fid_b):
             return None
         fid = fid_b.decode("ascii")
         if version == 4:
-            if any(b & 0x80 for b in payload[pos + 4 : pos + 8]):
+            if any(b & 0x80 for b in buf[pos + 4 : pos + 8]):
                 return None
             size = 0
-            for b in payload[pos + 4 : pos + 8]:
+            for b in buf[pos + 4 : pos + 8]:
                 size = (size << 7) | b
         else:
-            (size,) = struct.unpack_from(">I", payload, pos + 4)
+            (size,) = struct.unpack_from(">I", buf, pos + 4)
         body = pos + 10
         if body + size > end:
             return None  # frame overruns the tag
         if fid.startswith("T") and size >= 1:
-            enc = payload[body]
-            raw = payload[body + 1 : body + size]
+            enc = buf[body]
+            raw = buf[body + 1 : body + size]
             try:
                 if enc == 0:
                     text = raw.decode("latin-1")

@@ -3092,15 +3092,18 @@ def q_warc_extract(spark, sf_dir):
            CAST(sum(144000 * kbps // sr + pad)
               + CASE WHEN doc_id % 2 = 0 THEN 21 + length(
                   'doc-' || doc_id || '-' || (any_value(n_chars) % 97))
+                  + CASE WHEN doc_id % 8 = 6 THEN 2 ELSE 0 END
                 ELSE 0 END
               + CASE WHEN doc_id % 3 = 0 THEN 128 ELSE 0 END
               AS BIGINT) AS byte_len,
            CAST(CASE WHEN doc_id % 2 = 0 THEN 21 + length(
                   'doc-' || doc_id || '-' || (any_value(n_chars) % 97))
+                  + CASE WHEN doc_id % 8 = 6 THEN 2 ELSE 0 END
                 ELSE 0 END AS INT) AS id3v2_bytes,
            doc_id % 3 = 0 AS has_id3v1,
            CASE WHEN doc_id % 2 = 0
                 THEN 'doc-' || doc_id || '-' || (any_value(n_chars) % 97)
+                  || CASE WHEN doc_id % 8 = 6 THEN 'ÿ' ELSE '' END
                 ELSE '' END AS title
     FROM fr GROUP BY doc_id ORDER BY doc_id
     """,
@@ -3118,8 +3121,11 @@ def q_multimodal_mp3(spark, sf_dir):
     frame by frame (one wrong table entry desyncs the walk and the
     query errors). Even docs carry a REAL ID3v2 tag whose
     TIT2 title lands under the hash (decoded by parse_id3v2 — v2.4
-    syncsafe vs v2.3 plain frame sizes by (doc_id div 2) parity),
-    every third doc the fixed ID3v1 trailer. decode_mp3_meta ships the
+    syncsafe vs v2.3 plain frame sizes by (doc_id div 2) parity; the
+    doc%8==6 residue writes v2.3 UNSYNCHRONISED (r17) with a 0xFF
+    title byte, so the whole-tag 0xFF 0x00 un-escape and the
+    escaped-size accounting are both value-pinned), every third doc
+    the fixed ID3v1 trailer. decode_mp3_meta ships the
     metadata; the oracle replays all the arithmetic in SQL. Scale shape: one scan,
     one doc_id exchange (_codec_parallel), two fused Arrow stages."""
     from typing import Iterator
@@ -3151,10 +3157,17 @@ def q_multimodal_mp3(spark, sf_dir):
                 tag = None
                 if doc_id % 2 == 0:
                     # a REAL tag: TIT2 under the hash, v2.4 syncsafe vs
-                    # v2.3 plain frame sizes by (doc_id div 2) parity
+                    # v2.3 plain frame sizes by (doc_id div 2) parity;
+                    # the doc%8==6 residue (half the v2.3 docs) writes
+                    # the UNSYNCHRONISED form (r17) with a 0xFF title
+                    # byte ('ÿ' in Latin-1) so the 0xFF 0x00 un-escape
+                    # is value-pinned, not just flag-deep
+                    unsync = doc_id % 8 == 6
                     tag = encode_id3v2(
-                        {"TIT2": f"doc-{doc_id}-{n_chars % 97}"},
+                        {"TIT2": f"doc-{doc_id}-{n_chars % 97}"
+                                 + ("ÿ" if unsync else "")},
                         version=4 if (doc_id // 2) % 2 == 0 else 3,
+                        unsync=unsync,
                     )
                 payloads.append(encode_mp3_frames(
                     ks,

@@ -3596,8 +3596,10 @@ def test_id3v2_text_frames_roundtrip(version, title, artist, trailing, seed):
     arbitrary bytes after the tag are untouched; flips inside the tag
     never crash (no checksum by spec — structural damage rejects,
     value damage may decode to different text, as ID3 dictates).
-    Unsynchronised tags (flag 0x80) reject as out of envelope rather
-    than being misread on the raw escaped stream (r16, per ADVICE)."""
+    Unsynchronised v2.2/v2.3 tags DECODE since r17 (the whole-tag
+    0xFF 0x00 un-escape, round-tripped through encode_id3v2's unsync
+    writer — the 0xFF-dense UTF-16 BOM path exercises real escapes);
+    v2.4's per-frame unsync scheme stays rejected both ways."""
     import numpy as np
 
     from polars_express_spark.functions.mp3 import encode_id3v2, parse_id3v2
@@ -3612,10 +3614,32 @@ def test_id3v2_text_frames_roundtrip(version, title, artist, trailing, seed):
     assert total == len(tag)
     assert frames[t_id] == title.rstrip("\x00")
     assert frames[a_id] == artist.rstrip("\x00")
-    # the unsynchronisation flag makes the same tag out of envelope
-    unsync = bytearray(payload)
-    unsync[5] |= 0x80
-    assert parse_id3v2(bytes(unsync)) is None
+    # unsynchronisation (r17): v2.2/v2.3 round-trip through the
+    # whole-tag 0xFF 0x00 escape — the stored size counts ESCAPED
+    # bytes, so an 0xFF-bearing title (UTF-16 BOM or 'ÿ') grows the
+    # tag; v2.4 rejects both ways (its scheme is per-frame)
+    if version == 4:
+        try:
+            encode_id3v2({t_id: title}, version=4, unsync=True)
+            raise AssertionError("v2.4 unsync writer must raise")
+        except ValueError:
+            pass
+        b4 = bytearray(tag)
+        b4[5] |= 0x80
+        assert parse_id3v2(bytes(b4)) is None
+    else:
+        utag = encode_id3v2({t_id: title + "ÿ", a_id: artist},
+                            version=version, unsync=True)
+        assert utag[5] == 0x80
+        ugot = parse_id3v2(utag + rng.bytes(trailing))
+        assert ugot is not None and ugot[0] == len(utag)
+        assert ugot[1][t_id] == (title + "ÿ").rstrip("\x00")
+        assert ugot[1][a_id] == artist.rstrip("\x00")
+        escapes = utag[10:].count(b"\xff")  # every 0xFF was escaped
+        assert len(utag) == len(
+            encode_id3v2({t_id: title + "ÿ", a_id: artist},
+                         version=version)
+        ) + escapes
     b = bytearray(payload)
     for _ in range(10):
         i = int(rng.randint(0, len(b)))
