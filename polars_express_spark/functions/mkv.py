@@ -48,6 +48,7 @@ _ID_TRACK_ENTRY = b"\xae"
 _ID_TRACK_NUMBER = b"\xd7"
 _ID_TRACK_TYPE = b"\x83"
 _ID_CODEC_ID = b"\x86"
+_ID_CODEC_PRIVATE = b"\x63\xa2"
 _ID_VIDEO = b"\xe0"
 _ID_PIXEL_WIDTH = b"\xb0"
 _ID_PIXEL_HEIGHT = b"\xba"
@@ -282,7 +283,7 @@ def parse_mkv(payload: bytes):
                     return None
                 t = {"type": None, "codec": None, "width": None,
                      "height": None, "channels": None, "rate": None,
-                     "bit_depth": None}
+                     "bit_depth": None, "private": None}
                 num = None
                 for fid, fs, fe in ek:
                     body = payload[fs:fe]
@@ -290,6 +291,11 @@ def parse_mkv(payload: bytes):
                         num = _uint(body)
                     elif fid == _ID_TRACK_TYPE:
                         t["type"] = _uint(body)
+                    elif fid == _ID_CODEC_PRIVATE:
+                        # opaque codec-setup bytes (r17 — A_FLAC carries
+                        # the fLaC header + STREAMINFO here per the
+                        # public Matroska codec mappings)
+                        t["private"] = body
                     elif fid == _ID_CODEC_ID:
                         try:
                             t["codec"] = body.decode("ascii")
@@ -369,8 +375,12 @@ def parse_mkv_frames(payload: bytes):
 
 def parse_mkv_audio(payload: bytes):
     """First AUDIO track: (codec_id, channels, rate, bit_depth,
-    data bytes concatenated in stream order) or None — the exact shape
-    decode_audio_samples re-wraps as a WAV for the PCM codec ids."""
+    codec_private_or_None, data bytes concatenated in stream order) or
+    None — the exact shape decode_audio_samples re-wraps as a WAV for
+    the PCM codec ids; for A_FLAC (r17) the private bytes carry the
+    fLaC header + STREAMINFO and ``private + data`` IS the native FLAC
+    stream (each Matroska frame is one complete FLAC frame per the
+    public codec mapping)."""
     parsed = parse_mkv(payload)
     if parsed is None:
         return None
@@ -386,7 +396,8 @@ def parse_mkv_audio(payload: bytes):
     data = b"".join(
         f for tn, _ts, fs in blocks for f in fs if tn == anum
     )
-    return t["codec"], t["channels"], t["rate"], t["bit_depth"], data
+    return (t["codec"], t["channels"], t["rate"], t["bit_depth"],
+            t["private"], data)
 
 
 def _w_vint(n: int) -> bytes:
@@ -465,6 +476,8 @@ def encode_mkv(
     lacing: str = "none",
     audio_frame_bytes: int = 0,
     doctype: str = "matroska",
+    audio_frames=None,
+    audio_codec_private: bytes | None = None,
 ) -> bytes:
     """Independent Matroska writer for the round-trip tests/queries:
     EBML header (DocType ``doctype``), Segment with Info (timestamp
@@ -472,9 +485,16 @@ def encode_mkv(
     SimpleBlock each when ``lacing='none'``, else ONE laced SimpleBlock
     carrying all of them; audio data is split into
     ``audio_frame_bytes``-sized frames (0 → a single frame) muxed the
-    same way on its own track. Info, Tracks, and the Cluster all carry
-    the optional EBML CRC-32 element, so corruption in any of them is
-    detected by parse_mkv."""
+    same way on its own track — or passed PRE-FRAMED via
+    ``audio_frames`` (r17: codecs with their own framing, e.g. one
+    complete FLAC frame per Matroska frame for A_FLAC, whose
+    fLaC+STREAMINFO header rides ``audio_codec_private``). Info,
+    Tracks, and the Cluster all carry the optional EBML CRC-32
+    element, so corruption in any of them is detected by parse_mkv."""
+    if audio_frames is not None:
+        if audio_data is not None:
+            raise ValueError("pass audio_data or audio_frames, not both")
+        audio_data = b""  # arms the audio-track branches below
     ebml_hdr = _w_elem(_ID_EBML, _w_elem(_ID_DOCTYPE, doctype.encode()))
     entries = b""
     track_no = 1
@@ -496,6 +516,8 @@ def encode_mkv(
             _w_elem(_ID_TRACK_NUMBER, _w_uint(audio_no))
             + _w_elem(_ID_TRACK_TYPE, _w_uint(2))
             + _w_elem(_ID_CODEC_ID, audio_codec.encode())
+            + (_w_elem(_ID_CODEC_PRIVATE, audio_codec_private)
+               if audio_codec_private is not None else b"")
             + _w_elem(_ID_AUDIO,
                       _w_elem(_ID_SAMPLING_FREQ, struct.pack(">d", float(rate)))
                       + _w_elem(_ID_CHANNELS, _w_uint(channels))
@@ -516,8 +538,12 @@ def encode_mkv(
                 _encode_block(video_no, 0, list(video_frames), lacing),
             )
     if audio_data is not None:
-        n = audio_frame_bytes or len(audio_data)
-        aframes = [audio_data[i : i + n] for i in range(0, len(audio_data), n)] or [b""]
+        if audio_frames is not None:
+            aframes = [bytes(f) for f in audio_frames] or [b""]
+        else:
+            n = audio_frame_bytes or len(audio_data)
+            aframes = [audio_data[i : i + n]
+                       for i in range(0, len(audio_data), n)] or [b""]
         if lacing == "none":
             for i, f in enumerate(aframes):
                 cluster_body += _w_elem(

@@ -1346,7 +1346,41 @@ def decode_audio_samples(df: DataFrame) -> DataFrame:
                             f"doc {doc_id}: corrupt or out-of-envelope "
                             "Matroska stream (or no audio track)"
                         )
-                    mcodec, _mch, _mrate, mbits, mdata = mka
+                    mcodec, _mch, _mrate, mbits, mpriv, mdata = mka
+                    if mcodec == "A_FLAC":
+                        # r17: per the public Matroska codec mapping the
+                        # CodecPrivate carries 'fLaC' + STREAMINFO and
+                        # each Matroska frame is one complete FLAC
+                        # frame, so private + data IS a native FLAC
+                        # stream — decode it through the full flac.py
+                        # CRC-8/16 + MD5 chain (the same composition
+                        # FLAC-in-Ogg uses)
+                        from polars_express_spark.functions.flac import (
+                            parse_flac,
+                        )
+
+                        if mpriv is None or mpriv[:4] != b"fLaC":
+                            raise ValueError(
+                                f"doc {doc_id}: A_FLAC track without a "
+                                "fLaC CodecPrivate header"
+                            )
+                        fl = parse_flac(mpriv + mdata)
+                        if fl is None:
+                            raise ValueError(
+                                f"doc {doc_id}: corrupt FLAC stream in "
+                                "Matroska A_FLAC track"
+                            )
+                        _fch, _frate, _fbps, fsamps = fl
+                        pcm = fsamps.ravel()
+                        if len(pcm) == 0:
+                            raise ValueError(
+                                f"doc {doc_id}: empty A_FLAC track"
+                            )
+                        rows.append(
+                            (doc_id, len(pcm), float(pcm.mean()),
+                             int(pcm.min()), int(pcm.max()))
+                        )
+                        continue
                     if mcodec not in ("A_PCM/INT/LIT", "A_PCM/INT/BIG"):
                         raise NotImplementedError(
                             f"doc {doc_id}: Matroska audio codec {mcodec} "

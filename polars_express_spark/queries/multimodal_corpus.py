@@ -2902,7 +2902,13 @@ def q_multimodal_mkv_audio(spark, sf_dir):
     Xiph lacing, 2 = FIXED lacing (the equal-size table-free mode —
     only exercisable here where frames are equal), 3 = EBML lacing.
     encode_mkv writes CRC-32-armed masters; decode_audio_samples
-    demuxes via parse_mkv_audio and ships exact stats. The oracle
+    demuxes via parse_mkv_audio and ships exact stats. The
+    (doc_id div 8) parity residue (r17) re-codes the SAME samples as
+    an A_FLAC track — fLaC+STREAMINFO in CodecPrivate, one complete
+    FLAC frame per Matroska frame per the public codec mapping — so
+    the full flac.py CRC-8/16+MD5 chain runs UNDER the EBML demux
+    (the FLAC-in-Ogg composition repeated for Matroska) and the
+    lossless round trip keeps the oracle identical. The oracle
     replays the endianness/sign arithmetic with the established
     lead() idiom. Scale shape: one scan, one doc_id exchange
     (_codec_parallel), two fused Arrow stages."""
@@ -2928,6 +2934,10 @@ def q_multimodal_mkv_audio(spark, sf_dir):
     )
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from polars_express_spark.functions.flac import encode_flac_parts
+
         for pdf in batches:
             payloads = []
             for doc_id, row in zip(pdf["doc_id"], pdf["bs"]):
@@ -2937,6 +2947,38 @@ def q_multimodal_mkv_audio(spark, sf_dir):
                 codec = (
                     "A_PCM/INT/LIT" if doc_id % 2 == 0 else "A_PCM/INT/BIG"
                 )
+                if (doc_id // 8) % 2 == 1:
+                    # r17: the A_FLAC residue — the SAME samples the
+                    # doc's PCM interpretation yields, losslessly FLAC-
+                    # coded (block size 16 → several frames), muxed
+                    # with fLaC+STREAMINFO in CodecPrivate and one
+                    # complete FLAC frame per Matroska frame per the
+                    # public codec mapping; the oracle is unchanged
+                    # because the round trip is exact. Lacing rotates
+                    # none/xiph/ebml (fixed needs equal sizes, which
+                    # FLAC frames don't have).
+                    if eight:
+                        samps = np.frombuffer(raw, np.int8)
+                    else:
+                        dt = "<i2" if doc_id % 2 == 0 else ">i2"
+                        samps = np.frombuffer(raw, dt)
+                    si, fl_frames = encode_flac_parts(
+                        samps.astype(np.int64)[:, None],
+                        sample_rate=8000,
+                        bits_per_sample=8 if eight else 16,
+                        block_size=16,
+                    )
+                    payloads.append(
+                        encode_mkv(
+                            None, channels=1, rate=8000,
+                            bit_depth=8 if eight else 16,
+                            audio_codec="A_FLAC",
+                            audio_frames=fl_frames,
+                            audio_codec_private=b"fLaC" + si,
+                            lacing=["none", "xiph", "ebml"][doc_id % 3],
+                        )
+                    )
+                    continue
                 lac = ["none", "xiph", "fixed", "ebml"][doc_id % 4]
                 payloads.append(
                     encode_mkv(

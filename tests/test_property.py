@@ -2142,7 +2142,7 @@ def test_mkv_roundtrip_exact(lacing, nfr, doctype, afb, seed):
     assert v[0] == "V_MJPEG" and (v[1], v[2]) == (32, 24)
     assert v[3] == vframes
     a = parse_mkv_audio(enc)
-    assert a == ("A_PCM/INT/BIG", 2, 48000, 16, adata)
+    assert a == ("A_PCM/INT/BIG", 2, 48000, 16, None, adata)
     # single-bit flips: detected, or a drop-only parse — never altered
     b = bytearray(enc)
     allowed_frames = set(vframes)
@@ -2160,6 +2160,67 @@ def test_mkv_roundtrip_exact(lacing, nfr, doctype, afb, seed):
                         "a flip altered frame bytes undetected"
                     )
         b[i] ^= bit
+
+
+@given(
+    lacing=st.sampled_from(["none", "xiph", "ebml"]),
+    bits=st.sampled_from([8, 16]),
+    n=st.integers(16, 120),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_mkv_a_flac_roundtrip(lacing, bits, n, seed):
+    """r17 — Matroska A_FLAC (the r16 verdict's optional envelope
+    item): encode_flac_parts frames mux one-per-Matroska-frame with
+    fLaC+STREAMINFO in CodecPrivate (the public codec mapping, the
+    FLAC-in-Ogg composition repeated), and parse_mkv_audio returns
+    exactly the parts whose concatenation parse_flac decodes
+    sample-exactly — the full CRC-8/16 + MD5 chain running UNDER the
+    EBML demux. A missing/garbage CodecPrivate and a corrupted FLAC
+    frame inside the container both reject at their own layer."""
+    import numpy as np
+
+    from polars_express_spark.functions.flac import (
+        encode_flac_parts,
+        parse_flac,
+    )
+    from polars_express_spark.functions.mkv import (
+        encode_mkv,
+        parse_mkv_audio,
+    )
+
+    rng = np.random.RandomState(seed)
+    lim = 1 << (bits - 1)
+    samps = rng.randint(-lim, lim, size=(n, 1)).astype(np.int64)
+    si, frames = encode_flac_parts(
+        samps, sample_rate=8000, bits_per_sample=bits, block_size=16
+    )
+    enc = encode_mkv(
+        None, channels=1, rate=8000, bit_depth=bits,
+        audio_codec="A_FLAC", audio_frames=frames,
+        audio_codec_private=b"fLaC" + si, lacing=lacing,
+    )
+    a = parse_mkv_audio(enc)
+    assert a is not None
+    codec, ch, rate, bd, priv, data = a
+    assert (codec, ch, rate, bd) == ("A_FLAC", 1, 8000, bits)
+    assert priv == b"fLaC" + si and data == b"".join(frames)
+    fl = parse_flac(priv + data)
+    assert fl is not None
+    fch, frate, fbps, arr = fl
+    assert (fch, frate, fbps) == (1, 8000, bits)
+    assert (arr == samps).all()
+    # a FLAC frame flip inside the container: the EBML layer hands the
+    # bytes through (frames are opaque payload), the FLAC CRC chain
+    # rejects
+    at = enc.index(frames[0])
+    b = bytearray(enc)
+    b[at + len(frames[0]) - 1] ^= 0x01  # the frame's CRC-16 tail byte
+    a2 = parse_mkv_audio(bytes(b))
+    if a2 is not None:  # EBML CRC may catch it first (cluster is armed)
+        assert parse_flac(a2[4] + a2[5]) is None
+    # garbage CodecPrivate: parse_flac rejects the stream
+    assert parse_flac(b"nope" + data) is None
 
 
 def test_mkv_minimal_form_all_ones_vints_accepted():
