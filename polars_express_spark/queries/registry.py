@@ -42,7 +42,38 @@ def query(name: str, oracle: str | None = None):
 # rounds 1-14: each CORRECTNESS_r* file has exactly 50 entries), so
 # with >50 registered queries some set is always outside the window.
 #
-# Round-16 priority (executing the rotation the r15 comment declared
+# Round-17 priority (executing the rotation the r16 comment declared
+# and the r16 verdict's item #2): r16 went 50/50 green; staleness
+# entering r17 is 32 r12-hash, 50 r13-hash, 50 r14-hash, 50 r15-hash,
+# 50 r16-hash, 1 never-checked (q_avro_record, new this round) —
+# every registered query re-verified green by this session's sf0.01
+# oracle-mirror run (the rotation is about DRIVER evidence, not
+# doubt; the 32-name r12 list was verified against the computed
+# CORRECTNESS_r01-r16 ledger this session). Window layout:
+#   slots 1-32  — the ENTIRE remaining r12 tier, alphabetical
+#                 (retires r12 evidence for good; declared last round
+#                 and held to);
+#   slots 33-44 — the 12 oldest r13-hash, alphabetical
+#                 (q03_regression_nullzero .. q20_running_sum);
+#   slots 45-50 — new or changed this round (see the list's own
+#                 comment): q_avro_record, q_cbor_extract,
+#                 q_msgpack_extract, q_multimodal_mkv_audio,
+#                 q_multimodal_mp3, q_seqfile_extract.
+# Tier "next" (r18) = the 38 remaining r13-hash queries
+# (q21_rolling_avg, q22_rollup, q22b_cube, q23_except, q23_intersect,
+# q23_union_all, q_ann_lsh, q_asof_join, q_decontaminate,
+# q_dedup_canonical, q_domain_mix, q_e2e_curation, q_embed_neardup,
+# q_ewma, q_fingerprint, q_kcore, q_lang_id, q_lev_verify,
+# q_lpa_communities, q_market_basket, q_minhash_lsh,
+# q_multimodal_alaw, q_multimodal_bmp, q_multimodal_pixels,
+# q_multimodal_png_subbyte, q_neardup_clusters, q_ngram_jaccard,
+# q_pseudonymize, q_quality_score, q_quantize_int8, q_redact_pii,
+# q_repetition, q_rolling_median, q_sql_surface, q_token_entropy,
+# q_tokenize_ids, q_url_canonical, q_zipf_fit), then the 50 r14-hash
+# tier (alphabetical), with new/changed queries taking tail slots
+# first (the endorsed precedent).
+#
+# Round-16 history (executing the rotation the r15 comment declared
 # and the r15 verdict's item #1): r15 went 50/50 green; staleness
 # entering r16 is 26 r11-hash, 48 r12-hash, 50 r13-hash, 50 r14-hash,
 # 50 r15-hash (every one re-verified green by the r15-session sf0.01
@@ -231,41 +262,44 @@ def query(name: str, oracle: str | None = None):
 # (alphabetical from q21b_range_frame through the r11 wave), then the
 # r12 tier.
 _PRIORITY = [
-    # slots 1-26 — the full remaining r11 tier, alphabetical
-    "q_hll_union", "q_incr_agg", "q_interpolate", "q_interval_overlap",
-    "q_ks_test", "q_lang_centroid", "q_lm_score", "q_logreg_gd",
-    "q_merge_on_read", "q_multimodal_audio", "q_outlier_mad", "q_paa",
-    "q_percentile_approx", "q_pmi", "q_profile", "q_radius_join",
-    "q_semdedup", "q_tfidf", "q_tpch_q11", "q_tpch_q16", "q_tpch_q17",
-    "q_tpch_q2", "q_tpch_q20", "q_tpch_q9", "q_weighted_median",
-    "q_winsorize",
-    # slots 27-42 — the 16 oldest r12-hash, alphabetical
-    "q01_preview", "q02_sort_slice", "q05_filter_project",
-    "q06_cast_arith", "q07_conditional", "q12_inner_join",
-    "q13_multi_join", "q14_left_join", "q14b_right_join",
-    "q14c_full_join", "q15_anti_join", "q15_semi_join", "q16_cross_join",
-    "q17_non_equi_join", "q25_strings", "q26_regex",
-    # slots 43-50 — new this round: the Avro object-container
-    # ingestion tier (zigzag-varint metadata map, per-block
-    # sync-marker equality, null + raw-deflate codecs through the
-    # capped inflate, bytes/string datum decode with UTF-8 validation;
-    # all four codec×schema combinations and the zero-length datum
-    # edge under one hash), the tf.Example wire-format decode (fixed
-    # public message layout — no schema registry — bytes/float/int64
-    # features through both packed and unpacked proto3 layouts, under
-    # the TFRecord CRCs), the Ogg Theora identification tier (§6.2
-    # header validation through the page-CRC'd walk, data packets
-    # pinned by count and value sum), the Apple ICNS container (PNG
-    # elements at spec-fixed nominal sizes, TOC validation), the
-    # Hadoop SequenceFile v6 tier (Writable envelopes, sync escapes,
-    # DefaultCodec record compression), the CBOR tier (RFC 8949,
-    # Appendix-A-pinned, all in-envelope majors under one hash), and
-    # the MessagePack tier (every width family, spec-vector-pinned),
-    # and the EXIF tier (JPEG APP1 + TIFF IFD walk, both byte orders,
-    # all 8 orientations, raster decoded behind the spliced segment)
-    "q_avro_extract", "q_tfexample_extract", "q_multimodal_ogg_theora",
-    "q_multimodal_icns", "q_seqfile_extract", "q_cbor_extract",
-    "q_msgpack_extract", "q_multimodal_exif",
+    # slots 1-32 — the ENTIRE remaining r12 tier, alphabetical
+    # (retires r12 evidence for good; declared last round and verified
+    # against the computed CORRECTNESS_r01-r16 ledger this session)
+    "q27_dates", "q28_math", "q29_arrays", "q30_json", "q31_nulls",
+    "q34_exact_dedup", "q35_cosine_topk", "q36_token_counts",
+    "q37_json_sink", "q38_write_roundtrip", "q_ab_ztest", "q_ann_ivf",
+    "q_ann_ivfpq", "q_ann_pq", "q_benford", "q_chi2", "q_control_chart",
+    "q_multimodal_gif", "q_multimodal_jpeg", "q_multimodal_mulaw",
+    "q_rare_tokens", "q_retention", "q_rfm", "q_skew_profile",
+    "q_skyline", "q_snapshot_diff", "q_streaks", "q_text_search",
+    "q_train_split", "q_transitions", "q_unicode_norm",
+    "q_weighted_sample",
+    # slots 33-44 — the 12 oldest r13-hash, alphabetical
+    "q03_regression_nullzero", "q04_regression_sql",
+    "q04b_grouped_regression", "q08_tpch_q1", "q09_count_distinct",
+    "q10_stats", "q10c_higher_moments", "q11_corr_cov",
+    "q18_window_rank", "q18b_window_family", "q19_window_lag",
+    "q20_running_sum",
+    # slots 45-50 — NEW or CHANGED this round (changed queries carry
+    # driver evidence that no longer matches the code, so they take
+    # tail slots exactly like never-checked queries — the endorsed
+    # precedent): q_avro_record (NEW — the record-schema datum reader:
+    # all seven flat-primitive field types decoded from the
+    # container's own metadata JSON, long format, every field formula
+    # replayed by the oracle), q_cbor_extract (CHANGED — indefinite
+    # forms §3.2 on odd docs + tags 0/1 as created/ts_epoch columns),
+    # q_msgpack_extract (CHANGED — the spec-defined timestamp ext -1
+    # in all three layouts as ts_sec/ts_nsec), q_multimodal_mkv_audio
+    # (CHANGED — the (doc//8) parity residue re-codes the samples as
+    # an A_FLAC track: the flac.py CRC/MD5 chain under the EBML
+    # demux), q_multimodal_mp3 (CHANGED — the doc%8==6 residue writes
+    # v2.3 UNSYNCHRONISED ID3 with a 0xFF title byte, un-escape
+    # value-pinned), q_seqfile_extract (CHANGED — the compression
+    # layout rotates none/record/BLOCK by doc%3; block = the
+    # four-buffer-group Hadoop layout, compression column now the
+    # parsed layout string)
+    "q_avro_record", "q_cbor_extract", "q_msgpack_extract",
+    "q_multimodal_mkv_audio", "q_multimodal_mp3", "q_seqfile_extract",
 ]
 
 
