@@ -34,6 +34,15 @@ isolated idle probes showed to be host noise, not regressions):
   (its eager-at-construction r8 ruling pays a fixed plan-walk; r14's
   0.98 and this 1.2 bracket its normal band). All three are the
   documented uniform-contention class, not regressions.
+- r16 driver movers q_token_count 0.68->0.93, q_profile 1.28->1.47,
+  q_session_stats 0.83->0.95, q_tpch_q12 0.75->0.82 (all four in
+  files untouched by the r16 diff, verified via git diff
+  1216a0b..HEAD --name-only) -> five r17 idle probes each at steal
+  0.02 on unchanged code (pass 1 pays codegen warmth, steady =
+  passes 2-5): q_token_count 0.52-0.85, q_profile 1.02-1.35,
+  q_session_stats 0.74-0.88, q_tpch_q12 0.61-0.66 — each at or below
+  its r15 driver mark. All four are the documented
+  uniform-contention class, not regressions.
 
 r14 builder reference runs (final tree, sf0.1, 215 queries, zero
 errors in every run): steady 179.9s / warm 208.5 / cold 268.4 at
@@ -130,6 +139,27 @@ r16 builder measurements (Avro tier, idle sf0.1):
   doc%2, record counts doc%3 span all residues over {0,1,8,9,...},
   and the %4/%3 list lengths key on doc_id+r with r spanning 0..k-1),
   reading 2.20-2.66 idle at steal 0.04, inside the tfrecord band.
+
+r17 builder reference runs (final tree, sf0.1, 233 queries, zero
+errors in all three): the DEFINITIVE idle run reads steady 207.1 /
+warm 228.0 / cold 256.4 at steal 0.04, common surface vs the r16
+driver tail 64.4 vs 66.2 (0.97x). Two earlier same-tree runs read
+220.6 at steal 4.93 (above the 3% gate — discarded) and 214.7 at
+steal 0.18 but with the box's 15-min load still ~6 from the prior
+run + pytest (its movers — q_udtf_links 0.67, q_perplexity 1.57,
+q_url_canonical 0.46, all untouched files — recovered to 0.45/1.05/
+0.33-band in the idle run: the uniform-contention class again;
+1-min loadavg alone is not a sufficient idleness signal). The r17
+tail slots price in-band: q_avro_record 1.68 (new — the record-schema
+reader, same two-fused-stage shape at quarter population doc%8>=6),
+q_cbor_extract 1.88 (+0.24 vs r16: the indefinite-form serialization
+on odd docs + two tag columns — real added work, accepted),
+q_msgpack_extract 1.80, q_seqfile_extract 1.80 (block form replacing
+half the record-form docs: net flat), q_multimodal_mp3 1.30,
+q_multimodal_mkv_audio 2.35 (+0.16 vs its r15 mark: pure-Python FLAC
+coding on the (doc//8) parity residue — inside the three-layer video
+tier band). Slowest overall: q_outlier_mad 2.64 (documented trade),
+q_tfrecord_extract 2.52.
 
 Measured floor of the media round-trip queries (r14): each
 mapInPandas pass over the 32-partition doc_id exchange costs
