@@ -151,6 +151,26 @@ def _parse_meta_map(payload: bytes, pos: int):
 _REC_PRIMS = ("long", "int", "double", "float", "boolean", "string",
               "bytes")
 
+# Avro null decodes to the shared sentinel so Python None stays the
+# parse-error signal (the CBOR/MessagePack convention)
+from polars_express_spark.functions.cbor import CBOR_NULL as AVRO_NULL  # noqa: E402
+
+
+def _union_descr(ftype):
+    """A field type given as a JSON list: in envelope ONLY for the
+    two-branch nullable union — exactly ["null", prim] or
+    [prim, "null"] with prim a flat primitive (the ubiquitous
+    optional-field shape real Avro writers emit). Returns the
+    order-preserving descriptor string 'null|long' / 'long|null', or
+    None. Wider unions need real reader-schema resolution — gated."""
+    if (len(ftype) != 2 or "null" not in ftype
+            or not all(isinstance(t, str) for t in ftype)):
+        return None
+    other = ftype[1] if ftype[0] == "null" else ftype[0]
+    if other not in _REC_PRIMS:
+        return None
+    return "|".join(ftype)
+
 
 def _schema_descr(schema_json: bytes):
     """Resolve the avro.schema JSON to an in-envelope descriptor:
@@ -192,8 +212,13 @@ def _schema_descr(schema_json: bytes):
         ftype = f.get("type")
         if isinstance(ftype, dict):
             ftype = ftype.get("type")  # one-level {"type": ...} spelling
-        if (not isinstance(fname, str) or not fname or fname in seen
-                or ftype not in _REC_PRIMS):
+        if isinstance(ftype, list):
+            ftype = _union_descr(ftype)  # nullable union → 'null|prim'
+            if ftype is None:
+                return None
+        elif ftype not in _REC_PRIMS:
+            return None  # a literal 'null|x' STRING is not an Avro type
+        if not isinstance(fname, str) or not fname or fname in seen:
             return None
         seen.add(fname)
         fields.append((fname, ftype))
@@ -206,9 +231,23 @@ def _read_datum(data: bytes, pos: int, ftype: str):
     primitives are self-delimiting — zigzag varints (long/int, the int
     range-checked to 32 bits), IEEE-754 little-endian fixed widths
     (float/double), a strict 0/1 byte (boolean), and length-prefixed
-    payloads (bytes/string, string UTF-8-validated)."""
+    payloads (bytes/string, string UTF-8-validated). A nullable-union
+    descriptor ('null|prim' / 'prim|null') reads the zigzag branch
+    index first — 0 or 1 only — then null (the AVRO_NULL sentinel) or
+    the primitive by the schema's branch order."""
     import struct
 
+    if "|" in ftype:
+        branches = ftype.split("|")
+        r = _read_long(data, pos)
+        if r is None:
+            return None
+        idx, pos = r
+        if idx not in (0, 1):
+            return None
+        if branches[idx] == "null":
+            return AVRO_NULL, pos
+        return _read_datum(data, pos, branches[idx])
     if ftype in ("bytes", "string"):
         r = _read_sized(data, pos)
         if r is None:
@@ -244,9 +283,20 @@ def _read_datum(data: bytes, pos: int, ftype: str):
 
 def _w_datum(value, ftype: str) -> bytes:
     """Binary-encode one primitive datum (the writer twin of
-    _read_datum); raises ValueError on a value outside the type."""
+    _read_datum); raises ValueError on a value outside the type. For
+    a nullable union, None and AVRO_NULL both write the null branch;
+    anything else writes the primitive branch (each prefixed by its
+    zigzag branch index in the schema's order)."""
     import struct
 
+    if "|" in ftype:
+        branches = ftype.split("|")
+        if value is None or value is AVRO_NULL or isinstance(
+            value, type(AVRO_NULL)
+        ):
+            return _w_long(branches.index("null"))
+        prim = branches[1 - branches.index("null")]
+        return _w_long(branches.index(prim)) + _w_datum(value, prim)
     if ftype == "bytes":
         value = bytes(value)
         return _w_long(len(value)) + value
@@ -388,11 +438,21 @@ def encode_avro(
     fields = None
     if isinstance(schema, (list, tuple)):
         fields = [(str(n), str(t)) for n, t in schema]
-        if not fields or any(t not in _REC_PRIMS for _, t in fields):
-            raise ValueError("record fields must be flat primitives")
+        if not fields or any(
+            t not in _REC_PRIMS and _union_descr(t.split("|")) != t
+            for _, t in fields
+        ):
+            raise ValueError(
+                "record fields must be flat primitives or 'null|prim' "
+                "nullable unions"
+            )
         schema_json = json.dumps(
             {"type": "record", "name": "R",
-             "fields": [{"name": n, "type": t} for n, t in fields]}
+             "fields": [
+                 {"name": n,
+                  "type": t.split("|") if "|" in t else t}
+                 for n, t in fields
+             ]}
         ).encode()
     elif schema in ("bytes", "string"):
         schema_json = json.dumps(schema).encode()
@@ -496,8 +556,8 @@ def read_avro_records(df):
 
 AVRO_FIELDS_SCHEMA = (
     "doc_id bigint, rec_no int, block_no int, codec string, "
-    "fname string, ftype string, v_int bigint, v_dbl double, "
-    "v_str string, v_len int, v_sum bigint"
+    "fname string, ftype string, is_null boolean, v_int bigint, "
+    "v_dbl double, v_str string, v_len int, v_sum bigint"
 )
 
 
@@ -508,7 +568,9 @@ def read_avro_fields(df):
     with the value in the column its type owns — v_int for long/int/
     boolean (booleans as 0/1), v_dbl for double/float (a float32
     round-trips exactly into binary64), v_str for string (plus v_len),
-    v_len + v_sum byte stats for bytes. The container must carry a
+    v_len + v_sum byte stats for bytes; nullable-union fields
+    ('null|prim') ship the branch in is_null, with all value columns
+    NULL on the null branch. The container must carry a
     record schema (that is what makes the file self-describing — the
     reader takes NO external schema); primitive-schema containers
     belong to read_avro_records. Malformed containers raise — a silent
@@ -543,13 +605,20 @@ def read_avro_fields(df):
                         for fname, ftype in fields:
                             v = rec[fname]
                             v_int = v_dbl = v_str = v_len = v_sum = None
-                            if ftype in ("long", "int"):
+                            is_null = v is AVRO_NULL or isinstance(
+                                v, type(AVRO_NULL)
+                            )
+                            base = (ftype.split("|")[0]
+                                    if ftype.split("|")[0] != "null"
+                                    else ftype.split("|")[-1]
+                                    ) if "|" in ftype else ftype
+                            if is_null:
+                                pass  # nullable union's null branch
+                            elif base in ("long", "int", "boolean"):
                                 v_int = int(v)
-                            elif ftype == "boolean":
-                                v_int = int(v)
-                            elif ftype in ("double", "float"):
+                            elif base in ("double", "float"):
                                 v_dbl = float(v)
-                            elif ftype == "string":
+                            elif base == "string":
                                 v_str = v
                                 v_len = len(v)
                             else:  # bytes
@@ -557,14 +626,15 @@ def read_avro_fields(df):
                                 v_sum = sum(v)
                             rows.append(
                                 (doc_id, rno, bno, codec, fname, ftype,
-                                 v_int, v_dbl, v_str, v_len, v_sum)
+                                 is_null, v_int, v_dbl, v_str, v_len,
+                                 v_sum)
                             )
                         rno += 1
             pdf_out = pd.DataFrame(
                 rows,
                 columns=["doc_id", "rec_no", "block_no", "codec",
-                         "fname", "ftype", "v_int", "v_dbl", "v_str",
-                         "v_len", "v_sum"],
+                         "fname", "ftype", "is_null", "v_int", "v_dbl",
+                         "v_str", "v_len", "v_sum"],
             )
             pdf_out["rec_no"] = pdf_out["rec_no"].astype("int32")
             pdf_out["block_no"] = pdf_out["block_no"].astype("int32")

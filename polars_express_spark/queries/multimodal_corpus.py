@@ -3868,30 +3868,45 @@ def q_avro_extract(spark, sf_dir):
       FROM ent JOIN psum USING (doc_id, rec_no),
            (VALUES ('id', 'long'), ('n', 'int'), ('score', 'double'),
                    ('ratio', 'float'), ('flag', 'boolean'),
-                   ('label', 'string'), ('payload', 'bytes'))
+                   ('label', 'string'), ('payload', 'bytes'),
+                   ('opt_v', 'null|long'), ('opt_s', 'string|null'))
              fl(fname, ftype)
     )
     SELECT doc_id,
            CAST(rec_no AS INT) AS rec_no,
            CAST(rec_no // 2 AS INT) AS block_no,
            codec, fname, ftype,
+           CASE fname
+             WHEN 'opt_v' THEN (doc_id + rec_no) % 3 = 0
+             WHEN 'opt_s' THEN (n_chars + rec_no) % 2 = 1
+             ELSE FALSE
+           END AS is_null,
            CAST(COALESCE(CASE fname
              WHEN 'id' THEN (1 - 2 * ((doc_id + rec_no) % 2))
                             * (n_chars * 1009 + rec_no * 7919 + doc_id)
              WHEN 'n' THEN (doc_id * 7 + rec_no * 13) % 4096 - 2048
              WHEN 'flag' THEN
                CASE WHEN (n_chars + rec_no) % 2 = 0 THEN 1 ELSE 0 END
+             WHEN 'opt_v' THEN
+               CASE WHEN (doc_id + rec_no) % 3 = 0 THEN NULL
+                    ELSE (n_chars * 13 + rec_no * 101) % 100000 - 50000
+               END
            END, 0) AS BIGINT) AS v_int,
            CAST(COALESCE(CASE fname
              WHEN 'score' THEN (n_chars % 10000) / 16.0 + 3 * rec_no
              WHEN 'ratio' THEN ((doc_id * 31 + rec_no * 17) % 4096) / 8.0
            END, 0.0) AS DOUBLE) AS v_dbl,
-           COALESCE(CASE WHEN fname = 'label'
+           COALESCE(CASE
+             WHEN fname = 'label'
                 THEN CAST((n_chars * (rec_no + 1)) % 100000 AS VARCHAR)
+             WHEN fname = 'opt_s' AND (n_chars + rec_no) % 2 = 0
+                THEN CAST((doc_id + rec_no * 7) % 9999 AS VARCHAR)
            END, '') AS v_str,
            CAST(COALESCE(CASE
              WHEN fname = 'label' THEN length(
                CAST((n_chars * (rec_no + 1)) % 100000 AS VARCHAR))
+             WHEN fname = 'opt_s' AND (n_chars + rec_no) % 2 = 0
+                THEN length(CAST((doc_id + rec_no * 7) % 9999 AS VARCHAR))
              WHEN fname = 'payload' THEN plen
            END, -1) AS INT) AS v_len,
            CAST(COALESCE(CASE WHEN fname = 'payload' THEN s END, -1)
@@ -3911,9 +3926,12 @@ def q_avro_record(spark, sf_dir):
     (the zigzag negative path), an `int` spanning negatives, an exact
     `double`, a `float` chosen on the 0.125 grid so the f32 round-trip
     is exact, a `boolean`, a decimal-rendered `string` (the full value
-    is hashed, not just stats), and formula `bytes` cycled from the
-    doc's ONE 64-byte base with a +13r rotation — codec on doc parity,
-    TWO records per block so the framing rotates. read_avro_fields
+    is hashed, not just stats), formula `bytes` cycled from the
+    doc's ONE 64-byte base with a +13r rotation, and BOTH branch
+    orders of the nullable union — `null|long` and `string|null`, the
+    ubiquitous optional-field shape, their null/value branches rotated
+    by record formulas and pinned by the is_null column — codec on doc
+    parity, TWO records per block so the framing rotates. read_avro_fields
     re-parses the container (metadata-map schema resolution, per-field
     binary decode, exact block consumption, sync equality) and ships
     one row per (record, field) in the long format, each value in the
@@ -3933,7 +3951,8 @@ def q_avro_record(spark, sf_dir):
 
     fields = [("id", "long"), ("n", "int"), ("score", "double"),
               ("ratio", "float"), ("flag", "boolean"),
-              ("label", "string"), ("payload", "bytes")]
+              ("label", "string"), ("payload", "bytes"),
+              ("opt_v", "null|long"), ("opt_s", "string|null")]
 
     d = load_table(spark, sf_dir, "documents").where(
         F.col("text").isNotNull() & (F.length("text") > 0)
@@ -3980,6 +3999,11 @@ def q_avro_record(spark, sf_dir):
                         "label": str((n_chars * (r + 1)) % 100000),
                         "payload": np.tile(
                             arr, (ln + 63) // 64)[:ln].tobytes(),
+                        "opt_v": (None if (doc_id + r) % 3 == 0 else
+                                  (n_chars * 13 + r * 101) % 100000
+                                  - 50000),
+                        "opt_s": (None if (n_chars + r) % 2 == 1 else
+                                  str((doc_id + r * 7) % 9999)),
                     })
                 payloads.append(
                     encode_avro(
@@ -4001,6 +4025,7 @@ def q_avro_record(spark, sf_dir):
     # canonicalizer lesson pinned by test_oracle_dtypes_match_spark_schema)
     return read_avro_fields(av).select(
         "doc_id", "rec_no", "block_no", "codec", "fname", "ftype",
+        "is_null",
         F.coalesce("v_int", F.lit(0)).alias("v_int"),
         F.coalesce("v_dbl", F.lit(0.0)).alias("v_dbl"),
         F.coalesce("v_str", F.lit("")).alias("v_str"),

@@ -2689,7 +2689,9 @@ def test_avro_roundtrip_and_framing(codec, schema, opb, sizes, seed):
     nrec=st.integers(1, 5),
     ftypes=st.lists(
         st.sampled_from(["long", "int", "double", "float", "boolean",
-                         "string", "bytes"]),
+                         "string", "bytes", "null|long", "long|null",
+                         "null|string", "double|null", "null|boolean",
+                         "null|bytes"]),
         min_size=1, max_size=6,
     ),
     seed=st.integers(0, 2**31 - 1),
@@ -2704,15 +2706,20 @@ def test_avro_record_roundtrip(codec, opb, nrec, ftypes, seed):
     (self-describing — no external registry). Longs exercise the full
     zigzag range, ints the 32-bit range, floats round-trip through
     binary32 exactly, booleans are a strict 0/1 byte, strings
-    UTF-8-validate. The decode-level strictness table pins the spec
-    edges (int overflow, boolean byte 2, truncated fixed widths), the
-    schema gate pins unions/nesting/dups out of envelope, and flips
-    never crash."""
+    UTF-8-validate; NULLABLE UNIONS (r17 follow-up — the ubiquitous
+    optional-field shape, both branch orders) round-trip null ↔ the
+    AVRO_NULL sentinel and values through the zigzag branch index,
+    with wider/non-null unions and out-of-range branch indexes
+    rejected. The decode-level strictness table pins the spec edges
+    (int overflow, boolean byte 2, truncated fixed widths), the
+    schema gate pins nesting/dups out of envelope, and flips never
+    crash."""
     import struct as _s
 
     import numpy as np
 
     from polars_express_spark.functions.avro import (
+        AVRO_NULL,
         _read_datum,
         _schema_descr,
         _w_long,
@@ -2721,9 +2728,13 @@ def test_avro_record_roundtrip(codec, opb, nrec, ftypes, seed):
     )
 
     rng = np.random.RandomState(seed)
-    fields = [(f"f{i}_{t}", t) for i, t in enumerate(ftypes)]
+    fields = [(f"f{i}", t) for i, t in enumerate(ftypes)]
 
     def mk(t):
+        if "|" in t:
+            if rng.randint(0, 2):
+                return None  # the null branch (writer maps to index)
+            return mk(t.replace("null", "").strip("|"))
         if t == "long":
             return int(rng.randint(-(2**62), 2**62, dtype=np.int64))
         if t == "int":
@@ -2754,12 +2765,23 @@ def test_avro_record_roundtrip(codec, opb, nrec, ftypes, seed):
     assert len(out) == nrec
     for want, have in zip(recs, out):
         for n, t in fields:
-            if t == "float":  # binary32 round-trip is the spec's width
+            if "|" in t:  # nullable union: None decodes to AVRO_NULL
+                exp = AVRO_NULL if want[n] is None else want[n]
+                assert have[n] == exp
+            elif t == "float":  # binary32 round-trip: the spec's width
                 assert have[n] == _s.unpack(
                     "<f", _s.pack("<f", want[n])
                 )[0]
             else:
                 assert have[n] == want[n]
+    # nullable-union strictness: branch index out of range rejects;
+    # both branch orders resolve; wider/non-null union lists gate
+    assert _read_datum(_w_long(2) + b"\x00", 0, "null|long") is None
+    assert _read_datum(_w_long(-1), 0, "null|long") is None
+    assert _read_datum(_w_long(0), 0, "null|long")[0] == AVRO_NULL
+    assert _read_datum(_w_long(1) + _w_long(-7), 0, "null|long")[0] == -7
+    assert _read_datum(_w_long(0) + _w_long(9), 0, "long|null")[0] == 9
+    assert _read_datum(_w_long(1), 0, "long|null")[0] == AVRO_NULL
     # decode-level strictness: the spec edges of every primitive
     assert _read_datum(_w_long(2**31), 0, "int") is None
     assert _read_datum(_w_long(-(2**31) - 1), 0, "int") is None
@@ -2770,7 +2792,8 @@ def test_avro_record_roundtrip(codec, opb, nrec, ftypes, seed):
     assert _read_datum(b"\x00" * 7, 0, "double") is None
     assert _read_datum(b"\x04\xff\xc0", 0, "string") is None  # bad UTF-8?
     # (length 2, bytes ff c0 — an invalid UTF-8 sequence rejects)
-    # schema gate: unions, nesting, dups, namelessness out of envelope
+    # schema gate: wider unions, nesting, dups, namelessness out of
+    # envelope; the two-branch nullable union (both orders) is IN
     ok = (b'{"type":"record","name":"R","fields":'
           b'[{"name":"a","type":"long"}]}')
     assert _schema_descr(ok) == ("record", (("a", "long"),))
@@ -2778,11 +2801,25 @@ def test_avro_record_roundtrip(codec, opb, nrec, ftypes, seed):
         b'{"type":"record","name":"R","fields":'
         b'[{"name":"a","type":{"type":"long"}}]}'
     ) == ("record", (("a", "long"),))  # one-level dict spelling
+    assert _schema_descr(
+        b'{"type":"record","name":"R","fields":'
+        b'[{"name":"a","type":["null","long"]}]}'
+    ) == ("record", (("a", "null|long"),))
+    assert _schema_descr(
+        b'{"type":"record","name":"R","fields":'
+        b'[{"name":"a","type":["string","null"]}]}'
+    ) == ("record", (("a", "string|null"),))
     for bad in (
         b'{"type":"record","fields":[{"name":"a","type":"long"}]}',
         b'{"type":"record","name":"R","fields":[]}',
         b'{"type":"record","name":"R","fields":'
-        b'[{"name":"a","type":["null","long"]}]}',
+        b'[{"name":"a","type":["null","long","string"]}]}',
+        b'{"type":"record","name":"R","fields":'
+        b'[{"name":"a","type":["long","string"]}]}',
+        b'{"type":"record","name":"R","fields":'
+        b'[{"name":"a","type":["null","null"]}]}',
+        b'{"type":"record","name":"R","fields":'
+        b'[{"name":"a","type":"null|long"}]}',
         b'{"type":"record","name":"R","fields":'
         b'[{"name":"a","type":"long"},{"name":"a","type":"int"}]}',
         b'{"type":"record","name":"R","fields":'
