@@ -51,6 +51,9 @@ _MAX_INFLATE = 1 << 26
 _SYNC_DEFAULT = bytes(range(0x50, 0x60))
 _BYTES_WRITABLE = "org.apache.hadoop.io.BytesWritable"
 _TEXT = "org.apache.hadoop.io.Text"
+_INT_WRITABLE = "org.apache.hadoop.io.IntWritable"
+_LONG_WRITABLE = "org.apache.hadoop.io.LongWritable"
+_NULL_WRITABLE = "org.apache.hadoop.io.NullWritable"
 _DEFAULT_CODEC = "org.apache.hadoop.io.compress.DefaultCodec"
 
 
@@ -108,9 +111,19 @@ def _w_hstring(s: str) -> bytes:
 
 
 def _unwrap(payload: bytes, cls: str):
-    """Unwrap a Writable-serialized payload for the two in-envelope
+    """Unwrap a Writable-serialized payload for the in-envelope
     classes; other classes pass through opaque. Returns bytes or None
-    on a malformed envelope."""
+    on a malformed envelope. r17 adds the numeric Writables of the
+    classic MR output shapes (SequenceFile<LongWritable, Text> line
+    offsets, IntWritable counters, NullWritable placeholders) — each a
+    fixed-width big-endian payload whose exact length IS the
+    envelope."""
+    if cls == _INT_WRITABLE:
+        return payload if len(payload) == 4 else None
+    if cls == _LONG_WRITABLE:
+        return payload if len(payload) == 8 else None
+    if cls == _NULL_WRITABLE:
+        return payload if len(payload) == 0 else None
     if cls == _BYTES_WRITABLE:
         if len(payload) < 4:
             return None
@@ -351,7 +364,14 @@ def encode_seqfile(
     if compress not in ("none", "record", "block"):
         raise ValueError("compress must be 'none', 'record', or 'block'")
 
-    def wrap(data: bytes, cls: str) -> bytes:
+    def wrap(data, cls: str) -> bytes:
+        if cls in (_INT_WRITABLE, _LONG_WRITABLE) and isinstance(
+            data, int
+        ):
+            return data.to_bytes(4 if cls == _INT_WRITABLE else 8,
+                                 "big", signed=True)
+        if cls == _NULL_WRITABLE:
+            return b""
         data = bytes(data)
         if cls == _BYTES_WRITABLE:
             return struct.pack(">I", len(data)) + data
@@ -406,10 +426,13 @@ SEQFILE_SCHEMA = (
 
 def _seqfile_rows(doc_id, payload: bytes):
     """Per-container extraction for read_seqfile_records: parses,
-    enforces the Text key class (parse_seqfile only UTF-8-validates
-    keys when the class is Text — any other class yields opaque bytes
-    this operator cannot decode as a string column), and returns the
-    stat tuples. Raises ValueError with the doc id on any defect."""
+    renders the key by its class — Text as the UTF-8 string
+    (parse_seqfile has already validated it), IntWritable/LongWritable
+    as the signed big-endian integer's decimal form (the Hadoop
+    toString convention for the classic MR key classes, r17),
+    NullWritable as the empty string — and returns the stat tuples.
+    Other key classes yield opaque bytes this operator cannot decode
+    as a string column: raise the descriptive ValueError."""
     import numpy as np
 
     parsed = parse_seqfile(bytes(payload))
@@ -418,16 +441,23 @@ def _seqfile_rows(doc_id, payload: bytes):
             f"doc {doc_id}: corrupt or out-of-envelope SequenceFile"
         )
     kc, _vc, compression, _meta, _sync, recs = parsed
-    if kc != _TEXT:
+    if kc not in (_TEXT, _INT_WRITABLE, _LONG_WRITABLE, _NULL_WRITABLE):
         raise ValueError(
             f"doc {doc_id}: key class {kc!r} not supported by "
-            "read_seqfile_records (Text keys only)"
+            "read_seqfile_records (Text/IntWritable/LongWritable/"
+            "NullWritable keys only)"
         )
     rows = []
     for rno, (key, val) in enumerate(recs):
+        if kc == _TEXT:
+            key_str = key.decode("utf-8")
+        elif kc == _NULL_WRITABLE:
+            key_str = ""
+        else:
+            key_str = str(int.from_bytes(key, "big", signed=True))
         arr = np.frombuffer(val, dtype=np.uint8)
         rows.append(
-            (doc_id, rno, key.decode("utf-8"), compression, len(val),
+            (doc_id, rno, key_str, compression, len(val),
              float(arr.mean()) if arr.size else 0.0,
              int(arr.min()) if arr.size else 0,
              int(arr.max()) if arr.size else 0)

@@ -4342,7 +4342,13 @@ def q_multimodal_icns(spark, sf_dir):
     )
     SELECT ent.doc_id,
            CAST(ent.rec_no AS INT) AS rec_no,
-           'k' || ent.doc_id || '/' || ent.rec_no AS key,
+           CASE ent.doc_id % 4
+             WHEN 2 THEN CAST(ent.doc_id * 1000 + ent.rec_no * 7
+                              - 500000 AS VARCHAR)
+             WHEN 3 THEN CAST((ent.doc_id * 31 + ent.rec_no) % 100000
+                              - 50000 AS VARCHAR)
+             ELSE 'k' || ent.doc_id || '/' || ent.rec_no
+           END AS key,
            ent.compression,
            CAST(ent.size AS BIGINT) AS size,
            COALESCE(stats.mean_b, 0.0) AS mean_b,
@@ -4357,7 +4363,10 @@ def q_seqfile_extract(spark, sf_dir):
     """Hadoop SequenceFile extraction under the driver hash (r16 —
     the Hive-era row container next to Avro, functions/seqfile.py).
     Per document a real version-6 file is muxed executor-side — 2 +
-    doc_id%3 records with Text keys 'k{doc}/{r}' and BytesWritable
+    doc_id%3 records whose KEY CLASS rotates by doc_id%4 (r17: Text
+    'k{doc}/{r}' keys, signed LongWritable keys spanning negatives —
+    the classic MR line-offset shape — and signed IntWritable keys,
+    each rendered by its Hadoop toString convention) and BytesWritable
     values carrying stride-31 formula bodies cycled from the doc's ONE
     64-byte base (record r a +7r byte rotation — the tfexample perf
     lesson, size 18 + (n_chars + 9r)%160, record 1 a zero-length
@@ -4416,9 +4425,23 @@ def q_seqfile_extract(spark, sf_dir):
             ):
                 doc_id, n_chars = int(doc_id), int(n_chars)
                 base_arr = np.array([int(x) for x in fs], dtype=np.uint8)
+                # key class rotates by doc_id%4 (r17): the classic MR
+                # output key classes — LongWritable (signed 8-byte BE,
+                # negative via the -500000 offset) and IntWritable
+                # (signed 4-byte BE) render as their decimal forms,
+                # Text keeps the 'k{doc}/{r}' form
+                kcls = ["org.apache.hadoop.io.Text",
+                        "org.apache.hadoop.io.Text",
+                        "org.apache.hadoop.io.LongWritable",
+                        "org.apache.hadoop.io.IntWritable"][doc_id % 4]
                 recs = []
                 for r in range(2 + doc_id % 3):
-                    key = f"k{doc_id}/{r}".encode()
+                    if doc_id % 4 == 2:
+                        key = doc_id * 1000 + r * 7 - 500000
+                    elif doc_id % 4 == 3:
+                        key = (doc_id * 31 + r) % 100000 - 50000
+                    else:
+                        key = f"k{doc_id}/{r}".encode()
                     if r == 1:  # the zero-length value edge
                         recs.append((key, b""))
                         continue
@@ -4431,6 +4454,7 @@ def q_seqfile_extract(spark, sf_dir):
                 payloads.append(
                     encode_seqfile(
                         recs,
+                        key_class=kcls,
                         compress=comp,
                         sync_interval=0 if comp == "block" else 2,
                         records_per_block=2,

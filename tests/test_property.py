@@ -3309,6 +3309,61 @@ def test_seqfile_block_compression_roundtrip(rpb, sizes, seed):
 
 
 @given(
+    kcls=st.sampled_from(["org.apache.hadoop.io.IntWritable",
+                          "org.apache.hadoop.io.LongWritable",
+                          "org.apache.hadoop.io.NullWritable"]),
+    keys=st.lists(st.integers(-(2**31), 2**31 - 1), min_size=1,
+                  max_size=6),
+    comp=st.sampled_from(["none", "record", "block"]),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=60, deadline=None)
+def test_seqfile_numeric_writable_keys(kcls, keys, comp, seed):
+    """r17 — the numeric key Writables of the classic MR output
+    shapes (SequenceFile<LongWritable, Text> line offsets, IntWritable
+    counters, NullWritable placeholders): fixed-width big-endian
+    payloads whose exact length IS the envelope — a wrong-width
+    payload rejects at _unwrap — round-tripping through all three
+    compression layouts, with _seqfile_rows rendering each class by
+    its Hadoop toString convention (signed decimals; NullWritable →
+    the empty string). Keys spanning negatives pin signedness."""
+    import numpy as np
+
+    from polars_express_spark.functions.seqfile import (
+        _seqfile_rows,
+        _unwrap,
+        encode_seqfile,
+        parse_seqfile,
+    )
+
+    rng = np.random.RandomState(seed)
+    width = {"org.apache.hadoop.io.IntWritable": 4,
+             "org.apache.hadoop.io.LongWritable": 8,
+             "org.apache.hadoop.io.NullWritable": 0}[kcls]
+    recs = [(k if width else b"", rng.bytes(int(rng.randint(0, 60))))
+            for k in keys]
+    enc = encode_seqfile(recs, key_class=kcls, compress=comp,
+                         records_per_block=2, sync_interval=2)
+    got = parse_seqfile(enc)
+    assert got is not None
+    kc, _vc, c, _m, _sync, out = got
+    assert kc == kcls and c == comp and len(out) == len(recs)
+    for (want_k, want_v), (k, v) in zip(recs, out):
+        assert v == want_v
+        if width:
+            assert int.from_bytes(k, "big", signed=True) == want_k
+        else:
+            assert k == b""
+    rows = _seqfile_rows(3, enc)
+    for (want_k, _), row in zip(recs, rows):
+        assert row[2] == (str(want_k) if width else "")
+    # the exact width IS the envelope
+    assert _unwrap(b"\x00" * (width + 1), kcls) is None
+    if width:
+        assert _unwrap(b"\x00" * (width - 1), kcls) is None
+
+
+@given(
     ints=st.lists(st.integers(-(2**64), 2**64 - 1), min_size=0, max_size=6),
     blobs=st.lists(st.binary(min_size=0, max_size=400), min_size=0,
                    max_size=4),
