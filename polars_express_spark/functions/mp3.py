@@ -229,11 +229,12 @@ def encode_id3v2(frames: dict, version: int = 4,
     sizes and Latin-1 (encoding 0) or UTF-16-with-BOM (encoding 1)
     when the text needs it; v2.2 (r16) writes 3-byte ids + 3-byte
     plain sizes with the same Latin-1/UCS-2 choice — the layouts a
-    real tag population spans. ``unsync`` (r17, v2.2/v2.3 only)
-    applies the whole-tag unsynchronisation scheme: every 0xFF body
-    byte gains a 0x00 escape, the header flag 0x80 is set, and the
-    header size counts the escaped bytes — the legacy form parse_id3v2
-    now decodes."""
+    real tag population spans. ``unsync`` (r17) applies the
+    unsynchronisation scheme of the version: v2.2/v2.3 escape the
+    whole tag body (every 0xFF gains a 0x00, the header size counts
+    escaped bytes); v2.4 escapes PER FRAME with format flag 0x02 and
+    escaped syncsafe frame sizes. The header flag 0x80 is set either
+    way — both forms parse_id3v2 now decodes."""
     body = b""
     for fid, text in frames.items():
         if version == 2:
@@ -251,7 +252,16 @@ def encode_id3v2(frames: dict, version: int = 4,
             raise ValueError("frame ids are 4 characters")
         if version == 4:
             data = b"\x03" + text.encode("utf-8")
+            fmt = 0
+            if unsync:
+                # v2.4 unsynchronisation is PER-FRAME: escape the frame
+                # data, set format flag 0x02, store the ESCAPED size
+                # (syncsafe sizes count stored bytes per spec §6.2)
+                data = data.replace(b"\xff", b"\xff\x00")
+                fmt = 0x02
             size = _syncsafe(len(data))
+            body += fid.encode("ascii") + size + bytes([0, fmt]) + data
+            continue
         elif version == 3:
             try:
                 data = b"\x00" + text.encode("latin-1")
@@ -263,10 +273,9 @@ def encode_id3v2(frames: dict, version: int = 4,
         body += fid.encode("ascii") + size + b"\x00\x00" + data
     flags = 0
     if unsync:
-        if version == 4:
-            raise ValueError("v2.4 unsync is per-frame; not written")
-        body = body.replace(b"\xff", b"\xff\x00")
-        flags = 0x80
+        if version != 4:  # v2.2/v2.3: the WHOLE tag body escapes
+            body = body.replace(b"\xff", b"\xff\x00")
+        flags = 0x80  # set in v2.4 too: "all frames are unsynchronised"
     return b"ID3" + bytes([version, 0, flags]) + _syncsafe(len(body)) + body
 
 
@@ -315,11 +324,15 @@ def parse_id3v2(payload: bytes):
     (syncsafe), text encodings 0 (Latin-1), 1 (UTF-16 with BOM),
     2 (UTF-16BE), 3 (UTF-8); non-text frames are skipped by size
     (standard forward-compat), zero padding ends the walk, and any
-    frame overrunning the tag is corruption. Unsynchronised v2.2/v2.3
-    tags (header flag 0x80 — common in older MP3 corpora) DECODE
-    since r17: the whole tag body un-escapes 0xFF 0x00 → 0xFF before
-    the ordinary walk; v2.4's per-frame unsync scheme stays out of
-    envelope. A payload without a tag returns (0, {})."""
+    frame overrunning the tag is corruption. Unsynchronisation DECODES
+    since r17 in both schemes: v2.2/v2.3 (header flag 0x80) un-escape
+    the WHOLE tag body 0xFF 0x00 → 0xFF before the ordinary walk;
+    v2.4 applies the same un-escape PER FRAME on format flag 0x02
+    (with the optional 0x01 data-length indicator skipped), the
+    stored syncsafe sizes counting escaped bytes per spec. Frame
+    compression/encryption/grouping flags change the layout and
+    reject rather than misread. A payload without a tag returns
+    (0, {})."""
     if payload[:3] != b"ID3":
         return 0, {}
     total = _id3v2_size(payload)
@@ -329,14 +342,8 @@ def parse_id3v2(payload: bytes):
     if version not in (2, 3, 4):
         return None
     unsync = bool(payload[5] & 0x80)
-    if unsync and version == 4:
-        # v2.4 unsynchronisation is PER-FRAME (frame format flag 0x02)
-        # even when the tag-level flag is set; the whole-tag un-escape
-        # below would corrupt syncsafe v2.4 frame sizes — still gated,
-        # never a guess
-        return None
     ftr = 10 if payload[5] & 0x10 else 0
-    if unsync:
+    if unsync and version != 4:
         # r17 (the r16 verdict's missing #5): v2.2/v2.3
         # unsynchronisation applies to the WHOLE tag body — every
         # 0xFF 0x00 pair un-escapes to 0xFF, and the header size
@@ -347,6 +354,9 @@ def parse_id3v2(payload: bytes):
         buf = payload[:10] + data
         end = 10 + len(data)
     else:
+        # v2.4's scheme is PER-FRAME (format flag 0x02, handled in the
+        # frame walk below) — the tag-level flag is advisory there and
+        # the stored syncsafe frame sizes already count escaped bytes
         buf = payload
         end = 10 + (total - 10 - ftr)
     if version == 2:
@@ -394,8 +404,26 @@ def parse_id3v2(payload: bytes):
         if body + size > end:
             return None  # frame overruns the tag
         if fid.startswith("T") and size >= 1:
-            enc = buf[body]
-            raw = buf[body + 1 : body + size]
+            fmt = buf[pos + 9]  # the frame FORMAT flags byte
+            fdata = buf[body : body + size]
+            if version == 4:
+                if fmt & ~0x03:
+                    # compression/encryption/grouping change the frame
+                    # layout — out of envelope, never misread
+                    return None
+                if fmt & 0x01:  # data length indicator: 4 syncsafe bytes
+                    if size < 5 or any(b & 0x80 for b in fdata[:4]):
+                        return None
+                    fdata = fdata[4:]
+                if fmt & 0x02:  # per-frame unsynchronisation (r17)
+                    fdata = fdata.replace(b"\xff\x00", b"\xff")
+            else:
+                if fmt & 0xE0:
+                    return None  # v2.3 compression/encryption/grouping
+            if not fdata:
+                return None
+            enc = fdata[0]
+            raw = fdata[1:]
             try:
                 if enc == 0:
                     text = raw.decode("latin-1")

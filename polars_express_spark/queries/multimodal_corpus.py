@@ -3204,10 +3204,14 @@ def q_multimodal_mp3(spark, sf_dir):
                     # the UNSYNCHRONISED form (r17) with a 0xFF title
                     # byte ('ÿ' in Latin-1) so the 0xFF 0x00 un-escape
                     # is value-pinned, not just flag-deep
-                    unsync = doc_id % 8 == 6
+                    # the doc%8==4 residue arms v2.4's PER-FRAME flag
+                    # (format flag 0x02; UTF-8 text carries no 0xFF so
+                    # the escape is vacuous there by construction —
+                    # the flag/branch handling is what's hashed)
+                    unsync = doc_id % 8 in (4, 6)
                     tag = encode_id3v2(
                         {"TIT2": f"doc-{doc_id}-{n_chars % 97}"
-                                 + ("ÿ" if unsync else "")},
+                                 + ("ÿ" if doc_id % 8 == 6 else "")},
                         version=4 if (doc_id // 2) % 2 == 0 else 3,
                         unsync=unsync,
                     )

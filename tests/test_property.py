@@ -3767,32 +3767,40 @@ def test_id3v2_text_frames_roundtrip(version, title, artist, trailing, seed):
     assert total == len(tag)
     assert frames[t_id] == title.rstrip("\x00")
     assert frames[a_id] == artist.rstrip("\x00")
-    # unsynchronisation (r17): v2.2/v2.3 round-trip through the
-    # whole-tag 0xFF 0x00 escape — the stored size counts ESCAPED
-    # bytes, so an 0xFF-bearing title (UTF-16 BOM or 'ÿ') grows the
-    # tag; v2.4 rejects both ways (its scheme is per-frame)
+    # unsynchronisation (r17): all three versions round-trip through
+    # their scheme — v2.2/v2.3 escape the WHOLE tag body (the stored
+    # size counts ESCAPED bytes, so an 0xFF-bearing title — UTF-16
+    # BOM or 'ÿ' — grows the tag), v2.4 escapes PER FRAME behind
+    # format flag 0x02 with escaped syncsafe frame sizes
+    utag = encode_id3v2({t_id: title + "ÿ", a_id: artist},
+                        version=version, unsync=True)
+    assert utag[5] == 0x80
+    ugot = parse_id3v2(utag + rng.bytes(trailing))
+    assert ugot is not None and ugot[0] == len(utag)
+    assert ugot[1][t_id] == (title + "ÿ").rstrip("\x00")
+    assert ugot[1][a_id] == artist.rstrip("\x00")
+    escapes = utag[10:].count(b"\xff")  # every 0xFF was escaped
+    assert len(utag) == len(
+        encode_id3v2({t_id: title + "ÿ", a_id: artist},
+                     version=version)
+    ) + escapes
     if version == 4:
-        try:
-            encode_id3v2({t_id: title}, version=4, unsync=True)
-            raise AssertionError("v2.4 unsync writer must raise")
-        except ValueError:
-            pass
+        # frame layout-changing flags (compression/encryption/group)
+        # reject rather than misread; the 0x01 data-length indicator
+        # is skipped, not misread as text
         b4 = bytearray(tag)
-        b4[5] |= 0x80
+        at = b4.index(t_id.encode())
+        b4[at + 9] |= 0x08  # compression flag on the title frame
         assert parse_id3v2(bytes(b4)) is None
-    else:
-        utag = encode_id3v2({t_id: title + "ÿ", a_id: artist},
-                            version=version, unsync=True)
-        assert utag[5] == 0x80
-        ugot = parse_id3v2(utag + rng.bytes(trailing))
-        assert ugot is not None and ugot[0] == len(utag)
-        assert ugot[1][t_id] == (title + "ÿ").rstrip("\x00")
-        assert ugot[1][a_id] == artist.rstrip("\x00")
-        escapes = utag[10:].count(b"\xff")  # every 0xFF was escaped
-        assert len(utag) == len(
-            encode_id3v2({t_id: title + "ÿ", a_id: artist},
-                         version=version)
-        ) + escapes
+        from polars_express_spark.functions.mp3 import _syncsafe
+
+        data = b"\x03" + (title or "x").encode("utf-8")
+        frame = (t_id.encode() + _syncsafe(len(data) + 4)
+                 + bytes([0, 0x01]) + _syncsafe(len(data)) + data)
+        dl_tag = (b"ID3\x04\x00\x00" + _syncsafe(len(frame)) + frame)
+        dgot = parse_id3v2(dl_tag)
+        assert dgot is not None
+        assert dgot[1][t_id] == (title or "x").rstrip("\x00")
     b = bytearray(payload)
     for _ in range(10):
         i = int(rng.randint(0, len(b)))
