@@ -164,6 +164,77 @@ def _parse_scalar_list(body: bytes, kind: str):
 _KINDS = {1: "bytes", 2: "float", 3: "int64"}
 
 
+def _parse_feature(body: bytes):
+    """One Feature message: returns (kind, values) or None. The oneof
+    takes the last kind set (spec merge semantics); a Feature with no
+    kind set is malformed here."""
+    fields = parse_protowire(body)
+    if fields is None:
+        return None
+    kind, vals = "", []
+    for ffno, ffwt, ffv in fields:
+        if ffno not in _KINDS:
+            continue
+        if ffwt != 2:
+            return None
+        got = _parse_scalar_list(ffv, _KINDS[ffno])
+        if got is None:
+            return None
+        kind, vals = _KINDS[ffno], got  # oneof: last wins
+    if not kind:
+        return None
+    return kind, vals
+
+
+def _parse_map_entry(body: bytes):
+    """One map<string, message> entry: returns (name, value_body_or_
+    None) or None. A re-parsed key must be UTF-8; an absent key is the
+    proto3 default ''."""
+    kv = parse_protowire(body)
+    if kv is None:
+        return None
+    name = ""
+    val_body = None
+    for kno, kwt, kv_ in kv:
+        if kno == 1:
+            if kwt != 2:
+                return None
+            try:
+                name = kv_.decode("utf-8")
+            except UnicodeDecodeError:
+                return None
+        elif kno == 2:
+            if kwt != 2:
+                return None
+            val_body = kv_
+    return name, val_body
+
+
+def _parse_features(body: bytes, feats: dict):
+    """A Features message (map<string, Feature>), merged into
+    ``feats`` with last-wins map-key semantics. Returns feats or
+    None."""
+    entries = parse_protowire(body)
+    if entries is None:
+        return None
+    for eno, ewt, ev in entries:
+        if eno != 1:
+            continue
+        if ewt != 2:
+            return None  # Features.feature map entries are messages
+        r = _parse_map_entry(ev)
+        if r is None:
+            return None
+        name, feat_body = r
+        if feat_body is None:
+            return None  # a Feature with no kind set: malformed here
+        f = _parse_feature(feat_body)
+        if f is None:
+            return None
+        feats[name] = f
+    return feats
+
+
 def parse_tf_example(payload: bytes):
     """REAL tf.Example decode from the wire format (no schema registry
     needed — the message layout is fixed and public): returns
@@ -180,51 +251,116 @@ def parse_tf_example(payload: bytes):
             continue
         if wt != 2:
             return None  # Example.features is a message
-        entries = parse_protowire(v)
-        if entries is None:
+        if _parse_features(v, feats) is None:
             return None
-        for eno, ewt, ev in entries:
-            if eno != 1:
-                continue
-            if ewt != 2:
-                return None  # Features.feature map entries are messages
-            kv = parse_protowire(ev)
-            if kv is None:
-                return None
-            name = None
-            feat_body = None
-            for kno, kwt, kv_ in kv:
-                if kno == 1:
-                    if kwt != 2:
-                        return None
-                    try:
-                        name = kv_.decode("utf-8")
-                    except UnicodeDecodeError:
-                        return None
-                elif kno == 2:
-                    if kwt != 2:
-                        return None
-                    feat_body = kv_
-            if name is None:
-                name = ""  # proto3 default for an absent map key
-            kind, vals = "", []
-            if feat_body is not None:
-                fields = parse_protowire(feat_body)
-                if fields is None:
-                    return None
-                for ffno, ffwt, ffv in fields:
-                    if ffno not in _KINDS:
-                        continue
-                    if ffwt != 2:
-                        return None
-                    got = _parse_scalar_list(ffv, _KINDS[ffno])
-                    if got is None:
-                        return None
-                    kind, vals = _KINDS[ffno], got  # oneof: last wins
-            if not kind:
-                return None  # a Feature with no kind set: malformed here
-            feats[name] = (kind, vals)
     return feats
+
+
+def parse_tf_sequence_example(payload: bytes):
+    """REAL tf.SequenceExample decode (r17 — the second fixed public
+    TF training format, sequence_example.proto): returns
+    (context, feature_lists) where context is the tf.Example-shaped
+    {name: (kind, [values...])} dict (SequenceExample.context = 1, a
+    Features message) and feature_lists maps name →
+    [(kind, [values...]), ...] — one entry per SEQUENCE STEP
+    (FeatureLists.feature_list = 1, a map<string, FeatureList>;
+    FeatureList.feature = 1, repeated Feature). Returns None on
+    anything the specs call invalid; unknown fields skip by wire type
+    (mandated forward-compat); repeated context/feature_lists fields
+    merge, re-occurring map keys take the last value."""
+    top = parse_protowire(payload)
+    if top is None:
+        return None
+    context: dict[str, tuple[str, list]] = {}
+    flists: dict[str, list] = {}
+    for fno, wt, v in top:
+        if fno == 1:
+            if wt != 2:
+                return None  # SequenceExample.context is a message
+            if _parse_features(v, context) is None:
+                return None
+        elif fno == 2:
+            if wt != 2:
+                return None  # SequenceExample.feature_lists likewise
+            entries = parse_protowire(v)
+            if entries is None:
+                return None
+            for eno, ewt, ev in entries:
+                if eno != 1:
+                    continue
+                if ewt != 2:
+                    return None
+                r = _parse_map_entry(ev)
+                if r is None:
+                    return None
+                name, fl_body = r
+                steps = []
+                if fl_body is not None:
+                    fl = parse_protowire(fl_body)
+                    if fl is None:
+                        return None
+                    for sno, swt, sv in fl:
+                        if sno != 1:
+                            continue
+                        if swt != 2:
+                            return None  # FeatureList.feature: messages
+                        f = _parse_feature(sv)
+                        if f is None:
+                            return None
+                        steps.append(f)
+                flists[name] = steps  # map key: last wins
+    return context, flists
+
+
+def _w_feature(kind: str, vals, packed: bool) -> bytes:
+    """One Feature message (the oneof wrapping a scalar list)."""
+    if kind == "bytes":
+        body = b"".join(
+            _w_uvarint((1 << 3) | 2) + _w_uvarint(len(v)) + bytes(v)
+            for v in vals
+        )
+        fno = 1
+    elif kind == "float":
+        if packed:
+            raw = struct.pack(f"<{len(vals)}f", *vals)
+            body = _w_uvarint((1 << 3) | 2) + _w_uvarint(len(raw)) + raw
+        else:
+            body = b"".join(
+                _w_uvarint((1 << 3) | 5) + struct.pack("<f", v)
+                for v in vals
+            )
+        fno = 2
+    elif kind == "int64":
+        uvals = [v & ((1 << 64) - 1) for v in vals]
+        if packed:
+            raw = b"".join(_w_uvarint(u) for u in uvals)
+            body = _w_uvarint((1 << 3) | 2) + _w_uvarint(len(raw)) + raw
+        else:
+            body = b"".join(
+                _w_uvarint((1 << 3) | 0) + _w_uvarint(u) for u in uvals
+            )
+        fno = 3
+    else:
+        raise ValueError("kind must be bytes/float/int64")
+    return _w_uvarint((fno << 3) | 2) + _w_uvarint(len(body)) + body
+
+
+def _w_map_entry(name: str, msg: bytes) -> bytes:
+    """One map<string, message> entry body {key=1, value=2}."""
+    name_b = name.encode("utf-8")
+    return (
+        _w_uvarint((1 << 3) | 2) + _w_uvarint(len(name_b)) + name_b
+        + _w_uvarint((2 << 3) | 2) + _w_uvarint(len(msg)) + msg
+    )
+
+
+def _w_features(features: dict, packed: bool) -> bytes:
+    """A Features message body: one map entry per feature."""
+    out = bytearray()
+    for name, (kind, vals) in features.items():
+        entry = _w_map_entry(name, _w_feature(kind, vals, packed))
+        out += _w_uvarint((1 << 3) | 2) + _w_uvarint(len(entry)) + entry
+    return bytes(out)
 
 
 def encode_tf_example(features: dict, packed: bool = True) -> bytes:
@@ -233,45 +369,34 @@ def encode_tf_example(features: dict, packed: bool = True) -> bytes:
     the packed (wire 2) vs unpacked (per-element tag) encoding for the
     numeric lists — both are legal proto3 and parse_tf_example accepts
     both."""
-    out = bytearray()
-    for name, (kind, vals) in features.items():
-        if kind == "bytes":
-            body = b"".join(
-                _w_uvarint((1 << 3) | 2) + _w_uvarint(len(v)) + bytes(v)
-                for v in vals
-            )
-            fno = 1
-        elif kind == "float":
-            if packed:
-                raw = struct.pack(f"<{len(vals)}f", *vals)
-                body = _w_uvarint((1 << 3) | 2) + _w_uvarint(len(raw)) + raw
-            else:
-                body = b"".join(
-                    _w_uvarint((1 << 3) | 5) + struct.pack("<f", v)
-                    for v in vals
-                )
-            fno = 2
-        elif kind == "int64":
-            uvals = [v & ((1 << 64) - 1) for v in vals]
-            if packed:
-                raw = b"".join(_w_uvarint(u) for u in uvals)
-                body = _w_uvarint((1 << 3) | 2) + _w_uvarint(len(raw)) + raw
-            else:
-                body = b"".join(
-                    _w_uvarint((1 << 3) | 0) + _w_uvarint(u) for u in uvals
-                )
-            fno = 3
-        else:
-            raise ValueError("kind must be bytes/float/int64")
-        feat = _w_uvarint((fno << 3) | 2) + _w_uvarint(len(body)) + body
-        name_b = name.encode("utf-8")
-        entry = (
-            _w_uvarint((1 << 3) | 2) + _w_uvarint(len(name_b)) + name_b
-            + _w_uvarint((2 << 3) | 2) + _w_uvarint(len(feat)) + feat
-        )
-        out += _w_uvarint((1 << 3) | 2) + _w_uvarint(len(entry)) + entry
+    body = _w_features(features, packed)
     # Example.features: ONE Features message wrapping all map entries
-    return _w_uvarint((1 << 3) | 2) + _w_uvarint(len(out)) + bytes(out)
+    return _w_uvarint((1 << 3) | 2) + _w_uvarint(len(body)) + body
+
+
+def encode_tf_sequence_example(
+    context: dict, feature_lists: dict, packed: bool = True
+) -> bytes:
+    """Independent tf.SequenceExample writer (r17): ``context`` is the
+    tf.Example-shaped feature dict, ``feature_lists`` maps name →
+    [(kind, values), ...] with one entry per sequence step."""
+    ctx = _w_features(context, packed)
+    out = bytearray(
+        _w_uvarint((1 << 3) | 2) + _w_uvarint(len(ctx)) + ctx
+    )
+    fl_body = bytearray()
+    for name, steps in feature_lists.items():
+        fl = b"".join(
+            (lambda f: _w_uvarint((1 << 3) | 2)
+             + _w_uvarint(len(f)) + f)(_w_feature(kind, vals, packed))
+            for kind, vals in steps
+        )
+        entry = _w_map_entry(name, fl)
+        fl_body += _w_uvarint((1 << 3) | 2) + _w_uvarint(len(entry)) + entry
+    out += _w_uvarint((2 << 3) | 2) + _w_uvarint(len(fl_body)) + bytes(
+        fl_body
+    )
+    return bytes(out)
 
 
 TFEXAMPLE_SCHEMA = (
@@ -332,4 +457,74 @@ def read_tfexample_records(df):
 
     return df.select("doc_id", "payload").mapInPandas(
         extract, schema=TFEXAMPLE_SCHEMA
+    )
+
+
+TFSEQ_SCHEMA = (
+    "doc_id bigint, rec_no int, fname string, step int, kind string, "
+    "n_vals int, vsum double"
+)
+
+
+def read_tfseq_records(df):
+    """tf.SequenceExample extraction operator (r17): one TFRecord-shard
+    row → one row per (record, context feature) at step -1 plus one row
+    per (record, feature list, SEQUENCE STEP), each with the kind,
+    element count, and exact value sum (bytes features sum byte
+    values, so full payloads are pinned under the hash). Both the
+    TFRecord framing CRCs and the wire-format walk must hold —
+    malformed shards or records raise. Arrow-batched mapInPandas;
+    shard bytes never leave the executor."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from polars_express_spark.functions.tfrecord import parse_tfrecord
+
+    def fsum(kind, vals):
+        if kind == "bytes":
+            return float(sum(
+                int(np.frombuffer(v, dtype=np.uint8)
+                    .astype(np.int64).sum())
+                for v in vals
+            ))
+        return float(sum(vals))
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                recs = parse_tfrecord(bytes(payload))
+                if recs is None:
+                    raise ValueError(
+                        f"doc {doc_id}: corrupt TFRecord shard framing"
+                    )
+                for rno, rec in enumerate(recs):
+                    parsed = parse_tf_sequence_example(rec)
+                    if parsed is None:
+                        raise ValueError(
+                            f"doc {doc_id} record {rno}: malformed "
+                            "tf.SequenceExample wire format"
+                        )
+                    context, flists = parsed
+                    for fname in sorted(context):
+                        kind, vals = context[fname]
+                        rows.append((doc_id, rno, fname, -1, kind,
+                                     len(vals), fsum(kind, vals)))
+                    for fname in sorted(flists):
+                        for step, (kind, vals) in enumerate(
+                            flists[fname]
+                        ):
+                            rows.append((doc_id, rno, fname, step, kind,
+                                         len(vals), fsum(kind, vals)))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "rec_no", "fname", "step", "kind",
+                         "n_vals", "vsum"],
+            ).astype({"rec_no": "int32", "step": "int32",
+                      "n_vals": "int32"})
+
+    return df.select("doc_id", "payload").mapInPandas(
+        extract, schema=TFSEQ_SCHEMA
     )

@@ -3705,6 +3705,164 @@ def q_tfexample_extract(spark, sf_dir):
 
 
 @query(
+    "q_tfseq_extract",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, text, n_chars, CAST(1 + doc_id % 2 AS INT) AS k
+      FROM documents
+      WHERE text IS NOT NULL AND length(text) > 0
+        AND doc_id % 8 >= 2 AND doc_id % 8 < 4
+    ), ent AS (
+      SELECT doc_id, text, n_chars, r.r AS rec_no
+      FROM d, unnest(generate_series(0, CAST(k - 1 AS BIGINT))) r(r)
+    ), doc_b AS (
+      SELECT doc_id, rec_no, 'doc' AS fname, CAST(-1 AS INT) AS step,
+             'bytes' AS kind, CAST(1 AS INT) AS n_vals,
+             CAST(sum((ascii(substr(text,
+               (((g.i % 64) * 43) % length(text)) + 1, 1)) % 256
+               + 3 * rec_no) % 256) AS DOUBLE) AS vsum
+      FROM ent, unnest(generate_series(0,
+             CAST(9 + (n_chars + rec_no) % 40 AS BIGINT))) g(i)
+      GROUP BY doc_id, rec_no
+    ), wt AS (
+      SELECT doc_id, rec_no, 'weight' AS fname, CAST(-1 AS INT) AS step,
+             'float' AS kind, CAST(1 AS INT) AS n_vals,
+             CAST((n_chars + rec_no) % 256 AS DOUBLE) / 4.0 AS vsum
+      FROM ent
+    ), tok_steps AS (
+      SELECT doc_id, rec_no, n_chars, t.t AS t
+      FROM ent, unnest(generate_series(0,
+             CAST((doc_id + rec_no) % 3 AS BIGINT))) t(t)
+    ), toks AS (
+      SELECT doc_id, rec_no, 'toks' AS fname, CAST(t AS INT) AS step,
+             'int64' AS kind, CAST(1 + (n_chars + t) % 4 AS INT)
+               AS n_vals,
+             CAST(sum((n_chars * j.j + 13 * t + rec_no) % 50000
+               - 25000) AS DOUBLE) AS vsum
+      FROM tok_steps, unnest(generate_series(1,
+             CAST(1 + (n_chars + t) % 4 AS BIGINT))) j(j)
+      GROUP BY doc_id, rec_no, t, n_chars
+    ), frame_steps AS (
+      SELECT doc_id, rec_no, text, t.t AS t,
+             8 + (n_chars + 9 * t.t + 5 * rec_no) % 80 AS sz
+      FROM ent, unnest(generate_series(0,
+             CAST((doc_id + rec_no) % 2 AS BIGINT))) t(t)
+    ), frames AS (
+      SELECT doc_id, rec_no, 'frames' AS fname, CAST(t AS INT) AS step,
+             'bytes' AS kind, CAST(1 AS INT) AS n_vals,
+             CAST(sum((ascii(substr(text,
+               (((g.i % 64) * 43) % length(text)) + 1, 1)) % 256
+               + 11 * rec_no + 7 * t) % 256) AS DOUBLE) AS vsum
+      FROM frame_steps, unnest(generate_series(0,
+             CAST(sz - 1 AS BIGINT))) g(i)
+      GROUP BY doc_id, rec_no, t
+    )
+    SELECT doc_id, CAST(rec_no AS INT) AS rec_no, fname, step, kind,
+           n_vals, vsum
+    FROM (SELECT * FROM doc_b UNION ALL SELECT * FROM wt
+          UNION ALL SELECT * FROM toks UNION ALL SELECT * FROM frames)
+    ORDER BY doc_id, rec_no, fname, step
+    """,
+)
+def q_tfseq_extract(spark, sf_dir):
+    """tf.SequenceExample decode under the driver hash (r17 — the
+    SECOND fixed public TF training format, sequence_example.proto:
+    context Features + per-step FeatureLists, the shape sequence /
+    video / RL corpora ship). Per document a real TFRecord shard of
+    1 + doc_id%2 SequenceExamples is muxed executor-side; each record
+    carries a CONTEXT block (a bytes 'doc' string — stride-43 formula
+    bytes cycled from the doc's ONE 64-byte base with a +3r rotation —
+    and a quarter-integer float 'weight') plus two FEATURE LISTS:
+    'toks' with 1 + (doc+r)%3 int64 steps of 1 + (n_chars+t)%4 varints
+    spanning negatives, and 'frames' with 1 + (doc+r)%2 bytes steps
+    whose +11r+7t-rotated formula bodies pin every step payload —
+    PACKED numeric encoding for even docs, per-element unpacked for
+    odd, so both legal proto3 layouts are hashed. read_tfseq_records
+    re-verifies the TFRecord CRCs, walks SequenceExample → context /
+    FeatureLists → map entries → per-step Feature oneofs, and ships
+    one row per context feature (step -1) and per (list, step). The
+    oracle replays every formula in SQL. Scale shape: one scan, one
+    doc_id exchange (_codec_parallel), two fused Arrow stages; quarter
+    population doc%8 in {2,3}, disjoint from the tfexample slice, with
+    every strategy surviving (%2 parity and record counts, %3/%2 step
+    counts key on doc+r)."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    from polars_express_spark.functions.protowire import (
+        encode_tf_sequence_example,
+        read_tfseq_records,
+    )
+    from polars_express_spark.functions.tfrecord import encode_tfrecord
+
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+        & (F.col("doc_id") % 8 >= 2) & (F.col("doc_id") % 8 < 4)
+    )
+    bs = d.select(
+        "doc_id",
+        "n_chars",
+        F.expr(
+            "transform(sequence(0, 63),"
+            " j -> ascii(substring(text, ((j * 43) % length(text)) + 1,"
+            " 1)) % 256)"
+        ).alias("fs"),
+    )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            payloads = []
+            for doc_id, n_chars, fs in zip(
+                pdf["doc_id"], pdf["n_chars"], pdf["fs"]
+            ):
+                doc_id, n_chars = int(doc_id), int(n_chars)
+                base_arr = np.array([int(x) for x in fs], dtype=np.uint8)
+
+                def body(ln, c):
+                    arr = ((base_arr.astype(np.int64) + c) % 256
+                           ).astype(np.uint8)
+                    return np.tile(arr, (ln + 63) // 64)[:ln].tobytes()
+
+                recs = []
+                for r in range(1 + doc_id % 2):
+                    ctx = {
+                        "doc": ("bytes",
+                                [body(10 + (n_chars + r) % 40, 3 * r)]),
+                        "weight": ("float",
+                                   [((n_chars + r) % 256) / 4.0]),
+                    }
+                    fls = {
+                        "toks": [
+                            ("int64",
+                             [(n_chars * j + 13 * t + r) % 50000 - 25000
+                              for j in range(1, 2 + (n_chars + t) % 4)])
+                            for t in range(1 + (doc_id + r) % 3)
+                        ],
+                        "frames": [
+                            ("bytes",
+                             [body(8 + (n_chars + 9 * t + 5 * r) % 80,
+                                   11 * r + 7 * t)])
+                            for t in range(1 + (doc_id + r) % 2)
+                        ],
+                    }
+                    recs.append(encode_tf_sequence_example(
+                        ctx, fls, packed=doc_id % 2 == 0
+                    ))
+                payloads.append(encode_tfrecord(recs))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    tfs = _codec_parallel(bs).mapInPandas(
+        synth, schema="doc_id bigint, payload binary"
+    )
+    return read_tfseq_records(tfs).orderBy(
+        "doc_id", "rec_no", "fname", "step"
+    )
+
+
+@query(
     "q_avro_extract",
     oracle="""
     WITH d AS (

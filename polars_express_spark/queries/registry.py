@@ -53,14 +53,17 @@ def query(name: str, oracle: str | None = None):
 #   slots 1-32  — the ENTIRE remaining r12 tier, alphabetical
 #                 (retires r12 evidence for good; declared last round
 #                 and held to);
-#   slots 33-44 — the 12 oldest r13-hash, alphabetical
-#                 (q03_regression_nullzero .. q20_running_sum);
-#   slots 45-50 — new or changed this round (see the list's own
+#   slots 33-43 — the 11 oldest r13-hash, alphabetical
+#                 (q03_regression_nullzero .. q19_window_lag);
+#   slots 44-50 — new or changed this round (see the list's own
 #                 comment): q_avro_record, q_cbor_extract,
 #                 q_msgpack_extract, q_multimodal_mkv_audio,
-#                 q_multimodal_mp3, q_seqfile_extract.
-# Tier "next" (r18) = the 38 remaining r13-hash queries
-# (q21_rolling_avg, q22_rollup, q22b_cube, q23_except, q23_intersect,
+#                 q_multimodal_mp3, q_seqfile_extract, q_tfseq_extract
+#                 (new queries take tail slots first, displacing the
+#                 r13 fill — the endorsed precedent).
+# Tier "next" (r18) = the 39 remaining r13-hash queries
+# (q20_running_sum,
+# q21_rolling_avg, q22_rollup, q22b_cube, q23_except, q23_intersect,
 # q23_union_all, q_ann_lsh, q_asof_join, q_decontaminate,
 # q_dedup_canonical, q_domain_mix, q_e2e_curation, q_embed_neardup,
 # q_ewma, q_fingerprint, q_kcore, q_lang_id, q_lev_verify,
@@ -274,13 +277,12 @@ _PRIORITY = [
     "q_skyline", "q_snapshot_diff", "q_streaks", "q_text_search",
     "q_train_split", "q_transitions", "q_unicode_norm",
     "q_weighted_sample",
-    # slots 33-44 — the 12 oldest r13-hash, alphabetical
+    # slots 33-43 — the 11 oldest r13-hash, alphabetical
     "q03_regression_nullzero", "q04_regression_sql",
     "q04b_grouped_regression", "q08_tpch_q1", "q09_count_distinct",
     "q10_stats", "q10c_higher_moments", "q11_corr_cov",
     "q18_window_rank", "q18b_window_family", "q19_window_lag",
-    "q20_running_sum",
-    # slots 45-50 — NEW or CHANGED this round (changed queries carry
+    # slots 44-50 — NEW or CHANGED this round (changed queries carry
     # driver evidence that no longer matches the code, so they take
     # tail slots exactly like never-checked queries — the endorsed
     # precedent): q_avro_record (NEW — the record-schema datum reader:
@@ -298,8 +300,13 @@ _PRIORITY = [
     # layout rotates none/record/BLOCK by doc%3; block = the
     # four-buffer-group Hadoop layout, compression column now the
     # parsed layout string)
+    # q_tfseq_extract (NEW — tf.SequenceExample, the second fixed
+    # public TF training format: context Features + per-step
+    # FeatureLists under the TFRecord CRCs, both proto3 layouts,
+    # every step payload oracle-replayed)
     "q_avro_record", "q_cbor_extract", "q_msgpack_extract",
     "q_multimodal_mkv_audio", "q_multimodal_mp3", "q_seqfile_extract",
+    "q_tfseq_extract",
 ]
 
 

@@ -1498,6 +1498,7 @@ def test_parsers_never_crash_on_corrupt_payloads(seed, kind):
     from polars_express_spark.functions.protowire import (
         parse_protowire,
         parse_tf_example,
+        parse_tf_sequence_example,
     )
     from polars_express_spark.functions.seqfile import parse_seqfile
     from polars_express_spark.functions.tar import parse_tar
@@ -1516,6 +1517,7 @@ def test_parsers_never_crash_on_corrupt_payloads(seed, kind):
                parse_mkv_audio, parse_warc, parse_http_response, parse_mp3,
                parse_zip, parse_tar, parse_tfrecord, parse_id3v2,
                parse_avro, parse_protowire, parse_tf_example,
+               parse_tf_sequence_example,
                parse_icns, parse_ogg_theora_info, parse_seqfile,
                parse_cbor, parse_msgpack, parse_exif, parse_png_exif,
                parse_webp_exif]
@@ -3734,6 +3736,80 @@ def test_tf_example_wire_roundtrip(packed, n_bytes, ints, quarters, seed):
 
 
 @given(
+    packed=st.booleans(),
+    nsteps=st.integers(0, 4),
+    ints=st.lists(st.integers(-(2**63), 2**63 - 1), min_size=0,
+                  max_size=6),
+    n_bytes=st.lists(st.integers(0, 200), min_size=0, max_size=3),
+    quarters=st.lists(st.integers(-2000, 2000), min_size=0, max_size=5),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=60, deadline=None)
+def test_tf_sequence_example_roundtrip(packed, nsteps, ints, n_bytes,
+                                       quarters, seed):
+    """r17 — encode_tf_sequence_example → parse_tf_sequence_example
+    recovers the context Features AND every per-step FeatureList
+    entry exactly through both legal proto3 layouts (packed and
+    unpacked), including empty step lists, empty value lists,
+    negative int64 varints, and quarter-integer float32s. Unknown
+    top-level fields skip per the spec's forward-compat; truncation
+    and a non-message context/feature_lists field reject; flips never
+    crash and any surviving parse keeps the (context, lists) shape."""
+    import numpy as np
+
+    from polars_express_spark.functions.protowire import (
+        _w_uvarint,
+        encode_tf_sequence_example,
+        parse_tf_sequence_example,
+    )
+
+    rng = np.random.RandomState(seed)
+    ctx = {
+        "doc": ("bytes", [rng.bytes(s) for s in n_bytes]),
+        "ids": ("int64", ints),
+    }
+    fls = {
+        "toks": [("int64", ints[: 1 + (i % 3)]) for i in range(nsteps)],
+        "embs": [("float", [q / 4.0 for q in quarters[: i % 4]])
+                 for i in range(nsteps)],
+        "raw": [("bytes", [rng.bytes(s) for s in n_bytes])
+                for _ in range(max(0, nsteps - 1))],
+        "empty": [],
+    }
+    enc = encode_tf_sequence_example(ctx, fls, packed=packed)
+    got = parse_tf_sequence_example(enc)
+    assert got is not None
+    gctx, gfls = got
+    assert gctx == ctx
+    assert gfls == fls
+    # unknown top-level field: spec-mandated skip
+    assert parse_tf_sequence_example(
+        enc + _w_uvarint((99 << 3) | 0) + b"\x2a"
+    ) == (ctx, fls)
+    # strictness: truncation; non-message context / feature_lists
+    if len(enc) > 2:
+        assert parse_tf_sequence_example(enc[:-1]) is None
+    assert parse_tf_sequence_example(b"\x08\x01") is None  # ctx wire 0
+    assert parse_tf_sequence_example(b"\x10\x01") is None  # fl wire 0
+    assert parse_tf_sequence_example(b"\x12\x02\x0a\x00") == (
+        {}, {"": []},  # an empty map entry: default key, no list
+    )
+    b = bytearray(enc)
+    for _ in range(12):
+        i = int(rng.randint(0, max(1, len(b))))
+        if i >= len(b):
+            break
+        bit = 1 << int(rng.randint(0, 8))
+        b[i] ^= bit
+        r = parse_tf_sequence_example(bytes(b))
+        if r is not None:
+            for name, steps in r[1].items():
+                for kind, _vals in steps:
+                    assert kind in ("bytes", "float", "int64")
+        b[i] ^= bit
+
+
+@given(
     version=st.sampled_from([2, 3, 4]),
     title=st.text(min_size=0, max_size=200).filter(lambda t: "\x00" not in t),
     artist=st.text(min_size=0, max_size=60).filter(lambda t: "\x00" not in t),
@@ -3749,10 +3825,12 @@ def test_id3v2_text_frames_roundtrip(version, title, artist, trailing, seed):
     arbitrary bytes after the tag are untouched; flips inside the tag
     never crash (no checksum by spec — structural damage rejects,
     value damage may decode to different text, as ID3 dictates).
-    Unsynchronised v2.2/v2.3 tags DECODE since r17 (the whole-tag
-    0xFF 0x00 un-escape, round-tripped through encode_id3v2's unsync
-    writer — the 0xFF-dense UTF-16 BOM path exercises real escapes);
-    v2.4's per-frame unsync scheme stays rejected both ways."""
+    Unsynchronisation DECODES since r17 in all three versions —
+    v2.2/v2.3 whole-tag, v2.4 PER-FRAME (format flag 0x02, escaped
+    syncsafe sizes) — round-tripped through encode_id3v2's unsync
+    writer (the 0xFF-dense UTF-16 BOM path exercises real escapes);
+    layout-changing frame flags reject, and the v2.4 data-length
+    indicator skips rather than misreads."""
     import numpy as np
 
     from polars_express_spark.functions.mp3 import encode_id3v2, parse_id3v2
