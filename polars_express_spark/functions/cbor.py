@@ -27,7 +27,11 @@ Envelope (strict, None on anything outside it):
 - (r17) the two standard datetime TAGS of §3.4.1-2: tag 0 (an RFC
   3339 text item, validated — decodes to CborDateTime keeping the
   original string losslessly) and tag 1 (an integer or float epoch
-  offset — decodes to CborEpochTime).
+  offset — decodes to CborEpochTime);
+- (r17) BIGNUM tags 2/3 (§3.4.3): a byte-string magnitude decoding to
+  a plain Python int (tag 3 = -1 - n), so integers of any size
+  round-trip — encode_cbor emits the preferred leading-zero-stripped
+  form for ints past the 65-bit head range.
 Out of envelope: every other tag (application semantics need a
 registry), the undefined simple value and unassigned simple values,
 truncation, and trailing bytes after the top-level item. Nesting
@@ -237,10 +241,14 @@ def _decode_indefinite(b: bytes, pos: int, major: int, depth: int):
 
 
 def _decode_tagged(b: bytes, pos: int, tag: int, depth: int):
-    """Tags 0/1 — the standard date/time forms (§3.4.1-2); every other
-    tag number stays out of envelope (application semantics need a
-    registry, the ext-family precedent)."""
-    if tag not in (0, 1):
+    """Tags 0/1 — the standard date/time forms (§3.4.1-2) — and tags
+    2/3 — bignums (§3.4.3: a byte string as an unsigned big-endian
+    integer n, tag 3 meaning -1 - n; Python ints carry arbitrary
+    precision, so bignums decode to plain ints exactly like the
+    in-head range). Every other tag number stays out of envelope
+    (application semantics need a registry, the ext-family
+    precedent)."""
+    if tag not in (0, 1, 2, 3):
         return None
     r = _decode(b, pos, depth + 1)
     if r is None:
@@ -250,9 +258,15 @@ def _decode_tagged(b: bytes, pos: int, tag: int, depth: int):
         if not isinstance(v, str) or not _valid_rfc3339(v):
             return None
         return CborDateTime(v), pos
-    if isinstance(v, bool) or not isinstance(v, (int, float)):
+    if tag == 1:
+        if isinstance(v, bool) or not isinstance(v, (int, float)):
+            return None
+        return CborEpochTime(v), pos
+    # tags 2/3: content must be a byte string (definite or chunked)
+    if not isinstance(v, bytes):
         return None
-    return CborEpochTime(v), pos
+    n = int.from_bytes(v, "big")
+    return (n if tag == 2 else -1 - n), pos
 
 
 class _Null:
@@ -305,6 +319,12 @@ def encode_cbor(value) -> bytes:
                 return bytes([(major << 5) | info]) + n.to_bytes(width, "big")
         raise ValueError("argument exceeds 64 bits")
 
+    def bignum(n: int) -> bytes:
+        # §3.4.3: preferred serialization strips leading zero bytes
+        tag, mag = (2, n) if n >= 0 else (3, -1 - n)
+        raw = mag.to_bytes((mag.bit_length() + 7) // 8 or 1, "big")
+        return head(6, tag) + head(2, len(raw)) + raw
+
     if isinstance(value, bool):
         return bytes([0xF5 if value else 0xF4])
     if isinstance(value, _Null):
@@ -320,6 +340,8 @@ def encode_cbor(value) -> bytes:
             raise ValueError("tag 1 content must be int or float")
         return head(6, 1) + encode_cbor(value.value)
     if isinstance(value, int):
+        if value >= 1 << 64 or value < -(1 << 64):
+            return bignum(value)  # past the 65-bit head range: tags 2/3
         return head(0, value) if value >= 0 else head(1, -1 - value)
     if isinstance(value, float):
         return bytes([0xFB]) + struct.pack(">d", value)

@@ -3490,8 +3490,22 @@ def test_cbor_indefinite_and_datetime_tags(ints, blobs, texts, chunk,
         ("bf6346756ef563416d7421ff", {"Fun": True, "Amt": -2}),
         ("c11a514b67b0", CborEpochTime(1363896240)),
         ("c1fb41d452d9ec200000", CborEpochTime(1363896240.5)),
+        # Appendix A bignum vectors (tags 2/3, §3.4.3)
+        ("c249010000000000000000", 18446744073709551616),
+        ("c349010000000000000000", -18446744073709551617),
     ]:
         assert parse_cbor(uh(hexs)) == want, hexs
+    # bignums round-trip any size; the writer strips leading zeros
+    for big in (1 << 64, -(1 << 64) - 1, 1 << 200, -(1 << 333),
+                12345678901234567890123456789):
+        assert parse_cbor(encode_cbor(big)) == big
+    from binascii import hexlify
+    assert hexlify(encode_cbor(1 << 64)) == b"c249010000000000000000"
+    # non-byte-string bignum content rejects; chunked content parses
+    assert parse_cbor(uh("c26161")) is None
+    chunked = b"\xc2\x5f" + encode_cbor(b"\x01\x02") \
+        + encode_cbor(b"\x03") + b"\xff"
+    assert parse_cbor(chunked) == 0x010203
     # strictness table
     for hexs in [
         "5f7f4100ffff",    # nested indefinite chunk
@@ -3505,7 +3519,7 @@ def test_cbor_indefinite_and_datetime_tags(ints, blobs, texts, chunk,
         "c001",            # tag 0: non-text content
         "c16161",          # tag 1: non-numeric content
         "c1f5",            # tag 1: boolean content
-        "c26161",          # tag 2: out of envelope
+        "c26161",          # tag 2: non-byte-string content
         "1fff",            # indefinite on major 0: reserved
     ]:
         assert parse_cbor(uh(hexs)) is None, hexs
