@@ -15,10 +15,14 @@ is pure struct math per the public Avro 1.x spec:
 Longs are zigzag varints (``zigzag(n) = (n << 1) ^ (n >> 63)``, then
 little-endian base-128 groups with a continuation bit, at most 10
 bytes). The metadata map must carry ``avro.schema`` (JSON); the
-optional ``avro.codec`` may be ``null`` (default) or ``deflate`` —
-RAW RFC-1951 deflate, no zlib header, no checksum — inflated through
-the capped-inflate bomb guard (the zip/WARC precedent; a bomb rejects,
-never allocates). Snappy and other codecs are out of envelope.
+optional ``avro.codec`` may be ``null`` (default), ``deflate`` — RAW
+RFC-1951 deflate, no zlib header, no checksum — inflated through the
+capped-inflate bomb guard (the zip/WARC precedent; a bomb rejects,
+never allocates), or (r17) ``snappy`` — the dependency-free raw-Snappy
+decoder of functions/snappy.py, each block followed per spec by the
+4-byte big-endian CRC32 of the UNCOMPRESSED data, verified (so snappy
+blocks, unlike deflate, detect every flip). Other codecs (xz, zstd,
+bzip2) stay out of envelope.
 
 Record-body decode is schema-driven; the schema JSON lives IN the
 file metadata (Avro containers are self-describing — no external
@@ -28,20 +32,25 @@ payloads valid UTF-8) and, since r17, ``"type": "record"`` schemas
 whose fields are all flat self-delimiting primitives
 (long/int/double/float/boolean/string/bytes — zigzag varints,
 IEEE-754 LE fixed widths, a strict 0/1 boolean byte, length-prefixed
-payloads; the common Kafka/Hive flat-record shape). Unions, nesting,
-arrays/maps/enums/fixed and logical types that change the raw layout
-stay out of envelope (None); the swap-in point for a fuller datum
-reader is _read_datum.
+payloads; the common Kafka/Hive flat-record shape) including the
+two-branch nullable union ["null", prim] in both orders (the
+optional-field shape; null decodes to AVRO_NULL). Wider unions,
+nesting, arrays/maps/enums/fixed and logical types that change the
+raw layout stay out of envelope (None); the swap-in point for a
+fuller datum reader is _read_datum.
 
-Integrity honesty (SURVEY §2.10 asymmetry): Avro carries NO data
-checksum. The sync markers and the varint framing detect structural
-damage (a flipped sync byte, a lying block size, a truncated block),
-and they are exactly what makes a 100 TB ``.avro`` corpus
-executor-splittable (a reader seeks to the next sync to align) — but
-a bit flip inside a null-codec record body silently alters that
+Integrity honesty (SURVEY §2.10 asymmetry): Avro itself carries NO
+data checksum. The sync markers and the varint framing detect
+structural damage (a flipped sync byte, a lying block size, a
+truncated block), and they are exactly what makes a 100 TB ``.avro``
+corpus executor-splittable (a reader seeks to the next sync to align)
+— but a bit flip inside a null-codec record body silently alters that
 record, like tar member data; deflate-codec flips usually break the
-stream but carry no guarantee. parse_avro therefore promises
-no-crash/no-bomb and exact framing, not flip detection.
+stream but carry no guarantee. The EXCEPTION is the snappy codec,
+whose spec-mandated per-block CRC32 of the uncompressed data makes
+every flip DETECTED. parse_avro therefore promises no-crash/no-bomb
+and exact framing for null/deflate, plus flip detection for
+snappy.
 
 Reference parity anchor: extends the reference's CSV-only ingest
 (reference src/main.rs:41-52) like the other §2.10 ingestion tiers.
@@ -346,7 +355,7 @@ def parse_avro(payload: bytes):
         return None
     fields = schema[1] if isinstance(schema, tuple) else None
     codec = meta.get("avro.codec", b"null").decode("latin-1")
-    if codec not in ("null", "deflate"):
+    if codec not in ("null", "deflate", "snappy"):
         return None
     if pos + 16 > n:
         return None
@@ -376,6 +385,25 @@ def parse_avro(payload: bytes):
                 return None
             if (len(data) > cap or not d.eof or d.unconsumed_tail
                     or d.unused_data):
+                return None
+        elif codec == "snappy":
+            # r17 (lifting the standing gate via the dependency-free
+            # raw-Snappy decoder): per the Avro spec each snappy block
+            # is FOLLOWED by the 4-byte big-endian CRC32 of the
+            # UNCOMPRESSED data — so unlike deflate, snappy-codec
+            # blocks get real flip DETECTION
+            from polars_express_spark.functions.snappy import (
+                decompress_snappy,
+            )
+
+            if size < 4:
+                return None
+            data = decompress_snappy(
+                raw[:-4], _MAX_INFLATE - total_inflated
+            )
+            if data is None:
+                return None
+            if zlib.crc32(data) != int.from_bytes(raw[-4:], "big"):
                 return None
         else:
             if size > _MAX_INFLATE - total_inflated:
@@ -433,8 +461,8 @@ def encode_avro(
     Datums are grouped ``objects_per_block`` per data block (0 → one
     block), each block deflated when ``codec='deflate'`` (raw
     RFC-1951) and terminated by the 16-byte ``sync`` marker."""
-    if codec not in ("null", "deflate"):
-        raise ValueError("codec must be 'null' or 'deflate'")
+    if codec not in ("null", "deflate", "snappy"):
+        raise ValueError("codec must be 'null', 'deflate', or 'snappy'")
     fields = None
     if isinstance(schema, (list, tuple)):
         fields = [(str(n), str(t)) for n, t in schema]
@@ -490,6 +518,14 @@ def encode_avro(
         if codec == "deflate":
             co = zlib.compressobj(6, zlib.DEFLATED, -15)
             raw = co.compress(bytes(data)) + co.flush()
+        elif codec == "snappy":
+            from polars_express_spark.functions.snappy import (
+                encode_snappy,
+            )
+
+            raw = encode_snappy(bytes(data)) + zlib.crc32(
+                bytes(data)
+            ).to_bytes(4, "big")
         else:
             raw = bytes(data)
         out += _w_long(len(chunk)) + _w_long(len(raw)) + raw + sync

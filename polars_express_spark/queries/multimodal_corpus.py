@@ -4010,8 +4010,8 @@ def q_avro_extract(spark, sf_dir):
     oracle="""
     WITH d AS (
       SELECT doc_id, text, n_chars, CAST(1 + doc_id % 3 AS INT) AS k,
-             CASE WHEN doc_id % 2 = 1 THEN 'deflate' ELSE 'null' END
-               AS codec
+             CASE doc_id % 3 WHEN 0 THEN 'null' WHEN 1 THEN 'deflate'
+                  ELSE 'snappy' END AS codec
       FROM documents
       WHERE text IS NOT NULL AND length(text) > 0 AND doc_id % 8 >= 6
     ), ent AS (
@@ -4092,8 +4092,11 @@ def q_avro_record(spark, sf_dir):
     doc's ONE 64-byte base with a +13r rotation, and BOTH branch
     orders of the nullable union — `null|long` and `string|null`, the
     ubiquitous optional-field shape, their null/value branches rotated
-    by record formulas and pinned by the is_null column — codec on doc
-    parity, TWO records per block so the framing rotates. read_avro_fields
+    by record formulas and pinned by the is_null column — ALL THREE
+    codecs rotating by doc_id%3 (null / raw-deflate / SNAPPY through
+    the r17 dependency-free raw-Snappy decoder, whose spec-mandated
+    per-block CRC32 of the uncompressed data is verified), TWO records
+    per block so the framing rotates. read_avro_fields
     re-parses the container (metadata-map schema resolution, per-field
     binary decode, exact block consumption, sync equality) and ships
     one row per (record, field) in the long format, each value in the
@@ -4119,9 +4122,9 @@ def q_avro_record(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents").where(
         F.col("text").isNotNull() & (F.length("text") > 0)
         # quarter population, disjoint from q_avro_extract's doc%8<4
-        # slice; every strategy survives: codec parity needs doc%2
-        # (doc%8>=6 gives 6,7,14,15,... — both parities), record
-        # counts doc%3 span all residues over {6,7,14,15,22,23,...}
+        # slice; every strategy survives: doc%8>=6 gives
+        # {6,7,14,15,22,23,...} whose doc%3 residues (0,1,2,0,1,2,...)
+        # cover all three codecs AND all record counts
         & (F.col("doc_id") % 8 >= 6)
     )
     bs = d.select(
@@ -4170,7 +4173,8 @@ def q_avro_record(spark, sf_dir):
                 payloads.append(
                     encode_avro(
                         recs,
-                        codec="deflate" if doc_id % 2 == 1 else "null",
+                        codec=["null", "deflate",
+                               "snappy"][doc_id % 3],
                         schema=fields,
                         objects_per_block=2,
                     )

@@ -1501,6 +1501,7 @@ def test_parsers_never_crash_on_corrupt_payloads(seed, kind):
         parse_tf_sequence_example,
     )
     from polars_express_spark.functions.seqfile import parse_seqfile
+    from polars_express_spark.functions.snappy import decompress_snappy
     from polars_express_spark.functions.tar import parse_tar
     from polars_express_spark.functions.tfrecord import parse_tfrecord
     from polars_express_spark.functions.ziparc import parse_zip
@@ -1520,7 +1521,7 @@ def test_parsers_never_crash_on_corrupt_payloads(seed, kind):
                parse_tf_sequence_example,
                parse_icns, parse_ogg_theora_info, parse_seqfile,
                parse_cbor, parse_msgpack, parse_exif, parse_png_exif,
-               parse_webp_exif]
+               parse_webp_exif, decompress_snappy]
     if kind == 0:  # magic-prefixed garbage through every parser
         magics = [b"\x89PNG\r\n\x1a\n", b"BM", b"GIF89a", b"P1", b"P2",
                   b"P3", b"P4", b"P5", b"P6", b"RIFF", b"RIFF\x80\x00\x00\x00AVI ",
@@ -2598,7 +2599,85 @@ def test_tfrecord_roundtrip_and_crc(sizes, seed):
 
 
 @given(
-    codec=st.sampled_from(["null", "deflate"]),
+    blobs=st.lists(st.binary(min_size=0, max_size=500), min_size=0,
+                   max_size=5),
+    run_len=st.integers(0, 3000),
+    runs=st.booleans(),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=60, deadline=None)
+def test_snappy_roundtrip_and_strictness(blobs, run_len, runs, seed):
+    """r17 — the dependency-free raw-Snappy codec (functions/snappy.py,
+    lifting the standing Avro-snappy gate): decompress_snappy ∘
+    encode_snappy = id over arbitrary bytes including long byte runs
+    (compressed via overlapping offset-1 copies — the LZ77 run idiom —
+    when ``runs`` is on), with hand-built spec elements pinning all
+    three copy tag forms and the extended literal lengths. Strictness:
+    the output must equal the declared preamble length exactly (short
+    AND trailing forms reject), copies reaching before the start or
+    offset 0 reject, a declared length past the cap rejects BEFORE
+    allocation, truncation rejects, and flips never crash."""
+    import numpy as np
+
+    from polars_express_spark.functions.snappy import (
+        decompress_snappy,
+        encode_snappy,
+    )
+
+    rng = np.random.RandomState(seed)
+    data = b"".join(blobs) + bytes([rng.randint(0, 256)]) * run_len
+    enc = encode_snappy(data, runs=runs)
+    assert decompress_snappy(enc) == data
+    # hand-built spec elements: literal + all three copy tag forms
+    lit = bytes([3 << 2]) + b"abcd"
+    assert decompress_snappy(bytes([8]) + lit + bytes([0b01, 4])) == \
+        b"abcdabcd"  # tag 01: len 4, 11-bit offset 4
+    assert decompress_snappy(
+        bytes([8]) + lit + bytes([(3 << 2) | 2, 4, 0])
+    ) == b"abcdabcd"  # tag 10: u16le offset
+    assert decompress_snappy(
+        bytes([8]) + lit + bytes([(3 << 2) | 3, 4, 0, 0, 0])
+    ) == b"abcdabcd"  # tag 11: u32le offset
+    assert decompress_snappy(
+        bytes([8]) + lit + bytes([0b01, 1])
+    ) == b"abcddddd"  # overlapping offset-1 run replication
+    # extended literal length (1 extra byte, value = len - 1)
+    body = bytes(range(61))
+    assert decompress_snappy(
+        bytes([61, 60 << 2, 60]) + body
+    ) == body
+    # strictness table
+    assert decompress_snappy(b"") is None
+    assert decompress_snappy(bytes([8]) + lit) is None  # short output
+    assert decompress_snappy(bytes([3]) + lit) is None  # long output
+    assert decompress_snappy(bytes([4]) + lit + b"\x00") is None
+    assert decompress_snappy(bytes([8]) + lit + bytes([0b01, 0])) \
+        is None  # offset 0
+    assert decompress_snappy(bytes([8]) + lit + bytes([0b01, 5])) \
+        is None  # reaches before the start
+    assert decompress_snappy(bytes([12]) + lit + bytes([0b01, 4])
+                             + bytes([0b01, 4])) == b"abcdabcdabcd"
+    assert decompress_snappy(
+        b"\xff\xff\xff\xff\xff"
+    ) is None  # overlong varint
+    assert decompress_snappy(
+        b"\x80\x80\x80\x80\x20" + b"\x00" * 8, max_output=1 << 20
+    ) is None  # declared length past the cap: rejected pre-allocation
+    if len(enc) > 1:
+        assert decompress_snappy(enc[:-1]) is None
+    b = bytearray(enc)
+    for _ in range(12):
+        i = int(rng.randint(0, max(1, len(b))))
+        if i >= len(b):
+            break
+        bit = 1 << int(rng.randint(0, 8))
+        b[i] ^= bit
+        decompress_snappy(bytes(b))  # must not raise (callers add CRCs)
+        b[i] ^= bit
+
+
+@given(
+    codec=st.sampled_from(["null", "deflate", "snappy"]),
     schema=st.sampled_from(["bytes", "string"]),
     opb=st.integers(0, 4),
     sizes=st.lists(st.integers(0, 600), min_size=1, max_size=7),
@@ -2686,7 +2765,7 @@ def test_avro_roundtrip_and_framing(codec, schema, opb, sizes, seed):
 
 
 @given(
-    codec=st.sampled_from(["null", "deflate"]),
+    codec=st.sampled_from(["null", "deflate", "snappy"]),
     opb=st.integers(0, 3),
     nrec=st.integers(1, 5),
     ftypes=st.lists(
