@@ -27,7 +27,11 @@ buffer groups — key lengths (vints), serialized keys, value lengths
 BlockCompressWriter/readBlock layout; every buffer group must consume
 exactly, and the per-block sync markers are the splittability
 convention. All inflation runs through the shared capped bomb guard.
-Codecs other than DefaultCodec are out of envelope (None).
+Both layouts take either in-envelope codec: the zlib DefaultCodec or
+(r17) SnappyCodec — Hadoop's BlockCompressorStream framing (u32be
+uncompressed block size, then u32be-length-prefixed raw-Snappy
+chunks) over functions/snappy.py. Other codecs are out of envelope
+(None).
 
 Key/value payloads are Writable-serialized; this module unwraps the
 two classes a byte-level pipeline owns — BytesWritable (u32be inner
@@ -55,6 +59,7 @@ _INT_WRITABLE = "org.apache.hadoop.io.IntWritable"
 _LONG_WRITABLE = "org.apache.hadoop.io.LongWritable"
 _NULL_WRITABLE = "org.apache.hadoop.io.NullWritable"
 _DEFAULT_CODEC = "org.apache.hadoop.io.compress.DefaultCodec"
+_SNAPPY_CODEC = "org.apache.hadoop.io.compress.SnappyCodec"
 
 
 def _read_hvint(b: bytes, pos: int):
@@ -149,11 +154,14 @@ def _unwrap(payload: bytes, cls: str):
 def parse_seqfile(payload: bytes):
     """REAL SequenceFile v6 parse: returns (key_class, value_class,
     compression, {metadata}, sync, [(key bytes, value bytes), ...]) or
-    None, where ``compression`` is 'none' | 'record' | 'block'. Record
-    framing (or the four-buffer-group block layout), every sync
-    marker, the BytesWritable/Text envelopes, and each DefaultCodec
-    zlib stream are verified; other codecs, truncation, and trailing
-    bytes are out of envelope. Inflation is capped (bomb guard)."""
+    None, where ``compression`` is 'none' | 'record' | 'block' with a
+    '-snappy' suffix when the codec is SnappyCodec (r17 — the common
+    production pairing, via the dependency-free raw-Snappy decoder
+    under Hadoop's BlockCompressorStream framing). Record framing (or
+    the four-buffer-group block layout), every sync marker, the
+    BytesWritable/Text envelopes, and each codec stream are verified;
+    other codecs, truncation, and trailing bytes are out of envelope.
+    Inflation is capped (bomb guard)."""
     n = len(payload)
     if n < 4 + 2 + 2 + 4 + 16 or payload[:4] != _MAGIC:
         return None
@@ -174,13 +182,14 @@ def parse_seqfile(payload: bytes):
         return None
     if block_compressed and not compressed:
         return None  # no writer produces this combination
+    codec = _DEFAULT_CODEC
     if compressed:
         r = _read_hstring(payload, pos)
         if r is None:
             return None
         codec, pos = r
-        if codec != _DEFAULT_CODEC:
-            return None  # only the zlib DefaultCodec is in envelope
+        if codec not in (_DEFAULT_CODEC, _SNAPPY_CODEC):
+            return None  # zlib DefaultCodec + SnappyCodec (r17) only
     if pos + 4 > n:
         return None
     (meta_count,) = struct.unpack_from(">I", payload, pos)
@@ -204,13 +213,15 @@ def parse_seqfile(payload: bytes):
         return None
     sync = payload[pos : pos + 16]
     pos += 16
+    suffix = "-snappy" if codec == _SNAPPY_CODEC else ""
     if block_compressed:
         records = _parse_block_body(
-            payload, pos, sync, key_class, value_class
+            payload, pos, sync, key_class, value_class, codec
         )
         if records is None:
             return None
-        return key_class, value_class, "block", meta, sync, records
+        return (key_class, value_class, "block" + suffix, meta, sync,
+                records)
     records: list[tuple[bytes, bytes]] = []
     total_inflated = 0
     while pos < n:
@@ -236,7 +247,9 @@ def parse_seqfile(payload: bytes):
         if key is None:
             return None
         if compressed:
-            val_ser = _inflate_capped(val_raw, _MAX_INFLATE - total_inflated)
+            val_ser = _codec_inflate(
+                codec, val_raw, _MAX_INFLATE - total_inflated
+            )
             if val_ser is None:
                 return None
         else:
@@ -248,7 +261,8 @@ def parse_seqfile(payload: bytes):
         if val is None:
             return None
         records.append((key, val))
-    return (key_class, value_class, "record" if compressed else "none",
+    return (key_class, value_class,
+            ("record" + suffix) if compressed else "none",
             meta, sync, records)
 
 
@@ -266,7 +280,68 @@ def _inflate_capped(raw: bytes, cap: int):
     return data
 
 
-def _parse_block_body(payload, pos, sync, key_class, value_class):
+def _snappy_stream_decode(raw: bytes, cap: int):
+    """Hadoop BlockCompressorStream over raw Snappy (the SnappyCodec
+    layout, r17): repeat [u32be uncompressed block size, then u32be
+    compressed-chunk length + a complete raw-Snappy block per chunk
+    until the block size is produced]. A zero-length input stream is
+    the codec's empty output. Returns the bytes or None on any framing
+    lie, a chunk that decompresses past its block, or output past
+    ``cap``."""
+    from polars_express_spark.functions.snappy import decompress_snappy
+
+    out = bytearray()
+    pos = 0
+    n = len(raw)
+    while pos < n:
+        if pos + 4 > n:
+            return None
+        (orig,) = struct.unpack_from(">I", raw, pos)
+        pos += 4
+        if orig > cap - len(out):
+            return None
+        produced = 0
+        while produced < orig:
+            if pos + 4 > n:
+                return None
+            (clen,) = struct.unpack_from(">I", raw, pos)
+            pos += 4
+            if clen > n - pos:
+                return None
+            chunk = decompress_snappy(
+                raw[pos : pos + clen], orig - produced
+            )
+            if chunk is None:
+                return None
+            pos += clen
+            produced += len(chunk)
+            out += chunk
+        if produced != orig:
+            return None
+    return bytes(out)
+
+
+def _codec_inflate(codec: str, raw: bytes, cap: int):
+    """Route one compressed buffer through its codec's decoder."""
+    if codec == _SNAPPY_CODEC:
+        return _snappy_stream_decode(raw, cap)
+    return _inflate_capped(raw, cap)
+
+
+def _codec_deflate(codec: str, data: bytes) -> bytes:
+    """The writer twin of _codec_inflate."""
+    if codec == _SNAPPY_CODEC:
+        from polars_express_spark.functions.snappy import encode_snappy
+
+        if not data:
+            return b""  # BlockCompressorStream writes nothing for empty
+        z = encode_snappy(data)
+        return struct.pack(">I", len(data)) + struct.pack(">I", len(z)) + z
+    return zlib.compress(data, 6)
+
+
+def _parse_block_body(payload, pos, sync, key_class, value_class,
+                      codec=_DEFAULT_CODEC):
     """The block-compressed body walk (Hadoop BlockCompressWriter's
     readBlock twin): each block is a sync escape (0xFFFFFFFF + the
     header's 16-byte sync), a record-count vint, then FOUR
@@ -300,8 +375,9 @@ def _parse_block_body(payload, pos, sync, key_class, value_class):
             ln, pos = r
             if ln < 0 or ln > n - pos:
                 return None
-            data = _inflate_capped(
-                payload[pos : pos + ln], _MAX_INFLATE - total_inflated
+            data = _codec_inflate(
+                codec, payload[pos : pos + ln],
+                _MAX_INFLATE - total_inflated,
             )
             if data is None:
                 return None
@@ -361,8 +437,14 @@ def encode_seqfile(
         raise ValueError("sync marker is 16 bytes")
     if isinstance(compress, bool):
         compress = "record" if compress else "none"
-    if compress not in ("none", "record", "block"):
-        raise ValueError("compress must be 'none', 'record', or 'block'")
+    if compress not in ("none", "record", "block", "record-snappy",
+                        "block-snappy"):
+        raise ValueError(
+            "compress must be 'none', 'record[-snappy]', or "
+            "'block[-snappy]'"
+        )
+    form, _, codec_tag = compress.partition("-")
+    codec = _SNAPPY_CODEC if codec_tag == "snappy" else _DEFAULT_CODEC
 
     def wrap(data, cls: str) -> bytes:
         if cls in (_INT_WRITABLE, _LONG_WRITABLE) and isinstance(
@@ -382,16 +464,16 @@ def encode_seqfile(
 
     out = bytearray(_MAGIC)
     out += _w_hstring(key_class) + _w_hstring(value_class)
-    out += bytes([0 if compress == "none" else 1,
-                  1 if compress == "block" else 0])
-    if compress != "none":
-        out += _w_hstring(_DEFAULT_CODEC)
+    out += bytes([0 if form == "none" else 1,
+                  1 if form == "block" else 0])
+    if form != "none":
+        out += _w_hstring(codec)
     meta = metadata or {}
     out += struct.pack(">I", len(meta))
     for k, v in meta.items():
         out += _w_hstring(k) + _w_hstring(v)
     out += sync
-    if compress == "block":
+    if form == "block":
         if not records:
             raise ValueError("block form needs at least one record")
         step = records_per_block if records_per_block > 0 else len(records)
@@ -404,7 +486,7 @@ def encode_seqfile(
                 b"".join(_w_hvint(len(k)) for k in kws), b"".join(kws),
                 b"".join(_w_hvint(len(v)) for v in vws), b"".join(vws),
             ):
-                z = zlib.compress(group, 6)
+                z = _codec_deflate(codec, group)
                 out += _w_hvint(len(z)) + z
         return bytes(out)
     for i, (key, value) in enumerate(records):
@@ -412,8 +494,8 @@ def encode_seqfile(
             out += b"\xff\xff\xff\xff" + sync
         kw = wrap(key, key_class)
         vw = wrap(value, value_class)
-        if compress == "record":
-            vw = zlib.compress(vw, 6)
+        if form == "record":
+            vw = _codec_deflate(codec, vw)
         out += struct.pack(">II", len(kw) + len(vw), len(kw)) + kw + vw
     return bytes(out)
 

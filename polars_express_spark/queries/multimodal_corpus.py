@@ -4483,8 +4483,9 @@ def q_multimodal_icns(spark, sf_dir):
     oracle="""
     WITH d AS (
       SELECT doc_id, text, n_chars, CAST(2 + doc_id % 3 AS INT) AS k,
-             CASE doc_id % 3 WHEN 0 THEN 'none' WHEN 1 THEN 'record'
-                  ELSE 'block' END AS compression
+             CASE doc_id % 5 WHEN 0 THEN 'none' WHEN 1 THEN 'record'
+                  WHEN 2 THEN 'block' WHEN 3 THEN 'record-snappy'
+                  ELSE 'block-snappy' END AS compression
       FROM documents
       WHERE text IS NOT NULL AND length(text) > 0 AND doc_id % 8 < 4
     ), ent AS (
@@ -4536,14 +4537,15 @@ def q_seqfile_extract(spark, sf_dir):
     values carrying stride-31 formula bodies cycled from the doc's ONE
     64-byte base (record r a +7r byte rotation — the tfexample perf
     lesson, size 18 + (n_chars + 9r)%160, record 1 a zero-length
-    value), and the compression LAYOUT rotating over all three forms
-    by doc_id%3 (r17 — the block form per the r16 verdict's missing
-    #2): 'none' and 'record' (zlib DefaultCodec per value) carry a
-    sync escape every 2 records so the mid-stream 0xFFFFFFFF marker
-    path is hashed; 'block' groups 2 records per block through the
-    four deflated buffer groups of the Hadoop BlockCompressWriter
-    layout, so multi-block files with per-block sync markers are
-    hashed too. read_seqfile_records re-walks the header (Hadoop vint
+    value), and the compression rotating over all FIVE layout×codec
+    forms by doc_id%5 (r17 — the block form per the r16 verdict's
+    missing #2, and SnappyCodec via the dependency-free raw-Snappy
+    decoder under Hadoop's BlockCompressorStream framing): 'none' and
+    the two 'record' codecs carry a sync escape every 2 records so
+    the mid-stream 0xFFFFFFFF marker path is hashed; the two 'block'
+    codecs group 2 records per block through the four compressed
+    buffer groups of the Hadoop BlockCompressWriter layout, so
+    multi-block files with per-block sync markers are hashed too. read_seqfile_records re-walks the header (Hadoop vint
     class names, booleans, metadata map), verifies every sync marker,
     unwraps both Writable envelopes (Text UTF-8 validated,
     BytesWritable inner length enforced), and ships one row per record
@@ -4564,9 +4566,9 @@ def q_seqfile_extract(spark, sf_dir):
 
     d = load_table(spark, sf_dir, "documents").where(
         F.col("text").isNotNull() & (F.length("text") > 0)
-        # half the corpus; the %3 compression rotation and %3 record
-        # counts survive doc%8<4 (idle sf0.1 measurement in the
-        # commit, the standing trim ratchet)
+        # half the corpus; the %5 layout-codec rotation, %4 key
+        # classes, and %3 record counts all survive doc%8<4 (idle
+        # sf0.1 measurement in the commit, the standing trim ratchet)
         & (F.col("doc_id") % 8 < 4)
     )
     bs = d.select(
@@ -4616,13 +4618,15 @@ def q_seqfile_extract(spark, sf_dir):
                     recs.append(
                         (key, np.tile(arr, (ln + 63) // 64)[:ln].tobytes())
                     )
-                comp = ["none", "record", "block"][doc_id % 3]
+                comp = ["none", "record", "block", "record-snappy",
+                        "block-snappy"][doc_id % 5]
                 payloads.append(
                     encode_seqfile(
                         recs,
                         key_class=kcls,
                         compress=comp,
-                        sync_interval=0 if comp == "block" else 2,
+                        sync_interval=0 if comp.startswith("block")
+                        else 2,
                         records_per_block=2,
                     )
                 )
