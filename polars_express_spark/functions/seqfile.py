@@ -27,11 +27,11 @@ buffer groups — key lengths (vints), serialized keys, value lengths
 BlockCompressWriter/readBlock layout; every buffer group must consume
 exactly, and the per-block sync markers are the splittability
 convention. All inflation runs through the shared capped bomb guard.
-Both layouts take either in-envelope codec: the zlib DefaultCodec or
-(r17) SnappyCodec — Hadoop's BlockCompressorStream framing (u32be
-uncompressed block size, then u32be-length-prefixed raw-Snappy
-chunks) over functions/snappy.py. Other codecs are out of envelope
-(None).
+Both layouts take any in-envelope codec: the zlib DefaultCodec, or
+(r17) SnappyCodec and Lz4Codec — Hadoop's BlockCompressorStream
+framing (u32be uncompressed block size, then u32be-length-prefixed
+raw codec chunks) over functions/snappy.py / functions/lz4.py. Other
+codecs are out of envelope (None).
 
 Key/value payloads are Writable-serialized; this module unwraps the
 two classes a byte-level pipeline owns — BytesWritable (u32be inner
@@ -60,6 +60,7 @@ _LONG_WRITABLE = "org.apache.hadoop.io.LongWritable"
 _NULL_WRITABLE = "org.apache.hadoop.io.NullWritable"
 _DEFAULT_CODEC = "org.apache.hadoop.io.compress.DefaultCodec"
 _SNAPPY_CODEC = "org.apache.hadoop.io.compress.SnappyCodec"
+_LZ4_CODEC = "org.apache.hadoop.io.compress.Lz4Codec"
 
 
 def _read_hvint(b: bytes, pos: int):
@@ -155,8 +156,8 @@ def parse_seqfile(payload: bytes):
     """REAL SequenceFile v6 parse: returns (key_class, value_class,
     compression, {metadata}, sync, [(key bytes, value bytes), ...]) or
     None, where ``compression`` is 'none' | 'record' | 'block' with a
-    '-snappy' suffix when the codec is SnappyCodec (r17 — the common
-    production pairing, via the dependency-free raw-Snappy decoder
+    '-snappy' / '-lz4' suffix for SnappyCodec / Lz4Codec (r17 — the
+    common production pairings, via the dependency-free raw decoders
     under Hadoop's BlockCompressorStream framing). Record framing (or
     the four-buffer-group block layout), every sync marker, the
     BytesWritable/Text envelopes, and each codec stream are verified;
@@ -188,8 +189,8 @@ def parse_seqfile(payload: bytes):
         if r is None:
             return None
         codec, pos = r
-        if codec not in (_DEFAULT_CODEC, _SNAPPY_CODEC):
-            return None  # zlib DefaultCodec + SnappyCodec (r17) only
+        if codec not in (_DEFAULT_CODEC, _SNAPPY_CODEC, _LZ4_CODEC):
+            return None  # DefaultCodec/SnappyCodec/Lz4Codec (r17) only
     if pos + 4 > n:
         return None
     (meta_count,) = struct.unpack_from(">I", payload, pos)
@@ -213,7 +214,7 @@ def parse_seqfile(payload: bytes):
         return None
     sync = payload[pos : pos + 16]
     pos += 16
-    suffix = "-snappy" if codec == _SNAPPY_CODEC else ""
+    suffix = {_SNAPPY_CODEC: "-snappy", _LZ4_CODEC: "-lz4"}.get(codec, "")
     if block_compressed:
         records = _parse_block_body(
             payload, pos, sync, key_class, value_class, codec
@@ -280,16 +281,14 @@ def _inflate_capped(raw: bytes, cap: int):
     return data
 
 
-def _snappy_stream_decode(raw: bytes, cap: int):
-    """Hadoop BlockCompressorStream over raw Snappy (the SnappyCodec
-    layout, r17): repeat [u32be uncompressed block size, then u32be
-    compressed-chunk length + a complete raw-Snappy block per chunk
-    until the block size is produced]. A zero-length input stream is
-    the codec's empty output. Returns the bytes or None on any framing
-    lie, a chunk that decompresses past its block, or output past
-    ``cap``."""
-    from polars_express_spark.functions.snappy import decompress_snappy
-
+def _block_stream_decode(raw: bytes, cap: int, chunk_decode):
+    """Hadoop BlockCompressorStream framing (the SnappyCodec and
+    Lz4Codec layout, r17): repeat [u32be uncompressed block size, then
+    u32be compressed-chunk length + one complete codec chunk per
+    entry until the block size is produced]. A zero-length input
+    stream is the codec's empty output. Returns the bytes or None on
+    any framing lie, a chunk that decompresses past its block, or
+    output past ``cap``."""
     out = bytearray()
     pos = 0
     n = len(raw)
@@ -308,7 +307,7 @@ def _snappy_stream_decode(raw: bytes, cap: int):
             pos += 4
             if clen > n - pos:
                 return None
-            chunk = decompress_snappy(
+            chunk = chunk_decode(
                 raw[pos : pos + clen], orig - produced
             )
             if chunk is None:
@@ -324,18 +323,35 @@ def _snappy_stream_decode(raw: bytes, cap: int):
 def _codec_inflate(codec: str, raw: bytes, cap: int):
     """Route one compressed buffer through its codec's decoder."""
     if codec == _SNAPPY_CODEC:
-        return _snappy_stream_decode(raw, cap)
+        from polars_express_spark.functions.snappy import decompress_snappy
+
+        return _block_stream_decode(raw, cap, decompress_snappy)
+    if codec == _LZ4_CODEC:
+        from polars_express_spark.functions.lz4 import (
+            decompress_lz4_block,
+        )
+
+        return _block_stream_decode(raw, cap, decompress_lz4_block)
     return _inflate_capped(raw, cap)
 
 
 def _codec_deflate(codec: str, data: bytes) -> bytes:
     """The writer twin of _codec_inflate."""
-    if codec == _SNAPPY_CODEC:
-        from polars_express_spark.functions.snappy import encode_snappy
-
+    if codec in (_SNAPPY_CODEC, _LZ4_CODEC):
         if not data:
             return b""  # BlockCompressorStream writes nothing for empty
-        z = encode_snappy(data)
+        if codec == _SNAPPY_CODEC:
+            from polars_express_spark.functions.snappy import (
+                encode_snappy,
+            )
+
+            z = encode_snappy(data)
+        else:
+            from polars_express_spark.functions.lz4 import (
+                encode_lz4_block,
+            )
+
+            z = encode_lz4_block(data)
         return struct.pack(">I", len(data)) + struct.pack(">I", len(z)) + z
     return zlib.compress(data, 6)
 
@@ -438,13 +454,14 @@ def encode_seqfile(
     if isinstance(compress, bool):
         compress = "record" if compress else "none"
     if compress not in ("none", "record", "block", "record-snappy",
-                        "block-snappy"):
+                        "block-snappy", "record-lz4", "block-lz4"):
         raise ValueError(
-            "compress must be 'none', 'record[-snappy]', or "
-            "'block[-snappy]'"
+            "compress must be 'none', 'record[-snappy|-lz4]', or "
+            "'block[-snappy|-lz4]'"
         )
     form, _, codec_tag = compress.partition("-")
-    codec = _SNAPPY_CODEC if codec_tag == "snappy" else _DEFAULT_CODEC
+    codec = {"snappy": _SNAPPY_CODEC,
+             "lz4": _LZ4_CODEC}.get(codec_tag, _DEFAULT_CODEC)
 
     def wrap(data, cls: str) -> bytes:
         if cls in (_INT_WRITABLE, _LONG_WRITABLE) and isinstance(

@@ -4483,9 +4483,10 @@ def q_multimodal_icns(spark, sf_dir):
     oracle="""
     WITH d AS (
       SELECT doc_id, text, n_chars, CAST(2 + doc_id % 3 AS INT) AS k,
-             CASE doc_id % 5 WHEN 0 THEN 'none' WHEN 1 THEN 'record'
+             CASE doc_id % 7 WHEN 0 THEN 'none' WHEN 1 THEN 'record'
                   WHEN 2 THEN 'block' WHEN 3 THEN 'record-snappy'
-                  ELSE 'block-snappy' END AS compression
+                  WHEN 4 THEN 'block-snappy' WHEN 5 THEN 'record-lz4'
+                  ELSE 'block-lz4' END AS compression
       FROM documents
       WHERE text IS NOT NULL AND length(text) > 0 AND doc_id % 8 < 4
     ), ent AS (
@@ -4537,12 +4538,12 @@ def q_seqfile_extract(spark, sf_dir):
     values carrying stride-31 formula bodies cycled from the doc's ONE
     64-byte base (record r a +7r byte rotation — the tfexample perf
     lesson, size 18 + (n_chars + 9r)%160, record 1 a zero-length
-    value), and the compression rotating over all FIVE layout×codec
-    forms by doc_id%5 (r17 — the block form per the r16 verdict's
-    missing #2, and SnappyCodec via the dependency-free raw-Snappy
-    decoder under Hadoop's BlockCompressorStream framing): 'none' and
-    the two 'record' codecs carry a sync escape every 2 records so
-    the mid-stream 0xFFFFFFFF marker path is hashed; the two 'block'
+    value), and the compression rotating over all SEVEN layout×codec
+    forms by doc_id%7 (r17 — the block form per the r16 verdict's
+    missing #2, plus SnappyCodec and Lz4Codec via the dependency-free
+    raw decoders under Hadoop's BlockCompressorStream framing): 'none'
+    and the three 'record' codecs carry a sync escape every 2 records
+    so the mid-stream 0xFFFFFFFF marker path is hashed; the 'block'
     codecs group 2 records per block through the four compressed
     buffer groups of the Hadoop BlockCompressWriter layout, so
     multi-block files with per-block sync markers are hashed too. read_seqfile_records re-walks the header (Hadoop vint
@@ -4566,8 +4567,9 @@ def q_seqfile_extract(spark, sf_dir):
 
     d = load_table(spark, sf_dir, "documents").where(
         F.col("text").isNotNull() & (F.length("text") > 0)
-        # half the corpus; the %5 layout-codec rotation, %4 key
-        # classes, and %3 record counts all survive doc%8<4 (idle
+        # half the corpus; the %7 layout-codec rotation, %4 key
+        # classes, and %3 record counts all survive doc%8<4 (the %7
+        # residues of {0,1,2,3,8,9,10,11,16,...} cover 0..6; idle
         # sf0.1 measurement in the commit, the standing trim ratchet)
         & (F.col("doc_id") % 8 < 4)
     )
@@ -4619,7 +4621,8 @@ def q_seqfile_extract(spark, sf_dir):
                         (key, np.tile(arr, (ln + 63) // 64)[:ln].tobytes())
                     )
                 comp = ["none", "record", "block", "record-snappy",
-                        "block-snappy"][doc_id % 5]
+                        "block-snappy", "record-lz4",
+                        "block-lz4"][doc_id % 7]
                 payloads.append(
                     encode_seqfile(
                         recs,
@@ -4787,6 +4790,104 @@ def q_cbor_extract(spark, sf_dir):
         synth, schema="doc_id bigint, payload binary"
     )
     return read_cbor_records(cb).orderBy("doc_id", "rec_no")
+
+
+@query(
+    "q_lz4_extract",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, text, n_chars,
+             40 + (n_chars * 3) % 400 AS ln
+      FROM documents
+      WHERE text IS NOT NULL AND length(text) > 0
+        AND doc_id % 8 >= 4 AND doc_id % 8 < 6
+    ), b AS (
+      SELECT doc_id, ln,
+             ascii(substr(text,
+               (((g.i % 64) * 59) % length(text)) + 1, 1)) % 256 AS bb
+      FROM d, unnest(generate_series(0, CAST(ln - 1 AS BIGINT))) g(i)
+    )
+    SELECT doc_id,
+           CAST(any_value(ln) AS BIGINT) AS n_bytes,
+           CAST(sum(bb) AS BIGINT) AS bsum,
+           CAST(sum(bb) AS DOUBLE) / any_value(ln) AS mean_b,
+           doc_id % 2 = 0 AS blk_cs,
+           CAST(CASE WHEN doc_id % 3 = 2 THEN -1
+                ELSE any_value(ln) END AS BIGINT) AS csize
+    FROM b GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q_lz4_extract(spark, sf_dir):
+    """LZ4 frame decompression under the driver hash (r17 — the codec
+    modern infrastructure actually runs, functions/lz4.py: the public
+    block format decoded sequence by sequence, the frame format with
+    xxHash32 implemented in-tree and pinned against the reference
+    vectors). Per document a real ``.lz4`` frame is muxed
+    executor-side over 40 + (n_chars*3)%400 stride-59 formula bytes at
+    block size 64 — every frame MULTI-BLOCK, so the block loop and the
+    EndMark are exercised — with per-block xxh32 checksums on even
+    docs, the content-size field omitted on doc%3==2, stored
+    (uncompressed-bit) blocks on doc%3==1 and compressed run-match
+    blocks otherwise, and the whole-content xxh32 ALWAYS on (one
+    hash-function bug and nothing parses). read_lz4_content re-walks
+    the frame — header-checksum byte, block framing, every checksum
+    layer — and ships exact content stats plus the verified posture
+    flags; the oracle replays the byte arithmetic in SQL. Scale shape:
+    one scan, one doc_id exchange (_codec_parallel), two fused Arrow
+    stages; quarter population doc%8 in {4,5}, disjoint from the other
+    serialization slices, with the %2/%3 strategies surviving (their
+    residues over {4,5,12,13,20,21,...} cover every case)."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    from polars_express_spark.functions.lz4 import (
+        encode_lz4_frame,
+        read_lz4_content,
+    )
+
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+        & (F.col("doc_id") % 8 >= 4) & (F.col("doc_id") % 8 < 6)
+    )
+    bs = d.select(
+        "doc_id",
+        "n_chars",
+        F.expr(
+            "transform(sequence(0, 63),"
+            " j -> ascii(substring(text, ((j * 59) % length(text)) + 1,"
+            " 1)) % 256)"
+        ).alias("fs"),
+    )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            payloads = []
+            for doc_id, n_chars, fs in zip(
+                pdf["doc_id"], pdf["n_chars"], pdf["fs"]
+            ):
+                doc_id, n_chars = int(doc_id), int(n_chars)
+                base_arr = np.array([int(x) for x in fs], dtype=np.uint8)
+                ln = 40 + (n_chars * 3) % 400
+                content = np.tile(
+                    base_arr, (ln + 63) // 64
+                )[:ln].tobytes()
+                payloads.append(encode_lz4_frame(
+                    content,
+                    block_size=64,
+                    block_checksums=doc_id % 2 == 0,
+                    content_size=doc_id % 3 != 2,
+                    content_checksum=True,
+                    store_uncompressed=doc_id % 3 == 1,
+                ))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    lz = _codec_parallel(bs).mapInPandas(
+        synth, schema="doc_id bigint, payload binary"
+    )
+    return read_lz4_content(lz).orderBy("doc_id")
 
 
 @query(

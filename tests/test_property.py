@@ -1502,6 +1502,10 @@ def test_parsers_never_crash_on_corrupt_payloads(seed, kind):
     )
     from polars_express_spark.functions.seqfile import parse_seqfile
     from polars_express_spark.functions.snappy import decompress_snappy
+    from polars_express_spark.functions.lz4 import (
+        decompress_lz4_block,
+        parse_lz4_frame,
+    )
     from polars_express_spark.functions.tar import parse_tar
     from polars_express_spark.functions.tfrecord import parse_tfrecord
     from polars_express_spark.functions.ziparc import parse_zip
@@ -1521,7 +1525,8 @@ def test_parsers_never_crash_on_corrupt_payloads(seed, kind):
                parse_tf_sequence_example,
                parse_icns, parse_ogg_theora_info, parse_seqfile,
                parse_cbor, parse_msgpack, parse_exif, parse_png_exif,
-               parse_webp_exif, decompress_snappy]
+               parse_webp_exif, decompress_snappy,
+               decompress_lz4_block, parse_lz4_frame]
     if kind == 0:  # magic-prefixed garbage through every parser
         magics = [b"\x89PNG\r\n\x1a\n", b"BM", b"GIF89a", b"P1", b"P2",
                   b"P3", b"P4", b"P5", b"P6", b"RIFF", b"RIFF\x80\x00\x00\x00AVI ",
@@ -1555,6 +1560,7 @@ def test_parsers_never_crash_on_corrupt_payloads(seed, kind):
                   b"PK\x06\x07" + b"\x00" * 16
                   + b"PK\x05\x06" + b"\x00" * 10 + b"\xff\xff"
                   + b"\xff" * 8 + b"\x00\x00",
+                  b"\x04\x22\x4d\x18", b"\x04\x22\x4d\x18\x60\x40",
                   b"\x94", b"\x84\xa2id", b"\xdc\x00\x10", b"\xde\x00\x04",
                   b"\xcb", b"\xd9",
                   b"\xff\xd8\xff\xe1\x00\x10Exif\x00\x00II\x2a\x00",
@@ -2677,6 +2683,99 @@ def test_snappy_roundtrip_and_strictness(blobs, run_len, runs, seed):
 
 
 @given(
+    blobs=st.lists(st.binary(min_size=0, max_size=400), min_size=0,
+                   max_size=4),
+    run_len=st.integers(0, 2000),
+    block_size=st.sampled_from([64, 256, 65536]),
+    blk_cs=st.booleans(),
+    has_size=st.booleans(),
+    content_cs=st.booleans(),
+    stored=st.booleans(),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=60, deadline=None)
+def test_lz4_roundtrip_and_frame_integrity(blobs, run_len, block_size,
+                                           blk_cs, has_size, content_cs,
+                                           stored, seed):
+    """r17 — the dependency-free LZ4 codec (functions/lz4.py):
+    decompress_lz4_block ∘ encode_lz4_block = id over arbitrary bytes
+    incl. long runs (offset-1 overlap matches honoring the spec's
+    end-of-block literals rules), and parse_lz4_frame ∘
+    encode_lz4_frame = id across block sizes × every descriptor flag
+    combination, with xxHash32 implemented in-tree and pinned against
+    the public reference vectors. Integrity: when BOTH checksum layers
+    are armed, EVERY bit flip anywhere in the frame is DETECTED
+    (PNG-tier); strictness pins offset-0/short/truncation/reserved-bit
+    rejections and the bomb cap."""
+    import numpy as np
+
+    from polars_express_spark.functions.lz4 import (
+        decompress_lz4_block,
+        encode_lz4_block,
+        encode_lz4_frame,
+        parse_lz4_frame,
+        xxh32,
+    )
+
+    # public xxHash32 vectors, seed 0
+    assert xxh32(b"") == 0x02CC5D05
+    assert xxh32(b"a") == 0x550D7456
+    assert xxh32(b"abc") == 0x32D153FF
+    assert xxh32(b"Nobody inspects the spammish repetition") == 0xE2293B2F
+
+    rng = np.random.RandomState(seed)
+    data = b"".join(blobs) + bytes([rng.randint(0, 256)]) * run_len
+    for runs in (True, False):
+        blk = encode_lz4_block(data, runs=runs)
+        assert decompress_lz4_block(blk) == data
+    frame = encode_lz4_frame(
+        data, block_size=block_size, block_checksums=blk_cs,
+        content_size=has_size, content_checksum=content_cs,
+        store_uncompressed=stored,
+    )
+    got = parse_lz4_frame(frame)
+    assert got is not None
+    content, flags = got
+    assert content == data
+    assert flags["block_checksums"] == blk_cs
+    assert flags["content_checksum"] == content_cs
+    assert flags["content_size"] == (len(data) if has_size else None)
+    # both checksum layers on: EVERY flip detected
+    if blk_cs and content_cs and has_size and len(data):
+        for _ in range(20):
+            i = int(rng.randint(0, len(frame)))
+            b2 = bytearray(frame)
+            b2[i] ^= 1 << int(rng.randint(0, 8))
+            assert parse_lz4_frame(bytes(b2)) is None
+    # strictness
+    assert parse_lz4_frame(frame[:-1]) is None
+    assert parse_lz4_frame(frame + b"\x00") is None
+    assert decompress_lz4_block(b"") is None
+    assert decompress_lz4_block(bytes([0x10])) is None  # short literal
+    assert decompress_lz4_block(
+        bytes([0x10, 0x41, 0x00, 0x00, 0x00])
+    ) is None  # offset 0
+    assert decompress_lz4_block(
+        bytes([0x10, 0x41, 0x05, 0x00, 0x00])
+    ) is None  # reaches before the start
+    assert decompress_lz4_block(
+        encode_lz4_block(b"x" * 100), max_output=50
+    ) is None  # bomb cap
+    bad = bytearray(frame)
+    bad[4] |= 0x02  # FLG reserved bit
+    assert parse_lz4_frame(bytes(bad)) is None
+    bad = bytearray(frame)
+    bad[4] = (bad[4] & 0x3F) | 0x80  # version 10
+    assert parse_lz4_frame(bytes(bad)) is None
+    b = bytearray(frame)
+    for _ in range(12):  # flips never crash regardless of flags
+        i = int(rng.randint(0, len(b)))
+        b[i] ^= 1 << int(rng.randint(0, 8))
+        parse_lz4_frame(bytes(b))
+        b = bytearray(frame)
+
+
+@given(
     codec=st.sampled_from(["null", "deflate", "snappy"]),
     schema=st.sampled_from(["bytes", "string"]),
     opb=st.integers(0, 4),
@@ -3328,11 +3427,11 @@ def test_seqfile_roundtrip_and_sync(compress, si, sizes, seed):
 @given(
     rpb=st.integers(0, 4),
     sizes=st.lists(st.integers(0, 800), min_size=1, max_size=9),
-    snappy=st.booleans(),
+    codec=st.sampled_from(["", "-snappy", "-lz4"]),
     seed=st.integers(0, 2**31 - 1),
 )
 @settings(max_examples=60, deadline=None)
-def test_seqfile_block_compression_roundtrip(rpb, sizes, snappy, seed):
+def test_seqfile_block_compression_roundtrip(rpb, sizes, codec, seed):
     """r17 — BLOCK compression (the r16 verdict's "What's missing" #2,
     the default Hive/MR production layout): encode_seqfile(compress=
     'block') → parse_seqfile recovers every (Text key, BytesWritable
@@ -3354,7 +3453,7 @@ def test_seqfile_block_compression_roundtrip(rpb, sizes, snappy, seed):
 
     rng = np.random.RandomState(seed)
     recs = [(f"k/{i}".encode(), rng.bytes(s)) for i, s in enumerate(sizes)]
-    form = "block-snappy" if snappy else "block"
+    form = "block" + codec
     enc = encode_seqfile(recs, compress=form, records_per_block=rpb)
     got = parse_seqfile(enc)
     assert got is not None
@@ -3398,7 +3497,7 @@ def test_seqfile_block_compression_roundtrip(rpb, sizes, snappy, seed):
     keys=st.lists(st.integers(-(2**31), 2**31 - 1), min_size=1,
                   max_size=6),
     comp=st.sampled_from(["none", "record", "block", "record-snappy",
-                          "block-snappy"]),
+                          "block-snappy", "record-lz4", "block-lz4"]),
     seed=st.integers(0, 2**31 - 1),
 )
 @settings(max_examples=60, deadline=None)
