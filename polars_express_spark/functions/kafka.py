@@ -1,0 +1,410 @@
+"""Kafka RecordBatch v2 log-segment reader/writer (SURVEY.md §2.10,
+r17).
+
+The streaming-era ingestion format: Kafka topics persist on disk (and
+land in object stores via tiered storage / connect sinks) as log
+segments — a concatenation of RecordBatch v2 structures, the layout
+published in the Kafka protocol documentation (messages / "Record
+Batch"). Pure struct math, all multi-byte fields BIG-endian:
+
+    baseOffset i64 | batchLength i32 | partitionLeaderEpoch i32 |
+    magic i8 (=2) | crc u32 (CRC-32C over attributes..end) |
+    attributes i16 | lastOffsetDelta i32 | baseTimestamp i64 |
+    maxTimestamp i64 | producerId i64 | producerEpoch i16 |
+    baseSequence i32 | recordCount i32 | records
+
+Records use ZIGZAG VARINTS (the protobuf/Avro idiom) throughout:
+
+    length | attributes i8 | timestampDelta varlong |
+    offsetDelta varint | keyLen varint (-1 = null) | key |
+    valueLen varint (-1 = null) | value | headerCount varint |
+    headers: [keyLen varint + key(UTF-8) + valueLen varint + value]
+
+The records block may be compressed as a whole per attributes bits
+0-2: 0 none, 1 gzip (a standard gzip member through the capped
+inflate), 2 snappy in the xerial snappy-java stream framing
+(b"\\x82SNAPPY\\x00" magic, two u32be version ints, then u32be-length-
+prefixed raw-Snappy chunks — the framing every JVM Kafka producer
+writes), 3 lz4 (the standard LZ4 FRAME — v2 batches use the correct
+frame header checksum; the magic<2 "broken HC" quirk is a legacy
+message-set issue and out of envelope with them), 4 zstd (gated — no
+dependency-free decoder in-tree). Codecs ride functions/snappy.py and
+functions/lz4.py.
+
+Integrity: the CRC-32C (the same Castagnoli table as the TFRecord
+tier) covers EVERYTHING from attributes to the end of the batch, so
+every bit flip in a batch body is DETECTED — the strongest posture in
+the ingestion family, and exactly why consumers can resume mid-
+segment: batchLength + the CRC are the format's own splittability
+convention. Strictness: magic must be 2, recordCount must match the
+decoded records exactly, every record's length varint must consume
+exactly, offsetDelta/timestampDelta monotonicity is NOT assumed (the
+spec allows gaps), trailing bytes reject.
+
+encode_kafka_segment is the independent writer twin.
+
+Reference parity anchor: extends the reference's CSV-only ingest
+(reference src/main.rs:41-52) like the other §2.10 ingestion tiers.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+from polars_express_spark.functions.tfrecord import crc32c
+
+_MAX_INFLATE = 1 << 26
+_XERIAL_MAGIC = b"\x82SNAPPY\x00"
+
+
+def _read_zigzag(b: bytes, pos: int):
+    """Kafka's zigzag varint (protobuf wire idiom, 64-bit):
+    (value, end_pos) or None."""
+    result = 0
+    shift = 0
+    for _ in range(10):
+        if pos >= len(b):
+            return None
+        byte = b[pos]
+        pos += 1
+        result |= (byte & 0x7F) << shift
+        if not byte & 0x80:
+            if result >= 1 << 64:
+                return None
+            return (result >> 1) ^ -(result & 1), pos
+        shift += 7
+    return None
+
+
+def _w_zigzag(n: int) -> bytes:
+    z = ((n << 1) ^ (n >> 63)) & ((1 << 64) - 1)
+    out = bytearray()
+    while True:
+        if z < 0x80:
+            out.append(z)
+            return bytes(out)
+        out.append((z & 0x7F) | 0x80)
+        z >>= 7
+
+
+def _read_sized(b: bytes, pos: int):
+    """varint length (-1 = None/null) + payload: (bytes|None, end)."""
+    r = _read_zigzag(b, pos)
+    if r is None:
+        return None
+    ln, pos = r
+    if ln == -1:
+        return (None, pos)
+    if ln < 0 or ln > len(b) - pos:
+        return None
+    return b[pos : pos + ln], pos + ln
+
+
+def _xerial_decode(raw: bytes, cap: int):
+    """The snappy-java stream framing JVM producers write: the 8-byte
+    magic, two u32be version ints (version, minCompatibleVersion),
+    then u32be-length-prefixed raw-Snappy chunks."""
+    from polars_express_spark.functions.snappy import decompress_snappy
+
+    if len(raw) < 16 or raw[:8] != _XERIAL_MAGIC:
+        return None
+    version, compat = struct.unpack_from(">II", raw, 8)
+    if version < 1 or compat < 1:
+        return None
+    pos = 16
+    out = bytearray()
+    while pos < len(raw):
+        if pos + 4 > len(raw):
+            return None
+        (clen,) = struct.unpack_from(">I", raw, pos)
+        pos += 4
+        if clen > len(raw) - pos:
+            return None
+        chunk = decompress_snappy(raw[pos : pos + clen], cap - len(out))
+        if chunk is None:
+            return None
+        pos += clen
+        out += chunk
+    return bytes(out)
+
+
+def _xerial_encode(data: bytes) -> bytes:
+    from polars_express_spark.functions.snappy import encode_snappy
+
+    z = encode_snappy(data)
+    return (_XERIAL_MAGIC + struct.pack(">II", 1, 1)
+            + struct.pack(">I", len(z)) + z)
+
+
+def _decompress_records(codec: int, raw: bytes):
+    """attributes bits 0-2 → the records block decoder."""
+    if codec == 0:
+        return raw if len(raw) <= _MAX_INFLATE else None
+    if codec == 1:  # gzip
+        d = zlib.decompressobj(wbits=31)
+        try:
+            data = d.decompress(raw, _MAX_INFLATE + 1)
+        except zlib.error:
+            return None
+        if (len(data) > _MAX_INFLATE or not d.eof or d.unconsumed_tail
+                or d.unused_data):
+            return None
+        return data
+    if codec == 2:  # snappy (xerial framing)
+        return _xerial_decode(raw, _MAX_INFLATE)
+    if codec == 3:  # lz4 frame
+        from polars_express_spark.functions.lz4 import parse_lz4_frame
+
+        r = parse_lz4_frame(raw, _MAX_INFLATE)
+        return None if r is None else r[0]
+    return None  # zstd (4) gated: no dependency-free decoder in-tree
+
+
+def parse_kafka_segment(payload: bytes):
+    """REAL Kafka log-segment parse: returns a list of batch dicts —
+    {"base_offset", "producer_id", "base_timestamp", "codec"
+    ('none'/'gzip'/'snappy'/'lz4'), "transactional", "control",
+    "records": [{"offset", "timestamp", "key" (bytes|None), "value"
+    (bytes|None), "headers": [(str, bytes|None), ...]}, ...]} — or
+    None. Every batch's magic, CRC-32C (attributes through the end),
+    batchLength, and recordCount are verified; record and header
+    varint framing must consume exactly; header keys must be UTF-8;
+    truncation and trailing bytes reject."""
+    if not isinstance(payload, (bytes, bytearray, memoryview)):
+        return None
+    payload = bytes(payload)
+    n = len(payload)
+    batches = []
+    pos = 0
+    while pos < n:
+        if pos + 12 > n:
+            return None
+        base_offset, batch_len = struct.unpack_from(">qi", payload, pos)
+        if batch_len < 49 or pos + 12 + batch_len > n:
+            return None  # header fields alone take 49 bytes past length
+        body = payload[pos + 12 : pos + 12 + batch_len]
+        pos += 12 + batch_len
+        (_leader_epoch,) = struct.unpack_from(">i", body, 0)
+        magic = body[4]
+        if magic != 2:
+            return None  # v0/v1 message sets are out of envelope
+        (crc,) = struct.unpack_from(">I", body, 5)
+        if crc32c(body[9:]) != crc:
+            return None  # any flip from attributes to the end: DETECTED
+        (attributes, last_offset_delta) = struct.unpack_from(
+            ">hi", body, 9
+        )
+        base_ts, _max_ts, producer_id = struct.unpack_from(">qqq", body, 15)
+        _producer_epoch, _base_seq, record_count = struct.unpack_from(
+            ">hii", body, 39
+        )
+        if record_count < 0:
+            return None
+        codec_bits = attributes & 0x7
+        records_raw = body[49:]
+        data = _decompress_records(codec_bits, records_raw)
+        if data is None:
+            return None
+        records = []
+        q = 0
+        for _ in range(record_count):
+            r = _read_zigzag(data, q)
+            if r is None:
+                return None
+            rec_len, q = r
+            if rec_len < 0 or rec_len > len(data) - q:
+                return None
+            rec_end = q + rec_len
+            rec = data[q:rec_end]
+            q = rec_end
+            if len(rec) < 1:
+                return None
+            rp = 1  # record attributes byte (unused by the spec today)
+            r = _read_zigzag(rec, rp)
+            if r is None:
+                return None
+            ts_delta, rp = r
+            r = _read_zigzag(rec, rp)
+            if r is None:
+                return None
+            off_delta, rp = r
+            r = _read_sized(rec, rp)
+            if r is None:
+                return None
+            key, rp = r
+            r = _read_sized(rec, rp)
+            if r is None:
+                return None
+            value, rp = r
+            r = _read_zigzag(rec, rp)
+            if r is None:
+                return None
+            hdr_count, rp = r
+            if hdr_count < 0:
+                return None
+            headers = []
+            for _ in range(hdr_count):
+                r = _read_sized(rec, rp)
+                if r is None:
+                    return None
+                hk, rp = r
+                if hk is None:
+                    return None  # header keys may not be null
+                try:
+                    hk = hk.decode("utf-8")
+                except UnicodeDecodeError:
+                    return None
+                r = _read_sized(rec, rp)
+                if r is None:
+                    return None
+                hv, rp = r
+                headers.append((hk, hv))
+            if rp != len(rec):
+                return None  # a record must consume its length exactly
+            records.append({
+                "offset": base_offset + off_delta,
+                "timestamp": base_ts + ts_delta,
+                "key": key,
+                "value": value,
+                "headers": headers,
+            })
+        if q != len(data):
+            return None  # the records block must consume exactly
+        batches.append({
+            "base_offset": base_offset,
+            "producer_id": producer_id,
+            "base_timestamp": base_ts,
+            "codec": ["none", "gzip", "snappy", "lz4"][codec_bits],
+            "transactional": bool(attributes & 0x10),
+            "control": bool(attributes & 0x20),
+            "records": records,
+        })
+    if not batches:
+        return None
+    return batches
+
+
+def encode_kafka_segment(batches, codec: str = "none") -> bytes:
+    """Independent log-segment writer: ``batches`` is a list of dicts
+    {"base_offset", "base_timestamp", "producer_id", "records":
+    [{"timestamp", "key", "value", "headers"}, ...]} (keys/values may
+    be None = null); ``codec`` in none/gzip/snappy/lz4 compresses each
+    batch's records block. offsetDelta is the record's index; the
+    CRC-32C is computed over attributes..end exactly as consumers
+    verify it."""
+    codec_bits = {"none": 0, "gzip": 1, "snappy": 2, "lz4": 3}[codec]
+    out = bytearray()
+    for b in batches:
+        recs = b["records"]
+        base_ts = b["base_timestamp"]
+        data = bytearray()
+        max_ts = base_ts
+        for i, rec in enumerate(recs):
+            max_ts = max(max_ts, rec["timestamp"])
+            body = bytearray(b"\x00")  # record attributes
+            body += _w_zigzag(rec["timestamp"] - base_ts)
+            body += _w_zigzag(i)
+            for part in (rec.get("key"), rec.get("value")):
+                if part is None:
+                    body += _w_zigzag(-1)
+                else:
+                    body += _w_zigzag(len(part)) + bytes(part)
+            headers = rec.get("headers", [])
+            body += _w_zigzag(len(headers))
+            for hk, hv in headers:
+                hkb = hk.encode("utf-8")
+                body += _w_zigzag(len(hkb)) + hkb
+                if hv is None:
+                    body += _w_zigzag(-1)
+                else:
+                    body += _w_zigzag(len(hv)) + bytes(hv)
+            data += _w_zigzag(len(body)) + body
+        data = bytes(data)
+        if codec == "gzip":
+            co = zlib.compressobj(6, zlib.DEFLATED, 31)
+            blob = co.compress(data) + co.flush()
+        elif codec == "snappy":
+            blob = _xerial_encode(data)
+        elif codec == "lz4":
+            from polars_express_spark.functions.lz4 import (
+                encode_lz4_frame,
+            )
+
+            blob = encode_lz4_frame(data)
+        else:
+            blob = data
+        tail = (
+            struct.pack(">hi", codec_bits, max(len(recs) - 1, 0))
+            + struct.pack(">qqq", base_ts, max_ts, b["producer_id"])
+            + struct.pack(">hii", 0, 0, len(recs))
+            + blob
+        )
+        body = (
+            struct.pack(">i", 0) + b"\x02"
+            + struct.pack(">I", crc32c(tail)) + tail
+        )
+        out += struct.pack(">qi", b["base_offset"], len(body)) + body
+    return bytes(out)
+
+
+KAFKA_SCHEMA = (
+    "doc_id bigint, batch_no int, rec_no int, koffset bigint, "
+    "ts bigint, codec string, key_len int, key_sum bigint, "
+    "val_len int, val_sum bigint, n_headers int, hdr_sum bigint, "
+    "hdr_names string"
+)
+
+
+def read_kafka_records(df):
+    """Kafka log-segment extraction operator (r17): one segment row →
+    one row per record with the batch's verified codec, the
+    reconstructed absolute offset and timestamp, exact key/value byte
+    stats (-1 lengths for Kafka's null tombstone convention), and the
+    headers pinned by count, value-byte sum, and the comma-joined
+    name list. Every batch CRC-32C has already been enforced by
+    parse_kafka_segment — malformed segments raise. Arrow-batched
+    mapInPandas; segment bytes never leave the executor."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                parsed = parse_kafka_segment(bytes(payload))
+                if parsed is None:
+                    raise ValueError(
+                        f"doc {doc_id}: corrupt or out-of-envelope "
+                        "Kafka log segment"
+                    )
+                for bno, batch in enumerate(parsed):
+                    for rno, rec in enumerate(batch["records"]):
+                        key, val = rec["key"], rec["value"]
+                        rows.append((
+                            doc_id, bno, rno, rec["offset"],
+                            rec["timestamp"], batch["codec"],
+                            -1 if key is None else len(key),
+                            0 if key is None else sum(key),
+                            -1 if val is None else len(val),
+                            0 if val is None else sum(val),
+                            len(rec["headers"]),
+                            sum(sum(hv) for _, hv in rec["headers"]
+                                if hv is not None),
+                            ",".join(hk for hk, _ in rec["headers"]),
+                        ))
+            pdf_out = pd.DataFrame(
+                rows,
+                columns=["doc_id", "batch_no", "rec_no", "koffset",
+                         "ts", "codec", "key_len", "key_sum", "val_len",
+                         "val_sum", "n_headers", "hdr_sum", "hdr_names"],
+            )
+            for c in ("batch_no", "rec_no", "key_len", "val_len",
+                      "n_headers"):
+                pdf_out[c] = pdf_out[c].astype("int32")
+            yield pdf_out
+
+    return df.select("doc_id", "payload").mapInPandas(
+        extract, schema=KAFKA_SCHEMA
+    )

@@ -4793,6 +4793,195 @@ def q_cbor_extract(spark, sf_dir):
 
 
 @query(
+    "q_kafka_extract",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, text, n_chars,
+             CASE (doc_id // 8) % 4 WHEN 0 THEN 'none' WHEN 1 THEN
+               'gzip' WHEN 2 THEN 'snappy' ELSE 'lz4' END AS codec,
+             CAST(1 + doc_id % 2 AS INT) AS nb
+      FROM documents
+      WHERE text IS NOT NULL AND length(text) > 0 AND doc_id % 8 < 2
+    ), br AS (
+      SELECT doc_id, text, n_chars, codec, b.b AS batch_no, r.r AS rec_no
+      FROM d,
+           unnest(generate_series(0, CAST(nb - 1 AS BIGINT))) b(b),
+           unnest(generate_series(0,
+             CAST((doc_id + b.b) % 3 AS BIGINT))) r(r)
+    ), kv AS (
+      SELECT doc_id, batch_no, rec_no,
+             CASE WHEN (doc_id + batch_no + rec_no) % 4 = 0 THEN -1
+                  ELSE 4 + (n_chars + rec_no) % 20 END AS key_len,
+             CASE WHEN (doc_id + batch_no + rec_no) % 5 = 1 THEN -1
+                  ELSE 10 + (n_chars + 3 * rec_no + 7 * batch_no) % 120
+             END AS val_len,
+             CAST((doc_id + rec_no) % 3 AS INT) AS n_headers
+      FROM br
+    ), ksum AS (
+      SELECT br.doc_id, br.batch_no, br.rec_no,
+             sum((ascii(substr(br.text,
+               (((g.i % 64) * 61) % length(br.text)) + 1, 1)) % 256
+               + 5 * br.rec_no + 3 * br.batch_no) % 256) AS s
+      FROM br JOIN kv ON br.doc_id = kv.doc_id
+        AND br.batch_no = kv.batch_no AND br.rec_no = kv.rec_no,
+        unnest(generate_series(0, CAST(kv.key_len - 1 AS BIGINT))) g(i)
+      WHERE kv.key_len > 0
+      GROUP BY br.doc_id, br.batch_no, br.rec_no
+    ), vsum AS (
+      SELECT br.doc_id, br.batch_no, br.rec_no,
+             sum((ascii(substr(br.text,
+               (((g.i % 64) * 61) % length(br.text)) + 1, 1)) % 256
+               + 7 * br.rec_no + 11 * br.batch_no) % 256) AS s
+      FROM br JOIN kv ON br.doc_id = kv.doc_id
+        AND br.batch_no = kv.batch_no AND br.rec_no = kv.rec_no,
+        unnest(generate_series(0, CAST(kv.val_len - 1 AS BIGINT))) g(i)
+      WHERE kv.val_len > 0
+      GROUP BY br.doc_id, br.batch_no, br.rec_no
+    ), hsum AS (
+      SELECT br.doc_id, br.batch_no, br.rec_no,
+             sum((ascii(substr(br.text,
+               (((g.i % 64) * 61) % length(br.text)) + 1, 1)) % 256
+               + 13 * t.t) % 256) AS s
+      FROM br JOIN kv ON br.doc_id = kv.doc_id
+        AND br.batch_no = kv.batch_no AND br.rec_no = kv.rec_no,
+        unnest(generate_series(0,
+          CAST(kv.n_headers - 1 AS BIGINT))) t(t),
+        unnest(generate_series(0,
+          CAST(3 + (br.n_chars + t.t) % 9 - 1 AS BIGINT))) g(i)
+      WHERE kv.n_headers > 0 AND t.t != 1
+      GROUP BY br.doc_id, br.batch_no, br.rec_no
+    )
+    SELECT br.doc_id,
+           CAST(br.batch_no AS INT) AS batch_no,
+           CAST(br.rec_no AS INT) AS rec_no,
+           CAST(br.doc_id * 1000 + br.batch_no * 500 + br.rec_no
+                AS BIGINT) AS koffset,
+           CAST(1700000000000 + br.doc_id * 100 + br.batch_no
+                + br.rec_no * 37 - 10 AS BIGINT) AS ts,
+           br.codec,
+           CAST(kv.key_len AS INT) AS key_len,
+           CAST(COALESCE(ksum.s, 0) AS BIGINT) AS key_sum,
+           CAST(kv.val_len AS INT) AS val_len,
+           CAST(COALESCE(vsum.s, 0) AS BIGINT) AS val_sum,
+           kv.n_headers,
+           CAST(COALESCE(hsum.s, 0) AS BIGINT) AS hdr_sum,
+           CASE kv.n_headers WHEN 0 THEN '' WHEN 1 THEN 'h0'
+                ELSE 'h0,h1' END AS hdr_names
+    FROM br
+    JOIN kv ON br.doc_id = kv.doc_id AND br.batch_no = kv.batch_no
+      AND br.rec_no = kv.rec_no
+    LEFT JOIN ksum ON br.doc_id = ksum.doc_id
+      AND br.batch_no = ksum.batch_no AND br.rec_no = ksum.rec_no
+    LEFT JOIN vsum ON br.doc_id = vsum.doc_id
+      AND br.batch_no = vsum.batch_no AND br.rec_no = vsum.rec_no
+    LEFT JOIN hsum ON br.doc_id = hsum.doc_id
+      AND br.batch_no = hsum.batch_no AND br.rec_no = hsum.rec_no
+    ORDER BY br.doc_id, br.batch_no, br.rec_no
+    """,
+)
+def q_kafka_extract(spark, sf_dir):
+    """Kafka RecordBatch v2 log segments under the driver hash (r17 —
+    the streaming-era ingestion capstone, functions/kafka.py: the
+    in-tree codec stack finally makes all four batch compressions
+    decodable — none, gzip, xerial-framed snappy, and the LZ4 frame —
+    rotated by (doc//8)%4 so every codec is hashed every round). Per
+    document a real segment of 1 + doc%2 batches is muxed
+    executor-side, each batch carrying 1 + (doc+b)%3 records with a
+    NEGATIVE timestampDelta at r=0 (the zigzag sign path), Kafka's
+    null-key/null-value tombstone convention rotated by record
+    formulas (-1 lengths under the hash), stride-61 formula key/value
+    bodies rotated +5r+3b / +7r+11b from the doc's ONE 64-byte base,
+    and 0-2 headers ('h{t}', header 1's value null) pinning the header
+    grammar. parse_kafka_segment verifies each batch's CRC-32C over
+    attributes..end — the strongest integrity posture in the ingestion
+    family, and the format's own mid-segment resume convention — plus
+    magic, batchLength, exact record/varint consumption, and
+    recordCount. read_kafka_records ships one row per record with
+    reconstructed absolute offsets/timestamps and exact stats; the
+    oracle replays every formula in SQL. Scale shape: one scan, one
+    doc_id exchange (_codec_parallel), two fused Arrow stages; quarter
+    population doc%8<2 (shared with the tfexample slice — the two
+    never run in the same stage)."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    from polars_express_spark.functions.kafka import (
+        encode_kafka_segment,
+        read_kafka_records,
+    )
+
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+        & (F.col("doc_id") % 8 < 2)
+    )
+    bs = d.select(
+        "doc_id",
+        "n_chars",
+        F.expr(
+            "transform(sequence(0, 63),"
+            " j -> ascii(substring(text, ((j * 61) % length(text)) + 1,"
+            " 1)) % 256)"
+        ).alias("fs"),
+    )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            payloads = []
+            for doc_id, n_chars, fs in zip(
+                pdf["doc_id"], pdf["n_chars"], pdf["fs"]
+            ):
+                doc_id, n_chars = int(doc_id), int(n_chars)
+                base_arr = np.array([int(x) for x in fs], dtype=np.uint8)
+
+                def body(ln, c):
+                    arr = ((base_arr.astype(np.int64) + c) % 256
+                           ).astype(np.uint8)
+                    return np.tile(arr, (ln + 63) // 64)[:ln].tobytes()
+
+                segs = []
+                for b in range(1 + doc_id % 2):
+                    base_ts = 1700000000000 + doc_id * 100 + b
+                    recs = []
+                    for r in range(1 + (doc_id + b) % 3):
+                        key = (None if (doc_id + b + r) % 4 == 0 else
+                               body(4 + (n_chars + r) % 20,
+                                    5 * r + 3 * b))
+                        val = (None if (doc_id + b + r) % 5 == 1 else
+                               body(10 + (n_chars + 3 * r + 7 * b)
+                                    % 120, 7 * r + 11 * b))
+                        headers = []
+                        for t in range((doc_id + r) % 3):
+                            hv = (None if t == 1 else
+                                  body(3 + (n_chars + t) % 9, 13 * t))
+                            headers.append((f"h{t}", hv))
+                        recs.append({
+                            "timestamp": base_ts + r * 37 - 10,
+                            "key": key, "value": val,
+                            "headers": headers,
+                        })
+                    segs.append({
+                        "base_offset": doc_id * 1000 + b * 500,
+                        "base_timestamp": base_ts,
+                        "producer_id": doc_id - 500,
+                        "records": recs,
+                    })
+                payloads.append(encode_kafka_segment(
+                    segs,
+                    codec=["none", "gzip", "snappy",
+                           "lz4"][(doc_id // 8) % 4],
+                ))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    kf = _codec_parallel(bs).mapInPandas(
+        synth, schema="doc_id bigint, payload binary"
+    )
+    return read_kafka_records(kf).orderBy("doc_id", "batch_no", "rec_no")
+
+
+@query(
     "q_lz4_extract",
     oracle="""
     WITH d AS (

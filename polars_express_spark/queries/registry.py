@@ -53,17 +53,17 @@ def query(name: str, oracle: str | None = None):
 #   slots 1-32  — the ENTIRE remaining r12 tier, alphabetical
 #                 (retires r12 evidence for good; declared last round
 #                 and held to);
-#   slots 33-42 — the 10 oldest r13-hash, alphabetical
-#                 (q03_regression_nullzero .. q18b_window_family);
-#   slots 43-50 — new or changed this round (see the list's own
+#   slots 33-41 — the 9 oldest r13-hash, alphabetical
+#                 (q03_regression_nullzero .. q18_window_rank);
+#   slots 42-50 — new or changed this round (see the list's own
 #                 comment): q_avro_record, q_cbor_extract,
-#                 q_lz4_extract, q_msgpack_extract,
+#                 q_kafka_extract, q_lz4_extract, q_msgpack_extract,
 #                 q_multimodal_mkv_audio, q_multimodal_mp3,
 #                 q_seqfile_extract, q_tfseq_extract (new queries take
 #                 tail slots first, displacing the r13 fill — the
 #                 endorsed precedent).
-# Tier "next" (r18) = the 40 remaining r13-hash queries
-# (q19_window_lag, q20_running_sum,
+# Tier "next" (r18) = the 41 remaining r13-hash queries
+# (q18b_window_family, q19_window_lag, q20_running_sum,
 # q21_rolling_avg, q22_rollup, q22b_cube, q23_except, q23_intersect,
 # q23_union_all, q_ann_lsh, q_asof_join, q_decontaminate,
 # q_dedup_canonical, q_domain_mix, q_e2e_curation, q_embed_neardup,
@@ -278,12 +278,12 @@ _PRIORITY = [
     "q_skyline", "q_snapshot_diff", "q_streaks", "q_text_search",
     "q_train_split", "q_transitions", "q_unicode_norm",
     "q_weighted_sample",
-    # slots 33-42 — the 10 oldest r13-hash, alphabetical
+    # slots 33-41 — the 9 oldest r13-hash, alphabetical
     "q03_regression_nullzero", "q04_regression_sql",
     "q04b_grouped_regression", "q08_tpch_q1", "q09_count_distinct",
     "q10_stats", "q10c_higher_moments", "q11_corr_cov",
-    "q18_window_rank", "q18b_window_family",
-    # slots 43-50 — NEW or CHANGED this round (changed queries carry
+    "q18_window_rank",
+    # slots 42-50 — NEW or CHANGED this round (changed queries carry
     # driver evidence that no longer matches the code, so they take
     # tail slots exactly like never-checked queries — the endorsed
     # precedent): q_avro_record (NEW — the record-schema datum reader:
@@ -308,10 +308,14 @@ _PRIORITY = [
     # q_lz4_extract (NEW — the LZ4 frame tier: in-tree xxHash32 pinned
     # against reference vectors, multi-block frames, per-block and
     # whole-content checksum layers verified, stored and compressed
-    # block forms)
-    "q_avro_record", "q_cbor_extract", "q_lz4_extract",
-    "q_msgpack_extract", "q_multimodal_mkv_audio", "q_multimodal_mp3",
-    "q_seqfile_extract", "q_tfseq_extract",
+    # block forms), q_kafka_extract (NEW — Kafka RecordBatch v2 log
+    # segments: CRC-32C over attributes..end verified per batch, all
+    # four compressions — none/gzip/xerial-snappy/LZ4-frame — by
+    # (doc//8)%4, zigzag varints with negative timestamp deltas,
+    # null-key/value tombstones, header grammar)
+    "q_avro_record", "q_cbor_extract", "q_kafka_extract",
+    "q_lz4_extract", "q_msgpack_extract", "q_multimodal_mkv_audio",
+    "q_multimodal_mp3", "q_seqfile_extract", "q_tfseq_extract",
 ]
 
 

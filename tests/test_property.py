@@ -1506,6 +1506,7 @@ def test_parsers_never_crash_on_corrupt_payloads(seed, kind):
         decompress_lz4_block,
         parse_lz4_frame,
     )
+    from polars_express_spark.functions.kafka import parse_kafka_segment
     from polars_express_spark.functions.tar import parse_tar
     from polars_express_spark.functions.tfrecord import parse_tfrecord
     from polars_express_spark.functions.ziparc import parse_zip
@@ -1526,7 +1527,8 @@ def test_parsers_never_crash_on_corrupt_payloads(seed, kind):
                parse_icns, parse_ogg_theora_info, parse_seqfile,
                parse_cbor, parse_msgpack, parse_exif, parse_png_exif,
                parse_webp_exif, decompress_snappy,
-               decompress_lz4_block, parse_lz4_frame]
+               decompress_lz4_block, parse_lz4_frame,
+               parse_kafka_segment]
     if kind == 0:  # magic-prefixed garbage through every parser
         magics = [b"\x89PNG\r\n\x1a\n", b"BM", b"GIF89a", b"P1", b"P2",
                   b"P3", b"P4", b"P5", b"P6", b"RIFF", b"RIFF\x80\x00\x00\x00AVI ",
@@ -2680,6 +2682,95 @@ def test_snappy_roundtrip_and_strictness(blobs, run_len, runs, seed):
         b[i] ^= bit
         decompress_snappy(bytes(b))  # must not raise (callers add CRCs)
         b[i] ^= bit
+
+
+@given(
+    codec=st.sampled_from(["none", "gzip", "snappy", "lz4"]),
+    nb=st.integers(1, 3),
+    sizes=st.lists(st.integers(0, 300), min_size=1, max_size=5),
+    ts_deltas=st.lists(st.integers(-(2**40), 2**40), min_size=1,
+                       max_size=5),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=60, deadline=None)
+def test_kafka_segment_roundtrip(codec, nb, sizes, ts_deltas, seed):
+    """r17 — Kafka RecordBatch v2 log segments (functions/kafka.py):
+    encode_kafka_segment → parse_kafka_segment recovers every record's
+    absolute offset, timestamp (zigzag varlongs spanning NEGATIVE
+    deltas), null/empty/binary keys and values (the tombstone
+    convention), and header lists exactly, across all four in-envelope
+    compressions (none / gzip / xerial-framed snappy / LZ4 frame).
+    Integrity: the batch CRC-32C covers attributes..end, so EVERY flip
+    in that region is DETECTED regardless of codec; truncation,
+    trailing bytes, magic != 2, and a lying recordCount reject."""
+    import struct as _s
+
+    import numpy as np
+
+    from polars_express_spark.functions.kafka import (
+        encode_kafka_segment,
+        parse_kafka_segment,
+    )
+
+    rng = np.random.RandomState(seed)
+    base_ts = 1_700_000_000_000
+    batches = []
+    for b in range(nb):
+        recs = []
+        for i, (sz, td) in enumerate(zip(sizes, ts_deltas)):
+            recs.append({
+                "timestamp": base_ts + td,
+                "key": None if i % 3 == 0 else rng.bytes(sz % 40),
+                "value": None if i % 5 == 4 else rng.bytes(sz),
+                "headers": [(f"h{t}", None if t == 1 else rng.bytes(5))
+                            for t in range(i % 3)],
+            })
+        batches.append({
+            "base_offset": b * 1000 + int(rng.randint(0, 100)),
+            "base_timestamp": base_ts,
+            "producer_id": int(rng.randint(-(2**31), 2**31)),
+            "records": recs,
+        })
+    enc = encode_kafka_segment(batches, codec=codec)
+    got = parse_kafka_segment(enc)
+    assert got is not None and len(got) == nb
+    for want, have in zip(batches, got):
+        assert have["codec"] == codec
+        assert have["base_offset"] == want["base_offset"]
+        assert have["producer_id"] == want["producer_id"]
+        assert len(have["records"]) == len(want["records"])
+        for i, (w, h) in enumerate(zip(want["records"],
+                                       have["records"])):
+            assert h["offset"] == want["base_offset"] + i
+            assert h["timestamp"] == w["timestamp"]
+            assert h["key"] == w["key"] and h["value"] == w["value"]
+            assert h["headers"] == w["headers"]
+    # every flip in the CRC-covered region (attributes..end) DETECTED
+    pos = 0
+    regions = []
+    while pos < len(enc):
+        _bo, bl = _s.unpack_from(">qi", enc, pos)
+        regions.append((pos + 12 + 9, pos + 12 + bl))
+        pos += 12 + bl
+    for _ in range(20):
+        a, b_ = regions[int(rng.randint(0, len(regions)))]
+        i = int(rng.randint(a, b_))
+        b2 = bytearray(enc)
+        b2[i] ^= 1 << int(rng.randint(0, 8))
+        assert parse_kafka_segment(bytes(b2)) is None
+    # strictness
+    assert parse_kafka_segment(enc[:-1]) is None
+    assert parse_kafka_segment(enc + b"\x00") is None
+    b2 = bytearray(enc)
+    b2[16] = 1  # magic byte: v1 message sets are out of envelope
+    assert parse_kafka_segment(bytes(b2)) is None
+    # flips ANYWHERE never crash (the uncovered prefix may survive)
+    b = bytearray(enc)
+    for _ in range(12):
+        i = int(rng.randint(0, len(b)))
+        b[i] ^= 1 << int(rng.randint(0, 8))
+        parse_kafka_segment(bytes(b))
+        b = bytearray(enc)
 
 
 @given(
