@@ -140,10 +140,16 @@ r16 builder measurements (Avro tier, idle sf0.1):
   and the %4/%3 list lengths key on doc_id+r with r spanning 0..k-1),
   reading 2.20-2.66 idle at steal 0.04, inside the tfrecord band.
 
-r17 builder reference runs (final tree, sf0.1, 233 queries, zero
-errors in all three): the DEFINITIVE idle run reads steady 207.1 /
-warm 228.0 / cold 256.4 at steal 0.04, common surface vs the r16
-driver tail 64.4 vs 66.2 (0.97x). Two earlier same-tree runs read
+r17 builder reference runs (final tree, sf0.1, 236 queries, zero
+errors in all four): the DEFINITIVE final-tree idle run reads steady
+205.1 / warm 220.5 / cold 282.8 at steal 0.50, its common surface
+0.97x vs the mid-round 233-query run below, the three newest tiers
+priced under the archive norm (q_tfseq_extract 1.39, q_kafka_extract
+1.57, q_lz4_extract 1.70 — kafka/lz4 amortize their pure-Python codec
+work over quarter populations), and nothing above q_outlier_mad 2.62.
+A mid-round 233-query idle run read steady 207.1 / warm 228.0 / cold
+256.4 at steal 0.04, common surface vs the r16 driver tail 64.4 vs
+66.2 (0.97x). Two earlier same-tree runs read
 220.6 at steal 4.93 (above the 3% gate — discarded) and 214.7 at
 steal 0.18 but with the box's 15-min load still ~6 from the prior
 run + pytest (its movers — q_udtf_links 0.67, q_perplexity 1.57,
