@@ -147,9 +147,13 @@ errors in all four): the DEFINITIVE final-tree idle run reads steady
 priced under the archive norm (q_tfseq_extract 1.39, q_kafka_extract
 1.57, q_lz4_extract 1.70 — kafka/lz4 amortize their pure-Python codec
 work over quarter populations), and nothing above q_outlier_mad 2.62.
-A mid-round 233-query idle run read steady 207.1 / warm 228.0 / cold
-256.4 at steal 0.04, common surface vs the r16 driver tail 64.4 vs
-66.2 (0.97x). Two earlier same-tree runs read
+Cross-round: 205.1 minus the four genuinely-new queries (tfseq 1.39 +
+kafka 1.57 + lz4 1.70 + avro_record 1.53 = 6.2) = 198.9 on the
+carried surface vs r16's definitive 198.7 — the shared surface is
+FLAT while the round added four tiers and deepened five existing
+hashes. A mid-round 233-query idle run read steady 207.1 / warm 228.0
+/ cold 256.4 at steal 0.04, common surface vs the r16 driver tail
+64.4 vs 66.2 (0.97x). Two earlier same-tree runs read
 220.6 at steal 4.93 (above the 3% gate — discarded) and 214.7 at
 steal 0.18 but with the box's 15-min load still ~6 from the prior
 run + pytest (its movers — q_udtf_links 0.67, q_perplexity 1.57,
