@@ -27,11 +27,13 @@ buffer groups — key lengths (vints), serialized keys, value lengths
 BlockCompressWriter/readBlock layout; every buffer group must consume
 exactly, and the per-block sync markers are the splittability
 convention. All inflation runs through the shared capped bomb guard.
-Both layouts take any in-envelope codec: the zlib DefaultCodec, or
-(r17) SnappyCodec and Lz4Codec — Hadoop's BlockCompressorStream
-framing (u32be uncompressed block size, then u32be-length-prefixed
-raw codec chunks) over functions/snappy.py / functions/lz4.py. Other
-codecs are out of envelope (None).
+Both layouts take any of the FIVE public Hadoop codecs (r17): the
+zlib DefaultCodec; GzipCodec and BZip2Codec (stream codecs over the
+stdlib decoders, their own CRC trailers verified); and SnappyCodec /
+Lz4Codec — Hadoop's BlockCompressorStream framing (u32be uncompressed
+block size, then u32be-length-prefixed raw codec chunks) over
+functions/snappy.py / functions/lz4.py. Other codecs (zstd) are out
+of envelope (None).
 
 Key/value payloads are Writable-serialized; this module unwraps the
 two classes a byte-level pipeline owns — BytesWritable (u32be inner
@@ -61,6 +63,8 @@ _NULL_WRITABLE = "org.apache.hadoop.io.NullWritable"
 _DEFAULT_CODEC = "org.apache.hadoop.io.compress.DefaultCodec"
 _SNAPPY_CODEC = "org.apache.hadoop.io.compress.SnappyCodec"
 _LZ4_CODEC = "org.apache.hadoop.io.compress.Lz4Codec"
+_GZIP_CODEC = "org.apache.hadoop.io.compress.GzipCodec"
+_BZIP2_CODEC = "org.apache.hadoop.io.compress.BZip2Codec"
 
 
 def _read_hvint(b: bytes, pos: int):
@@ -156,9 +160,9 @@ def parse_seqfile(payload: bytes):
     """REAL SequenceFile v6 parse: returns (key_class, value_class,
     compression, {metadata}, sync, [(key bytes, value bytes), ...]) or
     None, where ``compression`` is 'none' | 'record' | 'block' with a
-    '-snappy' / '-lz4' suffix for SnappyCodec / Lz4Codec (r17 — the
-    common production pairings, via the dependency-free raw decoders
-    under Hadoop's BlockCompressorStream framing). Record framing (or
+    '-snappy'/'-lz4'/'-gzip'/'-bzip2' suffix naming the codec (r17 —
+    all five public Hadoop codecs: the block-framed raw decoders for
+    snappy/lz4, the stdlib stream decoders for gzip/bzip2). Record framing (or
     the four-buffer-group block layout), every sync marker, the
     BytesWritable/Text envelopes, and each codec stream are verified;
     other codecs, truncation, and trailing bytes are out of envelope.
@@ -189,8 +193,9 @@ def parse_seqfile(payload: bytes):
         if r is None:
             return None
         codec, pos = r
-        if codec not in (_DEFAULT_CODEC, _SNAPPY_CODEC, _LZ4_CODEC):
-            return None  # DefaultCodec/SnappyCodec/Lz4Codec (r17) only
+        if codec not in (_DEFAULT_CODEC, _SNAPPY_CODEC, _LZ4_CODEC,
+                         _GZIP_CODEC, _BZIP2_CODEC):
+            return None  # the five public Hadoop codecs (r17) only
     if pos + 4 > n:
         return None
     (meta_count,) = struct.unpack_from(">I", payload, pos)
@@ -214,7 +219,8 @@ def parse_seqfile(payload: bytes):
         return None
     sync = payload[pos : pos + 16]
     pos += 16
-    suffix = {_SNAPPY_CODEC: "-snappy", _LZ4_CODEC: "-lz4"}.get(codec, "")
+    suffix = {_SNAPPY_CODEC: "-snappy", _LZ4_CODEC: "-lz4",
+              _GZIP_CODEC: "-gzip", _BZIP2_CODEC: "-bzip2"}.get(codec, "")
     if block_compressed:
         records = _parse_block_body(
             payload, pos, sync, key_class, value_class, codec
@@ -320,8 +326,41 @@ def _block_stream_decode(raw: bytes, cap: int, chunk_decode):
     return bytes(out)
 
 
+def _bz2_inflate_capped(raw: bytes, cap: int):
+    """One bzip2 stream through the shared bomb guard (the BZip2Codec
+    form — bzip2 carries its own per-block CRCs, which the stdlib
+    decompressor verifies)."""
+    import bz2
+
+    d = bz2.BZ2Decompressor()
+    try:
+        data = d.decompress(raw, cap + 1)
+    except (OSError, ValueError, EOFError):
+        return None
+    if len(data) > cap or not d.eof or d.unused_data:
+        return None
+    return data
+
+
+def _gzip_inflate_capped(raw: bytes, cap: int):
+    """One gzip member through the shared bomb guard (the GzipCodec
+    form — the member's CRC-32 trailer is verified by zlib)."""
+    d = zlib.decompressobj(wbits=31)
+    try:
+        data = d.decompress(raw, cap + 1)
+    except zlib.error:
+        return None
+    if len(data) > cap or not d.eof or d.unconsumed_tail or d.unused_data:
+        return None
+    return data
+
+
 def _codec_inflate(codec: str, raw: bytes, cap: int):
     """Route one compressed buffer through its codec's decoder."""
+    if codec == _GZIP_CODEC:
+        return _gzip_inflate_capped(raw, cap)
+    if codec == _BZIP2_CODEC:
+        return _bz2_inflate_capped(raw, cap)
     if codec == _SNAPPY_CODEC:
         from polars_express_spark.functions.snappy import decompress_snappy
 
@@ -337,6 +376,13 @@ def _codec_inflate(codec: str, raw: bytes, cap: int):
 
 def _codec_deflate(codec: str, data: bytes) -> bytes:
     """The writer twin of _codec_inflate."""
+    if codec == _GZIP_CODEC:
+        co = zlib.compressobj(6, zlib.DEFLATED, 31)
+        return co.compress(data) + co.flush()
+    if codec == _BZIP2_CODEC:
+        import bz2
+
+        return bz2.compress(data, 6)
     if codec in (_SNAPPY_CODEC, _LZ4_CODEC):
         if not data:
             return b""  # BlockCompressorStream writes nothing for empty
@@ -453,15 +499,19 @@ def encode_seqfile(
         raise ValueError("sync marker is 16 bytes")
     if isinstance(compress, bool):
         compress = "record" if compress else "none"
-    if compress not in ("none", "record", "block", "record-snappy",
-                        "block-snappy", "record-lz4", "block-lz4"):
+    _FORMS = ("none", "record", "block",
+              "record-snappy", "block-snappy", "record-lz4",
+              "block-lz4", "record-gzip", "block-gzip",
+              "record-bzip2", "block-bzip2")
+    if compress not in _FORMS:
         raise ValueError(
-            "compress must be 'none', 'record[-snappy|-lz4]', or "
-            "'block[-snappy|-lz4]'"
+            "compress must be 'none' or "
+            "'record|block[-snappy|-lz4|-gzip|-bzip2]'"
         )
     form, _, codec_tag = compress.partition("-")
-    codec = {"snappy": _SNAPPY_CODEC,
-             "lz4": _LZ4_CODEC}.get(codec_tag, _DEFAULT_CODEC)
+    codec = {"snappy": _SNAPPY_CODEC, "lz4": _LZ4_CODEC,
+             "gzip": _GZIP_CODEC,
+             "bzip2": _BZIP2_CODEC}.get(codec_tag, _DEFAULT_CODEC)
 
     def wrap(data, cls: str) -> bytes:
         if cls in (_INT_WRITABLE, _LONG_WRITABLE) and isinstance(

@@ -3518,7 +3518,7 @@ def test_seqfile_roundtrip_and_sync(compress, si, sizes, seed):
 @given(
     rpb=st.integers(0, 4),
     sizes=st.lists(st.integers(0, 800), min_size=1, max_size=9),
-    codec=st.sampled_from(["", "-snappy", "-lz4"]),
+    codec=st.sampled_from(["", "-snappy", "-lz4", "-gzip", "-bzip2"]),
     seed=st.integers(0, 2**31 - 1),
 )
 @settings(max_examples=60, deadline=None)
@@ -3588,7 +3588,9 @@ def test_seqfile_block_compression_roundtrip(rpb, sizes, codec, seed):
     keys=st.lists(st.integers(-(2**31), 2**31 - 1), min_size=1,
                   max_size=6),
     comp=st.sampled_from(["none", "record", "block", "record-snappy",
-                          "block-snappy", "record-lz4", "block-lz4"]),
+                          "block-snappy", "record-lz4", "block-lz4",
+                          "record-gzip", "block-gzip", "record-bzip2",
+                          "block-bzip2"]),
     seed=st.integers(0, 2**31 - 1),
 )
 @settings(max_examples=60, deadline=None)
