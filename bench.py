@@ -151,7 +151,13 @@ Cross-round: 205.1 minus the four genuinely-new queries (tfseq 1.39 +
 kafka 1.57 + lz4 1.70 + avro_record 1.53 = 6.2) = 198.9 on the
 carried surface vs r16's definitive 198.7 — the shared surface is
 FLAT while the round added four tiers and deepened five existing
-hashes. A mid-round 233-query idle run read steady 207.1 / warm 228.0
+hashes. A post-wrap run after q_seqfile_extract grew the Gzip/BZip2
+codec forms (11-way rotation) read 215.7 at steal 0.47 with ~5%
+UNIFORM inflation on untouched sub-second queries (q_retention 1.02,
+q_token_count 0.69, q_rfm 0.92 — the standing contention class; its
+warm_total 274.7 > steady also marks intermittent load); the one
+code-relevant datum is q_seqfile_extract 1.63 -> 1.72, i.e. the four
+extra codec forms price ~+0.1s. A mid-round 233-query idle run read steady 207.1 / warm 228.0
 / cold 256.4 at steal 0.04, common surface vs the r16 driver tail
 64.4 vs 66.2 (0.97x). Two earlier same-tree runs read
 220.6 at steal 4.93 (above the 3% gate — discarded) and 214.7 at
