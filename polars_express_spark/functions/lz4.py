@@ -94,14 +94,23 @@ def xxh32(data: bytes, seed: int = 0) -> int:
     return h
 
 
-def decompress_lz4_block(payload: bytes, max_output: int = _MAX_OUTPUT):
+def decompress_lz4_block(
+    payload: bytes, max_output: int = _MAX_OUTPUT, prefix: bytes = b""
+):
     """REAL LZ4 block decompression: returns the uncompressed bytes or
     None on a truncated sequence, offset 0, a match reaching before
     the start, or output past ``max_output`` (checked as it grows —
-    the block format declares no length, so the cap is the guard)."""
+    the block format declares no length, so the cap is the guard).
+    ``prefix`` is the dictionary window for block-LINKED frames (the
+    lz4 CLI default): matches may reach back into it, exactly the
+    frame spec's cross-block window (offsets are u16 so 64 KiB of
+    prefix always suffices). ``max_output`` bounds the NEW bytes
+    produced, not the prefix."""
     if not isinstance(payload, (bytes, bytearray, memoryview)):
         return None
     payload = bytes(payload)
+    prefix = bytes(prefix)
+    plen = len(prefix)
     out = bytearray()
     pos = 0
     n = len(payload)
@@ -142,14 +151,15 @@ def decompress_lz4_block(payload: bytes, max_output: int = _MAX_OUTPUT):
                 mlen += b
                 if b != 255:
                     break
-        if off == 0 or off > len(out) or len(out) + mlen > max_output:
+        if off == 0 or off > len(out) + plen or len(out) + mlen > max_output:
             return None
         start = len(out) - off
-        if off >= mlen:
+        if start >= 0 and off >= mlen:
             out += out[start : start + mlen]
         else:
-            for i in range(mlen):  # overlap: forward replication
-                out.append(out[start + i])
+            for i in range(mlen):  # overlap / prefix: forward replication
+                at = start + i
+                out.append(out[at] if at >= 0 else prefix[plen + at])
 
 
 def encode_lz4_block(data: bytes, runs: bool = True) -> bytes:
@@ -206,8 +216,12 @@ def parse_lz4_frame(payload: bytes, max_output: int = _MAX_OUTPUT):
     zero reserved bits, the header-checksum byte (xxh32 >> 8 of the
     descriptor), every present block checksum, the EndMark, the
     declared content size, and the content checksum are ALL verified;
-    uncompressed blocks (high bit of the size word) pass through;
-    dictionaries and legacy frames are out of envelope."""
+    every block (stored size word AND decompressed size) is bound by
+    the BD descriptor's declared maximum; uncompressed blocks (high
+    bit of the size word) pass through; block-LINKED frames (FLG
+    independence bit clear — the lz4 CLI default) thread the last
+    64 KiB of output into the next block as the match window; DictID
+    frames and legacy frames are out of envelope."""
     if not isinstance(payload, (bytes, bytearray, memoryview)):
         return None
     payload = bytes(payload)
@@ -226,6 +240,9 @@ def parse_lz4_frame(payload: bytes, max_output: int = _MAX_OUTPUT):
     content_cs = bool(flg & 0x04)
     if bd & 0b10001111 or (bd >> 4) not in (4, 5, 6, 7):
         return None  # BD reserved bits; block max size 64KB..4MB
+    # the descriptor's declared maximum binds every block (spec frame
+    # grammar): both the stored size word and the decompressed size
+    bd_max = 1 << (8 + 2 * (bd >> 4))
     pos = 6
     content_size = None
     if has_size:
@@ -251,8 +268,8 @@ def parse_lz4_frame(payload: bytes, max_output: int = _MAX_OUTPUT):
             break  # EndMark
         raw_flag = bool(word & 0x80000000)
         size = word & 0x7FFFFFFF
-        if size > n - pos:
-            return None
+        if size > n - pos or size > bd_max:
+            return None  # past payload, or over the declared maximum
         blk = payload[pos : pos + size]
         pos += size
         if blk_cs:
@@ -267,7 +284,11 @@ def parse_lz4_frame(payload: bytes, max_output: int = _MAX_OUTPUT):
                 return None
             out += blk
         else:
-            dec = decompress_lz4_block(blk, max_output - len(out))
+            dec = decompress_lz4_block(
+                blk,
+                min(bd_max, max_output - len(out)),
+                prefix=b"" if indep else bytes(out[-65536:]),
+            )
             if dec is None:
                 return None
             out += dec
@@ -297,21 +318,31 @@ def encode_lz4_frame(
     content_size: bool = True,
     content_checksum: bool = True,
     store_uncompressed: bool = False,
+    linked: bool = False,
 ) -> bytes:
     """Independent LZ4 frame writer: version-01 descriptor (block
-    independence always set — each block compresses alone, the
-    splittable form), optional content size / per-block and content
-    xxh32 checksums, blocks of ``block_size`` (``store_uncompressed``
-    forces the high-bit raw form), the EndMark."""
+    independence set by default — each block compresses alone, the
+    splittable form; ``linked=True`` clears it, declaring the CLI's
+    block-linked mode — this writer's blocks are self-contained either
+    way, which is valid linked output), optional content size /
+    per-block and content xxh32 checksums, blocks of ``block_size``
+    (``store_uncompressed`` forces the high-bit raw form), the
+    EndMark."""
     data = bytes(data)
-    flg = (0b01 << 6) | 0x20
+    flg = (0b01 << 6) | (0 if linked else 0x20)
     if block_checksums:
         flg |= 0x10
     if content_size:
         flg |= 0x08
     if content_checksum:
         flg |= 0x04
-    desc = bytes([flg, 4 << 4])
+    # smallest BD code whose declared maximum covers block_size
+    bd_code = next(
+        (c for c in (4, 5, 6) if block_size <= 1 << (8 + 2 * c)), 7
+    )
+    if block_size > 1 << 22:
+        raise ValueError("block_size exceeds the 4 MiB frame maximum")
+    desc = bytes([flg, bd_code << 4])
     if content_size:
         desc += struct.pack("<Q", len(data))
     out = bytearray(struct.pack("<I", _FRAME_MAGIC) + desc)

@@ -2866,6 +2866,68 @@ def test_lz4_roundtrip_and_frame_integrity(blobs, run_len, block_size,
         b = bytearray(frame)
 
 
+def test_lz4_linked_frames_and_bd_max():
+    """r18 — the two r17 ADVICE items (lz4.py): (a) block-LINKED
+    frames (FLG independence bit clear, the lz4 CLI default) now
+    decode with the prior output threaded in as the match window —
+    pinned by a hand-built two-block frame whose second block is a
+    single match reaching ENTIRELY into block 1 (and the same bytes
+    with the independence bit set are rejected, since the match then
+    reaches before the block start); (b) the BD descriptor's declared
+    maximum now binds every block — a 64 KiB-code frame carrying a
+    65537-byte stored block is rejected."""
+    import struct
+
+    from polars_express_spark.functions.lz4 import (
+        decompress_lz4_block,
+        encode_lz4_frame,
+        parse_lz4_frame,
+        xxh32,
+    )
+
+    def frame_with(flg: int, blocks) -> bytes:
+        desc = bytes([flg, 0x40])  # BD code 4 = 64 KiB max
+        out = bytearray(struct.pack("<I", 0x184D2204) + desc)
+        out.append((xxh32(desc) >> 8) & 0xFF)
+        for word, blk in blocks:
+            out += struct.pack("<I", word) + blk
+        out += struct.pack("<I", 0)
+        return bytes(out)
+
+    # block 1: 16 literals; block 2: one match (len 8, offset 16) that
+    # reaches entirely into block 1's output, then the empty last
+    # sequence — only decodable with the linked window
+    b1 = bytes([0xF0, 0x01]) + b"abcdefghijklmnop"  # lit=15+1
+    b2 = bytes([0x04, 0x10, 0x00, 0x00])
+    linked = frame_with(0x40, [(len(b1), b1), (len(b2), b2)])
+    got = parse_lz4_frame(linked)
+    assert got is not None and got[0] == b"abcdefghijklmnopabcdefgh"
+    assert got[1]["block_indep"] is False
+    indep = frame_with(0x60, [(len(b1), b1), (len(b2), b2)])
+    assert parse_lz4_frame(indep) is None  # cross-block match rejected
+
+    # prefix window also feeds overlapping copies (match longer than
+    # offset, spilling from prefix into the growing output)
+    assert decompress_lz4_block(
+        bytes([0x08, 0x02, 0x00, 0x00]), prefix=b"xy"
+    ) == b"xyxyxyxyxyxy"
+
+    # (b) stored block over the declared 64 KiB maximum → None
+    big = b"z" * 65537
+    bomb = frame_with(0x60, [(65537 | 0x80000000, big)])
+    assert parse_lz4_frame(bomb) is None
+    ok = frame_with(0x60, [(65536 | 0x80000000, big[:65536])])
+    parsed = parse_lz4_frame(ok)
+    assert parsed is not None and parsed[0] == big[:65536]
+
+    # writer twin: linked=True declares linked mode and round-trips
+    data = b"linked-mode " * 400
+    rt = parse_lz4_frame(encode_lz4_frame(data, block_size=256,
+                                          linked=True))
+    assert rt is not None and rt[0] == data
+    assert rt[1]["block_indep"] is False
+
+
 @given(
     codec=st.sampled_from(["null", "deflate", "snappy"]),
     schema=st.sampled_from(["bytes", "string"]),
