@@ -21,7 +21,9 @@ capped-inflate bomb guard (the zip/WARC precedent; a bomb rejects,
 never allocates), or (r17) ``snappy`` — the dependency-free raw-Snappy
 decoder of functions/snappy.py, each block followed per spec by the
 4-byte big-endian CRC32 of the UNCOMPRESSED data, verified (so snappy
-blocks, unlike deflate, detect every flip). Other codecs (xz, zstd,
+blocks, unlike deflate, detect every flip), or (r18) ``zstandard``
+— one RFC 8878 frame per block via functions/zstd.py (frames carrying
+the checksum flag detect every flip). Other codecs (xz,
 bzip2) stay out of envelope.
 
 Record-body decode is schema-driven; the schema JSON lives IN the
@@ -355,7 +357,7 @@ def parse_avro(payload: bytes):
         return None
     fields = schema[1] if isinstance(schema, tuple) else None
     codec = meta.get("avro.codec", b"null").decode("latin-1")
-    if codec not in ("null", "deflate", "snappy"):
+    if codec not in ("null", "deflate", "snappy", "zstandard"):
         return None
     if pos + 16 > n:
         return None
@@ -404,6 +406,15 @@ def parse_avro(payload: bytes):
             if data is None:
                 return None
             if zlib.crc32(data) != int.from_bytes(raw[-4:], "big"):
+                return None
+        elif codec == "zstandard":
+            # r18 (lifting the standing gate via functions/zstd.py):
+            # per the Avro spec each block is one zstd frame, no extra
+            # CRC — frames with the checksum flag self-verify
+            from polars_express_spark.functions.zstd import decode_zstd
+
+            data = decode_zstd(raw, _MAX_INFLATE - total_inflated)
+            if data is None:
                 return None
         else:
             if size > _MAX_INFLATE - total_inflated:
@@ -461,8 +472,10 @@ def encode_avro(
     Datums are grouped ``objects_per_block`` per data block (0 → one
     block), each block deflated when ``codec='deflate'`` (raw
     RFC-1951) and terminated by the 16-byte ``sync`` marker."""
-    if codec not in ("null", "deflate", "snappy"):
-        raise ValueError("codec must be 'null', 'deflate', or 'snappy'")
+    if codec not in ("null", "deflate", "snappy", "zstandard"):
+        raise ValueError(
+            "codec must be 'null', 'deflate', 'snappy', or 'zstandard'"
+        )
     fields = None
     if isinstance(schema, (list, tuple)):
         fields = [(str(n), str(t)) for n, t in schema]
@@ -526,6 +539,10 @@ def encode_avro(
             raw = encode_snappy(bytes(data)) + zlib.crc32(
                 bytes(data)
             ).to_bytes(4, "big")
+        elif codec == "zstandard":
+            from polars_express_spark.functions.zstd import encode_zstd
+
+            raw = encode_zstd(bytes(data), content_size=False)
         else:
             raw = bytes(data)
         out += _w_long(len(chunk)) + _w_long(len(raw)) + raw + sync

@@ -27,9 +27,9 @@ inflate), 2 snappy in the xerial snappy-java stream framing
 prefixed raw-Snappy chunks — the framing every JVM Kafka producer
 writes), 3 lz4 (the standard LZ4 FRAME — v2 batches use the correct
 frame header checksum; the magic<2 "broken HC" quirk is a legacy
-message-set issue and out of envelope with them), 4 zstd (gated — no
-dependency-free decoder in-tree). Codecs ride functions/snappy.py and
-functions/lz4.py.
+message-set issue and out of envelope with them), 4 zstd (r18 — the
+RFC 8878 decoder of functions/zstd.py, multi-frame streams accepted).
+Codecs ride functions/snappy.py, functions/lz4.py, functions/zstd.py.
 
 Integrity: the CRC-32C (the same Castagnoli table as the TFRecord
 tier) covers EVERYTHING from attributes to the end of the batch, so
@@ -158,13 +158,17 @@ def _decompress_records(codec: int, raw: bytes):
 
         r = parse_lz4_frame(raw, _MAX_INFLATE)
         return None if r is None else r[0]
-    return None  # zstd (4) gated: no dependency-free decoder in-tree
+    if codec == 4:  # zstd (r18 — functions/zstd.py lifts the gate)
+        from polars_express_spark.functions.zstd import decode_zstd
+
+        return decode_zstd(raw, _MAX_INFLATE)
+    return None  # codecs 5-7 are unassigned by the protocol
 
 
 def parse_kafka_segment(payload: bytes):
     """REAL Kafka log-segment parse: returns a list of batch dicts —
     {"base_offset", "producer_id", "base_timestamp", "codec"
-    ('none'/'gzip'/'snappy'/'lz4'), "transactional", "control",
+    ('none'/'gzip'/'snappy'/'lz4'/'zstd'), "transactional", "control",
     "records": [{"offset", "timestamp", "key" (bytes|None), "value"
     (bytes|None), "headers": [(str, bytes|None), ...]}, ...]} — or
     None. Every batch's magic, CRC-32C (attributes through the end),
@@ -275,7 +279,8 @@ def parse_kafka_segment(payload: bytes):
             "base_offset": base_offset,
             "producer_id": producer_id,
             "base_timestamp": base_ts,
-            "codec": ["none", "gzip", "snappy", "lz4"][codec_bits],
+            "codec": ["none", "gzip", "snappy", "lz4",
+                      "zstd"][codec_bits],
             "transactional": bool(attributes & 0x10),
             "control": bool(attributes & 0x20),
             "records": records,
@@ -293,7 +298,8 @@ def encode_kafka_segment(batches, codec: str = "none") -> bytes:
     batch's records block. offsetDelta is the record's index; the
     CRC-32C is computed over attributes..end exactly as consumers
     verify it."""
-    codec_bits = {"none": 0, "gzip": 1, "snappy": 2, "lz4": 3}[codec]
+    codec_bits = {"none": 0, "gzip": 1, "snappy": 2, "lz4": 3,
+                  "zstd": 4}[codec]
     out = bytearray()
     for b in batches:
         recs = b["records"]
@@ -332,6 +338,10 @@ def encode_kafka_segment(batches, codec: str = "none") -> bytes:
             )
 
             blob = encode_lz4_frame(data)
+        elif codec == "zstd":
+            from polars_express_spark.functions.zstd import encode_zstd
+
+            blob = encode_zstd(data)
         else:
             blob = data
         tail = (

@@ -27,13 +27,13 @@ buffer groups — key lengths (vints), serialized keys, value lengths
 BlockCompressWriter/readBlock layout; every buffer group must consume
 exactly, and the per-block sync markers are the splittability
 convention. All inflation runs through the shared capped bomb guard.
-Both layouts take any of the FIVE public Hadoop codecs (r17): the
-zlib DefaultCodec; GzipCodec and BZip2Codec (stream codecs over the
-stdlib decoders, their own CRC trailers verified); and SnappyCodec /
-Lz4Codec — Hadoop's BlockCompressorStream framing (u32be uncompressed
-block size, then u32be-length-prefixed raw codec chunks) over
-functions/snappy.py / functions/lz4.py. Other codecs (zstd) are out
-of envelope (None).
+Both layouts take any of the SIX public Hadoop codecs (r18): the
+zlib DefaultCodec; GzipCodec, BZip2Codec, and ZStandardCodec (stream
+codecs — the stdlib decoders' CRC trailers verified for the first
+two, the RFC 8878 decoder of functions/zstd.py for the third); and
+SnappyCodec / Lz4Codec — Hadoop's BlockCompressorStream framing
+(u32be uncompressed block size, then u32be-length-prefixed raw codec
+chunks) over functions/snappy.py / functions/lz4.py.
 
 Key/value payloads are Writable-serialized; this module unwraps the
 two classes a byte-level pipeline owns — BytesWritable (u32be inner
@@ -65,6 +65,7 @@ _SNAPPY_CODEC = "org.apache.hadoop.io.compress.SnappyCodec"
 _LZ4_CODEC = "org.apache.hadoop.io.compress.Lz4Codec"
 _GZIP_CODEC = "org.apache.hadoop.io.compress.GzipCodec"
 _BZIP2_CODEC = "org.apache.hadoop.io.compress.BZip2Codec"
+_ZSTD_CODEC = "org.apache.hadoop.io.compress.ZStandardCodec"
 
 
 def _read_hvint(b: bytes, pos: int):
@@ -194,8 +195,8 @@ def parse_seqfile(payload: bytes):
             return None
         codec, pos = r
         if codec not in (_DEFAULT_CODEC, _SNAPPY_CODEC, _LZ4_CODEC,
-                         _GZIP_CODEC, _BZIP2_CODEC):
-            return None  # the five public Hadoop codecs (r17) only
+                         _GZIP_CODEC, _BZIP2_CODEC, _ZSTD_CODEC):
+            return None  # the six public Hadoop codecs (r18)
     if pos + 4 > n:
         return None
     (meta_count,) = struct.unpack_from(">I", payload, pos)
@@ -220,7 +221,8 @@ def parse_seqfile(payload: bytes):
     sync = payload[pos : pos + 16]
     pos += 16
     suffix = {_SNAPPY_CODEC: "-snappy", _LZ4_CODEC: "-lz4",
-              _GZIP_CODEC: "-gzip", _BZIP2_CODEC: "-bzip2"}.get(codec, "")
+              _GZIP_CODEC: "-gzip", _BZIP2_CODEC: "-bzip2",
+              _ZSTD_CODEC: "-zstd"}.get(codec, "")
     if block_compressed:
         records = _parse_block_body(
             payload, pos, sync, key_class, value_class, codec
@@ -361,6 +363,12 @@ def _codec_inflate(codec: str, raw: bytes, cap: int):
         return _gzip_inflate_capped(raw, cap)
     if codec == _BZIP2_CODEC:
         return _bz2_inflate_capped(raw, cap)
+    if codec == _ZSTD_CODEC:
+        # Hadoop's ZStandardCodec is a stream codec like Gzip: the
+        # buffer is a raw zstd stream (r18 — functions/zstd.py)
+        from polars_express_spark.functions.zstd import decode_zstd
+
+        return decode_zstd(raw, cap)
     if codec == _SNAPPY_CODEC:
         from polars_express_spark.functions.snappy import decompress_snappy
 
@@ -383,6 +391,10 @@ def _codec_deflate(codec: str, data: bytes) -> bytes:
         import bz2
 
         return bz2.compress(data, 6)
+    if codec == _ZSTD_CODEC:
+        from polars_express_spark.functions.zstd import encode_zstd
+
+        return encode_zstd(data, content_size=False, checksum=True)
     if codec in (_SNAPPY_CODEC, _LZ4_CODEC):
         if not data:
             return b""  # BlockCompressorStream writes nothing for empty
@@ -502,16 +514,17 @@ def encode_seqfile(
     _FORMS = ("none", "record", "block",
               "record-snappy", "block-snappy", "record-lz4",
               "block-lz4", "record-gzip", "block-gzip",
-              "record-bzip2", "block-bzip2")
+              "record-bzip2", "block-bzip2",
+              "record-zstd", "block-zstd")
     if compress not in _FORMS:
         raise ValueError(
             "compress must be 'none' or "
-            "'record|block[-snappy|-lz4|-gzip|-bzip2]'"
+            "'record|block[-snappy|-lz4|-gzip|-bzip2|-zstd]'"
         )
     form, _, codec_tag = compress.partition("-")
     codec = {"snappy": _SNAPPY_CODEC, "lz4": _LZ4_CODEC,
-             "gzip": _GZIP_CODEC,
-             "bzip2": _BZIP2_CODEC}.get(codec_tag, _DEFAULT_CODEC)
+             "gzip": _GZIP_CODEC, "bzip2": _BZIP2_CODEC,
+             "zstd": _ZSTD_CODEC}.get(codec_tag, _DEFAULT_CODEC)
 
     def wrap(data, cls: str) -> bytes:
         if cls in (_INT_WRITABLE, _LONG_WRITABLE) and isinstance(
