@@ -30,16 +30,19 @@ Record-body decode is schema-driven; the schema JSON lives IN the
 file metadata (Avro containers are self-describing — no external
 registry). In envelope: the two bare primitive schemas (``"bytes"``
 and ``"string"`` — each datum a long length + payload, string
-payloads valid UTF-8) and, since r17, ``"type": "record"`` schemas
-whose fields are all flat self-delimiting primitives
-(long/int/double/float/boolean/string/bytes — zigzag varints,
-IEEE-754 LE fixed widths, a strict 0/1 boolean byte, length-prefixed
-payloads; the common Kafka/Hive flat-record shape) including the
-two-branch nullable union ["null", prim] in both orders (the
-optional-field shape; null decodes to AVRO_NULL). Wider unions,
-nesting, arrays/maps/enums/fixed and logical types that change the
-raw layout stay out of envelope (None); the swap-in point for a
-fuller datum reader is _read_datum.
+payloads valid UTF-8); ``"type": "record"`` schemas over the seven
+self-delimiting primitives (long/int/double/float/boolean/string/
+bytes — zigzag varints, IEEE-754 LE fixed widths, a strict 0/1
+boolean byte, length-prefixed payloads) with the two-branch nullable
+union ["null", X] in both orders (null decodes to AVRO_NULL); and
+(r18) the full complex-type set — arrays and maps (block sequences
+with the negative-count-plus-size form verified exactly), enums
+(index into the declared symbols), fixed, nested records, and
+nullable unions over any of these — to a schema depth of 4, which
+also bounds data nesting (no depth bomb is decodable). Logical-type
+annotations (timestamp-micros, decimal, ...) keep the raw layout and
+decode as their underlying type. Named-type REFERENCES, wider
+unions, and deeper nesting stay out of envelope (None).
 
 Integrity honesty (SURVEY §2.10 asymmetry): Avro itself carries NO
 data checksum. The sync markers and the varint framing detect
@@ -167,34 +170,127 @@ _REC_PRIMS = ("long", "int", "double", "float", "boolean", "string",
 from polars_express_spark.functions.cbor import CBOR_NULL as AVRO_NULL  # noqa: E402
 
 
-def _union_descr(ftype):
-    """A field type given as a JSON list: in envelope ONLY for the
-    two-branch nullable union — exactly ["null", prim] or
-    [prim, "null"] with prim a flat primitive (the ubiquitous
-    optional-field shape real Avro writers emit). Returns the
-    order-preserving descriptor string 'null|long' / 'long|null', or
-    None. Wider unions need real reader-schema resolution — gated."""
-    if (len(ftype) != 2 or "null" not in ftype
-            or not all(isinstance(t, str) for t in ftype)):
+_MAX_SCHEMA_DEPTH = 4  # bounds data nesting too: data can't out-nest
+#                        its schema, so no depth bomb is decodable
+
+
+def _union_descr(ftype, depth: int = 0):
+    """A type given as a JSON list: in envelope for the two-branch
+    NULLABLE union — exactly ["null", X] or [X, "null"] with X any
+    in-envelope type (the ubiquitous optional-field shape real Avro
+    writers emit). A primitive X keeps the r17 order-preserving
+    string descriptor 'null|long' / 'long|null'; a complex X gets
+    ('union', (branch0, branch1)) with 'null' literal. Wider unions
+    need real reader-schema resolution — gated (None)."""
+    if len(ftype) != 2 or "null" not in ftype:
         return None
-    other = ftype[1] if ftype[0] == "null" else ftype[0]
-    if other not in _REC_PRIMS:
+    i_other = 1 if ftype[0] == "null" else 0
+    if ftype[1 - i_other] != "null":
         return None
-    return "|".join(ftype)
+    # a union adds no layout nesting (same depth), but may not
+    # immediately contain another union (spec rule)
+    other = _type_descr(ftype[i_other], depth)
+    if other is None or other == "null" or (
+        isinstance(other, tuple) and other[0] == "union"
+    ) or (isinstance(other, str) and "|" in other):
+        return None
+    if isinstance(other, str):
+        spelled = ["null", "null"]
+        spelled[i_other] = other
+        return "|".join(spelled)
+    branches = ["null", "null"]
+    branches[i_other] = other
+    return "union", tuple(branches)
+
+
+def _type_descr(t, depth: int = 0):
+    """Resolve one Avro type JSON to an in-envelope descriptor
+    (r18 — the full complex-type set): a primitive string; a
+    'null|prim' nullable-union string; or a tuple —
+    ('array', items), ('map', values), ('enum', (symbols...)),
+    ('fixed', size), ('record', ((name, descr), ...)),
+    ('union', (branch, branch)). The {"type": ...} wrapper spelling
+    and layout-preserving logicalType annotations are accepted
+    (decoded as the underlying type); named-type REFERENCES and
+    nesting past _MAX_SCHEMA_DEPTH are out of envelope → None."""
+    if depth > _MAX_SCHEMA_DEPTH:
+        return None
+    if isinstance(t, str):
+        return t if t in _REC_PRIMS else None
+    if isinstance(t, list):
+        return _union_descr(t, depth)
+    if not isinstance(t, dict):
+        return None
+    tt = t.get("type")
+    if isinstance(tt, (dict, list)):
+        return _type_descr(tt, depth)  # the {"type": ...} wrapper
+    if tt in _REC_PRIMS:
+        return tt  # logicalType annotations keep the raw layout
+    if tt == "array":
+        items = _type_descr(t.get("items"), depth + 1)
+        return None if items is None else ("array", items)
+    if tt == "map":
+        values = _type_descr(t.get("values"), depth + 1)
+        return None if values is None else ("map", values)
+    if tt == "enum":
+        name = t.get("name")
+        symbols = t.get("symbols")
+        if (not isinstance(name, str) or not name
+                or not isinstance(symbols, list) or not symbols
+                or any(not isinstance(s, str) or not s for s in symbols)
+                or len(set(symbols)) != len(symbols)):
+            return None
+        return "enum", tuple(symbols)
+    if tt == "fixed":
+        name = t.get("name")
+        size = t.get("size")
+        if (not isinstance(name, str) or not name
+                or not isinstance(size, int) or isinstance(size, bool)
+                or not 0 <= size <= _MAX_INFLATE):
+            return None
+        return "fixed", size
+    if tt == "record":
+        return _record_descr(t, depth)
+    return None
+
+
+def _record_descr(s: dict, depth: int = 0):
+    """A {"type": "record"} schema object to ('record', fields):
+    requires a name and >= 1 uniquely named fields, each field type
+    resolved by _type_descr."""
+    name = s.get("name")
+    if not isinstance(name, str) or not name:
+        return None  # the spec requires a record name
+    flds = s.get("fields")
+    if not isinstance(flds, list) or not flds:
+        return None
+    fields = []
+    seen = set()
+    for f in flds:
+        if not isinstance(f, dict):
+            return None
+        fname = f.get("name")
+        ftype = _type_descr(f.get("type"), depth + 1)
+        if ftype is None:
+            return None
+        if not isinstance(fname, str) or not fname or fname in seen:
+            return None
+        seen.add(fname)
+        fields.append((fname, ftype))
+    return "record", tuple(fields)
 
 
 def _schema_descr(schema_json: bytes):
     """Resolve the avro.schema JSON to an in-envelope descriptor:
     'bytes' / 'string' (bare primitive schemas, both the bare-string
     and the {"type": ...} spellings), or ('record', ((field_name,
-    field_type), ...)) for a named record of flat self-delimiting
-    primitives (long/int/double/float/boolean/string/bytes — the r16
-    verdict's "what a real Kafka/Hive user hits first"; field types
-    accept both the bare-string and the one-level {"type": ...}
-    spellings per the spec). Unions, nesting, arrays/maps/enums/fixed,
-    logical types that change the raw layout, duplicate or missing
-    field names, and a nameless record are all out of envelope →
-    None (the documented datum-reader gate)."""
+    field_descr), ...)) for a named record whose fields are the seven
+    flat primitives, nullable unions, or (r18) the full complex-type
+    set — arrays, maps, enums, fixed, and nested records to
+    _MAX_SCHEMA_DEPTH (all self-delimiting per the public spec, so
+    decode needs no external registry). Logical types that keep the
+    raw layout are annotations; named-type references, wider unions,
+    and deeper nesting stay out of envelope → None."""
     try:
         s = json.loads(schema_json.decode("utf-8"))
     except (UnicodeDecodeError, ValueError):
@@ -208,32 +304,7 @@ def _schema_descr(schema_json: bytes):
         return t
     if t != "record":
         return None
-    name = s.get("name")
-    if not isinstance(name, str) or not name:
-        return None  # the spec requires a record name
-    flds = s.get("fields")
-    if not isinstance(flds, list) or not flds:
-        return None
-    fields = []
-    seen = set()
-    for f in flds:
-        if not isinstance(f, dict):
-            return None
-        fname = f.get("name")
-        ftype = f.get("type")
-        if isinstance(ftype, dict):
-            ftype = ftype.get("type")  # one-level {"type": ...} spelling
-        if isinstance(ftype, list):
-            ftype = _union_descr(ftype)  # nullable union → 'null|prim'
-            if ftype is None:
-                return None
-        elif ftype not in _REC_PRIMS:
-            return None  # a literal 'null|x' STRING is not an Avro type
-        if not isinstance(fname, str) or not fname or fname in seen:
-            return None
-        seen.add(fname)
-        fields.append((fname, ftype))
-    return "record", tuple(fields)
+    return _record_descr(s, 0)
 
 
 def _read_datum(data: bytes, pos: int, ftype: str):
@@ -245,9 +316,101 @@ def _read_datum(data: bytes, pos: int, ftype: str):
     payloads (bytes/string, string UTF-8-validated). A nullable-union
     descriptor ('null|prim' / 'prim|null') reads the zigzag branch
     index first — 0 or 1 only — then null (the AVRO_NULL sentinel) or
-    the primitive by the schema's branch order."""
+    the primitive by the schema's branch order.
+
+    Tuple descriptors (r18) decode the complex types, all
+    self-delimiting per the spec: arrays and maps as block sequences
+    (count, negative count with a byte size that must match exactly,
+    a zero-count terminator; map keys are UTF-8 strings, duplicates
+    malformed), enums as a zigzag index into the symbol list, fixed
+    as exactly ``size`` raw bytes, nested records field by field,
+    and ('union', ...) as branch index then branch datum. Data
+    nesting is bounded by the schema's own depth (<= 4), so no depth
+    bomb is decodable."""
     import struct
 
+    if isinstance(ftype, tuple):
+        kind = ftype[0]
+        if kind == "union":
+            r = _read_long(data, pos)
+            if r is None:
+                return None
+            idx, pos = r
+            if idx not in (0, 1):
+                return None
+            branch = ftype[1][idx]
+            if branch == "null":
+                return AVRO_NULL, pos
+            return _read_datum(data, pos, branch)
+        if kind in ("array", "map"):
+            inner = ftype[1]
+            out_l: list = []
+            out_m: dict = {}
+            while True:
+                r = _read_long(data, pos)
+                if r is None:
+                    return None
+                count, pos = r
+                if count == 0:
+                    return (out_m if kind == "map" else out_l), pos
+                declared = None
+                if count < 0:
+                    count = -count
+                    r = _read_long(data, pos)
+                    if r is None:
+                        return None
+                    declared, pos = r
+                    if declared < 0 or declared > len(data) - pos:
+                        return None
+                if count > len(data) - pos:
+                    return None  # every item needs >= 1 byte
+                block_start = pos
+                for _ in range(count):
+                    if kind == "map":
+                        r = _read_sized(data, pos)
+                        if r is None:
+                            return None
+                        key_b, pos = r
+                        try:
+                            key = key_b.decode("utf-8")
+                        except UnicodeDecodeError:
+                            return None
+                        if key in out_m:
+                            return None  # strict: duplicate map keys
+                        r = _read_datum(data, pos, inner)
+                        if r is None:
+                            return None
+                        out_m[key], pos = r
+                    else:
+                        r = _read_datum(data, pos, inner)
+                        if r is None:
+                            return None
+                        v, pos = r
+                        out_l.append(v)
+                if declared is not None and pos - block_start != declared:
+                    return None  # the block's byte size must be honest
+        if kind == "enum":
+            r = _read_long(data, pos)
+            if r is None:
+                return None
+            idx, pos = r
+            if not 0 <= idx < len(ftype[1]):
+                return None
+            return ftype[1][idx], pos
+        if kind == "fixed":
+            size = ftype[1]
+            if pos + size > len(data):
+                return None
+            return data[pos : pos + size], pos + size
+        if kind == "record":
+            rec = {}
+            for fname, fdescr in ftype[1]:
+                r = _read_datum(data, pos, fdescr)
+                if r is None:
+                    return None
+                rec[fname], pos = r
+            return rec, pos
+        return None
     if "|" in ftype:
         branches = ftype.split("|")
         r = _read_long(data, pos)
@@ -297,9 +460,59 @@ def _w_datum(value, ftype: str) -> bytes:
     _read_datum); raises ValueError on a value outside the type. For
     a nullable union, None and AVRO_NULL both write the null branch;
     anything else writes the primitive branch (each prefixed by its
-    zigzag branch index in the schema's order)."""
+    zigzag branch index in the schema's order). Tuple descriptors
+    (r18) write the complex types: arrays/maps as one block plus the
+    zero terminator, enums by symbol, fixed with an exact length
+    check, nested records from dicts, unions by null-ness."""
     import struct
 
+    if isinstance(ftype, tuple):
+        kind = ftype[0]
+        if kind == "union":
+            is_null = value is None or value is AVRO_NULL or isinstance(
+                value, type(AVRO_NULL)
+            )
+            idx = ftype[1].index("null") if is_null else \
+                1 - ftype[1].index("null")
+            out = _w_long(idx)
+            if not is_null:
+                out += _w_datum(value, ftype[1][idx])
+            return out
+        if kind == "array":
+            items = list(value)
+            out = bytearray()
+            if items:
+                out += _w_long(len(items))
+                for v in items:
+                    out += _w_datum(v, ftype[1])
+            out += _w_long(0)
+            return bytes(out)
+        if kind == "map":
+            out = bytearray()
+            if value:
+                out += _w_long(len(value))
+                for k, v in value.items():
+                    kb = str(k).encode("utf-8")
+                    out += _w_long(len(kb)) + kb + _w_datum(v, ftype[1])
+            out += _w_long(0)
+            return bytes(out)
+        if kind == "enum":
+            if value not in ftype[1]:
+                raise ValueError(f"{value!r} not an enum symbol")
+            return _w_long(ftype[1].index(value))
+        if kind == "fixed":
+            raw = bytes(value)
+            if len(raw) != ftype[1]:
+                raise ValueError("fixed datum length mismatch")
+            return raw
+        if kind == "record":
+            if set(value) != {n for n, _ in ftype[1]}:
+                raise ValueError("record keys must match the schema")
+            out = bytearray()
+            for fname, fdescr in ftype[1]:
+                out += _w_datum(value[fname], fdescr)
+            return bytes(out)
+        raise ValueError(f"unsupported descriptor {ftype!r}")
     if "|" in ftype:
         branches = ftype.split("|")
         if value is None or value is AVRO_NULL or isinstance(
@@ -326,6 +539,33 @@ def _w_datum(value, ftype: str) -> bytes:
     if ftype == "boolean":
         return b"\x01" if value else b"\x00"
     raise ValueError(f"unsupported field type {ftype!r}")
+
+
+def _descr_json(d, names: list):
+    """Descriptor → Avro schema JSON value (the writer-side inverse of
+    _type_descr); ``names`` allocates unique named-type names."""
+    if isinstance(d, str):
+        return d.split("|") if "|" in d else d
+    kind = d[0]
+    if kind == "array":
+        return {"type": "array", "items": _descr_json(d[1], names)}
+    if kind == "map":
+        return {"type": "map", "values": _descr_json(d[1], names)}
+    if kind == "enum":
+        names.append(f"E{len(names)}")
+        return {"type": "enum", "name": names[-1], "symbols": list(d[1])}
+    if kind == "fixed":
+        names.append(f"F{len(names)}")
+        return {"type": "fixed", "name": names[-1], "size": d[1]}
+    if kind == "record":
+        names.append(f"N{len(names)}")
+        return {"type": "record", "name": names[-1],
+                "fields": [{"name": n, "type": _descr_json(t, names)}
+                           for n, t in d[1]]}
+    if kind == "union":
+        return ["null" if b == "null" else _descr_json(b, names)
+                for b in d[1]]
+    raise ValueError(f"unsupported descriptor {d!r}")
 
 
 def parse_avro(payload: bytes):
@@ -478,23 +718,24 @@ def encode_avro(
         )
     fields = None
     if isinstance(schema, (list, tuple)):
-        fields = [(str(n), str(t)) for n, t in schema]
-        if not fields or any(
-            t not in _REC_PRIMS and _union_descr(t.split("|")) != t
-            for _, t in fields
-        ):
-            raise ValueError(
-                "record fields must be flat primitives or 'null|prim' "
-                "nullable unions"
-            )
+        fields = [(str(n), t if isinstance(t, tuple) else str(t))
+                  for n, t in schema]
+        if not fields:
+            raise ValueError("a record schema needs fields")
+        names: list = []
         schema_json = json.dumps(
             {"type": "record", "name": "R",
-             "fields": [
-                 {"name": n,
-                  "type": t.split("|") if "|" in t else t}
-                 for n, t in fields
-             ]}
+             "fields": [{"name": n, "type": _descr_json(t, names)}
+                        for n, t in fields]}
         ).encode()
+        # round-trip the generated JSON through the reader-side
+        # resolver: guarantees the writer only emits in-envelope
+        # schemas and validates primitive/union strings in one place
+        if _schema_descr(schema_json) != ("record", tuple(fields)):
+            raise ValueError(
+                "record fields must be primitives, 'null|prim' "
+                "unions, or in-envelope complex-type descriptors"
+            )
     elif schema in ("bytes", "string"):
         schema_json = json.dumps(schema).encode()
     else:
@@ -607,6 +848,26 @@ def read_avro_records(df):
     )
 
 
+def _descr_str(d) -> str:
+    """Deterministic spelling of a type descriptor for the long-format
+    ftype column (r18): array<x>, map<x>, enum, fixedN, record,
+    union<a,b>; primitive and 'null|prim' strings pass through."""
+    if isinstance(d, str):
+        return d
+    kind = d[0]
+    if kind == "array":
+        return f"array<{_descr_str(d[1])}>"
+    if kind == "map":
+        return f"map<{_descr_str(d[1])}>"
+    if kind == "enum":
+        return "enum"
+    if kind == "fixed":
+        return f"fixed{d[1]}"
+    if kind == "record":
+        return "record"
+    return f"union<{','.join(_descr_str(b) for b in d[1])}>"
+
+
 AVRO_FIELDS_SCHEMA = (
     "doc_id bigint, rec_no int, block_no int, codec string, "
     "fname string, ftype string, is_null boolean, v_int bigint, "
@@ -623,7 +884,13 @@ def read_avro_fields(df):
     round-trips exactly into binary64), v_str for string (plus v_len),
     v_len + v_sum byte stats for bytes; nullable-union fields
     ('null|prim') ship the branch in is_null, with all value columns
-    NULL on the null branch. The container must carry a
+    NULL on the null branch. Complex-typed fields (r18) explode into
+    leaf rows under path names — 'tags[0]', 'scores.key',
+    'geo.lat' — in decode order (which IS wire order), preceded by a
+    container row whose v_len pins the element count (record fields:
+    field count; enum: the symbol in v_str; fixed: byte stats); a
+    null complex union ships one is_null row under the
+    'union<null,...>' spelling. The container must carry a
     record schema (that is what makes the file self-describing — the
     reader takes NO external schema); primitive-schema containers
     belong to read_avro_records. Malformed containers raise — a silent
@@ -653,35 +920,91 @@ def read_avro_fields(df):
                     )
                 fields = schema[1]
                 rno = 0
+
+                def emit(path, ftype, v, doc_id, rno, bno, codec):
+                    """One row per primitive leaf; complex values
+                    (r18) get a container row (v_len = element count)
+                    then leaf rows at 'path[i]' / 'path.key' /
+                    'path.field' — decode order, which IS wire
+                    order."""
+                    is_null = v is AVRO_NULL or isinstance(
+                        v, type(AVRO_NULL)
+                    )
+                    if isinstance(ftype, tuple):
+                        kind = ftype[0]
+                        fstr = _descr_str(ftype)
+                        if kind == "union":
+                            if is_null:
+                                rows.append((doc_id, rno, bno, codec,
+                                             path, fstr, True, None,
+                                             None, None, None, None))
+                                return
+                            branch = next(b for b in ftype[1]
+                                          if b != "null")
+                            emit(path, branch, v, doc_id, rno, bno,
+                                 codec)
+                            return
+                        if kind == "array":
+                            rows.append((doc_id, rno, bno, codec, path,
+                                         fstr, False, None, None, None,
+                                         len(v), None))
+                            for i, item in enumerate(v):
+                                emit(f"{path}[{i}]", ftype[1], item,
+                                     doc_id, rno, bno, codec)
+                            return
+                        if kind == "map":
+                            rows.append((doc_id, rno, bno, codec, path,
+                                         fstr, False, None, None, None,
+                                         len(v), None))
+                            for k, item in v.items():
+                                emit(f"{path}.{k}", ftype[1], item,
+                                     doc_id, rno, bno, codec)
+                            return
+                        if kind == "enum":
+                            rows.append((doc_id, rno, bno, codec, path,
+                                         fstr, False, None, None, v,
+                                         len(v), None))
+                            return
+                        if kind == "fixed":
+                            rows.append((doc_id, rno, bno, codec, path,
+                                         fstr, False, None, None, None,
+                                         len(v), sum(v)))
+                            return
+                        # record
+                        rows.append((doc_id, rno, bno, codec, path,
+                                     fstr, False, None, None, None,
+                                     len(ftype[1]), None))
+                        for fn, fd in ftype[1]:
+                            emit(f"{path}.{fn}", fd, v[fn], doc_id,
+                                 rno, bno, codec)
+                        return
+                    v_int = v_dbl = v_str = v_len = v_sum = None
+                    base = (ftype.split("|")[0]
+                            if ftype.split("|")[0] != "null"
+                            else ftype.split("|")[-1]
+                            ) if "|" in ftype else ftype
+                    if is_null:
+                        pass  # nullable union's null branch
+                    elif base in ("long", "int", "boolean"):
+                        v_int = int(v)
+                    elif base in ("double", "float"):
+                        v_dbl = float(v)
+                    elif base == "string":
+                        v_str = v
+                        v_len = len(v)
+                    else:  # bytes
+                        v_len = len(v)
+                        v_sum = sum(v)
+                    rows.append(
+                        (doc_id, rno, bno, codec, path, ftype,
+                         is_null, v_int, v_dbl, v_str, v_len, v_sum)
+                    )
+
                 for bno, block in enumerate(blocks):
                     for rec in block:
                         for fname, ftype in fields:
-                            v = rec[fname]
-                            v_int = v_dbl = v_str = v_len = v_sum = None
-                            is_null = v is AVRO_NULL or isinstance(
-                                v, type(AVRO_NULL)
-                            )
-                            base = (ftype.split("|")[0]
-                                    if ftype.split("|")[0] != "null"
-                                    else ftype.split("|")[-1]
-                                    ) if "|" in ftype else ftype
-                            if is_null:
-                                pass  # nullable union's null branch
-                            elif base in ("long", "int", "boolean"):
-                                v_int = int(v)
-                            elif base in ("double", "float"):
-                                v_dbl = float(v)
-                            elif base == "string":
-                                v_str = v
-                                v_len = len(v)
-                            else:  # bytes
-                                v_len = len(v)
-                                v_sum = sum(v)
-                            rows.append(
-                                (doc_id, rno, bno, codec, fname, ftype,
-                                 is_null, v_int, v_dbl, v_str, v_len,
-                                 v_sum)
-                            )
+                            emit(fname, ftype, rec[fname], doc_id,
+                                 rno, bno, codec)
                         rno += 1
             pdf_out = pd.DataFrame(
                 rows,

@@ -3156,12 +3156,15 @@ def test_avro_record_roundtrip(codec, opb, nrec, ftypes, seed):
         b'{"type":"record","name":"R","fields":'
         b'[{"name":"a","type":"long"},{"name":"a","type":"int"}]}',
         b'{"type":"record","name":"R","fields":'
-        b'[{"name":"a","type":{"type":"record","name":"S","fields":'
-        b'[{"name":"b","type":"long"}]}}]}',
-        b'{"type":"record","name":"R","fields":'
         b'[{"name":"a","type":"array"}]}',
     ):
         assert _schema_descr(bad) is None
+    # nested records entered the envelope in r18
+    assert _schema_descr(
+        b'{"type":"record","name":"R","fields":'
+        b'[{"name":"a","type":{"type":"record","name":"S","fields":'
+        b'[{"name":"b","type":"long"}]}}]}'
+    ) == ("record", (("a", ("record", (("b", "long"),))),))
     # writer strictness: keys must match the schema; bad types raise
     try:
         encode_avro([{"zzz": 1}], schema=fields)
@@ -3186,6 +3189,192 @@ def test_avro_record_roundtrip(codec, opb, nrec, ftypes, seed):
                     assert set(d) == {n for n, _ in r[1][1]}
         b[i] ^= bit
     assert parse_avro(enc[:-1]) is None
+
+
+@given(
+    codec=st.sampled_from(["null", "deflate", "snappy", "zstandard"]),
+    opb=st.integers(0, 3),
+    nrec=st.integers(1, 4),
+    nfields=st.integers(1, 4),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=60, deadline=None)
+def test_avro_complex_types_roundtrip(codec, opb, nrec, nfields, seed):
+    """r18 — Avro complex types (the r17 verdict's "What's missing"
+    #2): encode_avro → parse_avro recovers records whose fields mix
+    RANDOMLY GENERATED descriptor trees — arrays, maps, enums, fixed,
+    nested records, and nullable unions over all of these, nested to
+    the schema-depth cap — across all four codecs, the schema
+    resolved purely from the container's own metadata JSON.
+    Decode-level strictness pins the complex-type spec edges: a lying
+    negative-count block size, an out-of-range enum index, a
+    duplicate map key, a truncated fixed, and data deeper than the
+    schema are all rejected; logicalType annotations decode as the
+    underlying type."""
+    import json as _json
+
+    import numpy as np
+
+    from polars_express_spark.functions.avro import (
+        AVRO_NULL,
+        _read_datum,
+        _schema_descr,
+        _w_long,
+        encode_avro,
+        parse_avro,
+    )
+
+    rng = np.random.RandomState(seed)
+
+    def mk_descr(depth):
+        kinds = ["long", "int", "double", "boolean", "string", "bytes",
+                 "null|long", "string|null"]
+        if depth < 3:
+            kinds += ["array", "map", "enum", "fixed", "record",
+                      "union"]
+        k = kinds[rng.randint(0, len(kinds))]
+        if k == "array":
+            return ("array", mk_descr(depth + 1))
+        if k == "map":
+            return ("map", mk_descr(depth + 1))
+        if k == "enum":
+            n = int(rng.randint(1, 5))
+            return ("enum", tuple(f"S{i}" for i in range(n)))
+        if k == "fixed":
+            return ("fixed", int(rng.randint(0, 9)))
+        if k == "record":
+            n = int(rng.randint(1, 4))
+            return ("record", tuple(
+                (f"n{i}", mk_descr(depth + 1)) for i in range(n)))
+        if k == "union":
+            inner = mk_descr(depth + 1)
+            if isinstance(inner, tuple) and inner[0] == "union":
+                return inner  # unions may not immediately nest (spec)
+            if isinstance(inner, str):
+                if "|" in inner:
+                    return inner
+                return ("null|" + inner) if rng.randint(0, 2) \
+                    else (inner + "|null")
+            return ("union", ("null", inner) if rng.randint(0, 2)
+                    else (inner, "null"))
+        return k
+
+    def mk_value(d):
+        if isinstance(d, str):
+            if "|" in d:
+                if rng.randint(0, 2):
+                    return None
+                return mk_value(d.replace("null", "").strip("|"))
+            if d == "long":
+                return int(rng.randint(-(2**62), 2**62, dtype=np.int64))
+            if d == "int":
+                return int(rng.randint(-(2**31), 2**31, dtype=np.int64))
+            if d == "double":
+                return float(rng.standard_normal() * 1e6)
+            if d == "boolean":
+                return bool(rng.randint(0, 2))
+            if d == "string":
+                n = int(rng.randint(0, 12))
+                return "".join(chr(32 + int(c))
+                               for c in rng.randint(0, 95, size=n))
+            return rng.bytes(int(rng.randint(0, 12)))
+        kind = d[0]
+        if kind == "array":
+            return [mk_value(d[1]) for _ in range(rng.randint(0, 4))]
+        if kind == "map":
+            return {f"k{i}": mk_value(d[1])
+                    for i in range(rng.randint(0, 4))}
+        if kind == "enum":
+            return d[1][rng.randint(0, len(d[1]))]
+        if kind == "fixed":
+            return rng.bytes(d[1])
+        if kind == "record":
+            return {n: mk_value(t) for n, t in d[1]}
+        # union
+        if rng.randint(0, 2):
+            return None
+        return mk_value(next(b for b in d[1] if b != "null"))
+
+    def canon(d, v):
+        """What decode must return for a written value."""
+        if v is None:
+            return AVRO_NULL
+        if isinstance(d, str):
+            return v
+        kind = d[0]
+        if kind == "array":
+            return [canon(d[1], x) for x in v]
+        if kind == "map":
+            return {k: canon(d[1], x) for k, x in v.items()}
+        if kind == "record":
+            return {n: canon(t, v[n]) for n, t in d[1]}
+        if kind == "union":
+            return canon(next(b for b in d[1] if b != "null"), v)
+        return v
+
+    fields = [(f"f{i}", mk_descr(0)) for i in range(nfields)]
+    recs = [{n: mk_value(t) for n, t in fields} for _ in range(nrec)]
+    enc = encode_avro(recs, codec=codec, schema=fields,
+                      objects_per_block=opb)
+    got = parse_avro(enc)
+    assert got is not None
+    c, s, _sync, blocks = got
+    assert c == codec and s == ("record", tuple(fields))
+    out = [r for b in blocks for r in b]
+    assert len(out) == nrec
+    for want, have in zip(recs, out):
+        for n, t in fields:
+            exp = AVRO_NULL if want[n] is None and (
+                isinstance(t, tuple) and t[0] == "union"
+                or isinstance(t, str) and "|" in t
+            ) else canon(t, want[n])
+            assert have[n] == exp, (n, t)
+
+    # complex-type strictness edges
+    arr_l = ("array", "long")
+    ok = _w_long(2) + _w_long(5) + _w_long(6) + _w_long(0)
+    assert _read_datum(ok, 0, arr_l) == ([5, 6], len(ok))
+    sized = _w_long(-2) + _w_long(2) + _w_long(5) + _w_long(6) + _w_long(0)
+    assert _read_datum(sized, 0, arr_l) == ([5, 6], len(sized))
+    lying = _w_long(-2) + _w_long(1) + _w_long(5) + _w_long(6) + _w_long(0)
+    assert _read_datum(lying, 0, arr_l) is None
+    assert _read_datum(_w_long(1) + _w_long(5), 0, arr_l) is None  # no 0
+    en = ("enum", ("A", "B"))
+    assert _read_datum(_w_long(1), 0, en) == ("B", 1)
+    assert _read_datum(_w_long(2), 0, en) is None
+    assert _read_datum(_w_long(-1), 0, en) is None
+    assert _read_datum(b"ab", 0, ("fixed", 3)) is None
+    assert _read_datum(b"abc", 0, ("fixed", 3)) == (b"abc", 3)
+    mp = ("map", "long")
+    dup = (_w_long(2) + _w_long(1) + b"k" + _w_long(3)
+           + _w_long(1) + b"k" + _w_long(4) + _w_long(0))
+    assert _read_datum(dup, 0, mp) is None  # duplicate map key
+    # logicalType annotations keep the layout
+    sj = _json.dumps({
+        "type": "record", "name": "R",
+        "fields": [{"name": "ts", "type": {
+            "type": "long", "logicalType": "timestamp-micros"}}]
+    }).encode()
+    assert _schema_descr(sj) == ("record", (("ts", "long"),))
+    # schema gates: named references and over-deep nesting
+    deep = "long"
+    for _ in range(6):
+        deep = {"type": "array", "items": deep}
+    assert _schema_descr(_json.dumps({
+        "type": "record", "name": "R",
+        "fields": [{"name": "a", "type": deep}]}).encode()) is None
+    assert _schema_descr(
+        b'{"type":"record","name":"R","fields":'
+        b'[{"name":"a","type":"SomeNamedRef"}]}'
+    ) is None
+    # flips never crash
+    b = bytearray(enc)
+    for _ in range(10):
+        i = int(rng.randint(0, len(b)))
+        bit = 1 << int(rng.randint(0, 8))
+        b[i] ^= bit
+        parse_avro(bytes(b))
+        b[i] ^= bit
     assert parse_avro(enc + b"\x00") is None
 
 
