@@ -329,7 +329,8 @@ def encode_warc(responses, gzip_members: bool = False,
 
 WARC_RECORDS_SCHEMA = (
     "doc_id bigint, rec_no int, warc_type string, uri string, "
-    "http_status int, body_len bigint, mean_b double, min_b int, max_b int"
+    "http_status int, body_mode string, body_len bigint, mean_b double, "
+    "min_b int, max_b int"
 )
 
 
@@ -337,7 +338,9 @@ def read_warc_records(df):
     """WARC extraction operator: one archive row → one row per RESPONSE
     record (the sample_frames generator shape — output cardinality ≠
     input). Per record: the WARC headers give type and target URI, the
-    HTTP payload splits into status + body, and exact byte stats over
+    HTTP payload splits into status + DECODED body (r18: chunked
+    framing undone, gzip/deflate inflated — body_mode pins the wire
+    coding under the hash), and exact byte stats over
     the body ship as scalars. warcinfo/request/metadata records are
     counted past, not emitted (the crawl-extraction convention: the
     response chain is the corpus). Malformed archives or HTTP payloads
@@ -368,13 +371,23 @@ def read_warc_records(df):
                             f"doc {doc_id}: response record {rec_no} has a "
                             "malformed HTTP payload"
                         )
-                    status, _hh, body = h
+                    status, hh, body = h
+                    # the wire body framing/coding, pinned under the
+                    # hash (r18): 'identity' / 'chunked' / 'gzip' /
+                    # 'chunked+gzip' — the writer's mode spelling
+                    parts = []
+                    if hh.get("transfer-encoding"):
+                        parts.append("chunked")
+                    ce = hh.get("content-encoding", "").strip().lower()
+                    if ce and ce != "identity":
+                        parts.append(ce)
+                    mode = "+".join(parts) if parts else "identity"
                     arr = np.frombuffer(body, dtype=np.uint8)
                     rows.append(
                         (doc_id, rec_no,
                          rec["headers"]["warc-type"],
                          rec["headers"].get("warc-target-uri", ""),
-                         status, len(body),
+                         status, mode, len(body),
                          float(arr.mean()) if arr.size else 0.0,
                          int(arr.min()) if arr.size else 0,
                          int(arr.max()) if arr.size else 0)
@@ -383,8 +396,8 @@ def read_warc_records(df):
             yield pd.DataFrame(
                 rows,
                 columns=["doc_id", "rec_no", "warc_type", "uri",
-                         "http_status", "body_len", "mean_b", "min_b",
-                         "max_b"],
+                         "http_status", "body_mode", "body_len",
+                         "mean_b", "min_b", "max_b"],
             ).astype({"rec_no": "int32", "http_status": "int32",
                       "min_b": "int32", "max_b": "int32"})
 

@@ -827,18 +827,19 @@ def parse_zstd_frame(payload: bytes, max_output: int = _MAX_OUTPUT):
     return r[0], r[1]
 
 
-def decode_zstd(payload: bytes, max_output: int = _MAX_OUTPUT):
+def parse_zstd_stream(payload: bytes, max_output: int = _MAX_OUTPUT):
     """Multi-frame zstd stream decode (the ``.jsonl.zst`` shard form):
     concatenated data frames plus RFC 8878 skippable frames, contents
-    concatenated under one shared output cap; None on any malformed
-    frame, an empty stream, or trailing garbage."""
+    concatenated under one shared output cap. Returns (content bytes,
+    [per-data-frame info dicts]) or None on any malformed frame, an
+    empty stream (zero data frames), or trailing garbage."""
     if not isinstance(payload, (bytes, bytearray, memoryview)):
         return None
     payload = bytes(payload)
     n = len(payload)
     out = bytearray()
+    infos = []
     pos = 0
-    saw_data = False
     while pos < n:
         if pos + 4 > n:
             return None
@@ -856,12 +857,77 @@ def decode_zstd(payload: bytes, max_output: int = _MAX_OUTPUT):
         r = _parse_one_frame(payload, pos, max_output - len(out))
         if r is None:
             return None
-        content, _info, pos = r
+        content, info, pos = r
         out += content
-        saw_data = True
-    if not saw_data:
+        infos.append(info)
+    if not infos:
         return None
-    return bytes(out)
+    return bytes(out), infos
+
+
+def decode_zstd(payload: bytes, max_output: int = _MAX_OUTPUT):
+    """parse_zstd_stream's content-only form (the codec-gate entry
+    point for Kafka / SequenceFile / Avro)."""
+    r = parse_zstd_stream(payload, max_output)
+    return None if r is None else r[0]
+
+
+ZSTD_SCHEMA = (
+    "doc_id bigint, n_bytes bigint, bsum bigint, mean_b double, "
+    "n_lines bigint, n_frames int, all_ck boolean, csize bigint"
+)
+
+
+def read_zstd_content(df):
+    """Zstd shard extraction operator (r18): one ``.zst`` payload row
+    (a frame or a multi-frame stream with skippables) → one row with
+    exact content stats — byte count/sum/mean plus the newline count
+    (the ``.jsonl.zst`` shard's record count) — and the stream's
+    verified posture: data-frame count, whether EVERY frame carried
+    the xxh64 content checksum, and the summed declared content size
+    (-1 when any frame left it undeclared). Malformed streams raise —
+    every frame's entropy framing and any present checksums have
+    already been enforced by parse_zstd_stream. Arrow-batched
+    mapInPandas; compressed bytes never leave the executor."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                parsed = parse_zstd_stream(bytes(payload))
+                if parsed is None:
+                    raise ValueError(
+                        f"doc {doc_id}: corrupt or out-of-envelope "
+                        "zstd stream"
+                    )
+                content, infos = parsed
+                arr = np.frombuffer(content, dtype=np.uint8)
+                declared = [i["content_size"] for i in infos]
+                rows.append(
+                    (doc_id, len(content),
+                     int(arr.astype(np.int64).sum()) if arr.size else 0,
+                     float(arr.mean()) if arr.size else 0.0,
+                     int((arr == 10).sum()),
+                     len(infos),
+                     all(i["checksum"] for i in infos),
+                     -1 if any(d is None for d in declared)
+                     else sum(declared))
+                )
+            pdf_out = pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_bytes", "bsum", "mean_b",
+                         "n_lines", "n_frames", "all_ck", "csize"],
+            )
+            pdf_out["n_frames"] = pdf_out["n_frames"].astype("int32")
+            yield pdf_out
+
+    return df.select("doc_id", "payload").mapInPandas(
+        extract, schema=ZSTD_SCHEMA
+    )
 
 
 def encode_zstd(

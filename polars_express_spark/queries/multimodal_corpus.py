@@ -3020,6 +3020,9 @@ def q_multimodal_mkv_audio(spark, sf_dir):
            'http://example.com/' || doc_id || '/' || rec_no AS uri,
            CAST(CASE rec_no % 3 WHEN 0 THEN 200 WHEN 1 THEN 404
                 ELSE 301 END AS INT) AS http_status,
+           CASE (doc_id + rec_no) % 4 WHEN 0 THEN 'identity'
+                WHEN 1 THEN 'chunked' WHEN 2 THEN 'gzip'
+                ELSE 'chunked+gzip' END AS body_mode,
            CAST(any_value(body_len) AS BIGINT) AS body_len,
            CAST(sum(b) AS DOUBLE) / count(*) AS mean_b,
            CAST(min(b) AS INT) AS min_b,
@@ -3034,12 +3037,18 @@ def q_warc_extract(spark, sf_dir):
     WARC archive is muxed executor-side — a warcinfo record then
     1 + doc_id%3 HTTP response records whose bodies are stride-13
     formula bytes cycled from a 64-byte base (record r phasing the
-    stride, length 50 + (n_chars + 7r)%100) and whose statuses rotate 200/404/301 —
-    gzipped PER MEMBER for odd docs (the splittability convention;
-    zlib verifies each member's CRC-32 trailer) and plain for even.
-    read_warc_records then re-parses the archive, splits each HTTP
-    payload, and ships one row per response with exact body-byte
-    stats. Writer and reader are independent ends of ISO 28500 +
+    stride, length 50 + (n_chars + 7r)%100) and whose statuses rotate
+    200/404/301 — gzipped PER MEMBER for odd docs (the splittability
+    convention; zlib verifies each member's CRC-32 trailer) and plain
+    for even. r18: each response's BODY rotates through the four HTTP
+    wire forms by (doc+r)%4 — identity, Transfer-Encoding: chunked
+    (chunk size 7 + doc%40, framing must consume the record exactly),
+    Content-Encoding: gzip, and chunked-over-gzip (the RFC layering) —
+    exactly what real Common Crawl response records carry; the decoded
+    body stats are wire-form-invariant and body_mode pins the coding
+    under the hash. read_warc_records then re-parses the archive,
+    splits + DECODES each HTTP payload, and ships one row per response
+    with exact body-byte stats. Writer and reader are independent ends of ISO 28500 +
     RFC 9110 framing; the oracle replays the size/status/URI
     arithmetic in SQL — a hash match proves record framing,
     Content-Length discipline, per-member gunzip, and the HTTP split
@@ -3092,11 +3101,15 @@ def q_warc_extract(spark, sf_dir):
                     ln = 50 + (n_chars + r * 7) % 100
                     arr = np.array([int(x) for x in base], dtype=np.uint8)
                     body = np.tile(arr, (ln + 63) // 64)[:ln].tobytes()
+                    mode = ["identity", "chunked", "gzip",
+                            "chunked+gzip"][(doc_id + r) % 4]
                     resps.append(
-                        (f"http://example.com/{doc_id}/{r}", status, body)
+                        (f"http://example.com/{doc_id}/{r}", status,
+                         body, mode)
                     )
                 payloads.append(
-                    encode_warc(resps, gzip_members=doc_id % 2 == 1)
+                    encode_warc(resps, gzip_members=doc_id % 2 == 1,
+                                chunk_size=7 + doc_id % 40)
                 )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
@@ -3359,7 +3372,11 @@ def q_zip_extract(spark, sf_dir):
     )
     SELECT doc_id,
            CAST(entry_no AS INT) AS entry_no,
-           'shard/' || doc_id || '/' || entry_no || '.bin' AS name,
+           CASE WHEN (doc_id + entry_no) % 3 = 2
+                THEN 'deep/' || repeat('p', 120) || '/' || doc_id
+                     || '/' || entry_no || '.bin'
+                ELSE 'shard/' || doc_id || '/' || entry_no || '.bin'
+           END AS name,
            CAST(any_value(size) AS BIGINT) AS size,
            CAST(sum(b) AS DOUBLE) / count(*) AS mean_b,
            CAST(min(b) AS INT) AS min_b,
@@ -3374,9 +3391,15 @@ def q_tar_extract(spark, sf_dir):
     training pipeline). Per document a real ustar archive is muxed
     executor-side — 1 + doc_id%3 members shard/{doc}/{e}.bin with
     stride-21 formula bodies cycled from 64-byte bases (entry e
-    phasing the stride, size 30 + (n_chars + 13e)%150, exercising block padding at every residue) —
-    gzip-wrapped (.tar.gz, through the capped inflate) for odd docs
-    and bare for even. read_tar_entries re-walks the 512-byte block
+    phasing the stride, size 30 + (n_chars + 13e)%150, exercising
+    block padding at every residue) — gzip-wrapped (.tar.gz, through
+    the capped inflate) for odd docs and bare for even. r18: entries
+    with (doc+e)%3==2 take a 130+-char deep/ppp.../ path that
+    overflows the 100-byte ustar name field, emitted as a GNU 'L'
+    long-name member for doc%4<2 and a pax 'x' extended header
+    otherwise — the modern tar default this tier previously rejected
+    — so both long-name grammars sit under the hash, mixed with
+    short-name members in the same archive. read_tar_entries re-walks the 512-byte block
     grammar, verifies every header checksum, and ships one row per
     member with exact stats; writer and reader cross-verify against
     the stdlib tarfile module in the property suite. The oracle
@@ -3426,12 +3449,17 @@ def q_tar_extract(spark, sf_dir):
                 for e, base in enumerate(fs):
                     ln = 30 + (n_chars + e * 13) % 150
                     arr = np.array([int(x) for x in base], dtype=np.uint8)
+                    name = (f"deep/{'p' * 120}/{doc_id}/{e}.bin"
+                            if (doc_id + e) % 3 == 2
+                            else f"shard/{doc_id}/{e}.bin")
                     entries.append(
-                        (f"shard/{doc_id}/{e}.bin",
+                        (name,
                          np.tile(arr, (ln + 63) // 64)[:ln].tobytes())
                     )
                 payloads.append(
-                    encode_tar(entries, gzip_wrap=doc_id % 2 == 1)
+                    encode_tar(entries, gzip_wrap=doc_id % 2 == 1,
+                               long_names="gnu" if doc_id % 4 < 2
+                               else "pax")
                 )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
@@ -4201,6 +4229,194 @@ def q_avro_record(spark, sf_dir):
 
 
 @query(
+    "q_avro_nested",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, text, n_chars, CAST(1 + doc_id % 2 AS INT) AS k,
+             CASE doc_id % 4 WHEN 0 THEN 'null' WHEN 1 THEN 'deflate'
+                  WHEN 2 THEN 'snappy' ELSE 'zstandard' END AS codec
+      FROM documents
+      WHERE text IS NOT NULL AND length(text) > 0 AND doc_id % 8 = 5
+    ), ent AS (
+      SELECT d.*, r.r AS rec_no,
+             CAST(1 + (d.doc_id + r.r) % 3 AS INT) AS nt,
+             CAST((d.doc_id + r.r) % 3 AS INT) AS nm,
+             CAST(1 + (d.n_chars + r.r) % 2 AS INT) AS nu,
+             (d.doc_id + r.r) % 3 = 1 AS u_null
+      FROM d, unnest(generate_series(0, CAST(d.k - 1 AS BIGINT))) r(r)
+    ), rws AS (
+      SELECT doc_id, rec_no, codec, 'tags' AS fname,
+             'array<string>' AS ftype, FALSE AS is_null,
+             CAST(0 AS BIGINT) AS v_int, 0.0 AS v_dbl, '' AS v_str,
+             CAST(nt AS INT) AS v_len, CAST(-1 AS BIGINT) AS v_sum
+      FROM ent
+      UNION ALL
+      SELECT doc_id, rec_no, codec, 'tags[' || t.t || ']', 'string',
+             FALSE, 0,
+             0.0, CAST((n_chars * (t.t + 1) + rec_no) % 1000 AS VARCHAR),
+             CAST(length(CAST((n_chars * (t.t + 1) + rec_no) % 1000
+                  AS VARCHAR)) AS INT), -1
+      FROM ent, unnest(generate_series(0, CAST(nt - 1 AS BIGINT))) t(t)
+      UNION ALL
+      SELECT doc_id, rec_no, codec, 'geo', 'record', FALSE, 0, 0.0, '',
+             2, -1 FROM ent
+      UNION ALL
+      SELECT doc_id, rec_no, codec, 'geo.lat', 'double', FALSE, 0,
+             (n_chars % 5000) / 8.0 + rec_no, '', -1, -1 FROM ent
+      UNION ALL
+      SELECT doc_id, rec_no, codec, 'geo.lon', 'double', FALSE, 0,
+             ((doc_id * 13) % 4000) / 16.0 - 100, '', -1, -1 FROM ent
+      UNION ALL
+      SELECT doc_id, rec_no, codec, 'm', 'map<long>', FALSE, 0, 0.0,
+             '', CAST(nm AS INT), -1 FROM ent
+      UNION ALL
+      SELECT doc_id, rec_no, codec, 'm.k' || t.t, 'long', FALSE,
+             (n_chars * 7 + t.t * 31 + rec_no) % 100000 - 50000,
+             0.0, '', -1, -1
+      FROM ent, unnest(generate_series(0, CAST(nm - 1 AS BIGINT))) t(t)
+      WHERE nm > 0
+      UNION ALL
+      SELECT doc_id, rec_no, codec, 'col', 'enum', FALSE, 0, 0.0,
+             CASE (n_chars + rec_no) % 3 WHEN 0 THEN 'R' WHEN 1
+                  THEN 'G' ELSE 'B' END, 1, -1 FROM ent
+      UNION ALL
+      SELECT ent.doc_id, ent.rec_no, ent.codec, 'fx', 'fixed4', FALSE,
+             0, 0.0, '', 4,
+             CAST(sum((ascii(substr(ent.text,
+               ((j.j * 29) % length(ent.text)) + 1, 1)) % 256
+               + 5 * ent.rec_no) % 256) AS BIGINT)
+      FROM ent, unnest(generate_series(0, 3)) j(j)
+      GROUP BY ent.doc_id, ent.rec_no, ent.codec
+      UNION ALL
+      SELECT doc_id, rec_no, codec, 'u',
+             CASE WHEN u_null THEN 'union<null,array<long>>'
+                  ELSE 'array<long>' END,
+             u_null, 0, 0.0, '',
+             CASE WHEN u_null THEN -1 ELSE nu END, -1
+      FROM ent
+      UNION ALL
+      SELECT doc_id, rec_no, codec, 'u[' || t.t || ']', 'long', FALSE,
+             (doc_id * 17 + t.t * 7 + rec_no) % 9000 - 4500,
+             0.0, '', -1, -1
+      FROM ent, unnest(generate_series(0, CAST(nu - 1 AS BIGINT))) t(t)
+      WHERE NOT u_null
+    )
+    SELECT doc_id, CAST(rec_no AS INT) AS rec_no,
+           CAST(rec_no AS INT) AS block_no, codec, fname, ftype,
+           is_null, CAST(v_int AS BIGINT) AS v_int,
+           CAST(v_dbl AS DOUBLE) AS v_dbl, v_str,
+           CAST(v_len AS INT) AS v_len, CAST(v_sum AS BIGINT) AS v_sum
+    FROM rws
+    ORDER BY doc_id, rec_no, fname
+    """,
+)
+def q_avro_nested(spark, sf_dir):
+    """Avro COMPLEX-type decode under the driver hash (r18 — the r17
+    verdict's "What's missing" #2: real Hive/Kafka schemas routinely
+    carry arrays, maps, enums, fixed, and nested records, all
+    self-delimiting per the public spec and resolvable from the
+    container's own schema JSON). Per document a real container
+    carries 1 + doc%2 records of a six-field schema exercising EVERY
+    complex type: an array<string> of 1 + (doc+rec)%3 decimal tags, a
+    nested record geo{lat,lon} on the exact-in-binary64 /8 and /16
+    grids, a map<long> of (doc+rec)%3 entries INCLUDING the empty-map
+    edge (its zero-count terminator still hashed via the container
+    row's v_len), a 3-symbol enum, a fixed4 whose bytes come from the
+    doc's stride-29 base with a +5r rotation, and a NULLABLE UNION
+    OVER AN ARRAY — union<null,array<long>> — whose null branch
+    rotates by (doc+rec)%3. All FOUR codecs rotate by doc%4,
+    including zstandard through the r18 RFC 8878 decoder; one record
+    per block so block framing tracks rec_no. read_avro_fields
+    explodes complex values into leaf rows under wire-order path
+    names ('tags[0]', 'm.k1', 'geo.lat') with container rows pinning
+    element counts; the oracle replays the whole row explosion as a
+    UNION ALL in SQL. Scale shape: one scan, one doc_id exchange
+    (_codec_parallel), two fused Arrow stages; eighth population
+    doc%8=5 (the complex row explosion prices ~13 rows/record)."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    fields = [
+        ("tags", ("array", "string")),
+        ("geo", ("record", (("lat", "double"), ("lon", "double")))),
+        ("m", ("map", "long")),
+        ("col", ("enum", ("R", "G", "B"))),
+        ("fx", ("fixed", 4)),
+        ("u", ("union", ("null", ("array", "long")))),
+    ]
+
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+        & (F.col("doc_id") % 8 == 5)
+    )
+    bs = d.select(
+        "doc_id",
+        "n_chars",
+        F.expr(
+            "transform(sequence(0, 3),"
+            " j -> ascii(substring(text, ((j * 29) % length(text)) + 1,"
+            " 1)) % 256)"
+        ).alias("fs"),
+    )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from polars_express_spark.functions.avro import encode_avro
+
+        for pdf in batches:
+            payloads = []
+            for doc_id, n_chars, fs in zip(
+                pdf["doc_id"], pdf["n_chars"], pdf["fs"]
+            ):
+                doc_id, n_chars = int(doc_id), int(n_chars)
+                base4 = [int(x) for x in fs]
+                recs = []
+                for r in range(1 + doc_id % 2):
+                    nt = 1 + (doc_id + r) % 3
+                    nm = (doc_id + r) % 3
+                    nu = 1 + (n_chars + r) % 2
+                    recs.append({
+                        "tags": [str((n_chars * (t + 1) + r) % 1000)
+                                 for t in range(nt)],
+                        "geo": {"lat": (n_chars % 5000) / 8.0 + r,
+                                "lon": ((doc_id * 13) % 4000) / 16.0
+                                       - 100},
+                        "m": {f"k{t}": (n_chars * 7 + t * 31 + r)
+                              % 100000 - 50000 for t in range(nm)},
+                        "col": ["R", "G", "B"][(n_chars + r) % 3],
+                        "fx": bytes((b + 5 * r) % 256 for b in base4),
+                        "u": (None if (doc_id + r) % 3 == 1 else
+                              [(doc_id * 17 + t * 7 + r) % 9000 - 4500
+                               for t in range(nu)]),
+                    })
+                payloads.append(
+                    encode_avro(
+                        recs,
+                        codec=["null", "deflate", "snappy",
+                               "zstandard"][doc_id % 4],
+                        schema=fields,
+                        objects_per_block=1,
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    from polars_express_spark.functions.avro import read_avro_fields
+
+    av = _codec_parallel(bs).mapInPandas(
+        synth, schema="doc_id bigint, payload binary"
+    )
+    return read_avro_fields(av).select(
+        "doc_id", "rec_no", "block_no", "codec", "fname", "ftype",
+        "is_null",
+        F.coalesce("v_int", F.lit(0)).alias("v_int"),
+        F.coalesce("v_dbl", F.lit(0.0)).alias("v_dbl"),
+        F.coalesce("v_str", F.lit("")).alias("v_str"),
+        F.coalesce("v_len", F.lit(-1)).alias("v_len"),
+        F.coalesce("v_sum", F.lit(-1)).alias("v_sum"),
+    ).orderBy("doc_id", "rec_no", "fname")
+
+
+@query(
     "q_multimodal_ogg_theora",
     oracle="""
     WITH d AS (
@@ -4483,12 +4699,13 @@ def q_multimodal_icns(spark, sf_dir):
     oracle="""
     WITH d AS (
       SELECT doc_id, text, n_chars, CAST(2 + doc_id % 3 AS INT) AS k,
-             CASE doc_id % 11 WHEN 0 THEN 'none' WHEN 1 THEN 'record'
+             CASE doc_id % 13 WHEN 0 THEN 'none' WHEN 1 THEN 'record'
                   WHEN 2 THEN 'block' WHEN 3 THEN 'record-snappy'
                   WHEN 4 THEN 'block-snappy' WHEN 5 THEN 'record-lz4'
                   WHEN 6 THEN 'block-lz4' WHEN 7 THEN 'record-gzip'
                   WHEN 8 THEN 'block-gzip' WHEN 9 THEN 'record-bzip2'
-                  ELSE 'block-bzip2' END AS compression
+                  WHEN 10 THEN 'block-bzip2' WHEN 11 THEN 'record-zstd'
+                  ELSE 'block-zstd' END AS compression
       FROM documents
       WHERE text IS NOT NULL AND length(text) > 0 AND doc_id % 8 < 4
     ), ent AS (
@@ -4540,11 +4757,12 @@ def q_seqfile_extract(spark, sf_dir):
     values carrying stride-31 formula bodies cycled from the doc's ONE
     64-byte base (record r a +7r byte rotation — the tfexample perf
     lesson, size 18 + (n_chars + 9r)%160, record 1 a zero-length
-    value), and the compression rotating over all ELEVEN layout×codec
-    forms by doc_id%11 (r17 — the block form per the r16 verdict's
-    missing #2, plus ALL FIVE public Hadoop codecs — Default/Gzip/
-    BZip2 as stream codecs, Snappy/Lz4 via the dependency-free raw
-    decoders under Hadoop's BlockCompressorStream framing): 'none'
+    value), and the compression rotating over all THIRTEEN layout×codec
+    forms by doc_id%13 (r17 block + five codecs; r18 adds
+    ZStandardCodec in both layouts via the RFC 8878 decoder — ALL SIX
+    public Hadoop codecs: Default/Gzip/BZip2/ZStandard as stream
+    codecs, Snappy/Lz4 via the dependency-free raw decoders under
+    Hadoop's BlockCompressorStream framing): 'none'
     and the 'record' codecs carry a sync escape every 2 records
     so the mid-stream 0xFFFFFFFF marker path is hashed; the 'block'
     codecs group 2 records per block through the four compressed
@@ -4570,9 +4788,9 @@ def q_seqfile_extract(spark, sf_dir):
 
     d = load_table(spark, sf_dir, "documents").where(
         F.col("text").isNotNull() & (F.length("text") > 0)
-        # half the corpus; the %11 layout-codec rotation, %4 key
+        # half the corpus; the %13 layout-codec rotation, %4 key
         # classes, and %3 record counts all survive doc%8<4
-        # (gcd(8,11)=1, so the slice's residues cover 0..10; idle
+        # (gcd(8,13)=1, so the slice's residues cover 0..12; idle
         # sf0.1 measurement in the commit, the standing trim ratchet)
         & (F.col("doc_id") % 8 < 4)
     )
@@ -4626,7 +4844,8 @@ def q_seqfile_extract(spark, sf_dir):
                 comp = ["none", "record", "block", "record-snappy",
                         "block-snappy", "record-lz4", "block-lz4",
                         "record-gzip", "block-gzip", "record-bzip2",
-                        "block-bzip2"][doc_id % 11]
+                        "block-bzip2", "record-zstd",
+                        "block-zstd"][doc_id % 13]
                 payloads.append(
                     encode_seqfile(
                         recs,
@@ -4801,8 +5020,9 @@ def q_cbor_extract(spark, sf_dir):
     oracle="""
     WITH d AS (
       SELECT doc_id, text, n_chars,
-             CASE (doc_id // 8) % 4 WHEN 0 THEN 'none' WHEN 1 THEN
-               'gzip' WHEN 2 THEN 'snappy' ELSE 'lz4' END AS codec,
+             CASE (doc_id // 8) % 5 WHEN 0 THEN 'none' WHEN 1 THEN
+               'gzip' WHEN 2 THEN 'snappy' WHEN 3 THEN 'lz4'
+               ELSE 'zstd' END AS codec,
              CAST(1 + doc_id % 2 AS INT) AS nb
       FROM documents
       WHERE text IS NOT NULL AND length(text) > 0 AND doc_id % 8 < 2
@@ -4884,11 +5104,12 @@ def q_cbor_extract(spark, sf_dir):
     """,
 )
 def q_kafka_extract(spark, sf_dir):
-    """Kafka RecordBatch v2 log segments under the driver hash (r17 —
-    the streaming-era ingestion capstone, functions/kafka.py: the
-    in-tree codec stack finally makes all four batch compressions
-    decodable — none, gzip, xerial-framed snappy, and the LZ4 frame —
-    rotated by (doc//8)%4 so every codec is hashed every round). Per
+    """Kafka RecordBatch v2 log segments under the driver hash (r17,
+    codec set grown r18 — the streaming-era ingestion capstone,
+    functions/kafka.py: the in-tree codec stack makes all FIVE batch
+    compressions decodable — none, gzip, xerial-framed snappy, the
+    LZ4 frame, and (r18) zstd via the RFC 8878 decoder — rotated by
+    (doc//8)%5 so every codec is hashed every round). Per
     document a real segment of 1 + doc%2 batches is muxed
     executor-side, each batch carrying 1 + (doc+b)%3 records with a
     NEGATIVE timestampDelta at r=0 (the zigzag sign path), Kafka's
@@ -4974,8 +5195,8 @@ def q_kafka_extract(spark, sf_dir):
                     })
                 payloads.append(encode_kafka_segment(
                     segs,
-                    codec=["none", "gzip", "snappy",
-                           "lz4"][(doc_id // 8) % 4],
+                    codec=["none", "gzip", "snappy", "lz4",
+                           "zstd"][(doc_id // 8) % 5],
                 ))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
@@ -5081,6 +5302,148 @@ def q_lz4_extract(spark, sf_dir):
         synth, schema="doc_id bigint, payload binary"
     )
     return read_lz4_content(lz).orderBy("doc_id")
+
+
+@query(
+    "q_zstd_extract",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, text, n_chars,
+             48 + (n_chars * 5) % 480 AS ln,
+             CASE WHEN doc_id % 4 = 1 THEN 64 + (n_chars % 3) * 64
+                  ELSE 0 END AS rl,
+             ascii(substr(text, 1, 1)) % 256 AS b0
+      FROM documents
+      WHERE text IS NOT NULL AND length(text) > 0 AND doc_id % 8 >= 6
+    ), b AS (
+      SELECT doc_id,
+             CASE WHEN g.i % 64 = 63 THEN 10
+                  ELSE ascii(substr(text,
+                    (((g.i % 64) * 67) % length(text)) + 1, 1)) % 256
+             END AS bb
+      FROM d, unnest(generate_series(0, CAST(ln - 1 AS BIGINT))) g(i)
+    ), s AS (
+      SELECT doc_id, CAST(sum(bb) AS BIGINT) AS fsum,
+             CAST(sum(CASE WHEN bb = 10 THEN 1 ELSE 0 END) AS BIGINT)
+               AS flines
+      FROM b GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(d.ln + d.rl AS BIGINT) AS n_bytes,
+           CAST(s.fsum + d.rl * d.b0 AS BIGINT) AS bsum,
+           CAST(s.fsum + d.rl * d.b0 AS DOUBLE) / (d.ln + d.rl)
+             AS mean_b,
+           CAST(s.flines + CASE WHEN d.b0 = 10 THEN d.rl ELSE 0 END
+                AS BIGINT) AS n_lines,
+           CAST(CASE WHEN d.doc_id % 4 = 3 THEN 2 ELSE 1 END AS INT)
+             AS n_frames,
+           d.doc_id % 4 IN (0, 3) AS all_ck,
+           CAST(CASE WHEN d.doc_id % 4 = 1 THEN -1 ELSE d.ln END
+                AS BIGINT) AS csize
+    FROM d JOIN s ON d.doc_id = s.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+def q_zstd_extract(spark, sf_dir):
+    """Zstandard shard decompression under the driver hash (r18 — the
+    compression modern LLM corpora actually ship in, functions/
+    zstd.py: RFC 8878 FSE + Huffman + sequences implemented
+    dependency-free and cross-verified bit-exact against libzstd in
+    the property suite). Per document the content is stride-67
+    formula bytes cycled from ONE 64-byte base whose last byte is
+    forced to 0x0A — every 64th byte a newline, the ``.jsonl.zst``
+    shard shape, with n_lines pinning the record count — length
+    48 + (n_chars*5)%480, and the WIRE FORM rotates by doc%4:
+    0 = the in-tree store writer (single-segment, content size +
+    xxh64 checksum); 1 = windowed checksum-less blocks of 64 with an
+    appended 64-192-byte run that the writer emits as real RLE
+    blocks; 2 = libzstd ITSELF via pyarrow at level 1/3/9/19 by
+    (doc//4)%4 — genuine FSE-compressed sequences and Huffman
+    literals under the driver hash; 3 = a multi-frame stream (two
+    checksummed frames split at ln//2 with an RFC 8878 skippable
+    frame between). read_zstd_content re-decodes every frame —
+    entropy framing must consume exactly, declared sizes and
+    checksums verified — and ships exact content stats plus the
+    stream's posture (frame count, all-checksummed flag, declared
+    size or -1); the oracle replays the byte arithmetic in SQL.
+    Scale shape: one scan, one doc_id exchange (_codec_parallel),
+    two fused Arrow stages; quarter population doc%8>=6 with the %4
+    wire-form rotation surviving (residues {6,7,14,15,...} cover
+    every case)."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    from polars_express_spark.functions.zstd import (
+        encode_zstd,
+        read_zstd_content,
+    )
+
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+        & (F.col("doc_id") % 8 >= 6)
+    )
+    bs = d.select(
+        "doc_id",
+        "n_chars",
+        F.expr(
+            "transform(sequence(0, 63),"
+            " j -> IF(j = 63, 10,"
+            " ascii(substring(text, ((j * 67) % length(text)) + 1,"
+            " 1)) % 256))"
+        ).alias("fs"),
+    )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as _s
+
+        import numpy as np
+
+        for pdf in batches:
+            payloads = []
+            for doc_id, n_chars, fs in zip(
+                pdf["doc_id"], pdf["n_chars"], pdf["fs"]
+            ):
+                doc_id, n_chars = int(doc_id), int(n_chars)
+                base_arr = np.array([int(x) for x in fs], dtype=np.uint8)
+                ln = 48 + (n_chars * 5) % 480
+                content = np.tile(
+                    base_arr, (ln + 63) // 64
+                )[:ln].tobytes()
+                strat = doc_id % 4
+                if strat == 0:
+                    blob = encode_zstd(content, single_segment=True,
+                                       checksum=True)
+                elif strat == 1:
+                    rl = 64 + (n_chars % 3) * 64
+                    blob = encode_zstd(
+                        content + bytes([content[0]]) * rl,
+                        block_size=64, content_size=False,
+                        checksum=False,
+                    )
+                elif strat == 2:
+                    import pyarrow as pa
+
+                    lvl = [1, 3, 9, 19][(doc_id // 4) % 4]
+                    blob = bytes(pa.Codec(
+                        "zstd", compression_level=lvl
+                    ).compress(content, asbytes=True))
+                else:
+                    h = ln // 2
+                    skip = _s.pack("<II", 0x184D2A50,
+                                   doc_id % 64) + b"m" * (doc_id % 64)
+                    blob = (encode_zstd(content[:h], single_segment=True,
+                                        checksum=True)
+                            + skip
+                            + encode_zstd(content[h:], content_size=True,
+                                          checksum=True))
+                payloads.append(blob)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    zs = _codec_parallel(bs).mapInPandas(
+        synth, schema="doc_id bigint, payload binary"
+    )
+    return read_zstd_content(zs).orderBy("doc_id")
 
 
 @query(

@@ -42,7 +42,43 @@ def query(name: str, oracle: str | None = None):
 # rounds 1-14: each CORRECTNESS_r* file has exactly 50 entries), so
 # with >50 registered queries some set is always outside the window.
 #
-# Round-17 priority (executing the rotation the r16 comment declared
+# Round-18 priority (executing the rotation the r17 comment declared
+# and the r17 verdict's item #1): r17 went 50/50 green; staleness
+# entering r18 is 41 r13-hash, 50 r14-hash, 48 r15-hash, 47 r16-hash,
+# 50 r17-hash (verified against the computed CORRECTNESS_r01-r17
+# ledger this session — every registered query also re-verified green
+# by this session's sf0.01 oracle-mirror run; the rotation is about
+# DRIVER evidence, not doubt). Window layout:
+#   slots 1-41  — the ENTIRE remaining r13 tier, alphabetical
+#                 (retires r13 evidence for good; declared last round
+#                 and held to);
+#   slots 42-44 — the 3 oldest r14-hash, alphabetical
+#                 (q10b_grouped_median, q18c_window_dist,
+#                 q20b_share_of_total);
+#   slots 45-50 — NEW or CHANGED this round (changed queries carry
+#                 driver evidence that no longer matches the code, so
+#                 they take tail slots exactly like never-checked
+#                 queries — the endorsed precedent); see the list's
+#                 own comment for what each adds.
+# Tier "next" (r19) = the 47 remaining r14-hash queries
+# (q23_union_distinct, q24_distinct_rows, q32_tumbling_window,
+# q33_sliding_window, q_approx_distinct, q_asof_forward,
+# q_asof_nearest, q_bloom_prune, q_bm25_rank, q_chunk_overlap,
+# q_cms_tokens, q_corr_matrix, q_embed_pca, q_from_json, q_map_fns,
+# q_multimodal_aiff, q_multimodal_au, q_multimodal_avi_audio,
+# q_multimodal_flac, q_multimodal_frames, q_multimodal_gif_anim,
+# q_multimodal_ico, q_multimodal_meta, q_multimodal_mp4,
+# q_multimodal_msadpcm, q_multimodal_netpbm, q_multimodal_qoi,
+# q_multimodal_tga, q_multimodal_tiff, q_multimodal_video,
+# q_multimodal_wavext, q_multimodal_webp, q_multimodal_webp_anim,
+# q_multimodal_y4m, q_multireg, q_pack_bins, q_pagerank,
+# q_perplexity, q_pivot, q_range_join, q_simhash,
+# q_stratified_sample, q_token_count, q_tpch_q10, q_tpch_q13,
+# q_tpch_q18, q_tpch_q22), then the r15 tier (alphabetical), with
+# new/changed queries taking tail slots first (the endorsed
+# precedent).
+#
+# Round-17 history (executing the rotation the r16 comment declared
 # and the r16 verdict's item #2): r16 went 50/50 green; staleness
 # entering r17 is 32 r12-hash, 50 r13-hash, 50 r14-hash, 50 r15-hash,
 # 50 r16-hash, 1 never-checked (q_avro_record, new this round) —
@@ -55,13 +91,15 @@ def query(name: str, oracle: str | None = None):
 #                 and held to);
 #   slots 33-41 — the 9 oldest r13-hash, alphabetical
 #                 (q03_regression_nullzero .. q18_window_rank);
-#   slots 42-50 — new or changed this round (see the list's own
-#                 comment): q_avro_record, q_cbor_extract,
-#                 q_kafka_extract, q_lz4_extract, q_msgpack_extract,
-#                 q_multimodal_mkv_audio, q_multimodal_mp3,
-#                 q_seqfile_extract, q_tfseq_extract (new queries take
-#                 tail slots first, displacing the r13 fill — the
-#                 endorsed precedent).
+#   slots 42-50 — new or changed that round: q_avro_record,
+#                 q_cbor_extract, q_kafka_extract, q_lz4_extract,
+#                 q_msgpack_extract, q_multimodal_mkv_audio,
+#                 q_multimodal_mp3, q_seqfile_extract (whose
+#                 layout-codec form rotates 11 ways by doc_id%11 —
+#                 none + {record,block}×{deflate,gzip,bzip2,snappy,
+#                 lz4} — after the post-wrap codec commits),
+#                 q_tfseq_extract (new queries take tail slots first,
+#                 displacing the r13 fill — the endorsed precedent).
 # Tier "next" (r18) = the 41 remaining r13-hash queries
 # (q18b_window_family, q19_window_lag, q20_running_sum,
 # q21_rolling_avg, q22_rollup, q22b_cube, q23_except, q23_intersect,
@@ -266,56 +304,44 @@ def query(name: str, oracle: str | None = None):
 # (alphabetical from q21b_range_frame through the r11 wave), then the
 # r12 tier.
 _PRIORITY = [
-    # slots 1-32 — the ENTIRE remaining r12 tier, alphabetical
-    # (retires r12 evidence for good; declared last round and verified
-    # against the computed CORRECTNESS_r01-r16 ledger this session)
-    "q27_dates", "q28_math", "q29_arrays", "q30_json", "q31_nulls",
-    "q34_exact_dedup", "q35_cosine_topk", "q36_token_counts",
-    "q37_json_sink", "q38_write_roundtrip", "q_ab_ztest", "q_ann_ivf",
-    "q_ann_ivfpq", "q_ann_pq", "q_benford", "q_chi2", "q_control_chart",
-    "q_multimodal_gif", "q_multimodal_jpeg", "q_multimodal_mulaw",
-    "q_rare_tokens", "q_retention", "q_rfm", "q_skew_profile",
-    "q_skyline", "q_snapshot_diff", "q_streaks", "q_text_search",
-    "q_train_split", "q_transitions", "q_unicode_norm",
-    "q_weighted_sample",
-    # slots 33-41 — the 9 oldest r13-hash, alphabetical
-    "q03_regression_nullzero", "q04_regression_sql",
-    "q04b_grouped_regression", "q08_tpch_q1", "q09_count_distinct",
-    "q10_stats", "q10c_higher_moments", "q11_corr_cov",
-    "q18_window_rank",
-    # slots 42-50 — NEW or CHANGED this round (changed queries carry
+    # slots 1-41 — the ENTIRE remaining r13 tier, alphabetical
+    # (retires r13 evidence for good; declared last round and verified
+    # against the computed CORRECTNESS_r01-r17 ledger this session)
+    "q18b_window_family", "q19_window_lag", "q20_running_sum",
+    "q21_rolling_avg", "q22_rollup", "q22b_cube", "q23_except",
+    "q23_intersect", "q23_union_all", "q_ann_lsh", "q_asof_join",
+    "q_decontaminate", "q_dedup_canonical", "q_domain_mix",
+    "q_e2e_curation", "q_embed_neardup", "q_ewma", "q_fingerprint",
+    "q_kcore", "q_lang_id", "q_lev_verify", "q_lpa_communities",
+    "q_market_basket", "q_minhash_lsh", "q_multimodal_alaw",
+    "q_multimodal_bmp", "q_multimodal_pixels",
+    "q_multimodal_png_subbyte", "q_neardup_clusters",
+    "q_ngram_jaccard", "q_pseudonymize", "q_quality_score",
+    "q_quantize_int8", "q_redact_pii", "q_repetition",
+    "q_rolling_median", "q_sql_surface", "q_token_entropy",
+    "q_tokenize_ids", "q_url_canonical", "q_zipf_fit",
+    # slots 42-44 — the 3 oldest r14-hash, alphabetical
+    "q10b_grouped_median", "q18c_window_dist", "q20b_share_of_total",
+    # slots 45-50 — NEW or CHANGED this round (changed queries carry
     # driver evidence that no longer matches the code, so they take
     # tail slots exactly like never-checked queries — the endorsed
-    # precedent): q_avro_record (NEW — the record-schema datum reader:
-    # all seven flat-primitive field types decoded from the
-    # container's own metadata JSON, long format, every field formula
-    # replayed by the oracle), q_cbor_extract (CHANGED — indefinite
-    # forms §3.2 on odd docs + tags 0/1 as created/ts_epoch columns),
-    # q_msgpack_extract (CHANGED — the spec-defined timestamp ext -1
-    # in all three layouts as ts_sec/ts_nsec), q_multimodal_mkv_audio
-    # (CHANGED — the (doc//8) parity residue re-codes the samples as
-    # an A_FLAC track: the flac.py CRC/MD5 chain under the EBML
-    # demux), q_multimodal_mp3 (CHANGED — the doc%8==6 residue writes
-    # v2.3 UNSYNCHRONISED ID3 with a 0xFF title byte, un-escape
-    # value-pinned), q_seqfile_extract (CHANGED — the compression
-    # layout rotates none/record/BLOCK by doc%3; block = the
-    # four-buffer-group Hadoop layout, compression column now the
-    # parsed layout string)
-    # q_tfseq_extract (NEW — tf.SequenceExample, the second fixed
-    # public TF training format: context Features + per-step
-    # FeatureLists under the TFRecord CRCs, both proto3 layouts,
-    # every step payload oracle-replayed)
-    # q_lz4_extract (NEW — the LZ4 frame tier: in-tree xxHash32 pinned
-    # against reference vectors, multi-block frames, per-block and
-    # whole-content checksum layers verified, stored and compressed
-    # block forms), q_kafka_extract (NEW — Kafka RecordBatch v2 log
-    # segments: CRC-32C over attributes..end verified per batch, all
-    # four compressions — none/gzip/xerial-snappy/LZ4-frame — by
-    # (doc//8)%4, zigzag varints with negative timestamp deltas,
-    # null-key/value tombstones, header grammar)
-    "q_avro_record", "q_cbor_extract", "q_kafka_extract",
-    "q_lz4_extract", "q_msgpack_extract", "q_multimodal_mkv_audio",
-    "q_multimodal_mp3", "q_seqfile_extract", "q_tfseq_extract",
+    # precedent): q_zstd_extract (NEW — the dependency-free RFC 8878
+    # Zstandard decoder: FSE + Huffman + sequences with all three
+    # literals/seq modes, repeat offsets, the frame xxh64-low32
+    # checksum honored, cross-verified against pyarrow's libzstd),
+    # q_avro_nested (NEW — Avro complex types: arrays, maps, enums,
+    # fixed, and nested records decoded from the container's own
+    # schema JSON), q_kafka_extract (CHANGED — codec rotation grows
+    # to (doc//8)%5 adding zstd, the last RecordBatch v2 compression),
+    # q_seqfile_extract (CHANGED — the rotation grows to doc_id%13
+    # adding record×zstd and block×zstd ZStandardCodec forms),
+    # q_warc_extract (CHANGED — response bodies now de-chunk
+    # Transfer-Encoding: chunked and inflate Content-Encoding: gzip
+    # behind the capped guard; body stats are decoded-body stats),
+    # q_tar_extract (CHANGED — pax extended headers and GNU 'L'
+    # long-name members resolve >100-char paths)
+    "q_zstd_extract", "q_avro_nested", "q_kafka_extract",
+    "q_seqfile_extract", "q_warc_extract", "q_tar_extract",
 ]
 
 

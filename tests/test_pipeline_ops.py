@@ -3812,6 +3812,58 @@ def test_warc_extraction_operator(spark):
         read_warc_records(dfb).collect()
 
 
+def test_zstd_extraction_operator(spark):
+    """r18 — read_zstd_content: one .zst payload row (single frame,
+    libzstd frame, or multi-frame stream with a skippable frame) →
+    one stats row with the stream's verified posture (frame count,
+    all-checksummed flag, declared size or -1); a corrupted
+    checksummed frame raises rather than shipping altered content."""
+    import struct
+
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+
+    from polars_express_spark.functions.zstd import (
+        encode_zstd,
+        read_zstd_content,
+    )
+
+    rng = np.random.RandomState(5)
+    c0 = rng.bytes(300) + b"\n" + rng.bytes(50)
+    c1 = bytes(rng.randint(0, 4, size=4000, dtype=np.uint8))
+    w0 = encode_zstd(c0, single_segment=True, checksum=True)
+    w1 = bytes(pa.Codec("zstd").compress(c1, asbytes=True))
+    skip = struct.pack("<II", 0x184D2A51, 2) + b"xy"
+    w2 = (encode_zstd(c0, checksum=True, content_size=True) + skip
+          + encode_zstd(c1, checksum=True, content_size=True))
+    df = spark.createDataFrame(
+        [(1, bytearray(w0)), (2, bytearray(w1)), (3, bytearray(w2))],
+        "doc_id long, payload binary",
+    )
+    got = {r["doc_id"]: r for r in read_zstd_content(df).collect()}
+    a0 = np.frombuffer(c0, dtype=np.uint8)
+    a1 = np.frombuffer(c1, dtype=np.uint8)
+    assert got[1]["n_bytes"] == len(c0)
+    assert got[1]["bsum"] == int(a0.astype(np.int64).sum())
+    assert got[1]["n_lines"] == int((a0 == 10).sum())
+    assert got[1]["n_frames"] == 1 and got[1]["all_ck"] is True
+    assert got[1]["csize"] == len(c0)
+    assert got[2]["n_bytes"] == len(c1) and got[2]["all_ck"] is False
+    assert got[3]["n_bytes"] == len(c0) + len(c1)
+    assert got[3]["n_frames"] == 2 and got[3]["all_ck"] is True
+    assert got[3]["csize"] == len(c0) + len(c1)
+    assert got[3]["bsum"] == int(a0.astype(np.int64).sum()) + int(
+        a1.astype(np.int64).sum())
+
+    bad = bytearray(w0)
+    bad[-10] ^= 0x40
+    dfb = spark.createDataFrame([(9, bytes(bad))],
+                                "doc_id long, payload binary")
+    with pytest.raises(Exception, match="corrupt|out-of-envelope"):
+        read_zstd_content(dfb).collect()
+
+
 def test_mp3_metadata_operator_and_gate(spark):
     """r15 — decode_mp3_meta ships the frame-chain metadata (the audio
     twin of the JPEG SOF walk); decode_audio_samples refuses bare MP3

@@ -1507,6 +1507,10 @@ def test_parsers_never_crash_on_corrupt_payloads(seed, kind):
         parse_lz4_frame,
     )
     from polars_express_spark.functions.kafka import parse_kafka_segment
+    from polars_express_spark.functions.zstd import (
+        decode_zstd,
+        parse_zstd_frame,
+    )
     from polars_express_spark.functions.tar import parse_tar
     from polars_express_spark.functions.tfrecord import parse_tfrecord
     from polars_express_spark.functions.ziparc import parse_zip
@@ -1528,7 +1532,7 @@ def test_parsers_never_crash_on_corrupt_payloads(seed, kind):
                parse_cbor, parse_msgpack, parse_exif, parse_png_exif,
                parse_webp_exif, decompress_snappy,
                decompress_lz4_block, parse_lz4_frame,
-               parse_kafka_segment]
+               parse_kafka_segment, parse_zstd_frame, decode_zstd]
     if kind == 0:  # magic-prefixed garbage through every parser
         magics = [b"\x89PNG\r\n\x1a\n", b"BM", b"GIF89a", b"P1", b"P2",
                   b"P3", b"P4", b"P5", b"P6", b"RIFF", b"RIFF\x80\x00\x00\x00AVI ",
@@ -1557,6 +1561,9 @@ def test_parsers_never_crash_on_corrupt_payloads(seed, kind):
                   b"SEQ\x06", b"SEQ\x06\x22org.apache.hadoop.io.Text",
                   b"\x9f", b"\xbf", b"\x82\x01", b"\xa2\x61a", b"\xfb",
                   b"BZh", b"BZh91AY&SY", b"\xfd7zXZ\x00",
+                  b"\x28\xb5\x2f\xfd", b"\x28\xb5\x2f\xfd\x20\x0a",
+                  b"\x28\xb5\x2f\xfd\x60\x00\x02",
+                  b"\x50\x2a\x4d\x18\x04\x00\x00\x00",
                   b"\xfd7zXZ\x00\x00\x04\xe6\xd6\xb4F",
                   b"PK\x06\x06", b"PK\x06\x07",
                   b"PK\x06\x07" + b"\x00" * 16
@@ -2981,6 +2988,132 @@ def test_lz4_roundtrip_and_frame_integrity(blobs, run_len, block_size,
         b[i] ^= 1 << int(rng.randint(0, 8))
         parse_lz4_frame(bytes(b))
         b = bytearray(frame)
+
+
+@given(
+    kind=st.integers(0, 5),
+    n=st.integers(0, 60000),
+    level=st.sampled_from([1, 3, 9, 19]),
+    single=st.booleans(),
+    cs=st.booleans(),
+    ck=st.booleans(),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=60, deadline=None)
+def test_zstd_decode_against_libzstd(kind, n, level, single, cs, ck,
+                                     seed):
+    """r18 — the dependency-free RFC 8878 Zstandard decoder
+    (functions/zstd.py): frames produced by LIBZSTD ITSELF (pyarrow's
+    bundled codec, levels 1-19) decode bit-exactly across entropy
+    profiles — random, English-ish, low-entropy, runs, zipf,
+    repeated-record — exercising FSE-compressed sequence tables,
+    Huffman literals (1- and 4-stream), repeat modes, treeless
+    blocks, repeat offsets, and multi-block windows; our store/RLE
+    writer twin round-trips under every header-flag combination;
+    checksummed frames DETECT every flip; multi-frame streams with
+    skippable frames concatenate; truncation and garbage never
+    crash. xxh64 is pinned against the canonical empty vector and
+    the frame checksum is its low 32 bits."""
+    import random as _random
+    import struct as _s
+
+    import numpy as np
+    import pyarrow as pa
+
+    from polars_express_spark.functions.zstd import (
+        decode_zstd,
+        encode_zstd,
+        parse_zstd_frame,
+        parse_zstd_stream,
+        xxh64,
+    )
+
+    assert xxh64(b"") == 0xEF46DB3751D8E999
+
+    rng = _random.Random(seed)
+    if kind == 0:
+        data = bytes(rng.randrange(256) for _ in range(min(n, 3000)))
+    elif kind == 1:
+        data = (b"the quick brown fox jumps over the lazy dog "
+                * (n // 40 + 1))[:n]
+    elif kind == 2:
+        data = bytes(rng.randrange(4) for _ in range(min(n, 20000)))
+    elif kind == 3:
+        data = b"A" * n
+    elif kind == 4:
+        data = bytes(np.random.RandomState(seed).zipf(
+            1.5, min(n, 20000)).astype(np.uint8))
+    else:
+        rec = bytes(rng.randrange(256)
+                    for _ in range(rng.randrange(5, 500)))
+        data = (rec * (n // len(rec) + 1))[:n]
+
+    comp = bytes(pa.Codec("zstd", compression_level=level).compress(
+        data, asbytes=True))
+    got = parse_zstd_frame(comp)
+    assert got is not None and got[0] == data
+
+    # writer twin across the header-flag grid
+    f = encode_zstd(data[:5000], block_size=rng.choice([64, 1024, 65536]),
+                    content_size=cs, checksum=ck, single_segment=single)
+    r = parse_zstd_frame(f)
+    assert r is not None and r[0] == data[:5000]
+    assert r[1]["checksum"] == ck
+    assert r[1]["single_segment"] == single
+    if single or cs:
+        assert r[1]["content_size"] == len(data[:5000])
+
+    # checksummed frames: every flip detected (or content identical)
+    if ck and len(data) >= 8:
+        for _ in range(10):
+            i = rng.randrange(len(f))
+            b2 = bytearray(f)
+            b2[i] ^= 1 << rng.randrange(8)
+            r2 = parse_zstd_frame(bytes(b2))
+            assert r2 is None or r2[0] == data[:5000]
+
+    # multi-frame stream + skippable frame
+    skip = _s.pack("<II", 0x184D2A50 + rng.randrange(16), 4) + b"meta"
+    stream = f + skip + comp
+    r3 = parse_zstd_stream(stream)
+    assert r3 is not None and r3[0] == data[:5000] + data
+    assert len(r3[1]) == 2
+    assert decode_zstd(stream) == data[:5000] + data
+    assert decode_zstd(stream + b"x") is None
+    assert decode_zstd(skip) is None  # zero data frames
+    # truncation/garbage never crash
+    for k in range(0, len(comp), max(1, len(comp) // 40)):
+        parse_zstd_frame(comp[:k])
+    for _ in range(40):
+        blob = bytes(rng.randrange(256) for _ in range(rng.randrange(60)))
+        parse_zstd_frame(blob)
+        decode_zstd(comp[:4] + blob)
+
+
+def test_zstd_xxh64_matches_spark_jvm(spark):
+    """r18 — the in-tree xxh64 against a second, independent
+    implementation: Spark's JVM ``xxhash64`` expression (seed 42)
+    over random byte strings. Two implementations agreeing on
+    arbitrary inputs pins the algorithm, not just one vector."""
+    import random as _random
+
+    from pyspark.sql import functions as SF
+
+    from polars_express_spark.functions.zstd import xxh64
+
+    rng = _random.Random(7)
+    blobs = [bytes(rng.randrange(256) for _ in range(ln))
+             for ln in [0, 1, 3, 4, 7, 8, 15, 16, 31, 32, 33, 63, 100,
+                        1000]]
+    df = spark.createDataFrame(
+        [(i, bytearray(b)) for i, b in enumerate(blobs)], "i int, b binary"
+    ).select("i", SF.xxhash64("b").alias("h"))
+    got = {r["i"]: r["h"] for r in df.collect()}
+    for i, b in enumerate(blobs):
+        want = xxh64(b, seed=42)
+        if want >= 1 << 63:
+            want -= 1 << 64  # Spark returns a signed long
+        assert got[i] == want, (i, len(b))
 
 
 def test_lz4_linked_frames_and_bd_max():
