@@ -14,11 +14,14 @@ for a training pipeline after WARC itself). Pure struct math over the
   structurally undetectable: tar sits on the unchecksummed side of the
   §2.10 integrity asymmetry, exactly like plain WARC), extracts
   regular-file members, skips directory entries, and requires the
-  terminating zero blocks. A leading gzip magic routes through the
-  capped multi-member gunzip (.tar.gz — the warc tier's machinery).
-- Out of envelope (None, never a guess): GNU long-name/long-link
-  entries, pax extended headers, base-256 numeric fields, link/device
-  typeflags, truncation anywhere.
+  terminating zero blocks. Leading gzip/bzip2/xz/zstd magics route
+  through the capped decompressors (.tar.gz/.tar.bz2/.tar.xz/.tar.zst).
+- r18: pax extended headers ('x' per-file, 'g' global — path/size
+  keywords) and GNU 'L' long-name members resolve; >100-char paths
+  round-trip both ways against stdlib tarfile's GNU and PAX formats.
+- Out of envelope (None, never a guess): 'K' long-link entries,
+  base-256 numeric fields, link/device typeflags, truncation
+  anywhere.
 - encode_tar is the independent writer twin; the property suite
   cross-verifies BOTH WAYS against the stdlib tarfile module.
 - read_tar_entries explodes one archive row into one row per member
@@ -142,8 +145,10 @@ def parse_tar(payload: bytes):
     regular-file members, or None. Every header checksum is verified;
     the archive must end with two zero blocks (truncation is
     corruption). Accepts gzip- (.tar.gz), bzip2- (.tar.bz2, r16), and
-    xz-wrapped (.tar.xz, r16) streams via capped decompressors — all
-    three wrappers carry their own checksums, so compressed-shard
+    xz-wrapped (.tar.xz, r16) and zstd-wrapped (.tar.zst, r18 — the
+    wrapper modern dataset shards actually ship in) streams via capped
+    decompressors — gzip/bzip2/xz carry their own checksums and our
+    .tar.zst writer arms the xxh64 frame checksum, so compressed-shard
     corruption is detected even though bare tar member data is
     unchecksummed by spec.
 
@@ -170,6 +175,16 @@ def parse_tar(payload: bytes):
             return None
     elif payload[:6] == b"\xfd7zXZ\x00":
         payload = _unxz_capped(payload)
+        if payload is None:
+            return None
+    elif payload[:4] == b"\x28\xb5\x2f\xfd":
+        # .tar.zst (r18): a zstd stream (multi-frame + skippables OK)
+        # through the RFC 8878 decoder's shared cap; checksummed
+        # frames detect flips, checksum-free ones detect most
+        # structurally (functions/zstd.py)
+        from polars_express_spark.functions.zstd import decode_zstd
+
+        payload = decode_zstd(payload, _MAX_DECOMP)
         if payload is None:
             return None
     out = []
@@ -299,8 +314,10 @@ def encode_tar(
     ...]; 512-byte headers with correct checksums, data padded to
     block size, two terminating zero blocks; optionally wrapped as
     .tar.gz (``gzip_wrap`` or compression='gz'), .tar.bz2
-    (compression='bz2', r16), or .tar.xz (compression='xz', r16 —
-    written with the CRC-64 check, the xz default). Names longer than
+    (compression='bz2', r16), .tar.xz (compression='xz', r16 —
+    written with the CRC-64 check, the xz default), or .tar.zst
+    (compression='zst', r18 — a checksummed store/RLE zstd frame from
+    functions/zstd.py). Names longer than
     the 100-byte ustar field follow ``long_names`` (r18): 'gnu'
     emits a GNU 'L' member ('././@LongLink', NUL-terminated name),
     'pax' emits an 'x' extended header with the path record, 'error'
@@ -309,8 +326,8 @@ def encode_tar(
         raise ValueError("gzip_wrap conflicts with compression")
     if gzip_wrap:
         compression = "gz"
-    if compression not in (None, "gz", "bz2", "xz"):
-        raise ValueError("compression must be gz, bz2, or xz")
+    if compression not in (None, "gz", "bz2", "xz", "zst"):
+        raise ValueError("compression must be gz, bz2, xz, or zst")
     if long_names not in ("error", "gnu", "pax"):
         raise ValueError("long_names must be 'error', 'gnu', or 'pax'")
     out = bytearray()
@@ -343,6 +360,10 @@ def encode_tar(
         return lzma.compress(
             bytes(out), format=lzma.FORMAT_XZ, check=lzma.CHECK_CRC64
         )
+    if compression == "zst":
+        from polars_express_spark.functions.zstd import encode_zstd
+
+        return encode_zstd(bytes(out), checksum=True)
     return bytes(out)
 
 

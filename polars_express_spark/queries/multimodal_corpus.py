@@ -3392,8 +3392,10 @@ def q_tar_extract(spark, sf_dir):
     executor-side — 1 + doc_id%3 members shard/{doc}/{e}.bin with
     stride-21 formula bodies cycled from 64-byte bases (entry e
     phasing the stride, size 30 + (n_chars + 13e)%150, exercising
-    block padding at every residue) — gzip-wrapped (.tar.gz, through
-    the capped inflate) for odd docs and bare for even. r18: entries
+    block padding at every residue) — the shard wrapper rotating
+    bare / .tar.gz (capped inflate) / bare / .tar.zst (r18 — the
+    checksummed RFC 8878 stream through functions/zstd.py) by doc%4.
+    r18: entries
     with (doc+e)%3==2 take a 130+-char deep/ppp.../ path that
     overflows the 100-byte ustar name field, emitted as a GNU 'L'
     long-name member for doc%4<2 and a pax 'x' extended header
@@ -3457,7 +3459,9 @@ def q_tar_extract(spark, sf_dir):
                          np.tile(arr, (ln + 63) // 64)[:ln].tobytes())
                     )
                 payloads.append(
-                    encode_tar(entries, gzip_wrap=doc_id % 2 == 1,
+                    encode_tar(entries,
+                               compression=[None, "gz", None,
+                                            "zst"][doc_id % 4],
                                long_names="gnu" if doc_id % 4 < 2
                                else "pax")
                 )

@@ -2523,7 +2523,7 @@ def test_zip_roundtrip_and_stdlib_cross(k, method, z64, sizes, seed):
 
 @given(
     k=st.integers(0, 5),
-    comp=st.sampled_from([None, "gz", "bz2", "xz"]),
+    comp=st.sampled_from([None, "gz", "bz2", "xz", "zst"]),
     sizes=st.lists(st.integers(0, 1200), min_size=0, max_size=5),
     seed=st.integers(0, 2**31 - 1),
 )
@@ -2557,16 +2557,19 @@ def test_tar_roundtrip_and_stdlib_cross(k, comp, sizes, seed):
     assert got is not None
     assert [(g[0], g[2]) for g in got] == entries
     assert all(g[1] == len(g[2]) for g in got)
-    # our writer -> stdlib reader
-    mode = f"r:{comp}" if comp else "r:"
-    tf = tarfile.open(fileobj=io.BytesIO(enc), mode=mode)
-    assert [
-        (m.name, tf.extractfile(m).read()) for m in tf.getmembers()
-    ] == entries
+    # our writer -> stdlib reader (.tar.zst has no stdlib twin — its
+    # round-trip and flip contract are covered by the zstd suite)
+    if comp != "zst":
+        mode = f"r:{comp}" if comp else "r:"
+        tf = tarfile.open(fileobj=io.BytesIO(enc), mode=mode)
+        assert [
+            (m.name, tf.extractfile(m).read()) for m in tf.getmembers()
+        ] == entries
     # stdlib writer -> our reader (ustar format, no PAX)
+    std_comp = None if comp == "zst" else comp
     buf = io.BytesIO()
     with tarfile.open(
-        fileobj=buf, mode=f"w:{comp}" if comp else "w:",
+        fileobj=buf, mode=f"w:{std_comp}" if std_comp else "w:",
         format=tarfile.USTAR_FORMAT,
     ) as w:
         for n_, d_ in entries:
