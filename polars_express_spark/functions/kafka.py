@@ -26,22 +26,37 @@ inflate), 2 snappy in the xerial snappy-java stream framing
 (b"\\x82SNAPPY\\x00" magic, two u32be version ints, then u32be-length-
 prefixed raw-Snappy chunks — the framing every JVM Kafka producer
 writes), 3 lz4 (the standard LZ4 FRAME — v2 batches use the correct
-frame header checksum; the magic<2 "broken HC" quirk is a legacy
-message-set issue and out of envelope with them), 4 zstd (r18 — the
-RFC 8878 decoder of functions/zstd.py, multi-frame streams accepted).
-Codecs ride functions/snappy.py, functions/lz4.py, functions/zstd.py.
+frame header checksum), 4 zstd (r18 — the RFC 8878 decoder of
+functions/zstd.py, multi-frame streams accepted). Codecs ride
+functions/snappy.py, functions/lz4.py, functions/zstd.py.
+
+r18 also parses the LEGACY message sets (magic 0 and 1 — archived
+pre-0.11 topics in long-lived lakes): flat [offset i64be |
+messageSize i32be | message] entries whose message is [crc u32be
+(IEEE CRC-32 over magic..end, verified) | magic u8 | attributes u8 |
+timestamp i64be (magic 1) | keyLen i32be (-1 null) | key |
+valueLen i32be | value]; compressed sets are a wrapper message whose
+value nests another set (magic 1: relative inner offsets anchored at
+the wrapper's; magic 0: as stored; wrappers may not nest), with
+codecs none/gzip/xerial-snappy/lz4 — including KIP-57's magic-0
+'broken HC' lz4 frames, whose header checksum pre-0.10 producers
+computed over the magic bytes + descriptor (accepted by HC rewrite;
+encode_kafka_legacy_set writes that form for magic 0 so the quirk
+round-trips). Dispatch keys on the magic byte at entry offset 16,
+shared by both layouts — exactly how Kafka's own log layer does it.
 
 Integrity: the CRC-32C (the same Castagnoli table as the TFRecord
 tier) covers EVERYTHING from attributes to the end of the batch, so
 every bit flip in a batch body is DETECTED — the strongest posture in
 the ingestion family, and exactly why consumers can resume mid-
 segment: batchLength + the CRC are the format's own splittability
-convention. Strictness: magic must be 2, recordCount must match the
+convention. Strictness: magic must be 0/1/2, v2 recordCount must match the
 decoded records exactly, every record's length varint must consume
 exactly, offsetDelta/timestampDelta monotonicity is NOT assumed (the
 spec allows gaps), trailing bytes reject.
 
-encode_kafka_segment is the independent writer twin.
+encode_kafka_segment / encode_kafka_legacy_set are the independent
+writer twins.
 
 Reference parity anchor: extends the reference's CSV-only ingest
 (reference src/main.rs:41-52) like the other §2.10 ingestion tiers.
@@ -165,16 +180,179 @@ def _decompress_records(codec: int, raw: bytes):
     return None  # codecs 5-7 are unassigned by the protocol
 
 
+def _legacy_decompress(codec: int, raw: bytes, magic: int):
+    """Legacy wrapper-message value → the nested message set bytes.
+    Codecs 1-3 as in v2 (zstd never existed for legacy sets). For
+    magic 0 + lz4, accept KIP-57's 'broken HC' frames — pre-0.10
+    producers computed the LZ4 frame header checksum over the MAGIC
+    BYTES + descriptor; detect that form and rewrite the byte to the
+    spec value so the strict frame parser still verifies everything
+    else."""
+    if codec == 1:
+        d = zlib.decompressobj(wbits=31)
+        try:
+            data = d.decompress(raw, _MAX_INFLATE + 1)
+        except zlib.error:
+            return None
+        if (len(data) > _MAX_INFLATE or not d.eof or d.unconsumed_tail
+                or d.unused_data):
+            return None
+        return data
+    if codec == 2:
+        return _xerial_decode(raw, _MAX_INFLATE)
+    if codec == 3:
+        from polars_express_spark.functions.lz4 import (
+            parse_lz4_frame,
+            xxh32,
+        )
+
+        blob = raw
+        if magic == 0 and len(raw) >= 7:
+            flg = raw[4]
+            desc_len = 2 + (8 if flg & 0x08 else 0)
+            hc_pos = 4 + desc_len
+            if hc_pos < len(raw):
+                broken = (xxh32(raw[0 : 4 + desc_len]) >> 8) & 0xFF
+                correct = (xxh32(raw[4 : 4 + desc_len]) >> 8) & 0xFF
+                if raw[hc_pos] == broken and broken != correct:
+                    blob = (raw[:hc_pos] + bytes([correct])
+                            + raw[hc_pos + 1 :])
+        r = parse_lz4_frame(blob, _MAX_INFLATE)
+        return None if r is None else r[0]
+    return None
+
+
+def _parse_legacy_entries(data: bytes, depth: int = 0):
+    """One legacy (magic 0/1) message set → a list of (abs_offset,
+    timestamp, key, value) tuples or None. Entries are
+    [offset i64be | messageSize i32be | message]; the message CRC-32
+    (IEEE, over magic..end) is verified — every flip in a message
+    body is DETECTED — and each message must consume its size
+    exactly. A compressed wrapper's value holds a nested set: magic 1
+    stores RELATIVE inner offsets (the wrapper carries the last
+    message's absolute offset), magic 0 stores them as written;
+    wrappers may not nest."""
+    out = []
+    pos = 0
+    n = len(data)
+    while pos < n:
+        if pos + 12 > n:
+            return None
+        off, msize = struct.unpack_from(">qi", data, pos)
+        if msize < 6 or pos + 12 + msize > n:
+            return None
+        msg = data[pos + 12 : pos + 12 + msize]
+        pos += 12 + msize
+        (crc,) = struct.unpack_from(">I", msg, 0)
+        if zlib.crc32(msg[4:]) != crc:
+            return None  # every flip in a message: DETECTED
+        magic = msg[4]
+        if magic not in (0, 1):
+            return None
+        attrs = msg[5]
+        if attrs & 0xF0 or (magic == 0 and attrs & 0x08):
+            return None  # reserved bits (bit 3 = timestampType, v1)
+        p = 6
+        ts = -1
+        if magic == 1:
+            if p + 8 > len(msg):
+                return None
+            (ts,) = struct.unpack_from(">q", msg, p)
+            p += 8
+        vals = []
+        for _ in range(2):
+            if p + 4 > len(msg):
+                return None
+            (ln,) = struct.unpack_from(">i", msg, p)
+            p += 4
+            if ln == -1:
+                vals.append(None)
+                continue
+            if ln < 0 or ln > len(msg) - p:
+                return None
+            vals.append(msg[p : p + ln])
+            p += ln
+        if p != len(msg):
+            return None  # a message must consume its size exactly
+        key, value = vals
+        codec = attrs & 0x7
+        if codec == 0:
+            out.append((off, ts, key, value))
+            continue
+        if depth or value is None:
+            return None  # wrappers may not nest; need a payload
+        inner_raw = _legacy_decompress(codec, value, magic)
+        if inner_raw is None:
+            return None
+        inner = _parse_legacy_entries(inner_raw, depth + 1)
+        if not inner:
+            return None
+        if magic == 1:  # relative offsets, anchored at the wrapper's
+            last_rel = inner[-1][0]
+            inner = [(off - (last_rel - rel), its, ik, iv)
+                     for rel, its, ik, iv in inner]
+        out.extend(inner)
+    return out
+
+
+def _parse_legacy_batch(payload: bytes, pos: int):
+    """One top-level legacy entry at ``pos`` → (batch dict, end_pos)
+    or None. A plain message becomes a one-record batch; a compressed
+    wrapper's nested set becomes that batch's records (the pre-0.11
+    analog of a RecordBatch). producer_id is -1 (the field did not
+    exist), base_timestamp follows the first record (-1 for magic 0,
+    which carries no timestamps)."""
+    n = len(payload)
+    if pos + 18 > n:
+        return None
+    off, msize = struct.unpack_from(">qi", payload, pos)
+    if msize < 6 or pos + 12 + msize > n:
+        return None
+    end = pos + 12 + msize
+    entry = payload[pos:end]
+    recs = _parse_legacy_entries(entry)
+    if not recs:
+        return None
+    magic = entry[16]
+    codec_bits = entry[17] & 0x7
+    records = [
+        {"offset": o, "timestamp": t, "key": k, "value": v,
+         "headers": []}
+        for o, t, k, v in recs
+    ]
+    return {
+        "base_offset": records[0]["offset"],
+        "producer_id": -1,
+        "base_timestamp": records[0]["timestamp"],
+        "codec": ["none", "gzip", "snappy", "lz4"][codec_bits],
+        "transactional": False,
+        "control": False,
+        "magic": magic,
+        "records": records,
+    }, end
+
+
 def parse_kafka_segment(payload: bytes):
     """REAL Kafka log-segment parse: returns a list of batch dicts —
     {"base_offset", "producer_id", "base_timestamp", "codec"
     ('none'/'gzip'/'snappy'/'lz4'/'zstd'), "transactional", "control",
-    "records": [{"offset", "timestamp", "key" (bytes|None), "value"
-    (bytes|None), "headers": [(str, bytes|None), ...]}, ...]} — or
-    None. Every batch's magic, CRC-32C (attributes through the end),
-    batchLength, and recordCount are verified; record and header
-    varint framing must consume exactly; header keys must be UTF-8;
-    truncation and trailing bytes reject."""
+    "magic" (2, or 0/1 for legacy sets), "records": [{"offset",
+    "timestamp", "key" (bytes|None), "value" (bytes|None), "headers":
+    [(str, bytes|None), ...]}, ...]} — or None. Every batch's magic,
+    CRC-32C (attributes through the end), batchLength, and
+    recordCount are verified; record and header varint framing must
+    consume exactly; header keys must be UTF-8; truncation and
+    trailing bytes reject.
+
+    r18: LEGACY message sets (magic 0/1 — archived pre-0.11 topics in
+    long-lived lakes) parse alongside v2 batches: both layouts carry
+    the magic byte at entry offset 16, which is exactly how Kafka's
+    own log layer dispatches. Each top-level legacy entry becomes a
+    batch (a compressed wrapper's nested set supplies its records,
+    with magic 1's RELATIVE inner offsets reconstructed from the
+    wrapper offset and magic 0's taken as stored); per-message IEEE
+    CRC-32s are verified, and the magic-0 lz4 'broken HC' quirk
+    (KIP-57) is accepted by HC rewrite."""
     if not isinstance(payload, (bytes, bytearray, memoryview)):
         return None
     payload = bytes(payload)
@@ -182,6 +360,15 @@ def parse_kafka_segment(payload: bytes):
     batches = []
     pos = 0
     while pos < n:
+        if pos + 17 > n:
+            return None
+        if payload[pos + 16] in (0, 1):  # a legacy message set entry
+            r = _parse_legacy_batch(payload, pos)
+            if r is None:
+                return None
+            batches.append(r[0])
+            pos = r[1]
+            continue
         if pos + 12 > n:
             return None
         base_offset, batch_len = struct.unpack_from(">qi", payload, pos)
@@ -283,6 +470,7 @@ def parse_kafka_segment(payload: bytes):
                       "zstd"][codec_bits],
             "transactional": bool(attributes & 0x10),
             "control": bool(attributes & 0x20),
+            "magic": 2,
             "records": records,
         })
     if not batches:
@@ -358,9 +546,82 @@ def encode_kafka_segment(batches, codec: str = "none") -> bytes:
     return bytes(out)
 
 
+def _break_lz4_hc(frame: bytes) -> bytes:
+    """Rewrite a spec LZ4 frame's header-checksum byte to the KIP-57
+    magic-0 'broken' form (xxh32 over magic + descriptor)."""
+    from polars_express_spark.functions.lz4 import xxh32
+
+    flg = frame[4]
+    desc_len = 2 + (8 if flg & 0x08 else 0)
+    hc_pos = 4 + desc_len
+    broken = (xxh32(frame[: 4 + desc_len]) >> 8) & 0xFF
+    return frame[:hc_pos] + bytes([broken]) + frame[hc_pos + 1 :]
+
+
+def encode_kafka_legacy_set(
+    messages, magic: int = 1, codec: str = "none", base_offset: int = 0
+) -> bytes:
+    """Independent LEGACY message-set writer (r18): ``messages`` is a
+    list of {"timestamp", "key", "value"} dicts (keys/values may be
+    None; magic 0 carries no timestamps). Uncompressed sets write one
+    entry per message at base_offset + i; compressed sets write ONE
+    wrapper whose value is the nested set — magic 1 with RELATIVE
+    inner offsets and the wrapper at the last absolute offset, magic
+    0 with absolute inner offsets (the broker-rewritten form) — and
+    for magic 0 + lz4 the frame header checksum is written in the
+    KIP-57 'broken HC' form pre-0.10 producers emitted. Per-message
+    IEEE CRC-32s cover magic..end."""
+    if magic not in (0, 1):
+        raise ValueError("legacy magic must be 0 or 1")
+    codec_bits = {"none": 0, "gzip": 1, "snappy": 2, "lz4": 3}[codec]
+
+    def message(attrs: int, ts: int, key, value) -> bytes:
+        body = bytearray([magic, attrs])
+        if magic == 1:
+            body += struct.pack(">q", ts)
+        for part in (key, value):
+            if part is None:
+                body += struct.pack(">i", -1)
+            else:
+                body += struct.pack(">i", len(part)) + bytes(part)
+        return struct.pack(">I", zlib.crc32(bytes(body))) + bytes(body)
+
+    def entry(off: int, msg: bytes) -> bytes:
+        return struct.pack(">qi", off, len(msg)) + msg
+
+    if codec == "none":
+        return b"".join(
+            entry(base_offset + i,
+                  message(0, m.get("timestamp", -1), m.get("key"),
+                          m.get("value")))
+            for i, m in enumerate(messages)
+        )
+    inner = b"".join(
+        entry(i if magic == 1 else base_offset + i,
+              message(0, m.get("timestamp", -1), m.get("key"),
+                      m.get("value")))
+        for i, m in enumerate(messages)
+    )
+    if codec == "gzip":
+        co = zlib.compressobj(6, zlib.DEFLATED, 31)
+        blob = co.compress(inner) + co.flush()
+    elif codec == "snappy":
+        blob = _xerial_encode(inner)
+    else:
+        from polars_express_spark.functions.lz4 import encode_lz4_frame
+
+        blob = encode_lz4_frame(inner)
+        if magic == 0:
+            blob = _break_lz4_hc(blob)
+    wrap_ts = (max(m.get("timestamp", -1) for m in messages)
+               if magic == 1 else -1)
+    return entry(base_offset + len(messages) - 1,
+                 message(codec_bits, wrap_ts, None, blob))
+
+
 KAFKA_SCHEMA = (
     "doc_id bigint, batch_no int, rec_no int, koffset bigint, "
-    "ts bigint, codec string, key_len int, key_sum bigint, "
+    "ts bigint, codec string, magic int, key_len int, key_sum bigint, "
     "val_len int, val_sum bigint, n_headers int, hdr_sum bigint, "
     "hdr_names string"
 )
@@ -395,6 +656,7 @@ def read_kafka_records(df):
                         rows.append((
                             doc_id, bno, rno, rec["offset"],
                             rec["timestamp"], batch["codec"],
+                            batch["magic"],
                             -1 if key is None else len(key),
                             0 if key is None else sum(key),
                             -1 if val is None else len(val),
@@ -407,11 +669,12 @@ def read_kafka_records(df):
             pdf_out = pd.DataFrame(
                 rows,
                 columns=["doc_id", "batch_no", "rec_no", "koffset",
-                         "ts", "codec", "key_len", "key_sum", "val_len",
-                         "val_sum", "n_headers", "hdr_sum", "hdr_names"],
+                         "ts", "codec", "magic", "key_len", "key_sum",
+                         "val_len", "val_sum", "n_headers", "hdr_sum",
+                         "hdr_names"],
             )
-            for c in ("batch_no", "rec_no", "key_len", "val_len",
-                      "n_headers"):
+            for c in ("batch_no", "rec_no", "magic", "key_len",
+                      "val_len", "n_headers"):
                 pdf_out[c] = pdf_out[c].astype("int32")
             yield pdf_out
 
