@@ -992,3 +992,58 @@ def encode_zstd(
     if checksum:
         out += struct.pack("<I", xxh64(data) & 0xFFFFFFFF)
     return bytes(out)
+
+
+JSONL_SCHEMA = "doc_id bigint, line_no int, line string"
+
+
+def read_jsonl_zst(df):
+    """``.jsonl.zst`` shard reader (r18 — the wire format modern LLM
+    corpora actually ship in): one compressed shard row → one row per
+    LINE with its 0-based line number; the decoded content must be
+    UTF-8 and newline-TERMINATED (every line ends in \n, no empty
+    lines — a half-written shard is corruption, not a short read).
+    Record parsing stays JVM-side: callers apply from_json /
+    get_json_object to the line column, so Catalyst owns the JSON
+    path and this operator owns only decompression + framing.
+    Malformed shards raise. Arrow-batched mapInPandas; compressed
+    bytes never leave the executor."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                content = decode_zstd(bytes(payload))
+                if content is None:
+                    raise ValueError(
+                        f"doc {doc_id}: corrupt or out-of-envelope "
+                        "zstd shard"
+                    )
+                if not content.endswith(b"\n"):
+                    raise ValueError(
+                        f"doc {doc_id}: shard not newline-terminated"
+                    )
+                try:
+                    text = content.decode("utf-8")
+                except UnicodeDecodeError:
+                    raise ValueError(
+                        f"doc {doc_id}: shard is not UTF-8"
+                    ) from None
+                lines = text[:-1].split("\n")
+                if any(not ln for ln in lines):
+                    raise ValueError(f"doc {doc_id}: empty jsonl line")
+                rows.extend(
+                    (doc_id, i, ln) for i, ln in enumerate(lines)
+                )
+            pdf_out = pd.DataFrame(
+                rows, columns=["doc_id", "line_no", "line"]
+            )
+            pdf_out["line_no"] = pdf_out["line_no"].astype("int32")
+            yield pdf_out
+
+    return df.select("doc_id", "payload").mapInPandas(
+        extract, schema=JSONL_SCHEMA
+    )

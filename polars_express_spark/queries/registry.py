@@ -52,15 +52,15 @@ def query(name: str, oracle: str | None = None):
 #   slots 1-41  — the ENTIRE remaining r13 tier, alphabetical
 #                 (retires r13 evidence for good; declared last round
 #                 and held to);
-#   slots 42-43 — the 2 oldest r14-hash, alphabetical
-#                 (q10b_grouped_median, q18c_window_dist);
-#   slots 44-50 — NEW or CHANGED this round (changed queries carry
+#   slot 42     — the oldest r14-hash query (q10b_grouped_median);
+#   slots 43-50 — NEW or CHANGED this round (changed queries carry
 #                 driver evidence that no longer matches the code, so
 #                 they take tail slots exactly like never-checked
 #                 queries — the endorsed precedent); see the list's
 #                 own comment for what each adds.
-# Tier "next" (r19) = the 48 remaining r14-hash queries
-# (q20b_share_of_total, q23_union_distinct, q24_distinct_rows, q32_tumbling_window,
+# Tier "next" (r19) = the 49 remaining r14-hash queries
+# (q18c_window_dist, q20b_share_of_total, q23_union_distinct,
+# q24_distinct_rows, q32_tumbling_window,
 # q33_sliding_window, q_approx_distinct, q_asof_forward,
 # q_asof_nearest, q_bloom_prune, q_bm25_rank, q_chunk_overlap,
 # q_cms_tokens, q_corr_matrix, q_embed_pca, q_from_json, q_map_fns,
@@ -319,8 +319,8 @@ _PRIORITY = [
     "q_quantize_int8", "q_redact_pii", "q_repetition",
     "q_rolling_median", "q_sql_surface", "q_token_entropy",
     "q_tokenize_ids", "q_url_canonical", "q_zipf_fit",
-    # slots 42-43 — the 2 oldest r14-hash, alphabetical
-    "q10b_grouped_median", "q18c_window_dist",
+    # slot 42 — the oldest r14-hash query
+    "q10b_grouped_median",
     # slots 45-50 — NEW or CHANGED this round (changed queries carry
     # driver evidence that no longer matches the code, so they take
     # tail slots exactly like never-checked queries — the endorsed
@@ -344,10 +344,13 @@ _PRIORITY = [
     # entries and compressed wrappers with relative-offset
     # reconstruction, per-message IEEE CRC-32 verified, the KIP-57
     # magic-0 broken-HC lz4 quirk round-tripped, magic/ts semantics
-    # pinned under the hash)
+    # pinned under the hash), q_jsonl_zst (NEW — the .jsonl.zst shard
+    # path: decompress + line framing executor-side, the JSON parsed
+    # JVM-side with from_json, unpacked fields hashed against the
+    # formula replay)
     "q_zstd_extract", "q_avro_nested", "q_kafka_extract",
     "q_seqfile_extract", "q_warc_extract", "q_tar_extract",
-    "q_kafka_legacy",
+    "q_kafka_legacy", "q_jsonl_zst",
 ]
 
 

@@ -3864,6 +3864,39 @@ def test_zstd_extraction_operator(spark):
         read_zstd_content(dfb).collect()
 
 
+def test_jsonl_zst_reader(spark):
+    """r18 — read_jsonl_zst: one .jsonl.zst shard row → one row per
+    line (0-based line_no), multi-frame shards concatenated; a shard
+    without the terminating newline, with an empty line, or with
+    non-UTF-8 bytes raises (a half-written shard is corruption)."""
+    import pytest
+
+    from polars_express_spark.functions.zstd import (
+        encode_zstd,
+        read_jsonl_zst,
+    )
+
+    good = b'{"a":1}\n{"a":2}\n'
+    two = (encode_zstd(b'{"x":9}\n', single_segment=True)
+           + encode_zstd(b'{"y":8}\n', single_segment=True))
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_zstd(good))), (2, bytearray(two))],
+        "doc_id long, payload binary",
+    )
+    rows = {(r["doc_id"], r["line_no"]): r["line"]
+            for r in read_jsonl_zst(df).collect()}
+    assert rows == {(1, 0): '{"a":1}', (1, 1): '{"a":2}',
+                    (2, 0): '{"x":9}', (2, 1): '{"y":8}'}
+    for bad in (b'{"a":1}', b'{"a":1}\n\n{"b":2}\n', b"\xff\xfe\n"):
+        dfb = spark.createDataFrame(
+            [(9, bytearray(encode_zstd(bad)))],
+            "doc_id long, payload binary",
+        )
+        with pytest.raises(Exception,
+                           match="newline|empty|UTF-8|corrupt"):
+            read_jsonl_zst(dfb).collect()
+
+
 def test_mp3_metadata_operator_and_gate(spark):
     """r15 — decode_mp3_meta ships the frame-chain metadata (the audio
     twin of the JPEG SOF walk); decode_audio_samples refuses bare MP3

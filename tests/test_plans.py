@@ -725,7 +725,8 @@ def test_registry_wide_no_cartesian_and_declared_bnlj_only(spark):
      "q_multimodal_icns", "q_seqfile_extract", "q_cbor_extract",
      "q_msgpack_extract", "q_multimodal_exif", "q_avro_record",
      "q_tfseq_extract", "q_lz4_extract", "q_kafka_extract",
-     "q_zstd_extract", "q_avro_nested", "q_kafka_legacy"],
+     "q_zstd_extract", "q_avro_nested", "q_kafka_legacy",
+     "q_jsonl_zst"],
 )
 def test_codec_roundtrip_plan_shape(spark, name):
     """r13 — pin the codec-query scale shape that was previously only
