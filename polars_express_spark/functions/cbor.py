@@ -28,6 +28,11 @@ Envelope (strict, None on anything outside it):
   3339 text item, validated — decodes to CborDateTime keeping the
   original string losslessly) and tag 1 (an integer or float epoch
   offset — decodes to CborEpochTime);
+- (r18) DECIMAL FRACTION tag 4 and BIGFLOAT tag 5 (§3.4.4): an
+  [exponent, mantissa] pair decoding to CborDecimal / CborBigfloat
+  with both ints kept losslessly (mant * 10**exp / mant * 2**exp);
+  the exponent must sit in the 65-bit head range per the spec's
+  no-bignum-exponent rule, the mantissa may be a bignum;
 - (r17) BIGNUM tags 2/3 (§3.4.3): a byte-string magnitude decoding to
   a plain Python int (tag 3 = -1 - n), so integers of any size
   round-trip — encode_cbor emits the preferred leading-zero-stripped
@@ -56,6 +61,22 @@ class CborDateTime(NamedTuple):
     verbatim (lossless) after validation."""
 
     text: str
+
+
+class CborDecimal(NamedTuple):
+    """Tag 4 (§3.4.4): a decimal fraction — value = mant * 10**exp,
+    both kept losslessly as ints."""
+
+    exp: int
+    mant: int
+
+
+class CborBigfloat(NamedTuple):
+    """Tag 5 (§3.4.4): a bigfloat — value = mant * 2**exp, both kept
+    losslessly as ints."""
+
+    exp: int
+    mant: int
 
 
 class CborEpochTime(NamedTuple):
@@ -248,7 +269,7 @@ def _decode_tagged(b: bytes, pos: int, tag: int, depth: int):
     in-head range). Every other tag number stays out of envelope
     (application semantics need a registry, the ext-family
     precedent)."""
-    if tag not in (0, 1, 2, 3):
+    if tag not in (0, 1, 2, 3, 4, 5):
         return None
     r = _decode(b, pos, depth + 1)
     if r is None:
@@ -262,11 +283,23 @@ def _decode_tagged(b: bytes, pos: int, tag: int, depth: int):
         if isinstance(v, bool) or not isinstance(v, (int, float)):
             return None
         return CborEpochTime(v), pos
-    # tags 2/3: content must be a byte string (definite or chunked)
-    if not isinstance(v, bytes):
+    if tag in (2, 3):
+        # bignums: content must be a byte string (definite or chunked)
+        if not isinstance(v, bytes):
+            return None
+        n = int.from_bytes(v, "big")
+        return (n if tag == 2 else -1 - n), pos
+    # tags 4/5 (§3.4.4): an array of exactly [exponent, mantissa] —
+    # the exponent an integer in the 65-bit head range (the spec
+    # forbids bignum exponents; the value-range check enforces that
+    # bound), the mantissa any integer incl. bignums
+    if (not isinstance(v, list) or len(v) != 2
+            or any(isinstance(x, bool) or not isinstance(x, int)
+                   for x in v)
+            or not -(1 << 64) <= v[0] < 1 << 64):
         return None
-    n = int.from_bytes(v, "big")
-    return (n if tag == 2 else -1 - n), pos
+    cls = CborDecimal if tag == 4 else CborBigfloat
+    return cls(v[0], v[1]), pos
 
 
 class _Null:
@@ -339,6 +372,11 @@ def encode_cbor(value) -> bytes:
         ):
             raise ValueError("tag 1 content must be int or float")
         return head(6, 1) + encode_cbor(value.value)
+    if isinstance(value, (CborDecimal, CborBigfloat)):
+        if not -(1 << 64) <= value.exp < 1 << 64:
+            raise ValueError("tag 4/5 exponents may not be bignums")
+        tag_no = 4 if isinstance(value, CborDecimal) else 5
+        return head(6, tag_no) + encode_cbor([value.exp, value.mant])
     if isinstance(value, int):
         if value >= 1 << 64 or value < -(1 << 64):
             return bignum(value)  # past the 65-bit head range: tags 2/3

@@ -4432,6 +4432,53 @@ def test_cbor_indefinite_and_datetime_tags(ints, blobs, texts, chunk,
 
 
 @given(
+    exp=st.integers(-(1 << 64), (1 << 64) - 1),
+    mant=st.integers(-(1 << 200), 1 << 200),
+    base2=st.booleans(),
+)
+@settings(max_examples=60, deadline=None)
+def test_cbor_decimal_and_bigfloat_tags(exp, mant, base2):
+    """r18 — RFC 8949 §3.4.4 decimal fractions (tag 4) and bigfloats
+    (tag 5): [exponent, mantissa] pairs round-trip losslessly through
+    CborDecimal / CborBigfloat across the full head-range exponent
+    span and bignum-range mantissas, pinned against the RFC's own
+    273.15 (0xc48221196ab3) and 1.5 (0xc5822003) examples. Strictness:
+    wrong arity, float or boolean components, and a bignum-encoded
+    exponent (the spec forbids it) all reject."""
+    from binascii import unhexlify as uh
+
+    from polars_express_spark.functions.cbor import (
+        CborBigfloat,
+        CborDecimal,
+        encode_cbor,
+        parse_cbor,
+    )
+
+    cls = CborBigfloat if base2 else CborDecimal
+    v = cls(exp, mant)
+    enc = encode_cbor(v)
+    assert parse_cbor(enc) == v
+    # the RFC's own examples
+    assert encode_cbor(CborDecimal(-2, 27315)) == uh("c48221196ab3")
+    assert parse_cbor(uh("c48221196ab3")) == CborDecimal(-2, 27315)
+    assert encode_cbor(CborBigfloat(-1, 3)) == uh("c5822003")
+    assert parse_cbor(uh("c5822003")) == CborBigfloat(-1, 3)
+    # strictness
+    assert parse_cbor(uh("c48101")) is None        # arity 1
+    assert parse_cbor(uh("c483010203")) is None    # arity 3
+    assert parse_cbor(uh("c482f93c0002")) is None  # float exponent
+    assert parse_cbor(uh("c48201f5")) is None      # boolean mantissa
+    big_exp = encode_cbor([1 << 70, 3])            # bignum exponent
+    assert parse_cbor(b"\xc4" + big_exp) is None
+    try:
+        encode_cbor(CborDecimal(1 << 70, 3))
+        raise AssertionError("bignum exponent must not encode")
+    except ValueError:
+        pass
+
+
+
+@given(
     ints=st.lists(st.integers(-(2**63), 2**64 - 1), min_size=0, max_size=8),
     blobs=st.lists(st.binary(min_size=0, max_size=400), min_size=0,
                    max_size=4),
