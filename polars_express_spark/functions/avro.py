@@ -41,8 +41,18 @@ with the negative-count-plus-size form verified exactly), enums
 nullable unions over any of these — to a schema depth of 4, which
 also bounds data nesting (no depth bomb is decodable). Logical-type
 annotations (timestamp-micros, decimal, ...) keep the raw layout and
-decode as their underlying type. Named-type REFERENCES, wider
-unions, and deeper nesting stay out of envelope (None).
+decode as their underlying type. Named-type REFERENCES (r18)
+resolve to already-defined records/enums/fixed — including
+namespace-qualified names — so the define-once-reference-many
+schemas real Hive/Kafka pipelines write parse whole (definitions
+register on completion, so SELF- and forward-references, i.e.
+recursive schemas, stay gated, which keeps data nesting finite).
+Unions (r18) take 2-8 branches of any in-envelope non-union types
+(at most one per unnamed kind, per the spec's resolution rule);
+values from non-classic unions decode tagged as AvroBranch(index,
+value) because the branch index IS part of the wire value, while
+the ubiquitous two-branch nullable form keeps its untagged r17
+shape. Deeper nesting stays out of envelope (None).
 
 Integrity honesty (SURVEY §2.10 asymmetry): Avro itself carries NO
 data checksum. The sync markers and the varint framing detect
@@ -65,6 +75,7 @@ from __future__ import annotations
 
 import json
 import zlib
+from typing import NamedTuple
 
 _MAGIC = b"Obj\x01"
 _MAX_INFLATE = 1 << 26  # total decompressed cap across all blocks
@@ -174,63 +185,109 @@ _MAX_SCHEMA_DEPTH = 4  # bounds data nesting too: data can't out-nest
 #                        its schema, so no depth bomb is decodable
 
 
-def _union_descr(ftype, depth: int = 0):
-    """A type given as a JSON list: in envelope for the two-branch
-    NULLABLE union — exactly ["null", X] or [X, "null"] with X any
-    in-envelope type (the ubiquitous optional-field shape real Avro
-    writers emit). A primitive X keeps the r17 order-preserving
-    string descriptor 'null|long' / 'long|null'; a complex X gets
-    ('union', (branch0, branch1)) with 'null' literal. Wider unions
-    need real reader-schema resolution — gated (None)."""
-    if len(ftype) != 2 or "null" not in ftype:
+class AvroBranch(NamedTuple):
+    """A value decoded from a union OTHER than the classic two-branch
+    nullable form: the branch index is part of the wire value, so it
+    ships alongside (r18 — multi-branch unions). Null branches decode
+    to the plain AVRO_NULL sentinel (null is unambiguous)."""
+
+    index: int
+    value: object
+
+
+def _register_name(names, t: dict, descr):
+    """Register a named type (record/enum/fixed) for later REFERENCE
+    resolution: under its literal name, its namespace-qualified form,
+    and its own dotted fullname. Redefining a name is malformed per
+    spec → False."""
+    if names is None:
+        return True
+    name = t.get("name")
+    keys = {name}
+    ns = t.get("namespace")
+    if isinstance(ns, str) and ns and "." not in name:
+        keys.add(f"{ns}.{name}")
+    for k in keys:
+        if k in names:
+            return False
+        names[k] = descr
+    return True
+
+
+def _union_descr(ftype, depth: int = 0, names=None):
+    """A type given as a JSON list: an Avro union of 2-8 branches,
+    each 'null' or any in-envelope NON-union type (the spec forbids
+    immediate union nesting), with at most one null, no duplicate
+    branch descriptors, and at most one branch per UNNAMED kind
+    (primitives/array/map — the spec's resolution rule; named types
+    may repeat with different definitions). The classic two-branch
+    nullable-primitive case keeps the r17 order-preserving string
+    descriptor 'null|long' / 'long|null'; everything else gets
+    ('union', (branch, ...))."""
+    if not isinstance(ftype, list) or not 2 <= len(ftype) <= 8:
         return None
-    i_other = 1 if ftype[0] == "null" else 0
-    if ftype[1 - i_other] != "null":
-        return None
-    # a union adds no layout nesting (same depth), but may not
-    # immediately contain another union (spec rule)
-    other = _type_descr(ftype[i_other], depth)
-    if other is None or other == "null" or (
-        isinstance(other, tuple) and other[0] == "union"
-    ) or (isinstance(other, str) and "|" in other):
-        return None
-    if isinstance(other, str):
-        spelled = ["null", "null"]
-        spelled[i_other] = other
-        return "|".join(spelled)
-    branches = ["null", "null"]
-    branches[i_other] = other
+    branches = []
+    kinds = []
+    for b in ftype:
+        if b == "null":
+            d = "null"
+        else:
+            # a union adds no layout nesting (same depth)
+            d = _type_descr(b, depth, names)
+            if d is None or (
+                isinstance(d, tuple) and d[0] == "union"
+            ) or (isinstance(d, str) and "|" in d):
+                return None
+        branches.append(d)
+        kinds.append(d if isinstance(d, str) else d[0])
+    if len(set(map(repr, branches))) != len(branches):
+        return None  # exact duplicate branches are meaningless
+    for kd in ("null", *_REC_PRIMS, "array", "map"):
+        if kinds.count(kd) > 1:
+            return None
+    if len(branches) == 2 and "null" in branches:
+        other = branches[1] if branches[0] == "null" else branches[0]
+        if isinstance(other, str):
+            return "|".join(branches)
     return "union", tuple(branches)
 
 
-def _type_descr(t, depth: int = 0):
+def _type_descr(t, depth: int = 0, names=None):
     """Resolve one Avro type JSON to an in-envelope descriptor
     (r18 — the full complex-type set): a primitive string; a
     'null|prim' nullable-union string; or a tuple —
     ('array', items), ('map', values), ('enum', (symbols...)),
     ('fixed', size), ('record', ((name, descr), ...)),
-    ('union', (branch, branch)). The {"type": ...} wrapper spelling
-    and layout-preserving logicalType annotations are accepted
-    (decoded as the underlying type); named-type REFERENCES and
-    nesting past _MAX_SCHEMA_DEPTH are out of envelope → None."""
+    ('union', (branch, ...)). The {"type": ...} wrapper spelling and
+    layout-preserving logicalType annotations are accepted (decoded
+    as the underlying type). Named-type REFERENCES (r18) resolve to
+    ALREADY-DEFINED records/enums/fixed via ``names`` (definitions
+    register on completion, so self- and forward-references — i.e.
+    recursive schemas — stay out of envelope, which also keeps data
+    nesting finite); nesting past _MAX_SCHEMA_DEPTH is out of
+    envelope → None."""
     if depth > _MAX_SCHEMA_DEPTH:
         return None
     if isinstance(t, str):
-        return t if t in _REC_PRIMS else None
+        if t in _REC_PRIMS:
+            return t
+        if names and t in names:
+            return names[t]  # a reference to an already-defined type
+        return None
     if isinstance(t, list):
-        return _union_descr(t, depth)
+        return _union_descr(t, depth, names)
     if not isinstance(t, dict):
         return None
     tt = t.get("type")
     if isinstance(tt, (dict, list)):
-        return _type_descr(tt, depth)  # the {"type": ...} wrapper
+        return _type_descr(tt, depth, names)  # the {"type": ...} wrap
     if tt in _REC_PRIMS:
         return tt  # logicalType annotations keep the raw layout
     if tt == "array":
-        items = _type_descr(t.get("items"), depth + 1)
+        items = _type_descr(t.get("items"), depth + 1, names)
         return None if items is None else ("array", items)
     if tt == "map":
-        values = _type_descr(t.get("values"), depth + 1)
+        values = _type_descr(t.get("values"), depth + 1, names)
         return None if values is None else ("map", values)
     if tt == "enum":
         name = t.get("name")
@@ -240,7 +297,8 @@ def _type_descr(t, depth: int = 0):
                 or any(not isinstance(s, str) or not s for s in symbols)
                 or len(set(symbols)) != len(symbols)):
             return None
-        return "enum", tuple(symbols)
+        descr = ("enum", tuple(symbols))
+        return descr if _register_name(names, t, descr) else None
     if tt == "fixed":
         name = t.get("name")
         size = t.get("size")
@@ -248,16 +306,18 @@ def _type_descr(t, depth: int = 0):
                 or not isinstance(size, int) or isinstance(size, bool)
                 or not 0 <= size <= _MAX_INFLATE):
             return None
-        return "fixed", size
+        descr = ("fixed", size)
+        return descr if _register_name(names, t, descr) else None
     if tt == "record":
-        return _record_descr(t, depth)
+        return _record_descr(t, depth, names)
     return None
 
 
-def _record_descr(s: dict, depth: int = 0):
+def _record_descr(s: dict, depth: int = 0, names=None):
     """A {"type": "record"} schema object to ('record', fields):
     requires a name and >= 1 uniquely named fields, each field type
-    resolved by _type_descr."""
+    resolved by _type_descr; registers the completed record for
+    later references."""
     name = s.get("name")
     if not isinstance(name, str) or not name:
         return None  # the spec requires a record name
@@ -270,14 +330,15 @@ def _record_descr(s: dict, depth: int = 0):
         if not isinstance(f, dict):
             return None
         fname = f.get("name")
-        ftype = _type_descr(f.get("type"), depth + 1)
+        ftype = _type_descr(f.get("type"), depth + 1, names)
         if ftype is None:
             return None
         if not isinstance(fname, str) or not fname or fname in seen:
             return None
         seen.add(fname)
         fields.append((fname, ftype))
-    return "record", tuple(fields)
+    descr = ("record", tuple(fields))
+    return descr if _register_name(names, s, descr) else None
 
 
 def _schema_descr(schema_json: bytes):
@@ -304,7 +365,7 @@ def _schema_descr(schema_json: bytes):
         return t
     if t != "record":
         return None
-    return _record_descr(s, 0)
+    return _record_descr(s, 0, {})
 
 
 def _read_datum(data: bytes, pos: int, ftype: str):
@@ -332,16 +393,26 @@ def _read_datum(data: bytes, pos: int, ftype: str):
     if isinstance(ftype, tuple):
         kind = ftype[0]
         if kind == "union":
+            branches = ftype[1]
             r = _read_long(data, pos)
             if r is None:
                 return None
             idx, pos = r
-            if idx not in (0, 1):
+            if not 0 <= idx < len(branches):
                 return None
-            branch = ftype[1][idx]
+            branch = branches[idx]
             if branch == "null":
                 return AVRO_NULL, pos
-            return _read_datum(data, pos, branch)
+            r = _read_datum(data, pos, branch)
+            if r is None:
+                return None
+            v, pos = r
+            # the classic two-branch nullable form stays untagged
+            # (r17/r18 compat); wider unions tag the branch — it IS
+            # part of the wire value
+            if len(branches) == 2 and "null" in branches:
+                return v, pos
+            return AvroBranch(idx, v), pos
         if kind in ("array", "map"):
             inner = ftype[1]
             out_l: list = []
@@ -469,15 +540,28 @@ def _w_datum(value, ftype: str) -> bytes:
     if isinstance(ftype, tuple):
         kind = ftype[0]
         if kind == "union":
+            branches = ftype[1]
+            if isinstance(value, AvroBranch):
+                if not 0 <= value.index < len(branches):
+                    raise ValueError("union branch index out of range")
+                branch = branches[value.index]
+                if branch == "null":
+                    return _w_long(value.index)
+                return _w_long(value.index) + _w_datum(value.value,
+                                                       branch)
             is_null = value is None or value is AVRO_NULL or isinstance(
                 value, type(AVRO_NULL)
             )
-            idx = ftype[1].index("null") if is_null else \
-                1 - ftype[1].index("null")
-            out = _w_long(idx)
-            if not is_null:
-                out += _w_datum(value, ftype[1][idx])
-            return out
+            if is_null:
+                return _w_long(branches.index("null"))
+            non_null = [i for i, b in enumerate(branches)
+                        if b != "null"]
+            if len(non_null) != 1:
+                raise ValueError(
+                    "ambiguous union value — wrap it in AvroBranch"
+                )
+            idx = non_null[0]
+            return _w_long(idx) + _w_datum(value, branches[idx])
         if kind == "array":
             items = list(value)
             out = bytearray()
@@ -938,6 +1022,10 @@ def read_avro_fields(df):
                                 rows.append((doc_id, rno, bno, codec,
                                              path, fstr, True, None,
                                              None, None, None, None))
+                                return
+                            if isinstance(v, AvroBranch):
+                                emit(path, ftype[1][v.index], v.value,
+                                     doc_id, rno, bno, codec)
                                 return
                             branch = next(b for b in ftype[1]
                                           if b != "null")

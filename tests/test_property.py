@@ -3491,13 +3491,17 @@ def test_avro_record_roundtrip(codec, opb, nrec, ftypes, seed):
         b'{"type":"record","name":"R","fields":'
         b'[{"name":"a","type":["string","null"]}]}'
     ) == ("record", (("a", "string|null"),))
+    assert _schema_descr(
+        b'{"type":"record","name":"R","fields":'
+        b'[{"name":"a","type":["null","long","string"]}]}'
+    ) == ("record", (("a", ("union", ("null", "long", "string"))),))
+    assert _schema_descr(
+        b'{"type":"record","name":"R","fields":'
+        b'[{"name":"a","type":["long","string"]}]}'
+    ) == ("record", (("a", ("union", ("long", "string"))),))
     for bad in (
         b'{"type":"record","fields":[{"name":"a","type":"long"}]}',
         b'{"type":"record","name":"R","fields":[]}',
-        b'{"type":"record","name":"R","fields":'
-        b'[{"name":"a","type":["null","long","string"]}]}',
-        b'{"type":"record","name":"R","fields":'
-        b'[{"name":"a","type":["long","string"]}]}',
         b'{"type":"record","name":"R","fields":'
         b'[{"name":"a","type":["null","null"]}]}',
         b'{"type":"record","name":"R","fields":'
@@ -3538,6 +3542,115 @@ def test_avro_record_roundtrip(codec, opb, nrec, ftypes, seed):
                     assert set(d) == {n for n, _ in r[1][1]}
         b[i] ^= bit
     assert parse_avro(enc[:-1]) is None
+
+
+@given(
+    codec=st.sampled_from(["null", "deflate", "snappy", "zstandard"]),
+    nrec=st.integers(1, 4),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=60, deadline=None)
+def test_avro_named_references_and_wide_unions(codec, nrec, seed):
+    """r18 — Avro named-type references and multi-branch unions: a
+    record type defined once and REFERENCED twice (bare and
+    namespace-qualified) resolves to the same descriptor from the
+    container's own schema JSON; unions of 2-8 branches decode with
+    the branch index tagged (AvroBranch — the index IS part of the
+    wire value), the classic nullable two-branch form keeping its
+    untagged shape. Gates: self-references (recursive schemas),
+    forward references, duplicate named definitions, duplicate
+    unnamed branch kinds, and out-of-range branch indexes all
+    reject."""
+    import json as _json
+
+    import numpy as np
+
+    from polars_express_spark.functions.avro import (
+        AVRO_NULL,
+        AvroBranch,
+        _read_datum,
+        _schema_descr,
+        _w_long,
+        encode_avro,
+        parse_avro,
+    )
+
+    rng = np.random.RandomState(seed)
+    pt = ("record", (("x", "long"), ("y", "long")))
+    fields = [
+        ("a", pt),
+        ("b", pt),
+        ("u", ("union", ("null", "long", "string", ("array", "int")))),
+        ("w", ("union", (("enum", ("P", "Q")), "boolean"))),
+    ]
+    recs = []
+    for _ in range(nrec):
+        pick = int(rng.randint(0, 4))
+        u = [AVRO_NULL, AvroBranch(1, int(rng.randint(-9999, 9999))),
+             AvroBranch(2, "s%d" % rng.randint(0, 99)),
+             AvroBranch(3, [int(x) for x in rng.randint(0, 9, 3)])][pick]
+        w = (AvroBranch(0, ["P", "Q"][int(rng.randint(0, 2))])
+             if rng.randint(0, 2) else AvroBranch(1, bool(rng.randint(0, 2))))
+        recs.append({
+            "a": {"x": int(rng.randint(-100, 100)), "y": 7},
+            "b": {"x": 1, "y": int(rng.randint(-100, 100))},
+            "u": u, "w": w,
+        })
+    enc = encode_avro(recs, codec=codec, schema=fields)
+    got = parse_avro(enc)
+    assert got is not None and got[1] == ("record", tuple(fields))
+    out = [r for b in got[3] for r in b]
+    for want, have in zip(recs, out):
+        assert have["a"] == want["a"] and have["b"] == want["b"]
+        if want["u"] is AVRO_NULL or isinstance(want["u"],
+                                                type(AVRO_NULL)):
+            assert isinstance(have["u"], type(AVRO_NULL))
+        else:
+            assert have["u"] == want["u"]
+        assert have["w"] == want["w"]
+
+    # the reference spellings resolve from the container's own JSON
+    sj = _json.dumps({"type": "record", "name": "R", "fields": [
+        {"name": "a", "type": {"type": "record", "name": "Point",
+                               "fields": [{"name": "x", "type": "long"},
+                                          {"name": "y", "type": "long"}]}},
+        {"name": "b", "type": "Point"},
+        {"name": "c", "type": {"type": "array", "items": "Point"}},
+    ]}).encode()
+    assert _schema_descr(sj) == (
+        "record", (("a", pt), ("b", pt), ("c", ("array", pt))))
+    sj_ns = _json.dumps({"type": "record", "name": "R", "fields": [
+        {"name": "a", "type": {"type": "fixed", "name": "H",
+                               "namespace": "com.x", "size": 2}},
+        {"name": "b", "type": "com.x.H"},
+    ]}).encode()
+    assert _schema_descr(sj_ns) == (
+        "record", (("a", ("fixed", 2)), ("b", ("fixed", 2))))
+    # gates
+    for bad in (
+        {"type": "record", "name": "L",
+         "fields": [{"name": "next", "type": "L"}]},  # self-reference
+        {"type": "record", "name": "R", "fields": [
+            {"name": "a", "type": "Pt"},  # forward reference
+            {"name": "b", "type": {"type": "record", "name": "Pt",
+             "fields": [{"name": "x", "type": "long"}]}}]},
+        {"type": "record", "name": "R", "fields": [
+            {"name": "a", "type": {"type": "enum", "name": "E",
+                                   "symbols": ["A"]}},
+            {"name": "b", "type": {"type": "enum", "name": "E",
+                                   "symbols": ["B"]}}]},  # redefinition
+        {"type": "record", "name": "R", "fields": [
+            {"name": "a", "type": ["long", "long"]}]},
+        {"type": "record", "name": "R", "fields": [
+            {"name": "a", "type": ["string", "int", "string"]}]},
+    ):
+        assert _schema_descr(_json.dumps(bad).encode()) is None, bad
+    u3 = ("union", ("null", "long", "string"))
+    assert _read_datum(_w_long(3), 0, u3) is None
+    assert _read_datum(_w_long(-1), 0, u3) is None
+    assert _read_datum(_w_long(0), 0, u3) == (AVRO_NULL, 1)
+    assert _read_datum(_w_long(1) + _w_long(-5), 0, u3) == (
+        AvroBranch(1, -5), 2)
 
 
 @given(
