@@ -880,6 +880,48 @@ AVRO_SCHEMA = (
 )
 
 
+def avro_record_batches(batches):
+    """Batch-iterator core of read_avro_records (module-level so query
+    synth stages can compose with it inside ONE mapInPandas pass —
+    one Python-runner handshake, no JVM round trip of the payload)."""
+    from collections.abc import Iterator
+    import numpy as np
+    import pandas as pd
+
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            parsed = parse_avro(bytes(payload))
+            if parsed is None:
+                raise ValueError(
+                    f"doc {doc_id}: corrupt or out-of-envelope Avro "
+                    "object container"
+                )
+            codec, schema, _sync, blocks = parsed
+            if isinstance(schema, tuple):
+                raise ValueError(
+                    f"doc {doc_id}: record-schema container — use "
+                    "read_avro_fields for typed field extraction"
+                )
+            rno = 0
+            for bno, block in enumerate(blocks):
+                for datum in block:
+                    arr = np.frombuffer(datum, dtype=np.uint8)
+                    rows.append(
+                        (doc_id, rno, bno, codec, schema, len(datum),
+                         float(arr.mean()) if arr.size else 0.0,
+                         int(arr.min()) if arr.size else 0,
+                         int(arr.max()) if arr.size else 0)
+                    )
+                    rno += 1
+        yield pd.DataFrame(
+            rows,
+            columns=["doc_id", "rec_no", "block_no", "codec",
+                     "schema_type", "size", "mean_b", "min_b", "max_b"],
+        ).astype({"rec_no": "int32", "block_no": "int32",
+                  "min_b": "int32", "max_b": "int32"})
+
+
 def read_avro_records(df):
     """Avro extraction operator (the WARC/zip/tar/TFRecord operator
     shape): one container row → one row per record with the container's
@@ -888,47 +930,8 @@ def read_avro_records(df):
     byte stats over the datum. Malformed containers raise — a silent
     skip is a silent corpus hole. Arrow-batched mapInPandas; container
     bytes never leave the executor."""
-    from collections.abc import Iterator
-
-    import numpy as np
-    import pandas as pd
-
-    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                parsed = parse_avro(bytes(payload))
-                if parsed is None:
-                    raise ValueError(
-                        f"doc {doc_id}: corrupt or out-of-envelope Avro "
-                        "object container"
-                    )
-                codec, schema, _sync, blocks = parsed
-                if isinstance(schema, tuple):
-                    raise ValueError(
-                        f"doc {doc_id}: record-schema container — use "
-                        "read_avro_fields for typed field extraction"
-                    )
-                rno = 0
-                for bno, block in enumerate(blocks):
-                    for datum in block:
-                        arr = np.frombuffer(datum, dtype=np.uint8)
-                        rows.append(
-                            (doc_id, rno, bno, codec, schema, len(datum),
-                             float(arr.mean()) if arr.size else 0.0,
-                             int(arr.min()) if arr.size else 0,
-                             int(arr.max()) if arr.size else 0)
-                        )
-                        rno += 1
-            yield pd.DataFrame(
-                rows,
-                columns=["doc_id", "rec_no", "block_no", "codec",
-                         "schema_type", "size", "mean_b", "min_b", "max_b"],
-            ).astype({"rec_no": "int32", "block_no": "int32",
-                      "min_b": "int32", "max_b": "int32"})
-
     return df.select("doc_id", "payload").mapInPandas(
-        extract, schema=AVRO_SCHEMA
+        avro_record_batches, schema=AVRO_SCHEMA
     )
 
 
@@ -959,6 +962,131 @@ AVRO_FIELDS_SCHEMA = (
 )
 
 
+def avro_field_batches(batches):
+    """Batch-iterator core of read_avro_fields (module-level so query
+    synth stages can compose with it inside ONE mapInPandas pass —
+    one Python-runner handshake, no JVM round trip of the payload)."""
+    from collections.abc import Iterator
+    import pandas as pd
+
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            parsed = parse_avro(bytes(payload))
+            if parsed is None:
+                raise ValueError(
+                    f"doc {doc_id}: corrupt or out-of-envelope Avro "
+                    "object container"
+                )
+            codec, schema, _sync, blocks = parsed
+            if not isinstance(schema, tuple):
+                raise ValueError(
+                    f"doc {doc_id}: primitive-schema container — "
+                    "use read_avro_records"
+                )
+            fields = schema[1]
+            rno = 0
+
+            def emit(path, ftype, v, doc_id, rno, bno, codec):
+                """One row per primitive leaf; complex values
+                (r18) get a container row (v_len = element count)
+                then leaf rows at 'path[i]' / 'path.key' /
+                'path.field' — decode order, which IS wire
+                order."""
+                is_null = v is AVRO_NULL or isinstance(
+                    v, type(AVRO_NULL)
+                )
+                if isinstance(ftype, tuple):
+                    kind = ftype[0]
+                    fstr = _descr_str(ftype)
+                    if kind == "union":
+                        if is_null:
+                            rows.append((doc_id, rno, bno, codec,
+                                         path, fstr, True, None,
+                                         None, None, None, None))
+                            return
+                        if isinstance(v, AvroBranch):
+                            emit(path, ftype[1][v.index], v.value,
+                                 doc_id, rno, bno, codec)
+                            return
+                        branch = next(b for b in ftype[1]
+                                      if b != "null")
+                        emit(path, branch, v, doc_id, rno, bno,
+                             codec)
+                        return
+                    if kind == "array":
+                        rows.append((doc_id, rno, bno, codec, path,
+                                     fstr, False, None, None, None,
+                                     len(v), None))
+                        for i, item in enumerate(v):
+                            emit(f"{path}[{i}]", ftype[1], item,
+                                 doc_id, rno, bno, codec)
+                        return
+                    if kind == "map":
+                        rows.append((doc_id, rno, bno, codec, path,
+                                     fstr, False, None, None, None,
+                                     len(v), None))
+                        for k, item in v.items():
+                            emit(f"{path}.{k}", ftype[1], item,
+                                 doc_id, rno, bno, codec)
+                        return
+                    if kind == "enum":
+                        rows.append((doc_id, rno, bno, codec, path,
+                                     fstr, False, None, None, v,
+                                     len(v), None))
+                        return
+                    if kind == "fixed":
+                        rows.append((doc_id, rno, bno, codec, path,
+                                     fstr, False, None, None, None,
+                                     len(v), sum(v)))
+                        return
+                    # record
+                    rows.append((doc_id, rno, bno, codec, path,
+                                 fstr, False, None, None, None,
+                                 len(ftype[1]), None))
+                    for fn, fd in ftype[1]:
+                        emit(f"{path}.{fn}", fd, v[fn], doc_id,
+                             rno, bno, codec)
+                    return
+                v_int = v_dbl = v_str = v_len = v_sum = None
+                base = (ftype.split("|")[0]
+                        if ftype.split("|")[0] != "null"
+                        else ftype.split("|")[-1]
+                        ) if "|" in ftype else ftype
+                if is_null:
+                    pass  # nullable union's null branch
+                elif base in ("long", "int", "boolean"):
+                    v_int = int(v)
+                elif base in ("double", "float"):
+                    v_dbl = float(v)
+                elif base == "string":
+                    v_str = v
+                    v_len = len(v)
+                else:  # bytes
+                    v_len = len(v)
+                    v_sum = sum(v)
+                rows.append(
+                    (doc_id, rno, bno, codec, path, ftype,
+                     is_null, v_int, v_dbl, v_str, v_len, v_sum)
+                )
+
+            for bno, block in enumerate(blocks):
+                for rec in block:
+                    for fname, ftype in fields:
+                        emit(fname, ftype, rec[fname], doc_id,
+                             rno, bno, codec)
+                    rno += 1
+        pdf_out = pd.DataFrame(
+            rows,
+            columns=["doc_id", "rec_no", "block_no", "codec",
+                     "fname", "ftype", "is_null", "v_int", "v_dbl",
+                     "v_str", "v_len", "v_sum"],
+        )
+        pdf_out["rec_no"] = pdf_out["rec_no"].astype("int32")
+        pdf_out["block_no"] = pdf_out["block_no"].astype("int32")
+        yield pdf_out
+
+
 def read_avro_fields(df):
     """Typed Avro record extraction (r17 — the record-schema datum
     reader the r16 verdict ranked the highest-leverage gap): one
@@ -982,128 +1110,6 @@ def read_avro_fields(df):
     bytes never leave the executor; the long format keeps the output
     schema fixed across arbitrary record schemas (no per-corpus
     DataFrame schema inference)."""
-    from collections.abc import Iterator
-
-    import pandas as pd
-
-    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                parsed = parse_avro(bytes(payload))
-                if parsed is None:
-                    raise ValueError(
-                        f"doc {doc_id}: corrupt or out-of-envelope Avro "
-                        "object container"
-                    )
-                codec, schema, _sync, blocks = parsed
-                if not isinstance(schema, tuple):
-                    raise ValueError(
-                        f"doc {doc_id}: primitive-schema container — "
-                        "use read_avro_records"
-                    )
-                fields = schema[1]
-                rno = 0
-
-                def emit(path, ftype, v, doc_id, rno, bno, codec):
-                    """One row per primitive leaf; complex values
-                    (r18) get a container row (v_len = element count)
-                    then leaf rows at 'path[i]' / 'path.key' /
-                    'path.field' — decode order, which IS wire
-                    order."""
-                    is_null = v is AVRO_NULL or isinstance(
-                        v, type(AVRO_NULL)
-                    )
-                    if isinstance(ftype, tuple):
-                        kind = ftype[0]
-                        fstr = _descr_str(ftype)
-                        if kind == "union":
-                            if is_null:
-                                rows.append((doc_id, rno, bno, codec,
-                                             path, fstr, True, None,
-                                             None, None, None, None))
-                                return
-                            if isinstance(v, AvroBranch):
-                                emit(path, ftype[1][v.index], v.value,
-                                     doc_id, rno, bno, codec)
-                                return
-                            branch = next(b for b in ftype[1]
-                                          if b != "null")
-                            emit(path, branch, v, doc_id, rno, bno,
-                                 codec)
-                            return
-                        if kind == "array":
-                            rows.append((doc_id, rno, bno, codec, path,
-                                         fstr, False, None, None, None,
-                                         len(v), None))
-                            for i, item in enumerate(v):
-                                emit(f"{path}[{i}]", ftype[1], item,
-                                     doc_id, rno, bno, codec)
-                            return
-                        if kind == "map":
-                            rows.append((doc_id, rno, bno, codec, path,
-                                         fstr, False, None, None, None,
-                                         len(v), None))
-                            for k, item in v.items():
-                                emit(f"{path}.{k}", ftype[1], item,
-                                     doc_id, rno, bno, codec)
-                            return
-                        if kind == "enum":
-                            rows.append((doc_id, rno, bno, codec, path,
-                                         fstr, False, None, None, v,
-                                         len(v), None))
-                            return
-                        if kind == "fixed":
-                            rows.append((doc_id, rno, bno, codec, path,
-                                         fstr, False, None, None, None,
-                                         len(v), sum(v)))
-                            return
-                        # record
-                        rows.append((doc_id, rno, bno, codec, path,
-                                     fstr, False, None, None, None,
-                                     len(ftype[1]), None))
-                        for fn, fd in ftype[1]:
-                            emit(f"{path}.{fn}", fd, v[fn], doc_id,
-                                 rno, bno, codec)
-                        return
-                    v_int = v_dbl = v_str = v_len = v_sum = None
-                    base = (ftype.split("|")[0]
-                            if ftype.split("|")[0] != "null"
-                            else ftype.split("|")[-1]
-                            ) if "|" in ftype else ftype
-                    if is_null:
-                        pass  # nullable union's null branch
-                    elif base in ("long", "int", "boolean"):
-                        v_int = int(v)
-                    elif base in ("double", "float"):
-                        v_dbl = float(v)
-                    elif base == "string":
-                        v_str = v
-                        v_len = len(v)
-                    else:  # bytes
-                        v_len = len(v)
-                        v_sum = sum(v)
-                    rows.append(
-                        (doc_id, rno, bno, codec, path, ftype,
-                         is_null, v_int, v_dbl, v_str, v_len, v_sum)
-                    )
-
-                for bno, block in enumerate(blocks):
-                    for rec in block:
-                        for fname, ftype in fields:
-                            emit(fname, ftype, rec[fname], doc_id,
-                                 rno, bno, codec)
-                        rno += 1
-            pdf_out = pd.DataFrame(
-                rows,
-                columns=["doc_id", "rec_no", "block_no", "codec",
-                         "fname", "ftype", "is_null", "v_int", "v_dbl",
-                         "v_str", "v_len", "v_sum"],
-            )
-            pdf_out["rec_no"] = pdf_out["rec_no"].astype("int32")
-            pdf_out["block_no"] = pdf_out["block_no"].astype("int32")
-            yield pdf_out
-
     return df.select("doc_id", "payload").mapInPandas(
-        extract, schema=AVRO_FIELDS_SCHEMA
+        avro_field_batches, schema=AVRO_FIELDS_SCHEMA
     )

@@ -440,6 +440,49 @@ CBOR_SCHEMA = (
 )
 
 
+def cbor_record_batches(batches):
+    """Batch-iterator core of read_cbor_records (module-level so query
+    synth stages can compose with it inside ONE mapInPandas pass —
+    one Python-runner handshake, no JVM round trip of the payload)."""
+    from collections.abc import Iterator
+    import pandas as pd
+
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            top = parse_cbor(bytes(payload))
+            if top is None or not isinstance(top, list):
+                raise ValueError(
+                    f"doc {doc_id}: corrupt or out-of-envelope CBOR"
+                )
+            for rno, item in enumerate(top):
+                if (not isinstance(item, dict)
+                        or not isinstance(item.get("id"), int)
+                        or not isinstance(item.get("txt"), bytes)
+                        or not isinstance(item.get("score"), float)
+                        or not isinstance(item.get("flag"), bool)
+                        or not isinstance(item.get("created"),
+                                          CborDateTime)
+                        or not isinstance(item.get("ts"),
+                                          CborEpochTime)
+                        or not isinstance(item["ts"].value, int)):
+                    raise ValueError(
+                        f"doc {doc_id} record {rno}: shape mismatch"
+                    )
+                txt = item["txt"]
+                rows.append(
+                    (doc_id, rno, item["id"], len(txt), sum(txt),
+                     item["score"], item["flag"],
+                     item["created"].text, item["ts"].value)
+                )
+        yield pd.DataFrame(
+            rows,
+            columns=["doc_id", "rec_no", "id_val", "txt_len",
+                     "txt_sum", "score", "flag", "created",
+                     "ts_epoch"],
+        ).astype({"rec_no": "int32", "txt_len": "int32"})
+
+
 def read_cbor_records(df):
     """CBOR extraction operator: one payload row → one row per element
     of a top-level CBOR array of maps with the fixed keys id/txt/
@@ -449,46 +492,6 @@ def read_cbor_records(df):
     all decoded through the full RFC 8949 walk (definite or indefinite
     forms alike — the decoder normalizes). Malformed payloads or a
     shape mismatch raise. Arrow-batched mapInPandas."""
-    from collections.abc import Iterator
-
-    import pandas as pd
-
-    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                top = parse_cbor(bytes(payload))
-                if top is None or not isinstance(top, list):
-                    raise ValueError(
-                        f"doc {doc_id}: corrupt or out-of-envelope CBOR"
-                    )
-                for rno, item in enumerate(top):
-                    if (not isinstance(item, dict)
-                            or not isinstance(item.get("id"), int)
-                            or not isinstance(item.get("txt"), bytes)
-                            or not isinstance(item.get("score"), float)
-                            or not isinstance(item.get("flag"), bool)
-                            or not isinstance(item.get("created"),
-                                              CborDateTime)
-                            or not isinstance(item.get("ts"),
-                                              CborEpochTime)
-                            or not isinstance(item["ts"].value, int)):
-                        raise ValueError(
-                            f"doc {doc_id} record {rno}: shape mismatch"
-                        )
-                    txt = item["txt"]
-                    rows.append(
-                        (doc_id, rno, item["id"], len(txt), sum(txt),
-                         item["score"], item["flag"],
-                         item["created"].text, item["ts"].value)
-                    )
-            yield pd.DataFrame(
-                rows,
-                columns=["doc_id", "rec_no", "id_val", "txt_len",
-                         "txt_sum", "score", "flag", "created",
-                         "ts_epoch"],
-            ).astype({"rec_no": "int32", "txt_len": "int32"})
-
     return df.select("doc_id", "payload").mapInPandas(
-        extract, schema=CBOR_SCHEMA
+        cbor_record_batches, schema=CBOR_SCHEMA
     )

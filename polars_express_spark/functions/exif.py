@@ -120,7 +120,10 @@ def parse_tiff_exif_blob(blob: bytes):
     if r is None:
         return None
     fields, sub = r
-    if "orientation" in fields and not 1 <= fields["orientation"] <= 8:
+    ori = fields.get("orientation")
+    if ori is not None and not (isinstance(ori, int) and 1 <= ori <= 8):
+        # wrong declared type (e.g. ASCII) or out-of-range value: the
+        # EXIF spec pins orientation to SHORT 1..8 — malformed, not ours
         return None
     if sub is not None:
         r = _read_ifd(blob, sub, bo, _EXIF_TAGS)
@@ -364,48 +367,50 @@ EXIF_SCHEMA = (
 )
 
 
+def exif_meta_batches(batches):
+    """Batch-iterator core of read_exif_meta (module-level so query
+    synth stages can compose with it inside ONE mapInPandas pass —
+    one Python-runner handshake, no JVM round trip of the payload)."""
+    from collections.abc import Iterator
+    import pandas as pd
+    from polars_express_spark.functions.jpeg import parse_jpeg
+
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            raw = bytes(payload)
+            meta = parse_exif(raw)
+            if not meta:
+                raise ValueError(
+                    f"doc {doc_id}: missing or malformed EXIF"
+                )
+            decoded = parse_jpeg(raw)
+            if decoded is None:
+                raise ValueError(f"doc {doc_id}: corrupt JPEG body")
+            w, h, _ch, arr = decoded
+            num, den = meta.get("fnumber", (0, 1))
+            rows.append(
+                (doc_id, meta["byte_order"], meta.get("make", ""),
+                 meta.get("model", ""), meta.get("orientation", 0),
+                 meta.get("iso", 0), meta.get("exif_w", 0),
+                 meta.get("exif_h", 0), num / den, w, h,
+                 float(arr.mean()))
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=["doc_id", "byte_order", "make", "model",
+                     "orientation", "iso", "exif_w", "exif_h",
+                     "fnum", "width", "height", "mean_px"],
+        ).astype({"orientation": "int32", "iso": "int32",
+                  "width": "int32", "height": "int32"})
+
+
 def read_exif_meta(df):
     """EXIF extraction operator: per doc, decode the APP1 metadata AND
     the JPEG raster (through functions/jpeg.py) — the realistic
     pipeline shape where orientation correction needs both. Docs
     without EXIF or with malformed structure raise (the corpus here
     always embeds it). Arrow-batched mapInPandas."""
-    from collections.abc import Iterator
-
-    import pandas as pd
-
-    from polars_express_spark.functions.jpeg import parse_jpeg
-
-    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                raw = bytes(payload)
-                meta = parse_exif(raw)
-                if not meta:
-                    raise ValueError(
-                        f"doc {doc_id}: missing or malformed EXIF"
-                    )
-                decoded = parse_jpeg(raw)
-                if decoded is None:
-                    raise ValueError(f"doc {doc_id}: corrupt JPEG body")
-                w, h, _ch, arr = decoded
-                num, den = meta.get("fnumber", (0, 1))
-                rows.append(
-                    (doc_id, meta["byte_order"], meta.get("make", ""),
-                     meta.get("model", ""), meta.get("orientation", 0),
-                     meta.get("iso", 0), meta.get("exif_w", 0),
-                     meta.get("exif_h", 0), num / den, w, h,
-                     float(arr.mean()))
-                )
-            yield pd.DataFrame(
-                rows,
-                columns=["doc_id", "byte_order", "make", "model",
-                         "orientation", "iso", "exif_w", "exif_h",
-                         "fnum", "width", "height", "mean_px"],
-            ).astype({"orientation": "int32", "iso": "int32",
-                      "width": "int32", "height": "int32"})
-
     return df.select("doc_id", "payload").mapInPandas(
-        extract, schema=EXIF_SCHEMA
+        exif_meta_batches, schema=EXIF_SCHEMA
     )

@@ -627,6 +627,51 @@ KAFKA_SCHEMA = (
 )
 
 
+def kafka_record_batches(batches):
+    """Batch-iterator core of read_kafka_records (module-level so query
+    synth stages can compose with it inside ONE mapInPandas pass —
+    one Python-runner handshake, no JVM round trip of the payload)."""
+    from collections.abc import Iterator
+    import pandas as pd
+
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            parsed = parse_kafka_segment(bytes(payload))
+            if parsed is None:
+                raise ValueError(
+                    f"doc {doc_id}: corrupt or out-of-envelope "
+                    "Kafka log segment"
+                )
+            for bno, batch in enumerate(parsed):
+                for rno, rec in enumerate(batch["records"]):
+                    key, val = rec["key"], rec["value"]
+                    rows.append((
+                        doc_id, bno, rno, rec["offset"],
+                        rec["timestamp"], batch["codec"],
+                        batch["magic"],
+                        -1 if key is None else len(key),
+                        0 if key is None else sum(key),
+                        -1 if val is None else len(val),
+                        0 if val is None else sum(val),
+                        len(rec["headers"]),
+                        sum(sum(hv) for _, hv in rec["headers"]
+                            if hv is not None),
+                        ",".join(hk for hk, _ in rec["headers"]),
+                    ))
+        pdf_out = pd.DataFrame(
+            rows,
+            columns=["doc_id", "batch_no", "rec_no", "koffset",
+                     "ts", "codec", "magic", "key_len", "key_sum",
+                     "val_len", "val_sum", "n_headers", "hdr_sum",
+                     "hdr_names"],
+        )
+        for c in ("batch_no", "rec_no", "magic", "key_len",
+                  "val_len", "n_headers"):
+            pdf_out[c] = pdf_out[c].astype("int32")
+        yield pdf_out
+
+
 def read_kafka_records(df):
     """Kafka log-segment extraction operator (r17): one segment row →
     one row per record with the batch's verified codec, the
@@ -636,48 +681,6 @@ def read_kafka_records(df):
     name list. Every batch CRC-32C has already been enforced by
     parse_kafka_segment — malformed segments raise. Arrow-batched
     mapInPandas; segment bytes never leave the executor."""
-    from collections.abc import Iterator
-
-    import pandas as pd
-
-    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                parsed = parse_kafka_segment(bytes(payload))
-                if parsed is None:
-                    raise ValueError(
-                        f"doc {doc_id}: corrupt or out-of-envelope "
-                        "Kafka log segment"
-                    )
-                for bno, batch in enumerate(parsed):
-                    for rno, rec in enumerate(batch["records"]):
-                        key, val = rec["key"], rec["value"]
-                        rows.append((
-                            doc_id, bno, rno, rec["offset"],
-                            rec["timestamp"], batch["codec"],
-                            batch["magic"],
-                            -1 if key is None else len(key),
-                            0 if key is None else sum(key),
-                            -1 if val is None else len(val),
-                            0 if val is None else sum(val),
-                            len(rec["headers"]),
-                            sum(sum(hv) for _, hv in rec["headers"]
-                                if hv is not None),
-                            ",".join(hk for hk, _ in rec["headers"]),
-                        ))
-            pdf_out = pd.DataFrame(
-                rows,
-                columns=["doc_id", "batch_no", "rec_no", "koffset",
-                         "ts", "codec", "magic", "key_len", "key_sum",
-                         "val_len", "val_sum", "n_headers", "hdr_sum",
-                         "hdr_names"],
-            )
-            for c in ("batch_no", "rec_no", "magic", "key_len",
-                      "val_len", "n_headers"):
-                pdf_out[c] = pdf_out[c].astype("int32")
-            yield pdf_out
-
     return df.select("doc_id", "payload").mapInPandas(
-        extract, schema=KAFKA_SCHEMA
+        kafka_record_batches, schema=KAFKA_SCHEMA
     )

@@ -370,6 +370,40 @@ LZ4_SCHEMA = (
 )
 
 
+def lz4_content_batches(batches):
+    """Batch-iterator core of read_lz4_content (module-level so query
+    synth stages can compose with it inside ONE mapInPandas pass —
+    one Python-runner handshake, no JVM round trip of the payload)."""
+    from collections.abc import Iterator
+    import numpy as np
+    import pandas as pd
+
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            parsed = parse_lz4_frame(bytes(payload))
+            if parsed is None:
+                raise ValueError(
+                    f"doc {doc_id}: corrupt or out-of-envelope "
+                    "LZ4 frame"
+                )
+            content, flags = parsed
+            arr = np.frombuffer(content, dtype=np.uint8)
+            rows.append(
+                (doc_id, len(content),
+                 int(arr.astype(np.int64).sum()) if arr.size else 0,
+                 float(arr.mean()) if arr.size else 0.0,
+                 flags["block_checksums"],
+                 flags["content_size"]
+                 if flags["content_size"] is not None else -1)
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=["doc_id", "n_bytes", "bsum", "mean_b",
+                     "blk_cs", "csize"],
+        )
+
+
 def read_lz4_content(df):
     """LZ4 frame extraction operator (r17): one ``.lz4`` payload row →
     one row with exact content stats plus the frame's verified
@@ -378,37 +412,6 @@ def read_lz4_content(df):
     per-block, whole-content) has already been enforced by
     parse_lz4_frame. Arrow-batched mapInPandas; frame bytes never
     leave the executor."""
-    from collections.abc import Iterator
-
-    import numpy as np
-    import pandas as pd
-
-    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                parsed = parse_lz4_frame(bytes(payload))
-                if parsed is None:
-                    raise ValueError(
-                        f"doc {doc_id}: corrupt or out-of-envelope "
-                        "LZ4 frame"
-                    )
-                content, flags = parsed
-                arr = np.frombuffer(content, dtype=np.uint8)
-                rows.append(
-                    (doc_id, len(content),
-                     int(arr.astype(np.int64).sum()) if arr.size else 0,
-                     float(arr.mean()) if arr.size else 0.0,
-                     flags["block_checksums"],
-                     flags["content_size"]
-                     if flags["content_size"] is not None else -1)
-                )
-            yield pd.DataFrame(
-                rows,
-                columns=["doc_id", "n_bytes", "bsum", "mean_b",
-                         "blk_cs", "csize"],
-            )
-
     return df.select("doc_id", "payload").mapInPandas(
-        extract, schema=LZ4_SCHEMA
+        lz4_content_batches, schema=LZ4_SCHEMA
     )

@@ -170,48 +170,51 @@ MP3_META_SCHEMA = (
 )
 
 
+def mp3_meta_batches(batches):
+    """Batch-iterator core of decode_mp3_meta (module-level so query
+    synth stages can compose with it inside ONE mapInPandas pass —
+    one Python-runner handshake, no JVM round trip of the payload)."""
+    from collections.abc import Iterator
+    import pandas as pd
+
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            raw = bytes(payload)
+            parsed = parse_mp3(raw)
+            if parsed is None:
+                raise ValueError(
+                    f"doc {doc_id}: corrupt or out-of-envelope MP3 "
+                    "frame chain"
+                )
+            rate, mode, n, mn, mx, dur, id3v2, id3v1 = parsed
+            tag = parse_id3v2(raw)
+            if tag is None:
+                raise ValueError(
+                    f"doc {doc_id}: structurally corrupt ID3v2 tag"
+                )
+            rows.append(
+                (doc_id, rate, mode, n, mn, mx, dur, len(raw),
+                 id3v2, id3v1, tag[1].get("TIT2", ""))
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=["doc_id", "sample_rate", "channel_mode",
+                     "n_frames", "min_kbps", "max_kbps",
+                     "duration_ms", "byte_len", "id3v2_bytes",
+                     "has_id3v1", "title"],
+        ).astype({"sample_rate": "int32", "min_kbps": "int32",
+                  "max_kbps": "int32", "id3v2_bytes": "int32"})
+
+
 def decode_mp3_meta(df):
     """MP3 metadata operator (the audio twin of the JPEG SOF walk):
     per doc, walk the frame chain and ship sample rate, channel mode,
     frame count, CBR/VBR bitrate bounds, exact duration, and the ID3
     envelope measurements. Malformed chains raise. Arrow-batched
     mapInPandas; payloads never leave the executor."""
-    from collections.abc import Iterator
-
-    import pandas as pd
-
-    def meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                raw = bytes(payload)
-                parsed = parse_mp3(raw)
-                if parsed is None:
-                    raise ValueError(
-                        f"doc {doc_id}: corrupt or out-of-envelope MP3 "
-                        "frame chain"
-                    )
-                rate, mode, n, mn, mx, dur, id3v2, id3v1 = parsed
-                tag = parse_id3v2(raw)
-                if tag is None:
-                    raise ValueError(
-                        f"doc {doc_id}: structurally corrupt ID3v2 tag"
-                    )
-                rows.append(
-                    (doc_id, rate, mode, n, mn, mx, dur, len(raw),
-                     id3v2, id3v1, tag[1].get("TIT2", ""))
-                )
-            yield pd.DataFrame(
-                rows,
-                columns=["doc_id", "sample_rate", "channel_mode",
-                         "n_frames", "min_kbps", "max_kbps",
-                         "duration_ms", "byte_len", "id3v2_bytes",
-                         "has_id3v1", "title"],
-            ).astype({"sample_rate": "int32", "min_kbps": "int32",
-                      "max_kbps": "int32", "id3v2_bytes": "int32"})
-
     return df.select("doc_id", "payload").mapInPandas(
-        meta, schema=MP3_META_SCHEMA
+        mp3_meta_batches, schema=MP3_META_SCHEMA
     )
 
 

@@ -324,6 +324,52 @@ MSGPACK_SCHEMA = (
 )
 
 
+def msgpack_record_batches(batches):
+    """Batch-iterator core of read_msgpack_records (module-level so query
+    synth stages can compose with it inside ONE mapInPandas pass —
+    one Python-runner handshake, no JVM round trip of the payload)."""
+    from collections.abc import Iterator
+    import pandas as pd
+
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            top = parse_msgpack(bytes(payload))
+            if top is None or not isinstance(top, list):
+                raise ValueError(
+                    f"doc {doc_id}: corrupt or out-of-envelope "
+                    "MessagePack"
+                )
+            for rno, item in enumerate(top):
+                if (not isinstance(item, dict)
+                        or not isinstance(item.get("id"), int)
+                        or not isinstance(item.get("name"), str)
+                        or not isinstance(item.get("bin"), bytes)
+                        or not isinstance(item.get("tags"), list)
+                        or not isinstance(item.get("score"), float)
+                        or not isinstance(item.get("ok"), bool)
+                        or not isinstance(item.get("ts"),
+                                          MsgpackTimestamp)):
+                    raise ValueError(
+                        f"doc {doc_id} record {rno}: shape mismatch"
+                    )
+                binv = item["bin"]
+                tags = item["tags"]
+                ts = item["ts"]
+                rows.append(
+                    (doc_id, rno, item["id"], item["name"], len(binv),
+                     sum(binv), len(tags), sum(tags), item["score"],
+                     item["ok"], ts.sec, ts.nsec)
+                )
+        yield pd.DataFrame(
+            rows,
+            columns=["doc_id", "rec_no", "id_val", "name", "bin_len",
+                     "bin_sum", "n_tags", "tags_sum", "score", "ok",
+                     "ts_sec", "ts_nsec"],
+        ).astype({"rec_no": "int32", "bin_len": "int32",
+                  "n_tags": "int32", "ts_nsec": "int32"})
+
+
 def read_msgpack_records(df):
     """MessagePack extraction operator: one payload row → one row per
     element of a top-level array of maps with the fixed keys id/name/
@@ -332,49 +378,6 @@ def read_msgpack_records(df):
     columns) — decoded through the full spec walk with UTF-8,
     duplicate-key, and depth enforcement. Malformed payloads or a
     shape mismatch raise. Arrow-batched mapInPandas."""
-    from collections.abc import Iterator
-
-    import pandas as pd
-
-    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                top = parse_msgpack(bytes(payload))
-                if top is None or not isinstance(top, list):
-                    raise ValueError(
-                        f"doc {doc_id}: corrupt or out-of-envelope "
-                        "MessagePack"
-                    )
-                for rno, item in enumerate(top):
-                    if (not isinstance(item, dict)
-                            or not isinstance(item.get("id"), int)
-                            or not isinstance(item.get("name"), str)
-                            or not isinstance(item.get("bin"), bytes)
-                            or not isinstance(item.get("tags"), list)
-                            or not isinstance(item.get("score"), float)
-                            or not isinstance(item.get("ok"), bool)
-                            or not isinstance(item.get("ts"),
-                                              MsgpackTimestamp)):
-                        raise ValueError(
-                            f"doc {doc_id} record {rno}: shape mismatch"
-                        )
-                    binv = item["bin"]
-                    tags = item["tags"]
-                    ts = item["ts"]
-                    rows.append(
-                        (doc_id, rno, item["id"], item["name"], len(binv),
-                         sum(binv), len(tags), sum(tags), item["score"],
-                         item["ok"], ts.sec, ts.nsec)
-                    )
-            yield pd.DataFrame(
-                rows,
-                columns=["doc_id", "rec_no", "id_val", "name", "bin_len",
-                         "bin_sum", "n_tags", "tags_sum", "score", "ok",
-                         "ts_sec", "ts_nsec"],
-            ).astype({"rec_no": "int32", "bin_len": "int32",
-                      "n_tags": "int32", "ts_nsec": "int32"})
-
     return df.select("doc_id", "payload").mapInPandas(
-        extract, schema=MSGPACK_SCHEMA
+        msgpack_record_batches, schema=MSGPACK_SCHEMA
     )

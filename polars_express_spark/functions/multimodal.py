@@ -510,20 +510,11 @@ def resize_media(
 FRAMES_SCHEMA = "doc_id bigint, frame_no int, frame binary"
 
 
-def sample_frames(df: DataFrame, n_frames: int = 4, real_decode: bool = False) -> DataFrame:
-    """mapInPandas frame sampling: one 'video' payload row → n_frames
-    frame rows (the generator/UDTF shape: output cardinality ≠ input).
-
-    real_decode=True demuxes RIFF/AVI containers, ISO BMFF (mp4/mov —
-    real stsz/stsc/stco sample tables, r14), YUV4MPEG2 streams (r14 —
-    raw planar frames, so pixels always decode) and animated GIFs for
-    real, and since r14 decodes PIXELS for MJPEG (in either container)
-    and uncompressed-DIB AVI streams (shipped as PNGs); inter-frame
-    codecs stay encoded (demux only — the documented ffmpeg gate). The default fake slices
-    the payload into n_frames even chunks, which preserves the real
-    operator's row explosion, ordering column, and binary output
-    schema.
-    """
+def frame_sample_batches(n_frames: int = 4, real_decode: bool = False):
+    """Factory for the batch-iterator core of sample_frames (module-
+    level so query synth stages can compose with it inside ONE
+    mapInPandas pass — one Python-runner handshake, no JVM round trip
+    of the muxed container bytes)."""
     import numpy as np
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -781,7 +772,26 @@ def sample_frames(df: DataFrame, n_frames: int = 4, real_decode: bool = False) -
                 }
             )
 
-    return df.select("doc_id", "payload").mapInPandas(sample, schema=FRAMES_SCHEMA)
+    return sample
+
+
+def sample_frames(df: DataFrame, n_frames: int = 4, real_decode: bool = False) -> DataFrame:
+    """mapInPandas frame sampling: one 'video' payload row → n_frames
+    frame rows (the generator/UDTF shape: output cardinality ≠ input).
+
+    real_decode=True demuxes RIFF/AVI containers, ISO BMFF (mp4/mov —
+    real stsz/stsc/stco sample tables, r14), YUV4MPEG2 streams (r14 —
+    raw planar frames, so pixels always decode) and animated GIFs for
+    real, and since r14 decodes PIXELS for MJPEG (in either container)
+    and uncompressed-DIB AVI streams (shipped as PNGs); inter-frame
+    codecs stay encoded (demux only — the documented ffmpeg gate). The default fake slices
+    the payload into n_frames even chunks, which preserves the real
+    operator's row explosion, ordering column, and binary output
+    schema.
+    """
+    return df.select("doc_id", "payload").mapInPandas(
+        frame_sample_batches(n_frames, real_decode), schema=FRAMES_SCHEMA
+    )
 
 
 def parse_audio_header(payload: bytes):
@@ -1178,7 +1188,320 @@ AUDIO_SAMPLE_STATS_SCHEMA = (
 )
 
 
-def decode_audio_samples(df: DataFrame) -> DataFrame:
+def audio_sample_batches(batches):
+    """Batch-iterator core of decode_audio_samples (module-level so query
+    synth stages can compose with it inside ONE mapInPandas pass —
+    one Python-runner handshake, no JVM round trip of the payload)."""
+    import struct
+    import numpy as np
+
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            raw = bytes(payload)
+            if raw[:4] == b"fLaC":
+                # FLAC (r14): the first lossless COMPRESSED codec
+                # in the ladder — linear prediction + Rice coding,
+                # decoded dependency-free (functions/flac.py); the
+                # stream's own CRC-8/CRC-16/MD5 make a corrupt
+                # payload undecodable, never wrong samples
+                from polars_express_spark.functions.flac import parse_flac
+
+                parsed = parse_flac(raw)
+                if parsed is None:
+                    raise ValueError(
+                        f"doc {doc_id}: corrupt or out-of-envelope "
+                        "FLAC stream"
+                    )
+                pcm = parsed[3].reshape(-1)
+                if len(pcm) == 0:
+                    raise ValueError(f"doc {doc_id}: empty FLAC stream")
+                rows.append(
+                    (doc_id, len(pcm), float(pcm.mean()),
+                     int(pcm.min()), int(pcm.max()))
+                )
+                continue
+            if raw[:3] == b"ID3" or (
+                len(raw) >= 2 and raw[0] == 0xFF and raw[1] & 0xE0 == 0xE0
+            ):
+                # bare MP3 (r15): the frame chain and ID3 envelope
+                # walk for real (functions/mp3.py decode_mp3_meta —
+                # sample rate, frame count, exact duration), but
+                # sample decode is the full MDCT/Huffman codec and
+                # stays policy-gated, the standing MP3-in-WAV ruling
+                raise NotImplementedError(
+                    f"doc {doc_id}: MP3 metadata decodes via "
+                    "decode_mp3_meta; the sample codec is gated by "
+                    "policy (no dependency-free decode here)"
+                )
+            if raw[:4] == b"OggS":
+                # Ogg (r15): the container demuxes for real
+                # (parse_ogg — CRC-verified pages, packets
+                # reassembled). FLAC-in-Ogg decodes all the way to
+                # samples: rebuild the native stream from the
+                # mapping's packets (packet 0 carries 'fLaC' +
+                # STREAMINFO, then one frame per packet) and run it
+                # through parse_flac, whose CRC-8/16 + MD5 chain
+                # stays armed. Vorbis/Opus payloads are full
+                # transform codecs and stay policy-gated like
+                # MP3-in-WAV; the swap-in point is parse_ogg's
+                # packet list → libopus/libvorbis.
+                parsed = parse_ogg(raw)
+                if parsed is None:
+                    raise ValueError(
+                        f"doc {doc_id}: corrupt or out-of-envelope "
+                        "Ogg stream"
+                    )
+                codec, _ch, _rate, hdr_count, _np_, _gran, pkts = parsed
+                if codec != "flac":
+                    raise NotImplementedError(
+                        f"doc {doc_id}: Ogg-{codec} demuxes via "
+                        "decode_ogg_stats; the payload codec is gated "
+                        "by policy (no dependency-free decode here)"
+                    )
+                from polars_express_spark.functions.flac import parse_flac
+
+                # force STREAMINFO's last-metadata flag: any extra
+                # header packets (VorbisComment etc.) are dropped,
+                # so the rebuilt native stream goes straight from
+                # STREAMINFO to the first frame
+                native = (
+                    b"fLaC" + bytes([pkts[0][13] | 0x80])
+                    + pkts[0][14:] + b"".join(pkts[1 + hdr_count :])
+                )
+                parsed_flac = parse_flac(native)
+                if parsed_flac is None:
+                    raise ValueError(
+                        f"doc {doc_id}: Ogg pages were intact but the "
+                        "FLAC payload failed its own integrity chain"
+                    )
+                pcm = parsed_flac[3].reshape(-1)
+                if len(pcm) == 0:
+                    raise ValueError(f"doc {doc_id}: empty Ogg-FLAC stream")
+                rows.append(
+                    (doc_id, len(pcm), float(pcm.mean()),
+                     int(pcm.min()), int(pcm.max()))
+                )
+                continue
+            if raw[:4] == b"FORM":
+                # AIFF (r14): the third audio container — FORM/IFF
+                # chunks, 80-bit extended-float sample rate,
+                # big-endian PCM at 8/16/24/32 bits
+                aif = parse_aiff(raw)
+                if aif is None:
+                    raise ValueError(
+                        f"doc {doc_id}: corrupt or out-of-envelope "
+                        "AIFF (AIFC compressed forms are gated)"
+                    )
+                pcm = aif[3]
+                if len(pcm) == 0:
+                    raise ValueError(f"doc {doc_id}: empty AIFF SSND")
+                rows.append(
+                    (doc_id, len(pcm), float(pcm.mean()),
+                     int(pcm.min()), int(pcm.max()))
+                )
+                continue
+            au = parse_au_header(raw)
+            if au is not None:  # Sun Au (r13): big-endian, 4 encodings
+                ch_au, _rate, bits_au, n_au, enc, dpos = au
+                data = raw[dpos : dpos + n_au * ch_au * (bits_au // 8)]
+                if enc == 1:
+                    pcm = mulaw_decode(np.frombuffer(data, dtype=np.uint8))
+                elif enc == 27:
+                    pcm = alaw_decode(np.frombuffer(data, dtype=np.uint8))
+                elif enc == 2:  # Au PCM8 is SIGNED (unlike WAV)
+                    pcm = np.frombuffer(data, dtype=np.int8).astype(np.int32)
+                elif enc == 3:  # 16-bit linear, big-endian
+                    pcm = np.frombuffer(data, dtype=">i2").astype(np.int32)
+                else:
+                    raise NotImplementedError(
+                        f"doc {doc_id}: Au encoding {enc} has no "
+                        "dependency-free decode here (mu-law, A-law, "
+                        "and 8/16-bit linear are implemented)"
+                    )
+                if len(pcm) == 0:
+                    raise ValueError(f"doc {doc_id}: empty Au data")
+                rows.append(
+                    (doc_id, len(pcm), float(pcm.mean()),
+                     int(pcm.min()), int(pcm.max()))
+                )
+                continue
+            if raw[:4] == b"\x1a\x45\xdf\xa3":
+                # Matroska/webm (r15): demux the first audio track
+                # (functions/mkv.py — lacing reassembled, optional
+                # CRC-32 verified) and decode the PCM codec ids to
+                # real samples; compressed ids (A_OPUS/A_VORBIS/
+                # A_MPEG) stay policy-gated like MP3-in-WAV
+                from polars_express_spark.functions.mkv import (
+                    parse_mkv_audio,
+                )
+
+                mka = parse_mkv_audio(raw)
+                if mka is None:
+                    raise ValueError(
+                        f"doc {doc_id}: corrupt or out-of-envelope "
+                        "Matroska stream (or no audio track)"
+                    )
+                mcodec, _mch, _mrate, mbits, mpriv, mdata = mka
+                if mcodec == "A_FLAC":
+                    # r17: per the public Matroska codec mapping the
+                    # CodecPrivate carries 'fLaC' + STREAMINFO and
+                    # each Matroska frame is one complete FLAC
+                    # frame, so private + data IS a native FLAC
+                    # stream — decode it through the full flac.py
+                    # CRC-8/16 + MD5 chain (the same composition
+                    # FLAC-in-Ogg uses)
+                    from polars_express_spark.functions.flac import (
+                        parse_flac,
+                    )
+
+                    if mpriv is None or mpriv[:4] != b"fLaC":
+                        raise ValueError(
+                            f"doc {doc_id}: A_FLAC track without a "
+                            "fLaC CodecPrivate header"
+                        )
+                    fl = parse_flac(mpriv + mdata)
+                    if fl is None:
+                        raise ValueError(
+                            f"doc {doc_id}: corrupt FLAC stream in "
+                            "Matroska A_FLAC track"
+                        )
+                    _fch, _frate, _fbps, fsamps = fl
+                    pcm = fsamps.ravel()
+                    if len(pcm) == 0:
+                        raise ValueError(
+                            f"doc {doc_id}: empty A_FLAC track"
+                        )
+                    rows.append(
+                        (doc_id, len(pcm), float(pcm.mean()),
+                         int(pcm.min()), int(pcm.max()))
+                    )
+                    continue
+                if mcodec not in ("A_PCM/INT/LIT", "A_PCM/INT/BIG"):
+                    raise NotImplementedError(
+                        f"doc {doc_id}: Matroska audio codec {mcodec} "
+                        "has no dependency-free decode (PCM int "
+                        "little/big-endian are implemented; "
+                        "compressed codecs are gated by policy)"
+                    )
+                if mbits == 16:
+                    dt = "<i2" if mcodec.endswith("LIT") else ">i2"
+                    if len(mdata) % 2:
+                        raise ValueError(
+                            f"doc {doc_id}: odd PCM16 byte count"
+                        )
+                    pcm = np.frombuffer(mdata, dtype=dt).astype(np.int32)
+                elif mbits == 8:
+                    # Matroska PCM8 is SIGNED (unlike WAV's unsigned)
+                    pcm = np.frombuffer(mdata, dtype=np.int8).astype(
+                        np.int32
+                    )
+                else:
+                    raise NotImplementedError(
+                        f"doc {doc_id}: Matroska PCM at {mbits} bits "
+                        "has no decode here (8/16 implemented)"
+                    )
+                if len(pcm) == 0:
+                    raise ValueError(
+                        f"doc {doc_id}: empty Matroska audio track"
+                    )
+                rows.append(
+                    (doc_id, len(pcm), float(pcm.mean()),
+                     int(pcm.min()), int(pcm.max()))
+                )
+                continue
+            if raw[:4] == b"RIFF" and raw[8:12] == b"AVI ":
+                # AVI audio track (r14): demux the first 'auds'
+                # stream and re-wrap it as the WAV its strf
+                # literally describes (the strf IS a WAVEFORMATEX),
+                # then fall through to the normal WAV decode — so
+                # a video file's audio decodes whenever its codec
+                # is in the dependency-free set
+                ext = parse_avi_audio(raw)
+                if ext is None:
+                    raise ValueError(
+                        f"doc {doc_id}: AVI has no audio stream"
+                    )
+                afmt, adata = ext
+                body = (
+                    b"WAVE"
+                    + b"fmt " + struct.pack("<I", len(afmt)) + afmt
+                    + b"data" + struct.pack("<I", len(adata)) + adata
+                    + (b"\x00" if len(adata) & 1 else b"")
+                )
+                raw = b"RIFF" + struct.pack("<I", len(body)) + body
+            meta = parse_audio_header(raw)
+            if meta is None:
+                raise ValueError(
+                    f"doc {doc_id}: payload is not RIFF/WAVE, Sun Au, "
+                    "FLAC, AIFF, or an AVI with an audio stream"
+                )
+            # re-walk for the format tag, block align, and data bounds
+            pos, tag, block_align, data = 12, None, 0, None
+            while pos + 8 <= len(raw):
+                cid = raw[pos : pos + 4]
+                csize = struct.unpack_from("<I", raw, pos + 4)[0]
+                body = pos + 8
+                if cid == b"fmt " and csize >= 16:
+                    tag = struct.unpack_from("<H", raw, body)[0]
+                    block_align = struct.unpack_from("<H", raw, body + 12)[0]
+                    if tag == 0xFFFE and csize >= 40 and body + 40 <= len(raw):
+                        # WAVE_FORMAT_EXTENSIBLE (r13): the real tag
+                        # is the first two bytes of the SubFormat
+                        # GUID, valid only over the fixed Microsoft
+                        # base GUID tail (…-0000-0010-8000-00aa00389b71)
+                        if (
+                            raw[body + 26 : body + 40]
+                            == b"\x00\x00\x00\x00\x10\x00\x80\x00"
+                               b"\x00\xaa\x00\x38\x9b\x71"
+                        ):
+                            tag = struct.unpack_from("<H", raw, body + 24)[0]
+                elif cid == b"data" and body + csize <= len(raw):
+                    data = raw[body : body + csize]
+                pos = body + csize + (csize & 1)
+            if data is None:
+                raise ValueError(f"doc {doc_id}: WAV has no data chunk")
+            bits = meta[2]
+            if tag == 7 and bits == 8:
+                pcm = mulaw_decode(np.frombuffer(data, dtype=np.uint8))
+            elif tag == 6 and bits == 8:
+                pcm = alaw_decode(np.frombuffer(data, dtype=np.uint8))
+            elif tag == 0x11:  # IMA ADPCM, any channel count (r13)
+                pcm = _wav_ima_blocks_decode(data, block_align, meta[0])
+                if pcm is None:
+                    raise ValueError(
+                        f"doc {doc_id}: malformed IMA-ADPCM block layout"
+                    )
+            elif tag == 0x02:  # MS ADPCM, any channel count (r14)
+                pcm = _wav_ms_blocks_decode(data, block_align, meta[0])
+                if pcm is None:
+                    raise ValueError(
+                        f"doc {doc_id}: malformed MS-ADPCM block layout"
+                    )
+            elif tag == 1 and bits == 16:
+                pcm = np.frombuffer(data, dtype="<i2").astype(np.int32)
+            elif tag == 1 and bits == 8:  # PCM 8-bit is UNSIGNED
+                pcm = np.frombuffer(data, dtype=np.uint8).astype(np.int32) - 128
+            else:
+                raise NotImplementedError(
+                    f"doc {doc_id}: WAV format tag {tag}/{bits}-bit/"
+                    f"{meta[0]}ch has no dependency-free decode here "
+                    "(PCM 8/16, G.711 mu-law + A-law, and IMA + MS "
+                    "ADPCM at any channel count are implemented; "
+                    "MP3-in-WAV remains codec-gated)"
+                )
+            if len(pcm) == 0:
+                raise ValueError(f"doc {doc_id}: empty data chunk")
+            rows.append(
+                (doc_id, len(pcm), float(pcm.mean()), int(pcm.min()), int(pcm.max()))
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=["doc_id", "n_samples", "mean_pcm", "min_pcm", "max_pcm"],
+        ).astype({"min_pcm": "int32", "max_pcm": "int32"})
+
+
+def decode_audio_samples(df):
     """REAL audio SAMPLE decode + reduce (r12): per doc, parse the
     container — RIFF/WAVE, Sun Au since r13 (the canonical G.711
     container: big-endian, mu-law/A-law/signed-PCM8/PCM16BE), or FLAC
@@ -1194,344 +1517,37 @@ def decode_audio_samples(df: DataFrame) -> DataFrame:
     the Arrow batch, move scalars, never raw samples. Unparsable
     containers and format tags without a dependency-free decode
     (MP3-in-WAV — still codec-gated by policy) raise."""
-    import struct
-
-    import numpy as np
-
-    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                raw = bytes(payload)
-                if raw[:4] == b"fLaC":
-                    # FLAC (r14): the first lossless COMPRESSED codec
-                    # in the ladder — linear prediction + Rice coding,
-                    # decoded dependency-free (functions/flac.py); the
-                    # stream's own CRC-8/CRC-16/MD5 make a corrupt
-                    # payload undecodable, never wrong samples
-                    from polars_express_spark.functions.flac import parse_flac
-
-                    parsed = parse_flac(raw)
-                    if parsed is None:
-                        raise ValueError(
-                            f"doc {doc_id}: corrupt or out-of-envelope "
-                            "FLAC stream"
-                        )
-                    pcm = parsed[3].reshape(-1)
-                    if len(pcm) == 0:
-                        raise ValueError(f"doc {doc_id}: empty FLAC stream")
-                    rows.append(
-                        (doc_id, len(pcm), float(pcm.mean()),
-                         int(pcm.min()), int(pcm.max()))
-                    )
-                    continue
-                if raw[:3] == b"ID3" or (
-                    len(raw) >= 2 and raw[0] == 0xFF and raw[1] & 0xE0 == 0xE0
-                ):
-                    # bare MP3 (r15): the frame chain and ID3 envelope
-                    # walk for real (functions/mp3.py decode_mp3_meta —
-                    # sample rate, frame count, exact duration), but
-                    # sample decode is the full MDCT/Huffman codec and
-                    # stays policy-gated, the standing MP3-in-WAV ruling
-                    raise NotImplementedError(
-                        f"doc {doc_id}: MP3 metadata decodes via "
-                        "decode_mp3_meta; the sample codec is gated by "
-                        "policy (no dependency-free decode here)"
-                    )
-                if raw[:4] == b"OggS":
-                    # Ogg (r15): the container demuxes for real
-                    # (parse_ogg — CRC-verified pages, packets
-                    # reassembled). FLAC-in-Ogg decodes all the way to
-                    # samples: rebuild the native stream from the
-                    # mapping's packets (packet 0 carries 'fLaC' +
-                    # STREAMINFO, then one frame per packet) and run it
-                    # through parse_flac, whose CRC-8/16 + MD5 chain
-                    # stays armed. Vorbis/Opus payloads are full
-                    # transform codecs and stay policy-gated like
-                    # MP3-in-WAV; the swap-in point is parse_ogg's
-                    # packet list → libopus/libvorbis.
-                    parsed = parse_ogg(raw)
-                    if parsed is None:
-                        raise ValueError(
-                            f"doc {doc_id}: corrupt or out-of-envelope "
-                            "Ogg stream"
-                        )
-                    codec, _ch, _rate, hdr_count, _np_, _gran, pkts = parsed
-                    if codec != "flac":
-                        raise NotImplementedError(
-                            f"doc {doc_id}: Ogg-{codec} demuxes via "
-                            "decode_ogg_stats; the payload codec is gated "
-                            "by policy (no dependency-free decode here)"
-                        )
-                    from polars_express_spark.functions.flac import parse_flac
-
-                    # force STREAMINFO's last-metadata flag: any extra
-                    # header packets (VorbisComment etc.) are dropped,
-                    # so the rebuilt native stream goes straight from
-                    # STREAMINFO to the first frame
-                    native = (
-                        b"fLaC" + bytes([pkts[0][13] | 0x80])
-                        + pkts[0][14:] + b"".join(pkts[1 + hdr_count :])
-                    )
-                    parsed_flac = parse_flac(native)
-                    if parsed_flac is None:
-                        raise ValueError(
-                            f"doc {doc_id}: Ogg pages were intact but the "
-                            "FLAC payload failed its own integrity chain"
-                        )
-                    pcm = parsed_flac[3].reshape(-1)
-                    if len(pcm) == 0:
-                        raise ValueError(f"doc {doc_id}: empty Ogg-FLAC stream")
-                    rows.append(
-                        (doc_id, len(pcm), float(pcm.mean()),
-                         int(pcm.min()), int(pcm.max()))
-                    )
-                    continue
-                if raw[:4] == b"FORM":
-                    # AIFF (r14): the third audio container — FORM/IFF
-                    # chunks, 80-bit extended-float sample rate,
-                    # big-endian PCM at 8/16/24/32 bits
-                    aif = parse_aiff(raw)
-                    if aif is None:
-                        raise ValueError(
-                            f"doc {doc_id}: corrupt or out-of-envelope "
-                            "AIFF (AIFC compressed forms are gated)"
-                        )
-                    pcm = aif[3]
-                    if len(pcm) == 0:
-                        raise ValueError(f"doc {doc_id}: empty AIFF SSND")
-                    rows.append(
-                        (doc_id, len(pcm), float(pcm.mean()),
-                         int(pcm.min()), int(pcm.max()))
-                    )
-                    continue
-                au = parse_au_header(raw)
-                if au is not None:  # Sun Au (r13): big-endian, 4 encodings
-                    ch_au, _rate, bits_au, n_au, enc, dpos = au
-                    data = raw[dpos : dpos + n_au * ch_au * (bits_au // 8)]
-                    if enc == 1:
-                        pcm = mulaw_decode(np.frombuffer(data, dtype=np.uint8))
-                    elif enc == 27:
-                        pcm = alaw_decode(np.frombuffer(data, dtype=np.uint8))
-                    elif enc == 2:  # Au PCM8 is SIGNED (unlike WAV)
-                        pcm = np.frombuffer(data, dtype=np.int8).astype(np.int32)
-                    elif enc == 3:  # 16-bit linear, big-endian
-                        pcm = np.frombuffer(data, dtype=">i2").astype(np.int32)
-                    else:
-                        raise NotImplementedError(
-                            f"doc {doc_id}: Au encoding {enc} has no "
-                            "dependency-free decode here (mu-law, A-law, "
-                            "and 8/16-bit linear are implemented)"
-                        )
-                    if len(pcm) == 0:
-                        raise ValueError(f"doc {doc_id}: empty Au data")
-                    rows.append(
-                        (doc_id, len(pcm), float(pcm.mean()),
-                         int(pcm.min()), int(pcm.max()))
-                    )
-                    continue
-                if raw[:4] == b"\x1a\x45\xdf\xa3":
-                    # Matroska/webm (r15): demux the first audio track
-                    # (functions/mkv.py — lacing reassembled, optional
-                    # CRC-32 verified) and decode the PCM codec ids to
-                    # real samples; compressed ids (A_OPUS/A_VORBIS/
-                    # A_MPEG) stay policy-gated like MP3-in-WAV
-                    from polars_express_spark.functions.mkv import (
-                        parse_mkv_audio,
-                    )
-
-                    mka = parse_mkv_audio(raw)
-                    if mka is None:
-                        raise ValueError(
-                            f"doc {doc_id}: corrupt or out-of-envelope "
-                            "Matroska stream (or no audio track)"
-                        )
-                    mcodec, _mch, _mrate, mbits, mpriv, mdata = mka
-                    if mcodec == "A_FLAC":
-                        # r17: per the public Matroska codec mapping the
-                        # CodecPrivate carries 'fLaC' + STREAMINFO and
-                        # each Matroska frame is one complete FLAC
-                        # frame, so private + data IS a native FLAC
-                        # stream — decode it through the full flac.py
-                        # CRC-8/16 + MD5 chain (the same composition
-                        # FLAC-in-Ogg uses)
-                        from polars_express_spark.functions.flac import (
-                            parse_flac,
-                        )
-
-                        if mpriv is None or mpriv[:4] != b"fLaC":
-                            raise ValueError(
-                                f"doc {doc_id}: A_FLAC track without a "
-                                "fLaC CodecPrivate header"
-                            )
-                        fl = parse_flac(mpriv + mdata)
-                        if fl is None:
-                            raise ValueError(
-                                f"doc {doc_id}: corrupt FLAC stream in "
-                                "Matroska A_FLAC track"
-                            )
-                        _fch, _frate, _fbps, fsamps = fl
-                        pcm = fsamps.ravel()
-                        if len(pcm) == 0:
-                            raise ValueError(
-                                f"doc {doc_id}: empty A_FLAC track"
-                            )
-                        rows.append(
-                            (doc_id, len(pcm), float(pcm.mean()),
-                             int(pcm.min()), int(pcm.max()))
-                        )
-                        continue
-                    if mcodec not in ("A_PCM/INT/LIT", "A_PCM/INT/BIG"):
-                        raise NotImplementedError(
-                            f"doc {doc_id}: Matroska audio codec {mcodec} "
-                            "has no dependency-free decode (PCM int "
-                            "little/big-endian are implemented; "
-                            "compressed codecs are gated by policy)"
-                        )
-                    if mbits == 16:
-                        dt = "<i2" if mcodec.endswith("LIT") else ">i2"
-                        if len(mdata) % 2:
-                            raise ValueError(
-                                f"doc {doc_id}: odd PCM16 byte count"
-                            )
-                        pcm = np.frombuffer(mdata, dtype=dt).astype(np.int32)
-                    elif mbits == 8:
-                        # Matroska PCM8 is SIGNED (unlike WAV's unsigned)
-                        pcm = np.frombuffer(mdata, dtype=np.int8).astype(
-                            np.int32
-                        )
-                    else:
-                        raise NotImplementedError(
-                            f"doc {doc_id}: Matroska PCM at {mbits} bits "
-                            "has no decode here (8/16 implemented)"
-                        )
-                    if len(pcm) == 0:
-                        raise ValueError(
-                            f"doc {doc_id}: empty Matroska audio track"
-                        )
-                    rows.append(
-                        (doc_id, len(pcm), float(pcm.mean()),
-                         int(pcm.min()), int(pcm.max()))
-                    )
-                    continue
-                if raw[:4] == b"RIFF" and raw[8:12] == b"AVI ":
-                    # AVI audio track (r14): demux the first 'auds'
-                    # stream and re-wrap it as the WAV its strf
-                    # literally describes (the strf IS a WAVEFORMATEX),
-                    # then fall through to the normal WAV decode — so
-                    # a video file's audio decodes whenever its codec
-                    # is in the dependency-free set
-                    ext = parse_avi_audio(raw)
-                    if ext is None:
-                        raise ValueError(
-                            f"doc {doc_id}: AVI has no audio stream"
-                        )
-                    afmt, adata = ext
-                    body = (
-                        b"WAVE"
-                        + b"fmt " + struct.pack("<I", len(afmt)) + afmt
-                        + b"data" + struct.pack("<I", len(adata)) + adata
-                        + (b"\x00" if len(adata) & 1 else b"")
-                    )
-                    raw = b"RIFF" + struct.pack("<I", len(body)) + body
-                meta = parse_audio_header(raw)
-                if meta is None:
-                    raise ValueError(
-                        f"doc {doc_id}: payload is not RIFF/WAVE, Sun Au, "
-                        "FLAC, AIFF, or an AVI with an audio stream"
-                    )
-                # re-walk for the format tag, block align, and data bounds
-                pos, tag, block_align, data = 12, None, 0, None
-                while pos + 8 <= len(raw):
-                    cid = raw[pos : pos + 4]
-                    csize = struct.unpack_from("<I", raw, pos + 4)[0]
-                    body = pos + 8
-                    if cid == b"fmt " and csize >= 16:
-                        tag = struct.unpack_from("<H", raw, body)[0]
-                        block_align = struct.unpack_from("<H", raw, body + 12)[0]
-                        if tag == 0xFFFE and csize >= 40 and body + 40 <= len(raw):
-                            # WAVE_FORMAT_EXTENSIBLE (r13): the real tag
-                            # is the first two bytes of the SubFormat
-                            # GUID, valid only over the fixed Microsoft
-                            # base GUID tail (…-0000-0010-8000-00aa00389b71)
-                            if (
-                                raw[body + 26 : body + 40]
-                                == b"\x00\x00\x00\x00\x10\x00\x80\x00"
-                                   b"\x00\xaa\x00\x38\x9b\x71"
-                            ):
-                                tag = struct.unpack_from("<H", raw, body + 24)[0]
-                    elif cid == b"data" and body + csize <= len(raw):
-                        data = raw[body : body + csize]
-                    pos = body + csize + (csize & 1)
-                if data is None:
-                    raise ValueError(f"doc {doc_id}: WAV has no data chunk")
-                bits = meta[2]
-                if tag == 7 and bits == 8:
-                    pcm = mulaw_decode(np.frombuffer(data, dtype=np.uint8))
-                elif tag == 6 and bits == 8:
-                    pcm = alaw_decode(np.frombuffer(data, dtype=np.uint8))
-                elif tag == 0x11:  # IMA ADPCM, any channel count (r13)
-                    pcm = _wav_ima_blocks_decode(data, block_align, meta[0])
-                    if pcm is None:
-                        raise ValueError(
-                            f"doc {doc_id}: malformed IMA-ADPCM block layout"
-                        )
-                elif tag == 0x02:  # MS ADPCM, any channel count (r14)
-                    pcm = _wav_ms_blocks_decode(data, block_align, meta[0])
-                    if pcm is None:
-                        raise ValueError(
-                            f"doc {doc_id}: malformed MS-ADPCM block layout"
-                        )
-                elif tag == 1 and bits == 16:
-                    pcm = np.frombuffer(data, dtype="<i2").astype(np.int32)
-                elif tag == 1 and bits == 8:  # PCM 8-bit is UNSIGNED
-                    pcm = np.frombuffer(data, dtype=np.uint8).astype(np.int32) - 128
-                else:
-                    raise NotImplementedError(
-                        f"doc {doc_id}: WAV format tag {tag}/{bits}-bit/"
-                        f"{meta[0]}ch has no dependency-free decode here "
-                        "(PCM 8/16, G.711 mu-law + A-law, and IMA + MS "
-                        "ADPCM at any channel count are implemented; "
-                        "MP3-in-WAV remains codec-gated)"
-                    )
-                if len(pcm) == 0:
-                    raise ValueError(f"doc {doc_id}: empty data chunk")
-                rows.append(
-                    (doc_id, len(pcm), float(pcm.mean()), int(pcm.min()), int(pcm.max()))
-                )
-            yield pd.DataFrame(
-                rows,
-                columns=["doc_id", "n_samples", "mean_pcm", "min_pcm", "max_pcm"],
-            ).astype({"min_pcm": "int32", "max_pcm": "int32"})
-
     return df.select("doc_id", "payload").mapInPandas(
-        stats, schema=AUDIO_SAMPLE_STATS_SCHEMA
+        audio_sample_batches, schema=AUDIO_SAMPLE_STATS_SCHEMA
     )
 
 
-def decode_audio(df: DataFrame) -> DataFrame:
+def audio_meta_batches(batches):
+    """Batch-iterator core of decode_audio (module-level so query
+    synth stages can compose with it inside ONE mapInPandas pass —
+    one Python-runner handshake, no JVM round trip of the payload)."""
+    for pdf in batches:
+        metas = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            parsed = parse_audio_header(bytes(payload))
+            if parsed is None:
+                raise ValueError(f"doc {doc_id}: payload is not RIFF/WAVE")
+            ch, sr, bits, n = parsed
+            metas.append((doc_id, len(payload), ch, sr, bits, n))
+        yield pd.DataFrame(
+            metas,
+            columns=[
+                "doc_id", "byte_len", "channels", "sample_rate", "bits", "n_samples",
+            ],
+        )
+
+
+def decode_audio(df):
     """mapInPandas audio decode: WAV payload column → typed metadata via
     parse_audio_header. Same Arrow-batched shape as decode_media; raises
     on unparsable payloads (an audio pipeline wants loud failure, not
     silent nulls, when a container is corrupt)."""
-
-    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            metas = []
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                parsed = parse_audio_header(bytes(payload))
-                if parsed is None:
-                    raise ValueError(f"doc {doc_id}: payload is not RIFF/WAVE")
-                ch, sr, bits, n = parsed
-                metas.append((doc_id, len(payload), ch, sr, bits, n))
-            yield pd.DataFrame(
-                metas,
-                columns=[
-                    "doc_id", "byte_len", "channels", "sample_rate", "bits", "n_samples",
-                ],
-            )
-
-    return df.select("doc_id", "payload").mapInPandas(decode, schema=AUDIO_META_SCHEMA)
+    return df.select("doc_id", "payload").mapInPandas(audio_meta_batches, schema=AUDIO_META_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -3598,7 +3614,52 @@ def encode_wav_extensible(
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
-def decode_pixel_stats(df: DataFrame) -> DataFrame:
+def pixel_stats_batches(batches):
+    """Batch-iterator core of decode_pixel_stats (module-level so query
+    synth stages can compose with it inside ONE mapInPandas pass —
+    one Python-runner handshake, no JVM round trip of the payload)."""
+    import numpy as np
+
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            raw = bytes(payload)
+            parsed = (
+                parse_netpbm(raw) or parse_png(raw)
+                or parse_bmp(raw) or parse_gif(raw)
+                or parse_qoi(raw) or parse_tiff(raw)
+                or parse_tga(raw) or _parse_webp(raw)
+                or _parse_jpeg(raw)
+            )
+            if parsed is None:
+                raise NotImplementedError(
+                    f"doc {doc_id}: pixel decode is implemented "
+                    "dependency-free for Netpbm (P1-P6), PNG (zlib "
+                    "inflate + filter reconstruction), BMP (incl. RLE/16bpp), "
+                    "GIF (pure-Python LZW), QOI, baseline TIFF "
+                    "(none/PackBits/LZW strips), TGA 2.0 (footer-"
+                    "gated, raw + RLE), lossless WebP (VP8L, the "
+                    "documented transform envelope), and baseline "
+                    "JPEG (pure-Python Huffman + IDCT); other formats "
+                    "need a media codec (Pillow — absent here)"
+                )
+            w, h, ch, arr = parsed
+            rows.append(
+                (doc_id, w, h, ch, float(arr.mean()), int(arr.min()), int(arr.max()))
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id", "width", "height", "channels",
+                "mean_val", "min_val", "max_val",
+            ],
+        ).astype(
+            {"width": "int32", "height": "int32", "channels": "int32",
+             "min_val": "int32", "max_val": "int32"}
+        )
+
+
+def decode_pixel_stats(df):
     """REAL pixel-level decode + reduce for Netpbm, PNG, BMP, and GIF
     payloads (r11 PNG via stdlib zlib; r12 BMP via struct+numpy and GIF
     via pure-Python LZW): per doc, dimensions plus exact mean/min/max sample
@@ -3608,48 +3669,7 @@ def decode_pixel_stats(df: DataFrame) -> DataFrame:
     payloads raise — compressed audio/video still need a codec library
     (absent here); use decode_media for header-only metadata on
     those."""
-    import numpy as np  # noqa: F401  (decode dependency, imported eagerly)
-
-    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                raw = bytes(payload)
-                parsed = (
-                    parse_netpbm(raw) or parse_png(raw)
-                    or parse_bmp(raw) or parse_gif(raw)
-                    or parse_qoi(raw) or parse_tiff(raw)
-                    or parse_tga(raw) or _parse_webp(raw)
-                    or _parse_jpeg(raw)
-                )
-                if parsed is None:
-                    raise NotImplementedError(
-                        f"doc {doc_id}: pixel decode is implemented "
-                        "dependency-free for Netpbm (P1-P6), PNG (zlib "
-                        "inflate + filter reconstruction), BMP (incl. RLE/16bpp), "
-                        "GIF (pure-Python LZW), QOI, baseline TIFF "
-                        "(none/PackBits/LZW strips), TGA 2.0 (footer-"
-                        "gated, raw + RLE), lossless WebP (VP8L, the "
-                        "documented transform envelope), and baseline "
-                        "JPEG (pure-Python Huffman + IDCT); other formats "
-                        "need a media codec (Pillow — absent here)"
-                    )
-                w, h, ch, arr = parsed
-                rows.append(
-                    (doc_id, w, h, ch, float(arr.mean()), int(arr.min()), int(arr.max()))
-                )
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "doc_id", "width", "height", "channels",
-                    "mean_val", "min_val", "max_val",
-                ],
-            ).astype(
-                {"width": "int32", "height": "int32", "channels": "int32",
-                 "min_val": "int32", "max_val": "int32"}
-            )
-
-    return df.select("doc_id", "payload").mapInPandas(stats, schema=PIXEL_STATS_SCHEMA)
+    return df.select("doc_id", "payload").mapInPandas(pixel_stats_batches, schema=PIXEL_STATS_SCHEMA)
 
 
 def parse_avi_frames(payload: bytes):
@@ -4941,7 +4961,43 @@ OGG_STATS_SCHEMA = (
 )
 
 
-def decode_ogg_stats(df: DataFrame) -> DataFrame:
+def ogg_stats_batches(batches):
+    """Batch-iterator core of decode_ogg_stats (module-level so query
+    synth stages can compose with it inside ONE mapInPandas pass —
+    one Python-runner handshake, no JVM round trip of the payload)."""
+    import numpy as np
+
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            parsed = parse_ogg(bytes(payload))
+            if parsed is None:
+                raise ValueError(
+                    f"doc {doc_id}: corrupt or out-of-envelope Ogg "
+                    "stream (CRC-32 failure, lacing inconsistency, "
+                    "or unknown codec mapping)"
+                )
+            codec, ch, rate, pre_skip, _n_pages, granule, pkts = parsed
+            data = b"".join(pkts[1:])
+            arr = np.frombuffer(data, dtype=np.uint8)
+            if arr.size == 0:
+                raise ValueError(f"doc {doc_id}: Ogg stream has no data")
+            rows.append(
+                (doc_id, codec, ch, rate, pre_skip, len(pkts) - 1,
+                 len(data), granule, float(arr.mean()),
+                 int(arr.min()), int(arr.max()))
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=["doc_id", "codec", "channels", "sample_rate",
+                     "pre_skip", "n_packets", "data_bytes", "granule",
+                     "mean_b", "min_b", "max_b"],
+        ).astype({"channels": "int32", "sample_rate": "int32",
+                  "pre_skip": "int32", "min_b": "int32",
+                  "max_b": "int32"})
+
+
+def decode_ogg_stats(df):
     """Ogg container stats (r15): per doc, demux the page stream with
     parse_ogg — every page CRC-verified, packets reassembled across
     lacing and page-continuation boundaries — and ship the
@@ -4951,38 +5007,6 @@ def decode_ogg_stats(df: DataFrame) -> DataFrame:
     (policy, like MP3-in-WAV: the swap-in point is this function's
     packet list → libopus/libvorbis). Same Arrow-batched scale shape as
     decode_audio_samples: decode executor-side, move scalars."""
-    import numpy as np
-
-    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                parsed = parse_ogg(bytes(payload))
-                if parsed is None:
-                    raise ValueError(
-                        f"doc {doc_id}: corrupt or out-of-envelope Ogg "
-                        "stream (CRC-32 failure, lacing inconsistency, "
-                        "or unknown codec mapping)"
-                    )
-                codec, ch, rate, pre_skip, _n_pages, granule, pkts = parsed
-                data = b"".join(pkts[1:])
-                arr = np.frombuffer(data, dtype=np.uint8)
-                if arr.size == 0:
-                    raise ValueError(f"doc {doc_id}: Ogg stream has no data")
-                rows.append(
-                    (doc_id, codec, ch, rate, pre_skip, len(pkts) - 1,
-                     len(data), granule, float(arr.mean()),
-                     int(arr.min()), int(arr.max()))
-                )
-            yield pd.DataFrame(
-                rows,
-                columns=["doc_id", "codec", "channels", "sample_rate",
-                         "pre_skip", "n_packets", "data_bytes", "granule",
-                         "mean_b", "min_b", "max_b"],
-            ).astype({"channels": "int32", "sample_rate": "int32",
-                      "pre_skip": "int32", "min_b": "int32",
-                      "max_b": "int32"})
-
     return df.select("doc_id", "payload").mapInPandas(
-        stats, schema=OGG_STATS_SCHEMA
+        ogg_stats_batches, schema=OGG_STATS_SCHEMA
     )

@@ -405,6 +405,50 @@ TFEXAMPLE_SCHEMA = (
 )
 
 
+def tfexample_record_batches(batches):
+    """Batch-iterator core of read_tfexample_records (module-level so query
+    synth stages can compose with it inside ONE mapInPandas pass —
+    one Python-runner handshake, no JVM round trip of the payload)."""
+    from collections.abc import Iterator
+    import numpy as np
+    import pandas as pd
+    from polars_express_spark.functions.tfrecord import parse_tfrecord
+
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            recs = parse_tfrecord(bytes(payload))
+            if recs is None:
+                raise ValueError(
+                    f"doc {doc_id}: corrupt TFRecord shard framing"
+                )
+            for rno, rec in enumerate(recs):
+                feats = parse_tf_example(rec)
+                if feats is None:
+                    raise ValueError(
+                        f"doc {doc_id} record {rno}: malformed "
+                        "tf.Example wire format"
+                    )
+                for fname in sorted(feats):
+                    kind, vals = feats[fname]
+                    if kind == "bytes":
+                        n = len(vals)
+                        s = float(sum(
+                            int(np.frombuffer(v, dtype=np.uint8)
+                                .astype(np.int64).sum())
+                            for v in vals
+                        ))
+                    else:
+                        n = len(vals)
+                        s = float(sum(vals))
+                    rows.append((doc_id, rno, fname, kind, n, s))
+        yield pd.DataFrame(
+            rows,
+            columns=["doc_id", "rec_no", "fname", "kind", "n_vals",
+                     "vsum"],
+        ).astype({"rec_no": "int32", "n_vals": "int32"})
+
+
 def read_tfexample_records(df):
     """tf.Example extraction operator: one TFRecord-shard row → one row
     per (record, feature) with the feature's kind, element count, and
@@ -413,50 +457,8 @@ def read_tfexample_records(df):
     framing CRCs and the wire-format walk must hold — malformed shards
     or records raise. Arrow-batched mapInPandas; shard bytes never
     leave the executor."""
-    from collections.abc import Iterator
-
-    import numpy as np
-    import pandas as pd
-
-    from polars_express_spark.functions.tfrecord import parse_tfrecord
-
-    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                recs = parse_tfrecord(bytes(payload))
-                if recs is None:
-                    raise ValueError(
-                        f"doc {doc_id}: corrupt TFRecord shard framing"
-                    )
-                for rno, rec in enumerate(recs):
-                    feats = parse_tf_example(rec)
-                    if feats is None:
-                        raise ValueError(
-                            f"doc {doc_id} record {rno}: malformed "
-                            "tf.Example wire format"
-                        )
-                    for fname in sorted(feats):
-                        kind, vals = feats[fname]
-                        if kind == "bytes":
-                            n = len(vals)
-                            s = float(sum(
-                                int(np.frombuffer(v, dtype=np.uint8)
-                                    .astype(np.int64).sum())
-                                for v in vals
-                            ))
-                        else:
-                            n = len(vals)
-                            s = float(sum(vals))
-                        rows.append((doc_id, rno, fname, kind, n, s))
-            yield pd.DataFrame(
-                rows,
-                columns=["doc_id", "rec_no", "fname", "kind", "n_vals",
-                         "vsum"],
-            ).astype({"rec_no": "int32", "n_vals": "int32"})
-
     return df.select("doc_id", "payload").mapInPandas(
-        extract, schema=TFEXAMPLE_SCHEMA
+        tfexample_record_batches, schema=TFEXAMPLE_SCHEMA
     )
 
 
@@ -466,17 +468,10 @@ TFSEQ_SCHEMA = (
 )
 
 
-def read_tfseq_records(df):
-    """tf.SequenceExample extraction operator (r17): one TFRecord-shard
-    row → one row per (record, context feature) at step -1 plus one row
-    per (record, feature list, SEQUENCE STEP), each with the kind,
-    element count, and exact value sum (bytes features sum byte
-    values, so full payloads are pinned under the hash). Both the
-    TFRecord framing CRCs and the wire-format walk must hold —
-    malformed shards or records raise. Arrow-batched mapInPandas;
-    shard bytes never leave the executor."""
-    from collections.abc import Iterator
-
+def tfseq_record_batches(batches):
+    """Batch-iterator core of read_tfseq_records (module-level so query
+    synth stages can compose with it inside ONE mapInPandas pass —
+    one Python-runner handshake, no JVM round trip of the payload)."""
     import numpy as np
     import pandas as pd
 
@@ -491,8 +486,7 @@ def read_tfseq_records(df):
             ))
         return float(sum(vals))
 
-    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
+    for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 recs = parse_tfrecord(bytes(payload))
@@ -525,6 +519,15 @@ def read_tfseq_records(df):
             ).astype({"rec_no": "int32", "step": "int32",
                       "n_vals": "int32"})
 
+def read_tfseq_records(df):
+    """tf.SequenceExample extraction operator (r17): one TFRecord-shard
+    row → one row per (record, context feature) at step -1 plus one row
+    per (record, feature list, SEQUENCE STEP), each with the kind,
+    element count, and exact value sum (bytes features sum byte
+    values, so full payloads are pinned under the hash). Both the
+    TFRecord framing CRCs and the wire-format walk must hold —
+    malformed shards or records raise. Arrow-batched mapInPandas;
+    shard bytes never leave the executor."""
     return df.select("doc_id", "payload").mapInPandas(
-        extract, schema=TFSEQ_SCHEMA
+        tfseq_record_batches, schema=TFSEQ_SCHEMA
     )

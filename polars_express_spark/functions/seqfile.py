@@ -627,6 +627,25 @@ def _seqfile_rows(doc_id, payload: bytes):
     return rows
 
 
+def seqfile_record_batches(batches):
+    """Batch-iterator core of read_seqfile_records (module-level so query
+    synth stages can compose with it inside ONE mapInPandas pass —
+    one Python-runner handshake, no JVM round trip of the payload)."""
+    from collections.abc import Iterator
+    import pandas as pd
+
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            rows.extend(_seqfile_rows(doc_id, payload))
+        yield pd.DataFrame(
+            rows,
+            columns=["doc_id", "rec_no", "key", "compression", "size",
+                     "mean_b", "min_b", "max_b"],
+        ).astype({"rec_no": "int32", "min_b": "int32",
+                  "max_b": "int32"})
+
+
 def read_seqfile_records(df):
     """SequenceFile extraction operator (the WARC/zip/tar/TFRecord/
     Avro operator shape): one container row → one row per record with
@@ -634,22 +653,6 @@ def read_seqfile_records(df):
     over the unwrapped BytesWritable value. Malformed files raise.
     Arrow-batched mapInPandas; container bytes never leave the
     executor."""
-    from collections.abc import Iterator
-
-    import pandas as pd
-
-    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                rows.extend(_seqfile_rows(doc_id, payload))
-            yield pd.DataFrame(
-                rows,
-                columns=["doc_id", "rec_no", "key", "compression", "size",
-                         "mean_b", "min_b", "max_b"],
-            ).astype({"rec_no": "int32", "min_b": "int32",
-                      "max_b": "int32"})
-
     return df.select("doc_id", "payload").mapInPandas(
-        extract, schema=SEQFILE_SCHEMA
+        seqfile_record_batches, schema=SEQFILE_SCHEMA
     )

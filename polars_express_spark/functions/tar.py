@@ -373,39 +373,43 @@ TAR_ENTRIES_SCHEMA = (
 )
 
 
+def tar_entry_batches(batches):
+    """Batch-iterator core of read_tar_entries: (doc_id, payload)
+    pandas batches → one row per regular-file member with exact byte
+    stats. Module-level so synth stages can compose with it inside ONE
+    mapInPandas pass (one Python runner handshake, payload bytes never
+    re-cross the JVM boundary)."""
+    import numpy as np
+    import pandas as pd
+
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            entries = parse_tar(bytes(payload))
+            if entries is None:
+                raise ValueError(
+                    f"doc {doc_id}: corrupt or out-of-envelope tar"
+                )
+            for eno, (name, size, data) in enumerate(entries):
+                arr = np.frombuffer(data, dtype=np.uint8)
+                rows.append(
+                    (doc_id, eno, name, size,
+                     float(arr.mean()) if arr.size else 0.0,
+                     int(arr.min()) if arr.size else 0,
+                     int(arr.max()) if arr.size else 0)
+                )
+        yield pd.DataFrame(
+            rows,
+            columns=["doc_id", "entry_no", "name", "size",
+                     "mean_b", "min_b", "max_b"],
+        ).astype({"entry_no": "int32", "min_b": "int32",
+                  "max_b": "int32"})
+
+
 def read_tar_entries(df):
     """Tar extraction operator (the WARC/zip operator shape): one
     archive row → one row per regular-file member with exact byte
     stats. Malformed archives raise. Arrow-batched mapInPandas."""
-    from collections.abc import Iterator
-
-    import numpy as np
-    import pandas as pd
-
-    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                entries = parse_tar(bytes(payload))
-                if entries is None:
-                    raise ValueError(
-                        f"doc {doc_id}: corrupt or out-of-envelope tar"
-                    )
-                for eno, (name, size, data) in enumerate(entries):
-                    arr = np.frombuffer(data, dtype=np.uint8)
-                    rows.append(
-                        (doc_id, eno, name, size,
-                         float(arr.mean()) if arr.size else 0.0,
-                         int(arr.min()) if arr.size else 0,
-                         int(arr.max()) if arr.size else 0)
-                    )
-            yield pd.DataFrame(
-                rows,
-                columns=["doc_id", "entry_no", "name", "size",
-                         "mean_b", "min_b", "max_b"],
-            ).astype({"entry_no": "int32", "min_b": "int32",
-                      "max_b": "int32"})
-
     return df.select("doc_id", "payload").mapInPandas(
-        extract, schema=TAR_ENTRIES_SCHEMA
+        tar_entry_batches, schema=TAR_ENTRIES_SCHEMA
     )

@@ -111,40 +111,43 @@ TFRECORD_SCHEMA = (
 )
 
 
+def tfrecord_record_batches(batches):
+    """Batch-iterator core of read_tfrecord_records (module-level so query
+    synth stages can compose with it inside ONE mapInPandas pass —
+    one Python-runner handshake, no JVM round trip of the payload)."""
+    from collections.abc import Iterator
+    import numpy as np
+    import pandas as pd
+
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            recs = parse_tfrecord(bytes(payload))
+            if recs is None:
+                raise ValueError(
+                    f"doc {doc_id}: corrupt or out-of-envelope TFRecord "
+                    "shard (CRC32C failure or truncation)"
+                )
+            for rno, data in enumerate(recs):
+                arr = np.frombuffer(data, dtype=np.uint8)
+                rows.append(
+                    (doc_id, rno, len(data),
+                     float(arr.mean()) if arr.size else 0.0,
+                     int(arr.min()) if arr.size else 0,
+                     int(arr.max()) if arr.size else 0)
+                )
+        yield pd.DataFrame(
+            rows,
+            columns=["doc_id", "rec_no", "size", "mean_b", "min_b",
+                     "max_b"],
+        ).astype({"rec_no": "int32", "min_b": "int32", "max_b": "int32"})
+
+
 def read_tfrecord_records(df):
     """TFRecord extraction operator (the WARC/zip/tar operator shape):
     one shard row → one row per record with exact byte stats over the
     CRC-verified payload. Malformed shards raise. Arrow-batched
     mapInPandas."""
-    from collections.abc import Iterator
-
-    import numpy as np
-    import pandas as pd
-
-    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                recs = parse_tfrecord(bytes(payload))
-                if recs is None:
-                    raise ValueError(
-                        f"doc {doc_id}: corrupt or out-of-envelope TFRecord "
-                        "shard (CRC32C failure or truncation)"
-                    )
-                for rno, data in enumerate(recs):
-                    arr = np.frombuffer(data, dtype=np.uint8)
-                    rows.append(
-                        (doc_id, rno, len(data),
-                         float(arr.mean()) if arr.size else 0.0,
-                         int(arr.min()) if arr.size else 0,
-                         int(arr.max()) if arr.size else 0)
-                    )
-            yield pd.DataFrame(
-                rows,
-                columns=["doc_id", "rec_no", "size", "mean_b", "min_b",
-                         "max_b"],
-            ).astype({"rec_no": "int32", "min_b": "int32", "max_b": "int32"})
-
     return df.select("doc_id", "payload").mapInPandas(
-        extract, schema=TFRECORD_SCHEMA
+        tfrecord_record_batches, schema=TFRECORD_SCHEMA
     )

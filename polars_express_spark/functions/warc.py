@@ -334,6 +334,63 @@ WARC_RECORDS_SCHEMA = (
 )
 
 
+def warc_record_batches(batches):
+    """Batch-iterator core of read_warc_records (module-level so query
+    synth stages can compose with it inside ONE mapInPandas pass —
+    one Python-runner handshake, no JVM round trip of the payload)."""
+    from collections.abc import Iterator
+    import numpy as np
+    import pandas as pd
+
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            recs = parse_warc(bytes(payload))
+            if recs is None:
+                raise ValueError(
+                    f"doc {doc_id}: corrupt or out-of-envelope WARC"
+                )
+            rec_no = 0
+            for rec in recs:
+                if rec["headers"].get("warc-type") != "response":
+                    continue
+                h = parse_http_response(rec["content"])
+                if h is None:
+                    raise ValueError(
+                        f"doc {doc_id}: response record {rec_no} has a "
+                        "malformed HTTP payload"
+                    )
+                status, hh, body = h
+                # the wire body framing/coding, pinned under the
+                # hash (r18): 'identity' / 'chunked' / 'gzip' /
+                # 'chunked+gzip' — the writer's mode spelling
+                parts = []
+                if hh.get("transfer-encoding"):
+                    parts.append("chunked")
+                ce = hh.get("content-encoding", "").strip().lower()
+                if ce and ce != "identity":
+                    parts.append(ce)
+                mode = "+".join(parts) if parts else "identity"
+                arr = np.frombuffer(body, dtype=np.uint8)
+                rows.append(
+                    (doc_id, rec_no,
+                     rec["headers"]["warc-type"],
+                     rec["headers"].get("warc-target-uri", ""),
+                     status, mode, len(body),
+                     float(arr.mean()) if arr.size else 0.0,
+                     int(arr.min()) if arr.size else 0,
+                     int(arr.max()) if arr.size else 0)
+                )
+                rec_no += 1
+        yield pd.DataFrame(
+            rows,
+            columns=["doc_id", "rec_no", "warc_type", "uri",
+                     "http_status", "body_mode", "body_len",
+                     "mean_b", "min_b", "max_b"],
+        ).astype({"rec_no": "int32", "http_status": "int32",
+                  "min_b": "int32", "max_b": "int32"})
+
+
 def read_warc_records(df):
     """WARC extraction operator: one archive row → one row per RESPONSE
     record (the sample_frames generator shape — output cardinality ≠
@@ -347,60 +404,6 @@ def read_warc_records(df):
     raise — at 100 TB a silent skip is a silent corpus hole.
 
     Arrow-batched mapInPandas; archive bytes never leave the executor."""
-    from collections.abc import Iterator
-
-    import numpy as np
-    import pandas as pd
-
-    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                recs = parse_warc(bytes(payload))
-                if recs is None:
-                    raise ValueError(
-                        f"doc {doc_id}: corrupt or out-of-envelope WARC"
-                    )
-                rec_no = 0
-                for rec in recs:
-                    if rec["headers"].get("warc-type") != "response":
-                        continue
-                    h = parse_http_response(rec["content"])
-                    if h is None:
-                        raise ValueError(
-                            f"doc {doc_id}: response record {rec_no} has a "
-                            "malformed HTTP payload"
-                        )
-                    status, hh, body = h
-                    # the wire body framing/coding, pinned under the
-                    # hash (r18): 'identity' / 'chunked' / 'gzip' /
-                    # 'chunked+gzip' — the writer's mode spelling
-                    parts = []
-                    if hh.get("transfer-encoding"):
-                        parts.append("chunked")
-                    ce = hh.get("content-encoding", "").strip().lower()
-                    if ce and ce != "identity":
-                        parts.append(ce)
-                    mode = "+".join(parts) if parts else "identity"
-                    arr = np.frombuffer(body, dtype=np.uint8)
-                    rows.append(
-                        (doc_id, rec_no,
-                         rec["headers"]["warc-type"],
-                         rec["headers"].get("warc-target-uri", ""),
-                         status, mode, len(body),
-                         float(arr.mean()) if arr.size else 0.0,
-                         int(arr.min()) if arr.size else 0,
-                         int(arr.max()) if arr.size else 0)
-                    )
-                    rec_no += 1
-            yield pd.DataFrame(
-                rows,
-                columns=["doc_id", "rec_no", "warc_type", "uri",
-                         "http_status", "body_mode", "body_len",
-                         "mean_b", "min_b", "max_b"],
-            ).astype({"rec_no": "int32", "http_status": "int32",
-                      "min_b": "int32", "max_b": "int32"})
-
     return df.select("doc_id", "payload").mapInPandas(
-        extract, schema=WARC_RECORDS_SCHEMA
+        warc_record_batches, schema=WARC_RECORDS_SCHEMA
     )

@@ -298,19 +298,13 @@ ZIP_ENTRIES_SCHEMA = (
 )
 
 
-def read_zip_entries(df):
-    """Zip extraction operator (the WARC operator shape): one archive
-    row → one row per member, with the member's name, compression
-    method, sizes, and exact byte stats over the EXTRACTED data (CRC-
-    verified by parse_zip). Malformed archives raise — a silent skip
-    is a silent corpus hole. Arrow-batched mapInPandas."""
-    from collections.abc import Iterator
-
+def zip_entry_batches(batches):
+    """Batch-iterator core of read_zip_entries (module-level so query
+    synth stages can compose with it inside one mapInPandas pass)."""
     import numpy as np
     import pandas as pd
 
-    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
+    for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 entries = parse_zip(bytes(payload))
@@ -333,6 +327,12 @@ def read_zip_entries(df):
             ).astype({"entry_no": "int32", "method": "int32",
                       "min_b": "int32", "max_b": "int32"})
 
+def read_zip_entries(df):
+    """Zip extraction operator (the WARC operator shape): one archive
+    row → one row per member, with the member's name, compression
+    method, sizes, and exact byte stats over the EXTRACTED data (CRC-
+    verified by parse_zip). Malformed archives raise — a silent skip
+    is a silent corpus hole. Arrow-batched mapInPandas."""
     return df.select("doc_id", "payload").mapInPandas(
-        extract, schema=ZIP_ENTRIES_SCHEMA
+        zip_entry_batches, schema=ZIP_ENTRIES_SCHEMA
     )

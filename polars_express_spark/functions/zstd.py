@@ -878,6 +878,45 @@ ZSTD_SCHEMA = (
 )
 
 
+def zstd_content_batches(batches):
+    """Batch-iterator core of read_zstd_content (module-level so query
+    synth stages can compose with it inside ONE mapInPandas pass —
+    one Python-runner handshake, no JVM round trip of the payload)."""
+    from collections.abc import Iterator
+    import numpy as np
+    import pandas as pd
+
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            parsed = parse_zstd_stream(bytes(payload))
+            if parsed is None:
+                raise ValueError(
+                    f"doc {doc_id}: corrupt or out-of-envelope "
+                    "zstd stream"
+                )
+            content, infos = parsed
+            arr = np.frombuffer(content, dtype=np.uint8)
+            declared = [i["content_size"] for i in infos]
+            rows.append(
+                (doc_id, len(content),
+                 int(arr.astype(np.int64).sum()) if arr.size else 0,
+                 float(arr.mean()) if arr.size else 0.0,
+                 int((arr == 10).sum()),
+                 len(infos),
+                 all(i["checksum"] for i in infos),
+                 -1 if any(d is None for d in declared)
+                 else sum(declared))
+            )
+        pdf_out = pd.DataFrame(
+            rows,
+            columns=["doc_id", "n_bytes", "bsum", "mean_b",
+                     "n_lines", "n_frames", "all_ck", "csize"],
+        )
+        pdf_out["n_frames"] = pdf_out["n_frames"].astype("int32")
+        yield pdf_out
+
+
 def read_zstd_content(df):
     """Zstd shard extraction operator (r18): one ``.zst`` payload row
     (a frame or a multi-frame stream with skippables) → one row with
@@ -889,44 +928,8 @@ def read_zstd_content(df):
     every frame's entropy framing and any present checksums have
     already been enforced by parse_zstd_stream. Arrow-batched
     mapInPandas; compressed bytes never leave the executor."""
-    from collections.abc import Iterator
-
-    import numpy as np
-    import pandas as pd
-
-    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                parsed = parse_zstd_stream(bytes(payload))
-                if parsed is None:
-                    raise ValueError(
-                        f"doc {doc_id}: corrupt or out-of-envelope "
-                        "zstd stream"
-                    )
-                content, infos = parsed
-                arr = np.frombuffer(content, dtype=np.uint8)
-                declared = [i["content_size"] for i in infos]
-                rows.append(
-                    (doc_id, len(content),
-                     int(arr.astype(np.int64).sum()) if arr.size else 0,
-                     float(arr.mean()) if arr.size else 0.0,
-                     int((arr == 10).sum()),
-                     len(infos),
-                     all(i["checksum"] for i in infos),
-                     -1 if any(d is None for d in declared)
-                     else sum(declared))
-                )
-            pdf_out = pd.DataFrame(
-                rows,
-                columns=["doc_id", "n_bytes", "bsum", "mean_b",
-                         "n_lines", "n_frames", "all_ck", "csize"],
-            )
-            pdf_out["n_frames"] = pdf_out["n_frames"].astype("int32")
-            yield pdf_out
-
     return df.select("doc_id", "payload").mapInPandas(
-        extract, schema=ZSTD_SCHEMA
+        zstd_content_batches, schema=ZSTD_SCHEMA
     )
 
 
@@ -997,6 +1000,45 @@ def encode_zstd(
 JSONL_SCHEMA = "doc_id bigint, line_no int, line string"
 
 
+def jsonl_zst_batches(batches):
+    """Batch-iterator core of read_jsonl_zst (module-level so query
+    synth stages can compose with it inside ONE mapInPandas pass —
+    one Python-runner handshake, no JVM round trip of the payload)."""
+    from collections.abc import Iterator
+    import pandas as pd
+
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            content = decode_zstd(bytes(payload))
+            if content is None:
+                raise ValueError(
+                    f"doc {doc_id}: corrupt or out-of-envelope "
+                    "zstd shard"
+                )
+            if not content.endswith(b"\n"):
+                raise ValueError(
+                    f"doc {doc_id}: shard not newline-terminated"
+                )
+            try:
+                text = content.decode("utf-8")
+            except UnicodeDecodeError:
+                raise ValueError(
+                    f"doc {doc_id}: shard is not UTF-8"
+                ) from None
+            lines = text[:-1].split("\n")
+            if any(not ln for ln in lines):
+                raise ValueError(f"doc {doc_id}: empty jsonl line")
+            rows.extend(
+                (doc_id, i, ln) for i, ln in enumerate(lines)
+            )
+        pdf_out = pd.DataFrame(
+            rows, columns=["doc_id", "line_no", "line"]
+        )
+        pdf_out["line_no"] = pdf_out["line_no"].astype("int32")
+        yield pdf_out
+
+
 def read_jsonl_zst(df):
     """``.jsonl.zst`` shard reader (r18 — the wire format modern LLM
     corpora actually ship in): one compressed shard row → one row per
@@ -1008,42 +1050,6 @@ def read_jsonl_zst(df):
     path and this operator owns only decompression + framing.
     Malformed shards raise. Arrow-batched mapInPandas; compressed
     bytes never leave the executor."""
-    from collections.abc import Iterator
-
-    import pandas as pd
-
-    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                content = decode_zstd(bytes(payload))
-                if content is None:
-                    raise ValueError(
-                        f"doc {doc_id}: corrupt or out-of-envelope "
-                        "zstd shard"
-                    )
-                if not content.endswith(b"\n"):
-                    raise ValueError(
-                        f"doc {doc_id}: shard not newline-terminated"
-                    )
-                try:
-                    text = content.decode("utf-8")
-                except UnicodeDecodeError:
-                    raise ValueError(
-                        f"doc {doc_id}: shard is not UTF-8"
-                    ) from None
-                lines = text[:-1].split("\n")
-                if any(not ln for ln in lines):
-                    raise ValueError(f"doc {doc_id}: empty jsonl line")
-                rows.extend(
-                    (doc_id, i, ln) for i, ln in enumerate(lines)
-                )
-            pdf_out = pd.DataFrame(
-                rows, columns=["doc_id", "line_no", "line"]
-            )
-            pdf_out["line_no"] = pdf_out["line_no"].astype("int32")
-            yield pdf_out
-
     return df.select("doc_id", "payload").mapInPandas(
-        extract, schema=JSONL_SCHEMA
+        jsonl_zst_batches, schema=JSONL_SCHEMA
     )

@@ -11,10 +11,61 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from polars_express_spark.catalog import load_table
+from polars_express_spark.functions.avro import (
+    AVRO_FIELDS_SCHEMA,
+    AVRO_SCHEMA,
+    avro_field_batches,
+    avro_record_batches,
+)
+from polars_express_spark.functions.cbor import CBOR_SCHEMA, cbor_record_batches
+from polars_express_spark.functions.exif import EXIF_SCHEMA, exif_meta_batches
+from polars_express_spark.functions.kafka import KAFKA_SCHEMA, kafka_record_batches
+from polars_express_spark.functions.lz4 import LZ4_SCHEMA, lz4_content_batches
+from polars_express_spark.functions.mp3 import MP3_META_SCHEMA, mp3_meta_batches
+from polars_express_spark.functions.msgpack import (
+    MSGPACK_SCHEMA,
+    msgpack_record_batches,
+)
 from polars_express_spark.functions.multimodal import (
+    AUDIO_SAMPLE_STATS_SCHEMA,
+    OGG_STATS_SCHEMA,
+    PIXEL_STATS_SCHEMA,
     attach_payload,
+    audio_sample_batches,
     decode_media,
+    frame_sample_batches,
+    ogg_stats_batches,
+    pixel_stats_batches,
     sample_frames,
+)
+from polars_express_spark.functions.protowire import (
+    TFEXAMPLE_SCHEMA,
+    TFSEQ_SCHEMA,
+    tfexample_record_batches,
+    tfseq_record_batches,
+)
+from polars_express_spark.functions.seqfile import (
+    SEQFILE_SCHEMA,
+    seqfile_record_batches,
+)
+from polars_express_spark.functions.tar import TAR_ENTRIES_SCHEMA, tar_entry_batches
+from polars_express_spark.functions.tfrecord import (
+    TFRECORD_SCHEMA,
+    tfrecord_record_batches,
+)
+from polars_express_spark.functions.warc import (
+    WARC_RECORDS_SCHEMA,
+    warc_record_batches,
+)
+from polars_express_spark.functions.ziparc import (
+    ZIP_ENTRIES_SCHEMA,
+    zip_entry_batches,
+)
+from polars_express_spark.functions.zstd import (
+    JSONL_SCHEMA,
+    ZSTD_SCHEMA,
+    jsonl_zst_batches,
+    zstd_content_batches,
 )
 from polars_express_spark.queries.registry import query
 
@@ -31,6 +82,42 @@ def _codec_parallel(df):
     return df.repartition(
         int(spark.conf.get("spark.sql.shuffle.partitions")), "doc_id"
     )
+
+
+def _fused(df, schema, *stages):
+    """Compose batch-iterator stages (synth → decode[ → stats]) into ONE
+    mapInPandas pass (r18 optimization round, guide §4): each chained
+    MapInPandas node is a separate Python-runner pass whose per-task
+    handshake costs ~0.4-0.5s wall-clock at local[32] REGARDLESS of rows
+    (measured r14, re-measured r18: identity passes read 0.50/0.94/1.36s
+    for 1/2/3 chained nodes), and the archive payload crosses the
+    JVM↔Python boundary once per extra node. Running the same stage
+    functions as a single generator pipeline inside one node keeps the
+    exact per-batch semantics (each stage still sees whole pandas
+    batches) while paying ONE handshake and shipping the intermediate
+    payload zero times. Same 100 TB shape, strictly fewer boundary
+    crossings — the doc_id exchange ahead of the pass still carries all
+    the parallelism."""
+    def run(batches):
+        it = batches
+        for stage in stages:
+            it = stage(it)
+        yield from it
+
+    return df.mapInPandas(run, schema=schema)
+
+
+def _frame_keyed(batches):
+    """In-pass twin of the video queries' JVM re-key projection
+    (doc_id*4 + frame_no → doc_id, frame → payload) so the demux and
+    stats stages fuse into the same Python pass; the final selectExpr
+    splits the key back JVM-side exactly as before."""
+    import pandas as pd
+
+    for b in batches:
+        yield pd.DataFrame(
+            {"doc_id": b["doc_id"] * 4 + b["frame_no"], "payload": b["frame"]}
+        )
 
 
 @query(
@@ -112,7 +199,10 @@ def q_multimodal_audio(spark, sf_dir):
 
     import pandas as pd
 
-    from polars_express_spark.functions.multimodal import decode_audio
+    from polars_express_spark.functions.multimodal import (
+        AUDIO_META_SCHEMA,
+        audio_meta_batches,
+    )
 
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id",
@@ -134,8 +224,9 @@ def q_multimodal_audio(spark, sf_dir):
                 payloads.append(buf.getvalue())
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    wav = d.mapInPandas(synth, schema="doc_id bigint, payload binary")
-    return decode_audio(wav).orderBy("doc_id")
+    return _fused(
+        d, AUDIO_META_SCHEMA, synth, audio_meta_batches
+    ).orderBy("doc_id")
 
 
 @query(
@@ -215,10 +306,10 @@ def q_multimodal_pixels(spark, sf_dir):
             ]
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    enc = _codec_parallel(px).mapInPandas(
-        encode, schema="doc_id bigint, payload binary"
-    )
-    return decode_pixel_stats(enc).orderBy("doc_id")
+    return _fused(
+        _codec_parallel(px), PIXEL_STATS_SCHEMA,
+        encode, pixel_stats_batches,
+    ).orderBy("doc_id")
 
 
 @query(
@@ -284,10 +375,10 @@ def q_multimodal_bmp(spark, sf_dir):
             ]
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    enc = _codec_parallel(px).mapInPandas(
-        encode, schema="doc_id bigint, payload binary"
-    )
-    return decode_pixel_stats(enc).orderBy("doc_id")
+    return _fused(
+        _codec_parallel(px), PIXEL_STATS_SCHEMA,
+        encode, pixel_stats_batches,
+    ).orderBy("doc_id")
 
 
 @query(
@@ -362,10 +453,10 @@ def q_multimodal_mulaw(spark, sf_dir):
             ]
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    wav = _codec_parallel(bs).mapInPandas(
-        synth, schema="doc_id bigint, payload binary"
-    )
-    return decode_audio_samples(wav).orderBy("doc_id")
+    return _fused(
+        _codec_parallel(bs), AUDIO_SAMPLE_STATS_SCHEMA,
+        synth, audio_sample_batches,
+    ).orderBy("doc_id")
 
 
 @query(
@@ -440,10 +531,10 @@ def q_multimodal_jpeg(spark, sf_dir):
             ]
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    enc = _codec_parallel(px).mapInPandas(
-        encode, schema="doc_id bigint, payload binary"
-    )
-    return decode_pixel_stats(enc).orderBy("doc_id")
+    return _fused(
+        _codec_parallel(px), PIXEL_STATS_SCHEMA,
+        encode, pixel_stats_batches,
+    ).orderBy("doc_id")
 
 
 @query(
@@ -517,10 +608,10 @@ def q_multimodal_gif(spark, sf_dir):
             ]
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    enc = _codec_parallel(px).mapInPandas(
-        encode, schema="doc_id bigint, payload binary"
-    )
-    return decode_pixel_stats(enc).orderBy("doc_id")
+    return _fused(
+        _codec_parallel(px), PIXEL_STATS_SCHEMA,
+        encode, pixel_stats_batches,
+    ).orderBy("doc_id")
 
 
 @query(
@@ -594,10 +685,10 @@ def q_multimodal_alaw(spark, sf_dir):
             ]
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    wav = _codec_parallel(bs).mapInPandas(
-        synth, schema="doc_id bigint, payload binary"
-    )
-    return decode_audio_samples(wav).orderBy("doc_id")
+    return _fused(
+        _codec_parallel(bs), AUDIO_SAMPLE_STATS_SCHEMA,
+        synth, audio_sample_batches,
+    ).orderBy("doc_id")
 
 
 @query(
@@ -696,10 +787,10 @@ def q_multimodal_netpbm(spark, sf_dir):
                 )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    enc = _codec_parallel(px).mapInPandas(
-        encode, schema="doc_id bigint, payload binary"
-    )
-    return decode_pixel_stats(enc).orderBy("doc_id")
+    return _fused(
+        _codec_parallel(px), PIXEL_STATS_SCHEMA,
+        encode, pixel_stats_batches,
+    ).orderBy("doc_id")
 
 
 @query(
@@ -803,10 +894,10 @@ def q_multimodal_au(spark, sf_dir):
                 )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    au = _codec_parallel(bs).mapInPandas(
-        synth, schema="doc_id bigint, payload binary"
-    )
-    return decode_audio_samples(au).orderBy("doc_id")
+    return _fused(
+        _codec_parallel(bs), AUDIO_SAMPLE_STATS_SCHEMA,
+        synth, audio_sample_batches,
+    ).orderBy("doc_id")
 
 
 @query(
@@ -917,15 +1008,10 @@ def q_multimodal_video(spark, sf_dir):
                     payloads.append(encode_avi(frames, 4, 4, b"DIB "))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    avi = _codec_parallel(px).mapInPandas(
-        synth, schema="doc_id bigint, payload binary"
-    )
-    frames = sample_frames(avi, n_frames=3, real_decode=True)
-    stats = decode_pixel_stats(
-        frames.select(
-            (F.col("doc_id") * 4 + F.col("frame_no")).alias("doc_id"),
-            F.col("frame").alias("payload"),
-        )
+    stats = _fused(
+        _codec_parallel(px), PIXEL_STATS_SCHEMA,
+        synth, frame_sample_batches(n_frames=3, real_decode=True),
+        _frame_keyed, pixel_stats_batches,
     )
     return stats.selectExpr(
         "CAST(doc_id DIV 4 AS BIGINT) AS doc_id",
@@ -1038,15 +1124,10 @@ def q_multimodal_gif_anim(spark, sf_dir):
                 )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    gif = _codec_parallel(px).mapInPandas(
-        synth, schema="doc_id bigint, payload binary"
-    )
-    frames = sample_frames(gif, n_frames=3, real_decode=True)
-    stats = decode_pixel_stats(
-        frames.select(
-            (F.col("doc_id") * 4 + F.col("frame_no")).alias("doc_id"),
-            F.col("frame").alias("payload"),
-        )
+    stats = _fused(
+        _codec_parallel(px), PIXEL_STATS_SCHEMA,
+        synth, frame_sample_batches(n_frames=3, real_decode=True),
+        _frame_keyed, pixel_stats_batches,
     )
     return stats.selectExpr(
         "CAST(doc_id DIV 4 AS BIGINT) AS doc_id",
@@ -1138,10 +1219,10 @@ def q_multimodal_wavext(spark, sf_dir):
                     payloads.append(encode_wav_extensible(data, 7, 8))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    wav = _codec_parallel(bs).mapInPandas(
-        synth, schema="doc_id bigint, payload binary"
-    )
-    return decode_audio_samples(wav).orderBy("doc_id")
+    return _fused(
+        _codec_parallel(bs), AUDIO_SAMPLE_STATS_SCHEMA,
+        synth, audio_sample_batches,
+    ).orderBy("doc_id")
 
 
 @query(
@@ -1229,15 +1310,10 @@ def q_multimodal_mp4(spark, sf_dir):
                 )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    mp4 = _codec_parallel(px).mapInPandas(
-        synth, schema="doc_id bigint, payload binary"
-    )
-    frames = sample_frames(mp4, n_frames=3, real_decode=True)
-    stats = decode_pixel_stats(
-        frames.select(
-            (F.col("doc_id") * 4 + F.col("frame_no")).alias("doc_id"),
-            F.col("frame").alias("payload"),
-        )
+    stats = _fused(
+        _codec_parallel(px), PIXEL_STATS_SCHEMA,
+        synth, frame_sample_batches(n_frames=3, real_decode=True),
+        _frame_keyed, pixel_stats_batches,
     )
     return stats.selectExpr(
         "CAST(doc_id DIV 4 AS BIGINT) AS doc_id",
@@ -1342,10 +1418,10 @@ def q_multimodal_avi_audio(spark, sf_dir):
                 )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    avi = _codec_parallel(bs).mapInPandas(
-        synth, schema="doc_id bigint, payload binary"
-    )
-    return decode_audio_samples(avi).orderBy("doc_id")
+    return _fused(
+        _codec_parallel(bs), AUDIO_SAMPLE_STATS_SCHEMA,
+        synth, audio_sample_batches,
+    ).orderBy("doc_id")
 
 
 @query(
@@ -1420,10 +1496,10 @@ def q_multimodal_png_subbyte(spark, sf_dir):
             ]
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    enc = _codec_parallel(px).mapInPandas(
-        encode, schema="doc_id bigint, payload binary"
-    )
-    return decode_pixel_stats(enc).orderBy("doc_id")
+    return _fused(
+        _codec_parallel(px), PIXEL_STATS_SCHEMA,
+        encode, pixel_stats_batches,
+    ).orderBy("doc_id")
 
 
 @query(
@@ -1502,10 +1578,10 @@ def q_multimodal_qoi(spark, sf_dir):
                 )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    enc = _codec_parallel(px).mapInPandas(
-        encode, schema="doc_id bigint, payload binary"
-    )
-    return decode_pixel_stats(enc).orderBy("doc_id")
+    return _fused(
+        _codec_parallel(px), PIXEL_STATS_SCHEMA,
+        encode, pixel_stats_batches,
+    ).orderBy("doc_id")
 
 
 @query(
@@ -1583,10 +1659,10 @@ def q_multimodal_tiff(spark, sf_dir):
                 )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    enc = _codec_parallel(px).mapInPandas(
-        encode, schema="doc_id bigint, payload binary"
-    )
-    return decode_pixel_stats(enc).orderBy("doc_id")
+    return _fused(
+        _codec_parallel(px), PIXEL_STATS_SCHEMA,
+        encode, pixel_stats_batches,
+    ).orderBy("doc_id")
 
 
 @query(
@@ -1697,15 +1773,10 @@ def q_multimodal_y4m(spark, sf_dir):
                 payloads.append(encode_y4m(planes_list, 4, 4, mode))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    y4m = _codec_parallel(px).mapInPandas(
-        synth, schema="doc_id bigint, payload binary"
-    )
-    frames = sample_frames(y4m, n_frames=3, real_decode=True)
-    stats = decode_pixel_stats(
-        frames.select(
-            (F.col("doc_id") * 4 + F.col("frame_no")).alias("doc_id"),
-            F.col("frame").alias("payload"),
-        )
+    stats = _fused(
+        _codec_parallel(px), PIXEL_STATS_SCHEMA,
+        synth, frame_sample_batches(n_frames=3, real_decode=True),
+        _frame_keyed, pixel_stats_batches,
     )
     return stats.selectExpr(
         "CAST(doc_id DIV 4 AS BIGINT) AS doc_id",
@@ -1807,10 +1878,10 @@ def q_multimodal_flac(spark, sf_dir):
                     )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    flac = _codec_parallel(bs).mapInPandas(
-        synth, schema="doc_id bigint, payload binary"
-    )
-    return decode_audio_samples(flac).orderBy("doc_id")
+    return _fused(
+        _codec_parallel(bs), AUDIO_SAMPLE_STATS_SCHEMA,
+        synth, audio_sample_batches,
+    ).orderBy("doc_id")
 
 
 @query(
@@ -1914,10 +1985,10 @@ def q_multimodal_aiff(spark, sf_dir):
                     payloads.append(encode_aiff(pcm, 48000, 24))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    aif = _codec_parallel(bs).mapInPandas(
-        synth, schema="doc_id bigint, payload binary"
-    )
-    return decode_audio_samples(aif).orderBy("doc_id")
+    return _fused(
+        _codec_parallel(bs), AUDIO_SAMPLE_STATS_SCHEMA,
+        synth, audio_sample_batches,
+    ).orderBy("doc_id")
 
 
 @query(
@@ -2006,10 +2077,10 @@ def q_multimodal_tga(spark, sf_dir):
                 )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    enc = _codec_parallel(px).mapInPandas(
-        encode, schema="doc_id bigint, payload binary"
-    )
-    return decode_pixel_stats(enc).orderBy("doc_id")
+    return _fused(
+        _codec_parallel(px), PIXEL_STATS_SCHEMA,
+        encode, pixel_stats_batches,
+    ).orderBy("doc_id")
 
 
 @query(
@@ -2132,13 +2203,11 @@ def q_multimodal_ico(spark, sf_dir):
                  "channels": "int32", "min_val": "int32", "max_val": "int32"}
             )
 
-    ico = _codec_parallel(px).mapInPandas(
-        synth, schema="doc_id bigint, payload binary"
-    )
-    return ico.mapInPandas(
-        stats,
-        schema="doc_id bigint, entry_no int, width int, height int,"
+    return _fused(
+        _codec_parallel(px),
+        "doc_id bigint, entry_no int, width int, height int,"
         " channels int, mean_val double, min_val int, max_val int",
+        synth, stats,
     ).orderBy("doc_id", "entry_no")
 
 
@@ -2233,10 +2302,10 @@ def q_multimodal_webp(spark, sf_dir):
                 ))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    enc = _codec_parallel(px).mapInPandas(
-        encode, schema="doc_id bigint, payload binary"
-    )
-    return decode_pixel_stats(enc).orderBy("doc_id")
+    return _fused(
+        _codec_parallel(px), PIXEL_STATS_SCHEMA,
+        encode, pixel_stats_batches,
+    ).orderBy("doc_id")
 
 
 @query(
@@ -2374,15 +2443,10 @@ def q_multimodal_webp_anim(spark, sf_dir):
                 ))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    anim = _codec_parallel(px).mapInPandas(
-        synth, schema="doc_id bigint, payload binary"
-    )
-    frames = sample_frames(anim, n_frames=3, real_decode=True)
-    stats = decode_pixel_stats(
-        frames.select(
-            (F.col("doc_id") * 4 + F.col("frame_no")).alias("doc_id"),
-            F.col("frame").alias("payload"),
-        )
+    stats = _fused(
+        _codec_parallel(px), PIXEL_STATS_SCHEMA,
+        synth, frame_sample_batches(n_frames=3, real_decode=True),
+        _frame_keyed, pixel_stats_batches,
     )
     return stats.selectExpr(
         "CAST(doc_id DIV 4 AS BIGINT) AS doc_id",
@@ -2482,10 +2546,10 @@ def q_multimodal_msadpcm(spark, sf_dir):
                     ))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    wav = _codec_parallel(bs).mapInPandas(
-        synth, schema="doc_id bigint, payload binary"
-    )
-    return decode_audio_samples(wav).orderBy("doc_id")
+    return _fused(
+        _codec_parallel(bs), AUDIO_SAMPLE_STATS_SCHEMA,
+        synth, audio_sample_batches,
+    ).orderBy("doc_id")
 
 
 @query(
@@ -2625,10 +2689,10 @@ def q_multimodal_ogg(spark, sf_dir):
                 )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    ogg = _codec_parallel(bs).mapInPandas(
-        synth, schema="doc_id bigint, payload binary"
-    )
-    return decode_ogg_stats(ogg).orderBy("doc_id")
+    return _fused(
+        _codec_parallel(bs), OGG_STATS_SCHEMA,
+        synth, ogg_stats_batches,
+    ).orderBy("doc_id")
 
 
 @query(
@@ -2736,10 +2800,10 @@ def q_multimodal_ogg_flac(spark, sf_dir):
                     )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    ogg = _codec_parallel(bs).mapInPandas(
-        synth, schema="doc_id bigint, payload binary"
-    )
-    return decode_audio_samples(ogg).orderBy("doc_id")
+    return _fused(
+        _codec_parallel(bs), AUDIO_SAMPLE_STATS_SCHEMA,
+        synth, audio_sample_batches,
+    ).orderBy("doc_id")
 
 
 @query(
@@ -2835,15 +2899,10 @@ def q_multimodal_mkv(spark, sf_dir):
                 )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    mkv = _codec_parallel(px).mapInPandas(
-        synth, schema="doc_id bigint, payload binary"
-    )
-    frames = sample_frames(mkv, n_frames=3, real_decode=True)
-    stats = decode_pixel_stats(
-        frames.select(
-            (F.col("doc_id") * 4 + F.col("frame_no")).alias("doc_id"),
-            F.col("frame").alias("payload"),
-        )
+    stats = _fused(
+        _codec_parallel(px), PIXEL_STATS_SCHEMA,
+        synth, frame_sample_batches(n_frames=3, real_decode=True),
+        _frame_keyed, pixel_stats_batches,
     )
     return stats.selectExpr(
         "CAST(doc_id DIV 4 AS BIGINT) AS doc_id",
@@ -2990,10 +3049,10 @@ def q_multimodal_mkv_audio(spark, sf_dir):
                 )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    mka = _codec_parallel(bs).mapInPandas(
-        synth, schema="doc_id bigint, payload binary"
-    )
-    return decode_audio_samples(mka).orderBy("doc_id")
+    return _fused(
+        _codec_parallel(bs), AUDIO_SAMPLE_STATS_SCHEMA,
+        synth, audio_sample_batches,
+    ).orderBy("doc_id")
 
 
 @query(
@@ -3113,10 +3172,10 @@ def q_warc_extract(spark, sf_dir):
                 )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    warc = _codec_parallel(bs).mapInPandas(
-        synth, schema="doc_id bigint, payload binary"
-    )
-    return read_warc_records(warc).orderBy("doc_id", "rec_no")
+    return _fused(
+        _codec_parallel(bs), WARC_RECORDS_SCHEMA,
+        synth, warc_record_batches,
+    ).orderBy("doc_id", "rec_no")
 
 
 @query(
@@ -3239,10 +3298,10 @@ def q_multimodal_mp3(spark, sf_dir):
                 ))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    mp3 = _codec_parallel(bs).mapInPandas(
-        synth, schema="doc_id bigint, payload binary"
-    )
-    return decode_mp3_meta(mp3).orderBy("doc_id")
+    return _fused(
+        _codec_parallel(bs), MP3_META_SCHEMA,
+        synth, mp3_meta_batches,
+    ).orderBy("doc_id")
 
 
 @query(
@@ -3344,10 +3403,10 @@ def q_zip_extract(spark, sf_dir):
                 )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    zf = _codec_parallel(bs).mapInPandas(
-        synth, schema="doc_id bigint, payload binary"
-    )
-    return read_zip_entries(zf).drop("comp_size").orderBy(
+    return _fused(
+        _codec_parallel(bs), ZIP_ENTRIES_SCHEMA,
+        synth, zip_entry_batches,
+    ).drop("comp_size").orderBy(
         "doc_id", "entry_no"
     )
 
@@ -3413,8 +3472,9 @@ def q_tar_extract(spark, sf_dir):
     import pandas as pd
 
     from polars_express_spark.functions.tar import (
+        TAR_ENTRIES_SCHEMA,
         encode_tar,
-        read_tar_entries,
+        tar_entry_batches,
     )
 
     d = load_table(spark, sf_dir, "documents").where(
@@ -3467,10 +3527,9 @@ def q_tar_extract(spark, sf_dir):
                 )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    tf = _codec_parallel(bs).mapInPandas(
-        synth, schema="doc_id bigint, payload binary"
-    )
-    return read_tar_entries(tf).orderBy("doc_id", "entry_no")
+    return _fused(
+        _codec_parallel(bs), TAR_ENTRIES_SCHEMA, synth, tar_entry_batches
+    ).orderBy("doc_id", "entry_no")
 
 
 @query(
@@ -3573,10 +3632,10 @@ def q_tfrecord_extract(spark, sf_dir):
                 payloads.append(encode_tfrecord(recs))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    tfr = _codec_parallel(bs).mapInPandas(
-        synth, schema="doc_id bigint, payload binary"
-    )
-    return read_tfrecord_records(tfr).orderBy("doc_id", "rec_no")
+    return _fused(
+        _codec_parallel(bs), TFRECORD_SCHEMA,
+        synth, tfrecord_record_batches,
+    ).orderBy("doc_id", "rec_no")
 
 
 @query(
@@ -3730,10 +3789,10 @@ def q_tfexample_extract(spark, sf_dir):
                 payloads.append(encode_tfrecord(recs))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    tfe = _codec_parallel(bs).mapInPandas(
-        synth, schema="doc_id bigint, payload binary"
-    )
-    return read_tfexample_records(tfe).orderBy("doc_id", "rec_no", "fname")
+    return _fused(
+        _codec_parallel(bs), TFEXAMPLE_SCHEMA,
+        synth, tfexample_record_batches,
+    ).orderBy("doc_id", "rec_no", "fname")
 
 
 @query(
@@ -3886,10 +3945,10 @@ def q_tfseq_extract(spark, sf_dir):
                 payloads.append(encode_tfrecord(recs))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    tfs = _codec_parallel(bs).mapInPandas(
-        synth, schema="doc_id bigint, payload binary"
-    )
-    return read_tfseq_records(tfs).orderBy(
+    return _fused(
+        _codec_parallel(bs), TFSEQ_SCHEMA,
+        synth, tfseq_record_batches,
+    ).orderBy(
         "doc_id", "rec_no", "fname", "step"
     )
 
@@ -4031,10 +4090,10 @@ def q_avro_extract(spark, sf_dir):
                 )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    av = _codec_parallel(bs).mapInPandas(
-        synth, schema="doc_id bigint, payload binary"
-    )
-    return read_avro_records(av).orderBy("doc_id", "rec_no")
+    return _fused(
+        _codec_parallel(bs), AVRO_SCHEMA,
+        synth, avro_record_batches,
+    ).orderBy("doc_id", "rec_no")
 
 
 @query(
@@ -4213,15 +4272,15 @@ def q_avro_record(spark, sf_dir):
                 )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    av = _codec_parallel(bs).mapInPandas(
-        synth, schema="doc_id bigint, payload binary"
+    av = _fused(
+        _codec_parallel(bs), AVRO_FIELDS_SCHEMA, synth, avro_field_batches
     )
     # the operator's honest contract is NULL in the columns a type
     # doesn't own; the hashed query coalesces to sentinels (0 / 0.0 /
     # '' / -1) because a NULL int materializes as float64-with-NaN on
     # the DuckDB-pandas side and splits a dtype-sensitive hash (the r8
     # canonicalizer lesson pinned by test_oracle_dtypes_match_spark_schema)
-    return read_avro_fields(av).select(
+    return av.select(
         "doc_id", "rec_no", "block_no", "codec", "fname", "ftype",
         "is_null",
         F.coalesce("v_int", F.lit(0)).alias("v_int"),
@@ -4406,10 +4465,10 @@ def q_avro_nested(spark, sf_dir):
 
     from polars_express_spark.functions.avro import read_avro_fields
 
-    av = _codec_parallel(bs).mapInPandas(
-        synth, schema="doc_id bigint, payload binary"
-    )
-    return read_avro_fields(av).select(
+    return _fused(
+        _codec_parallel(bs), AVRO_FIELDS_SCHEMA,
+        synth, avro_field_batches,
+    ).select(
         "doc_id", "rec_no", "block_no", "codec", "fname", "ftype",
         "is_null",
         F.coalesce("v_int", F.lit(0)).alias("v_int"),
@@ -4564,15 +4623,13 @@ def q_multimodal_ogg_theora(spark, sf_dir):
                  "pixel_fmt": "int32", "n_pages": "int32"}
             )
 
-    ogg = _codec_parallel(bs).mapInPandas(
-        synth, schema="doc_id bigint, payload binary"
-    )
-    return ogg.mapInPandas(
-        stats,
-        schema="doc_id bigint, pic_w int, pic_h int, fps_num int,"
+    return _fused(
+        _codec_parallel(bs),
+        "doc_id bigint, pic_w int, pic_h int, fps_num int,"
         " fps_den int, qual int, kfgshift int, pixel_fmt int,"
         " n_pages int, granule bigint, n_packets bigint,"
         " data_bytes bigint, data_sum bigint",
+        synth, stats,
     ).orderBy("doc_id")
 
 
@@ -4687,14 +4744,12 @@ def q_multimodal_icns(spark, sf_dir):
                  "max_val": "int32"}
             )
 
-    icns = _codec_parallel(px).mapInPandas(
-        synth, schema="doc_id bigint, payload binary"
-    )
-    return icns.mapInPandas(
-        stats,
-        schema="doc_id bigint, elem_no int, ostype string, width int,"
+    return _fused(
+        _codec_parallel(px),
+        "doc_id bigint, elem_no int, ostype string, width int,"
         " height int, channels int, mean_val double, min_val int,"
         " max_val int",
+        synth, stats,
     ).orderBy("doc_id", "elem_no")
 
 
@@ -4862,10 +4917,10 @@ def q_seqfile_extract(spark, sf_dir):
                 )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    sq = _codec_parallel(bs).mapInPandas(
-        synth, schema="doc_id bigint, payload binary"
-    )
-    return read_seqfile_records(sq).orderBy("doc_id", "rec_no")
+    return _fused(
+        _codec_parallel(bs), SEQFILE_SCHEMA,
+        synth, seqfile_record_batches,
+    ).orderBy("doc_id", "rec_no")
 
 
 @query(
@@ -5013,10 +5068,10 @@ def q_cbor_extract(spark, sf_dir):
                 )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    cb = _codec_parallel(bs).mapInPandas(
-        synth, schema="doc_id bigint, payload binary"
-    )
-    return read_cbor_records(cb).orderBy("doc_id", "rec_no")
+    return _fused(
+        _codec_parallel(bs), CBOR_SCHEMA,
+        synth, cbor_record_batches,
+    ).orderBy("doc_id", "rec_no")
 
 
 @query(
@@ -5205,10 +5260,10 @@ def q_kafka_extract(spark, sf_dir):
                 ))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    kf = _codec_parallel(bs).mapInPandas(
-        synth, schema="doc_id bigint, payload binary"
-    )
-    return read_kafka_records(kf).orderBy("doc_id", "batch_no", "rec_no")
+    return _fused(
+        _codec_parallel(bs), KAFKA_SCHEMA,
+        synth, kafka_record_batches,
+    ).orderBy("doc_id", "batch_no", "rec_no")
 
 
 @query(
@@ -5295,10 +5350,9 @@ def q_jsonl_zst(spark, sf_dir):
                 payloads.append(blob)
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    zs = _codec_parallel(bs).mapInPandas(
-        synth, schema="doc_id bigint, payload binary"
+    lines = _fused(
+        _codec_parallel(bs), JSONL_SCHEMA, synth, jsonl_zst_batches
     )
-    lines = read_jsonl_zst(zs)
     j = F.from_json("line", "id BIGINT, tok BIGINT, tag STRING")
     return lines.select(
         "doc_id", "line_no",
@@ -5453,10 +5507,10 @@ def q_kafka_legacy(spark, sf_dir):
                 ))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    kf = _codec_parallel(bs).mapInPandas(
-        synth, schema="doc_id bigint, payload binary"
-    )
-    return read_kafka_records(kf).orderBy("doc_id", "batch_no", "rec_no")
+    return _fused(
+        _codec_parallel(bs), KAFKA_SCHEMA,
+        synth, kafka_record_batches,
+    ).orderBy("doc_id", "batch_no", "rec_no")
 
 
 @query(
@@ -5551,10 +5605,10 @@ def q_lz4_extract(spark, sf_dir):
                 ))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    lz = _codec_parallel(bs).mapInPandas(
-        synth, schema="doc_id bigint, payload binary"
-    )
-    return read_lz4_content(lz).orderBy("doc_id")
+    return _fused(
+        _codec_parallel(bs), LZ4_SCHEMA,
+        synth, lz4_content_batches,
+    ).orderBy("doc_id")
 
 
 @query(
@@ -5693,10 +5747,10 @@ def q_zstd_extract(spark, sf_dir):
                 payloads.append(blob)
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    zs = _codec_parallel(bs).mapInPandas(
-        synth, schema="doc_id bigint, payload binary"
-    )
-    return read_zstd_content(zs).orderBy("doc_id")
+    return _fused(
+        _codec_parallel(bs), ZSTD_SCHEMA,
+        synth, zstd_content_batches,
+    ).orderBy("doc_id")
 
 
 @query(
@@ -5857,10 +5911,10 @@ def q_msgpack_extract(spark, sf_dir):
                 payloads.append(encode_msgpack(items))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    mp = _codec_parallel(bs).mapInPandas(
-        synth, schema="doc_id bigint, payload binary"
-    )
-    return read_msgpack_records(mp).orderBy("doc_id", "rec_no")
+    return _fused(
+        _codec_parallel(bs), MSGPACK_SCHEMA,
+        synth, msgpack_record_batches,
+    ).orderBy("doc_id", "rec_no")
 
 
 @query(
@@ -5963,7 +6017,7 @@ def q_multimodal_exif(spark, sf_dir):
                 )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    jp = _codec_parallel(px).mapInPandas(
-        synth, schema="doc_id bigint, payload binary"
-    )
-    return read_exif_meta(jp).orderBy("doc_id")
+    return _fused(
+        _codec_parallel(px), EXIF_SCHEMA,
+        synth, exif_meta_batches,
+    ).orderBy("doc_id")

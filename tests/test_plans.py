@@ -731,18 +731,22 @@ def test_registry_wide_no_cartesian_and_declared_bnlj_only(spark):
 def test_codec_roundtrip_plan_shape(spark, name):
     """r13 — pin the codec-query scale shape that was previously only
     argued in docstrings: ONE parquet scan, ONE hash exchange of the
-    kilobyte formula rows on doc_id BEFORE the Python stages (the
+    kilobyte formula rows on doc_id BEFORE the Python tier (the
     _codec_parallel fix — without it the single-split documents scan
     serializes the pure-Python codec on one core), the encode and
-    decode Arrow stages FUSED back-to-back with no exchange between
-    them, and only the final order-by range exchange above. A refactor
-    that drops the repartition or splits the codec stages fails here,
-    not in a bench regression three rounds later."""
+    decode stages fused into a SINGLE MapInPandas pass (r18
+    optimization: each extra MapInPandas node is a separate Python
+    runner costing a ~0.4-0.5s per-pass handshake at local[32] plus a
+    JVM round trip of the payload bytes — _fused composes the same
+    stage functions into one node), and only the final order-by range
+    exchange above. A refactor that drops the repartition or splits
+    the codec pipeline back into chained Python nodes fails here, not
+    in a bench regression three rounds later."""
     p = plan_of(name, spark)
     assert "CartesianProduct" not in p
     assert "hashpartitioning(doc_id" in p
     # operator order from the tree section (parent printed first):
-    # Sort / range-Exchange / MapInPandas(decode) / MapInPandas(encode)
+    # Sort / range-Exchange / MapInPandas(encode+decode fused)
     # / hash-Exchange / ... / Scan parquet
     seq = []
     for line in p.splitlines():
@@ -753,12 +757,11 @@ def test_codec_roundtrip_plan_shape(spark, name):
         if t.startswith("(1) Scan"):  # details section begins
             break
     assert seq.count("Scan parquet") == 1, seq
-    assert seq.count("MapInPandas") == 2, seq
+    assert seq.count("MapInPandas") == 1, seq
     assert seq.count("Exchange") == 2, seq
-    i, j = (k for k, op in enumerate(seq) if op == "MapInPandas")
-    assert j == i + 1, f"exchange between the codec stages: {seq}"
-    assert seq.index("Exchange") < i, f"no exchange above the stages: {seq}"
-    assert seq[j + 1] == "Exchange", f"codec stages not fed by the doc_id exchange: {seq}"
+    i = seq.index("MapInPandas")
+    assert seq.index("Exchange") < i, f"no exchange above the stage: {seq}"
+    assert seq[i + 1] == "Exchange", f"codec stage not fed by the doc_id exchange: {seq}"
 
 
 @pytest.mark.parametrize(
@@ -767,12 +770,14 @@ def test_codec_roundtrip_plan_shape(spark, name):
      "q_multimodal_y4m", "q_multimodal_webp_anim", "q_multimodal_mkv"],
 )
 def test_video_roundtrip_plan_shape(spark, name):
-    """r14 — the frame-sampling round trips have a third Arrow stage
-    (mux → demux+decode → stats) but the same scale contract as the
-    other codec queries: ONE parquet scan, ONE hash exchange of the
-    kilobyte formula rows on doc_id BEFORE the Python tier, all three
-    MapInPandas stages FUSED with no exchange between them, and only
-    the final order-by range exchange above."""
+    """r14 — the frame-sampling round trips run a three-stage Python
+    pipeline (mux → demux+decode → stats) with the same scale contract
+    as the other codec queries: ONE parquet scan, ONE hash exchange of
+    the kilobyte formula rows on doc_id BEFORE the Python tier, all
+    three stages fused into a SINGLE MapInPandas pass (r18: one Python
+    runner handshake instead of three, and the muxed container plus the
+    sampled frames never round-trip through the JVM), and only the
+    final order-by range exchange above."""
     p = plan_of(name, spark)
     assert "CartesianProduct" not in p
     assert "hashpartitioning(doc_id" in p
@@ -785,9 +790,8 @@ def test_video_roundtrip_plan_shape(spark, name):
         if t.startswith("(1) Scan"):
             break
     assert seq.count("Scan parquet") == 1, seq
-    assert seq.count("MapInPandas") == 3, seq
+    assert seq.count("MapInPandas") == 1, seq
     assert seq.count("Exchange") == 2, seq
-    ks = [k for k, op in enumerate(seq) if op == "MapInPandas"]
-    assert ks[2] == ks[0] + 2, f"exchange between the codec stages: {seq}"
-    assert seq.index("Exchange") < ks[0], f"no exchange above the stages: {seq}"
-    assert seq[ks[2] + 1] == "Exchange", f"stages not fed by the doc_id exchange: {seq}"
+    i = seq.index("MapInPandas")
+    assert seq.index("Exchange") < i, f"no exchange above the stage: {seq}"
+    assert seq[i + 1] == "Exchange", f"stage not fed by the doc_id exchange: {seq}"
