@@ -107,6 +107,31 @@ def _fused(df, schema, *stages):
     return df.mapInPandas(run, schema=schema)
 
 
+def _fused_ordered(df, schema, order_cols, *stages):
+    """_fused + persist() + the presentation orderBy (r18 optimization
+    round, guide §1.4/§5).
+
+    A global orderBy is a range exchange whose bounds SAMPLING
+    re-executes its whole child — measured: a noop write of
+    mapInPandas(...).orderBy(...) runs every Python task TWICE (64 vs
+    32 invocations on a 32-partition frame), so each codec query paid
+    its synth+decode pass and its Python-runner handshake twice, once
+    for the sample job and once for the real sort. Persisting the
+    fused pass's OUTPUT — the kilobyte stats rows, never the archive
+    payloads — makes the sample job materialize the pass once and the
+    real sort read the cache (measured on q_tar_extract, interleaved
+    mins: 2.02s -> 1.85s; means 2.14 -> 1.88). Alternatives measured
+    and rejected: range-partitioning the INPUT formula rows moves the
+    sampling below the Python tier but re-executes the scan+formula
+    subtree, which costs MORE than the Python pass it saves (2.30s vs
+    1.46s unsorted on the same query). The cache is a per-invocation
+    intermediate computed from the parquet inputs (bench.py clears the
+    catalog cache after every query; nothing persists across runs),
+    and the plan stays transparent: explain shows the full fused
+    subtree inside the InMemoryRelation."""
+    return _fused(df, schema, *stages).persist().orderBy(*order_cols)
+
+
 def _frame_keyed(batches):
     """In-pass twin of the video queries' JVM re-key projection
     (doc_id*4 + frame_no → doc_id, frame → payload) so the demux and
@@ -133,7 +158,9 @@ def _frame_keyed(batches):
 )
 def q_multimodal_meta(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
-    return decode_media(attach_payload(d)).orderBy("doc_id")
+    # persist the kilobyte metadata rows so the orderBy's bounds-sample
+    # job reads the cache instead of re-running the Python pass
+    return decode_media(attach_payload(d)).persist().orderBy("doc_id")
 
 
 @query(
@@ -224,9 +251,9 @@ def q_multimodal_audio(spark, sf_dir):
                 payloads.append(buf.getvalue())
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    return _fused(
-        d, AUDIO_META_SCHEMA, synth, audio_meta_batches
-    ).orderBy("doc_id")
+    return _fused_ordered(
+        d, AUDIO_META_SCHEMA, ["doc_id"], synth, audio_meta_batches
+    )
 
 
 @query(
@@ -306,10 +333,11 @@ def q_multimodal_pixels(spark, sf_dir):
             ]
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    return _fused(
+    return _fused_ordered(
         _codec_parallel(px), PIXEL_STATS_SCHEMA,
+        ["doc_id"],
         encode, pixel_stats_batches,
-    ).orderBy("doc_id")
+    )
 
 
 @query(
@@ -375,10 +403,11 @@ def q_multimodal_bmp(spark, sf_dir):
             ]
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    return _fused(
+    return _fused_ordered(
         _codec_parallel(px), PIXEL_STATS_SCHEMA,
+        ["doc_id"],
         encode, pixel_stats_batches,
-    ).orderBy("doc_id")
+    )
 
 
 @query(
@@ -453,10 +482,11 @@ def q_multimodal_mulaw(spark, sf_dir):
             ]
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    return _fused(
+    return _fused_ordered(
         _codec_parallel(bs), AUDIO_SAMPLE_STATS_SCHEMA,
+        ["doc_id"],
         synth, audio_sample_batches,
-    ).orderBy("doc_id")
+    )
 
 
 @query(
@@ -531,10 +561,11 @@ def q_multimodal_jpeg(spark, sf_dir):
             ]
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    return _fused(
+    return _fused_ordered(
         _codec_parallel(px), PIXEL_STATS_SCHEMA,
+        ["doc_id"],
         encode, pixel_stats_batches,
-    ).orderBy("doc_id")
+    )
 
 
 @query(
@@ -608,10 +639,11 @@ def q_multimodal_gif(spark, sf_dir):
             ]
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    return _fused(
+    return _fused_ordered(
         _codec_parallel(px), PIXEL_STATS_SCHEMA,
+        ["doc_id"],
         encode, pixel_stats_batches,
-    ).orderBy("doc_id")
+    )
 
 
 @query(
@@ -685,10 +717,11 @@ def q_multimodal_alaw(spark, sf_dir):
             ]
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    return _fused(
+    return _fused_ordered(
         _codec_parallel(bs), AUDIO_SAMPLE_STATS_SCHEMA,
+        ["doc_id"],
         synth, audio_sample_batches,
-    ).orderBy("doc_id")
+    )
 
 
 @query(
@@ -787,10 +820,11 @@ def q_multimodal_netpbm(spark, sf_dir):
                 )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    return _fused(
+    return _fused_ordered(
         _codec_parallel(px), PIXEL_STATS_SCHEMA,
+        ["doc_id"],
         encode, pixel_stats_batches,
-    ).orderBy("doc_id")
+    )
 
 
 @query(
@@ -894,10 +928,11 @@ def q_multimodal_au(spark, sf_dir):
                 )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    return _fused(
+    return _fused_ordered(
         _codec_parallel(bs), AUDIO_SAMPLE_STATS_SCHEMA,
+        ["doc_id"],
         synth, audio_sample_batches,
-    ).orderBy("doc_id")
+    )
 
 
 @query(
@@ -1012,7 +1047,7 @@ def q_multimodal_video(spark, sf_dir):
         _codec_parallel(px), PIXEL_STATS_SCHEMA,
         synth, frame_sample_batches(n_frames=3, real_decode=True),
         _frame_keyed, pixel_stats_batches,
-    )
+    ).persist()  # the orderBy sample job then reads the cache
     return stats.selectExpr(
         "CAST(doc_id DIV 4 AS BIGINT) AS doc_id",
         "CAST(doc_id % 4 AS INT) AS frame_no",
@@ -1128,7 +1163,7 @@ def q_multimodal_gif_anim(spark, sf_dir):
         _codec_parallel(px), PIXEL_STATS_SCHEMA,
         synth, frame_sample_batches(n_frames=3, real_decode=True),
         _frame_keyed, pixel_stats_batches,
-    )
+    ).persist()  # the orderBy sample job then reads the cache
     return stats.selectExpr(
         "CAST(doc_id DIV 4 AS BIGINT) AS doc_id",
         "CAST(doc_id % 4 AS INT) AS frame_no",
@@ -1219,10 +1254,11 @@ def q_multimodal_wavext(spark, sf_dir):
                     payloads.append(encode_wav_extensible(data, 7, 8))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    return _fused(
+    return _fused_ordered(
         _codec_parallel(bs), AUDIO_SAMPLE_STATS_SCHEMA,
+        ["doc_id"],
         synth, audio_sample_batches,
-    ).orderBy("doc_id")
+    )
 
 
 @query(
@@ -1314,7 +1350,7 @@ def q_multimodal_mp4(spark, sf_dir):
         _codec_parallel(px), PIXEL_STATS_SCHEMA,
         synth, frame_sample_batches(n_frames=3, real_decode=True),
         _frame_keyed, pixel_stats_batches,
-    )
+    ).persist()  # the orderBy sample job then reads the cache
     return stats.selectExpr(
         "CAST(doc_id DIV 4 AS BIGINT) AS doc_id",
         "CAST(doc_id % 4 AS INT) AS frame_no",
@@ -1418,10 +1454,11 @@ def q_multimodal_avi_audio(spark, sf_dir):
                 )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    return _fused(
+    return _fused_ordered(
         _codec_parallel(bs), AUDIO_SAMPLE_STATS_SCHEMA,
+        ["doc_id"],
         synth, audio_sample_batches,
-    ).orderBy("doc_id")
+    )
 
 
 @query(
@@ -1496,10 +1533,11 @@ def q_multimodal_png_subbyte(spark, sf_dir):
             ]
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    return _fused(
+    return _fused_ordered(
         _codec_parallel(px), PIXEL_STATS_SCHEMA,
+        ["doc_id"],
         encode, pixel_stats_batches,
-    ).orderBy("doc_id")
+    )
 
 
 @query(
@@ -1578,10 +1616,11 @@ def q_multimodal_qoi(spark, sf_dir):
                 )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    return _fused(
+    return _fused_ordered(
         _codec_parallel(px), PIXEL_STATS_SCHEMA,
+        ["doc_id"],
         encode, pixel_stats_batches,
-    ).orderBy("doc_id")
+    )
 
 
 @query(
@@ -1659,10 +1698,11 @@ def q_multimodal_tiff(spark, sf_dir):
                 )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    return _fused(
+    return _fused_ordered(
         _codec_parallel(px), PIXEL_STATS_SCHEMA,
+        ["doc_id"],
         encode, pixel_stats_batches,
-    ).orderBy("doc_id")
+    )
 
 
 @query(
@@ -1777,7 +1817,7 @@ def q_multimodal_y4m(spark, sf_dir):
         _codec_parallel(px), PIXEL_STATS_SCHEMA,
         synth, frame_sample_batches(n_frames=3, real_decode=True),
         _frame_keyed, pixel_stats_batches,
-    )
+    ).persist()  # the orderBy sample job then reads the cache
     return stats.selectExpr(
         "CAST(doc_id DIV 4 AS BIGINT) AS doc_id",
         "CAST(doc_id % 4 AS INT) AS frame_no",
@@ -1878,10 +1918,11 @@ def q_multimodal_flac(spark, sf_dir):
                     )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    return _fused(
+    return _fused_ordered(
         _codec_parallel(bs), AUDIO_SAMPLE_STATS_SCHEMA,
+        ["doc_id"],
         synth, audio_sample_batches,
-    ).orderBy("doc_id")
+    )
 
 
 @query(
@@ -1985,10 +2026,11 @@ def q_multimodal_aiff(spark, sf_dir):
                     payloads.append(encode_aiff(pcm, 48000, 24))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    return _fused(
+    return _fused_ordered(
         _codec_parallel(bs), AUDIO_SAMPLE_STATS_SCHEMA,
+        ["doc_id"],
         synth, audio_sample_batches,
-    ).orderBy("doc_id")
+    )
 
 
 @query(
@@ -2077,10 +2119,11 @@ def q_multimodal_tga(spark, sf_dir):
                 )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    return _fused(
+    return _fused_ordered(
         _codec_parallel(px), PIXEL_STATS_SCHEMA,
+        ["doc_id"],
         encode, pixel_stats_batches,
-    ).orderBy("doc_id")
+    )
 
 
 @query(
@@ -2203,12 +2246,13 @@ def q_multimodal_ico(spark, sf_dir):
                  "channels": "int32", "min_val": "int32", "max_val": "int32"}
             )
 
-    return _fused(
+    return _fused_ordered(
         _codec_parallel(px),
         "doc_id bigint, entry_no int, width int, height int,"
         " channels int, mean_val double, min_val int, max_val int",
+        ["doc_id", "entry_no"],
         synth, stats,
-    ).orderBy("doc_id", "entry_no")
+    )
 
 
 @query(
@@ -2302,10 +2346,11 @@ def q_multimodal_webp(spark, sf_dir):
                 ))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    return _fused(
+    return _fused_ordered(
         _codec_parallel(px), PIXEL_STATS_SCHEMA,
+        ["doc_id"],
         encode, pixel_stats_batches,
-    ).orderBy("doc_id")
+    )
 
 
 @query(
@@ -2447,7 +2492,7 @@ def q_multimodal_webp_anim(spark, sf_dir):
         _codec_parallel(px), PIXEL_STATS_SCHEMA,
         synth, frame_sample_batches(n_frames=3, real_decode=True),
         _frame_keyed, pixel_stats_batches,
-    )
+    ).persist()  # the orderBy sample job then reads the cache
     return stats.selectExpr(
         "CAST(doc_id DIV 4 AS BIGINT) AS doc_id",
         "CAST(doc_id % 4 AS INT) AS frame_no",
@@ -2546,10 +2591,11 @@ def q_multimodal_msadpcm(spark, sf_dir):
                     ))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    return _fused(
+    return _fused_ordered(
         _codec_parallel(bs), AUDIO_SAMPLE_STATS_SCHEMA,
+        ["doc_id"],
         synth, audio_sample_batches,
-    ).orderBy("doc_id")
+    )
 
 
 @query(
@@ -2689,10 +2735,11 @@ def q_multimodal_ogg(spark, sf_dir):
                 )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    return _fused(
+    return _fused_ordered(
         _codec_parallel(bs), OGG_STATS_SCHEMA,
+        ["doc_id"],
         synth, ogg_stats_batches,
-    ).orderBy("doc_id")
+    )
 
 
 @query(
@@ -2800,10 +2847,11 @@ def q_multimodal_ogg_flac(spark, sf_dir):
                     )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    return _fused(
+    return _fused_ordered(
         _codec_parallel(bs), AUDIO_SAMPLE_STATS_SCHEMA,
+        ["doc_id"],
         synth, audio_sample_batches,
-    ).orderBy("doc_id")
+    )
 
 
 @query(
@@ -2903,7 +2951,7 @@ def q_multimodal_mkv(spark, sf_dir):
         _codec_parallel(px), PIXEL_STATS_SCHEMA,
         synth, frame_sample_batches(n_frames=3, real_decode=True),
         _frame_keyed, pixel_stats_batches,
-    )
+    ).persist()  # the orderBy sample job then reads the cache
     return stats.selectExpr(
         "CAST(doc_id DIV 4 AS BIGINT) AS doc_id",
         "CAST(doc_id % 4 AS INT) AS frame_no",
@@ -3049,10 +3097,11 @@ def q_multimodal_mkv_audio(spark, sf_dir):
                 )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    return _fused(
+    return _fused_ordered(
         _codec_parallel(bs), AUDIO_SAMPLE_STATS_SCHEMA,
+        ["doc_id"],
         synth, audio_sample_batches,
-    ).orderBy("doc_id")
+    )
 
 
 @query(
@@ -3172,10 +3221,11 @@ def q_warc_extract(spark, sf_dir):
                 )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    return _fused(
+    return _fused_ordered(
         _codec_parallel(bs), WARC_RECORDS_SCHEMA,
+        ["doc_id", "rec_no"],
         synth, warc_record_batches,
-    ).orderBy("doc_id", "rec_no")
+    )
 
 
 @query(
@@ -3298,10 +3348,11 @@ def q_multimodal_mp3(spark, sf_dir):
                 ))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    return _fused(
+    return _fused_ordered(
         _codec_parallel(bs), MP3_META_SCHEMA,
+        ["doc_id"],
         synth, mp3_meta_batches,
-    ).orderBy("doc_id")
+    )
 
 
 @query(
@@ -3406,7 +3457,7 @@ def q_zip_extract(spark, sf_dir):
     return _fused(
         _codec_parallel(bs), ZIP_ENTRIES_SCHEMA,
         synth, zip_entry_batches,
-    ).drop("comp_size").orderBy(
+    ).persist().drop("comp_size").orderBy(
         "doc_id", "entry_no"
     )
 
@@ -3527,9 +3578,10 @@ def q_tar_extract(spark, sf_dir):
                 )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    return _fused(
-        _codec_parallel(bs), TAR_ENTRIES_SCHEMA, synth, tar_entry_batches
-    ).orderBy("doc_id", "entry_no")
+    return _fused_ordered(
+        _codec_parallel(bs), TAR_ENTRIES_SCHEMA, ["doc_id", "entry_no"],
+        synth, tar_entry_batches,
+    )
 
 
 @query(
@@ -3632,10 +3684,11 @@ def q_tfrecord_extract(spark, sf_dir):
                 payloads.append(encode_tfrecord(recs))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    return _fused(
+    return _fused_ordered(
         _codec_parallel(bs), TFRECORD_SCHEMA,
+        ["doc_id", "rec_no"],
         synth, tfrecord_record_batches,
-    ).orderBy("doc_id", "rec_no")
+    )
 
 
 @query(
@@ -3789,10 +3842,11 @@ def q_tfexample_extract(spark, sf_dir):
                 payloads.append(encode_tfrecord(recs))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    return _fused(
+    return _fused_ordered(
         _codec_parallel(bs), TFEXAMPLE_SCHEMA,
+        ["doc_id", "rec_no", "fname"],
         synth, tfexample_record_batches,
-    ).orderBy("doc_id", "rec_no", "fname")
+    )
 
 
 @query(
@@ -3945,11 +3999,12 @@ def q_tfseq_extract(spark, sf_dir):
                 payloads.append(encode_tfrecord(recs))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    return _fused(
+    return _fused_ordered(
         _codec_parallel(bs), TFSEQ_SCHEMA,
-        synth, tfseq_record_batches,
-    ).orderBy(
+        [
         "doc_id", "rec_no", "fname", "step"
+    ],
+        synth, tfseq_record_batches,
     )
 
 
@@ -4090,10 +4145,11 @@ def q_avro_extract(spark, sf_dir):
                 )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    return _fused(
+    return _fused_ordered(
         _codec_parallel(bs), AVRO_SCHEMA,
+        ["doc_id", "rec_no"],
         synth, avro_record_batches,
-    ).orderBy("doc_id", "rec_no")
+    )
 
 
 @query(
@@ -4274,7 +4330,7 @@ def q_avro_record(spark, sf_dir):
 
     av = _fused(
         _codec_parallel(bs), AVRO_FIELDS_SCHEMA, synth, avro_field_batches
-    )
+    ).persist()  # the orderBy sample job then reads the cache
     # the operator's honest contract is NULL in the columns a type
     # doesn't own; the hashed query coalesces to sentinels (0 / 0.0 /
     # '' / -1) because a NULL int materializes as float64-with-NaN on
@@ -4468,7 +4524,7 @@ def q_avro_nested(spark, sf_dir):
     return _fused(
         _codec_parallel(bs), AVRO_FIELDS_SCHEMA,
         synth, avro_field_batches,
-    ).select(
+    ).persist().select(
         "doc_id", "rec_no", "block_no", "codec", "fname", "ftype",
         "is_null",
         F.coalesce("v_int", F.lit(0)).alias("v_int"),
@@ -4623,14 +4679,15 @@ def q_multimodal_ogg_theora(spark, sf_dir):
                  "pixel_fmt": "int32", "n_pages": "int32"}
             )
 
-    return _fused(
+    return _fused_ordered(
         _codec_parallel(bs),
         "doc_id bigint, pic_w int, pic_h int, fps_num int,"
         " fps_den int, qual int, kfgshift int, pixel_fmt int,"
         " n_pages int, granule bigint, n_packets bigint,"
         " data_bytes bigint, data_sum bigint",
+        ["doc_id"],
         synth, stats,
-    ).orderBy("doc_id")
+    )
 
 
 @query(
@@ -4744,13 +4801,14 @@ def q_multimodal_icns(spark, sf_dir):
                  "max_val": "int32"}
             )
 
-    return _fused(
+    return _fused_ordered(
         _codec_parallel(px),
         "doc_id bigint, elem_no int, ostype string, width int,"
         " height int, channels int, mean_val double, min_val int,"
         " max_val int",
+        ["doc_id", "elem_no"],
         synth, stats,
-    ).orderBy("doc_id", "elem_no")
+    )
 
 
 @query(
@@ -4917,10 +4975,11 @@ def q_seqfile_extract(spark, sf_dir):
                 )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    return _fused(
+    return _fused_ordered(
         _codec_parallel(bs), SEQFILE_SCHEMA,
+        ["doc_id", "rec_no"],
         synth, seqfile_record_batches,
-    ).orderBy("doc_id", "rec_no")
+    )
 
 
 @query(
@@ -5068,10 +5127,11 @@ def q_cbor_extract(spark, sf_dir):
                 )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    return _fused(
+    return _fused_ordered(
         _codec_parallel(bs), CBOR_SCHEMA,
+        ["doc_id", "rec_no"],
         synth, cbor_record_batches,
-    ).orderBy("doc_id", "rec_no")
+    )
 
 
 @query(
@@ -5260,10 +5320,11 @@ def q_kafka_extract(spark, sf_dir):
                 ))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    return _fused(
+    return _fused_ordered(
         _codec_parallel(bs), KAFKA_SCHEMA,
+        ["doc_id", "batch_no", "rec_no"],
         synth, kafka_record_batches,
-    ).orderBy("doc_id", "batch_no", "rec_no")
+    )
 
 
 @query(
@@ -5352,7 +5413,7 @@ def q_jsonl_zst(spark, sf_dir):
 
     lines = _fused(
         _codec_parallel(bs), JSONL_SCHEMA, synth, jsonl_zst_batches
-    )
+    ).persist()  # the orderBy sample job then reads the cache
     j = F.from_json("line", "id BIGINT, tok BIGINT, tag STRING")
     return lines.select(
         "doc_id", "line_no",
@@ -5507,10 +5568,11 @@ def q_kafka_legacy(spark, sf_dir):
                 ))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    return _fused(
+    return _fused_ordered(
         _codec_parallel(bs), KAFKA_SCHEMA,
+        ["doc_id", "batch_no", "rec_no"],
         synth, kafka_record_batches,
-    ).orderBy("doc_id", "batch_no", "rec_no")
+    )
 
 
 @query(
@@ -5605,10 +5667,11 @@ def q_lz4_extract(spark, sf_dir):
                 ))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    return _fused(
+    return _fused_ordered(
         _codec_parallel(bs), LZ4_SCHEMA,
+        ["doc_id"],
         synth, lz4_content_batches,
-    ).orderBy("doc_id")
+    )
 
 
 @query(
@@ -5747,10 +5810,11 @@ def q_zstd_extract(spark, sf_dir):
                 payloads.append(blob)
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    return _fused(
+    return _fused_ordered(
         _codec_parallel(bs), ZSTD_SCHEMA,
+        ["doc_id"],
         synth, zstd_content_batches,
-    ).orderBy("doc_id")
+    )
 
 
 @query(
@@ -5911,10 +5975,11 @@ def q_msgpack_extract(spark, sf_dir):
                 payloads.append(encode_msgpack(items))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    return _fused(
+    return _fused_ordered(
         _codec_parallel(bs), MSGPACK_SCHEMA,
+        ["doc_id", "rec_no"],
         synth, msgpack_record_batches,
-    ).orderBy("doc_id", "rec_no")
+    )
 
 
 @query(
@@ -6017,7 +6082,8 @@ def q_multimodal_exif(spark, sf_dir):
                 )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    return _fused(
+    return _fused_ordered(
         _codec_parallel(px), EXIF_SCHEMA,
+        ["doc_id"],
         synth, exif_meta_batches,
-    ).orderBy("doc_id")
+    )
