@@ -132,6 +132,59 @@ def _fused_ordered(df, schema, order_cols, *stages):
     return _fused(df, schema, *stages).persist().orderBy(*order_cols)
 
 
+def _formula(col, fn):
+    """Python-side twin of the JVM codepoint-formula projections (r18
+    optimization round, guide §1.2/§4.2).
+
+    The corpus queries derive their payload bytes as
+    ascii(substring(text, f(i, doc) % length(text) + 1, 1)) % M — but
+    Spark's substring walks the UTF8String from the start on every
+    call (O(position)), so a 64-byte base costs ~64·len/2 char steps
+    per document and the formula projection alone measured 0.8-1.0s of
+    a ~2s query at sf0.1 (scan without it: 0.14s; split(text,'') +
+    element_at was tried and measured 4x WORSE — the per-char string
+    array allocation dominates). Decoding text to a codepoint array
+    ONCE per row (numpy over the UTF-32 encoding — vectorized, O(len))
+    and indexing it per formula is byte-identical — verified over
+    every position of every sf0.1 document against the JVM ascii
+    (substring(...)) chain — and moves the cost to the already-fused
+    Python pass: q_multimodal_au measured 2.00s -> 1.17s.
+
+    fn(cp, doc_id, n_chars) -> the column value; cp is the int64
+    codepoint array of text. The stage drops text and appends `col`,
+    so downstream synth stages are unchanged. The doc_id exchange now
+    carries text instead of the base arrays — comparable bytes (text
+    is the source either way), one less WholeStageCodegen term."""
+    import numpy as np
+    import pandas as pd  # noqa: F401  (stage contract)
+
+    def stage(batches):
+        for pdf in batches:
+            ncol = (
+                pdf["n_chars"]
+                if "n_chars" in pdf.columns
+                else pdf["doc_id"]
+            )
+            vals = [
+                fn(
+                    np.frombuffer(t.encode("utf-32-le"), "<u4").astype(
+                        np.int64
+                    ),
+                    int(i),
+                    int(n),
+                )
+                for t, i, n in zip(pdf["text"], pdf["doc_id"], ncol)
+            ]
+            out = pdf.drop(columns=["text"])
+            # object dtype: elements are numpy arrays (or lists of
+            # them); the column never crosses Arrow — it only flows to
+            # the next stage of the same fused Python pass
+            out[col] = pd.Series(vals, index=out.index, dtype=object)
+            yield out
+
+    return stage
+
+
 def _frame_keyed(batches):
     """In-pass twin of the video queries' JVM re-key projection
     (doc_id*4 + frame_no → doc_id, frame → payload) so the demux and
@@ -317,11 +370,13 @@ def q_multimodal_pixels(spark, sf_dir):
     )
     px = d.select(
         "doc_id",
-        F.expr(
-            "transform(sequence(0, 15),"
-            " i -> ascii(substring(text, (i % length(text)) + 1, 1)) % 256)"
-        ).alias("p"),
+        "text",
     )
+
+    def bases(cp, i, n):
+        import numpy as np
+
+        return cp[np.arange(16) % len(cp)] % 256
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -336,7 +391,7 @@ def q_multimodal_pixels(spark, sf_dir):
     return _fused_ordered(
         _codec_parallel(px), PIXEL_STATS_SCHEMA,
         ["doc_id"],
-        encode, pixel_stats_batches,
+        _formula("p", bases), encode, pixel_stats_batches,
     )
 
 
@@ -387,11 +442,13 @@ def q_multimodal_bmp(spark, sf_dir):
     )
     px = d.select(
         "doc_id",
-        F.expr(
-            "transform(sequence(0, 47),"
-            " i -> ascii(substring(text, (i % length(text)) + 1, 1)) % 256)"
-        ).alias("p"),
+        "text",
     )
+
+    def bases(cp, i, n):
+        import numpy as np
+
+        return cp[np.arange(48) % len(cp)] % 256
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -406,7 +463,7 @@ def q_multimodal_bmp(spark, sf_dir):
     return _fused_ordered(
         _codec_parallel(px), PIXEL_STATS_SCHEMA,
         ["doc_id"],
-        encode, pixel_stats_batches,
+        _formula("p", bases), encode, pixel_stats_batches,
     )
 
 
@@ -468,11 +525,13 @@ def q_multimodal_mulaw(spark, sf_dir):
     )
     bs = d.select(
         "doc_id",
-        F.expr(
-            "transform(sequence(0, 63),"
-            " i -> ascii(substring(text, ((i * 7) % length(text)) + 1, 1)) % 256)"
-        ).alias("bs"),
+        "text",
     )
+
+    def bases(cp, i, n):
+        import numpy as np
+
+        return cp[(np.arange(64) * 7) % len(cp)] % 256
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -485,7 +544,7 @@ def q_multimodal_mulaw(spark, sf_dir):
     return _fused_ordered(
         _codec_parallel(bs), AUDIO_SAMPLE_STATS_SCHEMA,
         ["doc_id"],
-        synth, audio_sample_batches,
+        _formula("bs", bases), synth, audio_sample_batches,
     )
 
 
@@ -540,11 +599,13 @@ def q_multimodal_jpeg(spark, sf_dir):
     )
     px = d.select(
         "doc_id",
-        F.expr(
-            "transform(sequence(0, 15),"
-            " i -> ascii(substring(text, ((i * 5) % length(text)) + 1, 1)) % 256)"
-        ).alias("p"),
+        "text",
     )
+
+    def bases(cp, i, n):
+        import numpy as np
+
+        return cp[(np.arange(16) * 5) % len(cp)] % 256
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -564,7 +625,7 @@ def q_multimodal_jpeg(spark, sf_dir):
     return _fused_ordered(
         _codec_parallel(px), PIXEL_STATS_SCHEMA,
         ["doc_id"],
-        encode, pixel_stats_batches,
+        _formula("p", bases), encode, pixel_stats_batches,
     )
 
 
@@ -618,11 +679,13 @@ def q_multimodal_gif(spark, sf_dir):
     )
     px = d.select(
         "doc_id",
-        F.expr(
-            "transform(sequence(0, 15),"
-            " i -> ascii(substring(text, ((i * 3) % length(text)) + 1, 1)) % 256)"
-        ).alias("p"),
+        "text",
     )
+
+    def bases(cp, i, n):
+        import numpy as np
+
+        return cp[(np.arange(16) * 3) % len(cp)] % 256
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -642,7 +705,7 @@ def q_multimodal_gif(spark, sf_dir):
     return _fused_ordered(
         _codec_parallel(px), PIXEL_STATS_SCHEMA,
         ["doc_id"],
-        encode, pixel_stats_batches,
+        _formula("p", bases), encode, pixel_stats_batches,
     )
 
 
@@ -703,11 +766,13 @@ def q_multimodal_alaw(spark, sf_dir):
     )
     bs = d.select(
         "doc_id",
-        F.expr(
-            "transform(sequence(0, 63),"
-            " i -> ascii(substring(text, ((i * 9) % length(text)) + 1, 1)) % 256)"
-        ).alias("bs"),
+        "text",
     )
+
+    def bases(cp, i, n):
+        import numpy as np
+
+        return cp[(np.arange(64) * 9) % len(cp)] % 256
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -720,7 +785,7 @@ def q_multimodal_alaw(spark, sf_dir):
     return _fused_ordered(
         _codec_parallel(bs), AUDIO_SAMPLE_STATS_SCHEMA,
         ["doc_id"],
-        synth, audio_sample_batches,
+        _formula("bs", bases), synth, audio_sample_batches,
     )
 
 
@@ -792,18 +857,20 @@ def q_multimodal_netpbm(spark, sf_dir):
             "CASE WHEN doc_id % 7 IN (2, 5) THEN 3"
             " WHEN doc_id % 7 = 6 THEN 2 ELSE 1 END"
         ).alias("nch"),
-        F.expr(
-            "transform(sequence(0, 16 * (CASE WHEN doc_id % 7 IN (2, 5) THEN 3"
-            " WHEN doc_id % 7 = 6 THEN 2 ELSE 1 END) - 1),"
-            " i -> CASE"
-            " WHEN doc_id % 7 IN (0, 3) THEN"
-            "  (ascii(substring(text, ((i * 11) % length(text)) + 1, 1)) % 256) % 2"
-            " WHEN doc_id % 7 = 4 THEN"
-            "  (ascii(substring(text, ((i * 11) % length(text)) + 1, 1)) % 256) * 4 % 1001"
-            " ELSE ascii(substring(text, ((i * 11) % length(text)) + 1, 1)) % 256"
-            " END)"
-        ).alias("p"),
+        "text",
     )
+
+    def bases(cp, i, n):
+        import numpy as np
+
+        m = i % 7
+        k = 3 if m in (2, 5) else (2 if m == 6 else 1)
+        b = cp[(np.arange(16 * k) * 11) % len(cp)] % 256
+        if m in (0, 3):
+            return b % 2
+        if m == 4:
+            return (b * 4) % 1001
+        return b
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -823,7 +890,7 @@ def q_multimodal_netpbm(spark, sf_dir):
     return _fused_ordered(
         _codec_parallel(px), PIXEL_STATS_SCHEMA,
         ["doc_id"],
-        encode, pixel_stats_batches,
+        _formula("p", bases), encode, pixel_stats_batches,
     )
 
 
@@ -906,11 +973,13 @@ def q_multimodal_au(spark, sf_dir):
     )
     bs = d.select(
         "doc_id",
-        F.expr(
-            "transform(sequence(0, 63),"
-            " i -> ascii(substring(text, ((i * 15) % length(text)) + 1, 1)) % 256)"
-        ).alias("bs"),
+        "text",
     )
+
+    def bases(cp, i, n):
+        import numpy as np
+
+        return cp[(np.arange(64) * 15) % len(cp)] % 256
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         enc_map = (1, 27, 2, 3)
@@ -931,7 +1000,7 @@ def q_multimodal_au(spark, sf_dir):
     return _fused_ordered(
         _codec_parallel(bs), AUDIO_SAMPLE_STATS_SCHEMA,
         ["doc_id"],
-        synth, audio_sample_batches,
+        _formula("bs", bases), synth, audio_sample_batches,
     )
 
 
@@ -1008,13 +1077,14 @@ def q_multimodal_video(spark, sf_dir):
     )
     px = d.select(
         "doc_id",
-        F.expr(
-            "transform(sequence(0, 2), f -> transform("
-            " sequence(0, CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 47 END),"
-            " i -> ascii(substring(text, ((i * 17 + f) % length(text)) + 1, 1))"
-            " % 256))"
-        ).alias("fs"),
+        "text",
     )
+
+    def bases(cp, i, n):
+        import numpy as np
+
+        w = 4 if i % 2 == 0 else 48
+        return [cp[((np.arange(w) * 17 + f) % len(cp))] % 256 for f in range(3)]
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -1045,6 +1115,7 @@ def q_multimodal_video(spark, sf_dir):
 
     stats = _fused(
         _codec_parallel(px), PIXEL_STATS_SCHEMA,
+        _formula("fs", bases),
         synth, frame_sample_batches(n_frames=3, real_decode=True),
         _frame_keyed, pixel_stats_batches,
     ).persist()  # the orderBy sample job then reads the cache
@@ -1134,13 +1205,14 @@ def q_multimodal_gif_anim(spark, sf_dir):
     )
     px = d.select(
         "doc_id",
-        F.expr(
-            "transform(sequence(0, 2), f -> transform("
-            " sequence(0, CASE WHEN f = 0 THEN 15 ELSE 3 END),"
-            " i -> ascii(substring(text, ((i * 19 + f) % length(text)) + 1, 1))"
-            " % 256))"
-        ).alias("fs"),
+        "text",
     )
+
+    def bases(cp, i, n):
+        import numpy as np
+
+        return [cp[((np.arange(16 if f == 0 else 4) * 19 + f) % len(cp))] % 256
+                for f in range(3)]
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -1161,6 +1233,7 @@ def q_multimodal_gif_anim(spark, sf_dir):
 
     stats = _fused(
         _codec_parallel(px), PIXEL_STATS_SCHEMA,
+        _formula("fs", bases),
         synth, frame_sample_batches(n_frames=3, real_decode=True),
         _frame_keyed, pixel_stats_batches,
     ).persist()  # the orderBy sample job then reads the cache
@@ -1237,11 +1310,13 @@ def q_multimodal_wavext(spark, sf_dir):
     )
     bs = d.select(
         "doc_id",
-        F.expr(
-            "transform(sequence(0, 63),"
-            " i -> ascii(substring(text, ((i * 21) % length(text)) + 1, 1)) % 256)"
-        ).alias("bs"),
+        "text",
     )
+
+    def bases(cp, i, n):
+        import numpy as np
+
+        return cp[(np.arange(64) * 21) % len(cp)] % 256
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1257,7 +1332,7 @@ def q_multimodal_wavext(spark, sf_dir):
     return _fused_ordered(
         _codec_parallel(bs), AUDIO_SAMPLE_STATS_SCHEMA,
         ["doc_id"],
-        synth, audio_sample_batches,
+        _formula("bs", bases), synth, audio_sample_batches,
     )
 
 
@@ -1319,12 +1394,13 @@ def q_multimodal_mp4(spark, sf_dir):
     )
     px = d.select(
         "doc_id",
-        F.expr(
-            "transform(sequence(0, 2), f -> transform(sequence(0, 3),"
-            " i -> ascii(substring(text, ((i * 23 + f) % length(text)) + 1, 1))"
-            " % 256))"
-        ).alias("fs"),
+        "text",
     )
+
+    def bases(cp, i, n):
+        import numpy as np
+
+        return [cp[((np.arange(4) * 23 + f) % len(cp))] % 256 for f in range(3)]
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -1348,6 +1424,7 @@ def q_multimodal_mp4(spark, sf_dir):
 
     stats = _fused(
         _codec_parallel(px), PIXEL_STATS_SCHEMA,
+        _formula("fs", bases),
         synth, frame_sample_batches(n_frames=3, real_decode=True),
         _frame_keyed, pixel_stats_batches,
     ).persist()  # the orderBy sample job then reads the cache
@@ -1424,11 +1501,13 @@ def q_multimodal_avi_audio(spark, sf_dir):
     )
     bs = d.select(
         "doc_id",
-        F.expr(
-            "transform(sequence(0, 63),"
-            " i -> ascii(substring(text, ((i * 25) % length(text)) + 1, 1)) % 256)"
-        ).alias("bs"),
+        "text",
     )
+
+    def bases(cp, i, n):
+        import numpy as np
+
+        return cp[(np.arange(64) * 25) % len(cp)] % 256
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import struct
@@ -1457,7 +1536,7 @@ def q_multimodal_avi_audio(spark, sf_dir):
     return _fused_ordered(
         _codec_parallel(bs), AUDIO_SAMPLE_STATS_SCHEMA,
         ["doc_id"],
-        synth, audio_sample_batches,
+        _formula("bs", bases), synth, audio_sample_batches,
     )
 
 
@@ -1513,13 +1592,14 @@ def q_multimodal_png_subbyte(spark, sf_dir):
     px = d.select(
         "doc_id",
         F.expr("shiftleft(1, cast(doc_id % 3 as int))").alias("depth"),
-        F.expr(
-            "transform(sequence(0, 24),"
-            " i -> ascii(substring(text, ((i * 13) % length(text)) + 1, 1)) %"
-            " (CASE WHEN doc_id % 3 = 0 THEN 2"
-            "       WHEN doc_id % 3 = 1 THEN 4 ELSE 16 END))"
-        ).alias("p"),
+        "text",
     )
+
+    def bases(cp, i, n):
+        import numpy as np
+
+        m = 2 if i % 3 == 0 else (4 if i % 3 == 1 else 16)
+        return cp[(np.arange(25) * 13) % len(cp)] % m
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -1536,7 +1616,7 @@ def q_multimodal_png_subbyte(spark, sf_dir):
     return _fused_ordered(
         _codec_parallel(px), PIXEL_STATS_SCHEMA,
         ["doc_id"],
-        encode, pixel_stats_batches,
+        _formula("p", bases), encode, pixel_stats_batches,
     )
 
 
@@ -1595,14 +1675,17 @@ def q_multimodal_qoi(spark, sf_dir):
     px = d.select(
         "doc_id",
         F.expr("CASE WHEN doc_id % 3 = 1 THEN 4 ELSE 3 END").alias("nch"),
-        F.expr(
-            "transform(sequence(0, 16 * (CASE WHEN doc_id % 3 = 1 THEN 4 ELSE 3 END) - 1),"
-            " i -> ascii(substring(text,"
-            "   (((CASE WHEN doc_id % 3 = 2"
-            "      THEN i % (4 * (CASE WHEN doc_id % 3 = 1 THEN 4 ELSE 3 END))"
-            "      ELSE i END) * 27) % length(text)) + 1, 1)) % 256)"
-        ).alias("p"),
+        "text",
     )
+
+    def bases(cp, i, n):
+        import numpy as np
+
+        k = 4 if i % 3 == 1 else 3
+        idx = np.arange(16 * k)
+        if i % 3 == 2:
+            idx = idx % (4 * k)
+        return cp[(idx * 27) % len(cp)] % 256
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -1619,7 +1702,7 @@ def q_multimodal_qoi(spark, sf_dir):
     return _fused_ordered(
         _codec_parallel(px), PIXEL_STATS_SCHEMA,
         ["doc_id"],
-        encode, pixel_stats_batches,
+        _formula("p", bases), encode, pixel_stats_batches,
     )
 
 
@@ -1676,11 +1759,14 @@ def q_multimodal_tiff(spark, sf_dir):
         "doc_id",
         F.expr("CAST(doc_id % 3 AS INT)").alias("m"),
         F.expr("CASE WHEN doc_id % 2 = 1 THEN 3 ELSE 1 END").alias("nch"),
-        F.expr(
-            "transform(sequence(0, 16 * (CASE WHEN doc_id % 2 = 1 THEN 3 ELSE 1 END) - 1),"
-            " i -> ascii(substring(text, ((i * 31) % length(text)) + 1, 1)) % 256)"
-        ).alias("p"),
+        "text",
     )
+
+    def bases(cp, i, n):
+        import numpy as np
+
+        k = 3 if i % 2 == 1 else 1
+        return cp[(np.arange(16 * k) * 31) % len(cp)] % 256
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -1701,7 +1787,7 @@ def q_multimodal_tiff(spark, sf_dir):
     return _fused_ordered(
         _codec_parallel(px), PIXEL_STATS_SCHEMA,
         ["doc_id"],
-        encode, pixel_stats_batches,
+        _formula("p", bases), encode, pixel_stats_batches,
     )
 
 
@@ -1778,14 +1864,14 @@ def q_multimodal_y4m(spark, sf_dir):
     )
     px = d.select(
         "doc_id",
-        F.expr(
-            "transform(sequence(0, 2), f -> transform("
-            " sequence(0, CASE WHEN doc_id % 3 = 0 THEN 15"
-            "               WHEN doc_id % 3 = 1 THEN 47 ELSE 23 END),"
-            " i -> ascii(substring(text, ((i * 29 + f) % length(text)) + 1, 1))"
-            " % 256))"
-        ).alias("fs"),
+        "text",
     )
+
+    def bases(cp, i, n):
+        import numpy as np
+
+        w = 16 if i % 3 == 0 else (48 if i % 3 == 1 else 24)
+        return [cp[((np.arange(w) * 29 + f) % len(cp))] % 256 for f in range(3)]
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -1815,6 +1901,7 @@ def q_multimodal_y4m(spark, sf_dir):
 
     stats = _fused(
         _codec_parallel(px), PIXEL_STATS_SCHEMA,
+        _formula("fs", bases),
         synth, frame_sample_batches(n_frames=3, real_decode=True),
         _frame_keyed, pixel_stats_batches,
     ).persist()  # the orderBy sample job then reads the cache
@@ -1886,11 +1973,13 @@ def q_multimodal_flac(spark, sf_dir):
     )
     bs = d.select(
         "doc_id",
-        F.expr(
-            "transform(sequence(0, 63),"
-            " i -> ascii(substring(text, ((i * 33) % length(text)) + 1, 1)) % 256)"
-        ).alias("bs"),
+        "text",
     )
+
+    def bases(cp, i, n):
+        import numpy as np
+
+        return cp[(np.arange(64) * 33) % len(cp)] % 256
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -1921,7 +2010,7 @@ def q_multimodal_flac(spark, sf_dir):
     return _fused_ordered(
         _codec_parallel(bs), AUDIO_SAMPLE_STATS_SCHEMA,
         ["doc_id"],
-        synth, audio_sample_batches,
+        _formula("bs", bases), synth, audio_sample_batches,
     )
 
 
@@ -1995,11 +2084,13 @@ def q_multimodal_aiff(spark, sf_dir):
     )
     bs = d.select(
         "doc_id",
-        F.expr(
-            "transform(sequence(0, 63),"
-            " i -> ascii(substring(text, ((i * 35) % length(text)) + 1, 1)) % 256)"
-        ).alias("bs"),
+        "text",
     )
+
+    def bases(cp, i, n):
+        import numpy as np
+
+        return cp[(np.arange(64) * 35) % len(cp)] % 256
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -2029,7 +2120,7 @@ def q_multimodal_aiff(spark, sf_dir):
     return _fused_ordered(
         _codec_parallel(bs), AUDIO_SAMPLE_STATS_SCHEMA,
         ["doc_id"],
-        synth, audio_sample_batches,
+        _formula("bs", bases), synth, audio_sample_batches,
     )
 
 
@@ -2095,16 +2186,17 @@ def q_multimodal_tga(spark, sf_dir):
             "CASE WHEN doc_id % 4 = 1 THEN 3"
             " WHEN doc_id % 4 = 3 THEN 4 ELSE 1 END"
         ).alias("nch"),
-        F.expr(
-            "transform(sequence(0, 16 * (CASE WHEN doc_id % 4 = 1 THEN 3"
-            " WHEN doc_id % 4 = 3 THEN 4 ELSE 1 END) - 1),"
-            " i -> ascii(substring(text,"
-            "   (((CASE WHEN doc_id % 4 >= 2"
-            "      THEN i % (8 * (CASE WHEN doc_id % 4 = 1 THEN 3"
-            "                     WHEN doc_id % 4 = 3 THEN 4 ELSE 1 END))"
-            "      ELSE i END) * 37) % length(text)) + 1, 1)) % 256)"
-        ).alias("p"),
+        "text",
     )
+
+    def bases(cp, i, n):
+        import numpy as np
+
+        k = 3 if i % 4 == 1 else (4 if i % 4 == 3 else 1)
+        idx = np.arange(16 * k)
+        if i % 4 >= 2:
+            idx = idx % (8 * k)
+        return cp[(idx * 37) % len(cp)] % 256
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -2122,7 +2214,7 @@ def q_multimodal_tga(spark, sf_dir):
     return _fused_ordered(
         _codec_parallel(px), PIXEL_STATS_SCHEMA,
         ["doc_id"],
-        encode, pixel_stats_batches,
+        _formula("p", bases), encode, pixel_stats_batches,
     )
 
 
@@ -2197,12 +2289,13 @@ def q_multimodal_ico(spark, sf_dir):
     )
     px = d.select(
         "doc_id",
-        F.expr(
-            "transform(sequence(0, 1), e -> transform(sequence(0, 63),"
-            " i -> ascii(substring(text, ((i * 39 + e) % length(text)) + 1, 1))"
-            " % 256))"
-        ).alias("es"),
+        "text",
     )
+
+    def bases(cp, i, n):
+        import numpy as np
+
+        return [cp[((np.arange(64) * 39 + e) % len(cp))] % 256 for e in range(2)]
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -2251,7 +2344,7 @@ def q_multimodal_ico(spark, sf_dir):
         "doc_id bigint, entry_no int, width int, height int,"
         " channels int, mean_val double, min_val int, max_val int",
         ["doc_id", "entry_no"],
-        synth, stats,
+        _formula("es", bases), synth, stats,
     )
 
 
@@ -2322,13 +2415,16 @@ def q_multimodal_webp(spark, sf_dir):
     px = d.select(
         "doc_id",
         (F.col("doc_id") % 4).cast("int").alias("m"),
-        F.expr(
-            "transform(sequence(0, 63),"
-            " i -> ascii(substring(text,"
-            "   (((CASE WHEN doc_id % 4 = 1 THEN i % 4 ELSE i END) * 41)"
-            "     % length(text)) + 1, 1)) % 256)"
-        ).alias("p"),
+        "text",
     )
+
+    def bases(cp, i, n):
+        import numpy as np
+
+        idx = np.arange(64)
+        if i % 4 == 1:
+            idx = idx % 4
+        return cp[(idx * 41) % len(cp)] % 256
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -2349,7 +2445,7 @@ def q_multimodal_webp(spark, sf_dir):
     return _fused_ordered(
         _codec_parallel(px), PIXEL_STATS_SCHEMA,
         ["doc_id"],
-        encode, pixel_stats_batches,
+        _formula("p", bases), encode, pixel_stats_batches,
     )
 
 
@@ -2445,20 +2541,14 @@ def q_multimodal_webp_anim(spark, sf_dir):
         & (F.col("doc_id") % 8 == 1)
     )
 
-    def fexpr(n, off):
-        return (
-            f"transform(sequence(0, {n}),"
-            f" i -> ascii(substring(text, ((i * 43 + {off})"
-            " % length(text)) + 1, 1)) % 256)"
-        )
+    px = d.select("doc_id", "text")
 
-    px = d.select(
-        "doc_id",
-        F.expr(fexpr(15, 0)).alias("a0"),
-        F.expr(fexpr(3, 1)).alias("a1"),
-        F.expr(fexpr(3, 2)).alias("a2"),
-        F.expr(fexpr(3, 3)).alias("a3"),
-    )
+    def bases(cp, i, n):
+        import numpy as np
+
+        # the four frame planes: lengths 16/4/4/4, stride 43, offsets 0-3
+        return [cp[((np.arange(ln) * 43 + off) % len(cp))] % 256
+                for ln, off in ((16, 0), (4, 1), (4, 2), (4, 3))]
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -2471,9 +2561,7 @@ def q_multimodal_webp_anim(spark, sf_dir):
 
         for pdf in batches:
             payloads = []
-            for a0, a1, a2, a3 in zip(
-                pdf["a0"], pdf["a1"], pdf["a2"], pdf["a3"]
-            ):
+            for a0, a1, a2, a3 in pdf["fs"]:
                 import numpy as np
 
                 f0 = gray_rgba(a0, np.full((4, 4), 255))
@@ -2490,6 +2578,7 @@ def q_multimodal_webp_anim(spark, sf_dir):
 
     stats = _fused(
         _codec_parallel(px), PIXEL_STATS_SCHEMA,
+        _formula("fs", bases),
         synth, frame_sample_batches(n_frames=3, real_decode=True),
         _frame_keyed, pixel_stats_batches,
     ).persist()  # the orderBy sample job then reads the cache
@@ -2566,11 +2655,13 @@ def q_multimodal_msadpcm(spark, sf_dir):
     bs = d.select(
         "doc_id",
         (F.col("doc_id") % 2).cast("int").alias("m"),
-        F.expr(
-            "transform(sequence(0, CASE WHEN doc_id % 2 = 0 THEN 15 ELSE 65 END),"
-            " i -> ascii(substring(text, ((i * 45) % length(text)) + 1, 1)) % 256)"
-        ).alias("vs"),
+        "text",
     )
+
+    def bases(cp, i, n):
+        import numpy as np
+
+        return cp[(np.arange(16 if i % 2 == 0 else 66) * 45) % len(cp)] % 256
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -2594,7 +2685,7 @@ def q_multimodal_msadpcm(spark, sf_dir):
     return _fused_ordered(
         _codec_parallel(bs), AUDIO_SAMPLE_STATS_SCHEMA,
         ["doc_id"],
-        synth, audio_sample_batches,
+        _formula("vs", bases), synth, audio_sample_batches,
     )
 
 
@@ -2697,13 +2788,14 @@ def q_multimodal_ogg(spark, sf_dir):
             # per call JVM-side and priced this query at 15.6s idle at
             # sf0.1 before the r15 fix — the base-cycling form reads
             # 0.64s with identical lacing coverage (b(i) = base[i%64])
-            F.expr(
-                "transform(sequence(0, 63),"
-                " j -> ascii(substring(text, ((j * 29) % length(text)) + 1, 1))"
-                " % 256)"
-            ).alias("bs"),
+            "text",
         )
     )
+
+    def bases(cp, i, n):
+        import numpy as np
+
+        return cp[(np.arange(64) * 29) % len(cp)] % 256
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -2738,7 +2830,7 @@ def q_multimodal_ogg(spark, sf_dir):
     return _fused_ordered(
         _codec_parallel(bs), OGG_STATS_SCHEMA,
         ["doc_id"],
-        synth, ogg_stats_batches,
+        _formula("bs", bases), synth, ogg_stats_batches,
     )
 
 
@@ -2807,11 +2899,13 @@ def q_multimodal_ogg_flac(spark, sf_dir):
     )
     bs = d.select(
         "doc_id",
-        F.expr(
-            "transform(sequence(0, 63),"
-            " i -> ascii(substring(text, ((i * 31) % length(text)) + 1, 1)) % 256)"
-        ).alias("bs"),
+        "text",
     )
+
+    def bases(cp, i, n):
+        import numpy as np
+
+        return cp[(np.arange(64) * 31) % len(cp)] % 256
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -2850,7 +2944,7 @@ def q_multimodal_ogg_flac(spark, sf_dir):
     return _fused_ordered(
         _codec_parallel(bs), AUDIO_SAMPLE_STATS_SCHEMA,
         ["doc_id"],
-        synth, audio_sample_batches,
+        _formula("bs", bases), synth, audio_sample_batches,
     )
 
 
@@ -2919,12 +3013,13 @@ def q_multimodal_mkv(spark, sf_dir):
     )
     px = d.select(
         "doc_id",
-        F.expr(
-            "transform(sequence(0, 2), f -> transform(sequence(0, 3),"
-            " i -> ascii(substring(text, ((i * 23 + f) % length(text)) + 1, 1))"
-            " % 256))"
-        ).alias("fs"),
+        "text",
     )
+
+    def bases(cp, i, n):
+        import numpy as np
+
+        return [cp[((np.arange(4) * 23 + f) % len(cp))] % 256 for f in range(3)]
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -2949,6 +3044,7 @@ def q_multimodal_mkv(spark, sf_dir):
 
     stats = _fused(
         _codec_parallel(px), PIXEL_STATS_SCHEMA,
+        _formula("fs", bases),
         synth, frame_sample_batches(n_frames=3, real_decode=True),
         _frame_keyed, pixel_stats_batches,
     ).persist()  # the orderBy sample job then reads the cache
@@ -3033,12 +3129,13 @@ def q_multimodal_mkv_audio(spark, sf_dir):
     )
     bs = d.select(
         "doc_id",
-        F.expr(
-            "transform(sequence(0, 63),"
-            " i -> ascii(substring(text, ((i * 27) % length(text)) + 1, 1))"
-            " % 256)"
-        ).alias("bs"),
+        "text",
     )
+
+    def bases(cp, i, n):
+        import numpy as np
+
+        return cp[(np.arange(64) * 27) % len(cp)] % 256
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -3100,7 +3197,7 @@ def q_multimodal_mkv_audio(spark, sf_dir):
     return _fused_ordered(
         _codec_parallel(bs), AUDIO_SAMPLE_STATS_SCHEMA,
         ["doc_id"],
-        synth, audio_sample_batches,
+        _formula("bs", bases), synth, audio_sample_batches,
     )
 
 
@@ -3186,13 +3283,14 @@ def q_warc_extract(spark, sf_dir):
         # 64-byte bases per record, cycled to body_len in Python (the
         # per-data-byte JVM formula form read 3.85s idle at sf0.1;
         # base-cycling is equivalent per the oracle's i%64 replay)
-        F.expr(
-            "transform(sequence(0, doc_id % 3),"
-            " r -> transform(sequence(0, 63),"
-            " j -> ascii(substring(text, ((j * 13 + r) % length(text)) + 1, 1))"
-            " % 256))"
-        ).alias("fs"),
+        "text",
     )
+
+    def bases(cp, i, n):
+        import numpy as np
+
+        return [cp[((np.arange(64) * 13 + r) % len(cp))] % 256
+                for r in range(i % 3 + 1)]
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -3224,7 +3322,7 @@ def q_warc_extract(spark, sf_dir):
     return _fused_ordered(
         _codec_parallel(bs), WARC_RECORDS_SCHEMA,
         ["doc_id", "rec_no"],
-        synth, warc_record_batches,
+        _formula("fs", bases), synth, warc_record_batches,
     )
 
 
@@ -3424,13 +3522,14 @@ def q_zip_extract(spark, sf_dir):
         "n_chars",
         # 64-byte bases, cycled in Python (see q_multimodal_ogg: the
         # per-data-byte JVM formula priced this at 4.84s idle at sf0.1)
-        F.expr(
-            "transform(sequence(0, doc_id % 3),"
-            " e -> transform(sequence(0, 63),"
-            " j -> ascii(substring(text, ((j * 19 + e * 3) % length(text)) + 1,"
-            " 1)) % 256))"
-        ).alias("fs"),
+        "text",
     )
+
+    def bases(cp, i, n):
+        import numpy as np
+
+        return [cp[((np.arange(64) * 19 + e * 3) % len(cp))] % 256
+                for e in range(i % 3 + 1)]
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -3456,7 +3555,7 @@ def q_zip_extract(spark, sf_dir):
 
     return _fused(
         _codec_parallel(bs), ZIP_ENTRIES_SCHEMA,
-        synth, zip_entry_batches,
+        _formula("fs", bases), synth, zip_entry_batches,
     ).persist().drop("comp_size").orderBy(
         "doc_id", "entry_no"
     )
@@ -3541,13 +3640,14 @@ def q_tar_extract(spark, sf_dir):
         "n_chars",
         # 64-byte bases, cycled in Python (see q_multimodal_ogg: the
         # per-data-byte JVM formula priced this at 4.35s idle at sf0.1)
-        F.expr(
-            "transform(sequence(0, doc_id % 3),"
-            " e -> transform(sequence(0, 63),"
-            " j -> ascii(substring(text, ((j * 21 + e * 5) % length(text)) + 1,"
-            " 1)) % 256))"
-        ).alias("fs"),
+        "text",
     )
+
+    def bases(cp, i, n):
+        import numpy as np
+
+        return [cp[((np.arange(64) * 21 + e * 5) % len(cp))] % 256
+                for e in range(i % 3 + 1)]
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -3580,7 +3680,7 @@ def q_tar_extract(spark, sf_dir):
 
     return _fused_ordered(
         _codec_parallel(bs), TAR_ENTRIES_SCHEMA, ["doc_id", "entry_no"],
-        synth, tar_entry_batches,
+        _formula("fs", bases), synth, tar_entry_batches,
     )
 
 
@@ -3658,13 +3758,14 @@ def q_tfrecord_extract(spark, sf_dir):
         "n_chars",
         # 64-byte bases, cycled in Python (the archive-tier idiom:
         # per-data-byte JVM formulas are O(pos) per substring call)
-        F.expr(
-            "transform(sequence(0, 1 + doc_id % 3),"
-            " r -> transform(sequence(0, 63),"
-            " j -> ascii(substring(text, ((j * 23 + r * 7) % length(text)) + 1,"
-            " 1)) % 256))"
-        ).alias("fs"),
+        "text",
     )
+
+    def bases(cp, i, n):
+        import numpy as np
+
+        return [cp[((np.arange(64) * 23 + r * 7) % len(cp))] % 256
+                for r in range(2 + i % 3)]
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -3687,7 +3788,7 @@ def q_tfrecord_extract(spark, sf_dir):
     return _fused_ordered(
         _codec_parallel(bs), TFRECORD_SCHEMA,
         ["doc_id", "rec_no"],
-        synth, tfrecord_record_batches,
+        _formula("fs", bases), synth, tfrecord_record_batches,
     )
 
 
@@ -3792,13 +3893,14 @@ def q_tfexample_extract(spark, sf_dir):
         # +7t rotation Python-side — keeping the JVM substring count
         # at the 64·k archive-tier norm (an earlier per-string base
         # doubled it and priced this query at 3.3s idle sf0.1)
-        F.expr(
-            "transform(sequence(0, 1 + doc_id % 3),"
-            " r -> transform(sequence(0, 63),"
-            " j -> ascii(substring(text,"
-            " ((j * 13 + r * 5) % length(text)) + 1, 1)) % 256))"
-        ).alias("fs"),
+        "text",
     )
+
+    def bases(cp, i, n):
+        import numpy as np
+
+        return [cp[((np.arange(64) * 13 + r * 5) % len(cp))] % 256
+                for r in range(2 + i % 3)]
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -3845,7 +3947,7 @@ def q_tfexample_extract(spark, sf_dir):
     return _fused_ordered(
         _codec_parallel(bs), TFEXAMPLE_SCHEMA,
         ["doc_id", "rec_no", "fname"],
-        synth, tfexample_record_batches,
+        _formula("fs", bases), synth, tfexample_record_batches,
     )
 
 
@@ -3948,12 +4050,13 @@ def q_tfseq_extract(spark, sf_dir):
     bs = d.select(
         "doc_id",
         "n_chars",
-        F.expr(
-            "transform(sequence(0, 63),"
-            " j -> ascii(substring(text, ((j * 43) % length(text)) + 1,"
-            " 1)) % 256)"
-        ).alias("fs"),
+        "text",
     )
+
+    def bases(cp, i, n):
+        import numpy as np
+
+        return cp[(np.arange(64) * 43) % len(cp)] % 256
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -4004,7 +4107,7 @@ def q_tfseq_extract(spark, sf_dir):
         [
         "doc_id", "rec_no", "fname", "step"
     ],
-        synth, tfseq_record_batches,
+        _formula("fs", bases), synth, tfseq_record_batches,
     )
 
 
@@ -4107,12 +4210,13 @@ def q_avro_extract(spark, sf_dir):
         # JVM bases multiply the O(pos) substring count by k and
         # priced this query at 3.09s idle sf0.1; the oracle replays
         # the same rotation)
-        F.expr(
-            "transform(sequence(0, 63),"
-            " j -> ascii(substring(text, ((j * 19) % length(text)) + 1,"
-            " 1)) % 256)"
-        ).alias("fs"),
+        "text",
     )
+
+    def bases(cp, i, n):
+        import numpy as np
+
+        return cp[(np.arange(64) * 19) % len(cp)] % 256
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -4148,7 +4252,7 @@ def q_avro_extract(spark, sf_dir):
     return _fused_ordered(
         _codec_parallel(bs), AVRO_SCHEMA,
         ["doc_id", "rec_no"],
-        synth, avro_record_batches,
+        _formula("fs", bases), synth, avro_record_batches,
     )
 
 
@@ -4279,12 +4383,13 @@ def q_avro_record(spark, sf_dir):
         "n_chars",
         # ONE 64-byte base per doc (stride 23), cycled in Python;
         # record r derives via a +13r rotation the oracle replays
-        F.expr(
-            "transform(sequence(0, 63),"
-            " j -> ascii(substring(text, ((j * 23) % length(text)) + 1,"
-            " 1)) % 256)"
-        ).alias("fs"),
+        "text",
     )
+
+    def bases(cp, i, n):
+        import numpy as np
+
+        return cp[(np.arange(64) * 23) % len(cp)] % 256
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -4329,7 +4434,7 @@ def q_avro_record(spark, sf_dir):
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
     av = _fused(
-        _codec_parallel(bs), AVRO_FIELDS_SCHEMA, synth, avro_field_batches
+        _codec_parallel(bs), AVRO_FIELDS_SCHEMA, _formula("fs", bases), synth, avro_field_batches
     ).persist()  # the orderBy sample job then reads the cache
     # the operator's honest contract is NULL in the columns a type
     # doesn't own; the hashed query coalesces to sentinels (0 / 0.0 /
@@ -4472,12 +4577,13 @@ def q_avro_nested(spark, sf_dir):
     bs = d.select(
         "doc_id",
         "n_chars",
-        F.expr(
-            "transform(sequence(0, 3),"
-            " j -> ascii(substring(text, ((j * 29) % length(text)) + 1,"
-            " 1)) % 256)"
-        ).alias("fs"),
+        "text",
     )
+
+    def bases(cp, i, n):
+        import numpy as np
+
+        return cp[(np.arange(4) * 29) % len(cp)] % 256
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from polars_express_spark.functions.avro import encode_avro
@@ -4523,7 +4629,7 @@ def q_avro_nested(spark, sf_dir):
 
     return _fused(
         _codec_parallel(bs), AVRO_FIELDS_SCHEMA,
-        synth, avro_field_batches,
+        _formula("fs", bases), synth, avro_field_batches,
     ).persist().select(
         "doc_id", "rec_no", "block_no", "codec", "fname", "ftype",
         "is_null",
@@ -4616,13 +4722,14 @@ def q_multimodal_ogg_theora(spark, sf_dir):
     bs = d.select(
         "doc_id",
         "n_chars",
-        F.expr(
-            "transform(sequence(0, doc_id % 3),"
-            " r -> transform(sequence(0, 63),"
-            " j -> ascii(substring(text, ((j * 37 + r * 11) % length(text)) + 1,"
-            " 1)) % 256))"
-        ).alias("fs"),
+        "text",
     )
+
+    def bases(cp, i, n):
+        import numpy as np
+
+        return [cp[((np.arange(64) * 37 + r * 11) % len(cp))] % 256
+                for r in range(i % 3 + 1)]
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -4686,7 +4793,7 @@ def q_multimodal_ogg_theora(spark, sf_dir):
         " n_pages int, granule bigint, n_packets bigint,"
         " data_bytes bigint, data_sum bigint",
         ["doc_id"],
-        synth, stats,
+        _formula("fs", bases), synth, stats,
     )
 
 
@@ -4752,13 +4859,14 @@ def q_multimodal_icns(spark, sf_dir):
     )
     px = d.select(
         "doc_id",
-        F.expr(
-            "transform(sequence(0, doc_id % 2),"
-            " e -> transform(sequence(0, 63),"
-            " j -> ascii(substring(text, ((j * 43 + e * 7) % length(text)) + 1,"
-            " 1)) % 256))"
-        ).alias("es"),
+        "text",
     )
+
+    def bases(cp, i, n):
+        import numpy as np
+
+        return [cp[((np.arange(64) * 43 + e * 7) % len(cp))] % 256
+                for e in range(i % 2 + 1)]
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -4807,7 +4915,7 @@ def q_multimodal_icns(spark, sf_dir):
         " height int, channels int, mean_val double, min_val int,"
         " max_val int",
         ["doc_id", "elem_no"],
-        synth, stats,
+        _formula("es", bases), synth, stats,
     )
 
 
@@ -4916,12 +5024,13 @@ def q_seqfile_extract(spark, sf_dir):
         "n_chars",
         # ONE 64-byte base per doc; record r derives via a +7r byte
         # rotation Python-side (the oracle replays it)
-        F.expr(
-            "transform(sequence(0, 63),"
-            " j -> ascii(substring(text, ((j * 31) % length(text)) + 1,"
-            " 1)) % 256)"
-        ).alias("fs"),
+        "text",
     )
+
+    def bases(cp, i, n):
+        import numpy as np
+
+        return cp[(np.arange(64) * 31) % len(cp)] % 256
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -4978,7 +5087,7 @@ def q_seqfile_extract(spark, sf_dir):
     return _fused_ordered(
         _codec_parallel(bs), SEQFILE_SCHEMA,
         ["doc_id", "rec_no"],
-        synth, seqfile_record_batches,
+        _formula("fs", bases), synth, seqfile_record_batches,
     )
 
 
@@ -5082,12 +5191,13 @@ def q_cbor_extract(spark, sf_dir):
         "n_chars",
         # ONE 64-byte base per doc; record r derives via a +9r byte
         # rotation Python-side (the oracle replays it)
-        F.expr(
-            "transform(sequence(0, 63),"
-            " j -> ascii(substring(text, ((j * 41) % length(text)) + 1,"
-            " 1)) % 256)"
-        ).alias("fs"),
+        "text",
     )
+
+    def bases(cp, i, n):
+        import numpy as np
+
+        return cp[(np.arange(64) * 41) % len(cp)] % 256
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -5130,7 +5240,7 @@ def q_cbor_extract(spark, sf_dir):
     return _fused_ordered(
         _codec_parallel(bs), CBOR_SCHEMA,
         ["doc_id", "rec_no"],
-        synth, cbor_record_batches,
+        _formula("fs", bases), synth, cbor_record_batches,
     )
 
 
@@ -5263,12 +5373,13 @@ def q_kafka_extract(spark, sf_dir):
     bs = d.select(
         "doc_id",
         "n_chars",
-        F.expr(
-            "transform(sequence(0, 63),"
-            " j -> ascii(substring(text, ((j * 61) % length(text)) + 1,"
-            " 1)) % 256)"
-        ).alias("fs"),
+        "text",
     )
+
+    def bases(cp, i, n):
+        import numpy as np
+
+        return cp[(np.arange(64) * 61) % len(cp)] % 256
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -5323,7 +5434,7 @@ def q_kafka_extract(spark, sf_dir):
     return _fused_ordered(
         _codec_parallel(bs), KAFKA_SCHEMA,
         ["doc_id", "batch_no", "rec_no"],
-        synth, kafka_record_batches,
+        _formula("fs", bases), synth, kafka_record_batches,
     )
 
 
@@ -5525,12 +5636,13 @@ def q_kafka_legacy(spark, sf_dir):
     bs = d.select(
         "doc_id",
         "n_chars",
-        F.expr(
-            "transform(sequence(0, 63),"
-            " j -> ascii(substring(text, ((j * 53) % length(text)) + 1,"
-            " 1)) % 256)"
-        ).alias("fs"),
+        "text",
     )
+
+    def bases(cp, i, n):
+        import numpy as np
+
+        return cp[(np.arange(64) * 53) % len(cp)] % 256
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -5571,7 +5683,7 @@ def q_kafka_legacy(spark, sf_dir):
     return _fused_ordered(
         _codec_parallel(bs), KAFKA_SCHEMA,
         ["doc_id", "batch_no", "rec_no"],
-        synth, kafka_record_batches,
+        _formula("fs", bases), synth, kafka_record_batches,
     )
 
 
@@ -5636,12 +5748,13 @@ def q_lz4_extract(spark, sf_dir):
     bs = d.select(
         "doc_id",
         "n_chars",
-        F.expr(
-            "transform(sequence(0, 63),"
-            " j -> ascii(substring(text, ((j * 59) % length(text)) + 1,"
-            " 1)) % 256)"
-        ).alias("fs"),
+        "text",
     )
+
+    def bases(cp, i, n):
+        import numpy as np
+
+        return cp[(np.arange(64) * 59) % len(cp)] % 256
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -5670,7 +5783,7 @@ def q_lz4_extract(spark, sf_dir):
     return _fused_ordered(
         _codec_parallel(bs), LZ4_SCHEMA,
         ["doc_id"],
-        synth, lz4_content_batches,
+        _formula("fs", bases), synth, lz4_content_batches,
     )
 
 
@@ -5756,13 +5869,15 @@ def q_zstd_extract(spark, sf_dir):
     bs = d.select(
         "doc_id",
         "n_chars",
-        F.expr(
-            "transform(sequence(0, 63),"
-            " j -> IF(j = 63, 10,"
-            " ascii(substring(text, ((j * 67) % length(text)) + 1,"
-            " 1)) % 256))"
-        ).alias("fs"),
+        "text",
     )
+
+    def bases(cp, i, n):
+        import numpy as np
+
+        b = cp[(np.arange(64) * 67) % len(cp)] % 256
+        b[63] = 10  # the IF(j = 63, 10, ...) newline sentinel
+        return b
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import struct as _s
@@ -5813,7 +5928,7 @@ def q_zstd_extract(spark, sf_dir):
     return _fused_ordered(
         _codec_parallel(bs), ZSTD_SCHEMA,
         ["doc_id"],
-        synth, zstd_content_batches,
+        _formula("fs", bases), synth, zstd_content_batches,
     )
 
 
@@ -5927,12 +6042,13 @@ def q_msgpack_extract(spark, sf_dir):
         "n_chars",
         # ONE 64-byte base per doc; record r derives via a +13r byte
         # rotation Python-side (the oracle replays it)
-        F.expr(
-            "transform(sequence(0, 63),"
-            " j -> ascii(substring(text, ((j * 47) % length(text)) + 1,"
-            " 1)) % 256)"
-        ).alias("fs"),
+        "text",
     )
+
+    def bases(cp, i, n):
+        import numpy as np
+
+        return cp[(np.arange(64) * 47) % len(cp)] % 256
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -5978,7 +6094,7 @@ def q_msgpack_extract(spark, sf_dir):
     return _fused_ordered(
         _codec_parallel(bs), MSGPACK_SCHEMA,
         ["doc_id", "rec_no"],
-        synth, msgpack_record_batches,
+        _formula("fs", bases), synth, msgpack_record_batches,
     )
 
 
@@ -6046,12 +6162,13 @@ def q_multimodal_exif(spark, sf_dir):
     px = d.select(
         "doc_id",
         "n_chars",
-        F.expr(
-            "transform(sequence(0, 15),"
-            " i -> ascii(substring(text, ((i * 53) % length(text)) + 1, 1))"
-            " % 256)"
-        ).alias("p"),
+        "text",
     )
+
+    def bases(cp, i, n):
+        import numpy as np
+
+        return cp[(np.arange(16) * 53) % len(cp)] % 256
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -6085,5 +6202,5 @@ def q_multimodal_exif(spark, sf_dir):
     return _fused_ordered(
         _codec_parallel(px), EXIF_SCHEMA,
         ["doc_id"],
-        synth, exif_meta_batches,
+        _formula("p", bases), synth, exif_meta_batches,
     )
