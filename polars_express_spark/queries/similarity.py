@@ -235,6 +235,11 @@ def q_embed_neardup(spark, sf_dir):
     return (
         joined.mapInPandas(batch_cosine, schema="a_id long, b_id long, cosine double")
         .where(F.col("cosine") >= 0.5)
+        # r18: persist the kilobyte survivor rows so the orderBy's
+        # range-bounds sample job reads the cache instead of re-running
+        # the einsum pass (orderBy sampling re-executes its child; the
+        # child here is the Python stage over the pair join)
+        .persist()
         .orderBy("a_id", "b_id")
     )
 
