@@ -751,7 +751,7 @@ def q_multimodal_alaw(spark, sf_dir):
     the sign from the top bit), so a hash match differentially tests
     the codec itself, not just the container. Scale shape: one scan,
     one doc_id exchange for codec parallelism (_codec_parallel),
-    Arrow-batched mapInPandas throughout."""
+    one fused Arrow-batched mapInPandas pass."""
     from typing import Iterator
 
     import pandas as pd
@@ -1054,8 +1054,8 @@ def q_multimodal_video(spark, sf_dir):
     formula — a hash match proves demux, per-codec frame decode, the
     PNG re-encode, and the row-exploding frame sampler are exact end
     to end. Scale shape: one scan, one doc_id exchange
-    (_codec_parallel), then THREE fused Arrow stages (mux → demux+
-    decode → stats) with no exchange between."""
+    (_codec_parallel), then ONE fused Arrow pass (r18: mux → demux+
+    decode → stats composed in a single MapInPandas)."""
     from typing import Iterator
 
     import pandas as pd
@@ -1182,8 +1182,8 @@ def q_multimodal_gif_anim(spark, sf_dir):
     compositor are exact. The adversarial disposal/transparency space
     is covered by the hypothesis property against an in-test spec
     compositor; this query pins the driver-visible slice. Scale shape:
-    one scan, one doc_id exchange (_codec_parallel), three fused
-    Arrow stages."""
+    one scan, one doc_id exchange (_codec_parallel), ONE fused
+    Arrow pass (r18)."""
     from typing import Iterator
 
     import pandas as pd
@@ -1373,8 +1373,8 @@ def q_multimodal_mp4(spark, sf_dir):
     parse_jpeg, and ships PNGs; decode_pixel_stats (keyed
     doc_id·4+frame_no, split back after) hashes exact per-frame stats
     that the oracle computes straight from the formula. Scale shape:
-    one scan, one doc_id exchange (_codec_parallel), three fused
-    Arrow stages."""
+    one scan, one doc_id exchange (_codec_parallel), ONE fused
+    Arrow pass (r18)."""
     from typing import Iterator
 
     import pandas as pd
@@ -1844,7 +1844,7 @@ def q_multimodal_y4m(spark, sf_dir):
     replication expressed as weights — a hash match proves the stream
     -header grammar, FRAME walking, plane math, and all three
     subsampling layouts end to end. Scale shape: one scan, one doc_id
-    exchange (_codec_parallel), three fused Arrow stages."""
+    exchange (_codec_parallel), ONE fused Arrow pass (r18: all three stages composed in a single MapInPandas)."""
     from typing import Iterator
 
     import pandas as pd
@@ -2272,8 +2272,8 @@ def q_multimodal_ico(spark, sf_dir):
     XOR rasters, packed AND masks); the stats stage walks parse_ico
     per entry. A hash match proves the directory walk, both inner
     routes, and both alpha conventions end to end. Scale shape: one
-    scan, one doc_id exchange (_codec_parallel), two fused Arrow
-    stages."""
+    scan, one doc_id exchange (_codec_parallel), ONE fused Arrow
+    pass (r18)."""
     from typing import Iterator
 
     import pandas as pd
@@ -2394,8 +2394,8 @@ def q_multimodal_webp(spark, sf_dir):
     from the formula, never touching VP8L — a hash match proves
     decode(encode(x)) = x across all four stream shapes, including
     the code-length-code serialization both directions. Scale shape: one
-    scan, one doc_id exchange (_codec_parallel), two fused
-    Arrow-batched mapInPandas stages (plan-pinned with the other
+    scan, one doc_id exchange (_codec_parallel), ONE fused
+    Arrow-batched mapInPandas pass (r18) (plan-pinned with the other
     media queries in tests/test_plans.py)."""
     from typing import Iterator
 
@@ -2521,7 +2521,7 @@ def q_multimodal_webp_anim(spark, sf_dir):
     stats (alpha rows enter as 16 constant-255 samples, the ICO
     precedent). Population: quarter corpus, the three-pass-tier band
     (bench.py documents the ~2.3s pass floor). Scale shape: one scan,
-    one doc_id exchange, three fused Arrow stages."""
+    one doc_id exchange, ONE fused Arrow pass (r18: all three stages composed in a single MapInPandas)."""
     from typing import Iterator
 
     import pandas as pd
@@ -2637,7 +2637,7 @@ def q_multimodal_msadpcm(spark, sf_dir):
     extension with the 7 coefficient pairs, fact, data);
     decode_audio_samples dispatches tag 0x0002 to
     _wav_ms_blocks_decode. Scale shape: one scan, one doc_id exchange
-    (_codec_parallel), two fused Arrow stages."""
+    (_codec_parallel), ONE fused Arrow pass (r18: synth+decode composed in a single MapInPandas)."""
     from typing import Iterator
 
     import pandas as pd
@@ -2995,7 +2995,7 @@ def q_multimodal_mkv(spark, sf_dir):
     6), disjoint from q_multimodal_video's and q_multimodal_mp4's
     slices — the three-Arrow-stage video tier prices ~2x a flat codec
     query per doc. Scale shape: one scan, one doc_id exchange
-    (_codec_parallel), three fused Arrow stages."""
+    (_codec_parallel), ONE fused Arrow pass (r18: all three stages composed in a single MapInPandas)."""
     from typing import Iterator
 
     import pandas as pd
@@ -3114,7 +3114,7 @@ def q_multimodal_mkv_audio(spark, sf_dir):
     lossless round trip keeps the oracle identical. The oracle
     replays the endianness/sign arithmetic with the established
     lead() idiom. Scale shape: one scan, one doc_id exchange
-    (_codec_parallel), two fused Arrow stages."""
+    (_codec_parallel), ONE fused Arrow pass (r18: synth+decode composed in a single MapInPandas)."""
     from typing import Iterator
 
     import pandas as pd
@@ -3258,8 +3258,8 @@ def q_warc_extract(spark, sf_dir):
     arithmetic in SQL — a hash match proves record framing,
     Content-Length discipline, per-member gunzip, and the HTTP split
     end to end, through the generator-shaped row explosion. Scale
-    shape: one scan, one doc_id exchange (_codec_parallel), two fused
-    Arrow stages."""
+    shape: one scan, one doc_id exchange (_codec_parallel), ONE fused
+    Arrow pass (r18)."""
     from typing import Iterator
 
     import pandas as pd
@@ -3389,7 +3389,7 @@ def q_multimodal_mp3(spark, sf_dir):
     escaped-size accounting are both value-pinned), every third doc
     the fixed ID3v1 trailer. decode_mp3_meta ships the
     metadata; the oracle replays all the arithmetic in SQL. Scale shape: one scan,
-    one doc_id exchange (_codec_parallel), two fused Arrow stages."""
+    one doc_id exchange (_codec_parallel), ONE fused Arrow pass (r18: synth+decode composed in a single MapInPandas)."""
     from typing import Iterator
 
     import pandas as pd
@@ -3499,7 +3499,7 @@ def q_zip_extract(spark, sf_dir):
     comp_size is NOT hashed (DEFLATE output is a zlib implementation
     detail, not a format invariant). The oracle replays the name/size/
     method/byte arithmetic in SQL. Scale shape: one scan, one doc_id
-    exchange (_codec_parallel), two fused Arrow stages."""
+    exchange (_codec_parallel), ONE fused Arrow pass (r18: synth+decode composed in a single MapInPandas)."""
     from typing import Iterator
 
     import pandas as pd
@@ -3615,8 +3615,8 @@ def q_tar_extract(spark, sf_dir):
     member with exact stats; writer and reader cross-verify against
     the stdlib tarfile module in the property suite. The oracle
     replays the name/size/byte arithmetic in SQL. Scale shape: one
-    scan, one doc_id exchange (_codec_parallel), two fused Arrow
-    stages."""
+    scan, one doc_id exchange (_codec_parallel), ONE fused Arrow
+    pass (r18)."""
     from typing import Iterator
 
     import pandas as pd
@@ -3734,8 +3734,8 @@ def q_tfrecord_extract(spark, sf_dir):
     wrong constant fails every record — and ships one row per record
     with exact stats. The oracle replays the size/byte arithmetic in
     SQL (a LEFT JOIN keeps the empty record's zero-stats row). Scale
-    shape: one scan, one doc_id exchange (_codec_parallel), two fused
-    Arrow stages."""
+    shape: one scan, one doc_id exchange (_codec_parallel), ONE fused
+    Arrow pass (r18)."""
     from typing import Iterator
 
     import pandas as pd
@@ -3860,8 +3860,8 @@ def q_tfexample_extract(spark, sf_dir):
     Features → map entries → Feature oneof), and ships one row per
     (record, feature) with kind, element count, and exact value sums.
     The oracle replays all three features' arithmetic in SQL. Scale
-    shape: one scan, one doc_id exchange (_codec_parallel), two fused
-    Arrow stages."""
+    shape: one scan, one doc_id exchange (_codec_parallel), ONE fused
+    Arrow pass (r18)."""
     from typing import Iterator
 
     import pandas as pd
@@ -4029,7 +4029,7 @@ def q_tfseq_extract(spark, sf_dir):
     FeatureLists → map entries → per-step Feature oneofs, and ships
     one row per context feature (step -1) and per (list, step). The
     oracle replays every formula in SQL. Scale shape: one scan, one
-    doc_id exchange (_codec_parallel), two fused Arrow stages; quarter
+    doc_id exchange (_codec_parallel), ONE fused Arrow pass (r18: synth+decode composed in a single MapInPandas); quarter
     population doc%8 in {2,3}, disjoint from the tfexample slice, with
     every strategy surviving (%2 parity and record counts, %3/%2 step
     counts key on doc+r)."""
@@ -4182,7 +4182,7 @@ def q_avro_extract(spark, sf_dir):
     by the hash, not just byte stats). The oracle replays the
     size/byte/codec arithmetic in SQL (a LEFT JOIN keeps the empty
     record's zero-stats row). Scale shape: one scan, one doc_id
-    exchange (_codec_parallel), two fused Arrow stages; the sync
+    exchange (_codec_parallel), ONE fused Arrow pass (r18: synth+decode composed in a single MapInPandas); the sync
     markers this query verifies are exactly Avro's 100 TB
     splittability convention."""
     from typing import Iterator
@@ -4353,8 +4353,8 @@ def q_avro_record(spark, sf_dir):
     one row per (record, field) in the long format, each value in the
     column its type owns. The oracle replays the schema's field list
     (a VALUES join) and every field formula in SQL. Scale shape: one
-    scan, one doc_id exchange (_codec_parallel), two fused Arrow
-    stages; the long format keeps the output schema fixed across
+    scan, one doc_id exchange (_codec_parallel), ONE fused Arrow
+    pass (r18); the long format keeps the output schema fixed across
     arbitrary record schemas — no per-corpus inference."""
     from typing import Iterator
 
@@ -4555,7 +4555,7 @@ def q_avro_nested(spark, sf_dir):
     names ('tags[0]', 'm.k1', 'geo.lat') with container rows pinning
     element counts; the oracle replays the whole row explosion as a
     UNION ALL in SQL. Scale shape: one scan, one doc_id exchange
-    (_codec_parallel), two fused Arrow stages; eighth population
+    (_codec_parallel), ONE fused Arrow pass (r18: synth+decode composed in a single MapInPandas); eighth population
     doc%8=5 (the complex row explosion prices ~13 rows/record)."""
     from typing import Iterator
 
@@ -4701,7 +4701,7 @@ def q_multimodal_ogg_theora(spark, sf_dir):
     framing, the granule arithmetic, and the lacing reassembly are all
     pinned even though no frame decodes. The oracle replays the
     header and byte arithmetic in SQL. Scale shape: one scan, one
-    doc_id exchange (_codec_parallel), two fused Arrow stages."""
+    doc_id exchange (_codec_parallel), ONE fused Arrow pass (r18: synth+decode composed in a single MapInPandas)."""
     from typing import Iterator
 
     import pandas as pd
@@ -4999,8 +4999,8 @@ def q_seqfile_extract(spark, sf_dir):
     with the key, the PARSED compression layout, and exact value stats.
     The oracle replays the key/size/byte arithmetic in SQL (a LEFT
     JOIN keeps the empty value's zero-stats row). Scale shape: one
-    scan, one doc_id exchange (_codec_parallel), two fused Arrow
-    stages; the sync escapes this query verifies are exactly what
+    scan, one doc_id exchange (_codec_parallel), ONE fused Arrow
+    pass (r18); the sync escapes this query verifies are exactly what
     makes a 100 TB SequenceFile splittable."""
     from typing import Iterator
 
@@ -5354,7 +5354,7 @@ def q_kafka_extract(spark, sf_dir):
     recordCount. read_kafka_records ships one row per record with
     reconstructed absolute offsets/timestamps and exact stats; the
     oracle replays every formula in SQL. Scale shape: one scan, one
-    doc_id exchange (_codec_parallel), two fused Arrow stages; quarter
+    doc_id exchange (_codec_parallel), ONE fused Arrow pass (r18: synth+decode composed in a single MapInPandas); quarter
     population doc%8<2 (shared with the tfexample slice — the two
     never run in the same stage)."""
     from typing import Iterator
@@ -5470,7 +5470,7 @@ def q_jsonl_zst(spark, sf_dir):
     pipeline wants it — and the unpacked id/tok/tag columns are
     hashed against the oracle's formula replay, proving
     decompress → frame → parse end to end. Scale shape: one scan, one
-    doc_id exchange (_codec_parallel), two fused Arrow stages, the
+    doc_id exchange (_codec_parallel), ONE fused Arrow pass (r18: synth+decode composed in a single MapInPandas), the
     JSON projection pipelined above them; eighth population
     doc%8=4."""
     from typing import Iterator
@@ -5617,7 +5617,7 @@ def q_kafka_legacy(spark, sf_dir):
     body is DETECTED. read_kafka_records ships one row per record
     with the parsed magic pinned; the oracle replays every formula in
     SQL. Scale shape: one scan, one doc_id exchange (_codec_parallel),
-    two fused Arrow stages; quarter population doc%8 in {2,3} (both
+    ONE fused Arrow pass (r18: synth+decode composed in a single MapInPandas); quarter population doc%8 in {2,3} (both
     magic parities survive: residues 2,3,10,11,... span even and
     odd)."""
     from typing import Iterator
@@ -5728,8 +5728,8 @@ def q_lz4_extract(spark, sf_dir):
     the frame — header-checksum byte, block framing, every checksum
     layer — and ships exact content stats plus the verified posture
     flags; the oracle replays the byte arithmetic in SQL. Scale shape:
-    one scan, one doc_id exchange (_codec_parallel), two fused Arrow
-    stages; quarter population doc%8 in {4,5}, disjoint from the other
+    one scan, one doc_id exchange (_codec_parallel), ONE fused Arrow
+    pass (r18); quarter population doc%8 in {4,5}, disjoint from the other
     serialization slices, with the %2/%3 strategies surviving (their
     residues over {4,5,12,13,20,21,...} cover every case)."""
     from typing import Iterator
@@ -5850,7 +5850,7 @@ def q_zstd_extract(spark, sf_dir):
     stream's posture (frame count, all-checksummed flag, declared
     size or -1); the oracle replays the byte arithmetic in SQL.
     Scale shape: one scan, one doc_id exchange (_codec_parallel),
-    two fused Arrow stages; quarter population doc%8>=6 with the %4
+    ONE fused Arrow pass (r18: synth+decode composed in a single MapInPandas); quarter population doc%8>=6 with the %4
     wire-form rotation surviving (residues {6,7,14,15,...} cover
     every case)."""
     from typing import Iterator
@@ -6139,7 +6139,7 @@ def q_multimodal_exif(spark, sf_dir):
     decodes the raster through parse_jpeg behind the spliced segment —
     pinning that the splice leaves the entropy-coded body intact. The
     oracle replays every field formula in SQL. Scale shape: one scan,
-    one doc_id exchange (_codec_parallel), two fused Arrow stages."""
+    one doc_id exchange (_codec_parallel), ONE fused Arrow pass (r18: synth+decode composed in a single MapInPandas)."""
     from typing import Iterator
 
     import pandas as pd
