@@ -190,6 +190,24 @@ coding on the (doc//8) parity residue — inside the three-layer video
 tier band). Slowest overall: q_outlier_mad 2.64 (documented trade),
 q_tfrecord_extract 2.52.
 
+r18 OPTIMIZATION-round reference runs (240 queries, zero errors in
+both): round-start baseline 269.2 steady / 284.2 warm / 430.3 cold at
+steal 2.62; end-of-round 207.2 steady / 223.3 warm / 315.8 cold at
+steal 1.29 — the 53 touched codec/similarity queries read 119.1 ->
+51.8 between the two runs (every one improved; the mechanism changes
+are measured per-wave in OPTIMIZATION_r18.md), while the untouched
+base moved 150.1 -> 155.4, i.e. inside the uniform-contention class
+both runs carry. End-of-round movers idle-probed at steal 0.15 on
+unchanged code, all at their usual marks (pass 1 pays codegen
+warmth): q_weighted_median 1.93-2.40 vs bench 3.11, q_winsorize
+1.55-2.13 vs 2.87, q_bloom_prune 1.29-1.42 vs 2.66, q_tpch_q16
+0.95-1.06 vs 2.08 — host noise, not regressions. Config probes
+measured and rejected this round: spark.sql.files.openCostInBytes
+4MB -> 128KB (splits the 10.8MB sf0.1 lineitem 3 -> 32 ways) read a
+WASH interleaved (9-query totals 16.61s vs 16.81s at steal 1.37);
+single-config sessions had suggested ±0.3s per query in both
+directions — contention, not signal.
+
 r18 builder reference runs (final tree, sf0.1, 238 queries, zero
 errors in both): the DEFINITIVE idle run reads steady 199.8 / warm
 205.8 / cold 287.1 at steal 0.06 — BELOW r17's definitive 205.1
