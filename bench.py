@@ -191,9 +191,15 @@ tier band). Slowest overall: q_outlier_mad 2.64 (documented trade),
 q_tfrecord_extract 2.52.
 
 r18 OPTIMIZATION-round reference runs (240 queries, zero errors in
-both): round-start baseline 269.2 steady / 284.2 warm / 430.3 cold at
-steal 2.62; end-of-round 207.2 steady / 223.3 warm / 315.8 cold at
-steal 1.29 — the 53 touched codec/similarity queries read 119.1 ->
+all three): round-start baseline 269.2 steady / 284.2 warm / 430.3
+cold at steal 2.62; end-of-round 207.2 steady / 223.3 warm / 315.8
+cold at steal 1.29; the DEFINITIVE idle run 182.1 steady / 193.4
+warm / 259.0 cold at steal 0.69 — vs the r18-build definitive 199.8
+for 238 queries (≈202.8 on the equivalent surface), a -10% round on
+the full surface with the whole delta in the 53 touched queries
+(their idle tier now prices 0.8-1.4s each; slowest overall is back
+to the q_outlier_mad / q_weighted_median exact-order-statistic
+trades at 2.85) — the 53 touched codec/similarity queries read 119.1 ->
 51.8 between the two runs (every one improved; the mechanism changes
 are measured per-wave in OPTIMIZATION_r18.md), while the untouched
 base moved 150.1 -> 155.4, i.e. inside the uniform-contention class
