@@ -783,8 +783,21 @@ def q_repetition(spark, sf_dir):
     100 TB nothing ever shuffles except the presentation sort, vs
     shuffling the entire 2-gram stream on (doc_id, gram). Measured ~25%
     faster at sf0.1 even at these tiny array sizes; equivalence against
-    the explode→groupBy form is pinned by the unchanged DuckDB oracle."""
-    d = load_table(spark, sf_dir, "documents")
+    the explode→groupBy form is pinned by the unchanged DuckDB oracle.
+
+    r18 optimization round: documents.parquet is a single split at test
+    SFs (594 KB, one row group — physically unsplittable, so a smaller
+    openCostInBytes was measured to only ADD empty-task overhead), which
+    serialized the whole interpreted HOF fold on ONE core AND let the
+    presentation orderBy's bounds sample re-execute it (no exchange
+    between scan and sort child). One hash repartition on doc_id fixes
+    both — the fold runs 32-way and the sample job re-reads the shuffle
+    instead of re-folding (guide §2.5 'repartition immediately after the
+    read' for unsplittable inputs): measured 1.54s → 0.92s at sf0.1. At scale the scan splits naturally and the exchange moves
+    only (doc_id, text) rows it would shuffle for the sort anyway."""
+    d = load_table(spark, sf_dir, "documents").repartition(
+        int(spark.conf.get("spark.sql.shuffle.partitions")), "doc_id"
+    )
     tokd = d.select("doc_id", F.split(F.trim("text"), r"\s+").alias("toks"))
     toks = F.col("toks")
     idx = F.when(
