@@ -652,6 +652,24 @@ def _descr_json(d, names: list):
     raise ValueError(f"unsupported descriptor {d!r}")
 
 
+def _min_datum_width(descr) -> int:
+    """Smallest number of bytes a datum of this type can occupy on the
+    wire. Zero only for bare null, zero-size fixed, and records
+    composed entirely of those — every other shape writes at least one
+    byte (a varint/bool/length byte, an enum or union branch index, an
+    array/map zero-count terminator). Descriptor trees are finite
+    (references only to already-defined names, depth-capped), so the
+    recursion terminates."""
+    if isinstance(descr, str):
+        return 0 if descr == "null" else 1
+    kind = descr[0]
+    if kind == "fixed":
+        return descr[1]
+    if kind == "record":
+        return sum(_min_datum_width(t) for _, t in descr[1])
+    return 1
+
+
 def parse_avro(payload: bytes):
     """REAL Avro object-container parse: returns
     (codec, schema, sync_marker, [[datum, ...], ...]) — one inner list
@@ -746,7 +764,19 @@ def parse_avro(payload: bytes):
             data = raw
         total_inflated += len(data)
         if count > len(data):
-            return None  # every datum takes >=1 byte
+            # r18 fix (found by the property suite): a record schema can
+            # be ZERO-width on the wire (fixed size 0, or a record of
+            # only such fields / bare nulls), so any count legally packs
+            # into zero bytes and the "every datum takes >=1 byte" guard
+            # wrongly rejected valid files. For zero-width schemas bound
+            # the ALLOCATION instead: charge one byte of the shared
+            # inflate budget per datum, so a lying count can never
+            # allocate past the same 64 MiB cap everything else obeys.
+            if fields is None or _min_datum_width(("record", fields)) > 0:
+                return None
+            if count > _MAX_INFLATE - total_inflated:
+                return None
+            total_inflated += count
         q = 0
         block: list = []
         for _ in range(count):

@@ -3653,6 +3653,40 @@ def test_avro_named_references_and_wide_unions(codec, nrec, seed):
         AvroBranch(1, -5), 2)
 
 
+def test_avro_zero_width_record_roundtrip():
+    """r18 regression (found by the random-descriptor property run): a
+    record schema can be ZERO bytes wide on the wire — fixed size 0, or
+    a record of only such fields — so any datum count legally packs
+    into an empty block body. parse_avro's "every datum takes >=1
+    byte" bomb guard wrongly rejected those files; the guard now
+    charges one byte of the shared inflate budget per zero-width datum
+    instead, so lying counts still cannot allocate past the 64 MiB
+    cap."""
+    from polars_express_spark.functions.avro import encode_avro, parse_avro
+
+    for codec in ("null", "deflate", "snappy", "zstandard"):
+        for nrec, opb in ((1, 0), (3, 2)):
+            enc = encode_avro(
+                [{"f0": b""}] * nrec, codec=codec,
+                schema=[("f0", ("fixed", 0))], objects_per_block=opb,
+            )
+            got = parse_avro(enc)
+            assert got is not None, (codec, nrec, opb)
+            assert sum(len(b) for b in got[3]) == nrec
+            assert all(r == {"f0": b""} for b in got[3] for r in b)
+    # a lying huge count on a zero-width schema must still be rejected
+    # by the allocation cap, not loop or allocate unboundedly
+    enc = encode_avro([{"f0": b""}], codec="null",
+                      schema=[("f0", ("fixed", 0))])
+    from polars_express_spark.functions.avro import _MAGIC  # noqa: F401
+    # block framing: ...meta...sync | count | size | body | sync
+    # patch the count varint (value 1 -> a 2^40 zigzag varint)
+    body_at = enc.rindex(b"\x02\x00")  # count=1 (zigzag 2), size=0
+    huge = bytes([0x80, 0x80, 0x80, 0x80, 0x80, 0x40])  # large zigzag
+    patched = enc[:body_at] + huge + enc[body_at + 1:]
+    assert parse_avro(patched) is None
+
+
 @given(
     codec=st.sampled_from(["null", "deflate", "snappy", "zstandard"]),
     opb=st.integers(0, 3),
