@@ -191,7 +191,11 @@ tier band). Slowest overall: q_outlier_mad 2.64 (documented trade),
 q_tfrecord_extract 2.52.
 
 r18 OPTIMIZATION-round reference runs (240 queries, zero errors in
-all three): round-start baseline 269.2 steady / 284.2 warm / 430.3
+all four; a corroborating idle run after the q_repetition/avro/q03
+tail commits read 190.3 steady / 219.4 warm / 231.3 cold at steal
+0.60 — its q_repetition 0.72 confirms the 1.59 -> 0.75 fix, and the
+182-190 spread on near-identical surfaces is the box's normal idle
+band): round-start baseline 269.2 steady / 284.2 warm / 430.3
 cold at steal 2.62; end-of-round 207.2 steady / 223.3 warm / 315.8
 cold at steal 1.29; the DEFINITIVE idle run 182.1 steady / 193.4
 warm / 259.0 cold at steal 0.69 — vs the r18-build definitive 199.8

@@ -107,6 +107,16 @@ def q03_regression_nullzero(spark, sf_dir):
         F.coalesce(F.col("o_custkey").cast("double"), F.lit(0.0)).alias("x"),
         F.coalesce(F.col("o_totalprice"), F.lit(0.0)).alias("y"),
     )
+    # r18: orders.parquet is one unsplittable split at test SFs, which
+    # serialized the five BigDecimal moment sums on one core; the
+    # moments are exact decimals (associative, partition-order-free by
+    # this module's design), so a round-robin repartition changes
+    # nothing but the parallelism. Measured 0.96s -> 0.59s at sf0.1;
+    # at scale the scan splits naturally and this is a cheap extra
+    # exchange of two doubles per row.
+    o = o.repartition(
+        int(spark.conf.get("spark.sql.shuffle.partitions"))
+    )
     return _ols_result(_ols_moments(o, "x", "y"))
 
 
