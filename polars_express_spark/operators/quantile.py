@@ -123,7 +123,34 @@ def exact_quantiles(
         raise ValueError("result_cols must match qs in length")
     gcols = list(group) if group else []
     vals = df.select(*gcols, F.col(value).alias("__v")).where(F.col("__v").isNotNull())
+    stats = _bracketed_stats(vals, gcols, qs, accuracy)
 
+    # Order-statistic picks (shared helper; see _pick_quantile).
+    outs = [
+        _pick_quantile(q, F.col(f"__lt{i}"), F.col(f"__sz{i}"), F.col(f"__arr{i}")).alias(
+            result_cols[i]
+        )
+        for i, q in enumerate(qs)
+    ]
+    return stats.select(*gcols, *outs)
+
+
+def _bracketed_stats(vals, gcols, qs, accuracy, extra_pre=(), extra_final=()):
+    """The two bounded passes shared by exact_quantiles and
+    winsorized_mean: (1) one GK sketch per group evaluated at every
+    bracket percentage; (2) the fused anchor+refine aggregate. Returns
+    the per-group ``stats`` frame carrying ``__n`` and, per quantile i,
+    ``__lt{i}`` / ``__sz{i}`` / ``__arr{i}`` (below-count, bracket row
+    count, sorted distinct (value, count) pairs).
+
+    ``extra_pre`` / ``extra_final`` are callables receiving no args and
+    returning extra aggregate Columns appended to the pre-aggregate
+    (they may reference ``__v``, ``__n``, ``__los``, ``__his``) and the
+    final aggregate (they may reference any pre output) — how
+    winsorized_mean fuses its clipped-sum region partials into the same
+    scan instead of paying a third pass (r19, guide §6 scan-sharing).
+    """
+    m = len(qs)
     # Rank-margin math (each bracket must contain its order statistics
     # k1 = ⌊q(n−1)⌋ and k2 = ⌈q(n−1)⌉): GK at percentage p returns a
     # value whose rank is within εn of p·n (ε = 1/accuracy), and the
@@ -211,6 +238,7 @@ def exact_quantiles(
         pre_exprs.append(
             F.count(F.when(F.col("__v") < lo_i, 1)).alias(f"__ltp{i}")
         )
+    pre_exprs.extend(c() for c in extra_pre)
     pre = masked.groupBy(*gcols, "__n", "__key").agg(*pre_exprs)
     agg_exprs = []
     for i in range(m):
@@ -234,71 +262,64 @@ def exact_quantiles(
                 )
             ).alias(f"__arr{i}")
         )
-    stats = pre.groupBy(*gcols, "__n").agg(*agg_exprs)
+    agg_exprs.extend(c() for c in extra_final)
+    return pre.groupBy(*gcols, "__n").agg(*agg_exprs)
 
-    # Order-statistic picks — double pos exactly as Spark's Percentile:
-    # pos = q·(n−1), lower = floor(pos), the fraction interpolates.
-    # Global rank k maps to bracket-local rank k − count(v < lo); the
-    # pick is a cumulative-count fold over the sorted (value, count)
-    # pairs: the first pair whose running count exceeds the local rank.
-    # The bracket-soundness raise is entangled INTO the fold's INIT
-    # accumulator (valid → cum starts at 0, invalid → raise) — the init
-    # evaluates even for an EMPTY array (the fold's finish applies to
-    # it), so an empty bracket (size 0 fails lt + sz > k2) raises
-    # instead of silently NULL-ing or dropping the group (r8 ADVICE
-    # regression, tested by faking the GK sketch), and cum is
-    # load-bearing in every merge step, an arithmetic dependency the
-    # optimizer cannot simplify away (a plain assert_true column, or
-    # when(c, k).otherwise(k), gets pruned).
-    outs = []
-    for i, q in enumerate(qs):
-        pos = F.lit(float(q)) * (F.col("__n") - F.lit(1)).cast("double")
-        k1 = F.floor(pos).cast("long")
-        frac = pos - F.floor(pos)
-        k2 = F.when(frac > 0, k1 + 1).otherwise(k1)
-        lt_i = F.col(f"__lt{i}")
-        arr_i = F.col(f"__arr{i}")
-        valid = (lt_i <= k1) & ((lt_i + F.col(f"__sz{i}")) > k2)
-        guard0 = F.when(valid, F.lit(0).cast("long")).otherwise(
-            F.expr(
-                "raise_error('exact_quantile: bracket missed the target rank')"
-            ).cast("long")
+
+def _pick_quantile(q: float, lt_i, sz_i, arr_i, n_col: str = "__n"):
+    """Exact interpolated order-statistic pick over one bracket's sorted
+    (value, count) array — double pos exactly as Spark's Percentile:
+    pos = q·(n−1), lower = floor(pos), the fraction interpolates.
+    Global rank k maps to bracket-local rank k − count(v < lo); the
+    pick is a cumulative-count fold over the sorted (value, count)
+    pairs: the first pair whose running count exceeds the local rank.
+    The bracket-soundness raise is entangled INTO the fold's INIT
+    accumulator (valid → cum starts at 0, invalid → raise) — the init
+    evaluates even for an EMPTY array (the fold's finish applies to
+    it), so an empty bracket (size 0 fails lt + sz > k2) raises
+    instead of silently NULL-ing or dropping the group (r8 ADVICE
+    regression, tested by faking the GK sketch), and cum is
+    load-bearing in every merge step, an arithmetic dependency the
+    optimizer cannot simplify away (a plain assert_true column, or
+    when(c, k).otherwise(k), gets pruned)."""
+    pos = F.lit(float(q)) * (F.col(n_col) - F.lit(1)).cast("double")
+    k1 = F.floor(pos).cast("long")
+    frac = pos - F.floor(pos)
+    k2 = F.when(frac > 0, k1 + 1).otherwise(k1)
+    valid = (lt_i <= k1) & ((lt_i + sz_i) > k2)
+    guard0 = F.when(valid, F.lit(0).cast("long")).otherwise(
+        F.expr(
+            "raise_error('exact_quantile: bracket missed the target rank')"
+        ).cast("long")
+    )
+    tgt1 = k1 - lt_i  # 0-based local ranks inside the bracket
+    tgt2 = k2 - lt_i
+    init = F.struct(
+        guard0.alias("cum"),
+        F.lit(None).cast("double").alias("v1"),
+        F.lit(None).cast("double").alias("v2"),
+    )
+
+    def step(acc, x):
+        cum2 = acc["cum"] + x["c"]
+        return F.struct(
+            cum2.alias("cum"),
+            F.when(acc["v1"].isNull() & (cum2 > tgt1), x["v"])
+            .otherwise(acc["v1"])
+            .alias("v1"),
+            F.when(acc["v2"].isNull() & (cum2 > tgt2), x["v"])
+            .otherwise(acc["v2"])
+            .alias("v2"),
         )
-        tgt1 = k1 - lt_i  # 0-based local ranks inside the bracket
-        tgt2 = k2 - lt_i
-        init = F.struct(
-            guard0.alias("cum"),
-            F.lit(None).cast("double").alias("v1"),
-            F.lit(None).cast("double").alias("v2"),
-        )
 
-        def make_step(t1, t2):
-            def step(acc, x):
-                cum2 = acc["cum"] + x["c"]
-                return F.struct(
-                    cum2.alias("cum"),
-                    F.when(acc["v1"].isNull() & (cum2 > t1), x["v"])
-                    .otherwise(acc["v1"])
-                    .alias("v1"),
-                    F.when(acc["v2"].isNull() & (cum2 > t2), x["v"])
-                    .otherwise(acc["v2"])
-                    .alias("v2"),
-                )
-
-            return step
-
-        picked = F.aggregate(arr_i, init, make_step(tgt1, tgt2))
-        v1 = picked["v1"]
-        v2 = picked["v2"]
-        # Bit-for-bit Spark Percentile interpolation, short-circuited
-        # to the exact value when pos is integral — NOT the
-        # algebraically-equal v1 + (v2−v1)·frac, which rounds
-        # differently in the last ulp.
-        out = F.when(frac == 0, v1).otherwise(
-            (F.lit(1.0) - frac) * v1 + frac * v2
-        )
-        outs.append(out.alias(result_cols[i]))
-    return stats.select(*gcols, *outs)
+    picked = F.aggregate(arr_i, init, step)
+    v1 = picked["v1"]
+    v2 = picked["v2"]
+    # Bit-for-bit Spark Percentile interpolation, short-circuited
+    # to the exact value when pos is integral — NOT the
+    # algebraically-equal v1 + (v2−v1)·frac, which rounds
+    # differently in the last ulp.
+    return F.when(frac == 0, v1).otherwise((F.lit(1.0) - frac) * v1 + frac * v2)
 
 
 def exact_quantile(
@@ -314,6 +335,135 @@ def exact_quantile(
     (same passes, same contracts)."""
     return exact_quantiles(
         df, value, [q], group=group, accuracy=accuracy, result_cols=[result_col]
+    )
+
+
+def winsorized_mean(
+    df: DataFrame,
+    value: str,
+    q_lo: float,
+    q_hi: float,
+    group: list[str] | None = None,
+    accuracy: int = 10_000,
+    result_cols: tuple[str, str] = ("lo", "hi"),
+    round_dp: int = 6,
+) -> DataFrame:
+    """(group..., n, <lo>, <hi>, win_mean) — exact per-group winsorized
+    mean WITH its clip thresholds, in the SAME two bounded passes
+    exact_quantiles pays for the thresholds alone (r19 optimization
+    round, guide §6 scan-sharing + §5 bounded memory — the previous
+    shape was exact_quantiles (2 scans) + a broadcast-join + a THIRD
+    full scan for the clipped sum).
+
+    <lo>/<hi> are the exact linear-interpolated q_lo/q_hi quantiles
+    (≡ F.percentile ≡ DuckDB quantile_cont, same pick expressions as
+    exact_quantiles). ``win_mean`` is avg(round(clip(v, lo, hi),
+    round_dp)) with the sum carried as exact decimal(38,6) — order-free
+    and bit-equal to summing round(clip(v),dp)::decimal row by row,
+    which is what the three-pass join shape computed.
+
+    Fusion argument: pass 2 already collects each bracket's distinct
+    (value, count) pairs and counts rows below each bracket. Outside
+    the brackets the clipped value is known WITHOUT the exact
+    thresholds — v below the q_lo bracket clips to lo, v above the
+    q_hi bracket clips to hi, and v strictly between the brackets keeps
+    v — so the clipped sum decomposes into three region partials
+    aggregated in the same scan, plus per-group folds over the
+    already-collected bracket arrays once lo/hi are resolved. Brackets
+    are rank-monotone values from ONE GK sketch (blo1 ≤ bhi1, blo2 ≤
+    bhi2, blo1 ≤ blo2, bhi1 ≤ bhi2), and the five regions
+    {v < blo1}, {blo1 ≤ v ≤ bhi1}, {bhi1 < v < blo2},
+    {blo2 ≤ v ≤ bhi2 AND v > bhi1}, {v > bhi2} are disjoint and cover
+    every row even when the brackets overlap (small-group [min, max]
+    fallback: the q_lo bracket's array absorbs everything, the other
+    regions are empty by construction).
+
+    NULL values are ignored everywhere (n, sum, thresholds), exactly
+    as percentile ignores them; a caller whose count contract differs
+    should use exact_quantiles plus an explicit join instead.
+    """
+    if not 0.0 <= q_lo <= q_hi <= 1.0:
+        raise ValueError(f"need 0 <= q_lo <= q_hi <= 1, got {q_lo}, {q_hi}")
+    dec = "decimal(38,6)"
+    gcols = list(group) if group else []
+    vals = df.select(*gcols, F.col(value).alias("__v")).where(F.col("__v").isNotNull())
+
+    def _r(c):
+        return F.round(c, round_dp).cast(dec)
+
+    # region partials fused into pass 2a (see _bracketed_stats):
+    # count above the q_hi bracket, and the exact-decimal sum of the
+    # strictly-between-brackets region (those rows keep their value)
+    def _gt_pre():
+        return F.count(
+            F.when(F.col("__v") > F.element_at("__his", 2), 1)
+        ).alias("__gtp")
+
+    def _mid_pre():
+        return F.sum(
+            F.when(
+                (F.col("__v") > F.element_at("__his", 1))
+                & (F.col("__v") < F.element_at("__los", 2)),
+                _r(F.col("__v")),
+            )
+        ).alias("__midp")
+
+    def _gt_final():
+        return F.sum("__gtp").alias("__gt")
+
+    def _mid_final():
+        return F.coalesce(F.sum("__midp"), F.lit(0).cast(dec)).alias("__mid")
+
+    def _his_final():
+        # bracket bounds are group constants; the folds below need bhi1
+        return F.first("__his").alias("__bhis")
+
+    stats = _bracketed_stats(
+        vals,
+        gcols,
+        [q_lo, q_hi],
+        accuracy,
+        extra_pre=(_gt_pre, _mid_pre),
+        extra_final=(_gt_final, _mid_final, _his_final),
+    )
+
+    lo = _pick_quantile(q_lo, F.col("__lt0"), F.col("__sz0"), F.col("__arr0"))
+    hi = _pick_quantile(q_hi, F.col("__lt1"), F.col("__sz1"), F.col("__arr1"))
+
+    def _clip_fold(arr, cond):
+        # Σ round(clip(v, lo, hi), dp)::decimal · c over the bracket's
+        # (value, count) pairs, restricted to `cond` (used to keep the
+        # two brackets' regions disjoint when they overlap)
+        return F.aggregate(
+            arr,
+            F.lit(0).cast(dec),
+            lambda acc, x: (
+                acc
+                + F.coalesce(
+                    F.when(
+                        cond(x),
+                        _r(F.least(F.greatest(x["v"], lo), hi))
+                        * x["c"].cast("decimal(20,0)"),
+                    ),
+                    F.lit(0),
+                ).cast(dec)
+            ).cast(dec),
+        )
+
+    bhi1 = F.element_at("__bhis", 1)
+    win_sum = (
+        (_r(lo) * F.col("__lt0").cast("decimal(20,0)")).cast(dec)  # v < blo1 → lo
+        + _clip_fold(F.col("__arr0"), lambda x: F.lit(True))  # q_lo bracket
+        + F.col("__mid")  # strictly between brackets → v
+        + _clip_fold(F.col("__arr1"), lambda x: x["v"] > bhi1)  # q_hi bracket \ overlap
+        + (_r(hi) * F.col("__gt").cast("decimal(20,0)")).cast(dec)  # v > bhi2 → hi
+    )
+    return stats.select(
+        *gcols,
+        F.col("__n").alias("n"),
+        lo.alias(result_cols[0]),
+        hi.alias(result_cols[1]),
+        (win_sum.cast("double") / F.col("__n").cast("double")).alias("win_mean"),
     )
 
 

