@@ -42,11 +42,21 @@ class BloomFilter:
 
 
 def _positions(col: Column, num_bits: int, num_hashes: int) -> list[Column]:
-    # xxhash64 with k distinct seeds; pmod keeps positions in [0, m)
-    return [
-        F.pmod(F.xxhash64(col, F.lit(i)), F.lit(num_bits))
-        for i in range(num_hashes)
-    ]
+    # Double hashing (Kirsch–Mitzenmacher, public classic): k positions
+    # from TWO xxhash64 evaluations, p_i = (h1 + i·h2) mod m, instead of
+    # k independently-seeded hashes — the r18 probe expression spent 5
+    # xxhash64 per fact row AT THE SCAN, and KM shows the two-hash
+    # scheme keeps the Bloom fp asymptotics (r19, guide §1.2 per-task
+    # work). Probe and build share this function, so the
+    # no-false-negative identity is untouched. h2 is forced odd: m is
+    # word-aligned (multiple of 64, hence even), so an odd stride is
+    # coprime with m and the k positions stay distinct per key. Both
+    # hashes are reduced mod m BEFORE the stride arithmetic so nothing
+    # approaches long overflow (the session runs ANSI, where silent
+    # wrap-around is a raise): i·h2 + h1 < (k+1)·m.
+    h1 = F.pmod(F.xxhash64(col), F.lit(num_bits))
+    h2 = F.pmod(F.xxhash64(col, F.lit(1)), F.lit(num_bits)).bitwiseOR(F.lit(1))
+    return [F.pmod(h1 + F.lit(i) * h2, F.lit(num_bits)) for i in range(num_hashes)]
 
 
 def bloom_build(
@@ -141,6 +151,11 @@ def bloom_pruned_join(
         raise ValueError(
             f"bloom pruning only preserves inner/left_semi semantics, got {how!r}"
         )
+    # the dim side is consumed three times (sizing count, bitmap build,
+    # the join itself) — persist it so the filtered scan runs once
+    # (r19, guide §5; a per-invocation intermediate, the caller's
+    # clearCache drops it)
+    dim = dim.persist()
     n = dim.select(dim_key).where(F.col(dim_key).isNotNull()).count()
     bf = bloom_build(dim, dim_key, num_bits=bloom_size_for(max(n, 1)), num_hashes=num_hashes)
     # ship the bitmap as a broadcast 1-row FRAME, not an expression

@@ -355,6 +355,22 @@ _PRIORITY = [
 
 
 def all_queries() -> dict[str, QueryFn]:
+    """Name → ``(spark, sf_dir) -> DataFrame`` for every registered query.
+
+    CALLER CONTRACT (r19, ADVICE r18): many query callables persist
+    per-invocation intermediates (``.persist()`` under a presentation
+    orderBy, cached projections feeding multi-pass statistics) and
+    return a DataFrame built on that cache WITHOUT unpersisting — the
+    cache must outlive the returned plan's execution. A long-lived
+    caller (server loop, notebook, repeated driver) must therefore
+    issue ``spark.catalog.clearCache()`` after consuming each result,
+    exactly as bench.py's per-query ``finally`` does; otherwise
+    MEMORY_AND_DISK entries accumulate across invocations. The bounded
+    FrameMemo (``_memo.FRAMES``) intermediates are exempt: they are
+    LRU-evicted localCheckpoints sized by ``FrameMemo.capacity`` and
+    survive clearCache by design. tests/test_memo.py pins that the
+    contract holds (repeated invocation + clearCache leaves the
+    persistent-RDD set bounded)."""
     # import for side effects: each module registers its queries
     from polars_express_spark.queries import (  # noqa: F401
         aggregates,

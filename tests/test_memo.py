@@ -151,3 +151,30 @@ def test_lake_save_releases_dataset_memos(spark, tmp_path):
     assert FRAMES.get(spark, key, build, persist="cache").collect()[0][0] == 8
     assert builds == [1, 1]  # rebuilt from the new data, not served stale
     FRAMES.release(base)
+
+
+def test_repeated_query_invocation_with_clearcache_stays_bounded(spark):
+    """The registry caller contract (all_queries docstring, ADVICE r18):
+    queries that persist per-invocation intermediates rely on the
+    caller issuing clearCache after each result — under that contract a
+    long-lived loop must not accumulate persisted storage. Drive three
+    of the persisting queries (orderBy-over-persist, multi-pass cached
+    projection, persisted dim side) repeatedly and pin that the
+    persistent-RDD count is flat between rounds rather than growing
+    with the invocation count."""
+    from polars_express_spark.queries.registry import all_queries
+
+    qs = all_queries()
+    names = ["q_multimodal_meta", "q_outlier_mad", "q_bloom_prune"]
+    sf = "/root/testdata/sf0.001"
+
+    def round_trip():
+        for n in names:
+            qs[n](spark, sf).write.format("noop").mode("overwrite").save()
+            spark.catalog.clearCache()
+        return _n_persisted_rdds(spark)
+
+    counts = [round_trip() for _ in range(3)]
+    # flat across rounds: whatever survives one round (memoized
+    # checkpoints) must not grow with further invocations
+    assert counts[1] == counts[2], counts
