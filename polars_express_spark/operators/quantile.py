@@ -429,6 +429,27 @@ def winsorized_mean(
 
     lo = _pick_quantile(q_lo, F.col("__lt0"), F.col("__sz0"), F.col("__arr0"))
     hi = _pick_quantile(q_hi, F.col("__lt1"), F.col("__sz1"), F.col("__arr1"))
+    # Materialize the two pick expressions as COLUMNS of an intermediate
+    # projection and let the folds below reference plain attributes —
+    # inlining the full pick trees (an aggregate() fold each) into every
+    # fold lambda multiplied the codegen'd expression and measured +0.6s
+    # of compile per invocation on a 5-row frame (r19; interleaved med
+    # 2.57 inlined vs 1.94 two-step vs 2.34 for the unfused three-pass
+    # shape). CollapseProject leaves the split alone: the picks are
+    # non-cheap producers consumed more than once.
+    mid = stats.select(
+        *gcols,
+        "__n",
+        "__lt0",
+        "__gt",
+        "__mid",
+        "__arr0",
+        "__arr1",
+        "__bhis",
+        lo.alias("__lo"),
+        hi.alias("__hi"),
+    )
+    lo_c, hi_c = F.col("__lo"), F.col("__hi")
 
     def _clip_fold(arr, cond):
         # Σ round(clip(v, lo, hi), dp)::decimal · c over the bracket's
@@ -442,7 +463,7 @@ def winsorized_mean(
                 + F.coalesce(
                     F.when(
                         cond(x),
-                        _r(F.least(F.greatest(x["v"], lo), hi))
+                        _r(F.least(F.greatest(x["v"], lo_c), hi_c))
                         * x["c"].cast("decimal(20,0)"),
                     ),
                     F.lit(0),
@@ -452,17 +473,17 @@ def winsorized_mean(
 
     bhi1 = F.element_at("__bhis", 1)
     win_sum = (
-        (_r(lo) * F.col("__lt0").cast("decimal(20,0)")).cast(dec)  # v < blo1 → lo
+        (_r(lo_c) * F.col("__lt0").cast("decimal(20,0)")).cast(dec)  # v < blo1 → lo
         + _clip_fold(F.col("__arr0"), lambda x: F.lit(True))  # q_lo bracket
         + F.col("__mid")  # strictly between brackets → v
         + _clip_fold(F.col("__arr1"), lambda x: x["v"] > bhi1)  # q_hi bracket \ overlap
-        + (_r(hi) * F.col("__gt").cast("decimal(20,0)")).cast(dec)  # v > bhi2 → hi
+        + (_r(hi_c) * F.col("__gt").cast("decimal(20,0)")).cast(dec)  # v > bhi2 → hi
     )
-    return stats.select(
+    return mid.select(
         *gcols,
         F.col("__n").alias("n"),
-        lo.alias(result_cols[0]),
-        hi.alias(result_cols[1]),
+        lo_c.alias(result_cols[0]),
+        hi_c.alias(result_cols[1]),
         (win_sum.cast("double") / F.col("__n").cast("double")).alias("win_mean"),
     )
 
