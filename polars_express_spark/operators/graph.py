@@ -105,7 +105,14 @@ def pagerank(
     sym = edges.select(F.col(a).alias("src"), F.col(b).alias("dst")).union(
         edges.select(F.col(b).alias("src"), F.col(a).alias("dst"))
     )
-    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    # r19: sym and deg are joined in EVERY round — materialize them once
+    # so each round plans against two checkpointed tables instead of
+    # re-deriving the edge list and the degree aggregate from the source
+    # (5 rounds re-ran both; interleaved A/B at sf0.1: med 1.69 -> 1.37,
+    # every paired pass faster, ranks bit-identical). Same eager
+    # truncation the per-round ranks already use.
+    sym = sym.localCheckpoint()
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("d")).localCheckpoint()
     ranks = deg.select(F.col("src").alias("node"), F.lit(1.0).alias("rank"))
     base = F.lit(float(1.0 - damping))
     for _ in range(iters):

@@ -159,11 +159,14 @@ def _formula(col, fn):
     import pandas as pd  # noqa: F401  (stage contract)
 
     def stage(batches):
+        from itertools import repeat
+
         for pdf in batches:
+            # n is only defined when the frame carries n_chars; pass
+            # None otherwise so a base that uses n fails fast instead
+            # of silently computing on doc_ids (ADVICE r18)
             ncol = (
-                pdf["n_chars"]
-                if "n_chars" in pdf.columns
-                else pdf["doc_id"]
+                pdf["n_chars"] if "n_chars" in pdf.columns else repeat(None)
             )
             vals = [
                 fn(
@@ -171,7 +174,7 @@ def _formula(col, fn):
                         np.int64
                     ),
                     int(i),
-                    int(n),
+                    None if n is None else int(n),
                 )
                 for t, i, n in zip(pdf["text"], pdf["doc_id"], ncol)
             ]
