@@ -302,18 +302,19 @@ def q_market_basket(spark, sf_dir):
     from polars_express_spark.queries._memo import FRAMES
 
     def _build():
-        # r19: hash-repartition on the basket key before the collect_set
-        # aggregate — the lineitem scan is 3 splits at sf0.1 (guide §2.5
-        # input skew), so the per-order set-building partials otherwise
-        # run on 3 cores; the keyed exchange moves the same skinny
-        # (ok, pk) rows the agg exchange moved and the groupBy reuses
-        # the partitioning. Measured interleaved (cold build path):
-        # 2.64 → 1.81s median, every paired pass faster.
-        spark_np = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        # r19 note: a hash-repartition on ok before the collect_set was
+        # measured FASTER on the isolated warm-session build (2.64 →
+        # 1.81s median) but a WASH in the bench's own metric (fresh
+        # process, min of 2 passes: old mins 1.44-1.86 vs new 1.30-1.90
+        # over 3 alternations) with the cold pass-1 consistently slower
+        # — lineitem is orderkey-clustered, so the map-side partial
+        # collect_set already collapses 600k rows to ~basket rows and
+        # the extra exchange only helps a path min() never reports.
+        # Reverted to the plain shape (guide §1: keep only wins the
+        # target metric confirms).
         return (
             load_table(spark, sf_dir, "lineitem")
             .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
-            .repartition(spark_np, "ok")
             .groupBy("ok")
             .agg(F.array_sort(F.collect_set("pk")).alias("items"))
         )
