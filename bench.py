@@ -241,6 +241,55 @@ use here is filling the first run's truncated head entries
 (q_avro_nested 1.68, q_kafka_extract 1.54 under inflation, so idle
 marks are at or below those).
 
+r19 OPTIMIZATION-round reference runs and adjudications:
+- CORRECTION of the r18 core-scaling claim (VERDICT r18 #8): the r18
+  report's "fused codec tier scales healthily at 8 cores" was probe-only
+  and the driver's own c8 data contradicts it — q_tar_extract reads 0.85
+  at 8 cores vs 0.79 at 32 (ratio 1.07, NO core scaling). The fused
+  codec queries are handshake-floor-bound at sf0.1: the ~13-16ms/task
+  serialized Python-runner handshake IS the query once the decode work
+  shrank below it. Do not chase parallelism there at this SF; the
+  `_codec_parallel` cores-derived exchange stays for the production
+  shape, where row counts amortize the handshake.
+- Handshake-floor knob sweep (VERDICT r18 #4), interleaved A/B at BOTH
+  core counts, identity mapInPandas + q_tar_extract, 5 passes each,
+  steal 0.07-0.82 except where noted: defaults (reuse=true, 10k
+  rows/batch) read 0.57/0.90 (c32) and 0.38/1.00 (c8, steal 3.6);
+  arrow.maxRecordsPerBatch=2000 read 0.64/1.04 (c32) — worse;
+  =100000 read 0.70/1.16 (c32) and 0.36/0.94 (c8) — wash-to-worse;
+  spark.python.worker.reuse=false read 1.22/1.63 (c32) — 1.8x worse.
+  NULL RESULT: the defaults are already optimal on every knob the
+  verdict named; no config change shipped.
+- q_bloom_prune adjudication (VERDICT r18 #2, the 3.09-driver vs
+  1.3-idle 2.4x gap): the query carries FOUR serial driver-sync
+  barriers (dim count job, bitmap-build collect, bloom-words broadcast
+  build, dim broadcast build) before its main job, so host contention
+  multiplies at every barrier — a 4-way interleaved A/B (hash scheme x
+  dim persist, 4 passes each) read mins 1.62-1.84 across ALL variants
+  in one window at steal 7.5 and the SAME code read 4.10 in a
+  steal-2.16 full bench vs 1.83 in the steal-1.76 round-start bench:
+  the spread is barrier-amplified contention, not plan cost. Shipped
+  anyway: dim persisted (3 orders scans -> 1) and Kirsch-Mitzenmacher
+  double hashing (2 xxhash64/row at the scan instead of 5; survivors
+  121261 vs 121175 of 600572 — fp class unchanged, identity exact).
+- Measured and REJECTED this round (each interleaved at sf0.1):
+  q_tokenize_ids repartition/split-once-persist/slice-explode variants
+  (old med 1.04 beat all three: 1.19/1.77/1.15 — the 5000-doc split is
+  cheaper than any materialization); q_multireg repartition before the
+  fast4 gram aggregate (1.80 vs 1.01 med — split-long partials are
+  cheap enough that the extra exchange only adds cost, the OPPOSITE of
+  q03's decimal path where BigDecimal-per-row made repartition a 1.6x
+  win: the recipe is "parallelize expensive per-row aggregation work,
+  not cheap long sums"); q_percentile_approx persist / repartition+
+  persist of the 1-col projection (1.58 / 1.62 / 2.07 med — flat then
+  worse); q_tpch_q16 repartition before the pair distinct (wash: the
+  distinct's partial agg collapses 600k->119k map-side and earns its
+  keep, unlike q_weighted_median's near-unique dedup where the same
+  repartition DID win); exact_quantiles-based q_outlier_mad (GK
+  brackets for med+MAD measured 3.99 vs 2.66 for cached F.percentile —
+  the r14 "measured slower" ruling re-confirmed even with the scans
+  cached).
+
 Measured floor of the media round-trip queries (r14): each
 mapInPandas pass over the 32-partition doc_id exchange costs
 ~0.42s of wall-clock HANDSHAKE regardless of rows — an identity
